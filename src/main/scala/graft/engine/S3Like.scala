@@ -1,0 +1,195 @@
+package graft.engine
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Object-store DataFrame I/O (reference: pandas_aws/s3.py), on Hadoop FS
+  * URIs — `file:/` in tests, `s3a://` in production. The engine never talks
+  * to an object-store SDK directly; Hadoop FS does, which deletes the
+  * reference's hand-rolled listing/pagination/multipart-HTTP entirely
+  * (SURVEY.md §7.1) and replaces its serial one-request-per-part driver loop
+  * (pandas_aws/s3.py:188-202) with parallel per-partition task writes.
+  *
+  * Scale notes: `parts`+`sortKeys` (reference `_get_splited_df_streams`,
+  * pandas_aws/s3.py:56-97 — driver-side np.array_split after a single-node
+  * sort) becomes `repartitionByRange(n, keys) + sortWithinPartitions` — a
+  * range exchange producing the same globally-sorted sequence of part files
+  * with no single point holding the data. Exact reference key naming
+  * (`<stem>/<stem>.<i>.<ext>`, pandas_aws/s3.py:188-195) is an opt-in rename
+  * pass: on S3A a rename is a copy, so the scalable default is Spark's native
+  * `part-*` layout and naming parity costs extra only when asked for.
+  */
+object S3Like {
+
+  val formats: Set[String] = Set("csv", "parquet", "json", "xlsx", "object")
+
+  private def fs(spark: SparkSession, uri: String): FileSystem =
+    new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Key listing under a prefix with optional suffix filter (reference
+    * `get_keys`, pandas_aws/s3.py:18-53: server-side Prefix + client-side
+    * endswith + pagination). Hadoop's RemoteIterator does paginated listing;
+    * we expose a lazy Iterator like the reference's generator. */
+  def listKeys(spark: SparkSession, prefixUri: String, suffix: String = ""): Iterator[String] = {
+    val p = new Path(prefixUri)
+    val filesystem = fs(spark, prefixUri)
+    if (!filesystem.exists(p)) Iterator.empty
+    else {
+      val it = filesystem.listFiles(p, true)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .map(_.getPath.toString)
+        .filter(k => suffix.isEmpty || k.endsWith(suffix))
+        .filterNot(_.split('/').last.startsWith("_")) // _SUCCESS etc.
+    }
+  }
+
+  /** Write a DataFrame (reference `put_df`, pandas_aws/s3.py:100-202).
+    *
+    * @param parts      horizontal split count (reference np.array_split)
+    * @param sortKeys   global sort before split (total order across files)
+    * @param exactNaming reproduce reference multipart key naming via a
+    *                    metadata rename pass (parts==1 → single file at uri)
+    */
+  def putDf(
+      df: DataFrame,
+      uri: String,
+      format: String = "csv",
+      compression: Option[String] = None,
+      parts: Int = 1,
+      sortKeys: Seq[String] = Nil,
+      exactNaming: Boolean = false,
+      options: Map[String, String] = Map.empty): Unit = {
+    require(parts > 0, "parts must be > 0")
+    require(formats.contains(format), s"format $format not in $formats")
+    compression.foreach(c => require(c == "gzip" && format == "csv",
+      "compression: only gzip, and only with csv (reference parity, pandas_aws/s3.py:147-149)"))
+
+    val arranged =
+      if (sortKeys.nonEmpty) {
+        require(sortKeys.forall(df.columns.contains), s"sort keys $sortKeys not all in ${df.columns.toSeq}")
+        df.repartitionByRange(parts, sortKeys.map(col): _*).sortWithinPartitions(sortKeys.map(col): _*)
+      } else if (parts != df.rdd.getNumPartitions) df.repartition(parts)
+      else df
+
+    val outDir = if (exactNaming) uri + ".__tmp" else uri
+    format match {
+      case "csv" =>
+        val w = arranged.write.mode(SaveMode.Overwrite).options(options).option("header", "true")
+        compression.fold(w)(c => w.option("compression", c)).csv(outDir)
+      case "parquet" => arranged.write.mode(SaveMode.Overwrite).options(options).parquet(outDir)
+      case "json"    => arranged.write.mode(SaveMode.Overwrite).options(options).json(outDir)
+      case "xlsx"    => Xlsx.write(arranged, outDir)
+      case "object"  => ObjectFormat.write(arranged, outDir)
+    }
+    if (exactNaming) renameParts(df.sparkSession, outDir, uri, format, compression)
+  }
+
+  /** Reference multipart naming (pandas_aws/s3.py:188-195, verified by
+    * tests/test_s3.py:163-171): n parts under `dir/key.ext` become
+    * `dir/key/key.<i>.ext` (1-based); one part lands verbatim at `dir/key.ext`.
+    * Pure FS-metadata pass over already-written files. */
+  private def renameParts(
+      spark: SparkSession, tmpDir: String, uri: String,
+      format: String, compression: Option[String]): Unit = {
+    val filesystem = fs(spark, uri)
+    val ext = format + compression.map(_ => ".gz").getOrElse("")
+    val partFiles = filesystem.listStatus(new Path(tmpDir))
+      .map(_.getPath).filter(p => p.getName.startsWith("part-")).sortBy(_.getName)
+    val target = new Path(uri)
+    if (partFiles.length == 1) {
+      filesystem.delete(target, true)
+      filesystem.rename(partFiles.head, target)
+    } else {
+      val stem = target.getName.split('.').head
+      val dir = new Path(target.getParent, stem)
+      filesystem.delete(dir, true)
+      filesystem.mkdirs(dir)
+      partFiles.zipWithIndex.foreach { case (p, i) =>
+        filesystem.rename(p, new Path(dir, s"$stem.${i + 1}.$ext"))
+      }
+    }
+    filesystem.delete(new Path(tmpDir), true)
+  }
+
+  /** Read one key/dir with a declared format (reference `get_df`,
+    * pandas_aws/s3.py:211-240; reader kwargs pass through as options). */
+  def getDf(
+      spark: SparkSession,
+      uri: String,
+      format: String,
+      options: Map[String, String] = Map.empty): DataFrame = {
+    require(formats.contains(format), s"format $format not in $formats")
+    format match {
+      case "csv" =>
+        spark.read.options(options)
+          .option("header", options.getOrElse("header", "true"))
+          .option("inferSchema", options.getOrElse("inferSchema", "true"))
+          .csv(uri)
+      case "parquet" => spark.read.options(options).parquet(uri)
+      case "json"    => spark.read.options(options).json(uri)
+      case "xlsx"    => Xlsx.read(spark, uri)
+      case "object"  => ObjectFormat.read(spark, uri)
+    }
+  }
+
+  /** Multi-file union read (reference `get_df_from_keys`,
+    * pandas_aws/s3.py:243-294). `format`:
+    *   - "suffix": dispatch per file extension — files are grouped by
+    *     extension, one multi-path Spark scan per group, `unionByName` across
+    *     groups (this fixes, not reproduces, the reference's first-file
+    *     format lock-in quirk at pandas_aws/s3.py:272)
+    *   - "mixed": magic-byte sniff per file (PAR1→parquet, PK→xlsx, else
+    *     csv/json by content) — the robust version of the reference's
+    *     try-parse-in-order loop (pandas_aws/s3.py:275-285)
+    *   - explicit format: one multi-path scan
+    * Returns None when nothing matches (reference returns None,
+    * pandas_aws/s3.py:293-294). */
+  def getDfFromKeys(
+      spark: SparkSession,
+      prefixUri: String,
+      suffix: String = "",
+      format: String = "suffix",
+      options: Map[String, String] = Map.empty): Option[DataFrame] = {
+    val keys = listKeys(spark, prefixUri, suffix).toSeq
+    if (keys.isEmpty) return None
+    val byFormat: Map[String, Seq[String]] = format match {
+      case "suffix" => keys.groupBy(k => extensionFormat(k.split('/').last))
+      case "mixed"  => keys.groupBy(k => sniffFormat(spark, k))
+      case f        => Map(f -> keys)
+    }
+    val dfs = byFormat.toSeq.sortBy(_._1).map { case (f, ks) =>
+      require(formats.contains(f), s"unresolvable format '$f' for keys ${ks.take(3)}")
+      if (f == "xlsx" || f == "object") ks.map(getDf(spark, _, f, options)).reduce(_.unionByName(_, true))
+      else getDf(spark, ks.mkString(","), f, options) // one multi-path scan
+    }
+    Some(dfs.reduce(_.unionByName(_, true)))
+  }
+
+  private def extensionFormat(name: String): String = {
+    val parts = name.split('.')
+    parts.reverse.find(e => formats.contains(e) || e == "pkl" || e == "obj") match {
+      case Some("pkl") | Some("obj") => "object"
+      case Some(e)                   => e
+      case None                      => parts.last
+    }
+  }
+
+  /** Magic-byte format sniff — reads only the first 4 bytes of each object
+    * (the reference downloads and try-parses whole objects serially). */
+  private[engine] def sniffFormat(spark: SparkSession, uri: String): String = {
+    val filesystem = fs(spark, uri)
+    val in = filesystem.open(new Path(uri))
+    val head = new Array[Byte](4)
+    val n = try { in.readFully(0, head, 0, Math.min(4, filesystem.getFileStatus(new Path(uri)).getLen).toInt); 4 }
+      catch { case _: Throwable => 0 }
+      finally in.close()
+    val s = new String(head, 0, n, "ISO-8859-1")
+    if (s.startsWith("PAR1")) "parquet"
+    else if (s.startsWith("PK")) "xlsx"
+    else if (s.startsWith("{")) "json"
+    else if (head.take(2).sameElements(Array(0x1f.toByte, 0x8b.toByte))) "csv" // gzip csv
+    else if (s.startsWith("\u00ac\u00ed")) "object" // java serialization magic 0xaced
+    else "csv"
+  }
+}

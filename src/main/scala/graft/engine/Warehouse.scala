@@ -1,0 +1,127 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse path re-expressed on the Spark session catalog
+  * (reference: pandas_aws/redshift.py — schema inference → CREATE TABLE →
+  * S3-staged COPY → delete+insert upsert → SQL back to DataFrame).
+  *
+  * The reference's three network boundaries (driver→S3 staging, driver→
+  * Redshift leader for DDL, Redshift compute→S3 for COPY; SURVEY.md §3.2)
+  * collapse into one Catalyst-planned distributed write: `COPY`'s
+  * cluster-parallel parse-and-load IS Spark's parallel scan + insert, so no
+  * staging roundtrip exists at all. Physical layout hints map as:
+  *
+  *   - DISTKEY(col)  → `repartition(col)` before write (co-locates keys, the
+  *     same shuffle-avoidance Redshift gets from key distribution)
+  *   - DISTSTYLE EVEN → round-robin `repartition(n)`
+  *   - DISTSTYLE ALL  → small table; consumers should `broadcast()` it
+  *   - SORTKEY(cols) → `sortWithinPartitions` (parquet min/max page stats
+  *     then give the zone-map skipping effect on read)
+  *
+  * Upsert is delete+insert with last-writer-wins on the comparison key
+  * (pandas_aws/redshift.py:348-384) = `target ANTI-JOIN updates ∪ updates`,
+  * staged to a new table then swapped by rename — the scalable analogue of
+  * the reference's staging-table transaction (weaker atomicity, documented:
+  * SURVEY.md §7.4.3).
+  */
+object Warehouse {
+
+  sealed trait DistStyle
+  object DistStyle {
+    case object Even extends DistStyle
+    case object All extends DistStyle
+    case object Auto extends DistStyle
+    final case class Key(column: String) extends DistStyle
+  }
+
+  final case class Layout(
+      distStyle: DistStyle = DistStyle.Auto,
+      sortKeys: Seq[String] = Nil)
+
+  /** Apply physical layout hints to a DataFrame before it is written. */
+  def applyLayout(df: DataFrame, layout: Layout, parts: Int = 0): DataFrame = {
+    val dist = layout.distStyle match {
+      case DistStyle.Key(c)             => if (parts > 0) df.repartition(parts, col(c)) else df.repartition(col(c))
+      case DistStyle.Even if parts > 0  => df.repartition(parts)
+      case _                            => df
+    }
+    if (layout.sortKeys.nonEmpty) dist.sortWithinPartitions(layout.sortKeys.map(col): _*)
+    else dist
+  }
+
+  /** CREATE TABLE IF NOT EXISTS from the frame's schema (DDL path). */
+  def createTable(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      columnTypes: Map[String, String] = Map.empty,
+      columnConstraints: Map[String, String] = Map.empty,
+      includeDateInsert: Boolean = false): Unit =
+    spark.sql(SchemaMap.createTableDdl(df, table, columnTypes, columnConstraints, includeDateInsert))
+
+  /** Bulk load (the reference's put_df→COPY pipeline, §3.2): normalize
+    * columns, optionally create, apply layout, append. `dateInsert` makes the
+    * reference's GETDATE() audit column injectable/deterministic. */
+  def upload(
+      spark: SparkSession,
+      df: DataFrame,
+      table: String,
+      layout: Layout = Layout(),
+      parts: Int = 0,
+      dropFirst: Boolean = false,
+      dateInsert: Option[java.sql.Timestamp] = None): Unit = {
+    val normed = SchemaMap.normalizeColumns(df)
+    val audited = dateInsert.fold(normed)(t => normed.withColumn("date_insert", lit(t)))
+    if (dropFirst) spark.sql(s"DROP TABLE IF EXISTS ${SchemaMap.ident(table)}")
+    createTable(spark, audited, table)
+    applyLayout(audited, layout, parts).write.mode(SaveMode.Append).insertInto(table)
+  }
+
+  /** Delete+insert upsert, last-writer-wins on `keys`
+    * (pandas_aws/redshift.py:386-416). Target must already exist, as in the
+    * reference. New state is staged to `stage_<target>` then swapped via
+    * rename — no data is rewritten twice and nothing materializes on the
+    * driver, so the pattern holds at any scale. */
+  def upsert(
+      spark: SparkSession,
+      updates: DataFrame,
+      target: String,
+      keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "comparison_key must be non-empty")
+    val tgt = SchemaMap.ident(target)
+    val normed = SchemaMap.normalizeColumns(updates)
+    val current = spark.table(tgt)
+    val newState = current.join(normed, keys, "left_anti").unionByName(normed)
+    val stage = s"stage_${target.replace('.', '_')}"
+    spark.sql(s"DROP TABLE IF EXISTS $stage")
+    newState.write.saveAsTable(stage)
+    spark.sql(s"DROP TABLE $tgt")
+    spark.sql(s"ALTER TABLE $stage RENAME TO $tgt")
+  }
+
+  /** Pure-DataFrame upsert (no catalog) — same semantics, composable. */
+  def upsertDf(target: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame =
+    target.join(updates, keys, "left_anti").unionByName(updates)
+
+  /** Query path (reference RedshiftClient.get_df, pandas_aws/redshift.py:417-448):
+    * SQL in, DataFrame out, optional column renames. The result stays
+    * distributed — the reference's chunked driver-side fetch is obsolete. */
+  def query(spark: SparkSession, sql: String, renames: Map[String, String] = Map.empty): DataFrame = {
+    val df = spark.sql(sql)
+    renames.foldLeft(df) { case (d, (from, to)) => d.withColumnRenamed(from, to) }
+  }
+
+  /** Stage-table lifecycle (reference `_create_temp_redshift_table_from_target`,
+    * pandas_aws/redshift.py:336-346): empty LIKE-shaped temp view minus the
+    * audit column, dropped after `f`. */
+  def withStage[A](spark: SparkSession, target: String)(f: String => A): A = {
+    val stage = s"stage_${target.replace('.', '_')}_view"
+    val shaped = spark.table(SchemaMap.ident(target)).limit(0)
+    val noAudit = if (shaped.columns.contains("date_insert")) shaped.drop("date_insert") else shaped
+    noAudit.createOrReplaceTempView(stage)
+    try f(stage)
+    finally spark.catalog.dropTempView(stage)
+  }
+}

@@ -1,0 +1,187 @@
+package graft.engine
+
+import java.io.{ByteArrayOutputStream, InputStream}
+import java.util.zip.{ZipEntry, ZipInputStream, ZipOutputStream}
+import javax.xml.parsers.DocumentBuilderFactory
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Minimal self-contained XLSX codec (reference format='xlsx',
+  * pandas_aws/s3.py:172-175 / :239-240 — via xlsxwriter/read_excel; no such
+  * library exists offline, and XLSX is a zip of known XML, so we write the
+  * five required members directly: SURVEY.md §7.4.1).
+  *
+  * Excel is inherently a single-file driver-side format — the reference also
+  * materializes the whole frame to one buffer. We therefore cap collected
+  * rows (maxRows) and document xlsx as a small-export/import path, NOT a
+  * 100 TB path; large data belongs in parquet/csv.
+  */
+object Xlsx {
+
+  val maxRows: Int = 1 << 20 // hard Excel sheet limit (1,048,576)
+  private val sheetName = "Sheet1" // fixed, as the reference (pandas_aws/s3.py:175)
+
+  private def colRef(i: Int): String = {
+    var n = i + 1; val sb = new StringBuilder
+    while (n > 0) { val r = (n - 1) % 26; sb.insert(0, ('A' + r).toChar); n = (n - 1) / 26 }
+    sb.toString
+  }
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '<' => "&lt;"; case '>' => "&gt;"; case '&' => "&amp;"
+      case '"' => "&quot;"; case c => c.toString
+    }
+
+  /** Serialize a DataFrame to one xlsx file at `uri` (collects to driver). */
+  def write(df: DataFrame, uri: String): Unit = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows, s"xlsx export capped at $maxRows rows — use parquet/csv for large data")
+    val bytes = render(df.schema, rows)
+    val fs = new Path(uri).getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(uri), true)
+    try out.write(bytes) finally out.close()
+  }
+
+  private[engine] def render(schema: StructType, rows: Array[Row]): Array[Byte] = {
+    val sheet = new StringBuilder
+    sheet ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
+    sheet ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
+    // header row
+    sheet ++= "<row r=\"1\">"
+    schema.fields.zipWithIndex.foreach { case (f, c) =>
+      sheet ++= s"""<c r="${colRef(c)}1" t="inlineStr"><is><t>${xmlEscape(f.name)}</t></is></c>"""
+    }
+    sheet ++= "</row>"
+    rows.zipWithIndex.foreach { case (row, r) =>
+      sheet ++= s"""<row r="${r + 2}">"""
+      schema.fields.zipWithIndex.foreach { case (f, c) =>
+        if (!row.isNullAt(c)) {
+          val ref = s"${colRef(c)}${r + 2}"
+          f.dataType match {
+            case _: NumericType =>
+              sheet ++= s"""<c r="$ref"><v>${row.get(c)}</v></c>"""
+            case BooleanType =>
+              sheet ++= s"""<c r="$ref" t="b"><v>${if (row.getBoolean(c)) 1 else 0}</v></c>"""
+            case _ =>
+              sheet ++= s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(String.valueOf(row.get(c)))}</t></is></c>"""
+          }
+        }
+      }
+      sheet ++= "</row>"
+    }
+    sheet ++= "</sheetData></worksheet>"
+
+    val members = Seq(
+      "[Content_Types].xml" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+          |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+          |<Default Extension="xml" ContentType="application/xml"/>
+          |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+          |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+          |</Types>""".stripMargin,
+      "_rels/.rels" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/workbook.xml" ->
+        s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+           |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+           |<sheets><sheet name="$sheetName" sheetId="1" r:id="rId1"/></sheets>
+           |</workbook>""".stripMargin,
+      "xl/_rels/workbook.xml.rels" ->
+        """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+          |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+          |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+          |</Relationships>""".stripMargin,
+      "xl/worksheets/sheet1.xml" -> sheet.toString)
+
+    val bos = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(bos)
+    members.foreach { case (name, content) =>
+      zip.putNextEntry(new ZipEntry(name))
+      zip.write(content.getBytes("UTF-8"))
+      zip.closeEntry()
+    }
+    zip.close()
+    bos.toByteArray
+  }
+
+  /** Read one xlsx file into a DataFrame. Column types are inferred per
+    * column (long → double → boolean → string), like pandas read_excel. */
+  def read(spark: SparkSession, uri: String): DataFrame = {
+    val fs = new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(uri))
+    val (header, cells) = try parseSheet(in) finally in.close()
+    val inferred = header.indices.map { c =>
+      val vals = cells.flatMap(r => r.lift(c).flatten)
+      if (vals.isEmpty) StringType
+      else if (vals.forall(v => v._2 == 'n' && v._1.matches("-?\\d+"))) LongType
+      else if (vals.forall(_._2 == 'n')) DoubleType
+      else if (vals.forall(_._2 == 'b')) BooleanType
+      else StringType
+    }
+    val schema = StructType(header.zip(inferred).map { case (n, t) => StructField(n, t) })
+    val rows = cells.map { r =>
+      Row.fromSeq(header.indices.map { c =>
+        r.lift(c).flatten.map { case (v, t) =>
+          inferred(c) match {
+            case LongType    => v.toDouble.toLong
+            case DoubleType  => v.toDouble
+            case BooleanType => v == "1" || v.equalsIgnoreCase("true")
+            case _           => v
+          }
+        }.orNull
+      })
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq), schema)
+  }
+
+  /** Parse sheet1.xml → (header names, rows of (value, type-tag) options).
+    * Type tags: 'n' number, 'b' boolean, 's' string. */
+  private def parseSheet(zipStream: InputStream): (Seq[String], Seq[Seq[Option[(String, Char)]]]) = {
+    val zis = new ZipInputStream(zipStream)
+    var sheetBytes: Array[Byte] = null
+    var entry = zis.getNextEntry
+    while (entry != null && sheetBytes == null) {
+      if (entry.getName == "xl/worksheets/sheet1.xml") {
+        val bos = new ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = zis.read(buf)
+        while (n > 0) { bos.write(buf, 0, n); n = zis.read(buf) }
+        sheetBytes = bos.toByteArray
+      } else entry = zis.getNextEntry
+    }
+    require(sheetBytes != null, "xl/worksheets/sheet1.xml not found in xlsx")
+    val dbf = DocumentBuilderFactory.newInstance()
+    dbf.setNamespaceAware(false)
+    val doc = dbf.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(sheetBytes))
+    val rowNodes = doc.getElementsByTagName("row")
+    val allRows = (0 until rowNodes.getLength).map { i =>
+      val rowEl = rowNodes.item(i).asInstanceOf[org.w3c.dom.Element]
+      val cellNodes = rowEl.getElementsByTagName("c")
+      val cells = scala.collection.mutable.Map[Int, (String, Char)]()
+      (0 until cellNodes.getLength).foreach { j =>
+        val cEl = cellNodes.item(j).asInstanceOf[org.w3c.dom.Element]
+        val ref = cEl.getAttribute("r").takeWhile(_.isLetter)
+        val colIdx = ref.foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1
+        val t = cEl.getAttribute("t")
+        val text = cEl.getTextContent
+        val tag = t match {
+          case "inlineStr" | "str" | "s" => 's'
+          case "b"                       => 'b'
+          case _                         => 'n'
+        }
+        cells(colIdx) = (text, tag)
+      }
+      val width = if (cells.isEmpty) 0 else cells.keys.max + 1
+      (0 until width).map(cells.get).toSeq
+    }
+    val header = allRows.head.map(_.map(_._1).getOrElse(""))
+    (header, allRows.tail)
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import graft.engine.S3Like
+
+/** Round-trip + multipart + multi-file-union suites mirroring the reference's
+  * tests/test_s3.py patterns (SURVEY.md §5): write-then-read-back equality,
+  * exact multipart key naming, sorted multipart total order, union matrix,
+  * negative validation, empty match → None.
+  */
+class S3LikeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the reference's 4-row fixture (tests/test_s3.py:30, FIXTURES.md §1)
+  def fixture: DataFrame =
+    Seq((3L, "a"), (2L, "b"), (1L, "c"), (0L, "d")).toDF("col_1", "col_2")
+
+  def tmp(): String = "file:" + Files.createTempDirectory("s3like").toString
+
+  def sortedRows(df: DataFrame): Seq[(Long, String)] =
+    df.select("col_1", "col_2").as[(Long, String)].collect().toSeq.sorted
+
+  test("csv round-trip") {
+    val dir = tmp() + "/key.csv"
+    S3Like.putDf(fixture, dir, format = "csv")
+    val back = S3Like.getDf(spark, dir, "csv")
+    assert(back.columns.toSeq == Seq("col_1", "col_2"))
+    assert(sortedRows(back) == sortedRows(fixture))
+  }
+
+  test("csv round-trip with custom separator (kwargs pass-through)") {
+    val dir = tmp() + "/key.csv"
+    S3Like.putDf(fixture, dir, format = "csv", options = Map("sep" -> ";"))
+    val back = S3Like.getDf(spark, dir, "csv", options = Map("sep" -> ";"))
+    assert(sortedRows(back) == sortedRows(fixture))
+  }
+
+  test("csv+gzip round-trip") {
+    val dir = tmp() + "/key.csv"
+    S3Like.putDf(fixture, dir, format = "csv", compression = Some("gzip"))
+    val fsDir = new java.io.File(dir.stripPrefix("file:"))
+    assert(fsDir.listFiles().exists(_.getName.endsWith(".csv.gz")), "gzip codec applied")
+    val back = S3Like.getDf(spark, dir, "csv")
+    assert(sortedRows(back) == sortedRows(fixture))
+  }
+
+  test("parquet round-trip") {
+    val dir = tmp() + "/key.parquet"
+    S3Like.putDf(fixture, dir, format = "parquet")
+    assert(sortedRows(S3Like.getDf(spark, dir, "parquet")) == sortedRows(fixture))
+  }
+
+  test("json round-trip") {
+    val dir = tmp() + "/key.json"
+    S3Like.putDf(fixture, dir, format = "json")
+    val back = S3Like.getDf(spark, dir, "json").select("col_1", "col_2")
+    assert(sortedRows(back) == sortedRows(fixture))
+  }
+
+  test("xlsx round-trip (reference format, self-contained codec)") {
+    val dir = tmp() + "/key.xlsx"
+    S3Like.putDf(fixture, dir, format = "xlsx")
+    val back = S3Like.getDf(spark, dir, "xlsx")
+    assert(back.columns.toSeq == Seq("col_1", "col_2"))
+    assert(back.schema("col_1").dataType.typeName == "long")
+    assert(sortedRows(back) == sortedRows(fixture))
+  }
+
+  test("object (pickle-analogue) round-trip preserves schema exactly") {
+    val dir = tmp() + "/key.obj"
+    val df = fixture.withColumn("ts", org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    S3Like.putDf(df, dir, format = "object")
+    val back = S3Like.getDf(spark, dir, "object")
+    assert(back.schema == df.schema)
+    assert(back.count() == 4)
+  }
+
+  test("multipart exact naming: mockfolder/key1.csv -> mockfolder/key1/key1.{1,2}.csv") {
+    val base = tmp()
+    S3Like.putDf(fixture, s"$base/mockfolder/key1.csv", format = "csv", parts = 2, exactNaming = true)
+    val names = S3Like.listKeys(spark, s"$base/mockfolder").toSeq.sorted
+    assert(names.map(_.split('/').takeRight(2).mkString("/")) ==
+      Seq("key1/key1.1.csv", "key1/key1.2.csv"))
+  }
+
+  test("single-part exact naming writes the key verbatim") {
+    val base = tmp()
+    S3Like.putDf(fixture, s"$base/mockfolder/key1.csv", format = "csv", parts = 1, exactNaming = true)
+    val names = S3Like.listKeys(spark, s"$base/mockfolder").toSeq
+    assert(names.map(_.split('/').last) == Seq("key1.csv"))
+  }
+
+  test("sorted multipart reconstructs global order (reference tests/test_s3.py:173-183)") {
+    val base = tmp()
+    S3Like.putDf(fixture, s"$base/k.csv", format = "csv", parts = 2,
+      sortKeys = Seq("col_1", "col_2"), exactNaming = true)
+    val files = S3Like.listKeys(spark, s"$base/k").toSeq.sorted
+    assert(files.size == 2)
+    // concatenating part 1 then part 2 must give the globally sorted frame
+    val parts = files.map(f => S3Like.getDf(spark, f, "csv").as[(Long, String)].collect().toSeq)
+    val concat = parts.flatten
+    assert(concat == concat.sorted, s"not globally sorted: $concat")
+    assert(concat.map(_._1) == Seq(0L, 1L, 2L, 3L))
+  }
+
+  test("put_df rejects bad inputs (reference negative tests)") {
+    intercept[IllegalArgumentException](S3Like.putDf(fixture, tmp(), format = "avro"))
+    intercept[IllegalArgumentException](S3Like.putDf(fixture, tmp(), parts = 0))
+    intercept[IllegalArgumentException](S3Like.putDf(fixture, tmp(), format = "parquet", compression = Some("gzip")))
+    intercept[IllegalArgumentException](S3Like.putDf(fixture, tmp(), sortKeys = Seq("nope")))
+    intercept[IllegalArgumentException](S3Like.getDf(spark, tmp(), "avro"))
+  }
+
+  test("listKeys: prefix + suffix filter + laziness") {
+    val base = tmp()
+    S3Like.putDf(fixture, s"$base/a/f1.csv", format = "csv", exactNaming = true)
+    S3Like.putDf(fixture, s"$base/a/f2.parquet", format = "parquet", exactNaming = true)
+    S3Like.putDf(fixture, s"$base/b/f3.csv", format = "csv", exactNaming = true)
+    assert(S3Like.listKeys(spark, s"$base/a").size == 2)
+    assert(S3Like.listKeys(spark, s"$base/a", suffix = ".csv").size == 1)
+    assert(S3Like.listKeys(spark, base).size == 3)
+    assert(S3Like.listKeys(spark, s"$base/missing").isEmpty)
+  }
+
+  test("getDfFromKeys: per-suffix dispatch unions heterogeneous formats") {
+    val base = tmp()
+    S3Like.putDf(fixture, s"$base/u/f1.csv", format = "csv", exactNaming = true)
+    S3Like.putDf(fixture, s"$base/u/f2.csv", format = "csv", exactNaming = true)
+    S3Like.putDf(fixture, s"$base/u/f3.parquet", format = "parquet", exactNaming = true)
+    val got = S3Like.getDfFromKeys(spark, s"$base/u").get
+    assert(got.count() == 12)
+    assert(got.agg(org.apache.spark.sql.functions.sum("col_1")).as[Long].head() == 18L) // 6*3
+  }
+
+  test("getDfFromKeys: mixed mode sniffs magic bytes") {
+    val base = tmp()
+    S3Like.putDf(fixture, s"$base/m/data1", format = "csv", exactNaming = true)
+    S3Like.putDf(fixture, s"$base/m/data2", format = "parquet", exactNaming = true)
+    S3Like.putDf(fixture, s"$base/m/data3", format = "xlsx")
+    val got = S3Like.getDfFromKeys(spark, s"$base/m", format = "mixed").get
+    assert(got.count() == 12)
+  }
+
+  test("getDfFromKeys: no matches -> None (reference tests/test_s3.py:301-303)") {
+    assert(S3Like.getDfFromKeys(spark, tmp() + "/empty").isEmpty)
+  }
+
+  test("getDfFromKeys: ragged schemas union by name with nulls") {
+    val base = tmp()
+    S3Like.putDf(fixture, s"$base/r/f1.parquet", format = "parquet", exactNaming = true)
+    S3Like.putDf(fixture.withColumnRenamed("col_2", "col_3"), s"$base/r/f2.parquet", format = "parquet", exactNaming = true)
+    val got = S3Like.getDfFromKeys(spark, s"$base/r").get
+    assert(got.columns.toSet == Set("col_1", "col_2", "col_3"))
+    assert(got.count() == 8)
+    assert(got.filter(got("col_3").isNull).count() == 4)
+  }
+}

@@ -20,6 +20,7 @@ object SparkSpec {
 }
 
 trait SparkSpec extends AnyFunSuite {
-  def spark: SparkSession = SparkSpec.spark
+  // val (not def): `import spark.implicits._` needs a stable identifier
+  val spark: SparkSession = SparkSpec.spark
   def sf: String = SparkSpec.sf
 }

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{SchemaMap, Warehouse}
+import graft.engine.Warehouse.{DistStyle, Layout}
+
+/** Warehouse path tests — the module the reference left untested
+  * (tests/test_redshift.py defines only a base class, SURVEY.md §5.7). */
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  def fixture = Seq((3L, "a"), (2L, "b"), (1L, "c"), (0L, "d")).toDF("col_1", "col_2")
+
+  test("upload creates the table from inferred schema and loads rows") {
+    spark.sql("DROP TABLE IF EXISTS wh_t1")
+    Warehouse.upload(spark, fixture, "wh_t1")
+    assert(spark.table("wh_t1").count() == 4)
+    assert(spark.table("wh_t1").schema.fieldNames.toSeq == Seq("col_1", "col_2"))
+    // append semantics on second load, like repeated COPY
+    Warehouse.upload(spark, fixture, "wh_t1")
+    assert(spark.table("wh_t1").count() == 8)
+    spark.sql("DROP TABLE wh_t1")
+  }
+
+  test("upload with dropFirst replaces the table (DROP ... CASCADE analogue)") {
+    spark.sql("DROP TABLE IF EXISTS wh_t2")
+    Warehouse.upload(spark, fixture, "wh_t2")
+    Warehouse.upload(spark, fixture.limit(1), "wh_t2", dropFirst = true)
+    assert(spark.table("wh_t2").count() == 1)
+    spark.sql("DROP TABLE wh_t2")
+  }
+
+  test("upload normalizes column names and rejects reserved words") {
+    spark.sql("DROP TABLE IF EXISTS wh_t3")
+    Warehouse.upload(spark, fixture.withColumnRenamed("col_1", "My Col"), "wh_t3")
+    assert(spark.table("wh_t3").schema.fieldNames.contains("my_col"))
+    spark.sql("DROP TABLE wh_t3")
+    intercept[IllegalArgumentException](
+      Warehouse.upload(spark, fixture.withColumnRenamed("col_1", "select"), "wh_t4"))
+  }
+
+  test("injectable date_insert audit column (deterministic GETDATE analogue)") {
+    spark.sql("DROP TABLE IF EXISTS wh_t5")
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    Warehouse.upload(spark, fixture, "wh_t5", dateInsert = Some(t0))
+    val distinct = spark.table("wh_t5").select("date_insert").distinct().collect()
+    assert(distinct.map(_.getTimestamp(0)).toSeq == Seq(t0))
+    spark.sql("DROP TABLE wh_t5")
+  }
+
+  test("upsert: delete+insert last-writer-wins on comparison key") {
+    spark.sql("DROP TABLE IF EXISTS wh_t6")
+    Warehouse.upload(spark, fixture, "wh_t6")
+    val updates = Seq((2L, "B2"), (9L, "new")).toDF("col_1", "col_2")
+    Warehouse.upsert(spark, updates, "wh_t6", Seq("col_1"))
+    val got = spark.table("wh_t6").as[(Long, String)].collect().toMap
+    assert(got == Map(3L -> "a", 2L -> "B2", 1L -> "c", 0L -> "d", 9L -> "new"))
+    // target must pre-exist, as in the reference
+    intercept[Exception](Warehouse.upsert(spark, updates, "wh_missing", Seq("col_1")))
+    intercept[IllegalArgumentException](Warehouse.upsert(spark, updates, "wh_t6", Nil))
+    spark.sql("DROP TABLE wh_t6")
+  }
+
+  test("upsertDf is the pure form of the same semantics") {
+    val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val updates = Seq((2L, "B"), (3L, "c")).toDF("k", "v")
+    val got = Warehouse.upsertDf(target, updates, Seq("k")).as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("query runs SQL and applies renames (RedshiftClient.get_df analogue)") {
+    fixture.createOrReplaceTempView("wh_v1")
+    val got = Warehouse.query(spark,
+      "SELECT col_1, count(*) AS n FROM wh_v1 GROUP BY col_1",
+      renames = Map("n" -> "cnt"))
+    assert(got.columns.toSeq == Seq("col_1", "cnt"))
+    assert(got.count() == 4)
+  }
+
+  test("withStage creates a LIKE-shaped empty view minus date_insert and drops it") {
+    spark.sql("DROP TABLE IF EXISTS wh_t7")
+    Warehouse.upload(spark, fixture, "wh_t7",
+      dateInsert = Some(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+    val stageName = Warehouse.withStage(spark, "wh_t7") { stage =>
+      val v = spark.table(stage)
+      assert(v.columns.toSeq == Seq("col_1", "col_2")) // audit col dropped
+      assert(v.count() == 0)
+      stage
+    }
+    assert(!spark.catalog.tableExists(stageName))
+    spark.sql("DROP TABLE wh_t7")
+  }
+
+  test("applyLayout: DISTKEY partitions by column, SORTKEY sorts within partitions") {
+    val df = spark.range(1000).withColumn("k", col("id") % 10)
+    val laid = Warehouse.applyLayout(df, Layout(DistStyle.Key("k"), Seq("id")), parts = 4)
+    assert(laid.rdd.getNumPartitions == 4)
+    // each partition individually sorted by id
+    val ok = laid.select("id").rdd.mapPartitions { it =>
+      val ids = it.map(_.getLong(0)).toSeq
+      Iterator.single(ids == ids.sorted)
+    }.collect()
+    assert(ok.forall(identity))
+  }
+}
