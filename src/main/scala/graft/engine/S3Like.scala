@@ -64,6 +64,11 @@ object S3Like {
     require(formats.contains(format), s"format $format not in $formats")
     compression.foreach(c => require(c == "gzip" && format == "csv",
       "compression: only gzip, and only with csv (reference parity, pandas_aws/s3.py:147-149)"))
+    // renameParts only understands Spark's part-* directory layout; xlsx is a
+    // natural single file (written verbatim at uri below) and object carries a
+    // _schema.json sidecar that a rename pass would orphan.
+    require(!exactNaming || Set("csv", "parquet", "json", "xlsx").contains(format),
+      s"exactNaming is not supported for format=$format")
 
     val arranged =
       if (sortKeys.nonEmpty) {
@@ -72,7 +77,7 @@ object S3Like {
       } else if (parts != df.rdd.getNumPartitions) df.repartition(parts)
       else df
 
-    val outDir = if (exactNaming) uri + ".__tmp" else uri
+    val outDir = if (exactNaming && format != "xlsx") uri + ".__tmp" else uri
     format match {
       case "csv" =>
         val w = arranged.write.mode(SaveMode.Overwrite).options(options).option("header", "true")
@@ -82,7 +87,7 @@ object S3Like {
       case "xlsx"    => Xlsx.write(arranged, outDir)
       case "object"  => ObjectFormat.write(arranged, outDir)
     }
-    if (exactNaming) renameParts(df.sparkSession, outDir, uri, format, compression)
+    if (exactNaming && format != "xlsx") renameParts(df.sparkSession, outDir, uri, format, compression)
   }
 
   /** Reference multipart naming (pandas_aws/s3.py:188-195, verified by
@@ -161,9 +166,27 @@ object S3Like {
     val dfs = byFormat.toSeq.sortBy(_._1).map { case (f, ks) =>
       require(formats.contains(f), s"unresolvable format '$f' for keys ${ks.take(3)}")
       if (f == "xlsx" || f == "object") ks.map(getDf(spark, _, f, options)).reduce(_.unionByName(_, true))
-      else getDf(spark, ks.mkString(","), f, options) // one multi-path scan
+      else multiRead(spark, ks, f, options) // one multi-path scan
     }
     Some(dfs.reduce(_.unionByName(_, true)))
+  }
+
+  /** One FileScan over many keys — Spark parallelizes per-file tasks natively
+    * (vs. the reference's serial one-GET-per-key driver loop). */
+  private def multiRead(
+      spark: SparkSession, keys: Seq[String], format: String,
+      options: Map[String, String]): DataFrame = {
+    val r = format match {
+      case "csv" =>
+        spark.read.options(options)
+          .option("header", options.getOrElse("header", "true"))
+          .option("inferSchema", options.getOrElse("inferSchema", "true"))
+      case "parquet" => // ragged-schema keys union by name (schema merge)
+        spark.read.options(options)
+          .option("mergeSchema", options.getOrElse("mergeSchema", "true"))
+      case _ => spark.read.options(options)
+    }
+    r.format(format).load(keys: _*)
   }
 
   private def extensionFormat(name: String): String = {
@@ -188,7 +211,13 @@ object S3Like {
     if (s.startsWith("PAR1")) "parquet"
     else if (s.startsWith("PK")) "xlsx"
     else if (s.startsWith("{")) "json"
-    else if (head.take(2).sameElements(Array(0x1f.toByte, 0x8b.toByte))) "csv" // gzip csv
+    else if (head.take(2).sameElements(Array(0x1f.toByte, 0x8b.toByte))) {
+      // Spark's text readers gunzip by file extension only \u2014 a gzip object
+      // without .gz would be parsed as raw bytes and yield silent garbage.
+      require(uri.endsWith(".gz"),
+        s"gzip-compressed object without .gz extension cannot be read reliably: $uri")
+      "csv"
+    }
     else if (s.startsWith("\u00ac\u00ed")) "object" // java serialization magic 0xaced
     else "csv"
   }

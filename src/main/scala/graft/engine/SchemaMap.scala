@@ -83,6 +83,10 @@ object SchemaMap {
     val normed = df.columns.map(normalizeName)
     val bad = normed.filter(reserved.contains)
     require(bad.isEmpty, s"reserved word(s) used as column name: ${bad.mkString(", ")}")
+    val collisions = df.columns.zip(normed).groupBy(_._2).filter(_._2.length > 1)
+    require(collisions.isEmpty,
+      s"column names collide after normalization: " +
+        collisions.map { case (n, cs) => s"${cs.map(_._1).mkString("/")} -> $n" }.mkString(", "))
     df.toDF(normed.toIndexedSeq: _*)
   }
 

@@ -25,12 +25,13 @@ object Tables {
 
   /** `events.ts` is parquet TIMESTAMP(NANOS). Depending on reader config the
     * column may surface as LongType (nanos since epoch); normalize to
-    * TimestampType (micros) by integer division — same truncation DuckDB
-    * applies when narrowing ns → µs, so oracle comparisons stay exact.
+    * TimestampType (micros) by *integer* division (`div`) — `/` would promote
+    * to double, whose 2^53 exact range is exceeded by ns epochs (~1.7e18),
+    * drifting ±1 µs from the exact truncation DuckDB applies for ns → µs.
     */
-  private def normalizeEventTs(df: DataFrame): DataFrame =
+  private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(col("ts") / 1000 cast LongType))
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _        => df
     }
 }

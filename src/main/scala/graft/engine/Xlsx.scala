@@ -130,7 +130,7 @@ object Xlsx {
       Row.fromSeq(header.indices.map { c =>
         r.lift(c).flatten.map { case (v, t) =>
           inferred(c) match {
-            case LongType    => v.toDouble.toLong
+            case LongType    => v.toLong // direct parse — toDouble.toLong corrupts |v| >= 2^53
             case DoubleType  => v.toDouble
             case BooleanType => v == "1" || v.equalsIgnoreCase("true")
             case _           => v

@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import graft.engine.{S3Like, SchemaMap, Tables, Xlsx}
+
+/** Regression suite for the round-1 ADVICE findings. */
+class AdviceFixSpec extends SparkSpec {
+  import spark.implicits._
+
+  def tmp(): String = "file:" + Files.createTempDirectory("advicefix").toString
+
+  test("putDf exactNaming=true with format=object is rejected, not silently lossy") {
+    val df = Seq((1L, "a")).toDF("col_1", "col_2")
+    val e = intercept[IllegalArgumentException](
+      S3Like.putDf(df, tmp() + "/k.obj", format = "object", exactNaming = true))
+    assert(e.getMessage.contains("exactNaming"))
+  }
+
+  test("putDf exactNaming=true with format=xlsx lands a readable single file at the exact key") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("col_1", "col_2")
+    val uri = tmp() + "/k.xlsx"
+    S3Like.putDf(df, uri, format = "xlsx", exactNaming = true)
+    assert(new java.io.File(uri.stripPrefix("file:")).isFile)
+    val back = S3Like.getDf(spark, uri, "xlsx")
+    assert(back.as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("xlsx round-trips longs beyond 2^53 exactly") {
+    val big = (1L << 53) + 3 // would corrupt via a double round-trip
+    val df = Seq((big, "x"), (-big, "y")).toDF("col_1", "col_2")
+    val uri = tmp() + "/big.xlsx"
+    Xlsx.write(df, uri)
+    val back = Xlsx.read(spark, uri)
+    assert(back.schema("col_1").dataType == LongType)
+    assert(back.select("col_1").as[Long].collect().toSet == Set(big, -big))
+  }
+
+  test("normalizeColumns fails fast on post-normalization collisions") {
+    val df = Seq((1L, "x")).toDF("A B", "a_b")
+    val e = intercept[IllegalArgumentException](SchemaMap.normalizeColumns(df))
+    assert(e.getMessage.contains("collide"))
+  }
+
+  test("normalizeEventTs truncates ns → µs by integer division (no double drift)") {
+    // 9000000000000000999 ns: exact µs = 9000000000000000, but double
+    // division rounds to ...001 (ULP at this magnitude is > 1 µs).
+    val ns = 9000000000000000999L
+    val schema = StructType(Seq(StructField("ts", LongType)))
+    val df = spark.createDataFrame(java.util.List.of(Row(ns)), schema)
+    val micros = Tables.normalizeEventTs(df)
+      .select(unix_micros_col).as[Long].head()
+    assert(micros == ns / 1000)
+  }
+  private def unix_micros_col = org.apache.spark.sql.functions.unix_micros(
+    org.apache.spark.sql.functions.col("ts"))
+
+  test("mixed-mode sniff rejects gzip objects without a .gz extension") {
+    val dir = Files.createTempDirectory("sniffgz")
+    val f = dir.resolve("nogz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(f))
+    out.write("col_1,col_2\n1,a\n".getBytes("UTF-8")); out.close()
+    val e = intercept[IllegalArgumentException](
+      S3Like.getDfFromKeys(spark, "file:" + dir, format = "mixed"))
+    assert(e.getMessage.contains(".gz"))
+  }
+}
