@@ -19,19 +19,28 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(path(dir, name))
-    if (name == "events") normalizeEventTs(df) else df
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects outright
+      // (PARQUET_TYPE_ILLEGAL) unless surfaced as a raw long to narrow below.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      normalizeEventTs(spark.read.parquet(path(dir, name)))
+    } else spark.read.parquet(path(dir, name))
   }
 
   /** `events.ts` is parquet TIMESTAMP(NANOS). Depending on reader config the
     * column may surface as LongType (nanos since epoch); normalize to
-    * TimestampType (micros) by *integer* division (`div`) — `/` would promote
-    * to double, whose 2^53 exact range is exceeded by ns epochs (~1.7e18),
-    * drifting ±1 µs from the exact truncation DuckDB applies for ns → µs.
+    * TimestampNTZType (micros) by *integer* division (`div`) — `/` would
+    * promote to double, whose 2^53 exact range is exceeded by ns epochs
+    * (~1.7e18), drifting ±1 µs from the exact truncation DuckDB applies for
+    * ns → µs. NTZ (not LTZ) so parquet round-trips as INT64 micros — Spark
+    * writes LTZ timestamps as legacy INT96, which downstream readers widen
+    * to ns and the oracle compare then sees a different type. Requires a UTC
+    * session (all entry points set one) for the LTZ→NTZ cast to be identity.
     */
   private[graft] def normalizeEventTs(df: DataFrame): DataFrame =
     df.schema("ts").dataType match {
-      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case _        => df
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+      case _ => df
     }
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join — for each left row, attach the payload of the latest
+  * right row with `rightTs <= leftTs` in the same key group (the temporal
+  * join the reference's Redshift SQL could express but never packaged;
+  * a first-class operator here per the build mandate).
+  *
+  * Implementation is the union-of-timelines pattern, not a join: tag both
+  * sides, range-order each key's merged timeline, and carry the last-seen
+  * right payload forward with `last(_, ignoreNulls = true)`. Cost at scale is
+  * ONE hash exchange on the keys plus a per-key sort — no join explosion, no
+  * per-row probe; at 100 TB this behaves like a single window aggregation.
+  * Skewed keys concentrate a full timeline per partition; the payload state
+  * carried per row is O(#payload columns), so memory stays flat.
+  */
+object AsOf {
+
+  /** @param left     rows to enrich
+    * @param right    timeline providing payload columns
+    * @param keys     equi-join keys present in both frames
+    * @param leftTs   event-time column of `left`
+    * @param rightTs  event-time column of `right`; right payload columns
+    *                 (everything except keys + rightTs) must not collide with
+    *                 left column names — rename before calling
+    * @return left rows + payload of the latest right row at or before leftTs
+    *         (nulls when no such row — left-outer as-of semantics)
+    */
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String): DataFrame = {
+    val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    val collide = payload.toSet.intersect(left.columns.toSet)
+    require(collide.isEmpty, s"right payload columns collide with left: $collide — rename first")
+
+    val ts = "__asof_ts"
+    val side = "__asof_side" // 1 = right; sorts before left (0) at equal ts → inclusive <=
+    val l = left.withColumn(ts, col(leftTs)).withColumn(side, lit(0))
+    val r = right.withColumn(ts, col(rightTs)).withColumn(side, lit(1))
+      .withColumnRenamed(rightTs, s"__matched_$rightTs")
+    val merged = l.unionByName(r, allowMissingColumns = true)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col(side).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = (payload :+ s"__matched_$rightTs").foldLeft(merged) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col(side) === 0)
+      .drop(ts, side)
+      .withColumnRenamed(s"__matched_$rightTs", matchedTsName(rightTs))
+  }
+
+  /** Name under which the matched right timestamp surfaces in the output. */
+  def matchedTsName(rightTs: String): String = s"matched_$rightTs"
+}

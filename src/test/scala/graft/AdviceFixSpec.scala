@@ -55,7 +55,7 @@ class AdviceFixSpec extends SparkSpec {
     assert(micros == ns / 1000)
   }
   private def unix_micros_col = org.apache.spark.sql.functions.unix_micros(
-    org.apache.spark.sql.functions.col("ts"))
+    org.apache.spark.sql.functions.col("ts").cast(TimestampType)) // NTZ→LTZ is identity in the UTC test session
 
   test("mixed-mode sniff rejects gzip objects without a .gz extension") {
     val dir = Files.createTempDirectory("sniffgz")
