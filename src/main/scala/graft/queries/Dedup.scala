@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+import graft.functions.TextOps
+
+/** Deduplication operators over `documents` (LLM-pipeline extensions):
+  * exact (canonical-fingerprint) dedup, exact n-gram Jaccard via an inverted
+  * shingle index, MinHash+LSH near-dup with candidate verification, and
+  * SimHash signatures.
+  *
+  * Scale design: none of these ever compares all document pairs. Jaccard
+  * pairs come from a postings self-join keyed on shingle (cost ∝ Σ df²
+  * per shingle, bounded by shingle frequency, not corpus²); LSH pairs come
+  * from band-key buckets (cost ∝ bucket sizes). Both are groupBy/join plans
+  * Catalyst shuffles on content keys — embarrassingly parallel at 100 TB.
+  * MinHash/SimHash use md5 of explicit strings so the DuckDB oracle (and any
+  * other engine) reproduces signatures bit-for-bit — LSH is probabilistic in
+  * recall but fully deterministic given the hash family, so even its misses
+  * are identical across engines and the whole pipeline stays oracle-checked.
+  */
+object Dedup {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Shared oracle prelude: tokens and distinct 3-gram shingles. */
+  private val shinglesSql =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+      |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)""".stripMargin
+
+  /** Distinct 3-gram shingle postings (doc_id, s) — codegen'd posexplode +
+    * lead pipeline (TextOps.shinglePostings), persisted because every dedup
+    * query feeds it to 2–4 downstream subplans. The local corpus is one
+    * parquet file → one input split, so spread rows across the session's
+    * shuffle parallelism first (on a real cluster the scan already has that
+    * many splits and this exchange is ~free vs. the expression work). */
+  private def postings(spark: SparkSession, dir: String): DataFrame =
+    TextOps.shinglePostings(
+      docs(spark, dir).repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt),
+      "doc_id", "text", 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  val queries: Seq[OracleQuery] = Seq(
+    // ---- q26: exact dedup on the canonical content fingerprint,
+    //           deterministic keep-first-by-id ----
+    OracleQuery(
+      "q26_exact_dedup",
+      """WITH f AS (
+        |  SELECT doc_id, lang, source,
+        |    md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS content_fp
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, source, content_fp,
+        |    CAST(row_number() OVER (PARTITION BY content_fp ORDER BY doc_id) AS INTEGER) AS rn,
+        |    count(*) OVER (PARTITION BY content_fp) AS group_size
+        |  FROM f)
+        |SELECT doc_id, lang, source, content_fp, group_size
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val byFp = Window.partitionBy("content_fp")
+      docs(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextOps.contentFingerprint(TextOps.tokens(col("text"))).as("content_fp"))
+        .withColumn("rn", row_number().over(byFp.orderBy("doc_id")))
+        .withColumn("group_size", count(lit(1)).over(byFp))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source", "content_fp", "group_size")
+        .orderBy("doc_id")
+    },
+
+    // ---- q27: exact n-gram Jaccard near-dup pairs via inverted index ----
+    OracleQuery(
+      "q27_jaccard_pairs",
+      s"""$shinglesSql,
+         |pairs AS (
+         |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM pairs JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+         |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
+      val sh = postings(spark, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+      jaccardSelect(pairs, sizes)
+    },
+
+    // ---- q28: MinHash (12 hashes) + LSH (4 bands × 3 rows) near-dup:
+    //           band-bucket candidates, then exact-Jaccard verification of
+    //           candidates only — the 100 TB path ----
+    OracleQuery(
+      "q28_minhash_lsh",
+      s"""$shinglesSql,
+         |mh AS (
+         |  SELECT doc_id, g.i AS i, min(md5(CAST(g.i AS VARCHAR) || ':' || s)) AS h
+         |  FROM sh, unnest(generate_series(0, 11)) AS g(i)
+         |  GROUP BY doc_id, g.i),
+         |bands AS (
+         |  SELECT doc_id,
+         |    md5(CAST(i // 3 AS VARCHAR) || '|' || string_agg(h, ',' ORDER BY i)) AS bkey
+         |  FROM mh GROUP BY doc_id, i // 3),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |pairs AS (
+         |  SELECT c.d1, c.d2, count(*) AS inter
+         |  FROM cand c
+         |  JOIN sh a ON a.doc_id = c.d1
+         |  JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+         |  GROUP BY c.d1, c.d2)
+         |SELECT d1, d2, CAST(inter AS BIGINT) AS inter,
+         |  CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) AS jaccard
+         |FROM pairs JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+         |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
+      val sh = postings(spark, dir)
+      // MinHash via explode + min-aggregate: every md5 runs inside
+      // whole-stage codegen (the array-transform form of the same signature
+      // is interpreted per element and ~10× slower). 12 hash families ×
+      // postings rows, reduced map-side to one min per (doc, family).
+      val mh = sh
+        .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(11))).as("i"))
+        .select(col("doc_id"), col("i"),
+          md5(concat(col("i").cast(StringType), lit(":"), col("s"))).as("h0"))
+        .groupBy("doc_id", "i").agg(min("h0").as("h"))
+      // band key = md5("band|h3b,h3b+1,h3b+2") with hashes in family order
+      val bands = mh
+        .withColumn("band", expr("i div 3"))
+        .groupBy("doc_id", "band")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("i"), col("h")))), x => x.getField("h")),
+          ",").as("hs"))
+        .select(col("doc_id"),
+          md5(concat(col("band").cast(StringType), lit("|"), col("hs"))).as("bkey"))
+      val cand = bands.as("a")
+        .join(bands.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = cand
+        .join(sh.as("a"), col("a.doc_id") === col("d1"))
+        .join(sh.as("b"), col("b.doc_id") === col("d2") && col("b.s") === col("a.s"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      jaccardSelect(pairs, sizes)
+    },
+
+    // ---- q29: SimHash-32 signatures (bit-vote over distinct tokens) ----
+    OracleQuery(
+      "q29_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |tok AS (SELECT DISTINCT doc_id, w FROM (SELECT doc_id, unnest(t) AS w FROM toks) q),
+        |votes AS (
+        |  SELECT doc_id, g.j AS j,
+        |    CASE WHEN SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), 1 + g.j // 4, 1)) - 1)
+        |                             >> (3 - g.j % 4)) & 1 = 1 THEN 1 ELSE -1 END) >= 0
+        |         THEN 1 ELSE 0 END AS bit
+        |  FROM tok, unnest(generate_series(0, 31)) AS g(j)
+        |  GROUP BY doc_id, g.j)
+        |SELECT doc_id, CAST(SUM(bit * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
+        |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val tok = docs(spark, dir)
+        .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
+      val vote = expr(
+        "CASE WHEN (shiftright(instr('0123456789abcdef', substr(md5(w), 1 + (j div 4), 1)) - 1, " +
+          "3 - (j % 4)) & 1) = 1 THEN 1 ELSE -1 END")
+      tok
+        .select(col("doc_id"), col("w"), explode(sequence(lit(0), lit(31))).as("j"))
+        .groupBy("doc_id", "j")
+        .agg(when(sum(vote) >= 0, 1).otherwise(0).as("bit"))
+        .groupBy("doc_id")
+        .agg(sum((col("bit") * pow(lit(2.0), col("j"))).cast(LongType)).as("simhash"))
+        .orderBy("doc_id")
+    },
+  )
+
+  /** Shared tail: attach set sizes, compute Jaccard, filter ≥ 0.5. */
+  private def jaccardSelect(pairs: DataFrame, sizes: DataFrame): DataFrame = {
+    val jac = col("inter").cast(DoubleType) /
+      (col("sa.n") + col("sb.n") - col("inter"))
+    pairs
+      .join(sizes.as("sa"), col("sa.doc_id") === col("d1"))
+      .join(sizes.as("sb"), col("sb.doc_id") === col("d2"))
+      .filter(jac >= 0.5)
+      .select(col("d1"), col("d2"), col("inter"), jac.as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+import graft.functions.TextOps
+
+/** Text-analysis operators over `documents` (LLM-pipeline extensions:
+  * token counting, quality scoring, language-ID heuristic, fingerprinting).
+  *
+  * All metrics are integers or a SINGLE IEEE division of two exactly-equal
+  * integers — bit-identical across engines with no decimal scaffolding.
+  * Every operator is a per-row expression tree (codegen'd, no shuffle except
+  * the final small aggregation), so cost is one streaming pass over the
+  * corpus regardless of scale.
+  */
+object TextAnalysis {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  private val stopEn = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopEs = Seq("el", "la", "de", "que", "y", "en", "un")
+  private val stopFr = Seq("le", "les", "des", "et", "une", "est")
+
+  val queries: Seq[OracleQuery] = Seq(
+    // ---- q22: token counting rolled up per language ----
+    OracleQuery(
+      "q22_token_stats",
+      """WITH d AS (
+        |  SELECT lang, n_chars,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS INTEGER) AS n_alnum
+        |  FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(SUM(n_tokens) AS DOUBLE) / COUNT(*) AS avg_tokens,
+        |  CAST(SUM(n_alnum) AS DOUBLE) / CAST(SUM(n_tokens) AS DOUBLE) AS avg_token_len
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+      docs(spark, dir)
+        .select(col("lang"), col("n_chars"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.alnumChars(col("text")).as("n_alnum"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum("n_chars").as("total_chars"),
+          (sum("n_tokens").cast(DoubleType) / count(lit(1))).as("avg_tokens"),
+          (sum("n_alnum").cast(DoubleType) / sum("n_tokens").cast(DoubleType)).as("avg_token_len"))
+        .orderBy("lang")
+    },
+
+    // ---- q23: per-document quality scoring ----
+    OracleQuery(
+      "q23_doc_quality",
+      s"""WITH d AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,
+         |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS INTEGER) AS n_alnum,
+         |    CAST(len(regexp_extract_all(lower(text), '${sqlStopRe(stopEn)}')) AS INTEGER) AS stop_hits,
+         |    CAST(length(text) AS INTEGER) AS text_len
+         |  FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  CAST(n_alnum AS DOUBLE) / n_tokens AS avg_token_len,
+         |  CAST(stop_hits AS DOUBLE) / n_tokens AS stopword_ratio,
+         |  CAST(n_alnum AS DOUBLE) / text_len AS alnum_ratio
+         |FROM d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      docs(spark, dir)
+        .select(col("doc_id"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.alnumChars(col("text")).as("n_alnum"),
+          TextOps.stopwordHits(col("text"), stopEn).as("stop_hits"),
+          length(col("text")).as("text_len"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("n_alnum").cast(DoubleType) / col("n_tokens")).as("avg_token_len"),
+          (col("stop_hits").cast(DoubleType) / col("n_tokens")).as("stopword_ratio"),
+          (col("n_alnum").cast(DoubleType) / col("text_len")).as("alnum_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q24: n-gram/stopword language-ID heuristic ----
+    OracleQuery(
+      "q24_lang_id",
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(regexp_extract_all(lower(text), '${sqlStopRe(stopEn)}')) AS INTEGER) AS en_hits,
+         |    CAST(len(regexp_extract_all(lower(text), '${sqlStopRe(stopEs)}')) AS INTEGER) AS es_hits,
+         |    CAST(len(regexp_extract_all(lower(text), '${sqlStopRe(stopFr)}')) AS INTEGER) AS fr_hits
+         |  FROM documents)
+         |SELECT doc_id, lang, en_hits, es_hits, fr_hits,
+         |  CASE WHEN en_hits >= es_hits AND en_hits >= fr_hits AND en_hits > 0 THEN 'en'
+         |       WHEN es_hits >= fr_hits AND es_hits > 0 THEN 'es'
+         |       WHEN fr_hits > 0 THEN 'fr'
+         |       ELSE 'und' END AS pred_lang
+         |FROM d ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      docs(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          TextOps.stopwordHits(col("text"), stopEn).as("en_hits"),
+          TextOps.stopwordHits(col("text"), stopEs).as("es_hits"),
+          TextOps.stopwordHits(col("text"), stopFr).as("fr_hits"))
+        .withColumn("pred_lang",
+          when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("fr_hits") && col("en_hits") > 0, "en")
+            .when(col("es_hits") >= col("fr_hits") && col("es_hits") > 0, "es")
+            .when(col("fr_hits") > 0, "fr")
+            .otherwise("und"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q25: document fingerprinting (content hash + min-shingle hash) ----
+    OracleQuery(
+      "q25_fingerprint",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+        |shf AS (SELECT doc_id, min(md5(s)) AS min_shingle_fp FROM sh GROUP BY doc_id)
+        |SELECT toks.doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(t)), ' ')) AS content_fp,
+        |  shf.min_shingle_fp
+        |FROM toks LEFT JOIN shf ON toks.doc_id = shf.doc_id
+        |ORDER BY toks.doc_id""".stripMargin) { (spark, dir) =>
+      val t = TextOps.tokens(col("text"))
+      docs(spark, dir)
+        .select(col("doc_id"),
+          TextOps.contentFingerprint(t).as("content_fp"),
+          TextOps.minShingleFingerprint(TextOps.shingles(t, 3)).as("min_shingle_fp"))
+        .orderBy("doc_id")
+    },
+  )
+
+  /** \b-anchored alternation usable by both Java regex and RE2. */
+  private def sqlStopRe(words: Seq[String]): String =
+    words.mkString("\\b(", "|", ")\\b")
+}
