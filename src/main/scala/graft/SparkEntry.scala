@@ -33,7 +33,8 @@ object SparkEntry {
   /** All operator-coverage queries (SURVEY.md §2 inventory + extensions). */
   def registry: Seq[OracleQuery] =
     graft.queries.Relational.queries ++ graft.queries.Events.queries ++
-      graft.queries.TextAnalysis.queries ++ graft.queries.Dedup.queries
+      graft.queries.TextAnalysis.queries ++ graft.queries.Dedup.queries ++
+      graft.queries.Similarity.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+import graft.functions.VecOps
+
+/** Similarity search over `embeddings` (LLM-pipeline extension):
+  * brute-force cosine top-k as the correctness baseline, and a
+  * random-hyperplane LSH-bucketed ANN as the scale path.
+  *
+  * Both are bit-exact oracle-checked (see VecOps for the decimal dot-product
+  * contract). The LSH variant derives hyperplane signs from md5, so bucket
+  * assignment — and therefore even its recall misses — is identical in any
+  * engine: the probabilistic index is still a deterministic function of the
+  * data.
+  *
+  * Scale shape: queries are a small broadcast relation probed against the
+  * corpus postings (no corpus shuffle for brute-force); LSH verification
+  * joins touch candidate pairs only, cost ∝ Σ bucket². At 100 TB the
+  * bucket key (or IVF centroid id) becomes the partition key and each
+  * executor ranks its buckets locally.
+  */
+object Similarity {
+
+  private val K = 5
+
+  /** Shared oracle prelude: decimal postings + norms + query subset. */
+  private val edSql =
+    """WITH ed AS (
+      |  SELECT vec_id, i, CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) AS xd
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |               unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings) u),
+      |norms AS (SELECT vec_id, sqrt(CAST(SUM(xd*xd) AS DOUBLE)) AS nrm
+      |          FROM ed GROUP BY vec_id)""".stripMargin
+
+  // Output rounds cosine to 9 digits: the exact-decimal dot is cast to
+  // double once per engine, and DuckDB's decimal→double goes through two
+  // roundings (int128→double, then ·10^-scale) vs. the JVM's one — a 1-ulp
+  // wobble that 9-digit rounding absorbs. Ranking uses the full value
+  // (1 ulp cannot reorder distinct candidates).
+  private val rankTailSql =
+    """SELECT query_id, cand_id, CAST(rn AS INTEGER) AS rank,
+      |  round(cosine, 9) AS cosine
+      |FROM (SELECT query_id, cand_id, cosine,
+      |        row_number() OVER (PARTITION BY query_id
+      |                           ORDER BY cosine DESC, cand_id) AS rn
+      |      FROM cos) r
+      |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private def ed(spark: SparkSession, dir: String): DataFrame =
+    VecOps.explodeVec(
+      Tables(spark, dir, "embeddings")
+        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt),
+      "vec_id", "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** cosine = dot / (|a| |b|) and top-K ranking — shared tail. */
+  private def rankTail(dots: DataFrame, nrm: DataFrame): DataFrame = {
+    val cos = dots
+      .join(nrm.as("nq"), col("nq.vec_id") === col("query_id"))
+      .join(nrm.as("nc"), col("nc.vec_id") === col("cand_id"))
+      .select(col("query_id"), col("cand_id"),
+        (col("dot") / (col("nq.nrm") * col("nc.nrm"))).as("cosine"))
+    val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
+    cos.withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= K)
+      .select(col("query_id"), col("cand_id"), col("rank"),
+        round(col("cosine"), 9).as("cosine"))
+      .orderBy("query_id", "rank")
+  }
+
+  val queries: Seq[OracleQuery] = Seq(
+    // ---- q30: brute-force cosine top-5 for sampled query vectors ----
+    OracleQuery(
+      "q30_cosine_topk",
+      s"""$edSql,
+         |q AS (SELECT * FROM ed WHERE vec_id % 100 = 0),
+         |dots AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+         |    CAST(SUM(q.xd * c.xd) AS DOUBLE) AS dot
+         |  FROM q JOIN ed c ON c.i = q.i AND c.vec_id <> q.vec_id
+         |  GROUP BY 1, 2),
+         |cos AS (
+         |  SELECT query_id, cand_id, dot / (nq.nrm * nc.nrm) AS cosine
+         |  FROM dots JOIN norms nq ON nq.vec_id = query_id
+         |            JOIN norms nc ON nc.vec_id = cand_id)
+         |$rankTailSql""".stripMargin) { (spark, dir) =>
+      val e = ed(spark, dir)
+      val nrm = VecOps.norms(e, "vec_id")
+      val q = e.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id").as("query_id"), col("i").as("qi"), col("xd").as("qd"))
+      // queries are small — broadcast them so the corpus never shuffles
+      val dots = e
+        .join(broadcast(q), col("i") === col("qi") && col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+        .agg(sum(col("qd") * col("xd")).cast(DoubleType).as("dot"))
+      rankTail(dots, nrm)
+    },
+
+    // ---- q31: ANN via random-hyperplane LSH (8 md5-derived planes →
+    //           256 buckets), candidate-only verification ----
+    OracleQuery(
+      "q31_ann_lsh",
+      s"""$edSql,
+         |planes AS (
+         |  SELECT p, i,
+         |    CASE WHEN strpos('0123456789abcdef',
+         |           substr(md5(CAST(p AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 1)) - 1 >= 8
+         |         THEN 1 ELSE -1 END AS sgn
+         |  FROM unnest(generate_series(0, 7)) AS gp(p),
+         |       unnest(generate_series(1, 64)) AS gi(i)),
+         |bits AS (
+         |  SELECT ed.vec_id, planes.p,
+         |    CASE WHEN SUM(planes.sgn * ed.xd) >= 0 THEN '1' ELSE '0' END AS b
+         |  FROM ed JOIN planes ON planes.i = ed.i
+         |  GROUP BY ed.vec_id, planes.p),
+         |buckets AS (
+         |  SELECT vec_id, string_agg(b, '' ORDER BY p) AS bucket
+         |  FROM bits GROUP BY vec_id),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+         |  FROM buckets q JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 100 = 0),
+         |dots AS (
+         |  SELECT cand.query_id, cand.cand_id,
+         |    CAST(SUM(a.xd * b.xd) AS DOUBLE) AS dot
+         |  FROM cand
+         |  JOIN ed a ON a.vec_id = cand.query_id
+         |  JOIN ed b ON b.vec_id = cand.cand_id AND b.i = a.i
+         |  GROUP BY 1, 2),
+         |cos AS (
+         |  SELECT query_id, cand_id, dot / (nq.nrm * nc.nrm) AS cosine
+         |  FROM dots JOIN norms nq ON nq.vec_id = query_id
+         |            JOIN norms nc ON nc.vec_id = cand_id)
+         |$rankTailSql""".stripMargin) { (spark, dir) =>
+      val e = ed(spark, dir)
+      val nrm = VecOps.norms(e, "vec_id")
+      // 8 hyperplanes × 64 dims of md5-derived ±1 signs (tiny, broadcast)
+      val planes = spark.range(0, 8).select(col("id").cast(IntegerType).as("p"))
+        .crossJoin(spark.range(1, 65).select(col("id").cast(IntegerType).as("i")))
+        .select(col("p"), col("i"),
+          when(expr("instr('0123456789abcdef', substr(md5(concat(cast(p as string), ',', cast(i as string))), 1, 1)) - 1 >= 8"), 1)
+            .otherwise(-1).as("sgn"))
+      val bits = e.join(broadcast(planes), planes("i") === e("i"))
+        .groupBy(col("vec_id"), col("p"))
+        .agg(when(sum(col("sgn") * col("xd")) >= 0, "1").otherwise("0").as("b"))
+      val buckets = bits.groupBy("vec_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("b")))), x => x.getField("b")),
+          "").as("bucket"))
+      val cand = buckets.as("q").filter(col("q.vec_id") % 100 === 0)
+        .join(buckets.as("c"), col("c.bucket") === col("q.bucket") && col("c.vec_id") =!= col("q.vec_id"))
+        .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"))
+      val dots = VecOps.pairDots(cand, e, "query_id", "cand_id")
+      rankTail(dots, nrm)
+    },
+  )
+}
