@@ -34,7 +34,7 @@ object SparkEntry {
   def registry: Seq[OracleQuery] =
     graft.queries.Relational.queries ++ graft.queries.Events.queries ++
       graft.queries.TextAnalysis.queries ++ graft.queries.Dedup.queries ++
-      graft.queries.Similarity.queries
+      graft.queries.Similarity.queries ++ graft.queries.MultimodalQ.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.{Det, Tables}
+
+/** Structured Streaming surface over the events stream (SURVEY.md §2.9 —
+  * ABSENT in the reference, driver-mandated extension).
+  *
+  * Each transform below is expressed so the SAME code plans as an
+  * incremental streaming query (readStream + watermark + state store) or as
+  * a batch query (read) — Catalyst picks the execution mode from the source.
+  * The batch plans are what the oracle checks (q17/q18 are the batch
+  * equivalents); StreamingSpec checks stream-vs-batch agreement on the same
+  * files, which is exactly the replay/backfill property a production
+  * pipeline needs.
+  *
+  * Scale notes: all stateful operators key state by (window, type) or
+  * (user, session) — state size ∝ active keys within the watermark horizon,
+  * not stream length. The watermark bounds late data at 1 hour so state
+  * eviction is continuous.
+  */
+object EventStream {
+
+  /** Streaming read of an events parquet directory. Schema comes from a
+    * batch footer read (streaming sources need it declared), with the same
+    * ns→µs NTZ normalization Tables applies. */
+  def read(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(Tables.path(dir, "events")).schema
+    // the file source needs a directory: stream the sf dir, filtered to the
+    // events object(s) (a real deployment points at a growing events/ prefix)
+    Tables.normalizeEventTs(
+      spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(dir))
+  }
+
+  /** Event-time watermarks require TIMESTAMP (LTZ); the engine carries
+    * events as NTZ micros. Identity under the UTC session every entry point
+    * pins. */
+  private def withEventTime(events: DataFrame): DataFrame =
+    events.withColumn("ts", col("ts").cast(TimestampType))
+
+  /** Tumbling 1-hour windowed counts/sums per event type, 1-hour watermark.
+    * Batch equivalent of q17_hourly_activity (window start == date_trunc). */
+  def hourlyActivity(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** 30-minute-gap sessionization via the built-in session_window — the
+    * streaming-native form of q18's lag/running-sum assignment; in batch
+    * mode both produce identical (user, start, end, n, sum) sessions. */
+  def sessions(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"), Det.dsum(col("value")).as("sum_value"),
+        min(col("ts")).as("session_start"), max(col("ts")).as("session_end"))
+      .select("user_id", "session_start", "session_end", "n_events", "sum_value")
+
+  /** Exactly-once event dedup by id within the watermark horizon — the
+    * streaming analogue of exact dedup (late duplicates beyond the horizon
+    * age out of state). */
+  def dedupe(events: DataFrame): DataFrame =
+    withEventTime(events).withWatermark("ts", "1 hour").dropDuplicates("event_id")
+}
