@@ -27,11 +27,16 @@ object VecOps {
   /** Exact-decimal element view of a vector column. */
   val DecScale: DecimalType = DecimalType(18, 9)
 
-  /** (idCol, "i", "xd") posting rows; i is 1-based to match SQL subscripts. */
+  /** (idCol, "i", "xd", "xl") posting rows; i is 1-based to match SQL
+    * subscripts. `xl` is the same exact value as a 1e9-scaled long —
+    * additive arithmetic (LSH sign votes) runs on it in codegen-fast
+    * integer math instead of BigDecimal (sums of ±xl over a vector stay
+    * ≤ ~1e11, far from overflow; products must use `xd`). */
   def explodeVec(df: DataFrame, idCol: String, vecCol: String): DataFrame =
     df.select(col(idCol), posexplode(col(vecCol)).as(Seq("i0", "x")))
       .select(col(idCol), (col("i0") + 1).as("i"),
         col("x").cast(DoubleType).cast(DecScale).as("xd"))
+      .withColumn("xl", (col("xd") * lit(1000000000L)).cast(LongType))
 
   /** L2 norms: (idCol, "nrm" double) — exact decimal sum, then one sqrt. */
   def norms(ed: DataFrame, idCol: String): DataFrame =

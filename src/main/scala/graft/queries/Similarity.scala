@@ -30,10 +30,11 @@ object Similarity {
   /** Shared oracle prelude: decimal postings + norms + query subset. */
   private val edSql =
     """WITH ed AS (
-      |  SELECT vec_id, i, CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) AS xd
-      |  FROM (SELECT vec_id, unnest(embedding) AS x,
-      |               unnest(generate_series(1, len(embedding))) AS i
-      |        FROM embeddings) u),
+      |  SELECT vec_id, i, xd, CAST(xd * 1000000000 AS BIGINT) AS xl
+      |  FROM (SELECT vec_id, i, CAST(CAST(x AS DOUBLE) AS DECIMAL(18,9)) AS xd
+      |        FROM (SELECT vec_id, unnest(embedding) AS x,
+      |                     unnest(generate_series(1, len(embedding))) AS i
+      |              FROM embeddings) w) u),
       |norms AS (SELECT vec_id, sqrt(CAST(SUM(xd*xd) AS DOUBLE)) AS nrm
       |          FROM ed GROUP BY vec_id)""".stripMargin
 
@@ -115,7 +116,7 @@ object Similarity {
          |       unnest(generate_series(1, 64)) AS gi(i)),
          |bits AS (
          |  SELECT ed.vec_id, planes.p,
-         |    CASE WHEN SUM(planes.sgn * ed.xd) >= 0 THEN '1' ELSE '0' END AS b
+         |    CASE WHEN SUM(planes.sgn * ed.xl) >= 0 THEN '1' ELSE '0' END AS b
          |  FROM ed JOIN planes ON planes.i = ed.i
          |  GROUP BY ed.vec_id, planes.p),
          |buckets AS (
@@ -145,13 +146,17 @@ object Similarity {
         .select(col("p"), col("i"),
           when(expr("instr('0123456789abcdef', substr(md5(concat(cast(p as string), ',', cast(i as string))), 1, 1)) - 1 >= 8"), 1)
             .otherwise(-1).as("sgn"))
+      // sign votes on the exact scaled-long view (xl) — integer codegen math
       val bits = e.join(broadcast(planes), planes("i") === e("i"))
         .groupBy(col("vec_id"), col("p"))
-        .agg(when(sum(col("sgn") * col("xd")) >= 0, "1").otherwise("0").as("b"))
+        .agg(when(sum(col("sgn") * col("xl")) >= 0, "1").otherwise("0").as("b"))
+      // referenced by both sides of the candidate self-join (the query side
+      // carries an extra filter, so exchange reuse can't kick in) — persist
       val buckets = bits.groupBy("vec_id")
         .agg(array_join(
           transform(array_sort(collect_list(struct(col("p"), col("b")))), x => x.getField("b")),
           "").as("bucket"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = buckets.as("q").filter(col("q.vec_id") % 100 === 0)
         .join(buckets.as("c"), col("c.bucket") === col("q.bucket") && col("c.vec_id") =!= col("q.vec_id"))
         .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"))
