@@ -35,7 +35,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.Relational2.queries ++
       graft.queries.Events.queries ++
       graft.queries.TextAnalysis.queries ++ graft.queries.Dedup.queries ++
-      graft.queries.Similarity.queries ++ graft.queries.MultimodalQ.queries
+      graft.queries.Similarity.queries ++ graft.queries.MultimodalQ.queries ++
+      graft.queries.Pipeline.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,92 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+import graft.functions.TextOps
+
+/** Capstone: the composed training-data-prep pipeline — quality gate →
+  * exact dedup → near-dup removal → embedding join → corpus stats — as ONE
+  * oracle-checked query. This is the shape a 100 TB pre-training data job
+  * actually runs; every stage is one of the already-verified operators, and
+  * because each stage is deterministic the entire composition hash-matches
+  * DuckDB end to end.
+  *
+  * Scale shape: narrow filters → fingerprint window (exchange on fp) →
+  * inverted-index near-dup (exchange on shingle) → anti join on doc id →
+  * equi join to embeddings → tiny aggregate. No stage is all-pairs, none
+  * materializes on the driver.
+  */
+object Pipeline {
+
+  val queries: Seq[OracleQuery] = Seq(
+    OracleQuery(
+      "q39_training_pipeline",
+      """WITH base AS (
+        |  SELECT doc_id, lang, text, n_chars,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,
+        |    md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+        |  FROM documents),
+        |quality AS (SELECT * FROM base WHERE n_tokens >= 30),
+        |kept1 AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |    FROM quality) q WHERE rn = 1),
+        |toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM kept1),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |neardup AS (
+        |  SELECT DISTINCT b.doc_id AS dup_id
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  JOIN sizes sa ON sa.doc_id = a.doc_id
+        |  JOIN sizes sb ON sb.doc_id = b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
+        |  HAVING CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) >= 0.5),
+        |kept2 AS (
+        |  SELECT k.* FROM kept1 k
+        |  WHERE NOT EXISTS (SELECT 1 FROM neardup d WHERE d.dup_id = k.doc_id)),
+        |joined AS (
+        |  SELECT k.doc_id, k.lang, k.n_tokens, k.n_chars, e.label
+        |  FROM kept2 k JOIN embeddings e ON e.vec_id = k.doc_id)
+        |SELECT lang, label, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM joined GROUP BY lang, label
+        |ORDER BY lang, label""".stripMargin) { (spark, dir) =>
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val toks = TextOps.tokens(col("text"))
+      val base = Tables(spark, dir, "documents").repartition(parts)
+        .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.contentFingerprint(toks).as("fp"))
+      val quality = base.filter(col("n_tokens") >= 30)
+      val kept1 = quality
+        .withColumn("rn", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
+        .filter(col("rn") === 1).drop("rn")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sh = TextOps.shinglePostings(kept1.select("doc_id", "text"), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val dupIds = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.as("sa"), col("sa.doc_id") === col("d1"))
+        .join(sizes.as("sb"), col("sb.doc_id") === col("d2"))
+        .filter(col("inter").cast(DoubleType) / (col("sa.n") + col("sb.n") - col("inter")) >= 0.5)
+        .select(col("d2").as("dup_id")).distinct()
+      val kept2 = kept1.join(dupIds, col("dup_id") === col("doc_id"), "left_anti")
+      val joined = kept2.join(Tables(spark, dir, "embeddings"),
+        col("vec_id") === col("doc_id"))
+      joined.groupBy("lang", "label")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("total_tokens"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("lang", "label")
+    },
+  )
+}
