@@ -124,6 +124,45 @@ object Relational2 {
         .orderBy("o_custkey", "rnk", "o_orderkey")
     },
 
+    // ---- q40: LIKE / IN / BETWEEN predicate pack over part ----
+    OracleQuery(
+      "q40_like_in_between",
+      """SELECT p_partkey, p_name, p_brand, p_type, p_size
+        |FROM part
+        |WHERE p_type LIKE '%O%'
+        |  AND p_brand NOT LIKE 'Brand#1%'
+        |  AND p_size BETWEEN 10 AND 30
+        |  AND p_brand IN ('Brand#2', 'Brand#4', 'Brand#19', 'Brand#23')
+        |ORDER BY p_partkey""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir, "part")
+        .filter(col("p_type").like("%O%")
+          && !col("p_brand").like("Brand#1%")
+          && col("p_size").between(10, 30)
+          && col("p_brand").isin("Brand#2", "Brand#4", "Brand#19", "Brand#23"))
+        .select("p_partkey", "p_name", "p_brand", "p_type", "p_size")
+        .orderBy("p_partkey")
+    },
+
+    // ---- q41: TPC-H Q14-style promo revenue ratio (conditional agg over a
+    //           fact⋈dimension join; ratio of two exact decimal sums) ----
+    OracleQuery(
+      "q41_promo_revenue",
+      s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS y,
+         |  100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+         |        THEN ${Det.sql.revenue("l_extendedprice", "l_discount")} ELSE 0 END) AS DOUBLE)
+         |    / CAST(SUM(${Det.sql.revenue("l_extendedprice", "l_discount")}) AS DOUBLE) AS promo_pct
+         |FROM lineitem, part
+         |WHERE l_partkey = p_partkey
+         |GROUP BY 1 ORDER BY 1""".stripMargin) { (spark, dir) =>
+      val rev = Det.revenue(col("l_extendedprice"), col("l_discount"))
+      Tables(spark, dir, "lineitem")
+        .join(broadcast(Tables(spark, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .groupBy(year(col("l_shipdate")).as("y"))
+        .agg((lit(100.0) * sum(when(col("p_type").like("PROMO%"), rev).otherwise(lit(0))).cast(DoubleType)
+          / sum(rev).cast(DoubleType)).as("promo_pct"))
+        .orderBy("y")
+    },
+
     // ---- q38: HAVING — post-aggregation filtering ----
     OracleQuery(
       "q38_having",
