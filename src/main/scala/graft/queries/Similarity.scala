@@ -75,6 +75,56 @@ object Similarity {
   }
 
   val queries: Seq[OracleQuery] = Seq(
+    // ---- q42: embedding-cosine near-dup pairs, label-blocked ----
+    // Elements quantize to 1e6-scaled longs (DECIMAL(18,6) rounding, then an
+    // exact integer view): dot products and norm squares stay in codegen
+    // long arithmetic, and every long here is < 2^53 so the long→double
+    // casts are EXACT — cosine is bit-identical across engines with no
+    // rounding escape hatch needed. Label blocking keeps the pair space
+    // ∝ Σ block² (the IVF-partition shape), never corpus².
+    OracleQuery(
+      "q42_embedding_neardup",
+      """WITH ed6 AS (
+        |  SELECT vec_id, label, i,
+        |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xm
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+        |               unnest(generate_series(1, len(embedding))) AS i
+        |        FROM embeddings) u),
+        |n6 AS (SELECT vec_id, CAST(SUM(xm*xm) AS BIGINT) AS nsq FROM ed6 GROUP BY vec_id),
+        |dots AS (
+        |  SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+        |    CAST(SUM(a.xm * b.xm) AS BIGINT) AS dot6
+        |  FROM ed6 a JOIN ed6 b ON b.i = a.i AND b.label = a.label AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2, 3),
+        |cos AS (
+        |  SELECT v1, v2, label,
+        |    CAST(dot6 AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
+        |  FROM dots JOIN n6 na ON na.vec_id = v1 JOIN n6 nb ON nb.vec_id = v2)
+        |SELECT v1, v2, label, cosine FROM cos
+        |WHERE cosine >= 0.4 ORDER BY v1, v2""".stripMargin) { (spark, dir) =>
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val ed6 = Tables(spark, dir, "embeddings").repartition(parts)
+        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i0", "x")))
+        .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),
+          (col("x").cast(DoubleType).cast(DecimalType(18, 6)) * lit(1000000L))
+            .cast(LongType).as("xm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n6 = ed6.groupBy("vec_id").agg(sum(col("xm") * col("xm")).as("nsq"))
+      val dots = ed6.as("a")
+        .join(ed6.as("b"), col("b.i") === col("a.i") && col("b.label") === col("a.label")
+          && col("a.vec_id") < col("b.vec_id"))
+        .groupBy(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("a.label").as("label"))
+        .agg(sum(col("a.xm") * col("b.xm")).as("dot6"))
+      dots
+        .join(n6.as("na"), col("na.vec_id") === col("v1"))
+        .join(n6.as("nb"), col("nb.vec_id") === col("v2"))
+        .select(col("v1"), col("v2"), col("label"),
+          (col("dot6").cast(DoubleType) /
+            (sqrt(col("na.nsq").cast(DoubleType)) * sqrt(col("nb.nsq").cast(DoubleType)))).as("cosine"))
+        .filter(col("cosine") >= 0.4)
+        .orderBy("v1", "v2")
+    },
+
     // ---- q30: brute-force cosine top-5 for sampled query vectors ----
     OracleQuery(
       "q30_cosine_topk",
