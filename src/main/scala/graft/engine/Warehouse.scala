@@ -36,9 +36,15 @@ object Warehouse {
     final case class Key(column: String) extends DistStyle
   }
 
+  /** @param buckets when > 0, the table is written with `bucketBy(buckets,
+    *   distkey)` (+ `sortBy(sortKeys)`) — the catalog-table analogue of
+    *   DISTKEY/SORTKEY: joins and aggregations on the bucket key then plan
+    *   WITHOUT a shuffle on the bucketed side, which is the co-located-join
+    *   property Redshift gets from key distribution. */
   final case class Layout(
       distStyle: DistStyle = DistStyle.Auto,
-      sortKeys: Seq[String] = Nil)
+      sortKeys: Seq[String] = Nil,
+      buckets: Int = 0)
 
   /** Apply physical layout hints to a DataFrame before it is written. */
   def applyLayout(df: DataFrame, layout: Layout, parts: Int = 0): DataFrame = {
@@ -75,8 +81,18 @@ object Warehouse {
     val normed = SchemaMap.normalizeColumns(df)
     val audited = dateInsert.fold(normed)(t => normed.withColumn("date_insert", lit(t)))
     if (dropFirst) spark.sql(s"DROP TABLE IF EXISTS ${SchemaMap.ident(table)}")
-    createTable(spark, audited, table)
-    applyLayout(audited, layout, parts).write.mode(SaveMode.Append).insertInto(table)
+    (layout.distStyle, layout.buckets) match {
+      case (DistStyle.Key(k), b) if b > 0 =>
+        // bucketed catalog table: layout is part of the table definition,
+        // so it replaces (not appends into) any generated plain DDL
+        spark.sql(s"DROP TABLE IF EXISTS ${SchemaMap.ident(table)}")
+        val w = audited.write.mode(SaveMode.Overwrite).bucketBy(b, k)
+        (if (layout.sortKeys.nonEmpty) w.sortBy(layout.sortKeys.head, layout.sortKeys.tail: _*) else w)
+          .saveAsTable(table)
+      case _ =>
+        createTable(spark, audited, table)
+        applyLayout(audited, layout, parts).write.mode(SaveMode.Append).insertInto(table)
+    }
   }
 
   /** Delete+insert upsert, last-writer-wins on `keys`

@@ -1,9 +1,13 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types._
 import graft.engine.{Det, Tables}
+
+/** Output row of [[EventStream.userTotals]]. */
+final case class UserTotal(user_id: Long, n: Long, total: Double)
 
 /** Structured Streaming surface over the events stream (SURVEY.md §2.9 —
   * ABSENT in the reference, driver-mandated extension).
@@ -68,4 +72,26 @@ object EventStream {
     * age out of state). */
   def dedupe(events: DataFrame): DataFrame =
     withEventTime(events).withWatermark("ts", "1 hour").dropDuplicates("event_id")
+
+  /** Running per-user totals carried in custom keyed state
+    * (mapGroupsWithState) — the escape hatch for stateful logic the
+    * built-in windowed aggregates can't express. Each trigger folds its
+    * events into (count, sum) state and emits the updated row; state is
+    * O(1) per active user. Works identically as a single-pass batch group
+    * fold. */
+  def userTotals(events: DataFrame): Dataset[UserTotal] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), UserTotal](GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0
+          var s = s0
+          rows.foreach { case (_, v) => n += 1; s += v }
+          state.update((n, s))
+          UserTotal(user, n, s)
+      }
+  }
 }

@@ -60,4 +60,17 @@ class StreamingSpec extends SparkSpec {
       .collect().toSet
     assert(viaWindow.nonEmpty && viaWindow == explicit)
   }
+
+  test("mapGroupsWithState running totals equal the batch aggregate") {
+    val stream = EventStream.userTotals(EventStream.read(spark, sf))
+    val q = stream.writeStream.format("memory").queryName("totals_stream")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("totals_stream")
+      .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = batchEvents.groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.nonEmpty && got == want)
+  }
 }

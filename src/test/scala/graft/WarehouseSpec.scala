@@ -102,4 +102,19 @@ class WarehouseSpec extends SparkSpec {
     }.collect()
     assert(ok.forall(identity))
   }
+
+  test("bucketed upload: joins on the bucket key plan without a shuffle of the table") {
+    import spark.implicits._
+    val df = spark.range(0, 1000).select(col("id").as("k"), (col("id") % 7).as("v"))
+    Warehouse.upload(spark, df, "wh_bucketed",
+      layout = Layout(DistStyle.Key("k"), sortKeys = Seq("k"), buckets = 4), dropFirst = true)
+    val t = spark.table("wh_bucketed")
+    assert(t.count() == 1000)
+    // aggregation on the bucket key must not exchange the bucketed table
+    val agg = t.groupBy("k").count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(k#"),
+      s"bucketed table still shuffled on its bucket key:\n$plan")
+    spark.sql("DROP TABLE wh_bucketed")
+  }
 }
