@@ -74,7 +74,101 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** (vec_id, i, xm) postings on the exact 1e6-scaled long view (see q42),
+    * shared by the quantized-dot queries. */
+  private def ed6(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
+      .select(col("vec_id"), (col("i0") + 1).as("i"),
+        (col("x").cast(DoubleType).cast(DecimalType(18, 6)) * lit(1000000L))
+          .cast(LongType).as("xm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  /** Shared oracle prelude for the quantized (1e6 long) postings. */
+  private val ed6Sql =
+    """WITH ed6 AS (
+      |  SELECT vec_id, i,
+      |    CAST(CAST(CAST(x AS DOUBLE) AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS xm
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |               unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings) u),
+      |n6 AS (SELECT vec_id, CAST(SUM(xm*xm) AS BIGINT) AS nsq FROM ed6 GROUP BY vec_id)""".stripMargin
+
   val queries: Seq[OracleQuery] = Seq(
+    // ---- q43: ANN via IVF — deterministic seed centroids, nearest-centroid
+    //           cell assignment, search within the query's cell only.
+    //           Every score is exact (long dots < 2^53 → exact doubles),
+    //           so even cell-boundary effects are identical across engines. ----
+    OracleQuery(
+      "q43_ann_ivf",
+      s"""$ed6Sql,
+         |cent AS (SELECT * FROM ed6 WHERE vec_id % 250 = 1),
+         |cdots AS (
+         |  SELECT v.vec_id, c.vec_id AS c_id, CAST(SUM(v.xm * c.xm) AS BIGINT) AS dot6
+         |  FROM ed6 v JOIN cent c ON c.i = v.i GROUP BY 1, 2),
+         |assign AS (
+         |  SELECT vec_id, c_id FROM (
+         |    SELECT cd.vec_id, cd.c_id,
+         |      row_number() OVER (PARTITION BY cd.vec_id
+         |        ORDER BY CAST(cd.dot6 AS DOUBLE) / sqrt(CAST(nc.nsq AS DOUBLE)) DESC, cd.c_id) AS rn
+         |    FROM cdots cd JOIN n6 nc ON nc.vec_id = cd.c_id) a
+         |  WHERE rn = 1),
+         |cand AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id AS cand_id
+         |  FROM assign q JOIN assign v ON v.c_id = q.c_id AND v.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 100 = 0),
+         |dots AS (
+         |  SELECT c.query_id, c.cand_id, CAST(SUM(a.xm * b.xm) AS BIGINT) AS dot6
+         |  FROM cand c
+         |  JOIN ed6 a ON a.vec_id = c.query_id
+         |  JOIN ed6 b ON b.vec_id = c.cand_id AND b.i = a.i
+         |  GROUP BY 1, 2),
+         |cos AS (
+         |  SELECT query_id, cand_id,
+         |    CAST(dot6 AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
+         |  FROM dots JOIN n6 na ON na.vec_id = query_id
+         |            JOIN n6 nb ON nb.vec_id = cand_id)
+         |SELECT query_id, cand_id, CAST(rn AS INTEGER) AS rank, cosine
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY cosine DESC, cand_id) AS rn FROM cos) r
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+      val e = ed6(spark, dir)
+      val n6 = e.groupBy("vec_id").agg(sum(col("xm") * col("xm")).as("nsq"))
+      val cent = e.filter(col("vec_id") % 250 === 1)
+        .select(col("vec_id").as("c_id"), col("i").as("ci"), col("xm").as("cxm"))
+      val cdots = e.join(broadcast(cent), col("ci") === col("i"))
+        .groupBy(col("vec_id"), col("c_id"))
+        .agg(sum(col("xm") * col("cxm")).as("dot6"))
+      val score = col("dot6").cast(DoubleType) / sqrt(col("nc.nsq").cast(DoubleType))
+      val assignW = Window.partitionBy(col("cd.vec_id")).orderBy(score.desc, col("c_id"))
+      val assign = cdots.as("cd")
+        .join(n6.as("nc"), col("nc.vec_id") === col("c_id"))
+        .withColumn("rn", row_number().over(assignW))
+        .filter(col("rn") === 1)
+        .select(col("cd.vec_id").as("vid"), col("c_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = assign.as("q").filter(col("q.vid") % 100 === 0)
+        .join(assign.as("v"), col("v.c_id") === col("q.c_id") && col("v.vid") =!= col("q.vid"))
+        .select(col("q.vid").as("query_id"), col("v.vid").as("cand_id"))
+      val dots = cand
+        .join(e.as("a"), col("a.vec_id") === col("query_id"))
+        .join(e.as("b"), col("b.vec_id") === col("cand_id") && col("b.i") === col("a.i"))
+        .groupBy("query_id", "cand_id")
+        .agg(sum(col("a.xm") * col("b.xm")).as("dot6"))
+      val cos = dots
+        .join(n6.as("na"), col("na.vec_id") === col("query_id"))
+        .join(n6.as("nb"), col("nb.vec_id") === col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          (col("dot6").cast(DoubleType) /
+            (sqrt(col("na.nsq").cast(DoubleType)) * sqrt(col("nb.nsq").cast(DoubleType)))).as("cosine"))
+      val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
+      cos.withColumn("rank", row_number().over(w).cast(IntegerType))
+        .filter(col("rank") <= K)
+        .select("query_id", "cand_id", "rank", "cosine")
+        .orderBy("query_id", "rank")
+    },
+
     // ---- q42: embedding-cosine near-dup pairs, label-blocked ----
     // Elements quantize to 1e6-scaled longs (DECIMAL(18,6) rounding, then an
     // exact integer view): dot products and norm squares stay in codegen
