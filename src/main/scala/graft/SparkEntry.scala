@@ -33,7 +33,7 @@ object SparkEntry {
   /** All operator-coverage queries (SURVEY.md §2 inventory + extensions). */
   def registry: Seq[OracleQuery] =
     graft.queries.Relational.queries ++ graft.queries.Relational2.queries ++
-      graft.queries.Events.queries ++
+      graft.queries.Relational3.queries ++ graft.queries.Events.queries ++
       graft.queries.TextAnalysis.queries ++ graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++ graft.queries.MultimodalQ.queries ++
       graft.queries.Pipeline.queries
