@@ -66,4 +66,24 @@ class AdviceFixSpec extends SparkSpec {
       S3Like.getDfFromKeys(spark, "file:" + dir, format = "mixed"))
     assert(e.getMessage.contains(".gz"))
   }
+
+  test("mixed-mode sniff accepts gzip objects with a .gz extension") {
+    val dir = Files.createTempDirectory("sniffgzok")
+    val f = dir.resolve("data.csv.gz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(f))
+    out.write("col_1,col_2\n1,a\n2,b\n".getBytes("UTF-8")); out.close()
+    val got = S3Like.getDfFromKeys(spark, "file:" + dir, format = "mixed").get
+    assert(got.count() == 2)
+  }
+
+  test("approximate sketches stay within tolerance of exact counts") {
+    // approx_count_distinct is the HLL 'novel sketch' path — never oracle-
+    // checked (engine-specific sketch), sanity-bounded here instead
+    import org.apache.spark.sql.functions._
+    val orders = Tables(spark, sf, "orders")
+    val exact = orders.select(countDistinct("o_custkey")).head().getLong(0)
+    val approx = orders.select(approx_count_distinct("o_custkey", 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
 }
