@@ -122,6 +122,48 @@ object Events {
         .orderBy("user_id", "ts")
     },
 
+    // ---- q49: interval (equi + range) join — attribute each purchase to
+    //           the session whose [start, end] contains it. The equi key
+    //           (user_id) carries the distribution; the range predicate is
+    //           evaluated within the co-partitioned sort-merge join, so no
+    //           all-pairs work happens at any scale. ----
+    OracleQuery(
+      "q49_session_attribution",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |b AS (SELECT user_id, ts, value, event_type,
+        |        CASE WHEN lag(ts) OVER w IS NULL
+        |               OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, value, event_type,
+        |        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INTEGER) AS session_id
+        |      FROM b),
+        |sess AS (SELECT user_id, session_id, MIN(ts) AS session_start, MAX(ts) AS session_end
+        |         FROM s GROUP BY user_id, session_id),
+        |p AS (SELECT user_id, ts, value FROM e WHERE event_type = 'purchase')
+        |SELECT p.user_id, p.ts, p.value, sess.session_id, sess.session_start
+        |FROM p JOIN sess ON sess.user_id = p.user_id
+        |  AND p.ts >= sess.session_start AND p.ts <= sess.session_end
+        |ORDER BY p.user_id, p.ts""".stripMargin) { (spark, dir) =>
+      val e = ev(spark, dir)
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val prev = lag(col("ts"), 1).over(w)
+      val sess = e.select("user_id", "ts", "value")
+        .withColumn("brk", when(prev.isNull
+          || col("ts") > prev + expr("INTERVAL '30' MINUTE"), 1).otherwise(0))
+        .withColumn("session_id", sum("brk").over(run).cast(IntegerType))
+        .groupBy("user_id", "session_id")
+        .agg(min("ts").as("session_start"), max("ts").as("session_end"))
+        .withColumnRenamed("user_id", "s_user")
+      e.filter(col("event_type") === "purchase")
+        .select("user_id", "ts", "value")
+        .join(sess, col("s_user") === col("user_id")
+          && col("ts") >= col("session_start") && col("ts") <= col("session_end"))
+        .select("user_id", "ts", "value", "session_id", "session_start")
+        .orderBy("user_id", "ts")
+    },
+
     // ---- q20: string scalar functions (upper/substr/length/levenshtein/
     //           concat_ws/replace — SURVEY.md §2.8) ----
     OracleQuery(
