@@ -126,24 +126,18 @@ object Dedup {
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
          |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
       val sh = postings(spark, dir)
-      // MinHash via explode + min-aggregate: every md5 runs inside
-      // whole-stage codegen (the array-transform form of the same signature
-      // is interpreted per element and ~10× slower). 12 hash families ×
-      // postings rows, reduced map-side to one min per (doc, family).
-      val mh = sh
-        .select(col("doc_id"), col("s"), explode(sequence(lit(0), lit(11))).as("i"))
-        .select(col("doc_id"), col("i"),
-          md5(concat(col("i").cast(StringType), lit(":"), col("s"))).as("h0"))
-        .groupBy("doc_id", "i").agg(min("h0").as("h"))
+      // MinHash as 12 min-aggregates in ONE groupBy pass over the postings
+      // (every md5 inside whole-stage codegen, map-side partial mins, no
+      // ×12 row explosion; the array-transform form of the same signature
+      // is interpreted per element and ~10× slower)
+      val hashCols = (0 until 12).map(i =>
+        min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
+      val mh = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
       // band key = md5("band|h3b,h3b+1,h3b+2") with hashes in family order
-      val bands = mh
-        .withColumn("band", expr("i div 3"))
-        .groupBy("doc_id", "band")
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("i"), col("h")))), x => x.getField("h")),
-          ",").as("hs"))
-        .select(col("doc_id"),
-          md5(concat(col("band").cast(StringType), lit("|"), col("hs"))).as("bkey"))
+      val bands = mh.select(col("doc_id"),
+        explode(array((0 until 4).map(b =>
+          md5(concat(lit(s"$b|"), concat_ws(",",
+            col(s"h${3 * b}"), col(s"h${3 * b + 1}"), col(s"h${3 * b + 2}"))))): _*)).as("bkey"))
       val cand = bands.as("a")
         .join(bands.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
