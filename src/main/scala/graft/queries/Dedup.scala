@@ -150,6 +150,40 @@ object Dedup {
       jaccardSelect(pairs, sizes)
     },
 
+    // ---- q50: winnowing fingerprints — rolling min over windows of 4
+    //           consecutive shingle hashes (the MOSS/winnowing selection
+    //           rule): position-aware, so it localizes matches, unlike the
+    //           set-global min-shingle of q25. One window pass per doc. ----
+    OracleQuery(
+      "q50_winnowing",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |shp AS (
+        |  SELECT doc_id, i AS pos, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS h
+        |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+        |wins AS (
+        |  SELECT doc_id, MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM shp)
+        |SELECT DISTINCT doc_id, fp FROM wins
+        |ORDER BY doc_id, fp""".stripMargin) { (spark, dir) =>
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val tok = docs(spark, dir).repartition(parts)
+        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
+      val ord = Window.partitionBy("doc_id").orderBy("pos")
+      val leads = (1 until 3).map(k => lead(col("w"), k).over(ord))
+      val shp = tok
+        .select(col("doc_id"), col("pos"),
+          concat_ws(" ", col("w") +: leads: _*).as("s"),
+          leads.last.isNotNull.as("full"))
+        .filter(col("full"))
+        .select(col("doc_id"), col("pos"), md5(col("s")).as("h"))
+      val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+      shp.select(col("doc_id"), min(col("h")).over(win).as("fp"))
+        .distinct()
+        .orderBy("doc_id", "fp")
+    },
+
     // ---- q29: SimHash-32 signatures (bit-vote over distinct tokens) ----
     OracleQuery(
       "q29_simhash",
