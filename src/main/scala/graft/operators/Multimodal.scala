@@ -52,6 +52,22 @@ object Multimodal {
       }
   }
 
+  /** Resize: keep every `factor`-th byte of the payload — the byte-level
+    * shape of image downsampling (a real build would decode, resample
+    * pixels, re-encode inside the same mapPartitions stage). */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select("doc_id", "content").as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        // >>> STUB BOUNDARY: real resampling goes here <<<
+        batch.map { case (id, b) =>
+          (id, b.zipWithIndex.collect { case (v, i) if i % factor == 0 => v })
+        }
+      }
+      .toDF("doc_id", "content")
+  }
+
   /** Frame sampling: every `step`-th fixed-size chunk of the payload —
     * the byte-level shape of video frame extraction (array<binary> out). */
   def frameSample(media: DataFrame, chunkBytes: Int, step: Int): DataFrame = {

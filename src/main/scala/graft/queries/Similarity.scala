@@ -284,9 +284,11 @@ object Similarity {
          |$rankTailSql""".stripMargin) { (spark, dir) =>
       val e = ed(spark, dir)
       val nrm = VecOps.norms(e, "vec_id")
-      // 8 hyperplanes × 64 dims of md5-derived ±1 signs (tiny, broadcast)
-      val planes = spark.range(0, 8).select(col("id").cast(IntegerType).as("p"))
-        .crossJoin(spark.range(1, 65).select(col("id").cast(IntegerType).as("i")))
+      // 8 hyperplanes × 64 dims of md5-derived ±1 signs (tiny, broadcast;
+      // one flat range — a crossJoin of two ranges would plan a nested loop)
+      val planes = spark.range(0, 8 * 64)
+        .select((col("id") / 64).cast(IntegerType).as("p"),
+          (col("id") % 64 + 1).cast(IntegerType).as("i"))
         .select(col("p"), col("i"),
           when(expr("instr('0123456789abcdef', substr(md5(concat(cast(p as string), ',', cast(i as string))), 1, 1)) - 1 >= 8"), 1)
             .otherwise(-1).as("sgn"))

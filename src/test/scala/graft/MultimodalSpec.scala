@@ -36,4 +36,10 @@ class MultimodalSpec extends SparkSpec {
     // 16 bytes → 4 chunks of 4 → indices 0,2 sampled
     assert(frames.nonEmpty && frames.forall(_._2 == 2))
   }
+
+  test("resize keeps every k-th byte, preserving ids") {
+    val resized = Multimodal.resize(media, factor = 4)
+      .select(col("doc_id"), length(col("content")).as("n")).as[(Long, Int)].collect()
+    assert(resized.nonEmpty && resized.forall(_._2 == 4)) // 16 bytes / 4
+  }
 }

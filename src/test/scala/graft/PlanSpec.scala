@@ -49,4 +49,16 @@ class PlanSpec extends SparkSpec {
     val p = plan("q04_order_priority")
     assert(p.contains("LeftSemi"), "semi-join shape lost")
   }
+
+  test("no extension query ever plans an all-pairs join") {
+    // the scale contract of the dedup/similarity family: candidate
+    // generation is always a key-equi join (shingle / band / bucket /
+    // cell / label+dim), never a cartesian or nested-loop product
+    Seq("q27_jaccard_pairs", "q28_minhash_lsh", "q30_cosine_topk",
+        "q31_ann_lsh", "q42_embedding_neardup", "q43_ann_ivf").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+  }
 }
