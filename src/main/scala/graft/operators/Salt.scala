@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation via two-phase salted aggregation.
+  *
+  * A groupBy over a skewed key sends every row of the hot key through one
+  * reducer. Salting splits each key into `buckets` sub-keys for a partial
+  * aggregate (spreading the hot key over `buckets` tasks), then reduces the
+  * partials in a second, tiny aggregation. Works for any algebraic
+  * aggregate (sum/count/min/max — anything with an associative merge).
+  *
+  * The salt is `pmod(hash(<row-distinct cols>), buckets)` — deterministic
+  * per row, so re-executed tasks salt identically (safe under retries,
+  * unlike rand()-based salting). AQE's skew-join handling covers JOIN skew
+  * at runtime; this operator covers AGGREGATION skew, which AQE does not
+  * repartition away when the skew lives inside one group.
+  */
+object Salt {
+
+  /** Two-phase sum/count aggregation over possibly-skewed `keys`.
+    *
+    * @param df        input
+    * @param keys      grouping keys (skew-suspect)
+    * @param saltFrom  columns whose hash spreads rows of one key (must be
+    *                  row-distinguishing enough to spread the hot key)
+    * @param buckets   salt fan-out (≈ shuffle parallelism)
+    * @param sums      columns to sum
+    * @return one row per key: `n` (count) plus `sum_<col>` per sum column
+    */
+  def saltedSumCount(
+      df: DataFrame,
+      keys: Seq[String],
+      saltFrom: Seq[String],
+      buckets: Int,
+      sums: Seq[String]): DataFrame = {
+    require(buckets > 0, "buckets must be > 0")
+    val salt = pmod(hash(saltFrom.map(col): _*), lit(buckets)).as("__salt")
+    val partialAggs =
+      count(lit(1)).as("__n") +: sums.map(c => sum(col(c)).as(s"__s_$c"))
+    val partial = df
+      .withColumn("__salt", salt)
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partialAggs.head, partialAggs.tail: _*)
+    val finalAggs =
+      sum(col("__n")).as("n") +: sums.map(c => sum(col(s"__s_$c")).as(s"sum_$c"))
+    partial
+      .groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+}
