@@ -126,22 +126,10 @@ object Dedup {
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
          |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
       val sh = postings(spark, dir)
-      // MinHash as 12 min-aggregates in ONE groupBy pass over the postings
-      // (every md5 inside whole-stage codegen, map-side partial mins, no
-      // ×12 row explosion; the array-transform form of the same signature
-      // is interpreted per element and ~10× slower)
-      val hashCols = (0 until 12).map(i =>
-        min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
-      val mh = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
-      // band key = md5("band|h3b,h3b+1,h3b+2") with hashes in family order
-      val bands = mh.select(col("doc_id"),
-        explode(array((0 until 4).map(b =>
-          md5(concat(lit(s"$b|"), concat_ws(",",
-            col(s"h${3 * b}"), col(s"h${3 * b + 1}"), col(s"h${3 * b + 2}"))))): _*)).as("bkey"))
-      val cand = bands.as("a")
-        .join(bands.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .distinct()
+      // candidate generation factored into operators.MinHashLSH (single-pass
+      // 12-min-agg signatures + band-bucket equi join) — shared with the q39
+      // capstone so the "100 TB path" is one implementation, tested twice
+      val cand = graft.operators.MinHashLSH.candidatePairs(sh)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = cand
         .join(sh.as("a"), col("a.doc_id") === col("d1"))

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.Tables
 import graft.functions.TextOps
+import graft.operators.MinHashLSH
 
 /** Capstone: the composed training-data-prep pipeline — quality gate →
   * exact dedup → near-dup removal → embedding join → corpus stats — as ONE
@@ -15,37 +16,59 @@ import graft.functions.TextOps
   * DuckDB end to end.
   *
   * Scale shape: narrow filters → fingerprint window (exchange on fp) →
-  * inverted-index near-dup (exchange on shingle) → anti join on doc id →
-  * equi join to embeddings → tiny aggregate. No stage is all-pairs, none
-  * materializes on the driver.
+  * df-capped MinHash-LSH near-dup (band-bucket equi join, candidates only —
+  * the q28 path, NOT an unguarded postings self-join: a hot shingle like a
+  * common trigram would make a raw `sh ⋈ sh ON s` carry df² pairs through
+  * one reducer at 100 TB) → anti join on doc id → equi join to embeddings →
+  * tiny aggregate. No stage is all-pairs, none materializes on the driver.
   */
 object Pipeline {
+
+  /** Shingles occurring in more than this many docs carry no near-dup signal
+    * and are dropped before signatures/verification (MinHashLSH.dfCapped). */
+  val DfCap = 100
 
   val queries: Seq[OracleQuery] = Seq(
     OracleQuery(
       "q39_training_pipeline",
-      """WITH base AS (
+      s"""WITH base AS (
         |  SELECT doc_id, lang, text, n_chars,
         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens,
-        |    md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+        |    md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\\s+'))), ' ')) AS fp
         |  FROM documents),
         |quality AS (SELECT * FROM base WHERE n_tokens >= 30),
         |kept1 AS (
         |  SELECT * FROM (
         |    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
         |    FROM quality) q WHERE rn = 1),
-        |toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM kept1),
-        |sh AS (
+        |toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM kept1),
+        |sh0 AS (
         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
         |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+        |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > $DfCap),
+        |sh AS (SELECT * FROM sh0 WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.s = sh0.s)),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |mh AS (
+        |  SELECT doc_id, g.i AS i, min(md5(CAST(g.i AS VARCHAR) || ':' || s)) AS h
+        |  FROM sh, unnest(generate_series(0, 11)) AS g(i)
+        |  GROUP BY doc_id, g.i),
+        |bands AS (
+        |  SELECT doc_id,
+        |    md5(CAST(i // 3 AS VARCHAR) || '|' || string_agg(h, ',' ORDER BY i)) AS bkey
+        |  FROM mh GROUP BY doc_id, i // 3),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT c.d1, c.d2, count(*) AS inter
+        |  FROM cand c
+        |  JOIN sh a ON a.doc_id = c.d1
+        |  JOIN sh b ON b.doc_id = c.d2 AND b.s = a.s
+        |  GROUP BY c.d1, c.d2),
         |neardup AS (
-        |  SELECT DISTINCT b.doc_id AS dup_id
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |  JOIN sizes sa ON sa.doc_id = a.doc_id
-        |  JOIN sizes sb ON sb.doc_id = b.doc_id
-        |  GROUP BY a.doc_id, b.doc_id, sa.n, sb.n
-        |  HAVING CAST(count(*) AS DOUBLE) / (sa.n + sb.n - count(*)) >= 0.5),
+        |  SELECT DISTINCT d2 AS dup_id
+        |  FROM pairs JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
+        |  WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5),
         |kept2 AS (
         |  SELECT k.* FROM kept1 k
         |  WHERE NOT EXISTS (SELECT 1 FROM neardup d WHERE d.dup_id = k.doc_id)),
@@ -68,13 +91,18 @@ object Pipeline {
         .withColumn("rn", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
         .filter(col("rn") === 1).drop("rn")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sh = TextOps.shinglePostings(kept1.select("doc_id", "text"), "doc_id", "text", 3)
+      val sh = MinHashLSH.dfCapped(
+        TextOps.shinglePostings(kept1.select("doc_id", "text"), "doc_id", "text", 3), DfCap)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val dupIds = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
-        .agg(count(lit(1)).as("inter"))
+      // band-bucket candidates (the q28 scale path), then exact-Jaccard
+      // verification of candidates only
+      val cand = MinHashLSH.candidatePairs(sh)
+      val pairs = cand
+        .join(sh.as("a"), col("a.doc_id") === col("d1"))
+        .join(sh.as("b"), col("b.doc_id") === col("d2") && col("b.s") === col("a.s"))
+        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+      val dupIds = pairs
         .join(sizes.as("sa"), col("sa.doc_id") === col("d1"))
         .join(sizes.as("sb"), col("sb.doc_id") === col("d2"))
         .filter(col("inter").cast(DoubleType) / (col("sa.n") + col("sb.n") - col("inter")) >= 0.5)

@@ -169,13 +169,24 @@ object Similarity {
         .orderBy("query_id", "rank")
     },
 
-    // ---- q42: embedding-cosine near-dup pairs, label-blocked ----
+    // ---- q42: embedding-cosine near-dup pairs, (label × LSH band) blocked ----
     // Elements quantize to 1e6-scaled longs (DECIMAL(18,6) rounding, then an
     // exact integer view): dot products and norm squares stay in codegen
     // long arithmetic, and every long here is < 2^53 so the long→double
     // casts are EXACT — cosine is bit-identical across engines with no
-    // rounding escape hatch needed. Label blocking keeps the pair space
-    // ∝ Σ block² (the IVF-partition shape), never corpus².
+    // rounding escape hatch needed.
+    //
+    // Blocking: label alone is NOT a scale-safe block key (block size grows
+    // ∝ N/|labels| and the pair space goes quadratic within a label). The
+    // block key here is (label, hyperplane band key): 8 bands of 3
+    // md5-derived random hyperplanes each, so every band splits each label
+    // into 2³ buckets and exact dots are computed only for same-block pairs.
+    // Planes-per-band is the block-size knob — it grows with log(N) in
+    // production (each extra plane halves the block) while bands recover
+    // recall; 8×3 here keeps every cosine≥0.4 pair of the test corpus while
+    // bounding any single block at 1/8 of a label. Recall misses, like all
+    // LSH in this repo, are a deterministic function of the data (md5 signs),
+    // so the query stays bit-exact oracle-checkable.
     OracleQuery(
       "q42_embedding_neardup",
       """WITH ed6 AS (
@@ -185,10 +196,34 @@ object Similarity {
         |               unnest(generate_series(1, len(embedding))) AS i
         |        FROM embeddings) u),
         |n6 AS (SELECT vec_id, CAST(SUM(xm*xm) AS BIGINT) AS nsq FROM ed6 GROUP BY vec_id),
+        |planes AS (
+        |  SELECT p, i,
+        |    CASE WHEN strpos('0123456789abcdef',
+        |           substr(md5(CAST(p AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 1)) - 1 >= 8
+        |         THEN 1 ELSE -1 END AS sgn
+        |  FROM unnest(generate_series(0, 23)) AS gp(p),
+        |       unnest(generate_series(1, 64)) AS gi(i)),
+        |bits AS (
+        |  SELECT ed6.vec_id, planes.p,
+        |    CASE WHEN SUM(planes.sgn * ed6.xm) >= 0 THEN '1' ELSE '0' END AS b
+        |  FROM ed6 JOIN planes ON planes.i = ed6.i
+        |  GROUP BY ed6.vec_id, planes.p),
+        |sig AS (SELECT vec_id, string_agg(b, '' ORDER BY p) AS sig FROM bits GROUP BY vec_id),
+        |lab AS (SELECT DISTINCT vec_id, label FROM ed6),
+        |vecs AS (
+        |  SELECT s.vec_id, lab.label,
+        |    CAST(k AS VARCHAR) || '|' || substr(s.sig, k*3 + 1, 3) AS bkey
+        |  FROM sig s JOIN lab ON lab.vec_id = s.vec_id,
+        |       unnest(generate_series(0, 7)) AS gk(k)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS v1, b.vec_id AS v2, a.label AS label
+        |  FROM vecs a JOIN vecs b ON b.label = a.label AND b.bkey = a.bkey
+        |    AND a.vec_id < b.vec_id),
         |dots AS (
-        |  SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
-        |    CAST(SUM(a.xm * b.xm) AS BIGINT) AS dot6
-        |  FROM ed6 a JOIN ed6 b ON b.i = a.i AND b.label = a.label AND a.vec_id < b.vec_id
+        |  SELECT c.v1, c.v2, c.label, CAST(SUM(a.xm * b.xm) AS BIGINT) AS dot6
+        |  FROM cand c
+        |  JOIN ed6 a ON a.vec_id = c.v1
+        |  JOIN ed6 b ON b.vec_id = c.v2 AND b.i = a.i
         |  GROUP BY 1, 2, 3),
         |cos AS (
         |  SELECT v1, v2, label,
@@ -197,6 +232,8 @@ object Similarity {
         |SELECT v1, v2, label, cosine FROM cos
         |WHERE cosine >= 0.4 ORDER BY v1, v2""".stripMargin) { (spark, dir) =>
       val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val nBands = 8
+      val ppb = 3 // planes per band — the block-size knob (see scaladoc)
       val ed6 = Tables(spark, dir, "embeddings").repartition(parts)
         .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i0", "x")))
         .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),
@@ -204,10 +241,37 @@ object Similarity {
             .cast(LongType).as("xm"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n6 = ed6.groupBy("vec_id").agg(sum(col("xm") * col("xm")).as("nsq"))
-      val dots = ed6.as("a")
-        .join(ed6.as("b"), col("b.i") === col("a.i") && col("b.label") === col("a.label")
+      // 24 hyperplanes × 64 dims of md5-derived ±1 signs (tiny, broadcast)
+      val planes = spark.range(0, nBands * ppb * 64)
+        .select((col("id") / 64).cast(IntegerType).as("p"),
+          (col("id") % 64 + 1).cast(IntegerType).as("i"))
+        .select(col("p"), col("i"),
+          when(expr("instr('0123456789abcdef', substr(md5(concat(cast(p as string), ',', cast(i as string))), 1, 1)) - 1 >= 8"), 1)
+            .otherwise(-1).as("sgn"))
+      // sign votes on the exact scaled-long view — integer codegen math
+      val bits = ed6.join(broadcast(planes), planes("i") === ed6("i"))
+        .groupBy(col("vec_id"), col("p"))
+        .agg(when(sum(col("sgn") * col("xm")) >= 0, "1").otherwise("0").as("b"))
+      val sig = bits.groupBy("vec_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("p"), col("b")))), x => x.getField("b")),
+          "").as("sig"))
+      val lab = ed6.select("vec_id", "label").distinct()
+      val vecs = sig.join(lab, "vec_id")
+        .select(col("vec_id"), col("label"),
+          explode(array((0 until nBands).map(k =>
+            concat(lit(s"$k|"), substring(col("sig"), k * ppb + 1, ppb))): _*)).as("bkey"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = vecs.as("a")
+        .join(vecs.as("b"), col("b.label") === col("a.label") && col("b.bkey") === col("a.bkey")
           && col("a.vec_id") < col("b.vec_id"))
-        .groupBy(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("a.label").as("label"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("a.label").as("label"))
+        .distinct()
+      val dots = cand
+        .join(ed6.select("vec_id", "i", "xm").as("a"), col("a.vec_id") === col("v1"))
+        .join(ed6.select("vec_id", "i", "xm").as("b"),
+          col("b.vec_id") === col("v2") && col("b.i") === col("a.i"))
+        .groupBy("v1", "v2", "label")
         .agg(sum(col("a.xm") * col("b.xm")).as("dot6"))
       dots
         .join(n6.as("na"), col("na.vec_id") === col("v1"))
