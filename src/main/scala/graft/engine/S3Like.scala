@@ -74,8 +74,8 @@ object S3Like {
       if (sortKeys.nonEmpty) {
         require(sortKeys.forall(df.columns.contains), s"sort keys $sortKeys not all in ${df.columns.toSeq}")
         df.repartitionByRange(parts, sortKeys.map(col): _*).sortWithinPartitions(sortKeys.map(col): _*)
-      } else if (parts != df.rdd.getNumPartitions) df.repartition(parts)
-      else df
+      } else if (format == "xlsx") df // driver-side codec splits rows itself
+      else df.repartition(parts)
 
     val outDir = if (exactNaming && format != "xlsx") uri + ".__tmp" else uri
     format match {
@@ -84,8 +84,18 @@ object S3Like {
         compression.fold(w)(c => w.option("compression", c)).csv(outDir)
       case "parquet" => arranged.write.mode(SaveMode.Overwrite).options(options).parquet(outDir)
       case "json"    => arranged.write.mode(SaveMode.Overwrite).options(options).json(outDir)
-      case "xlsx"    => Xlsx.write(arranged, outDir)
-      case "object"  => ObjectFormat.write(arranged, outDir)
+      case "xlsx" if parts > 1 =>
+        // reference multipart layout <dir>/<stem>/<stem>.<i>.xlsx, built
+        // directly (no part-* rename pass — the codec is driver-side)
+        val target = new Path(uri)
+        val stem = target.getName.split('.').head
+        val dir = new Path(target.getParent, stem)
+        val filesystem = fs(df.sparkSession, uri)
+        filesystem.delete(dir, true)
+        filesystem.mkdirs(dir)
+        Xlsx.writeParts(arranged, dir.toString, stem, parts)
+      case "xlsx"   => Xlsx.write(arranged, outDir)
+      case "object" => ObjectFormat.write(arranged, outDir)
     }
     if (exactNaming && format != "xlsx") renameParts(df.sparkSession, outDir, uri, format, compression)
   }

@@ -39,7 +39,31 @@ object Xlsx {
   def write(df: DataFrame, uri: String): Unit = {
     val rows = df.limit(maxRows + 1).collect()
     require(rows.length <= maxRows, s"xlsx export capped at $maxRows rows — use parquet/csv for large data")
-    val bytes = render(df.schema, rows)
+    writeBytes(df, uri, render(df.schema, rows))
+  }
+
+  /** Multipart xlsx with reference naming (pandas_aws/s3.py:90-93,188-195):
+    * `parts` workbook files `<dirUri>/<stem>.<i>.xlsx` (1-based), rows split
+    * contiguously with np.array_split sizing (first `len % parts` chunks get
+    * one extra row), so a pre-sorted frame stays globally ordered across the
+    * part sequence. Still a driver-side small-export path like [[write]] —
+    * the cap applies per part. */
+  def writeParts(df: DataFrame, dirUri: String, stem: String, parts: Int): Unit = {
+    val rows = df.limit(parts * maxRows + 1).collect()
+    require(rows.length <= parts.toLong * maxRows,
+      s"xlsx export capped at $maxRows rows per part — use parquet/csv for large data")
+    val base = rows.length / parts
+    val extra = rows.length % parts
+    var off = 0
+    (0 until parts).foreach { i =>
+      val sz = base + (if (i < extra) 1 else 0)
+      val chunk = rows.slice(off, off + sz)
+      off += sz
+      writeBytes(df, s"$dirUri/$stem.${i + 1}.xlsx", render(df.schema, chunk))
+    }
+  }
+
+  private def writeBytes(df: DataFrame, uri: String, bytes: Array[Byte]): Unit = {
     val fs = new Path(uri).getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(uri), true)
     try out.write(bytes) finally out.close()

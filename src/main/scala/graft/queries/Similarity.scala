@@ -95,28 +95,33 @@ object Similarity {
       |        FROM embeddings) u),
       |n6 AS (SELECT vec_id, CAST(SUM(xm*xm) AS BIGINT) AS nsq FROM ed6 GROUP BY vec_id)""".stripMargin
 
-  val queries: Seq[OracleQuery] = Seq(
-    // ---- q43: ANN via IVF — deterministic seed centroids, nearest-centroid
-    //           cell assignment, search within the query's cell only.
-    //           Every score is exact (long dots < 2^53 → exact doubles),
-    //           so even cell-boundary effects are identical across engines. ----
+  /** ANN via IVF — deterministic seed centroids, nearest-centroid cell
+    * assignment, exact search within the query's top-`nprobe` cells.
+    * Every score is exact (long dots < 2^53 → exact doubles), so even
+    * cell-boundary effects are identical across engines. nprobe=1 searches
+    * the query's own cell only (fastest, misses near-border neighbors);
+    * nprobe=2 re-ranks the two closest cells, the standard recall fix for
+    * border queries — its candidate set strictly contains nprobe=1's. At
+    * scale the cell count grows ~√N with the corpus and nprobe trades
+    * recall for probes, all under the same bucketed-equi-join plan. */
+  private def ivfQuery(name: String, nprobe: Int): OracleQuery =
     OracleQuery(
-      "q43_ann_ivf",
+      name,
       s"""$ed6Sql,
          |cent AS (SELECT * FROM ed6 WHERE vec_id % 250 = 1),
          |cdots AS (
          |  SELECT v.vec_id, c.vec_id AS c_id, CAST(SUM(v.xm * c.xm) AS BIGINT) AS dot6
          |  FROM ed6 v JOIN cent c ON c.i = v.i GROUP BY 1, 2),
-         |assign AS (
-         |  SELECT vec_id, c_id FROM (
-         |    SELECT cd.vec_id, cd.c_id,
-         |      row_number() OVER (PARTITION BY cd.vec_id
-         |        ORDER BY CAST(cd.dot6 AS DOUBLE) / sqrt(CAST(nc.nsq AS DOUBLE)) DESC, cd.c_id) AS rn
-         |    FROM cdots cd JOIN n6 nc ON nc.vec_id = cd.c_id) a
-         |  WHERE rn = 1),
+         |ranked AS (
+         |  SELECT cd.vec_id, cd.c_id,
+         |    row_number() OVER (PARTITION BY cd.vec_id
+         |      ORDER BY CAST(cd.dot6 AS DOUBLE) / sqrt(CAST(nc.nsq AS DOUBLE)) DESC, cd.c_id) AS rn
+         |  FROM cdots cd JOIN n6 nc ON nc.vec_id = cd.c_id),
+         |assign AS (SELECT vec_id, c_id FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id, c_id FROM ranked WHERE rn <= $nprobe),
          |cand AS (
-         |  SELECT q.vec_id AS query_id, v.vec_id AS cand_id
-         |  FROM assign q JOIN assign v ON v.c_id = q.c_id AND v.vec_id <> q.vec_id
+         |  SELECT DISTINCT q.vec_id AS query_id, v.vec_id AS cand_id
+         |  FROM probes q JOIN assign v ON v.c_id = q.c_id AND v.vec_id <> q.vec_id
          |  WHERE q.vec_id % 100 = 0),
          |dots AS (
          |  SELECT c.query_id, c.cand_id, CAST(SUM(a.xm * b.xm) AS BIGINT) AS dot6
@@ -142,15 +147,17 @@ object Similarity {
         .agg(sum(col("xm") * col("cxm")).as("dot6"))
       val score = col("dot6").cast(DoubleType) / sqrt(col("nc.nsq").cast(DoubleType))
       val assignW = Window.partitionBy(col("cd.vec_id")).orderBy(score.desc, col("c_id"))
-      val assign = cdots.as("cd")
+      val ranked = cdots.as("cd")
         .join(n6.as("nc"), col("nc.vec_id") === col("c_id"))
         .withColumn("rn", row_number().over(assignW))
-        .filter(col("rn") === 1)
-        .select(col("cd.vec_id").as("vid"), col("c_id"))
+        .select(col("cd.vec_id").as("vid"), col("c_id"), col("rn"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = assign.as("q").filter(col("q.vid") % 100 === 0)
+      val assign = ranked.filter(col("rn") === 1)
+      val probes = ranked.filter(col("rn") <= nprobe)
+      val cand = probes.as("q").filter(col("q.vid") % 100 === 0)
         .join(assign.as("v"), col("v.c_id") === col("q.c_id") && col("v.vid") =!= col("q.vid"))
         .select(col("q.vid").as("query_id"), col("v.vid").as("cand_id"))
+        .distinct()
       val dots = cand
         .join(e.as("a"), col("a.vec_id") === col("query_id"))
         .join(e.as("b"), col("b.vec_id") === col("cand_id") && col("b.i") === col("a.i"))
@@ -167,7 +174,12 @@ object Similarity {
         .filter(col("rank") <= K)
         .select("query_id", "cand_id", "rank", "cosine")
         .orderBy("query_id", "rank")
-    },
+    }
+
+  val queries: Seq[OracleQuery] = Seq(
+    // ---- q43/q52: IVF ANN, nprobe=1 and the nprobe=2 border-recall fix ----
+    ivfQuery("q43_ann_ivf", 1),
+    ivfQuery("q52_ann_ivf_probe2", 2),
 
     // ---- q42: embedding-cosine near-dup pairs, (label × LSH band) blocked ----
     // Elements quantize to 1e6-scaled longs (DECIMAL(18,6) rounding, then an

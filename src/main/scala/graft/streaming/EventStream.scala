@@ -73,6 +73,32 @@ object EventStream {
   def dedupe(events: DataFrame): DataFrame =
     withEventTime(events).withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** Stream-stream interval join: each purchase joined to the same user's
+    * clicks in the 30 minutes at or before it — the streaming form of q49's
+    * attribution shape. Both sides carry watermarks and the join condition
+    * time-bounds c_ts relative to p_ts on both ends, which is exactly what
+    * lets the state store evict rows once the watermark passes the bound —
+    * state size ∝ events within the (watermark + bound) horizon per user,
+    * not stream length. In batch mode the same code is a plain equi+range
+    * join (watermarks are no-ops), so stream-vs-batch agreement is testable
+    * on the same files. */
+  def purchaseClickJoin(events: DataFrame): DataFrame = {
+    val e = withEventTime(events)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("p_ts", "1 hour")
+    val c = e.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("click_value"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c, col("p_user") === col("c_user")
+        && col("c_ts") >= col("p_ts") - expr("INTERVAL '30' MINUTE")
+        && col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("p_ts"), col("purchase_value"),
+        col("c_ts"), col("click_value"))
+  }
+
   /** Running per-user totals carried in custom keyed state
     * (mapGroupsWithState) — the escape hatch for stateful logic the
     * built-in windowed aggregates can't express. Each trigger folds its

@@ -55,10 +55,38 @@ class PlanSpec extends SparkSpec {
     // generation is always a key-equi join (shingle / band / bucket /
     // cell / label+dim), never a cartesian or nested-loop product
     Seq("q27_jaccard_pairs", "q28_minhash_lsh", "q30_cosine_topk",
-        "q31_ann_lsh", "q42_embedding_neardup", "q43_ann_ivf").foreach { q =>
+        "q31_ann_lsh", "q39_training_pipeline", "q42_embedding_neardup",
+        "q43_ann_ivf", "q52_ann_ivf_probe2").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
     }
+  }
+
+  test("q39: near-dup candidates come from band buckets, not a postings self-join") {
+    // the shuffle keys must include the LSH band key; a regression back to
+    // the raw `sh ⋈ sh ON s` shape would drop `bkey` from the plan entirely
+    val p = plan("q39_training_pipeline")
+    assert(p.contains("bkey"), "band-bucket candidate join lost (raw shingle self-join?)")
+  }
+
+  test("q42: pair blocking is the composite (label, band-key), not label alone") {
+    val p = plan("q42_embedding_neardup")
+    assert(p.contains("bkey"), "hyperplane band key lost from the blocking join")
+  }
+
+  test("q51: salted aggregation plans two aggregation stages") {
+    val p = plan("q51_salted_skew_agg")
+    // partial+final per groupBy phase → ≥4 HashAggregates over ≥2 exchanges
+    assert("HashAggregate".r.findAllIn(p).length >= 4, "two-phase agg collapsed")
+    assert("Exchange hashpartitioning".r.findAllIn(p).length >= 2,
+      "salted phase lost its own exchange")
+  }
+
+  test("clearCache leaves no cached plans behind (bench hygiene contract)") {
+    SparkEntry.queries("q28_minhash_lsh")(spark, sf).count()
+    assert(!spark.sharedState.cacheManager.isEmpty, "q28 should persist postings")
+    spark.catalog.clearCache()
+    assert(spark.sharedState.cacheManager.isEmpty, "cache not empty after clearCache")
   }
 }

@@ -68,6 +68,22 @@ class S3LikeSpec extends SparkSpec {
     assert(sortedRows(back) == sortedRows(fixture))
   }
 
+  test("xlsx multipart: reference key naming, ordered parts, union read-back") {
+    val base = tmp()
+    val dir = base + "/key.xlsx"
+    S3Like.putDf(fixture, dir, format = "xlsx", parts = 3, sortKeys = Seq("col_1"))
+    val fsDir = new java.io.File(base.stripPrefix("file:") + "/key")
+    assert(fsDir.listFiles().map(_.getName).filterNot(_.startsWith(".")).sorted.toSeq ==
+      Seq("key.1.xlsx", "key.2.xlsx", "key.3.xlsx"))
+    // parts are contiguous slices of the sorted frame: first part carries the
+    // extra row (np.array_split sizing), ordering is global across parts
+    val firstPart = S3Like.getDf(spark, base + "/key/key.1.xlsx", "xlsx")
+    assert(firstPart.count() == 2)
+    assert(sortedRows(firstPart) == Seq((0L, "d"), (1L, "c")))
+    val back = S3Like.getDfFromKeys(spark, base + "/key", suffix = ".xlsx").get
+    assert(sortedRows(back) == sortedRows(fixture))
+  }
+
   test("object (pickle-analogue) round-trip preserves schema exactly") {
     val dir = tmp() + "/key.obj"
     val df = fixture.withColumn("ts", org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))

@@ -61,6 +61,16 @@ class StreamingSpec extends SparkSpec {
     assert(viaWindow.nonEmpty && viaWindow == explicit)
   }
 
+  test("stream-stream purchase-click interval join equals the batch join") {
+    val stream = EventStream.purchaseClickJoin(EventStream.read(spark, sf))
+    val q = stream.writeStream.format("memory").queryName("ppc_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ppc_stream").collect().toSet
+    val want = EventStream.purchaseClickJoin(batchEvents).collect().toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("mapGroupsWithState running totals equal the batch aggregate") {
     val stream = EventStream.userTotals(EventStream.read(spark, sf))
     val q = stream.writeStream.format("memory").queryName("totals_stream")
