@@ -36,7 +36,8 @@ object SparkEntry {
       graft.queries.Relational3.queries ++ graft.queries.Events.queries ++
       graft.queries.TextAnalysis.queries ++ graft.queries.Dedup.queries ++
       graft.queries.Similarity.queries ++ graft.queries.MultimodalQ.queries ++
-      graft.queries.Pipeline.queries ++ graft.queries.Skew.queries
+      graft.queries.Pipeline.queries ++ graft.queries.Skew.queries ++
+      graft.queries.TrainingOps.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

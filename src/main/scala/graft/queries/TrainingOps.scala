@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.engine.Tables
+import graft.functions.TextOps
+
+/** Training-data curation operators a 100 TB pre-training pipeline runs
+  * between "raw corpus" and "tokenizer input" (LLM-pipeline extensions; no
+  * reference analogue). Everything is exact integer / md5 arithmetic so each
+  * op is bit-identical in any engine — including the sampling, whose
+  * keep/drop decision is a deterministic function of the row, not an RNG.
+  *
+  * Scale shapes: packing is one window pass per (lang) partition; sampling
+  * and repetition scoring are narrow per-row expression maps; the quantile
+  * summary reduces per lang. No op shuffles more than once.
+  */
+object TrainingOps {
+
+  /** Tokens-per-sequence budget for q53 packing (a GPT-style 2k context). */
+  val PackBudget = 2048
+
+  val queries: Seq[OracleQuery] = Seq(
+    // ---- q53: sequence packing — assign docs to fixed-token-budget
+    //           training bins by exclusive prefix sum (deterministic
+    //           doc_id order within lang). The bin id is integer division
+    //           of the running total, so assignment parallelizes as one
+    //           window pass and never needs a driver-side bin loop. ----
+    OracleQuery(
+      "q53_sequence_packing",
+      s"""WITH d AS (
+         |  SELECT doc_id, lang,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM d)
+         |SELECT lang, CAST(prior // $PackBudget AS BIGINT) AS bin,
+         |  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+         |FROM c GROUP BY lang, bin
+         |ORDER BY lang, bin""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("prior", coalesce(sum("n_tokens").over(w), lit(0)))
+        .groupBy(col("lang"), expr(s"CAST(prior div $PackBudget AS BIGINT)").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").cast(LongType).as("bin_tokens"))
+        .orderBy("lang", "bin")
+    },
+
+    // ---- q54: stratified deterministic sampling — per-language keep rates
+    //           (the data-mixing step that rebalances a corpus before
+    //           training). The keep decision hashes the doc id through md5
+    //           and compares the first byte to the language's rate, so the
+    //           "random" sample is a pure function of the row: identical
+    //           across engines, retries, and reruns — no RNG, no seed
+    //           plumbing, no resample drift at 1000 executors. ----
+    OracleQuery(
+      "q54_stratified_sample",
+      """WITH h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS hv
+        |  FROM documents),
+        |kept AS (
+        |  SELECT * FROM h
+        |  WHERE hv < CASE WHEN lang = 'en' THEN 64 ELSE 192 END)
+        |SELECT lang, count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val h = expr(
+        "(instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1) * 16" +
+          " + instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 2, 1)) - 1")
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"), h.as("hv"))
+        // downsample the overrepresented language to 25%, keep 75% elsewhere
+        .filter(col("hv") < when(col("lang") === "en", 64).otherwise(192))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast(LongType).as("total_chars"))
+        .orderBy("lang")
+    },
+
+    // ---- q55: corpus quality distribution — exact interpolated quantiles
+    //           of tokens-per-doc per language (the summary a curation run
+    //           reports before/after each filter stage). ----
+    OracleQuery(
+      "q55_token_quantiles",
+      """WITH d AS (
+        |  SELECT lang,
+        |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  round(quantile_cont(n_tokens, 0.25), 9) AS p25,
+        |  round(quantile_cont(n_tokens, 0.5), 9) AS p50,
+        |  round(quantile_cont(n_tokens, 0.9), 9) AS p90
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+      Tables(spark, dir, "documents")
+        .select(col("lang"), TextOps.tokenCount(col("text")).as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_tokens, 0.25)"), 9).as("p25"),
+          round(expr("percentile(n_tokens, 0.5)"), 9).as("p50"),
+          round(expr("percentile(n_tokens, 0.9)"), 9).as("p90"))
+        .orderBy("lang")
+    },
+
+    // ---- q56: repetition-ratio quality filter (Gopher-style): the share
+    //           of the document owned by its most frequent token. High
+    //           max-token-share flags degenerate/boilerplate docs. All
+    //           integer counts; the final ratio is one int/int double
+    //           division — identical IEEE result in any engine. ----
+    OracleQuery(
+      "q56_repetition_filter",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |tc AS (SELECT doc_id, w, count(*) AS c FROM tok GROUP BY doc_id, w),
+        |agg AS (
+        |  SELECT doc_id, CAST(MAX(c) AS BIGINT) AS max_c, CAST(SUM(c) AS BIGINT) AS n_tok
+        |  FROM tc GROUP BY doc_id)
+        |SELECT doc_id, max_c, n_tok,
+        |  CAST(max_c AS DOUBLE) / n_tok AS top_share
+        |FROM agg
+        |WHERE CAST(max_c AS DOUBLE) / n_tok > 0.12
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val share = col("max_c").cast(DoubleType) / col("n_tok")
+      Tables(spark, dir, "documents").repartition(parts)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max("c").cast(LongType).as("max_c"), sum("c").cast(LongType).as("n_tok"))
+        .select(col("doc_id"), col("max_c"), col("n_tok"), share.as("top_share"))
+        .filter(share > 0.12)
+        .orderBy("doc_id")
+    },
+  )
+}
