@@ -47,7 +47,10 @@ object Xlsx {
     * contiguously with np.array_split sizing (first `len % parts` chunks get
     * one extra row), so a pre-sorted frame stays globally ordered across the
     * part sequence. Still a driver-side small-export path like [[write]] —
-    * the cap applies per part. */
+    * the cap applies per part. Deviation from np.array_split: chunks beyond
+    * the row count would be EMPTY workbooks, whose header-only sheets lose
+    * the column types on read-back (every column infers string) and then
+    * poison the union; we skip writing them instead. */
   def writeParts(df: DataFrame, dirUri: String, stem: String, parts: Int): Unit = {
     val rows = df.limit(parts * maxRows + 1).collect()
     require(rows.length <= parts.toLong * maxRows,
@@ -59,7 +62,8 @@ object Xlsx {
       val sz = base + (if (i < extra) 1 else 0)
       val chunk = rows.slice(off, off + sz)
       off += sz
-      writeBytes(df, s"$dirUri/$stem.${i + 1}.xlsx", render(df.schema, chunk))
+      if (chunk.nonEmpty)
+        writeBytes(df, s"$dirUri/$stem.${i + 1}.xlsx", render(df.schema, chunk))
     }
   }
 

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed exclusive prefix sum — the two-level scan that replaces a
+  * single giant window partition.
+  *
+  * `Window.partitionBy(group).orderBy(key)` funnels every row of one group
+  * through ONE task; with few groups (e.g. per-language scans over a corpus)
+  * that is a serial bottleneck at 100 TB no matter how many executors exist.
+  * The classic fix is the parallel scan: chunk each group into order-
+  * contiguous ranges, prefix-sum locally per chunk, prefix-sum the tiny
+  * per-chunk totals, and add the chunk offset back. All three passes are
+  * data-parallel; the only serial structure left is the per-group chunk-
+  * total scan, whose size is the chunk COUNT, not the row count.
+  *
+  * Chunks come from `repartitionByRange` over (group, key), so each Spark
+  * partition holds an order-contiguous slice and `spark_partition_id()` is
+  * the chunk id. Range boundaries are sampled and may vary run-to-run, but
+  * the RESULT is boundary-independent (a prefix sum doesn't care where the
+  * chunks were cut) — so outputs stay bit-deterministic and oracle-checkable.
+  *
+  * Requires `key` to be unique within each group (ties straddling a chunk
+  * boundary would make "rows before me" ambiguous — same caveat as any
+  * ordered scan).
+  */
+object PrefixSum {
+
+  /** Append `out` = exclusive prefix sum of `valueCol` ordered by `keyCol`
+    * within each `groupCols` group, computed as a two-level parallel scan
+    * over `chunks` range partitions. */
+  def exclusive(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      valueCol: String,
+      chunks: Int,
+      out: String): DataFrame = {
+    require(chunks > 0, "chunks must be > 0")
+    val grp = groupCols.map(col)
+    val chunked = df
+      .repartitionByRange(chunks, (groupCols :+ keyCol).map(col): _*)
+      .withColumn("__chunk", spark_partition_id())
+    val localW = Window.partitionBy(grp :+ col("__chunk"): _*).orderBy(keyCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = chunked
+      .withColumn("__local", coalesce(sum(valueCol).over(localW), lit(0)))
+    // per-(group, chunk) totals: ~`chunks` rows per group — the only scan
+    // that still runs within one task per group, now over chunk counts
+    val offW = Window.partitionBy(grp: _*).orderBy("__chunk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local
+      .groupBy(grp :+ col("__chunk"): _*).agg(sum(valueCol).as("__ctot"))
+      .withColumn("__off", coalesce(sum("__ctot").over(offW), lit(0)))
+      .drop("__ctot")
+    local
+      .join(offsets, groupCols :+ "__chunk")
+      .withColumn(out, col("__local") + col("__off"))
+      .drop("__local", "__off", "__chunk")
+  }
+}

@@ -1,10 +1,10 @@
 package graft.queries
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.Tables
 import graft.functions.TextOps
+import graft.operators.PrefixSum
 
 /** Training-data curation operators a 100 TB pre-training pipeline runs
   * between "raw corpus" and "tokenizer input" (LLM-pipeline extensions; no
@@ -24,9 +24,12 @@ object TrainingOps {
   val queries: Seq[OracleQuery] = Seq(
     // ---- q53: sequence packing — assign docs to fixed-token-budget
     //           training bins by exclusive prefix sum (deterministic
-    //           doc_id order within lang). The bin id is integer division
-    //           of the running total, so assignment parallelizes as one
-    //           window pass and never needs a driver-side bin loop. ----
+    //           doc_id order within lang). The prefix sum runs through
+    //           operators.PrefixSum's two-level parallel scan, NOT a
+    //           single window over lang — with ~5 languages a plain
+    //           Window.partitionBy(lang) would drag the whole corpus
+    //           through 5 tasks at 100 TB. The oracle states the same
+    //           semantics as one window (DuckDB's input fits one node). ----
     OracleQuery(
       "q53_sequence_packing",
       s"""WITH d AS (
@@ -42,12 +45,11 @@ object TrainingOps {
          |  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
          |FROM c GROUP BY lang, bin
          |ORDER BY lang, bin""".stripMargin) { (spark, dir) =>
-      val w = Window.partitionBy("lang").orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      Tables(spark, dir, "documents")
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val d = Tables(spark, dir, "documents")
         .select(col("doc_id"), col("lang"),
           TextOps.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("prior", coalesce(sum("n_tokens").over(w), lit(0)))
+      PrefixSum.exclusive(d, Seq("lang"), "doc_id", "n_tokens", parts, "prior")
         .groupBy(col("lang"), expr(s"CAST(prior div $PackBudget AS BIGINT)").as("bin"))
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").cast(LongType).as("bin_tokens"))

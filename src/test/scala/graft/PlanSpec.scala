@@ -83,6 +83,13 @@ class PlanSpec extends SparkSpec {
       "salted phase lost its own exchange")
   }
 
+  test("q53: prefix sum is the two-level scan, not one window per language") {
+    val p = plan("q53_sequence_packing")
+    // local pass + chunk-offset pass → two Window nodes over a range exchange
+    assert("Window".r.findAllIn(p).length >= 2, "two-level scan collapsed to one window")
+    assert(p.contains("Exchange rangepartitioning"), "order-contiguous chunking lost")
+  }
+
   test("clearCache leaves no cached plans behind (bench hygiene contract)") {
     SparkEntry.queries("q28_minhash_lsh")(spark, sf).count()
     assert(!spark.sharedState.cacheManager.isEmpty, "q28 should persist postings")

@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.operators.PrefixSum
+
+/** The two-level parallel scan must equal the single-window formulation
+  * exactly, independent of how the range partitioner cut the chunks. */
+class PrefixSumSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def data = spark.range(0, 5000)
+    .select(col("id"),
+      (col("id") % 7).cast("string").as("g"),
+      (col("id") % 13).as("v"))
+
+  private def expected = {
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    data.withColumn("pre", coalesce(sum("v").over(w), lit(0)))
+      .select("id", "g", "v", "pre")
+      .as[(Long, String, Long, Long)].collect().toSet
+  }
+
+  test("two-level scan equals the single-window prefix sum") {
+    val got = PrefixSum.exclusive(data, Seq("g"), "id", "v", chunks = 8, out = "pre")
+      .select("id", "g", "v", "pre")
+      .as[(Long, String, Long, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
+  test("result is chunk-count independent (1, 3, 32 chunks all agree)") {
+    val ref = expected
+    Seq(1, 3, 32).foreach { n =>
+      val got = PrefixSum.exclusive(data, Seq("g"), "id", "v", n, "pre")
+        .select("id", "g", "v", "pre")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == ref, s"chunks=$n diverged")
+    }
+  }
+}

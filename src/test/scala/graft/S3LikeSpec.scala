@@ -84,6 +84,17 @@ class S3LikeSpec extends SparkSpec {
     assert(sortedRows(back) == sortedRows(fixture))
   }
 
+  test("xlsx multipart with more parts than rows skips empty workbooks") {
+    val base = tmp()
+    S3Like.putDf(fixture, base + "/key.xlsx", format = "xlsx", parts = 6,
+      sortKeys = Seq("col_1"))
+    val fsDir = new java.io.File(base.stripPrefix("file:") + "/key")
+    assert(fsDir.listFiles().count(f => f.getName.endsWith(".xlsx")) == 4)
+    val back = S3Like.getDfFromKeys(spark, base + "/key", suffix = ".xlsx").get
+    assert(back.schema("col_1").dataType.typeName == "long")
+    assert(sortedRows(back) == sortedRows(fixture))
+  }
+
   test("object (pickle-analogue) round-trip preserves schema exactly") {
     val dir = tmp() + "/key.obj"
     val df = fixture.withColumn("ts", org.apache.spark.sql.functions.lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
