@@ -40,9 +40,16 @@ object PrefixSum {
       out: String): DataFrame = {
     require(chunks > 0, "chunks must be > 0")
     val grp = groupCols.map(col)
+    // persisted, NOT recomputed per consumer: the chunk id comes from the
+    // sampled range boundaries, and the local-prefix side and the offset
+    // side must see the SAME boundaries. Without materialization that
+    // agreement would hang on runtime exchange reuse (fragile), and the
+    // upstream expression work would run twice besides. Released by the
+    // session-level cache clearing every entry point performs per query.
     val chunked = df
       .repartitionByRange(chunks, (groupCols :+ keyCol).map(col): _*)
       .withColumn("__chunk", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val localW = Window.partitionBy(grp :+ col("__chunk"): _*).orderBy(keyCol)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = chunked
@@ -51,7 +58,7 @@ object PrefixSum {
     // that still runs within one task per group, now over chunk counts
     val offW = Window.partitionBy(grp: _*).orderBy("__chunk")
       .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = local
+    val offsets = chunked
       .groupBy(grp :+ col("__chunk"): _*).agg(sum(valueCol).as("__ctot"))
       .withColumn("__off", coalesce(sum("__ctot").over(offW), lit(0)))
       .drop("__ctot")
