@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.Tables
@@ -140,6 +141,61 @@ object TrainingOps {
         .select(col("doc_id"), col("max_c"), col("n_tok"), share.as("top_share"))
         .filter(share > 0.12)
         .orderBy("doc_id")
+    },
+
+    // ---- q57: vocabulary heavy hitters — global token frequencies, top
+    //           50 (the corpus summary a tokenizer-training run starts
+    //           from). The count is a map-side-combined aggregation on the
+    //           token key; the top-k is TakeOrderedAndProject (per-partition
+    //           heaps merged on the driver), never a global sort exchange —
+    //           rank is attached afterwards over the 50 survivors only. ----
+    OracleQuery(
+      "q57_vocab_topk",
+      """WITH tok AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM documents),
+        |f AS (SELECT w, count(*) AS freq FROM tok GROUP BY w)
+        |SELECT w, CAST(freq AS BIGINT) AS freq, CAST(rn AS INTEGER) AS rank
+        |FROM (SELECT w, freq,
+        |        row_number() OVER (ORDER BY freq DESC, w) AS rn FROM f) r
+        |WHERE rn <= 50 ORDER BY rank""".stripMargin) { (spark, dir) =>
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val top = Tables(spark, dir, "documents").repartition(parts)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("w"))
+        .limit(50)
+      // rank over the 50 survivors (a single tiny partition, after top-k)
+      top.withColumn("rank",
+          row_number().over(Window.orderBy(col("freq").desc, col("w"))).cast(IntegerType))
+        .select(col("w"), col("freq").cast(LongType).as("freq"), col("rank"))
+        .orderBy("rank")
+    },
+
+    // ---- q58: eval-set decontamination — exact-fingerprint overlap
+    //           between a held-out source and the rest of the corpus (the
+    //           check every pre-training run owes its eval suite). The
+    //           match key is the canonical content fingerprint, so the
+    //           join is a hash-equi join on fp — bucketed, never all-pairs,
+    //           and robust to word order/repetition like q26. ----
+    OracleQuery(
+      "q58_eval_contamination",
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+        |  FROM documents),
+        |ev AS (SELECT doc_id, fp FROM f WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, fp FROM f WHERE source <> 'src0')
+        |SELECT ev.doc_id AS eval_doc, count(*) AS n_train_dups
+        |FROM ev JOIN tr ON tr.fp = ev.fp
+        |GROUP BY ev.doc_id ORDER BY eval_doc""".stripMargin) { (spark, dir) =>
+      val f = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.contentFingerprint(TextOps.tokens(col("text"))).as("fp"))
+      val ev = f.filter(col("source") === "src0").select(col("doc_id").as("eval_doc"), col("fp"))
+      val tr = f.filter(col("source") =!= "src0").select(col("fp"))
+      ev.join(tr, "fp")
+        .groupBy("eval_doc").agg(count(lit(1)).as("n_train_dups"))
+        .orderBy("eval_doc")
     },
   )
 }

@@ -83,6 +83,11 @@ class PlanSpec extends SparkSpec {
       "salted phase lost its own exchange")
   }
 
+  test("q57: vocab top-k plans as TakeOrderedAndProject before ranking") {
+    val p = plan("q57_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"), "heavy-hitter top-k fell back to global sort")
+  }
+
   test("q53: prefix sum is the two-level scan, not one window per language") {
     val p = plan("q53_sequence_packing")
     // local pass + chunk-offset pass → two Window nodes over a range exchange
