@@ -90,7 +90,12 @@ object TrainingOps {
 
     // ---- q55: corpus quality distribution — exact interpolated quantiles
     //           of tokens-per-doc per language (the summary a curation run
-    //           reports before/after each filter stage). ----
+    //           reports before/after each filter stage). Scale note: Spark's
+    //           exact percentile keeps per-group state ∝ DISTINCT values,
+    //           not rows — fine for a bounded integer domain like token
+    //           counts; for unbounded/continuous measures switch to
+    //           approx_percentile (mergeable t-digest), which this oracle
+    //           can't check bit-exactly but shares the same plan shape. ----
     OracleQuery(
       "q55_token_quantiles",
       """WITH d AS (
