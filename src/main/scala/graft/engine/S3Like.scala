@@ -75,6 +75,7 @@ object S3Like {
         require(sortKeys.forall(df.columns.contains), s"sort keys $sortKeys not all in ${df.columns.toSeq}")
         df.repartitionByRange(parts, sortKeys.map(col): _*).sortWithinPartitions(sortKeys.map(col): _*)
       } else if (format == "xlsx") df // driver-side codec splits rows itself
+      else if (parts == 1) df.coalesce(1) // narrow, no shuffle
       else df.repartition(parts)
 
     val outDir = if (exactNaming && format != "xlsx") uri + ".__tmp" else uri

@@ -52,7 +52,9 @@ object Xlsx {
     * the column types on read-back (every column infers string) and then
     * poison the union; we skip writing them instead. */
   def writeParts(df: DataFrame, dirUri: String, stem: String, parts: Int): Unit = {
-    val rows = df.limit(parts * maxRows + 1).collect()
+    // long arithmetic: parts * maxRows overflows Int from parts = 2048
+    val cap = math.min(parts.toLong * maxRows + 1, Int.MaxValue.toLong).toInt
+    val rows = df.limit(cap).collect()
     require(rows.length <= parts.toLong * maxRows,
       s"xlsx export capped at $maxRows rows per part — use parquet/csv for large data")
     val base = rows.length / parts

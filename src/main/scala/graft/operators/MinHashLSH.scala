@@ -27,14 +27,17 @@ object MinHashLSH {
     * guard against hot postings ("of the and"-grade n-grams). Without it any
     * postings-keyed work degenerates on the hot keys at scale; with it the
     * dropped shingles are exactly the ones that carry no near-dup signal
-    * (they occur everywhere). The hot set is tiny by construction, so it
-    * broadcasts and the cap costs one map-side-combined count plus a
-    * broadcast anti join — no extra shuffle of the postings.
+    * (they occur everywhere). The cap costs one map-side-combined count
+    * plus an anti join keyed on the shingle. No broadcast hint: the hot
+    * set's size grows with the corpus (every moderately common n-gram
+    * eventually exceeds a fixed cap), so forcing a broadcast would
+    * override Spark's size checks and OOM at exactly the scale this cap
+    * exists for — let AQE pick broadcast only when the set really is small.
     */
   def dfCapped(sh: DataFrame, dfCap: Int): DataFrame = {
     val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
       .filter(col("df") > dfCap).select("s")
-    sh.join(broadcast(hot), Seq("s"), "left_anti")
+    sh.join(hot, Seq("s"), "left_anti")
   }
 
   /** Candidate near-dup pairs (d1 < d2) from band-bucket collisions.

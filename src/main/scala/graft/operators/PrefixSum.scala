@@ -61,10 +61,17 @@ object PrefixSum {
     val offsets = chunked
       .groupBy(grp :+ col("__chunk"): _*).agg(sum(valueCol).as("__ctot"))
       .withColumn("__off", coalesce(sum("__ctot").over(offW), lit(0)))
-      .drop("__ctot")
+      .select((groupCols :+ "__chunk").map(c => col(c).as(s"__o_$c")) :+ col("__off"): _*)
+    // null-SAFE equi keys (<=>): a plain equi join would silently drop rows
+    // whose group column is null, but Window.partitionBy (the contract this
+    // operator replaces) keeps null groups as their own partition
+    val cond = (groupCols :+ "__chunk")
+      .map(c => col(c) <=> col(s"__o_$c"))
+      .reduce(_ && _)
     local
-      .join(offsets, groupCols :+ "__chunk")
+      .join(offsets, cond)
       .withColumn(out, col("__local") + col("__off"))
+      .drop((groupCols :+ "__chunk").map(c => s"__o_$c"): _*)
       .drop("__local", "__off", "__chunk")
   }
 }

@@ -151,6 +151,9 @@ object Similarity {
         .join(n6.as("nc"), col("nc.vec_id") === col("c_id"))
         .withColumn("rn", row_number().over(assignW))
         .select(col("cd.vec_id").as("vid"), col("c_id"), col("rn"))
+        // cache only the ≤nprobe rows per vector both consumers read, not
+        // the full |vectors|×|centroids| ranking
+        .filter(col("rn") <= nprobe)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val assign = ranked.filter(col("rn") === 1)
       val probes = ranked.filter(col("rn") <= nprobe)

@@ -29,6 +29,19 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == expected && got.nonEmpty)
   }
 
+  test("null group keys form their own partition, like Window.partitionBy") {
+    val withNulls = data.withColumn("g", when(col("id") % 5 === 0, lit(null)).otherwise(col("g")))
+    val w = Window.partitionBy("g").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val want = withNulls.withColumn("pre", coalesce(sum("v").over(w), lit(0)))
+      .select("id", "g", "v", "pre").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getLong(3))).toSet
+    val got = PrefixSum.exclusive(withNulls, Seq("g"), "id", "v", 8, "pre")
+      .select("id", "g", "v", "pre").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want && got.exists(_._2.isEmpty))
+  }
+
   test("result is chunk-count independent (1, 3, 32 chunks all agree)") {
     val ref = expected
     Seq(1, 3, 32).foreach { n =>
