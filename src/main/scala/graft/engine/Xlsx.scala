@@ -35,6 +35,23 @@ object Xlsx {
       case '"' => "&quot;"; case c => c.toString
     }
 
+  // OOXML string escaping (ECMA-376 _xHHHH_ convention): XML 1.0 cannot
+  // carry control chars at all — not even entity-escaped — and parsers
+  // normalize \r to \n in element content, so both would silently corrupt
+  // a round-trip. Store them as _xHHHH_; protect a literal substring that
+  // already looks like _xHHHH_ by escaping its underscore as _x005F_.
+  private val escapedChar = "_x([0-9A-Fa-f]{4})_".r
+
+  private[graft] def ooxmlEscape(s: String): String =
+    s.replaceAll("_(?=x[0-9A-Fa-f]{4}_)", "_x005F_").flatMap {
+      case c if c < ' ' && c != '\t' && c != '\n' => f"_x${c.toInt}%04X_"
+      case c => c.toString
+    }
+
+  private[graft] def ooxmlUnescape(s: String): String =
+    escapedChar.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
+      Integer.parseInt(m.group(1), 16).toChar.toString))
+
   /** Serialize a DataFrame to one xlsx file at `uri` (collects to driver). */
   def write(df: DataFrame, uri: String): Unit = {
     val rows = df.limit(maxRows + 1).collect()
@@ -75,14 +92,14 @@ object Xlsx {
     try out.write(bytes) finally out.close()
   }
 
-  private[engine] def render(schema: StructType, rows: Array[Row]): Array[Byte] = {
+  private[graft] def render(schema: StructType, rows: Array[Row]): Array[Byte] = {
     val sheet = new StringBuilder
     sheet ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
     sheet ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
     // header row
     sheet ++= "<row r=\"1\">"
     schema.fields.zipWithIndex.foreach { case (f, c) =>
-      sheet ++= s"""<c r="${colRef(c)}1" t="inlineStr"><is><t>${xmlEscape(f.name)}</t></is></c>"""
+      sheet ++= s"""<c r="${colRef(c)}1" t="inlineStr"><is><t>${xmlEscape(ooxmlEscape(f.name))}</t></is></c>"""
     }
     sheet ++= "</row>"
     rows.zipWithIndex.foreach { case (row, r) =>
@@ -96,7 +113,7 @@ object Xlsx {
             case BooleanType =>
               sheet ++= s"""<c r="$ref" t="b"><v>${if (row.getBoolean(c)) 1 else 0}</v></c>"""
             case _ =>
-              sheet ++= s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(String.valueOf(row.get(c)))}</t></is></c>"""
+              sheet ++= s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(ooxmlEscape(String.valueOf(row.get(c))))}</t></is></c>"""
           }
         }
       }
@@ -171,6 +188,9 @@ object Xlsx {
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toIndexedSeq), schema)
   }
 
+  private[graft] def parseForTest(bytes: Array[Byte]): (Seq[String], Seq[Seq[Option[(String, Char)]]]) =
+    parseSheet(new java.io.ByteArrayInputStream(bytes))
+
   /** Parse sheet1.xml → (header names, rows of (value, type-tag) options).
     * Type tags: 'n' number, 'b' boolean, 's' string. */
   private def parseSheet(zipStream: InputStream): (Seq[String], Seq[Seq[Option[(String, Char)]]]) = {
@@ -200,11 +220,11 @@ object Xlsx {
         val ref = cEl.getAttribute("r").takeWhile(_.isLetter)
         val colIdx = ref.foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1
         val t = cEl.getAttribute("t")
-        val text = cEl.getTextContent
-        val tag = t match {
-          case "inlineStr" | "str" | "s" => 's'
-          case "b"                       => 'b'
-          case _                         => 'n'
+        val text0 = cEl.getTextContent
+        val (text, tag) = t match {
+          case "inlineStr" | "str" | "s" => (ooxmlUnescape(text0), 's')
+          case "b"                       => (text0, 'b')
+          case _                         => (text0, 'n')
         }
         cells(colIdx) = (text, tag)
       }
