@@ -57,6 +57,45 @@ object TrainingOps {
         .orderBy("lang", "bin")
     },
 
+    // ---- q59: packed-sequence materialization — the companion to q53
+    //           that actually builds each training sequence: documents of a
+    //           bin concatenated in doc_id order (newline-joined), emitted
+    //           as an md5 digest so the oracle row stays small. Spark has
+    //           no ordered string_agg; the deterministic form is
+    //           sort-the-collected-structs then join — per-bin arrays are
+    //           budget-bounded (~budget/min_doc_tokens docs), so the
+    //           interpreted transform touches dozens of elements, never the
+    //           corpus. ----
+    OracleQuery(
+      "q59_packed_sequences",
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, text,
+         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, lang, text, n_tokens,
+         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+         |  FROM d)
+         |SELECT lang, CAST(prior // $PackBudget AS BIGINT) AS bin,
+         |  count(*) AS n_docs,
+         |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_digest
+         |FROM c GROUP BY lang, bin
+         |ORDER BY lang, bin""".stripMargin) { (spark, dir) =>
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val d = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+      PrefixSum.exclusive(d, Seq("lang"), "doc_id", "n_tokens", parts, "prior")
+        .groupBy(col("lang"), expr(s"CAST(prior div $PackBudget AS BIGINT)").as("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
+              x => x.getField("text")),
+            "\n")).as("seq_digest"))
+        .orderBy("lang", "bin")
+    },
+
     // ---- q54: stratified deterministic sampling — per-language keep rates
     //           (the data-mixing step that rebalances a corpus before
     //           training). The keep decision hashes the doc id through md5
