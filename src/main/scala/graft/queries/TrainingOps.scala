@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -13,14 +14,39 @@ import graft.operators.PrefixSum
   * op is bit-identical in any engine — including the sampling, whose
   * keep/drop decision is a deterministic function of the row, not an RNG.
   *
-  * Scale shapes: packing is one window pass per (lang) partition; sampling
-  * and repetition scoring are narrow per-row expression maps; the quantile
-  * summary reduces per lang. No op shuffles more than once.
+  * Scale shapes: packing prefix-sums through the two-level parallel scan
+  * (operators.PrefixSum), sampling and repetition scoring are narrow
+  * per-row expression maps, and the quantile summary reduces per lang.
   */
 object TrainingOps {
 
-  /** Tokens-per-sequence budget for q53 packing (a GPT-style 2k context). */
+  /** Tokens-per-sequence budget for q53/q59 packing (a GPT-style 2k context). */
   val PackBudget = 2048
+
+  /** Shared packing prelude, Spark side: documents with token counts and
+    * the PrefixSum-assigned bin id (see q53's scaladoc for why this is the
+    * two-level scan and not one window per language). */
+  private def binned(spark: SparkSession, dir: String, extra: Seq[String]): DataFrame = {
+    val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val d = Tables(spark, dir, "documents")
+      .select((Seq("doc_id", "lang") ++ extra).map(col) :+
+        TextOps.tokenCount(col("text")).as("n_tokens"): _*)
+    PrefixSum.exclusive(d, Seq("lang"), "doc_id", "n_tokens", parts, "prior")
+      .withColumn("bin", expr(s"CAST(prior div $PackBudget AS BIGINT)"))
+  }
+
+  /** Shared packing prelude, oracle side (same semantics as one window —
+    * DuckDB's input fits one node). */
+  private def binsSql(extra: String): String =
+    s"""WITH d AS (
+       |  SELECT doc_id, lang,$extra
+       |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens
+       |  FROM documents),
+       |c AS (
+       |  SELECT *,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
+       |  FROM d)""".stripMargin
 
   val queries: Seq[OracleQuery] = Seq(
     // ---- q53: sequence packing — assign docs to fixed-token-budget
@@ -33,25 +59,13 @@ object TrainingOps {
     //           semantics as one window (DuckDB's input fits one node). ----
     OracleQuery(
       "q53_sequence_packing",
-      s"""WITH d AS (
-         |  SELECT doc_id, lang,
-         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, lang, n_tokens,
-         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
-         |  FROM d)
+      s"""${binsSql("")}
          |SELECT lang, CAST(prior // $PackBudget AS BIGINT) AS bin,
          |  count(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
          |FROM c GROUP BY lang, bin
          |ORDER BY lang, bin""".stripMargin) { (spark, dir) =>
-      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val d = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          TextOps.tokenCount(col("text")).as("n_tokens"))
-      PrefixSum.exclusive(d, Seq("lang"), "doc_id", "n_tokens", parts, "prior")
-        .groupBy(col("lang"), expr(s"CAST(prior div $PackBudget AS BIGINT)").as("bin"))
+      binned(spark, dir, Nil)
+        .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"),
           sum("n_tokens").cast(LongType).as("bin_tokens"))
         .orderBy("lang", "bin")
@@ -68,26 +82,14 @@ object TrainingOps {
     //           corpus. ----
     OracleQuery(
       "q59_packed_sequences",
-      s"""WITH d AS (
-         |  SELECT doc_id, lang, text,
-         |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS INTEGER) AS n_tokens
-         |  FROM documents),
-         |c AS (
-         |  SELECT doc_id, lang, text, n_tokens,
-         |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prior
-         |  FROM d)
+      s"""${binsSql(" text,")}
          |SELECT lang, CAST(prior // $PackBudget AS BIGINT) AS bin,
          |  count(*) AS n_docs,
          |  md5(string_agg(text, chr(10) ORDER BY doc_id)) AS seq_digest
          |FROM c GROUP BY lang, bin
          |ORDER BY lang, bin""".stripMargin) { (spark, dir) =>
-      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val d = Tables(spark, dir, "documents")
-        .select(col("doc_id"), col("lang"), col("text"),
-          TextOps.tokenCount(col("text")).as("n_tokens"))
-      PrefixSum.exclusive(d, Seq("lang"), "doc_id", "n_tokens", parts, "prior")
-        .groupBy(col("lang"), expr(s"CAST(prior div $PackBudget AS BIGINT)").as("bin"))
+      binned(spark, dir, Seq("text"))
+        .groupBy("lang", "bin")
         .agg(count(lit(1)).as("n_docs"),
           md5(array_join(
             transform(array_sort(collect_list(struct(col("doc_id"), col("text")))),
@@ -232,9 +234,12 @@ object TrainingOps {
         |SELECT ev.doc_id AS eval_doc, count(*) AS n_train_dups
         |FROM ev JOIN tr ON tr.fp = ev.fp
         |GROUP BY ev.doc_id ORDER BY eval_doc""".stripMargin) { (spark, dir) =>
+      // both sides of the overlap join derive from this projection —
+      // persist so the corpus is scanned and fingerprinted once
       val f = Tables(spark, dir, "documents")
         .select(col("doc_id"), col("source"),
           TextOps.contentFingerprint(TextOps.tokens(col("text"))).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ev = f.filter(col("source") === "src0").select(col("doc_id").as("eval_doc"), col("fp"))
       val tr = f.filter(col("source") =!= "src0").select(col("fp"))
       ev.join(tr, "fp")
