@@ -189,15 +189,21 @@ object Dedup {
         |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       val tok = docs(spark, dir)
         .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("w"))
-      val vote = expr(
-        "CASE WHEN (shiftright(instr('0123456789abcdef', substr(md5(w), 1 + (j div 4), 1)) - 1, " +
-          "3 - (j % 4)) & 1) = 1 THEN 1 ELSE -1 END")
+      // all 32 bit-votes as aggregate columns of ONE groupBy pass: no ×32
+      // row explosion, one shuffle instead of two, and subexpression
+      // elimination computes md5(w) once per row across the 32 votes. Each
+      // column contributes its weight 2^j directly, so the signature is a
+      // plain sum of the aggregated columns.
+      def vote(j: Int) = expr(
+        s"CASE WHEN (shiftright(instr('0123456789abcdef', substr(md5(w), ${1 + j / 4}, 1)) - 1, " +
+          s"${3 - j % 4}) & 1) = 1 THEN 1 ELSE -1 END")
+      val bitCols = (0 until 32).map(j =>
+        when(sum(vote(j)) >= 0, lit(1L << j)).otherwise(lit(0L)).as(s"b$j"))
       tok
-        .select(col("doc_id"), col("w"), explode(sequence(lit(0), lit(31))).as("j"))
-        .groupBy("doc_id", "j")
-        .agg(when(sum(vote) >= 0, 1).otherwise(0).as("bit"))
         .groupBy("doc_id")
-        .agg(sum((col("bit") * pow(lit(2.0), col("j"))).cast(LongType)).as("simhash"))
+        .agg(bitCols.head, bitCols.tail: _*)
+        .select(col("doc_id"),
+          (0 until 32).map(j => col(s"b$j")).reduce(_ + _).as("simhash"))
         .orderBy("doc_id")
     },
   )
