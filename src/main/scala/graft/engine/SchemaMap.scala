@@ -44,8 +44,12 @@ object SchemaMap {
     case "DATE"                                 => DateType
     case "BOOLEAN" | "BOOL"                     => BooleanType
     case t if t.startsWith("DECIMAL") || t.startsWith("NUMERIC") =>
-      val Array(p, sc) = t.dropWhile(_ != '(').drop(1).takeWhile(_ != ')').split(',').map(_.trim.toInt)
-      DecimalType(p, sc)
+      // precision-less DECIMAL/NUMERIC is valid SQL → warehouse default (18,0)
+      t.dropWhile(_ != '(').drop(1).takeWhile(_ != ')').split(',').map(_.trim).toSeq match {
+        case Seq(p, sc) if p.nonEmpty => DecimalType(p.toInt, sc.toInt)
+        case Seq(p) if p.nonEmpty     => DecimalType(p.toInt, 0)
+        case _                        => DecimalType(18, 0)
+      }
     case t if t.startsWith("VARCHAR") || t.startsWith("CHAR") => StringType
     case _ => StringType
   }

@@ -110,7 +110,11 @@ object Warehouse {
     val normed = SchemaMap.normalizeColumns(updates)
     val current = spark.table(tgt)
     val newState = current.join(normed, keys, "left_anti").unionByName(normed)
-    val stage = s"stage_${target.replace('.', '_')}"
+    // stage in the TARGET's database: a db-qualified target staged in the
+    // current database would drop the target and then fail the cross-db
+    // RENAME, destroying the table
+    val tgtParts = tgt.split('.')
+    val stage = (tgtParts.dropRight(1) :+ s"stage_${tgtParts.last}").mkString(".")
     spark.sql(s"DROP TABLE IF EXISTS $stage")
     newState.write.saveAsTable(stage)
     spark.sql(s"DROP TABLE $tgt")

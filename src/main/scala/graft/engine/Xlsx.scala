@@ -38,15 +38,35 @@ object Xlsx {
   // OOXML string escaping (ECMA-376 _xHHHH_ convention): XML 1.0 cannot
   // carry control chars at all — not even entity-escaped — and parsers
   // normalize \r to \n in element content, so both would silently corrupt
-  // a round-trip. Store them as _xHHHH_; protect a literal substring that
-  // already looks like _xHHHH_ by escaping its underscore as _x005F_.
+  // a round-trip. Store them as _xHHHH_; protect a literal substring the
+  // decoder would mistake for an escape by escaping its underscore as
+  // _x005F_. The guard must fire not only on literal `_xHHHH_` but also on
+  // `_xHHHH` whose closing underscore would come from an ESCAPE inserted
+  // right after it (e.g. "_x005F" +  → "_x005F_x0001_" would decode
+  // as "_" + "x0001_") — hence the single-pass scan with lookahead rather
+  // than a regex over the raw input.
   private val escapedChar = "_x([0-9A-Fa-f]{4})_".r
 
-  private[graft] def ooxmlEscape(s: String): String =
-    s.replaceAll("_(?=x[0-9A-Fa-f]{4}_)", "_x005F_").flatMap {
-      case c if c < ' ' && c != '\t' && c != '\n' => f"_x${c.toInt}%04X_"
-      case c => c.toString
+  private def needsEscape(c: Char): Boolean = c < ' ' && c != '\t' && c != '\n'
+
+  private def isHexDigit(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
+  private[graft] def ooxmlEscape(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (needsEscape(c)) sb ++= f"_x${c.toInt}%04X_"
+      else if (c == '_' && i + 6 < s.length && s.charAt(i + 1) == 'x' &&
+          (2 to 5).forall(k => isHexDigit(s.charAt(i + k))) &&
+          (s.charAt(i + 6) == '_' || needsEscape(s.charAt(i + 6))))
+        sb ++= "_x005F_" // would otherwise form a decodable _xHHHH_ pattern
+      else sb += c
+      i += 1
     }
+    sb.toString
+  }
 
   private[graft] def ooxmlUnescape(s: String): String =
     escapedChar.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
@@ -69,6 +89,7 @@ object Xlsx {
     * the column types on read-back (every column infers string) and then
     * poison the union; we skip writing them instead. */
   def writeParts(df: DataFrame, dirUri: String, stem: String, parts: Int): Unit = {
+    require(parts > 0, "parts must be > 0")
     // long arithmetic: parts * maxRows overflows Int from parts = 2048
     val cap = math.min(parts.toLong * maxRows + 1, Int.MaxValue.toLong).toInt
     val rows = df.limit(cap).collect()
@@ -192,24 +213,42 @@ object Xlsx {
     parseSheet(new java.io.ByteArrayInputStream(bytes))
 
   /** Parse sheet1.xml → (header names, rows of (value, type-tag) options).
-    * Type tags: 'n' number, 'b' boolean, 's' string. */
+    * Type tags: 'n' number, 'b' boolean, 's' string. Reads files this codec
+    * wrote AND externally-authored workbooks: shared-string cells (t="s")
+    * resolve through xl/sharedStrings.xml — treating them as inline text
+    * would silently return the string-table INDEX for every string cell of
+    * an Excel/openpyxl file — and cells without an `r` reference (legal
+    * OOXML) fall back to their sequential position in the row. */
   private def parseSheet(zipStream: InputStream): (Seq[String], Seq[Seq[Option[(String, Char)]]]) = {
     val zis = new ZipInputStream(zipStream)
     var sheetBytes: Array[Byte] = null
+    var sharedBytes: Array[Byte] = null
     var entry = zis.getNextEntry
-    while (entry != null && sheetBytes == null) {
-      if (entry.getName == "xl/worksheets/sheet1.xml") {
+    while (entry != null && (sheetBytes == null || sharedBytes == null)) {
+      val grab = entry.getName == "xl/worksheets/sheet1.xml" ||
+        entry.getName == "xl/sharedStrings.xml"
+      if (grab) {
         val bos = new ByteArrayOutputStream()
         val buf = new Array[Byte](8192)
         var n = zis.read(buf)
         while (n > 0) { bos.write(buf, 0, n); n = zis.read(buf) }
-        sheetBytes = bos.toByteArray
-      } else entry = zis.getNextEntry
+        if (entry.getName == "xl/worksheets/sheet1.xml") sheetBytes = bos.toByteArray
+        else sharedBytes = bos.toByteArray
+      }
+      entry = zis.getNextEntry
     }
     require(sheetBytes != null, "xl/worksheets/sheet1.xml not found in xlsx")
     val dbf = DocumentBuilderFactory.newInstance()
     dbf.setNamespaceAware(false)
-    val doc = dbf.newDocumentBuilder().parse(new java.io.ByteArrayInputStream(sheetBytes))
+    val builder = dbf.newDocumentBuilder()
+    val sharedStrings: IndexedSeq[String] =
+      if (sharedBytes == null) IndexedSeq.empty
+      else {
+        val sdoc = builder.parse(new java.io.ByteArrayInputStream(sharedBytes))
+        val sis = sdoc.getElementsByTagName("si")
+        (0 until sis.getLength).map(i => sis.item(i).getTextContent)
+      }
+    val doc = builder.parse(new java.io.ByteArrayInputStream(sheetBytes))
     val rowNodes = doc.getElementsByTagName("row")
     val allRows = (0 until rowNodes.getLength).map { i =>
       val rowEl = rowNodes.item(i).asInstanceOf[org.w3c.dom.Element]
@@ -218,13 +257,17 @@ object Xlsx {
       (0 until cellNodes.getLength).foreach { j =>
         val cEl = cellNodes.item(j).asInstanceOf[org.w3c.dom.Element]
         val ref = cEl.getAttribute("r").takeWhile(_.isLetter)
-        val colIdx = ref.foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1
+        val colIdx =
+          if (ref.isEmpty) j // no cell reference: sequential position
+          else ref.foldLeft(0)((a, ch) => a * 26 + (ch - 'A' + 1)) - 1
         val t = cEl.getAttribute("t")
         val text0 = cEl.getTextContent
         val (text, tag) = t match {
-          case "inlineStr" | "str" | "s" => (ooxmlUnescape(text0), 's')
-          case "b"                       => (text0, 'b')
-          case _                         => (text0, 'n')
+          case "s" => // shared-string table reference
+            (ooxmlUnescape(sharedStrings.lift(text0.trim.toInt).getOrElse("")), 's')
+          case "inlineStr" | "str" => (ooxmlUnescape(text0), 's')
+          case "b"                 => (text0, 'b')
+          case _                   => (text0, 'n')
         }
         cells(colIdx) = (text, tag)
       }

@@ -43,14 +43,13 @@ object TextOps {
     array((0 until bands).map(b =>
       md5(concat(lit(s"$b|"), concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand))))): _*)
 
-  /** Distinct word n-gram postings as rows: (idCol, "s") — the high-volume
-    * form of [[shingles]]. Built with posexplode + window `lead`, which stays
-    * inside whole-stage codegen; the array-building `transform`/`slice` path
-    * is interpreted per element and measures ~20× slower on the same corpus.
-    * Cost shape at scale: one exchange on the id (the window), one on
-    * (id, shingle) for the distinct — both ∝ corpus token count.
-    */
-  def shinglePostings(
+  /** Positional word n-gram postings: (idCol, pos, s) — every n-gram with
+    * its start position, duplicates kept (winnowing and other position-aware
+    * fingerprints need them). Built with posexplode + window `lead`, which
+    * stays inside whole-stage codegen; the array-building `transform`/`slice`
+    * path is interpreted per element and measures ~20× slower on the same
+    * corpus. */
+  def positionalShingles(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
@@ -58,13 +57,26 @@ object TextOps {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(idCol).orderBy("pos")
     val leads = (1 until n).map(k => lead(col("w"), k).over(w))
+    val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
     df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
-      .select(col(idCol),
+      .select(col(idCol), col("pos"),
         concat_ws(" ", col("w") +: leads: _*).as("s"),
-        leads.last.isNotNull.as("__full"))
+        full.as("__full"))
       .filter(col("__full")).drop("__full")
-      .dropDuplicates(idCol, "s")
   }
+
+  /** Distinct word n-gram postings as rows: (idCol, "s") — the high-volume
+    * form of [[shingles]], derived from [[positionalShingles]]. Cost shape
+    * at scale: one exchange on the id (the window), one on (id, shingle)
+    * for the distinct — both ∝ corpus token count. */
+  def shinglePostings(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      n: Int): org.apache.spark.sql.DataFrame =
+    positionalShingles(df, idCol, textCol, n)
+      .drop("pos")
+      .dropDuplicates(idCol, "s")
 
   /** Count of alphanumeric word tokens (BPE-ish regex token proxy). */
   def tokenCount(text: Column): Column =

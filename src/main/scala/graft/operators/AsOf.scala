@@ -11,7 +11,13 @@ import org.apache.spark.sql.functions._
   *
   * Implementation is the union-of-timelines pattern, not a join: tag both
   * sides, range-order each key's merged timeline, and carry the last-seen
-  * right payload forward with `last(_, ignoreNulls = true)`. Cost at scale is
+  * right row forward with `last(_, ignoreNulls = true)`. The payload travels
+  * as ONE struct, not per-column: a right row's struct is non-null even when
+  * its fields are null, so the carried match is always a single atomic right
+  * row — per-column carry would resurrect older non-null values into a newer
+  * row's nulls and assemble "torn" rows mixing two timeline points. Ties on
+  * the right timestamp order by the payload struct itself, making the picked
+  * row deterministic (the repo-wide bit-exactness contract). Cost at scale is
   * ONE hash exchange on the keys plus a per-key sort — no join explosion, no
   * per-row probe; at 100 TB this behaves like a single window aggregation.
   * Skewed keys concentrate a full timeline per partition; the payload state
@@ -41,20 +47,24 @@ object AsOf {
 
     val ts = "__asof_ts"
     val side = "__asof_side" // 1 = right; sorts before left (0) at equal ts → inclusive <=
+    val pcol = "__asof_p"
+    val matched = s"__matched_$rightTs"
+    val carriedCols = payload :+ matched
     val l = left.withColumn(ts, col(leftTs)).withColumn(side, lit(0))
     val r = right.withColumn(ts, col(rightTs)).withColumn(side, lit(1))
-      .withColumnRenamed(rightTs, s"__matched_$rightTs")
+      .withColumnRenamed(rightTs, matched)
+      .withColumn(pcol, struct(carriedCols.map(col): _*))
+      .drop(carriedCols: _*)
     val merged = l.unionByName(r, allowMissingColumns = true)
 
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col(side).desc)
+      .orderBy(col(ts).asc, col(side).desc, col(pcol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (payload :+ s"__matched_$rightTs").foldLeft(merged) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    val carried = merged.withColumn(pcol, last(col(pcol), ignoreNulls = true).over(w))
+    val outPayload = payload.map(p => col(s"$pcol.$p").as(p)) :+
+      col(s"$pcol.$matched").as(matchedTsName(rightTs))
     carried.filter(col(side) === 0)
-      .drop(ts, side)
-      .withColumnRenamed(s"__matched_$rightTs", matchedTsName(rightTs))
+      .select(left.columns.map(col) ++ outPayload: _*)
   }
 
   /** Name under which the matched right timestamp surfaces in the output. */

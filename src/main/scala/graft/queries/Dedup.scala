@@ -156,15 +156,8 @@ object Dedup {
         |SELECT DISTINCT doc_id, fp FROM wins
         |ORDER BY doc_id, fp""".stripMargin) { (spark, dir) =>
       val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-      val tok = docs(spark, dir).repartition(parts)
-        .select(col("doc_id"), posexplode(TextOps.tokens(col("text"))).as(Seq("pos", "w")))
-      val ord = Window.partitionBy("doc_id").orderBy("pos")
-      val leads = (1 until 3).map(k => lead(col("w"), k).over(ord))
-      val shp = tok
-        .select(col("doc_id"), col("pos"),
-          concat_ws(" ", col("w") +: leads: _*).as("s"),
-          leads.last.isNotNull.as("full"))
-        .filter(col("full"))
+      val shp = TextOps.positionalShingles(
+          docs(spark, dir).repartition(parts), "doc_id", "text", 3)
         .select(col("doc_id"), col("pos"), md5(col("s")).as("h"))
       val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
       shp.select(col("doc_id"), min(col("h")).over(win).as("fp"))

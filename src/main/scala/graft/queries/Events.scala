@@ -31,6 +31,19 @@ object Events {
 
   private val k: Column = get_json_object(col("props"), "$.k").cast(IntegerType)
 
+  /** 30-minute-gap session assignment (lag → break flag → running sum),
+    * shared by q18 and q49. Gap rule `>=` matches session_window's
+    * half-open merge (see q18's comment). */
+  private def sessionized(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts")
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(col("ts"), 1).over(w)
+    e.withColumn("brk", when(prev.isNull
+        || col("ts") >= prev + expr("INTERVAL '30' MINUTE"), 1).otherwise(0))
+      .withColumn("session_id", sum("brk").over(run).cast(IntegerType))
+      .drop("brk")
+  }
+
   val queries: Seq[OracleQuery] = Seq(
     // ---- q16: JSON scalar extraction + typed aggregation ----
     OracleQuery(
@@ -69,13 +82,17 @@ object Events {
     },
 
     // ---- q18: sessionization — 30-minute-gap session assignment via a
-    //           single per-user window pass (lag → break flag → running sum) ----
+    //           single per-user window pass (lag → break flag → running sum).
+    //           Gap rule is `>=` so batch sessionization agrees exactly with
+    //           session_window's half-open [start, last+gap) merge — an
+    //           event landing exactly at the 30-minute mark starts a NEW
+    //           session in both formulations (StreamingSpec pins this). ----
     OracleQuery(
       "q18_sessionization",
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
         |b AS (SELECT user_id, ts, value,
         |        CASE WHEN lag(ts) OVER w IS NULL
-        |               OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |               OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (SELECT user_id, ts, value,
         |        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
@@ -86,15 +103,7 @@ object Events {
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM s GROUP BY user_id, session_id
         |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
-      val w = Window.partitionBy("user_id").orderBy("ts")
-      val run = Window.partitionBy("user_id").orderBy("ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val prev = lag(col("ts"), 1).over(w)
-      ev(spark, dir)
-        .select("user_id", "ts", "value")
-        .withColumn("brk", when(prev.isNull
-          || col("ts") > prev + expr("INTERVAL '30' MINUTE"), 1).otherwise(0))
-        .withColumn("session_id", sum("brk").over(run).cast(IntegerType))
+      sessionized(ev(spark, dir).select("user_id", "ts", "value"))
         .groupBy("user_id", "session_id")
         .agg(min("ts").as("session_start"), max("ts").as("session_end"),
           count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
@@ -132,7 +141,7 @@ object Events {
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         |b AS (SELECT user_id, ts, value, event_type,
         |        CASE WHEN lag(ts) OVER w IS NULL
-        |               OR ts - lag(ts) OVER w > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+        |               OR ts - lag(ts) OVER w >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
         |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
         |s AS (SELECT user_id, ts, value, event_type,
         |        CAST(SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
@@ -146,13 +155,7 @@ object Events {
         |  AND p.ts >= sess.session_start AND p.ts <= sess.session_end
         |ORDER BY p.user_id, p.ts""".stripMargin) { (spark, dir) =>
       val e = ev(spark, dir)
-      val w = Window.partitionBy("user_id").orderBy("ts")
-      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val prev = lag(col("ts"), 1).over(w)
-      val sess = e.select("user_id", "ts", "value")
-        .withColumn("brk", when(prev.isNull
-          || col("ts") > prev + expr("INTERVAL '30' MINUTE"), 1).otherwise(0))
-        .withColumn("session_id", sum("brk").over(run).cast(IntegerType))
+      val sess = sessionized(e.select("user_id", "ts", "value"))
         .groupBy("user_id", "session_id")
         .agg(min("ts").as("session_start"), max("ts").as("session_end"))
         .withColumnRenamed("user_id", "s_user")

@@ -74,16 +74,18 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** (vec_id, i, xm) postings on the exact 1e6-scaled long view (see q42),
-    * shared by the quantized-dot queries. */
-  private def ed6(spark: SparkSession, dir: String): DataFrame =
+  /** (vec_id [, extra...], i, xm) postings on the exact 1e6-scaled long
+    * view (see q42), shared by the quantized-dot queries. */
+  private def ed6(spark: SparkSession, dir: String, extra: Seq[String] = Nil): DataFrame = {
+    val keep = col("vec_id") +: extra.map(col)
     Tables(spark, dir, "embeddings")
       .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
-      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i0", "x")))
-      .select(col("vec_id"), (col("i0") + 1).as("i"),
+      .select(keep :+ posexplode(col("embedding")).as(Seq("i0", "x")): _*)
+      .select(keep ++ Seq((col("i0") + 1).as("i"),
         (col("x").cast(DoubleType).cast(DecimalType(18, 6)) * lit(1000000L))
-          .cast(LongType).as("xm"))
+          .cast(LongType).as("xm")): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
 
   /** Shared oracle prelude for the quantized (1e6 long) postings. */
   private val ed6Sql =
@@ -156,7 +158,7 @@ object Similarity {
         .filter(col("rn") <= nprobe)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val assign = ranked.filter(col("rn") === 1)
-      val probes = ranked.filter(col("rn") <= nprobe)
+      val probes = ranked // already filtered to rn <= nprobe above
       val cand = probes.as("q").filter(col("q.vid") % 100 === 0)
         .join(assign.as("v"), col("v.c_id") === col("q.c_id") && col("v.vid") =!= col("q.vid"))
         .select(col("q.vid").as("query_id"), col("v.vid").as("cand_id"))
@@ -246,16 +248,10 @@ object Similarity {
         |  FROM dots JOIN n6 na ON na.vec_id = v1 JOIN n6 nb ON nb.vec_id = v2)
         |SELECT v1, v2, label, cosine FROM cos
         |WHERE cosine >= 0.4 ORDER BY v1, v2""".stripMargin) { (spark, dir) =>
-      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val nBands = 8
       val ppb = 3 // planes per band — the block-size knob (see scaladoc)
-      val ed6 = Tables(spark, dir, "embeddings").repartition(parts)
-        .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i0", "x")))
-        .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"),
-          (col("x").cast(DoubleType).cast(DecimalType(18, 6)) * lit(1000000L))
-            .cast(LongType).as("xm"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n6 = ed6.groupBy("vec_id").agg(sum(col("xm") * col("xm")).as("nsq"))
+      val ed6l = ed6(spark, dir, Seq("label"))
+      val n6 = ed6l.groupBy("vec_id").agg(sum(col("xm") * col("xm")).as("nsq"))
       // 24 hyperplanes × 64 dims of md5-derived ±1 signs (tiny, broadcast)
       val planes = spark.range(0, nBands * ppb * 64)
         .select((col("id") / 64).cast(IntegerType).as("p"),
@@ -264,14 +260,14 @@ object Similarity {
           when(expr("instr('0123456789abcdef', substr(md5(concat(cast(p as string), ',', cast(i as string))), 1, 1)) - 1 >= 8"), 1)
             .otherwise(-1).as("sgn"))
       // sign votes on the exact scaled-long view — integer codegen math
-      val bits = ed6.join(broadcast(planes), planes("i") === ed6("i"))
+      val bits = ed6l.join(broadcast(planes), planes("i") === ed6l("i"))
         .groupBy(col("vec_id"), col("p"))
         .agg(when(sum(col("sgn") * col("xm")) >= 0, "1").otherwise("0").as("b"))
       val sig = bits.groupBy("vec_id")
         .agg(array_join(
           transform(array_sort(collect_list(struct(col("p"), col("b")))), x => x.getField("b")),
           "").as("sig"))
-      val lab = ed6.select("vec_id", "label").distinct()
+      val lab = ed6l.select("vec_id", "label").distinct()
       val vecs = sig.join(lab, "vec_id")
         .select(col("vec_id"), col("label"),
           explode(array((0 until nBands).map(k =>
@@ -283,8 +279,8 @@ object Similarity {
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("a.label").as("label"))
         .distinct()
       val dots = cand
-        .join(ed6.select("vec_id", "i", "xm").as("a"), col("a.vec_id") === col("v1"))
-        .join(ed6.select("vec_id", "i", "xm").as("b"),
+        .join(ed6l.select("vec_id", "i", "xm").as("a"), col("a.vec_id") === col("v1"))
+        .join(ed6l.select("vec_id", "i", "xm").as("b"),
           col("b.vec_id") === col("v2") && col("b.i") === col("a.i"))
         .groupBy("v1", "v2", "label")
         .agg(sum(col("a.xm") * col("b.xm")).as("dot6"))

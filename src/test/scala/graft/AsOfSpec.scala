@@ -25,6 +25,44 @@ class AsOfSpec extends SparkSpec {
       (2L, 10L, None, None)))         // right exists only later
   }
 
+  test("a null payload in the matched row stays null (no resurrection)") {
+    // right timeline: (t=5, v="a"), (t=10, v=null) — the match at t=20 is
+    // the t=10 ROW, so v must be null; per-column carry would return "a"
+    val left = Seq((1L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 5L, Some("a")), (1L, 10L, None))
+      .toDF("k", "t", "v")
+    val out = AsOf.join(left, right, Seq("k"), "t", "t")
+      .select("k", "t", "v", AsOf.matchedTsName("t"))
+      .as[(Long, Long, Option[String], Option[Long])]
+      .collect().toSet
+    assert(out == Set((1L, 20L, None, Some(10L))))
+  }
+
+  test("payload columns come from ONE right row, never torn across two") {
+    // latest row has (v1=null, v2="q"); older row has (v1="p", v2=null).
+    // The result must be exactly the latest row's fields.
+    val left = Seq((1L, 30L)).toDF("k", "t")
+    val right = Seq((1L, 10L, Some("p"), None: Option[String]),
+        (1L, 20L, None: Option[String], Some("q")))
+      .toDF("k", "t", "v1", "v2")
+    val out = AsOf.join(left, right, Seq("k"), "t", "t")
+      .select("k", "t", "v1", "v2")
+      .as[(Long, Long, Option[String], Option[String])]
+      .collect().toSet
+    assert(out == Set((1L, 30L, None, Some("q"))))
+  }
+
+  test("ties on the right timestamp resolve deterministically") {
+    val left = Seq((1L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 10L, "a"), (1L, 10L, "b")).toDF("k", "t", "v")
+    val runs = (1 to 3).map { _ =>
+      AsOf.join(left, right.repartition(4), Seq("k"), "t", "t")
+        .select("v").as[String].collect().toSeq
+    }
+    assert(runs.distinct.size == 1, s"nondeterministic tie pick: $runs")
+    assert(runs.head == Seq("b")) // greatest payload struct among ties
+  }
+
   test("as-of join rejects colliding payload column names") {
     val l = Seq((1L, 1L, "x")).toDF("k", "t", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "t", "v")

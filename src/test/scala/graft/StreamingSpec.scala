@@ -44,7 +44,7 @@ class StreamingSpec extends SparkSpec {
     val explicit = batchEvents
       .select("user_id", "ts", "value")
       .withColumn("brk", when(prev.isNull
-        || col("ts") > prev + expr("INTERVAL '30' MINUTE"), 1).otherwise(0))
+        || col("ts") >= prev + expr("INTERVAL '30' MINUTE"), 1).otherwise(0))
       .withColumn("sid", sum("brk").over(run))
       .groupBy("user_id", "sid")
       .agg(min("ts").as("session_start"), max("ts").as("session_end"),

@@ -61,6 +61,18 @@ class WarehouseSpec extends SparkSpec {
     spark.sql("DROP TABLE wh_t6")
   }
 
+  test("upsert works on a database-qualified target from another database") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS wh_db")
+    spark.sql("DROP TABLE IF EXISTS wh_db.t7")
+    fixture.write.saveAsTable("wh_db.t7")
+    val updates = Seq((2L, "B2"), (9L, "new")).toDF("col_1", "col_2")
+    Warehouse.upsert(spark, updates, "wh_db.t7", Seq("col_1"))
+    val got = spark.table("wh_db.t7").as[(Long, String)].collect().toMap
+    assert(got == Map(3L -> "a", 2L -> "B2", 1L -> "c", 0L -> "d", 9L -> "new"))
+    spark.sql("DROP TABLE wh_db.t7")
+    spark.sql("DROP DATABASE wh_db")
+  }
+
   test("upsertDf is the pure form of the same semantics") {
     val target = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     val updates = Seq((2L, "B"), (3L, "c")).toDF("k", "v")

@@ -27,7 +27,15 @@ object XlsxProps extends Properties("Xlsx") {
     pre <- hostileString; hex <- Gen.listOfN(4, Gen.hexChar); post <- hostileString
   } yield pre + "_x" + hex.mkString + "_" + post
 
-  private val anyString: Gen[String] = Gen.oneOf(hostileString, literalEscape)
+  // the junction case: `_x`+4 hex directly followed by a control char, so
+  // the control's inserted escape supplies the trailing underscore of an
+  // accidental _xHHHH_ pattern
+  private val junction: Gen[String] = for {
+    pre <- hostileString; hex <- Gen.listOfN(4, Gen.hexChar)
+    ctl <- Gen.choose(1.toChar, 8.toChar); post <- hostileString
+  } yield pre + "_x" + hex.mkString + ctl + post
+
+  private val anyString: Gen[String] = Gen.oneOf(hostileString, literalEscape, junction)
 
   property("ooxmlEscape/ooxmlUnescape invert on any string") =
     Prop.forAll(anyString) { s =>
