@@ -38,5 +38,41 @@ object MultimodalQ {
         .toDF()
         .orderBy("doc_id")
     },
+
+    // ---- q60: media resize through the mapPartitions stage. The stub keeps
+    //           every 4th payload byte; with the 16-byte md5 payload that is
+    //           bytes 0/4/8/12 = md5-hex chars (1,2)(9,10)(17,18)(25,26),
+    //           which DuckDB reproduces by substring — the binary output is
+    //           compared as uppercase hex so no engine binary-codec quirks
+    //           enter the hash. ----
+    OracleQuery(
+      "q60_multimodal_resize",
+      """SELECT doc_id,
+        |  upper(substr(h, 1, 2) || substr(h, 9, 2) || substr(h, 17, 2) || substr(h, 25, 2)) AS resized_hex
+        |FROM (SELECT doc_id, md5(text) AS h FROM documents) m
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      Multimodal.resize(
+          Multimodal.attachSyntheticMedia(Tables(spark, dir, "documents")), 4)
+        .select(col("doc_id"), hex(col("content")).as("resized_hex"))
+        .orderBy("doc_id")
+    },
+
+    // ---- q61: video-style frame sampling (4-byte chunks, every 2nd chunk
+    //           of the 16-byte payload = chunks 0 and 2 = hex chars 1-8 and
+    //           17-24), emitted as ':'-joined hex frames. ----
+    OracleQuery(
+      "q61_multimodal_frames",
+      """SELECT doc_id, CAST(2 AS INTEGER) AS n_frames,
+        |  upper(substr(h, 1, 8)) || ':' || upper(substr(h, 17, 8)) AS frames_hex
+        |FROM (SELECT doc_id, md5(text) AS h FROM documents) m
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      Multimodal.frameSample(
+          Multimodal.attachSyntheticMedia(Tables(spark, dir, "documents")),
+          chunkBytes = 4, step = 2)
+        .select(col("doc_id"),
+          size(col("frames")).as("n_frames"),
+          array_join(transform(col("frames"), b => hex(b)), ":").as("frames_hex"))
+        .orderBy("doc_id")
+    },
   )
 }
