@@ -77,6 +77,11 @@ object SchemaMap {
   def addReservedWords(words: Seq[String]): Unit =
     reserved = reserved ++ words.map(_.trim.toLowerCase)
 
+  /** Inverse of [[addReservedWords]] — lets callers (and tests) undo a
+    * runtime extension instead of mutating the shared list forever. */
+  def removeReservedWords(words: Seq[String]): Unit =
+    reserved = reserved -- words.map(_.trim.toLowerCase)
+
   /** Normalize one column name: lowercase, spaces → underscores. */
   def normalizeName(name: String): String =
     name.toLowerCase.replace(' ', '_')

@@ -29,6 +29,11 @@ object Salt {
     * @param sums      columns to sum
     * @return one row per key: `n` (count) plus `sum_<col>` per sum column
     */
+  /** The deterministic per-row salt phase one groups by — exposed so tests
+    * pin the operator's own formula rather than re-deriving it. */
+  def saltCol(saltFrom: Seq[String], buckets: Int): Column =
+    pmod(hash(saltFrom.map(col): _*), lit(buckets))
+
   def saltedSumCount(
       df: DataFrame,
       keys: Seq[String],
@@ -36,7 +41,7 @@ object Salt {
       buckets: Int,
       sums: Seq[String]): DataFrame = {
     require(buckets > 0, "buckets must be > 0")
-    val salt = pmod(hash(saltFrom.map(col): _*), lit(buckets)).as("__salt")
+    val salt = saltCol(saltFrom, buckets).as("__salt")
     val partialAggs =
       count(lit(1)).as("__n") +: sums.map(c => sum(col(c)).as(s"__s_$c"))
     val partial = df

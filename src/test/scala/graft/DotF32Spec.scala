@@ -35,16 +35,19 @@ class DotF32Spec extends SparkSpec {
   }
 
   test("cosine composes from dot_f32 and matches the exact-decimal oracle to 1e-6") {
-    // spot-check one pair against the q30 machinery's decimal-exact cosine
+    // reference is a genuinely EXACT dot: BigDecimal products summed without
+    // rounding, cast to double once (the q30 oracle discipline) — a
+    // systematic accumulation error shared by two double folds cannot hide
     val two = emb.filter(col("vec_id") < 2)
       .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().sortBy(_._1)
     val (a, b) = (two(0)._2, two(1)._2)
-    def dot(x: Seq[Float], y: Seq[Float]) =
-      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+    def exactDot(x: Seq[Float], y: Seq[Float]): Double =
+      x.zip(y).map { case (p, q) => BigDecimal(p.toDouble) * BigDecimal(q.toDouble) }
+        .sum.toDouble
     val fast = emb.as("x").join(emb.as("y"), col("x.vec_id") === 0 && col("y.vec_id") === 1)
       .select(expr("dot_f32(x.embedding, y.embedding) / (sqrt(dot_f32(x.embedding, x.embedding)) * sqrt(dot_f32(y.embedding, y.embedding)))"))
       .as[Double].head()
-    val ref = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
-    assert(math.abs(fast - ref) < 1e-12)
+    val ref = exactDot(a, b) / (math.sqrt(exactDot(a, a)) * math.sqrt(exactDot(b, b)))
+    assert(math.abs(fast - ref) < 1e-6)
   }
 }

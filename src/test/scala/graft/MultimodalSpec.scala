@@ -16,13 +16,23 @@ class MultimodalSpec extends SparkSpec {
     assert(row.getInt(0) == 16 && row.getString(1) == "image/x-stub")
   }
 
-  test("decode is deterministic and bounded") {
+  test("decode is deterministic and matches an independent byte derivation") {
     val a = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
     val b = Multimodal.decodeFeatures(media).collect().sortBy(_.doc_id)
     assert(a.sameElements(b))
-    assert(a.forall(f => f.width >= 0 && f.width < 65536 &&
-      f.n_frames >= 1 && f.n_frames <= 16 &&
-      f.brightness >= 0 && f.brightness <= 255 * 16 / 16.0))
+    // independently recompute doc 0's features from MessageDigest md5 of its
+    // text — a wrong byte index or shift in the decode stub fails here
+    val text0 = Tables(spark, sf, "documents")
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    val d = java.security.MessageDigest.getInstance("MD5").digest(text0.getBytes("UTF-8"))
+    def u(i: Int): Int = d(i) & 0xff
+    val want = Multimodal.MediaFeatures(
+      doc_id = 0L,
+      width = (u(0) << 8) | u(1),
+      height = (u(2) << 8) | u(3),
+      n_frames = (u(4) & 0x0f) + 1,
+      brightness = d.iterator.map(_ & 0xff).sum / 16.0)
+    assert(a.head == want)
   }
 
   test("decode preserves partitioning (no exchange inserted)") {

@@ -29,9 +29,14 @@ class RelationalSpec extends SparkSpec {
 
   test("q01 aggregates are exact over decimal (order-independent)") {
     val df = SparkEntry.queries("q01_pricing_summary")(spark, sf)
-    val re = df.repartition(7) // different partitioning must not change values
     val a = df.collect().map(_.toSeq).toSeq
-    val b = SparkEntry.queries("q01_pricing_summary")(spark, sf).collect().map(_.toSeq).toSeq
+    // genuinely different aggregation partitioning must not change values —
+    // decimal sums are associative; a double-sum regression would wobble here
+    val orig = spark.conf.get("spark.sql.shuffle.partitions")
+    val b = try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      SparkEntry.queries("q01_pricing_summary")(spark, sf).collect().map(_.toSeq).toSeq
+    } finally spark.conf.set("spark.sql.shuffle.partitions", orig)
     assert(a == b)
     assert(df.columns.contains("sum_disc_price"))
   }

@@ -24,8 +24,10 @@ class SaltSpec extends SparkSpec {
   }
 
   test("the hot key spreads over multiple salt buckets in phase one") {
+    // uses the operator's own salt formula (Salt.saltCol), so a change to
+    // the derivation that stops spreading the hot key fails here
     val spread = skewed
-      .withColumn("__salt", pmod(hash(col("id")), lit(8)))
+      .withColumn("__salt", Salt.saltCol(Seq("id"), 8))
       .filter(col("k") === 0)
       .select("__salt").distinct().count()
     assert(spread == 8, s"hot key only reached $spread of 8 buckets")

@@ -52,9 +52,12 @@ class SchemaMapSpec extends SparkSpec {
 
   test("addReservedWords extends the list (pandas_aws/redshift.py:79-86)") {
     SchemaMap.addReservedWords(Seq(" CustomWord "))
-    assert(SchemaMap.reservedWords.contains("customword"))
-    intercept[IllegalArgumentException](
-      SchemaMap.normalizeColumns(Seq(1L).toDF("customword")))
+    try {
+      assert(SchemaMap.reservedWords.contains("customword"))
+      intercept[IllegalArgumentException](
+        SchemaMap.normalizeColumns(Seq(1L).toDF("customword")))
+    } finally SchemaMap.removeReservedWords(Seq("customword")) // shared JVM — restore
+    assert(!SchemaMap.reservedWords.contains("customword"))
   }
 
   test("ident rejects injection attempts (fixes reference f-string SQL)") {

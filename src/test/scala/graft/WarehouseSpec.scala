@@ -113,6 +113,12 @@ class WarehouseSpec extends SparkSpec {
       Iterator.single(ids == ids.sorted)
     }.collect()
     assert(ok.forall(identity))
+    // the DISTKEY property itself: equal keys land in ONE partition
+    val split = laid
+      .withColumn("pid", org.apache.spark.sql.functions.spark_partition_id())
+      .groupBy("k").agg(countDistinct("pid").as("n"))
+      .filter(col("n") > 1).count()
+    assert(split == 0, "equal DISTKEY values split across partitions")
   }
 
   test("bucketed upload: joins on the bucket key plan without a shuffle of the table") {
