@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   */
 object S3Like {
 
-  val formats: Set[String] = Set("csv", "parquet", "json", "xlsx", "object")
+  val formats: Set[String] = Set("csv", "parquet", "orc", "json", "xlsx", "object")
 
   private def fs(spark: SparkSession, uri: String): FileSystem =
     new Path(uri).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -67,7 +67,7 @@ object S3Like {
     // renameParts only understands Spark's part-* directory layout; xlsx is a
     // natural single file (written verbatim at uri below) and object carries a
     // _schema.json sidecar that a rename pass would orphan.
-    require(!exactNaming || Set("csv", "parquet", "json", "xlsx").contains(format),
+    require(!exactNaming || Set("csv", "parquet", "orc", "json", "xlsx").contains(format),
       s"exactNaming is not supported for format=$format")
 
     val arranged =
@@ -84,6 +84,7 @@ object S3Like {
         val w = arranged.write.mode(SaveMode.Overwrite).options(options).option("header", "true")
         compression.fold(w)(c => w.option("compression", c)).csv(outDir)
       case "parquet" => arranged.write.mode(SaveMode.Overwrite).options(options).parquet(outDir)
+      case "orc"     => arranged.write.mode(SaveMode.Overwrite).options(options).orc(outDir)
       case "json"    => arranged.write.mode(SaveMode.Overwrite).options(options).json(outDir)
       case "xlsx" if parts > 1 =>
         // reference multipart layout <dir>/<stem>/<stem>.<i>.xlsx, built
@@ -143,6 +144,7 @@ object S3Like {
           .option("inferSchema", options.getOrElse("inferSchema", "true"))
           .csv(uri)
       case "parquet" => spark.read.options(options).parquet(uri)
+      case "orc"     => spark.read.options(options).orc(uri)
       case "json"    => spark.read.options(options).json(uri)
       case "xlsx"    => Xlsx.read(spark, uri)
       case "object"  => ObjectFormat.read(spark, uri)
@@ -220,6 +222,7 @@ object S3Like {
       finally in.close()
     val s = new String(head, 0, n, "ISO-8859-1")
     if (s.startsWith("PAR1")) "parquet"
+    else if (s.startsWith("ORC")) "orc" // 3-byte ORC header magic
     else if (s.startsWith("PK")) "xlsx"
     else if (s.startsWith("{")) "json"
     else if (head.take(2).sameElements(Array(0x1f.toByte, 0x8b.toByte))) {

@@ -52,6 +52,17 @@ class S3LikeSpec extends SparkSpec {
     assert(sortedRows(S3Like.getDf(spark, dir, "parquet")) == sortedRows(fixture))
   }
 
+  test("orc round-trip and magic-byte sniff") {
+    val dir = tmp() + "/key.orc"
+    S3Like.putDf(fixture, dir, format = "orc")
+    assert(sortedRows(S3Like.getDf(spark, dir, "orc")) == sortedRows(fixture))
+    // mixed mode recognizes the 3-byte ORC header on an extension-less key
+    val base = tmp()
+    S3Like.putDf(fixture, s"$base/m/blob1", format = "orc", exactNaming = true)
+    val back = S3Like.getDfFromKeys(spark, s"$base/m", format = "mixed").get
+    assert(sortedRows(back) == sortedRows(fixture))
+  }
+
   test("json round-trip") {
     val dir = tmp() + "/key.json"
     S3Like.putDf(fixture, dir, format = "json")
