@@ -81,6 +81,34 @@ object Events {
         .orderBy("hour", "event_type")
     },
 
+    // ---- q62: sliding-window aggregation — 1-hour windows every 15
+    //           minutes, so each event lands in exactly 4 overlapping
+    //           windows (Spark's Expand: 4 rows per event, then partial
+    //           aggregation shrinks to window×type cardinality before the
+    //           exchange). Oracle replicates the epoch-aligned window grid
+    //           with explicit integer arithmetic — no reliance on either
+    //           engine's bucket-origin convention. ----
+    OracleQuery(
+      "q62_sliding_windows",
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |w AS (
+        |  SELECT to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)
+        |           - g.k * 900)::TIMESTAMP AS w_start, event_type, value
+        |  FROM e, unnest(generate_series(0, 3)) AS g(k))
+        |SELECT w_start, event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (spark, dir) =>
+      ev(spark, dir)
+        .groupBy(
+          window(col("ts").cast(TimestampType), "1 hour", "15 minutes"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        // window bounds come back LTZ — NTZ under the pinned UTC session
+        .select(col("window.start").cast(TimestampNTZType).as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    },
+
     // ---- q18: sessionization — 30-minute-gap session assignment via a
     //           single per-user window pass (lag → break flag → running sum).
     //           Gap rule is `>=` so batch sessionization agrees exactly with

@@ -56,6 +56,17 @@ object EventStream {
       .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
 
+  /** Sliding 1-hour windows every 15 minutes per event type — each event
+    * contributes to 4 overlapping windows; state is one aggregate row per
+    * (window, type) inside the watermark horizon. Batch equivalent of
+    * q62_sliding_windows. */
+  def slidingActivity(events: DataFrame): DataFrame =
+    withEventTime(events)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
   /** 30-minute-gap sessionization via the built-in session_window — the
     * streaming-native form of q18's lag/running-sum assignment; in batch
     * mode both produce identical (user, start, end, n, sum) sessions. */

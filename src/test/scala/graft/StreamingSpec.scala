@@ -25,6 +25,16 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  test("streaming sliding windows equal the batch result") {
+    val stream = EventStream.slidingActivity(EventStream.read(spark, sf))
+    val q = stream.writeStream.format("memory").queryName("sliding_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sliding_stream").collect().toSet
+    val want = EventStream.slidingActivity(batchEvents).collect().toSet
+    assert(got.nonEmpty && got == want)
+  }
+
   test("streaming dedupe passes distinct event ids through") {
     val stream = EventStream.dedupe(EventStream.read(spark, sf))
       .groupBy().agg(count(lit(1)).as("n"))
