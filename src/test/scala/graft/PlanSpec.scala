@@ -88,6 +88,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "heavy-hitter top-k fell back to global sort")
   }
 
+  test("q62: sliding windows expand then partially aggregate") {
+    val p = plan("q62_sliding_windows")
+    assert(p.contains("Expand"), "overlapping-window expansion lost")
+    assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial aggregation after expand")
+  }
+
   test("q53: prefix sum is the two-level scan, not one window per language") {
     val p = plan("q53_sequence_packing")
     // local pass + chunk-offset pass → two Window nodes over a range exchange
