@@ -211,18 +211,31 @@ object S3Like {
     }
   }
 
-  /** Magic-byte format sniff — reads only the first 4 bytes of each object
-    * (the reference downloads and try-parses whole objects serially). */
+  /** Magic-byte format sniff — reads only a few header (and, for ORC,
+    * trailer) bytes of each object (the reference downloads and try-parses
+    * whole objects serially). */
   private[engine] def sniffFormat(spark: SparkSession, uri: String): String = {
     val filesystem = fs(spark, uri)
+    val len = filesystem.getFileStatus(new Path(uri)).getLen
     val in = filesystem.open(new Path(uri))
     val head = new Array[Byte](4)
-    val n = try { in.readFully(0, head, 0, Math.min(4, filesystem.getFileStatus(new Path(uri)).getLen).toInt); 4 }
+    val n = try { in.readFully(0, head, 0, Math.min(4, len).toInt); 4 }
       catch { case _: Throwable => 0 }
       finally in.close()
     val s = new String(head, 0, n, "ISO-8859-1")
+    // ORC's 3-ASCII-letter header magic collides with e.g. a CSV whose first
+    // column is ORCHARD_ID — confirm with the trailing postscript magic:
+    // every real ORC file ends with "ORC" followed by the one-byte
+    // postscript length, i.e. bytes [len-4, len-2]
+    def orcTail: Boolean = len >= 7 && {
+      val tin = filesystem.open(new Path(uri))
+      val tail = new Array[Byte](4)
+      try { tin.readFully(len - 4, tail, 0, 4); new String(tail, 0, 3, "ISO-8859-1") == "ORC" }
+      catch { case _: Throwable => false }
+      finally tin.close()
+    }
     if (s.startsWith("PAR1")) "parquet"
-    else if (s.startsWith("ORC")) "orc" // 3-byte ORC header magic
+    else if (s.startsWith("ORC") && orcTail) "orc"
     else if (s.startsWith("PK")) "xlsx"
     else if (s.startsWith("{")) "json"
     else if (head.take(2).sameElements(Array(0x1f.toByte, 0x8b.toByte))) {

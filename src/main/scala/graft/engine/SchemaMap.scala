@@ -55,8 +55,11 @@ object SchemaMap {
   }
 
   /** Standard SQL reserved words a column may not be named (subset shared by
-    * Redshift/ANSI; extensible via [[addReservedWords]]). */
-  @volatile private var reserved: Set[String] = Set(
+    * Redshift/ANSI; extensible via [[addReservedWords]]). The base list is
+    * immutable — runtime extensions live in their own set so
+    * [[removeReservedWords]] can only undo extensions, never weaken the
+    * built-in guard. */
+  private val baseReserved: Set[String] = Set(
     "all", "analyse", "analyze", "and", "any", "array", "as", "asc",
     "between", "binary", "both", "by", "case", "cast", "check", "column",
     "constraint", "create", "cross", "current_date", "current_time",
@@ -72,15 +75,17 @@ object SchemaMap {
     "trailing", "true", "union", "unique", "user", "using", "verbose",
     "when", "where", "with", "without")
 
-  def reservedWords: Set[String] = reserved
+  @volatile private var extraReserved: Set[String] = Set.empty
+
+  def reservedWords: Set[String] = baseReserved ++ extraReserved
 
   def addReservedWords(words: Seq[String]): Unit =
-    reserved = reserved ++ words.map(_.trim.toLowerCase)
+    extraReserved = extraReserved ++ words.map(_.trim.toLowerCase)
 
-  /** Inverse of [[addReservedWords]] — lets callers (and tests) undo a
-    * runtime extension instead of mutating the shared list forever. */
+  /** Inverse of [[addReservedWords]] — undoes runtime extensions only; the
+    * built-in base words cannot be unreserved. */
   def removeReservedWords(words: Seq[String]): Unit =
-    reserved = reserved -- words.map(_.trim.toLowerCase)
+    extraReserved = extraReserved -- words.map(_.trim.toLowerCase)
 
   /** Normalize one column name: lowercase, spaces → underscores. */
   def normalizeName(name: String): String =
@@ -90,7 +95,7 @@ object SchemaMap {
     * reference's ValueError at pandas_aws/redshift.py:95-99). */
   def normalizeColumns(df: DataFrame): DataFrame = {
     val normed = df.columns.map(normalizeName)
-    val bad = normed.filter(reserved.contains)
+    val bad = normed.filter(reservedWords.contains)
     require(bad.isEmpty, s"reserved word(s) used as column name: ${bad.mkString(", ")}")
     val collisions = df.columns.zip(normed).groupBy(_._2).filter(_._2.length > 1)
     require(collisions.isEmpty,

@@ -56,6 +56,7 @@ object Multimodal {
     * shape of image downsampling (a real build would decode, resample
     * pixels, re-encode inside the same mapPartitions stage). */
   def resize(media: DataFrame, factor: Int): DataFrame = {
+    require(factor > 0, "factor must be > 0")
     val spark = media.sparkSession
     import spark.implicits._
     media.select("doc_id", "content").as[(Long, Array[Byte])]
@@ -71,14 +72,20 @@ object Multimodal {
   /** Frame sampling: every `step`-th fixed-size chunk of the payload —
     * the byte-level shape of video frame extraction (array<binary> out). */
   def frameSample(media: DataFrame, chunkBytes: Int, step: Int): DataFrame = {
+    require(chunkBytes > 0 && step > 0, "chunkBytes and step must be > 0")
     val spark = media.sparkSession
     import spark.implicits._
     media.select("doc_id", "content").as[(Long, Array[Byte])]
-      .map { case (id, b) =>
-        val frames = b.grouped(chunkBytes).zipWithIndex
-          .collect { case (chunk, i) if i % step == 0 => chunk }
-          .toSeq
-        (id, frames)
+      .mapPartitions { batch =>
+        // >>> STUB BOUNDARY: real frame extraction goes here — iterator-in/
+        // iterator-out like the other stages so per-batch codec setup
+        // amortizes <<<
+        batch.map { case (id, b) =>
+          val frames = b.grouped(chunkBytes).zipWithIndex
+            .collect { case (chunk, i) if i % step == 0 => chunk }
+            .toSeq
+          (id, frames)
+        }
       }
       .toDF("doc_id", "frames")
   }

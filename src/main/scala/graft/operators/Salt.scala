@@ -19,6 +19,11 @@ import org.apache.spark.sql.functions._
   */
 object Salt {
 
+  /** The deterministic per-row salt phase one groups by — exposed so tests
+    * pin the operator's own formula rather than re-deriving it. */
+  def saltCol(saltFrom: Seq[String], buckets: Int): Column =
+    pmod(hash(saltFrom.map(col): _*), lit(buckets))
+
   /** Two-phase sum/count aggregation over possibly-skewed `keys`.
     *
     * @param df        input
@@ -29,11 +34,6 @@ object Salt {
     * @param sums      columns to sum
     * @return one row per key: `n` (count) plus `sum_<col>` per sum column
     */
-  /** The deterministic per-row salt phase one groups by — exposed so tests
-    * pin the operator's own formula rather than re-deriving it. */
-  def saltCol(saltFrom: Seq[String], buckets: Int): Column =
-    pmod(hash(saltFrom.map(col): _*), lit(buckets))
-
   def saltedSumCount(
       df: DataFrame,
       keys: Seq[String],

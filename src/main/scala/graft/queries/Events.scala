@@ -86,14 +86,16 @@ object Events {
     //           windows (Spark's Expand: 4 rows per event, then partial
     //           aggregation shrinks to window×type cardinality before the
     //           exchange). Oracle replicates the epoch-aligned window grid
-    //           with explicit integer arithmetic — no reliance on either
-    //           engine's bucket-origin convention. ----
+    //           with explicit integer arithmetic through make_timestamp
+    //           (timezone-FREE — to_timestamp()::TIMESTAMP would route
+    //           through DuckDB's session TimeZone and shift every window
+    //           start on a non-UTC host). ----
     OracleQuery(
       "q62_sliding_windows",
       """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
         |w AS (
-        |  SELECT to_timestamp(CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)
-        |           - g.k * 900)::TIMESTAMP AS w_start, event_type, value
+        |  SELECT make_timestamp((CAST(floor(epoch(ts) / 900) * 900 AS BIGINT)
+        |           - g.k * 900) * 1000000) AS w_start, event_type, value
         |  FROM e, unnest(generate_series(0, 3)) AS g(k))
         |SELECT w_start, event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value

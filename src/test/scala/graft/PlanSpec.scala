@@ -89,9 +89,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("q62: sliding windows expand then partially aggregate") {
+    // the 4×-expanded rows must shrink in a partial HashAggregate BEFORE
+    // the exchange: in parent-first plan text that is
+    // final agg → Exchange → partial agg → Expand
     val p = plan("q62_sliding_windows")
-    assert(p.contains("Expand"), "overlapping-window expansion lost")
-    assert("HashAggregate".r.findAllIn(p).length >= 2, "no partial aggregation after expand")
+    val exch = p.indexOf("Exchange hashpartitioning")
+    val expand = p.indexOf("Expand")
+    val partialAgg = p.lastIndexOf("HashAggregate")
+    assert(exch >= 0 && expand >= 0, "expand or hash exchange lost")
+    assert(exch < partialAgg && partialAgg < expand,
+      "partial aggregation does not sit between the exchange and the expand")
   }
 
   test("q53: prefix sum is the two-level scan, not one window per language") {

@@ -25,6 +25,9 @@ def norm(df: pd.DataFrame) -> pd.DataFrame:
 
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
+    # oracle SQL must be timezone-independent, but pin UTC anyway so a
+    # non-UTC host can't shift any timestamptz-routed expression
+    con.sql("SET TimeZone='UTC'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
