@@ -1,9 +1,15 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // optional comma-separated subset (iteration / scale-curve runs);
+    // absent or empty = the full registry, i.e. the driver contract
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -15,17 +21,21 @@ object Bench {
     // JVM/codegen init plus this dataset's file listing and footer reads,
     // so the first timed query isn't charged for them
     SparkEntry.queries.get("q01_pricing_summary").foreach { f =>
+      // NonFatal only: an OutOfMemoryError/LinkageError here means the JVM
+      // is no longer trustworthy — let it abort rather than time garbage
       try { f(spark, sfDir).count(); spark.catalog.clearCache() }
-      catch { case _: Throwable => () }
+      catch { case NonFatal(_) => () }
     }
     // name-sorted so runs are comparable; caches cleared between queries
     // (outside the timed region) so one query's persists never pollute the
     // next one's timing
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val benched = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+    val results = benched.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
+        catch { case NonFatal(e) =>
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
       val sec = (System.nanoTime() - t0) / 1e9

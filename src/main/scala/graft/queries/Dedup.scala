@@ -13,10 +13,11 @@ import graft.functions.TextOps
   * SimHash signatures.
   *
   * Scale design: none of these ever compares all document pairs. Jaccard
-  * pairs come from a postings self-join keyed on shingle (cost ∝ Σ df²
-  * per shingle, bounded by shingle frequency, not corpus²); LSH pairs come
-  * from band-key buckets (cost ∝ bucket sizes). Both are groupBy/join plans
-  * Catalyst shuffles on content keys — embarrassingly parallel at 100 TB.
+  * pairs come from a df-capped postings self-join keyed on shingle (cost ∝
+  * Σ df² per shingle with df ≤ DfCap, so per-key work is bounded by a
+  * constant, not corpus²); LSH pairs come from band-key buckets (cost ∝
+  * bucket sizes). Both are groupBy/join plans Catalyst shuffles on content
+  * keys — embarrassingly parallel at 100 TB.
   * MinHash/SimHash use md5 of explicit strings so the DuckDB oracle (and any
   * other engine) reproduces signatures bit-for-bit — LSH is probabilistic in
   * recall but fully deterministic given the hash family, so even its misses
@@ -42,10 +43,13 @@ object Dedup {
     * parquet file → one input split, so spread rows across the session's
     * shuffle parallelism first (on a real cluster the scan already has that
     * many splits and this exchange is ~free vs. the expression work). */
-  private def postings(spark: SparkSession, dir: String): DataFrame =
+  private def rawPostings(spark: SparkSession, dir: String): DataFrame =
     TextOps.shinglePostings(
       docs(spark, dir).repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt),
       "doc_id", "text", 3)
+
+  private def postings(spark: SparkSession, dir: String): DataFrame =
+    rawPostings(spark, dir)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   val queries: Seq[OracleQuery] = Seq(
@@ -75,10 +79,24 @@ object Dedup {
         .orderBy("doc_id")
     },
 
-    // ---- q27: exact n-gram Jaccard near-dup pairs via inverted index ----
+    // ---- q27: exact n-gram Jaccard near-dup pairs via inverted index.
+    //           Postings are df-capped (MinHashLSH.dfCapped) before the
+    //           self-join: a corpus-common trigram would otherwise put df²
+    //           pairs through one shuffle key — the capped join's per-key
+    //           work is ≤ DfCap², a constant, and the dropped shingles are
+    //           exactly the ones carrying no near-dup signal. Jaccard is
+    //           "exact within the capped shingle set" (sizes from the same
+    //           capped postings), matching the q39 capstone's semantics. ----
     OracleQuery(
       "q27_jaccard_pairs",
-      s"""$shinglesSql,
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t FROM documents),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+         |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+         |hot AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) > ${Pipeline.DfCap}),
+         |sh AS (SELECT * FROM sh0 WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.s = sh0.s)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
          |pairs AS (
          |  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS inter
          |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -88,7 +106,8 @@ object Dedup {
          |FROM pairs JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
          |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
-      val sh = postings(spark, dir)
+      val sh = graft.operators.MinHashLSH.dfCapped(rawPostings(spark, dir), Pipeline.DfCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a")
         .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))

@@ -63,6 +63,14 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q27: jaccard postings are df-capped (anti join) before the self-join") {
+    // the cap's left-anti join against the hot-shingle set is what bounds
+    // per-key join work to DfCap²; losing it regresses to an unbounded
+    // Σ df² shuffle on corpus-common trigrams
+    val p = plan("q27_jaccard_pairs")
+    assert(p.contains("LeftAnti"), "df-cap anti join lost — postings self-join unbounded again")
+  }
+
   test("q39: near-dup candidates come from band buckets, not a postings self-join") {
     // the shuffle keys must include the LSH band key; a regression back to
     // the raw `sh ⋈ sh ON s` shape would drop `bkey` from the plan entirely
