@@ -50,6 +50,16 @@ object S3Like {
     * @param sortKeys   global sort before split (total order across files)
     * @param exactNaming reproduce reference multipart key naming via a
     *                    metadata rename pass (parts==1 → single file at uri)
+    * @param partitionKeys Hive-style directory partitioning (`partitionBy`) —
+    *                    the distributed form of the reference's prefix-keyed
+    *                    S3 layout (its `get_keys` server-side `Prefix` filter,
+    *                    pandas_aws/s3.py:33-35): a filter on a partition
+    *                    column prunes whole directories at plan time
+    *                    (`PartitionFilters` in the scan) instead of listing
+    *                    and reading everything. Rows are pre-shuffled on the
+    *                    partition keys so each directory receives one file
+    *                    per writing task that owns the key — not one small
+    *                    file per (task × key), the classic small-files trap.
     */
   def putDf(
       df: DataFrame,
@@ -59,6 +69,7 @@ object S3Like {
       parts: Int = 1,
       sortKeys: Seq[String] = Nil,
       exactNaming: Boolean = false,
+      partitionKeys: Seq[String] = Nil,
       options: Map[String, String] = Map.empty): Unit = {
     require(parts > 0, "parts must be > 0")
     require(formats.contains(format), s"format $format not in $formats")
@@ -69,9 +80,18 @@ object S3Like {
     // _schema.json sidecar that a rename pass would orphan.
     require(!exactNaming || Set("csv", "parquet", "orc", "json", "xlsx").contains(format),
       s"exactNaming is not supported for format=$format")
+    if (partitionKeys.nonEmpty) {
+      require(Set("csv", "parquet", "orc", "json").contains(format),
+        s"partitionKeys need a directory-layout format, not $format")
+      require(!exactNaming && sortKeys.isEmpty && parts == 1,
+        "partitionKeys is a directory layout — exactNaming/sortKeys/parts do not compose with it")
+      require(partitionKeys.forall(df.columns.contains),
+        s"partition keys $partitionKeys not all in ${df.columns.toSeq}")
+    }
 
     val arranged =
-      if (sortKeys.nonEmpty) {
+      if (partitionKeys.nonEmpty) df.repartition(partitionKeys.map(col): _*)
+      else if (sortKeys.nonEmpty) {
         require(sortKeys.forall(df.columns.contains), s"sort keys $sortKeys not all in ${df.columns.toSeq}")
         df.repartitionByRange(parts, sortKeys.map(col): _*).sortWithinPartitions(sortKeys.map(col): _*)
       } else if (format == "xlsx") df // driver-side codec splits rows itself
@@ -79,13 +99,17 @@ object S3Like {
       else df.repartition(parts)
 
     val outDir = if (exactNaming && format != "xlsx") uri + ".__tmp" else uri
+    def dirWriter = {
+      val w0 = arranged.write.mode(SaveMode.Overwrite).options(options)
+      if (partitionKeys.nonEmpty) w0.partitionBy(partitionKeys: _*) else w0
+    }
     format match {
       case "csv" =>
-        val w = arranged.write.mode(SaveMode.Overwrite).options(options).option("header", "true")
+        val w = dirWriter.option("header", "true")
         compression.fold(w)(c => w.option("compression", c)).csv(outDir)
-      case "parquet" => arranged.write.mode(SaveMode.Overwrite).options(options).parquet(outDir)
-      case "orc"     => arranged.write.mode(SaveMode.Overwrite).options(options).orc(outDir)
-      case "json"    => arranged.write.mode(SaveMode.Overwrite).options(options).json(outDir)
+      case "parquet" => dirWriter.parquet(outDir)
+      case "orc"     => dirWriter.orc(outDir)
+      case "json"    => dirWriter.json(outDir)
       case "xlsx" if parts > 1 =>
         // reference multipart layout <dir>/<stem>/<stem>.<i>.xlsx, built
         // directly (no part-* rename pass — the codec is driver-side)

@@ -40,11 +40,18 @@ object Warehouse {
     *   distkey)` (+ `sortBy(sortKeys)`) — the catalog-table analogue of
     *   DISTKEY/SORTKEY: joins and aggregations on the bucket key then plan
     *   WITHOUT a shuffle on the bucketed side, which is the co-located-join
-    *   property Redshift gets from key distribution. */
+    *   property Redshift gets from key distribution.
+    * @param partitionKeys Hive-style directory partitioning for the catalog
+    *   table (`partitionBy`) — low-cardinality layout keys (date/lang/source)
+    *   so predicates on them prune whole directories at plan time
+    *   (`PartitionFilters`); composes with bucketBy (partition dirs outside,
+    *   bucket files inside). A 100 TB corpus is always partitioned this way —
+    *   without it every query lists and reads everything. */
   final case class Layout(
       distStyle: DistStyle = DistStyle.Auto,
       sortKeys: Seq[String] = Nil,
-      buckets: Int = 0)
+      buckets: Int = 0,
+      partitionKeys: Seq[String] = Nil)
 
   /** Apply physical layout hints to a DataFrame before it is written. */
   def applyLayout(df: DataFrame, layout: Layout, parts: Int = 0): DataFrame = {
@@ -81,14 +88,23 @@ object Warehouse {
     val normed = SchemaMap.normalizeColumns(df)
     val audited = dateInsert.fold(normed)(t => normed.withColumn("date_insert", lit(t)))
     if (dropFirst) spark.sql(s"DROP TABLE IF EXISTS ${SchemaMap.ident(table)}")
-    (layout.distStyle, layout.buckets) match {
-      case (DistStyle.Key(k), b) if b > 0 =>
+    val pks = layout.partitionKeys.map(SchemaMap.normalizeName)
+    (layout.distStyle, layout.buckets, pks) match {
+      case (DistStyle.Key(k), b, _) if b > 0 =>
         // bucketed catalog table: layout is part of the table definition,
-        // so it replaces (not appends into) any generated plain DDL
+        // so it replaces (not appends into) any generated plain DDL;
+        // partition dirs (if any) wrap the bucket files
         spark.sql(s"DROP TABLE IF EXISTS ${SchemaMap.ident(table)}")
-        val w = audited.write.mode(SaveMode.Overwrite).bucketBy(b, k)
-        (if (layout.sortKeys.nonEmpty) w.sortBy(layout.sortKeys.head, layout.sortKeys.tail: _*) else w)
+        val w0 = audited.write.mode(SaveMode.Overwrite).bucketBy(b, k)
+        val w1 = if (pks.nonEmpty) w0.partitionBy(pks: _*) else w0
+        (if (layout.sortKeys.nonEmpty) w1.sortBy(layout.sortKeys.head, layout.sortKeys.tail: _*) else w1)
           .saveAsTable(table)
+      case (_, _, p) if p.nonEmpty =>
+        // partitioned catalog table: pre-shuffle on the partition keys so a
+        // directory gets one file per owning task, not one per (task × key)
+        spark.sql(s"DROP TABLE IF EXISTS ${SchemaMap.ident(table)}")
+        audited.repartition(p.map(col): _*)
+          .write.mode(SaveMode.Overwrite).partitionBy(p: _*).saveAsTable(table)
       case _ =>
         createTable(spark, audited, table)
         applyLayout(audited, layout, parts).write.mode(SaveMode.Append).insertInto(table)

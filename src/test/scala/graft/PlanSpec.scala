@@ -116,6 +116,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange rangepartitioning"), "order-contiguous chunking lost")
   }
 
+  test("q63: lang predicate prunes partition directories at plan time") {
+    // the point of the partitioned layout: the lang filter must land in
+    // PartitionFilters (directory pruning), not only in data filters
+    val p = plan("q63_partition_pruned")
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(p).isDefined,
+      "lang predicate not in PartitionFilters — partitioned scan reads every directory")
+  }
+
   test("clearCache leaves no cached plans behind (bench hygiene contract)") {
     SparkEntry.queries("q28_minhash_lsh")(spark, sf).count()
     assert(!spark.sharedState.cacheManager.isEmpty, "q28 should persist postings")

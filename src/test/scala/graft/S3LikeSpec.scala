@@ -52,6 +52,32 @@ class S3LikeSpec extends SparkSpec {
     assert(sortedRows(S3Like.getDf(spark, dir, "parquet")) == sortedRows(fixture))
   }
 
+  test("partitioned write: hive directory layout, lossless read-back, validation") {
+    val df = Seq((1L, "en", "x"), (2L, "fr", "y"), (3L, "en", "z"))
+      .toDF("id", "lang", "txt")
+    val dir = tmp() + "/docs"
+    S3Like.putDf(df, dir, format = "parquet", partitionKeys = Seq("lang"))
+    // the distributed form of the reference's prefix-keyed layout: one
+    // directory per partition value
+    val dirs = new java.io.File(dir.stripPrefix("file:"))
+      .listFiles().map(_.getName).filter(_.startsWith("lang=")).toSet
+    assert(dirs == Set("lang=en", "lang=fr"), s"unexpected partition dirs: $dirs")
+    val back = S3Like.getDf(spark, dir, "parquet")
+    assert(back.count() == 3)
+    assert(back.filter($"lang" === "en").select("id").as[Long].collect().toSet == Set(1L, 3L))
+    // a partition-column predicate prunes directories at plan time
+    val pruned = back.filter($"lang" === "en")
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(pruned).isDefined,
+      s"lang predicate not in PartitionFilters:\n$pruned")
+    intercept[IllegalArgumentException](
+      S3Like.putDf(df, dir, format = "xlsx", partitionKeys = Seq("lang")))
+    intercept[IllegalArgumentException](
+      S3Like.putDf(df, dir, format = "parquet", partitionKeys = Seq("nope")))
+    intercept[IllegalArgumentException](
+      S3Like.putDf(df, dir, format = "parquet", partitionKeys = Seq("lang"), parts = 2))
+  }
+
   test("orc round-trip and magic-byte sniff") {
     val dir = tmp() + "/key.orc"
     S3Like.putDf(fixture, dir, format = "orc")

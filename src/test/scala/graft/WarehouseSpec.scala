@@ -135,4 +135,19 @@ class WarehouseSpec extends SparkSpec {
       s"bucketed table still shuffled on its bucket key:\n$plan")
     spark.sql("DROP TABLE wh_bucketed")
   }
+
+  test("partitioned upload: catalog table prunes partitions on layout-key predicates") {
+    import spark.implicits._
+    val df = Seq((1L, "en", 10L), (2L, "fr", 20L), (3L, "en", 30L), (4L, "de", 40L))
+      .toDF("id", "lang", "n")
+    Warehouse.upload(spark, df, "wh_partitioned",
+      layout = Layout(partitionKeys = Seq("lang")))
+    val t = spark.table("wh_partitioned")
+    assert(t.count() == 4)
+    val plan = t.filter(col("lang") === "en").queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined,
+      s"lang predicate not pushed to PartitionFilters:\n$plan")
+    assert(t.filter(col("lang") === "en").count() == 2)
+    spark.sql("DROP TABLE wh_partitioned")
+  }
 }
