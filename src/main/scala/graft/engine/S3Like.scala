@@ -111,19 +111,49 @@ object S3Like {
       case "orc"     => dirWriter.orc(outDir)
       case "json"    => dirWriter.json(outDir)
       case "xlsx" if parts > 1 =>
-        // reference multipart layout <dir>/<stem>/<stem>.<i>.xlsx, built
-        // directly (no part-* rename pass — the codec is driver-side)
+        // reference multipart layout <dir>/<stem>/<stem>.<i>.<rest>, built
+        // directly (no part-* rename pass — the codec is driver-side). The
+        // part name keeps ALL basename segments (pandas_aws/s3.py:193-195):
+        // a.b.xlsx → a/a.1.b.xlsx, not a/a.1.xlsx
         val target = new Path(uri)
-        val stem = target.getName.split('.').head
+        val (stem, suffix) = stemAndSuffix(target.getName, "xlsx")
         val dir = new Path(target.getParent, stem)
         val filesystem = fs(df.sparkSession, uri)
-        filesystem.delete(dir, true)
-        filesystem.mkdirs(dir)
-        Xlsx.writeParts(arranged, dir.toString, stem, parts)
+        clearParts(filesystem, dir, stem, suffix)
+        Xlsx.writeParts(arranged, dir.toString, stem, suffix, parts)
       case "xlsx"   => Xlsx.write(arranged, outDir)
       case "object" => ObjectFormat.write(arranged, outDir)
     }
     if (exactNaming && format != "xlsx") renameParts(df.sparkSession, outDir, uri, format, compression)
+  }
+
+  /** Multipart name pieces from a key's basename: `(first segment, every
+    * remaining segment joined)` — the reference composes part names from ALL
+    * basename segments (pandas_aws/s3.py:193-195), so `a.b.xlsx` parts are
+    * `a.1.b.xlsx`. A missing extension falls back to `defaultSuffix`; an
+    * empty stem (`.xlsx`) would degenerate into hidden-file part names and
+    * is rejected. */
+  private def stemAndSuffix(basename: String, defaultSuffix: String): (String, String) = {
+    val segs = basename.split('.')
+    require(segs.nonEmpty && segs.head.nonEmpty,
+      s"multipart key needs a non-empty stem before the first '.': '$basename'")
+    (segs.head, if (segs.length > 1) segs.tail.mkString(".") else defaultSuffix)
+  }
+
+  /** Prepare a multipart directory without destroying unrelated content:
+    * only this codec's own `<stem>.<i>.<suffix>` part files are removed — a
+    * blanket recursive delete would silently destroy a pre-existing object
+    * or directory that happens to share the stem's path. */
+  private def clearParts(filesystem: FileSystem, dir: Path, stem: String, suffix: String): Unit = {
+    import java.util.regex.Pattern
+    val partRe = ("^" + Pattern.quote(stem) + "\\.\\d+\\." + Pattern.quote(suffix) + "$").r
+    if (filesystem.exists(dir)) {
+      require(filesystem.getFileStatus(dir).isDirectory,
+        s"multipart target $dir exists and is not a directory")
+      filesystem.listStatus(dir)
+        .filter(st => st.isFile && partRe.findFirstIn(st.getPath.getName).isDefined)
+        .foreach(st => filesystem.delete(st.getPath, false))
+    } else filesystem.mkdirs(dir)
   }
 
   /** Reference multipart naming (pandas_aws/s3.py:188-195, verified by
@@ -134,7 +164,7 @@ object S3Like {
       spark: SparkSession, tmpDir: String, uri: String,
       format: String, compression: Option[String]): Unit = {
     val filesystem = fs(spark, uri)
-    val ext = format + compression.map(_ => ".gz").getOrElse("")
+    val gz = compression.map(_ => ".gz").getOrElse("")
     val partFiles = filesystem.listStatus(new Path(tmpDir))
       .map(_.getPath).filter(p => p.getName.startsWith("part-")).sortBy(_.getName)
     val target = new Path(uri)
@@ -142,12 +172,14 @@ object S3Like {
       filesystem.delete(target, true)
       filesystem.rename(partFiles.head, target)
     } else {
-      val stem = target.getName.split('.').head
+      val (stem, suffix) = stemAndSuffix(target.getName, format + gz)
+      // the declared compression extends the name-derived suffix the same
+      // way the writer extends the data files (key.csv+gzip → key.1.csv.gz)
+      val fullSuffix = if (suffix.endsWith(gz)) suffix else suffix + gz
       val dir = new Path(target.getParent, stem)
-      filesystem.delete(dir, true)
-      filesystem.mkdirs(dir)
+      clearParts(filesystem, dir, stem, fullSuffix)
       partFiles.zipWithIndex.foreach { case (p, i) =>
-        filesystem.rename(p, new Path(dir, s"$stem.${i + 1}.$ext"))
+        filesystem.rename(p, new Path(dir, s"$stem.${i + 1}.$fullSuffix"))
       }
     }
     filesystem.delete(new Path(tmpDir), true)

@@ -88,7 +88,7 @@ object Xlsx {
     * the row count would be EMPTY workbooks, whose header-only sheets lose
     * the column types on read-back (every column infers string) and then
     * poison the union; we skip writing them instead. */
-  def writeParts(df: DataFrame, dirUri: String, stem: String, parts: Int): Unit = {
+  def writeParts(df: DataFrame, dirUri: String, stem: String, suffix: String, parts: Int): Unit = {
     require(parts > 0, "parts must be > 0")
     // long arithmetic: parts * maxRows overflows Int from parts = 2048
     val cap = math.min(parts.toLong * maxRows + 1, Int.MaxValue.toLong).toInt
@@ -103,7 +103,7 @@ object Xlsx {
       val chunk = rows.slice(off, off + sz)
       off += sz
       if (chunk.nonEmpty)
-        writeBytes(df, s"$dirUri/$stem.${i + 1}.xlsx", render(df.schema, chunk))
+        writeBytes(df, s"$dirUri/$stem.${i + 1}.$suffix", render(df.schema, chunk))
     }
   }
 

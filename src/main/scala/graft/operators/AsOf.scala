@@ -17,7 +17,10 @@ import org.apache.spark.sql.functions._
   * row — per-column carry would resurrect older non-null values into a newer
   * row's nulls and assemble "torn" rows mixing two timeline points. Ties on
   * the right timestamp order by the payload struct itself, making the picked
-  * row deterministic (the repo-wide bit-exactness contract). Cost at scale is
+  * row deterministic (the repo-wide bit-exactness contract) — which requires
+  * every payload column to be of an ORDERABLE type (no maps); unorderable
+  * payloads are rejected up front with the offending columns named, rather
+  * than failing analysis deep inside the window ordering. Cost at scale is
   * ONE hash exchange on the keys plus a per-key sort — no join explosion, no
   * per-row probe; at 100 TB this behaves like a single window aggregation.
   * Skewed keys concentrate a full timeline per partition; the payload state
@@ -44,6 +47,13 @@ object AsOf {
     val payload = right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
     val collide = payload.toSet.intersect(left.columns.toSet)
     require(collide.isEmpty, s"right payload columns collide with left: $collide — rename first")
+    val unorderable = right.schema
+      .filter(f => payload.contains(f.name))
+      .filterNot(f => org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+    require(unorderable.isEmpty,
+      "as-of tie-break orders by the carried payload struct, so every payload column " +
+        s"must be orderable; not orderable: ${unorderable.map(f => s"${f.name}: ${f.dataType.simpleString}").mkString(", ")} — " +
+        "drop them or convert (e.g. map → sorted map_entries array) before the join")
 
     val ts = "__asof_ts"
     val side = "__asof_side" // 1 = right; sorts before left (0) at equal ts → inclusive <=

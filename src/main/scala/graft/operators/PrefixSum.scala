@@ -28,24 +28,59 @@ import org.apache.spark.sql.functions._
   */
 object PrefixSum {
 
+  /** Loan-pattern form: compute the prefix sum, hand the result to `f`, and
+    * unpersist the internal chunked relation afterwards — self-contained
+    * cache hygiene for library callers outside a per-query clearCache
+    * contract. The release happens only after `f` returns because the chunk
+    * ids come from SAMPLED range boundaries: unpersisting while a consumer
+    * could still recompute the lineage would let the local-prefix and offset
+    * sides see different boundaries (torn sums). Consume the result fully
+    * inside `f` (count/collect/write); a DataFrame that lazily escapes `f`
+    * stays correct but may recompute the whole lineage per action. */
+  def withExclusive[A](
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      valueCol: String,
+      chunks: Int,
+      out: String)(f: DataFrame => A): A = {
+    val (result, chunked) = build(df, groupCols, keyCol, valueCol, chunks, out)
+    try f(result)
+    finally chunked.unpersist(blocking = false)
+  }
+
   /** Append `out` = exclusive prefix sum of `valueCol` ordered by `keyCol`
     * within each `groupCols` group, computed as a two-level parallel scan
-    * over `chunks` range partitions. */
+    * over `chunks` range partitions.
+    *
+    * Persists an internal relation for the duration of the result's
+    * consumption; callers under a per-query `clearCache` contract (every
+    * SparkEntry query) get release for free. Library callers should prefer
+    * [[withExclusive]], which unpersists in an epilogue. */
   def exclusive(
       df: DataFrame,
       groupCols: Seq[String],
       keyCol: String,
       valueCol: String,
       chunks: Int,
-      out: String): DataFrame = {
+      out: String): DataFrame =
+    build(df, groupCols, keyCol, valueCol, chunks, out)._1
+
+  /** Returns (result, the persisted chunked relation backing it). */
+  private def build(
+      df: DataFrame,
+      groupCols: Seq[String],
+      keyCol: String,
+      valueCol: String,
+      chunks: Int,
+      out: String): (DataFrame, DataFrame) = {
     require(chunks > 0, "chunks must be > 0")
     val grp = groupCols.map(col)
     // persisted, NOT recomputed per consumer: the chunk id comes from the
     // sampled range boundaries, and the local-prefix side and the offset
     // side must see the SAME boundaries. Without materialization that
     // agreement would hang on runtime exchange reuse (fragile), and the
-    // upstream expression work would run twice besides. Released by the
-    // session-level cache clearing every entry point performs per query.
+    // upstream expression work would run twice besides.
     val chunked = df
       .repartitionByRange(chunks, (groupCols :+ keyCol).map(col): _*)
       .withColumn("__chunk", spark_partition_id())
@@ -68,10 +103,11 @@ object PrefixSum {
     val cond = (groupCols :+ "__chunk")
       .map(c => col(c) <=> col(s"__o_$c"))
       .reduce(_ && _)
-    local
+    val result = local
       .join(offsets, cond)
       .withColumn(out, col("__local") + col("__off"))
       .drop((groupCols :+ "__chunk").map(c => s"__o_$c"): _*)
       .drop("__local", "__off", "__chunk")
+    (result, chunked)
   }
 }

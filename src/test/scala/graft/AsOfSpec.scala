@@ -25,6 +25,17 @@ class AsOfSpec extends SparkSpec {
       (2L, 10L, None, None)))         // right exists only later
   }
 
+  test("unorderable payload types are rejected up front with the column named") {
+    // the tie-break orders by the payload struct; a map column would fail
+    // analysis deep inside the window ordering — the guard names it instead
+    val left = Seq((1L, 20L)).toDF("k", "t")
+    val right = Seq((1L, 5L, Map("a" -> 1)))
+      .toDF("k", "t", "m")
+    val e = intercept[IllegalArgumentException](
+      AsOf.join(left, right, Seq("k"), "t", "t"))
+    assert(e.getMessage.contains("m: map<string,int>"))
+  }
+
   test("a null payload in the matched row stays null (no resurrection)") {
     // right timeline: (t=5, v="a"), (t=10, v=null) — the match at t=20 is
     // the t=10 ROW, so v must be null; per-column carry would return "a"

@@ -42,6 +42,23 @@ class PrefixSumSpec extends SparkSpec {
     assert(got == want && got.exists(_._2.isEmpty))
   }
 
+  test("withExclusive releases the internal cache after the consumer returns") {
+    spark.catalog.clearCache()
+    val got = PrefixSum.withExclusive(data, Seq("g"), "id", "v", 8, "pre") { res =>
+      // cache is live while the consumer runs (boundary agreement)
+      val rows = res.select("id", "g", "v", "pre")
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(!spark.sharedState.cacheManager.isEmpty,
+        "chunked relation not persisted during consumption")
+      rows
+    }
+    assert(got == expected)
+    // release is async (blocking=false) — the cache ENTRY is removed
+    // synchronously, which is the library-hygiene property
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "withExclusive leaked its chunked relation into the cache manager")
+  }
+
   test("result is chunk-count independent (1, 3, 32 chunks all agree)") {
     val ref = expected
     Seq(1, 3, 32).foreach { n =>

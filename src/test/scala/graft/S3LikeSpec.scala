@@ -141,6 +141,44 @@ class S3LikeSpec extends SparkSpec {
     assert(back.count() == 4)
   }
 
+  test("multipart names keep every basename segment: a.b.xlsx -> a/a.{i}.b.xlsx") {
+    // reference composes part names from ALL segments (pandas_aws/s3.py:193-195)
+    val base = tmp()
+    S3Like.putDf(fixture, s"$base/a.b.xlsx", format = "xlsx", parts = 2,
+      sortKeys = Seq("col_1"))
+    val names = S3Like.listKeys(spark, s"$base/a").toSeq.sorted
+    assert(names.map(_.split('/').takeRight(2).mkString("/")) ==
+      Seq("a/a.1.b.xlsx", "a/a.2.b.xlsx"))
+    // same rule on the rename pass: a.b.csv -> a/a.{i}.b.csv — written into a
+    // SEPARATE folder (the xlsx parts above live under this base's /a too,
+    // hence a fresh base)
+    val base2 = tmp()
+    S3Like.putDf(fixture, s"$base2/a.b.csv", format = "csv", parts = 2, exactNaming = true)
+    val csvNames = S3Like.listKeys(spark, s"$base2/a").toSeq.sorted
+    assert(csvNames.map(_.split('/').takeRight(2).mkString("/")) ==
+      Seq("a/a.1.b.csv", "a/a.2.b.csv"))
+    // an empty stem would produce hidden-file part names — rejected
+    intercept[IllegalArgumentException](
+      S3Like.putDf(fixture, s"$base/.xlsx", format = "xlsx", parts = 2))
+  }
+
+  test("multipart write only clears its own part files, not unrelated content") {
+    val base = tmp()
+    val dir = new java.io.File(base.stripPrefix("file:") + "/key")
+    dir.mkdirs()
+    val bystander = new java.io.File(dir, "precious.txt")
+    java.nio.file.Files.write(bystander.toPath, "keep me".getBytes)
+    // a stale part from a previous (larger) write must be cleared...
+    val stale = new java.io.File(dir, "key.9.xlsx")
+    java.nio.file.Files.write(stale.toPath, Array[Byte](1, 2, 3))
+    S3Like.putDf(fixture, s"$base/key.xlsx", format = "xlsx", parts = 2,
+      sortKeys = Seq("col_1"))
+    val names = dir.listFiles().map(_.getName).toSet
+    assert(!names.contains("key.9.xlsx"), "stale part not cleared")
+    assert(names.contains("precious.txt"), "unrelated file destroyed by multipart write")
+    assert(names.contains("key.1.xlsx") && names.contains("key.2.xlsx"))
+  }
+
   test("multipart exact naming: mockfolder/key1.csv -> mockfolder/key1/key1.{1,2}.csv") {
     val base = tmp()
     S3Like.putDf(fixture, s"$base/mockfolder/key1.csv", format = "csv", parts = 2, exactNaming = true)
