@@ -84,6 +84,26 @@ object EventStream {
   def dedupe(events: DataFrame): DataFrame =
     withEventTime(events).withWatermark("ts", "1 hour").dropDuplicates("event_id")
 
+  /** Dedup whose state is BOUNDED by the watermark horizon:
+    * dropDuplicatesWithinWatermark keeps each id only until the watermark
+    * passes its event time + delay, then evicts — so a duplicate arriving
+    * beyond the horizon is emitted AGAIN. That weaker guarantee is the
+    * 100 TB trade: [[dedupe]] on a key column with no event-time component
+    * holds every id ever seen (state ∝ stream length, an unbounded-domain
+    * leak on an infinite stream); this form holds only the ids inside the
+    * horizon (state ∝ arrival rate × horizon). Use it when the producer's
+    * redelivery window is known (retries, at-least-once sources) and
+    * global-history dedup is a batch job's concern. Spark refuses the
+    * within-watermark form on batch plans (the horizon needs a watermark
+    * timeline to mean anything), so the batch branch dispatches to plain
+    * dropDuplicates — a finite replay has no horizon, global dedup IS its
+    * semantics; a streaming run may legitimately contain extra re-emits. */
+  def dedupeWithinWatermark(events: DataFrame): DataFrame = {
+    val e = withEventTime(events).withWatermark("ts", "1 hour")
+    if (e.isStreaming) e.dropDuplicatesWithinWatermark("event_id")
+    else e.dropDuplicates("event_id")
+  }
+
   /** Stream-stream interval join: each purchase joined to the same user's
     * clicks in the 30 minutes at or before it — the streaming form of q49's
     * attribution shape. Both sides carry watermarks and the join condition
@@ -93,7 +113,23 @@ object EventStream {
     * not stream length. In batch mode the same code is a plain equi+range
     * join (watermarks are no-ops), so stream-vs-batch agreement is testable
     * on the same files. */
-  def purchaseClickJoin(events: DataFrame): DataFrame = {
+  def purchaseClickJoin(events: DataFrame): DataFrame =
+    purchaseClickJoinImpl(events, "inner")
+
+  /** LEFT OUTER form of [[purchaseClickJoin]]: every purchase emits, clickless
+    * ones with null click columns. In streaming mode the null row for an
+    * unmatched purchase is emitted only once the watermark passes the
+    * purchase's match bound (no click can arrive anymore — c_ts <= p_ts, so
+    * expiry is watermark > p_ts), which is what keeps the answer append-only
+    * AND the state bounded: the purchase row leaves the state store at the
+    * same moment its nullability is decided. Until the watermark reaches it,
+    * the row is neither emitted nor dropped — an outer result is always one
+    * horizon late, the price of correctness on an infinite stream. In batch
+    * mode the same code is a plain left outer interval join. */
+  def purchaseClickJoinOuter(events: DataFrame): DataFrame =
+    purchaseClickJoinImpl(events, "left_outer")
+
+  private def purchaseClickJoinImpl(events: DataFrame, joinType: String): DataFrame = {
     val e = withEventTime(events)
     val p = e.filter(col("event_type") === "purchase")
       .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
@@ -105,7 +141,7 @@ object EventStream {
       .withWatermark("c_ts", "1 hour")
     p.join(c, col("p_user") === col("c_user")
         && col("c_ts") >= col("p_ts") - expr("INTERVAL '30' MINUTE")
-        && col("c_ts") <= col("p_ts"))
+        && col("c_ts") <= col("p_ts"), joinType)
       .select(col("p_user").as("user_id"), col("p_ts"), col("purchase_value"),
         col("c_ts"), col("click_value"))
   }

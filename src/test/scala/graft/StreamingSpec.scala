@@ -81,6 +81,90 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty && got == want)
   }
 
+  // --- controlled multi-batch harness: one parquet file per micro-batch,
+  //     ordered by modification time, maxFilesPerTrigger=1 → deterministic
+  //     watermark advancement between batches (the property the horizon
+  //     semantics below depend on) ---
+
+  private def syntheticEvents(rows: Seq[(Long, Long, String, String, Double)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+  }
+
+  /** Writes each batch as a single parquet FILE (not directory) with
+    * ascending mod times, returns a streaming DataFrame that replays them
+    * one file per trigger. */
+  private def fileStream(batches: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("evtstream").toFile
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmp = Files.createTempDirectory("evtpart").toFile
+      df.coalesce(1).write.mode("overwrite").parquet("file:" + tmp)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(dir, s"b$i.parquet")
+      Files.move(part.toPath, target.toPath)
+      assert(target.setLastModified(1700000000000L + i * 60000L))
+    }
+    spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet("file:" + dir)
+  }
+
+  test("dedup within watermark: in-horizon dups drop, beyond-horizon dups re-emit") {
+    // b0: id 1 twice inside the horizon → one row. b1: id 9 at 14:00 pushes
+    // the watermark to 13:00 (past id 1's expiry, 10:00 + 1h). b2 is a
+    // filler batch whose processing pass performs the eviction — state
+    // cleanup runs in the batch AFTER the watermark advances. b3: id 1 again
+    // at 13:30 — beyond the horizon, state gone, so it EMITS again: the
+    // bounded-state contract trades global-history dedup for state ∝ horizon.
+    val b0 = syntheticEvents(Seq(
+      (1L, 1L, "click", "2024-01-01 10:00:00", 1.0),
+      (1L, 1L, "click", "2024-01-01 10:05:00", 1.0)))
+    val b1 = syntheticEvents(Seq((9L, 2L, "click", "2024-01-01 14:00:00", 1.0)))
+    val b2 = syntheticEvents(Seq((8L, 2L, "click", "2024-01-01 14:10:00", 1.0)))
+    val b3 = syntheticEvents(Seq((1L, 1L, "click", "2024-01-01 13:30:00", 1.0)))
+    val stream = EventStream.dedupeWithinWatermark(fileStream(Seq(b0, b1, b2, b3)))
+    val q = stream.writeStream.format("memory").queryName("wmdedup_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("wmdedup_stream")
+      .select(col("event_id"), col("ts").cast(TimestampNTZType).cast("string"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00"),   // first occurrence emits; 10:05 dup dropped
+      (9L, "2024-01-01 14:00:00"),
+      (8L, "2024-01-01 14:10:00"),
+      (1L, "2024-01-01 13:30:00")))  // re-emitted: state already evicted
+    // batch mode: a finite replay has no horizon — dispatches to global dedup
+    val batchIn = b0.union(b1).union(b2).union(b3)
+    assert(EventStream.dedupeWithinWatermark(batchIn).count() ==
+      batchIn.dropDuplicates("event_id").count())
+  }
+
+  test("left-outer stream-stream join emits null rows on watermark expiry, equals batch") {
+    // u1's purchase never gets a click; its null row may only emit once the
+    // watermark passes its bound. b1 (20:00) lifts the watermark to 19:00,
+    // b2's processing pass then evicts-and-null-emits the 10:00 purchase —
+    // after which the streaming answer equals the batch left outer exactly.
+    val b0 = syntheticEvents(Seq(
+      (10L, 1L, "purchase", "2024-01-01 10:00:00", 100.0),
+      (11L, 2L, "click", "2024-01-01 09:50:00", 5.0),
+      (12L, 2L, "purchase", "2024-01-01 10:00:00", 200.0)))
+    val b1 = syntheticEvents(Seq(
+      (13L, 3L, "click", "2024-01-01 20:00:00", 6.0),
+      (14L, 3L, "purchase", "2024-01-01 20:00:00", 300.0)))
+    val b2 = syntheticEvents(Seq((15L, 4L, "click", "2024-01-01 23:00:00", 7.0)))
+    val stream = EventStream.purchaseClickJoinOuter(fileStream(Seq(b0, b1, b2)))
+    val q = stream.writeStream.format("memory").queryName("ppco_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("ppco_stream").collect().toSet
+    val want = EventStream.purchaseClickJoinOuter(b0.union(b1).union(b2)).collect().toSet
+    assert(got.size == 3 && got == want)
+    assert(got.exists(r => r.getLong(0) == 1L && r.isNullAt(3)),
+      "u1's clickless purchase did not emit a null row")
+  }
+
   test("mapGroupsWithState running totals equal the batch aggregate") {
     val stream = EventStream.userTotals(EventStream.read(spark, sf))
     val q = stream.writeStream.format("memory").queryName("totals_stream")
