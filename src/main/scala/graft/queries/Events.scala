@@ -236,5 +236,78 @@ object Events {
         .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
         .orderBy("y", "q", "m")
     },
+
+    // ---- q64: FORWARD as-of join — each purchase matched to the user's
+    //           earliest click at or after it (pandas merge_asof
+    //           direction='forward'). DuckDB's ASOF JOIN leaves the tie
+    //           among equal click_ts rows unspecified, so the oracle uses a
+    //           LATERAL whose ORDER BY replicates the operator's tie-break
+    //           exactly: min (click_ts, click_value). ----
+    OracleQuery(
+      "q64_asof_forward",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |p AS (SELECT user_id, ts, value AS purchase_value FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS click_ts, value AS click_value FROM e WHERE event_type = 'click')
+        |SELECT p.user_id, p.ts, p.purchase_value, m.click_ts, m.click_value
+        |FROM p LEFT JOIN LATERAL (
+        |  SELECT c.click_ts, c.click_value FROM c
+        |  WHERE c.user_id = p.user_id AND c.click_ts >= p.ts
+        |  ORDER BY c.click_ts, c.click_value LIMIT 1) m ON TRUE
+        |ORDER BY p.user_id, p.ts""".stripMargin) { (spark, dir) =>
+      val e = ev(spark, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      AsOf.join(purchases, clicks, Seq("user_id"), "ts", "ts", direction = "forward")
+        .select(col("user_id"), col("ts"), col("purchase_value"),
+          col(AsOf.matchedTsName("ts")).as("click_ts"), col("click_value"))
+        .orderBy("user_id", "ts")
+    },
+
+    // ---- q65: NEAREST as-of join with a 30-minute tolerance (pandas
+    //           merge_asof direction='nearest', tolerance=...): the closer
+    //           of the latest-before / earliest-after click, equidistant →
+    //           backward, candidates beyond the bound nulled. Backward-best
+    //           beyond tolerance implies every earlier click is too (and
+    //           symmetrically forward), so per-candidate bounding in the
+    //           operator equals the oracle's WHERE-in-LATERAL filter. ----
+    OracleQuery(
+      "q65_asof_nearest",
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+        |p AS (SELECT user_id, ts, value AS purchase_value FROM e WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts AS click_ts, value AS click_value FROM e WHERE event_type = 'click')
+        |SELECT p.user_id, p.ts, p.purchase_value,
+        |  CASE WHEN b.click_ts IS NULL THEN f.click_ts
+        |       WHEN f.click_ts IS NULL THEN b.click_ts
+        |       WHEN f.click_ts - p.ts < p.ts - b.click_ts THEN f.click_ts
+        |       ELSE b.click_ts END AS click_ts,
+        |  CASE WHEN b.click_ts IS NULL THEN f.click_value
+        |       WHEN f.click_ts IS NULL THEN b.click_value
+        |       WHEN f.click_ts - p.ts < p.ts - b.click_ts THEN f.click_value
+        |       ELSE b.click_value END AS click_value
+        |FROM p
+        |LEFT JOIN LATERAL (
+        |  SELECT c.click_ts, c.click_value FROM c
+        |  WHERE c.user_id = p.user_id AND c.click_ts <= p.ts
+        |    AND p.ts - c.click_ts <= INTERVAL '30 minutes'
+        |  ORDER BY c.click_ts DESC, c.click_value DESC LIMIT 1) b ON TRUE
+        |LEFT JOIN LATERAL (
+        |  SELECT c.click_ts, c.click_value FROM c
+        |  WHERE c.user_id = p.user_id AND c.click_ts >= p.ts
+        |    AND c.click_ts - p.ts <= INTERVAL '30 minutes'
+        |  ORDER BY c.click_ts, c.click_value LIMIT 1) f ON TRUE
+        |ORDER BY p.user_id, p.ts""".stripMargin) { (spark, dir) =>
+      val e = ev(spark, dir)
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("purchase_value"))
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value").as("click_value"))
+      AsOf.join(purchases, clicks, Seq("user_id"), "ts", "ts",
+          direction = "nearest", tolerance = Some(expr("INTERVAL '30' MINUTE")))
+        .select(col("user_id"), col("ts"), col("purchase_value"),
+          col(AsOf.matchedTsName("ts")).as("click_ts"), col("click_value"))
+        .orderBy("user_id", "ts")
+    },
   )
 }

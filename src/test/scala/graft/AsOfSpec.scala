@@ -1,10 +1,11 @@
 package graft
 
+import org.apache.spark.sql.functions.lit
 import graft.operators.AsOf
 
-/** Unit semantics of the backward as-of join (graft.operators.AsOf):
-  * latest right row at-or-before each left row per key, null when none,
-  * inclusive at equal timestamps.
+/** Unit semantics of the as-of join (graft.operators.AsOf): closest right
+  * row per key in the requested direction (backward / forward / nearest),
+  * null when none, inclusive at equal timestamps, optional tolerance bound.
   */
 class AsOfSpec extends SparkSpec {
   import spark.implicits._
@@ -23,6 +24,45 @@ class AsOfSpec extends SparkSpec {
       (1L, 10L, Some("a"), Some(8L)), // latest <= 10 is t=8
       (1L, 20L, Some("c"), Some(20L)), // equal ts is inclusive
       (2L, 10L, None, None)))         // right exists only later
+  }
+
+  test("forward direction picks the earliest right row at or after each left ts") {
+    val left = Seq((1L, 10L), (1L, 15L), (1L, 100L), (2L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, "at"), (1L, 20L, "after"), (1L, 5L, "before"))
+      .toDF("k", "t", "v")
+    val got = AsOf.join(left, right, Seq("k"), "t", "t", direction = "forward")
+      .select("k", "t", "v", "matched_t")
+      .as[(Long, Long, Option[String], Option[Long])].collect().toSet
+    assert(got == Set(
+      (1L, 10L, Some("at"), Some(10L)),     // inclusive: rightTs == leftTs matches
+      (1L, 15L, Some("after"), Some(20L)),
+      (1L, 100L, None, None),               // nothing at or after → left-outer nulls
+      (2L, 10L, None, None)))
+  }
+
+  test("nearest picks the closer side; equidistant resolves backward like pandas") {
+    val left = Seq((1L, 10L), (1L, 16L), (1L, 26L)).toDF("k", "t")
+    val right = Seq((1L, 4L, "b"), (1L, 28L, "f")).toDF("k", "t", "v")
+    val got = AsOf.join(left, right, Seq("k"), "t", "t", direction = "nearest")
+      .select("k", "t", "v").as[(Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 10L, "b"),   // 6 back vs 18 forward
+      (1L, 16L, "b"),   // 12 back vs 12 forward — equidistant → backward
+      (1L, 26L, "f")))  // 22 back vs 2 forward
+  }
+
+  test("tolerance nulls matches beyond the bound in every direction") {
+    val left = Seq((1L, 10L), (1L, 50L)).toDF("k", "t")
+    val right = Seq((1L, 7L, "x")).toDF("k", "t", "v")
+    def run(dir: String) =
+      AsOf.join(left, right, Seq("k"), "t", "t", dir, Some(lit(5L)))
+        .select("k", "t", "v").as[(Long, Long, Option[String])].collect().toSet
+    assert(run("backward") == Set((1L, 10L, Some("x")), (1L, 50L, None)))
+    assert(run("nearest") == Set((1L, 10L, Some("x")), (1L, 50L, None)))
+    assert(run("forward") == Set((1L, 10L, None), (1L, 50L, None)))
+    val e = intercept[IllegalArgumentException](
+      AsOf.join(left, right, Seq("k"), "t", "t", "sideways"))
+    assert(e.getMessage.contains("direction"))
   }
 
   test("unorderable payload types are rejected up front with the column named") {

@@ -124,6 +124,16 @@ class PlanSpec extends SparkSpec {
       "lang predicate not in PartitionFilters — partitioned scan reads every directory")
   }
 
+  test("q65: nearest as-of runs both directional scans over ONE hash exchange") {
+    // the operator's scale contract: backward + forward carries are two
+    // sorts of the SAME key-partitioned timeline — a second hashpartitioning
+    // exchange would mean the union is being reshuffled per direction
+    val p = plan("q65_asof_nearest")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1, s"expected 1 hash exchange for the merged timeline, got $hashEx")
+    assert("Window".r.findAllIn(p).length >= 2, "both directional window scans expected")
+  }
+
   test("clearCache leaves no cached plans behind (bench hygiene contract)") {
     SparkEntry.queries("q28_minhash_lsh")(spark, sf).count()
     assert(!spark.sharedState.cacheManager.isEmpty, "q28 should persist postings")
