@@ -210,9 +210,11 @@ object TrainingOps {
         .groupBy("w").agg(count(lit(1)).as("freq"))
         .orderBy(col("freq").desc, col("w"))
         .limit(50)
-      // rank over the 50 survivors (a single tiny partition, after top-k)
+      // rank over the 50 survivors — partitioned by a constant: same single
+      // tiny partition the post-top-k data already is, but declared, so the
+      // global-window degradation warning (meant for big inputs) stays quiet
       top.withColumn("rank",
-          row_number().over(Window.orderBy(col("freq").desc, col("w"))).cast(IntegerType))
+          row_number().over(Window.partitionBy(lit(0)).orderBy(col("freq").desc, col("w"))).cast(IntegerType))
         .select(col("w"), col("freq").cast(LongType).as("freq"), col("rank"))
         .orderBy("rank")
     },

@@ -2,9 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
 import org.apache.spark.sql.types._
-import graft.engine.{Det, Tables}
+import graft.engine.{Det, Tables, Warehouse}
 
 /** Output row of [[EventStream.userTotals]]. */
 final case class UserTotal(user_id: Long, n: Long, total: Double)
@@ -145,6 +145,44 @@ object EventStream {
       .select(col("p_user").as("user_id"), col("p_ts"), col("purchase_value"),
         col("c_ts"), col("click_value"))
   }
+
+  /** Continuous ingestion into the Hive-partitioned lake layout the batch
+    * engine reads (S3Like partitionKeys): append-only parquet under
+    * `event_date=YYYY-MM-DD/` directories. The file sink's manifest log
+    * makes the stream exactly-once (a restarted query never double-counts a
+    * file), and every downstream BATCH query over the landed data gets
+    * plan-time partition pruning on `event_date` for free — this is the
+    * standing pattern that turns an event stream into a 100 TB date-pruned
+    * lake: ingestion cost ∝ arrival rate, query cost ∝ dates touched. */
+  def lakeSink(events: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    withEventTime(events)
+      .withColumn("event_date", to_date(col("ts")))
+      .writeStream.format("parquet")
+      .partitionBy("event_date")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .start()
+
+  /** Streaming-maintained materialized view: per-user running aggregates
+    * upserted into a warehouse table each trigger. Update mode emits only
+    * the users whose aggregate changed in the batch; `Warehouse.upsert`
+    * (delete-using + insert, last-writer-wins on the key) folds them in, so
+    * the table always equals the batch aggregate over everything ingested —
+    * and REPLAYING any batch converges to the same state (upsert is
+    * idempotent per key), which is what makes foreachBatch's at-least-once
+    * delivery exactly-once in effect. State is one aggregate row per user
+    * (no watermark: totals are over all time); the per-trigger upsert cost
+    * is ∝ changed keys, not table size. */
+  def userTotalsToWarehouse(events: DataFrame, target: String, checkpointDir: String): StreamingQuery =
+    events.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), Det.dsum(col("value")).as("total"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Warehouse.upsert(batch.sparkSession, batch, target, Seq("user_id"))
+      }
+      .start()
 
   /** Running per-user totals carried in custom keyed state
     * (mapGroupsWithState) — the escape hatch for stateful logic the

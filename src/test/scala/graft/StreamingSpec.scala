@@ -165,6 +165,57 @@ class StreamingSpec extends SparkSpec {
       "u1's clickless purchase did not emit a null row")
   }
 
+  test("lake sink lands date-partitioned parquet that batch reads with pruning") {
+    import java.nio.file.Files
+    val out = Files.createTempDirectory("lake").toString
+    val ckpt = Files.createTempDirectory("lakeckpt").toString
+    val q = EventStream.lakeSink(EventStream.read(spark, sf), out, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    // directory layout is the Hive-partitioned lake shape
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName)
+      .filter(_ != "_spark_metadata") // the exactly-once manifest log
+    assert(dirs.nonEmpty && dirs.forall(_.startsWith("event_date=")))
+    // a date-filtered batch read prunes partitions at plan time and agrees
+    // with the batch answer for that date
+    val oneDate = dirs.head.stripPrefix("event_date=")
+    val read = spark.read.parquet(out).filter(col("event_date") === lit(oneDate))
+    val plan = read.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*event_date".r.findFirstIn(plan).isDefined,
+      "event_date filter not pruning partitions")
+    val want = batchEvents.filter(to_date(col("ts").cast(TimestampType)) === lit(oneDate)).count()
+    assert(read.count() == want && want > 0)
+    // total landed rows = total stream rows (exactly-once manifest)
+    assert(spark.read.parquet(out).count() == batchEvents.count())
+  }
+
+  test("foreachBatch upsert maintains the batch aggregate in the warehouse") {
+    import java.nio.file.Files
+    val ckpt = Files.createTempDirectory("whckpt").toString
+    val target = "stream_user_totals"
+    val batchAgg = batchEvents.groupBy("user_id")
+      .agg(count(lit(1)).as("n"), graft.engine.Det.dsum(col("value")).as("total"))
+    // drop catalog entries AND their locations — an earlier aborted run can
+    // leave an orphaned warehouse directory that blocks saveAsTable
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    Seq(target, s"stage_$target").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      rm(new java.io.File(wh, t))
+    }
+    batchAgg.limit(0).write.saveAsTable(target)   // reference contract: target exists
+    val q = EventStream.userTotalsToWarehouse(EventStream.read(spark, sf), target, ckpt)
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(target).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = batchAgg.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got.nonEmpty && got == want)
+    spark.sql(s"DROP TABLE IF EXISTS $target")
+  }
+
   test("mapGroupsWithState running totals equal the batch aggregate") {
     val stream = EventStream.userTotals(EventStream.read(spark, sf))
     val q = stream.writeStream.format("memory").queryName("totals_stream")
