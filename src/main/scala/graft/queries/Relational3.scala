@@ -111,5 +111,32 @@ object Relational3 {
           least(col("o_totalprice"), lit(50000.0)).as("capped"))
         .orderBy("o_orderkey")
     },
+
+    // ---- q66: single-pass column profiling (graft.operators.Profile) —
+    //           the ANALYZE-style stats sweep. Columns chosen for exact
+    //           cross-engine string casts: bigint and varchar only (a
+    //           double's shortest-repr string differs between engines). ----
+    OracleQuery(
+      "q66_profile",
+      """WITH m AS (
+        |  SELECT 'o_custkey' AS "column", COUNT(*) AS n_rows,
+        |    COUNT(o_custkey) AS n_nonnull, COUNT(DISTINCT o_custkey) AS n_distinct,
+        |    CAST(MIN(o_custkey) AS VARCHAR) AS min_s, CAST(MAX(o_custkey) AS VARCHAR) AS max_s
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', COUNT(*), COUNT(o_orderpriority),
+        |    COUNT(DISTINCT o_orderpriority),
+        |    CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderstatus', COUNT(*), COUNT(o_orderstatus),
+        |    COUNT(DISTINCT o_orderstatus),
+        |    CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+        |  FROM orders)
+        |SELECT * FROM m ORDER BY "column"""".stripMargin) { (spark, dir) =>
+      graft.operators.Profile.profile(
+        Tables(spark, dir, "orders"),
+        Seq("o_custkey", "o_orderpriority", "o_orderstatus"))
+    },
   )
 }

@@ -134,6 +134,13 @@ class PlanSpec extends SparkSpec {
     assert("Window".r.findAllIn(p).length >= 2, "both directional window scans expected")
   }
 
+  test("q66: profiling all columns costs ONE scan (multi-distinct via Expand)") {
+    val p = plan("q66_profile")
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"profile re-scanned the table: $scans scans for 3 columns")
+    assert(p.contains("Expand"), "multi-column distinct lost its Expand plan")
+  }
+
   test("clearCache leaves no cached plans behind (bench hygiene contract)") {
     SparkEntry.queries("q28_minhash_lsh")(spark, sf).count()
     assert(!spark.sharedState.cacheManager.isEmpty, "q28 should persist postings")
