@@ -2,12 +2,21 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, StreamingQuery}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 import org.apache.spark.sql.types._
 import graft.engine.{Det, Tables, Warehouse}
 
 /** Output row of [[EventStream.userTotals]]. */
 final case class UserTotal(user_id: Long, n: Long, total: Double)
+
+/** Keyed state of [[EventStream.closedSessions]]: the user's currently open
+  * session (epoch-millis bounds). */
+final case class OpenSession(start: Long, end: Long, n: Long, sum: Double)
+
+/** Output row of [[EventStream.closedSessions]]. */
+final case class ClosedSession(
+    user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
 
 /** Structured Streaming surface over the events stream (SURVEY.md §2.9 —
   * ABSENT in the reference, driver-mandated extension).
@@ -144,6 +153,72 @@ object EventStream {
         && col("c_ts") <= col("p_ts"), joinType)
       .select(col("p_user").as("user_id"), col("p_ts"), col("purchase_value"),
         col("c_ts"), col("click_value"))
+  }
+
+  /** Sessions emitted exactly when they CLOSE — the flatMapGroupsWithState +
+    * EventTimeTimeout form of sessionization, for consumers that act on a
+    * finished session (billing, abandonment alerts) rather than a running
+    * aggregate. A session closes two ways: a same-user event ≥ 30 minutes
+    * after its end arrives (emitted inline, the new session opens in its
+    * place), or the watermark passes end + gap with no successor (the state
+    * TIMEOUT fires and emits it — this is the path a windowed aggregate
+    * cannot express: output triggered by the ABSENCE of data). State is one
+    * OpenSession per active user; eviction is the timeout itself, so state
+    * size ∝ users active within the watermark horizon. Within a batch the
+    * per-user rows are sorted in memory — bounded by one user's events per
+    * micro-batch, not history. The gap rule (`>=` 30 min) matches q18 and
+    * session_window's half-open semantics. In batch mode every session is
+    * known-closed, so the same call dispatches to [[sessions]] (Spark
+    * forbids event-time timeouts without a real watermark timeline). */
+  def closedSessions(events: DataFrame): DataFrame = {
+    if (!events.isStreaming) return sessions(events)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapMs = 30L * 60 * 1000
+    withEventTime(events)
+      .withWatermark("ts", "1 hour")
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[(Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+         state: GroupState[OpenSession]) =>
+          def emit(s: OpenSession) = ClosedSession(user,
+            new java.sql.Timestamp(s.start), new java.sql.Timestamp(s.end), s.n, s.sum)
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(emit(s))
+          } else {
+            val out = Seq.newBuilder[ClosedSession]
+            var cur = state.getOption
+            rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { case (_, ts, v) =>
+              val t = ts.getTime
+              cur match {
+                case Some(s) if t - s.end >= gapMs =>
+                  out += emit(s)
+                  cur = Some(OpenSession(t, t, 1, v))
+                case Some(s) =>
+                  cur = Some(OpenSession(s.start, math.max(s.end, t), s.n + 1, s.sum + v))
+                case None =>
+                  cur = Some(OpenSession(t, t, 1, v))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // a timeout in the past fires immediately-ish but Spark rejects
+              // timestamps at or before the current watermark — clamp forward
+              state.setTimeoutTimestamp(math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            out.result().iterator
+          }
+      }
+      .toDF()
+      .select(col("user_id"),
+        col("session_start").cast(TimestampType).as("session_start"),
+        col("session_end").cast(TimestampType).as("session_end"),
+        col("n_events"), col("sum_value"))
   }
 
   /** Continuous ingestion into the Hive-partitioned lake layout the batch

@@ -165,6 +165,49 @@ class StreamingSpec extends SparkSpec {
       "u1's clickless purchase did not emit a null row")
   }
 
+  test("closed sessions emit on successor arrival AND on event-time timeout") {
+    // u1: two events then a 110-min-later third — session A closes INLINE
+    // when the third arrives (successor path), which opens session B.
+    // b1 (20:00) lifts the watermark to 19:00; b2's pass then fires B's
+    // TIMEOUT (end 12:00 + 30min < 19:00) — emission triggered by the
+    // absence of data, the thing a windowed aggregate can't express. After
+    // b2 the watermark reaches 22:00 and Spark runs one more empty batch
+    // purely to fire expired timeouts — closing u2's session (bound 20:30)
+    // too. Only u9 (bound 23:30, past the final watermark) stays open.
+    val b0 = syntheticEvents(Seq(
+      (1L, 1L, "click", "2024-01-01 10:00:00", 1.0),
+      (2L, 1L, "click", "2024-01-01 10:10:00", 2.0),
+      (3L, 1L, "click", "2024-01-01 12:00:00", 4.0)))
+    val b1 = syntheticEvents(Seq((4L, 2L, "click", "2024-01-01 20:00:00", 8.0)))
+    val b2 = syntheticEvents(Seq((5L, 9L, "click", "2024-01-01 23:00:00", 16.0)))
+    val stream = EventStream.closedSessions(fileStream(Seq(b0, b1, b2)))
+    val q = stream.writeStream.format("memory").queryName("closed_stream")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("closed_stream")
+      .select(col("user_id"),
+        col("session_start").cast(TimestampNTZType).cast("string"),
+        col("session_end").cast(TimestampNTZType).cast("string"),
+        col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(got == Set(
+      (1L, "2024-01-01 10:00:00", "2024-01-01 10:10:00", 2L, 3.0),  // successor close
+      (1L, "2024-01-01 12:00:00", "2024-01-01 12:00:00", 1L, 4.0),  // timeout close
+      (2L, "2024-01-01 20:00:00", "2024-01-01 20:00:00", 1L, 8.0))) // empty-batch timeout
+    // batch mode: every session is known-closed → dispatches to sessions()
+    val batchIn = b0.union(b1).union(b2)
+    val batchGot = EventStream.closedSessions(batchIn)
+      .select(col("user_id"),
+        col("session_start").cast(TimestampNTZType).cast("string"),
+        col("session_end").cast(TimestampNTZType).cast("string"),
+        col("n_events"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toSet
+    assert(batchGot.size == 4 && got.subsetOf(batchGot),
+      "streaming closed sessions must be the batch sessions the watermark has passed")
+  }
+
   test("lake sink lands date-partitioned parquet that batch reads with pruning") {
     import java.nio.file.Files
     val out = Files.createTempDirectory("lake").toString
