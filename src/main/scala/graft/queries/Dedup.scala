@@ -218,6 +218,44 @@ object Dedup {
           (0 until 32).map(j => col(s"b$j")).reduce(_ + _).as("simhash"))
         .orderBy("doc_id")
     },
+
+    // ---- q67: fuzzy (edit-distance) near-dup — blocking + verify, the
+    //           record-linkage shape for SHORT strings where shingles are
+    //           too coarse (titles, product names, author fields). Candidate
+    //           generation is a key-equi self-join on the (type, size)
+    //           block — never all-pairs — with the |len diff| ≤ 3 bound (a
+    //           necessary condition for lev ≤ 3) pre-filtering inside the
+    //           join before any O(L²) distance runs; levenshtein (codegen,
+    //           exact integers both engines) verifies candidates only.
+    //           Scale note: pair work is Σ block², so block granularity is
+    //           the knob — at corpus scale add a length band or first-token
+    //           to the key, trading recall at band borders exactly like
+    //           q42's hyperplane bands. ----
+    OracleQuery(
+      "q67_fuzzy_neardup",
+      """WITH p AS (SELECT p_partkey, p_name, p_type, p_size FROM part)
+        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+        |  a.p_name AS name_a, b.p_name AS name_b,
+        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+        |FROM p a JOIN p b
+        |  ON a.p_type = b.p_type AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+      val p = Tables(spark, dir, "part")
+        .select("p_partkey", "p_name", "p_type", "p_size")
+      val a = p.toDF("id_a", "name_a", "t", "s")
+      val b = p.toDF("id_b", "name_b", "t2", "s2")
+      a.join(b,
+          col("t") === col("t2") && col("s") === col("s2")
+            && col("id_a") < col("id_b")
+            && abs(length(col("name_a")) - length(col("name_b"))) <= 3)
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 3)
+        .select("id_a", "id_b", "name_a", "name_b", "dist")
+        .orderBy("id_a", "id_b")
+    },
   )
 
   /** Shared tail: attach set sizes, compute Jaccard, filter ≥ 0.5. */

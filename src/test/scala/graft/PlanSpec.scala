@@ -56,7 +56,7 @@ class PlanSpec extends SparkSpec {
     // cell / label+dim), never a cartesian or nested-loop product
     Seq("q27_jaccard_pairs", "q28_minhash_lsh", "q30_cosine_topk",
         "q31_ann_lsh", "q39_training_pipeline", "q42_embedding_neardup",
-        "q43_ann_ivf", "q52_ann_ivf_probe2").foreach { q =>
+        "q43_ann_ivf", "q52_ann_ivf_probe2", "q67_fuzzy_neardup").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
