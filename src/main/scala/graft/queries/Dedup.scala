@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.engine.Tables
 import graft.functions.TextOps
+import graft.operators.Components
 
 /** Deduplication operators over `documents` (LLM-pipeline extensions):
   * exact (canonical-fingerprint) dedup, exact n-gram Jaccard via an inverted
@@ -243,20 +244,62 @@ object Dedup {
         |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
         |WHERE levenshtein(a.p_name, b.p_name) <= 3
         |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
-      val p = Tables(spark, dir, "part")
-        .select("p_partkey", "p_name", "p_type", "p_size")
-      val a = p.toDF("id_a", "name_a", "t", "s")
-      val b = p.toDF("id_b", "name_b", "t2", "s2")
-      a.join(b,
-          col("t") === col("t2") && col("s") === col("s2")
-            && col("id_a") < col("id_b")
-            && abs(length(col("name_a")) - length(col("name_b"))) <= 3)
-        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-        .filter(col("dist") <= 3)
+      fuzzyPairs(spark, dir)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
         .orderBy("id_a", "id_b")
     },
+
+    // ---- q68: dedup CLUSTER resolution — connected components over the
+    //           q67 fuzzy pair list (graft.operators.Components, hash-min
+    //           label propagation). Pair emitters give edges; a keep-one
+    //           policy needs the transitive closure: A~B and B~C put A and
+    //           C in one cluster though they were never compared. The
+    //           representative (= cluster id = min member id) is the kept
+    //           doc; is_keeper marks it. The oracle walks the same closure
+    //           with a recursive CTE — fine over the pair list's scale,
+    //           while the Spark side's per-round shuffles are the form that
+    //           survives a corpus-sized graph. ----
+    OracleQuery(
+      "q68_dup_clusters",
+      """WITH RECURSIVE p AS (SELECT p_partkey, p_name, p_type, p_size FROM part),
+        |pairs AS (
+        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+        |  FROM p a JOIN p b
+        |    ON a.p_type = b.p_type AND a.p_size = b.p_size
+        |    AND a.p_partkey < b.p_partkey
+        |    AND abs(length(a.p_name) - length(b.p_name)) <= 3
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |sym AS (SELECT id_a AS s, id_b AS t FROM pairs
+        |        UNION SELECT id_b, id_a FROM pairs),
+        |reach(s, t) AS (
+        |  SELECT s, s FROM sym
+        |  UNION
+        |  SELECT r.s, sym.t FROM reach r JOIN sym ON r.t = sym.s)
+        |SELECT s AS p_partkey, MIN(t) AS cluster,
+        |  (MIN(t) = s) AS is_keeper
+        |FROM reach GROUP BY s
+        |ORDER BY cluster, p_partkey""".stripMargin) { (spark, dir) =>
+      Components.connected(fuzzyPairs(spark, dir), "id_a", "id_b")
+        .select(col("v").as("p_partkey"), col("c").as("cluster"),
+          (col("c") === col("v")).as("is_keeper"))
+        .orderBy("cluster", "p_partkey")
+    },
   )
+
+  /** q67/q68's shared candidate pipeline: (type, size)-blocked fuzzy name
+    * pairs verified by levenshtein ≤ 3. */
+  private def fuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables(spark, dir, "part")
+      .select("p_partkey", "p_name", "p_type", "p_size")
+    val a = p.toDF("id_a", "name_a", "t", "s")
+    val b = p.toDF("id_b", "name_b", "t2", "s2")
+    a.join(b,
+        col("t") === col("t2") && col("s") === col("s2")
+          && col("id_a") < col("id_b")
+          && abs(length(col("name_a")) - length(col("name_b"))) <= 3)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= 3)
+  }
 
   /** Shared tail: attach set sizes, compute Jaccard, filter ≥ 0.5. */
   private def jaccardSelect(pairs: DataFrame, sizes: DataFrame): DataFrame = {

@@ -1,0 +1,38 @@
+package graft
+
+import graft.operators.Components
+
+/** Hash-min connected components: transitive closure over chains (labels
+  * must PROPAGATE, not just hop once), disjoint components stay apart,
+  * edge orientation/duplication is irrelevant, and no cache entry outlives
+  * the call.
+  */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chains resolve transitively; disjoint components keep separate minima") {
+    // 1-2-3-4 is a diameter-3 chain: vertex 4 learns label 1 only through
+    // repeated rounds; 10-11 is a separate pair
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 10L), (3L, 2L))
+      .toDF("x", "y")
+    val got = Components.connected(edges, "x", "y")
+      .as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L), (10L, 10L), (11L, 10L)))
+  }
+
+  test("no cache entry outlives the call (per-round persists released)") {
+    spark.catalog.clearCache()
+    val edges = Seq((5L, 6L), (6L, 7L)).toDF("x", "y")
+    val got = Components.connected(edges, "x", "y").as[(Long, Long)].collect().toSet
+    assert(got == Set((5L, 5L), (6L, 5L), (7L, 5L)))
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "Components leaked per-round label relations into the cache manager")
+  }
+
+  test("diameter beyond maxRounds fails loudly instead of returning garbage") {
+    val chain = (1L until 8L).map(i => (i, i + 1)).toDF("x", "y")
+    val e = intercept[IllegalArgumentException](
+      Components.connected(chain, "x", "y", maxRounds = 2))
+    assert(e.getMessage.contains("converge"))
+  }
+}
