@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (driver-mandated extension): media travel as
@@ -20,6 +20,23 @@ object Multimodal {
     * actual media header/pixels. */
   final case class MediaFeatures(
       doc_id: Long, width: Int, height: Int, n_frames: Int, brightness: Double)
+
+  /** Ingest raw media FILES as binary rows via Spark's binaryFile source —
+    * the front door of the multimodal pipeline when media live as objects
+    * (jpg/wav/mp4 keys) rather than columns. Each file becomes one row of
+    * (doc_id, path, length, content); doc_id is a stable hash of the path so
+    * downstream joins and dedup have a numeric key. The source prunes by
+    * `pathGlobFilter` at LISTING time and pushes `length`/`modificationTime`
+    * predicates down to file status (never opening filtered files) — at
+    * 100 TB of media, selection happens on metadata, and the bytes of a
+    * selected file go straight to the owning task, no driver hop. */
+  def ingestBinary(spark: SparkSession, dir: String, glob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        xxhash64(col("path")).as("doc_id"),
+        col("path"), col("length"), col("content"))
 
   /** Attach a synthetic 16-byte binary payload (md5 of the text) standing in
     * for real media bytes, plus a mime tag. Deterministic, so the pipeline

@@ -52,4 +52,23 @@ class MultimodalSpec extends SparkSpec {
       .select(col("doc_id"), length(col("content")).as("n")).as[(Long, Int)].collect()
     assert(resized.nonEmpty && resized.forall(_._2 == 4)) // 16 bytes / 4
   }
+
+  test("binaryFile ingestion: media files become rows, glob prunes at listing") {
+    val dir = java.nio.file.Files.createTempDirectory("media")
+    val bytes = Array.tabulate[Byte](16)(i => (i * 7 + 3).toByte)
+    java.nio.file.Files.write(dir.resolve("a.jpg"), bytes)
+    java.nio.file.Files.write(dir.resolve("b.jpg"), bytes.map(b => (b + 1).toByte))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), "not media".getBytes)
+    val got = Multimodal.ingestBinary(spark, "file:" + dir, glob = "*.jpg")
+    assert(got.count() == 2, "glob did not prune the non-media file")
+    val row = got.filter(col("path").endsWith("a.jpg"))
+      .select("length", "content").head()
+    assert(row.getLong(0) == 16L && row.getAs[Array[Byte]](1).sameElements(bytes))
+    // ingested rows feed the decode stage unchanged (same (doc_id, content)
+    // contract as column-borne media); doc_id is a stable path hash
+    val feats = Multimodal.decodeFeatures(got).collect()
+    assert(feats.length == 2 && feats.map(_.doc_id).distinct.length == 2)
+    val wantWidth = ((bytes(0) & 0xff) << 8) | (bytes(1) & 0xff)
+    assert(feats.exists(_.width == wantWidth))
+  }
 }
