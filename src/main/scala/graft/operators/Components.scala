@@ -23,8 +23,22 @@ import org.apache.spark.sql.functions._
   * Beyond") drops rounds to O(log n) at the cost of two alternating
   * shuffles — same join-shaped building blocks, swap in if diameters grow.
   *
-  * Per-round relations are persisted and released as soon as the successor
-  * materializes, so peak storage is two label maps regardless of rounds.
+  * Iteration hygiene — the part that keeps the loop alive at scale:
+  *
+  *   - The symmetrized edge list is persisted ONCE; without that, every
+  *     round re-runs whatever (possibly expensive) pipeline EMITTED the
+  *     pairs — a levenshtein self-join in q67's case.
+  *   - Every round's label map is lineage-TRUNCATED (`localCheckpoint`),
+  *     not merely persisted. A persisted-only loop grows the logical plan
+  *     by one join+aggregate nesting per round: AQE then re-plans (and
+  *     stringifies, for its plan-update events — even with the UI off) an
+  *     O(rounds)-deep tree on every action, which is O(rounds²) work
+  *     overall and eventually overflows the driver stack in the recursive
+  *     tree walks. Truncation pins plan depth, planning cost, and stack
+  *     use constant per round. Superseded snapshots are dropped by the
+  *     ContextCleaner as their references die; on a real cluster swap
+  *     `localCheckpoint` for reliable `checkpoint` (a lost executor kills
+  *     a local checkpoint's recompute path — fine single-JVM, not fleet).
   */
 object Components {
 
@@ -36,11 +50,10 @@ object Components {
   def connected(edges: DataFrame, a: String, b: String, maxRounds: Int = 50): DataFrame = {
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))
       .union(edges.select(col(b).as("src"), col(a).as("dst")))
-
+      .persist()
     var labels = sym.select(col("src").as("v")).distinct()
       .withColumn("c", col("v"))
-      .persist()
-    labels.count()
+      .localCheckpoint(eager = true)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -48,21 +61,15 @@ object Components {
         .select(col("src").as("v"), col("c"))
         .unionByName(labels)
         .groupBy("v").agg(min("c").as("c"))
-        .persist()
-      next.count()
+        .localCheckpoint(eager = true)
       changed = next.join(labels.withColumnRenamed("c", "c_prev"), "v")
         .filter(col("c") =!= col("c_prev")).count()
-      labels.unpersist(blocking = false)
       labels = next
       round += 1
     }
+    sym.unpersist(blocking = false)
     require(changed == 0, s"components did not converge in $maxRounds rounds — " +
       "graph diameter exceeds the bound; raise maxRounds or switch to large-star/small-star")
-    val out = labels
-    // the caller consumes the fixpoint lazily; hand back an unpersisted copy
-    // so no cache entry outlives the call
-    val result = out.select(col("v"), col("c")).localCheckpoint(eager = true)
-    out.unpersist(blocking = false)
-    result
+    labels.select(col("v"), col("c"))
   }
 }

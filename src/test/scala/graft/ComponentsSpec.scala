@@ -29,6 +29,20 @@ class ComponentsSpec extends SparkSpec {
       "Components leaked per-round label relations into the cache manager")
   }
 
+  test("plan depth stays constant across rounds (per-round lineage truncation)") {
+    // a 40-edge path forces ~40 propagation rounds; without per-round
+    // localCheckpoint the result plan nests one join+aggregate per round
+    // (AQE re-plans and stringifies that tree per action — quadratic cost,
+    // then a driver StackOverflowError once deep enough, which is exactly
+    // how the sf0.1 bench caught it)
+    val chain = (1L to 40L).map(i => (i, i + 1)).toDF("x", "y")
+    val res = Components.connected(chain, "x", "y")
+    val planLines = res.queryExecution.optimizedPlan.toString.linesIterator.size
+    assert(planLines < 10, s"plan is $planLines lines deep — lineage not truncated")
+    val labels = res.as[(Long, Long)].collect()
+    assert(labels.length == 41 && labels.forall(_._2 == 1L))
+  }
+
   test("diameter beyond maxRounds fails loudly instead of returning garbage") {
     val chain = (1L until 8L).map(i => (i, i + 1)).toDF("x", "y")
     val e = intercept[IllegalArgumentException](
