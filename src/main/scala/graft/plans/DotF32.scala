@@ -77,20 +77,32 @@ case class DotF32(left: Expression, right: Expression)
 /** Session-extension hook injecting the engine's native functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftExtensions.dotF32Descriptor)
+    GraftExtensions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftExtensions {
-  private val dotF32Descriptor =
-    (FunctionIdentifier("dot_f32"),
-      new ExpressionInfo(classOf[DotF32].getName, "dot_f32"),
+  import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+  private def two(name: String)(mk: (Expression, Expression) => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[DotF32].getName, name),
       (children: Seq[Expression]) => {
-        require(children.length == 2, "dot_f32 takes exactly 2 arguments")
-        DotF32(children.head, children(1))
+        require(children.length == 2, s"$name takes exactly 2 arguments")
+        mk(children.head, children(1))
       })
+
+  /** dot_f32 plus Column-API access to the Bloom expressions Spark keeps
+    * SQL-internal (`BloomFilterAggregate` / `BloomFilterMightContain`, the
+    * machinery behind runtime bloom-filter joins) — see operators.Bloom. */
+  private val descriptors = Seq(
+    two("dot_f32")(DotF32(_, _)),
+    two("bloom_agg")(new BloomFilterAggregate(_, _)),
+    two("bloom_might_contain")(BloomFilterMightContain(_, _)))
 
   /** Register on an already-built session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      dotF32Descriptor._1, dotF32Descriptor._2, dotF32Descriptor._3)
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 }

@@ -248,5 +248,35 @@ object TrainingOps {
         .groupBy("eval_doc").agg(count(lit(1)).as("n_train_dups"))
         .orderBy("eval_doc")
     },
+
+    // ---- q69: decontamination at lake scale — Bloom-sketch semi-join
+    //           reduction (operators.Bloom). q58 answers "which eval docs
+    //           leaked?"; this answers the production question "which TRAIN
+    //           docs must I drop?", and does it without ever shuffling the
+    //           train side: the eval fingerprints aggregate into one
+    //           mergeable Bloom sketch, the corpus is pre-filtered by
+    //           `might_contain` right above its scan (no false negatives),
+    //           and only the surviving sliver pays the exact verify semi
+    //           join that removes the sketch's false positives. The
+    //           composite is EXACTLY the semi join — hence this oracle. ----
+    OracleQuery(
+      "q69_bloom_decontaminate",
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |    md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+        |  FROM documents),
+        |ev AS (SELECT fp FROM f WHERE source = 'src0'),
+        |tr AS (SELECT doc_id, fp FROM f WHERE source <> 'src0')
+        |SELECT tr.doc_id AS doc_id
+        |FROM tr WHERE EXISTS (SELECT 1 FROM ev WHERE ev.fp = tr.fp)
+        |ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val f = Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.contentFingerprint(TextOps.tokens(col("text"))).as("fp"))
+      val ev = f.filter(col("source") === "src0").select("fp")
+      val tr = f.filter(col("source") =!= "src0").select("doc_id", "fp")
+      graft.operators.Bloom.semiJoin(tr, "fp", ev, "fp", expectedItems = 10000L)
+        .select("doc_id").orderBy("doc_id")
+    },
   )
 }
