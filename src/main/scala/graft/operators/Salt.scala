@@ -54,4 +54,37 @@ object Salt {
       .groupBy(keys.map(col): _*)
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
+
+  /** Skew-safe shuffled inner equi join on a shared `key` column.
+    *
+    * A shuffle join on a skewed key funnels every row of the hot key — BOTH
+    * sides — through one reducer, and AQE's skew-join split only rescues the
+    * STREAM side (it cannot split the build side of one partition without
+    * replicating it, which is exactly what salting pre-declares). Here the
+    * big side gets a deterministic per-row salt in [0, buckets) and the
+    * small-but-unbroadcastable side is replicated across all `buckets`
+    * salts, so the join key becomes (key, salt) and the hot key spreads
+    * over `buckets` tasks. Inner-join semantics are EXACT: each big row
+    * carries one salt, and every small row with its key exists at that salt.
+    *
+    * Cost: `buckets × |small|` replicated rows — the deliberate trade for
+    * the scenario where `small` exceeds the broadcast budget but one big-
+    * side key dominates. If `small` fits in memory, broadcast instead; if
+    * neither holds, this is the shape that keeps the reducers level. The
+    * small side is hinted `shuffle_merge` so Catalyst cannot "rescue" the
+    * plan into a broadcast that would make the salt dead weight.
+    */
+  def saltedJoin(
+      big: DataFrame,
+      small: DataFrame,
+      key: String,
+      saltFrom: Seq[String],
+      buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be > 0")
+    val bigS = big.withColumn("__salt", saltCol(saltFrom, buckets))
+    val smallS = small.withColumn(
+      "__salt", explode(array((0 until buckets).map(lit): _*)))
+    bigS.join(smallS.hint("shuffle_merge"), Seq(key, "__salt"))
+      .drop("__salt")
+  }
 }

@@ -39,5 +39,32 @@ object Skew {
           col("sum_price").cast(DoubleType).as("sum_price"))
         .orderBy("l_returnflag")
     },
+
+    // ---- q70: skew-safe salted JOIN (Salt.saltedJoin). q51 levels
+    //           aggregation skew; this levels JOIN skew for the case AQE
+    //           can't fix (hot build-side key) and broadcast can't dodge
+    //           (dimension over the broadcast budget): big side salted
+    //           deterministically, small side replicated ×buckets, join on
+    //           (key, salt). Inner-join semantics are exact, so the oracle
+    //           is the PLAIN join — same rows, same sums, bit-identical via
+    //           the decimal view. ----
+    OracleQuery(
+      "q70_salted_skew_join",
+      s"""SELECT p_brand, count(*) AS n,
+         |  ${Det.sql.dsum("l_quantity")} AS sum_qty
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (spark, dir) =>
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_partkey").as("pk"), col("l_orderkey"), col("l_linenumber"),
+          Det.dec(col("l_quantity")).as("qty"))
+      val pt = Tables(spark, dir, "part")
+        .select(col("p_partkey").as("pk"), col("p_brand"))
+      Salt.saltedJoin(li, pt, key = "pk",
+          saltFrom = Seq("l_orderkey", "l_linenumber"), buckets = parts)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"), sum(col("qty")).cast(DoubleType).as("sum_qty"))
+        .orderBy("p_brand")
+    },
   )
 }

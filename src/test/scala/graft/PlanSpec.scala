@@ -56,7 +56,8 @@ class PlanSpec extends SparkSpec {
     // cell / label+dim), never a cartesian or nested-loop product
     Seq("q27_jaccard_pairs", "q28_minhash_lsh", "q30_cosine_topk",
         "q31_ann_lsh", "q39_training_pipeline", "q42_embedding_neardup",
-        "q43_ann_ivf", "q52_ann_ivf_probe2", "q67_fuzzy_neardup").foreach { q =>
+        "q43_ann_ivf", "q52_ann_ivf_probe2", "q67_fuzzy_neardup",
+        "q69_bloom_decontaminate").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
@@ -69,6 +70,18 @@ class PlanSpec extends SparkSpec {
     // Σ df² shuffle on corpus-common trigrams
     val p = plan("q27_jaccard_pairs")
     assert(p.contains("LeftAnti"), "df-cap anti join lost — postings self-join unbounded again")
+  }
+
+  test("q69: the corpus side is Bloom-pre-filtered below the verify semi join") {
+    // the scale contract of the sketch-broadcast decontamination: the
+    // might_contain predicate must sit on the big side's scan path (so only
+    // sketch survivors pay the join), and the verify must stay a semi join
+    val p = plan("q69_bloom_decontaminate")
+    assert(p.contains("might_contain"), "Bloom pre-filter lost — corpus pays the full join")
+    assert(p.contains("LeftSemi"), "exact verify is not a semi join")
+    val filterAt = p.indexOf("might_contain")
+    val joinAt = p.indexOf("LeftSemi")
+    assert(joinAt < filterAt, "pre-filter does not sit below the semi join")
   }
 
   test("q39: near-dup candidates come from band buckets, not a postings self-join") {
@@ -89,6 +102,13 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).length >= 4, "two-phase agg collapsed")
     assert("Exchange hashpartitioning".r.findAllIn(p).length >= 2,
       "salted phase lost its own exchange")
+  }
+
+  test("q70: salted join shuffles on the composite (key, salt)") {
+    val p = plan("q70_salted_skew_join")
+    assert(p.contains("__salt"), "salt column lost from the join")
+    assert(p.contains("SortMergeJoin"), "salted join not a shuffle join")
+    assert(!p.contains("BroadcastHashJoin"), "replicated dimension got broadcast — salt is dead weight")
   }
 
   test("q57: vocab top-k plans as TakeOrderedAndProject before ranking") {

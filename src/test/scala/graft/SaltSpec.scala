@@ -38,4 +38,29 @@ class SaltSpec extends SparkSpec {
     val b = Salt.saltedSumCount(skewed, Seq("k"), Seq("id"), 8, Seq("v")).collect().toSet
     assert(a == b)
   }
+
+  // small side: several rows per key, incl. keys with NO big-side match and
+  // big-side keys with NO small-side match — the inner-join edge cases
+  private def dim = spark.range(0, 150)
+    .select((col("id") % 75).as("k"), concat(lit("d"), col("id")).as("tag"))
+
+  test("salted join equals the plain inner join (dup keys + unmatched both sides)") {
+    val expected = skewed.join(dim, Seq("k"))
+      .select("k", "id", "tag").collect().toSet
+    val got = Salt.saltedJoin(skewed, dim, "k", Seq("id"), buckets = 8)
+      .select("k", "id", "tag").collect().toSet
+    assert(got == expected && expected.nonEmpty)
+  }
+
+  test("salted join shuffles on (key, salt) and stays a shuffle join") {
+    // the whole point: the exchange must partition on the COMPOSITE key so
+    // the hot key's rows land on `buckets` reducers, and Catalyst must not
+    // broadcast the replicated side (which would make the salt dead weight)
+    val p = Salt.saltedJoin(skewed, dim, "k", Seq("id"), 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning\\(k#\\d+L?, __salt".r.findFirstIn(p).isDefined,
+      "join exchange does not partition on (k, __salt)")
+    assert(p.contains("SortMergeJoin"), "salted join was not planned as a shuffle join")
+    assert(!p.contains("BroadcastHashJoin"), "replicated side got broadcast anyway")
+  }
 }
