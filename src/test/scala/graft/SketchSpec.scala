@@ -59,6 +59,32 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("count_min_sketch brackets the exact heavy-hitter counts (q57's shape)") {
+    // the unbounded-vocabulary swap for q57: per-token exact counts need
+    // state ∝ distinct tokens; a count-min sketch is fixed-size, mergeable,
+    // and OVERestimates only (one-sided error ≤ eps × N at the given
+    // confidence) — so for top-k work the true heavy hitters always survive
+    val toks = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+    val eps = 0.001
+    val bytes = toks
+      .agg(expr(s"count_min_sketch(w, ${eps}d, 0.99d, 42)"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(bytes))
+    val n = toks.count()
+    val top = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(20).collect()
+    top.foreach { r =>
+      val (w, exact) = (r.getString(0), r.getLong(1))
+      // estimateCount(String) hashes the UTF-8 bytes — the same path the
+      // aggregate's StringType branch used on the executors
+      val est = cms.estimateCount(w)
+      assert(est >= exact, s"'$w': CMS underestimated ($est < $exact) — impossible by construction")
+      assert(est <= exact + (eps * n).toLong,
+        s"'$w': CMS overshoot $est vs $exact exceeds eps×N=${(eps * n).toLong}")
+    }
+  }
+
   test("sketch aggregates plan as partial + final (mergeable at scale)") {
     // the scale contract: each partition builds its own sketch, ONE exchange
     // moves sketches (not rows), a final merge finishes. If either sketch
