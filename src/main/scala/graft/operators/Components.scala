@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Connected components over an undirected edge list — the cluster-
@@ -69,7 +70,82 @@ object Components {
     }
     sym.unpersist(blocking = false)
     require(changed == 0, s"components did not converge in $maxRounds rounds — " +
-      "graph diameter exceeds the bound; raise maxRounds or switch to large-star/small-star")
+      "graph diameter exceeds the bound; raise maxRounds or switch to connectedStars")
     labels.select(col("v"), col("c"))
+  }
+
+  /** Same contract as [[connected]], in O(log n) rounds independent of
+    * component diameter — the large-star/small-star alternation (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond"). Hash-min takes
+    * one round per hop of the longest shortest path; a 10k-link chain is
+    * 10k shuffles. Star operations instead REWRITE the edge set so every
+    * round roughly halves tree heights:
+    *
+    *   - large-star: each node attaches its strictly-LARGER neighbors to
+    *     the minimum of its neighborhood (incl. itself);
+    *   - small-star: each node attaches its smaller-or-equal neighbors
+    *     (and itself) to the neighborhood minimum.
+    *
+    * Fixpoint = every component is a star rooted at its minimum id, read
+    * off as (v, root). Both phases are one groupBy-shaped shuffle (a
+    * per-center min + re-emit), every round is lineage-truncated exactly
+    * like [[connected]], and the edge set never grows beyond one directed
+    * edge per (center, neighbor) pair after the per-round distinct.
+    *
+    * Trade-off: ~2 shuffles per round and a distinct each, vs hash-min's
+    * 1 — use [[connected]] for dedup-shaped graphs (diameter 2–4),
+    * this for graphs whose diameter is unknown or adversarial.
+    */
+  def connectedStars(edges: DataFrame, a: String, b: String, maxRounds: Int = 50): DataFrame = {
+    val vertices = edges.select(col(a).as("v"))
+      .union(edges.select(col(b).as("v"))).distinct()
+      .localCheckpoint(eager = true)
+    var e = edges.select(col(a).as("u"), col(b).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = true)
+    var stable = false
+    var round = 0
+    while (!stable && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(eager = true)
+      // both sides are distinct: equal counts + empty difference = equal sets
+      stable = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      round += 1
+    }
+    require(stable, s"components did not converge in $maxRounds star rounds")
+    // fixpoint edges point child → component root; roots carry no out-edge
+    val labels = e.select(col("u").as("v"), col("v").as("c"))
+    vertices.join(labels, Seq("v"), "left_outer")
+      .select(col("v"), coalesce(col("c"), col("v")).as("c"))
+  }
+
+  /** attach strictly-larger neighbors of each center to its neighborhood
+    * minimum (centers = both endpoints of every edge). Per-edge emission
+    * under a window min — state per row is O(1); no neighbor list is ever
+    * materialized (a groupBy/collect_set formulation would gather entire
+    * components onto their root). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.union(e.select(col("v"), col("u")).toDF("u", "v"))
+    val m = least(min(col("v")).over(Window.partitionBy("u")), col("u"))
+    sym.withColumn("m", m)
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** attach smaller-or-equal neighbors (and the center itself) to the
+    * minimum of that smaller neighborhood (edges oriented larger→smaller
+    * first); same window-min shape as largeStar */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val oriented = e.select(
+      greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+    val withM = oriented.withColumn(
+      "m", min(col("v")).over(Window.partitionBy("u")))
+    val nbrEdges = withM.filter(col("v") =!= col("m"))
+      .select(col("v").as("u"), col("m").as("v"))
+    val centerEdges = withM.select(col("u"), col("m").as("v")).distinct()
+    nbrEdges.union(centerEdges).distinct()
   }
 }

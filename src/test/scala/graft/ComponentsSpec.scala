@@ -49,4 +49,37 @@ class ComponentsSpec extends SparkSpec {
       Components.connected(chain, "x", "y", maxRounds = 2))
     assert(e.getMessage.contains("converge"))
   }
+
+  test("connectedStars matches hash-min on chains, stars, and isolated pairs") {
+    val edges = Seq((2L, 1L), (2L, 3L), (4L, 3L), (10L, 11L), (11L, 10L),
+      (3L, 2L), (20L, 20L), (7L, 21L), (7L, 22L), (7L, 23L))
+      .toDF("x", "y")
+    val viaStars = Components.connectedStars(edges, "x", "y")
+      .as[(Long, Long)].collect().toSet
+    val viaHashMin = Components.connected(edges, "x", "y")
+      .as[(Long, Long)].collect().toSet
+    assert(viaStars == viaHashMin)
+    assert(viaStars.contains((20L, 20L)), "self-loop-only vertex lost")
+  }
+
+  test("connectedStars resolves a long chain in far fewer than diameter rounds") {
+    // a 64-hop path needs 64 hash-min rounds but only O(log) star rounds;
+    // maxRounds=10 would fail hash-min and must succeed here
+    val chain = (1L to 64L).map(i => (i, i + 1)).toDF("x", "y")
+    val labels = Components.connectedStars(chain, "x", "y", maxRounds = 10)
+      .as[(Long, Long)].collect()
+    assert(labels.length == 65 && labels.forall(_._2 == 1L))
+  }
+
+  test("connectedStars on random graphs equals hash-min (property sweep)") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 5) {
+      val n = 30 + rnd.nextInt(40)
+      val edges = Seq.fill(n)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+        .toDF("x", "y")
+      val s = Components.connectedStars(edges, "x", "y").as[(Long, Long)].collect().toSet
+      val h = Components.connected(edges, "x", "y").as[(Long, Long)].collect().toSet
+      assert(s == h, s"trial $trial diverged")
+    }
+  }
 }
