@@ -60,6 +60,13 @@ object S3Like {
     *                    partition keys so each directory receives one file
     *                    per writing task that owns the key — not one small
     *                    file per (task × key), the classic small-files trap.
+    * @param zorderKeys Morton-curve clustering across `parts` files
+    *                    (engine.ZOrder): rows close in EVERY listed dimension
+    *                    land in the same files, so each file's columnar
+    *                    min/max stats cover a narrow slice of each dimension
+    *                    and multi-column band predicates skip most files —
+    *                    the multi-dimension complement of sortKeys' single
+    *                    total order. Layout-only (row set unchanged).
     */
   def putDf(
       df: DataFrame,
@@ -70,6 +77,7 @@ object S3Like {
       sortKeys: Seq[String] = Nil,
       exactNaming: Boolean = false,
       partitionKeys: Seq[String] = Nil,
+      zorderKeys: Seq[String] = Nil,
       options: Map[String, String] = Map.empty): Unit = {
     require(parts > 0, "parts must be > 0")
     require(formats.contains(format), s"format $format not in $formats")
@@ -89,8 +97,18 @@ object S3Like {
         s"partition keys $partitionKeys not all in ${df.columns.toSeq}")
     }
 
+    if (zorderKeys.nonEmpty) {
+      require(Set("parquet", "orc").contains(format),
+        "zorderKeys cluster for columnar min/max skipping — parquet|orc only")
+      require(sortKeys.isEmpty && partitionKeys.isEmpty && !exactNaming,
+        "zorderKeys is its own layout — sortKeys/partitionKeys/exactNaming do not compose with it")
+      require(zorderKeys.forall(df.columns.contains),
+        s"z-order keys $zorderKeys not all in ${df.columns.toSeq}")
+    }
+
     val arranged =
-      if (partitionKeys.nonEmpty) df.repartition(partitionKeys.map(col): _*)
+      if (zorderKeys.nonEmpty) ZOrder.cluster(df, zorderKeys, parts)
+      else if (partitionKeys.nonEmpty) df.repartition(partitionKeys.map(col): _*)
       else if (sortKeys.nonEmpty) {
         require(sortKeys.forall(df.columns.contains), s"sort keys $sortKeys not all in ${df.columns.toSeq}")
         df.repartitionByRange(parts, sortKeys.map(col): _*).sortWithinPartitions(sortKeys.map(col): _*)

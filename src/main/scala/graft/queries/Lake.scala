@@ -46,5 +46,33 @@ object Lake {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
         .orderBy("lang", "source")
     },
+
+    // ---- q71: z-order layout round-trip — cluster part along the Morton
+    //           curve of (p_size, p_retailprice), write, read back through
+    //           a band predicate on BOTH dimensions, aggregate. The oracle
+    //           reads the unclustered source: identical results prove the
+    //           layout op is lossless (reordering only); ZOrderSpec pins
+    //           the locality property (band rows concentrate in few files)
+    //           that makes the clustered form skippable at scale. ----
+    OracleQuery(
+      "q71_zorder_scan",
+      s"""SELECT p_brand, count(*) AS n,
+         |  ${graft.engine.Det.sql.dsum("p_retailprice")} AS sum_price
+         |FROM part
+         |WHERE p_size BETWEEN 10 AND 20
+         |  AND p_retailprice BETWEEN 920 AND 950
+         |GROUP BY p_brand ORDER BY p_brand""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val zUri = s"$lakeBase/part_zorder"
+      S3Like.putDf(Tables(spark, dir, "part"), zUri, format = "parquet",
+        parts = 8, zorderKeys = Seq("p_size", "p_retailprice"))
+      S3Like.getDf(spark, zUri, "parquet")
+        .filter(col("p_size").between(10, 20)
+          && col("p_retailprice").between(920, 950))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          graft.engine.Det.dsum(col("p_retailprice")).as("sum_price"))
+        .orderBy("p_brand")
+    },
   )
 }

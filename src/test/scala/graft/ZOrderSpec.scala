@@ -61,4 +61,16 @@ class ZOrderSpec extends SparkSpec {
     val empty = grid.filter(col("x") < 0)
     assert(ZOrder.cluster(empty, Seq("x", "y"), files = 4).isEmpty)
   }
+
+  test("putDf(zorderKeys) writes the clustered layout: parts files, same rows") {
+    val uri = s"file:${Files.createTempDirectory("zput")}/grid"
+    graft.engine.S3Like.putDf(grid, uri, format = "parquet",
+      parts = 8, zorderKeys = Seq("x", "y"))
+    val back = spark.read.parquet(uri)
+    assert(back.select(input_file_name()).distinct().count() == 8)
+    assert(back.collect().toSet == grid.collect().toSet)
+    // a band on the FAST insertion axis still lands in few of the 8 files
+    assert(back.filter(col("x").between(32, 47))
+      .select(input_file_name()).distinct().count() <= 4)
+  }
 }
