@@ -258,4 +258,21 @@ class S3LikeSpec extends SparkSpec {
     assert(got.count() == 8)
     assert(got.filter(got("col_3").isNull).count() == 4)
   }
+
+  test("schema evolution: getDf(mergeSchema) unifies drifted parquet under one prefix") {
+    // a lake directory accretes files over months; late files gain columns.
+    // A plain read takes one footer's schema (whichever file wins) and can
+    // silently DROP the new column — the mergeSchema option is the engine's
+    // contract for reading drifted data: union of all file schemas, nulls
+    // where a file predates a column
+    val dir = tmp() + "/evolved"
+    fixture.write.parquet(dir)
+    fixture.withColumn("col_new", org.apache.spark.sql.functions.col("col_1") * 10)
+      .write.mode("append").parquet(dir)
+    val merged = S3Like.getDf(spark, dir, "parquet", Map("mergeSchema" -> "true"))
+    assert(merged.columns.toSet == Set("col_1", "col_2", "col_new"))
+    assert(merged.count() == 8)
+    assert(merged.filter(merged("col_new").isNull).count() == 4)
+    assert(merged.filter(merged("col_new") === merged("col_1") * 10).count() == 4)
+  }
 }
