@@ -24,6 +24,10 @@ object TextAnalysis {
   private val stopEs = Seq("el", "la", "de", "que", "y", "en", "un")
   private val stopFr = Seq("le", "les", "des", "et", "une", "est")
 
+  /** q72 chunk geometry: 500-char windows advancing 400 chars (100 overlap). */
+  val ChunkSize = 500
+  val ChunkStep = 400
+
   val queries: Seq[OracleQuery] = Seq(
     // ---- q22: token counting rolled up per language ----
     OracleQuery(
@@ -128,6 +132,44 @@ object TextAnalysis {
           TextOps.contentFingerprint(t).as("content_fp"),
           TextOps.minShingleFingerprint(TextOps.shingles(t, 3)).as("min_shingle_fp"))
         .orderBy("doc_id")
+    },
+
+    // ---- q72: document chunking — fixed-size overlapping character
+    //           windows, the standard pre-embedding splitter (a retrieval
+    //           index embeds chunks, not whole documents, and the overlap
+    //           keeps boundary-straddling context retrievable). Chunk k of
+    //           a doc starts at k·(size − overlap); every doc yields at
+    //           least one chunk (short docs = themselves). Pure integer
+    //           arithmetic + substring + md5, so the result is hash-exact
+    //           cross-engine; the plan is a narrow map + explode — codegen,
+    //           zero shuffles, embarrassingly parallel at any corpus size. ----
+    OracleQuery(
+      "q72_chunking",
+      s"""WITH t AS (SELECT doc_id, text, length(text) AS n FROM documents),
+         |c AS (
+         |  SELECT doc_id, text,
+         |    unnest(range(((greatest(n - $ChunkSize, 0) + ${ChunkStep - 1}) // $ChunkStep) + 1)) AS k
+         |  FROM t)
+         |SELECT doc_id, CAST(k AS INTEGER) AS chunk_id,
+         |  CAST(k * $ChunkStep + 1 AS INTEGER) AS chunk_start,
+         |  CAST(length(substring(text, k * $ChunkStep + 1, $ChunkSize)) AS INTEGER) AS chunk_len,
+         |  md5(substring(text, k * $ChunkStep + 1, $ChunkSize)) AS chunk_md5
+         |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (spark, dir) =>
+      val n = length(col("text"))
+      // (max(n - size, 0) + step - 1) / step + 1, integer semantics: the
+      // double division is exact for any corpus-plausible length and the
+      // int cast truncates = floor on the non-negative operand
+      val nChunks = ((greatest(n - lit(ChunkSize), lit(0)) + lit(ChunkStep - 1))
+        / lit(ChunkStep)).cast(IntegerType) + lit(1)
+      val start = col("k") * ChunkStep + 1
+      docs(spark, dir)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), nChunks - 1)).as("k"))
+        .select(col("doc_id"), col("k").cast(IntegerType).as("chunk_id"),
+          start.cast(IntegerType).as("chunk_start"),
+          length(expr(s"substring(text, k * $ChunkStep + 1, $ChunkSize)")).cast(IntegerType).as("chunk_len"),
+          md5(expr(s"substring(text, k * $ChunkStep + 1, $ChunkSize)")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
     },
   )
 
