@@ -17,12 +17,25 @@ import org.apache.spark.sql.functions._
   * self-contained shuffle (join on the symmetrized edges + min-aggregate),
   * and the round count is bounded by the largest component's DIAMETER — for
   * dedup graphs (dense clumps of near-identical docs, diameter 2–4) that is
-  * a handful of rounds regardless of corpus size. The driver only counts
-  * changed labels per round (metadata, not data). For adversarial
+  * a handful of rounds regardless of corpus size. For adversarial
   * long-chain graphs at extreme scale, the public large-star/small-star
   * formulation (Kiveris et al., "Connected Components in MapReduce and
   * Beyond") drops rounds to O(log n) at the cost of two alternating
   * shuffles — same join-shaped building blocks, swap in if diameters grow.
+  *
+  * Per-round cost is ONE data shuffle. Two tricks keep it that way:
+  *
+  *   - The convergence test rides the propagation aggregate instead of a
+  *     join: each vertex's own label enters the union flagged `self`, so
+  *     the same `min` pass emits (new label, previous label) side by side
+  *     and "did anything change" is a filter+count over the already-
+  *     checkpointed round result — a cached-block scan, not the extra
+  *     join-shaped shuffle a labels⋈labels comparison would cost.
+  *   - The symmetrized edge list is hash-partitioned on the join key
+  *     BEFORE the persist, so every round's edge⋈labels join reuses the
+  *     cached layout (InMemoryRelation preserves outputPartitioning) and
+  *     only the small label relation moves; without it the full edge list
+  *     re-shuffles every round.
   *
   * Iteration hygiene — the part that keeps the loop alive at scale:
   *
@@ -51,6 +64,7 @@ object Components {
   def connected(edges: DataFrame, a: String, b: String, maxRounds: Int = 50): DataFrame = {
     val sym = edges.select(col(a).as("src"), col(b).as("dst"))
       .union(edges.select(col(b).as("src"), col(a).as("dst")))
+      .repartition(col("dst"))
       .persist()
     var labels = sym.select(col("src").as("v")).distinct()
       .withColumn("c", col("v"))
@@ -58,20 +72,23 @@ object Components {
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
+      // neighbors' labels and the vertex's own label flow through one
+      // union; min(c) is the new label, min(c where self) the previous —
+      // every vertex has exactly one self row, so c_prev is never null
       val next = sym.join(labels.withColumnRenamed("v", "dst"), "dst")
-        .select(col("src").as("v"), col("c"))
-        .unionByName(labels)
-        .groupBy("v").agg(min("c").as("c"))
+        .select(col("src").as("v"), col("c"), lit(false).as("self"))
+        .unionByName(labels.withColumn("self", lit(true)))
+        .groupBy("v")
+        .agg(min("c").as("c"), min(when(col("self"), col("c"))).as("c_prev"))
         .localCheckpoint(eager = true)
-      changed = next.join(labels.withColumnRenamed("c", "c_prev"), "v")
-        .filter(col("c") =!= col("c_prev")).count()
-      labels = next
+      changed = next.filter(col("c") =!= col("c_prev")).count()
+      labels = next.select("v", "c")
       round += 1
     }
     sym.unpersist(blocking = false)
     require(changed == 0, s"components did not converge in $maxRounds rounds — " +
       "graph diameter exceeds the bound; raise maxRounds or switch to connectedStars")
-    labels.select(col("v"), col("c"))
+    labels
   }
 
   /** Same contract as [[connected]], in O(log n) rounds independent of
