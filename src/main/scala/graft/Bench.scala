@@ -42,12 +42,17 @@ object Bench {
       spark.catalog.clearCache()
       (name, sec, err)
     }
-    val qs = results.map { case (k, v, _) => JsonStr(k) + ":" + v }
+    // 3-decimal (ms) precision: the full-precision line for 71 queries is
+    // ~3.4 KB and overflowed the driver's stdout tail window in round 4
+    // (BENCH_r04.json parsed:null) — compactness is part of the contract
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // '.' even under comma-decimal locales
+    val qs = results.map { case (k, v, _) => JsonStr(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) => JsonStr(k) + ":" + JsonStr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
