@@ -28,9 +28,13 @@ import org.apache.spark.sql.functions._
   *   - The convergence test rides the propagation aggregate instead of a
   *     join: each vertex's own label enters the union flagged `self`, so
   *     the same `min` pass emits (new label, previous label) side by side
-  *     and "did anything change" is a filter+count over the already-
-  *     checkpointed round result — a cached-block scan, not the extra
+  *     and "did anything change" is a filter+count — not the extra
   *     join-shaped shuffle a labels⋈labels comparison would cost.
+  *   - That count IS the round's only action: the checkpoint is LAZY
+  *     (`eager = false`), so the changed-count job both materializes the
+  *     round's label snapshot and answers convergence in one pass —
+  *     an eager checkpoint would spend a second full job per round just
+  *     to re-scan what the first had already computed.
   *   - The symmetrized edge list is hash-partitioned on the join key
   *     BEFORE the persist, so every round's edge⋈labels join reuses the
   *     cached layout (InMemoryRelation preserves outputPartitioning) and
@@ -75,12 +79,15 @@ object Components {
       // neighbors' labels and the vertex's own label flow through one
       // union; min(c) is the new label, min(c where self) the previous —
       // every vertex has exactly one self row, so c_prev is never null
+      // lazy checkpoint + count = ONE job per round: the count computes
+      // every partition, which materializes the local checkpoint as a side
+      // effect; `labels` then reads the truncated snapshot, never the lineage
       val next = sym.join(labels.withColumnRenamed("v", "dst"), "dst")
         .select(col("src").as("v"), col("c"), lit(false).as("self"))
         .unionByName(labels.withColumn("self", lit(true)))
         .groupBy("v")
         .agg(min("c").as("c"), min(when(col("self"), col("c"))).as("c_prev"))
-        .localCheckpoint(eager = true)
+        .localCheckpoint(eager = false)
       changed = next.filter(col("c") =!= col("c_prev")).count()
       labels = next.select("v", "c")
       round += 1
@@ -89,6 +96,36 @@ object Components {
     require(changed == 0, s"components did not converge in $maxRounds rounds — " +
       "graph diameter exceeds the bound; raise maxRounds or switch to connectedStars")
     labels
+  }
+
+  /** Incremental cluster maintenance: fold a NEW batch of edges into an
+    * existing labeling without recomputing the full closure — the streaming
+    * form of dedup clustering, where pair emitters produce a fresh batch per
+    * ingest and the accumulated raw edge list is long gone (or too large to
+    * replay).
+    *
+    * The labeling itself is the compressed graph: each (v, c) row is a star
+    * edge attaching the vertex to its component representative, so the old
+    * components re-enter as stars of DIAMETER ≤ 2 — singletons ride their
+    * (v, v) self-edge. Re-running hash-min over stars ∪ batch costs rounds
+    * bounded by the BRIDGED star graph's diameter — a handful when batch
+    * edges link existing clusters (root → bridge → root → leaves ≈ 4–5
+    * hops per link), independent of the old graph's original diameter and
+    * size; the expensive pair emitter never returns. The
+    * result is exactly `connected(oldEdges ∪ newEdges)`: stars preserve the
+    * old partition into components and every old vertex, and the label is
+    * the min over each merged component either way — property-checked
+    * against the batch recompute in ComponentsSpec.
+    *
+    * @param labels (v, c) as produced by [[connected]] / [[connectedStars]]
+    *               / a previous [[merge]]
+    * @param newEdges fresh pair batch; orientation/duplicates don't matter
+    */
+  def merge(labels: DataFrame, newEdges: DataFrame, a: String, b: String,
+      maxRounds: Int = 50): DataFrame = {
+    val stars = labels.select(col("v").as("s"), col("c").as("t"))
+    val batch = newEdges.select(col(a).as("s"), col(b).as("t"))
+    connected(stars.unionByName(batch), "s", "t", maxRounds)
   }
 
   /** Same contract as [[connected]], in O(log n) rounds independent of

@@ -223,27 +223,38 @@ object Dedup {
     // ---- q67: fuzzy (edit-distance) near-dup — blocking + verify, the
     //           record-linkage shape for SHORT strings where shingles are
     //           too coarse (titles, product names, author fields). Candidate
-    //           generation is a key-equi self-join on the (type, size)
-    //           block — never all-pairs — with the |len diff| ≤ 3 bound (a
-    //           necessary condition for lev ≤ 3) pre-filtering inside the
-    //           join before any O(L²) distance runs; levenshtein (codegen,
-    //           exact integers both engines) verifies candidates only.
-    //           Scale note: pair work is Σ block², so block granularity is
-    //           the knob — at corpus scale add a length band or first-token
-    //           to the key, trading recall at band borders exactly like
-    //           q42's hyperplane bands. ----
+    //           generation is operators.Fuzzy: the user block key
+    //           (type, size) — whose cardinality is fixed by the schema, so
+    //           alone it would grow blocks linearly with the corpus — is
+    //           refined with a length band (±1-band probe = EXACT recall,
+    //           since bandWidth 4 > maxDist 3 means matching pairs differ
+    //           by at most one band) and a block-size cap that bounds
+    //           per-block pair work to cap² regardless of corpus size.
+    //           The oracle applies the same cap exclusion; the band probe
+    //           changes nothing it could observe (lossless by construction),
+    //           so its SQL keeps the simpler unbanded join over the capped
+    //           rows. levenshtein (codegen, exact integers both engines)
+    //           verifies candidates only. ----
     OracleQuery(
       "q67_fuzzy_neardup",
-      """WITH p AS (SELECT p_partkey, p_name, p_type, p_size FROM part)
-        |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-        |  a.p_name AS name_a, b.p_name AS name_b,
-        |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
-        |FROM p a JOIN p b
-        |  ON a.p_type = b.p_type AND a.p_size = b.p_size
-        |  AND a.p_partkey < b.p_partkey
-        |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
-        |WHERE levenshtein(a.p_name, b.p_name) <= 3
-        |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
+      s"""WITH p0 AS (
+         |  SELECT p_partkey, p_name, p_type, p_size,
+         |    CAST(length(p_name) // ${graft.operators.Fuzzy.BandWidth} AS INTEGER) AS band
+         |  FROM part),
+         |p AS (
+         |  SELECT * FROM (
+         |    SELECT p0.*, count(*) OVER (PARTITION BY p_type, p_size, band) AS bc
+         |    FROM p0) q
+         |  WHERE bc <= ${graft.operators.Fuzzy.BlockCap})
+         |SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+         |  a.p_name AS name_a, b.p_name AS name_b,
+         |  CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist
+         |FROM p a JOIN p b
+         |  ON a.p_type = b.p_type AND a.p_size = b.p_size
+         |  AND a.p_partkey < b.p_partkey
+         |  AND abs(length(a.p_name) - length(b.p_name)) <= 3
+         |WHERE levenshtein(a.p_name, b.p_name) <= 3
+         |ORDER BY id_a, id_b""".stripMargin) { (spark, dir) =>
       fuzzyPairs(spark, dir)
         .select("id_a", "id_b", "name_a", "name_b", "dist")
         .orderBy("id_a", "id_b")
@@ -261,14 +272,22 @@ object Dedup {
     //           survives a corpus-sized graph. ----
     OracleQuery(
       "q68_dup_clusters",
-      """WITH RECURSIVE p AS (SELECT p_partkey, p_name, p_type, p_size FROM part),
-        |pairs AS (
-        |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
-        |  FROM p a JOIN p b
-        |    ON a.p_type = b.p_type AND a.p_size = b.p_size
-        |    AND a.p_partkey < b.p_partkey
-        |    AND abs(length(a.p_name) - length(b.p_name)) <= 3
-        |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+      s"""WITH RECURSIVE p0 AS (
+         |  SELECT p_partkey, p_name, p_type, p_size,
+         |    CAST(length(p_name) // ${graft.operators.Fuzzy.BandWidth} AS INTEGER) AS band
+         |  FROM part),
+         |p AS (
+         |  SELECT * FROM (
+         |    SELECT p0.*, count(*) OVER (PARTITION BY p_type, p_size, band) AS bc
+         |    FROM p0) q
+         |  WHERE bc <= ${graft.operators.Fuzzy.BlockCap}),
+         |pairs AS (
+         |  SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+         |  FROM p a JOIN p b
+         |    ON a.p_type = b.p_type AND a.p_size = b.p_size
+         |    AND a.p_partkey < b.p_partkey
+         |    AND abs(length(a.p_name) - length(b.p_name)) <= 3
+         |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
         |sym AS (SELECT id_a AS s, id_b AS t FROM pairs
         |        UNION SELECT id_b, id_a FROM pairs),
         |reach(s, t) AS (
@@ -286,20 +305,16 @@ object Dedup {
     },
   )
 
-  /** q67/q68's shared candidate pipeline: (type, size)-blocked fuzzy name
-    * pairs verified by levenshtein ≤ 3. */
-  private def fuzzyPairs(spark: SparkSession, dir: String): DataFrame = {
-    val p = Tables(spark, dir, "part")
-      .select("p_partkey", "p_name", "p_type", "p_size")
-    val a = p.toDF("id_a", "name_a", "t", "s")
-    val b = p.toDF("id_b", "name_b", "t2", "s2")
-    a.join(b,
-        col("t") === col("t2") && col("s") === col("s2")
-          && col("id_a") < col("id_b")
-          && abs(length(col("name_a")) - length(col("name_b"))) <= 3)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= 3)
-  }
+  /** q67/q68's shared candidate pipeline: (type, size, length-band)-blocked,
+    * block-capped fuzzy name pairs verified by levenshtein ≤ 3 — see
+    * [[graft.operators.Fuzzy]] for the scale contract. */
+  private def fuzzyPairs(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Fuzzy.pairs(
+        Tables(spark, dir, "part")
+          .select("p_partkey", "p_name", "p_type", "p_size"),
+        idCol = "p_partkey", strCol = "p_name",
+        blockCols = Seq("p_type", "p_size"), maxDist = 3)
+      .withColumnsRenamed(Map("s_a" -> "name_a", "s_b" -> "name_b"))
 
   /** Shared tail: attach set sizes, compute Jaccard, filter ≥ 0.5. */
   private def jaccardSelect(pairs: DataFrame, sizes: DataFrame): DataFrame = {

@@ -71,6 +71,73 @@ class ComponentsSpec extends SparkSpec {
     assert(labels.length == 65 && labels.forall(_._2 == 1L))
   }
 
+  test("merge folds a new batch into labels ≡ batch recompute (property sweep)") {
+    val rnd = new scala.util.Random(1729)
+    for (trial <- 1 to 5) {
+      val n1 = 20 + rnd.nextInt(30)
+      val n2 = 10 + rnd.nextInt(20)
+      val e1 = Seq.fill(n1)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong)).toDF("x", "y")
+      val e2 = Seq.fill(n2)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)).toDF("x", "y")
+      val incremental = Components.merge(Components.connected(e1, "x", "y"), e2, "x", "y")
+        .as[(Long, Long)].collect().toSet
+      val batch = Components.connected(e1.unionByName(e2), "x", "y")
+        .as[(Long, Long)].collect().toSet
+      assert(incremental == batch, s"trial $trial: merge diverged from full recompute")
+    }
+  }
+
+  test("merge on compressed labels converges where raw-edge replay cannot") {
+    // two 30-hop chains: labeling them compresses each to a star, so a
+    // bridging batch edge makes a diameter-~4 graph that merge resolves in
+    // a constant handful of rounds — while replaying the RAW edge list with
+    // the same round budget must fail (diameter ~60). This is the point of
+    // merging into the compressed graph.
+    val chainA = (1L to 30L).map(i => (i, i + 1)).toDF("x", "y")
+    val chainB = (101L to 130L).map(i => (i, i + 1)).toDF("x", "y")
+    val bridge = Seq((31L, 101L)).toDF("x", "y")
+    val labels = Components.connected(chainA.unionByName(chainB), "x", "y")
+    val merged = Components.merge(labels, bridge, "x", "y", maxRounds = 8)
+      .as[(Long, Long)].collect()
+    assert(merged.length == 62 && merged.forall(_._2 == 1L))
+    val e = intercept[IllegalArgumentException](Components.connected(
+      chainA.unionByName(chainB).unionByName(bridge), "x", "y", maxRounds = 8))
+    assert(e.getMessage.contains("converge"))
+  }
+
+  test("changed-count is fused into the checkpoint (≤2 jobs per round)") {
+    // the per-round action budget is the scale contract: the lazy
+    // checkpoint makes the changed-count job the one that materializes the
+    // round (plus localCheckpoint's small internal finalize job), where an
+    // eager checkpoint + separate count costs 3 jobs/round — measured 19
+    // vs 13 on this exact graph when the fusion shipped
+    val sc = spark.sparkContext
+    // AQE splits one action into several stage-materialization jobs, which
+    // would swamp the signal; with it off, one action == one job
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("cc-job-budget", "count jobs per round")
+    try {
+      // diameter-4 chain → 4 propagation rounds + 1 converged round
+      val chain = (1L to 5L).map(i => (i, i + 1)).toDF("x", "y")
+      Components.connected(chain, "x", "y")
+    } finally {
+      sc.clearJobGroup()
+      spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+    }
+    // the status store is fed asynchronously — poll until the count settles
+    def groupJobs() = sc.statusTracker.getJobIdsForGroup("cc-job-budget").length
+    var last = -1
+    var cur = groupJobs()
+    val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+    while (cur != last && System.nanoTime() < deadline) {
+      last = cur; Thread.sleep(200); cur = groupJobs()
+    }
+    // 5 rounds × ≤2 jobs + ≤3 init jobs (vertex checkpoint, edge persist);
+    // the pre-fusion shape (3 jobs/round) lands at ~19 and must fail here
+    assert(cur <= 14, s"$cur jobs for a 5-round propagation — count not fused into checkpoint")
+    assert(cur >= 8, s"only $cur jobs — the chain did not drive 5 rounds")
+  }
+
   test("connectedStars on random graphs equals hash-min (property sweep)") {
     val rnd = new scala.util.Random(42)
     for (trial <- 1 to 5) {

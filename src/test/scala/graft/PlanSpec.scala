@@ -96,6 +96,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("bkey"), "hyperplane band key lost from the blocking join")
   }
 
+  test("q67: fuzzy candidate join is keyed on the length band, and capped") {
+    // the scale contract of operators.Fuzzy: the (type, size) user key has
+    // schema-fixed cardinality, so the length band must stay in the join
+    // key (losing it regresses pair work to quadratic-in-corpus) and the
+    // block-count window (the cap) must sit on the banded key too
+    val p = plan("q67_fuzzy_neardup")
+    assert(p.contains("__probe") && p.contains("__band_b"),
+      "length-band probe lost from the fuzzy candidate join key")
+    assert(p.contains("__bc"), "block-size cap window lost")
+  }
+
   test("q51: salted aggregation plans two aggregation stages") {
     val p = plan("q51_salted_skew_agg")
     // partial+final per groupBy phase → ≥4 HashAggregates over ≥2 exchanges
