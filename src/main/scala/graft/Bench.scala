@@ -26,12 +26,28 @@ object Bench {
       try { f(spark, sfDir).count(); spark.catalog.clearCache() }
       catch { case NonFatal(_) => () }
     }
+    // per-query JVM pressure: GC wall time (sum over collectors) and peak
+    // heap (max over heap pools, reset per query). This is how a "query X is
+    // 2x slower in the full registry than in a subset run" report gets
+    // attributed — to GC/codegen-cache churn vs the plan itself — without
+    // bloating the driver's one-line contract (details go to a side file)
+    import scala.jdk.CollectionConverters._
+    import java.lang.management.ManagementFactory
+    def gcMillis: Long =
+      ManagementFactory.getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+    val heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(_.getType == java.lang.management.MemoryType.HEAP)
+    def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
+    def peakHeapMb: Long = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
+
     // name-sorted so runs are comparable; caches cleared between queries
     // (outside the timed region) so one query's persists never pollute the
     // next one's timing
     val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = benched.map { case (name, fn) =>
+      resetPeaks()
+      val gc0 = gcMillis
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
@@ -39,20 +55,31 @@ object Bench {
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      val gcSec = (gcMillis - gc0) / 1e3
+      val heapMb = peakHeapMb
       spark.catalog.clearCache()
-      (name, sec, err)
+      (name, sec, err, gcSec, heapMb)
     }
     // 3-decimal (ms) precision: the full-precision line for 71 queries is
     // ~3.4 KB and overflowed the driver's stdout tail window in round 4
     // (BENCH_r04.json parsed:null) — compactness is part of the contract
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // '.' even under comma-decimal locales
-    val qs = results.map { case (k, v, _) => JsonStr(k) + ":" + ms(v) }
+    val qs = results.map { case (k, v, _, _, _) => JsonStr(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => JsonStr(k) + ":" + JsonStr(e) }
+    val errs = results.collect { case (k, _, Some(e), _, _) => JsonStr(k) + ":" + JsonStr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val gcTotal = results.map(_._4).sum
+    // the driver line stays compact (round-4 lesson: it must fit a stdout
+    // tail window) — aggregate GC only here, per-query detail in the profile
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","gc_sec":${ms(gcTotal)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val profile = results.map { case (k, v, _, g, h) =>
+      JsonStr(k) + s""":{"sec":${ms(v)},"gc_sec":${ms(g)},"peak_heap_mb":$h}"""
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PROFILE", "BENCH_profile.json")),
+      s"""{"sf":"$sfDir","total_sec":${ms(total)},"total_gc_sec":${ms(gcTotal)},"queries":$profile}""")
     spark.stop()
   }
 }

@@ -91,8 +91,9 @@ object S3Like {
     if (partitionKeys.nonEmpty) {
       require(Set("csv", "parquet", "orc", "json").contains(format),
         s"partitionKeys need a directory-layout format, not $format")
-      require(!exactNaming && sortKeys.isEmpty && parts == 1,
-        "partitionKeys is a directory layout — exactNaming/sortKeys/parts do not compose with it")
+      require(!exactNaming && sortKeys.isEmpty && (parts == 1 || zorderKeys.nonEmpty),
+        "partitionKeys is a directory layout — exactNaming/sortKeys do not compose with " +
+          "it, and parts only does together with zorderKeys (total clustered-file count)")
       require(partitionKeys.forall(df.columns.contains),
         s"partition keys $partitionKeys not all in ${df.columns.toSeq}")
     }
@@ -100,14 +101,18 @@ object S3Like {
     if (zorderKeys.nonEmpty) {
       require(Set("parquet", "orc").contains(format),
         "zorderKeys cluster for columnar min/max skipping — parquet|orc only")
-      require(sortKeys.isEmpty && partitionKeys.isEmpty && !exactNaming,
-        "zorderKeys is its own layout — sortKeys/partitionKeys/exactNaming do not compose with it")
+      require(sortKeys.isEmpty && !exactNaming,
+        "zorderKeys replaces sortKeys' total order — sortKeys/exactNaming do not compose")
       require(zorderKeys.forall(df.columns.contains),
         s"z-order keys $zorderKeys not all in ${df.columns.toSeq}")
     }
 
     val arranged =
-      if (zorderKeys.nonEmpty) ZOrder.cluster(df, zorderKeys, parts)
+      // partitionKeys × zorderKeys compose: directory pruning on the coarse
+      // key + Morton-clustered files inside each directory (ZOrder scaladoc)
+      if (zorderKeys.nonEmpty && partitionKeys.nonEmpty)
+        ZOrder.clusterWithin(df, partitionKeys, zorderKeys, parts)
+      else if (zorderKeys.nonEmpty) ZOrder.cluster(df, zorderKeys, parts)
       else if (partitionKeys.nonEmpty) df.repartition(partitionKeys.map(col): _*)
       else if (sortKeys.nonEmpty) {
         require(sortKeys.forall(df.columns.contains), s"sort keys $sortKeys not all in ${df.columns.toSeq}")

@@ -58,9 +58,15 @@ object Salt {
   /** Skew-safe shuffled inner equi join on a shared `key` column.
     *
     * A shuffle join on a skewed key funnels every row of the hot key — BOTH
-    * sides — through one reducer, and AQE's skew-join split only rescues the
-    * STREAM side (it cannot split the build side of one partition without
-    * replicating it, which is exactly what salting pre-declares). Here the
+    * sides — through one reducer. AQE's skew-join split does rescue a BARE
+    * shuffle join, but it refuses any split that would add a shuffle — so
+    * the moment the join feeds an operator needing the same key
+    * partitioning (a groupBy on the join key: the join→aggregate pipeline
+    * most enrichment queries end in), the hot partition stays whole
+    * (measured in SaltSpec: `skew=true` on the bare join's final adaptive
+    * plan, absent once a same-key agg sits above it). Salting spreads the
+    * hot key by construction, independent of AQE's validity rules, and the
+    * downstream agg re-shuffles only tiny partials. Here the
     * big side gets a deterministic per-row salt in [0, buckets) and the
     * small-but-unbroadcastable side is replicated across all `buckets`
     * salts, so the join key becomes (key, salt) and the hot key spreads

@@ -74,5 +74,40 @@ object Lake {
           graft.engine.Det.dsum(col("p_retailprice")).as("sum_price"))
         .orderBy("p_brand")
     },
+
+    // ---- q73: composed lake layout — directory partitioning AND z-order
+    //           in one write (`putDf(partitionKeys, zorderKeys)`): part is
+    //           partitioned by p_brand and Morton-clustered within each
+    //           directory on (p_size, p_retailprice). The read-back query
+    //           prunes at BOTH levels: the brand predicate removes whole
+    //           directories at plan time, the band predicates skip files
+    //           inside the survivors via footer min/max (ZOrderSpec pins
+    //           the locality, PlanSpec the PartitionFilters). The oracle
+    //           reads the unpartitioned source: identical results prove
+    //           the composed layout is lossless. ----
+    OracleQuery(
+      "q73_partitioned_zorder",
+      s"""SELECT p_brand, p_type, count(*) AS n,
+         |  ${graft.engine.Det.sql.dsum("p_retailprice")} AS sum_price
+         |FROM part
+         |WHERE p_brand IN ('Brand#11', 'Brand#22')
+         |  AND p_size BETWEEN 10 AND 20
+         |  AND p_retailprice BETWEEN 920 AND 980
+         |GROUP BY p_brand, p_type
+         |ORDER BY p_brand, p_type""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val zUri = s"$lakeBase/part_by_brand_zorder"
+      S3Like.putDf(Tables(spark, dir, "part"), zUri, format = "parquet",
+        parts = 8, partitionKeys = Seq("p_brand"),
+        zorderKeys = Seq("p_size", "p_retailprice"))
+      S3Like.getDf(spark, zUri, "parquet")
+        .filter(col("p_brand").isin("Brand#11", "Brand#22")
+          && col("p_size").between(10, 20)
+          && col("p_retailprice").between(920, 980))
+        .groupBy("p_brand", "p_type")
+        .agg(count(lit(1)).as("n"),
+          graft.engine.Det.dsum(col("p_retailprice")).as("sum_price"))
+        .orderBy("p_brand", "p_type")
+    },
   )
 }

@@ -155,6 +155,14 @@ class PlanSpec extends SparkSpec {
       "lang predicate not in PartitionFilters — partitioned scan reads every directory")
   }
 
+  test("q73: composed layout prunes brand directories at plan time") {
+    // the partition half of the partitionKeys × zorderKeys composition;
+    // ZOrderSpec pins the in-directory file-skipping half
+    val p = plan("q73_partitioned_zorder")
+    assert("PartitionFilters: \\[[^\\]]*p_brand".r.findFirstIn(p).isDefined,
+      "brand predicate not in PartitionFilters — composed scan reads every directory")
+  }
+
   test("q65: nearest as-of runs both directional scans over ONE hash exchange") {
     // the operator's scale contract: backward + forward carries are two
     // sorts of the SAME key-partitioned timeline — a second hashpartitioning

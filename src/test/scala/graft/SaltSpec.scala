@@ -52,6 +52,53 @@ class SaltSpec extends SparkSpec {
     assert(got == expected && expected.nonEmpty)
   }
 
+  test("AQE skew-join rescues a bare join but NOT a join feeding a same-key agg") {
+    // why this operator exists when AQE has skew-join handling: AQE's
+    // OptimizeSkewedJoin refuses any split that would add a shuffle, so the
+    // moment the join's output feeds an operator that needs the SAME key
+    // partitioning (a groupBy on the join key — the join→aggregate pipeline
+    // every enrichment query ends in), the hot partition stays whole. The
+    // salted join spreads the hot key by CONSTRUCTION — the composite
+    // (key, salt) exchange is in the plan regardless of AQE's validity
+    // rules, and the downstream agg re-shuffles only tiny partials.
+    val tuned = Map(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0")
+    val saved = tuned.keys.map(k => k -> spark.conf.getOption(k)).toMap
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // larger than `skewed` so the hot partition clears the (tiny) AQE
+      // thresholds decisively
+      val big = spark.range(0, 200000)
+        .select(when(col("id") % 20 < 19, 0L).otherwise(col("id") % 100).as("k"),
+          col("id"))
+      // executing via the dataset's OWN QueryExecution is what drives the
+      // AdaptiveSparkPlan to its final (re-optimized) form; count()/collect()
+      // would execute a different plan and leave this one unfinalized
+      def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+        val qe = df.queryExecution
+        qe.toRdd.count()
+        qe.executedPlan.toString
+      }
+      val bare = finalPlan(big.join(dim, Seq("k")))
+      assert(bare.contains("skew=true"),
+        "probe broken: AQE did not split even the bare skewed join — thresholds ineffective")
+      val agged = finalPlan(big.join(dim, Seq("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("id").as("s")))
+      assert(!agged.contains("skew=true"),
+        "AQE now splits below a same-key agg — revisit whether saltedJoin is still needed")
+      val salted = finalPlan(Salt.saltedJoin(big, dim, "k", Seq("id"), 8)
+        .groupBy("k").agg(count(lit(1)).as("n"), sum("id").as("s")))
+      assert("Exchange hashpartitioning\\(k#\\d+L?, __salt".r.findFirstIn(salted).isDefined,
+        "salted join lost its composite (k, __salt) exchange under the agg")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted join shuffles on (key, salt) and stays a shuffle join") {
     // the whole point: the exchange must partition on the COMPOSITE key so
     // the hot key's rows land on `buckets` reducers, and Catalyst must not

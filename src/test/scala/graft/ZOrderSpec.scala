@@ -63,6 +63,43 @@ class ZOrderSpec extends SparkSpec {
     assert(ZOrder.cluster(empty, Seq("x", "y"), files = 4).isEmpty)
   }
 
+  test("partitionKeys × zorderKeys compose: directory pruning AND file skipping") {
+    // 3 tenants × a 64×64 grid each, insertion-ordered worst case; the
+    // composed layout must prune at BOTH levels: the tenant predicate at
+    // plan time (PartitionFilters — whole directories never listed into
+    // the scan) and the 2-dim band at file level (narrow min/max footers
+    // inside each directory)
+    val rows = spark.range(0, 3L * 64 * 64)
+      .select(concat(lit("t"), (col("id") % 3)).as("tenant"),
+        ((col("id") / 3) % 64).cast("int").as("x"),
+        ((col("id") / 3) / 64).cast("int").as("y"),
+        col("id"))
+    val uri = s"file:${Files.createTempDirectory("zpart")}/lake"
+    graft.engine.S3Like.putDf(rows, uri, format = "parquet",
+      parts = 12, partitionKeys = Seq("tenant"), zorderKeys = Seq("x", "y"))
+    val back = spark.read.parquet(uri)
+    assert(back.select("tenant", "x", "y", "id").collect().toSet ==
+      rows.collect().toSet, "composed layout changed the row set")
+
+    // level 1: the tenant predicate prunes directories in the PLAN
+    val pruned = back.filter(col("tenant") === "t1")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*tenant".r.findFirstIn(plan).isDefined,
+      "tenant predicate did not land in PartitionFilters")
+
+    // level 2: inside the surviving directory, a band on EITHER dimension
+    // touches a minority of its files (~4 of 12 land per tenant; the
+    // insertion order would spread an x-band over every one of them)
+    val dirFiles = pruned.select(input_file_name()).distinct().count()
+    assert(dirFiles >= 2, s"degenerate layout: $dirFiles files for tenant t1")
+    for ((name, pred) <- Seq(
+        ("x", col("x").between(16, 23)), ("y", col("y").between(16, 23)))) {
+      val touched = pruned.filter(pred).select(input_file_name()).distinct().count()
+      assert(touched < dirFiles,
+        s"$name-band touched all $dirFiles files of the tenant directory")
+    }
+  }
+
   test("putDf(zorderKeys) writes the clustered layout: parts files, same rows") {
     val uri = s"file:${Files.createTempDirectory("zput")}/grid"
     graft.engine.S3Like.putDf(grid, uri, format = "parquet",
