@@ -271,4 +271,33 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got.nonEmpty && got == want)
   }
+
+  test("streaming cluster maintenance equals the batch closure over all arrived pairs") {
+    // the streaming form of q68: edge batches arrive per trigger, the
+    // labeling parquet is folded forward via Components.merge — after any
+    // number of triggers it must equal the batch recompute over EVERYTHING
+    // that has arrived, including a batch that BRIDGES two clusters born in
+    // different triggers (the case a per-batch-only clustering gets wrong)
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val base = java.nio.file.Files.createTempDirectory("clusterstream").toString
+    val labelsDir = s"$base/labels"
+    val q = graft.streaming.ClusterStream.maintain(
+      input.toDF().toDF("pa", "pb"), "pa", "pb", labelsDir, s"$base/ckpt")
+    val batch1 = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val batch2 = Seq((20L, 21L), (3L, 10L)) // (3,10) bridges batch-1 clusters
+    try {
+      input.addData(batch1: _*)
+      q.processAllAvailable()
+      input.addData(batch2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(labelsDir).as[(Long, Long)].collect().toSet
+    val want = graft.operators.Components
+      .connected((batch1 ++ batch2).toDF("pa", "pb"), "pa", "pb")
+      .as[(Long, Long)].collect().toSet
+    assert(got == want, "maintained labeling diverged from the batch closure")
+    assert(got.contains((11L, 1L)), "bridge edge did not merge the trigger-1 clusters")
+  }
 }
