@@ -40,20 +40,48 @@ object MinHashLSH {
     sh.join(hot, Seq("s"), "left_anti")
   }
 
-  /** Candidate near-dup pairs (d1 < d2) from band-bucket collisions.
-    * Exactly the q28 semantics: signature h_i = min over shingles of
-    * md5("i:" + s); band key b = md5("b|" + h_{3b} + "," + ... ). */
-  def candidatePairs(sh: DataFrame): DataFrame = {
+  /** Wide signature relation (doc_id, h0..h11): h_i = min over shingles of
+    * md5("i:" + s), all 12 as min-aggregates of ONE groupBy pass. */
+  def signatures(sh: DataFrame): DataFrame = {
     val hashCols = (0 until numHashes).map(i =>
       min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
-    val mh = sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
-    val bandKeys = mh.select(col("doc_id"),
+    sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+  }
+
+  /** Band keys (doc_id, bkey) from a wide signature relation:
+    * bkey_b = md5("b|" + h_{3b} + "," + h_{3b+1} + "," + h_{3b+2}). */
+  def bandKeys(mh: DataFrame): DataFrame =
+    mh.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         md5(concat(lit(s"$b|"), concat_ws(",",
           (0 until rowsPerBand).map(r => col(s"h${rowsPerBand * b + r}")): _*)))): _*)).as("bkey"))
-    bandKeys.as("a")
-      .join(bandKeys.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+
+  /** Candidate near-dup pairs (d1 < d2) from band-bucket collisions —
+    * exactly the q28 semantics. */
+  def candidatePairs(sh: DataFrame): DataFrame = {
+    val bk = bandKeys(signatures(sh))
+    bk.as("a")
+      .join(bk.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
       .distinct()
+  }
+
+  /** Estimated Jaccard for candidate pairs, from signature agreement alone:
+    * est_j = |{i : h_i(d1) = h_i(d2)}| / numHashes. The cheap verify path —
+    * exact verification joins the shingle POSTINGS of both docs (per-pair
+    * cost ∝ shingle counts, and the postings relation is corpus-sized),
+    * while this joins two fixed-width signature rows (per-pair cost O(12)
+    * codegen'd equality sums, relation one row per doc). At 100 TB the
+    * estimate is the first-line filter; exact Jaccard is reserved for pairs
+    * near the decision threshold. Deterministic given the md5 family, so
+    * the estimate itself — error and all — is oracle-checkable. */
+  def estimatedJaccard(cand: DataFrame, mh: DataFrame): DataFrame = {
+    val matches = (0 until numHashes)
+      .map(i => when(col(s"ma.h$i") === col(s"mb.h$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cand
+      .join(mh.as("ma"), col("ma.doc_id") === col("d1"))
+      .join(mh.as("mb"), col("mb.doc_id") === col("d2"))
+      .select(col("d1"), col("d2"), matches.as("matches"))
   }
 }

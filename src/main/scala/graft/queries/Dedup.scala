@@ -158,6 +158,56 @@ object Dedup {
       jaccardSelect(pairs, sizes)
     },
 
+    // ---- q75: estimated-Jaccard candidate scoring — q28's band-bucket
+    //           candidates, but VERIFIED from the signatures alone
+    //           (matches/12), never touching the postings again. Exact
+    //           verification's per-pair cost is a join over both docs'
+    //           shingle postings (corpus-sized relation); the estimate's is
+    //           a codegen'd 12-way equality sum over two fixed-width rows
+    //           (one row per doc). At 100 TB this is the first-line verify;
+    //           exact Jaccard (q28) is reserved for borderline pairs. md5
+    //           determinism makes even the estimation ERROR reproducible,
+    //           so the whole probabilistic path stays oracle-checked. ----
+    OracleQuery(
+      "q75_minhash_estimate",
+      s"""$shinglesSql,
+         |mh AS (
+         |  SELECT doc_id, g.i AS i, min(md5(CAST(g.i AS VARCHAR) || ':' || s)) AS h
+         |  FROM sh, unnest(generate_series(0, 11)) AS g(i)
+         |  GROUP BY doc_id, g.i),
+         |bands AS (
+         |  SELECT doc_id,
+         |    md5(CAST(i // 3 AS VARCHAR) || '|' || string_agg(h, ',' ORDER BY i)) AS bkey
+         |  FROM mh GROUP BY doc_id, i // 3),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+         |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |est AS (
+         |  SELECT c.d1, c.d2,
+         |    CAST(count(*) FILTER (WHERE ma.h = mb.h) AS BIGINT) AS matches
+         |  FROM cand c
+         |  JOIN mh ma ON ma.doc_id = c.d1
+         |  JOIN mh mb ON mb.doc_id = c.d2 AND mb.i = ma.i
+         |  GROUP BY c.d1, c.d2)
+         |SELECT d1, d2, matches, matches / 12.0 AS est_jaccard
+         |FROM est WHERE matches >= 6 ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
+      val sh = postings(spark, dir)
+      // one wide row per doc, read three times (band keys + both join
+      // sides) — without the persist the 12-min-agg over postings reruns ×3
+      val mh = graft.operators.MinHashLSH.signatures(sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bk = graft.operators.MinHashLSH.bandKeys(mh)
+      val cand = bk.as("a")
+        .join(bk.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+        .distinct()
+      graft.operators.MinHashLSH.estimatedJaccard(cand, mh)
+        .filter(col("matches") >= 6)
+        .select(col("d1"), col("d2"), col("matches"),
+          (col("matches") / lit(12.0)).as("est_jaccard"))
+        .orderBy("d1", "d2")
+    },
+
     // ---- q50: winnowing fingerprints — rolling min over windows of 4
     //           consecutive shingle hashes (the MOSS/winnowing selection
     //           rule): position-aware, so it localizes matches, unlike the

@@ -278,5 +278,63 @@ object TrainingOps {
       graft.operators.Bloom.semiJoin(tr, "fp", ev, "fp", expectedItems = 10000L)
         .select("doc_id").orderBy("doc_id")
     },
+
+    // ---- q74: mixture rebalancing to TARGET proportions — q54's fixed
+    //           per-stratum rates, but with the rates COMPUTED from the
+    //           corpus (rate_l = target_l / actual_l, balanced target
+    //           here), which is how a real data-mixture step works: you
+    //           declare the mixture, the engine measures the corpus and
+    //           derives the keep rates. The keep decision stays a pure
+    //           function of the row AND the corpus stats, with no floats
+    //           anywhere in the decision: keep iff
+    //           hv * actual_l * n_langs < 256 * total  (all BIGINT cross-
+    //           multiplication of hv/256 < target/actual), so over-target
+    //           strata downsample to the target and under-target strata
+    //           keep everything (hv ≤ 255 makes the inequality vacuous) —
+    //           min(1, rate) for free, and bit-identical in any engine.
+    //           Scale: the stats pass reads two pruned columns and yields
+    //           one row per stratum; that sliver broadcasts back onto the
+    //           corpus scan, so the corpus itself is never shuffled — the
+    //           only exchanges move per-stratum partials. ----
+    OracleQuery(
+      "q74_mixture_rebalance",
+      """WITH stats AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS actual
+        |  FROM documents GROUP BY lang),
+        |tot AS (
+        |  SELECT CAST(sum(actual) AS BIGINT) AS total,
+        |    CAST(count(*) AS BIGINT) AS n_langs FROM stats),
+        |h AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+        |      + strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS hv
+        |  FROM documents),
+        |kept AS (
+        |  SELECT h.lang, h.n_chars, t.total
+        |  FROM h JOIN stats s ON s.lang = h.lang CROSS JOIN tot t
+        |  WHERE hv * s.actual * t.n_langs < 256 * t.total)
+        |SELECT lang, count(*) AS n_docs_kept,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_kept,
+        |  round(CAST(sum(n_chars) AS DOUBLE) / CAST(max(total) AS DOUBLE), 9) AS kept_share
+        |FROM kept GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val d = Tables(spark, dir, "documents")
+      val stats = d.groupBy("lang").agg(sum("n_chars").cast(LongType).as("actual"))
+      val tot = stats.agg(sum("actual").cast(LongType).as("total"),
+        count(lit(1)).as("n_langs"))
+      val rates = stats.crossJoin(tot)
+      val h = expr(
+        "(instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 1, 1)) - 1) * 16" +
+          " + instr('0123456789abcdef', substr(md5(cast(doc_id as string)), 2, 1)) - 1")
+      d.select(col("doc_id"), col("lang"), col("n_chars"), h.cast(LongType).as("hv"))
+        .join(broadcast(rates), Seq("lang"))
+        .filter(col("hv") * col("actual") * col("n_langs") < lit(256L) * col("total"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs_kept"),
+          sum("n_chars").cast(LongType).as("chars_kept"),
+          max("total").as("t"))
+        .select(col("lang"), col("n_docs_kept"), col("chars_kept"),
+          round(col("chars_kept").cast(DoubleType) / col("t").cast(DoubleType), 9).as("kept_share"))
+        .orderBy("lang")
+    },
   )
 }

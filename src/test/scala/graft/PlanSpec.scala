@@ -180,6 +180,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"), "multi-column distinct lost its Expand plan")
   }
 
+  test("q74: derived keep rates broadcast onto the corpus — corpus never shuffle-joined") {
+    val p = plan("q74_mixture_rebalance")
+    assert(p.contains("BroadcastHashJoin"), "per-stratum rates should broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "corpus rows must not shuffle to meet the tiny rates relation")
+  }
+
   test("clearCache leaves no cached plans behind (bench hygiene contract)") {
     SparkEntry.queries("q28_minhash_lsh")(spark, sf).count()
     assert(!spark.sharedState.cacheManager.isEmpty, "q28 should persist postings")

@@ -300,4 +300,34 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "maintained labeling diverged from the batch closure")
     assert(got.contains((11L, 1L)), "bridge edge did not merge the trigger-1 clusters")
   }
+
+  test("streaming dedup ingest equals the batch minhash + cluster recompute") {
+    // end-to-end standing-pipeline dedup: documents arrive over two
+    // triggers, each batch is shingled/signed ONCE, candidates come from
+    // probing the persistent band index (new-vs-all), and the labeling is
+    // folded forward — the final labels must equal re-running the whole
+    // batch path (q28 candidates → q68 closure) over every doc that arrived
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val docs = spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+    val (b1, b2) = docs.as[(Long, String)].collect().partition(_._1 % 2 == 0)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    val q = graft.streaming.DedupStream.maintain(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/index", s"$base/labels", s"$base/ckpt")
+    try {
+      input.addData(b1.toSeq: _*)
+      q.processAllAvailable()
+      input.addData(b2.toSeq: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(s"$base/labels").as[(Long, Long)].collect().toSet
+    val sh = graft.functions.TextOps.shinglePostings(docs, "doc_id", "text", 3)
+    val want = graft.operators.Components
+      .connected(graft.operators.MinHashLSH.candidatePairs(sh), "d1", "d2")
+      .as[(Long, Long)].collect().toSet
+    assert(want.nonEmpty, "test corpus has no near-dup pairs — assertion would be vacuous")
+    assert(got == want, "streamed labeling diverged from the batch recompute")
+  }
 }
