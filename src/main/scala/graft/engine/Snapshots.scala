@@ -1,0 +1,356 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Snapshot-manifested table layout: atomic multi-file commits, time-travel
+  * reads, optimistic concurrency, and reader-safe compaction.
+  *
+  * Why this exists at 100 TB: a directory-is-the-table layout (S3Like.putDf,
+  * and the reference's whole key-prefix model, pandas_aws/s3.py:33-35) makes
+  * a multi-file write visible file by file — a concurrent reader sees a
+  * half-written dataset, an overwrite is a destructive window, and a
+  * compaction (Compact.scala) swaps files under running queries. The fix is
+  * the manifest pattern (Iceberg/Delta's core idea, re-expressed minimally):
+  * data files are IMMUTABLE and appear in no query until a manifest lists
+  * them; a commit is the creation of ONE small json file; readers pin the
+  * manifest they opened with and are immune to everything committed later.
+  *
+  * Concurrency contract: version v is owned by whoever exclusively creates
+  * `_snapshots/manifest-v.json` (`FileSystem.create(overwrite=false)` — an
+  * atomic create-if-absent on local/HDFS; an object store needs its
+  * conditional-put header here, the one primitive a catalog service
+  * supplies). Losers observe the collision and retry at v+1 against the
+  * refreshed head — optimistic concurrency with no lock server. The HEAD
+  * version is derived by listing `_snapshots/` (one listing of a directory
+  * holding one small file per commit — never a data-file listing).
+  *
+  * Scale shape: reads are `spark.read.parquet(files…)` on the manifest's
+  * explicit file list — no directory listing of the data tree at all, which
+  * at lake scale (millions of objects) is the difference between plan-time
+  * milliseconds and minutes. Compaction commits a rewritten file set as a
+  * NEW version: pinned readers keep their files (vacuum is the explicit,
+  * separate destruction step), and the head flips atomically.
+  */
+object Snapshots {
+
+  /** Per-file numeric column range, collected at commit time. The manifest
+    * becomes a file-level min/max index: a range predicate prunes the FILE
+    * LIST before the scan is even planned — the complement of row-group
+    * stats (which require opening every footer) and the payoff side of
+    * z-order/range clustering (tight per-file ranges ⇒ most files prune). */
+  final case class ColStats(file: String, col: String, min: Double, max: Double)
+
+  /** One committed table state. `files` are absolute URIs, immutable.
+    * `tag` is a caller idempotency token ("" = untagged): a commit carrying
+    * an already-present tag is skipped, which turns at-least-once callers
+    * (streaming foreachBatch replays) into exactly-once table states. */
+  final case class Manifest(
+      version: Long,
+      files: Seq[String],
+      parent: Long,
+      stats: Seq[ColStats] = Seq.empty,
+      tag: String = "")
+
+  private val SnapDir = "_snapshots"
+  private val ManifestRe = "manifest-(\\d+)\\.json".r
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(root: String, v: Long) =
+    new Path(s"$root/$SnapDir/manifest-$v.json")
+
+  /** Latest committed version, 0 when the table has no snapshot yet. */
+  def headVersion(spark: SparkSession, root: String): Long = {
+    val dir = new Path(s"$root/$SnapDir")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) 0L
+    else
+      f.listStatus(dir).toSeq
+        .flatMap(st => ManifestRe.findFirstMatchIn(st.getPath.getName).map(_.group(1).toLong))
+        .maxOption.getOrElse(0L)
+  }
+
+  /** Read manifest v (throws with a clear message when v was never
+    * committed or has been vacuumed away). */
+  def manifest(spark: SparkSession, root: String, v: Long): Manifest = {
+    val p = manifestPath(root, v)
+    val f = fs(spark, root)
+    require(f.exists(p), s"snapshot $v does not exist at $root (vacuumed or never committed)")
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    parseManifest(text)
+  }
+
+  /** All retained manifests, oldest first. */
+  def history(spark: SparkSession, root: String): Seq[Manifest] = {
+    val dir = new Path(s"$root/$SnapDir")
+    val f = fs(spark, root)
+    if (!f.exists(dir)) Seq.empty
+    else
+      f.listStatus(dir).toSeq
+        .flatMap(st => ManifestRe.findFirstMatchIn(st.getPath.getName).map(_.group(1).toLong))
+        .sorted
+        .map(v => manifest(spark, root, v))
+  }
+
+  /** Commit `df` as the next snapshot. `append=true` carries the parent
+    * manifest's files forward (the new version = old data + this batch);
+    * `append=false` is a logical overwrite (old files stay on disk for
+    * pinned readers / time travel until `vacuum`). Returns the committed
+    * version. Data lands under an unguessable per-commit directory first,
+    * so a losing racer's files never collide with the winner's and an
+    * aborted write leaves nothing a manifest could ever reference. */
+  def commit(
+      df: DataFrame,
+      root: String,
+      append: Boolean = false,
+      statsCols: Seq[String] = Seq.empty,
+      tag: String = ""): Long = {
+    val spark = df.sparkSession
+    val f = fs(spark, root)
+    val commitId = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = s"$root/data/c-$commitId"
+    df.write.parquet(dataDir)
+    val written = f.listStatus(new Path(dataDir)).toSeq
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted
+    val newStats = collectStats(spark, dataDir, statsCols)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 50, s"gave up committing to $root after 50 version collisions")
+      val head = headVersion(spark, root)
+      val parent: Option[Manifest] =
+        if (append && head > 0) Some(manifest(spark, root, head)) else None
+      val m = Manifest(
+        head + 1,
+        parent.map(_.files).getOrElse(Seq.empty) ++ written,
+        head,
+        parent.map(_.stats).getOrElse(Seq.empty) ++ newStats,
+        tag)
+      if (tryWriteManifest(spark, root, m)) return m.version
+      // else: another writer took version head+1 between our listing and
+      // our create — refresh the head and retry on top of THEIR commit
+    }
+    0L // unreachable
+  }
+
+  /** One scan of the freshly-written files (only — never the table) for
+    * per-file min/max of the requested numeric columns. */
+  private def collectStats(
+      spark: SparkSession,
+      dataDir: String,
+      statsCols: Seq[String]): Seq[ColStats] = {
+    if (statsCols.isEmpty) return Seq.empty
+    import org.apache.spark.sql.functions._
+    val aggs = statsCols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"min_$c"),
+      max(col(c).cast("double")).as(s"max_$c")))
+    spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .toSeq
+      .flatMap { row =>
+        // key by basename: part-file names carry a per-task UUID (globally
+        // unique), and input_file_name()'s URI rendering (file:///) differs
+        // from listStatus's (file:/) — basenames sidestep the mismatch
+        val file = new Path(row.getAs[String]("__f")).getName
+        statsCols.flatMap { c =>
+          val lo = row.getAs[Any](s"min_$c")
+          val hi = row.getAs[Any](s"max_$c")
+          if (lo == null || hi == null) None // all-null file: no usable range
+          else {
+            val (l, h) = (lo.asInstanceOf[Double], hi.asInstanceOf[Double])
+            // a NaN/infinite bound can't prune soundly AND won't round-trip
+            // as a JSON number — record no range (conservative)
+            if (java.lang.Double.isFinite(l) && java.lang.Double.isFinite(h))
+              Some(ColStats(file, c, l, h))
+            else None
+          }
+        }
+      }
+  }
+
+  /** The subset of `m.files` a [lo, hi] range predicate on `c` can touch:
+    * files whose recorded range overlaps, plus files with no recorded range
+    * (pruning must stay conservative). */
+  def candidateFiles(m: Manifest, c: String, lo: Double, hi: Double): Seq[String] = {
+    val ranges = m.stats.filter(_.col == c).map(s => s.file -> s).toMap
+    m.files.filter { f =>
+      ranges.get(new Path(f).getName) match {
+        case Some(s) => s.min <= hi && s.max >= lo
+        case None => true
+      }
+    }
+  }
+
+  /** Range read through the manifest index: prune the file list to the
+    * overlapping files, then apply the predicate exactly. Result is
+    * identical to filtering a full read — the index only shrinks the scan
+    * (at lake scale: from every-file to the z-order/cluster-tight sliver). */
+  def readRange(
+      spark: SparkSession,
+      root: String,
+      c: String,
+      lo: Double,
+      hi: Double,
+      version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = if (version >= 0) version else headVersion(spark, root)
+    require(v > 0, s"no snapshot committed at $root yet")
+    val m = manifest(spark, root, v)
+    val keep = candidateFiles(m, c, lo, hi)
+    val pred = col(c).cast("double") >= lo && col(c).cast("double") <= hi
+    if (keep.isEmpty)
+      // every file pruned: preserve schema (and exactness) via a full-list
+      // plan that cannot return rows — the scan itself never runs a task
+      spark.read.parquet(m.files: _*).filter(org.apache.spark.sql.functions.lit(false))
+    else spark.read.parquet(keep: _*).filter(pred)
+  }
+
+  /** Read snapshot `version` (default: head). The returned plan scans
+    * exactly the manifest's file list — no data-directory listing. */
+  def read(spark: SparkSession, root: String, version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else headVersion(spark, root)
+    require(v > 0, s"no snapshot committed at $root yet")
+    val m = manifest(spark, root, v)
+    if (m.files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(m.files: _*)
+  }
+
+  /** Idempotent tagged commit: a no-op returning None when any retained
+    * manifest already carries `tag`. The streaming-ingest primitive —
+    * foreachBatch delivers at-least-once, so a restart may replay a batch
+    * the table already absorbed; keying each batch's commit on its batch id
+    * makes the replay observable and skippable, and the table's states are
+    * exactly-once. (Same contract as EventStream's upsert-based view, but
+    * for append-shaped ingest where idempotent-per-key upserts don't apply.) */
+  def commitIfAbsent(
+      df: DataFrame,
+      root: String,
+      tag: String,
+      append: Boolean = true,
+      statsCols: Seq[String] = Seq.empty): Option[Long] = {
+    require(tag.nonEmpty, "idempotency tag must be non-empty")
+    if (history(df.sparkSession, root).exists(_.tag == tag)) None
+    else Some(commit(df, root, append, statsCols, tag))
+  }
+
+  /** Rewrite the head snapshot into `targetFiles` files and commit the
+    * compacted layout as a NEW version. Readers pinned to older versions
+    * keep their (still-present) files — this is the maintenance operation
+    * the manifest layer exists to make safe. */
+  def compact(
+      spark: SparkSession,
+      root: String,
+      targetFiles: Int = 1,
+      statsCols: Seq[String] = Seq.empty): Long =
+    commit(read(spark, root).repartition(targetFiles), root,
+      append = false, statsCols = statsCols)
+
+  /** Destroy history: keep the newest `keepLast` manifests, delete older
+    * ones plus every data file no retained manifest references. The only
+    * operation that deletes data — explicit and separate from commit, so
+    * time travel is a retention POLICY decision, not a side effect. */
+  def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Unit = {
+    require(keepLast >= 1, "must retain at least the head snapshot")
+    val f = fs(spark, root)
+    val all = history(spark, root)
+    if (all.size <= keepLast) return
+    val (drop, keep) = all.splitAt(all.size - keepLast)
+    val live = keep.flatMap(_.files).toSet
+    drop.flatMap(_.files).distinct.filterNot(live.contains)
+      .foreach(uri => f.delete(new Path(uri), false))
+    drop.foreach(m => f.delete(manifestPath(root, m.version), false))
+  }
+
+  /** Atomic create-if-absent of a COMPLETE manifest; false = lost the race.
+    *
+    * Two-phase: render to a per-writer temp file, then publish with an
+    * atomic no-replace primitive, so (a) the loser of a version race
+    * observes the collision — Hadoop's local `create(overwrite=false)` is
+    * check-then-act and lets both racers "win" — and (b) no reader can
+    * ever open a half-written manifest. Local POSIX: `createLink` (link(2)
+    * fails-if-exists, atomically, with content already durable). HDFS:
+    * `rename` (atomic at the namenode, false if the destination exists).
+    * S3-like stores have neither — that's the conditional-put / catalog
+    * dependency called out in the object scaladoc. */
+  private def tryWriteManifest(spark: SparkSession, root: String, m: Manifest): Boolean = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(s"$root/$SnapDir"))
+    val target = manifestPath(root, m.version)
+    val tmp = new Path(s"$root/$SnapDir/.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, /*overwrite=*/ true)
+    try out.write(renderManifest(m).getBytes("UTF-8")) finally out.close()
+    try {
+      if ("file" == target.toUri.getScheme) {
+        val t = java.nio.file.Paths.get(target.toUri.getPath)
+        val s = java.nio.file.Paths.get(tmp.toUri.getPath)
+        try { java.nio.file.Files.createLink(t, s); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else {
+        // HDFS-style: rename is atomic and refuses an existing destination
+        f.rename(tmp, target)
+      }
+    } finally f.delete(tmp, false)
+  }
+
+  private def renderManifest(m: Manifest): String = {
+    // files LAST: the parser anchors its greedy bracket match on the final
+    // array, so file arrays never need nested-structure parsing
+    val stats = m.stats.map(s =>
+      s"""{"file":${graft.JsonStr(s.file)},"col":${graft.JsonStr(s.col)},"min":${s.min},"max":${s.max}}""")
+      .mkString("[", ",", "]")
+    val files = m.files.map(graft.JsonStr(_)).mkString("[", ",", "]")
+    s"""{"version":${m.version},"parent":${m.parent},"tag":${graft.JsonStr(m.tag)},"stats":$stats,"files":$files}"""
+  }
+
+  /** Minimal parser for the exact shape renderManifest emits (keys fixed,
+    * fixed field order, files array last) — no json library in the
+    * classpath contract, same stance as JsonStr on the write side. */
+  private def parseManifest(text: String): Manifest = {
+    def longField(key: String): Long =
+      s""""$key":(-?\\d+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong)
+        .getOrElse(sys.error(s"bad manifest: missing $key in $text"))
+    val files = """"files":\[(.*)\]""".r.findFirstMatchIn(text)
+      .map(_.group(1)).getOrElse(sys.error(s"bad manifest: missing files in $text"))
+    val fileSeq =
+      if (files.trim.isEmpty) Seq.empty[String]
+      else """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(files)
+        .map(m => unescape(m.group(1))).toSeq
+    val num = """-?[0-9.eE+-]+"""
+    val statSeq =
+      ("""\{"file":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)","min":(""" + num +
+        """),"max":(""" + num + """)\}""").r
+        .findAllMatchIn(text).map { g =>
+          ColStats(unescape(g.group(1)), unescape(g.group(2)),
+            g.group(3).toDouble, g.group(4).toDouble)
+        }.toSeq
+    val tag = """"tag":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
+      .map(m => unescape(m.group(1))).getOrElse("")
+    Manifest(longField("version"), fileSeq, longField("parent"), statSeq, tag)
+  }
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'u' =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -208,6 +208,52 @@ object Dedup {
         .orderBy("d1", "d2")
     },
 
+    // ---- q77: cross-document repeated-span detection — the n-gram-
+    //           granular form of exact-substring dedup (the "remove
+    //           verbatim-repeated passages" pass a training corpus gets
+    //           after doc-level dedup; suffix-array substring dedup at
+    //           8-token resolution). A span = an 8-token window at a
+    //           position; a span is DUPLICATED when its gram occurs in ≥2
+    //           distinct documents. Per doc: span count, duplicated-span
+    //           count, duplication ratio — the signal that drives
+    //           drop-or-trim policy. Plan shape at 100 TB: positional
+    //           postings (narrow explode + one per-doc window pass), one
+    //           exchange on the gram hash for the distinct-doc count, and
+    //           the join back is co-partitioned on the same key (no second
+    //           shuffle of the postings side). Gram df is a partial-agg-
+    //           friendly count — no per-key state beyond a long. ----
+    OracleQuery(
+      "q77_dup_spans",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |spans AS (
+        |  SELECT doc_id, i AS pos,
+        |    md5(t[i]||' '||t[i+1]||' '||t[i+2]||' '||t[i+3]||' '||t[i+4]||' '||t[i+5]||' '||t[i+6]||' '||t[i+7]) AS g
+        |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS gs(i)),
+        |gdf AS (SELECT g, count(DISTINCT doc_id) AS ndocs FROM spans GROUP BY g),
+        |per AS (
+        |  SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+        |    CAST(count(*) FILTER (WHERE gdf.ndocs >= 2) AS BIGINT) AS n_dup
+        |  FROM spans s JOIN gdf ON gdf.g = s.g GROUP BY s.doc_id)
+        |SELECT doc_id, n_spans, n_dup,
+        |  round(CAST(n_dup AS DOUBLE) / CAST(n_spans AS DOUBLE), 9) AS dup_ratio
+        |FROM per WHERE n_dup > 0 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+      val spans = TextOps.positionalShingles(
+          docs(spark, dir).repartition(parts), "doc_id", "text", 8)
+        .select(col("doc_id"), md5(col("s")).as("g"))
+      val gdf = spans.groupBy("g").agg(countDistinct(col("doc_id")).as("ndocs"))
+      spans.join(gdf, "g") // co-partitioned with gdf's exchange key
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          count(when(col("ndocs") >= 2, lit(1))).as("n_dup"))
+        .filter(col("n_dup") > 0)
+        .select(col("doc_id"), col("n_spans"), col("n_dup"),
+          round(col("n_dup").cast(DoubleType) / col("n_spans").cast(DoubleType), 9)
+            .as("dup_ratio"))
+        .orderBy("doc_id")
+    },
+
     // ---- q50: winnowing fingerprints — rolling min over windows of 4
     //           consecutive shingle hashes (the MOSS/winnowing selection
     //           rule): position-aware, so it localizes matches, unlike the

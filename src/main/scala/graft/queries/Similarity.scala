@@ -384,5 +384,202 @@ object Similarity {
       val dots = VecOps.pairDots(cand, e, "query_id", "cand_id")
       rankTail(dots, nrm)
     },
+
+    // ---- q78: semantic dedup (SemDeDup) — cluster the embedding space
+    //           around deterministic seed centroids (nearest-centroid
+    //           assignment, exactly the IVF cell step of q43/q52), then
+    //           prune WITHIN each cell: a vector is dropped when a
+    //           lower-id cell-mate sits at cosine ≥ 0.4 (keep-first, same
+    //           canonical-survivor rule as q26/q42). This is the published
+    //           SemDeDup pipeline shape: the cell bounds the pairwise
+    //           verify, so total work is Σ cell²·d with cell size the
+    //           scale knob (centroid count grows with the corpus — here
+    //           vec_id % 100, the seed rule of the IVF queries — so cells
+    //           stay bounded at 100 TB and each cell's verify is local to
+    //           its shuffle partition). All dots ride the exact scaled-
+    //           long view (ed6): cell boundaries and cosines are
+    //           bit-identical cross-engine, keeping even this
+    //           cluster-then-prune pipeline oracle-checked. ----
+    OracleQuery(
+      "q78_semantic_dedup",
+      s"""$ed6Sql,
+         |cent AS (SELECT * FROM ed6 WHERE vec_id % 100 = 1),
+         |cdots AS (
+         |  SELECT v.vec_id, c.vec_id AS c_id, CAST(SUM(v.xm * c.xm) AS BIGINT) AS dot6
+         |  FROM ed6 v JOIN cent c ON c.i = v.i GROUP BY 1, 2),
+         |assign AS (
+         |  SELECT vec_id, c_id AS cell FROM (
+         |    SELECT cd.vec_id, cd.c_id,
+         |      row_number() OVER (PARTITION BY cd.vec_id
+         |        ORDER BY CAST(cd.dot6 AS DOUBLE) / sqrt(CAST(nc.nsq AS DOUBLE)) DESC, cd.c_id) AS rn
+         |    FROM cdots cd JOIN n6 nc ON nc.vec_id = cd.c_id) r
+         |  WHERE rn = 1),
+         |mem AS (SELECT ed6.vec_id, a.cell, ed6.i, ed6.xm
+         |        FROM ed6 JOIN assign a ON a.vec_id = ed6.vec_id),
+         |dots AS (
+         |  SELECT a.vec_id AS v1, b.vec_id AS v2, CAST(SUM(a.xm * b.xm) AS BIGINT) AS dot6
+         |  FROM mem a JOIN mem b ON b.cell = a.cell AND b.i = a.i AND a.vec_id < b.vec_id
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT DISTINCT v2 AS vec_id FROM dots
+         |  JOIN n6 na ON na.vec_id = v1 JOIN n6 nb ON nb.vec_id = v2
+         |  WHERE CAST(dot6 AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) >= 0.4)
+         |SELECT a.vec_id, a.cell, (dup.vec_id IS NULL) AS kept
+         |FROM assign a LEFT JOIN dup ON dup.vec_id = a.vec_id
+         |ORDER BY a.vec_id""".stripMargin) { (spark, dir) =>
+      val e6 = ed6(spark, dir)
+      val n6 = e6.groupBy("vec_id").agg(sum(col("xm") * col("xm")).as("nsq"))
+      // seed centroids: a few rows per √N-ish stride — tiny, broadcast
+      val cent = e6.filter(col("vec_id") % 100 === 1)
+        .select(col("vec_id").as("c_id"), col("i").as("ci"), col("xm").as("cm"))
+      val cdots = e6.join(broadcast(cent), col("ci") === col("i"))
+        .groupBy(col("vec_id"), col("c_id"))
+        .agg(sum(col("xm") * col("cm")).as("dot6"))
+      val byVec = Window.partitionBy(col("vec_id")).orderBy(
+        (col("dot6").cast(DoubleType) / sqrt(col("c_nsq").cast(DoubleType))).desc,
+        col("c_id"))
+      val assign = cdots.join(
+          n6.select(col("vec_id").as("nc_id"), col("nsq").as("c_nsq")),
+          col("nc_id") === col("c_id"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("c_id").as("cell"))
+      // cell-tagged postings feed both sides of the within-cell verify
+      val mem = e6.join(assign, "vec_id")
+        .select(col("vec_id"), col("cell"), col("i"), col("xm"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dots = mem.as("a")
+        .join(mem.as("b"), col("b.cell") === col("a.cell") && col("b.i") === col("a.i")
+          && col("a.vec_id") < col("b.vec_id"))
+        .groupBy(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
+        .agg(sum(col("a.xm") * col("b.xm")).as("dot6"))
+      val dup = dots
+        .join(n6.as("na"), col("na.vec_id") === col("v1"))
+        .join(n6.as("nb"), col("nb.vec_id") === col("v2"))
+        .filter(col("dot6").cast(DoubleType) /
+          (sqrt(col("na.nsq").cast(DoubleType)) * sqrt(col("nb.nsq").cast(DoubleType))) >= 0.4)
+        .select(col("v2").as("vec_id")).distinct()
+        .withColumn("rm", lit(1))
+      assign.join(dup, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"), col("rm").isNull.as("kept"))
+        .orderBy("vec_id")
+    },
+
+    // ---- q80: ANN via product quantization (PQ/ADC) — the third ANN
+    //           family next to hyperplane-LSH (q31) and IVF (q43/q52),
+    //           and the one whose POINT is memory: a 64-dim float vector
+    //           is 256 bytes, its PQ code is M=8 nibble-sized ids — the
+    //           whole corpus's codes fit in executor RAM at 100 TB while
+    //           the raw vectors cannot. Encode: split dims into 8
+    //           subspaces, per subspace assign the nearest of K=16
+    //           codewords (deterministic codebook: the first-16 vectors'
+    //           subvectors; exact integer L2 on the scaled-long view,
+    //           ties to the smaller codeword). Query: one tiny M×K
+    //           lookup table of exact codeword dots per query (ADC),
+    //           approx score = 8 LUT adds per candidate instead of a
+    //           64-dim dot; top-20 shortlist by approx score, exact
+    //           rerank of the shortlist only. Everything through the
+    //           shortlist is BIGINT-exact, so even PQ's approximation
+    //           ERROR is reproducible cross-engine and the full
+    //           pipeline stays oracle-checked. ----
+    OracleQuery(
+      "q80_pq_adc",
+      s"""$ed6Sql,
+         |sub AS (SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS m, i, xm FROM ed6),
+         |cb AS (SELECT m, vec_id AS k, i, xm AS cxm FROM sub WHERE vec_id < 16),
+         |enc AS (
+         |  SELECT s.vec_id, s.m, cb.k,
+         |    CAST(SUM((s.xm - cb.cxm) * (s.xm - cb.cxm)) AS BIGINT) AS d2
+         |  FROM sub s JOIN cb ON cb.m = s.m AND cb.i = s.i
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, m, k FROM (
+         |    SELECT vec_id, m, k,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+         |    FROM enc) r WHERE rn = 1),
+         |qlut AS (
+         |  SELECT e.vec_id AS query_id, cb.m, cb.k,
+         |    CAST(SUM(e.xm * cb.cxm) AS BIGINT) AS pdot
+         |  FROM ed6 e JOIN cb ON cb.i = e.i
+         |  WHERE e.vec_id % 100 = 0
+         |  GROUP BY 1, 2, 3),
+         |approx AS (
+         |  SELECT l.query_id, c.vec_id AS cand_id, CAST(SUM(l.pdot) AS BIGINT) AS adot
+         |  FROM codes c JOIN qlut l ON l.m = c.m AND l.k = c.k
+         |  WHERE c.vec_id <> l.query_id
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS rn
+         |    FROM approx) r WHERE rn <= 20),
+         |dots AS (
+         |  SELECT s.query_id, s.cand_id, CAST(SUM(a.xm * b.xm) AS BIGINT) AS dot6
+         |  FROM short s
+         |  JOIN ed6 a ON a.vec_id = s.query_id
+         |  JOIN ed6 b ON b.vec_id = s.cand_id AND b.i = a.i
+         |  GROUP BY 1, 2)
+         |SELECT query_id, cand_id, CAST(rn AS INTEGER) AS rank, round(cosine, 9) AS cosine
+         |FROM (
+         |  SELECT query_id, cand_id,
+         |    CAST(dot6 AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      CAST(dot6 AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) DESC,
+         |      cand_id) AS rn
+         |  FROM dots JOIN n6 na ON na.vec_id = query_id JOIN n6 nb ON nb.vec_id = cand_id) z
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+      val e6 = ed6(spark, dir)
+      val n6 = e6.groupBy("vec_id").agg(sum(col("xm") * col("xm")).as("nsq"))
+      // truncating int cast = floor for the non-negative (i-1)/8
+      val sub = e6.select(col("vec_id"),
+        ((col("i") - 1) / lit(8)).cast(IntegerType).as("m"), col("i"), col("xm"))
+      // codebook: first-16 vectors' subvectors — tiny (M×K×8 rows), broadcast
+      val cb = sub.filter(col("vec_id") < 16)
+        .select(col("m").as("cm"), col("vec_id").as("k"), col("i").as("ci"),
+          col("xm").as("cxm"))
+      // encode: exact integer L2 per (vector, subspace, codeword), argmin
+      val enc = sub
+        .join(broadcast(cb), col("cm") === col("m") && col("ci") === col("i"))
+        .groupBy(col("vec_id"), col("m"), col("k"))
+        .agg(sum((col("xm") - col("cxm")) * (col("xm") - col("cxm"))).as("d2"))
+      val byVecSub = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("k"))
+      val codes = enc.withColumn("rn", row_number().over(byVecSub))
+        .filter(col("rn") === 1).select("vec_id", "m", "k")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // ADC lookup table: per query, exact dot with every codeword — tiny
+      val qlut = e6.filter(col("vec_id") % 100 === 0)
+        .join(broadcast(cb), col("ci") === col("i"))
+        .groupBy(col("vec_id").as("query_id"), col("cm").as("lm"), col("k").as("lk"))
+        .agg(sum(col("xm") * col("cxm")).as("pdot"))
+      // approx score: 8 LUT adds per candidate — codes ⋈ broadcast LUT,
+      // the corpus-sized relation never shuffles for the probe
+      val approx = codes
+        .join(broadcast(qlut), col("lm") === col("m") && col("lk") === col("k")
+          && col("vec_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("vec_id").as("cand_id"))
+        .agg(sum(col("pdot")).as("adot"))
+      val byQ = Window.partitionBy("query_id").orderBy(col("adot").desc, col("cand_id"))
+      val short = approx.withColumn("rn", row_number().over(byQ))
+        .filter(col("rn") <= 20).select("query_id", "cand_id")
+      // exact rerank of the shortlist only (quantized-exact dots + norms)
+      val dots = short
+        .join(e6.select(col("vec_id"), col("i"), col("xm")).as("a"),
+          col("a.vec_id") === col("query_id"))
+        .join(e6.select(col("vec_id"), col("i"), col("xm")).as("b"),
+          col("b.vec_id") === col("cand_id") && col("b.i") === col("a.i"))
+        .groupBy("query_id", "cand_id")
+        .agg(sum(col("a.xm") * col("b.xm")).as("dot6"))
+      val cosine = col("dot6").cast(DoubleType) /
+        (sqrt(col("na.nsq").cast(DoubleType)) * sqrt(col("nb.nsq").cast(DoubleType)))
+      val byQc = Window.partitionBy("query_id").orderBy(cosine.desc, col("cand_id"))
+      dots
+        .join(n6.as("na"), col("na.vec_id") === col("query_id"))
+        .join(n6.as("nb"), col("nb.vec_id") === col("cand_id"))
+        .withColumn("rank", row_number().over(byQc).cast(IntegerType))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+          round(cosine, 9).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
   )
 }

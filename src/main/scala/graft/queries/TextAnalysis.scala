@@ -171,6 +171,46 @@ object TextAnalysis {
           md5(expr(s"substring(text, k * $ChunkStep + 1, $ChunkSize)")).as("chunk_md5"))
         .orderBy("doc_id", "chunk_id")
     },
+
+    // ---- q79: PII masking + deterministic pseudonymization — the scrub
+    //           pass every identifier-bearing table gets before entering a
+    //           training corpus. Two complementary transforms: MASK the
+    //           digit runs for display (`Customer#*********`) and replace
+    //           the raw identifier with a deterministic hash pseudonym —
+    //           deterministic so the pseudonym PRESERVES JOINABILITY: the
+    //           order counts here flow through the customer key and attach
+    //           to the pseudonym, proving downstream relational structure
+    //           survives the scrub. Both transforms are per-row codegen'd
+    //           expressions (zero shuffle beyond the order-count agg); the
+    //           regex is shared Java/RE2 syntax so masking is bit-exact
+    //           cross-engine. ----
+    OracleQuery(
+      "q79_pii_pseudonymize",
+      """WITH pseudo AS (
+        |  SELECT c_custkey, md5(c_name) AS pseudo_id,
+        |    regexp_replace(c_name, '[0-9]', '*', 'g') AS masked_name,
+        |    CAST(length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS INTEGER) AS n_digits,
+        |    c_mktsegment
+        |  FROM customer),
+        |oc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+        |       FROM orders GROUP BY o_custkey)
+        |SELECT p.pseudo_id, p.masked_name, p.n_digits, p.c_mktsegment,
+        |  COALESCE(oc.n_orders, 0) AS n_orders
+        |FROM pseudo p LEFT JOIN oc ON oc.o_custkey = p.c_custkey
+        |ORDER BY p.pseudo_id""".stripMargin) { (spark, dir) =>
+      val pseudo = Tables(spark, dir, "customer")
+        .select(col("c_custkey"),
+          md5(col("c_name")).as("pseudo_id"),
+          regexp_replace(col("c_name"), "[0-9]", "*").as("masked_name"),
+          length(regexp_replace(col("c_name"), "[^0-9]", "")).cast(IntegerType).as("n_digits"),
+          col("c_mktsegment"))
+      val oc = Tables(spark, dir, "orders")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      pseudo.join(oc, col("o_custkey") === col("c_custkey"), "left")
+        .select(col("pseudo_id"), col("masked_name"), col("n_digits"),
+          col("c_mktsegment"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+        .orderBy("pseudo_id")
+    },
   )
 
   /** \b-anchored alternation usable by both Java regex and RE2. */

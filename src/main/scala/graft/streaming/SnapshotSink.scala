@@ -1,0 +1,37 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.engine.Snapshots
+
+/** Streaming ingest into a snapshot-manifested table: each micro-batch is
+  * ONE atomic append commit, tagged with its batch id.
+  *
+  * Contract vs the plain parquet `lakeSink` (EventStream.scala): the file
+  * sink makes rows visible file by file as tasks finish — a reader during a
+  * trigger sees a torn batch. Here a batch's files exist but are invisible
+  * until its manifest publishes, so readers only ever observe whole-batch
+  * states, and time travel walks the ingest history batch by batch.
+  * Exactly-once: foreachBatch replays a batch after a restart; the batch-id
+  * tag makes the replay a observable no-op (`Snapshots.commitIfAbsent`), so
+  * the table never absorbs a batch twice. Maintenance (compact/vacuum) can
+  * run concurrently — commits are optimistic, the loser retries on the
+  * refreshed head.
+  */
+object SnapshotSink {
+
+  def start(
+      source: DataFrame,
+      root: String,
+      checkpointDir: String,
+      statsCols: Seq[String] = Seq.empty): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        Snapshots.commitIfAbsent(batch, root, tag = s"batch-$id",
+          append = true, statsCols = statsCols)
+        ()
+      }
+      .start()
+}

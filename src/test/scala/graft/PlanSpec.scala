@@ -57,7 +57,8 @@ class PlanSpec extends SparkSpec {
     Seq("q27_jaccard_pairs", "q28_minhash_lsh", "q30_cosine_topk",
         "q31_ann_lsh", "q39_training_pipeline", "q42_embedding_neardup",
         "q43_ann_ivf", "q52_ann_ivf_probe2", "q67_fuzzy_neardup",
-        "q69_bloom_decontaminate").foreach { q =>
+        "q69_bloom_decontaminate", "q77_dup_spans",
+        "q78_semantic_dedup", "q80_pq_adc").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
@@ -94,6 +95,24 @@ class PlanSpec extends SparkSpec {
   test("q42: pair blocking is the composite (label, band-key), not label alone") {
     val p = plan("q42_embedding_neardup")
     assert(p.contains("bkey"), "hyperplane band key lost from the blocking join")
+  }
+
+  test("q76: df/stats relations broadcast; top-k never globally sorts the corpus") {
+    // the scale contract of BM25: the corpus-sized relations (tf, dl) are
+    // only ever probed by BROADCAST tiny sides (df, the 1-row stats), and
+    // the final top-k must not range-shuffle the scored relation
+    val p = plan("q76_bm25_topk")
+    assert(p.contains("BroadcastExchange"), "df/stats side not broadcast — corpus would shuffle")
+    assert(!p.contains("Exchange rangepartitioning"), "top-k fell back to a global sort exchange")
+  }
+
+  test("q78: centroids broadcast; within-cell verify is keyed on the cell") {
+    // SemDeDup's scale contract: assignment probes a BROADCAST centroid
+    // relation (the corpus never shuffles for it), and the pairwise verify
+    // join is equi-keyed on the cell id so its cost is Σ cell², not corpus²
+    val p = plan("q78_semantic_dedup")
+    assert(p.contains("BroadcastExchange"), "centroid side not broadcast")
+    assert(p.contains("cell"), "cell key lost from the within-cell verify join")
   }
 
   test("q67: fuzzy candidate join is keyed on the length band, and capped") {

@@ -1,0 +1,162 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import graft.engine.Snapshots
+
+/** Snapshot-manifest layer: atomic commits, time travel, optimistic
+  * concurrency, reader-safe compaction, explicit vacuum.
+  */
+class SnapshotSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    "file:" + Files.createTempDirectory("snap").toString + "/t"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.as[(Long, String)].collect().toSet
+
+  test("commit/read round-trip; append and overwrite are distinct histories") {
+    val root = tmp()
+    val v1 = Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    assert(v1 === 1L)
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "a"), (2L, "b")))
+
+    val v2 = Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), root, append = true)
+    assert(v2 === 2L)
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    val v3 = Snapshots.commit(Seq((9L, "z")).toDF("id", "s"), root) // overwrite
+    assert(v3 === 3L)
+    assert(rows(Snapshots.read(spark, root)) === Set((9L, "z")))
+
+    // time travel: every prior version still reads its exact state
+    assert(rows(Snapshots.read(spark, root, 1)) === Set((1L, "a"), (2L, "b")))
+    assert(rows(Snapshots.read(spark, root, 2)) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(Snapshots.history(spark, root).map(_.version) === Seq(1L, 2L, 3L))
+    assert(Snapshots.history(spark, root).map(_.parent) === Seq(0L, 1L, 2L))
+  }
+
+  test("racing committers both land, on distinct consecutive versions") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, "base")).toDF("id", "s"), root)
+    // two appends race for version 2; the exclusive manifest create is the
+    // arbiter — the loser must observe the winner and re-commit on top
+    val a = Future(Snapshots.commit(Seq((2L, "a")).toDF("id", "s"), root, append = true))
+    val b = Future(Snapshots.commit(Seq((3L, "b")).toDF("id", "s"), root, append = true))
+    val got = Set(Await.result(a, 120.seconds), Await.result(b, 120.seconds))
+    assert(got === Set(2L, 3L), s"racers took versions $got")
+    // serialized history: head contains base + BOTH appends exactly once
+    assert(rows(Snapshots.read(spark, root)) ===
+      Set((1L, "base"), (2L, "a"), (3L, "b")))
+  }
+
+  test("compaction rewrites the head but never a pinned reader's files") {
+    val root = tmp()
+    Snapshots.commit(spark.range(0, 100).select($"id", $"id".cast("string").as("s"))
+      .repartition(8), root)
+    Snapshots.commit(spark.range(100, 200).select($"id", $"id".cast("string").as("s"))
+      .repartition(8), root, append = true)
+    val before = Snapshots.manifest(spark, root, 2)
+    assert(before.files.size >= 16, "fixture should be fragmented")
+
+    val v = Snapshots.compact(spark, root, targetFiles = 1)
+    assert(v === 3L)
+    val after = Snapshots.manifest(spark, root, v)
+    assert(after.files.size === 1, "head not compacted to one file")
+    assert(Snapshots.read(spark, root).count() === 200)
+    // the pinned version's files are all still on disk and readable
+    assert(Snapshots.read(spark, root, 2).count() === 200)
+    assert(Snapshots.manifest(spark, root, 2).files === before.files)
+  }
+
+  test("manifest column stats prune the file list for range reads") {
+    val root = tmp()
+    // range-cluster id so each of the 8 files covers a tight disjoint band
+    val df = spark.range(0, 800)
+      .select($"id", ($"id" % 7).as("x"))
+      .repartitionByRange(8, $"id")
+      .sortWithinPartitions("id")
+    Snapshots.commit(df, root, statsCols = Seq("id"))
+
+    val m = Snapshots.manifest(spark, root, 1)
+    assert(m.files.size === 8)
+    assert(m.stats.count(_.col == "id") === 8, "one id range per file expected")
+
+    // a 100-wide band overlaps 1-2 of the 8 range-clustered files
+    val cand = Snapshots.candidateFiles(m, "id", 250, 349)
+    assert(cand.size <= 2, s"pruning kept ${cand.size} of 8 files")
+    // pruned read ≡ full-scan filter, exactly
+    val pruned = Snapshots.readRange(spark, root, "id", 250, 349)
+      .select("id").as[Long].collect().sorted
+    assert(pruned.toSeq === (250L to 349L))
+    // a band outside every file's range reads nothing (and plans no files)
+    assert(Snapshots.candidateFiles(m, "id", 5000, 6000).isEmpty)
+    assert(Snapshots.readRange(spark, root, "id", 5000, 6000).count() === 0)
+    // stats survive the manifest round-trip through append and compaction
+    Snapshots.commit(spark.range(800, 900).select($"id", ($"id" % 7).as("x")),
+      root, append = true, statsCols = Seq("id"))
+    val m2 = Snapshots.manifest(spark, root, 2)
+    assert(m2.stats.size === m2.files.size, "append lost inherited or new stats")
+    assert(m2.stats.size > m.stats.size)
+    val v3 = Snapshots.compact(spark, root, targetFiles = 2, statsCols = Seq("id"))
+    val m3 = Snapshots.manifest(spark, root, v3)
+    assert(m3.stats.nonEmpty && m3.stats.forall(s => m3.files.exists(_.endsWith(s.file))),
+      "compaction must re-collect stats for the rewritten files")
+  }
+
+  test("streaming snapshot sink: one atomic commit per batch, replays are no-ops") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val base = Files.createTempDirectory("snapsink").toString
+    val root = s"file:$base/table"
+    val q = graft.streaming.SnapshotSink.start(
+      input.toDF().toDF("id", "s"), root, s"$base/ckpt")
+    try {
+      input.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val hist = Snapshots.history(spark, root)
+    assert(hist.map(_.tag) === Seq("batch-0", "batch-1"), s"got ${hist.map(_.tag)}")
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel: the table's states are exactly the batch boundaries
+    assert(rows(Snapshots.read(spark, root, 1)) === Set((1L, "a"), (2L, "b")))
+
+    // a restart replaying batch 1 (at-least-once delivery) must not
+    // double-ingest: the tag makes the replay an observable no-op
+    val replay = Snapshots.commitIfAbsent(
+      Seq((3L, "c")).toDF("id", "s"), root, tag = "batch-1")
+    assert(replay.isEmpty, "replayed batch was committed twice")
+    assert(Snapshots.headVersion(spark, root) === 2L)
+    assert(Snapshots.read(spark, root).count() === 3)
+  }
+
+  test("vacuum deletes only what no retained manifest references") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, "old")).toDF("id", "s"), root)
+    Snapshots.commit(Seq((2L, "new")).toDF("id", "s"), root) // overwrite: v1 files now head-unreferenced
+    Snapshots.commit(Seq((3L, "newer")).toDF("id", "s"), root, append = true) // v3 shares v2's files
+    val v1Files = Snapshots.manifest(spark, root, 1).files
+    val v3Files = Snapshots.manifest(spark, root, 3).files
+
+    Snapshots.vacuum(spark, root, keepLast = 1)
+    assert(Snapshots.history(spark, root).map(_.version) === Seq(3L))
+    // v1's data is gone, v3's (including the files it inherited from v2) intact
+    val fsys = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    v1Files.foreach(f =>
+      assert(!fsys.exists(new org.apache.hadoop.fs.Path(f)), s"vacuum left $f"))
+    v3Files.foreach(f =>
+      assert(fsys.exists(new org.apache.hadoop.fs.Path(f)), s"vacuum destroyed live $f"))
+    assert(rows(Snapshots.read(spark, root)) === Set((2L, "new"), (3L, "newer")))
+    // destroyed history reads fail loudly, not with a half-dataset
+    intercept[IllegalArgumentException](Snapshots.read(spark, root, 1))
+  }
+}

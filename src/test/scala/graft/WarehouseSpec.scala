@@ -136,6 +136,33 @@ class WarehouseSpec extends SparkSpec {
     spark.sql("DROP TABLE wh_bucketed")
   }
 
+  test("matching bucket layouts co-locate: the fact-fact join plans with zero exchanges") {
+    import spark.implicits._
+    // the DISTKEY promise at 100 TB: two fact tables sharing (bucket key,
+    // bucket count) join with NO shuffle on either side — the layout paid
+    // the exchange once at load time, every subsequent join rides it free.
+    // Broadcast disabled so the test exercises the co-located path, not a
+    // small-table shortcut.
+    val a = spark.range(0, 1000).select(col("id").as("k"), (col("id") % 7).as("va"))
+    val b = spark.range(0, 1000).select(col("id").as("k"), (col("id") % 11).as("vb"))
+    val layout = Layout(DistStyle.Key("k"), sortKeys = Seq("k"), buckets = 4)
+    Warehouse.upload(spark, a, "wh_ba", layout = layout, dropFirst = true)
+    Warehouse.upload(spark, b, "wh_bb", layout = layout, dropFirst = true)
+    val thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table("wh_ba").join(spark.table("wh_bb"), "k")
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed join still exchanges:\n$plan")
+      assert(j.count() == 1000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+      spark.sql("DROP TABLE wh_ba")
+      spark.sql("DROP TABLE wh_bb")
+    }
+  }
+
   test("partitioned upload: catalog table prunes partitions on layout-key predicates") {
     import spark.implicits._
     val df = Seq((1L, "en", 10L), (2L, "fr", 20L), (3L, "en", 30L), (4L, "de", 40L))
