@@ -109,6 +109,20 @@ object Snapshots {
       statsCols: Seq[String] = Seq.empty,
       tag: String = ""): Long = {
     val spark = df.sparkSession
+    val (written, newStats) = writeBatch(df, root, statsCols)
+    publish(spark, root, written, newStats, tag) { head =>
+      if (append && head.isDefined) Some(head.get) else None
+    }
+  }
+
+  /** Write one immutable batch under an unguessable commit dir; return its
+    * file URIs + collected stats. Nothing references these files until a
+    * manifest publishes them. */
+  private def writeBatch(
+      df: DataFrame,
+      root: String,
+      statsCols: Seq[String]): (Seq[String], Seq[ColStats]) = {
+    val spark = df.sparkSession
     val f = fs(spark, root)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$root/data/c-$commitId"
@@ -116,14 +130,25 @@ object Snapshots {
     val written = f.listStatus(new Path(dataDir)).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted
-    val newStats = collectStats(spark, dataDir, statsCols)
+    (written, collectStats(spark, dataDir, statsCols))
+  }
+
+  /** Optimistic-commit loop: re-derive the carried base from the CURRENT
+    * head on every attempt (so a retry lands on top of the racer's state,
+    * never a stale one), then publish atomically. `base(head)` returns the
+    * manifest whose files/stats to carry forward, or None for none. */
+  private def publish(
+      spark: SparkSession,
+      root: String,
+      written: Seq[String],
+      newStats: Seq[ColStats],
+      tag: String)(base: Option[Manifest] => Option[Manifest]): Long = {
     var attempt = 0
     while (true) {
       attempt += 1
       require(attempt <= 50, s"gave up committing to $root after 50 version collisions")
       val head = headVersion(spark, root)
-      val parent: Option[Manifest] =
-        if (append && head > 0) Some(manifest(spark, root, head)) else None
+      val parent = base(if (head > 0) Some(manifest(spark, root, head)) else None)
       val m = Manifest(
         head + 1,
         parent.map(_.files).getOrElse(Seq.empty) ++ written,
@@ -135,6 +160,51 @@ object Snapshots {
       // our create — refresh the head and retry on top of THEIR commit
     }
     0L // unreachable
+  }
+
+  /** Copy-on-write MERGE (upsert by key): rows of `df` replace same-key
+    * rows of the head snapshot; everything else carries forward UNTOUCHED —
+    * by file reference, not rewrite. The stats index makes that cheap: only
+    * files whose recorded `key` range overlaps the batch's [min, max] can
+    * hold a matching row, so only they are read, anti-joined, and
+    * rewritten; at 100 TB a point-ish upsert rewrites a sliver of the table
+    * while a manifest-less layout rewrites (or full-shuffle-joins) all of
+    * it. Files without recorded stats rewrite conservatively. The rewrite
+    * is one pruned scan → anti join (batch side broadcastable) → union;
+    * the commit publishes (untouched ++ rewritten) atomically, losers of a
+    * concurrent-commit race retry ON THE RETRY'S OWN head only if the
+    * untouched set is unchanged — a conflicting overlap aborts rather than
+    * silently dropping the racer's rows. */
+  def merge(
+      df: DataFrame,
+      root: String,
+      key: String,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val spark = df.sparkSession
+    import org.apache.spark.sql.functions.{col, min, max}
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet — merge needs a base")
+    val m = manifest(spark, root, headV)
+    // batch key range: two scalars (the ZOrder/Bloom build-side pattern)
+    val r = df.agg(min(col(key).cast("double")), max(col(key).cast("double"))).head()
+    require(!r.isNullAt(0), "merge batch has no non-null keys")
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val touched = candidateFiles(m, key, lo, hi)
+    val untouched = m.files.filterNot(touched.toSet)
+    val untouchedNames = untouched.map(u => new Path(u).getName).toSet
+    val survivors =
+      if (touched.isEmpty) df
+      else spark.read.parquet(touched: _*)
+        .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
+        .unionByName(df)
+    val (written, newStats) = writeBatch(survivors, root, statsCols)
+    publish(spark, root, written, newStats, tag = "") { head =>
+      val h = head.getOrElse(sys.error("merge base vanished"))
+      require(h.version == headV,
+        s"concurrent commit (v${h.version} != v$headV) overlaps this merge — retry the merge")
+      Some(Manifest(h.version, untouched, h.parent,
+        h.stats.filter(s => untouchedNames.contains(s.file))))
+    }
   }
 
   /** One scan of the freshly-written files (only — never the table) for

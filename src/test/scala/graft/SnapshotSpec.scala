@@ -109,6 +109,37 @@ class SnapshotSpec extends SparkSpec {
       "compaction must re-collect stats for the rewritten files")
   }
 
+  test("merge rewrites only the files the batch's key range can touch") {
+    val root = tmp()
+    val base = spark.range(0, 800)
+      .select($"id", org.apache.spark.sql.functions.lit("old").as("s"))
+      .repartitionByRange(8, $"id").sortWithinPartitions("id")
+    Snapshots.commit(base, root, statsCols = Seq("id"))
+    val m1 = Snapshots.manifest(spark, root, 1)
+    assert(m1.files.size === 8)
+
+    // upsert 10 contiguous keys: their range overlaps 1-2 of the 8
+    // range-clustered files — everything else must carry over BY REFERENCE
+    val batch = spark.range(100, 110)
+      .select($"id", org.apache.spark.sql.functions.lit("new").as("s"))
+    val v = Snapshots.merge(batch, root, "id", statsCols = Seq("id"))
+    assert(v === 2L)
+    val m2 = Snapshots.manifest(spark, root, 2)
+    val carried = m2.files.toSet.intersect(m1.files.toSet)
+    assert(carried.size >= 6, s"only ${carried.size} of 8 files carried untouched")
+    assert(carried.size < 8, "no file was rewritten — upsert lost?")
+
+    val got = Snapshots.read(spark, root).as[(Long, String)].collect()
+    assert(got.length === 800, "merge changed the row count")
+    assert(got.filter(_._2 == "new").map(_._1).toSet === (100L to 109L).toSet)
+    // pinned history: the pre-merge state is untouched
+    assert(Snapshots.read(spark, root, 1).filter($"s" === "new").count() === 0)
+    // the stats index survives: every head file (carried + rewritten) has a range
+    val statFiles = m2.stats.map(_.file).toSet
+    val headFiles = m2.files.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    assert(statFiles === headFiles, "merge dropped or orphaned file stats")
+  }
+
   test("streaming snapshot sink: one atomic commit per batch, replays are no-ops") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
