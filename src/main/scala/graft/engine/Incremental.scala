@@ -1,0 +1,122 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Incrementally-maintained grouped aggregates over a [[Snapshots]] table —
+  * the materialized-view refresh whose cost is the CHANGES, not the corpus.
+  *
+  * Why this exists at 100 TB: corpus-level dashboards (docs per source,
+  * tokens per lang, bytes per shard) are recomputed constantly, but between
+  * two snapshot versions only a sliver of files differ. The manifest diff
+  * names that sliver exactly, and [[Snapshots.signedDelta]] turns it into
+  * rows tagged +1 (in added files) / -1 (in removed files). For ADDITIVE
+  * aggregates — count, sum, and anything derived from them (avg, ratios) —
+  * rows a rewrite merely carried forward cancel inside the aggregate, so the
+  * refresh is: one pass over changed files → per-group signed partial →
+  * merge with the stored state by group key → drop groups whose net row
+  * count hits zero. An append folds in the appended files only; a point-ish
+  * copy-on-write merge the overlapping sliver; a compaction (same rows, new
+  * layout) is pure cancellation — the state is left bit-identical without
+  * reading a single unchanged file twice.
+  *
+  * Non-additive aggregates (min/max/distinct) are NOT maintainable under
+  * deletes from a signed delta alone — a deleted extremum needs the group
+  * re-scanned; that is a different operator (recompute the touched groups)
+  * and out of scope here.
+  *
+  * Exactness: measures aggregate as DECIMAL(38,6) — associative,
+  * order-independent, engine-exact (the Det.dsum stance) — so an
+  * incremental state is bit-identical to a from-scratch recompute, which is
+  * exactly what IncrementalSpec pins, and task retries at cluster scale
+  * cannot produce a different state.
+  *
+  * The state itself lives as a Snapshots table at `aggRoot`: each refresh
+  * commits the new state tagged `src-v<N>`, so (a) the state names the
+  * source version it reflects, (b) a replayed refresh is an observable
+  * no-op (commitIfAbsent on the tag), and (c) state history time-travels
+  * like any other table. If the source's reflected manifest has been
+  * vacuumed away, the refresh transparently falls back to a full recompute
+  * (same result, full-scan cost) — retention is a policy decision, not a
+  * correctness hazard.
+  */
+object Incremental {
+
+  private val Measure = DecimalType(38, 6)
+  private def srcTag(v: Long) = s"src-v$v"
+  private val SrcTagRe = "src-v(\\d+)".r
+
+  /** The source version the stored state reflects; 0 when no state exists. */
+  def reflectedVersion(spark: SparkSession, aggRoot: String): Long = {
+    val head = Snapshots.headVersion(spark, aggRoot)
+    if (head == 0) 0L
+    else Snapshots.manifest(spark, aggRoot, head).tag match {
+      case SrcTagRe(v) => v.toLong
+      case other => sys.error(
+        s"$aggRoot head carries tag '$other', not an Incremental src-v tag — " +
+          "is this really an Incremental state table?")
+    }
+  }
+
+  /** Bring the state at `aggRoot` up to the source head; returns the source
+    * version now reflected. No-op when already current. State schema:
+    * `groupCols`, `n_rows` (BIGINT), and `sum_<c>` DECIMAL(38,6) per
+    * measure column. */
+  def refresh(
+      spark: SparkSession,
+      srcRoot: String,
+      aggRoot: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String]): Long = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val srcHead = Snapshots.headVersion(spark, srcRoot)
+    require(srcHead > 0, s"no snapshot committed at $srcRoot yet")
+    val reflected = reflectedVersion(spark, aggRoot)
+    if (reflected == srcHead) return srcHead
+
+    // vacuumed-away base manifest → full recompute (delta base = empty)
+    val fromV =
+      if (reflected > 0 && !Snapshots.manifestExists(spark, srcRoot, reflected)) 0L
+      else reflected
+    val delta = Snapshots.signedDelta(spark, srcRoot, fromV, srcHead)
+    val deltaState = aggregate(delta, groupCols, sumCols, col("_sign").cast("long"))
+
+    val merged =
+      if (fromV == 0) deltaState
+      else
+        Snapshots.read(spark, aggRoot)
+          .unionByName(deltaState)
+          .groupBy(groupCols.map(col): _*)
+          .agg(
+            sum(col("n_rows")).as("n_rows"),
+            sumCols.map(c =>
+              sum(col(s"sum_$c")).cast(Measure).as(s"sum_$c")): _*)
+    Snapshots.commitIfAbsent(
+      merged.filter(col("n_rows") > 0), aggRoot,
+      tag = srcTag(srcHead), append = false)
+    srcHead
+  }
+
+  /** One signed grouped pass: n_rows = Σ sign, sum_<c> = Σ sign·c — the
+    * shape both the delta and a from-scratch build share (a full build is
+    * the delta from the empty base). */
+  private def aggregate(
+      rows: DataFrame,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      sign: Column): DataFrame =
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(sign).as("n_rows"),
+        sumCols.map(c =>
+          sum(sign * col(c).cast(Measure)).cast(Measure).as(s"sum_$c")): _*)
+
+  /** Current state, measures presented as exact-decimal-cast doubles (the
+    * Det.dsum rendering). */
+  def read(spark: SparkSession, aggRoot: String, sumCols: Seq[String]): DataFrame = {
+    val st = Snapshots.read(spark, aggRoot)
+    sumCols.foldLeft(st)((d, c) =>
+      d.withColumn(s"sum_$c", col(s"sum_$c").cast(DoubleType)))
+  }
+}

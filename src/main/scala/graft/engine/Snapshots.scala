@@ -83,6 +83,10 @@ object Snapshots {
     parseManifest(text)
   }
 
+  /** Whether version v's manifest is still retained (not vacuumed). */
+  private[engine] def manifestExists(spark: SparkSession, root: String, v: Long): Boolean =
+    fs(spark, root).exists(manifestPath(root, v))
+
   /** All retained manifests, oldest first. */
   def history(spark: SparkSession, root: String): Seq[Manifest] = {
     val dir = new Path(s"$root/$SnapDir")
@@ -289,6 +293,76 @@ object Snapshots {
     val m = manifest(spark, root, v)
     if (m.files.isEmpty) spark.emptyDataFrame
     else spark.read.parquet(m.files: _*)
+  }
+
+  /** File-level diff between two versions: (added, removed) — files present
+    * only in `toV`, files present only in `fromV`. `fromV = 0` is the empty
+    * base (everything in `toV` is added). The diff is manifest arithmetic:
+    * two small file lists, no data I/O and no directory listing. */
+  def diffFiles(
+      spark: SparkSession,
+      root: String,
+      fromV: Long,
+      toV: Long): (Seq[String], Seq[String]) = {
+    val fromFiles =
+      if (fromV == 0) Set.empty[String]
+      else manifest(spark, root, fromV).files.toSet
+    val toFiles = manifest(spark, root, toV).files.toSet
+    ((toFiles -- fromFiles).toSeq.sorted, (fromFiles -- toFiles).toSeq.sorted)
+  }
+
+  /** Signed row delta between two versions: every row of an added file with
+    * `_sign = 1`, every row of a removed file with `_sign = -1`. Rows a
+    * rewrite merely carried forward appear once with each sign and CANCEL in
+    * any additive aggregate — so an incremental count/sum refresh can
+    * consume this directly, one pass, no row-matching join (see
+    * [[Incremental]]). Cost ∝ changed files, never the table: an append
+    * touches the appended files only, a point-ish merge the overlapping
+    * sliver, and a compaction (full rewrite, same rows) is pure
+    * cancellation. */
+  def signedDelta(
+      spark: SparkSession,
+      root: String,
+      fromV: Long,
+      toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val (added, removed) = diffFiles(spark, root, fromV, toV)
+    // an empty side is a true empty relation (schema from ONE footer), not a
+    // full-file-list scan behind lit(false) — the resulting plan's only file
+    // scans are the changed files, which is the operator's whole point
+    val addedDf = if (added.nonEmpty) Some(spark.read.parquet(added: _*)) else None
+    val removedDf = if (removed.nonEmpty) Some(spark.read.parquet(removed: _*)) else None
+    val schema = addedDf.orElse(removedDf).map(_.schema).getOrElse {
+      val files = manifest(spark, root, toV).files
+      require(files.nonEmpty,
+        s"cannot derive a schema for an empty diff over an empty snapshot at $root")
+      spark.read.parquet(files.head).schema
+    }
+    def empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    addedDf.getOrElse(empty).withColumn("_sign", lit(1))
+      .unionByName(removedDf.getOrElse(empty).withColumn("_sign", lit(-1)))
+  }
+
+  /** Net row-level changes between two versions (CDC read): columns of the
+    * table plus `_op` — 'I' for net-inserted rows, 'D' for net-deleted rows.
+    * Multiset semantics: a row appearing k more times in `toV` than in
+    * `fromV` yields k 'I' rows. Built from the signed delta by multiset
+    * difference (`exceptAll` both ways), so carried-forward rows in
+    * rewritten files drop out and a pure compaction yields ZERO changes.
+    * Scans only the manifest diff's files — at 100 TB the cost of reading a
+    * day's changes is the day's files, not the table. */
+  def changes(
+      spark: SparkSession,
+      root: String,
+      fromV: Long,
+      toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val signed = signedDelta(spark, root, fromV, toV)
+    val a = signed.filter(col("_sign") === 1).drop("_sign")
+    val r = signed.filter(col("_sign") === -1).drop("_sign")
+    a.exceptAll(r).withColumn("_op", lit("I"))
+      .unionByName(r.exceptAll(a).withColumn("_op", lit("D")))
   }
 
   /** Idempotent tagged commit: a no-op returning None when any retained

@@ -1,8 +1,9 @@
 package graft.queries
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.{S3Like, Tables}
+import graft.engine.{S3Like, Snapshots, Tables}
 
 /** Data-lake layout: Hive-style directory partitioning end to end — the
   * distributed form of the reference's prefix-keyed S3 listing (`get_keys`
@@ -108,6 +109,89 @@ object Lake {
         .agg(count(lit(1)).as("n"),
           graft.engine.Det.dsum(col("p_retailprice")).as("sum_price"))
         .orderBy("p_brand", "p_type")
+    },
+
+    // ---- q81: snapshot CDC — net row changes across an append + a
+    //           copy-on-write merge, read from the MANIFEST DIFF's files
+    //           only (Snapshots.changes: exceptAll both ways over added vs
+    //           removed files, so carried-forward rows in rewritten files
+    //           cancel). The oracle reconstructs the three table states
+    //           relationally and diffs them with EXCEPT ALL — identical
+    //           aggregates prove the file-diff CDC equals the logical state
+    //           diff. At 100 TB the left side reads the changed sliver; the
+    //           oracle's formulation would read the table twice. ----
+    OracleQuery(
+      "q81_snapshot_changes",
+      """WITH base AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |s1 AS (SELECT * FROM base WHERE o_orderkey % 7 <> 0),
+        |app AS (SELECT * FROM base WHERE o_orderkey % 7 = 0 AND o_orderkey % 2 = 0),
+        |upd AS (SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice
+        |        FROM base WHERE o_orderkey % 10 = 0),
+        |s3 AS (SELECT * FROM (SELECT * FROM s1 UNION ALL SELECT * FROM app) s2
+        |       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |       UNION ALL SELECT * FROM upd),
+        |ch AS (SELECT 'I' AS _op, * FROM (SELECT * FROM s3 EXCEPT ALL SELECT * FROM s1)
+        |       UNION ALL
+        |       SELECT 'D' AS _op, * FROM (SELECT * FROM s1 EXCEPT ALL SELECT * FROM s3))
+        |SELECT _op, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM ch GROUP BY _op ORDER BY _op""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_snap"
+      // rebuild the snapshot history from scratch each run (idempotent)
+      new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new Path(root), true)
+      val base = Tables(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      val v1 = Snapshots.commit(
+        base.filter(col("o_orderkey") % 7 =!= 0), root,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.commit(
+        base.filter(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 2 === 0),
+        root, append = true, statsCols = Seq("o_orderkey"))
+      Snapshots.merge(
+        base.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000),
+        root, key = "o_orderkey", statsCols = Seq("o_orderkey"))
+      Snapshots.changes(spark, root, v1, Snapshots.headVersion(spark, root))
+        .groupBy("_op")
+        .agg(count(lit(1)).as("n"),
+          graft.engine.Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("_op")
+    },
+
+    // ---- q82: dynamic partition pruning — documents partitioned by
+    //           source, joined to an APPROVED-SOURCE list computed from the
+    //           corpus itself (sources whose mean doc length clears a bar —
+    //           exact integer form sum >= T·count so the cut is
+    //           engine-independent). The approved set is data-dependent, so
+    //           plan-time pruning cannot apply; Spark's DPP turns the
+    //           broadcast dim into a runtime partition filter on the fact
+    //           scan (PlanSpec pins `dynamicpruning`) — at 100 TB the fact
+    //           side lists and reads ONLY the approved sources'
+    //           directories. The oracle joins the unpartitioned source
+    //           directly. ----
+    OracleQuery(
+      "q82_dpp_approved_sources",
+      """WITH dim AS (SELECT source FROM documents
+        |             GROUP BY source HAVING SUM(n_chars) >= 300 * COUNT(*))
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |  CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+        |FROM documents d JOIN dim USING (source)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val srcLake = s"$lakeBase/documents_by_source"
+      S3Like.putDf(Tables(spark, dir, "documents"), srcLake,
+        format = "parquet", partitionKeys = Seq("source"))
+      val docs = S3Like.getDf(spark, srcLake, "parquet")
+      val dim = docs.groupBy("source")
+        .agg(sum("n_chars").as("s"), count(lit(1)).as("c"))
+        .filter(col("s") >= lit(300) * col("c"))
+        .select("source")
+      docs.join(dim, Seq("source"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+        .orderBy("source")
     },
   )
 }

@@ -1,0 +1,139 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Incremental, Snapshots}
+
+/** Snapshot CDC (`Snapshots.changes` / `signedDelta`) and the incremental
+  * aggregate refresh built on it (`Incremental`): the refresh whose cost is
+  * the changed files, property-checked bit-identical to a from-scratch
+  * recompute across append, copy-on-write merge, overwrite, compaction,
+  * and vacuumed-history fallback.
+  */
+class IncrementalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    "file:" + Files.createTempDirectory("incr").toString + "/t"
+
+  private def docs(rows: (Long, String, Long)*): DataFrame =
+    rows.toDF("id", "grp", "chars")
+
+  /** Full recompute in the exact shape Incremental stores. */
+  private def recompute(root: String): Set[(String, Long, BigDecimal)] =
+    Snapshots.read(spark, root)
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("chars").cast("decimal(38,6)")).cast("decimal(38,6)").as("sum_chars"))
+      .as[(String, Long, BigDecimal)].collect().toSet
+
+  private def state(aggRoot: String): Set[(String, Long, BigDecimal)] =
+    Snapshots.read(spark, aggRoot)
+      .select("grp", "n_rows", "sum_chars")
+      .as[(String, Long, BigDecimal)].collect().toSet
+
+  private def changeSet(root: String, from: Long, to: Long): Set[(String, Long, String)] =
+    Snapshots.changes(spark, root, from, to)
+      .select("grp", "id", "_op")
+      .as[(String, Long, String)].collect().toSet
+
+  test("changes: append yields only inserts; compaction yields zero changes") {
+    val root = tmp()
+    val v1 = Snapshots.commit(docs((1, "a", 10), (2, "b", 20)), root)
+    val v2 = Snapshots.commit(docs((3, "a", 30)), root, append = true)
+    assert(changeSet(root, v1, v2) === Set(("a", 3L, "I")))
+    // from the empty base: everything is an insert
+    assert(changeSet(root, 0, v2) ===
+      Set(("a", 1L, "I"), ("b", 2L, "I"), ("a", 3L, "I")))
+    // compaction rewrites every file but carries the same rows — the
+    // carried rows appear +1 in the new files and -1 in the old ones and
+    // cancel under exceptAll: net CDC is empty
+    val v3 = Snapshots.compact(spark, root, targetFiles = 1)
+    assert(Snapshots.changes(spark, root, v2, v3).isEmpty)
+    // but the file diff itself is total (every file rewritten)
+    val (added, removed) = Snapshots.diffFiles(spark, root, v2, v3)
+    assert(added.nonEmpty && removed.nonEmpty)
+  }
+
+  test("changes: copy-on-write merge emits D for old images, I for new") {
+    val root = tmp()
+    val v1 = Snapshots.commit(docs((1, "a", 10), (2, "b", 20), (3, "b", 30)), root,
+      statsCols = Seq("id"))
+    // update id=2, insert id=9
+    Snapshots.merge(docs((2, "b", 25), (9, "c", 90)), root, key = "id",
+      statsCols = Seq("id"))
+    val v2 = Snapshots.headVersion(spark, root)
+    assert(changeSet(root, v1, v2) ===
+      Set(("b", 2L, "D"), ("b", 2L, "I"), ("c", 9L, "I")))
+    // row-level detail: the D row carries the OLD measure, the I the new
+    val byOp = Snapshots.changes(spark, root, v1, v2)
+      .filter(col("id") === 2).select("_op", "chars")
+      .as[(String, Long)].collect().toMap
+    assert(byOp === Map("D" -> 20L, "I" -> 25L))
+  }
+
+  test("incremental refresh is bit-identical to recompute across the full lifecycle") {
+    val root = tmp()
+    val agg = tmp()
+    def check(): Unit = {
+      Incremental.refresh(spark, root, agg, Seq("grp"), Seq("chars"))
+      assert(state(agg) === recompute(root))
+    }
+    Snapshots.commit(docs((1, "a", 10), (2, "b", 20)), root, statsCols = Seq("id"))
+    check() // initial build = delta from the empty base
+    Snapshots.commit(docs((3, "a", 30), (4, "c", 40)), root, append = true,
+      statsCols = Seq("id"))
+    check() // append
+    Snapshots.merge(docs((2, "b", 99), (5, "d", 50)), root, key = "id",
+      statsCols = Seq("id"))
+    check() // update + insert via copy-on-write merge
+    Snapshots.compact(spark, root)
+    val before = state(agg)
+    val v = Incremental.refresh(spark, root, agg, Seq("grp"), Seq("chars"))
+    assert(state(agg) === before, "compaction must leave the state unchanged")
+    assert(v === Snapshots.headVersion(spark, root))
+    Snapshots.commit(docs((9, "z", 1)), root) // overwrite: table is replaced
+    check()
+    assert(state(agg).map(_._1) === Set("z"),
+      "groups deleted by the overwrite must leave the state (n_rows hit 0)")
+  }
+
+  test("refresh is a no-op when current, idempotent on replay, and survives vacuum") {
+    val root = tmp()
+    val agg = tmp()
+    Snapshots.commit(docs((1, "a", 10)), root)
+    Incremental.refresh(spark, root, agg, Seq("grp"), Seq("chars"))
+    val aggHead = Snapshots.headVersion(spark, agg)
+    // current → no new state version
+    Incremental.refresh(spark, root, agg, Seq("grp"), Seq("chars"))
+    assert(Snapshots.headVersion(spark, agg) === aggHead)
+    assert(Incremental.reflectedVersion(spark, agg) === 1L)
+
+    // two more source commits, then vacuum away the reflected manifest —
+    // the refresh must fall back to a full recompute and still be exact
+    Snapshots.commit(docs((2, "b", 20)), root, append = true)
+    Snapshots.commit(docs((3, "b", 30)), root, append = true)
+    Snapshots.vacuum(spark, root, keepLast = 1)
+    Incremental.refresh(spark, root, agg, Seq("grp"), Seq("chars"))
+    assert(state(agg) === recompute(root))
+  }
+
+  test("the delta plan scans only the changed files") {
+    val root = tmp()
+    val v1 = Snapshots.commit(docs((1, "a", 10), (2, "b", 20)), root)
+    val v2 = Snapshots.commit(docs((3, "a", 30)), root, append = true)
+    val (added, _) = Snapshots.diffFiles(spark, root, v1, v2)
+    val delta = Snapshots.signedDelta(spark, root, v1, v2)
+    def base(f: String) = f.substring(f.lastIndexOf('/') + 1)
+    val scanned = delta.queryExecution.sparkPlan.collect {
+      case s: FileSourceScanExec => s.relation.location.inputFiles.toSeq
+    }.flatten.map(base).toSet
+    assert(scanned.nonEmpty)
+    assert(scanned === added.map(base).toSet,
+      s"delta scanned $scanned but the manifest diff added only $added")
+  }
+}

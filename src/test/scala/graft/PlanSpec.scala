@@ -33,6 +33,27 @@ class PlanSpec extends SparkSpec {
     assert("BroadcastHashJoin".r.findAllIn(p).length >= 4, "dimensions not broadcast")
   }
 
+  test("q07: rank filter inserts WindowGroupLimit (map-side top-k before the exchange)") {
+    // Spark's InferWindowGroupLimit turns `row_number() <= k` into a
+    // partial group-limit BELOW the shuffle: each task forwards at most k
+    // rows per key instead of its whole partition — the property that makes
+    // window top-k survive 100 TB groups. A filter rewrite that breaks the
+    // rank-predicate pattern silently loses it; this pins it.
+    val p = plan("q07_topk_per_customer")
+    assert("WindowGroupLimit".r.findAllIn(p).length >= 2,
+      "partial+final WindowGroupLimit lost — full groups would shuffle")
+  }
+
+  test("q82: the approved-source join prunes fact partitions at RUNTIME (DPP)") {
+    // the dim (approved sources) is computed from the corpus, so plan-time
+    // partition pruning cannot apply; dynamic partition pruning must turn
+    // the broadcast dim into a partition filter on the fact scan — at scale
+    // the fact side reads only the approved sources' directories
+    val p = plan("q82_dpp_approved_sources")
+    assert(p.contains("dynamicpruning"),
+      "no dynamic partition pruning — every source directory would be read")
+  }
+
   test("q09: global top-k plans as TakeOrderedAndProject (no sort exchange)") {
     val p = plan("q09_top_orders")
     assert(p.contains("TakeOrderedAndProject"), "top-k fell back to global sort")
