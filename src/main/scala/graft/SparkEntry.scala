@@ -38,7 +38,7 @@ object SparkEntry {
       graft.queries.Similarity.queries ++ graft.queries.MultimodalQ.queries ++
       graft.queries.Pipeline.queries ++ graft.queries.Skew.queries ++
       graft.queries.TrainingOps.queries ++ graft.queries.Lake.queries ++
-      graft.queries.Retrieval.queries
+      graft.queries.Retrieval.queries ++ graft.queries.Quality.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

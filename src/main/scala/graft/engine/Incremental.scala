@@ -62,13 +62,24 @@ object Incremental {
   /** Bring the state at `aggRoot` up to the source head; returns the source
     * version now reflected. No-op when already current. State schema:
     * `groupCols`, `n_rows` (BIGINT), and `sum_<c>` DECIMAL(38,6) per
-    * measure column. */
+    * measure column.
+    *
+    * `expand` is an optional ROW-LOCAL expansion applied to the signed
+    * delta before aggregation — tokenize/explode/derive, anything where
+    * each output row descends from one input row and CARRIES ITS `_sign`
+    * through. That turns any exploded additive statistic into an
+    * incrementally-maintained one: vocabulary counts (explode tokens —
+    * each deleted doc's tokens arrive with −1 and cancel their +1 twins),
+    * n-gram frequencies, per-label token totals. Cross-row expansions
+    * (joins, windows) would let one changed row affect another's
+    * contribution and are NOT maintainable this way. */
   def refresh(
       spark: SparkSession,
       srcRoot: String,
       aggRoot: String,
       groupCols: Seq[String],
-      sumCols: Seq[String]): Long = {
+      sumCols: Seq[String],
+      expand: DataFrame => DataFrame = identity): Long = {
     require(groupCols.nonEmpty, "need at least one group column")
     val srcHead = Snapshots.headVersion(spark, srcRoot)
     require(srcHead > 0, s"no snapshot committed at $srcRoot yet")
@@ -79,7 +90,9 @@ object Incremental {
     val fromV =
       if (reflected > 0 && !Snapshots.manifestExists(spark, srcRoot, reflected)) 0L
       else reflected
-    val delta = Snapshots.signedDelta(spark, srcRoot, fromV, srcHead)
+    val delta = expand(Snapshots.signedDelta(spark, srcRoot, fromV, srcHead))
+    require(delta.columns.contains("_sign"),
+      "expand must carry the _sign column through (row-local expansions only)")
     val deltaState = aggregate(delta, groupCols, sumCols, col("_sign").cast("long"))
 
     val merged =

@@ -44,13 +44,16 @@ object Snapshots {
   /** One committed table state. `files` are absolute URIs, immutable.
     * `tag` is a caller idempotency token ("" = untagged): a commit carrying
     * an already-present tag is skipped, which turns at-least-once callers
-    * (streaming foreachBatch replays) into exactly-once table states. */
+    * (streaming foreachBatch replays) into exactly-once table states.
+    * `ts` is the publish wall-clock (epoch millis; 0 in pre-ts manifests)
+    * — what [[readAsOf]] time-travels by. */
   final case class Manifest(
       version: Long,
       files: Seq[String],
       parent: Long,
       stats: Seq[ColStats] = Seq.empty,
-      tag: String = "")
+      tag: String = "",
+      ts: Long = 0L)
 
   private val SnapDir = "_snapshots"
   private val ManifestRe = "manifest-(\\d+)\\.json".r
@@ -158,7 +161,8 @@ object Snapshots {
         parent.map(_.files).getOrElse(Seq.empty) ++ written,
         head,
         parent.map(_.stats).getOrElse(Seq.empty) ++ newStats,
-        tag)
+        tag,
+        ts = System.currentTimeMillis())
       if (tryWriteManifest(spark, root, m)) return m.version
       // else: another writer took version head+1 between our listing and
       // our create — refresh the head and retry on top of THEIR commit
@@ -206,6 +210,46 @@ object Snapshots {
       val h = head.getOrElse(sys.error("merge base vanished"))
       require(h.version == headV,
         s"concurrent commit (v${h.version} != v$headV) overlaps this merge — retry the merge")
+      Some(Manifest(h.version, untouched, h.parent,
+        h.stats.filter(s => untouchedNames.contains(s.file))))
+    }
+  }
+
+  /** Copy-on-write DELETE by key set: rows of the head snapshot whose `key`
+    * appears in `keys` are removed; everything else carries forward BY FILE
+    * REFERENCE. The right-to-erasure shape at 100 TB: the stats index
+    * prunes to the files whose recorded `key` range overlaps the delete
+    * set's [min, max], only those are read, anti-joined (the key set is
+    * batch-sized — broadcastable), and rewritten without the matching rows;
+    * a delete that can touch nothing is a true no-op (no new version).
+    * Old versions still SEE the rows until [[vacuum]] destroys their files
+    * — erasure is complete exactly when retention policy says so, the same
+    * contract as every other history-bearing operation here. Concurrency:
+    * same optimistic arbiter as [[merge]] — a racing commit aborts the
+    * delete rather than silently resurrecting rows. */
+  def delete(
+      keys: DataFrame,
+      root: String,
+      key: String,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val spark = keys.sparkSession
+    import org.apache.spark.sql.functions.{col, min, max}
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet — delete needs a base")
+    val m = manifest(spark, root, headV)
+    val r = keys.agg(min(col(key).cast("double")), max(col(key).cast("double"))).head()
+    if (r.isNullAt(0)) return headV // empty key set: nothing to delete
+    val touched = candidateFiles(m, key, r.getDouble(0), r.getDouble(1))
+    if (touched.isEmpty) return headV // no file can hold a matching row
+    val untouched = m.files.filterNot(touched.toSet)
+    val untouchedNames = untouched.map(u => new Path(u).getName).toSet
+    val survivors = spark.read.parquet(touched: _*)
+      .join(keys.select(col(key)).distinct(), Seq(key), "left_anti")
+    val (written, newStats) = writeBatch(survivors, root, statsCols)
+    publish(spark, root, written, newStats, tag = "") { head =>
+      val h = head.getOrElse(sys.error("delete base vanished"))
+      require(h.version == headV,
+        s"concurrent commit (v${h.version} != v$headV) overlaps this delete — retry")
       Some(Manifest(h.version, untouched, h.parent,
         h.stats.filter(s => untouchedNames.contains(s.file))))
     }
@@ -283,6 +327,18 @@ object Snapshots {
       // plan that cannot return rows — the scan itself never runs a task
       spark.read.parquet(m.files: _*).filter(org.apache.spark.sql.functions.lit(false))
     else spark.read.parquet(keep: _*).filter(pred)
+  }
+
+  /** Time travel by wall clock: read the newest version whose publish
+    * timestamp is ≤ `tsMillis` (ties: highest version). The reproducibility
+    * primitive — "the table as the Tuesday run saw it" without recording a
+    * version number anywhere. Throws when every retained version is newer
+    * (the asked-for state is vacuumed or never existed). */
+  def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame = {
+    val eligible = history(spark, root).filter(_.ts <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no retained snapshot at $root published at or before $tsMillis")
+    read(spark, root, eligible.map(_.version).max)
   }
 
   /** Read snapshot `version` (default: head). The returned plan scans
@@ -449,7 +505,7 @@ object Snapshots {
       s"""{"file":${graft.JsonStr(s.file)},"col":${graft.JsonStr(s.col)},"min":${s.min},"max":${s.max}}""")
       .mkString("[", ",", "]")
     val files = m.files.map(graft.JsonStr(_)).mkString("[", ",", "]")
-    s"""{"version":${m.version},"parent":${m.parent},"tag":${graft.JsonStr(m.tag)},"stats":$stats,"files":$files}"""
+    s"""{"version":${m.version},"parent":${m.parent},"ts":${m.ts},"tag":${graft.JsonStr(m.tag)},"stats":$stats,"files":$files}"""
   }
 
   /** Minimal parser for the exact shape renderManifest emits (keys fixed,
@@ -476,7 +532,10 @@ object Snapshots {
         }.toSeq
     val tag = """"tag":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
       .map(m => unescape(m.group(1))).getOrElse("")
-    Manifest(longField("version"), fileSeq, longField("parent"), statSeq, tag)
+    // optional: pre-ts manifests read as ts=0 (always readAsOf-eligible)
+    val ts = """"ts":(-?\d+)""".r.findFirstMatchIn(text)
+      .map(_.group(1).toLong).getOrElse(0L)
+    Manifest(longField("version"), fileSeq, longField("parent"), statSeq, tag, ts)
   }
 
   private def unescape(s: String): String = {

@@ -160,6 +160,41 @@ object Lake {
         .orderBy("_op")
     },
 
+    // ---- q83: copy-on-write delete round-trip — a right-to-erasure
+    //           request (all orders of a deterministic customer set) lands
+    //           as Snapshots.delete: the stats index prunes to the files
+    //           the key set can touch, survivors are anti-joined and
+    //           rewritten, everything else carries forward by reference.
+    //           The read-back aggregate must equal the oracle's plain
+    //           filtered aggregate over the source — proving the pruned
+    //           rewrite removed exactly the requested rows and nothing
+    //           else. ----
+    OracleQuery(
+      "q83_snapshot_delete",
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
+         |FROM orders WHERE o_custkey % 97 <> 0
+         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_delete"
+      new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new Path(root), true)
+      val base = Tables(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+      Snapshots.commit(
+        base.repartitionByRange(8, col("o_orderkey"))
+          .sortWithinPartitions("o_orderkey"),
+        root, statsCols = Seq("o_orderkey"))
+      Snapshots.delete(
+        base.filter(col("o_custkey") % 97 === 0).select("o_orderkey"),
+        root, key = "o_orderkey", statsCols = Seq("o_orderkey"))
+      Snapshots.read(spark, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          graft.engine.Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
     // ---- q82: dynamic partition pruning — documents partitioned by
     //           source, joined to an APPROVED-SOURCE list computed from the
     //           corpus itself (sources whose mean doc length clears a bar —

@@ -122,6 +122,54 @@ class IncrementalSpec extends SparkSpec {
     assert(state(agg) === recompute(root))
   }
 
+  test("expand: vocabulary counts maintain incrementally through doc updates") {
+    // the exploded-statistic case: each doc contributes one row per token;
+    // a deleted doc's tokens arrive with -1 and cancel their +1 twins, so
+    // vocab counts stay exact through updates without re-reading the corpus
+    val root = tmp()
+    val agg = tmp()
+    def texts(rows: (Long, String)*) = rows.toDF("id", "text")
+    val tokenize: DataFrame => DataFrame =
+      d => d.select(explode(split(col("text"), " ")).as("token"), col("_sign"))
+    def check(): Unit = {
+      Incremental.refresh(spark, root, agg, Seq("token"), Seq.empty, tokenize)
+      val got = Snapshots.read(spark, agg).select("token", "n_rows")
+        .as[(String, Long)].collect().toSet
+      val want = Snapshots.read(spark, root)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").count()
+        .as[(String, Long)].collect().toSet
+      assert(got === want)
+    }
+    Snapshots.commit(texts((1, "a b b"), (2, "b c")), root, statsCols = Seq("id"))
+    check()
+    Snapshots.commit(texts((3, "c d")), root, append = true, statsCols = Seq("id"))
+    check()
+    // update doc 1: "a b b" out (a-1, b-2), "e" in — 'a' must drop to 0
+    // and leave the state entirely
+    Snapshots.merge(texts((1, "e")), root, key = "id", statsCols = Seq("id"))
+    check()
+    assert(!Snapshots.read(spark, agg).select("token").as[String]
+      .collect().contains("a"), "token 'a' net count hit 0 — must leave the state")
+  }
+
+  test("readAsOf time-travels by publish timestamp") {
+    val root = tmp()
+    Snapshots.commit(docs((1, "a", 10)), root)
+    val t1 = Snapshots.manifest(spark, root, 1).ts
+    assert(t1 > 0)
+    Snapshots.commit(docs((2, "b", 20)), root, append = true)
+    val t2 = Snapshots.manifest(spark, root, 2).ts
+    assert(t2 >= t1)
+    assert(Snapshots.readAsOf(spark, root, t1).count() ===
+      (if (t2 <= t1) 2L else 1L)) // same-millisecond commits tie to the newer
+    assert(Snapshots.readAsOf(spark, root, t2).count() === 2L)
+    assert(Snapshots.readAsOf(spark, root, System.currentTimeMillis()).count() === 2L)
+    intercept[IllegalArgumentException] {
+      Snapshots.readAsOf(spark, root, t1 - 1000)
+    }
+  }
+
   test("the delta plan scans only the changed files") {
     val root = tmp()
     val v1 = Snapshots.commit(docs((1, "a", 10), (2, "b", 20)), root)

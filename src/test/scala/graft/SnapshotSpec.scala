@@ -140,6 +140,46 @@ class SnapshotSpec extends SparkSpec {
     assert(statFiles === headFiles, "merge dropped or orphaned file stats")
   }
 
+  test("delete rewrites only overlapping files; misses are true no-ops; CDC sees D rows") {
+    val root = tmp()
+    val base = spark.range(0, 800)
+      .select($"id", ($"id" % 5).as("g"))
+      .repartitionByRange(8, $"id").sortWithinPartitions("id")
+    Snapshots.commit(base, root, statsCols = Seq("id"))
+    val m1 = Snapshots.manifest(spark, root, 1)
+    assert(m1.files.size === 8)
+
+    // delete 10 contiguous keys: their range overlaps 1-2 of the 8
+    // range-clustered files — everything else must carry over BY REFERENCE
+    val v2 = Snapshots.delete(
+      spark.range(100, 110).select($"id"), root, "id", statsCols = Seq("id"))
+    assert(v2 === 2L)
+    val m2 = Snapshots.manifest(spark, root, 2)
+    val carried = m2.files.toSet.intersect(m1.files.toSet)
+    assert(carried.size >= 6, s"only ${carried.size} of 8 files carried untouched")
+    assert(carried.size < 8, "no file was rewritten — delete lost?")
+    val ids = Snapshots.read(spark, root).select("id").as[Long].collect().toSet
+    assert(ids.size === 790 && (100L to 109L).forall(!ids.contains(_)))
+    // history pins the pre-delete state (erasure completes at vacuum time)
+    assert(Snapshots.read(spark, root, 1).count() === 800)
+    // stats index stays consistent across carried + rewritten files
+    val statFiles = m2.stats.map(_.file).toSet
+    val headFiles = m2.files.map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    assert(statFiles === headFiles, "delete dropped or orphaned file stats")
+
+    // CDC between the two versions: exactly the deleted rows, all 'D'
+    val ch = Snapshots.changes(spark, root, 1, 2)
+      .select($"_op", $"id").as[(String, Long)].collect().toSet
+    assert(ch === (100L until 110L).map(("D", _)).toSet)
+
+    // a delete whose key range overlaps no file: no new version at all
+    assert(Snapshots.delete(
+      spark.range(5000, 5010).select($"id"), root, "id") === 2L)
+    // and an empty key set likewise
+    assert(Snapshots.delete(
+      spark.range(0, 0).select($"id"), root, "id") === 2L)
+  }
+
   test("streaming snapshot sink: one atomic commit per batch, replays are no-ops") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
