@@ -447,9 +447,14 @@ object Snapshots {
       spark: SparkSession,
       root: String,
       targetFiles: Int = 1,
-      statsCols: Seq[String] = Seq.empty): Long =
+      statsCols: Seq[String] = Seq.empty): Long = {
+    val head = headVersion(spark, root)
+    // a fully-emptied table (e.g. delete removed every row) has nothing to
+    // rewrite — and no file to take a schema from; true no-op
+    if (head > 0 && manifest(spark, root, head).files.isEmpty) return head
     commit(read(spark, root).repartition(targetFiles), root,
       append = false, statsCols = statsCols)
+  }
 
   /** Destroy history: keep the newest `keepLast` manifests, delete older
     * ones plus every data file no retained manifest references. The only

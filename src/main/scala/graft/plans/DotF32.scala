@@ -74,6 +74,74 @@ case class DotF32(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused native cosine over two `array<float>` columns: dot, ‖a‖² and ‖b‖²
+  * accumulate in ONE loop over the arrays — the composed form
+  * `dot_f32(a,b)/(sqrt(dot_f32(a,a))*sqrt(dot_f32(b,b)))` walks them three
+  * times (and re-reads the Unsafe array data each pass). Same deterministic
+  * left-to-right IEEE fold in interpreted and codegen paths; returns NaN
+  * when either norm is zero (0/0 — the composed form agrees). Unequal
+  * lengths truncate all three accumulators to the common prefix (the
+  * composed form would norm each array over its own full length —
+  * irrelevant for fixed-dimension embedding columns, where both agree
+  * bit-for-bit). Registered
+  * as `cosine_f32` via [[GraftExtensions]]; the production scorer for
+  * similarity probes ([[graft.streaming.AnnStream]]). */
+case class CosineF32(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_f32 requires (array<float>, array<float>), got (${l.simpleString(10)}, ${r.simpleString(10)})")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_f32"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x.getFloat(i).toDouble
+      val yi = y.getFloat(i).toDouble
+      dot += xi * yi; na += xi * xi; nb += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = (double) $x.getFloat($i);
+         |  double $yi = (double) $y.getFloat($i);
+         |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): CosineF32 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Session-extension hook injecting the engine's native functions. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
@@ -97,6 +165,7 @@ object GraftExtensions {
     * machinery behind runtime bloom-filter joins) — see operators.Bloom. */
   private val descriptors = Seq(
     two("dot_f32")(DotF32(_, _)),
+    two("cosine_f32")(CosineF32(_, _)),
     two("bloom_agg")(new BloomFilterAggregate(_, _)),
     two("bloom_might_contain")(BloomFilterMightContain(_, _)))
 

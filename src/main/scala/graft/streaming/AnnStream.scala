@@ -103,9 +103,9 @@ object AnnStream {
     val cells = probes.select("cell").distinct().collect().map(_.getLong(0))
     val index = spark.read.parquet(indexDir)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
-    val cos = (call_function("dot_f32", col("qvec"), col("vec")) /
-      (sqrt(call_function("dot_f32", col("qvec"), col("qvec"))) *
-        sqrt(call_function("dot_f32", col("vec"), col("vec"))))).cast(DoubleType)
+    // fused: dot + both norms in ONE pass over the arrays (CosineF32) —
+    // the composed dot_f32 form would walk each pair three times
+    val cos = call_function("cosine_f32", col("qvec"), col("vec")).cast(DoubleType)
     val w = Window.partitionBy("query_id").orderBy(col("cosine").desc, col("cand_id"))
     index.join(broadcast(probes), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))

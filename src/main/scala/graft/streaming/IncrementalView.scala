@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.StreamingQuery
+import graft.engine.{Incremental, Snapshots}
+
+/** Streaming materialized view over a snapshot table — ingest and exact
+  * aggregate maintenance in one trigger, both sides idempotent.
+  *
+  * Per micro-batch: (1) the batch commits atomically to the snapshot table
+  * under its `batch-<id>` tag ([[SnapshotSink]]'s contract — a replayed
+  * trigger is an observable no-op); (2) [[Incremental.refresh]] brings the
+  * stored per-group state up to the new head, reading ONLY the files the
+  * commit added (the manifest diff), and itself no-ops on replay via the
+  * `src-v<N>` state tag. The view is therefore exactly-once in effect end
+  * to end, and the per-trigger maintenance cost is the batch — never the
+  * accumulated table — which is the property that keeps a standing
+  * corpus-stats dashboard (docs/tokens per source, bytes per shard) alive
+  * at 100 TB. Unlike EventStream's upsert-based warehouse view (update-mode
+  * deltas converging per key), this state is bit-identical to a
+  * from-scratch recompute at every trigger boundary, including through
+  * compaction/merge/delete commits that interleave from maintenance jobs.
+  */
+object IncrementalView {
+
+  def start(
+      source: DataFrame,
+      root: String,
+      aggRoot: String,
+      checkpointDir: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      expand: DataFrame => DataFrame = identity,
+      statsCols: Seq[String] = Seq.empty): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingest(batch, id, root, aggRoot, groupCols, sumCols, expand, statsCols)
+      }
+      .start()
+
+  /** One trigger: atomic tagged commit + incremental refresh. Public as the
+    * replay-safe building block (and for direct batch-mode catch-up). */
+  def ingest(
+      batch: DataFrame,
+      batchId: Long,
+      root: String,
+      aggRoot: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      expand: DataFrame => DataFrame = identity,
+      statsCols: Seq[String] = Seq.empty): Unit = {
+    Snapshots.commitIfAbsent(batch, root, tag = s"batch-$batchId",
+      append = true, statsCols = statsCols)
+    Incremental.refresh(batch.sparkSession, root, aggRoot, groupCols, sumCols, expand)
+    ()
+  }
+}

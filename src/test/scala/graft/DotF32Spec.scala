@@ -50,4 +50,17 @@ class DotF32Spec extends SparkSpec {
     val ref = exactDot(a, b) / (math.sqrt(exactDot(a, a)) * math.sqrt(exactDot(b, b)))
     assert(math.abs(fast - ref) < 1e-6)
   }
+
+  test("fused cosine_f32 ≡ the composed dot_f32 form bit-for-bit") {
+    // same IEEE fold, one array pass instead of three — on equal-length
+    // vectors the two must agree exactly, not approximately
+    val rows = emb.as("a").join(emb.as("b"), col("a.vec_id") + 7 === col("b.vec_id"))
+      .select(
+        expr("cosine_f32(a.embedding, b.embedding)").as("fused"),
+        expr("dot_f32(a.embedding, b.embedding) / (sqrt(dot_f32(a.embedding, a.embedding)) * sqrt(dot_f32(b.embedding, b.embedding)))").as("composed"))
+      .as[(Double, Double)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (f, c) =>
+      assert(java.lang.Double.compare(f, c) == 0, s"fused $f != composed $c") }
+  }
 }

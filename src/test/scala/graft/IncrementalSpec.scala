@@ -170,6 +170,44 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("streaming materialized view: per-trigger maintenance ≡ batch recompute, replay-safe") {
+    import graft.streaming.IncrementalView
+    val root = tmp()
+    val agg = tmp()
+    // three triggers through the file-per-batch harness
+    val batches = Seq(
+      docs((1, "a", 10), (2, "b", 20)),
+      docs((3, "a", 30)),
+      docs((4, "c", 40), (5, "b", 50)))
+    val srcDir = Files.createTempDirectory("ivsrc").toFile
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmpd = Files.createTempDirectory("ivpart").toFile
+      df.coalesce(1).write.mode("overwrite").parquet("file:" + tmpd)
+      val part = tmpd.listFiles().find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(srcDir, s"b$i.parquet")
+      Files.move(part.toPath, target.toPath)
+      assert(target.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet("file:" + srcDir)
+    val q = IncrementalView.start(stream, root, agg,
+      "file:" + Files.createTempDirectory("ivchk"), Seq("grp"), Seq("chars"))
+    try q.processAllAvailable() finally q.stop()
+
+    assert(state(agg) === recompute(root), "view state diverged from recompute")
+    assert(Snapshots.read(spark, root).count() === 5)
+    // replaying the last trigger (restart shape): both sides no-op
+    val srcHead = Snapshots.headVersion(spark, root)
+    val aggHead = Snapshots.headVersion(spark, agg)
+    IncrementalView.ingest(batches.last, 2L, root, agg, Seq("grp"), Seq("chars"))
+    assert(Snapshots.headVersion(spark, root) === srcHead, "replayed batch re-committed")
+    assert(Snapshots.headVersion(spark, agg) === aggHead, "replayed refresh re-ran")
+    // a maintenance compaction interleaves; the next refresh stays exact
+    Snapshots.compact(spark, root)
+    Incremental.refresh(spark, root, agg, Seq("grp"), Seq("chars"))
+    assert(state(agg) === recompute(root))
+  }
+
   test("the delta plan scans only the changed files") {
     val root = tmp()
     val v1 = Snapshots.commit(docs((1, "a", 10), (2, "b", 20)), root)
