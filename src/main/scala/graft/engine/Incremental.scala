@@ -111,6 +111,77 @@ object Incremental {
     srcHead
   }
 
+  /** Grouped MIN/MAX maintained incrementally — the non-additive family,
+    * where a delete can remove the extremum and no signed cancellation can
+    * recover it. Two regimes, chosen per refresh from the delta itself:
+    *
+    *  - **append-only delta** (no −1 rows): min/max ARE mergeable — fold
+    *    the delta's per-group extremes into the stored state
+    *    (min-of-mins / max-of-maxes). Cost = the appended files, exactly
+    *    like the additive refresh; the dominant regime for ingest-shaped
+    *    tables.
+    *  - **delta contains deletes**: the delta names the TOUCHED groups;
+    *    only their rows re-scan from the head (semi join on the
+    *    delta-bounded group list) and recompute, while every untouched
+    *    group's state carries forward untouched. A group whose rows all
+    *    vanished leaves the state (it is in the touched list and yields
+    *    no recomputed row). The re-scan prunes to the touched groups'
+    *    data wherever the layout supports it (group-key partitioning /
+    *    stats); the state-merge work is ∝ touched groups either way.
+    *
+    * State schema: `groupCols`, `n_rows`, and `min_<c>`/`max_<c>` per
+    * measure column (source-typed). Same `src-v<N>` tagging, replay
+    * no-ops, and vacuum fallback as [[refresh]]. */
+  def refreshMinMax(
+      spark: SparkSession,
+      srcRoot: String,
+      aggRoot: String,
+      groupCols: Seq[String],
+      minMaxCols: Seq[String]): Long = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(minMaxCols.nonEmpty, "need at least one min/max column")
+    val srcHead = Snapshots.headVersion(spark, srcRoot)
+    require(srcHead > 0, s"no snapshot committed at $srcRoot yet")
+    val reflected = reflectedVersion(spark, aggRoot)
+    if (reflected == srcHead) return srcHead
+    val fromV =
+      if (reflected > 0 && !Snapshots.manifestExists(spark, srcRoot, reflected)) 0L
+      else reflected
+    val delta = Snapshots.signedDelta(spark, srcRoot, fromV, srcHead)
+
+    def extremes(rows: DataFrame) =
+      rows.groupBy(groupCols.map(col): _*)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          minMaxCols.flatMap(c => Seq(
+            min(col(c)).as(s"min_$c"), max(col(c)).as(s"max_$c"))): _*)
+
+    val hasDeletes = !delta.filter(col("_sign") === -1).isEmpty
+    val merged =
+      if (fromV == 0) extremes(delta.drop("_sign"))
+      else if (!hasDeletes) {
+        // mergeable regime: re-aggregate stored state ∪ delta extremes
+        // (n_rows sums across the two; min/max fold associatively)
+        val deltaState = extremes(delta.drop("_sign"))
+        Snapshots.read(spark, aggRoot).unionByName(deltaState)
+          .groupBy(groupCols.map(col): _*)
+          .agg(
+            sum(col("n_rows")).as("n_rows"),
+            minMaxCols.flatMap(c => Seq(
+              min(col(s"min_$c")).as(s"min_$c"),
+              max(col(s"max_$c")).as(s"max_$c"))): _*)
+      } else {
+        // delete regime: recompute exactly the touched groups from the head
+        val touched = delta.select(groupCols.map(col): _*).distinct()
+        val recomputed = extremes(
+          Snapshots.read(spark, srcRoot).join(touched, groupCols, "left_semi"))
+        Snapshots.read(spark, aggRoot).join(touched, groupCols, "left_anti")
+          .unionByName(recomputed)
+      }
+    Snapshots.commitIfAbsent(merged, aggRoot, tag = srcTag(srcHead), append = false)
+    srcHead
+  }
+
   /** One signed grouped pass: n_rows = Σ sign, sum_<c> = Σ sign·c — the
     * shape both the delta and a from-scratch build share (a full build is
     * the delta from the empty base). */

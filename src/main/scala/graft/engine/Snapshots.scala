@@ -456,6 +456,31 @@ object Snapshots {
       append = false, statsCols = statsCols)
   }
 
+  /** Z-order-clustering compaction — the OPTIMIZE-by-layout maintenance
+    * step: rewrite the head along the Morton curve of `dims`
+    * ([[ZOrder.cluster]]) and re-collect per-file stats for those
+    * dimensions, so the manifest's min/max index holds TIGHT ranges on
+    * every z-dim and [[readRange]] prunes a band scan to a sliver of the
+    * file list. Accumulated appends each cover the full key range (every
+    * batch's file spans everything), so range reads degrade toward
+    * all-files as a table grows; this restores them in one commit, under
+    * the same pinned-reader/atomic-flip contract as [[compact]]. Stats
+    * default to the z-dims themselves (the columns whose ranges the
+    * rewrite just tightened). */
+  def compactZOrder(
+      spark: SparkSession,
+      root: String,
+      dims: Seq[String],
+      targetFiles: Int,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    require(dims.nonEmpty, "need at least one z-order dimension")
+    val head = headVersion(spark, root)
+    if (head > 0 && manifest(spark, root, head).files.isEmpty) return head
+    commit(ZOrder.cluster(read(spark, root), dims, targetFiles), root,
+      append = false,
+      statsCols = if (statsCols.isEmpty) dims else statsCols)
+  }
+
   /** Destroy history: keep the newest `keepLast` manifests, delete older
     * ones plus every data file no retained manifest references. The only
     * operation that deletes data — explicit and separate from commit, so

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.{S3Like, Snapshots, Tables}
+import graft.engine.{Incremental, S3Like, Snapshots, Tables}
 
 /** Data-lake layout: Hive-style directory partitioning end to end — the
   * distributed form of the reference's prefix-keyed S3 listing (`get_keys`
@@ -192,6 +192,59 @@ object Lake {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("n"),
           graft.engine.Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- q85: incrementally-maintained aggregate state under the
+    //           correctness gate — commit orders in two slices plus a
+    //           copy-on-write merge of repriced rows, Incremental.refresh
+    //           after EVERY version (each refresh reads only that commit's
+    //           file diff), and emit the final stored state. The oracle
+    //           recomputes the final logical table from scratch and
+    //           aggregates it — equality proves the chain of signed-delta
+    //           folds (insert batches, merge's −old/+new images) landed on
+    //           the exact recompute, through real file layouts. Sums
+    //           round(…, 2) on BOTH sides: the state's DECIMAL(38,6) →
+    //           double rendering can differ from DuckDB's by 1 ulp once
+    //           the unscaled value tops 2^53 (the known decimal→double
+    //           double-rounding gap). ----
+    OracleQuery(
+      "q85_incremental_view",
+      """WITH base AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+        |s2 AS (SELECT * FROM base WHERE o_orderkey % 3 IN (0, 1)),
+        |upd AS (SELECT o_orderkey, o_orderstatus, o_totalprice + 500 AS o_totalprice
+        |        FROM base WHERE o_orderkey % 10 = 0),
+        |s3 AS (SELECT * FROM s2
+        |       WHERE o_orderkey NOT IN (SELECT o_orderkey FROM upd)
+        |       UNION ALL SELECT * FROM upd)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE), 2) AS sum_price
+        |FROM s3 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_mv"
+      val aggRoot = s"$lakeBase/orders_mv_state"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      fsys.delete(new Path(aggRoot), true)
+      val base = Tables(spark, dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      def refresh(): Unit =
+        Incremental.refresh(spark, root, aggRoot,
+          Seq("o_orderstatus"), Seq("o_totalprice"))
+      Snapshots.commit(base.filter(col("o_orderkey") % 3 === 0), root,
+        statsCols = Seq("o_orderkey"))
+      refresh()
+      Snapshots.commit(base.filter(col("o_orderkey") % 3 === 1), root,
+        append = true, statsCols = Seq("o_orderkey"))
+      refresh()
+      Snapshots.merge(
+        base.filter(col("o_orderkey") % 10 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 500),
+        root, key = "o_orderkey", statsCols = Seq("o_orderkey"))
+      refresh()
+      Incremental.read(spark, aggRoot, Seq("o_totalprice"))
+        .select(col("o_orderstatus"), col("n_rows"),
+          round(col("sum_o_totalprice"), 2).as("sum_price"))
         .orderBy("o_orderstatus")
     },
 

@@ -41,6 +41,44 @@ object Retrieval {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
+  /** The BM25 scoring tree over its three input relations — shared by the
+    * batch query (q76) and the standing-index form
+    * ([[graft.streaming.RetrievalStream]]), so both score identically BY
+    * CONSTRUCTION and the streamed index is checked purely on whether it
+    * reproduces the same (tf, dl, stats) inputs.
+    *
+    * @param tf    (doc_id, term, tf) — already filtered to the query terms
+    * @param dl    (doc_id, dl) document lengths (hit docs must be present;
+    *              extra docs are fine — only joined rows score)
+    * @param stats one row (n, avgdl) of corpus scalars
+    */
+  def bm25TopK(tf: DataFrame, dl: DataFrame, stats: DataFrame, topK: Int = TopK): DataFrame = {
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // mirror the oracle's expression tree exactly: every op is an IEEE
+    // correctly-rounded double op, so bit-exactness needs identical shape
+    val idf = (col("n").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+      (col("df").cast(DoubleType) + lit(0.5))
+    val tfw = (col("tf").cast(DoubleType) * lit(K1 + 1.0)) /
+      (col("tf").cast(DoubleType) +
+        lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast(DoubleType) / col("avgdl"))))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), (idf * tfw).cast(DecimalType(18, 9)).as("s"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).cast(IntegerType).as("n_terms"), sum(col("s")).as("sd"))
+      .orderBy(col("sd").desc, col("doc_id"))
+      .limit(topK)
+      // rank over the k surviving rows only (single-partition window on
+      // a limit-k relation — constant work regardless of corpus size)
+      .select(col("doc_id"), col("n_terms"),
+        round(col("sd").cast(DoubleType), 9).as("score"),
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("sd").desc, col("doc_id"))).cast(IntegerType).as("rank"))
+      .orderBy("rank")
+  }
+
   val queries: Seq[OracleQuery] = Seq(
     // ---- q76: BM25 top-k — tf from a term-filtered token explode, df and
     //           avgdl as broadcast scalars, exact-decimal score sum,
@@ -84,30 +122,7 @@ object Retrieval {
         .filter(col("term").isin(QueryTerms: _*)) // pushed below the explode's input scan
         .groupBy("doc_id", "term")
         .agg(count(lit(1)).as("tf"))
-      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
-      // mirror the oracle's expression tree exactly: every op is an IEEE
-      // correctly-rounded double op, so bit-exactness needs identical shape
-      val idf = (col("n").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
-        (col("df").cast(DoubleType) + lit(0.5))
-      val tfw = (col("tf").cast(DoubleType) * lit(K1 + 1.0)) /
-        (col("tf").cast(DoubleType) +
-          lit(K1) * (lit(1.0 - B) + lit(B) * (col("dl").cast(DoubleType) / col("avgdl"))))
-      val scored = tf
-        .join(broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .select(col("doc_id"), (idf * tfw).cast(DecimalType(18, 9)).as("s"))
-      scored.groupBy("doc_id")
-        .agg(count(lit(1)).cast(IntegerType).as("n_terms"), sum(col("s")).as("sd"))
-        .orderBy(col("sd").desc, col("doc_id"))
-        .limit(TopK)
-        // rank over the 10 surviving rows only (single-partition window on
-        // a limit-k relation — constant work regardless of corpus size)
-        .select(col("doc_id"), col("n_terms"),
-          round(col("sd").cast(DoubleType), 9).as("score"),
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("sd").desc, col("doc_id"))).cast(IntegerType).as("rank"))
-        .orderBy("rank")
+      bm25TopK(tf, dl, stats)
     },
   )
 }

@@ -170,6 +170,40 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("min/max state: appends fold, deletes recompute only the touched groups") {
+    val root = tmp()
+    val agg = tmp()
+    def check(): Unit = {
+      Incremental.refreshMinMax(spark, root, agg, Seq("grp"), Seq("chars"))
+      val got = Snapshots.read(spark, agg)
+        .select("grp", "n_rows", "min_chars", "max_chars")
+        .as[(String, Long, Long, Long)].collect().toSet
+      val want = Snapshots.read(spark, root)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"), min("chars").as("lo"), max("chars").as("hi"))
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(got === want)
+    }
+    Snapshots.commit(docs((1, "a", 10), (2, "a", 50), (3, "b", 20)), root,
+      statsCols = Seq("id"))
+    check() // initial build
+    Snapshots.commit(docs((4, "a", 5), (5, "c", 7)), root, append = true,
+      statsCols = Seq("id"))
+    check() // append-only: mergeable fold (new min for 'a', new group 'c')
+    // delete the row holding 'a's max — only a recompute can discover the
+    // new max; 'b'/'c' must carry forward from stored state
+    Snapshots.delete(Seq(2L).toDF("id"), root, "id", statsCols = Seq("id"))
+    check()
+    // update via merge (delete+insert images): 'b' recomputes to the new value
+    Snapshots.merge(docs((3, "b", 99)), root, key = "id", statsCols = Seq("id"))
+    check()
+    // group 'c' vanishes entirely → leaves the state
+    Snapshots.delete(Seq(5L).toDF("id"), root, "id", statsCols = Seq("id"))
+    check()
+    assert(!Snapshots.read(spark, agg).select("grp").as[String]
+      .collect().contains("c"))
+  }
+
   test("streaming materialized view: per-trigger maintenance ≡ batch recompute, replay-safe") {
     import graft.streaming.IncrementalView
     val root = tmp()

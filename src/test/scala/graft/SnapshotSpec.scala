@@ -180,6 +180,34 @@ class SnapshotSpec extends SparkSpec {
       spark.range(0, 0).select($"id"), root, "id") === 2L)
   }
 
+  test("z-order compaction tightens the stats index: band reads prune to a sliver") {
+    val root = tmp()
+    // four appends, EACH spanning the full (x, y) range — the worst-case
+    // accumulated layout: every file's recorded range covers everything,
+    // so a band read can prune nothing
+    (0 until 4).foreach { i =>
+      val batch = spark.range(i * 1000, (i + 1) * 1000)
+        .select($"id", ($"id" % 100).as("x"), (($"id" * 7) % 100).as("y"))
+      Snapshots.commit(batch, root, append = true, statsCols = Seq("x", "y"))
+    }
+    val m1 = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+    assert(Snapshots.candidateFiles(m1, "x", 10, 19).size === m1.files.size,
+      "pre-compaction: every file should span the band")
+    val before = Snapshots.readRange(spark, root, "x", 10, 19)
+      .select("id").as[Long].collect().toSet
+
+    val v = Snapshots.compactZOrder(spark, root, dims = Seq("x", "y"), targetFiles = 8)
+    val m2 = Snapshots.manifest(spark, root, v)
+    assert(m2.files.size === 8)
+    val cand = Snapshots.candidateFiles(m2, "x", 10, 19)
+    assert(cand.size < m2.files.size,
+      s"z-order compaction did not tighten x ranges (${cand.size} of ${m2.files.size} files)")
+    // the rewrite is layout-only: the band read returns identical rows
+    assert(Snapshots.readRange(spark, root, "x", 10, 19)
+      .select("id").as[Long].collect().toSet === before)
+    assert(Snapshots.read(spark, root).count() === 4000)
+  }
+
   test("streaming snapshot sink: one atomic commit per batch, replays are no-ops") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
