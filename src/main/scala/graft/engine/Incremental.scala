@@ -182,6 +182,73 @@ object Incremental {
     srcHead
   }
 
+  /** Grouped approximate distinct counts maintained incrementally via
+    * mergeable HLL sketches — the third aggregate family: sums cancel
+    * (additive), min/max fold-or-recompute, DISTINCT is sketchable. The
+    * state stores one HLL sketch per group (`hll_sketch_agg`); an
+    * append-only delta UNIONS its sketches into the stored ones
+    * (`hll_union_agg` — register-wise max, associative, commutative and
+    * idempotent, so the incremental sketch is BIT-IDENTICAL to one built
+    * from scratch, and the spec pins estimate equality, not tolerance).
+    * Deletes cannot be un-merged from a sketch, so a delta with deletes
+    * recomputes exactly the touched groups — the [[refreshMinMax]] split.
+    * Reads surface `approx_distinct_<c>` via `hll_sketch_estimate`.
+    * The 100 TB use: distinct users/domains/fingerprints per source over a
+    * growing corpus at a few KB of state per group, refresh cost = the
+    * appended files. */
+  def refreshApproxDistinct(
+      spark: SparkSession,
+      srcRoot: String,
+      aggRoot: String,
+      groupCols: Seq[String],
+      distinctCols: Seq[String]): Long = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    require(distinctCols.nonEmpty, "need at least one distinct-count column")
+    val srcHead = Snapshots.headVersion(spark, srcRoot)
+    require(srcHead > 0, s"no snapshot committed at $srcRoot yet")
+    val reflected = reflectedVersion(spark, aggRoot)
+    if (reflected == srcHead) return srcHead
+    val fromV =
+      if (reflected > 0 && !Snapshots.manifestExists(spark, srcRoot, reflected)) 0L
+      else reflected
+    val delta = Snapshots.signedDelta(spark, srcRoot, fromV, srcHead)
+
+    def sketches(rows: DataFrame) =
+      rows.groupBy(groupCols.map(col): _*)
+        .agg(
+          count(lit(1)).as("n_rows"),
+          distinctCols.map(c => hll_sketch_agg(col(c)).as(s"hll_$c")): _*)
+
+    val hasDeletes = !delta.filter(col("_sign") === -1).isEmpty
+    val merged =
+      if (fromV == 0) sketches(delta.drop("_sign"))
+      else if (!hasDeletes) {
+        val deltaState = sketches(delta.drop("_sign"))
+        Snapshots.read(spark, aggRoot).unionByName(deltaState)
+          .groupBy(groupCols.map(col): _*)
+          .agg(
+            sum(col("n_rows")).as("n_rows"),
+            distinctCols.map(c => hll_union_agg(col(s"hll_$c")).as(s"hll_$c")): _*)
+      } else {
+        val touched = delta.select(groupCols.map(col): _*).distinct()
+        val recomputed = sketches(
+          Snapshots.read(spark, srcRoot).join(touched, groupCols, "left_semi"))
+        Snapshots.read(spark, aggRoot).join(touched, groupCols, "left_anti")
+          .unionByName(recomputed)
+      }
+    Snapshots.commitIfAbsent(merged, aggRoot, tag = srcTag(srcHead), append = false)
+    srcHead
+  }
+
+  /** Distinct-count state rendered as estimates: groupCols, n_rows, and
+    * `approx_distinct_<c>` per sketched column. */
+  def readApproxDistinct(
+      spark: SparkSession, aggRoot: String, distinctCols: Seq[String]): DataFrame =
+    distinctCols.foldLeft(Snapshots.read(spark, aggRoot)) { (d, c) =>
+      d.withColumn(s"approx_distinct_$c", hll_sketch_estimate(col(s"hll_$c")))
+        .drop(s"hll_$c")
+    }
+
   /** One signed grouped pass: n_rows = Σ sign, sum_<c> = Σ sign·c — the
     * shape both the delta and a from-scratch build share (a full build is
     * the delta from the empty base). */

@@ -204,6 +204,41 @@ class IncrementalSpec extends SparkSpec {
       .collect().contains("c"))
   }
 
+  test("approx-distinct state: appended sketches union to the from-scratch sketch exactly") {
+    val root = tmp()
+    val agg = tmp()
+    def check(): Unit = {
+      Incremental.refreshApproxDistinct(spark, root, agg, Seq("grp"), Seq("chars"))
+      val got = Incremental.readApproxDistinct(spark, agg, Seq("chars"))
+        .select("grp", "n_rows", "approx_distinct_chars")
+        .as[(String, Long, Long)].collect().toSet
+      // HLL union is register-wise max — associative, commutative,
+      // idempotent — so the maintained sketch is bit-identical to a
+      // rebuild and the ESTIMATES must match exactly, not approximately
+      val want = Snapshots.read(spark, root)
+        .groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          hll_sketch_estimate(hll_sketch_agg(col("chars"))).as("d"))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got === want)
+    }
+    // values repeat across rows (ids 1/2 share chars=10): distinct < count
+    Snapshots.commit(docs((1, "a", 10), (2, "a", 10), (3, "b", 20)), root,
+      statsCols = Seq("id"))
+    check()
+    Snapshots.commit(docs((4, "a", 30), (5, "b", 20), (6, "b", 40)), root,
+      append = true, statsCols = Seq("id"))
+    check() // append-only: sketch union path
+    val exact = Snapshots.read(spark, root).filter($"grp" === "a")
+      .select("chars").distinct().count()
+    val est = Incremental.readApproxDistinct(spark, agg, Seq("chars"))
+      .filter($"grp" === "a").select("approx_distinct_chars").as[Long].head()
+    assert(est === exact, "tiny cardinalities estimate exactly")
+    // delete forces the touched-group recompute (sketches can't un-merge)
+    Snapshots.delete(Seq(4L).toDF("id"), root, "id", statsCols = Seq("id"))
+    check()
+  }
+
   test("streaming materialized view: per-trigger maintenance ≡ batch recompute, replay-safe") {
     import graft.streaming.IncrementalView
     val root = tmp()
