@@ -2,6 +2,7 @@ package graft.engine
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
 
 /** Snapshot-manifested table layout: atomic multi-file commits, time-travel
   * reads, optimistic concurrency, and reader-safe compaction.
@@ -46,14 +47,20 @@ object Snapshots {
     * an already-present tag is skipped, which turns at-least-once callers
     * (streaming foreachBatch replays) into exactly-once table states.
     * `ts` is the publish wall-clock (epoch millis; 0 in pre-ts manifests)
-    * — what [[readAsOf]] time-travels by. */
+    * — what [[readAsOf]] time-travels by. `schema` is the table schema as
+    * StructType json ("" in pre-schema manifests): reads plan against THIS
+    * — no footer sampling of data files — and files written before a
+    * column existed surface it as nulls (the parquet reader's
+    * missing-column fill), which is what makes additive schema evolution
+    * safe under every other operation here. */
   final case class Manifest(
       version: Long,
       files: Seq[String],
       parent: Long,
       stats: Seq[ColStats] = Seq.empty,
       tag: String = "",
-      ts: Long = 0L)
+      ts: Long = 0L,
+      schema: String = "")
 
   private val SnapDir = "_snapshots"
   private val ManifestRe = "manifest-(\\d+)\\.json".r
@@ -117,7 +124,7 @@ object Snapshots {
       tag: String = ""): Long = {
     val spark = df.sparkSession
     val (written, newStats) = writeBatch(df, root, statsCols)
-    publish(spark, root, written, newStats, tag) { head =>
+    publish(spark, root, written, newStats, tag, df.schema) { head =>
       if (append && head.isDefined) Some(head.get) else None
     }
   }
@@ -140,6 +147,39 @@ object Snapshots {
     (written, collectStats(spark, dataDir, statsCols))
   }
 
+  /** Additive schema evolution: the carried schema plus any columns the
+    * batch introduces (appended, nullable for old files via parquet's
+    * missing-column fill). A same-name column with a different type is a
+    * hard error — silent coercion is how lakes corrupt. */
+  private def mergeSchemas(parent: Option[StructType], batch: StructType): StructType =
+    parent.fold(batch) { p =>
+      val byName = p.fields.map(f => f.name -> f).toMap
+      batch.fields.foreach { f =>
+        byName.get(f.name).foreach { old =>
+          require(old.dataType == f.dataType,
+            s"schema evolution type conflict on '${f.name}': " +
+              s"table has ${old.dataType.simpleString}, batch has ${f.dataType.simpleString}")
+        }
+      }
+      StructType(p.fields ++ batch.fields.filterNot(f => byName.contains(f.name)))
+    }
+
+  private def parseSchema(m: Manifest): Option[StructType] =
+    if (m.schema.isEmpty) None
+    else Some(DataType.fromJson(m.schema).asInstanceOf[StructType])
+
+  /** Scan exactly `files`, planned against the manifest's recorded schema
+    * when present (no footer sampling; pre-schema files fill missing
+    * columns with nulls). */
+  private def readFiles(spark: SparkSession, m: Manifest, files: Seq[String]): DataFrame =
+    parseSchema(m) match {
+      case Some(s) if files.isEmpty =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None if files.isEmpty => spark.emptyDataFrame
+      case None => spark.read.parquet(files: _*)
+    }
+
   /** Optimistic-commit loop: re-derive the carried base from the CURRENT
     * head on every attempt (so a retry lands on top of the racer's state,
     * never a stale one), then publish atomically. `base(head)` returns the
@@ -149,7 +189,8 @@ object Snapshots {
       root: String,
       written: Seq[String],
       newStats: Seq[ColStats],
-      tag: String)(base: Option[Manifest] => Option[Manifest]): Long = {
+      tag: String,
+      batchSchema: StructType)(base: Option[Manifest] => Option[Manifest]): Long = {
     var attempt = 0
     while (true) {
       attempt += 1
@@ -162,7 +203,8 @@ object Snapshots {
         head,
         parent.map(_.stats).getOrElse(Seq.empty) ++ newStats,
         tag,
-        ts = System.currentTimeMillis())
+        ts = System.currentTimeMillis(),
+        schema = mergeSchemas(parent.flatMap(parseSchema), batchSchema).json)
       if (tryWriteManifest(spark, root, m)) return m.version
       // else: another writer took version head+1 between our listing and
       // our create — refresh the head and retry on top of THEIR commit
@@ -202,16 +244,19 @@ object Snapshots {
     val untouchedNames = untouched.map(u => new Path(u).getName).toSet
     val survivors =
       if (touched.isEmpty) df
-      else spark.read.parquet(touched: _*)
+      else readFiles(spark, m, touched)
         .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
-        .unionByName(df)
+        // allowMissingColumns: an evolving batch may introduce columns
+        // (survivors fill nulls) or omit late-added ones (batch fills)
+        .unionByName(df, allowMissingColumns = true)
     val (written, newStats) = writeBatch(survivors, root, statsCols)
-    publish(spark, root, written, newStats, tag = "") { head =>
+    publish(spark, root, written, newStats, tag = "", survivors.schema) { head =>
       val h = head.getOrElse(sys.error("merge base vanished"))
       require(h.version == headV,
         s"concurrent commit (v${h.version} != v$headV) overlaps this merge — retry the merge")
       Some(Manifest(h.version, untouched, h.parent,
-        h.stats.filter(s => untouchedNames.contains(s.file))))
+        h.stats.filter(s => untouchedNames.contains(s.file)),
+        schema = h.schema))
     }
   }
 
@@ -243,15 +288,16 @@ object Snapshots {
     if (touched.isEmpty) return headV // no file can hold a matching row
     val untouched = m.files.filterNot(touched.toSet)
     val untouchedNames = untouched.map(u => new Path(u).getName).toSet
-    val survivors = spark.read.parquet(touched: _*)
+    val survivors = readFiles(spark, m, touched)
       .join(keys.select(col(key)).distinct(), Seq(key), "left_anti")
     val (written, newStats) = writeBatch(survivors, root, statsCols)
-    publish(spark, root, written, newStats, tag = "") { head =>
+    publish(spark, root, written, newStats, tag = "", survivors.schema) { head =>
       val h = head.getOrElse(sys.error("delete base vanished"))
       require(h.version == headV,
         s"concurrent commit (v${h.version} != v$headV) overlaps this delete — retry")
       Some(Manifest(h.version, untouched, h.parent,
-        h.stats.filter(s => untouchedNames.contains(s.file))))
+        h.stats.filter(s => untouchedNames.contains(s.file)),
+        schema = h.schema))
     }
   }
 
@@ -323,10 +369,13 @@ object Snapshots {
     val keep = candidateFiles(m, c, lo, hi)
     val pred = col(c).cast("double") >= lo && col(c).cast("double") <= hi
     if (keep.isEmpty)
-      // every file pruned: preserve schema (and exactness) via a full-list
-      // plan that cannot return rows — the scan itself never runs a task
-      spark.read.parquet(m.files: _*).filter(org.apache.spark.sql.functions.lit(false))
-    else spark.read.parquet(keep: _*).filter(pred)
+      // every file pruned: preserve schema (and exactness) via a plan that
+      // cannot return rows — with a recorded schema that is a true empty
+      // relation; legacy manifests fall back to a lit(false)-filtered scan
+      (if (m.schema.nonEmpty) readFiles(spark, m, Seq.empty)
+       else spark.read.parquet(m.files: _*))
+        .filter(org.apache.spark.sql.functions.lit(false))
+    else readFiles(spark, m, keep).filter(pred)
   }
 
   /** Time travel by wall clock: read the newest version whose publish
@@ -347,8 +396,7 @@ object Snapshots {
     val v = if (version >= 0) version else headVersion(spark, root)
     require(v > 0, s"no snapshot committed at $root yet")
     val m = manifest(spark, root, v)
-    if (m.files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(m.files: _*)
+    readFiles(spark, m, m.files)
   }
 
   /** File-level diff between two versions: (added, removed) — files present
@@ -383,21 +431,29 @@ object Snapshots {
       toV: Long): DataFrame = {
     import org.apache.spark.sql.functions.lit
     val (added, removed) = diffFiles(spark, root, fromV, toV)
-    // an empty side is a true empty relation (schema from ONE footer), not a
-    // full-file-list scan behind lit(false) — the resulting plan's only file
-    // scans are the changed files, which is the operator's whole point
-    val addedDf = if (added.nonEmpty) Some(spark.read.parquet(added: _*)) else None
-    val removedDf = if (removed.nonEmpty) Some(spark.read.parquet(removed: _*)) else None
-    val schema = addedDf.orElse(removedDf).map(_.schema).getOrElse {
-      val files = manifest(spark, root, toV).files
-      require(files.nonEmpty,
-        s"cannot derive a schema for an empty diff over an empty snapshot at $root")
-      spark.read.parquet(files.head).schema
+    val mTo = manifest(spark, root, toV)
+    if (mTo.schema.nonEmpty)
+      // both sides plan against the TARGET version's recorded schema, so a
+      // delta spanning a schema evolution compares rows in one shape
+      // (pre-evolution files fill the new columns with nulls) and an empty
+      // side is a true empty relation — the plan's only file scans are the
+      // changed files, which is the operator's whole point
+      readFiles(spark, mTo, added).withColumn("_sign", lit(1))
+        .unionByName(readFiles(spark, mTo, removed).withColumn("_sign", lit(-1)))
+    else {
+      // legacy manifests (no recorded schema): one footer read supplies it
+      val addedDf = if (added.nonEmpty) Some(spark.read.parquet(added: _*)) else None
+      val removedDf = if (removed.nonEmpty) Some(spark.read.parquet(removed: _*)) else None
+      val schema = addedDf.orElse(removedDf).map(_.schema).getOrElse {
+        require(mTo.files.nonEmpty,
+          s"cannot derive a schema for an empty diff over an empty snapshot at $root")
+        spark.read.parquet(mTo.files.head).schema
+      }
+      def empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      addedDf.getOrElse(empty).withColumn("_sign", lit(1))
+        .unionByName(removedDf.getOrElse(empty).withColumn("_sign", lit(-1)))
     }
-    def empty = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    addedDf.getOrElse(empty).withColumn("_sign", lit(1))
-      .unionByName(removedDf.getOrElse(empty).withColumn("_sign", lit(-1)))
   }
 
   /** Net row-level changes between two versions (CDC read): columns of the
@@ -535,7 +591,7 @@ object Snapshots {
       s"""{"file":${graft.JsonStr(s.file)},"col":${graft.JsonStr(s.col)},"min":${s.min},"max":${s.max}}""")
       .mkString("[", ",", "]")
     val files = m.files.map(graft.JsonStr(_)).mkString("[", ",", "]")
-    s"""{"version":${m.version},"parent":${m.parent},"ts":${m.ts},"tag":${graft.JsonStr(m.tag)},"stats":$stats,"files":$files}"""
+    s"""{"version":${m.version},"parent":${m.parent},"ts":${m.ts},"tag":${graft.JsonStr(m.tag)},"schema":${graft.JsonStr(m.schema)},"stats":$stats,"files":$files}"""
   }
 
   /** Minimal parser for the exact shape renderManifest emits (keys fixed,
@@ -565,7 +621,10 @@ object Snapshots {
     // optional: pre-ts manifests read as ts=0 (always readAsOf-eligible)
     val ts = """"ts":(-?\d+)""".r.findFirstMatchIn(text)
       .map(_.group(1).toLong).getOrElse(0L)
-    Manifest(longField("version"), fileSeq, longField("parent"), statSeq, tag, ts)
+    // optional: pre-schema manifests read as "" (reads fall back to footers)
+    val schema = """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
+      .map(m => unescape(m.group(1))).getOrElse("")
+    Manifest(longField("version"), fileSeq, longField("parent"), statSeq, tag, ts, schema)
   }
 
   private def unescape(s: String): String = {

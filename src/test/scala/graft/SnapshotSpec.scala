@@ -180,6 +180,40 @@ class SnapshotSpec extends SparkSpec {
       spark.range(0, 0).select($"id"), root, "id") === 2L)
   }
 
+  test("schema evolution: appended columns surface as nulls on old files, everywhere") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), root, statsCols = Seq("id"))
+    // the appending batch introduces column q — the manifest schema evolves,
+    // old files fill q with null (no rewrite of v1's data)
+    val v2 = Snapshots.commit(Seq((2L, "b", 9L)).toDF("id", "s", "q"), root,
+      append = true, statsCols = Seq("id"))
+    val head = Snapshots.read(spark, root)
+    assert(head.columns.toSeq === Seq("id", "s", "q"))
+    assert(head.select("id", "q").as[(Long, Option[Long])].collect().toSet ===
+      Set((1L, None), (2L, Some(9L))))
+    // time travel: v1 predates q and must NOT show it
+    assert(Snapshots.read(spark, root, 1).columns.toSeq === Seq("id", "s"))
+
+    // CDC across the evolution compares in the TARGET version's shape
+    assert(Snapshots.changes(spark, root, 1, v2)
+      .select($"_op", $"id", $"q").as[(String, Long, Option[Long])]
+      .collect().toSet === Set(("I", 2L, Some(9L))))
+
+    // merge with an evolving batch: survivors fill the new column
+    Snapshots.merge(Seq((1L, "a2", 7L, true)).toDF("id", "s", "q", "flag"),
+      root, key = "id", statsCols = Seq("id"))
+    val afterMerge = Snapshots.read(spark, root)
+      .select("id", "s", "q", "flag")
+      .as[(Long, String, Option[Long], Option[Boolean])].collect().toSet
+    assert(afterMerge === Set(
+      (1L, "a2", Some(7L), Some(true)), (2L, "b", Some(9L), None)))
+
+    // a same-name column with a DIFFERENT type is a hard error
+    intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq((3L, 5.5)).toDF("id", "s"), root, append = true)
+    }
+  }
+
   test("z-order compaction tightens the stats index: band reads prune to a sliver") {
     val root = tmp()
     // four appends, EACH spanning the full (x, y) range — the worst-case
