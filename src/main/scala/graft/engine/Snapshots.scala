@@ -204,7 +204,12 @@ object Snapshots {
         parent.map(_.stats).getOrElse(Seq.empty) ++ newStats,
         tag,
         ts = System.currentTimeMillis(),
-        schema = mergeSchemas(parent.flatMap(parseSchema), batchSchema).json)
+        schema = {
+          // a field-less schema means "unknown" (legacy restore path) —
+          // record "" so reads fall back to footers, not a 0-column plan
+          val s = mergeSchemas(parent.flatMap(parseSchema), batchSchema)
+          if (s.fields.isEmpty) "" else s.json
+        })
       if (tryWriteManifest(spark, root, m)) return m.version
       // else: another writer took version head+1 between our listing and
       // our create — refresh the head and retry on top of THEIR commit
@@ -495,6 +500,18 @@ object Snapshots {
     else Some(commit(df, root, append, statsCols, tag))
   }
 
+  /** Roll the table back to `version` — as a NEW commit whose file list is
+    * the old version's (by reference, no data movement), so the rollback
+    * is itself history: auditable, time-travelable, and CDC between the
+    * bad head and the restored head is exactly the bad commits' inverse.
+    * Requires the target manifest still retained (vacuum is the only thing
+    * that forecloses a restore). */
+  def restore(spark: SparkSession, root: String, version: Long): Long = {
+    val target = manifest(spark, root, version) // throws if vacuumed away
+    publish(spark, root, target.files, target.stats, tag = "",
+      parseSchema(target).getOrElse(new StructType())) { _ => None }
+  }
+
   /** Rewrite the head snapshot into `targetFiles` files and commit the
     * compacted layout as a NEW version. Readers pinned to older versions
     * keep their (still-present) files — this is the maintenance operation
@@ -551,6 +568,38 @@ object Snapshots {
     drop.flatMap(_.files).distinct.filterNot(live.contains)
       .foreach(uri => f.delete(new Path(uri), false))
     drop.foreach(m => f.delete(manifestPath(root, m.version), false))
+  }
+
+  /** Clean up ORPHANED data files — files under `data/` that no retained
+    * manifest references and never will: the debris of aborted commits
+    * (files written, manifest never published — a crashed writer, a racer
+    * that gave up) and of vacuumed history. Invisible to every reader by
+    * construction, but they cost storage forever since [[vacuum]] only
+    * deletes what a DROPPED manifest referenced. `graceMs` protects
+    * commits in flight (a writer that has landed files but not yet
+    * published its manifest): only files older than the grace window are
+    * eligible. Returns the number of files deleted; empty per-commit
+    * directories are removed afterwards. */
+  def vacuumOrphans(spark: SparkSession, root: String, graceMs: Long = 3600000L): Int = {
+    val f = fs(spark, root)
+    val dataDir = new Path(s"$root/data")
+    if (!f.exists(dataDir)) return 0
+    val live = history(spark, root).flatMap(_.files).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    var deleted = 0
+    val it = f.listFiles(dataDir, /*recursive=*/ true)
+    val toDelete = Iterator.continually(it)
+      .takeWhile(_.hasNext).map(_.next())
+      .filter(st => st.isFile &&
+        !live.contains(st.getPath.toString) &&
+        st.getModificationTime < cutoff)
+      .map(_.getPath).toList
+    toDelete.foreach { p => if (f.delete(p, false)) deleted += 1 }
+    // drop now-empty per-commit directories
+    f.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
+      if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, false)
+    }
+    deleted
   }
 
   /** Atomic create-if-absent of a COMPLETE manifest; false = lost the race.

@@ -59,6 +59,26 @@ object Expect {
         .otherwise(split(packed, ",")))
   }
 
+  /** Referential expectation — every `child.childKey` must exist in
+    * `parent.parentKey` (the FK check DDL can't enforce on a lake). One
+    * LEFT JOIN marks presence, then the standard [[audit]] counts the
+    * misses (a NULL marker IS the violation, via the null-fails
+    * convention). Parent keys deduplicate first so fan-out cannot inflate
+    * the row count; at scale the distinct key relation broadcasts when
+    * small and otherwise shuffles both sides once on the key. */
+  def refAudit(
+      name: String,
+      child: DataFrame,
+      childKey: String,
+      parent: DataFrame,
+      parentKey: String): DataFrame = {
+    val marked = child.join(
+      parent.select(col(parentKey).as(childKey)).distinct()
+        .withColumn("__present", lit(true)),
+      Seq(childKey), "left")
+    audit(marked, Seq(Rule(name, col("__present"))))
+  }
+
   /** (clean, quarantined) split: a row quarantines when ANY rule fails;
     * quarantined rows keep their `_failed` names for triage. Two filters
     * over the same annotated projection — persist the annotated frame

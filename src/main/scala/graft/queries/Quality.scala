@@ -47,5 +47,28 @@ object Quality {
           Expect.Rule("tax_le_6pct", col("l_tax") <= 0.06)))
         .orderBy("rule")
     },
+
+    // ---- q86: referential expectation — after a right-to-erasure pass
+    //           removes a customer segment (the q83 theme), every event
+    //           must still reference a surviving customer; the orphan
+    //           count is the signal that downstream tables need the same
+    //           erasure. One LEFT JOIN presence-mark + the q84
+    //           conditional-sum audit (NULL marker = violation on both
+    //           engines). ----
+    OracleQuery(
+      "q86_referential_audit",
+      """WITH parent AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 <> 0)
+        |SELECT 'event_user_exists' AS rule,
+        |  CAST(SUM(CASE WHEN p.c_custkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_violations,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN p.c_custkey IS NOT NULL THEN 0 ELSE 1 END) AS DOUBLE)
+        |    / CAST(COUNT(*) AS DOUBLE) AS viol_rate
+        |FROM events e LEFT JOIN parent p ON p.c_custkey = e.user_id""".stripMargin) { (spark, dir) =>
+      Expect.refAudit(
+        "event_user_exists",
+        Tables(spark, dir, "events"), "user_id",
+        Tables(spark, dir, "customer")
+          .filter(col("c_custkey") % 97 =!= 0), "c_custkey")
+    },
   )
 }

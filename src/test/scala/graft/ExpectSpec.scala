@@ -49,6 +49,15 @@ class ExpectSpec extends SparkSpec {
     assert(clean.count() + bad.count() === df.count())
   }
 
+  test("refAudit counts orphaned child keys; parent duplicates cannot inflate counts") {
+    val child = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 99L)).toDF("id", "fk")
+    val parent = Seq(10L, 10L, 20L, 30L).toDF("pk") // 10 twice: dedup matters
+    val got = Expect.refAudit("fk_exists", child, "fk", parent, "pk")
+      .select("rule", "n_violations", "n_rows", "viol_rate")
+      .as[(String, Long, Long, Double)].head()
+    assert(got === (("fk_exists", 1L, 4L, 0.25))) // only id=4 (fk=99) orphaned
+  }
+
   test("audit is one scan with partial+final aggregation, rule count notwithstanding") {
     val many = (1 to 20).map(i => Rule(s"r$i", col("v") <= i * 10))
     val p = Expect.audit(df, many).queryExecution

@@ -271,6 +271,50 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() === 3)
   }
 
+  test("restore rolls back as history: new head = old files, CDC inverts the bad commit") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
+    Snapshots.commit(Seq((3L, "bad")).toDF("id", "s"), root, append = true) // v2: regretted
+    val v3 = Snapshots.restore(spark, root, 1)
+    assert(v3 === 3L)
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "a"), (2L, "b")))
+    // the rollback is itself history: v2 still reads, and CDC v2→v3 is the
+    // exact inverse of the bad append
+    assert(rows(Snapshots.read(spark, root, 2)) === Set((1L, "a"), (2L, "b"), (3L, "bad")))
+    assert(Snapshots.changes(spark, root, 2, 3)
+      .select($"_op", $"id").as[(String, Long)].collect().toSet === Set(("D", 3L)))
+    // appends continue on the restored line
+    Snapshots.commit(Seq((4L, "c")).toDF("id", "s"), root, append = true)
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "a"), (2L, "b"), (4L, "c")))
+  }
+
+  test("vacuumOrphans removes aborted-commit debris, never live or in-flight files") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), root)
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate an aborted commit: files landed under data/, manifest never
+    // published — invisible to readers, but leaked on disk
+    val orphanDir = s"$root/data/c-orphan1"
+    Seq((9L, "z")).toDF("id", "s").write.parquet(orphanDir)
+    // age the orphan past the grace window
+    f.listStatus(new org.apache.hadoop.fs.Path(orphanDir)).foreach { st =>
+      f.setTimes(st.getPath, System.currentTimeMillis() - 7200000L, -1)
+    }
+    // a second, FRESH orphan models a commit in flight right now
+    Seq((8L, "y")).toDF("id", "s").write.parquet(s"$root/data/c-orphan2")
+
+    val n = Snapshots.vacuumOrphans(spark, root, graceMs = 3600000L)
+    assert(n >= 1, "aged orphan files not removed")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(orphanDir)),
+      "emptied orphan commit dir should be removed")
+    assert(f.exists(new org.apache.hadoop.fs.Path(s"$root/data/c-orphan2")),
+      "in-flight (fresh) files must survive the grace window")
+    // the committed table is untouched and still reads
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSet ===
+      Set((1L, "a")))
+  }
+
   test("vacuum deletes only what no retained manifest references") {
     val root = tmp()
     Snapshots.commit(Seq((1L, "old")).toDF("id", "s"), root)
