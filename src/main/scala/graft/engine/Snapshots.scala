@@ -219,12 +219,15 @@ object Snapshots {
 
   /** Copy-on-write MERGE (upsert by key): rows of `df` replace same-key
     * rows of the head snapshot; everything else carries forward UNTOUCHED —
-    * by file reference, not rewrite. The stats index makes that cheap: only
-    * files whose recorded `key` range overlaps the batch's [min, max] can
-    * hold a matching row, so only they are read, anti-joined, and
-    * rewritten; at 100 TB a point-ish upsert rewrites a sliver of the table
-    * while a manifest-less layout rewrites (or full-shuffle-joins) all of
-    * it. Files without recorded stats rewrite conservatively. The rewrite
+    * by file reference, not rewrite. The stats index makes that cheap:
+    * when the batch's distinct keys fit the driver cap, a file is touched
+    * only if its recorded `key` range CONTAINS one of them (per-file set
+    * membership — tight even for keys scattered across the table, whose
+    * global [min, max] would cover everything); larger batches prune by
+    * that global range. At 100 TB a point-ish upsert rewrites a sliver of
+    * the table while a manifest-less layout rewrites (or
+    * full-shuffle-joins) all of it. Files without recorded stats rewrite
+    * conservatively. The rewrite
     * is one pruned scan → anti join (batch side broadcastable) → union;
     * the commit publishes (untouched ++ rewritten) atomically, losers of a
     * concurrent-commit race retry ON THE RETRY'S OWN head only if the
@@ -240,11 +243,17 @@ object Snapshots {
     val headV = headVersion(spark, root)
     require(headV > 0, s"no snapshot committed at $root yet — merge needs a base")
     val m = manifest(spark, root, headV)
-    // batch key range: two scalars (the ZOrder/Bloom build-side pattern)
-    val r = df.agg(min(col(key).cast("double")), max(col(key).cast("double"))).head()
-    require(!r.isNullAt(0), "merge batch has no non-null keys")
-    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
-    val touched = candidateFiles(m, key, lo, hi)
+    // key-set pruning first (per-file membership — tight for scattered
+    // keys); a too-large set falls back to the global range scalars
+    val touched = collectKeys(df, key) match {
+      case Some(ks) =>
+        require(ks.nonEmpty, "merge batch has no non-null keys")
+        candidateFilesForKeys(m, key, ks)
+      case None =>
+        val r = df.agg(min(col(key).cast("double")), max(col(key).cast("double"))).head()
+        require(!r.isNullAt(0), "merge batch has no non-null keys")
+        candidateFiles(m, key, r.getDouble(0), r.getDouble(1))
+    }
     val untouched = m.files.filterNot(touched.toSet)
     val untouchedNames = untouched.map(u => new Path(u).getName).toSet
     val survivors =
@@ -287,9 +296,14 @@ object Snapshots {
     val headV = headVersion(spark, root)
     require(headV > 0, s"no snapshot committed at $root yet — delete needs a base")
     val m = manifest(spark, root, headV)
-    val r = keys.agg(min(col(key).cast("double")), max(col(key).cast("double"))).head()
-    if (r.isNullAt(0)) return headV // empty key set: nothing to delete
-    val touched = candidateFiles(m, key, r.getDouble(0), r.getDouble(1))
+    val touched = collectKeys(keys, key) match {
+      case Some(ks) if ks.isEmpty => return headV // empty key set: nothing to delete
+      case Some(ks) => candidateFilesForKeys(m, key, ks)
+      case None =>
+        val r = keys.agg(min(col(key).cast("double")), max(col(key).cast("double"))).head()
+        if (r.isNullAt(0)) return headV
+        candidateFiles(m, key, r.getDouble(0), r.getDouble(1))
+    }
     if (touched.isEmpty) return headV // no file can hold a matching row
     val untouched = m.files.filterNot(touched.toSet)
     val untouchedNames = untouched.map(u => new Path(u).getName).toSet
@@ -354,6 +368,41 @@ object Snapshots {
         case None => true
       }
     }
+  }
+
+  /** Key-SET pruning: the files whose recorded `c` range contains at least
+    * one of `keys` (sorted ascending). For a scattered key set — the
+    * right-to-erasure shape, keys spread across the table — the set's
+    * global [min, max] covers nearly every file, but each FILE's tight
+    * range (z-order/range-clustered layouts) contains few or none of the
+    * keys, so per-file membership prunes orders of magnitude harder.
+    * O(|files| · log |keys|); stat-less files stay conservative. */
+  def candidateFilesForKeys(m: Manifest, c: String, keys: Array[Double]): Seq[String] = {
+    val ranges = m.stats.filter(_.col == c).map(s => s.file -> s).toMap
+    m.files.filter { f =>
+      ranges.get(new Path(f).getName) match {
+        case Some(s) =>
+          val i = java.util.Arrays.binarySearch(keys, s.min)
+          val idx = if (i >= 0) i else -i - 1
+          idx < keys.length && keys(idx) <= s.max
+        case None => true
+      }
+    }
+  }
+
+  /** Distinct non-null keys of a batch, sorted, when they fit the driver
+    * cap (one small job — the build-side pattern); None when the set is
+    * too large to collect, in which case callers prune by the global
+    * range instead (still sound, less tight). */
+  private def collectKeys(keysDf: DataFrame, key: String): Option[Array[Double]] = {
+    import org.apache.spark.sql.functions.col
+    val MaxDriverKeys = 100000
+    val collected = keysDf
+      .filter(col(key).isNotNull)
+      .select(col(key).cast("double")).distinct()
+      .limit(MaxDriverKeys + 1).collect().map(_.getDouble(0))
+    if (collected.length > MaxDriverKeys) None
+    else { java.util.Arrays.sort(collected); Some(collected) }
   }
 
   /** Range read through the manifest index: prune the file list to the

@@ -271,6 +271,27 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).count() === 3)
   }
 
+  test("scattered keys prune by per-file membership, not the global key range") {
+    val root = tmp()
+    // 8 range-clustered files, each covering ~100 contiguous ids
+    Snapshots.commit(
+      spark.range(0, 800).select($"id", ($"id" % 9).as("x"))
+        .repartitionByRange(8, $"id").sortWithinPartitions("id"),
+      root, statsCols = Seq("id"))
+    // three ids scattered across the table: their global range [50, 650]
+    // overlaps ~7 of the 8 files, but each id lives in exactly one file —
+    // per-file set membership must touch only those 3
+    val v = Snapshots.delete(Seq(50L, 350L, 650L).toDF("id"), root, "id",
+      statsCols = Seq("id"))
+    val m1 = Snapshots.manifest(spark, root, 1)
+    val m2 = Snapshots.manifest(spark, root, v)
+    val carried = m2.files.toSet.intersect(m1.files.toSet)
+    assert(carried.size === 5,
+      s"expected exactly 3 of 8 files rewritten, carried ${carried.size}")
+    assert(Snapshots.read(spark, root).count() === 797)
+    assert(Snapshots.read(spark, root).filter($"id".isin(50L, 350L, 650L)).isEmpty)
+  }
+
   test("restore rolls back as history: new head = old files, CDC inverts the bad commit") {
     val root = tmp()
     Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root)
