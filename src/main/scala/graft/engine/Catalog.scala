@@ -1,0 +1,175 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog snapshots — the manifest pattern one level up: a catalog version
+  * pins a CONSISTENT set of table versions, so a reader doing cross-table
+  * work (fact ⋈ dim, corpus ⋈ labels) never sees table A after an ingest
+  * and table B before it.
+  *
+  * Mechanics: each table is an ordinary [[Snapshots]] table and commits
+  * normally; a catalog commit then atomically publishes ONE small manifest
+  * mapping table name → (root, version). Readers [[pin]] a catalog version
+  * once and read every table through it — immune to later commits on any
+  * member table, exactly like a single-table pinned reader. The catalog
+  * flip uses the same exclusive-create arbiter as table manifests, so
+  * concurrent catalog committers serialize (losers retry on the refreshed
+  * head with THEIR table versions — last catalog writer wins the binding).
+  *
+  * Failure contract: a writer that dies after committing table A but
+  * before the catalog flip leaves A's own head advanced (direct table
+  * readers are read-committed) but the CATALOG still references the old
+  * versions everywhere — catalog readers keep all-or-nothing visibility,
+  * which is the boundary this layer exists to provide. The orphaned table
+  * version is ordinary history: retention (vacuum) reclaims it.
+  */
+object Catalog {
+
+  /** One catalog state: table name → (table root, pinned version). */
+  final case class CatManifest(
+      version: Long,
+      parent: Long,
+      ts: Long,
+      tables: Map[String, (String, Long)])
+
+  private val CatDir = "_catalog"
+  private val ManifestRe = "manifest-(\\d+)\\.json".r
+
+  private def fs(spark: SparkSession, root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestPath(catRoot: String, v: Long) =
+    new Path(s"$catRoot/$CatDir/manifest-$v.json")
+
+  /** Latest catalog version, 0 when none committed yet. */
+  def headVersion(spark: SparkSession, catRoot: String): Long = {
+    val dir = new Path(s"$catRoot/$CatDir")
+    val f = fs(spark, catRoot)
+    if (!f.exists(dir)) 0L
+    else f.listStatus(dir).toSeq
+      .flatMap(st => ManifestRe.findFirstMatchIn(st.getPath.getName).map(_.group(1).toLong))
+      .maxOption.getOrElse(0L)
+  }
+
+  /** Pin catalog version v (default: head) — the consistency boundary a
+    * reader holds for its whole multi-table query. */
+  def pin(spark: SparkSession, catRoot: String, version: Long = -1L): CatManifest = {
+    val v = if (version >= 0) version else headVersion(spark, catRoot)
+    require(v > 0, s"no catalog snapshot committed at $catRoot yet")
+    val p = manifestPath(catRoot, v)
+    val f = fs(spark, catRoot)
+    require(f.exists(p), s"catalog snapshot $v does not exist at $catRoot")
+    val in = f.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    parse(text)
+  }
+
+  /** Read `table` through a pinned catalog state. */
+  def read(spark: SparkSession, pinned: CatManifest, table: String): DataFrame = {
+    val (root, v) = pinned.tables.getOrElse(table,
+      sys.error(s"table '$table' is not in catalog v${pinned.version} " +
+        s"(has: ${pinned.tables.keys.toSeq.sorted.mkString(", ")})"))
+    Snapshots.read(spark, root, v)
+  }
+
+  /** Commit a batch to EACH table (ordinary snapshot commits), then
+    * atomically flip the catalog to the resulting version set. Tables the
+    * catalog already tracks but this commit doesn't touch carry forward at
+    * their pinned versions. Returns the new catalog version. */
+  def commit(
+      spark: SparkSession,
+      catRoot: String,
+      batches: Map[String, (String, DataFrame)],
+      append: Boolean = true,
+      statsCols: Map[String, Seq[String]] = Map.empty): Long = {
+    require(batches.nonEmpty, "catalog commit needs at least one table batch")
+    val committed = batches.map { case (name, (root, df)) =>
+      name -> (root, Snapshots.commit(df, root, append,
+        statsCols.getOrElse(name, Seq.empty)))
+    }
+    publishCat(spark, catRoot, committed)
+  }
+
+  /** Flip the catalog to explicit (table → root, version) bindings — for
+    * compositions where the table versions were produced by merge/delete/
+    * compact rather than plain commits. */
+  def publish(
+      spark: SparkSession,
+      catRoot: String,
+      bindings: Map[String, (String, Long)]): Long =
+    publishCat(spark, catRoot, bindings)
+
+  private def publishCat(
+      spark: SparkSession,
+      catRoot: String,
+      updates: Map[String, (String, Long)]): Long = {
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      require(attempt <= 50, s"gave up committing catalog at $catRoot after 50 collisions")
+      val head = headVersion(spark, catRoot)
+      val carried =
+        if (head > 0) pin(spark, catRoot, head).tables else Map.empty[String, (String, Long)]
+      val m = CatManifest(head + 1, head, System.currentTimeMillis(), carried ++ updates)
+      if (tryWrite(spark, catRoot, m)) return m.version
+    }
+    0L // unreachable
+  }
+
+  private def tryWrite(spark: SparkSession, catRoot: String, m: CatManifest): Boolean = {
+    val f = fs(spark, catRoot)
+    f.mkdirs(new Path(s"$catRoot/$CatDir"))
+    val target = manifestPath(catRoot, m.version)
+    val tmp = new Path(s"$catRoot/$CatDir/.tmp-${java.util.UUID.randomUUID()}")
+    val out = f.create(tmp, /*overwrite=*/ true)
+    try out.write(render(m).getBytes("UTF-8")) finally out.close()
+    try {
+      if ("file" == target.toUri.getScheme) {
+        val t = java.nio.file.Paths.get(target.toUri.getPath)
+        val s = java.nio.file.Paths.get(tmp.toUri.getPath)
+        try { java.nio.file.Files.createLink(t, s); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else f.rename(tmp, target)
+    } finally f.delete(tmp, false)
+  }
+
+  private def render(m: CatManifest): String = {
+    val tables = m.tables.toSeq.sortBy(_._1).map { case (n, (root, v)) =>
+      s"""{"name":${graft.JsonStr(n)},"root":${graft.JsonStr(root)},"v":$v}"""
+    }.mkString("[", ",", "]")
+    s"""{"version":${m.version},"parent":${m.parent},"ts":${m.ts},"tables":$tables}"""
+  }
+
+  private def parse(text: String): CatManifest = {
+    def longField(key: String): Long =
+      s""""$key":(-?\\d+)""".r.findFirstMatchIn(text)
+        .map(_.group(1).toLong)
+        .getOrElse(sys.error(s"bad catalog manifest: missing $key in $text"))
+    val entry =
+      """\{"name":"((?:[^"\\]|\\.)*)","root":"((?:[^"\\]|\\.)*)","v":(\d+)\}""".r
+    val tables = entry.findAllMatchIn(text).map { g =>
+      unescape(g.group(1)) -> (unescape(g.group(2)), g.group(3).toLong)
+    }.toMap
+    CatManifest(longField("version"), longField("parent"), longField("ts"), tables)
+  }
+
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 'u' =>
+            sb.append(Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar); i += 6
+          case other => sb.append(other); i += 2
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.concurrent.{Await, Future}
+import scala.concurrent.duration._
+import scala.concurrent.ExecutionContext.Implicits.global
+
+import graft.engine.{Catalog, Snapshots}
+
+/** Catalog snapshots: all-or-nothing multi-table visibility, pinned
+  * cross-table readers, torn-commit containment, racing committers.
+  */
+class CatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    "file:" + Files.createTempDirectory("cat").toString
+
+  test("a pinned reader sees one consistent version set across tables") {
+    val cat = tmp()
+    val (docsRoot, labsRoot) = (tmp() + "/docs", tmp() + "/labels")
+    Catalog.commit(spark, cat, Map(
+      "docs" -> (docsRoot, Seq((1L, "alpha")).toDF("id", "text")),
+      "labels" -> (labsRoot, Seq((1L, "good")).toDF("id", "label"))))
+    val pinned = Catalog.pin(spark, cat)
+
+    // a second catalog commit updates BOTH tables
+    Catalog.commit(spark, cat, Map(
+      "docs" -> (docsRoot, Seq((2L, "beta")).toDF("id", "text")),
+      "labels" -> (labsRoot, Seq((2L, "bad")).toDF("id", "label"))))
+
+    // the pinned reader still sees v1 of both — never a mixed state
+    assert(Catalog.read(spark, pinned, "docs").count() === 1)
+    assert(Catalog.read(spark, pinned, "labels").count() === 1)
+    // a fresh pin sees v2 of both
+    val head = Catalog.pin(spark, cat)
+    assert(Catalog.read(spark, head, "docs").count() === 2)
+    assert(Catalog.read(spark, head, "labels").count() === 2)
+  }
+
+  test("a torn commit (table advanced, catalog never flipped) is invisible via the catalog") {
+    val cat = tmp()
+    val (docsRoot, labsRoot) = (tmp() + "/docs", tmp() + "/labels")
+    Catalog.commit(spark, cat, Map(
+      "docs" -> (docsRoot, Seq((1L, "alpha")).toDF("id", "text")),
+      "labels" -> (labsRoot, Seq((1L, "good")).toDF("id", "label"))))
+    // the writer dies mid-flight: docs committed directly, labels and the
+    // catalog flip never happened
+    Snapshots.commit(Seq((9L, "torn")).toDF("id", "text"), docsRoot, append = true)
+
+    val pinned = Catalog.pin(spark, cat)
+    assert(Catalog.read(spark, pinned, "docs").count() === 1,
+      "catalog reader must not see the torn table commit")
+    // direct table reads are read-committed — they do see it
+    assert(Snapshots.read(spark, docsRoot).count() === 2)
+    // the next successful catalog commit re-binds and the row appears
+    Catalog.commit(spark, cat, Map(
+      "docs" -> (docsRoot, Seq((2L, "beta")).toDF("id", "text")),
+      "labels" -> (labsRoot, Seq((2L, "bad")).toDF("id", "label"))))
+    assert(Catalog.read(spark, Catalog.pin(spark, cat), "docs").count() === 3)
+  }
+
+  test("untouched tables carry forward; explicit publish binds maintenance results") {
+    val cat = tmp()
+    val (docsRoot, labsRoot) = (tmp() + "/docs", tmp() + "/labels")
+    Catalog.commit(spark, cat, Map(
+      "docs" -> (docsRoot, Seq((1L, "alpha")).toDF("id", "text")),
+      "labels" -> (labsRoot, Seq((1L, "good")).toDF("id", "label"))))
+    // commit only docs: labels carries forward at its pinned version
+    Catalog.commit(spark, cat, Map(
+      "docs" -> (docsRoot, Seq((2L, "beta")).toDF("id", "text"))))
+    val head = Catalog.pin(spark, cat)
+    assert(Catalog.read(spark, head, "labels").count() === 1)
+    assert(Catalog.read(spark, head, "docs").count() === 2)
+    // a compaction re-binds via explicit publish
+    val v = Snapshots.compact(spark, docsRoot)
+    Catalog.publish(spark, cat, Map("docs" -> (docsRoot, v)))
+    assert(Catalog.read(spark, Catalog.pin(spark, cat), "docs").count() === 2)
+  }
+
+  test("racing catalog committers serialize onto consecutive versions") {
+    val cat = tmp()
+    val (aRoot, bRoot) = (tmp() + "/a", tmp() + "/b")
+    Catalog.commit(spark, cat, Map("a" -> (aRoot, Seq(1L).toDF("id"))))
+    val f1 = Future(Catalog.commit(spark, cat,
+      Map("a" -> (aRoot, Seq(2L).toDF("id")))))
+    val f2 = Future(Catalog.commit(spark, cat,
+      Map("b" -> (bRoot, Seq(10L).toDF("id")))))
+    val got = Set(Await.result(f1, 120.seconds), Await.result(f2, 120.seconds))
+    assert(got === Set(2L, 3L), s"racers took catalog versions $got")
+    // the final head binds BOTH updates (the loser retried on the winner)
+    val head = Catalog.pin(spark, cat)
+    assert(head.tables.keySet === Set("a", "b"))
+    assert(Catalog.read(spark, head, "a").count() === 2)
+    assert(Catalog.read(spark, head, "b").count() === 1)
+  }
+}
