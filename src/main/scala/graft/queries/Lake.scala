@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.{Incremental, S3Like, Snapshots, Tables}
+import graft.engine.{Catalog, Incremental, S3Like, Snapshots, Tables}
 
 /** Data-lake layout: Hive-style directory partitioning end to end — the
   * distributed form of the reference's prefix-keyed S3 listing (`get_keys`
@@ -246,6 +246,42 @@ object Lake {
         .select(col("o_orderstatus"), col("n_rows"),
           round(col("sum_o_totalprice"), 2).as("sum_price"))
         .orderBy("o_orderstatus")
+    },
+
+    // ---- q87: catalog-pinned cross-table read — orders and customer land
+    //           as TWO snapshot tables under one catalog commit; the query
+    //           pins the catalog once and joins both tables through the
+    //           pin. The oracle joins the sources directly — equality
+    //           proves the catalog binding resolves each table to exactly
+    //           the committed state (the consistency boundary a 100 TB
+    //           fact ⋈ dim pipeline reads through). ----
+    OracleQuery(
+      "q87_catalog_join",
+      s"""SELECT c.c_mktsegment, COUNT(*) AS n,
+         |  ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
+         |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         |WHERE o.o_orderkey % 4 = 0
+         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val cat = s"$lakeBase/cat"
+      val fsys = new Path(cat).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(cat, s"$lakeBase/cat_orders", s"$lakeBase/cat_customer")
+        .foreach(p => fsys.delete(new Path(p), true))
+      Catalog.commit(spark, cat, Map(
+        "orders" -> (s"$lakeBase/cat_orders",
+          Tables(spark, dir, "orders")
+            .select("o_orderkey", "o_custkey", "o_totalprice")
+            .filter(col("o_orderkey") % 4 === 0)),
+        "customer" -> (s"$lakeBase/cat_customer",
+          Tables(spark, dir, "customer").select("c_custkey", "c_mktsegment"))))
+      val pinned = Catalog.pin(spark, cat)
+      Catalog.read(spark, pinned, "orders")
+        .join(Catalog.read(spark, pinned, "customer"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          graft.engine.Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment")
     },
 
     // ---- q82: dynamic partition pruning — documents partitioned by
