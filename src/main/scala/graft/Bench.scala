@@ -40,12 +40,46 @@ object Bench {
     def resetPeaks(): Unit = heapPools.foreach(_.resetPeakUsage())
     def peakHeapMb: Long = heapPools.map(_.getPeakUsage.getUsed).sum >> 20
 
+    // per-query I/O truth: scan bytes and shuffle bytes from stage metrics —
+    // the measured form of the plan claims (a "shuffle-lean" operator should
+    // SHOW near-zero shuffle bytes, not just a nice explain). Listener events
+    // are asynchronous, so deltas are taken at quiescence (counters stable
+    // for 100 ms), outside the timed region.
+    val io = new org.apache.spark.scheduler.SparkListener {
+      val in = new java.util.concurrent.atomic.AtomicLong
+      val sr = new java.util.concurrent.atomic.AtomicLong
+      val sw = new java.util.concurrent.atomic.AtomicLong
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val m = s.stageInfo.taskMetrics
+        if (m != null) {
+          in.addAndGet(m.inputMetrics.bytesRead)
+          sr.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+          sw.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        }
+      }
+      def snap: (Long, Long, Long) = (in.get, sr.get, sw.get)
+    }
+    spark.sparkContext.addSparkListener(io)
+    def quiesce(): (Long, Long, Long) = {
+      var prev = io.snap
+      var i = 0
+      while (i < 10) {
+        Thread.sleep(100)
+        val cur = io.snap
+        if (cur == prev) return cur
+        prev = cur; i += 1
+      }
+      prev
+    }
+
     // name-sorted so runs are comparable; caches cleared between queries
     // (outside the timed region) so one query's persists never pollute the
     // next one's timing
     val benched = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
     val results = benched.map { case (name, fn) =>
+      val (in0, sr0, sw0) = quiesce()
       resetPeaks()
       val gc0 = gcMillis
       val t0 = System.nanoTime()
@@ -57,25 +91,27 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis - gc0) / 1e3
       val heapMb = peakHeapMb
+      val (in1, sr1, sw1) = quiesce()
       spark.catalog.clearCache()
-      (name, sec, err, gcSec, heapMb)
+      (name, sec, err, gcSec, heapMb,
+        (in1 - in0) >> 20, (sr1 - sr0) >> 20, (sw1 - sw0) >> 20)
     }
     // 3-decimal (ms) precision: the full-precision line for 71 queries is
     // ~3.4 KB and overflowed the driver's stdout tail window in round 4
     // (BENCH_r04.json parsed:null) — compactness is part of the contract
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // '.' even under comma-decimal locales
-    val qs = results.map { case (k, v, _, _, _) => JsonStr(k) + ":" + ms(v) }
+    val qs = results.map { case (k, v, _, _, _, _, _, _) => JsonStr(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e), _, _) => JsonStr(k) + ":" + JsonStr(e) }
+    val errs = results.collect { case (k, _, Some(e), _, _, _, _, _) => JsonStr(k) + ":" + JsonStr(e) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val gcTotal = results.map(_._4).sum
     // the driver line stays compact (round-4 lesson: it must fit a stdout
     // tail window) — aggregate GC only here, per-query detail in the profile
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","gc_sec":${ms(gcTotal)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    val profile = results.map { case (k, v, _, g, h) =>
-      JsonStr(k) + s""":{"sec":${ms(v)},"gc_sec":${ms(g)},"peak_heap_mb":$h}"""
+    val profile = results.map { case (k, v, _, g, h, inMb, srMb, swMb) =>
+      JsonStr(k) + s""":{"sec":${ms(v)},"gc_sec":${ms(g)},"peak_heap_mb":$h,"input_mb":$inMb,"shuffle_read_mb":$srMb,"shuffle_write_mb":$swMb}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PROFILE", "BENCH_profile.json")),
