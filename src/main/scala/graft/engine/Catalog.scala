@@ -117,6 +117,9 @@ object Catalog {
     0L // unreachable
   }
 
+  /** Same scheme-gated atomic no-replace publish as table manifests
+    * ([[Snapshots.atomicNoReplace]]): throws on filesystems where a racing
+    * committer could silently overwrite a published catalog version. */
   private def tryWrite(spark: SparkSession, catRoot: String, m: CatManifest): Boolean = {
     val f = fs(spark, catRoot)
     f.mkdirs(new Path(s"$catRoot/$CatDir"))
@@ -124,14 +127,7 @@ object Catalog {
     val tmp = new Path(s"$catRoot/$CatDir/.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, /*overwrite=*/ true)
     try out.write(render(m).getBytes("UTF-8")) finally out.close()
-    try {
-      if ("file" == target.toUri.getScheme) {
-        val t = java.nio.file.Paths.get(target.toUri.getPath)
-        val s = java.nio.file.Paths.get(tmp.toUri.getPath)
-        try { java.nio.file.Files.createLink(t, s); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else f.rename(tmp, target)
-    } finally f.delete(tmp, false)
+    try Snapshots.atomicNoReplace(f, tmp, target) finally f.delete(tmp, false)
   }
 
   private def render(m: CatManifest): String = {

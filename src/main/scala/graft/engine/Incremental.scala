@@ -48,10 +48,13 @@ object Incremental {
   private val SrcTagRe = "src-v(\\d+)".r
 
   /** The source version the stored state reflects; 0 when no state exists. */
-  def reflectedVersion(spark: SparkSession, aggRoot: String): Long = {
-    val head = Snapshots.headVersion(spark, aggRoot)
+  def reflectedVersion(spark: SparkSession, aggRoot: String): Long =
+    reflectedAt(spark, aggRoot, Snapshots.headVersion(spark, aggRoot))
+
+  private def reflectedAt(spark: SparkSession, aggRoot: String, head: Long): Long = {
     if (head == 0) 0L
-    else Snapshots.manifest(spark, aggRoot, head).tag match {
+    // metadata-level read: the tag lives in the commit record, no shard I/O
+    else Snapshots.manifestMeta(spark, aggRoot, head).tag match {
       case SrcTagRe(v) => v.toLong
       case other => sys.error(
         s"$aggRoot head carries tag '$other', not an Incremental src-v tag — " +
@@ -83,7 +86,8 @@ object Incremental {
     require(groupCols.nonEmpty, "need at least one group column")
     val srcHead = Snapshots.headVersion(spark, srcRoot)
     require(srcHead > 0, s"no snapshot committed at $srcRoot yet")
-    val reflected = reflectedVersion(spark, aggRoot)
+    val aggHead = Snapshots.headVersion(spark, aggRoot)
+    val reflected = reflectedAt(spark, aggRoot, aggHead)
     if (reflected == srcHead) return srcHead
 
     // vacuumed-away base manifest → full recompute (delta base = empty)
@@ -105,9 +109,13 @@ object Incremental {
             sum(col("n_rows")).as("n_rows"),
             sumCols.map(c =>
               sum(col(s"sum_$c")).cast(Measure).as(s"sum_$c")): _*)
+    // requireHead fences the read-modify-write: if a concurrent refresher
+    // advanced the state between our reflectedAt read and this commit, the
+    // commit aborts loudly instead of double-applying the delta on top of
+    // the racer's already-reflecting state
     Snapshots.commitIfAbsent(
       merged.filter(col("n_rows") > 0), aggRoot,
-      tag = srcTag(srcHead), append = false)
+      tag = srcTag(srcHead), append = false, requireHead = aggHead)
     srcHead
   }
 
@@ -142,7 +150,8 @@ object Incremental {
     require(minMaxCols.nonEmpty, "need at least one min/max column")
     val srcHead = Snapshots.headVersion(spark, srcRoot)
     require(srcHead > 0, s"no snapshot committed at $srcRoot yet")
-    val reflected = reflectedVersion(spark, aggRoot)
+    val aggHead = Snapshots.headVersion(spark, aggRoot)
+    val reflected = reflectedAt(spark, aggRoot, aggHead)
     if (reflected == srcHead) return srcHead
     val fromV =
       if (reflected > 0 && !Snapshots.manifestExists(spark, srcRoot, reflected)) 0L
@@ -178,7 +187,8 @@ object Incremental {
         Snapshots.read(spark, aggRoot).join(touched, groupCols, "left_anti")
           .unionByName(recomputed)
       }
-    Snapshots.commitIfAbsent(merged, aggRoot, tag = srcTag(srcHead), append = false)
+    Snapshots.commitIfAbsent(merged, aggRoot, tag = srcTag(srcHead), append = false,
+      requireHead = aggHead)
     srcHead
   }
 
@@ -206,7 +216,8 @@ object Incremental {
     require(distinctCols.nonEmpty, "need at least one distinct-count column")
     val srcHead = Snapshots.headVersion(spark, srcRoot)
     require(srcHead > 0, s"no snapshot committed at $srcRoot yet")
-    val reflected = reflectedVersion(spark, aggRoot)
+    val aggHead = Snapshots.headVersion(spark, aggRoot)
+    val reflected = reflectedAt(spark, aggRoot, aggHead)
     if (reflected == srcHead) return srcHead
     val fromV =
       if (reflected > 0 && !Snapshots.manifestExists(spark, srcRoot, reflected)) 0L
@@ -236,7 +247,8 @@ object Incremental {
         Snapshots.read(spark, aggRoot).join(touched, groupCols, "left_anti")
           .unionByName(recomputed)
       }
-    Snapshots.commitIfAbsent(merged, aggRoot, tag = srcTag(srcHead), append = false)
+    Snapshots.commitIfAbsent(merged, aggRoot, tag = srcTag(srcHead), append = false,
+      requireHead = aggHead)
     srcHead
   }
 

@@ -42,17 +42,21 @@ object Snapshots {
     * z-order/range clustering (tight per-file ranges ⇒ most files prune). */
   final case class ColStats(file: String, col: String, min: Double, max: Double)
 
-  /** One committed table state. `files` are absolute URIs, immutable.
-    * `tag` is a caller idempotency token ("" = untagged): a commit carrying
-    * an already-present tag is skipped, which turns at-least-once callers
-    * (streaming foreachBatch replays) into exactly-once table states.
-    * `ts` is the publish wall-clock (epoch millis; 0 in pre-ts manifests)
-    * — what [[readAsOf]] time-travels by. `schema` is the table schema as
-    * StructType json ("" in pre-schema manifests): reads plan against THIS
-    * — no footer sampling of data files — and files written before a
-    * column existed surface it as nulls (the parquet reader's
-    * missing-column fill), which is what makes additive schema evolution
-    * safe under every other operation here. */
+  /** One committed table state, RESOLVED: `files` are absolute URIs,
+    * immutable. `tag` is a caller idempotency token ("" = untagged): a
+    * commit carrying an already-present tag is skipped, which turns
+    * at-least-once callers (streaming foreachBatch replays) into
+    * exactly-once table states. `ts` is the publish wall-clock (epoch
+    * millis; 0 in pre-ts manifests) — what [[readAsOf]] time-travels by.
+    * `schema` is the table schema as StructType json ("" in pre-schema
+    * manifests): reads plan against THIS — no footer sampling of data
+    * files — and files written before a column existed surface it as
+    * nulls (the parquet reader's missing-column fill), which is what makes
+    * additive schema evolution safe under every other operation here.
+    *
+    * This is the in-memory VIEW; on disk the file list and stats live in
+    * immutable SHARD files (one per commit batch) that the manifest
+    * references by name — see [[ManifestMeta]]. */
   final case class Manifest(
       version: Long,
       files: Seq[String],
@@ -61,6 +65,37 @@ object Snapshots {
       tag: String = "",
       ts: Long = 0L,
       schema: String = "")
+
+  /** Reference to one immutable metadata shard: `name` is the file under
+    * `_snapshots/`, `n` its file-entry count (size hint, no I/O needed to
+    * know how big a resolve will be). */
+  final case class ShardRef(name: String, n: Long)
+
+  /** The on-disk commit record — Iceberg's manifest-list idea, minimally:
+    * a manifest names its metadata SHARDS (each an immutable json holding
+    * a file list + that list's ColStats) instead of inlining them. A plain
+    * append therefore writes O(batch) metadata — one new shard with the
+    * batch's files, plus a manifest whose size is O(#shards), ~40 bytes a
+    * ref — where the inline layout rewrote every file URI AND every
+    * ColStats of the whole table on each commit (O(table), the ~100 MB
+    * driver-side json at 1M files that motivated this split). Shards are
+    * shared across versions by reference: carried forward untouched on
+    * append, filtered (metadata-only rewrite of the AFFECTED shards) on
+    * merge/delete, and reclaimed by vacuum when no retained manifest
+    * references them. `inline` carries a pre-shard manifest's content so
+    * old tables stay readable; the next commit on top of one materializes
+    * it into a real shard. */
+  final case class ManifestMeta(
+      version: Long,
+      parent: Long,
+      shardRefs: Seq[ShardRef],
+      tag: String = "",
+      ts: Long = 0L,
+      schema: String = "",
+      inline: Option[(Seq[String], Seq[ColStats])] = None)
+
+  /** A loaded shard: its ref plus the content. */
+  private final case class Shard(ref: ShardRef, files: Seq[String], stats: Seq[ColStats])
 
   private val SnapDir = "_snapshots"
   private val ManifestRe = "manifest-(\\d+)\\.json".r
@@ -82,23 +117,52 @@ object Snapshots {
         .maxOption.getOrElse(0L)
   }
 
-  /** Read manifest v (throws with a clear message when v was never
-    * committed or has been vacuumed away). */
-  def manifest(spark: SparkSession, root: String, v: Long): Manifest = {
-    val p = manifestPath(root, v)
+  private def readText(spark: SparkSession, root: String, p: Path): String = {
     val f = fs(spark, root)
-    require(f.exists(p), s"snapshot $v does not exist at $root (vacuumed or never committed)")
     val in = f.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    parseManifest(text)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+  }
+
+  /** Read manifest v's commit record only — O(#shards), no shard I/O. The
+    * right level for anything that needs version/tag/ts/schema but not the
+    * file list (tag scans, time-travel version selection, append carries). */
+  def manifestMeta(spark: SparkSession, root: String, v: Long): ManifestMeta = {
+    val p = manifestPath(root, v)
+    require(fs(spark, root).exists(p),
+      s"snapshot $v does not exist at $root (vacuumed or never committed)")
+    parseManifestMeta(readText(spark, root, p))
+  }
+
+  private def shardPath(root: String, name: String) = new Path(s"$root/$SnapDir/$name")
+
+  private def loadShard(spark: SparkSession, root: String, ref: ShardRef): Shard = {
+    val (files, stats) = parseShard(readText(spark, root, shardPath(root, ref.name)))
+    Shard(ref, files, stats)
+  }
+
+  private def loadShards(spark: SparkSession, root: String, m: ManifestMeta): Seq[Shard] =
+    m.inline match {
+      // pre-shard manifest: its content acts as one unnamed pseudo-shard
+      case Some((files, stats)) => Seq(Shard(ShardRef("", files.size), files, stats))
+      case None => m.shardRefs.map(loadShard(spark, root, _))
+    }
+
+  private def resolve(m: ManifestMeta, shards: Seq[Shard]): Manifest =
+    Manifest(m.version, shards.flatMap(_.files), m.parent,
+      shards.flatMap(_.stats), m.tag, m.ts, m.schema)
+
+  /** Read manifest v fully resolved (throws with a clear message when v was
+    * never committed or has been vacuumed away). */
+  def manifest(spark: SparkSession, root: String, v: Long): Manifest = {
+    val meta = manifestMeta(spark, root, v)
+    resolve(meta, loadShards(spark, root, meta))
   }
 
   /** Whether version v's manifest is still retained (not vacuumed). */
   private[engine] def manifestExists(spark: SparkSession, root: String, v: Long): Boolean =
     fs(spark, root).exists(manifestPath(root, v))
 
-  /** All retained manifests, oldest first. */
-  def history(spark: SparkSession, root: String): Seq[Manifest] = {
+  private def retainedVersions(spark: SparkSession, root: String): Seq[Long] = {
     val dir = new Path(s"$root/$SnapDir")
     val f = fs(spark, root)
     if (!f.exists(dir)) Seq.empty
@@ -106,7 +170,24 @@ object Snapshots {
       f.listStatus(dir).toSeq
         .flatMap(st => ManifestRe.findFirstMatchIn(st.getPath.getName).map(_.group(1).toLong))
         .sorted
-        .map(v => manifest(spark, root, v))
+  }
+
+  /** All retained commit records, oldest first — metadata only. */
+  def historyMeta(spark: SparkSession, root: String): Seq[ManifestMeta] =
+    retainedVersions(spark, root).map(v => manifestMeta(spark, root, v))
+
+  /** All retained manifests resolved, oldest first. Shards shared across
+    * versions load once (by name) however many manifests reference them. */
+  def history(spark: SparkSession, root: String): Seq[Manifest] = {
+    val cache = scala.collection.mutable.HashMap.empty[String, Shard]
+    historyMeta(spark, root).map { m =>
+      val shards = m.inline match {
+        case Some((files, stats)) => Seq(Shard(ShardRef("", files.size), files, stats))
+        case None => m.shardRefs.map(r =>
+          cache.getOrElseUpdate(r.name, loadShard(spark, root, r)))
+      }
+      resolve(m, shards)
+    }
   }
 
   /** Commit `df` as the next snapshot. `append=true` carries the parent
@@ -121,12 +202,32 @@ object Snapshots {
       root: String,
       append: Boolean = false,
       statsCols: Seq[String] = Seq.empty,
-      tag: String = ""): Long = {
+      tag: String = "",
+      requireHead: Long = -1L): Long = {
     val spark = df.sparkSession
     val (written, newStats) = writeBatch(df, root, statsCols)
-    publish(spark, root, written, newStats, tag, df.schema) { head =>
-      if (append && head.isDefined) Some(head.get) else None
+    val newRef = writeShard(spark, root, written, newStats)
+    publishMeta(spark, root, tag, requireHead) { head =>
+      val parent = if (append) head else None
+      val refs = parent.map(shardRefsOf(spark, root, _)).getOrElse(Seq.empty) :+ newRef
+      (refs, mergedSchemaJson(parent.map(_.schema), df.schema))
     }
+  }
+
+  /** The parent's shard refs, materializing a pre-shard (inline) manifest
+    * into a real shard once so it can be carried by reference forever
+    * after — the lazy migration path for old tables. */
+  private def shardRefsOf(spark: SparkSession, root: String, m: ManifestMeta): Seq[ShardRef] =
+    m.inline match {
+      case Some((files, stats)) => Seq(writeShard(spark, root, files, stats))
+      case None => m.shardRefs
+    }
+
+  private def mergedSchemaJson(parentSchema: Option[String], batch: StructType): String = {
+    // a field-less schema means "unknown" (legacy restore path) — record ""
+    // so reads fall back to footers, not a 0-column plan
+    val s = mergeSchemas(parentSchema.flatMap(parseSchemaStr), batch)
+    if (s.fields.isEmpty) "" else s.json
   }
 
   /** Write one immutable batch under an unguessable commit dir; return its
@@ -164,9 +265,11 @@ object Snapshots {
       StructType(p.fields ++ batch.fields.filterNot(f => byName.contains(f.name)))
     }
 
-  private def parseSchema(m: Manifest): Option[StructType] =
-    if (m.schema.isEmpty) None
-    else Some(DataType.fromJson(m.schema).asInstanceOf[StructType])
+  private def parseSchemaStr(s: String): Option[StructType] =
+    if (s.isEmpty) None
+    else Some(DataType.fromJson(s).asInstanceOf[StructType])
+
+  private def parseSchema(m: Manifest): Option[StructType] = parseSchemaStr(m.schema)
 
   /** Scan exactly `files`, planned against the manifest's recorded schema
     * when present (no footer sampling; pre-schema files fill missing
@@ -180,36 +283,49 @@ object Snapshots {
       case None => spark.read.parquet(files: _*)
     }
 
-  /** Optimistic-commit loop: re-derive the carried base from the CURRENT
-    * head on every attempt (so a retry lands on top of the racer's state,
-    * never a stale one), then publish atomically. `base(head)` returns the
-    * manifest whose files/stats to carry forward, or None for none. */
-  private def publish(
+  /** Write one immutable metadata shard (the batch's file list + stats);
+    * nothing references it until a manifest names it, so a loser's shard is
+    * ordinary orphan debris, never a correctness hazard. */
+  private def writeShard(
       spark: SparkSession,
       root: String,
-      written: Seq[String],
-      newStats: Seq[ColStats],
+      files: Seq[String],
+      stats: Seq[ColStats]): ShardRef = {
+    val f = fs(spark, root)
+    f.mkdirs(new Path(s"$root/$SnapDir"))
+    val name = s"shard-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.json"
+    val out = f.create(shardPath(root, name), /*overwrite=*/ false)
+    try out.write(renderShard(files, stats).getBytes("UTF-8")) finally out.close()
+    ShardRef(name, files.size)
+  }
+
+  /** Optimistic-commit loop at the metadata level: re-derive the new
+    * manifest's shard-ref list + schema from the CURRENT head on every
+    * attempt (so a retry lands on top of the racer's state, never a stale
+    * one), then publish atomically. The shards themselves are immutable and
+    * pre-written — a retry re-points at them, it never rewrites them.
+    * `requireHead >= 0` turns the loop into a single guarded attempt: the
+    * commit aborts loudly if the head is not exactly that version — the
+    * read-modify-write fence for callers whose payload was computed FROM a
+    * specific head (merge, delete, incremental refresh). */
+  private def publishMeta(
+      spark: SparkSession,
+      root: String,
       tag: String,
-      batchSchema: StructType)(base: Option[Manifest] => Option[Manifest]): Long = {
+      requireHead: Long = -1L)(
+      build: Option[ManifestMeta] => (Seq[ShardRef], String)): Long = {
     var attempt = 0
     while (true) {
       attempt += 1
       require(attempt <= 50, s"gave up committing to $root after 50 version collisions")
       val head = headVersion(spark, root)
-      val parent = base(if (head > 0) Some(manifest(spark, root, head)) else None)
-      val m = Manifest(
-        head + 1,
-        parent.map(_.files).getOrElse(Seq.empty) ++ written,
-        head,
-        parent.map(_.stats).getOrElse(Seq.empty) ++ newStats,
-        tag,
-        ts = System.currentTimeMillis(),
-        schema = {
-          // a field-less schema means "unknown" (legacy restore path) —
-          // record "" so reads fall back to footers, not a 0-column plan
-          val s = mergeSchemas(parent.flatMap(parseSchema), batchSchema)
-          if (s.fields.isEmpty) "" else s.json
-        })
+      require(requireHead < 0 || head == requireHead,
+        s"concurrent commit at $root (head v$head != expected v$requireHead) — " +
+          "the state this commit was computed from has moved; recompute and retry")
+      val headMeta = if (head > 0) Some(manifestMeta(spark, root, head)) else None
+      val (refs, schema) = build(headMeta)
+      val m = ManifestMeta(head + 1, head, refs, tag,
+        ts = System.currentTimeMillis(), schema = schema)
       if (tryWriteManifest(spark, root, m)) return m.version
       // else: another writer took version head+1 between our listing and
       // our create — refresh the head and retry on top of THEIR commit
@@ -229,33 +345,36 @@ object Snapshots {
     * full-shuffle-joins) all of it. Files without recorded stats rewrite
     * conservatively. The rewrite
     * is one pruned scan → anti join (batch side broadcastable) → union;
-    * the commit publishes (untouched ++ rewritten) atomically, losers of a
-    * concurrent-commit race retry ON THE RETRY'S OWN head only if the
-    * untouched set is unchanged — a conflicting overlap aborts rather than
-    * silently dropping the racer's rows. */
+    * the commit publishes (untouched ++ rewritten) atomically. Losers of a
+    * concurrent-commit race ABORT loudly (the publish fence rejects any
+    * head advance since `headV`) — the caller recomputes against the new
+    * head and retries; nothing is silently dropped or clobbered.
+    * Metadata cost is O(batch) too: untouched shards carry by REFERENCE;
+    * only the shards actually containing a touched file are rewritten
+    * (filtered to their untouched entries — metadata only, no data I/O). */
   def merge(
       df: DataFrame,
       root: String,
       key: String,
       statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
-    import org.apache.spark.sql.functions.{col, min, max}
+    import org.apache.spark.sql.functions.col
     val headV = headVersion(spark, root)
     require(headV > 0, s"no snapshot committed at $root yet — merge needs a base")
-    val m = manifest(spark, root, headV)
+    val meta = manifestMeta(spark, root, headV)
+    val shards = loadShards(spark, root, meta)
+    val m = resolve(meta, shards)
     // key-set pruning first (per-file membership — tight for scattered
-    // keys); a too-large set falls back to the global range scalars
-    val touched = collectKeys(df, key) match {
-      case Some(ks) =>
-        require(ks.nonEmpty, "merge batch has no non-null keys")
-        candidateFilesForKeys(m, key, ks)
-      case None =>
-        val r = df.agg(min(col(key).cast("double")), max(col(key).cast("double"))).head()
-        require(!r.isNullAt(0), "merge batch has no non-null keys")
-        candidateFiles(m, key, r.getDouble(0), r.getDouble(1))
+    // keys); a too-large numeric set falls back to the global range
+    // scalars; a non-numeric (opaque) key disables pruning — every file
+    // rewrites, conservative but correct for string doc-id/hash keys
+    val touched = probeKeys(df, key) match {
+      case KeysEmpty => sys.error("merge batch has no non-null keys")
+      case KeysSmall(ks) => candidateFilesForKeys(m, key, ks)
+      case KeysRange(lo, hi) => candidateFiles(m, key, lo, hi)
+      case KeysOpaque => m.files
     }
-    val untouched = m.files.filterNot(touched.toSet)
-    val untouchedNames = untouched.map(u => new Path(u).getName).toSet
+    val touchedSet = touched.toSet
     val survivors =
       if (touched.isEmpty) df
       else readFiles(spark, m, touched)
@@ -264,15 +383,36 @@ object Snapshots {
         // (survivors fill nulls) or omit late-added ones (batch fills)
         .unionByName(df, allowMissingColumns = true)
     val (written, newStats) = writeBatch(survivors, root, statsCols)
-    publish(spark, root, written, newStats, tag = "", survivors.schema) { head =>
+    val newRef = writeShard(spark, root, written, newStats)
+    val carried = carryUntouched(spark, root, shards, touchedSet)
+    publishMeta(spark, root, tag = "", requireHead = headV) { head =>
       val h = head.getOrElse(sys.error("merge base vanished"))
-      require(h.version == headV,
-        s"concurrent commit (v${h.version} != v$headV) overlaps this merge — retry the merge")
-      Some(Manifest(h.version, untouched, h.parent,
-        h.stats.filter(s => untouchedNames.contains(s.file)),
-        schema = h.schema))
+      (carried :+ newRef, mergedSchemaJson(Some(h.schema), survivors.schema))
     }
   }
+
+  /** Carry the untouched portion of `shards` forward: a shard with no
+    * touched file keeps its ref (zero I/O); a shard intersecting the
+    * touched set is rewritten filtered to its untouched entries (cost ∝
+    * that shard's size); a fully-touched shard drops. Pre-shard inline
+    * pseudo-shards (ref name "") always materialize. */
+  private def carryUntouched(
+      spark: SparkSession,
+      root: String,
+      shards: Seq[Shard],
+      touched: Set[String]): Seq[ShardRef] =
+    shards.flatMap { sh =>
+      if (sh.ref.name.nonEmpty && !sh.files.exists(touched)) Some(sh.ref)
+      else {
+        val keep = sh.files.filterNot(touched)
+        if (keep.isEmpty) None
+        else {
+          val keepNames = keep.map(u => new Path(u).getName).toSet
+          Some(writeShard(spark, root, keep,
+            sh.stats.filter(s => keepNames.contains(s.file))))
+        }
+      }
+    }
 
   /** Copy-on-write DELETE by key set: rows of the head snapshot whose `key`
     * appears in `keys` are removed; everything else carries forward BY FILE
@@ -292,31 +432,28 @@ object Snapshots {
       key: String,
       statsCols: Seq[String] = Seq.empty): Long = {
     val spark = keys.sparkSession
-    import org.apache.spark.sql.functions.{col, min, max}
+    import org.apache.spark.sql.functions.col
     val headV = headVersion(spark, root)
     require(headV > 0, s"no snapshot committed at $root yet — delete needs a base")
-    val m = manifest(spark, root, headV)
-    val touched = collectKeys(keys, key) match {
-      case Some(ks) if ks.isEmpty => return headV // empty key set: nothing to delete
-      case Some(ks) => candidateFilesForKeys(m, key, ks)
-      case None =>
-        val r = keys.agg(min(col(key).cast("double")), max(col(key).cast("double"))).head()
-        if (r.isNullAt(0)) return headV
-        candidateFiles(m, key, r.getDouble(0), r.getDouble(1))
+    val meta = manifestMeta(spark, root, headV)
+    val shards = loadShards(spark, root, meta)
+    val m = resolve(meta, shards)
+    val touched = probeKeys(keys, key) match {
+      case KeysEmpty => return headV // empty key set: nothing to delete
+      case KeysSmall(ks) => candidateFilesForKeys(m, key, ks)
+      case KeysRange(lo, hi) => candidateFiles(m, key, lo, hi)
+      case KeysOpaque => m.files
     }
     if (touched.isEmpty) return headV // no file can hold a matching row
-    val untouched = m.files.filterNot(touched.toSet)
-    val untouchedNames = untouched.map(u => new Path(u).getName).toSet
+    val touchedSet = touched.toSet
     val survivors = readFiles(spark, m, touched)
       .join(keys.select(col(key)).distinct(), Seq(key), "left_anti")
     val (written, newStats) = writeBatch(survivors, root, statsCols)
-    publish(spark, root, written, newStats, tag = "", survivors.schema) { head =>
+    val newRef = writeShard(spark, root, written, newStats)
+    val carried = carryUntouched(spark, root, shards, touchedSet)
+    publishMeta(spark, root, tag = "", requireHead = headV) { head =>
       val h = head.getOrElse(sys.error("delete base vanished"))
-      require(h.version == headV,
-        s"concurrent commit (v${h.version} != v$headV) overlaps this delete — retry")
-      Some(Manifest(h.version, untouched, h.parent,
-        h.stats.filter(s => untouchedNames.contains(s.file)),
-        schema = h.schema))
+      (carried :+ newRef, mergedSchemaJson(Some(h.schema), survivors.schema))
     }
   }
 
@@ -390,19 +527,35 @@ object Snapshots {
     }
   }
 
-  /** Distinct non-null keys of a batch, sorted, when they fit the driver
-    * cap (one small job — the build-side pattern); None when the set is
-    * too large to collect, in which case callers prune by the global
-    * range instead (still sound, less tight). */
-  private def collectKeys(keysDf: DataFrame, key: String): Option[Array[Double]] = {
-    import org.apache.spark.sql.functions.col
+  private sealed trait KeyProbe
+  private case object KeysEmpty extends KeyProbe
+  private final case class KeysSmall(ks: Array[Double]) extends KeyProbe
+  private final case class KeysRange(lo: Double, hi: Double) extends KeyProbe
+  private case object KeysOpaque extends KeyProbe
+
+  /** Classify a batch's key column for file pruning. Numeric(-castable)
+    * keys prune: by sorted distinct set when it fits the driver cap (one
+    * small job — the build-side pattern), by global [min, max] otherwise
+    * (still sound, less tight). A key the double cast nulls out on
+    * non-null input (string doc-ids/hashes — a primary corpus-lake shape)
+    * is OPAQUE: the ColStats index is numeric-only, so no pruning is
+    * possible and every file is a candidate — conservative, never wrong. */
+  private def probeKeys(keysDf: DataFrame, key: String): KeyProbe = {
+    import org.apache.spark.sql.functions.{col, min, max}
+    val nonNull = keysDf.filter(col(key).isNotNull)
+    if (nonNull.isEmpty) return KeysEmpty
+    // try_cast, not cast: under ANSI semantics a malformed string THROWS
+    // from cast — the probe's whole job is to observe the null instead
+    val casted = col(key).try_cast("double")
+    if (!nonNull.filter(casted.isNull).isEmpty) return KeysOpaque
     val MaxDriverKeys = 100000
-    val collected = keysDf
-      .filter(col(key).isNotNull)
-      .select(col(key).cast("double")).distinct()
+    val collected = nonNull
+      .select(casted).distinct()
       .limit(MaxDriverKeys + 1).collect().map(_.getDouble(0))
-    if (collected.length > MaxDriverKeys) None
-    else { java.util.Arrays.sort(collected); Some(collected) }
+    if (collected.length > MaxDriverKeys) {
+      val r = nonNull.agg(min(casted), max(casted)).head()
+      KeysRange(r.getDouble(0), r.getDouble(1))
+    } else { java.util.Arrays.sort(collected); KeysSmall(collected) }
   }
 
   /** Range read through the manifest index: prune the file list to the
@@ -438,7 +591,8 @@ object Snapshots {
     * version number anywhere. Throws when every retained version is newer
     * (the asked-for state is vacuumed or never existed). */
   def readAsOf(spark: SparkSession, root: String, tsMillis: Long): DataFrame = {
-    val eligible = history(spark, root).filter(_.ts <= tsMillis)
+    // version selection needs only commit records (ts) — no shard I/O
+    val eligible = historyMeta(spark, root).filter(_.ts <= tsMillis)
     require(eligible.nonEmpty,
       s"no retained snapshot at $root published at or before $tsMillis")
     read(spark, root, eligible.map(_.version).max)
@@ -543,10 +697,12 @@ object Snapshots {
       root: String,
       tag: String,
       append: Boolean = true,
-      statsCols: Seq[String] = Seq.empty): Option[Long] = {
+      statsCols: Seq[String] = Seq.empty,
+      requireHead: Long = -1L): Option[Long] = {
     require(tag.nonEmpty, "idempotency tag must be non-empty")
-    if (history(df.sparkSession, root).exists(_.tag == tag)) None
-    else Some(commit(df, root, append, statsCols, tag))
+    // tag scan at the metadata level — no shard I/O
+    if (historyMeta(df.sparkSession, root).exists(_.tag == tag)) None
+    else Some(commit(df, root, append, statsCols, tag, requireHead))
   }
 
   /** Roll the table back to `version` — as a NEW commit whose file list is
@@ -556,9 +712,11 @@ object Snapshots {
     * Requires the target manifest still retained (vacuum is the only thing
     * that forecloses a restore). */
   def restore(spark: SparkSession, root: String, version: Long): Long = {
-    val target = manifest(spark, root, version) // throws if vacuumed away
-    publish(spark, root, target.files, target.stats, tag = "",
-      parseSchema(target).getOrElse(new StructType())) { _ => None }
+    val target = manifestMeta(spark, root, version) // throws if vacuumed away
+    // carry the target's shards BY REFERENCE — a restore is pure metadata,
+    // O(#shards) whatever the table size
+    val refs = shardRefsOf(spark, root, target)
+    publishMeta(spark, root, tag = "") { _ => (refs, target.schema) }
   }
 
   /** Rewrite the head snapshot into `targetFiles` files and commit the
@@ -617,6 +775,34 @@ object Snapshots {
     drop.flatMap(_.files).distinct.filterNot(live.contains)
       .foreach(uri => f.delete(new Path(uri), false))
     drop.foreach(m => f.delete(manifestPath(root, m.version), false))
+    // reclaim metadata shards only dropped manifests referenced (shards are
+    // shared across versions by reference, so liveness is set arithmetic)
+    val metas = historyMeta(spark, root) // post-delete: the kept ones
+    val liveShards = metas.flatMap(_.shardRefs.map(_.name)).toSet
+    val dir = new Path(s"$root/$SnapDir")
+    f.listStatus(dir).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("shard-") &&
+        !liveShards.contains(st.getPath.getName))
+      .foreach(st => f.delete(st.getPath, false))
+  }
+
+  /** Metadata-only maintenance: consolidate the head's accumulated shards
+    * into ONE and commit the result as a new version — same files, same
+    * stats, no data I/O at all. The shard count grows one per commit;
+    * after 10k commits a resolve opens 10k small files. This is the
+    * manifest-level twin of [[compact]] (which rewrites DATA files) and
+    * costs O(table metadata) once instead of per-read. No-op (returns the
+    * head) when the head already has ≤1 shard. */
+  def compactManifests(spark: SparkSession, root: String): Long = {
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet")
+    val meta = manifestMeta(spark, root, headV)
+    if (meta.inline.isEmpty && meta.shardRefs.size <= 1) return headV
+    val m = resolve(meta, loadShards(spark, root, meta))
+    val one = writeShard(spark, root, m.files, m.stats)
+    publishMeta(spark, root, tag = "", requireHead = headV) { _ =>
+      (Seq(one), meta.schema)
+    }
   }
 
   /** Clean up ORPHANED data files — files under `data/` that no retained
@@ -648,6 +834,18 @@ object Snapshots {
     f.listStatus(dataDir).filter(_.isDirectory).foreach { d =>
       if (f.listStatus(d.getPath).isEmpty) f.delete(d.getPath, false)
     }
+    // orphaned metadata shards: written by a crashed or losing committer,
+    // referenced by no retained manifest — same grace-window contract as
+    // data files (a writer may have landed its shard but not yet published)
+    val liveShards = historyMeta(spark, root).flatMap(_.shardRefs.map(_.name)).toSet
+    val snapDir = new Path(s"$root/$SnapDir")
+    if (f.exists(snapDir)) {
+      f.listStatus(snapDir).toSeq
+        .filter(st => st.isFile && st.getPath.getName.startsWith("shard-") &&
+          !liveShards.contains(st.getPath.getName) &&
+          st.getModificationTime < cutoff)
+        .foreach { st => if (f.delete(st.getPath, false)) deleted += 1 }
+    }
     deleted
   }
 
@@ -657,63 +855,99 @@ object Snapshots {
     * atomic no-replace primitive, so (a) the loser of a version race
     * observes the collision — Hadoop's local `create(overwrite=false)` is
     * check-then-act and lets both racers "win" — and (b) no reader can
-    * ever open a half-written manifest. Local POSIX: `createLink` (link(2)
-    * fails-if-exists, atomically, with content already durable). HDFS:
-    * `rename` (atomic at the namenode, false if the destination exists).
-    * S3-like stores have neither — that's the conditional-put / catalog
-    * dependency called out in the object scaladoc. */
-  private def tryWriteManifest(spark: SparkSession, root: String, m: Manifest): Boolean = {
+    * ever open a half-written manifest. The primitive is SCHEME-GATED:
+    * local POSIX uses `createLink` (link(2) fails-if-exists, atomically,
+    * with content already durable); HDFS-family uses `rename` (atomic at
+    * the namenode, false if the destination exists). Any other filesystem
+    * THROWS rather than silently degrading — RawLocalFileSystem maps
+    * rename to rename(2), which REPLACES an existing destination, and
+    * S3A/GCS rename is copy-then-delete check-then-act; on those, two
+    * racing committers would both "win" version v and one commit would be
+    * silently lost. An object store needs its conditional-put header
+    * (If-None-Match) or a catalog service here — wiring that in is a
+    * deployment concern, losing commits is not. The scheme comes from the
+    * FileSystem (not the raw URI, whose scheme may be absent). */
+  private def tryWriteManifest(spark: SparkSession, root: String, m: ManifestMeta): Boolean = {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/$SnapDir"))
     val target = manifestPath(root, m.version)
     val tmp = new Path(s"$root/$SnapDir/.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, /*overwrite=*/ true)
-    try out.write(renderManifest(m).getBytes("UTF-8")) finally out.close()
-    try {
-      if ("file" == target.toUri.getScheme) {
-        val t = java.nio.file.Paths.get(target.toUri.getPath)
-        val s = java.nio.file.Paths.get(tmp.toUri.getPath)
+    try out.write(renderManifestMeta(m).getBytes("UTF-8")) finally out.close()
+    try atomicNoReplace(f, tmp, target) finally f.delete(tmp, false)
+  }
+
+  /** Publish `tmp` at `target` iff absent, atomically; false = already
+    * exists (lost the race). Throws on filesystems without an atomic
+    * no-replace primitive — see [[tryWriteManifest]]. Shared with
+    * [[Catalog]], whose flip needs the identical guarantee. */
+  private[engine] def atomicNoReplace(
+      f: org.apache.hadoop.fs.FileSystem,
+      tmp: Path,
+      target: Path): Boolean =
+    f.getScheme match {
+      case "file" =>
+        val t = java.nio.file.Paths.get(f.makeQualified(target).toUri.getPath)
+        val s = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
         try { java.nio.file.Files.createLink(t, s); true }
         catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      } else {
-        // HDFS-style: rename is atomic and refuses an existing destination
+      case "hdfs" | "webhdfs" | "viewfs" =>
+        // atomic at the namenode; refuses an existing destination
         f.rename(tmp, target)
-      }
-    } finally f.delete(tmp, false)
-  }
+      case other => throw new UnsupportedOperationException(
+        s"filesystem scheme '$other' has no atomic no-replace rename: a racing " +
+          "committer could silently overwrite a published manifest. Object " +
+          "stores need conditional-put (If-None-Match) or a catalog service " +
+          "as the commit arbiter.")
+    }
 
-  private def renderManifest(m: Manifest): String = {
-    // files LAST: the parser anchors its greedy bracket match on the final
-    // array, so file arrays never need nested-structure parsing
-    val stats = m.stats.map(s =>
+  private def renderStats(stats: Seq[ColStats]): String =
+    stats.map(s =>
       s"""{"file":${graft.JsonStr(s.file)},"col":${graft.JsonStr(s.col)},"min":${s.min},"max":${s.max}}""")
       .mkString("[", ",", "]")
-    val files = m.files.map(graft.JsonStr(_)).mkString("[", ",", "]")
-    s"""{"version":${m.version},"parent":${m.parent},"ts":${m.ts},"tag":${graft.JsonStr(m.tag)},"schema":${graft.JsonStr(m.schema)},"stats":$stats,"files":$files}"""
+
+  /** Shard body: one immutable file list + its stats. files LAST: the
+    * parser anchors its greedy bracket match on the final array, so file
+    * arrays never need nested-structure parsing. */
+  private def renderShard(files: Seq[String], stats: Seq[ColStats]): String =
+    s"""{"stats":${renderStats(stats)},"files":${files.map(graft.JsonStr(_)).mkString("[", ",", "]")}}"""
+
+  private def renderManifestMeta(m: ManifestMeta): String = {
+    val shards = m.shardRefs.map(r =>
+      s"""{"name":${graft.JsonStr(r.name)},"n":${r.n}}""").mkString("[", ",", "]")
+    s"""{"version":${m.version},"parent":${m.parent},"ts":${m.ts},"tag":${graft.JsonStr(m.tag)},"schema":${graft.JsonStr(m.schema)},"shards":$shards}"""
   }
 
-  /** Minimal parser for the exact shape renderManifest emits (keys fixed,
-    * fixed field order, files array last) — no json library in the
+  private def parseFilesArray(text: String, what: String): Seq[String] = {
+    val files = """"files":\[(.*)\]""".r.findFirstMatchIn(text)
+      .map(_.group(1)).getOrElse(sys.error(s"bad $what: missing files in $text"))
+    if (files.trim.isEmpty) Seq.empty[String]
+    else """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(files)
+      .map(m => unescape(m.group(1))).toSeq
+  }
+
+  private def parseStatsArray(text: String): Seq[ColStats] = {
+    val num = """-?[0-9.eE+-]+"""
+    ("""\{"file":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)","min":(""" + num +
+      """),"max":(""" + num + """)\}""").r
+      .findAllMatchIn(text).map { g =>
+        ColStats(unescape(g.group(1)), unescape(g.group(2)),
+          g.group(3).toDouble, g.group(4).toDouble)
+      }.toSeq
+  }
+
+  private def parseShard(text: String): (Seq[String], Seq[ColStats]) =
+    (parseFilesArray(text, "shard"), parseStatsArray(text))
+
+  /** Minimal parser for the exact shapes renderManifestMeta emits — and,
+    * for pre-shard tables, the legacy inline form (files+stats in the
+    * manifest itself), surfaced via `inline`. No json library in the
     * classpath contract, same stance as JsonStr on the write side. */
-  private def parseManifest(text: String): Manifest = {
+  private def parseManifestMeta(text: String): ManifestMeta = {
     def longField(key: String): Long =
       s""""$key":(-?\\d+)""".r.findFirstMatchIn(text)
         .map(_.group(1).toLong)
         .getOrElse(sys.error(s"bad manifest: missing $key in $text"))
-    val files = """"files":\[(.*)\]""".r.findFirstMatchIn(text)
-      .map(_.group(1)).getOrElse(sys.error(s"bad manifest: missing files in $text"))
-    val fileSeq =
-      if (files.trim.isEmpty) Seq.empty[String]
-      else """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(files)
-        .map(m => unescape(m.group(1))).toSeq
-    val num = """-?[0-9.eE+-]+"""
-    val statSeq =
-      ("""\{"file":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)","min":(""" + num +
-        """),"max":(""" + num + """)\}""").r
-        .findAllMatchIn(text).map { g =>
-          ColStats(unescape(g.group(1)), unescape(g.group(2)),
-            g.group(3).toDouble, g.group(4).toDouble)
-        }.toSeq
     val tag = """"tag":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
       .map(m => unescape(m.group(1))).getOrElse("")
     // optional: pre-ts manifests read as ts=0 (always readAsOf-eligible)
@@ -722,7 +956,17 @@ object Snapshots {
     // optional: pre-schema manifests read as "" (reads fall back to footers)
     val schema = """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
       .map(m => unescape(m.group(1))).getOrElse("")
-    Manifest(longField("version"), fileSeq, longField("parent"), statSeq, tag, ts, schema)
+    val shardsField = """"shards":\[(.*?)\]""".r.findFirstMatchIn(text).map(_.group(1))
+    shardsField match {
+      case Some(body) =>
+        val refs = """\{"name":"((?:[^"\\]|\\.)*)","n":(\d+)\}""".r
+          .findAllMatchIn(body)
+          .map(g => ShardRef(unescape(g.group(1)), g.group(2).toLong)).toSeq
+        ManifestMeta(longField("version"), longField("parent"), refs, tag, ts, schema)
+      case None => // legacy inline manifest
+        ManifestMeta(longField("version"), longField("parent"), Seq.empty, tag, ts, schema,
+          inline = Some((parseFilesArray(text, "manifest"), parseStatsArray(text))))
+    }
   }
 
   private def unescape(s: String): String = {

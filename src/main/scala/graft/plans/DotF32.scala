@@ -39,15 +39,32 @@ case class DotF32(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // nullable even under non-nullable children: a null ELEMENT nulls the
+  // result (and in codegen ev.isNull must be a real variable to set)
+  override def nullable: Boolean =
+    left.nullable || right.nullable || mayHaveNullElements
+
   override def prettyName: String = "dot_f32"
+
+  /** Whether the element types admit nulls. A null ELEMENT propagates to a
+    * null result — agreeing with the composed `aggregate(zip_with(...))`
+    * form this expression replaces (null * x = null poisons the fold).
+    * When both array types declare containsNull=false the per-element
+    * check is skipped entirely and the loop stays branch-free. */
+  private def mayHaveNullElements: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = mayHaveNullElements
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -59,10 +76,15 @@ case class DotF32(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val nullCheck =
+        if (mayHaveNullElements)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $acc += ((double) $x.getFloat($i)) * ((double) $y.getFloat($i));
          |}
          |${ev.value} = $acc;
@@ -99,15 +121,27 @@ case class CosineF32(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean =
+    left.nullable || right.nullable || mayHaveNullElements
+
   override def prettyName: String = "cosine_f32"
+
+  /** Same null-element contract as [[DotF32.mayHaveNullElements]]: a null
+    * element yields a null result; containsNull=false types skip the check. */
+  private def mayHaveNullElements: Boolean = (left.dataType, right.dataType) match {
+    case (ArrayType(_, ln), ArrayType(_, rn)) => ln || rn
+    case _ => true
+  }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    val checkNulls = mayHaveNullElements
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < n) {
+      if (checkNulls && (x.isNullAt(i) || y.isNullAt(i))) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -125,10 +159,15 @@ case class CosineF32(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val nullCheck =
+        if (mayHaveNullElements)
+          s"if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  double $xi = (double) $x.getFloat($i);
          |  double $yi = (double) $y.getFloat($i);
          |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;

@@ -86,4 +86,39 @@ class AdviceFixSpec extends SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.1,
       s"approx=$approx exact=$exact")
   }
+
+  test("merge/delete work on non-numeric (string) keys via conservative rewrite") {
+    // round-6 advice: the double-cast key probe NPE'd on string doc-ids —
+    // a primary corpus-lake shape. Opaque keys disable file pruning
+    // (every file rewrites) but must stay correct.
+    import graft.engine.Snapshots
+    val root = tmp() + "/t"
+    Snapshots.commit(Seq(("doc-a", 1L), ("doc-b", 2L)).toDF("doc_id", "v"), root,
+      statsCols = Seq("v"))
+    Snapshots.merge(Seq(("doc-b", 20L), ("doc-c", 30L)).toDF("doc_id", "v"), root,
+      key = "doc_id")
+    assert(Snapshots.read(spark, root).as[(String, Long)].collect().toSet ===
+      Set(("doc-a", 1L), ("doc-b", 20L), ("doc-c", 30L)))
+    Snapshots.delete(Seq("doc-a").toDF("doc_id"), root, key = "doc_id")
+    assert(Snapshots.read(spark, root).as[(String, Long)].collect().toSet ===
+      Set(("doc-b", 20L), ("doc-c", 30L)))
+  }
+
+  test("commit requireHead fences a read-modify-write against a racing commit") {
+    // round-6 advice: Incremental.refresh could double-apply a delta when a
+    // concurrent refresher advanced the state between its head read and its
+    // commit. The fence: a commit carrying requireHead=v aborts loudly if
+    // the head is no longer v.
+    import graft.engine.Snapshots
+    val root = tmp() + "/t"
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), root) // v1
+    val observed = Snapshots.headVersion(spark, root)
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "s"), root, append = true) // racer → v2
+    val e = intercept[IllegalArgumentException](
+      Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), root, append = true,
+        requireHead = observed))
+    assert(e.getMessage.contains("concurrent commit"))
+    // the fenced commit left no new version behind
+    assert(Snapshots.headVersion(spark, root) === 2L)
+  }
 }

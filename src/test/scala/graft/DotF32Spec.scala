@@ -63,4 +63,25 @@ class DotF32Spec extends SparkSpec {
     rows.foreach { case (f, c) =>
       assert(java.lang.Double.compare(f, c) == 0, s"fused $f != composed $c") }
   }
+
+  test("a null ARRAY ELEMENT nulls the result — agreeing with the composed SQL form") {
+    // round-6 advice: getFloat on a null slot silently read 0.0, diverging
+    // from aggregate(zip_with(...)) which null-poisons the fold
+    val df = Seq(
+      (1L, Seq[Option[Float]](Some(1f), None, Some(2f)), Seq[Option[Float]](Some(1f), Some(1f), Some(1f))),
+      (2L, Seq[Option[Float]](Some(1f), Some(3f)), Seq[Option[Float]](Some(2f), Some(4f))))
+      .toDF("id", "a", "b")
+    val got = df.select(
+        col("id"),
+        expr("dot_f32(a, b)").as("dot"),
+        expr("cosine_f32(a, b)").as("cos"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + double(v))").as("composed"))
+      .orderBy("id")
+      .collect()
+    // row 1: null element → all three forms null
+    assert(got(0).isNullAt(1) && got(0).isNullAt(2) && got(0).isNullAt(3))
+    // row 2: no nulls → dot matches the composed fold exactly
+    assert(!got(1).isNullAt(1) && got(1).getDouble(1) === got(1).getDouble(3))
+    assert(got(1).getDouble(1) === 14.0)
+  }
 }

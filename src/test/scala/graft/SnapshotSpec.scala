@@ -357,4 +357,113 @@ class SnapshotSpec extends SparkSpec {
     // destroyed history reads fail loudly, not with a half-dataset
     intercept[IllegalArgumentException](Snapshots.read(spark, root, 1))
   }
+
+  // ---- sharded-manifest scale pins: commit metadata is O(batch), never ----
+  // ---- O(table files) — the property that keeps the driver alive at    ----
+  // ---- 1M-file tables (a ~100 MB inline json per commit otherwise)     ----
+
+  private def snapDirFiles(root: String): Map[String, Long] = {
+    val dir = new java.io.File(root.stripPrefix("file:") + "/_snapshots")
+    dir.listFiles().filter(_.isFile).map(f => f.getName -> f.length()).toMap
+  }
+
+  private def readMeta(root: String, v: Long): String =
+    new String(Files.readAllBytes(
+      java.nio.file.Paths.get(root.stripPrefix("file:") + s"/_snapshots/manifest-$v.json")),
+      "UTF-8")
+
+  test("append commit writes O(batch) metadata: one shard + a ref-only manifest") {
+    val root = tmp()
+    val nCommits = 25
+    (1 to nCommits).foreach { i =>
+      Snapshots.commit(
+        spark.range(i * 100L, i * 100L + 100L).select($"id", ($"id" % 7).as("x"))
+          .repartition(2),
+        root, append = true, statsCols = Seq("id"))
+    }
+    val metas = snapDirFiles(root)
+    // the manifest inlines NO data-file URI and NO stats — refs only
+    val lastManifest = readMeta(root, nCommits)
+    assert(!lastManifest.contains(".parquet"), "manifest inlines data-file URIs")
+    assert(!lastManifest.contains("\"min\""), "manifest inlines ColStats")
+    // per-commit manifest growth is one ~60-byte shard ref, not a file list
+    val growth = readMeta(root, nCommits).length - readMeta(root, nCommits - 1).length
+    assert(growth < 150, s"manifest grew $growth bytes for a 2-file append")
+    // the commit's metadata write (its manifest + its one new shard) is a
+    // sliver of the table's total metadata — the O(batch) vs O(table) pin.
+    // Resolve the new shard as the ref in manifest N but not manifest N-1.
+    val refRe = """shard-[0-9a-f]+\.json""".r
+    val prevRefs = refRe.findAllIn(readMeta(root, nCommits - 1)).toSet
+    val newRefs = refRe.findAllIn(lastManifest).toSet -- prevRefs
+    assert(newRefs.size === 1, s"append should add exactly one shard, got $newRefs")
+    val commitBytes = lastManifest.length + metas(newRefs.head)
+    val tableMetaBytes = metas.filterKeys(_.startsWith("shard-")).values.sum
+    assert(commitBytes < tableMetaBytes / 5,
+      s"commit wrote $commitBytes metadata bytes vs table total $tableMetaBytes — not O(batch)")
+    // resolution is unchanged: full read sees every row
+    assert(Snapshots.read(spark, root).count() === nCommits * 100L)
+    val m = Snapshots.manifest(spark, root, nCommits.toLong)
+    assert(m.files.size === nCommits * 2)
+    assert(m.stats.size === nCommits * 2, "per-file stats survive sharding")
+  }
+
+  test("merge carries untouched shards by reference; only overlapping shards rewrite") {
+    val root = tmp()
+    // 10 range-disjoint appends, 1 file each — tight per-shard key ranges
+    (0 until 10).foreach { i =>
+      Snapshots.commit(
+        spark.range(i * 100L, i * 100L + 100L)
+          .select($"id", org.apache.spark.sql.functions.lit("old").as("s"))
+          .coalesce(1),
+        root, append = true, statsCols = Seq("id"))
+    }
+    val refRe = """shard-[0-9a-f]+\.json""".r
+    val beforeRefs = refRe.findAllIn(readMeta(root, 10)).toSet
+    assert(beforeRefs.size === 10)
+    // merge touches only the [300, 310) sliver: 1 shard overlaps
+    val batch = spark.range(300L, 310L)
+      .select($"id", org.apache.spark.sql.functions.lit("new").as("s"))
+    Snapshots.merge(batch, root, key = "id", statsCols = Seq("id"))
+    val afterRefs = refRe.findAllIn(readMeta(root, 11)).toSet
+    val carried = beforeRefs.intersect(afterRefs)
+    assert(carried.size === 9,
+      s"expected 9 of 10 shards carried by reference, got ${carried.size}")
+    // and the data is right
+    val got = Snapshots.read(spark, root)
+    assert(got.count() === 1000L)
+    assert(got.filter($"s" === "new").count() === 10L)
+  }
+
+  test("compactManifests consolidates shards metadata-only: same files, same stats") {
+    val root = tmp()
+    (0 until 8).foreach { i =>
+      Snapshots.commit(spark.range(i * 10L, i * 10L + 10L).select($"id", ($"id" * 2).as("x")),
+        root, append = true, statsCols = Seq("id"))
+    }
+    val before = Snapshots.manifest(spark, root, 8)
+    val v = Snapshots.compactManifests(spark, root)
+    assert(v === 9L)
+    val after = Snapshots.manifest(spark, root, v)
+    // exactly the same table — file list, stats, schema — under one shard
+    assert(after.files === before.files, "compactManifests must not move data")
+    assert(after.stats.toSet === before.stats.toSet)
+    assert(after.schema === before.schema)
+    val refRe = """shard-[0-9a-f]+\.json""".r
+    assert(refRe.findAllIn(readMeta(root, v)).toSet.size === 1)
+    // idempotent: a single-shard head no-ops
+    assert(Snapshots.compactManifests(spark, root) === v)
+  }
+
+  test("vacuum reclaims metadata shards no retained manifest references") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, "old")).toDF("id", "s"), root)
+    Snapshots.commit(Seq((2L, "new")).toDF("id", "s"), root) // overwrite
+    Snapshots.commit(Seq((3L, "newer")).toDF("id", "s"), root, append = true)
+    assert(snapDirFiles(root).keys.count(_.startsWith("shard-")) === 3)
+    Snapshots.vacuum(spark, root, keepLast = 1)
+    // v1's shard is unreferenced debris; v2's and v3's shards stay (head
+    // references both — shard sharing across the append)
+    assert(snapDirFiles(root).keys.count(_.startsWith("shard-")) === 2)
+    assert(rows(Snapshots.read(spark, root)) === Set((2L, "new"), (3L, "newer")))
+  }
 }
