@@ -23,6 +23,19 @@ object MinHashLSH {
   val bands = 4
   val rowsPerBand = 3
 
+  /** Band-bucket size cap for candidate generation. The df-cap bounds HOT
+    * SHINGLES, but a family of identical / near-identical documents — the
+    * common case in web crawl — shares whole signatures and lands in ONE
+    * band bucket, pairing quadratically (cost ∝ Σ bucket²) no matter how
+    * rare its shingles are. Buckets above the cap are excluded outright:
+    * a 10k-duplicate family contributes 50M candidate pairs of which a
+    * downstream keep-first needs NONE — exact-dedup (q26) is the right
+    * operator for identical docs, and it runs before LSH in the composed
+    * pipeline (q39). The q27/q67 cap discipline, applied to the band key;
+    * oracles apply the same `count(*) OVER (PARTITION BY bkey) <= cap` in
+    * lockstep, so the capped semantics stay oracle-checked. */
+  val BandBucketCap = 64
+
   /** Drop shingles with document frequency above `dfCap` — the standard
     * guard against hot postings ("of the and"-grade n-grams). Without it any
     * postings-keyed work degenerates on the hot keys at scale; with it the
@@ -56,10 +69,21 @@ object MinHashLSH {
         md5(concat(lit(s"$b|"), concat_ws(",",
           (0 until rowsPerBand).map(r => col(s"h${rowsPerBand * b + r}")): _*)))): _*)).as("bkey"))
 
+  /** Band keys surviving the bucket-size cap. The count window partitions
+    * on `bkey` — the same key the candidate self-join shuffles on, so the
+    * exchange is computed once and reused by both join sides (no extra
+    * shuffle for the cap; PlanSpec pins the single exchange). */
+  def cappedBandKeys(bk: DataFrame, cap: Int = BandBucketCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    bk.withColumn("__bsz", count(lit(1)).over(Window.partitionBy("bkey")))
+      .filter(col("__bsz") <= cap)
+      .drop("__bsz")
+  }
+
   /** Candidate near-dup pairs (d1 < d2) from band-bucket collisions —
-    * exactly the q28 semantics. */
-  def candidatePairs(sh: DataFrame): DataFrame = {
-    val bk = bandKeys(signatures(sh))
+    * exactly the q28 semantics, over-cap buckets excluded. */
+  def candidatePairs(sh: DataFrame, cap: Int = BandBucketCap): DataFrame = {
+    val bk = cappedBandKeys(bandKeys(signatures(sh)), cap)
     bk.as("a")
       .join(bk.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

@@ -131,9 +131,13 @@ object Dedup {
          |  SELECT doc_id,
          |    md5(CAST(i // 3 AS VARCHAR) || '|' || string_agg(h, ',' ORDER BY i)) AS bkey
          |  FROM mh GROUP BY doc_id, i // 3),
+         |cb AS (
+         |  SELECT doc_id, bkey FROM (
+         |    SELECT doc_id, bkey, count(*) OVER (PARTITION BY bkey) AS bsz FROM bands) t
+         |  WHERE bsz <= ${graft.operators.MinHashLSH.BandBucketCap}),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |  FROM cb a JOIN cb b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
          |pairs AS (
          |  SELECT c.d1, c.d2, count(*) AS inter
          |  FROM cand c
@@ -179,9 +183,13 @@ object Dedup {
          |  SELECT doc_id,
          |    md5(CAST(i // 3 AS VARCHAR) || '|' || string_agg(h, ',' ORDER BY i)) AS bkey
          |  FROM mh GROUP BY doc_id, i // 3),
+         |cb AS (
+         |  SELECT doc_id, bkey FROM (
+         |    SELECT doc_id, bkey, count(*) OVER (PARTITION BY bkey) AS bsz FROM bands) t
+         |  WHERE bsz <= ${graft.operators.MinHashLSH.BandBucketCap}),
          |cand AS (
          |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-         |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+         |  FROM cb a JOIN cb b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
          |est AS (
          |  SELECT c.d1, c.d2,
          |    CAST(count(*) FILTER (WHERE ma.h = mb.h) AS BIGINT) AS matches
@@ -196,7 +204,8 @@ object Dedup {
       // sides) — without the persist the 12-min-agg over postings reruns ×3
       val mh = graft.operators.MinHashLSH.signatures(sh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val bk = graft.operators.MinHashLSH.bandKeys(mh)
+      val bk = graft.operators.MinHashLSH.cappedBandKeys(
+        graft.operators.MinHashLSH.bandKeys(mh))
       val cand = bk.as("a")
         .join(bk.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

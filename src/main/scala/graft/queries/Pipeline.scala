@@ -56,9 +56,13 @@ object Pipeline {
         |  SELECT doc_id,
         |    md5(CAST(i // 3 AS VARCHAR) || '|' || string_agg(h, ',' ORDER BY i)) AS bkey
         |  FROM mh GROUP BY doc_id, i // 3),
+        |cb AS (
+        |  SELECT doc_id, bkey FROM (
+        |    SELECT doc_id, bkey, count(*) OVER (PARTITION BY bkey) AS bsz FROM bands) t
+        |  WHERE bsz <= ${graft.operators.MinHashLSH.BandBucketCap}),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-        |  FROM bands a JOIN bands b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
+        |  FROM cb a JOIN cb b ON a.bkey = b.bkey AND a.doc_id < b.doc_id),
         |pairs AS (
         |  SELECT c.d1, c.d2, count(*) AS inter
         |  FROM cand c

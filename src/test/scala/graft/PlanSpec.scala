@@ -147,6 +147,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("__bc"), "block-size cap window lost")
   }
 
+  test("q28: LSH band buckets are capped below the candidate self-join") {
+    // the scale contract of MinHashLSH.candidatePairs: a family of (near-)
+    // identical docs shares signatures and lands in one band bucket, so an
+    // uncapped bucket pairs quadratically. The __bsz count window (the cap)
+    // must sit on bkey BELOW the self-join, and it must not introduce a
+    // second exchange — the window's bkey partitioning is exactly the
+    // join's, so the exchange is computed once and reused
+    val p = plan("q28_minhash_lsh")
+    assert(p.contains("__bsz"), "band-bucket cap window lost from q28's candidate path")
+    assert(p.contains("windowspecdefinition(bkey"),
+      "cap window no longer partitions on the band key — it must share the " +
+        "join's bkey exchange (statically or via AQE reuse), never add one")
+    assert("Filter \\(*__bsz".r.findFirstIn(p).isDefined ||
+      p.contains("(__bsz"), "cap filter lost below the candidate join")
+  }
+
   test("q51: salted aggregation plans two aggregation stages") {
     val p = plan("q51_salted_skew_agg")
     // partial+final per groupBy phase → ≥4 HashAggregates over ≥2 exchanges
