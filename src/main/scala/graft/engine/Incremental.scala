@@ -75,7 +75,13 @@ object Incremental {
     * each deleted doc's tokens arrive with −1 and cancel their +1 twins),
     * n-gram frequencies, per-label token totals. Cross-row expansions
     * (joins, windows) would let one changed row affect another's
-    * contribution and are NOT maintainable this way. */
+    * contribution and are NOT maintainable this way.
+    *
+    * Cost honesty: the COMMIT rewrites the whole state table (append=false)
+    * — reading the delta is ∝ changed files, but writing is ∝ group count.
+    * Right for dashboard-sized states (10²–10⁵ groups); for a vocab-sized
+    * state where writing the groups dwarfs the delta, use [[refreshKeyed]],
+    * which merges only the touched groups' state files. */
   def refresh(
       spark: SparkSession,
       srcRoot: String,
@@ -118,6 +124,97 @@ object Incremental {
       tag = srcTag(srcHead), append = false, requireHead = aggHead)
     srcHead
   }
+
+  /** Keyed incremental refresh — the vocab-sized-state composition the
+    * [[refresh]] cost-honesty note names. [[refresh]] rewrites the WHOLE
+    * state table per refresh (cost ∝ group count): right for dashboard
+    * states, wrong for a vocabulary/n-gram state with 10⁸ groups where a
+    * batch touches 10⁴ of them. Here the state lives as a KEYED
+    * [[Snapshots]] table — one row per group, merge-keyed on
+    * `__gh = xxhash64(groupCols)` with per-file `__gh` ColStats — and a
+    * refresh is:
+    *
+    *  1. signed delta over the source's changed files (as [[refresh]]),
+    *     aggregated to per-group partials — the TOUCHED groups;
+    *  2. a stats-pruned state read of exactly those groups
+    *     ([[Snapshots.readForKeys]] on the hash: per-file set membership,
+    *     so only state files holding a touched group are opened);
+    *  3. fold partials into the read rows (sum n_rows / sum_<c> by group);
+    *  4. [[Snapshots.merge]] of the folded rows back, keyed on `__gh` —
+    *     untouched state FILES carry forward by reference, so the rewrite
+    *     is ∝ touched groups' file footprint, never the state.
+    *
+    * The numeric hash key is what keeps the pruning machinery (ColStats
+    * are numeric-only) effective for STRING group keys — the vocabulary
+    * case. A hash collision merely co-locates two groups in the rewrite
+    * set (both are read, folded and rewritten correctly — the fold is by
+    * the real groupCols, the hash only selects files). A group whose net
+    * n_rows reaches zero stays as a tombstone row (merge cannot express
+    * key removal); [[readKeyed]] filters them out, and a periodic
+    * [[Snapshots.compactZOrder]] on `__gh` re-tightens file ranges AND
+    * drops tombstones via its rewrite. Initial build range-clusters the
+    * state on `__gh` into `stateFiles` files so per-file hash ranges start
+    * tight. Same `src-v<N>` tagging, replay no-ops, vacuumed-base full
+    * rebuild, and concurrent-refresher fencing as [[refresh]]. */
+  def refreshKeyed(
+      spark: SparkSession,
+      srcRoot: String,
+      aggRoot: String,
+      groupCols: Seq[String],
+      sumCols: Seq[String],
+      expand: DataFrame => DataFrame = identity,
+      stateFiles: Int = 32): Long = {
+    require(groupCols.nonEmpty, "need at least one group column")
+    val srcHead = Snapshots.headVersion(spark, srcRoot)
+    require(srcHead > 0, s"no snapshot committed at $srcRoot yet")
+    val aggHead = Snapshots.headVersion(spark, aggRoot)
+    val reflected = reflectedAt(spark, aggRoot, aggHead)
+    if (reflected == srcHead) return srcHead
+    val fromV =
+      if (reflected > 0 && !Snapshots.manifestExists(spark, srcRoot, reflected)) 0L
+      else reflected
+    val delta = expand(Snapshots.signedDelta(spark, srcRoot, fromV, srcHead))
+    require(delta.columns.contains("_sign"),
+      "expand must carry the _sign column through (row-local expansions only)")
+    val gh = xxhash64(groupCols.map(col): _*)
+    val deltaState = aggregate(delta, groupCols, sumCols, col("_sign").cast("long"))
+
+    if (fromV == 0) {
+      // full (re)build: range-cluster on the hash so per-file __gh ranges
+      // are tight from the start — what makes every later refresh prune
+      Snapshots.commitIfAbsent(
+        deltaState.filter(col("n_rows") > 0).withColumn("__gh", gh)
+          .repartitionByRange(stateFiles, col("__gh"))
+          .sortWithinPartitions("__gh"),
+        aggRoot, tag = srcTag(srcHead), append = false,
+        statsCols = Seq("__gh"), requireHead = aggHead)
+      return srcHead
+    }
+    // replayed refresh (at-least-once caller): the state already reflects
+    // srcHead — merge has no commitIfAbsent, so check the tag here
+    if (Snapshots.historyMeta(spark, aggRoot).exists(_.tag == srcTag(srcHead)))
+      return srcHead
+    val keyed = deltaState.withColumn("__gh", gh)
+    // stats-pruned read of exactly the touched groups' state rows
+    // (tombstones included — they are real state for the fold)
+    val touched = Snapshots.readForKeys(spark, aggRoot, "__gh",
+      keyed.select("__gh"))
+    val folded = touched.unionByName(keyed)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(col("n_rows")).as("n_rows"),
+        sumCols.map(c =>
+          sum(col(s"sum_$c")).cast(Measure).as(s"sum_$c")): _*)
+      .withColumn("__gh", gh)
+    Snapshots.merge(folded, aggRoot, key = "__gh", statsCols = Seq("__gh"),
+      tag = srcTag(srcHead), requireHead = aggHead)
+    srcHead
+  }
+
+  /** Keyed state rendered for reading: tombstoned groups (net n_rows = 0)
+    * dropped, hash key dropped, measures as exact-decimal-cast doubles. */
+  def readKeyed(spark: SparkSession, aggRoot: String, sumCols: Seq[String]): DataFrame =
+    read(spark, aggRoot, sumCols).filter(col("n_rows") > 0).drop("__gh")
 
   /** Grouped MIN/MAX maintained incrementally — the non-additive family,
     * where a delete can remove the extremum and no signed cancellation can

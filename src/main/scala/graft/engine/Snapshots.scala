@@ -356,11 +356,18 @@ object Snapshots {
       df: DataFrame,
       root: String,
       key: String,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      tag: String = "",
+      requireHead: Long = -1L): Long = {
     val spark = df.sparkSession
     import org.apache.spark.sql.functions.col
     val headV = headVersion(spark, root)
     require(headV > 0, s"no snapshot committed at $root yet — merge needs a base")
+    // fence for callers whose batch was COMPUTED from a specific head (the
+    // keyed incremental refresh): abort before any pruning work if stale
+    require(requireHead < 0 || headV == requireHead,
+      s"concurrent commit at $root (head v$headV != expected v$requireHead) — " +
+        "the state this merge was computed from has moved; recompute and retry")
     val meta = manifestMeta(spark, root, headV)
     val shards = loadShards(spark, root, meta)
     val m = resolve(meta, shards)
@@ -385,7 +392,7 @@ object Snapshots {
     val (written, newStats) = writeBatch(survivors, root, statsCols)
     val newRef = writeShard(spark, root, written, newStats)
     val carried = carryUntouched(spark, root, shards, touchedSet)
-    publishMeta(spark, root, tag = "", requireHead = headV) { head =>
+    publishMeta(spark, root, tag, requireHead = headV) { head =>
       val h = head.getOrElse(sys.error("merge base vanished"))
       (carried :+ newRef, mergedSchemaJson(Some(h.schema), survivors.schema))
     }
@@ -583,6 +590,32 @@ object Snapshots {
        else spark.read.parquet(m.files: _*))
         .filter(org.apache.spark.sql.functions.lit(false))
     else readFiles(spark, m, keep).filter(pred)
+  }
+
+  /** Key-set read through the manifest index: scan only the files whose
+    * recorded `c` range can contain one of `keys`' values, then filter
+    * exactly (semi join on the distinct key set). Identical result to
+    * filtering a full read; at lake scale a scattered key set reads the
+    * per-file-membership sliver instead of the table — the point-lookup
+    * complement of [[readRange]], and the state-read half of the keyed
+    * incremental refresh ([[Incremental.refreshKeyed]]). */
+  def readForKeys(
+      spark: SparkSession,
+      root: String,
+      c: String,
+      keys: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val v = headVersion(spark, root)
+    require(v > 0, s"no snapshot committed at $root yet")
+    val m = manifest(spark, root, v)
+    val touched = probeKeys(keys, c) match {
+      case KeysEmpty => Seq.empty
+      case KeysSmall(ks) => candidateFilesForKeys(m, c, ks)
+      case KeysRange(lo, hi) => candidateFiles(m, c, lo, hi)
+      case KeysOpaque => m.files
+    }
+    readFiles(spark, m, touched)
+      .join(keys.select(col(c)).distinct(), Seq(c), "left_semi")
   }
 
   /** Time travel by wall clock: read the newest version whose publish

@@ -317,5 +317,60 @@ object Lake {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
         .orderBy("source")
     },
+
+    // ---- q88: KEYED incremental vocabulary — token frequencies maintained
+    //           through doc appends and copy-on-write text updates via
+    //           Incremental.refreshKeyed. Unlike q85 (whole-state rewrite
+    //           per refresh — right for its 3-group state), the state here
+    //           is vocabulary-sized: one row per token, merge-keyed on
+    //           xxhash64(w) with per-file hash-range stats, so each refresh
+    //           rewrites only the state files holding TOUCHED tokens while
+    //           untouched files carry by manifest reference
+    //           (IncrementalSpec pins the file-sliver property). The
+    //           expand hook explodes tokens with their _sign, so an updated
+    //           doc's old tokens arrive −1 and cancel against its new +1s.
+    //           The oracle recomputes token counts over the final logical
+    //           doc set from scratch — equality proves the chain of signed
+    //           folds + keyed merges lands on the exact recompute. ----
+    OracleQuery(
+      "q88_keyed_vocab",
+      """WITH s12 AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 IN (0, 1)),
+        |upd AS (SELECT doc_id, text || ' graftnovel graftnovel' AS text
+        |        FROM s12 WHERE doc_id % 10 = 0),
+        |final AS (
+        |  SELECT * FROM s12 WHERE doc_id NOT IN (SELECT doc_id FROM upd)
+        |  UNION ALL SELECT * FROM upd),
+        |tok AS (SELECT unnest(string_split_regex(lower(text), '\s+')) AS w FROM final)
+        |SELECT w, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM tok GROUP BY w HAVING count(*) >= 25
+        |ORDER BY w""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/docs_kv"
+      val aggRoot = s"$lakeBase/vocab_state"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      fsys.delete(new Path(aggRoot), true)
+      val docs = Tables(spark, dir, "documents").select("doc_id", "text")
+      def refresh(): Unit =
+        Incremental.refreshKeyed(spark, root, aggRoot,
+          groupCols = Seq("w"), sumCols = Seq.empty,
+          expand = d => d.select(col("_sign"),
+            explode(graft.functions.TextOps.tokens(col("text"))).as("w")),
+          stateFiles = 8)
+      Snapshots.commit(docs.filter(col("doc_id") % 3 === 0), root,
+        statsCols = Seq("doc_id"))
+      refresh()
+      Snapshots.commit(docs.filter(col("doc_id") % 3 === 1), root,
+        append = true, statsCols = Seq("doc_id"))
+      refresh()
+      Snapshots.merge(
+        docs.filter(col("doc_id") % 3 =!= 2 && col("doc_id") % 10 === 0)
+          .withColumn("text", concat(col("text"), lit(" graftnovel graftnovel"))),
+        root, key = "doc_id", statsCols = Seq("doc_id"))
+      refresh()
+      Incremental.readKeyed(spark, aggRoot, Seq.empty)
+        .filter(col("n_rows") >= 25)
+        .orderBy("w")
+    },
   )
 }

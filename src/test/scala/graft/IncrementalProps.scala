@@ -93,4 +93,42 @@ object IncrementalProps extends Properties("Incremental") {
         stateOk()
       }
     }
+
+  property("refreshKeyed after every op ≡ recompute of the head") =
+    Prop.forAll(caseGen) { case (base, ops) =>
+      val root = "file:" + Files.createTempDirectory("incrpk").toString + "/t"
+      val agg = "file:" + Files.createTempDirectory("incrpk").toString + "/a"
+      Snapshots.commit(df(dedupByKey(base)), root, statsCols = Seq("id"))
+
+      def stateOk(): Boolean = {
+        Incremental.refreshKeyed(spark, root, agg, Seq("grp"), Seq("v"),
+          stateFiles = 3)
+        val got = Incremental.readKeyed(spark, agg, Seq("v"))
+          .select(col("grp"), col("n_rows"),
+            col("sum_v").cast("decimal(38,6)"))
+          .as[(String, Long, BigDecimal)].collect().toSet
+        val want = Snapshots.read(spark, root)
+          .groupBy("grp")
+          .agg(count(lit(1)).as("n"),
+            sum(col("v").cast("decimal(38,6)")).cast("decimal(38,6)").as("s"))
+          .as[(String, Long, BigDecimal)].collect().toSet
+        got == want
+      }
+
+      stateOk() && ops.forall { op =>
+        op match {
+          case Append(rows) =>
+            Snapshots.commit(df(rows), root, append = true, statsCols = Seq("id"))
+          case Merge(rows) =>
+            Snapshots.merge(df(dedupByKey(rows)), root, "id", statsCols = Seq("id"))
+          case Delete(keys) =>
+            Snapshots.delete(keys.toDF("id"), root, "id", statsCols = Seq("id"))
+          case Overwrite(rows) =>
+            Snapshots.commit(df(dedupByKey(rows)), root, statsCols = Seq("id"))
+          case Compact =>
+            Snapshots.compact(spark, root, targetFiles = 2, statsCols = Seq("id"))
+        }
+        stateOk()
+      }
+    }
 }

@@ -291,4 +291,85 @@ class IncrementalSpec extends SparkSpec {
     assert(scanned === added.map(base).toSet,
       s"delta scanned $scanned but the manifest diff added only $added")
   }
+
+  // ---- refreshKeyed: the vocab-sized-state path — state as a keyed ----
+  // ---- Snapshots table, refresh via stats-pruned merge             ----
+
+  private def keyedState(aggRoot: String): Set[(String, Long, BigDecimal)] =
+    Incremental.readKeyed(spark, aggRoot, Seq("chars"))
+      .select("grp", "n_rows", "sum_chars")
+      .as[(String, Long, Double)].collect()
+      .map { case (g, n, s) => (g, n, BigDecimal(s).setScale(6)) }.toSet
+
+  test("refreshKeyed: a refresh touching few groups rewrites few state files") {
+    val root = tmp(); val agg = tmp()
+    // 400 groups spread over 8 hash-range-clustered state files
+    Snapshots.commit(
+      spark.range(0, 800).select($"id",
+        concat(lit("w"), $"id" % 400).as("grp"), ($"id" % 97).as("chars")),
+      root, statsCols = Seq("id"))
+    Incremental.refreshKeyed(spark, root, agg, Seq("grp"), Seq("chars"),
+      stateFiles = 8)
+    val m1 = Snapshots.manifest(spark, agg, Snapshots.headVersion(spark, agg))
+    assert(m1.files.size === 8, "initial build should range-cluster into 8 files")
+    assert(keyedState(agg) === recompute(root))
+
+    // append touching ONE group
+    Snapshots.commit(docs((9001, "w7", 50), (9002, "w7", 60)), root,
+      append = true, statsCols = Seq("id"))
+    Incremental.refreshKeyed(spark, root, agg, Seq("grp"), Seq("chars"),
+      stateFiles = 8)
+    val m2 = Snapshots.manifest(spark, agg, Snapshots.headVersion(spark, agg))
+    // the sliver pin: untouched state files carry forward by reference —
+    // only the file(s) whose hash range holds w7 rewrite
+    val carried = m2.files.toSet.intersect(m1.files.toSet)
+    assert(carried.size >= 6,
+      s"expected ≥6 of 8 state files carried by reference, got ${carried.size}")
+    assert(keyedState(agg) === recompute(root), "keyed state diverged from recompute")
+  }
+
+  test("refreshKeyed: replay no-ops; net-zero groups tombstone out of reads") {
+    val root = tmp(); val agg = tmp()
+    Snapshots.commit(docs((1, "a", 10), (2, "a", 20), (3, "b", 30)), root,
+      statsCols = Seq("id"))
+    Incremental.refreshKeyed(spark, root, agg, Seq("grp"), Seq("chars"))
+    // replay (at-least-once caller): version unchanged
+    val h1 = Snapshots.headVersion(spark, agg)
+    Incremental.refreshKeyed(spark, root, agg, Seq("grp"), Seq("chars"))
+    assert(Snapshots.headVersion(spark, agg) === h1, "replayed refresh re-ran")
+    // delete every 'b' row from the source; group b must leave reads
+    Snapshots.delete(Seq(3L).toDF("id"), root, key = "id")
+    Incremental.refreshKeyed(spark, root, agg, Seq("grp"), Seq("chars"))
+    assert(keyedState(agg) === recompute(root))
+    assert(!keyedState(agg).exists(_._1 == "b"), "net-zero group visible in read")
+    // the tombstone row exists in storage (merge cannot remove keys) but
+    // carries n_rows = 0
+    val raw = Snapshots.read(spark, agg).filter($"grp" === "b")
+      .select("n_rows").as[Long].collect()
+    assert(raw.toSeq === Seq(0L), "expected an n_rows=0 tombstone for b")
+  }
+
+  test("refreshKeyed ≡ refresh across a mixed lifecycle (same math, keyed layout)") {
+    val root = tmp(); val aggK = tmp(); val aggW = tmp()
+    def both(): Unit = {
+      Incremental.refreshKeyed(spark, root, aggK, Seq("grp"), Seq("chars"),
+        stateFiles = 4)
+      Incremental.refresh(spark, root, aggW, Seq("grp"), Seq("chars"))
+    }
+    Snapshots.commit(docs((1, "a", 10), (2, "b", 20), (3, "c", 30)), root,
+      statsCols = Seq("id"))
+    both()
+    Snapshots.commit(docs((4, "a", 40), (5, "d", 50)), root,
+      append = true, statsCols = Seq("id"))
+    both()
+    Snapshots.merge(docs((2, "b", 99)), root, key = "id", statsCols = Seq("id"))
+    both()
+    Snapshots.delete(Seq(3L).toDF("id"), root, key = "id")
+    both()
+    val whole = Snapshots.read(spark, aggW)
+      .select("grp", "n_rows", "sum_chars").as[(String, Long, BigDecimal)]
+      .collect().toSet
+    assert(keyedState(aggK) === whole, "keyed and whole-state refresh diverged")
+    assert(whole === recompute(root))
+  }
 }
