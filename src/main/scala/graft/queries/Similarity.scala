@@ -321,8 +321,16 @@ object Similarity {
       rankTail(dots, nrm)
     },
 
-    // ---- q31: ANN via random-hyperplane LSH (8 md5-derived planes →
-    //           256 buckets), candidate-only verification ----
+    // ---- q31: ANN via random-hyperplane LSH — 4 hash TABLES × 8 planes
+    //           (OR-amplification: candidates union across tables),
+    //           candidate-only verification. One 8-bit table starves as
+    //           density grows (measured: recall@5 fell 0.08 → 0.03 moving
+    //           sf0.001 → sf0.1 — the single bucket probed holds ever more
+    //           vectors, none of them the true neighbors); banding 32
+    //           planes into 4 independent tables multiplies the chance a
+    //           true neighbor shares at least ONE bucket while keeping
+    //           every join bucket-equi. Same recall-vs-cost dial as
+    //           MinHash banding (4 tables ≈ 4× candidate work). ----
     OracleQuery(
       "q31_ann_lsh",
       s"""$edSql,
@@ -331,7 +339,7 @@ object Similarity {
          |    CASE WHEN strpos('0123456789abcdef',
          |           substr(md5(CAST(p AS VARCHAR) || ',' || CAST(i AS VARCHAR)), 1, 1)) - 1 >= 8
          |         THEN 1 ELSE -1 END AS sgn
-         |  FROM unnest(generate_series(0, 7)) AS gp(p),
+         |  FROM unnest(generate_series(0, 31)) AS gp(p),
          |       unnest(generate_series(1, 64)) AS gi(i)),
          |bits AS (
          |  SELECT ed.vec_id, planes.p,
@@ -339,10 +347,11 @@ object Similarity {
          |  FROM ed JOIN planes ON planes.i = ed.i
          |  GROUP BY ed.vec_id, planes.p),
          |buckets AS (
-         |  SELECT vec_id, string_agg(b, '' ORDER BY p) AS bucket
-         |  FROM bits GROUP BY vec_id),
+         |  SELECT vec_id,
+         |    CAST(p // 8 AS VARCHAR) || '|' || string_agg(b, '' ORDER BY p) AS bucket
+         |  FROM bits GROUP BY vec_id, p // 8),
          |cand AS (
-         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
          |  FROM buckets q JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
          |  WHERE q.vec_id % 100 = 0),
          |dots AS (
@@ -359,9 +368,10 @@ object Similarity {
          |$rankTailSql""".stripMargin) { (spark, dir) =>
       val e = ed(spark, dir)
       val nrm = VecOps.norms(e, "vec_id")
-      // 8 hyperplanes × 64 dims of md5-derived ±1 signs (tiny, broadcast;
-      // one flat range — a crossJoin of two ranges would plan a nested loop)
-      val planes = spark.range(0, 8 * 64)
+      // 4 tables × 8 hyperplanes × 64 dims of md5-derived ±1 signs (tiny,
+      // broadcast; one flat range — a crossJoin of two ranges would plan a
+      // nested loop)
+      val planes = spark.range(0, 32 * 64)
         .select((col("id") / 64).cast(IntegerType).as("p"),
           (col("id") % 64 + 1).cast(IntegerType).as("i"))
         .select(col("p"), col("i"),
@@ -371,16 +381,21 @@ object Similarity {
       val bits = e.join(broadcast(planes), planes("i") === e("i"))
         .groupBy(col("vec_id"), col("p"))
         .agg(when(sum(col("sgn") * col("xl")) >= 0, "1").otherwise("0").as("b"))
-      // referenced by both sides of the candidate self-join (the query side
-      // carries an extra filter, so exchange reuse can't kick in) — persist
-      val buckets = bits.groupBy("vec_id")
-        .agg(array_join(
-          transform(array_sort(collect_list(struct(col("p"), col("b")))), x => x.getField("b")),
-          "").as("bucket"))
+      // one bucket key per (vector, table): table id prefixed so buckets
+      // never collide across tables. Referenced by both sides of the
+      // candidate self-join (the query side carries an extra filter, so
+      // exchange reuse can't kick in) — persist
+      val buckets = bits
+        .groupBy(col("vec_id"), (col("p") / 8).cast(IntegerType).as("t"))
+        .agg(concat(col("t").cast(StringType), lit("|"),
+          array_join(
+            transform(array_sort(collect_list(struct(col("p"), col("b")))), x => x.getField("b")),
+            "")).as("bucket"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = buckets.as("q").filter(col("q.vec_id") % 100 === 0)
         .join(buckets.as("c"), col("c.bucket") === col("q.bucket") && col("c.vec_id") =!= col("q.vec_id"))
         .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"))
+        .distinct() // a pair colliding in several tables verifies once
       val dots = VecOps.pairDots(cand, e, "query_id", "cand_id")
       rankTail(dots, nrm)
     },
@@ -486,7 +501,7 @@ object Similarity {
       "q80_pq_adc",
       s"""$ed6Sql,
          |sub AS (SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS m, i, xm FROM ed6),
-         |cb AS (SELECT m, vec_id AS k, i, xm AS cxm FROM sub WHERE vec_id < 16),
+         |cb AS (SELECT m, vec_id AS k, i, xm AS cxm FROM sub WHERE vec_id < 64),
          |enc AS (
          |  SELECT s.vec_id, s.m, cb.k,
          |    CAST(SUM((s.xm - cb.cxm) * (s.xm - cb.cxm)) AS BIGINT) AS d2
@@ -512,7 +527,7 @@ object Similarity {
          |  SELECT query_id, cand_id FROM (
          |    SELECT query_id, cand_id,
          |      row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS rn
-         |    FROM approx) r WHERE rn <= 20),
+         |    FROM approx) r WHERE rn <= 60),
          |dots AS (
          |  SELECT s.query_id, s.cand_id, CAST(SUM(a.xm * b.xm) AS BIGINT) AS dot6
          |  FROM short s
@@ -533,8 +548,8 @@ object Similarity {
       // truncating int cast = floor for the non-negative (i-1)/8
       val sub = e6.select(col("vec_id"),
         ((col("i") - 1) / lit(8)).cast(IntegerType).as("m"), col("i"), col("xm"))
-      // codebook: first-16 vectors' subvectors — tiny (M×K×8 rows), broadcast
-      val cb = sub.filter(col("vec_id") < 16)
+      // codebook: first-64 vectors' subvectors — tiny (M×K×8 rows), broadcast
+      val cb = sub.filter(col("vec_id") < 64)
         .select(col("m").as("cm"), col("vec_id").as("k"), col("i").as("ci"),
           col("xm").as("cxm"))
       // encode: exact integer L2 per (vector, subspace, codeword), argmin
@@ -560,7 +575,7 @@ object Similarity {
         .agg(sum(col("pdot")).as("adot"))
       val byQ = Window.partitionBy("query_id").orderBy(col("adot").desc, col("cand_id"))
       val short = approx.withColumn("rn", row_number().over(byQ))
-        .filter(col("rn") <= 20).select("query_id", "cand_id")
+        .filter(col("rn") <= 60).select("query_id", "cand_id")
       // exact rerank of the shortlist only (quantized-exact dots + norms)
       val dots = short
         .join(e6.select(col("vec_id"), col("i"), col("xm")).as("a"),
