@@ -95,4 +95,30 @@ class CatalogSpec extends SparkSpec {
     assert(Catalog.read(spark, head, "a").count() === 2)
     assert(Catalog.read(spark, head, "b").count() === 1)
   }
+
+  test("four-way catalog commit race: all land, every binding survives") {
+    // deeper concurrency coverage than the 2-racer case (SnapshotSpec
+    // parity): four committers, each updating a DIFFERENT table, race one
+    // catalog. Exclusive-create arbitration must serialize them onto four
+    // consecutive versions, and the last-writer-wins binding rule must
+    // still converge to a head containing EVERY table — a lost retry
+    // (publishCat giving up early, a carried-tables race misreading the
+    // refreshed head) would drop one
+    val cat = tmp()
+    val roots = Seq("a", "b", "c", "d").map(n => n -> (tmp() + s"/$n")).toMap
+    Catalog.commit(spark, cat, Map("seed" -> (tmp() + "/seed", Seq(0L).toDF("id"))))
+    val fs = roots.toSeq.map { case (n, root) =>
+      Future(Catalog.commit(spark, cat,
+        Map(n -> (root, Seq(n.length.toLong).toDF("id")))))
+    }
+    val got = fs.map(Await.result(_, 120.seconds)).toSet
+    assert(got === Set(2L, 3L, 4L, 5L), s"racers took catalog versions $got")
+    val head = Catalog.pin(spark, cat)
+    assert(head.version === 5L)
+    assert(head.tables.keySet === Set("seed", "a", "b", "c", "d"),
+      s"a racing commit's binding was dropped: ${head.tables.keySet}")
+    roots.keys.foreach { n =>
+      assert(Catalog.read(spark, head, n).count() === 1, s"table $n unreadable")
+    }
+  }
 }
