@@ -80,10 +80,29 @@ object DedupStream {
       else None
     val all = old.map(_.unionByName(fresh)).getOrElse(fresh)
 
-    // fresh is trigger-bounded — broadcasting it is what keeps the
-    // accumulated index scan shuffle-free (do NOT lift this to any
-    // corpus-sized relation; see the scaladoc)
+    // band-bucket cap, streaming form (q28's batch cap, BandBucketCap):
+    // an identical-doc family shares whole signatures, so its bucket pairs
+    // quadratically against every future batch forever. Count only the
+    // buckets THIS batch touches (semi-join on the broadcast fresh keys —
+    // map-side-combined count, no pair blowup) and suppress emission for
+    // over-cap buckets. Divergence contract vs the capped batch recompute:
+    // equal whenever every bucket stays under cap for the whole history
+    // (the spec's regime); a bucket that crosses the cap mid-stream keeps
+    // its earlier pairs — labels are monotone and cannot retract — while
+    // batch would drop them all. Either way per-trigger candidate work is
+    // bounded by cap × batch, never bucket × batch.
+    val okBuckets = all
+      .join(broadcast(fresh.select("bkey").distinct()), Seq("bkey"), "left_semi")
+      .groupBy("bkey").agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") <= MinHashLSH.BandBucketCap)
+      .select("bkey")
+
+    // fresh (and the batch-derived okBuckets) are trigger-bounded —
+    // broadcasting them is what keeps the accumulated index scan
+    // shuffle-free (do NOT lift this to any corpus-sized relation; see
+    // the scaladoc)
     val pairs = all
+      .join(broadcast(okBuckets), Seq("bkey"), "left_semi")
       .join(broadcast(fresh.withColumnRenamed("doc_id", "nd")), Seq("bkey"))
       .filter(col("doc_id") =!= col("nd"))
       .select(least(col("doc_id"), col("nd")).as("d1"),

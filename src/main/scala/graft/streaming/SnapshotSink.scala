@@ -20,17 +20,28 @@ import graft.engine.Snapshots
   */
 object SnapshotSink {
 
+  /** @param compactManifestsEvery consolidate the table's accumulated
+    *   metadata shards every N batches (0 = never). Streaming ingest
+    *   creates one shard per trigger; after 10k triggers every read
+    *   resolves 10k small files. [[Snapshots.compactManifests]] is
+    *   metadata-only (same files, same stats, one commit) and idempotent
+    *   on replay (a single-shard head no-ops), so folding it into the
+    *   ingest loop keeps resolution O(1)-ish forever at O(table
+    *   metadata / N) amortized cost. */
   def start(
       source: DataFrame,
       root: String,
       checkpointDir: String,
-      statsCols: Seq[String] = Seq.empty): StreamingQuery =
+      statsCols: Seq[String] = Seq.empty,
+      compactManifestsEvery: Int = 0): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         Snapshots.commitIfAbsent(batch, root, tag = s"batch-$id",
           append = true, statsCols = statsCols)
+        if (compactManifestsEvery > 0 && id % compactManifestsEvery == compactManifestsEvery - 1)
+          Snapshots.compactManifests(batch.sparkSession, root)
         ()
       }
       .start()

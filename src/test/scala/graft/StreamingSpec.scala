@@ -331,6 +331,61 @@ class StreamingSpec extends SparkSpec {
     assert(got == want, "streamed labeling diverged from the batch recompute")
   }
 
+  test("dedup stream suppresses over-cap band buckets (bounded per-trigger work)") {
+    // 70 identical docs share whole signatures → one band bucket of 70 >
+    // BandBucketCap(64) per band: the stream must emit NO pairs for the
+    // family (matching q28's capped batch semantics — exact dedup is the
+    // right operator for identical docs), while a small genuine near-dup
+    // pair in the same batch still labels
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val family = (1L to 70L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+    val nearDup = Seq(
+      (201L, "one two three four five six seven eight nine ten eleven twelve"),
+      (202L, "one two three four five six seven eight nine ten eleven thirteen"))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("dedupcap").toString
+    val q = graft.streaming.DedupStream.maintain(
+      input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/index", s"$base/labels", s"$base/ckpt")
+    try {
+      input.addData(family ++ nearDup: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val labeled = spark.read.parquet(s"$base/labels")
+      .as[(Long, Long)].collect().toMap
+    assert(labeled.keySet === Set(201L, 202L),
+      s"expected only the genuine near-dup pair labeled, got ${labeled.keySet}")
+  }
+
+  test("snapshot sink folds manifest compaction into the ingest loop") {
+    // one metadata shard lands per trigger; compactManifestsEvery bounds
+    // resolution cost for long-lived standing ingests
+    import spark.implicits._
+    import graft.engine.Snapshots
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val base = java.nio.file.Files.createTempDirectory("snapcompact").toString
+    val root = s"file:$base/t"
+    val q = graft.streaming.SnapshotSink.start(
+      input.toDF().toDF("id", "s"), root, s"$base/ckpt",
+      compactManifestsEvery = 2)
+    try {
+      (0 until 4).foreach { i =>
+        input.addData((i.toLong, s"v$i")); q.processAllAvailable()
+      }
+    } finally q.stop()
+    val head = Snapshots.headVersion(spark, root)
+    // 4 batch commits + 2 compaction commits; the head resolves ≤ 2 shards
+    // (post-compact consolidated shard + at most one fresh batch shard)
+    assert(Snapshots.manifestMeta(spark, root, head).shardRefs.size <= 2,
+      "manifest compaction did not bound the shard count")
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSet ===
+      (0 until 4).map(i => (i.toLong, s"v$i")).toSet,
+      "compaction changed the table contents")
+  }
+
   test("restart from checkpoint: killed snapshot ingest resumes exactly-once") {
     // the real at-least-once path, not an in-process micro-batch harness:
     // a query is STOPPED and a new query object restarts from the same
