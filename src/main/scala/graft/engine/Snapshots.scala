@@ -724,7 +724,14 @@ object Snapshots {
     * the table already absorbed; keying each batch's commit on its batch id
     * makes the replay observable and skippable, and the table's states are
     * exactly-once. (Same contract as EventStream's upsert-based view, but
-    * for append-shaped ingest where idempotent-per-key upserts don't apply.) */
+    * for append-shaped ingest where idempotent-per-key upserts don't apply.)
+    *
+    * Cost note: the tag scan reads every RETAINED commit record (metadata
+    * only, no shards — but still one small file per version). A long-lived
+    * standing ingest therefore pairs this with [[vacuum]] retention: with
+    * keepLast = N the scan is O(N) forever, and replay protection only ever
+    * needs the restart window's worth of history anyway (a streaming replay
+    * can only replay batches newer than the last checkpoint). */
   def commitIfAbsent(
       df: DataFrame,
       root: String,
