@@ -336,5 +336,59 @@ object TrainingOps {
           round(col("chars_kept").cast(DoubleType) / col("t").cast(DoubleType), 9).as("kept_share"))
         .orderBy("lang")
     },
+
+    // ---- q89: N-GRAM eval decontamination — the partial-overlap form of
+    //           q58/q69 (which catch whole-document duplication by
+    //           fingerprint). The classic pre-training hygiene step: a
+    //           TRAIN document is contaminated when it shares any 8-token
+    //           gram with the held-out eval set — quoting a benchmark
+    //           answer inside an otherwise-novel page, which no
+    //           whole-document fingerprint can see. Plan shape at 100 TB:
+    //           both sides reduce to (doc, gram-hash) postings (narrow
+    //           explode); the join is equi on the gram hash with the
+    //           EVAL side tiny (eval suites are thousands of docs —
+    //           broadcastable, so the train corpus never shuffles);
+    //           boilerplate grams are df-capped on the train side (the
+    //           q27/q39 discipline — a navigation-bar 8-gram in every
+    //           page is not contamination, and uncapped it alone would
+    //           pair with eval quadratically). md5 gram hashing keeps the
+    //           join key fixed-width; the oracle applies the identical
+    //           cap, so the capped semantics stay hash-checked. ----
+    OracleQuery(
+      "q89_ngram_decontamination",
+      s"""WITH toks AS (
+        |  SELECT doc_id, source, string_split_regex(lower(text), '\\s+') AS t
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, source,
+        |    md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |        t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]) AS gh
+        |  FROM toks, unnest(generate_series(1, len(t) - 7)) AS s(i)),
+        |ev AS (SELECT doc_id, gh FROM g WHERE source = 'src0'),
+        |tr0 AS (SELECT doc_id, gh FROM g WHERE source <> 'src0'),
+        |hot AS (SELECT gh FROM tr0 GROUP BY gh HAVING count(*) > ${Pipeline.DfCap}),
+        |tr AS (SELECT * FROM tr0 WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.gh = tr0.gh))
+        |SELECT tr.doc_id AS train_doc,
+        |  CAST(count(DISTINCT tr.gh) AS BIGINT) AS n_shared_grams,
+        |  CAST(count(DISTINCT ev.doc_id) AS BIGINT) AS n_eval_docs
+        |FROM tr JOIN ev ON ev.gh = tr.gh
+        |GROUP BY tr.doc_id ORDER BY train_doc""".stripMargin) { (spark, dir) =>
+      val docs = Tables(spark, dir, "documents").select("doc_id", "source", "text")
+      def grams(d: DataFrame) =
+        TextOps.shinglePostings(d, "doc_id", "text", 8)
+          .select(col("doc_id"), md5(col("s")).as("gh"))
+      val ev = grams(docs.filter(col("source") === "src0"))
+        .withColumnRenamed("doc_id", "eval_doc")
+      val tr0 = grams(docs.filter(col("source") =!= "src0"))
+        .withColumnRenamed("doc_id", "train_doc")
+      val hot = tr0.groupBy("gh").agg(count(lit(1)).as("df"))
+        .filter(col("df") > Pipeline.DfCap).select("gh")
+      val tr = tr0.join(hot, Seq("gh"), "left_anti")
+      tr.join(ev, "gh")
+        .groupBy("train_doc")
+        .agg(countDistinct("gh").as("n_shared_grams"),
+          countDistinct("eval_doc").as("n_eval_docs"))
+        .orderBy("train_doc")
+    },
   )
 }

@@ -79,7 +79,8 @@ class PlanSpec extends SparkSpec {
         "q31_ann_lsh", "q39_training_pipeline", "q42_embedding_neardup",
         "q43_ann_ivf", "q52_ann_ivf_probe2", "q67_fuzzy_neardup",
         "q69_bloom_decontaminate", "q77_dup_spans",
-        "q78_semantic_dedup", "q80_pq_adc", "q86_referential_audit").foreach { q =>
+        "q78_semantic_dedup", "q80_pq_adc", "q86_referential_audit",
+        "q89_ngram_decontamination").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
