@@ -80,6 +80,42 @@ object Dedup {
         .orderBy("doc_id")
     },
 
+    // ---- q90: KEEP-BEST exact dedup — q26's clustering with the survivor
+    //           rule a production corpus actually wants: within each
+    //           duplicate cluster keep the HIGHEST-QUALITY copy, not the
+    //           lowest-id one (crawl dups differ in boilerplate/truncation;
+    //           keep-first throws away the clean copy whenever it arrived
+    //           later). Quality here is the exact integer alnum-char count
+    //           (more real content wins; doc_id breaks ties), so the
+    //           argmax is bit-deterministic cross-engine — same window
+    //           shape and cost as q26, only the ORDER BY changes. ----
+    OracleQuery(
+      "q90_keep_best_dedup",
+      """WITH f AS (
+        |  SELECT doc_id, lang, source,
+        |    md5(array_to_string(list_sort(list_distinct(string_split_regex(lower(text), '\s+'))), ' ')) AS content_fp,
+        |    CAST(length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS BIGINT) AS quality
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, lang, source, content_fp, quality,
+        |    CAST(row_number() OVER (PARTITION BY content_fp ORDER BY quality DESC, doc_id) AS INTEGER) AS rn,
+        |    count(*) OVER (PARTITION BY content_fp) AS group_size
+        |  FROM f)
+        |SELECT doc_id, lang, source, content_fp, quality, group_size
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      val byFp = Window.partitionBy("content_fp")
+      docs(spark, dir)
+        .select(col("doc_id"), col("lang"), col("source"),
+          TextOps.contentFingerprint(TextOps.tokens(col("text"))).as("content_fp"),
+          TextOps.alnumChars(col("text")).cast("long").as("quality"))
+        .withColumn("rn",
+          row_number().over(byFp.orderBy(col("quality").desc, col("doc_id"))))
+        .withColumn("group_size", count(lit(1)).over(byFp))
+        .filter(col("rn") === 1)
+        .select("doc_id", "lang", "source", "content_fp", "quality", "group_size")
+        .orderBy("doc_id")
+    },
+
     // ---- q27: exact n-gram Jaccard near-dup pairs via inverted index.
     //           Postings are df-capped (MinHashLSH.dfCapped) before the
     //           self-join: a corpus-common trigram would otherwise put df²
