@@ -194,20 +194,30 @@ object Incremental {
     // srcHead — merge has no commitIfAbsent, so check the tag here
     if (Snapshots.historyMeta(spark, aggRoot).exists(_.tag == srcTag(srcHead)))
       return srcHead
+    // the delta partials feed the pruning probe, the state read's semi
+    // join, AND the fold — persist so the changed-files scan + aggregation
+    // runs once, not once per consumer job
     val keyed = deltaState.withColumn("__gh", gh)
-    // stats-pruned read of exactly the touched groups' state rows
-    // (tombstones included — they are real state for the fold)
-    val touched = Snapshots.readForKeys(spark, aggRoot, "__gh",
-      keyed.select("__gh"))
-    val folded = touched.unionByName(keyed)
-      .groupBy(groupCols.map(col): _*)
-      .agg(
-        sum(col("n_rows")).as("n_rows"),
-        sumCols.map(c =>
-          sum(col(s"sum_$c")).cast(Measure).as(s"sum_$c")): _*)
-      .withColumn("__gh", gh)
-    Snapshots.merge(folded, aggRoot, key = "__gh", statsCols = Seq("__gh"),
-      tag = srcTag(srcHead), requireHead = aggHead)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // stats-pruned read of exactly the touched groups' state rows
+      // (tombstones included — they are real state for the fold)
+      val touched = Snapshots.readForKeys(spark, aggRoot, "__gh",
+        keyed.select("__gh"))
+      // folded is consumed by merge's own probe, write, and survivors anti
+      // join — persist for the same reason (its plan reads state files)
+      val folded = touched.unionByName(keyed)
+        .groupBy(groupCols.map(col): _*)
+        .agg(
+          sum(col("n_rows")).as("n_rows"),
+          sumCols.map(c =>
+            sum(col(s"sum_$c")).cast(Measure).as(s"sum_$c")): _*)
+        .withColumn("__gh", gh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try Snapshots.merge(folded, aggRoot, key = "__gh", statsCols = Seq("__gh"),
+        tag = srcTag(srcHead), requireHead = aggHead)
+      finally folded.unpersist()
+    } finally keyed.unpersist()
     srcHead
   }
 

@@ -548,21 +548,25 @@ object Snapshots {
     * is OPAQUE: the ColStats index is numeric-only, so no pruning is
     * possible and every file is a candidate — conservative, never wrong. */
   private def probeKeys(keysDf: DataFrame, key: String): KeyProbe = {
-    import org.apache.spark.sql.functions.{col, min, max}
-    val nonNull = keysDf.filter(col(key).isNotNull)
-    if (nonNull.isEmpty) return KeysEmpty
+    import org.apache.spark.sql.functions.{col, count, lit, min, max, when}
     // try_cast, not cast: under ANSI semantics a malformed string THROWS
     // from cast — the probe's whole job is to observe the null instead
     val casted = col(key).try_cast("double")
-    if (!nonNull.filter(casted.isNull).isEmpty) return KeysOpaque
+    // ONE pass decides empty/opaque AND fetches the range (each agg job is
+    // a full scan of the caller's batch plan, which may be deep — the
+    // keyed-incremental fold reads state files + the source delta)
+    val r = keysDf.agg(
+      count(col(key)).as("n"), // count() skips nulls
+      count(when(col(key).isNotNull && casted.isNull, lit(1))).as("opaque"),
+      min(casted), max(casted)).head()
+    if (r.getLong(0) == 0) return KeysEmpty
+    if (r.getLong(1) > 0) return KeysOpaque
     val MaxDriverKeys = 100000
-    val collected = nonNull
+    val collected = keysDf.filter(col(key).isNotNull)
       .select(casted).distinct()
       .limit(MaxDriverKeys + 1).collect().map(_.getDouble(0))
-    if (collected.length > MaxDriverKeys) {
-      val r = nonNull.agg(min(casted), max(casted)).head()
-      KeysRange(r.getDouble(0), r.getDouble(1))
-    } else { java.util.Arrays.sort(collected); KeysSmall(collected) }
+    if (collected.length > MaxDriverKeys) KeysRange(r.getDouble(2), r.getDouble(3))
+    else { java.util.Arrays.sort(collected); KeysSmall(collected) }
   }
 
   /** Range read through the manifest index: prune the file list to the
