@@ -51,15 +51,37 @@ object Incremental {
   def reflectedVersion(spark: SparkSession, aggRoot: String): Long =
     reflectedAt(spark, aggRoot, Snapshots.headVersion(spark, aggRoot))
 
+  /** Walk the parent chain from `head` to the newest `src-v` tag.
+    * UNTAGGED commits are skipped: maintenance on the state table itself
+    * (compact / compactZOrder / restore — all tag "") must not make the
+    * state unreadable; the maintenance commit reflects whatever source
+    * version its newest tagged ancestor did. A FOREIGN non-empty tag
+    * still fails loudly — that is some other writer's table. */
   private def reflectedAt(spark: SparkSession, aggRoot: String, head: Long): Long = {
-    if (head == 0) 0L
-    // metadata-level read: the tag lives in the commit record, no shard I/O
-    else Snapshots.manifestMeta(spark, aggRoot, head).tag match {
-      case SrcTagRe(v) => v.toLong
-      case other => sys.error(
-        s"$aggRoot head carries tag '$other', not an Incremental src-v tag — " +
-          "is this really an Incremental state table?")
+    var v = head
+    while (v > 0) {
+      require(Snapshots.manifestExists(spark, aggRoot, v),
+        s"$aggRoot v$v was vacuumed away beneath untagged maintenance commits — " +
+          "cannot determine the reflected source version; vacuum state tables " +
+          "with keepLast reaching a tagged commit, or rebuild the state")
+      // metadata-level read: the tag lives in the commit record, no shard I/O
+      val m = Snapshots.manifestMeta(spark, aggRoot, v)
+      m.tag match {
+        case SrcTagRe(x) => return x.toLong
+        case "" => v = m.parent
+        case other => sys.error(
+          s"$aggRoot v$v carries tag '$other', not an Incremental src-v tag — " +
+            "is this really an Incremental state table?")
+      }
     }
+    // head == 0 (no state), or only untagged commits above the base: for a
+    // non-empty table that means NO refresh ever ran here — refuse to treat
+    // an arbitrary table as a rebuildable state (an overwrite would clobber
+    // it silently)
+    require(head == 0,
+      s"$aggRoot has commits but no src-v tag anywhere in its history — " +
+        "not an Incremental state table")
+    0L
   }
 
   /** Bring the state at `aggRoot` up to the source head; returns the source
@@ -150,12 +172,19 @@ object Incremental {
     * set (both are read, folded and rewritten correctly — the fold is by
     * the real groupCols, the hash only selects files). A group whose net
     * n_rows reaches zero stays as a tombstone row (merge cannot express
-    * key removal); [[readKeyed]] filters them out, and a periodic
-    * [[Snapshots.compactZOrder]] on `__gh` re-tightens file ranges AND
-    * drops tombstones via its rewrite. Initial build range-clusters the
-    * state on `__gh` into `stateFiles` files so per-file hash ranges start
-    * tight. Same `src-v<N>` tagging, replay no-ops, vacuumed-base full
-    * rebuild, and concurrent-refresher fencing as [[refresh]]. */
+    * key removal); [[readKeyed]] filters them out. Merge rewrites blur the
+    * per-file hash ranges over time: periodic maintenance — an UNTAGGED
+    * overwrite commit of the (optionally tombstone-filtered) state
+    * re-clustered by `repartitionByRange` on `__gh`, exactly the initial
+    * build's layout (not [[Snapshots.compactZOrder]]: full-range xxhash64
+    * values overflow the z-grid scaling, and one dimension needs no
+    * interleaving anyway) — re-tightens them; [[reflectedVersion]] skips
+    * untagged maintenance commits by walking to the newest tagged
+    * ancestor, so maintenance never wedges the refresh chain. Initial build
+    * range-clusters the state on `__gh` into `stateFiles` files so
+    * per-file hash ranges start tight. Same `src-v<N>` tagging, replay
+    * no-ops, vacuumed-base full rebuild, and concurrent-refresher fencing
+    * as [[refresh]]. */
   def refreshKeyed(
       spark: SparkSession,
       srcRoot: String,

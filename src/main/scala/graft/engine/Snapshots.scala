@@ -812,22 +812,24 @@ object Snapshots {
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Unit = {
     require(keepLast >= 1, "must retain at least the head snapshot")
     val f = fs(spark, root)
-    val all = history(spark, root)
-    if (all.size <= keepLast) return
-    val (drop, keep) = all.splitAt(all.size - keepLast)
-    val live = keep.flatMap(_.files).toSet
-    drop.flatMap(_.files).distinct.filterNot(live.contains)
+    val allMeta = historyMeta(spark, root)
+    if (allMeta.size <= keepLast) return
+    val (dropM, keepM) = allMeta.splitAt(allMeta.size - keepLast)
+    val live = keepM.flatMap(m => manifest(spark, root, m.version).files).toSet
+    dropM.flatMap(m => manifest(spark, root, m.version).files)
+      .distinct.filterNot(live.contains)
       .foreach(uri => f.delete(new Path(uri), false))
-    drop.foreach(m => f.delete(manifestPath(root, m.version), false))
-    // reclaim metadata shards only dropped manifests referenced (shards are
-    // shared across versions by reference, so liveness is set arithmetic)
-    val metas = historyMeta(spark, root) // post-delete: the kept ones
-    val liveShards = metas.flatMap(_.shardRefs.map(_.name)).toSet
-    val dir = new Path(s"$root/$SnapDir")
-    f.listStatus(dir).toSeq
-      .filter(st => st.isFile && st.getPath.getName.startsWith("shard-") &&
-        !liveShards.contains(st.getPath.getName))
-      .foreach(st => f.delete(st.getPath, false))
+    dropM.foreach(m => f.delete(manifestPath(root, m.version), false))
+    // reclaim metadata shards the DROPPED manifests referenced and no kept
+    // one does. Scope strictly to dropped refs: an unreferenced shard file
+    // in the directory may belong to an IN-FLIGHT commit (shard written,
+    // manifest not yet published) — deleting it would corrupt the commit
+    // the moment it publishes. In-flight-aged debris is vacuumOrphans'
+    // job, behind its grace window.
+    val keptShards = keepM.flatMap(_.shardRefs.map(_.name)).toSet
+    dropM.flatMap(_.shardRefs.map(_.name)).distinct
+      .filterNot(keptShards.contains)
+      .foreach(name => f.delete(shardPath(root, name), false))
   }
 
   /** Metadata-only maintenance: consolidate the head's accumulated shards

@@ -349,6 +349,40 @@ class IncrementalSpec extends SparkSpec {
     assert(raw.toSeq === Seq(0L), "expected an n_rows=0 tombstone for b")
   }
 
+  test("maintenance on the STATE table itself does not wedge the refresh chain") {
+    // compact/compactZOrder/restore commit untagged; the reflected-version
+    // walk must skip them to the newest tagged ancestor instead of erroring
+    // (round-7 audit: previously any state-table compaction made every
+    // later refresh fail with 'not an Incremental state table')
+    val root = tmp(); val agg = tmp(); val aggK = tmp()
+    Snapshots.commit(docs((1, "a", 10), (2, "b", 20)), root, statsCols = Seq("id"))
+    Incremental.refresh(spark, root, agg, Seq("grp"), Seq("chars"))
+    Incremental.refreshKeyed(spark, root, aggK, Seq("grp"), Seq("chars"))
+    // maintenance: untagged commits on top of BOTH state tables — a plain
+    // compaction and the keyed form's documented re-cluster (range on the
+    // hash key, tombstones filtered)
+    Snapshots.compact(spark, agg)
+    Snapshots.commit(
+      Snapshots.read(spark, aggK).filter($"n_rows" > 0)
+        .repartitionByRange(2, $"__gh").sortWithinPartitions("__gh"),
+      aggK, append = false, statsCols = Seq("__gh"))
+    // the reflected version survives the untagged head
+    assert(Incremental.reflectedVersion(spark, agg) === 1L)
+    assert(Incremental.reflectedVersion(spark, aggK) === 1L)
+    // and the next refresh still folds the next delta exactly
+    Snapshots.commit(docs((3, "a", 30)), root, append = true, statsCols = Seq("id"))
+    Incremental.refresh(spark, root, agg, Seq("grp"), Seq("chars"))
+    Incremental.refreshKeyed(spark, root, aggK, Seq("grp"), Seq("chars"))
+    assert(state(agg) === recompute(root))
+    assert(keyedState(aggK) === recompute(root))
+    // a table with commits but NO tag anywhere is refused, not clobbered
+    val plain = tmp()
+    Snapshots.commit(docs((9, "x", 1)), plain)
+    val e = intercept[IllegalArgumentException](
+      Incremental.refresh(spark, root, plain, Seq("grp"), Seq("chars")))
+    assert(e.getMessage.contains("no src-v tag"))
+  }
+
   test("refreshKeyed ≡ refresh across a mixed lifecycle (same math, keyed layout)") {
     val root = tmp(); val aggK = tmp(); val aggW = tmp()
     def both(): Unit = {

@@ -460,10 +460,19 @@ class SnapshotSpec extends SparkSpec {
     Snapshots.commit(Seq((2L, "new")).toDF("id", "s"), root) // overwrite
     Snapshots.commit(Seq((3L, "newer")).toDF("id", "s"), root, append = true)
     assert(snapDirFiles(root).keys.count(_.startsWith("shard-")) === 3)
+    // an IN-FLIGHT commit's shard: written, manifest not yet published.
+    // vacuum must scope its reclaim to the DROPPED manifests' refs — an
+    // unreferenced shard in the directory may be about to be published,
+    // and deleting it would corrupt that commit the moment it lands
+    val inflight = new java.io.File(
+      root.stripPrefix("file:") + "/_snapshots/shard-00inflight00.json")
+    Files.write(inflight.toPath, """{"stats":[],"files":[]}""".getBytes("UTF-8"))
     Snapshots.vacuum(spark, root, keepLast = 1)
     // v1's shard is unreferenced debris; v2's and v3's shards stay (head
     // references both — shard sharing across the append)
-    assert(snapDirFiles(root).keys.count(_.startsWith("shard-")) === 2)
+    assert(snapDirFiles(root).keys.count(_.startsWith("shard-")) === 3,
+      "vacuum must keep the head's 2 shards AND the in-flight shard")
+    assert(inflight.exists(), "vacuum destroyed an in-flight commit's shard")
     assert(rows(Snapshots.read(spark, root)) === Set((2L, "new"), (3L, "newer")))
   }
 }
