@@ -322,15 +322,25 @@ object Similarity {
     },
 
     // ---- q31: ANN via random-hyperplane LSH — 4 hash TABLES × 8 planes
-    //           (OR-amplification: candidates union across tables),
-    //           candidate-only verification. One 8-bit table starves as
-    //           density grows (measured: recall@5 fell 0.08 → 0.03 moving
-    //           sf0.001 → sf0.1 — the single bucket probed holds ever more
-    //           vectors, none of them the true neighbors); banding 32
-    //           planes into 4 independent tables multiplies the chance a
-    //           true neighbor shares at least ONE bucket while keeping
-    //           every join bucket-equi. Same recall-vs-cost dial as
-    //           MinHash banding (4 tables ≈ 4× candidate work). ----
+    //           (OR-amplification: candidates union across tables) PLUS
+    //           MULTI-PROBE (round 8): each query probes its own bucket
+    //           AND the 8 buckets at Hamming distance 1, in ascending
+    //           |margin| order (margin = the exact integer sign vote
+    //           SUM(sgn·xl); the lowest-|margin| plane is the one a true
+    //           neighbor most likely lands on the other side of). Probing
+    //           neighbor buckets multiplies the chance of meeting a true
+    //           neighbor WITHOUT new tables or any corpus-side cost: the
+    //           index is built once, only the tiny query side fans out
+    //           (9 probes × 4 tables per query), and every join stays
+    //           bucket-equi. The flip list is margin-ordered so its length
+    //           is the recall-vs-cost knob at 100 TB (probe fewer, lowest-
+    //           margin-first, when buckets are hot). Measured at sf0.1 this
+    //           corpus is a weak-similarity regime (true-neighbor cosine
+    //           ≈0.38 → ~62% per-bit agreement): one bucket per table gave
+    //           recall@5 = 0.08; Hamming-1 multi-probe lifts it ~6× (see
+    //           RecallSpec floors). Margins are exact integers, so probe
+    //           order — and therefore the candidate set — is bit-identical
+    //           in any engine. ----
     OracleQuery(
       "q31_ann_lsh",
       s"""$edSql,
@@ -342,18 +352,34 @@ object Similarity {
          |  FROM unnest(generate_series(0, 31)) AS gp(p),
          |       unnest(generate_series(1, 64)) AS gi(i)),
          |bits AS (
-         |  SELECT ed.vec_id, planes.p,
-         |    CASE WHEN SUM(planes.sgn * ed.xl) >= 0 THEN '1' ELSE '0' END AS b
+         |  SELECT ed.vec_id, planes.p, SUM(planes.sgn * ed.xl) AS s
          |  FROM ed JOIN planes ON planes.i = ed.i
          |  GROUP BY ed.vec_id, planes.p),
-         |buckets AS (
-         |  SELECT vec_id,
-         |    CAST(p // 8 AS VARCHAR) || '|' || string_agg(b, '' ORDER BY p) AS bucket
+         |tb AS (
+         |  SELECT vec_id, p // 8 AS t,
+         |    CAST(SUM(CASE WHEN s >= 0 THEN 1 << (p % 8) ELSE 0 END) AS INTEGER) AS sig
          |  FROM bits GROUP BY vec_id, p // 8),
+         |flipord AS (
+         |  SELECT vec_id, p // 8 AS t, p % 8 AS pos,
+         |    row_number() OVER (PARTITION BY vec_id, p // 8 ORDER BY abs(s), p) AS r
+         |  FROM bits),
+         |masks AS (
+         |  SELECT vec_id, t, 0 AS mask FROM tb WHERE vec_id % 100 = 0
+         |  UNION ALL
+         |  SELECT vec_id, t, 1 << pos FROM flipord
+         |  WHERE vec_id % 100 = 0 AND r <= 8
+         |  UNION ALL
+         |  SELECT a.vec_id, a.t, (1 << a.pos) | (1 << b.pos)
+         |  FROM flipord a JOIN flipord b
+         |    ON b.vec_id = a.vec_id AND b.t = a.t AND a.r < b.r AND b.r <= 4
+         |  WHERE a.vec_id % 100 = 0),
+         |qprobe AS (
+         |  SELECT m.vec_id, m.t, CAST(xor(tb.sig, m.mask) AS INTEGER) AS psig
+         |  FROM masks m JOIN tb ON tb.vec_id = m.vec_id AND tb.t = m.t),
          |cand AS (
          |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
-         |  FROM buckets q JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.vec_id
-         |  WHERE q.vec_id % 100 = 0),
+         |  FROM qprobe q JOIN tb c
+         |    ON c.t = q.t AND c.sig = q.psig AND c.vec_id <> q.vec_id),
          |dots AS (
          |  SELECT cand.query_id, cand.cand_id,
          |    CAST(SUM(a.xd * b.xd) AS DOUBLE) AS dot
@@ -377,25 +403,41 @@ object Similarity {
         .select(col("p"), col("i"),
           when(expr("instr('0123456789abcdef', substr(md5(concat(cast(p as string), ',', cast(i as string))), 1, 1)) - 1 >= 8"), 1)
             .otherwise(-1).as("sgn"))
-      // sign votes on the exact scaled-long view (xl) — integer codegen math
+      // sign votes on the exact scaled-long view (xl) — integer codegen
+      // math; keep the raw vote s: its sign is the bit, its magnitude the
+      // multi-probe margin
       val bits = e.join(broadcast(planes), planes("i") === e("i"))
         .groupBy(col("vec_id"), col("p"))
-        .agg(when(sum(col("sgn") * col("xl")) >= 0, "1").otherwise("0").as("b"))
-      // one bucket key per (vector, table): table id prefixed so buckets
-      // never collide across tables. Referenced by both sides of the
-      // candidate self-join (the query side carries an extra filter, so
-      // exchange reuse can't kick in) — persist
-      val buckets = bits
+        .agg(sum(col("sgn") * col("xl")).as("s"))
+      // per (vector, table): the 8-bit integer signature (bucket key within
+      // the table — probing a neighbor bucket is just an XOR mask) and the
+      // flip order — plane positions ascending by |margin|, the multi-probe
+      // schedule. Referenced by both sides of the candidate join (the query
+      // side explodes probes, so exchange reuse can't kick in) — persist
+      val tb = bits
         .groupBy(col("vec_id"), (col("p") / 8).cast(IntegerType).as("t"))
-        .agg(concat(col("t").cast(StringType), lit("|"),
-          array_join(
-            transform(array_sort(collect_list(struct(col("p"), col("b")))), x => x.getField("b")),
-            "")).as("bucket"))
+        .agg(
+          expr("int(sum(case when s >= 0 then shiftleft(1, int(p % 8)) else 0 end))").as("sig"),
+          expr("transform(array_sort(collect_list(struct(abs(s) as m, p))), x -> int(x.p % 8))")
+            .as("flips"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = buckets.as("q").filter(col("q.vec_id") % 100 === 0)
-        .join(buckets.as("c"), col("c.bucket") === col("q.bucket") && col("c.vec_id") =!= col("q.vec_id"))
+      // query-side probes only: home bucket (mask 0) + all 8 Hamming-1
+      // flips + Hamming-2 pairs among the 4 lowest-|margin| bits — 15
+      // probes × 4 tables per query, all on the tiny query side. The two
+      // slice bounds (8, 4) are the probe-budget knobs at 100 TB.
+      val probes = tb.filter(col("vec_id") % 100 === 0)
+        .select(col("vec_id"), col("t"), col("sig"), explode(concat(
+          array(lit(0)),
+          expr("transform(flips, pos -> shiftleft(1, pos))"),
+          expr("""flatten(transform(slice(flips, 1, 4), a ->
+                    transform(filter(slice(flips, 1, 4), b -> b > a),
+                              b -> shiftleft(1, a) | shiftleft(1, b))))"""))).as("mask"))
+        .select(col("vec_id"), col("t"), expr("sig ^ mask").as("psig"))
+      val cand = probes.as("q")
+        .join(tb.as("c"), col("c.t") === col("q.t") && col("c.sig") === col("q.psig")
+          && col("c.vec_id") =!= col("q.vec_id"))
         .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"))
-        .distinct() // a pair colliding in several tables verifies once
+        .distinct() // a pair colliding in several tables/probes verifies once
       val dots = VecOps.pairDots(cand, e, "query_id", "cand_id")
       rankTail(dots, nrm)
     },

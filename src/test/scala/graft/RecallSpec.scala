@@ -43,9 +43,12 @@ class RecallSpec extends SparkSpec {
 
   test("each ANN variant clears its measured recall floor") {
     val measured = Seq(
-      "q31_ann_lsh" -> 0.08,        // 4 tables × 8 planes (measured 0.12);
-                                    // see the sf0.1 test for why this
-                                    // corpus is hard for hyperplane codes
+      "q31_ann_lsh" -> 0.55,        // 4 tables × 8 planes + multi-probe
+                                    // (home + Hamming-1 + margin-ordered
+                                    // Hamming-2; measured 0.64 — was 0.12
+                                    // single-bucket). See the sf0.1 test
+                                    // for why this corpus is hard for
+                                    // hyperplane codes
       "q43_ann_ivf" -> 0.50,        // nearest cell only (measured 0.60)
       "q52_ann_ivf_probe2" -> 0.60, // + second cell (measured 1.00)
       "q80_pq_adc" -> 0.70)         // 8×64 codebook ADC + exact rerank of a
@@ -76,7 +79,11 @@ class RecallSpec extends SparkSpec {
     val dir = "/root/testdata/sf0.1"
     val ex = topk("q30_cosine_topk", dir)
     val measured = Seq(
-      "q31_ann_lsh" -> 0.05,        // measured 0.08
+      "q31_ann_lsh" -> 0.40,        // measured 0.43 (multi-probe; 0.08
+                                    // single-bucket — the round-8 target
+                                    // was ≥0.4 at sf0.1, met by probing
+                                    // Hamming-≤2 neighbor buckets instead
+                                    // of adding tables)
       "q43_ann_ivf" -> 0.25,        // measured 0.34
       "q52_ann_ivf_probe2" -> 0.35, // measured 0.44
       "q80_pq_adc" -> 0.55)         // measured 0.70
