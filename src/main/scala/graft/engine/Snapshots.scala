@@ -308,6 +308,14 @@ object Snapshots {
     * commit aborts loudly if the head is not exactly that version — the
     * read-modify-write fence for callers whose payload was computed FROM a
     * specific head (merge, delete, incremental refresh). */
+  /** Shard-ref count past which a successful commit triggers an automatic
+    * [[compactManifests]]. DEFAULT-ON policy, not opt-in mechanism: without
+    * it a 10k-commit table carries 10k ShardRefs (~40 B each) in every
+    * manifest and nothing bounds the growth unless an operator remembers
+    * to call maintenance. 64 refs ≈ 2.5 KB of manifest — compaction cost
+    * amortizes to O(table metadata / 64) per commit. */
+  private[graft] val AutoCompactShardRefs = 64
+
   private def publishMeta(
       spark: SparkSession,
       root: String,
@@ -326,7 +334,19 @@ object Snapshots {
       val (refs, schema) = build(headMeta)
       val m = ManifestMeta(head + 1, head, refs, tag,
         ts = System.currentTimeMillis(), schema = schema)
-      if (tryWriteManifest(spark, root, m)) return m.version
+      if (tryWriteManifest(spark, root, m)) {
+        // default-on metadata upkeep: once the ref list outgrows the
+        // threshold, consolidate to ONE shard. The compaction commit itself
+        // publishes a 1-ref manifest, so this cannot recurse. Best-effort:
+        // it is optional maintenance — losing a race to a concurrent
+        // committer (the requireHead fence inside compactManifests) must
+        // not fail the commit that already succeeded; the next commit past
+        // the threshold retries.
+        if (refs.size > AutoCompactShardRefs)
+          try compactManifests(spark, root)
+          catch { case scala.util.control.NonFatal(_) => () }
+        return m.version
+      }
       // else: another writer took version head+1 between our listing and
       // our create — refresh the head and retry on top of THEIR commit
     }
@@ -618,8 +638,17 @@ object Snapshots {
       case KeysRange(lo, hi) => candidateFiles(m, c, lo, hi)
       case KeysOpaque => m.files
     }
-    readFiles(spark, m, touched)
-      .join(keys.select(col(c)).distinct(), Seq(c), "left_semi")
+    if (touched.isEmpty)
+      // every file pruned (or the probe had no keys): mirror readRange's
+      // empty shape so the result still CARRIES THE SCHEMA — on a legacy
+      // (pre-recorded-schema) manifest readFiles(_, Seq.empty) would be a
+      // 0-column relation and the semi join below would throw on `c`
+      (if (m.schema.nonEmpty) readFiles(spark, m, Seq.empty)
+       else spark.read.parquet(m.files: _*))
+        .filter(org.apache.spark.sql.functions.lit(false))
+    else
+      readFiles(spark, m, touched)
+        .join(keys.select(col(c)).distinct(), Seq(c), "left_semi")
   }
 
   /** Time travel by wall clock: read the newest version whose publish
@@ -754,13 +783,22 @@ object Snapshots {
     * is itself history: auditable, time-travelable, and CDC between the
     * bad head and the restored head is exactly the bad commits' inverse.
     * Requires the target manifest still retained (vacuum is the only thing
-    * that forecloses a restore). */
+    * that forecloses a restore).
+    *
+    * The restored commit CARRIES THE TARGET'S TAG: unlike compact/z-order
+    * maintenance (same content, new layout — correctly untagged), a restore
+    * CHANGES table content back to what the tagged commit published, so any
+    * tag-driven consumer must see that tag at the new head. Concretely, an
+    * [[Incremental]] state table restored to an older `src-v<N>` refresh
+    * must report reflectedVersion = N — an untagged restore would leave the
+    * parent walk landing on the PRE-restore head's newer tag and the next
+    * refresh would apply a delta against the wrong base. */
   def restore(spark: SparkSession, root: String, version: Long): Long = {
     val target = manifestMeta(spark, root, version) // throws if vacuumed away
     // carry the target's shards BY REFERENCE — a restore is pure metadata,
     // O(#shards) whatever the table size
     val refs = shardRefsOf(spark, root, target)
-    publishMeta(spark, root, tag = "") { _ => (refs, target.schema) }
+    publishMeta(spark, root, tag = target.tag) { _ => (refs, target.schema) }
   }
 
   /** Rewrite the head snapshot into `targetFiles` files and commit the
@@ -815,8 +853,18 @@ object Snapshots {
     val allMeta = historyMeta(spark, root)
     if (allMeta.size <= keepLast) return
     val (dropM, keepM) = allMeta.splitAt(allMeta.size - keepLast)
-    val live = keepM.flatMap(m => manifest(spark, root, m.version).files).toSet
-    dropM.flatMap(m => manifest(spark, root, m.version).files)
+    // shards are shared across versions by reference — resolve each ONCE by
+    // name (the history() stance); per-version manifest() calls would re-read
+    // shared shards once per referencing version, O(versions × shards) small
+    // reads on a long history
+    val shardCache = scala.collection.mutable.HashMap.empty[String, Shard]
+    def filesOf(m: ManifestMeta): Seq[String] = m.inline match {
+      case Some((files, _)) => files
+      case None => m.shardRefs.flatMap(r =>
+        shardCache.getOrElseUpdate(r.name, loadShard(spark, root, r)).files)
+    }
+    val live = keepM.flatMap(filesOf).toSet
+    dropM.flatMap(filesOf)
       .distinct.filterNot(live.contains)
       .foreach(uri => f.delete(new Path(uri), false))
     dropM.foreach(m => f.delete(manifestPath(root, m.version), false))
@@ -897,22 +945,16 @@ object Snapshots {
 
   /** Atomic create-if-absent of a COMPLETE manifest; false = lost the race.
     *
-    * Two-phase: render to a per-writer temp file, then publish with an
-    * atomic no-replace primitive, so (a) the loser of a version race
+    * Two-phase: render to a per-writer temp file, then publish through the
+    * scheme's [[CommitArbiter]], so (a) the loser of a version race
     * observes the collision — Hadoop's local `create(overwrite=false)` is
     * check-then-act and lets both racers "win" — and (b) no reader can
-    * ever open a half-written manifest. The primitive is SCHEME-GATED:
-    * local POSIX uses `createLink` (link(2) fails-if-exists, atomically,
-    * with content already durable); HDFS-family uses `rename` (atomic at
-    * the namenode, false if the destination exists). Any other filesystem
-    * THROWS rather than silently degrading — RawLocalFileSystem maps
-    * rename to rename(2), which REPLACES an existing destination, and
-    * S3A/GCS rename is copy-then-delete check-then-act; on those, two
-    * racing committers would both "win" version v and one commit would be
-    * silently lost. An object store needs its conditional-put header
-    * (If-None-Match) or a catalog service here — wiring that in is a
-    * deployment concern, losing commits is not. The scheme comes from the
-    * FileSystem (not the raw URI, whose scheme may be absent). */
+    * ever open a half-written manifest. POSIX local arbitrates via
+    * link(2), HDFS-family via namenode rename, object stores via a
+    * registered conditional-put arbiter, and an unregistered scheme THROWS
+    * rather than silently degrading — see [[CommitArbiter]]. The scheme
+    * comes from the FileSystem (not the raw URI, whose scheme may be
+    * absent). */
   private def tryWriteManifest(spark: SparkSession, root: String, m: ManifestMeta): Boolean = {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/$SnapDir"))
@@ -924,28 +966,14 @@ object Snapshots {
   }
 
   /** Publish `tmp` at `target` iff absent, atomically; false = already
-    * exists (lost the race). Throws on filesystems without an atomic
-    * no-replace primitive — see [[tryWriteManifest]]. Shared with
-    * [[Catalog]], whose flip needs the identical guarantee. */
+    * exists (lost the race). Delegates to the scheme's [[CommitArbiter]]
+    * (throws on schemes with none registered). Shared with [[Catalog]],
+    * whose flip needs the identical guarantee. */
   private[engine] def atomicNoReplace(
       f: org.apache.hadoop.fs.FileSystem,
       tmp: Path,
       target: Path): Boolean =
-    f.getScheme match {
-      case "file" =>
-        val t = java.nio.file.Paths.get(f.makeQualified(target).toUri.getPath)
-        val s = java.nio.file.Paths.get(f.makeQualified(tmp).toUri.getPath)
-        try { java.nio.file.Files.createLink(t, s); true }
-        catch { case _: java.nio.file.FileAlreadyExistsException => false }
-      case "hdfs" | "webhdfs" | "viewfs" =>
-        // atomic at the namenode; refuses an existing destination
-        f.rename(tmp, target)
-      case other => throw new UnsupportedOperationException(
-        s"filesystem scheme '$other' has no atomic no-replace rename: a racing " +
-          "committer could silently overwrite a published manifest. Object " +
-          "stores need conditional-put (If-None-Match) or a catalog service " +
-          "as the commit arbiter.")
-    }
+    CommitArbiter.publish(f, tmp, target)
 
   private def renderStats(stats: Seq[ColStats]): String =
     stats.map(s =>
