@@ -35,7 +35,7 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
   * The state itself lives as a Snapshots table at `aggRoot`: each refresh
   * commits the new state tagged `src-v<N>`, so (a) the state names the
   * source version it reflects, (b) a replayed refresh is an observable
-  * no-op (commitIfAbsent on the tag), and (c) state history time-travels
+  * no-op (the reflected-version walk short-circuits), and (c) state history time-travels
   * like any other table. If the source's reflected manifest has been
   * vacuumed away, the refresh transparently falls back to a full recompute
   * (same result, full-scan cost) — retention is a policy decision, not a
@@ -52,11 +52,15 @@ object Incremental {
     reflectedAt(spark, aggRoot, Snapshots.headVersion(spark, aggRoot))
 
   /** Walk the parent chain from `head` to the newest `src-v` tag.
-    * UNTAGGED commits are skipped: maintenance on the state table itself
-    * (compact / compactZOrder / restore — all tag "") must not make the
-    * state unreadable; the maintenance commit reflects whatever source
-    * version its newest tagged ancestor did. A FOREIGN non-empty tag
-    * still fails loudly — that is some other writer's table. */
+    * UNTAGGED commits are skipped: CONTENT-PRESERVING maintenance on the
+    * state table itself (compact / compactZOrder — tag "") must not make
+    * the state unreadable; the maintenance commit reflects whatever source
+    * version its newest tagged ancestor did. [[Snapshots.restore]] is NOT
+    * in that family — it changes content back to an older refresh — and
+    * correctly republishes the target's own `src-v` tag, so the walk lands
+    * on the restored refresh's source version, not the pre-restore head's.
+    * A FOREIGN non-empty tag still fails loudly — that is some other
+    * writer's table. */
   private def reflectedAt(spark: SparkSession, aggRoot: String, head: Long): Long = {
     var v = head
     while (v > 0) {
@@ -140,10 +144,15 @@ object Incremental {
     // requireHead fences the read-modify-write: if a concurrent refresher
     // advanced the state between our reflectedAt read and this commit, the
     // commit aborts loudly instead of double-applying the delta on top of
-    // the racer's already-reflecting state
-    Snapshots.commitIfAbsent(
+    // the racer's already-reflecting state. A plain TAGGED commit, not
+    // commitIfAbsent: replay protection is already the reflected==srcHead
+    // early return (the parent-chain walk), and a global history-tag scan
+    // would wrongly no-op the legitimate re-refresh after a state RESTORE —
+    // the restored fork's old src-v commits are retained history but no
+    // longer ancestors of the head
+    Snapshots.commit(
       merged.filter(col("n_rows") > 0), aggRoot,
-      tag = srcTag(srcHead), append = false, requireHead = aggHead)
+      append = false, tag = srcTag(srcHead), requireHead = aggHead)
     srcHead
   }
 
@@ -185,6 +194,15 @@ object Incremental {
     * per-file hash ranges start tight. Same `src-v<N>` tagging, replay
     * no-ops, vacuumed-base full rebuild, and concurrent-refresher fencing
     * as [[refresh]]. */
+  /** @param tombstoneCompactAt tombstone fraction (net-zero groups / all
+    *   state rows) past which a refresh finishes with an automatic untagged
+    *   maintenance commit: tombstones dropped, state re-range-clustered on
+    *   `__gh` into `stateFiles` files. DEFAULT-ON policy — without it,
+    *   net-zero groups persist until someone remembers manual maintenance
+    *   and the state carries unbounded dead rows. The check is one
+    *   column-pruned count over the state (cheap next to the maintenance
+    *   itself, amortized by only firing past the threshold); set > 1.0 to
+    *   disable. */
   def refreshKeyed(
       spark: SparkSession,
       srcRoot: String,
@@ -192,7 +210,8 @@ object Incremental {
       groupCols: Seq[String],
       sumCols: Seq[String],
       expand: DataFrame => DataFrame = identity,
-      stateFiles: Int = 32): Long = {
+      stateFiles: Int = 32,
+      tombstoneCompactAt: Double = 0.3): Long = {
     require(groupCols.nonEmpty, "need at least one group column")
     val srcHead = Snapshots.headVersion(spark, srcRoot)
     require(srcHead > 0, s"no snapshot committed at $srcRoot yet")
@@ -210,19 +229,18 @@ object Incremental {
 
     if (fromV == 0) {
       // full (re)build: range-cluster on the hash so per-file __gh ranges
-      // are tight from the start — what makes every later refresh prune
-      Snapshots.commitIfAbsent(
+      // are tight from the start — what makes every later refresh prune.
+      // Plain tagged commit (not commitIfAbsent) for the same reason as
+      // [[refresh]]: reflected==srcHead is the replay guard, and a global
+      // tag scan would wrongly no-op a post-restore re-refresh
+      Snapshots.commit(
         deltaState.filter(col("n_rows") > 0).withColumn("__gh", gh)
           .repartitionByRange(stateFiles, col("__gh"))
           .sortWithinPartitions("__gh"),
-        aggRoot, tag = srcTag(srcHead), append = false,
+        aggRoot, append = false, tag = srcTag(srcHead),
         statsCols = Seq("__gh"), requireHead = aggHead)
       return srcHead
     }
-    // replayed refresh (at-least-once caller): the state already reflects
-    // srcHead — merge has no commitIfAbsent, so check the tag here
-    if (Snapshots.historyMeta(spark, aggRoot).exists(_.tag == srcTag(srcHead)))
-      return srcHead
     // the delta partials feed the pruning probe, the state read's semi
     // join, AND the fold — persist so the changed-files scan + aggregation
     // runs once, not once per consumer job
@@ -247,8 +265,37 @@ object Incremental {
         tag = srcTag(srcHead), requireHead = aggHead)
       finally folded.unpersist()
     } finally keyed.unpersist()
+    maybeCompactTombstones(spark, aggRoot, stateFiles, tombstoneCompactAt)
     srcHead
   }
+
+  /** Default-on tombstone reclamation for keyed states: when the net-zero
+    * fraction exceeds the threshold, republish the state tombstone-filtered
+    * and re-range-clustered on `__gh` — exactly the initial build's layout,
+    * as an UNTAGGED maintenance commit (content-preserving for readers:
+    * [[readKeyed]] already filters tombstones; [[reflectedAt]] walks past
+    * untagged commits, so the refresh chain survives). Best-effort: losing
+    * a race to a concurrent refresher must not fail the refresh that
+    * already committed — the next refresh past the threshold retries. */
+  private def maybeCompactTombstones(
+      spark: SparkSession,
+      aggRoot: String,
+      stateFiles: Int,
+      threshold: Double): Unit =
+    if (threshold <= 1.0) {
+      try {
+        val r = Snapshots.read(spark, aggRoot)
+          .agg(count(lit(1)).as("n"),
+            count(when(col("n_rows") === 0, lit(1))).as("t")).head()
+        val (n, t) = (r.getLong(0), r.getLong(1))
+        if (n > 0 && t.toDouble / n > threshold)
+          Snapshots.commit(
+            Snapshots.read(spark, aggRoot).filter(col("n_rows") > 0)
+              .repartitionByRange(stateFiles, col("__gh"))
+              .sortWithinPartitions("__gh"),
+            aggRoot, append = false, statsCols = Seq("__gh"))
+      } catch { case scala.util.control.NonFatal(_) => () }
+    }
 
   /** Keyed state rendered for reading: tombstoned groups (net n_rows = 0)
     * dropped, hash key dropped, measures as exact-decimal-cast doubles. */
@@ -323,7 +370,8 @@ object Incremental {
         Snapshots.read(spark, aggRoot).join(touched, groupCols, "left_anti")
           .unionByName(recomputed)
       }
-    Snapshots.commitIfAbsent(merged, aggRoot, tag = srcTag(srcHead), append = false,
+    // plain tagged commit — see refresh() for why not commitIfAbsent
+    Snapshots.commit(merged, aggRoot, append = false, tag = srcTag(srcHead),
       requireHead = aggHead)
     srcHead
   }
@@ -383,7 +431,8 @@ object Incremental {
         Snapshots.read(spark, aggRoot).join(touched, groupCols, "left_anti")
           .unionByName(recomputed)
       }
-    Snapshots.commitIfAbsent(merged, aggRoot, tag = srcTag(srcHead), append = false,
+    // plain tagged commit — see refresh() for why not commitIfAbsent
+    Snapshots.commit(merged, aggRoot, append = false, tag = srcTag(srcHead),
       requireHead = aggHead)
     srcHead
   }

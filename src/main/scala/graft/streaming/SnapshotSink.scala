@@ -41,7 +41,12 @@ object SnapshotSink {
         Snapshots.commitIfAbsent(batch, root, tag = s"batch-$id",
           append = true, statsCols = statsCols)
         if (compactManifestsEvery > 0 && id % compactManifestsEvery == compactManifestsEvery - 1)
-          Snapshots.compactManifests(batch.sparkSession, root)
+          // optional maintenance, best-effort: a concurrent commit between
+          // compactManifests' head read and its publish throws its
+          // requireHead fence — that must not kill the whole streaming
+          // query; the next eligible trigger retries
+          try Snapshots.compactManifests(batch.sparkSession, root)
+          catch { case scala.util.control.NonFatal(_) => () }
         ()
       }
       .start()

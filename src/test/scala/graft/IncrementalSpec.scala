@@ -277,6 +277,44 @@ class IncrementalSpec extends SparkSpec {
     assert(state(agg) === recompute(root))
   }
 
+  test("keyed streaming view: per-trigger keyed refresh ≡ recompute, replay-safe") {
+    import graft.streaming.IncrementalView
+    val root = tmp()
+    val agg = tmp()
+    val batches = Seq(
+      docs((1, "a", 10), (2, "b", 20)),
+      docs((3, "a", 30)),
+      docs((4, "c", 40), (5, "b", 50)))
+    val srcDir = Files.createTempDirectory("ivksrc").toFile
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmpd = Files.createTempDirectory("ivkpart").toFile
+      df.coalesce(1).write.mode("overwrite").parquet("file:" + tmpd)
+      val part = tmpd.listFiles().find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(srcDir, s"b$i.parquet")
+      Files.move(part.toPath, target.toPath)
+      assert(target.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet("file:" + srcDir)
+    val q = IncrementalView.start(stream, root, agg,
+      "file:" + Files.createTempDirectory("ivkchk"), Seq("grp"), Seq("chars"),
+      keyed = true)
+    try q.processAllAvailable() finally q.stop()
+
+    // keyed path: state ≡ recompute at the trigger boundary, and the state
+    // lives in the keyed (__gh-hashed, tombstone-aware) layout
+    assert(keyedState(agg) === recompute(root), "keyed view state diverged")
+    assert(Snapshots.read(spark, agg).columns.contains("__gh"),
+      "keyed=true must route through the keyed state layout")
+    // replaying the last trigger: both sides no-op
+    val srcHead = Snapshots.headVersion(spark, root)
+    val aggHead = Snapshots.headVersion(spark, agg)
+    IncrementalView.ingest(batches.last, 2L, root, agg, Seq("grp"), Seq("chars"),
+      keyed = true)
+    assert(Snapshots.headVersion(spark, root) === srcHead, "replayed batch re-committed")
+    assert(Snapshots.headVersion(spark, agg) === aggHead, "replayed keyed refresh re-ran")
+  }
+
   test("the delta plan scans only the changed files") {
     val root = tmp()
     val v1 = Snapshots.commit(docs((1, "a", 10), (2, "b", 20)), root)
@@ -337,9 +375,12 @@ class IncrementalSpec extends SparkSpec {
     val h1 = Snapshots.headVersion(spark, agg)
     Incremental.refreshKeyed(spark, root, agg, Seq("grp"), Seq("chars"))
     assert(Snapshots.headVersion(spark, agg) === h1, "replayed refresh re-ran")
-    // delete every 'b' row from the source; group b must leave reads
+    // delete every 'b' row from the source; group b must leave reads.
+    // tombstoneCompactAt disabled here: this test pins the RAW tombstone
+    // mechanics (the policy that reclaims them is pinned separately below)
     Snapshots.delete(Seq(3L).toDF("id"), root, key = "id")
-    Incremental.refreshKeyed(spark, root, agg, Seq("grp"), Seq("chars"))
+    Incremental.refreshKeyed(spark, root, agg, Seq("grp"), Seq("chars"),
+      tombstoneCompactAt = 2.0)
     assert(keyedState(agg) === recompute(root))
     assert(!keyedState(agg).exists(_._1 == "b"), "net-zero group visible in read")
     // the tombstone row exists in storage (merge cannot remove keys) but
@@ -347,6 +388,52 @@ class IncrementalSpec extends SparkSpec {
     val raw = Snapshots.read(spark, agg).filter($"grp" === "b")
       .select("n_rows").as[Long].collect()
     assert(raw.toSeq === Seq(0L), "expected an n_rows=0 tombstone for b")
+  }
+
+  test("tombstones reclaim automatically once their fraction crosses the default-on threshold") {
+    val root = tmp(); val agg = tmp()
+    Snapshots.commit(docs((1, "a", 10), (2, "b", 20), (3, "c", 30)), root,
+      statsCols = Seq("id"))
+    Incremental.refreshKeyed(spark, root, agg, Seq("grp"), Seq("chars"))
+    // delete b and c entirely: 2 of 3 state groups go net-zero (0.67 > 0.3)
+    Snapshots.delete(Seq(2L, 3L).toDF("id"), root, key = "id")
+    Incremental.refreshKeyed(spark, root, agg, Seq("grp"), Seq("chars"))
+    // NO manual maintenance call: the refresh itself must have reclaimed
+    // the tombstones with an untagged maintenance commit
+    val rawRows = Snapshots.read(spark, agg).select("grp", "n_rows")
+      .as[(String, Long)].collect().toSet
+    assert(rawRows === Set(("a", 1L)),
+      s"expected tombstones reclaimed without a manual call, raw state = $rawRows")
+    // the untagged maintenance head must not wedge the refresh chain
+    assert(Incremental.reflectedVersion(spark, agg) ===
+      Snapshots.headVersion(spark, root))
+    Snapshots.commit(docs((4, "d", 40)), root, append = true, statsCols = Seq("id"))
+    Incremental.refreshKeyed(spark, root, agg, Seq("grp"), Seq("chars"))
+    assert(keyedState(agg) === recompute(root))
+  }
+
+  test("restoring a state table lands the walk on the restored refresh's source version") {
+    val root = tmp(); val agg = tmp()
+    val srcV1 = Snapshots.commit(docs((1, "a", 10), (2, "b", 20)), root,
+      statsCols = Seq("id"))
+    Incremental.refresh(spark, root, agg, Seq("grp"), Seq("chars"))
+    val aggV1 = Snapshots.headVersion(spark, agg)
+    val stateAtV1 = state(agg)
+    Snapshots.commit(docs((3, "a", 30), (4, "c", 40)), root, append = true,
+      statsCols = Seq("id"))
+    Incremental.refresh(spark, root, agg, Seq("grp"), Seq("chars"))
+
+    // roll the STATE back to the v1 refresh: restore changes content, so it
+    // must carry the target's src-v tag — the walk has to report srcV1, not
+    // the pre-restore head's newer tag (which would make the next refresh
+    // a silent no-op against the wrong base)
+    Snapshots.restore(spark, agg, aggV1)
+    assert(state(agg) === stateAtV1)
+    assert(Incremental.reflectedVersion(spark, agg) === srcV1,
+      "restored state must reflect the RESTORED refresh's source version")
+    // the next refresh applies the v1→head delta on the restored base
+    Incremental.refresh(spark, root, agg, Seq("grp"), Seq("chars"))
+    assert(state(agg) === recompute(root))
   }
 
   test("maintenance on the STATE table itself does not wedge the refresh chain") {

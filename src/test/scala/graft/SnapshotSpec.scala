@@ -475,4 +475,57 @@ class SnapshotSpec extends SparkSpec {
     assert(inflight.exists(), "vacuum destroyed an in-flight commit's shard")
     assert(rows(Snapshots.read(spark, root)) === Set((2L, "new"), (3L, "newer")))
   }
+
+  test("shard-ref growth is bounded by default-on auto-compaction across a long commit lifecycle") {
+    // no manual compactManifests call anywhere: the batch commit path's own
+    // policy must keep every manifest's ref list bounded. 140 appends cross
+    // the 64-ref threshold twice.
+    val root = tmp()
+    val n = 140
+    (1 to n).foreach { i =>
+      Snapshots.commit(Seq((i.toLong, s"r$i")).toDF("id", "s"), root, append = true)
+    }
+    val maxRefs = Snapshots.historyMeta(spark, root).map(_.shardRefs.size).max
+    assert(maxRefs <= Snapshots.AutoCompactShardRefs + 1,
+      s"manifest ref list reached $maxRefs — auto-compaction did not bound it")
+    // compaction commits interleave with the appends in history
+    assert(Snapshots.headVersion(spark, root) > n,
+      "expected auto-compaction commits in the history")
+    // and nothing was lost
+    assert(Snapshots.read(spark, root).count() === n.toLong)
+  }
+
+  test("maintain() under one policy is equivalent to the manual verb sequence") {
+    import graft.engine.{Maintain, MaintenancePolicy}
+    def build(): String = {
+      val root = tmp()
+      Snapshots.commit(
+        spark.range(0, 60).select($"id", ($"id" % 7).as("k")), root,
+        statsCols = Seq("k"))
+      Snapshots.commit(
+        spark.range(60, 120).select($"id", ($"id" % 7).as("k")), root,
+        append = true, statsCols = Seq("k"))
+      root
+    }
+    val a = build(); val b = build()
+    val policy = MaintenancePolicy(
+      compactTargetFiles = 2, zorderDims = Seq("k"),
+      vacuumKeepLast = 1, orphanGraceMs = 0L)
+    val headA = Maintain.maintain(spark, a, policy)
+    // the manual sequence maintain documents itself as equal to
+    Snapshots.compactZOrder(spark, b, Seq("k"), targetFiles = 2)
+    Snapshots.compactManifests(spark, b)
+    Snapshots.vacuum(spark, b, keepLast = 1)
+    Snapshots.vacuumOrphans(spark, b, graceMs = 0L)
+    val headB = Snapshots.headVersion(spark, b)
+    assert(headA === Snapshots.headVersion(spark, a))
+    assert(headA === headB, "maintain took a different number of commits")
+    // same retained history shape, same head content, same layout size
+    def retained(r: String) = Snapshots.history(spark, r).map(_.version)
+    assert(retained(a) === retained(b))
+    val rowsA = Snapshots.read(spark, a).select("id").as[Long].collect().toSet
+    assert(rowsA === Snapshots.read(spark, b).select("id").as[Long].collect().toSet)
+    assert(Snapshots.manifest(spark, a, headA).files.size ===
+      Snapshots.manifest(spark, b, headB).files.size)
+  }
 }
