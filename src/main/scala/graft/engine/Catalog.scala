@@ -65,6 +65,31 @@ object Catalog {
     parse(text)
   }
 
+  /** Pin the catalog as of wall-clock `tsMillis`: the newest catalog
+    * version whose publish timestamp is ≤ `tsMillis` (same-millisecond
+    * ties: highest version — consistent with table-level
+    * [[Snapshots.readAsOf]]). "The whole lake as the Tuesday run saw it":
+    * one wall-clock pin resolves EVERY member table to the versions that
+    * were jointly visible then, so a reproduced multi-table job cannot mix
+    * a Tuesday fact table with a Wednesday dim. Cost is the catalog
+    * manifests only (small: name→(root, version) maps) — no table I/O. */
+  def pinAsOf(spark: SparkSession, catRoot: String, tsMillis: Long): CatManifest = {
+    val dir = new Path(s"$catRoot/$CatDir")
+    val f = fs(spark, catRoot)
+    val versions =
+      if (!f.exists(dir)) Seq.empty[Long]
+      else f.listStatus(dir).toSeq
+        .flatMap(st => ManifestRe.findFirstMatchIn(st.getPath.getName).map(_.group(1).toLong))
+    val eligible = versions.sorted.map(v => pin(spark, catRoot, v)).filter(_.ts <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no catalog snapshot at $catRoot published at or before $tsMillis")
+    eligible.maxBy(_.version)
+  }
+
+  /** Read `table` as the whole catalog stood at wall-clock `tsMillis`. */
+  def readAsOf(spark: SparkSession, catRoot: String, table: String, tsMillis: Long): DataFrame =
+    read(spark, pinAsOf(spark, catRoot, tsMillis), table)
+
   /** Read `table` through a pinned catalog state. */
   def read(spark: SparkSession, pinned: CatManifest, table: String): DataFrame = {
     val (root, v) = pinned.tables.getOrElse(table,

@@ -1,0 +1,65 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** One knob object for everything a snapshot table needs to stay healthy.
+  * Fields that are 0 / empty / negative mean "skip that step" — the
+  * default policy is metadata-only (consolidate manifest shards, touch
+  * nothing else), the cheapest always-safe setting.
+  *
+  * @param compactTargetFiles > 0: rewrite the head's data into this many
+  *   files ([[Snapshots.compact]]) — the small-file fix
+  * @param zorderDims non-empty: the data rewrite z-order-clusters on these
+  *   dimensions instead ([[Snapshots.compactZOrder]]) — the range-pruning
+  *   fix; `compactTargetFiles` then sizes the layout (min 1)
+  * @param statsCols per-file min/max stats to collect on the rewrite
+  *   (z-order defaults to its own dims when empty)
+  * @param compactManifests consolidate accumulated metadata shards into
+  *   one ([[Snapshots.compactManifests]]); cheap, default on
+  * @param vacuumKeepLast > 0: destroy history beyond the newest N versions
+  *   ([[Snapshots.vacuum]]) — the only data-deleting step, default off
+  * @param orphanGraceMs >= 0: sweep unreferenced data/shard files older
+  *   than this grace window ([[Snapshots.vacuumOrphans]]); default off */
+final case class MaintenancePolicy(
+    compactTargetFiles: Int = 0,
+    zorderDims: Seq[String] = Seq.empty,
+    statsCols: Seq[String] = Seq.empty,
+    compactManifests: Boolean = true,
+    vacuumKeepLast: Int = 0,
+    orphanGraceMs: Long = -1L)
+
+/** Consolidated table maintenance — the verbs [[Snapshots]] exposes one by
+  * one (compact, z-order, manifest consolidation, vacuum, orphan sweep),
+  * sequenced under a single policy object so operators stop hand-ordering
+  * five calls. The order is the safe one:
+  *
+  *  1. data rewrite (compact / z-order) — creates a new version; doing it
+  *     first lets the same run's vacuum reclaim the pre-rewrite layout if
+  *     retention allows;
+  *  2. manifest consolidation — metadata only, bounds shard-ref growth;
+  *  3. vacuum — drops old manifests and the files only they referenced;
+  *  4. orphan sweep — unreferenced debris behind its grace window.
+  *
+  * Every step is the public verb itself, so `maintain` is exactly
+  * equivalent to the manual sequence (the spec pins that). Returns the
+  * head version after maintenance. */
+object Maintain {
+
+  def maintain(
+      spark: SparkSession,
+      root: String,
+      policy: MaintenancePolicy = MaintenancePolicy()): Long = {
+    if (policy.zorderDims.nonEmpty)
+      Snapshots.compactZOrder(spark, root, policy.zorderDims,
+        math.max(policy.compactTargetFiles, 1), policy.statsCols)
+    else if (policy.compactTargetFiles > 0)
+      Snapshots.compact(spark, root, policy.compactTargetFiles, policy.statsCols)
+    if (policy.compactManifests)
+      Snapshots.compactManifests(spark, root)
+    if (policy.vacuumKeepLast > 0)
+      Snapshots.vacuum(spark, root, policy.vacuumKeepLast)
+    if (policy.orphanGraceMs >= 0)
+      Snapshots.vacuumOrphans(spark, root, policy.orphanGraceMs)
+    Snapshots.headVersion(spark, root)
+  }
+}

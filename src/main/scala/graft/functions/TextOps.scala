@@ -53,28 +53,33 @@ object TextOps {
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): org.apache.spark.sql.DataFrame = {
+      n: Int,
+      keep: Seq[String] = Seq.empty): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(idCol).orderBy("pos")
     val leads = (1 until n).map(k => lead(col("w"), k).over(w))
     val full = if (leads.isEmpty) lit(true) else leads.last.isNotNull
-    df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
-      .select(col(idCol), col("pos"),
+    val keepCols = keep.map(col)
+    df.select(col(idCol) +: keepCols :+ posexplode(tokens(col(textCol))).as(Seq("pos", "w")): _*)
+      .select(col(idCol) +: keepCols ++: Seq(col("pos"),
         concat_ws(" ", col("w") +: leads: _*).as("s"),
-        full.as("__full"))
+        full.as("__full")): _*)
       .filter(col("__full")).drop("__full")
   }
 
-  /** Distinct word n-gram postings as rows: (idCol, "s") — the high-volume
-    * form of [[shingles]], derived from [[positionalShingles]]. Cost shape
-    * at scale: one exchange on the id (the window), one on (id, shingle)
-    * for the distinct — both ∝ corpus token count. */
+  /** Distinct word n-gram postings as rows: (idCol [, keep...], "s") — the
+    * high-volume form of [[shingles]], derived from [[positionalShingles]].
+    * `keep` carries per-document columns (functionally dependent on idCol)
+    * through the explode. Cost shape at scale: one exchange on the id (the
+    * window), one on (id, shingle) for the distinct — both ∝ corpus token
+    * count. */
   def shinglePostings(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,
       textCol: String,
-      n: Int): org.apache.spark.sql.DataFrame =
-    positionalShingles(df, idCol, textCol, n)
+      n: Int,
+      keep: Seq[String] = Seq.empty): org.apache.spark.sql.DataFrame =
+    positionalShingles(df, idCol, textCol, n, keep)
       .drop("pos")
       .dropDuplicates(idCol, "s")
 

@@ -374,13 +374,17 @@ object TrainingOps {
         |FROM tr JOIN ev ON ev.gh = tr.gh
         |GROUP BY tr.doc_id ORDER BY train_doc""".stripMargin) { (spark, dir) =>
       val docs = Tables(spark, dir, "documents").select("doc_id", "source", "text")
-      def grams(d: DataFrame) =
-        TextOps.shinglePostings(d, "doc_id", "text", 8)
-          .select(col("doc_id"), md5(col("s")).as("gh"))
-      val ev = grams(docs.filter(col("source") === "src0"))
-        .withColumnRenamed("doc_id", "eval_doc")
-      val tr0 = grams(docs.filter(col("source") =!= "src0"))
-        .withColumnRenamed("doc_id", "train_doc")
+      // ONE tokenize+shingle pass feeds both branches: the (doc, gram-hash,
+      // source) postings persist, so the dominant cost — tokenizing and
+      // shingling the corpus — runs once, where per-branch derivation
+      // re-scanned and re-tokenized `documents` for each side
+      val g = TextOps.shinglePostings(docs, "doc_id", "text", 8, keep = Seq("source"))
+        .select(col("doc_id"), col("source"), md5(col("s")).as("gh"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val ev = g.filter(col("source") === "src0")
+        .select(col("doc_id").as("eval_doc"), col("gh"))
+      val tr0 = g.filter(col("source") =!= "src0")
+        .select(col("doc_id").as("train_doc"), col("gh"))
       val hot = tr0.groupBy("gh").agg(count(lit(1)).as("df"))
         .filter(col("df") > Pipeline.DfCap).select("gh")
       val tr = tr0.join(hot, Seq("gh"), "left_anti")

@@ -23,6 +23,13 @@ import graft.engine.{Incremental, Snapshots}
   */
 object IncrementalView {
 
+  /** @param keyed route the per-trigger refresh through
+    *   [[Incremental.refreshKeyed]] instead of [[Incremental.refresh]]:
+    *   the state lives as a `__gh`-keyed snapshot and each trigger merges
+    *   ONLY the touched groups' state files instead of rewriting the whole
+    *   state. Same exactly-once tags; the right mode the moment the state
+    *   is vocab-sized (trigger cost must be ∝ the batch's groups, not the
+    *   group universe). */
   def start(
       source: DataFrame,
       root: String,
@@ -31,12 +38,13 @@ object IncrementalView {
       groupCols: Seq[String],
       sumCols: Seq[String],
       expand: DataFrame => DataFrame = identity,
-      statsCols: Seq[String] = Seq.empty): StreamingQuery =
+      statsCols: Seq[String] = Seq.empty,
+      keyed: Boolean = false): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        ingest(batch, id, root, aggRoot, groupCols, sumCols, expand, statsCols)
+        ingest(batch, id, root, aggRoot, groupCols, sumCols, expand, statsCols, keyed)
       }
       .start()
 
@@ -50,10 +58,14 @@ object IncrementalView {
       groupCols: Seq[String],
       sumCols: Seq[String],
       expand: DataFrame => DataFrame = identity,
-      statsCols: Seq[String] = Seq.empty): Unit = {
+      statsCols: Seq[String] = Seq.empty,
+      keyed: Boolean = false): Unit = {
     Snapshots.commitIfAbsent(batch, root, tag = s"batch-$batchId",
       append = true, statsCols = statsCols)
-    Incremental.refresh(batch.sparkSession, root, aggRoot, groupCols, sumCols, expand)
+    if (keyed)
+      Incremental.refreshKeyed(batch.sparkSession, root, aggRoot, groupCols, sumCols, expand)
+    else
+      Incremental.refresh(batch.sparkSession, root, aggRoot, groupCols, sumCols, expand)
     ()
   }
 }

@@ -121,4 +121,39 @@ class CatalogSpec extends SparkSpec {
       assert(Catalog.read(spark, head, n).count() === 1, s"table $n unreadable")
     }
   }
+
+  test("pinAsOf time-travels the whole catalog by wall clock, ties to the highest version") {
+    val cat = tmp()
+    val (docsRoot, labsRoot) = (tmp() + "/docs", tmp() + "/labels")
+    Catalog.commit(spark, cat, Map(
+      "docs" -> (docsRoot, Seq((1L, "alpha")).toDF("id", "text")),
+      "labels" -> (labsRoot, Seq((1L, "good")).toDF("id", "label"))))
+    Catalog.commit(spark, cat, Map(
+      "docs" -> (docsRoot, Seq((2L, "beta")).toDF("id", "text")),
+      "labels" -> (labsRoot, Seq((2L, "bad")).toDF("id", "label"))))
+    val m1 = Catalog.pin(spark, cat, 1)
+    val m2 = Catalog.pin(spark, cat, 2)
+
+    // asking at (or after) v2's publish instant resolves to v2 — even when
+    // v1 landed in the SAME millisecond, the tie breaks to the highest
+    // version (the state that instant settled on), consistent with
+    // table-level Snapshots.readAsOf
+    assert(Catalog.pinAsOf(spark, cat, m2.ts).version === 2L)
+    assert(Catalog.pinAsOf(spark, cat, m2.ts + 1000).version === 2L)
+    // asking just before v1 existed: nothing to pin
+    val e = intercept[IllegalArgumentException](
+      Catalog.pinAsOf(spark, cat, m1.ts - 1))
+    assert(e.getMessage.contains("published at or before"))
+    // between the two commits (when they are distinguishable): v1
+    if (m1.ts < m2.ts)
+      assert(Catalog.pinAsOf(spark, cat, m2.ts - 1).version === 1L)
+    // the whole-lake read: every table resolves through ONE wall-clock pin
+    assert(Catalog.readAsOf(spark, cat, "docs", m2.ts).count() === 2)
+    val asOf1 = Catalog.pinAsOf(spark, cat, m1.ts)
+    if (m1.ts < m2.ts) {
+      assert(asOf1.version === 1L)
+      assert(Catalog.read(spark, asOf1, "docs").count() === 1)
+      assert(Catalog.read(spark, asOf1, "labels").count() === 1)
+    }
+  }
 }
