@@ -246,6 +246,13 @@ object Incremental {
     // runs once, not once per consumer job
     val keyed = deltaState.withColumn("__gh", gh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // a FILE-identical source change (a restore republishing the exact
+    // prior file list) yields a ZERO-ROW delta: the state content is
+    // already right, and merge cannot take a key-less batch. Skip the
+    // fold; the reflected tag stays at the older version, which names
+    // content identical to srcHead, so the next real delta still computes
+    // from a correct base.
+    if (keyed.limit(1).count() == 0) { keyed.unpersist(); return srcHead }
     try {
       // stats-pruned read of exactly the touched groups' state rows
       // (tombstones included — they are real state for the fold)
@@ -261,11 +268,17 @@ object Incremental {
             sum(col(s"sum_$c")).cast(Measure).as(s"sum_$c")): _*)
         .withColumn("__gh", gh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try Snapshots.merge(folded, aggRoot, key = "__gh", statsCols = Seq("__gh"),
-        tag = srcTag(srcHead), requireHead = aggHead)
-      finally folded.unpersist()
+      try {
+        Snapshots.merge(folded, aggRoot, key = "__gh", statsCols = Seq("__gh"),
+          tag = srcTag(srcHead), requireHead = aggHead)
+        // cheap gate on the (persisted, touched-groups-sized) fold: only a
+        // refresh that CREATED tombstones can push the fraction over the
+        // threshold, so the common append-shaped refresh skips the
+        // state-wide policy count entirely
+        if (folded.filter(col("n_rows") === 0).limit(1).count() > 0)
+          maybeCompactTombstones(spark, aggRoot, stateFiles, tombstoneCompactAt)
+      } finally folded.unpersist()
     } finally keyed.unpersist()
-    maybeCompactTombstones(spark, aggRoot, stateFiles, tombstoneCompactAt)
     srcHead
   }
 

@@ -372,5 +372,94 @@ object Lake {
         .filter(col("n_rows") >= 25)
         .orderBy("w")
     },
+
+    // ---- q91: catalog WALL-CLOCK travel — two catalog commits land orders
+    //           slices under one catalog; the query pins the catalog AS OF
+    //           the instant the FIRST commit published and joins through
+    //           that pin. The oracle joins the first slice directly —
+    //           equality proves pinAsOf resolves every member table to the
+    //           versions jointly visible at that wall-clock instant ("the
+    //           lake as the Tuesday run saw it"), not the later head. The
+    //           query spins until the clock advances past v1's publish ms
+    //           before committing v2, so the ts order (and therefore the
+    //           pin) is deterministic on any clock. ----
+    OracleQuery(
+      "q91_catalog_asof",
+      s"""SELECT c.c_mktsegment, COUNT(*) AS n,
+         |  ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_price
+         |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+         |WHERE o.o_orderkey % 4 = 0
+         |GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val cat = s"$lakeBase/cat_asof"
+      val fsys = new Path(cat).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(cat, s"$lakeBase/cat_asof_orders", s"$lakeBase/cat_asof_customer")
+        .foreach(p => fsys.delete(new Path(p), true))
+      val orders = Tables(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+      Catalog.commit(spark, cat, Map(
+        "orders" -> (s"$lakeBase/cat_asof_orders",
+          orders.filter(col("o_orderkey") % 4 === 0)),
+        "customer" -> (s"$lakeBase/cat_asof_customer",
+          Tables(spark, dir, "customer").select("c_custkey", "c_mktsegment"))))
+      val t1 = Catalog.pin(spark, cat, 1).ts
+      // make v2's publish instant strictly later than v1's, so asking "as
+      // of t1" has exactly one right answer (ties go to the higher version)
+      while (System.currentTimeMillis() <= t1) Thread.sleep(1)
+      Catalog.commit(spark, cat, Map(
+        "orders" -> (s"$lakeBase/cat_asof_orders",
+          orders.filter(col("o_orderkey") % 4 === 2))))
+      val pinned = Catalog.pinAsOf(spark, cat, t1)
+      Catalog.read(spark, pinned, "orders")
+        .join(Catalog.read(spark, pinned, "customer"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          graft.engine.Det.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- q92: consolidated maintenance under the gate — a table built by
+    //           two commits and a key-set delete goes through ONE
+    //           Maintain.maintain call (z-order rewrite + manifest
+    //           consolidation + vacuum to head-only + orphan sweep), then a
+    //           stats-pruned range read. The oracle recomputes the final
+    //           logical state directly — equality proves the whole
+    //           maintenance pipeline is content-preserving AND readRange
+    //           stays exact over the re-clustered post-vacuum layout (the
+    //           lifecycle a 100 TB table actually lives: ingest, erase,
+    //           maintain, range-scan). ----
+    OracleQuery(
+      "q92_maintain_lifecycle",
+      """WITH s AS (
+        |  SELECT * FROM orders
+        |  WHERE o_orderkey % 3 IN (0, 1) AND o_orderkey % 30 <> 0)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_custkey AS BIGINT)) AS BIGINT) AS sum_cust
+        |FROM s WHERE o_custkey BETWEEN 100 AND 900
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_maint"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val base = Tables(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      Snapshots.commit(base.filter(col("o_orderkey") % 3 === 0), root,
+        statsCols = Seq("o_orderkey"))
+      Snapshots.commit(base.filter(col("o_orderkey") % 3 === 1), root,
+        append = true, statsCols = Seq("o_orderkey"))
+      Snapshots.delete(
+        base.filter(col("o_orderkey") % 30 === 0).select("o_orderkey"),
+        root, key = "o_orderkey")
+      graft.engine.Maintain.maintain(spark, root,
+        graft.engine.MaintenancePolicy(
+          compactTargetFiles = 4, zorderDims = Seq("o_custkey"),
+          vacuumKeepLast = 1, orphanGraceMs = 0L))
+      Snapshots.readRange(spark, root, "o_custkey", 100, 900)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_custkey").cast("long")).as("sum_cust"))
+        .orderBy("o_orderstatus")
+    },
   )
 }

@@ -32,6 +32,7 @@ object IncrementalProps extends Properties("Incremental") {
   private case class Delete(keys: List[Long]) extends Op
   private case class Overwrite(rows: List[(Long, String, Long)]) extends Op
   private case object Compact extends Op
+  private case object Restore extends Op
 
   private val grps = Seq("a", "b", "c")
   private def rowGen(ids: Gen[Long]): Gen[(Long, String, Long)] = for {
@@ -45,7 +46,10 @@ object IncrementalProps extends Properties("Incremental") {
     3 -> Gen.nonEmptyListOf(rowGen(Gen.choose(0L, 200L))).map(Merge.apply),
     2 -> Gen.nonEmptyListOf(Gen.choose(0L, 200L)).map(Delete.apply),
     1 -> Gen.nonEmptyListOf(rowGen(Gen.choose(0L, 200L))).map(Overwrite.apply),
-    2 -> Gen.const(Compact))
+    2 -> Gen.const(Compact),
+    // source-table rollback (round 8): restore is a content-CHANGING new
+    // commit; the next refresh must fold the inverse delta exactly
+    1 -> Gen.const(Restore))
 
   private val caseGen: Gen[(List[(Long, String, Long)], List[Op])] = for {
     base <- Gen.nonEmptyListOf(rowGen(Gen.choose(0L, 200L)))
@@ -89,6 +93,8 @@ object IncrementalProps extends Properties("Incremental") {
             Snapshots.commit(df(dedupByKey(rows)), root, statsCols = Seq("id"))
           case Compact =>
             Snapshots.compact(spark, root, targetFiles = 2, statsCols = Seq("id"))
+          case Restore =>
+            Snapshots.restore(spark, root, 1)
         }
         stateOk()
       }
@@ -127,6 +133,8 @@ object IncrementalProps extends Properties("Incremental") {
             Snapshots.commit(df(dedupByKey(rows)), root, statsCols = Seq("id"))
           case Compact =>
             Snapshots.compact(spark, root, targetFiles = 2, statsCols = Seq("id"))
+          case Restore =>
+            Snapshots.restore(spark, root, 1)
         }
         stateOk()
       }
