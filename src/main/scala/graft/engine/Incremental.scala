@@ -459,6 +459,76 @@ object Incremental {
         .drop(s"hll_$c")
     }
 
+  /** HISTOGRAM family: per-group fixed-width bin counts of `valueCol` —
+    * the distribution sketch behind incrementally-maintained quantiles
+    * (corpus quality-score drift, length distributions: the summaries a
+    * curation pipeline watches per ingest batch, where re-scanning 100 TB
+    * per refresh is the thing being avoided).
+    *
+    * The theory pull: a histogram is FULLY ADDITIVE — bin counts are sums,
+    * so the signed delta maintains it EXACTLY under every change shape.
+    * Deletes just subtract (a −1 row cancels its +1 twin's bin count),
+    * where the HLL family ([[refreshApproxDistinct]]) must recompute
+    * touched groups because a sketch cannot un-merge. The maintained state
+    * is bit-identical to a from-scratch rebuild after ANY lifecycle —
+    * approximation lives only in the read-side estimator's bin resolution
+    * (`binWidth`), never in the maintenance. State schema: groupCols,
+    * `__bin` (BIGINT, floor(value / binWidth); the null-valued rows are
+    * excluded — they carry no distribution information), `n_rows`.
+    *
+    * Composition, not new machinery: this IS [[refresh]] with the bin as a
+    * derived group column (the expand hook's row-local contract holds —
+    * each row's bin is a function of that row alone), so it inherits the
+    * src-v tagging, replay protection, restore handling, and
+    * vacuumed-base recompute path unchanged. Bin count per group is
+    * bounded by value range / binWidth — dashboard-sized, the [[refresh]]
+    * whole-state-rewrite cost model's sweet spot. */
+  def refreshHistogram(
+      spark: SparkSession,
+      srcRoot: String,
+      aggRoot: String,
+      groupCols: Seq[String],
+      valueCol: String,
+      binWidth: Double): Long = {
+    require(binWidth > 0, "binWidth must be positive")
+    refresh(spark, srcRoot, aggRoot, groupCols :+ "__bin", Seq.empty,
+      expand = d => d.filter(col(valueCol).isNotNull)
+        .withColumn("__bin",
+          floor(col(valueCol).cast(DoubleType) / binWidth).cast("long")))
+  }
+
+  /** Quantile estimates from a maintained histogram state: for each group
+    * and each p in `ps`, the LOWER BOUND of the first bin (ascending) whose
+    * cumulative count reaches rank ⌈p·total⌉. Resolution is binWidth — the
+    * histogram's honest precision — and every step is exact integer/double
+    * arithmetic (rank and cumulative are BIGINTs, the bound is bin·width),
+    * so the estimate is bit-identical in any engine: no interpolation
+    * division whose rounding could differ. Output: groupCols, `p`,
+    * `q_est` (DOUBLE), one row per group × p. */
+  def readQuantiles(
+      spark: SparkSession,
+      aggRoot: String,
+      groupCols: Seq[String],
+      ps: Seq[Double],
+      binWidth: Double): DataFrame = {
+    require(ps.nonEmpty, "need at least one quantile point")
+    import org.apache.spark.sql.expressions.Window
+    val gcols = groupCols.map(col)
+    val cum = Snapshots.read(spark, aggRoot)
+      .withColumn("cum",
+        sum(col("n_rows")).over(Window.partitionBy(gcols: _*).orderBy(col("__bin"))))
+      .withColumn("total",
+        sum(col("n_rows")).over(Window.partitionBy(gcols: _*)))
+    // small literal explode: |ps| rows per (group, bin) — the state is
+    // dashboard-sized by the histogram contract, this is not a data join
+    cum.withColumn("p", explode(array(ps.map(lit): _*)))
+      .filter(col("cum") >= greatest(lit(1L), ceil(col("p") * col("total"))))
+      .groupBy(gcols :+ col("p"): _*)
+      .agg(min(col("__bin")).as("__qbin"))
+      .withColumn("q_est", col("__qbin") * lit(binWidth))
+      .drop("__qbin")
+  }
+
   /** One signed grouped pass: n_rows = Σ sign, sum_<c> = Σ sign·c — the
     * shape both the delta and a from-scratch build share (a full build is
     * the delta from the empty base). */

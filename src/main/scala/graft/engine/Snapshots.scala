@@ -214,6 +214,64 @@ object Snapshots {
     }
   }
 
+  /** ZERO-COPY adoption of an existing plain-parquet directory as a
+    * snapshot table (the CONVERT-in-place shape): version 1 is published
+    * referencing the directory's existing files — no row is rewritten, no
+    * byte is copied. At 100 TB this is the only viable migration path onto
+    * the snapshot layer: a copy-based import would cost a full table
+    * rewrite before the first transactional commit could land. The one
+    * scan this pays is per-file min/max collection for `statsCols` (one
+    * distributed aggregation row per file — and only if stats are asked
+    * for), after which every snapshot operation works unchanged: appends
+    * land beside the adopted files under `data/`, merge/delete rewrite
+    * only the files their keys touch (adopted files carry by manifest
+    * reference), time travel to v1 is the original directory, and
+    * [[vacuum]] takes ownership — an adopted file is deleted like any
+    * other once no retained manifest references it. The directory keeps
+    * serving plain `spark.read.parquet(root)` readers until the first
+    * overwrite/merge commit (the adopted files are untouched in place;
+    * `_snapshots/` is metadata beside them, underscore-prefixed so
+    * FileIndex listings skip it) — cutover can be gradual.
+    *
+    * Hive-partitioned layouts (`k=v` path components) are REFUSED loudly:
+    * their partition values live in paths, not file contents, so adopting
+    * the bare files would silently drop those columns. Materialize the
+    * partition columns into the data (one rewrite) or keep the directory
+    * on [[graft.queries.Lake]]'s hive reader. Duplicate basenames are
+    * likewise refused when stats are requested — [[ColStats]] keys by
+    * basename (unique by construction for Spark-written part files). */
+  def convertInPlace(
+      spark: SparkSession,
+      root: String,
+      statsCols: Seq[String] = Seq.empty): Long = {
+    require(headVersion(spark, root) == 0,
+      s"$root already has a snapshot history — convertInPlace adopts plain directories only")
+    val f = fs(spark, root)
+    def walk(p: Path): Seq[String] =
+      f.listStatus(p).toSeq.flatMap { st =>
+        val name = st.getPath.getName
+        if (name.startsWith("_") || name.startsWith(".")) Seq.empty
+        else if (st.isDirectory) {
+          require(!name.contains("="),
+            s"$root looks hive-partitioned ('$name'): partition values live in paths, " +
+              "not files — materialize them into the data before converting")
+          walk(st.getPath)
+        } else if (name.endsWith(".parquet")) Seq(st.getPath.toString)
+        else Seq.empty
+      }
+    val files = walk(new Path(root)).sorted
+    require(files.nonEmpty, s"no parquet files under $root to convert")
+    require(statsCols.isEmpty ||
+      files.map(new Path(_).getName).distinct.size == files.size,
+      s"duplicate basenames under $root — per-file stats key by basename; " +
+        "convert without statsCols or deduplicate the layout first")
+    val schema = spark.read.parquet(files: _*).schema
+    val ref = writeShard(spark, root, files, collectStats(spark, files, statsCols))
+    publishMeta(spark, root, tag = "", requireHead = 0L) { _ =>
+      (Seq(ref), if (schema.fields.isEmpty) "" else schema.json)
+    }
+  }
+
   /** The parent's shard refs, materializing a pre-shard (inline) manifest
     * into a real shard once so it can be carried by reference forever
     * after — the lazy migration path for old tables. */
@@ -245,7 +303,7 @@ object Snapshots {
     val written = f.listStatus(new Path(dataDir)).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted
-    (written, collectStats(spark, dataDir, statsCols))
+    (written, collectStats(spark, Seq(dataDir), statsCols))
   }
 
   /** Additive schema evolution: the carried schema plus any columns the
@@ -485,17 +543,20 @@ object Snapshots {
   }
 
   /** One scan of the freshly-written files (only — never the table) for
-    * per-file min/max of the requested numeric columns. */
+    * per-file min/max of the requested numeric columns. `paths` may be a
+    * directory (the write-batch case) or an explicit file list (the
+    * [[convertInPlace]] adoption case) — either way the scan is exactly
+    * those files, distributed, one aggregation row per file. */
   private def collectStats(
       spark: SparkSession,
-      dataDir: String,
+      paths: Seq[String],
       statsCols: Seq[String]): Seq[ColStats] = {
     if (statsCols.isEmpty) return Seq.empty
     import org.apache.spark.sql.functions._
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"min_$c"),
       max(col(c).cast("double")).as(s"max_$c")))
-    spark.read.parquet(dataDir)
+    spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()

@@ -461,5 +461,155 @@ object Lake {
           sum(col("o_custkey").cast("long")).as("sum_cust"))
         .orderBy("o_orderstatus")
     },
+
+    // ---- q93: zero-copy CONVERT — a pre-existing plain parquet directory
+    //           (two ordinary spark writes, no snapshot machinery) is
+    //           ADOPTED in place by convertInPlace (v1 references the
+    //           original files; ConvertSpec pins that nothing is copied),
+    //           then lives the transactional life: an append commit and a
+    //           copy-on-write key delete land on top, and the final state
+    //           is range-read through the adopted+committed stats. The
+    //           oracle recomputes that final logical state from the source
+    //           table directly — equality proves adoption is lossless and
+    //           every later snapshot operation composes with adopted files
+    //           exactly as with written ones (the 100 TB migration story:
+    //           transactional from commit 1, zero rewrite). ----
+    OracleQuery(
+      "q93_convert_in_place",
+      """WITH s AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus FROM orders
+        |  WHERE o_orderkey % 2 = 1 AND o_orderkey % 5 <> 0)
+        |SELECT o_orderstatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(o_orderkey AS BIGINT)) AS BIGINT) AS sum_key
+        |FROM s WHERE o_orderkey % 40 <> 0 AND o_custkey BETWEEN 150 AND 850
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_convert"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val base = Tables(spark, dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      // the PLAIN directory: ordinary writes, no snapshot layer in sight
+      base.filter(col("o_orderkey") % 2 === 0)
+        .repartition(3).write.parquet(root)
+      // adopt in place, then transact on top
+      Snapshots.convertInPlace(spark, root, statsCols = Seq("o_custkey"))
+      Snapshots.commit(
+        base.filter(col("o_orderkey") % 2 === 1 && col("o_orderkey") % 5 =!= 0),
+        root, append = true, statsCols = Seq("o_custkey"))
+      Snapshots.delete(
+        base.filter(col("o_orderkey") % 40 === 0).select("o_orderkey"),
+        root, key = "o_orderkey")
+      Snapshots.readRange(spark, root, "o_custkey", 150, 850)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey").cast("long")).as("sum_key"))
+        .orderBy("o_orderstatus")
+    },
+
+    // ---- q95: incrementally-maintained QUANTILES — a per-lang histogram
+    //           state (fixed 200-char bins over n_chars) is maintained
+    //           through commit → copy-on-write repricing merge → key
+    //           delete, refreshing after each, then read as p25/p50/p90
+    //           estimates. The oracle rebuilds the histogram from the
+    //           FINAL logical state and applies the same rank rule —
+    //           equality proves the additive sketch maintains EXACTLY
+    //           under deletes (a −1 delta row cancels its bin count; no
+    //           recompute path, the thing HLL cannot do) and the estimator
+    //           is pure integer/double arithmetic, bit-identical across
+    //           engines. At 100 TB: distribution drift per ingest batch at
+    //           delta cost, never a corpus re-scan. ----
+    OracleQuery(
+      "q95_histogram_quantiles",
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN n_chars + 100 ELSE n_chars END AS n_chars
+        |  FROM documents WHERE doc_id % 11 <> 0),
+        |b AS (SELECT lang, CAST(FLOOR(n_chars / CAST(200.0 AS DOUBLE)) AS BIGINT) AS bin,
+        |        COUNT(*) AS n
+        |      FROM s GROUP BY lang, bin),
+        |c AS (SELECT lang, bin,
+        |        SUM(n) OVER (PARTITION BY lang ORDER BY bin) AS cum,
+        |        SUM(n) OVER (PARTITION BY lang) AS total FROM b),
+        |q AS (SELECT lang, p, MIN(bin) AS qbin
+        |      FROM c CROSS JOIN
+        |        (SELECT CAST(UNNEST([0.25, 0.5, 0.9]) AS DOUBLE) AS p) ps
+        |      WHERE cum >= GREATEST(1, CEIL(p * total))
+        |      GROUP BY lang, p)
+        |SELECT lang, p, qbin * CAST(200.0 AS DOUBLE) AS q_est
+        |FROM q ORDER BY lang, p""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val src = s"$lakeBase/docs_hist_src"
+      val st = s"$lakeBase/docs_hist_state"
+      val fsys = new Path(src).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(src, st).foreach(p => fsys.delete(new Path(p), true))
+      val docs = Tables(spark, dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+      Snapshots.commit(docs, src, statsCols = Seq("doc_id"))
+      Incremental.refreshHistogram(spark, src, st, Seq("lang"), "n_chars", 200.0)
+      // repricing merge: every 7th doc grows by 100 chars — its old bin
+      // count −1s away, its new bin +1s in
+      Snapshots.merge(
+        docs.filter(col("doc_id") % 7 === 0)
+          .withColumn("n_chars", col("n_chars") + 100),
+        src, key = "doc_id", statsCols = Seq("doc_id"))
+      Incremental.refreshHistogram(spark, src, st, Seq("lang"), "n_chars", 200.0)
+      Snapshots.delete(
+        docs.filter(col("doc_id") % 11 === 0).select("doc_id"),
+        src, key = "doc_id")
+      Incremental.refreshHistogram(spark, src, st, Seq("lang"), "n_chars", 200.0)
+      Incremental.readQuantiles(spark, st, Seq("lang"), Seq(0.25, 0.5, 0.9), 200.0)
+        .orderBy("lang", "p")
+    },
+
+    // ---- q96: SCD2 dimension maintenance — three observation batches
+    //           (initial load; a segment shift for every 5th customer; a
+    //           second shift for every 10th) fold into a versioned
+    //           dimension via Scd.merge, and the ENTIRE row-level history
+    //           (every version with its validity interval) goes under the
+    //           hash gate. The oracle constructs the expected interval set
+    //           directly from the batch definitions — equality proves the
+    //           close-and-insert algebra: unchanged keys keep one open
+    //           interval, changed keys chain intervals end to start, and
+    //           only observed keys are ever touched. valid_to=0 renders
+    //           the open interval (NULL would drift dtypes across
+    //           engines). ----
+    OracleQuery(
+      "q96_scd2_dimension",
+      """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer)
+        |SELECT c_custkey, c_mktsegment AS seg,
+        |  CAST(1000 AS BIGINT) AS valid_from,
+        |  CAST(CASE WHEN c_custkey % 5 = 0 THEN 2000 ELSE 0 END AS BIGINT) AS valid_to
+        |FROM c
+        |UNION ALL
+        |SELECT c_custkey, 'SHIFTED', CAST(2000 AS BIGINT),
+        |  CAST(CASE WHEN c_custkey % 10 = 0 THEN 3000 ELSE 0 END AS BIGINT)
+        |FROM c WHERE c_custkey % 5 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'BACK', CAST(3000 AS BIGINT), CAST(0 AS BIGINT)
+        |FROM c WHERE c_custkey % 10 = 0
+        |ORDER BY c_custkey, valid_from""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/customer_scd"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val cust = Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      graft.engine.Scd.merge(cust, root, "c_custkey", ts = 1000,
+        statsCols = Seq("c_custkey"))
+      graft.engine.Scd.merge(
+        cust.filter(col("c_custkey") % 5 === 0).withColumn("seg", lit("SHIFTED")),
+        root, "c_custkey", ts = 2000, statsCols = Seq("c_custkey"))
+      graft.engine.Scd.merge(
+        cust.filter(col("c_custkey") % 10 === 0).withColumn("seg", lit("BACK")),
+        root, "c_custkey", ts = 3000, statsCols = Seq("c_custkey"))
+      Snapshots.read(spark, root)
+        .select(col("c_custkey"), col("seg"), col("valid_from"),
+          coalesce(col("valid_to"), lit(0L)).as("valid_to"))
+        .orderBy("c_custkey", "valid_from")
+    },
   )
 }

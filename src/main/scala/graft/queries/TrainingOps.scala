@@ -394,5 +394,41 @@ object TrainingOps {
           countDistinct("eval_doc").as("n_eval_docs"))
         .orderBy("train_doc")
     },
+
+    // ---- q94: deterministic HOLDOUT carve-out — exactly k docs per
+    //           stratum become the eval split, the complement trains (the
+    //           fixed-BUDGET companion to q54's keep-RATE sampling: "50
+    //           eval docs per language", not "25% of each"). Rank = md5 of
+    //           a salted doc id, so membership is a pure function of the
+    //           row: the same doc is in the same split on every engine,
+    //           retry, and rerun, and a re-carve after the corpus grows
+    //           moves as few docs as possible (ranks of surviving docs
+    //           never change relative order). ONE pass: the rank labels
+    //           both splits in the same window — no anti-join of "rest
+    //           minus sample", which at 100 TB would re-shuffle the corpus
+    //           a second time. Cost = one lang-keyed exchange + per-stratum
+    //           sort; both split aggregates ride the same scan. ----
+    OracleQuery(
+      "q94_holdout_split",
+      """WITH r AS (
+        |  SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY md5('holdout:' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN rn <= 50 THEN 'holdout' ELSE 'train' END AS split,
+        |  count(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM r GROUP BY lang, split ORDER BY lang, split""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(col("__h"), col("doc_id"))
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("__h", md5(concat(lit("holdout:"), col("doc_id").cast("string"))))
+        .withColumn("split",
+          when(row_number().over(w) <= 50, "holdout").otherwise("train"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").cast(LongType).as("total_chars"))
+        .orderBy("lang", "split")
+    },
   )
 }

@@ -139,4 +139,45 @@ object IncrementalProps extends Properties("Incremental") {
         stateOk()
       }
     }
+
+  // the additive-sketch claim under fire: random lifecycles (incl. deletes
+  // and restores) must keep the maintained histogram BIT-identical to a
+  // direct bin recompute — there is no touched-group recompute path to
+  // hide behind, cancellation alone has to carry it
+  property("refreshHistogram after every op ≡ bin recompute of the head") =
+    Prop.forAll(caseGen) { case (base, ops) =>
+      val root = "file:" + Files.createTempDirectory("incrph").toString + "/t"
+      val agg = "file:" + Files.createTempDirectory("incrph").toString + "/a"
+      Snapshots.commit(df(dedupByKey(base)), root, statsCols = Seq("id"))
+
+      def stateOk(): Boolean = {
+        Incremental.refreshHistogram(spark, root, agg, Seq("grp"), "v", 25.0)
+        val got = Snapshots.read(spark, agg)
+          .select("grp", "__bin", "n_rows")
+          .as[(String, Long, Long)].collect().toSet
+        val want = Snapshots.read(spark, root)
+          .withColumn("__bin", floor(col("v").cast("double") / 25.0).cast("long"))
+          .groupBy("grp", "__bin").agg(count(lit(1)).as("n"))
+          .as[(String, Long, Long)].collect().toSet
+        got == want
+      }
+
+      stateOk() && ops.forall { op =>
+        op match {
+          case Append(rows) =>
+            Snapshots.commit(df(rows), root, append = true, statsCols = Seq("id"))
+          case Merge(rows) =>
+            Snapshots.merge(df(dedupByKey(rows)), root, "id", statsCols = Seq("id"))
+          case Delete(keys) =>
+            Snapshots.delete(keys.toDF("id"), root, "id", statsCols = Seq("id"))
+          case Overwrite(rows) =>
+            Snapshots.commit(df(dedupByKey(rows)), root, statsCols = Seq("id"))
+          case Compact =>
+            Snapshots.compact(spark, root, targetFiles = 2, statsCols = Seq("id"))
+          case Restore =>
+            Snapshots.restore(spark, root, 1)
+        }
+        stateOk()
+      }
+    }
 }
