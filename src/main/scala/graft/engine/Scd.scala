@@ -114,4 +114,45 @@ object Scd {
   /** The current dimension rows (open intervals). */
   def current(spark: SparkSession, root: String): DataFrame =
     Snapshots.read(spark, root).filter(col("valid_to").isNull)
+
+  /** Enrich a fact table with the dimension version valid at EACH FACT'S
+    * OWN event time — the join every SCD2 dimension exists to serve
+    * ("which segment was this customer in when the order was placed",
+    * not "which segment are they in now"). `facts` must carry the
+    * dimension's natural `key` column and a BIGINT event-time column
+    * `tsCol`; the result is the facts with the dimension's attribute
+    * columns appended (validity bounds dropped — they were the join
+    * machinery, not the payload). A fact whose event time precedes the
+    * key's first version (or whose key the dimension never saw) keeps
+    * null attributes: left join, because dropping facts is a correctness
+    * decision the caller must make, not a join side effect.
+    *
+    * Scale shape: an EQUI-join on the natural key with the interval
+    * containment as residual — both sides hash-exchange on `key` alone
+    * (or the dimension broadcasts when small; AQE's call), never a range
+    * or cross join. The interval algebra guarantees at most one dimension
+    * row matches per (key, ts) — intervals chain end-to-start and never
+    * overlap ([[merge]]'s close-and-insert invariant, q96-gated) — so the
+    * join cannot fan out: output rows = fact rows, exactly. Version
+    * history depth per key is bounded by change frequency, not corpus
+    * size; a billion-fact day against a million-key dimension is a plain
+    * shuffled (or broadcast) hash join. */
+  def enrich(facts: DataFrame, root: String, key: String, tsCol: String): DataFrame = {
+    val spark = facts.sparkSession
+    require(facts.columns.contains(key), s"facts carry no '$key' column")
+    require(facts.columns.contains(tsCol), s"facts carry no '$tsCol' column")
+    val dim = Snapshots.read(spark, root)
+    val attrs = dim.columns.filterNot(c =>
+      c == key || c == "valid_from" || c == "valid_to").toSeq
+    require(!attrs.exists(facts.columns.contains),
+      s"fact/dimension column collision on ${attrs.filter(facts.columns.contains).mkString(", ")}")
+    facts.as("f").join(
+      dim.as("d"),
+      col(s"f.$key") === col(s"d.$key") &&
+        col("d.valid_from") <= col(s"f.$tsCol") &&
+        (col("d.valid_to").isNull || col(s"f.$tsCol") < col("d.valid_to")),
+      "left")
+      .select(facts.columns.map(c => col(s"f.$c")) ++
+        attrs.map(a => col(s"d.$a")): _*)
+  }
 }

@@ -677,6 +677,147 @@ object Snapshots {
     else readFiles(spark, m, keep).filter(pred)
   }
 
+  /** Predicate-driven read: the caller passes an ARBITRARY filter
+    * `Column` — the same expression they'd hand to `.filter` — and the
+    * manifest stats index prunes the file list automatically before the
+    * scan, with the full predicate still applied exactly afterwards. This
+    * is [[readRange]]'s UX fixed: no hand-lifting of bounds into (col,
+    * lo, hi) arguments, no knowledge of which columns carry stats; the
+    * pruner reads the ANALYZED Catalyst predicate (so it sees exactly
+    * what the engine will evaluate, casts and all) and mines it
+    * conservatively:
+    *
+    *  - top-level conjuncts split (`a && b` prunes by both);
+    *  - `<col> {<,<=,>,>=,=,<=>} <literal>` (either operand order) on a
+    *    stats column tightens that column's [lo, hi] band;
+    *  - `IN (literals)` prunes by per-file key-set membership
+    *    ([[candidateFilesForKeys]] — tighter than the list's envelope);
+    *  - widening numeric casts around the column (the analyzer's own
+    *    comparison coercions: int→long/double, float/decimal→double) are
+    *    looked through — they are monotonic, so a file's [min, max] maps
+    *    to the cast domain faithfully; truncating casts are NOT unwrapped
+    *    (double→int is not order-faithful against raw-column stats);
+    *  - anything else — OR trees, functions of the column, IS NULL,
+    *    opaque string predicates — contributes NO pruning for its
+    *    conjunct and the file survives. Conservative, never wrong.
+    *
+    * Files pruned = intersection across all mined constraints; result ≡
+    * `read(...).filter(cond)` by construction (spec-pinned, including
+    * randomized predicates), the index only shrinks the scan. At lake
+    * scale this is the difference between "the analyst's WHERE clause
+    * reads the z-order sliver" and "the analyst knew to call the right
+    * pruning API". */
+  def readWhere(
+      spark: SparkSession,
+      root: String,
+      cond: org.apache.spark.sql.Column,
+      version: Long = -1L): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import org.apache.spark.sql.types._
+    val v = if (version >= 0) version else headVersion(spark, root)
+    require(v > 0, s"no snapshot committed at $root yet")
+    val m = manifest(spark, root, v)
+    val full = readFiles(spark, m, m.files)
+    val filtered = full.filter(cond)
+    if (m.stats.isEmpty) return filtered
+    val statCols = m.stats.map(_.col).toSet
+
+    // the analyzed (resolved, coerced) predicate — what will actually run
+    val resolved: Option[Expression] =
+      filtered.queryExecution.analyzed.collectFirst { case f: LFilter => f.condition }
+
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    // monotonic (order-faithful) casts only: a file's raw-column [min,max]
+    // — recorded as doubles — brackets the cast values iff the cast is
+    // non-decreasing and the stats' own cast("double") commutes with it
+    def widening(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (ByteType | ShortType | IntegerType, LongType | FloatType | DoubleType) => true
+      case (LongType | FloatType, DoubleType) => true
+      case (_: DecimalType, DoubleType) => true
+      case (f, t) => f == t
+    }
+    def statAttr(e: Expression): Option[String] = e match {
+      case a: AttributeReference if statCols.contains(a.name) => Some(a.name)
+      case c: Cast if widening(c.child.dataType, c.dataType) => statAttr(c.child)
+      case _ => None
+    }
+    def litD(e: Expression): Option[Double] = e match {
+      case Literal(null, _) => None
+      case Literal(x, _) => x match {
+        case n: Number => Some(n.doubleValue)
+        case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
+        case _ => None
+      }
+      // the analyzer coerces the LITERAL side too (`id >= 250` becomes
+      // `id >= cast(250 as bigint)` in the analyzed plan — folding only
+      // happens later, in the optimizer); widening casts preserve the
+      // numeric value we mine
+      case c: Cast if widening(c.child.dataType, c.dataType) => litD(c.child)
+      case _ => None
+    }
+    // mine one conjunct into the files it permits (None = no constraint)
+    def permits(e: Expression): Option[Seq[String]] = e match {
+      case EqualTo(l, r) => point(l, r)
+      case EqualNullSafe(l, r) => point(l, r)
+      case GreaterThan(l, r) => band(l, r, loSide = true)
+      case GreaterThanOrEqual(l, r) => band(l, r, loSide = true)
+      case LessThan(l, r) => band(l, r, loSide = false)
+      case LessThanOrEqual(l, r) => band(l, r, loSide = false)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        statAttr(a).flatMap { c =>
+          val ks = vs.flatMap(litD)
+          if (ks.size != vs.size) None // a non-numeric/null element: no pruning
+          else {
+            val arr = ks.toArray; java.util.Arrays.sort(arr)
+            Some(candidateFilesForKeys(m, c, arr))
+          }
+        }
+      case InSet(a, hs) if hs.nonEmpty =>
+        statAttr(a).flatMap { c =>
+          val ks = hs.toSeq.collect { case n: Number => n.doubleValue }
+          if (ks.size != hs.size) None
+          else {
+            val arr = ks.toArray; java.util.Arrays.sort(arr)
+            Some(candidateFilesForKeys(m, c, arr))
+          }
+        }
+      case _ => None
+    }
+    def point(l: Expression, r: Expression): Option[Seq[String]] =
+      (statAttr(l), litD(r), statAttr(r), litD(l)) match {
+        case (Some(c), Some(x), _, _) => Some(candidateFiles(m, c, x, x))
+        case (_, _, Some(c), Some(x)) => Some(candidateFiles(m, c, x, x))
+        case _ => None
+      }
+    // `attr > lit` and `lit < attr` are the same lo-bound; mirror for hi.
+    // Strict vs non-strict collapses: candidate ranges are closed, so the
+    // closed band is a superset — conservative is correct
+    def band(l: Expression, r: Expression, loSide: Boolean): Option[Seq[String]] =
+      (statAttr(l), litD(r), statAttr(r), litD(l)) match {
+        case (Some(c), Some(x), _, _) =>
+          Some(if (loSide) candidateFiles(m, c, x, Double.PositiveInfinity)
+               else candidateFiles(m, c, Double.NegativeInfinity, x))
+        case (_, _, Some(c), Some(x)) =>
+          Some(if (loSide) candidateFiles(m, c, Double.NegativeInfinity, x)
+               else candidateFiles(m, c, x, Double.PositiveInfinity))
+        case _ => None
+      }
+
+    val constraints = resolved.toSeq.flatMap(conjuncts).flatMap(permits)
+    if (constraints.isEmpty) return filtered
+    val keepSet = constraints.map(_.toSet).reduce(_ intersect _)
+    if (keepSet.size == m.files.size) filtered
+    else if (keepSet.isEmpty)
+      // no file can satisfy the mined constraints: a provably-empty plan
+      // over the SAME relation keeps the schema on any manifest era
+      filtered.filter(org.apache.spark.sql.functions.lit(false))
+    else readFiles(spark, m, m.files.filter(keepSet)).filter(cond)
+  }
+
   /** Key-set read through the manifest index: scan only the files whose
     * recorded `c` range can contain one of `keys`' values, then filter
     * exactly (semi join on the distinct key set). Identical result to

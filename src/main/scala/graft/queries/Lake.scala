@@ -611,5 +611,107 @@ object Lake {
           coalesce(col("valid_to"), lit(0L)).as("valid_to"))
         .orderBy("c_custkey", "valid_from")
     },
+
+    // ---- q97: SCD2 AS-OF ENRICHMENT — the join the dimension history
+    //           exists to serve: each order is enriched with the customer
+    //           segment valid AT THAT ORDER'S OWN EVENT TIME (not the
+    //           current one). Facts get synthetic event times spanning the
+    //           three batch epochs (plus one BEFORE the dimension existed
+    //           — those keep null attributes, rendered 'NONE'), and the
+    //           grouped (ts, seg) counts go under the hash gate. The
+    //           oracle constructs the interval set from the batch
+    //           definitions and runs the same point-in-interval left join
+    //           — count equality proves the join cannot fan out (intervals
+    //           chain end-to-start, at most one version contains any ts)
+    //           and sum_key proves each fact landed on the RIGHT version.
+    //           Plan shape: equi-join on the key with the containment as
+    //           residual — hash exchange (or broadcast) on the key, never
+    //           a range/cross join. ----
+    OracleQuery(
+      "q97_scd2_enrich",
+      """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |dim AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |    CAST(1000 AS BIGINT) AS vf,
+        |    CASE WHEN c_custkey % 5 = 0 THEN CAST(2000 AS BIGINT) END AS vt
+        |  FROM c
+        |  UNION ALL
+        |  SELECT c_custkey, 'SHIFTED', CAST(2000 AS BIGINT),
+        |    CASE WHEN c_custkey % 10 = 0 THEN CAST(3000 AS BIGINT) END
+        |  FROM c WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'BACK', CAST(3000 AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM c WHERE c_custkey % 10 = 0),
+        |f AS (SELECT o_orderkey, o_custkey,
+        |        CAST(500 + (o_orderkey % 4) * 1000 AS BIGINT) AS ts
+        |      FROM orders)
+        |SELECT f.ts, COALESCE(d.seg, 'NONE') AS seg,
+        |  count(*) AS n_orders,
+        |  CAST(SUM(CAST(f.o_orderkey AS BIGINT)) AS BIGINT) AS sum_key
+        |FROM f LEFT JOIN dim d
+        |  ON f.o_custkey = d.c_custkey AND d.vf <= f.ts
+        |    AND (d.vt IS NULL OR f.ts < d.vt)
+        |GROUP BY f.ts, seg ORDER BY f.ts, seg""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/customer_scd_enrich"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val cust = Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      graft.engine.Scd.merge(cust, root, "c_custkey", ts = 1000,
+        statsCols = Seq("c_custkey"))
+      graft.engine.Scd.merge(
+        cust.filter(col("c_custkey") % 5 === 0).withColumn("seg", lit("SHIFTED")),
+        root, "c_custkey", ts = 2000, statsCols = Seq("c_custkey"))
+      graft.engine.Scd.merge(
+        cust.filter(col("c_custkey") % 10 === 0).withColumn("seg", lit("BACK")),
+        root, "c_custkey", ts = 3000, statsCols = Seq("c_custkey"))
+      val facts = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_custkey").as("c_custkey"),
+          (lit(500L) + (col("o_orderkey") % 4).cast("long") * 1000L).as("ts"))
+      graft.engine.Scd.enrich(facts, root, "c_custkey", "ts")
+        .groupBy(col("ts"), coalesce(col("seg"), lit("NONE")).as("seg"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey").cast("long")).as("sum_key"))
+        .orderBy("ts", "seg")
+    },
+
+    // ---- q98: PREDICATE-DRIVEN pruned read — the analyst's own WHERE
+    //           clause, passed verbatim as a Column to readWhere, prunes
+    //           a range-clustered snapshot table's file list through the
+    //           manifest stats index with no pruning API in sight: the
+    //           l_orderkey band is mined from the analyzed predicate and
+    //           opens the band's files only, the string IN and the
+    //           quantity conjunct (files span all quantities) contribute
+    //           nothing and stay conservative, and the full predicate
+    //           still evaluates exactly. Oracle = the same WHERE over the
+    //           raw table — equality proves the index only ever SHRINKS
+    //           the scan. The 100 TB reading: ad-hoc queries get z-order/
+    //           cluster pruning for free, not only callers who know
+    //           readRange's signature. ----
+    OracleQuery(
+      "q98_read_where",
+      s"""SELECT l_returnflag,
+         |  count(*) AS n, ${graft.engine.Det.sql.dsum("l_quantity")} AS sum_qty
+         |FROM lineitem
+         |WHERE l_orderkey >= 150 AND l_orderkey < 1200
+         |  AND l_returnflag IN ('A', 'R') AND l_quantity < 25
+         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/lineitem_where"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val li = Tables(spark, dir, "lineitem")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+      Snapshots.commit(li.repartitionByRange(8, col("l_orderkey")),
+        root, statsCols = Seq("l_orderkey", "l_quantity"))
+      Snapshots.readWhere(spark, root,
+        col("l_orderkey") >= 150 && col("l_orderkey") < 1200 &&
+          col("l_returnflag").isin("A", "R") && col("l_quantity") < 25)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), graft.engine.Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
   )
 }

@@ -99,4 +99,29 @@ class ScdSpec extends SparkSpec {
     assert(Scd.current(spark, root).filter($"seg" === "CHANGED").count() === 3)
     assert(Scd.asOf(spark, root, 1500).filter($"seg" === "CHANGED").count() === 0)
   }
+
+  test("enrich joins each fact to the version valid at ITS OWN time, never fans out") {
+    val root = tmp()
+    Scd.merge(Seq((1L, "A"), (2L, "B")).toDF("id", "seg"), root, "id", ts = 100)
+    Scd.merge(Seq((1L, "X")).toDF("id", "seg"), root, "id", ts = 200)
+    Scd.merge(Seq((1L, "Z"), (2L, "Y")).toDF("id", "seg"), root, "id", ts = 300)
+
+    // facts straddle every epoch, incl. pre-history (ts=50) and an
+    // unknown key (9): both keep NULL attrs — left join, facts never drop
+    val facts = Seq(
+      (10L, 1L, 50L), (11L, 1L, 150L), (12L, 1L, 250L), (13L, 1L, 350L),
+      (14L, 2L, 150L), (15L, 2L, 350L), (16L, 9L, 150L))
+      .toDF("fact_id", "id", "ts")
+    val got = Scd.enrich(facts, root, "id", "ts")
+      .select($"fact_id", $"seg").as[(Long, Option[String])].collect().toMap
+    assert(got === Map(
+      10L -> None, 11L -> Some("A"), 12L -> Some("X"), 13L -> Some("Z"),
+      14L -> Some("B"), 15L -> Some("Y"), 16L -> None))
+    // output cardinality == fact cardinality: intervals can't overlap
+    assert(Scd.enrich(facts, root, "id", "ts").count() === facts.count())
+
+    // a fact column colliding with a dimension attribute is refused loudly
+    val bad = facts.withColumnRenamed("fact_id", "seg")
+    assertThrows[IllegalArgumentException](Scd.enrich(bad, root, "id", "ts"))
+  }
 }
