@@ -39,8 +39,21 @@ object Snapshots {
     * becomes a file-level min/max index: a range predicate prunes the FILE
     * LIST before the scan is even planned — the complement of row-group
     * stats (which require opening every footer) and the payoff side of
-    * z-order/range clustering (tight per-file ranges ⇒ most files prune). */
-  final case class ColStats(file: String, col: String, min: Double, max: Double)
+    * z-order/range clustering (tight per-file ranges ⇒ most files prune).
+    * `nulls` is the file's null count for the column (-1 in pre-round-8
+    * shards = unknown): [[countWhere]] may only count a file from metadata
+    * when the conjunct's column provably has NO nulls there — a null row
+    * fails every comparison, so a nulls-bearing file must scan. */
+  final case class ColStats(file: String, col: String, min: Double, max: Double,
+      nulls: Long = -1L)
+
+  /** Per-file row count (file keyed by basename, like [[ColStats]]),
+    * recorded at shard-write time — from the stats pass when one runs,
+    * else from the parquet footers (metadata-only reads, no Spark job).
+    * What lets `count(*)` and fully-contained band counts answer in
+    * O(metadata): see [[rowCount]] / [[countWhere]]. Pre-round-8 shards
+    * carry none; consumers degrade to scanning. */
+  final case class FileRows(file: String, n: Long)
 
   /** One committed table state, RESOLVED: `files` are absolute URIs,
     * immutable. `tag` is a caller idempotency token ("" = untagged): a
@@ -64,7 +77,8 @@ object Snapshots {
       stats: Seq[ColStats] = Seq.empty,
       tag: String = "",
       ts: Long = 0L,
-      schema: String = "")
+      schema: String = "",
+      rows: Seq[FileRows] = Seq.empty)
 
   /** Reference to one immutable metadata shard: `name` is the file under
     * `_snapshots/`, `n` its file-entry count (size hint, no I/O needed to
@@ -95,7 +109,8 @@ object Snapshots {
       inline: Option[(Seq[String], Seq[ColStats])] = None)
 
   /** A loaded shard: its ref plus the content. */
-  private final case class Shard(ref: ShardRef, files: Seq[String], stats: Seq[ColStats])
+  private final case class Shard(ref: ShardRef, files: Seq[String], stats: Seq[ColStats],
+      rows: Seq[FileRows] = Seq.empty)
 
   private val SnapDir = "_snapshots"
   private val ManifestRe = "manifest-(\\d+)\\.json".r
@@ -136,8 +151,8 @@ object Snapshots {
   private def shardPath(root: String, name: String) = new Path(s"$root/$SnapDir/$name")
 
   private def loadShard(spark: SparkSession, root: String, ref: ShardRef): Shard = {
-    val (files, stats) = parseShard(readText(spark, root, shardPath(root, ref.name)))
-    Shard(ref, files, stats)
+    val (files, stats, rows) = parseShard(readText(spark, root, shardPath(root, ref.name)))
+    Shard(ref, files, stats, rows)
   }
 
   private def loadShards(spark: SparkSession, root: String, m: ManifestMeta): Seq[Shard] =
@@ -149,7 +164,7 @@ object Snapshots {
 
   private def resolve(m: ManifestMeta, shards: Seq[Shard]): Manifest =
     Manifest(m.version, shards.flatMap(_.files), m.parent,
-      shards.flatMap(_.stats), m.tag, m.ts, m.schema)
+      shards.flatMap(_.stats), m.tag, m.ts, m.schema, shards.flatMap(_.rows))
 
   /** Read manifest v fully resolved (throws with a clear message when v was
     * never committed or has been vacuumed away). */
@@ -205,8 +220,8 @@ object Snapshots {
       tag: String = "",
       requireHead: Long = -1L): Long = {
     val spark = df.sparkSession
-    val (written, newStats) = writeBatch(df, root, statsCols)
-    val newRef = writeShard(spark, root, written, newStats)
+    val (written, newStats, newRows) = writeBatch(df, root, statsCols)
+    val newRef = writeShard(spark, root, written, newStats, newRows)
     publishMeta(spark, root, tag, requireHead) { head =>
       val parent = if (append) head else None
       val refs = parent.map(shardRefsOf(spark, root, _)).getOrElse(Seq.empty) :+ newRef
@@ -266,7 +281,8 @@ object Snapshots {
       s"duplicate basenames under $root — per-file stats key by basename; " +
         "convert without statsCols or deduplicate the layout first")
     val schema = spark.read.parquet(files: _*).schema
-    val ref = writeShard(spark, root, files, collectStats(spark, files, statsCols))
+    val (adoptStats, adoptRows) = collectStats(spark, files, statsCols)
+    val ref = writeShard(spark, root, files, adoptStats, adoptRows)
     publishMeta(spark, root, tag = "", requireHead = 0L) { _ =>
       (Seq(ref), if (schema.fields.isEmpty) "" else schema.json)
     }
@@ -294,7 +310,7 @@ object Snapshots {
   private def writeBatch(
       df: DataFrame,
       root: String,
-      statsCols: Seq[String]): (Seq[String], Seq[ColStats]) = {
+      statsCols: Seq[String]): (Seq[String], Seq[ColStats], Seq[FileRows]) = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
@@ -303,7 +319,8 @@ object Snapshots {
     val written = f.listStatus(new Path(dataDir)).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted
-    (written, collectStats(spark, Seq(dataDir), statsCols))
+    val (stats, rows) = collectStats(spark, Seq(dataDir), statsCols)
+    (written, stats, rows)
   }
 
   /** Additive schema evolution: the carried schema plus any columns the
@@ -341,19 +358,46 @@ object Snapshots {
       case None => spark.read.parquet(files: _*)
     }
 
-  /** Write one immutable metadata shard (the batch's file list + stats);
-    * nothing references it until a manifest names it, so a loser's shard is
-    * ordinary orphan debris, never a correctness hazard. */
+  /** Write one immutable metadata shard (the batch's file list + stats +
+    * per-file row counts); nothing references it until a manifest names it,
+    * so a loser's shard is ordinary orphan debris, never a correctness
+    * hazard. Files whose row count `knownRows` doesn't carry are counted
+    * from their parquet FOOTERS — a metadata-only read per file, no Spark
+    * job — so every shard this engine writes carries complete counts: the
+    * stats pass supplies them when it runs, footers fill the statsCols-free
+    * commit path, and metadata-only rewrites (carry/compact) pass the
+    * already-known counts through. A file whose footer can't be read (not
+    * parquet, simulated FS quirk) is simply omitted — consumers treat a
+    * missing count as "must scan", never as zero. */
   private def writeShard(
       spark: SparkSession,
       root: String,
       files: Seq[String],
-      stats: Seq[ColStats]): ShardRef = {
+      stats: Seq[ColStats],
+      knownRows: Seq[FileRows] = Seq.empty): ShardRef = {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/$SnapDir"))
+    val known = knownRows.map(_.file).toSet
+    val missing = files.filterNot(u => known.contains(new Path(u).getName))
+    val fromFooters =
+      if (missing.isEmpty) Seq.empty
+      else {
+        val conf = new org.apache.hadoop.conf.Configuration(
+          spark.sparkContext.hadoopConfiguration)
+        missing.flatMap { u =>
+          try {
+            val in = org.apache.parquet.hadoop.util.HadoopInputFile
+              .fromPath(new Path(u), conf)
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+            val n = try r.getRecordCount finally r.close()
+            Some(FileRows(new Path(u).getName, n))
+          } catch { case scala.util.control.NonFatal(_) => None }
+        }
+      }
+    val rows = knownRows ++ fromFooters
     val name = s"shard-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.json"
     val out = f.create(shardPath(root, name), /*overwrite=*/ false)
-    try out.write(renderShard(files, stats).getBytes("UTF-8")) finally out.close()
+    try out.write(renderShard(files, stats, rows).getBytes("UTF-8")) finally out.close()
     ShardRef(name, files.size)
   }
 
@@ -467,8 +511,8 @@ object Snapshots {
         // allowMissingColumns: an evolving batch may introduce columns
         // (survivors fill nulls) or omit late-added ones (batch fills)
         .unionByName(df, allowMissingColumns = true)
-    val (written, newStats) = writeBatch(survivors, root, statsCols)
-    val newRef = writeShard(spark, root, written, newStats)
+    val (written, newStats, newRows) = writeBatch(survivors, root, statsCols)
+    val newRef = writeShard(spark, root, written, newStats, newRows)
     val carried = carryUntouched(spark, root, shards, touchedSet)
     publishMeta(spark, root, tag, requireHead = headV) { head =>
       val h = head.getOrElse(sys.error("merge base vanished"))
@@ -493,8 +537,11 @@ object Snapshots {
         if (keep.isEmpty) None
         else {
           val keepNames = keep.map(u => new Path(u).getName).toSet
+          // stats AND row counts carry through filtered — a metadata-only
+          // rewrite must never re-open surviving data files
           Some(writeShard(spark, root, keep,
-            sh.stats.filter(s => keepNames.contains(s.file))))
+            sh.stats.filter(s => keepNames.contains(s.file)),
+            sh.rows.filter(r => keepNames.contains(r.file))))
         }
       }
     }
@@ -533,8 +580,8 @@ object Snapshots {
     val touchedSet = touched.toSet
     val survivors = readFiles(spark, m, touched)
       .join(keys.select(col(key)).distinct(), Seq(key), "left_anti")
-    val (written, newStats) = writeBatch(survivors, root, statsCols)
-    val newRef = writeShard(spark, root, written, newStats)
+    val (written, newStats, newRows) = writeBatch(survivors, root, statsCols)
+    val newRef = writeShard(spark, root, written, newStats, newRows)
     val carried = carryUntouched(spark, root, shards, touchedSet)
     publishMeta(spark, root, tag = "", requireHead = headV) { head =>
       val h = head.getOrElse(sys.error("delete base vanished"))
@@ -543,43 +590,52 @@ object Snapshots {
   }
 
   /** One scan of the freshly-written files (only — never the table) for
-    * per-file min/max of the requested numeric columns. `paths` may be a
-    * directory (the write-batch case) or an explicit file list (the
-    * [[convertInPlace]] adoption case) — either way the scan is exactly
-    * those files, distributed, one aggregation row per file. */
+    * per-file min/max + null count of the requested numeric columns AND
+    * per-file row counts — one aggregation row per file, counts riding the
+    * same pass for free. `paths` may be a directory (the write-batch case)
+    * or an explicit file list (the [[convertInPlace]] adoption case) —
+    * either way the scan is exactly those files, distributed. With no
+    * statsCols there is no scan at all: (empty, empty), and [[writeShard]]
+    * fills row counts from parquet footers instead. */
   private def collectStats(
       spark: SparkSession,
       paths: Seq[String],
-      statsCols: Seq[String]): Seq[ColStats] = {
-    if (statsCols.isEmpty) return Seq.empty
+      statsCols: Seq[String]): (Seq[ColStats], Seq[FileRows]) = {
+    if (statsCols.isEmpty) return (Seq.empty, Seq.empty)
     import org.apache.spark.sql.functions._
     val aggs = statsCols.flatMap(c => Seq(
       min(col(c).cast("double")).as(s"min_$c"),
-      max(col(c).cast("double")).as(s"max_$c")))
-    spark.read.parquet(paths: _*)
+      max(col(c).cast("double")).as(s"max_$c"),
+      count(col(c)).as(s"cnt_$c"))) :+ count(lit(1)).as("__rows")
+    val rowsOut = spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
       .toSeq
-      .flatMap { row =>
-        // key by basename: part-file names carry a per-task UUID (globally
-        // unique), and input_file_name()'s URI rendering (file:///) differs
-        // from listStatus's (file:/) — basenames sidestep the mismatch
-        val file = new Path(row.getAs[String]("__f")).getName
-        statsCols.flatMap { c =>
-          val lo = row.getAs[Any](s"min_$c")
-          val hi = row.getAs[Any](s"max_$c")
-          if (lo == null || hi == null) None // all-null file: no usable range
-          else {
-            val (l, h) = (lo.asInstanceOf[Double], hi.asInstanceOf[Double])
-            // a NaN/infinite bound can't prune soundly AND won't round-trip
-            // as a JSON number — record no range (conservative)
-            if (java.lang.Double.isFinite(l) && java.lang.Double.isFinite(h))
-              Some(ColStats(file, c, l, h))
-            else None
-          }
+    val stats = rowsOut.flatMap { row =>
+      // key by basename: part-file names carry a per-task UUID (globally
+      // unique), and input_file_name()'s URI rendering (file:///) differs
+      // from listStatus's (file:/) — basenames sidestep the mismatch
+      val file = new Path(row.getAs[String]("__f")).getName
+      val nRows = row.getAs[Long]("__rows")
+      statsCols.flatMap { c =>
+        val lo = row.getAs[Any](s"min_$c")
+        val hi = row.getAs[Any](s"max_$c")
+        if (lo == null || hi == null) None // all-null file: no usable range
+        else {
+          val (l, h) = (lo.asInstanceOf[Double], hi.asInstanceOf[Double])
+          // a NaN/infinite bound can't prune soundly AND won't round-trip
+          // as a JSON number — record no range (conservative)
+          if (java.lang.Double.isFinite(l) && java.lang.Double.isFinite(h))
+            Some(ColStats(file, c, l, h, nulls = nRows - row.getAs[Long](s"cnt_$c")))
+          else None
         }
       }
+    }
+    val fileRows = rowsOut.map { row =>
+      FileRows(new Path(row.getAs[String]("__f")).getName, row.getAs[Long]("__rows"))
+    }
+    (stats, fileRows)
   }
 
   /** The subset of `m.files` a [lo, hi] range predicate on `c` can touch:
@@ -712,16 +768,49 @@ object Snapshots {
       root: String,
       cond: org.apache.spark.sql.Column,
       version: Long = -1L): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
-    import org.apache.spark.sql.types._
     val v = if (version >= 0) version else headVersion(spark, root)
     require(v > 0, s"no snapshot committed at $root yet")
     val m = manifest(spark, root, v)
     val full = readFiles(spark, m, m.files)
     val filtered = full.filter(cond)
     if (m.stats.isEmpty) return filtered
+    val (mined, _) = minePredicate(m, filtered)
+    if (mined.isEmpty) return filtered
+    val keepSet = mined.map(_.overlap.toSet).reduce(_ intersect _)
+    if (keepSet.size == m.files.size) filtered
+    else if (keepSet.isEmpty)
+      // no file can satisfy the mined constraints: a provably-empty plan
+      // over the SAME relation keeps the schema on any manifest era
+      filtered.filter(org.apache.spark.sql.functions.lit(false))
+    else readFiles(spark, m, m.files.filter(keepSet)).filter(cond)
+  }
+
+  /** One mined conjunct of a predicate: `overlap` = the files that MIGHT
+    * hold a satisfying row (the pruning set — stat-less files stay in,
+    * conservative); `full` = the files where EVERY row provably satisfies
+    * it: recorded stats, ZERO recorded nulls for the column (a null fails
+    * any comparison — a nulls-bearing file must scan), and the file's
+    * [min, max] strictly inside the accepted region (strict bounds honored
+    * exactly, never widened). full ⊆ overlap by construction. */
+  private final case class MinedConjunct(overlap: Seq[String], full: Set[String])
+
+  /** Mine `filtered`'s ANALYZED predicate (so the miner sees exactly what
+    * the engine will evaluate, casts and all) against `m`'s stats index.
+    * Returns (one entry per MINABLE conjunct, allMinable): an opaque
+    * conjunct — OR tree, function of a column, IS NULL, stat-less column —
+    * yields no entry and flips allMinable to false. That is harmless for
+    * pruning (no constraint ⇒ no file dropped) but decisive for
+    * [[countWhere]]: nothing may be counted from metadata while a conjunct
+    * the miner can't read could reject rows anywhere. */
+  private def minePredicate(
+      m: Manifest,
+      filtered: DataFrame): (Seq[MinedConjunct], Boolean) = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    import org.apache.spark.sql.types._
     val statCols = m.stats.map(_.col).toSet
+    val statsByCol = m.stats.groupBy(_.col)
+      .map { case (c, ss) => c -> ss.map(s => s.file -> s).toMap }
 
     // the analyzed (resolved, coerced) predicate — what will actually run
     val resolved: Option[Expression] =
@@ -759,21 +848,63 @@ object Snapshots {
       case c: Cast if widening(c.child.dataType, c.dataType) => litD(c.child)
       case _ => None
     }
-    // mine one conjunct into the files it permits (None = no constraint)
-    def permits(e: Expression): Option[Seq[String]] = e match {
+    // files whose recorded stats satisfy `ok` AND carry zero nulls — the
+    // full-acceptance filter shared by every shape below
+    def fullFiles(c: String, ok: ColStats => Boolean): Set[String] = {
+      val byFile = statsByCol.getOrElse(c, Map.empty)
+      m.files.filter { f =>
+        byFile.get(new Path(f).getName).exists(s => s.nulls == 0L && ok(s))
+      }.toSet
+    }
+    def bound(c: String, x: Double, isLo: Boolean, strict: Boolean): MinedConjunct = {
+      val overlap =
+        if (isLo) candidateFiles(m, c, x, Double.PositiveInfinity)
+        else candidateFiles(m, c, Double.NegativeInfinity, x)
+      val full = fullFiles(c, s =>
+        if (isLo) { if (strict) s.min > x else s.min >= x }
+        else      { if (strict) s.max < x else s.max <= x })
+      MinedConjunct(overlap, full)
+    }
+    def point(l: Expression, r: Expression): Option[MinedConjunct] =
+      (statAttr(l), litD(r), statAttr(r), litD(l)) match {
+        case (Some(c), Some(x), _, _) =>
+          Some(MinedConjunct(candidateFiles(m, c, x, x),
+            fullFiles(c, s => s.min == x && s.max == x)))
+        case (_, _, Some(c), Some(x)) =>
+          Some(MinedConjunct(candidateFiles(m, c, x, x),
+            fullFiles(c, s => s.min == x && s.max == x)))
+        case _ => None
+      }
+    // `attr > lit` and `lit < attr` are the same lo-bound; mirror for hi.
+    // For the OVERLAP set strictness collapses (candidate ranges are closed
+    // — the closed band is a conservative superset); for the FULL set it is
+    // honored exactly inside `bound`.
+    def band(l: Expression, r: Expression, loSide: Boolean,
+        strict: Boolean): Option[MinedConjunct] =
+      (statAttr(l), litD(r), statAttr(r), litD(l)) match {
+        case (Some(c), Some(x), _, _) => Some(bound(c, x, isLo = loSide, strict))
+        case (_, _, Some(c), Some(x)) => Some(bound(c, x, isLo = !loSide, strict))
+        case _ => None
+      }
+    def inKeys(c: String, arr: Array[Double]): MinedConjunct =
+      MinedConjunct(candidateFilesForKeys(m, c, arr),
+        fullFiles(c, s => s.min == s.max &&
+          java.util.Arrays.binarySearch(arr, s.min) >= 0))
+    // mine one conjunct (None = opaque, no constraint)
+    def permits(e: Expression): Option[MinedConjunct] = e match {
       case EqualTo(l, r) => point(l, r)
       case EqualNullSafe(l, r) => point(l, r)
-      case GreaterThan(l, r) => band(l, r, loSide = true)
-      case GreaterThanOrEqual(l, r) => band(l, r, loSide = true)
-      case LessThan(l, r) => band(l, r, loSide = false)
-      case LessThanOrEqual(l, r) => band(l, r, loSide = false)
+      case GreaterThan(l, r) => band(l, r, loSide = true, strict = true)
+      case GreaterThanOrEqual(l, r) => band(l, r, loSide = true, strict = false)
+      case LessThan(l, r) => band(l, r, loSide = false, strict = true)
+      case LessThanOrEqual(l, r) => band(l, r, loSide = false, strict = false)
       case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         statAttr(a).flatMap { c =>
           val ks = vs.flatMap(litD)
           if (ks.size != vs.size) None // a non-numeric/null element: no pruning
           else {
             val arr = ks.toArray; java.util.Arrays.sort(arr)
-            Some(candidateFilesForKeys(m, c, arr))
+            Some(inKeys(c, arr))
           }
         }
       case InSet(a, hs) if hs.nonEmpty =>
@@ -782,40 +913,99 @@ object Snapshots {
           if (ks.size != hs.size) None
           else {
             val arr = ks.toArray; java.util.Arrays.sort(arr)
-            Some(candidateFilesForKeys(m, c, arr))
+            Some(inKeys(c, arr))
           }
         }
       case _ => None
     }
-    def point(l: Expression, r: Expression): Option[Seq[String]] =
-      (statAttr(l), litD(r), statAttr(r), litD(l)) match {
-        case (Some(c), Some(x), _, _) => Some(candidateFiles(m, c, x, x))
-        case (_, _, Some(c), Some(x)) => Some(candidateFiles(m, c, x, x))
-        case _ => None
-      }
-    // `attr > lit` and `lit < attr` are the same lo-bound; mirror for hi.
-    // Strict vs non-strict collapses: candidate ranges are closed, so the
-    // closed band is a superset — conservative is correct
-    def band(l: Expression, r: Expression, loSide: Boolean): Option[Seq[String]] =
-      (statAttr(l), litD(r), statAttr(r), litD(l)) match {
-        case (Some(c), Some(x), _, _) =>
-          Some(if (loSide) candidateFiles(m, c, x, Double.PositiveInfinity)
-               else candidateFiles(m, c, Double.NegativeInfinity, x))
-        case (_, _, Some(c), Some(x)) =>
-          Some(if (loSide) candidateFiles(m, c, Double.NegativeInfinity, x)
-               else candidateFiles(m, c, x, Double.PositiveInfinity))
-        case _ => None
-      }
 
-    val constraints = resolved.toSeq.flatMap(conjuncts).flatMap(permits)
-    if (constraints.isEmpty) return filtered
-    val keepSet = constraints.map(_.toSet).reduce(_ intersect _)
-    if (keepSet.size == m.files.size) filtered
-    else if (keepSet.isEmpty)
-      // no file can satisfy the mined constraints: a provably-empty plan
-      // over the SAME relation keeps the schema on any manifest era
-      filtered.filter(org.apache.spark.sql.functions.lit(false))
-    else readFiles(spark, m, m.files.filter(keepSet)).filter(cond)
+    val cs = resolved.toSeq.flatMap(conjuncts)
+    val minedOpts = cs.map(permits)
+    (minedOpts.flatten, minedOpts.forall(_.isDefined))
+  }
+
+  /** The table's exact row count in O(metadata) — no data file opened, no
+    * Spark job. Some(n) when every file in version v carries a recorded
+    * per-file count (every shard this engine writes does — see
+    * [[writeShard]]); None on pre-round-8 metadata, where only a scan can
+    * answer. The 100 TB reading: `count(*)` is a manifest fold, the same
+    * O(1)-per-commit bookkeeping that lets engines like Iceberg/Delta
+    * answer it without touching a single data object. */
+  def rowCount(spark: SparkSession, root: String, version: Long = -1L): Option[Long] = {
+    val v = if (version >= 0) version else headVersion(spark, root)
+    require(v > 0, s"no snapshot committed at $root yet")
+    val m = manifest(spark, root, v)
+    val byName = m.rows.map(r => r.file -> r.n).toMap
+    val names = m.files.map(f => new Path(f).getName)
+    if (names.forall(byName.contains)) Some(names.map(byName).sum) else None
+  }
+
+  /** Exact `count(*) WHERE cond` with the metadata answering everything it
+    * can: conjuncts are mined as in [[readWhere]], files FULLY inside every
+    * conjunct's accepted region (stats recorded, zero nulls in the
+    * conjunct's column, strict bounds honored) contribute their recorded
+    * row counts with no I/O, files outside every constraint contribute
+    * nothing, and only the boundary files — plus everything, if any
+    * conjunct is opaque to the miner — are scanned with the untouched
+    * predicate. Exact by construction at every degradation level; a band
+    * query over a range-clustered table counts millions of interior rows
+    * from the manifest and scans two edge files. */
+  def countWhere(
+      spark: SparkSession,
+      root: String,
+      cond: org.apache.spark.sql.Column,
+      version: Long = -1L): Long = {
+    val v = if (version >= 0) version else headVersion(spark, root)
+    require(v > 0, s"no snapshot committed at $root yet")
+    val m = manifest(spark, root, v)
+    if (m.files.isEmpty) return 0L
+    def scanCount(files: Seq[String]): Long =
+      readFiles(spark, m, files).filter(cond).count()
+    if (m.stats.isEmpty) return scanCount(m.files)
+    // mine against an EMPTY relation carrying the manifest schema: analysis
+    // must not touch (or even list) data files — a fully-metadata answer
+    // works with every data object unreachable
+    val probe =
+      if (m.schema.nonEmpty) readFiles(spark, m, Seq.empty).filter(cond)
+      else readFiles(spark, m, m.files).filter(cond)
+    val (mined, allMinable) = minePredicate(m, probe)
+    if (mined.isEmpty) return scanCount(m.files)
+    val overlap = mined.map(_.overlap.toSet).reduce(_ intersect _)
+    val fullSet =
+      if (!allMinable) Set.empty[String]
+      else mined.map(_.full).reduce(_ intersect _)
+    val rowsByName = m.rows.map(r => r.file -> r.n).toMap
+    // a fully-accepted file without a recorded count degrades to the scan
+    val metaFiles = fullSet.filter(f => rowsByName.contains(new Path(f).getName))
+    val metaCount = metaFiles.toSeq.map(f => rowsByName(new Path(f).getName)).sum
+    val scanFiles = m.files.filter(f => overlap.contains(f) && !metaFiles.contains(f))
+    if (scanFiles.isEmpty) metaCount
+    else metaCount + scanCount(scanFiles)
+  }
+
+  /** The column's table-wide [min, max] (as the recorded double-cast
+    * values) in O(metadata). Some iff every file either carries recorded
+    * stats for `c` or provably holds zero rows — a file with rows but no
+    * recorded range (stat-less commit, or an all-null file, which records
+    * none) makes the answer unknowable from metadata ⇒ None. Null values
+    * never participate in min/max, so partial-null files with stats are
+    * exact. */
+  def statsRange(
+      spark: SparkSession,
+      root: String,
+      c: String,
+      version: Long = -1L): Option[(Double, Double)] = {
+    val v = if (version >= 0) version else headVersion(spark, root)
+    require(v > 0, s"no snapshot committed at $root yet")
+    val m = manifest(spark, root, v)
+    val byFile = m.stats.filter(_.col == c).map(s => s.file -> s).toMap
+    val rowsByName = m.rows.map(r => r.file -> r.n).toMap
+    val names = m.files.map(f => new Path(f).getName)
+    val covered = names.filter(byFile.contains)
+    val uncovered = names.filterNot(byFile.contains)
+      .filterNot(n => rowsByName.get(n).contains(0L))
+    if (uncovered.nonEmpty || covered.isEmpty) None
+    else Some((covered.map(byFile(_).min).min, covered.map(byFile(_).max).max))
   }
 
   /** Key-set read through the manifest index: scan only the files whose
@@ -1095,7 +1285,10 @@ object Snapshots {
     val meta = manifestMeta(spark, root, headV)
     if (meta.inline.isEmpty && meta.shardRefs.size <= 1) return headV
     val m = resolve(meta, loadShards(spark, root, meta))
-    val one = writeShard(spark, root, m.files, m.stats)
+    // known counts pass through; a legacy table's uncounted files get a
+    // one-time footer backfill here (consolidation already touches all
+    // metadata — the natural upgrade point)
+    val one = writeShard(spark, root, m.files, m.stats, m.rows)
     publishMeta(spark, root, tag = "", requireHead = headV) { _ =>
       (Seq(one), meta.schema)
     }
@@ -1179,14 +1372,19 @@ object Snapshots {
 
   private def renderStats(stats: Seq[ColStats]): String =
     stats.map(s =>
-      s"""{"file":${graft.JsonStr(s.file)},"col":${graft.JsonStr(s.col)},"min":${s.min},"max":${s.max}}""")
+      s"""{"file":${graft.JsonStr(s.file)},"col":${graft.JsonStr(s.col)},"min":${s.min},"max":${s.max},"nulls":${s.nulls}}""")
       .mkString("[", ",", "]")
 
-  /** Shard body: one immutable file list + its stats. files LAST: the
-    * parser anchors its greedy bracket match on the final array, so file
-    * arrays never need nested-structure parsing. */
-  private def renderShard(files: Seq[String], stats: Seq[ColStats]): String =
-    s"""{"stats":${renderStats(stats)},"files":${files.map(graft.JsonStr(_)).mkString("[", ",", "]")}}"""
+  private def renderRows(rows: Seq[FileRows]): String =
+    rows.map(r => s"""{"file":${graft.JsonStr(r.file)},"n":${r.n}}""")
+      .mkString("[", ",", "]")
+
+  /** Shard body: one immutable file list + its stats + per-file row counts.
+    * files LAST: the parser anchors its greedy bracket match on the final
+    * array, so file arrays never need nested-structure parsing. */
+  private def renderShard(files: Seq[String], stats: Seq[ColStats],
+      rows: Seq[FileRows]): String =
+    s"""{"stats":${renderStats(stats)},"rows":${renderRows(rows)},"files":${files.map(graft.JsonStr(_)).mkString("[", ",", "]")}}"""
 
   private def renderManifestMeta(m: ManifestMeta): String = {
     val shards = m.shardRefs.map(r =>
@@ -1204,16 +1402,26 @@ object Snapshots {
 
   private def parseStatsArray(text: String): Seq[ColStats] = {
     val num = """-?[0-9.eE+-]+"""
+    // "nulls" optional: pre-round-8 shards lack it → -1 (unknown)
     ("""\{"file":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)","min":(""" + num +
-      """),"max":(""" + num + """)\}""").r
+      """),"max":(""" + num + """)(?:,"nulls":(-?\d+))?\}""").r
       .findAllMatchIn(text).map { g =>
         ColStats(unescape(g.group(1)), unescape(g.group(2)),
-          g.group(3).toDouble, g.group(4).toDouble)
+          g.group(3).toDouble, g.group(4).toDouble,
+          Option(g.group(5)).map(_.toLong).getOrElse(-1L))
       }.toSeq
   }
 
-  private def parseShard(text: String): (Seq[String], Seq[ColStats]) =
-    (parseFilesArray(text, "shard"), parseStatsArray(text))
+  /** Per-file row-count entries. Shape-anchored on `"file"` + `"n"` (stats
+    * entries carry `"col"` right after `"file"`, manifest shard refs use
+    * `"name"` — no cross-match); absent in pre-round-8 shards → empty. */
+  private def parseRowsArray(text: String): Seq[FileRows] =
+    """\{"file":"((?:[^"\\]|\\.)*)","n":(\d+)\}""".r
+      .findAllMatchIn(text)
+      .map(g => FileRows(unescape(g.group(1)), g.group(2).toLong)).toSeq
+
+  private def parseShard(text: String): (Seq[String], Seq[ColStats], Seq[FileRows]) =
+    (parseFilesArray(text, "shard"), parseStatsArray(text), parseRowsArray(text))
 
   /** Minimal parser for the exact shapes renderManifestMeta emits — and,
     * for pre-shard tables, the legacy inline form (files+stats in the

@@ -713,5 +713,44 @@ object Lake {
         .agg(count(lit(1)).as("n"), graft.engine.Det.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_returnflag")
     },
+
+    // ---- q99: METADATA-ONLY AGGREGATES — count(*), a banded count, and a
+    //           column's min/max answered from the manifest, not the data:
+    //           commits record per-file row counts (+ per-file null counts
+    //           beside the min/max stats), so rowCount folds the manifest,
+    //           countWhere counts every file fully inside the mined band
+    //           from metadata (zero recorded nulls required — null rows
+    //           fail predicates) and scans only the two boundary files, and
+    //           statsRange is min-of-mins/max-of-maxs. Oracle = DuckDB's
+    //           actual scan of the same rows — equality proves the
+    //           metadata's counts ARE the data's. The 100 TB reading: the
+    //           commonest analytical probes (how many rows? how many in
+    //           this range? what span?) cost O(manifest), the same
+    //           bookkeeping that lets Iceberg/Delta skip the scan. ----
+    OracleQuery(
+      "q99_metadata_agg",
+      """SELECT
+        |  CAST((SELECT count(*) FROM lineitem) AS BIGINT) AS total_rows,
+        |  CAST((SELECT count(*) FROM lineitem
+        |        WHERE l_orderkey >= 150 AND l_orderkey < 1200) AS BIGINT) AS band_rows,
+        |  CAST((SELECT min(l_orderkey) FROM lineitem) AS BIGINT) AS min_key,
+        |  CAST((SELECT max(l_orderkey) FROM lineitem) AS BIGINT) AS max_key""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/lineitem_meta"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity")
+      Snapshots.commit(li.repartitionByRange(8, col("l_orderkey")),
+        root, statsCols = Seq("l_orderkey"))
+      val total = Snapshots.rowCount(spark, root)
+        .getOrElse(sys.error("fresh commit must carry row counts"))
+      val band = Snapshots.countWhere(spark, root,
+        col("l_orderkey") >= 150 && col("l_orderkey") < 1200)
+      val (mn, mx) = Snapshots.statsRange(spark, root, "l_orderkey")
+        .getOrElse(sys.error("fresh commit must carry stats"))
+      spark.range(1).select(
+        lit(total).as("total_rows"), lit(band).as("band_rows"),
+        lit(mn.toLong).as("min_key"), lit(mx.toLong).as("max_key"))
+    },
   )
 }
