@@ -1,8 +1,32 @@
 package graft.engine
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
+
+/** One WHEN clause of a conditional [[Snapshots.mergeInto]]. Conditions and
+  * SET/VALUES expressions are ordinary Columns over the aliased sides:
+  * `t.<col>` is the target row, `s.<col>` the source row ([[MergeClause.Insert]]
+  * sees `s.*` only — there is no target row to reference). Clauses apply
+  * FIRST-MATCH-WINS in the order given, the SQL MERGE contract; a matched
+  * pair no clause accepts carries the target row unchanged. */
+sealed trait MergeClause
+
+object MergeClause {
+  /** WHEN MATCHED [AND cond] THEN UPDATE SET — `set` maps target columns to
+    * their new values; unset columns keep the target's value. */
+  final case class Update(set: Map[String, Column], cond: Option[Column] = None)
+      extends MergeClause
+
+  /** WHEN MATCHED [AND cond] THEN DELETE. */
+  final case class Delete(cond: Option[Column] = None) extends MergeClause
+
+  /** WHEN NOT MATCHED [AND cond] THEN INSERT — `values` maps target columns
+    * to expressions over `s.*`; an empty map inserts the source row by
+    * column name (target columns the source lacks fill null). */
+  final case class Insert(values: Map[String, Column] = Map.empty,
+      cond: Option[Column] = None) extends MergeClause
+}
 
 /** Snapshot-manifested table layout: atomic multi-file commits, time-travel
   * reads, optimistic concurrency, and reader-safe compaction.
@@ -516,6 +540,150 @@ object Snapshots {
     val carried = carryUntouched(spark, root, shards, touchedSet)
     publishMeta(spark, root, tag, requireHead = headV) { head =>
       val h = head.getOrElse(sys.error("merge base vanished"))
+      (carried :+ newRef, mergedSchemaJson(Some(h.schema), survivors.schema))
+    }
+  }
+
+  /** Conditional MERGE INTO — the full warehouse verb ([[merge]] is its
+    * degenerate whole-row-upsert form, the reference's staging upsert,
+    * pandas_aws/redshift.py:348-384): WHEN MATCHED [AND cond] UPDATE SET /
+    * DELETE and WHEN NOT MATCHED [AND cond] INSERT clauses, applied
+    * first-match-wins per (target, source) pair, compiled onto the same
+    * copy-on-write keyed path. The source's keys prune the file list through
+    * the per-file stats index exactly as [[merge]]'s do — only files whose
+    * recorded key range can contain a source key are read and rewritten;
+    * every other file carries forward BY REFERENCE, shards included. At
+    * 100 TB a point-ish merge rewrites a sliver of the table regardless of
+    * clause mix.
+    *
+    * Semantics (SQL MERGE contract):
+    *  - each target row in a touched file joins the source on `key` (left);
+    *    an unmatched target row always carries;
+    *  - a matched pair takes the FIRST Update/Delete clause whose condition
+    *    holds (conditions see `t.*` and `s.*`); none holding carries the
+    *    target row unchanged;
+    *  - a source row matching NO target key anywhere takes the first Insert
+    *    clause whose condition holds (conditions see `s.*`); inserted rows
+    *    conform to the TARGET schema (explicit `values`, or source columns
+    *    by name with null fill) — MERGE is not the schema-evolution path;
+    *  - more than one source row per key is REFUSED loudly (the standard's
+    *    cardinality error): first-match-wins against a nondeterministic
+    *    source order would silently pick a winner.
+    *
+    * Pruning soundness for NOT MATCHED: any file that could contain a source
+    * key is in the touched set by construction, so a source key absent from
+    * the touched files' rows is absent from the whole table — the anti-join
+    * against touched rows alone is exact. Concurrency: same optimistic fence
+    * as [[merge]] — a racing commit aborts this one rather than losing rows.
+    * A merge whose clauses change nothing still commits (rewrites the
+    * touched files verbatim); callers wanting no-op detection diff versions. */
+  def mergeInto(
+      source: DataFrame,
+      root: String,
+      key: String,
+      clauses: Seq[MergeClause],
+      statsCols: Seq[String] = Seq.empty,
+      tag: String = "",
+      requireHead: Long = -1L): Long = {
+    import org.apache.spark.sql.functions.{col, lit, when}
+    val spark = source.sparkSession
+    require(clauses.nonEmpty, "mergeInto needs at least one WHEN clause")
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet — mergeInto needs a base")
+    require(requireHead < 0 || headV == requireHead,
+      s"concurrent commit at $root (head v$headV != expected v$requireHead) — " +
+        "the state this merge was computed from has moved; recompute and retry")
+    val meta = manifestMeta(spark, root, headV)
+    val shards = loadShards(spark, root, meta)
+    val m = resolve(meta, shards)
+    val targetSchema = parseSchema(m).getOrElse(readFiles(spark, m, m.files.take(1)).schema)
+    val targetCols = targetSchema.fields.map(_.name).toSeq
+
+    // clause validation up front — a typo'd SET column must not silently
+    // no-op (the map lookup would just never fire)
+    clauses.foreach {
+      case MergeClause.Update(set, _) =>
+        val bad = set.keys.filterNot(targetCols.contains)
+        require(bad.isEmpty, s"UPDATE SET on non-target column(s): ${bad.mkString(", ")}")
+      case MergeClause.Insert(values, _) =>
+        val bad = values.keys.filterNot(targetCols.contains)
+        require(bad.isEmpty, s"INSERT VALUES on non-target column(s): ${bad.mkString(", ")}")
+      case _ => ()
+    }
+    // the standard's cardinality check: duplicate source keys would make
+    // first-match-wins nondeterministic. One small agg over the batch side.
+    require(source.groupBy(col(key)).count()
+      .filter(col("count") > 1).limit(1).count() == 0,
+      s"mergeInto source has duplicate '$key' values — MERGE requires at most " +
+        "one source row per target row (the SQL cardinality violation)")
+
+    val touched = probeKeys(source, key) match {
+      case KeysEmpty => sys.error("mergeInto source has no non-null keys")
+      case KeysSmall(ks) => candidateFilesForKeys(m, key, ks)
+      case KeysRange(lo, hi) => candidateFiles(m, key, lo, hi)
+      case KeysOpaque => m.files
+    }
+    val touchedSet = touched.toSet
+    val target = readFiles(spark, m, touched)
+
+    // matched side: first-match-wins action index over the Update/Delete
+    // clauses (-1 = carry). Built as one nested CASE, fully codegen'd.
+    val matchedClauses = clauses.zipWithIndex.collect {
+      case (u: MergeClause.Update, i) => (u.cond.getOrElse(lit(true)), i, Some(u.set))
+      case (d: MergeClause.Delete, i) => (d.cond.getOrElse(lit(true)), i, None)
+    }
+    val matched = col(s"s.$key").isNotNull
+    val action = matchedClauses.foldRight(lit(-1)) { case ((cond, i, _), rest) =>
+      when(cond, lit(i)).otherwise(rest)
+    }
+    val joined = target.as("t")
+      .join(source.as("s"), col(s"t.$key") === col(s"s.$key"), "left")
+      .withColumn("__action", when(matched, action).otherwise(lit(-1)))
+    val deleteIds = matchedClauses.collect { case (_, i, None) => i }
+    val kept =
+      if (deleteIds.isEmpty) joined
+      else joined.filter(!col("__action").isin(deleteIds: _*))
+    val updates = matchedClauses.collect { case (_, i, Some(set)) => (i, set) }
+    val outCols = targetCols.map { c =>
+      updates.foldLeft(col(s"t.$c")) { case (acc, (i, set)) =>
+        set.get(c).fold(acc)(v => when(col("__action") === i, v).otherwise(acc))
+      }.as(c)
+    }
+    val survivorsT = kept.select(outCols: _*)
+
+    // NOT MATCHED inserts, conformed to the target schema
+    val insertClauses = clauses.zipWithIndex.collect {
+      case (ins: MergeClause.Insert, i) => (ins, i)
+    }
+    val inserted: Option[DataFrame] =
+      if (insertClauses.isEmpty) None
+      else {
+        val unmatched = source
+          .join(target.select(col(key)), Seq(key), "left_anti").as("s")
+        val insAction = insertClauses.foldRight(lit(-1)) { case (((ins, i)), rest) =>
+          when(ins.cond.getOrElse(lit(true)), lit(i)).otherwise(rest)
+        }
+        val accepted = unmatched.withColumn("__action", insAction)
+          .filter(col("__action") =!= -1)
+        val srcCols = source.columns.toSet
+        val insCols = targetSchema.fields.toSeq.map { f =>
+          val fallback: Column =
+            if (srcCols.contains(f.name)) col(s"s.${f.name}")
+            else lit(null).cast(f.dataType)
+          insertClauses.foldLeft(fallback) { case (acc, (ins, i)) =>
+            ins.values.get(f.name)
+              .fold(acc)(v => when(col("__action") === i, v).otherwise(acc))
+          }.cast(f.dataType).as(f.name)
+        }
+        Some(accepted.select(insCols: _*))
+      }
+    val survivors = inserted.fold(survivorsT)(ins => survivorsT.unionByName(ins))
+
+    val (written, newStats, newRows) = writeBatch(survivors, root, statsCols)
+    val newRef = writeShard(spark, root, written, newStats, newRows)
+    val carried = carryUntouched(spark, root, shards, touchedSet)
+    publishMeta(spark, root, tag, requireHead = headV) { head =>
+      val h = head.getOrElse(sys.error("mergeInto base vanished"))
       (carried :+ newRef, mergedSchemaJson(Some(h.schema), survivors.schema))
     }
   }

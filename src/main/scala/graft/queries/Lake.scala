@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.{Catalog, Incremental, S3Like, Snapshots, Tables}
+import graft.engine.{Catalog, Incremental, MergeClause, S3Like, Snapshots, Tables}
 
 /** Data-lake layout: Hive-style directory partitioning end to end — the
   * distributed form of the reference's prefix-keyed S3 listing (`get_keys`
@@ -751,6 +751,71 @@ object Lake {
       spark.range(1).select(
         lit(total).as("total_rows"), lit(band).as("band_rows"),
         lit(mn.toLong).as("min_key"), lit(mx.toLong).as("max_key"))
+    },
+
+    // ---- q100: conditional MERGE INTO — the full three-clause warehouse
+    //            verb over a snapshot table: WHEN MATCHED AND bal<0 DELETE
+    //            (overdrawn matched customers leave), WHEN MATCHED UPDATE
+    //            SET (segment flip + balance credit referencing BOTH
+    //            sides), WHEN NOT MATCHED INSERT (brand-new keys land with
+    //            explicit VALUES). The entire post-merge table goes under
+    //            the hash gate; the oracle computes the identical final
+    //            state as pure SQL (filtered left join ∪ anti-join insert,
+    //            the relational definition of MERGE's clause algebra).
+    //            Equality proves first-match-wins ordering (delete wins
+    //            over update on overdrawn rows), both-sides SET arithmetic,
+    //            and exact NOT MATCHED detection through the pruned
+    //            copy-on-write path (MergeIntoSpec pins the carry-by-
+    //            reference property; here every clause's row set is
+    //            value-checked). ----
+    OracleQuery(
+      "q100_merge_into",
+      """WITH t AS (
+        |  SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal FROM customer),
+        |s AS (
+        |  SELECT c_custkey, 'MERGED' AS new_seg, CAST(100.0 AS DOUBLE) AS delta
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 100000, 'FRESH', CAST(1.5 AS DOUBLE)
+        |  FROM customer WHERE c_custkey % 40 = 0),
+        |upd AS (
+        |  SELECT t.c_custkey,
+        |    CASE WHEN s.c_custkey IS NOT NULL THEN s.new_seg ELSE t.seg END AS seg,
+        |    CASE WHEN s.c_custkey IS NOT NULL THEN t.bal + s.delta ELSE t.bal END AS bal
+        |  FROM t LEFT JOIN s ON t.c_custkey = s.c_custkey
+        |  WHERE NOT (s.c_custkey IS NOT NULL AND t.bal < 0)),
+        |ins AS (
+        |  SELECT s.c_custkey, s.new_seg AS seg, s.delta AS bal
+        |  FROM s WHERE NOT EXISTS (SELECT 1 FROM t WHERE t.c_custkey = s.c_custkey))
+        |SELECT c_custkey, seg, bal FROM upd
+        |UNION ALL SELECT c_custkey, seg, bal FROM ins
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/customer_mergeinto"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val cust = Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").as("bal"))
+      Snapshots.commit(cust.repartitionByRange(6, col("c_custkey")), root,
+        statsCols = Seq("c_custkey"))
+      val src = cust.filter(col("c_custkey") % 4 === 0)
+        .select(col("c_custkey"), lit("MERGED").as("new_seg"),
+          lit(100.0).as("delta"))
+        .unionByName(cust.filter(col("c_custkey") % 40 === 0)
+          .select((col("c_custkey") + 100000L).as("c_custkey"),
+            lit("FRESH").as("new_seg"), lit(1.5).as("delta")))
+      Snapshots.mergeInto(src, root, "c_custkey", Seq(
+        MergeClause.Delete(Some(col("t.bal") < 0)),
+        MergeClause.Update(Map(
+          "seg" -> col("s.new_seg"),
+          "bal" -> (col("t.bal") + col("s.delta")))),
+        MergeClause.Insert(Map(
+          "c_custkey" -> col("s.c_custkey"),
+          "seg" -> col("s.new_seg"),
+          "bal" -> col("s.delta")))),
+        statsCols = Seq("c_custkey"))
+      Snapshots.read(spark, root).orderBy("c_custkey")
     },
   )
 }
