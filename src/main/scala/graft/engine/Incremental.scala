@@ -44,6 +44,11 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType}
 object Incremental {
 
   private val Measure = DecimalType(38, 6)
+
+  /** The default no-op expansion, as a stable reference: [[cancelledDelta]]
+    * only pays its netting shuffle when a real (fan-out) expansion follows —
+    * with no expansion the additive aggregate cancels signs for free. */
+  private val NoExpand: DataFrame => DataFrame = identity
   private def srcTag(v: Long) = s"src-v$v"
   private val SrcTagRe = "src-v(\\d+)".r
 
@@ -114,7 +119,7 @@ object Incremental {
       aggRoot: String,
       groupCols: Seq[String],
       sumCols: Seq[String],
-      expand: DataFrame => DataFrame = identity): Long = {
+      expand: DataFrame => DataFrame = NoExpand): Long = {
     require(groupCols.nonEmpty, "need at least one group column")
     val srcHead = Snapshots.headVersion(spark, srcRoot)
     require(srcHead > 0, s"no snapshot committed at $srcRoot yet")
@@ -126,7 +131,9 @@ object Incremental {
     val fromV =
       if (reflected > 0 && !Snapshots.manifestExists(spark, srcRoot, reflected)) 0L
       else reflected
-    val delta = expand(Snapshots.signedDelta(spark, srcRoot, fromV, srcHead))
+    val delta =
+      if (expand eq NoExpand) NoExpand(Snapshots.signedDelta(spark, srcRoot, fromV, srcHead))
+      else expand(cancelledDelta(spark, srcRoot, fromV, srcHead))
     require(delta.columns.contains("_sign"),
       "expand must carry the _sign column through (row-local expansions only)")
     val deltaState = aggregate(delta, groupCols, sumCols, col("_sign").cast("long"))
@@ -209,7 +216,7 @@ object Incremental {
       aggRoot: String,
       groupCols: Seq[String],
       sumCols: Seq[String],
-      expand: DataFrame => DataFrame = identity,
+      expand: DataFrame => DataFrame = NoExpand,
       stateFiles: Int = 32,
       tombstoneCompactAt: Double = 0.3): Long = {
     require(groupCols.nonEmpty, "need at least one group column")
@@ -221,7 +228,9 @@ object Incremental {
     val fromV =
       if (reflected > 0 && !Snapshots.manifestExists(spark, srcRoot, reflected)) 0L
       else reflected
-    val delta = expand(Snapshots.signedDelta(spark, srcRoot, fromV, srcHead))
+    val delta =
+      if (expand eq NoExpand) NoExpand(Snapshots.signedDelta(spark, srcRoot, fromV, srcHead))
+      else expand(cancelledDelta(spark, srcRoot, fromV, srcHead))
     require(delta.columns.contains("_sign"),
       "expand must carry the _sign column through (row-local expansions only)")
     val gh = xxhash64(groupCols.map(col): _*)
@@ -246,18 +255,28 @@ object Incremental {
     // runs once, not once per consumer job
     val keyed = deltaState.withColumn("__gh", gh)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE probe of the delta's group-hash set serves emptiness detection,
+    // the state read's pruning, AND the merge's pruning (the fold's keys
+    // are a subset of the delta's — a superset probe prunes soundly).
+    // Before round 9 this was three separate passes: a limit-count, the
+    // readForKeys probe, and the merge probe — each a full materialization
+    // of a deep plan.
+    val probe = Snapshots.probeKeys(keyed.select("__gh"), "__gh")
     // a FILE-identical source change (a restore republishing the exact
     // prior file list) yields a ZERO-ROW delta: the state content is
     // already right, and merge cannot take a key-less batch. Skip the
     // fold; the reflected tag stays at the older version, which names
     // content identical to srcHead, so the next real delta still computes
     // from a correct base.
-    if (keyed.limit(1).count() == 0) { keyed.unpersist(); return srcHead }
+    if (probe == Snapshots.KeysEmpty) { keyed.unpersist(); return srcHead }
     try {
-      // stats-pruned read of exactly the touched groups' state rows
-      // (tombstones included — they are real state for the fold)
-      val touched = Snapshots.readForKeys(spark, aggRoot, "__gh",
-        keyed.select("__gh"))
+      // stats-pruned read of the touched FILES' state rows, whole files
+      // (tombstones included — they are real state for the fold). No exact
+      // key filter: a group from a touched file that the delta didn't
+      // touch folds to its identical self and is rewritten in place —
+      // content-preserving, and one semi join + broadcast cheaper per
+      // refresh than filtering to the key set first.
+      val touched = Snapshots.readTouched(spark, aggRoot, "__gh", probe)
       // folded is consumed by merge's own probe, write, and survivors anti
       // join — persist for the same reason (its plan reads state files)
       val folded = touched.unionByName(keyed)
@@ -269,8 +288,12 @@ object Incremental {
         .withColumn("__gh", gh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        Snapshots.merge(folded, aggRoot, key = "__gh", statsCols = Seq("__gh"),
-          tag = srcTag(srcHead), requireHead = aggHead)
+        // batchReplacesTouched: the fold consumed the touched files WHOLE,
+        // so `folded` carries every key those files hold — the merge can
+        // write it directly, no survivors re-read/anti-join of state files
+        Snapshots.mergeProbed(folded, aggRoot, key = "__gh", probe = probe,
+          statsCols = Seq("__gh"), tag = srcTag(srcHead), requireHead = aggHead,
+          batchReplacesTouched = true)
         // cheap gate on the (persisted, touched-groups-sized) fold: only a
         // refresh that CREATED tombstones can push the fraction over the
         // threshold, so the common append-shaped refresh skips the
@@ -532,6 +555,42 @@ object Incremental {
   /** One signed grouped pass: n_rows = Σ sign, sum_<c> = Σ sign·c — the
     * shape both the delta and a from-scratch build share (a full build is
     * the delta from the empty base). */
+  /** The signed delta with carried-forward rows cancelled BEFORE any
+    * expansion. A copy-on-write rewrite re-emits every SURVIVING row of a
+    * touched file with both signs — for a scattered-key merge that can be
+    * 10-100× more rows than actually changed — and an expand-heavy refresh
+    * (tokenization fans each row into hundreds) pays the expansion and two
+    * shuffles for rows that algebraically cancel anyway. One groupBy over
+    * the delta's own rows (cost ∝ changed files — the delta's own bound,
+    * never the table) nets the signs per full-row value first: net-zero
+    * rows vanish, net-±k rows carry `_sign = ±k`, exact because every
+    * consumer multiplies by `_sign` rather than counting rows. Pure
+    * appends (no removed files) and full rebuilds skip the pass — nothing
+    * can cancel; a map-typed column disables it (maps aren't groupable) —
+    * cancellation is an optimization, the algebra is correct without it. */
+  private def cancelledDelta(
+      spark: SparkSession,
+      srcRoot: String,
+      fromV: Long,
+      toV: Long): DataFrame = {
+    val raw = Snapshots.signedDelta(spark, srcRoot, fromV, toV)
+    if (fromV == 0) return raw
+    val (_, removed) = Snapshots.diffFiles(spark, srcRoot, fromV, toV)
+    if (removed.isEmpty) return raw
+    val dataCols = raw.schema.fields.filterNot(_.name == "_sign")
+    if (dataCols.exists(f => hasMap(f.dataType))) return raw
+    raw.groupBy(dataCols.map(f => col(f.name)).toSeq: _*)
+      .agg(sum(col("_sign")).cast("int").as("_sign"))
+      .filter(col("_sign") =!= 0)
+  }
+
+  private def hasMap(t: org.apache.spark.sql.types.DataType): Boolean = t match {
+    case _: org.apache.spark.sql.types.MapType => true
+    case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+    case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+    case _ => false
+  }
+
   private def aggregate(
       rows: DataFrame,
       groupCols: Seq[String],

@@ -62,33 +62,45 @@ object Scd {
         batch.withColumn("valid_from", lit(ts)).withColumn("valid_to", lit(null).cast("long")),
         root, statsCols = statsCols, tag = tag)
 
-    // one pruned probe of the batch keys' version history; the CURRENT
-    // rows are the comparison base. Reused for the changed-set and the
-    // closing rewrite — persist so the probe scan runs once.
-    val hist = Snapshots.readForKeys(spark, root, key, batch.select(key))
+    // ONE probe of the batch's key set serves the history read's pruning
+    // AND the closing merge's (the rewrite's keys — changed ∪ new — are a
+    // subset of the batch's, and a superset probe prunes soundly); before
+    // round 9 the merge re-probed its own deep fold plan. The history is
+    // the comparison base, reused for the changed-set and the closing
+    // rewrite — persist so the probe scan runs once.
+    val probe = Snapshots.probeKeys(batch.select(key), key)
+    // whole touched files, no exact key filter: every consumer below
+    // re-filters exactly (the news left-join keys on the batch side; the
+    // rewrite semi-joins on changedKeys), and the closing merge's anti
+    // join carries non-batch keys from touched files through unchanged —
+    // one semi join + broadcast cheaper per batch
+    val hist = Snapshots.readTouched(spark, root, key, probe)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val cur = hist.filter(col("valid_to").isNull)
       // null-safe attr comparison: a changed row is one whose current
-      // version disagrees on ANY attribute; a new key has no current row
+      // version disagrees on ANY attribute; a new key has no current row.
+      // __curFrom rides along so the emptiness check and the ts-
+      // monotonicity bound come out of ONE aggregation job below.
       val same = attrs.map(a => col(s"b.$a") <=> col(s"c.$a")).reduce(_ && _)
       val news = batch.as("b").join(cur.as("c"), col(s"b.$key") === col(s"c.$key"), "left")
         .withColumn("__new", col(s"c.$key").isNull)
         .withColumn("__changed", col(s"c.$key").isNotNull && !same)
         .filter(col("__new") || col("__changed"))
         .select((col(s"b.$key") +: attrs.map(a => col(s"b.$a")) :+
-          col("__new").as("__isNew")): _*)
+          col("__new").as("__isNew") :+ col("c.valid_from").as("__curFrom")): _*)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try {
-        if (news.limit(1).count() == 0) return Snapshots.headVersion(spark, root)
-        val changedKeys = news.filter(!col("__isNew")).select(key)
-        // ts monotonicity against the rows being closed — equal ts would
-        // mint zero-width intervals and duplicate (key, valid_from) rows
-        val maxFrom = cur.join(changedKeys, Seq(key), "left_semi")
-          .agg(max("valid_from")).head.get(0)
+        // one job: batch emptiness + the newest closing row's valid_from
+        // (ts monotonicity — equal ts would mint zero-width intervals and
+        // duplicate (key, valid_from) rows)
+        val gate = news.agg(count(lit(1)).as("n"), max(col("__curFrom")).as("mf")).head
+        if (gate.getLong(0) == 0) return Snapshots.headVersion(spark, root)
+        val maxFrom = gate.get(1)
         require(maxFrom == null || maxFrom.asInstanceOf[Long] < ts,
           s"ts=$ts is not after the newest current version (valid_from=$maxFrom) — " +
             "SCD batches must apply in effective-time order")
+        val changedKeys = news.filter(!col("__isNew")).select(key)
         // rewrite = the changed keys' FULL history (closed current rows +
         // carried old versions) + every new version; merge on the natural
         // key replaces exactly those keys' rows and carries the rest
@@ -96,10 +108,11 @@ object Scd {
           .withColumn("valid_to",
             when(col("valid_to").isNull, lit(ts)).otherwise(col("valid_to")))
           .unionByName(
-            news.drop("__isNew")
+            news.drop("__isNew", "__curFrom")
               .withColumn("valid_from", lit(ts))
               .withColumn("valid_to", lit(null).cast("long")))
-        Snapshots.merge(rewritten, root, key, statsCols = statsCols, tag = tag)
+        Snapshots.mergeProbed(rewritten, root, key, probe,
+          statsCols = statsCols, tag = tag)
       } finally news.unpersist()
     } finally hist.unpersist()
   }

@@ -130,6 +130,7 @@ object Snapshots {
       tag: String = "",
       ts: Long = 0L,
       schema: String = "",
+      retired: Seq[String] = Seq.empty,
       inline: Option[(Seq[String], Seq[ColStats])] = None)
 
   /** A loaded shard: its ref plus the content. */
@@ -186,9 +187,41 @@ object Snapshots {
       case None => m.shardRefs.map(loadShard(spark, root, _))
     }
 
-  private def resolve(m: ManifestMeta, shards: Seq[Shard]): Manifest =
+  private def resolve(m: ManifestMeta, shards: Seq[Shard]): Manifest = {
+    // stats are recorded under PHYSICAL column names (immutable with the
+    // shard files that hold them); the resolved view relabels them to the
+    // schema's CURRENT logical names, so every pruning consumer
+    // (readRange/readWhere/readForKeys/merge/delete/countWhere/statsRange)
+    // keeps working across renames with no knowledge of the mapping.
+    // Dropped columns' stats keep their physical label — no logical name
+    // reaches them, so they are inert.
+    val stats = shards.flatMap(_.stats)
+    val relabeled = parseSchemaStr(m.schema) match {
+      case Some(s) =>
+        val p2l = s.fields.iterator
+          .map(f => physicalOf(f) -> f.name).filter(e => e._1 != e._2).toMap
+        if (p2l.isEmpty) stats
+        else stats.map(st => p2l.get(st.col).fold(st)(l => st.copy(col = l)))
+      case None => stats
+    }
     Manifest(m.version, shards.flatMap(_.files), m.parent,
-      shards.flatMap(_.stats), m.tag, m.ts, m.schema, shards.flatMap(_.rows))
+      relabeled, m.tag, m.ts, m.schema, shards.flatMap(_.rows))
+  }
+
+  /** Column-mapping metadata key: a field whose on-disk (PHYSICAL) column
+    * name differs from its current logical name carries it here, inside the
+    * recorded schema json. Physical names are assigned once (at the column's
+    * first introduction) and never change — [[renameColumn]] moves only the
+    * logical name, so files written before the rename stay readable with no
+    * rewrite, the Delta-style column-mapping idea. */
+  private val PhysicalKey = "graft.physical"
+
+  private def physicalOf(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey) else f.name
+
+  /** logical→physical renames (non-identity entries only). */
+  private def logicalToPhysical(s: StructType): Map[String, String] =
+    s.fields.iterator.map(f => f.name -> physicalOf(f)).filter(e => e._1 != e._2).toMap
 
   /** Read manifest v fully resolved (throws with a clear message when v was
     * never committed or has been vacuumed away). */
@@ -244,12 +277,87 @@ object Snapshots {
       tag: String = "",
       requireHead: Long = -1L): Long = {
     val spark = df.sparkSession
-    val (written, newStats, newRows) = writeBatch(df, root, statsCols)
+    // column-mapping translation for appends onto an evolved table: the
+    // batch arrives with LOGICAL names, files store PHYSICAL ones. An
+    // overwrite starts a fresh schema (physical = logical) — its files
+    // don't coexist with prior generations. Physical names are
+    // rename-stable, so the head read here cannot go stale against the
+    // optimistic publish loop below (concurrent commits only ADD columns).
+    val (toPhys, assigned) =
+      if (!append) (Map.empty[String, String], Map.empty[String, String])
+      else {
+        val headV0 = headVersion(spark, root)
+        if (headV0 == 0) (Map.empty[String, String], Map.empty[String, String])
+        else {
+          val m0 = manifestMeta(spark, root, headV0)
+          val ps = parseSchemaStr(m0.schema)
+          val fresh = freshPhysicals(ps, m0.retired, df.schema)
+          (ps.map(logicalToPhysical).getOrElse(Map.empty) ++ fresh, fresh)
+        }
+      }
+    val (written, newStats, newRows) = writeBatch(df, root, statsCols, toPhys)
     val newRef = writeShard(spark, root, written, newStats, newRows)
     publishMeta(spark, root, tag, requireHead) { head =>
       val parent = if (append) head else None
       val refs = parent.map(shardRefsOf(spark, root, _)).getOrElse(Seq.empty) :+ newRef
-      (refs, mergedSchemaJson(parent.map(_.schema), df.schema))
+      (refs, mergedSchemaJson(parent.map(_.schema), df.schema, assigned))
+    }
+  }
+
+  /** NON-ADDITIVE schema evolution, part 1: rename a column as a
+    * METADATA-ONLY commit. The files are untouched — the field keeps its
+    * immutable PHYSICAL (on-disk) name, recorded in the schema's column
+    * mapping; only the logical name moves. Every file generation keeps
+    * reading (old and new files store the same physical column), stats
+    * pruning keeps working (the resolve-time relabel maps the recorded
+    * physical stats to the new logical name), later appends/merges write
+    * the physical name, and time travel to a pre-rename version surfaces
+    * the OLD name — schema history is history too. At 100 TB this is the
+    * only acceptable rename: the rewrite alternative costs a full table
+    * pass for a name. Fenced against concurrent commits (requireHead):
+    * a rename never clobbers a racing writer's schema merge. */
+  def renameColumn(spark: SparkSession, root: String, from: String, to: String): Long = {
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet")
+    val meta = manifestMeta(spark, root, headV)
+    val s = parseSchemaStr(meta.schema).getOrElse(sys.error(
+      s"$root has no recorded schema (legacy manifest) — commit once to record one"))
+    require(s.fieldNames.contains(from), s"no column '$from' in $root")
+    require(!s.fieldNames.contains(to), s"column '$to' already exists in $root")
+    val renamed = StructType(s.fields.map { f =>
+      if (f.name != from) f
+      else f.copy(name = to, metadata =
+        new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).putString(PhysicalKey, physicalOf(f)).build())
+    })
+    publishMeta(spark, root, tag = "", requireHead = headV) { head =>
+      val h = head.getOrElse(sys.error("rename base vanished"))
+      (shardRefsOf(spark, root, h), renamed.json)
+    }
+  }
+
+  /** NON-ADDITIVE schema evolution, part 2: drop a column as a
+    * METADATA-ONLY commit. Files keep the bytes (pinned readers of older
+    * versions still see the column; vacuum-driven erasure applies as
+    * usual); the head schema simply stops requesting it. The dropped
+    * field's PHYSICAL name is recorded as RETIRED in the manifest: a later
+    * column with the same name gets a fresh physical name, so the old
+    * files' values can never resurrect into it — re-add-after-drop reads
+    * null for pre-drop rows, the only sound answer. */
+  def dropColumn(spark: SparkSession, root: String, name: String): Long = {
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet")
+    val meta = manifestMeta(spark, root, headV)
+    val s = parseSchemaStr(meta.schema).getOrElse(sys.error(
+      s"$root has no recorded schema (legacy manifest) — commit once to record one"))
+    val field = s.fields.find(_.name == name)
+      .getOrElse(sys.error(s"no column '$name' in $root"))
+    require(s.fields.length > 1, s"cannot drop the last column of $root")
+    val remaining = StructType(s.fields.filterNot(_.name == name))
+    publishMeta(spark, root, tag = "", requireHead = headV,
+      retiredOverride = Some(meta.retired :+ physicalOf(field))) { head =>
+      val h = head.getOrElse(sys.error("drop base vanished"))
+      (shardRefsOf(spark, root, h), remaining.json)
     }
   }
 
@@ -321,11 +429,38 @@ object Snapshots {
       case None => m.shardRefs
     }
 
-  private def mergedSchemaJson(parentSchema: Option[String], batch: StructType): String = {
+  private def mergedSchemaJson(
+      parentSchema: Option[String],
+      batch: StructType,
+      assigned: Map[String, String] = Map.empty): String = {
     // a field-less schema means "unknown" (legacy restore path) — record ""
     // so reads fall back to footers, not a 0-column plan
-    val s = mergeSchemas(parentSchema.flatMap(parseSchemaStr), batch)
+    val s = mergeSchemas(parentSchema.flatMap(parseSchemaStr), batch, assigned)
     if (s.fields.isEmpty) "" else s.json
+  }
+
+  /** Fresh PHYSICAL names for batch columns whose default physical (their
+    * own name) is already taken — by a retired (dropped) column whose data
+    * still sits in old files, or by a live column renamed away from it.
+    * Without this, re-adding a dropped column would resurrect the old
+    * files' values into it; with it, the new column stores under a unique
+    * suffix and old files correctly surface null. Assigned BEFORE the
+    * write (the files must store the fresh name) and passed through to the
+    * schema merge so the metadata records the same mapping. */
+  private def freshPhysicals(
+      parent: Option[StructType],
+      retired: Seq[String],
+      batch: StructType): Map[String, String] = {
+    val taken = retired.toSet ++
+      parent.map(_.fields.map(physicalOf).toSet).getOrElse(Set.empty)
+    if (taken.isEmpty) return Map.empty
+    val existing = parent.map(_.fieldNames.toSet).getOrElse(Set.empty)
+    batch.fields.iterator.map(_.name)
+      .filterNot(existing.contains)
+      .filter(taken.contains)
+      .map(n => n ->
+        s"${n}__${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}")
+      .toMap
   }
 
   /** Write one immutable batch under an unguessable commit dir; return its
@@ -334,35 +469,163 @@ object Snapshots {
   private def writeBatch(
       df: DataFrame,
       root: String,
-      statsCols: Seq[String]): (Seq[String], Seq[ColStats], Seq[FileRows]) = {
+      statsCols: Seq[String],
+      toPhys: Map[String, String] = Map.empty): (Seq[String], Seq[ColStats], Seq[FileRows]) = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"$root/data/c-$commitId"
-    df.write.parquet(dataDir)
+    // files always store PHYSICAL column names; the batch arrives logical.
+    // Stats are likewise collected and recorded under physical names — the
+    // resolve-time relabel maps them back to whatever the logical name is
+    // at read time.
+    val dfP =
+      if (toPhys.isEmpty || !df.columns.exists(toPhys.contains)) df
+      else df.select(df.columns.toSeq.map(c =>
+        org.apache.spark.sql.functions.col(c).as(toPhys.getOrElse(c, c))): _*)
+    val statsP = statsCols.map(c => toPhys.getOrElse(c, c))
+    dfP.write.parquet(dataDir)
     val written = f.listStatus(new Path(dataDir)).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted
-    val (stats, rows) = collectStats(spark, Seq(dataDir), statsCols)
+    // footers first: the scan pass re-reads every byte this commit just
+    // wrote — at any scale that DOUBLES commit I/O and costs a Spark job;
+    // the footers already carry exact chunk stats for the common key types
+    val (stats, rows) = statsFromFooters(spark, written, statsP)
+      .getOrElse(collectStats(spark, Seq(dataDir), statsP))
     (written, stats, rows)
+  }
+
+  /** Footer-derived per-file stats: min/max/null-count for `statsCols` plus
+    * row counts, read from the parquet FOOTERS of freshly-written files —
+    * metadata-only I/O, NO Spark job. Only integral/floating top-level
+    * columns qualify: for them chunk stats order-match Spark's double-cast
+    * exactly (long→double rounding is monotone, so cast(min) = min(cast));
+    * a DATE/TIMESTAMP/DECIMAL/string statsCol returns None and the caller
+    * falls back to the distributed scan, preserving its exact semantics. A
+    * (file, column) whose chunks lack usable stats yields no ColStats row
+    * — consumers already treat missing stats as must-scan — and an all-null
+    * file records none, both matching the scan path. Driver-side and
+    * O(batch files): a commit's file count is bounded by its partitioning
+    * (never the table's), so this stays trivial even when the table is
+    * 100 TB; the footer open is the same metadata read [[writeShard]]
+    * already does for row counts, now paid once. */
+  private def statsFromFooters(
+      spark: SparkSession,
+      files: Seq[String],
+      statsCols: Seq[String]): Option[(Seq[ColStats], Seq[FileRows])] = {
+    if (statsCols.isEmpty) return Some((Seq.empty, Seq.empty))
+    import scala.jdk.CollectionConverters._
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    final class FooterMiss extends RuntimeException
+    def supported(t: org.apache.parquet.schema.Type): Boolean =
+      t.isPrimitive && {
+        val p = t.asPrimitiveType()
+        val ann = p.getLogicalTypeAnnotation
+        p.getPrimitiveTypeName match {
+          case FLOAT | DOUBLE => ann == null
+          case INT32 | INT64 => ann == null || (ann match {
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+            case _ => false
+          })
+          case _ => false
+        }
+      }
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    try {
+      val perFile = files.map { u =>
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(u), conf)
+        val r =
+          try org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          catch { case scala.util.control.NonFatal(_) => throw new FooterMiss }
+        try {
+          val footer = r.getFooter
+          val schema = footer.getFileMetaData.getSchema
+          val blocks = footer.getBlocks.asScala.toSeq
+          val name = new Path(u).getName
+          val nRows = blocks.map(_.getRowCount).sum
+          val colStats = statsCols.flatMap { c =>
+            if (!schema.containsField(c)) None // evolving batch: no column → no stats
+            else if (!supported(schema.getType(Seq(c): _*))) throw new FooterMiss
+            else {
+              var lo = Double.PositiveInfinity
+              var hi = Double.NegativeInfinity
+              var nulls = 0L
+              var nullsKnown = true
+              var usable = true
+              var any = false
+              blocks.foreach { b =>
+                b.getColumns.asScala.find(_.getPath.toDotString == c) match {
+                  case None => usable = false
+                  case Some(ch) =>
+                    val st = ch.getStatistics
+                    if (st == null) usable = false
+                    else {
+                      if (st.isNumNullsSet) nulls += st.getNumNulls
+                      else nullsKnown = false
+                      if (st.hasNonNullValue) {
+                        any = true
+                        (st.genericGetMin, st.genericGetMax) match {
+                          case (mn: java.lang.Number, mx: java.lang.Number) =>
+                            lo = math.min(lo, mn.doubleValue())
+                            hi = math.max(hi, mx.doubleValue())
+                          case _ => usable = false
+                        }
+                      } else if (!(st.isNumNullsSet &&
+                          st.getNumNulls == ch.getValueCount))
+                        usable = false // neither values nor a proven-all-null chunk
+                    }
+                }
+              }
+              if (!usable || !any ||
+                !java.lang.Double.isFinite(lo) || !java.lang.Double.isFinite(hi))
+                None // conservative: file stays an always-candidate
+              else Some(ColStats(name, c, lo, hi,
+                nulls = if (nullsKnown) nulls else -1L))
+            }
+          }
+          (colStats, FileRows(name, nRows))
+        } finally r.close()
+      }
+      Some((perFile.flatMap(_._1), perFile.map(_._2)))
+    } catch { case _: FooterMiss => None }
   }
 
   /** Additive schema evolution: the carried schema plus any columns the
     * batch introduces (appended, nullable for old files via parquet's
     * missing-column fill). A same-name column with a different type is a
     * hard error — silent coercion is how lakes corrupt. */
-  private def mergeSchemas(parent: Option[StructType], batch: StructType): StructType =
-    parent.fold(batch) { p =>
+  private def mergeSchemas(
+      parent: Option[StructType],
+      batch: StructType,
+      assigned: Map[String, String] = Map.empty): StructType = {
+    // a batch NEVER brings its own mapping claims — only the engine assigns
+    // physical names (parent fields keep theirs; `assigned` adds fresh ones)
+    val clean = StructType(batch.fields.map { f =>
+      if (!f.metadata.contains(PhysicalKey)) f
+      else f.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .withMetadata(f.metadata).remove(PhysicalKey).build())
+    })
+    parent.fold(clean) { p =>
       val byName = p.fields.map(f => f.name -> f).toMap
-      batch.fields.foreach { f =>
+      clean.fields.foreach { f =>
         byName.get(f.name).foreach { old =>
           require(old.dataType == f.dataType,
             s"schema evolution type conflict on '${f.name}': " +
               s"table has ${old.dataType.simpleString}, batch has ${f.dataType.simpleString}")
         }
       }
-      StructType(p.fields ++ batch.fields.filterNot(f => byName.contains(f.name)))
+      val newFields = clean.fields.filterNot(f => byName.contains(f.name)).map { f =>
+        assigned.get(f.name).fold(f)(phys => f.copy(metadata =
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata).putString(PhysicalKey, phys).build()))
+      }
+      StructType(p.fields ++ newFields)
     }
+  }
 
   private def parseSchemaStr(s: String): Option[StructType] =
     if (s.isEmpty) None
@@ -377,7 +640,25 @@ object Snapshots {
     parseSchema(m) match {
       case Some(s) if files.isEmpty =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case Some(s) =>
+        // plan against PHYSICAL names (what the files store), surface
+        // LOGICAL: a renamed column reads from every file generation (files
+        // lacking the physical column fill nulls — additive evolution), a
+        // dropped column is simply not requested, and with no mapping this
+        // is the plain schema read
+        val l2p = logicalToPhysical(s)
+        if (l2p.isEmpty) spark.read.schema(s).parquet(files: _*)
+        else {
+          val phys = StructType(s.fields.map(f => f.copy(name = physicalOf(f))))
+          // strip the mapping key from the surfaced schema: the logical
+          // frame must not leak physical names into downstream schemas (a
+          // compact's overwrite would otherwise record a stale mapping)
+          spark.read.schema(phys).parquet(files: _*)
+            .select(s.fields.toSeq.map(f =>
+              org.apache.spark.sql.functions.col(physicalOf(f)).as(f.name,
+                new org.apache.spark.sql.types.MetadataBuilder()
+                  .withMetadata(f.metadata).remove(PhysicalKey).build())): _*)
+        }
       case None if files.isEmpty => spark.emptyDataFrame
       case None => spark.read.parquet(files: _*)
     }
@@ -446,7 +727,8 @@ object Snapshots {
       spark: SparkSession,
       root: String,
       tag: String,
-      requireHead: Long = -1L)(
+      requireHead: Long = -1L,
+      retiredOverride: Option[Seq[String]] = None)(
       build: Option[ManifestMeta] => (Seq[ShardRef], String)): Long = {
     var attempt = 0
     while (true) {
@@ -458,8 +740,12 @@ object Snapshots {
           "the state this commit was computed from has moved; recompute and retry")
       val headMeta = if (head > 0) Some(manifestMeta(spark, root, head)) else None
       val (refs, schema) = build(headMeta)
+      // retired physical names are a table-lifetime fact: inherited by every
+      // commit; only dropColumn extends the list
+      val retired = retiredOverride.getOrElse(
+        headMeta.map(_.retired).getOrElse(Seq.empty))
       val m = ManifestMeta(head + 1, head, refs, tag,
-        ts = System.currentTimeMillis(), schema = schema)
+        ts = System.currentTimeMillis(), schema = schema, retired = retired)
       if (tryWriteManifest(spark, root, m)) {
         // default-on metadata upkeep: once the ref list outgrows the
         // threshold, consolidate to ONE shard. The compaction commit itself
@@ -504,7 +790,31 @@ object Snapshots {
       key: String,
       statsCols: Seq[String] = Seq.empty,
       tag: String = "",
-      requireHead: Long = -1L): Long = {
+      requireHead: Long = -1L): Long =
+    mergeProbed(df, root, key, probeKeys(df, key), statsCols, tag, requireHead)
+
+  /** [[merge]] with the batch-key probe precomputed by the caller — the
+    * job-count lever for pipelines that already probed the SAME key set (or
+    * a superset: pruning by a superset touches a superset of files, still
+    * correct) to read the state they folded, e.g. [[Incremental
+    * .refreshKeyed]] and [[Scd.merge]]. Skips this call's own two probe
+    * jobs (one agg + one distinct-collect over the batch plan — which for
+    * fold pipelines is a DEEP plan reading state files). */
+  /** @param batchReplacesTouched the caller guarantees `df` IS the complete
+    *   post-merge content of every file the probe touches (the whole-file
+    *   fold shape: [[Incremental.refreshKeyed]] folds entire touched files
+    *   with the delta, so its batch covers every key those files hold).
+    *   Skips the survivors pass — no second read of the touched files, no
+    *   distinct, no anti join; the batch is written as-is. */
+  private[engine] def mergeProbed(
+      df: DataFrame,
+      root: String,
+      key: String,
+      probe: KeyProbe,
+      statsCols: Seq[String] = Seq.empty,
+      tag: String = "",
+      requireHead: Long = -1L,
+      batchReplacesTouched: Boolean = false): Long = {
     val spark = df.sparkSession
     import org.apache.spark.sql.functions.col
     val headV = headVersion(spark, root)
@@ -521,7 +831,7 @@ object Snapshots {
     // keys); a too-large numeric set falls back to the global range
     // scalars; a non-numeric (opaque) key disables pruning — every file
     // rewrites, conservative but correct for string doc-id/hash keys
-    val touched = probeKeys(df, key) match {
+    val touched = probe match {
       case KeysEmpty => sys.error("merge batch has no non-null keys")
       case KeysSmall(ks) => candidateFilesForKeys(m, key, ks)
       case KeysRange(lo, hi) => candidateFiles(m, key, lo, hi)
@@ -529,18 +839,21 @@ object Snapshots {
     }
     val touchedSet = touched.toSet
     val survivors =
-      if (touched.isEmpty) df
+      if (touched.isEmpty || batchReplacesTouched) df
       else readFiles(spark, m, touched)
         .join(df.select(col(key)).distinct(), Seq(key), "left_anti")
         // allowMissingColumns: an evolving batch may introduce columns
         // (survivors fill nulls) or omit late-added ones (batch fills)
         .unionByName(df, allowMissingColumns = true)
-    val (written, newStats, newRows) = writeBatch(survivors, root, statsCols)
+    val parentSchema = parseSchema(m)
+    val fresh = freshPhysicals(parentSchema, meta.retired, survivors.schema)
+    val toPhys = parentSchema.map(logicalToPhysical).getOrElse(Map.empty) ++ fresh
+    val (written, newStats, newRows) = writeBatch(survivors, root, statsCols, toPhys)
     val newRef = writeShard(spark, root, written, newStats, newRows)
     val carried = carryUntouched(spark, root, shards, touchedSet)
     publishMeta(spark, root, tag, requireHead = headV) { head =>
       val h = head.getOrElse(sys.error("merge base vanished"))
-      (carried :+ newRef, mergedSchemaJson(Some(h.schema), survivors.schema))
+      (carried :+ newRef, mergedSchemaJson(Some(h.schema), survivors.schema, fresh))
     }
   }
 
@@ -679,7 +992,10 @@ object Snapshots {
       }
     val survivors = inserted.fold(survivorsT)(ins => survivorsT.unionByName(ins))
 
-    val (written, newStats, newRows) = writeBatch(survivors, root, statsCols)
+    // inserts conform to the target schema, so no fresh physicals can
+    // arise here — only the parent's rename mapping applies
+    val toPhys = parseSchema(m).map(logicalToPhysical).getOrElse(Map.empty)
+    val (written, newStats, newRows) = writeBatch(survivors, root, statsCols, toPhys)
     val newRef = writeShard(spark, root, written, newStats, newRows)
     val carried = carryUntouched(spark, root, shards, touchedSet)
     publishMeta(spark, root, tag, requireHead = headV) { head =>
@@ -748,7 +1064,9 @@ object Snapshots {
     val touchedSet = touched.toSet
     val survivors = readFiles(spark, m, touched)
       .join(keys.select(col(key)).distinct(), Seq(key), "left_anti")
-    val (written, newStats, newRows) = writeBatch(survivors, root, statsCols)
+    // a delete never introduces columns; only the rename mapping applies
+    val toPhys = parseSchema(m).map(logicalToPhysical).getOrElse(Map.empty)
+    val (written, newStats, newRows) = writeBatch(survivors, root, statsCols, toPhys)
     val newRef = writeShard(spark, root, written, newStats, newRows)
     val carried = carryUntouched(spark, root, shards, touchedSet)
     publishMeta(spark, root, tag = "", requireHead = headV) { head =>
@@ -839,11 +1157,11 @@ object Snapshots {
     }
   }
 
-  private sealed trait KeyProbe
-  private case object KeysEmpty extends KeyProbe
-  private final case class KeysSmall(ks: Array[Double]) extends KeyProbe
-  private final case class KeysRange(lo: Double, hi: Double) extends KeyProbe
-  private case object KeysOpaque extends KeyProbe
+  private[engine] sealed trait KeyProbe
+  private[engine] case object KeysEmpty extends KeyProbe
+  private[engine] final case class KeysSmall(ks: Array[Double]) extends KeyProbe
+  private[engine] final case class KeysRange(lo: Double, hi: Double) extends KeyProbe
+  private[engine] case object KeysOpaque extends KeyProbe
 
   /** Classify a batch's key column for file pruning. Numeric(-castable)
     * keys prune: by sorted distinct set when it fits the driver cap (one
@@ -852,26 +1170,33 @@ object Snapshots {
     * non-null input (string doc-ids/hashes — a primary corpus-lake shape)
     * is OPAQUE: the ColStats index is numeric-only, so no pruning is
     * possible and every file is a candidate — conservative, never wrong. */
-  private def probeKeys(keysDf: DataFrame, key: String): KeyProbe = {
-    import org.apache.spark.sql.functions.{col, count, lit, min, max, when}
+  private[engine] def probeKeys(keysDf: DataFrame, key: String): KeyProbe = {
+    import org.apache.spark.sql.functions.{col, min, max}
     // try_cast, not cast: under ANSI semantics a malformed string THROWS
     // from cast — the probe's whole job is to observe the null instead
     val casted = col(key).try_cast("double")
-    // ONE pass decides empty/opaque AND fetches the range (each agg job is
-    // a full scan of the caller's batch plan, which may be deep — the
-    // keyed-incremental fold reads state files + the source delta)
-    val r = keysDf.agg(
-      count(col(key)).as("n"), // count() skips nulls
-      count(when(col(key).isNotNull && casted.isNull, lit(1))).as("opaque"),
-      min(casted), max(casted)).head()
-    if (r.getLong(0) == 0) return KeysEmpty
-    if (r.getLong(1) > 0) return KeysOpaque
     val MaxDriverKeys = 100000
-    val collected = keysDf.filter(col(key).isNotNull)
-      .select(casted).distinct()
-      .limit(MaxDriverKeys + 1).collect().map(_.getDouble(0))
-    if (collected.length > MaxDriverKeys) KeysRange(r.getDouble(2), r.getDouble(3))
-    else { java.util.Arrays.sort(collected); KeysSmall(collected) }
+    // ONE job in the common case: the distinct (cast, is-opaque) pairs up
+    // to the driver cap decide emptiness, opacity, AND the key set in a
+    // single pass (every opaque value collapses into one (null, true)
+    // row, so the distinct count stays ≈ the distinct key count). Each
+    // probe job re-executes the caller's batch plan, which may be deep —
+    // the keyed-incremental fold reads state files + the source delta —
+    // so job count here is commit latency, spec-pinned (CommitJobsSpec).
+    val rows = keysDf.filter(col(key).isNotNull)
+      .select(casted.as("__c"), casted.isNull.as("__op"))
+      .distinct().limit(MaxDriverKeys + 1).collect()
+    if (rows.isEmpty) return KeysEmpty
+    if (rows.exists(_.getBoolean(1))) return KeysOpaque
+    if (rows.length > MaxDriverKeys) {
+      // over the cap: the (rare) second pass fetches the global range
+      val r = keysDf.agg(min(casted), max(casted)).head()
+      KeysRange(r.getDouble(0), r.getDouble(1))
+    } else {
+      val ks = rows.map(_.getDouble(0))
+      java.util.Arrays.sort(ks)
+      KeysSmall(ks)
+    }
   }
 
   /** Range read through the manifest index: prune the file list to the
@@ -1187,12 +1512,51 @@ object Snapshots {
       spark: SparkSession,
       root: String,
       c: String,
-      keys: DataFrame): DataFrame = {
+      keys: DataFrame): DataFrame =
+    readForKeysProbed(spark, root, c, keys, probeKeys(keys, c))
+
+  /** The probed files' rows WITHOUT the exact key filter — whole touched
+    * files. For consumers that re-filter exactly downstream (Scd's
+    * changed-key semi join) or whose fold rewrites the touched files in
+    * their entirety anyway (the keyed refresh: an untouched group from a
+    * touched file folds to its identical self and is rewritten in place),
+    * the semi join [[readForKeys]] appends is pure overhead — a distinct,
+    * a broadcast build, and a join stage per commit. Rows beyond the key
+    * set ARE returned; callers own the contract. */
+  private[engine] def readTouched(
+      spark: SparkSession,
+      root: String,
+      c: String,
+      probe: KeyProbe): DataFrame = {
+    val v = headVersion(spark, root)
+    require(v > 0, s"no snapshot committed at $root yet")
+    val m = manifest(spark, root, v)
+    val touched = probe match {
+      case KeysEmpty => Seq.empty
+      case KeysSmall(ks) => candidateFilesForKeys(m, c, ks)
+      case KeysRange(lo, hi) => candidateFiles(m, c, lo, hi)
+      case KeysOpaque => m.files
+    }
+    if (touched.isEmpty)
+      (if (m.schema.nonEmpty) readFiles(spark, m, Seq.empty)
+       else spark.read.parquet(m.files: _*))
+        .filter(org.apache.spark.sql.functions.lit(false))
+    else readFiles(spark, m, touched)
+  }
+
+  /** [[readForKeys]] with the probe precomputed — pairs with
+    * [[mergeProbed]] so a fold pipeline probes its key set ONCE. */
+  private[engine] def readForKeysProbed(
+      spark: SparkSession,
+      root: String,
+      c: String,
+      keys: DataFrame,
+      probe: KeyProbe): DataFrame = {
     import org.apache.spark.sql.functions.col
     val v = headVersion(spark, root)
     require(v > 0, s"no snapshot committed at $root yet")
     val m = manifest(spark, root, v)
-    val touched = probeKeys(keys, c) match {
+    val touched = probe match {
       case KeysEmpty => Seq.empty
       case KeysSmall(ks) => candidateFilesForKeys(m, c, ks)
       case KeysRange(lo, hi) => candidateFiles(m, c, lo, hi)
@@ -1557,7 +1921,12 @@ object Snapshots {
   private def renderManifestMeta(m: ManifestMeta): String = {
     val shards = m.shardRefs.map(r =>
       s"""{"name":${graft.JsonStr(r.name)},"n":${r.n}}""").mkString("[", ",", "]")
-    s"""{"version":${m.version},"parent":${m.parent},"ts":${m.ts},"tag":${graft.JsonStr(m.tag)},"schema":${graft.JsonStr(m.schema)},"shards":$shards}"""
+    // retired (dropped columns' physical names) rendered only when present —
+    // pre-evolution manifests stay byte-compatible
+    val retired =
+      if (m.retired.isEmpty) ""
+      else s""","retired":${m.retired.map(graft.JsonStr(_)).mkString("[", ",", "]")}"""
+    s"""{"version":${m.version},"parent":${m.parent},"ts":${m.ts},"tag":${graft.JsonStr(m.tag)},"schema":${graft.JsonStr(m.schema)},"shards":$shards$retired}"""
   }
 
   private def parseFilesArray(text: String, what: String): Seq[String] = {
@@ -1608,15 +1977,22 @@ object Snapshots {
     // optional: pre-schema manifests read as "" (reads fall back to footers)
     val schema = """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
       .map(m => unescape(m.group(1))).getOrElse("")
+    // optional: pre-evolution manifests carry no retired list
+    val retired = """"retired":\[(.*?)\]""".r.findFirstMatchIn(text)
+      .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+        .map(g => unescape(g.group(1))).toSeq)
+      .getOrElse(Seq.empty)
     val shardsField = """"shards":\[(.*?)\]""".r.findFirstMatchIn(text).map(_.group(1))
     shardsField match {
       case Some(body) =>
         val refs = """\{"name":"((?:[^"\\]|\\.)*)","n":(\d+)\}""".r
           .findAllMatchIn(body)
           .map(g => ShardRef(unescape(g.group(1)), g.group(2).toLong)).toSeq
-        ManifestMeta(longField("version"), longField("parent"), refs, tag, ts, schema)
+        ManifestMeta(longField("version"), longField("parent"), refs, tag, ts, schema,
+          retired = retired)
       case None => // legacy inline manifest
         ManifestMeta(longField("version"), longField("parent"), Seq.empty, tag, ts, schema,
+          retired = retired,
           inline = Some((parseFilesArray(text, "manifest"), parseStatsArray(text))))
     }
   }
