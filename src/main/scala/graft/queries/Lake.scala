@@ -817,5 +817,70 @@ object Lake {
         statsCols = Seq("c_custkey"))
       Snapshots.read(spark, root).orderBy("c_custkey")
     },
+
+    // ---- q101: SCD2 enrich, JOIN COST ISOLATED — q97's as-of enrichment
+    //            with the dimension built ONCE and reused (the build is
+    //            deterministic, so a prior identical build is adopted).
+    //            q96/q97 time three full Scd.merge commits plus the join;
+    //            this row times the join alone on warm passes — the
+    //            number that must stay a plain hash join as facts scale
+    //            (the curve's enrich-only step), with the same oracle
+    //            gate as q97 proving the reused dimension is the right
+    //            one. ----
+    OracleQuery(
+      "q101_scd2_enrich_only",
+      """WITH c AS (SELECT c_custkey, c_mktsegment FROM customer),
+        |dim AS (
+        |  SELECT c_custkey, c_mktsegment AS seg,
+        |    CAST(1000 AS BIGINT) AS vf,
+        |    CASE WHEN c_custkey % 5 = 0 THEN CAST(2000 AS BIGINT) END AS vt
+        |  FROM c
+        |  UNION ALL
+        |  SELECT c_custkey, 'SHIFTED', CAST(2000 AS BIGINT),
+        |    CASE WHEN c_custkey % 10 = 0 THEN CAST(3000 AS BIGINT) END
+        |  FROM c WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 'BACK', CAST(3000 AS BIGINT), CAST(NULL AS BIGINT)
+        |  FROM c WHERE c_custkey % 10 = 0),
+        |f AS (SELECT o_orderkey, o_custkey,
+        |        CAST(500 + (o_orderkey % 4) * 1000 AS BIGINT) AS ts
+        |      FROM orders)
+        |SELECT f.ts, COALESCE(d.seg, 'NONE') AS seg,
+        |  count(*) AS n_orders,
+        |  CAST(SUM(CAST(f.o_orderkey AS BIGINT)) AS BIGINT) AS sum_key
+        |FROM f LEFT JOIN dim d
+        |  ON f.o_custkey = d.c_custkey AND d.vf <= f.ts
+        |    AND (d.vt IS NULL OR f.ts < d.vt)
+        |GROUP BY f.ts, seg ORDER BY f.ts, seg""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/customer_scd_enrich_only"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cust = Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"))
+      // deterministic build, adopted when already present (exactly three
+      // tagged folds): cold runs pay it once, warm passes time the join
+      val built = try Snapshots.headVersion(spark, root) == 3
+        catch { case scala.util.control.NonFatal(_) => false }
+      if (!built) {
+        fsys.delete(new Path(root), true)
+        graft.engine.Scd.merge(cust, root, "c_custkey", ts = 1000,
+          statsCols = Seq("c_custkey"))
+        graft.engine.Scd.merge(
+          cust.filter(col("c_custkey") % 5 === 0).withColumn("seg", lit("SHIFTED")),
+          root, "c_custkey", ts = 2000, statsCols = Seq("c_custkey"))
+        graft.engine.Scd.merge(
+          cust.filter(col("c_custkey") % 10 === 0).withColumn("seg", lit("BACK")),
+          root, "c_custkey", ts = 3000, statsCols = Seq("c_custkey"))
+      }
+      val facts = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_custkey").as("c_custkey"),
+          (lit(500L) + (col("o_orderkey") % 4).cast("long") * 1000L).as("ts"))
+      graft.engine.Scd.enrich(facts, root, "c_custkey", "ts")
+        .groupBy(col("ts"), coalesce(col("seg"), lit("NONE")).as("seg"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey").cast("long")).as("sum_key"))
+        .orderBy("ts", "seg")
+    },
   )
 }

@@ -388,7 +388,11 @@ object TrainingOps {
       val hot = tr0.groupBy("gh").agg(count(lit(1)).as("df"))
         .filter(col("df") > Pipeline.DfCap).select("gh")
       val tr = tr0.join(hot, Seq("gh"), "left_anti")
-      tr.join(ev, "gh")
+      // explicit broadcast of the EVAL side: eval suites are bounded
+      // (thousands of docs) while the train corpus is the 100 TB side — an
+      // AQE threshold change must never silently shuffle the train
+      // postings on this join (PlanSpec pins the BroadcastHashJoin)
+      tr.join(org.apache.spark.sql.functions.broadcast(ev), "gh")
         .groupBy("train_doc")
         .agg(countDistinct("gh").as("n_shared_grams"),
           countDistinct("eval_doc").as("n_eval_docs"))

@@ -244,6 +244,16 @@ class PlanSpec extends SparkSpec {
       "corpus rows must not shuffle to meet the tiny rates relation")
   }
 
+  test("q89: the eval side broadcasts on the gram join, explicitly") {
+    // the train corpus is the 100 TB side of this join; the eval suite is
+    // bounded. The broadcast is now an explicit hint, not an AQE size
+    // estimate — this pin fails if a refactor drops the hint and a
+    // threshold change could silently shuffle the train postings.
+    val p = plan("q89_ngram_decontamination")
+    assert(p.contains("BroadcastHashJoin"),
+      "eval-side gram join lost its broadcast")
+  }
+
   test("clearCache leaves no cached plans behind (bench hygiene contract)") {
     SparkEntry.queries("q28_minhash_lsh")(spark, sf).count()
     assert(!spark.sharedState.cacheManager.isEmpty, "q28 should persist postings")
