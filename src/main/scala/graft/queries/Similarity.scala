@@ -638,5 +638,157 @@ object Similarity {
           round(cosine, 9).as("cosine"))
         .orderBy("query_id", "rank")
     },
+
+    // ---- q102: IVF-PQ hybrid — the 100 TB ANN shape. q80's ADC scans
+    //            EVERY code (that is why its recall holds, and why its
+    //            cost is a full pass — cheap adds, but still O(corpus)
+    //            per query wave); q43/q52's IVF scans probed cells only
+    //            but pays full exact dots inside them. The hybrid
+    //            composes the two prunings: IVF cell assignment first
+    //            (corpus partitioned by nearest centroid — at scale the
+    //            codes are STORED cell-partitioned, so a probe reads
+    //            probed cells' codes only, ~nprobe/√N of the corpus),
+    //            then ADC within the probed cells (8 LUT adds per
+    //            candidate instead of a 64-dim dot), top-60 shortlist,
+    //            exact rerank. nprobe=4 buys back the border-neighbor
+    //            recall that cell bucketing costs under this corpus's
+    //            weak-similarity regime (see RecallSpec). Every stage
+    //            stays BIGINT-exact → the full pipeline, approximation
+    //            error included, is oracle-checked. ----
+    OracleQuery(
+      "q102_ann_ivfpq",
+      s"""$ed6Sql,
+         |cent AS (SELECT * FROM ed6 WHERE vec_id % 250 = 1),
+         |cdots AS (
+         |  SELECT v.vec_id, c.vec_id AS c_id, CAST(SUM(v.xm * c.xm) AS BIGINT) AS dot6
+         |  FROM ed6 v JOIN cent c ON c.i = v.i GROUP BY 1, 2),
+         |ranked AS (
+         |  SELECT cd.vec_id, cd.c_id,
+         |    row_number() OVER (PARTITION BY cd.vec_id
+         |      ORDER BY CAST(cd.dot6 AS DOUBLE) / sqrt(CAST(nc.nsq AS DOUBLE)) DESC, cd.c_id) AS rn
+         |  FROM cdots cd JOIN n6 nc ON nc.vec_id = cd.c_id),
+         |assign AS (SELECT vec_id, c_id FROM ranked WHERE rn = 1),
+         |probes AS (SELECT vec_id, c_id FROM ranked
+         |           WHERE rn <= 5 AND vec_id % 100 = 0),
+         |sub AS (SELECT vec_id, CAST((i - 1) // 8 AS INTEGER) AS m, i, xm FROM ed6),
+         |cb AS (SELECT m, vec_id AS k, i, xm AS cxm FROM sub WHERE vec_id < 64),
+         |enc AS (
+         |  SELECT s.vec_id, s.m, cb.k,
+         |    CAST(SUM((s.xm - cb.cxm) * (s.xm - cb.cxm)) AS BIGINT) AS d2
+         |  FROM sub s JOIN cb ON cb.m = s.m AND cb.i = s.i
+         |  GROUP BY 1, 2, 3),
+         |codes AS (
+         |  SELECT vec_id, m, k FROM (
+         |    SELECT vec_id, m, k,
+         |      row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn
+         |    FROM enc) r WHERE rn = 1),
+         |qlut AS (
+         |  SELECT e.vec_id AS query_id, cb.m, cb.k,
+         |    CAST(SUM(e.xm * cb.cxm) AS BIGINT) AS pdot
+         |  FROM ed6 e JOIN cb ON cb.i = e.i
+         |  WHERE e.vec_id % 100 = 0
+         |  GROUP BY 1, 2, 3),
+         |cand AS (
+         |  SELECT DISTINCT p.vec_id AS query_id, v.vec_id AS cand_id
+         |  FROM probes p JOIN assign v ON v.c_id = p.c_id AND v.vec_id <> p.vec_id),
+         |approx AS (
+         |  SELECT c.query_id, c.cand_id, CAST(SUM(l.pdot) AS BIGINT) AS adot
+         |  FROM cand c
+         |  JOIN codes cd ON cd.vec_id = c.cand_id
+         |  JOIN qlut l ON l.query_id = c.query_id AND l.m = cd.m AND l.k = cd.k
+         |  GROUP BY 1, 2),
+         |short AS (
+         |  SELECT query_id, cand_id FROM (
+         |    SELECT query_id, cand_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY adot DESC, cand_id) AS rn
+         |    FROM approx) r WHERE rn <= 60),
+         |dots AS (
+         |  SELECT s.query_id, s.cand_id, CAST(SUM(a.xm * b.xm) AS BIGINT) AS dot6
+         |  FROM short s
+         |  JOIN ed6 a ON a.vec_id = s.query_id
+         |  JOIN ed6 b ON b.vec_id = s.cand_id AND b.i = a.i
+         |  GROUP BY 1, 2)
+         |SELECT query_id, cand_id, CAST(rn AS INTEGER) AS rank, round(cosine, 9) AS cosine
+         |FROM (
+         |  SELECT query_id, cand_id,
+         |    CAST(dot6 AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY
+         |      CAST(dot6 AS DOUBLE) / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) DESC,
+         |      cand_id) AS rn
+         |  FROM dots JOIN n6 na ON na.vec_id = query_id JOIN n6 nb ON nb.vec_id = cand_id) z
+         |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
+      val e6 = ed6(spark, dir)
+      val n6 = e6.groupBy("vec_id").agg(sum(col("xm") * col("xm")).as("nsq"))
+      // IVF: nearest-centroid assignment for the corpus, top-4 probes for
+      // the query subset (exactly q43/q52's machinery, wider probe)
+      val cent = e6.filter(col("vec_id") % 250 === 1)
+        .select(col("vec_id").as("c_id"), col("i").as("ci"), col("xm").as("cxm"))
+      val cdots = e6.join(broadcast(cent), col("ci") === col("i"))
+        .groupBy(col("vec_id"), col("c_id"))
+        .agg(sum(col("xm") * col("cxm")).as("dot6"))
+      val score = col("dot6").cast(DoubleType) / sqrt(col("nc.nsq").cast(DoubleType))
+      val assignW = Window.partitionBy(col("cd.vec_id")).orderBy(score.desc, col("c_id"))
+      val ranked = cdots.as("cd")
+        .join(n6.as("nc"), col("nc.vec_id") === col("c_id"))
+        .withColumn("rn", row_number().over(assignW))
+        .select(col("cd.vec_id").as("vid"), col("c_id"), col("rn"))
+        .filter(col("rn") <= 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val assign = ranked.filter(col("rn") === 1)
+      val probes = ranked.filter(col("vid") % 100 === 0)
+      // PQ: 8 subspaces × 16 codewords, exact integer L2 argmin (q80)
+      val sub = e6.select(col("vec_id"),
+        ((col("i") - 1) / lit(8)).cast(IntegerType).as("m"), col("i"), col("xm"))
+      val cb = sub.filter(col("vec_id") < 64)
+        .select(col("m").as("cm"), col("vec_id").as("k"), col("i").as("ci"),
+          col("xm").as("cxm"))
+      val enc = sub
+        .join(broadcast(cb), col("cm") === col("m") && col("ci") === col("i"))
+        .groupBy(col("vec_id"), col("m"), col("k"))
+        .agg(sum((col("xm") - col("cxm")) * (col("xm") - col("cxm"))).as("d2"))
+      val byVecSub = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("k"))
+      val codes = enc.withColumn("rn", row_number().over(byVecSub))
+        .filter(col("rn") === 1).select("vec_id", "m", "k")
+      val qlut = e6.filter(col("vec_id") % 100 === 0)
+        .join(broadcast(cb), col("ci") === col("i"))
+        .groupBy(col("vec_id").as("query_id"), col("cm").as("lm"), col("k").as("lk"))
+        .agg(sum(col("xm") * col("cxm")).as("pdot"))
+      // candidates = probed cells' members; ADC runs on THESE codes only —
+      // the cell partition is the scan pruning, the LUT adds are the
+      // per-candidate cost
+      val cand = probes.as("p")
+        .join(assign.as("v"),
+          col("v.c_id") === col("p.c_id") && col("v.vid") =!= col("p.vid"))
+        .select(col("p.vid").as("query_id"), col("v.vid").as("cand_id"))
+        .distinct()
+      val approx = cand
+        .join(codes, col("vec_id") === col("cand_id"))
+        .join(broadcast(qlut),
+          col("lm") === col("m") && col("lk") === col("k") &&
+            qlut("query_id") === cand("query_id"))
+        .groupBy(cand("query_id"), col("cand_id"))
+        .agg(sum(col("pdot")).as("adot"))
+      val byQ = Window.partitionBy("query_id").orderBy(col("adot").desc, col("cand_id"))
+      val short = approx.withColumn("rn", row_number().over(byQ))
+        .filter(col("rn") <= 60).select("query_id", "cand_id")
+      val dots = short
+        .join(e6.select(col("vec_id"), col("i"), col("xm")).as("a"),
+          col("a.vec_id") === col("query_id"))
+        .join(e6.select(col("vec_id"), col("i"), col("xm")).as("b"),
+          col("b.vec_id") === col("cand_id") && col("b.i") === col("a.i"))
+        .groupBy("query_id", "cand_id")
+        .agg(sum(col("a.xm") * col("b.xm")).as("dot6"))
+      val cosine = col("dot6").cast(DoubleType) /
+        (sqrt(col("na.nsq").cast(DoubleType)) * sqrt(col("nb.nsq").cast(DoubleType)))
+      val byQc = Window.partitionBy("query_id").orderBy(cosine.desc, col("cand_id"))
+      dots
+        .join(n6.as("na"), col("na.vec_id") === col("query_id"))
+        .join(n6.as("nb"), col("nb.vec_id") === col("cand_id"))
+        .withColumn("rank", row_number().over(byQc).cast(IntegerType))
+        .filter(col("rank") <= 5)
+        .select(col("query_id"), col("cand_id"), col("rank"),
+          round(cosine, 9).as("cosine"))
+        .orderBy("query_id", "rank")
+    },
   )
 }

@@ -51,8 +51,10 @@ class RecallSpec extends SparkSpec {
                                     // hyperplane codes
       "q43_ann_ivf" -> 0.50,        // nearest cell only (measured 0.60)
       "q52_ann_ivf_probe2" -> 0.60, // + second cell (measured 1.00)
-      "q80_pq_adc" -> 0.70)         // 8×64 codebook ADC + exact rerank of a
+      "q80_pq_adc" -> 0.70,         // 8×64 codebook ADC + exact rerank of a
                                     // 60-shortlist (measured 0.84)
+      "q102_ann_ivfpq" -> 0.75)     // IVF(nprobe=5) cells + in-cell ADC +
+                                    // rerank (measured 0.84)
     measured.foreach { case (name, floor) =>
       val r = recall(name)
       info(f"recall@5 $name: $r%.3f (floor $floor)")
@@ -86,7 +88,16 @@ class RecallSpec extends SparkSpec {
                                     // of adding tables)
       "q43_ann_ivf" -> 0.25,        // measured 0.34
       "q52_ann_ivf_probe2" -> 0.35, // measured 0.44
-      "q80_pq_adc" -> 0.55)         // measured 0.70
+      "q80_pq_adc" -> 0.55,         // measured 0.70
+      "q102_ann_ivfpq" -> 0.55)     // measured 0.59 — the hybrid keeps the
+                                    // round-9 ≥0.55 target while scanning
+                                    // probed cells only (5 of the cell
+                                    // count, vs q80's full-corpus ADC):
+                                    // the candidate stage loses the
+                                    // out-of-cell border neighbors IVF
+                                    // always loses, the in-cell ADC +
+                                    // 60-shortlist + exact rerank keeps
+                                    // nearly everything the cells contain
     measured.foreach { case (name, floor) =>
       val r = recallVs(ex, name, dir)
       info(f"recall@5 $name @sf0.1: $r%.3f (floor $floor)")
