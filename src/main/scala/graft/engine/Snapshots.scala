@@ -26,6 +26,19 @@ object MergeClause {
     * column name (target columns the source lacks fill null). */
   final case class Insert(values: Map[String, Column] = Map.empty,
       cond: Option[Column] = None) extends MergeClause
+
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE SET — target rows
+    * whose key has NO source row (the full-sync shape: "whatever the feed
+    * stopped mentioning, mark stale"). Conditions and SET expressions see
+    * `t.*` only — there is no source row. Presence of any by-source clause
+    * makes the merge a FULL-TABLE operation (every target row must be
+    * tested against source absence — no file can be pruned), which is what
+    * full-sync inherently costs; keep feeds complete or conditions tight. */
+  final case class BySourceUpdate(set: Map[String, Column],
+      cond: Option[Column] = None) extends MergeClause
+
+  /** WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE. */
+  final case class BySourceDelete(cond: Option[Column] = None) extends MergeClause
 }
 
 /** Snapshot-manifested table layout: atomic multi-file commits, time-travel
@@ -879,6 +892,10 @@ object Snapshots {
     *    clause whose condition holds (conditions see `s.*`); inserted rows
     *    conform to the TARGET schema (explicit `values`, or source columns
     *    by name with null fill) — MERGE is not the schema-evolution path;
+    *  - a target row with NO source match takes the first
+    *    [[MergeClause.BySourceUpdate]]/[[MergeClause.BySourceDelete]]
+    *    clause that accepts (conditions see `t.*` only) — the full-sync
+    *    family; its presence disables file pruning (see the clause doc);
     *  - more than one source row per key is REFUSED loudly (the standard's
     *    cardinality error): first-match-wins against a nondeterministic
     *    source order would silently pick a winner.
@@ -918,10 +935,20 @@ object Snapshots {
       case MergeClause.Update(set, _) =>
         val bad = set.keys.filterNot(targetCols.contains)
         require(bad.isEmpty, s"UPDATE SET on non-target column(s): ${bad.mkString(", ")}")
+      case MergeClause.BySourceUpdate(set, _) =>
+        val bad = set.keys.filterNot(targetCols.contains)
+        require(bad.isEmpty, s"UPDATE SET on non-target column(s): ${bad.mkString(", ")}")
       case MergeClause.Insert(values, _) =>
         val bad = values.keys.filterNot(targetCols.contains)
         require(bad.isEmpty, s"INSERT VALUES on non-target column(s): ${bad.mkString(", ")}")
       case _ => ()
+    }
+    // any NOT MATCHED BY SOURCE clause makes this a full-table operation:
+    // a row's by-source fate depends on source ABSENCE, which no key-range
+    // index can prune — the honest cost of full-sync semantics
+    val hasBySource = clauses.exists {
+      case _: MergeClause.BySourceUpdate | _: MergeClause.BySourceDelete => true
+      case _ => false
     }
     // the standard's cardinality check: duplicate source keys would make
     // first-match-wins nondeterministic. One small agg over the batch side.
@@ -930,33 +957,47 @@ object Snapshots {
       s"mergeInto source has duplicate '$key' values — MERGE requires at most " +
         "one source row per target row (the SQL cardinality violation)")
 
-    val touched = probeKeys(source, key) match {
-      case KeysEmpty => sys.error("mergeInto source has no non-null keys")
-      case KeysSmall(ks) => candidateFilesForKeys(m, key, ks)
-      case KeysRange(lo, hi) => candidateFiles(m, key, lo, hi)
-      case KeysOpaque => m.files
-    }
+    val touched =
+      if (hasBySource) m.files
+      else probeKeys(source, key) match {
+        case KeysEmpty => sys.error("mergeInto source has no non-null keys")
+        case KeysSmall(ks) => candidateFilesForKeys(m, key, ks)
+        case KeysRange(lo, hi) => candidateFiles(m, key, lo, hi)
+        case KeysOpaque => m.files
+      }
     val touchedSet = touched.toSet
     val target = readFiles(spark, m, touched)
 
-    // matched side: first-match-wins action index over the Update/Delete
-    // clauses (-1 = carry). Built as one nested CASE, fully codegen'd.
+    // per-row action: first-match-wins within each family — a (target,
+    // source) pair takes the first Update/Delete clause that accepts; an
+    // unmatched target row takes the first BySource clause that accepts
+    // (-1 = carry). Built as one nested CASE, fully codegen'd.
     val matchedClauses = clauses.zipWithIndex.collect {
       case (u: MergeClause.Update, i) => (u.cond.getOrElse(lit(true)), i, Some(u.set))
       case (d: MergeClause.Delete, i) => (d.cond.getOrElse(lit(true)), i, None)
+    }
+    val bySourceClauses = clauses.zipWithIndex.collect {
+      case (u: MergeClause.BySourceUpdate, i) =>
+        (u.cond.getOrElse(lit(true)), i, Some(u.set))
+      case (d: MergeClause.BySourceDelete, i) =>
+        (d.cond.getOrElse(lit(true)), i, None)
     }
     val matched = col(s"s.$key").isNotNull
     val action = matchedClauses.foldRight(lit(-1)) { case ((cond, i, _), rest) =>
       when(cond, lit(i)).otherwise(rest)
     }
+    val bsAction = bySourceClauses.foldRight(lit(-1)) { case ((cond, i, _), rest) =>
+      when(cond, lit(i)).otherwise(rest)
+    }
     val joined = target.as("t")
       .join(source.as("s"), col(s"t.$key") === col(s"s.$key"), "left")
-      .withColumn("__action", when(matched, action).otherwise(lit(-1)))
-    val deleteIds = matchedClauses.collect { case (_, i, None) => i }
+      .withColumn("__action", when(matched, action).otherwise(bsAction))
+    val deleteIds = (matchedClauses ++ bySourceClauses).collect { case (_, i, None) => i }
     val kept =
       if (deleteIds.isEmpty) joined
       else joined.filter(!col("__action").isin(deleteIds: _*))
-    val updates = matchedClauses.collect { case (_, i, Some(set)) => (i, set) }
+    val updates = (matchedClauses ++ bySourceClauses)
+      .collect { case (_, i, Some(set)) => (i, set) }
     val outCols = targetCols.map { c =>
       updates.foldLeft(col(s"t.$c")) { case (acc, (i, set)) =>
         set.get(c).fold(acc)(v => when(col("__action") === i, v).otherwise(acc))

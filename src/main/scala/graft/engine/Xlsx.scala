@@ -72,77 +72,84 @@ object Xlsx {
     escapedChar.replaceAllIn(s, m => java.util.regex.Matcher.quoteReplacement(
       Integer.parseInt(m.group(1), 16).toChar.toString))
 
-  /** Serialize a DataFrame to one xlsx file at `uri` (collects to driver). */
+  /** Serialize a DataFrame to one xlsx file at `uri`, ROW-STREAMED: rows
+    * arrive partition by partition (`toLocalIterator`) and the zip deflates
+    * straight onto the filesystem stream, so driver memory is O(one
+    * partition + zip buffer) — never the whole frame, never the whole
+    * rendered XML. The format itself stays inherently single-file/
+    * single-node (the reference materializes one buffer too); the cap
+    * enforces Excel's sheet limit, aborting (and deleting the partial
+    * object) the moment row cap+1 streams in, rather than pre-counting. */
   def write(df: DataFrame, uri: String): Unit = {
-    val rows = df.limit(maxRows + 1).collect()
-    require(rows.length <= maxRows, s"xlsx export capped at $maxRows rows — use parquet/csv for large data")
-    writeBytes(df, uri, render(df.schema, rows))
+    import scala.jdk.CollectionConverters._
+    val fs = new Path(uri).getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(uri), true)
+    var ok = false
+    try {
+      streamWorkbook(df.schema, df.toLocalIterator().asScala, out, maxRows)
+      ok = true
+    } finally {
+      out.close()
+      if (!ok) fs.delete(new Path(uri), false) // never leave a torn workbook
+    }
   }
 
   /** Multipart xlsx with reference naming (pandas_aws/s3.py:90-93,188-195):
     * `parts` workbook files `<dirUri>/<stem>.<i>.xlsx` (1-based), rows split
     * contiguously with np.array_split sizing (first `len % parts` chunks get
     * one extra row), so a pre-sorted frame stays globally ordered across the
-    * part sequence. Still a driver-side small-export path like [[write]] —
-    * the cap applies per part. Deviation from np.array_split: chunks beyond
-    * the row count would be EMPTY workbooks, whose header-only sheets lose
-    * the column types on read-back (every column infers string) and then
-    * poison the union; we skip writing them instead. */
+    * part sequence. Row-streamed like [[write]] — one count pass fixes the
+    * np.array_split chunk sizes, then ONE iterator pass feeds every part in
+    * order; the per-part cap holds by the split arithmetic (ceil(n/parts) ≤
+    * maxRows ⇐ n ≤ parts·maxRows). Deviation from np.array_split: chunks
+    * beyond the row count would be EMPTY workbooks, whose header-only
+    * sheets lose the column types on read-back (every column infers string)
+    * and then poison the union; we skip writing them instead. */
   def writeParts(df: DataFrame, dirUri: String, stem: String, suffix: String, parts: Int): Unit = {
+    import scala.jdk.CollectionConverters._
     require(parts > 0, "parts must be > 0")
-    // long arithmetic: parts * maxRows overflows Int from parts = 2048
-    val cap = math.min(parts.toLong * maxRows + 1, Int.MaxValue.toLong).toInt
-    val rows = df.limit(cap).collect()
-    require(rows.length <= parts.toLong * maxRows,
+    val n = df.count()
+    require(n <= parts.toLong * maxRows,
       s"xlsx export capped at $maxRows rows per part — use parquet/csv for large data")
-    val base = rows.length / parts
-    val extra = rows.length % parts
-    var off = 0
+    val fs = new Path(dirUri).getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+    val base = n / parts
+    val extra = (n % parts).toInt
+    val it = df.toLocalIterator().asScala
     (0 until parts).foreach { i =>
       val sz = base + (if (i < extra) 1 else 0)
-      val chunk = rows.slice(off, off + sz)
-      off += sz
-      if (chunk.nonEmpty)
-        writeBytes(df, s"$dirUri/$stem.${i + 1}.$suffix", render(df.schema, chunk))
-    }
-  }
-
-  private def writeBytes(df: DataFrame, uri: String, bytes: Array[Byte]): Unit = {
-    val fs = new Path(uri).getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(new Path(uri), true)
-    try out.write(bytes) finally out.close()
-  }
-
-  private[graft] def render(schema: StructType, rows: Array[Row]): Array[Byte] = {
-    val sheet = new StringBuilder
-    sheet ++= """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>"""
-    sheet ++= """<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>"""
-    // header row
-    sheet ++= "<row r=\"1\">"
-    schema.fields.zipWithIndex.foreach { case (f, c) =>
-      sheet ++= s"""<c r="${colRef(c)}1" t="inlineStr"><is><t>${xmlEscape(ooxmlEscape(f.name))}</t></is></c>"""
-    }
-    sheet ++= "</row>"
-    rows.zipWithIndex.foreach { case (row, r) =>
-      sheet ++= s"""<row r="${r + 2}">"""
-      schema.fields.zipWithIndex.foreach { case (f, c) =>
-        if (!row.isNullAt(c)) {
-          val ref = s"${colRef(c)}${r + 2}"
-          f.dataType match {
-            case _: NumericType =>
-              sheet ++= s"""<c r="$ref"><v>${row.get(c)}</v></c>"""
-            case BooleanType =>
-              sheet ++= s"""<c r="$ref" t="b"><v>${if (row.getBoolean(c)) 1 else 0}</v></c>"""
-            case _ =>
-              sheet ++= s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(ooxmlEscape(String.valueOf(row.get(c))))}</t></is></c>"""
-          }
+      if (sz > 0) {
+        // bounded view over the shared iterator: consumes exactly sz rows
+        val chunk = new Iterator[Row] {
+          private var k = 0L
+          def hasNext: Boolean = k < sz && it.hasNext
+          def next(): Row = { k += 1; it.next() }
         }
+        val p = new Path(s"$dirUri/$stem.${i + 1}.$suffix")
+        val out = fs.create(p, true)
+        var ok = false
+        try { streamWorkbook(df.schema, chunk, out, maxRows); ok = true }
+        finally { out.close(); if (!ok) fs.delete(p, false) }
       }
-      sheet ++= "</row>"
     }
-    sheet ++= "</sheetData></worksheet>"
+  }
 
-    val members = Seq(
+  /** Test/read-path surface: render a whole workbook to bytes (delegates to
+    * the streaming writer over an in-memory sink). */
+  private[graft] def render(schema: StructType, rows: Array[Row]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    streamWorkbook(schema, rows.iterator, bos, maxRows)
+    bos.toByteArray
+  }
+
+  /** Stream the five OOXML members onto `out`; the sheet member renders row
+    * by row, flushing each row's XML to the deflater — no whole-sheet
+    * buffer. Throws past `cap` data rows (caller owns cleanup). */
+  private def streamWorkbook(
+      schema: StructType,
+      rows: Iterator[Row],
+      out: java.io.OutputStream,
+      cap: Int): Unit = {
+    val fixedMembers = Seq(
       "[Content_Types].xml" ->
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
           |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
@@ -165,18 +172,51 @@ object Xlsx {
         """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
           |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
           |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-          |</Relationships>""".stripMargin,
-      "xl/worksheets/sheet1.xml" -> sheet.toString)
-
-    val bos = new ByteArrayOutputStream()
-    val zip = new ZipOutputStream(bos)
-    members.foreach { case (name, content) =>
+          |</Relationships>""".stripMargin)
+    val zip = new ZipOutputStream(out)
+    fixedMembers.foreach { case (name, content) =>
       zip.putNextEntry(new ZipEntry(name))
       zip.write(content.getBytes("UTF-8"))
       zip.closeEntry()
     }
-    zip.close()
-    bos.toByteArray
+    zip.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    val w = new java.io.OutputStreamWriter(zip, "UTF-8")
+    w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    w.write("<row r=\"1\">")
+    schema.fields.zipWithIndex.foreach { case (f, c) =>
+      w.write(s"""<c r="${colRef(c)}1" t="inlineStr"><is><t>${xmlEscape(ooxmlEscape(f.name))}</t></is></c>""")
+    }
+    w.write("</row>")
+    var r = 0
+    val sb = new StringBuilder
+    while (rows.hasNext) {
+      val row = rows.next()
+      require(r < cap,
+        s"xlsx export capped at $cap rows — use parquet/csv for large data")
+      sb.setLength(0)
+      sb ++= s"""<row r="${r + 2}">"""
+      schema.fields.zipWithIndex.foreach { case (f, c) =>
+        if (!row.isNullAt(c)) {
+          val ref = s"${colRef(c)}${r + 2}"
+          f.dataType match {
+            case _: NumericType =>
+              sb ++= s"""<c r="$ref"><v>${row.get(c)}</v></c>"""
+            case BooleanType =>
+              sb ++= s"""<c r="$ref" t="b"><v>${if (row.getBoolean(c)) 1 else 0}</v></c>"""
+            case _ =>
+              sb ++= s"""<c r="$ref" t="inlineStr"><is><t>${xmlEscape(ooxmlEscape(String.valueOf(row.get(c))))}</t></is></c>"""
+          }
+        }
+      }
+      sb ++= "</row>"
+      w.write(sb.toString)
+      r += 1
+    }
+    w.write("</sheetData></worksheet>")
+    w.flush()
+    zip.closeEntry()
+    zip.finish() // flush the zip directory WITHOUT closing the caller's stream
   }
 
   /** Read one xlsx file into a DataFrame. Column types are inferred per

@@ -818,6 +818,48 @@ object Lake {
       Snapshots.read(spark, root).orderBy("c_custkey")
     },
 
+    // ---- q103: FULL-SYNC MERGE — the WHEN NOT MATCHED BY SOURCE family
+    //            (SQL:2023 / Delta's extension of MERGE): the source is
+    //            the complete current feed, so target rows the feed
+    //            stopped mentioning are stale — overdrawn ones DELETE,
+    //            the rest get flagged, matched ones update. By-source
+    //            fate depends on source ABSENCE, so no file can be
+    //            pruned — the honest full-table cost of full-sync,
+    //            exercised and hash-gated over the whole post-merge
+    //            state. First-match-wins within the by-source family
+    //            (delete shields the flag update on overdrawn rows). ----
+    OracleQuery(
+      "q103_merge_full_sync",
+      """WITH t AS (
+        |  SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal FROM customer),
+        |s AS (SELECT c_custkey, 'SYNCED' AS new_seg FROM customer
+        |      WHERE c_custkey % 3 = 0),
+        |m AS (
+        |  SELECT t.c_custkey,
+        |    CASE WHEN s.c_custkey IS NOT NULL THEN s.new_seg ELSE 'STALE' END AS seg,
+        |    t.bal
+        |  FROM t LEFT JOIN s ON t.c_custkey = s.c_custkey
+        |  WHERE NOT (s.c_custkey IS NULL AND t.bal < 0))
+        |SELECT c_custkey, seg, bal FROM m ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/customer_fullsync"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val cust = Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").as("bal"))
+      Snapshots.commit(cust.repartitionByRange(6, col("c_custkey")), root,
+        statsCols = Seq("c_custkey"))
+      val feed = cust.filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey"), lit("SYNCED").as("new_seg"))
+      Snapshots.mergeInto(feed, root, "c_custkey", Seq(
+        MergeClause.Update(Map("seg" -> col("s.new_seg"))),
+        MergeClause.BySourceDelete(Some(col("t.bal") < 0)),
+        MergeClause.BySourceUpdate(Map("seg" -> lit("STALE")))),
+        statsCols = Seq("c_custkey"))
+      Snapshots.read(spark, root).orderBy("c_custkey")
+    },
+
     // ---- q101: SCD2 enrich, JOIN COST ISOLATED — q97's as-of enrichment
     //            with the dimension built ONCE and reused (the build is
     //            deterministic, so a prior identical build is adopted).

@@ -134,6 +134,40 @@ class MergeIntoSpec extends SparkSpec {
     assert(statFiles === headFiles, "mergeInto dropped or orphaned file stats")
   }
 
+  test("NOT MATCHED BY SOURCE: full-sync updates/deletes unmentioned rows") {
+    val root = tmp()
+    Snapshots.commit(
+      Seq((1L, "a", 10.0), (2L, "b", -5.0), (3L, "c", 30.0), (4L, "d", 40.0))
+        .toDF("id", "s", "v"),
+      root, statsCols = Seq("id"))
+    // feed mentions 1 (update) and 9 (insert); 2/3/4 are unmentioned:
+    // 2 is overdrawn → by-source delete; 3/4 → by-source flag
+    val feed = Seq((1L, "A"), (9L, "I")).toDF("id", "ns")
+    Snapshots.mergeInto(feed, root, "id", Seq(
+      MergeClause.Update(Map("s" -> col("s.ns"))),
+      MergeClause.BySourceDelete(Some(col("t.v") < 0)),
+      MergeClause.BySourceUpdate(Map("s" -> lit("STALE"))),
+      MergeClause.Insert(Map("s" -> col("s.ns"), "v" -> lit(0.0)))))
+    val got = Snapshots.read(spark, root)
+      .as[(Long, String, Double)].collect().toSet
+    assert(got === Set(
+      (1L, "A", 10.0),      // matched update
+      (3L, "STALE", 30.0),  // unmentioned: flagged
+      (4L, "STALE", 40.0),  // unmentioned: flagged
+      (9L, "I", 0.0)))      // inserted (2 deleted by-source)
+  }
+
+  test("by-source clause order is first-match-wins within its family") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, 10.0), (2L, -5.0)).toDF("id", "v"), root)
+    // update-before-delete: the conditional flag shields negative rows
+    Snapshots.mergeInto(Seq((99L, 0.0)).toDF("id", "z"), root, "id", Seq(
+      MergeClause.BySourceUpdate(Map("v" -> lit(99.0)), cond = Some(col("t.v") < 0)),
+      MergeClause.BySourceDelete()))
+    assert(Snapshots.read(spark, root).as[(Long, Double)].collect().toSet ===
+      Set((2L, 99.0)))
+  }
+
   test("insert-only merge against untouched band is exact (NOT MATCHED is global)") {
     val root = tmp()
     val base = spark.range(0, 400).select($"id", lit(1.0).as("v"))
