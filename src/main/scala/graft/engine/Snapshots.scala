@@ -92,6 +92,24 @@ object Snapshots {
     * carry none; consumers degrade to scanning. */
   final case class FileRows(file: String, n: Long)
 
+  /** Per-file Bloom filter over a STRING key column (round 9) — the
+    * pruning index [[ColStats]] cannot be for opaque keys. A numeric key
+    * prunes merge/delete/point reads by per-file [min, max] ranges; a
+    * string doc-id/hash key — a primary corpus-lake shape — has no usable
+    * order statistics, so before this every string-keyed merge rewrote the
+    * WHOLE table. The bloom answers "can this file contain any of these
+    * key values?" with no false negatives: a file whose bloom rejects
+    * every batch key provably holds none of them and carries by reference;
+    * false positives only cost a spurious rewrite, never correctness.
+    * Bits are Spark's own `BloomFilterAggregate` sketch (over
+    * `xxhash64(key)`, seed 42) so insertion and the driver-side membership
+    * probe share one hash definition; stored base64 in the shard json,
+    * sized ~10 bits/row capped at 1 MiB of bits per file (past the cap the
+    * FPP degrades gracefully — pruning weakens, correctness holds).
+    * Opt-in per commit (`bloomCols`): the sketch pass re-reads the written
+    * batch once, a price only string-keyed tables should pay. */
+  final case class FileBloom(file: String, col: String, b64: String)
+
   /** One committed table state, RESOLVED: `files` are absolute URIs,
     * immutable. `tag` is a caller idempotency token ("" = untagged): a
     * commit carrying an already-present tag is skipped, which turns
@@ -115,7 +133,8 @@ object Snapshots {
       tag: String = "",
       ts: Long = 0L,
       schema: String = "",
-      rows: Seq[FileRows] = Seq.empty)
+      rows: Seq[FileRows] = Seq.empty,
+      blooms: Seq[FileBloom] = Seq.empty)
 
   /** Reference to one immutable metadata shard: `name` is the file under
     * `_snapshots/`, `n` its file-entry count (size hint, no I/O needed to
@@ -148,7 +167,7 @@ object Snapshots {
 
   /** A loaded shard: its ref plus the content. */
   private final case class Shard(ref: ShardRef, files: Seq[String], stats: Seq[ColStats],
-      rows: Seq[FileRows] = Seq.empty)
+      rows: Seq[FileRows] = Seq.empty, blooms: Seq[FileBloom] = Seq.empty)
 
   private val SnapDir = "_snapshots"
   private val ManifestRe = "manifest-(\\d+)\\.json".r
@@ -189,8 +208,8 @@ object Snapshots {
   private def shardPath(root: String, name: String) = new Path(s"$root/$SnapDir/$name")
 
   private def loadShard(spark: SparkSession, root: String, ref: ShardRef): Shard = {
-    val (files, stats, rows) = parseShard(readText(spark, root, shardPath(root, ref.name)))
-    Shard(ref, files, stats, rows)
+    val (files, stats, rows, blooms) = parseShard(readText(spark, root, shardPath(root, ref.name)))
+    Shard(ref, files, stats, rows, blooms)
   }
 
   private def loadShards(spark: SparkSession, root: String, m: ManifestMeta): Seq[Shard] =
@@ -217,8 +236,17 @@ object Snapshots {
         else stats.map(st => p2l.get(st.col).fold(st)(l => st.copy(col = l)))
       case None => stats
     }
+    val blooms = shards.flatMap(_.blooms)
+    val relabeledBlooms = parseSchemaStr(m.schema) match {
+      case Some(sc) =>
+        val p2l = sc.fields.iterator
+          .map(f => physicalOf(f) -> f.name).filter(e => e._1 != e._2).toMap
+        if (p2l.isEmpty) blooms
+        else blooms.map(bl => p2l.get(bl.col).fold(bl)(l => bl.copy(col = l)))
+      case None => blooms
+    }
     Manifest(m.version, shards.flatMap(_.files), m.parent,
-      relabeled, m.tag, m.ts, m.schema, shards.flatMap(_.rows))
+      relabeled, m.tag, m.ts, m.schema, shards.flatMap(_.rows), relabeledBlooms)
   }
 
   /** Column-mapping metadata key: a field whose on-disk (PHYSICAL) column
@@ -288,7 +316,8 @@ object Snapshots {
       append: Boolean = false,
       statsCols: Seq[String] = Seq.empty,
       tag: String = "",
-      requireHead: Long = -1L): Long = {
+      requireHead: Long = -1L,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     // column-mapping translation for appends onto an evolved table: the
     // batch arrives with LOGICAL names, files store PHYSICAL ones. An
@@ -308,8 +337,9 @@ object Snapshots {
           (ps.map(logicalToPhysical).getOrElse(Map.empty) ++ fresh, fresh)
         }
       }
-    val (written, newStats, newRows) = writeBatch(df, root, statsCols, toPhys)
-    val newRef = writeShard(spark, root, written, newStats, newRows)
+    val (written, newStats, newRows, newBlooms) =
+      writeBatch(df, root, statsCols, toPhys, bloomCols)
+    val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
     publishMeta(spark, root, tag, requireHead) { head =>
       val parent = if (append) head else None
       val refs = parent.map(shardRefsOf(spark, root, _)).getOrElse(Seq.empty) :+ newRef
@@ -483,7 +513,8 @@ object Snapshots {
       df: DataFrame,
       root: String,
       statsCols: Seq[String],
-      toPhys: Map[String, String] = Map.empty): (Seq[String], Seq[ColStats], Seq[FileRows]) = {
+      toPhys: Map[String, String] = Map.empty,
+      bloomCols: Seq[String] = Seq.empty): (Seq[String], Seq[ColStats], Seq[FileRows], Seq[FileBloom]) = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
@@ -504,9 +535,67 @@ object Snapshots {
     // footers first: the scan pass re-reads every byte this commit just
     // wrote — at any scale that DOUBLES commit I/O and costs a Spark job;
     // the footers already carry exact chunk stats for the common key types
-    val (stats, rows) = statsFromFooters(spark, written, statsP)
+    val (stats, rows0) = statsFromFooters(spark, written, statsP)
       .getOrElse(collectStats(spark, Seq(dataDir), statsP))
-    (written, stats, rows)
+    // complete the per-file counts from footers if the stats pass didn't
+    // run (statsCols empty) — the bloom sizing below needs real row
+    // counts, and writeShard records them anyway
+    val rows =
+      if (rows0.map(_.file).toSet == written.map(u => new Path(u).getName).toSet) rows0
+      else {
+        val known = rows0.map(_.file).toSet
+        rows0 ++ rowsFromFooters(spark,
+          written.filterNot(u => known.contains(new Path(u).getName)))
+      }
+    val blooms =
+      if (bloomCols.isEmpty) Seq.empty
+      else collectBlooms(spark, dataDir, bloomCols.map(c => toPhys.getOrElse(c, c)),
+        df.schema, toPhys, rows)
+    (written, stats, rows, blooms)
+  }
+
+  /** One scan of the freshly-written files building a per-file Bloom sketch
+    * per requested STRING column — the opt-in pruning index for opaque
+    * keys ([[FileBloom]]). Sized from the batch's own footer row counts
+    * (~10 bits/row, 1 MiB-bits cap per file); inserted values are
+    * `xxhash64(col)` (seed 42), the exact hash the driver-side membership
+    * probe recomputes. Non-string columns are refused loudly: the probe
+    * collects keys as strings, and only a string column's cast is the
+    * identity the shared hash needs. */
+  private def collectBlooms(
+      spark: SparkSession,
+      dataDir: String,
+      bloomColsPhys: Seq[String],
+      logicalSchema: StructType,
+      toPhys: Map[String, String],
+      rows: Seq[FileRows]): Seq[FileBloom] = {
+    import org.apache.spark.sql.functions._
+    val physToLogical = toPhys.map(_.swap)
+    bloomColsPhys.foreach { pc =>
+      val lc = physToLogical.getOrElse(pc, pc)
+      val f = logicalSchema.fields.find(_.name == lc)
+        .getOrElse(sys.error(s"bloomCols column '$lc' not in the batch"))
+      require(f.dataType == org.apache.spark.sql.types.StringType,
+        s"bloomCols supports STRING columns only ('$lc' is ${f.dataType.simpleString}) — " +
+          "numeric keys already prune by the min/max stats index")
+    }
+    graft.plans.GraftExtensions.register(spark)
+    val est = math.max(1L, rows.map(_.n).foldLeft(0L)(math.max))
+    val numBits = math.min(java.lang.Long.highestOneBit(est * 10 * 2 - 1), 1L << 20)
+    val aggs = bloomColsPhys.map(c =>
+      call_function("bloom_agg_bits", xxhash64(col(c)), lit(est), lit(numBits))
+        .as(s"__bf_$c"))
+    spark.read.parquet(dataDir)
+      .groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().toSeq
+      .flatMap { r =>
+        val name = new Path(r.getAs[String]("__f")).getName
+        bloomColsPhys.flatMap { c =>
+          Option(r.getAs[Array[Byte]](s"__bf_$c")).map(bytes =>
+            FileBloom(name, c, java.util.Base64.getEncoder.encodeToString(bytes)))
+        }
+      }
   }
 
   /** Footer-derived per-file stats: min/max/null-count for `statsCols` plus
@@ -687,35 +776,39 @@ object Snapshots {
     * already-known counts through. A file whose footer can't be read (not
     * parquet, simulated FS quirk) is simply omitted — consumers treat a
     * missing count as "must scan", never as zero. */
+  /** Per-file row counts from parquet footers — a metadata read per file,
+    * no Spark job. Unreadable footers are omitted (consumers treat a
+    * missing count as "must scan", never as zero). */
+  private def rowsFromFooters(spark: SparkSession, files: Seq[String]): Seq[FileRows] = {
+    if (files.isEmpty) return Seq.empty
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    files.flatMap { u =>
+      try {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(u), conf)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        val n = try r.getRecordCount finally r.close()
+        Some(FileRows(new Path(u).getName, n))
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+  }
+
   private def writeShard(
       spark: SparkSession,
       root: String,
       files: Seq[String],
       stats: Seq[ColStats],
-      knownRows: Seq[FileRows] = Seq.empty): ShardRef = {
+      knownRows: Seq[FileRows] = Seq.empty,
+      blooms: Seq[FileBloom] = Seq.empty): ShardRef = {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/$SnapDir"))
     val known = knownRows.map(_.file).toSet
     val missing = files.filterNot(u => known.contains(new Path(u).getName))
-    val fromFooters =
-      if (missing.isEmpty) Seq.empty
-      else {
-        val conf = new org.apache.hadoop.conf.Configuration(
-          spark.sparkContext.hadoopConfiguration)
-        missing.flatMap { u =>
-          try {
-            val in = org.apache.parquet.hadoop.util.HadoopInputFile
-              .fromPath(new Path(u), conf)
-            val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-            val n = try r.getRecordCount finally r.close()
-            Some(FileRows(new Path(u).getName, n))
-          } catch { case scala.util.control.NonFatal(_) => None }
-        }
-      }
-    val rows = knownRows ++ fromFooters
+    val rows = knownRows ++ rowsFromFooters(spark, missing)
     val name = s"shard-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.json"
     val out = f.create(shardPath(root, name), /*overwrite=*/ false)
-    try out.write(renderShard(files, stats, rows).getBytes("UTF-8")) finally out.close()
+    try out.write(renderShard(files, stats, rows, blooms).getBytes("UTF-8")) finally out.close()
     ShardRef(name, files.size)
   }
 
@@ -803,8 +896,10 @@ object Snapshots {
       key: String,
       statsCols: Seq[String] = Seq.empty,
       tag: String = "",
-      requireHead: Long = -1L): Long =
-    mergeProbed(df, root, key, probeKeys(df, key), statsCols, tag, requireHead)
+      requireHead: Long = -1L,
+      bloomCols: Seq[String] = Seq.empty): Long =
+    mergeProbed(df, root, key, probeKeys(df, key), statsCols, tag, requireHead,
+      bloomCols = bloomCols)
 
   /** [[merge]] with the batch-key probe precomputed by the caller — the
     * job-count lever for pipelines that already probed the SAME key set (or
@@ -827,7 +922,8 @@ object Snapshots {
       statsCols: Seq[String] = Seq.empty,
       tag: String = "",
       requireHead: Long = -1L,
-      batchReplacesTouched: Boolean = false): Long = {
+      batchReplacesTouched: Boolean = false,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     import org.apache.spark.sql.functions.col
     val headV = headVersion(spark, root)
@@ -848,6 +944,7 @@ object Snapshots {
       case KeysEmpty => sys.error("merge batch has no non-null keys")
       case KeysSmall(ks) => candidateFilesForKeys(m, key, ks)
       case KeysRange(lo, hi) => candidateFiles(m, key, lo, hi)
+      case KeysOpaqueSmall(ks) => candidateFilesForStrings(m, key, ks)
       case KeysOpaque => m.files
     }
     val touchedSet = touched.toSet
@@ -861,8 +958,9 @@ object Snapshots {
     val parentSchema = parseSchema(m)
     val fresh = freshPhysicals(parentSchema, meta.retired, survivors.schema)
     val toPhys = parentSchema.map(logicalToPhysical).getOrElse(Map.empty) ++ fresh
-    val (written, newStats, newRows) = writeBatch(survivors, root, statsCols, toPhys)
-    val newRef = writeShard(spark, root, written, newStats, newRows)
+    val (written, newStats, newRows, newBlooms) =
+      writeBatch(survivors, root, statsCols, toPhys, bloomCols)
+    val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
     val carried = carryUntouched(spark, root, shards, touchedSet)
     publishMeta(spark, root, tag, requireHead = headV) { head =>
       val h = head.getOrElse(sys.error("merge base vanished"))
@@ -914,7 +1012,8 @@ object Snapshots {
       clauses: Seq[MergeClause],
       statsCols: Seq[String] = Seq.empty,
       tag: String = "",
-      requireHead: Long = -1L): Long = {
+      requireHead: Long = -1L,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     import org.apache.spark.sql.functions.{col, lit, when}
     val spark = source.sparkSession
     require(clauses.nonEmpty, "mergeInto needs at least one WHEN clause")
@@ -963,6 +1062,7 @@ object Snapshots {
         case KeysEmpty => sys.error("mergeInto source has no non-null keys")
         case KeysSmall(ks) => candidateFilesForKeys(m, key, ks)
         case KeysRange(lo, hi) => candidateFiles(m, key, lo, hi)
+        case KeysOpaqueSmall(ks) => candidateFilesForStrings(m, key, ks)
         case KeysOpaque => m.files
       }
     val touchedSet = touched.toSet
@@ -1036,8 +1136,9 @@ object Snapshots {
     // inserts conform to the target schema, so no fresh physicals can
     // arise here — only the parent's rename mapping applies
     val toPhys = parseSchema(m).map(logicalToPhysical).getOrElse(Map.empty)
-    val (written, newStats, newRows) = writeBatch(survivors, root, statsCols, toPhys)
-    val newRef = writeShard(spark, root, written, newStats, newRows)
+    val (written, newStats, newRows, newBlooms) =
+      writeBatch(survivors, root, statsCols, toPhys, bloomCols)
+    val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
     val carried = carryUntouched(spark, root, shards, touchedSet)
     publishMeta(spark, root, tag, requireHead = headV) { head =>
       val h = head.getOrElse(sys.error("mergeInto base vanished"))
@@ -1062,11 +1163,12 @@ object Snapshots {
         if (keep.isEmpty) None
         else {
           val keepNames = keep.map(u => new Path(u).getName).toSet
-          // stats AND row counts carry through filtered — a metadata-only
-          // rewrite must never re-open surviving data files
+          // stats, row counts AND blooms carry through filtered — a
+          // metadata-only rewrite must never re-open surviving data files
           Some(writeShard(spark, root, keep,
             sh.stats.filter(s => keepNames.contains(s.file)),
-            sh.rows.filter(r => keepNames.contains(r.file))))
+            sh.rows.filter(r => keepNames.contains(r.file)),
+            sh.blooms.filter(b => keepNames.contains(b.file))))
         }
       }
     }
@@ -1087,7 +1189,8 @@ object Snapshots {
       keys: DataFrame,
       root: String,
       key: String,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     val spark = keys.sparkSession
     import org.apache.spark.sql.functions.col
     val headV = headVersion(spark, root)
@@ -1099,6 +1202,7 @@ object Snapshots {
       case KeysEmpty => return headV // empty key set: nothing to delete
       case KeysSmall(ks) => candidateFilesForKeys(m, key, ks)
       case KeysRange(lo, hi) => candidateFiles(m, key, lo, hi)
+      case KeysOpaqueSmall(ks) => candidateFilesForStrings(m, key, ks)
       case KeysOpaque => m.files
     }
     if (touched.isEmpty) return headV // no file can hold a matching row
@@ -1107,8 +1211,9 @@ object Snapshots {
       .join(keys.select(col(key)).distinct(), Seq(key), "left_anti")
     // a delete never introduces columns; only the rename mapping applies
     val toPhys = parseSchema(m).map(logicalToPhysical).getOrElse(Map.empty)
-    val (written, newStats, newRows) = writeBatch(survivors, root, statsCols, toPhys)
-    val newRef = writeShard(spark, root, written, newStats, newRows)
+    val (written, newStats, newRows, newBlooms) =
+      writeBatch(survivors, root, statsCols, toPhys, bloomCols)
+    val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
     val carried = carryUntouched(spark, root, shards, touchedSet)
     publishMeta(spark, root, tag = "", requireHead = headV) { head =>
       val h = head.getOrElse(sys.error("delete base vanished"))
@@ -1198,11 +1303,41 @@ object Snapshots {
     }
   }
 
+  /** Bloom pruning for STRING key sets: a file survives if it has no
+    * recorded bloom for `c` (conservative), or its bloom admits at least
+    * one of `keys`. No false negatives by construction — a rejected file
+    * provably holds none of the keys — so this only SHRINKS rewrite/read
+    * sets, exactly like the numeric stats index. Cost: |keys| hashes once,
+    * then per pruned file |keys| x k bit probes driver-side (~1e5/ms);
+    * keys are capped by the probe's driver cap. */
+  def candidateFilesForStrings(m: Manifest, c: String, keys: Array[String]): Seq[String] = {
+    val byFile = m.blooms.filter(_.col == c).map(b => b.file -> b).toMap
+    if (byFile.isEmpty) return m.files
+    val hashes = keys.map(k =>
+      org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(k),
+        org.apache.spark.sql.types.StringType, 42L))
+    m.files.filter { f =>
+      byFile.get(new Path(f).getName) match {
+        case Some(b) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(
+              java.util.Base64.getDecoder.decode(b.b64)))
+          hashes.exists(bf.mightContainLong)
+        case None => true
+      }
+    }
+  }
+
   private[engine] sealed trait KeyProbe
   private[engine] case object KeysEmpty extends KeyProbe
   private[engine] final case class KeysSmall(ks: Array[Double]) extends KeyProbe
   private[engine] final case class KeysRange(lo: Double, hi: Double) extends KeyProbe
   private[engine] case object KeysOpaque extends KeyProbe
+  /** Opaque (non-numeric) keys that FIT the driver cap, carried as their
+    * string values: the [[FileBloom]] index can prune per file where the
+    * numeric stats index cannot see at all. */
+  private[engine] final case class KeysOpaqueSmall(ks: Array[String]) extends KeyProbe
 
   /** Classify a batch's key column for file pruning. Numeric(-castable)
     * keys prune: by sorted distinct set when it fits the driver cap (one
@@ -1225,16 +1360,23 @@ object Snapshots {
     // the keyed-incremental fold reads state files + the source delta —
     // so job count here is commit latency, spec-pinned (CommitJobsSpec).
     val rows = keysDf.filter(col(key).isNotNull)
-      .select(casted.as("__c"), casted.isNull.as("__op"))
+      .select(col(key).cast("string").as("__s"), casted.as("__c"))
       .distinct().limit(MaxDriverKeys + 1).collect()
     if (rows.isEmpty) return KeysEmpty
-    if (rows.exists(_.getBoolean(1))) return KeysOpaque
+    if (rows.exists(_.isNullAt(1))) {
+      // non-numeric values present: the range/set index is useless, but a
+      // capped distinct STRING set can still prune through file blooms
+      if (rows.length > MaxDriverKeys) return KeysOpaque
+      val ks = rows.map(_.getString(0))
+      scala.util.Sorting.quickSort(ks)
+      return KeysOpaqueSmall(ks)
+    }
     if (rows.length > MaxDriverKeys) {
       // over the cap: the (rare) second pass fetches the global range
       val r = keysDf.agg(min(casted), max(casted)).head()
       KeysRange(r.getDouble(0), r.getDouble(1))
     } else {
-      val ks = rows.map(_.getDouble(0))
+      val ks = rows.map(_.getDouble(1))
       java.util.Arrays.sort(ks)
       KeysSmall(ks)
     }
@@ -1576,6 +1718,7 @@ object Snapshots {
       case KeysEmpty => Seq.empty
       case KeysSmall(ks) => candidateFilesForKeys(m, c, ks)
       case KeysRange(lo, hi) => candidateFiles(m, c, lo, hi)
+      case KeysOpaqueSmall(ks) => candidateFilesForStrings(m, c, ks)
       case KeysOpaque => m.files
     }
     if (touched.isEmpty)
@@ -1601,6 +1744,7 @@ object Snapshots {
       case KeysEmpty => Seq.empty
       case KeysSmall(ks) => candidateFilesForKeys(m, c, ks)
       case KeysRange(lo, hi) => candidateFiles(m, c, lo, hi)
+      case KeysOpaqueSmall(ks) => candidateFilesForStrings(m, c, ks)
       case KeysOpaque => m.files
     }
     if (touched.isEmpty)
@@ -1861,7 +2005,7 @@ object Snapshots {
     // known counts pass through; a legacy table's uncounted files get a
     // one-time footer backfill here (consolidation already touches all
     // metadata — the natural upgrade point)
-    val one = writeShard(spark, root, m.files, m.stats, m.rows)
+    val one = writeShard(spark, root, m.files, m.stats, m.rows, m.blooms)
     publishMeta(spark, root, tag = "", requireHead = headV) { _ =>
       (Seq(one), meta.schema)
     }
@@ -1955,9 +2099,17 @@ object Snapshots {
   /** Shard body: one immutable file list + its stats + per-file row counts.
     * files LAST: the parser anchors its greedy bracket match on the final
     * array, so file arrays never need nested-structure parsing. */
+  private def renderBlooms(blooms: Seq[FileBloom]): String =
+    blooms.map(b =>
+      s"""{"file":${graft.JsonStr(b.file)},"col":${graft.JsonStr(b.col)},"b64":${graft.JsonStr(b.b64)}}""")
+      .mkString("[", ",", "]")
+
   private def renderShard(files: Seq[String], stats: Seq[ColStats],
-      rows: Seq[FileRows]): String =
-    s"""{"stats":${renderStats(stats)},"rows":${renderRows(rows)},"files":${files.map(graft.JsonStr(_)).mkString("[", ",", "]")}}"""
+      rows: Seq[FileRows], blooms: Seq[FileBloom] = Seq.empty): String = {
+    // blooms rendered only when present — pre-bloom shards stay byte-identical
+    val bl = if (blooms.isEmpty) "" else s""""blooms":${renderBlooms(blooms)},"""
+    s"""{"stats":${renderStats(stats)},"rows":${renderRows(rows)},$bl"files":${files.map(graft.JsonStr(_)).mkString("[", ",", "]")}}"""
+  }
 
   private def renderManifestMeta(m: ManifestMeta): String = {
     val shards = m.shardRefs.map(r =>
@@ -1998,8 +2150,17 @@ object Snapshots {
       .findAllMatchIn(text)
       .map(g => FileRows(unescape(g.group(1)), g.group(2).toLong)).toSeq
 
-  private def parseShard(text: String): (Seq[String], Seq[ColStats], Seq[FileRows]) =
-    (parseFilesArray(text, "shard"), parseStatsArray(text), parseRowsArray(text))
+  /** Bloom entries, shape-anchored on the `"b64"` key (stats carry
+    * `"min"`, rows carry `"n"` — no cross-match). Absent pre-round-9. */
+  private def parseBloomsArray(text: String): Seq[FileBloom] =
+    ("""\{"file":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)","b64":"((?:[^"\\]|\\.)*)"\}""").r
+      .findAllMatchIn(text)
+      .map(g => FileBloom(unescape(g.group(1)), unescape(g.group(2)), unescape(g.group(3))))
+      .toSeq
+
+  private def parseShard(text: String): (Seq[String], Seq[ColStats], Seq[FileRows], Seq[FileBloom]) =
+    (parseFilesArray(text, "shard"), parseStatsArray(text), parseRowsArray(text),
+      parseBloomsArray(text))
 
   /** Minimal parser for the exact shapes renderManifestMeta emits — and,
     * for pre-shard tables, the legacy inline form (files+stats in the

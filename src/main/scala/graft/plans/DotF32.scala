@@ -202,10 +202,22 @@ object GraftExtensions {
   /** dot_f32 plus Column-API access to the Bloom expressions Spark keeps
     * SQL-internal (`BloomFilterAggregate` / `BloomFilterMightContain`, the
     * machinery behind runtime bloom-filter joins) — see operators.Bloom. */
+  private def three(name: String)(mk: (Expression, Expression, Expression) => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[DotF32].getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, s"$name takes exactly 3 arguments")
+        mk(children.head, children(1), children(2))
+      })
+
   private val descriptors = Seq(
     two("dot_f32")(DotF32(_, _)),
     two("cosine_f32")(CosineF32(_, _)),
     two("bloom_agg")(new BloomFilterAggregate(_, _)),
+    // explicit-size variant: (child, estimatedItems, numBits) — the 2-arg
+    // form sizes by the runtime-filter conf maximum, far too large for the
+    // per-file bloom index (engine.Snapshots.FileBloom)
+    three("bloom_agg_bits")(new BloomFilterAggregate(_, _, _)),
     two("bloom_might_contain")(BloomFilterMightContain(_, _)))
 
   /** Register on an already-built session (tests, notebooks). */

@@ -860,6 +860,46 @@ object Lake {
       Snapshots.read(spark, root).orderBy("c_custkey")
     },
 
+    // ---- q104: STRING-KEYED copy-on-write merge through the per-file
+    //            BLOOM index — the pruning tier numeric min/max stats
+    //            cannot provide for doc-id/hash keys (before round 9 a
+    //            string-keyed merge rewrote the whole table; with blooms
+    //            only the files that can contain a batch key rewrite —
+    //            BloomIndexSpec pins the carry-by-reference property,
+    //            this oracle hash-gates the CONTENT across the
+    //            bloom-pruned lifecycle). ----
+    OracleQuery(
+      "q104_bloom_string_merge",
+      """WITH base AS (
+        |  SELECT 'd' || CAST(doc_id AS VARCHAR) AS k, lang, n_chars
+        |  FROM documents),
+        |upd AS (SELECT k, lang, n_chars + 1000 AS n_chars
+        |        FROM base WHERE k LIKE 'd1%'),
+        |fin AS (
+        |  SELECT * FROM base WHERE k NOT IN (SELECT k FROM upd)
+        |  UNION ALL SELECT * FROM upd)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM fin GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/docs_bloom_merge"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val base = Tables(spark, dir, "documents")
+        .select(concat(lit("d"), col("doc_id")).as("k"), col("lang"), col("n_chars"))
+      Snapshots.commit(
+        base.repartitionByRange(8, col("k")).sortWithinPartitions("k"),
+        root, bloomCols = Seq("k"))
+      Snapshots.merge(
+        base.filter(col("k").startsWith("d1"))
+          .withColumn("n_chars", col("n_chars") + 1000),
+        root, key = "k", bloomCols = Seq("k"))
+      Snapshots.read(spark, root)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars").cast("long")).as("sum_chars"))
+        .orderBy("lang")
+    },
+
     // ---- q101: SCD2 enrich, JOIN COST ISOLATED — q97's as-of enrichment
     //            with the dimension built ONCE and reused (the build is
     //            deterministic, so a prior identical build is adopted).
