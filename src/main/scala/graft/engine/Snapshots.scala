@@ -2126,14 +2126,14 @@ object Snapshots {
     val files = """"files":\[(.*)\]""".r.findFirstMatchIn(text)
       .map(_.group(1)).getOrElse(sys.error(s"bad $what: missing files in $text"))
     if (files.trim.isEmpty) Seq.empty[String]
-    else """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(files)
+    else """"([^"\\]*(?:\\.[^"\\]*)*)"""".r.findAllMatchIn(files)
       .map(m => unescape(m.group(1))).toSeq
   }
 
   private def parseStatsArray(text: String): Seq[ColStats] = {
     val num = """-?[0-9.eE+-]+"""
     // "nulls" optional: pre-round-8 shards lack it → -1 (unknown)
-    ("""\{"file":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)","min":(""" + num +
+    ("""\{"file":"([^"\\]*(?:\\.[^"\\]*)*)","col":"([^"\\]*(?:\\.[^"\\]*)*)","min":(""" + num +
       """),"max":(""" + num + """)(?:,"nulls":(-?\d+))?\}""").r
       .findAllMatchIn(text).map { g =>
         ColStats(unescape(g.group(1)), unescape(g.group(2)),
@@ -2146,14 +2146,21 @@ object Snapshots {
     * entries carry `"col"` right after `"file"`, manifest shard refs use
     * `"name"` — no cross-match); absent in pre-round-8 shards → empty. */
   private def parseRowsArray(text: String): Seq[FileRows] =
-    """\{"file":"((?:[^"\\]|\\.)*)","n":(\d+)\}""".r
+    """\{"file":"([^"\\]*(?:\\.[^"\\]*)*)","n":(\d+)\}""".r
       .findAllMatchIn(text)
       .map(g => FileRows(unescape(g.group(1)), g.group(2).toLong)).toSeq
 
   /** Bloom entries, shape-anchored on the `"b64"` key (stats carry
-    * `"min"`, rows carry `"n"` — no cross-match). Absent pre-round-9. */
+    * `"min"`, rows carry `"n"` — no cross-match). Absent pre-round-9.
+    * NOTE every string-token pattern in these parsers is the UNROLLED-LOOP
+    * form `[^"\\]*(?:\\.[^"\\]*)*`, not the naive `(?:[^"\\]|\\.)*`: the
+    * alternation-under-star shape makes Java's regex engine recurse once
+    * per character, and a kilobyte-scale token (a bloom's base64, a wide
+    * schema json) overflows the thread stack; the unrolled form matches
+    * the identical language but runs the common char-class span
+    * iteratively, recursing only per escape. */
   private def parseBloomsArray(text: String): Seq[FileBloom] =
-    ("""\{"file":"((?:[^"\\]|\\.)*)","col":"((?:[^"\\]|\\.)*)","b64":"((?:[^"\\]|\\.)*)"\}""").r
+    ("""\{"file":"([^"\\]*(?:\\.[^"\\]*)*)","col":"([^"\\]*(?:\\.[^"\\]*)*)","b64":"([^"\\]*(?:\\.[^"\\]*)*)"\}""").r
       .findAllMatchIn(text)
       .map(g => FileBloom(unescape(g.group(1)), unescape(g.group(2)), unescape(g.group(3))))
       .toSeq
@@ -2171,23 +2178,23 @@ object Snapshots {
       s""""$key":(-?\\d+)""".r.findFirstMatchIn(text)
         .map(_.group(1).toLong)
         .getOrElse(sys.error(s"bad manifest: missing $key in $text"))
-    val tag = """"tag":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
+    val tag = """"tag":"([^"\\]*(?:\\.[^"\\]*)*)"""".r.findFirstMatchIn(text)
       .map(m => unescape(m.group(1))).getOrElse("")
     // optional: pre-ts manifests read as ts=0 (always readAsOf-eligible)
     val ts = """"ts":(-?\d+)""".r.findFirstMatchIn(text)
       .map(_.group(1).toLong).getOrElse(0L)
     // optional: pre-schema manifests read as "" (reads fall back to footers)
-    val schema = """"schema":"((?:[^"\\]|\\.)*)"""".r.findFirstMatchIn(text)
+    val schema = """"schema":"([^"\\]*(?:\\.[^"\\]*)*)"""".r.findFirstMatchIn(text)
       .map(m => unescape(m.group(1))).getOrElse("")
     // optional: pre-evolution manifests carry no retired list
     val retired = """"retired":\[(.*?)\]""".r.findFirstMatchIn(text)
-      .map(m => """"((?:[^"\\]|\\.)*)"""".r.findAllMatchIn(m.group(1))
+      .map(m => """"([^"\\]*(?:\\.[^"\\]*)*)"""".r.findAllMatchIn(m.group(1))
         .map(g => unescape(g.group(1))).toSeq)
       .getOrElse(Seq.empty)
     val shardsField = """"shards":\[(.*?)\]""".r.findFirstMatchIn(text).map(_.group(1))
     shardsField match {
       case Some(body) =>
-        val refs = """\{"name":"((?:[^"\\]|\\.)*)","n":(\d+)\}""".r
+        val refs = """\{"name":"([^"\\]*(?:\\.[^"\\]*)*)","n":(\d+)\}""".r
           .findAllMatchIn(body)
           .map(g => ShardRef(unescape(g.group(1)), g.group(2).toLong)).toSeq
         ManifestMeta(longField("version"), longField("parent"), refs, tag, ts, schema,
