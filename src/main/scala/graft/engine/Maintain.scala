@@ -19,14 +19,19 @@ import org.apache.spark.sql.SparkSession
   * @param vacuumKeepLast > 0: destroy history beyond the newest N versions
   *   ([[Snapshots.vacuum]]) — the only data-deleting step, default off
   * @param orphanGraceMs >= 0: sweep unreferenced data/shard files older
-  *   than this grace window ([[Snapshots.vacuumOrphans]]); default off */
+  *   than this grace window ([[Snapshots.vacuumOrphans]]); default off
+  * @param bloomCols string-key bloom index to re-collect on the data
+  *   rewrite — a bloom-indexed table MUST carry its bloomCols into
+  *   maintenance or the rewritten files lose the index (pruning degrades
+  *   to conservative; correctness holds) */
 final case class MaintenancePolicy(
     compactTargetFiles: Int = 0,
     zorderDims: Seq[String] = Seq.empty,
     statsCols: Seq[String] = Seq.empty,
     compactManifests: Boolean = true,
     vacuumKeepLast: Int = 0,
-    orphanGraceMs: Long = -1L)
+    orphanGraceMs: Long = -1L,
+    bloomCols: Seq[String] = Seq.empty)
 
 /** Consolidated table maintenance — the verbs [[Snapshots]] exposes one by
   * one (compact, z-order, manifest consolidation, vacuum, orphan sweep),
@@ -51,9 +56,11 @@ object Maintain {
       policy: MaintenancePolicy = MaintenancePolicy()): Long = {
     if (policy.zorderDims.nonEmpty)
       Snapshots.compactZOrder(spark, root, policy.zorderDims,
-        math.max(policy.compactTargetFiles, 1), policy.statsCols)
+        math.max(policy.compactTargetFiles, 1), policy.statsCols,
+        bloomCols = policy.bloomCols)
     else if (policy.compactTargetFiles > 0)
-      Snapshots.compact(spark, root, policy.compactTargetFiles, policy.statsCols)
+      Snapshots.compact(spark, root, policy.compactTargetFiles, policy.statsCols,
+        bloomCols = policy.bloomCols)
     if (policy.compactManifests)
       Snapshots.compactManifests(spark, root)
     if (policy.vacuumKeepLast > 0)

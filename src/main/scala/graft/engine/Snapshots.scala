@@ -1918,13 +1918,14 @@ object Snapshots {
       spark: SparkSession,
       root: String,
       targetFiles: Int = 1,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     val head = headVersion(spark, root)
     // a fully-emptied table (e.g. delete removed every row) has nothing to
     // rewrite — and no file to take a schema from; true no-op
     if (head > 0 && manifest(spark, root, head).files.isEmpty) return head
     commit(read(spark, root).repartition(targetFiles), root,
-      append = false, statsCols = statsCols)
+      append = false, statsCols = statsCols, bloomCols = bloomCols)
   }
 
   /** Z-order-clustering compaction — the OPTIMIZE-by-layout maintenance
@@ -1943,13 +1944,15 @@ object Snapshots {
       root: String,
       dims: Seq[String],
       targetFiles: Int,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     require(dims.nonEmpty, "need at least one z-order dimension")
     val head = headVersion(spark, root)
     if (head > 0 && manifest(spark, root, head).files.isEmpty) return head
     commit(ZOrder.cluster(read(spark, root), dims, targetFiles), root,
       append = false,
-      statsCols = if (statsCols.isEmpty) dims else statsCols)
+      statsCols = if (statsCols.isEmpty) dims else statsCols,
+      bloomCols = bloomCols)
   }
 
   /** Destroy history: keep the newest `keepLast` manifests, delete older

@@ -23,8 +23,12 @@ class SimObjectStoreFS extends RawLocalFileSystem {
 /** The S3 `If-None-Match: *` conditional-PUT shape: create `target` iff no
   * object exists there, atomically ON THE SERVER. The JVM-global lock
   * stands in for the store's server-side arbitration (two concurrent
-  * conditional PUTs of one key: exactly one succeeds); the bytes then land
-  * via a plain overwrite write, which is what a PUT is. */
+  * conditional PUTs of one key: exactly one succeeds). Visibility is
+  * ATOMIC, as on a real object store — a PUT object appears only COMPLETE,
+  * never half-written — so the bytes land under a hidden staging name and
+  * flip in via rename while holding the key's arbitration (a create-then-
+  * append simulation would let a concurrent reader observe an EMPTY
+  * manifest, a state no real conditional PUT can expose). */
 object SimConditionalPut extends CommitArbiter {
   private val inFlight = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
@@ -34,13 +38,21 @@ object SimConditionalPut extends CommitArbiter {
     try {
       if (f.exists(target)) false // object already exists: precondition failed
       else {
+        // staging name must NOT contain the target's name: the head listing
+        // matches manifest names by pattern, and a staging object that
+        // embeds "manifest-N.json" would read as a phantom head
+        val staging = new Path(target.getParent,
+          s".put-${java.util.UUID.randomUUID().toString.take(12)}")
         val in = f.open(tmp)
-        val out = f.create(target, /*overwrite=*/ true)
+        val out = f.create(staging, /*overwrite=*/ true)
         try {
           val buf = new Array[Byte](8192)
           var n = in.read(buf)
           while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
         } finally { in.close(); out.close() }
+        // atomic visibility flip; target's absence is guarded by the
+        // server-side arbitration we still hold
+        require(f.rename(staging, target), s"sim PUT flip failed for $target")
         true
       }
     } finally inFlight.remove(key)

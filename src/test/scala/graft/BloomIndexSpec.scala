@@ -106,6 +106,26 @@ class BloomIndexSpec extends SparkSpec {
     assert(cand.size <= 2, s"bloom pruning kept ${cand.size} of 8 files")
   }
 
+  test("maintenance under a bloomCols policy re-collects the index") {
+    val root = tmp()
+    Snapshots.commit(
+      docs(0, 800, "x").repartitionByRange(8, $"doc").sortWithinPartitions("doc"),
+      root, bloomCols = Seq("doc"))
+    graft.engine.Maintain.maintain(spark, root,
+      graft.engine.MaintenancePolicy(
+        compactTargetFiles = 4, bloomCols = Seq("doc"), vacuumKeepLast = 1))
+    val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+    assert(m.files.size === 4)
+    assert(m.blooms.count(_.col == "doc") === 4,
+      "compaction dropped the bloom index despite the policy")
+    // note: plain repartition scatters keys across files, so membership
+    // still prunes only when a key's bloom rejects — assert exactness, not
+    // a carried count, on the post-compaction layout
+    val got = Snapshots.readForKeys(spark, root, "doc",
+      Seq("doc0010", "doc0500").toDF("doc")).select("doc").as[String].collect().toSet
+    assert(got === Set("doc0010", "doc0500"))
+  }
+
   test("bloomCols on a non-string column refuses loudly") {
     val root = tmp()
     val e = intercept[Exception] {
