@@ -433,7 +433,8 @@ object Snapshots {
   def convertInPlace(
       spark: SparkSession,
       root: String,
-      statsCols: Seq[String] = Seq.empty): Long = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
     require(headVersion(spark, root) == 0,
       s"$root already has a snapshot history — convertInPlace adopts plain directories only")
     val f = fs(spark, root)
@@ -457,7 +458,14 @@ object Snapshots {
         "convert without statsCols or deduplicate the layout first")
     val schema = spark.read.parquet(files: _*).schema
     val (adoptStats, adoptRows) = collectStats(spark, files, statsCols)
-    val ref = writeShard(spark, root, files, adoptStats, adoptRows)
+    val adoptBlooms =
+      if (bloomCols.isEmpty) Seq.empty
+      else {
+        val rowsForEst =
+          if (adoptRows.nonEmpty) adoptRows else rowsFromFooters(spark, files)
+        collectBlooms(spark, files, bloomCols, schema, Map.empty, rowsForEst)
+      }
+    val ref = writeShard(spark, root, files, adoptStats, adoptRows, adoptBlooms)
     publishMeta(spark, root, tag = "", requireHead = 0L) { _ =>
       (Seq(ref), if (schema.fields.isEmpty) "" else schema.json)
     }
@@ -549,7 +557,7 @@ object Snapshots {
       }
     val blooms =
       if (bloomCols.isEmpty) Seq.empty
-      else collectBlooms(spark, dataDir, bloomCols.map(c => toPhys.getOrElse(c, c)),
+      else collectBlooms(spark, Seq(dataDir), bloomCols.map(c => toPhys.getOrElse(c, c)),
         df.schema, toPhys, rows)
     (written, stats, rows, blooms)
   }
@@ -564,7 +572,7 @@ object Snapshots {
     * identity the shared hash needs. */
   private def collectBlooms(
       spark: SparkSession,
-      dataDir: String,
+      paths: Seq[String],
       bloomColsPhys: Seq[String],
       logicalSchema: StructType,
       toPhys: Map[String, String],
@@ -585,7 +593,7 @@ object Snapshots {
     val aggs = bloomColsPhys.map(c =>
       call_function("bloom_agg_bits", xxhash64(col(c)), lit(est), lit(numBits))
         .as(s"__bf_$c"))
-    spark.read.parquet(dataDir)
+    spark.read.parquet(paths: _*)
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect().toSeq
@@ -1449,7 +1457,7 @@ object Snapshots {
     val m = manifest(spark, root, v)
     val full = readFiles(spark, m, m.files)
     val filtered = full.filter(cond)
-    if (m.stats.isEmpty) return filtered
+    if (m.stats.isEmpty && m.blooms.isEmpty) return filtered
     val (mined, _) = minePredicate(m, filtered)
     if (mined.isEmpty) return filtered
     val keepSet = mined.map(_.overlap.toSet).reduce(_ intersect _)
@@ -1566,10 +1574,37 @@ object Snapshots {
       MinedConjunct(candidateFilesForKeys(m, c, arr),
         fullFiles(c, s => s.min == s.max &&
           java.util.Arrays.binarySearch(arr, s.min) >= 0))
+    // STRING equality/IN prunes through the per-file bloom index where one
+    // is recorded ([[FileBloom]]): candidate = bloom-admitting files; the
+    // FULL set stays empty — a bloom proves absence, never that every row
+    // matches, so metadata-only acceptance is impossible and those files
+    // scan (exact, like any partially-accepted file)
+    val bloomedCols = m.blooms.map(_.col).toSet
+    def bloomAttr(e: Expression): Option[String] = e match {
+      case a: AttributeReference
+          if bloomedCols.contains(a.name) && a.dataType == StringType => Some(a.name)
+      case _ => None
+    }
+    def litS(e: Expression): Option[String] = e match {
+      case Literal(u: org.apache.spark.unsafe.types.UTF8String, StringType) =>
+        Some(u.toString)
+      case _ => None
+    }
+    def bloomPoint(l: Expression, r: Expression): Option[MinedConjunct] =
+      (bloomAttr(l), litS(r), bloomAttr(r), litS(l)) match {
+        case (Some(c), Some(k), _, _) =>
+          Some(MinedConjunct(candidateFilesForStrings(m, c, Array(k)), Set.empty))
+        case (_, _, Some(c), Some(k)) =>
+          Some(MinedConjunct(candidateFilesForStrings(m, c, Array(k)), Set.empty))
+        case _ => None
+      }
+    def bloomIn(a: Expression, keys: Seq[String]): Option[MinedConjunct] =
+      bloomAttr(a).map(c =>
+        MinedConjunct(candidateFilesForStrings(m, c, keys.toArray), Set.empty))
     // mine one conjunct (None = opaque, no constraint)
     def permits(e: Expression): Option[MinedConjunct] = e match {
-      case EqualTo(l, r) => point(l, r)
-      case EqualNullSafe(l, r) => point(l, r)
+      case EqualTo(l, r) => point(l, r).orElse(bloomPoint(l, r))
+      case EqualNullSafe(l, r) => point(l, r).orElse(bloomPoint(l, r))
       case GreaterThan(l, r) => band(l, r, loSide = true, strict = true)
       case GreaterThanOrEqual(l, r) => band(l, r, loSide = true, strict = false)
       case LessThan(l, r) => band(l, r, loSide = false, strict = true)
@@ -1582,6 +1617,9 @@ object Snapshots {
             val arr = ks.toArray; java.util.Arrays.sort(arr)
             Some(inKeys(c, arr))
           }
+        }.orElse {
+          val ks = vs.flatMap(litS)
+          if (ks.size != vs.size) None else bloomIn(a, ks)
         }
       case InSet(a, hs) if hs.nonEmpty =>
         statAttr(a).flatMap { c =>
@@ -1591,6 +1629,10 @@ object Snapshots {
             val arr = ks.toArray; java.util.Arrays.sort(arr)
             Some(inKeys(c, arr))
           }
+        }.orElse {
+          val ks = hs.toSeq.collect {
+            case u: org.apache.spark.unsafe.types.UTF8String => u.toString }
+          if (ks.size != hs.size) None else bloomIn(a, ks)
         }
       case _ => None
     }
@@ -1637,7 +1679,7 @@ object Snapshots {
     if (m.files.isEmpty) return 0L
     def scanCount(files: Seq[String]): Long =
       readFiles(spark, m, files).filter(cond).count()
-    if (m.stats.isEmpty) return scanCount(m.files)
+    if (m.stats.isEmpty && m.blooms.isEmpty) return scanCount(m.files)
     // mine against an EMPTY relation carrying the manifest schema: analysis
     // must not touch (or even list) data files — a fully-metadata answer
     // works with every data object unreachable

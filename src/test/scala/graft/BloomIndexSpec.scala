@@ -126,6 +126,46 @@ class BloomIndexSpec extends SparkSpec {
     assert(got === Set("doc0010", "doc0500"))
   }
 
+  test("readWhere prunes string equality and IN through the bloom index") {
+    val root = tmp()
+    Snapshots.commit(
+      docs(0, 800, "x").repartitionByRange(8, $"doc").sortWithinPartitions("doc"),
+      root, bloomCols = Seq("doc"))
+    // equality: the analyst's own WHERE, no pruning API in sight
+    val eq = Snapshots.readWhere(spark, root, $"doc" === "doc0123")
+    assert(eq.inputFiles.length <= 2,
+      s"equality scanned ${eq.inputFiles.length} of 8 files")
+    assert(eq.select("doc").as[String].collect().toSeq === Seq("doc0123"))
+    // IN list across two bands
+    val in = Snapshots.readWhere(spark, root, $"doc".isin("doc0050", "doc0700"))
+    assert(in.inputFiles.length <= 4,
+      s"IN scanned ${in.inputFiles.length} of 8 files")
+    assert(in.select("doc").as[String].collect().toSet === Set("doc0050", "doc0700"))
+    // a conjunct the bloom can't mine stays conservative and exact
+    val mixed = Snapshots.readWhere(spark, root,
+      $"doc" === "doc0123" && length($"s") > 0)
+    assert(mixed.count() === 1)
+    // countWhere with a bloomed conjunct: exact via the scan path (a bloom
+    // can prove absence, never full acceptance)
+    assert(Snapshots.countWhere(spark, root, $"doc" === "doc0123") === 1L)
+  }
+
+  test("convertInPlace adopts a bloom index; merges prune from commit one") {
+    val root = tmp()
+    // a PLAIN directory, written without any snapshot machinery
+    docs(0, 800, "old").repartitionByRange(8, $"doc").sortWithinPartitions("doc")
+      .write.parquet(root)
+    Snapshots.convertInPlace(spark, root, bloomCols = Seq("doc"))
+    val m1 = Snapshots.manifest(spark, root, 1)
+    assert(m1.blooms.count(_.col == "doc") === 8, "adoption skipped the bloom index")
+    // first transactional merge prunes through the ADOPTED blooms
+    Snapshots.merge(docs(100, 110, "new"), root, "doc", bloomCols = Seq("doc"))
+    val m2 = Snapshots.manifest(spark, root, 2)
+    val carried = m2.files.toSet.intersect(m1.files.toSet)
+    assert(carried.size >= 6, s"only ${carried.size} of 8 adopted files carried")
+    assert(Snapshots.read(spark, root).filter($"s" === "new").count() === 10)
+  }
+
   test("bloomCols on a non-string column refuses loudly") {
     val root = tmp()
     val e = intercept[Exception] {
