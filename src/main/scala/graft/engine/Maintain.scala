@@ -23,7 +23,13 @@ import org.apache.spark.sql.SparkSession
   * @param bloomCols string-key bloom index to re-collect on the data
   *   rewrite — a bloom-indexed table MUST carry its bloomCols into
   *   maintenance or the rewritten files lose the index (pruning degrades
-  *   to conservative; correctness holds) */
+  *   to conservative; correctness holds)
+  * @param materializeDvFraction >= 0: rewrite files whose deletion-vector
+  *   fraction reaches this threshold ([[Snapshots.materializeDvs]]) —
+  *   bounds the scan amplification merge-on-read deletes accumulate
+  *   (0.0 = materialize every vectored file); default off (-1). Skipped
+  *   when a full data rewrite runs anyway (compact/z-order already
+  *   materialize as a side effect) */
 final case class MaintenancePolicy(
     compactTargetFiles: Int = 0,
     zorderDims: Seq[String] = Seq.empty,
@@ -31,7 +37,8 @@ final case class MaintenancePolicy(
     compactManifests: Boolean = true,
     vacuumKeepLast: Int = 0,
     orphanGraceMs: Long = -1L,
-    bloomCols: Seq[String] = Seq.empty)
+    bloomCols: Seq[String] = Seq.empty,
+    materializeDvFraction: Double = -1.0)
 
 /** Consolidated table maintenance — the verbs [[Snapshots]] exposes one by
   * one (compact, z-order, manifest consolidation, vacuum, orphan sweep),
@@ -61,6 +68,11 @@ object Maintain {
     else if (policy.compactTargetFiles > 0)
       Snapshots.compact(spark, root, policy.compactTargetFiles, policy.statsCols,
         bloomCols = policy.bloomCols)
+    else if (policy.materializeDvFraction >= 0.0)
+      // targeted vector materialization only when no full rewrite ran
+      // (compact/z-order already read vectors-applied and rewrite clean)
+      Snapshots.materializeDvs(spark, root, policy.materializeDvFraction,
+        policy.statsCols, bloomCols = policy.bloomCols)
     if (policy.compactManifests)
       Snapshots.compactManifests(spark, root)
     if (policy.vacuumKeepLast > 0)

@@ -110,6 +110,30 @@ object Snapshots {
     * batch once, a price only string-keyed tables should pay. */
   final case class FileBloom(file: String, col: String, b64: String)
 
+  /** Per-file DELETION VECTOR (round 9, merge-on-read deletes): the set of
+    * row POSITIONS (parquet `_metadata.row_index`) deleted from `file`,
+    * as a base64 Roaring64 bitmap, plus its cardinality. The scale fix for
+    * small deletes: copy-on-write rewrites a whole file to remove a few
+    * rows — at 100 TB a GDPR-sized delete (thousands of scattered rows)
+    * rewrites terabytes. A DV commit instead writes O(deleted positions)
+    * of compressed METADATA: the data file stays byte-identical in place,
+    * and every read anti-joins the (file, position) pairs back out (the
+    * Iceberg v2 position-delete / Delta deletion-vector idea). Invariants:
+    *  - a DV lives in the same shard entry family as its file; a rewrite
+    *    that retires the file retires the DV with it, so a DV can never
+    *    outlive or precede its file;
+    *  - DVs only GROW through [[deleteWhere]] (bitmap OR — re-deleting is
+    *    idempotent); they shrink only by whole-file materialization
+    *    ([[materializeDvs]], compaction, or any rewrite path) — or by
+    *    [[restore]], which resurrects an old shard state wholesale;
+    *  - [[deleteWhere]]'s `maxDvFraction` bounds the live-row waste: past
+    *    the threshold the file is rewritten (copy-on-write) instead, so
+    *    scan amplification from carrying deleted bytes is capped;
+    *  - metadata-only answers ([[rowCount]] subtracts `deleted`;
+    *    [[countWhere]]/[[statsRange]] treat DV-bearing files as
+    *    must-scan/unknowable) stay exact. */
+  final case class FileDv(file: String, b64: String, deleted: Long)
+
   /** One committed table state, RESOLVED: `files` are absolute URIs,
     * immutable. `tag` is a caller idempotency token ("" = untagged): a
     * commit carrying an already-present tag is skipped, which turns
@@ -134,7 +158,8 @@ object Snapshots {
       ts: Long = 0L,
       schema: String = "",
       rows: Seq[FileRows] = Seq.empty,
-      blooms: Seq[FileBloom] = Seq.empty)
+      blooms: Seq[FileBloom] = Seq.empty,
+      dvs: Seq[FileDv] = Seq.empty)
 
   /** Reference to one immutable metadata shard: `name` is the file under
     * `_snapshots/`, `n` its file-entry count (size hint, no I/O needed to
@@ -167,7 +192,8 @@ object Snapshots {
 
   /** A loaded shard: its ref plus the content. */
   private final case class Shard(ref: ShardRef, files: Seq[String], stats: Seq[ColStats],
-      rows: Seq[FileRows] = Seq.empty, blooms: Seq[FileBloom] = Seq.empty)
+      rows: Seq[FileRows] = Seq.empty, blooms: Seq[FileBloom] = Seq.empty,
+      dvs: Seq[FileDv] = Seq.empty)
 
   private val SnapDir = "_snapshots"
   private val ManifestRe = "manifest-(\\d+)\\.json".r
@@ -208,8 +234,9 @@ object Snapshots {
   private def shardPath(root: String, name: String) = new Path(s"$root/$SnapDir/$name")
 
   private def loadShard(spark: SparkSession, root: String, ref: ShardRef): Shard = {
-    val (files, stats, rows, blooms) = parseShard(readText(spark, root, shardPath(root, ref.name)))
-    Shard(ref, files, stats, rows, blooms)
+    val (files, stats, rows, blooms, dvs) =
+      parseShard(readText(spark, root, shardPath(root, ref.name)))
+    Shard(ref, files, stats, rows, blooms, dvs)
   }
 
   private def loadShards(spark: SparkSession, root: String, m: ManifestMeta): Seq[Shard] =
@@ -246,7 +273,8 @@ object Snapshots {
       case None => blooms
     }
     Manifest(m.version, shards.flatMap(_.files), m.parent,
-      relabeled, m.tag, m.ts, m.schema, shards.flatMap(_.rows), relabeledBlooms)
+      relabeled, m.tag, m.ts, m.schema, shards.flatMap(_.rows), relabeledBlooms,
+      shards.flatMap(_.dvs))
   }
 
   /** Column-mapping metadata key: a field whose on-disk (PHYSICAL) column
@@ -257,11 +285,11 @@ object Snapshots {
     * rewrite, the Delta-style column-mapping idea. */
   private val PhysicalKey = "graft.physical"
 
-  private def physicalOf(f: org.apache.spark.sql.types.StructField): String =
+  private[graft] def physicalOf(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey) else f.name
 
   /** logical→physical renames (non-identity entries only). */
-  private def logicalToPhysical(s: StructType): Map[String, String] =
+  private[graft] def logicalToPhysical(s: StructType): Map[String, String] =
     s.fields.iterator.map(f => f.name -> physicalOf(f)).filter(e => e._1 != e._2).toMap
 
   /** Read manifest v fully resolved (throws with a clear message when v was
@@ -737,7 +765,7 @@ object Snapshots {
     }
   }
 
-  private def parseSchemaStr(s: String): Option[StructType] =
+  private[graft] def parseSchemaStr(s: String): Option[StructType] =
     if (s.isEmpty) None
     else Some(DataType.fromJson(s).asInstanceOf[StructType])
 
@@ -745,8 +773,96 @@ object Snapshots {
 
   /** Scan exactly `files`, planned against the manifest's recorded schema
     * when present (no footer sampling; pre-schema files fill missing
-    * columns with nulls). */
+    * columns with nulls), with the manifest's DELETION VECTORS applied —
+    * every read path funnels here, so a merge-on-read delete is invisible
+    * to all downstream consumers (merge/mergeInto/delete survivors,
+    * readRange/readWhere/readForKeys, compaction, countWhere's boundary
+    * scans) by construction. */
   private def readFiles(spark: SparkSession, m: Manifest, files: Seq[String]): DataFrame =
+    readFilesDvs(spark, m, files, m.dvs)
+
+  /** DV-side anti-join cardinality under which the deleted-positions
+    * relation is broadcast. DV totals are bounded by [[deleteWhere]]'s
+    * `maxDvFraction` + maintenance materialization; a table carrying more
+    * live deleted positions than this falls back to a shuffled anti-join —
+    * slower, never wrong. */
+  private[graft] val BroadcastDvPositions = 4000000L
+
+  /** The deleted-positions relation for `dvs`: one (file basename, position)
+    * row per deleted row, decoded DISTRIBUTED from the compressed bitmaps —
+    * the driver only ever handles the bitmap bytes. */
+  private def dvPositions(spark: SparkSession, dvs: Seq[FileDv]): DataFrame = {
+    import spark.implicits._
+    spark.createDataset(dvs.map(d => (d.file, d.b64)))
+      .flatMap { case (f, b64) =>
+        val it = dvDecode(b64).getLongIterator
+        new Iterator[(String, Long)] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): (String, Long) = (f, it.next())
+        }
+      }
+      .toDF(DvFileCol, DvPosCol)
+  }
+
+  private[graft] val DvFileCol = "__gdv_file"
+  private[graft] val DvPosCol = "__gdv_pos"
+
+  private def dvDecode(b64: String): org.roaringbitmap.longlong.Roaring64Bitmap =
+    dvFromBytes(java.util.Base64.getDecoder.decode(b64))
+
+  private def dvFromBytes(bytes: Array[Byte]): org.roaringbitmap.longlong.Roaring64Bitmap = {
+    val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+    bm.deserialize(new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes)))
+    bm
+  }
+
+  private def dvEncode(bm: org.roaringbitmap.longlong.Roaring64Bitmap): String = {
+    bm.runOptimize()
+    val bos = new java.io.ByteArrayOutputStream()
+    bm.serialize(new java.io.DataOutputStream(bos))
+    java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+  }
+
+  /** [[readFiles]] with an explicit DV set — [[signedDelta]] reads REMOVED
+    * files under the FROM version's vectors (the rows that existed then)
+    * while planning against the TO version's schema. */
+  private def readFilesDvs(
+      spark: SparkSession,
+      m: Manifest,
+      files: Seq[String],
+      dvs: Seq[FileDv]): DataFrame = {
+    val names = files.map(u => new Path(u).getName).toSet
+    val relevant = dvs.filter(d => names.contains(d.file) && d.deleted > 0)
+    if (relevant.isEmpty) readFilesRaw(spark, m, files, withMeta = false)
+    else {
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val raw = readFilesRaw(spark, m, files, withMeta = true)
+      val keep = raw.columns.filterNot(_.startsWith("__gdv_")).toSeq
+      val pos = dvPositions(spark, relevant)
+      val posSide =
+        if (relevant.map(_.deleted).sum <= BroadcastDvPositions) broadcast(pos) else pos
+      raw.join(posSide, Seq(DvFileCol, DvPosCol), "left_anti")
+        .select(keep.map(col): _*)
+    }
+  }
+
+  /** The physical scan. `withMeta = true` appends the two hidden DV-join
+    * columns — file basename and `_metadata.row_index`, the stable
+    * within-file row position parquet scans expose — BEFORE any
+    * column-mapping select (the `_metadata` struct is only reachable on
+    * the scan relation itself). */
+  private def readFilesRaw(
+      spark: SparkSession,
+      m: Manifest,
+      files: Seq[String],
+      withMeta: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.{col, element_at, split}
+    def metaCols: Seq[org.apache.spark.sql.Column] = Seq(
+      element_at(split(col("_metadata.file_path"), "/"), -1).as(DvFileCol),
+      col("_metadata.row_index").as(DvPosCol))
+    def addMeta(df: DataFrame): DataFrame =
+      if (!withMeta) df
+      else df.select(df.columns.toSeq.map(col) ++ metaCols: _*)
     parseSchema(m) match {
       case Some(s) if files.isEmpty =>
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -757,21 +873,23 @@ object Snapshots {
         // dropped column is simply not requested, and with no mapping this
         // is the plain schema read
         val l2p = logicalToPhysical(s)
-        if (l2p.isEmpty) spark.read.schema(s).parquet(files: _*)
+        if (l2p.isEmpty) addMeta(spark.read.schema(s).parquet(files: _*))
         else {
           val phys = StructType(s.fields.map(f => f.copy(name = physicalOf(f))))
           // strip the mapping key from the surfaced schema: the logical
           // frame must not leak physical names into downstream schemas (a
           // compact's overwrite would otherwise record a stale mapping)
+          val logicalCols = s.fields.toSeq.map(f =>
+            org.apache.spark.sql.functions.col(physicalOf(f)).as(f.name,
+              new org.apache.spark.sql.types.MetadataBuilder()
+                .withMetadata(f.metadata).remove(PhysicalKey).build()))
           spark.read.schema(phys).parquet(files: _*)
-            .select(s.fields.toSeq.map(f =>
-              org.apache.spark.sql.functions.col(physicalOf(f)).as(f.name,
-                new org.apache.spark.sql.types.MetadataBuilder()
-                  .withMetadata(f.metadata).remove(PhysicalKey).build())): _*)
+            .select(logicalCols ++ (if (withMeta) metaCols else Seq.empty): _*)
         }
       case None if files.isEmpty => spark.emptyDataFrame
-      case None => spark.read.parquet(files: _*)
+      case None => addMeta(spark.read.parquet(files: _*))
     }
+  }
 
   /** Write one immutable metadata shard (the batch's file list + stats +
     * per-file row counts); nothing references it until a manifest names it,
@@ -808,7 +926,8 @@ object Snapshots {
       files: Seq[String],
       stats: Seq[ColStats],
       knownRows: Seq[FileRows] = Seq.empty,
-      blooms: Seq[FileBloom] = Seq.empty): ShardRef = {
+      blooms: Seq[FileBloom] = Seq.empty,
+      dvs: Seq[FileDv] = Seq.empty): ShardRef = {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"$root/$SnapDir"))
     val known = knownRows.map(_.file).toSet
@@ -816,7 +935,7 @@ object Snapshots {
     val rows = knownRows ++ rowsFromFooters(spark, missing)
     val name = s"shard-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.json"
     val out = f.create(shardPath(root, name), /*overwrite=*/ false)
-    try out.write(renderShard(files, stats, rows, blooms).getBytes("UTF-8")) finally out.close()
+    try out.write(renderShard(files, stats, rows, blooms, dvs).getBytes("UTF-8")) finally out.close()
     ShardRef(name, files.size)
   }
 
@@ -1164,19 +1283,39 @@ object Snapshots {
       root: String,
       shards: Seq[Shard],
       touched: Set[String]): Seq[ShardRef] =
+    rewriteShards(spark, root, shards, touched, Map.empty)
+
+  /** Carry `shards` forward minus `touched` files (dropped with all their
+    * metadata — stats, counts, blooms, DVs retire with the file), applying
+    * `dvUpdates` (basename → replacement vector) to surviving files. A
+    * shard intersecting neither carries BY REFERENCE; an affected one gets
+    * a metadata-only rewrite that never re-opens surviving data files. */
+  private def rewriteShards(
+      spark: SparkSession,
+      root: String,
+      shards: Seq[Shard],
+      touched: Set[String],
+      dvUpdates: Map[String, FileDv]): Seq[ShardRef] =
     shards.flatMap { sh =>
-      if (sh.ref.name.nonEmpty && !sh.files.exists(touched)) Some(sh.ref)
+      val affected = sh.ref.name.isEmpty || sh.files.exists(touched) ||
+        sh.files.exists(u => dvUpdates.contains(new Path(u).getName))
+      if (!affected) Some(sh.ref)
       else {
         val keep = sh.files.filterNot(touched)
         if (keep.isEmpty) None
         else {
           val keepNames = keep.map(u => new Path(u).getName).toSet
-          // stats, row counts AND blooms carry through filtered — a
-          // metadata-only rewrite must never re-open surviving data files
+          // stats, row counts, blooms AND deletion vectors carry through
+          // filtered — a metadata-only rewrite must never re-open
+          // surviving data files
+          val dvs = sh.dvs.filter(d =>
+            keepNames.contains(d.file) && !dvUpdates.contains(d.file)) ++
+            dvUpdates.valuesIterator.filter(d => keepNames.contains(d.file))
           Some(writeShard(spark, root, keep,
             sh.stats.filter(s => keepNames.contains(s.file)),
             sh.rows.filter(r => keepNames.contains(r.file)),
-            sh.blooms.filter(b => keepNames.contains(b.file))))
+            sh.blooms.filter(b => keepNames.contains(b.file)),
+            dvs))
         }
       }
     }
@@ -1226,6 +1365,170 @@ object Snapshots {
     publishMeta(spark, root, tag = "", requireHead = headV) { head =>
       val h = head.getOrElse(sys.error("delete base vanished"))
       (carried :+ newRef, mergedSchemaJson(Some(h.schema), survivors.schema))
+    }
+  }
+
+  /** Predicate DELETE with MERGE-ON-READ deletion vectors: rows matching
+    * `cond` are removed from the table WITHOUT rewriting the files that
+    * hold them — their positions (parquet `_metadata.row_index`) are
+    * folded into per-file compressed bitmaps ([[FileDv]]) recorded in the
+    * metadata shards, and every read anti-joins them back out. The 100 TB
+    * delete shape: a scattered small delete (GDPR keys, spam rows) costs
+    * one pruned scan + O(positions) of compressed metadata, instead of
+    * copy-on-write's full rewrite of every touched file.
+    *
+    * Mechanics per call:
+    *  1. the predicate is mined against the stats/bloom index exactly as
+    *     [[readWhere]] — only files that can hold a matching row scan;
+    *  2. the scan (existing DVs applied, so already-deleted rows never
+    *     re-count) marks matching positions and compresses them
+    *     EXECUTOR-SIDE via the native `rb64_agg` bitmap aggregate — the
+    *     driver receives one (file, bitmap, count) row per touched file;
+    *  3. per file, the new deletions OR into any existing vector; a file
+    *     whose total deleted fraction would exceed `maxDvFraction` is
+    *     REWRITTEN instead (copy-on-write fallback) — the bound that keeps
+    *     scan amplification from carried dead bytes capped;
+    *  4. affected shards get a metadata-only rewrite; untouched shards
+    *     carry by reference; the commit rides the same optimistic fence as
+    *     [[merge]].
+    *
+    * Delete semantics match SQL DELETE WHERE: only rows where `cond`
+    * evaluates TRUE are removed (null-evaluating rows stay). A predicate
+    * matching nothing is a true no-op — no new version. Old versions still
+    * see the rows ([[vacuum]] owns erasure), and [[restore]] to a
+    * pre-delete version resurrects them — vectors are shard state like any
+    * other metadata. `mergeOnRead = false` forces the pure copy-on-write
+    * path for every touched file (identical result, different layout
+    * cost). */
+  def deleteWhere(
+      spark: SparkSession,
+      root: String,
+      cond: org.apache.spark.sql.Column,
+      mergeOnRead: Boolean = true,
+      maxDvFraction: Double = 0.5,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
+    import org.apache.spark.sql.functions.{call_function, coalesce, col, count, lit}
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet — deleteWhere needs a base")
+    require(maxDvFraction >= 0.0 && maxDvFraction <= 1.0,
+      s"maxDvFraction must be in [0, 1], got $maxDvFraction")
+    val meta = manifestMeta(spark, root, headV)
+    val shards = loadShards(spark, root, meta)
+    val m = resolve(meta, shards)
+    if (m.files.isEmpty) return headV
+    // prune with the readWhere miner — only files that can hold a match scan
+    val probe =
+      if (m.schema.nonEmpty) readFilesRaw(spark, m, Seq.empty, withMeta = false).filter(cond)
+      else readFilesRaw(spark, m, m.files, withMeta = false).filter(cond)
+    val candidates =
+      if (m.stats.isEmpty && m.blooms.isEmpty) m.files
+      else {
+        val (mined, _) = minePredicate(m, probe)
+        if (mined.isEmpty) m.files
+        else {
+          val keepSet = mined.map(_.overlap.toSet).reduce(_ intersect _)
+          m.files.filter(keepSet)
+        }
+      }
+    if (candidates.isEmpty) return headV
+    // one distributed pass: positions of newly-matching rows, compressed
+    // per file on the executors (existing DVs applied first — a re-issued
+    // delete finds nothing new and no-ops)
+    graft.plans.GraftExtensions.register(spark)
+    val candNames = candidates.map(u => new Path(u).getName).toSet
+    val existing = m.dvs.filter(d => candNames.contains(d.file) && d.deleted > 0)
+    val raw = readFilesRaw(spark, m, candidates, withMeta = true)
+    val live =
+      if (existing.isEmpty) raw
+      else {
+        val pos = dvPositions(spark, existing)
+        val posSide =
+          if (existing.map(_.deleted).sum <= BroadcastDvPositions)
+            org.apache.spark.sql.functions.broadcast(pos)
+          else pos
+        raw.join(posSide, Seq(DvFileCol, DvPosCol), "left_anti")
+      }
+    val marked = live.filter(cond)
+      .groupBy(col(DvFileCol))
+      .agg(count(lit(1)).as("__n"), call_function("rb64_agg", col(DvPosCol)).as("__bm"))
+      .collect()
+      .toSeq
+    if (marked.isEmpty) return headV // nothing matched: true no-op
+    val rowsByName = m.rows.map(r => r.file -> r.n).toMap
+    val oldDvByName = m.dvs.map(d => d.file -> d).toMap
+    // classify each touched file: vector it, or rewrite it (fraction cap /
+    // unknown row count / mergeOnRead off — all conservative toward CoW)
+    val (cowRows, dvRows) = marked.partition { r =>
+      val f = r.getString(0)
+      val total = r.getLong(1) + oldDvByName.get(f).map(_.deleted).getOrElse(0L)
+      !mergeOnRead || rowsByName.get(f).forall(n => n <= 0L) ||
+        total.toDouble / rowsByName(f) > maxDvFraction
+    }
+    val dvUpdates = dvRows.map { r =>
+      val f = r.getString(0)
+      val bm = dvFromBytes(r.getAs[Array[Byte]]("__bm"))
+      oldDvByName.get(f).foreach(old => bm.or(dvDecode(old.b64)))
+      f -> FileDv(f, dvEncode(bm), bm.getLongCardinality)
+    }.toMap
+    val cowNames = cowRows.map(_.getString(0)).toSet
+    val cowFiles = m.files.filter(u => cowNames.contains(new Path(u).getName))
+    val toPhys = parseSchema(m).map(logicalToPhysical).getOrElse(Map.empty)
+    val newRefs =
+      if (cowFiles.isEmpty) Seq.empty
+      else {
+        // survivors of rewritten files: DVs applied, then SQL DELETE
+        // semantics — keep rows where cond is FALSE OR NULL
+        val survivors = readFiles(spark, m, cowFiles)
+          .filter(!coalesce(cond, lit(false)))
+        val (written, newStats, newRows, newBlooms) =
+          writeBatch(survivors, root, statsCols, toPhys, bloomCols)
+        Seq(writeShard(spark, root, written, newStats, newRows, newBlooms))
+      }
+    val carried = rewriteShards(spark, root, shards, cowFiles.toSet, dvUpdates)
+    publishMeta(spark, root, tag = "", requireHead = headV) { head =>
+      val h = head.getOrElse(sys.error("deleteWhere base vanished"))
+      (carried ++ newRefs, h.schema)
+    }
+  }
+
+  /** Materialize deletion vectors back into clean files: every file whose
+    * deleted fraction is ≥ `minFraction` (default: any vector at all) is
+    * rewritten without its deleted rows and its vector retired — the
+    * maintenance half of the merge-on-read bargain, bounding permanent
+    * scan amplification. Untouched files (and files with lighter vectors)
+    * carry by reference; no-op (no new version) when nothing qualifies.
+    * [[compact]]/[[compactZOrder]] also materialize as a side effect of
+    * their full rewrite — this is the targeted version that touches ONLY
+    * vector-bearing files. */
+  def materializeDvs(
+      spark: SparkSession,
+      root: String,
+      minFraction: Double = 0.0,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet")
+    val meta = manifestMeta(spark, root, headV)
+    val shards = loadShards(spark, root, meta)
+    val m = resolve(meta, shards)
+    val rowsByName = m.rows.map(r => r.file -> r.n).toMap
+    val targets = m.dvs.filter { d =>
+      d.deleted > 0 && (minFraction <= 0.0 ||
+        rowsByName.get(d.file).forall(n => n <= 0L || d.deleted.toDouble / n >= minFraction))
+    }
+    if (targets.isEmpty) return headV
+    val names = targets.map(_.file).toSet
+    val files = m.files.filter(u => names.contains(new Path(u).getName))
+    val survivors = readFiles(spark, m, files) // DVs applied
+    val toPhys = parseSchema(m).map(logicalToPhysical).getOrElse(Map.empty)
+    val (written, newStats, newRows, newBlooms) =
+      writeBatch(survivors, root, statsCols, toPhys, bloomCols)
+    val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
+    val carried = carryUntouched(spark, root, shards, files.toSet)
+    publishMeta(spark, root, tag = "", requireHead = headV) { head =>
+      val h = head.getOrElse(sys.error("materializeDvs base vanished"))
+      (carried :+ newRef, h.schema)
     }
   }
 
@@ -1655,7 +1958,14 @@ object Snapshots {
     val m = manifest(spark, root, v)
     val byName = m.rows.map(r => r.file -> r.n).toMap
     val names = m.files.map(f => new Path(f).getName)
-    if (names.forall(byName.contains)) Some(names.map(byName).sum) else None
+    if (!names.forall(byName.contains)) None
+    else {
+      // deletion vectors subtract exactly: physical counts minus per-file
+      // deleted cardinalities — still O(metadata)
+      val nameSet = names.toSet
+      val deleted = m.dvs.filter(d => nameSet.contains(d.file)).map(_.deleted).sum
+      Some(names.map(byName).sum - deleted)
+    }
   }
 
   /** Exact `count(*) WHERE cond` with the metadata answering everything it
@@ -1693,8 +2003,14 @@ object Snapshots {
       if (!allMinable) Set.empty[String]
       else mined.map(_.full).reduce(_ intersect _)
     val rowsByName = m.rows.map(r => r.file -> r.n).toMap
-    // a fully-accepted file without a recorded count degrades to the scan
-    val metaFiles = fullSet.filter(f => rowsByName.contains(new Path(f).getName))
+    // a fully-accepted file without a recorded count degrades to the scan —
+    // as does one carrying a deletion vector (which deleted rows fell where
+    // is unknowable from metadata; the scan path applies the vector exactly)
+    val dvNames = m.dvs.filter(_.deleted > 0).map(_.file).toSet
+    val metaFiles = fullSet.filter { f =>
+      val n = new Path(f).getName
+      rowsByName.contains(n) && !dvNames.contains(n)
+    }
     val metaCount = metaFiles.toSeq.map(f => rowsByName(new Path(f).getName)).sum
     val scanFiles = m.files.filter(f => overlap.contains(f) && !metaFiles.contains(f))
     if (scanFiles.isEmpty) metaCount
@@ -1719,6 +2035,9 @@ object Snapshots {
     val byFile = m.stats.filter(_.col == c).map(s => s.file -> s).toMap
     val rowsByName = m.rows.map(r => r.file -> r.n).toMap
     val names = m.files.map(f => new Path(f).getName)
+    // a deletion vector may have removed the extreme rows a file's recorded
+    // range rests on — the exact answer is unknowable from metadata
+    if (m.dvs.exists(d => d.deleted > 0 && names.contains(d.file))) return None
     val covered = names.filter(byFile.contains)
     val uncovered = names.filterNot(byFile.contains)
       .filterNot(n => rowsByName.get(n).contains(0L))
@@ -1854,18 +2173,77 @@ object Snapshots {
       root: String,
       fromV: Long,
       toV: Long): DataFrame = {
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{col, lit}
     val (added, removed) = diffFiles(spark, root, fromV, toV)
     val mTo = manifest(spark, root, toV)
-    if (mTo.schema.nonEmpty)
+    val mFrom = if (fromV == 0) None else Some(manifest(spark, root, fromV))
+    val fromDvs = mFrom.map(_.dvs).getOrElse(Seq.empty)
+    if (mTo.schema.nonEmpty) {
       // both sides plan against the TARGET version's recorded schema, so a
       // delta spanning a schema evolution compares rows in one shape
       // (pre-evolution files fill the new columns with nulls) and an empty
       // side is a true empty relation — the plan's only file scans are the
-      // changed files, which is the operator's whole point
-      readFiles(spark, mTo, added).withColumn("_sign", lit(1))
-        .unionByName(readFiles(spark, mTo, removed).withColumn("_sign", lit(-1)))
-    else {
+      // changed files, which is the operator's whole point. Added files
+      // read under the TO version's deletion vectors (rows deleted by toV
+      // never existed for it); REMOVED files read under the FROM version's
+      // (the rows that existed then).
+      val base = readFiles(spark, mTo, added).withColumn("_sign", lit(1))
+        .unionByName(readFilesDvs(spark, mTo, removed, fromDvs)
+          .withColumn("_sign", lit(-1)))
+      // deletion-vector deltas on files carried in BOTH versions: a
+      // merge-on-read delete changes rows with NO file-list change — those
+      // rows surface here by position. toV-only positions are deletions
+      // (-1); fromV-only positions are restorations (+1, the restore-to-
+      // pre-delete case). Cost ∝ changed positions, never the table.
+      val toNames = mTo.files.map(u => new Path(u).getName).toSet
+      val commonNames = mFrom.map(_.files.map(u => new Path(u).getName).toSet
+        .intersect(toNames)).getOrElse(Set.empty)
+      val fromBy = fromDvs.map(d => d.file -> d).toMap
+      val toBy = mTo.dvs.map(d => d.file -> d).toMap
+      def bmOf(m2: Map[String, FileDv], n: String) =
+        m2.get(n).map(d => dvDecode(d.b64))
+          .getOrElse(new org.roaringbitmap.longlong.Roaring64Bitmap())
+      def bmMinus(a: org.roaringbitmap.longlong.Roaring64Bitmap,
+          b: org.roaringbitmap.longlong.Roaring64Bitmap) = {
+        val out = new org.roaringbitmap.longlong.Roaring64Bitmap()
+        val it = a.getLongIterator
+        while (it.hasNext) { val v = it.next(); if (!b.contains(v)) out.addLong(v) }
+        out
+      }
+      val dvDiffs = commonNames.toSeq.sorted.flatMap { n =>
+        if (!fromBy.contains(n) && !toBy.contains(n)) Seq.empty
+        else {
+          val f = bmOf(fromBy, n)
+          val t = bmOf(toBy, n)
+          val del = bmMinus(t, f)
+          val res = bmMinus(f, t)
+          (if (del.isEmpty) Seq.empty else Seq((n, dvEncode(del), -1))) ++
+            (if (res.isEmpty) Seq.empty else Seq((n, dvEncode(res), 1)))
+        }
+      }
+      if (dvDiffs.isEmpty) base
+      else {
+        import spark.implicits._
+        val posDf = spark.createDataset(dvDiffs)
+          .flatMap { case (n, b64, sign) =>
+            val it = dvDecode(b64).getLongIterator
+            new Iterator[(String, Long, Int)] {
+              override def hasNext: Boolean = it.hasNext
+              override def next(): (String, Long, Int) = (n, it.next(), sign)
+            }
+          }
+          .toDF(DvFileCol, DvPosCol, "_sign")
+        val changedNames = dvDiffs.map(_._1).toSet
+        val changedFiles = mTo.files.filter(u => changedNames.contains(new Path(u).getName))
+        val raw = readFilesRaw(spark, mTo, changedFiles, withMeta = true)
+        val keep = raw.columns.filterNot(_.startsWith("__gdv_")).toSeq
+        val dvRows = raw
+          .join(org.apache.spark.sql.functions.broadcast(posDf),
+            Seq(DvFileCol, DvPosCol), "inner")
+          .select(keep.map(col) :+ col("_sign"): _*)
+        base.unionByName(dvRows)
+      }
+    } else {
       // legacy manifests (no recorded schema): one footer read supplies it
       val addedDf = if (added.nonEmpty) Some(spark.read.parquet(added: _*)) else None
       val removedDf = if (removed.nonEmpty) Some(spark.read.parquet(removed: _*)) else None
@@ -1900,6 +2278,37 @@ object Snapshots {
     val r = signed.filter(col("_sign") === -1).drop("_sign")
     a.exceptAll(r).withColumn("_op", lit("I"))
       .unionByName(r.exceptAll(a).withColumn("_op", lit("D")))
+  }
+
+  /** TYPED change feed (the Delta CDF `_change_type` shape): [[changes]]'
+    * net 'I'/'D' rows re-classified by `key` — a key present on BOTH sides
+    * of the diff was UPDATED (its 'D' rows become `update_pre`, its 'I'
+    * rows `update_post`); a key on one side only is a plain `insert` /
+    * `delete`. What a downstream consumer (dimension sync, cache
+    * invalidation, search-index maintenance) actually needs: "which keys
+    * changed and how", not a bag of signed rows. Cost is [[changes]] plus
+    * two broadcast-friendly key semi-joins over the (already changed-files-
+    * only) delta — never the table. Multi-row keys classify as a unit: any
+    * key with rows on both sides is an update for all its rows. */
+  def changesTyped(
+      spark: SparkSession,
+      root: String,
+      fromV: Long,
+      toV: Long,
+      key: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val ch = changes(spark, root, fromV, toV).persist()
+    val ins = ch.filter(col("_op") === "I").drop("_op")
+    val del = ch.filter(col("_op") === "D").drop("_op")
+    val insKeys = ins.select(col(key)).distinct()
+    val delKeys = del.select(col(key)).distinct()
+    ins.join(delKeys, Seq(key), "left_anti").withColumn("_change", lit("insert"))
+      .unionByName(ins.join(delKeys, Seq(key), "left_semi")
+        .withColumn("_change", lit("update_post")))
+      .unionByName(del.join(insKeys, Seq(key), "left_anti")
+        .withColumn("_change", lit("delete")))
+      .unionByName(del.join(insKeys, Seq(key), "left_semi")
+        .withColumn("_change", lit("update_pre")))
   }
 
   /** Idempotent tagged commit: a no-op returning None when any retained
@@ -2050,7 +2459,7 @@ object Snapshots {
     // known counts pass through; a legacy table's uncounted files get a
     // one-time footer backfill here (consolidation already touches all
     // metadata — the natural upgrade point)
-    val one = writeShard(spark, root, m.files, m.stats, m.rows, m.blooms)
+    val one = writeShard(spark, root, m.files, m.stats, m.rows, m.blooms, m.dvs)
     publishMeta(spark, root, tag = "", requireHead = headV) { _ =>
       (Seq(one), meta.schema)
     }
@@ -2149,11 +2558,18 @@ object Snapshots {
       s"""{"file":${graft.JsonStr(b.file)},"col":${graft.JsonStr(b.col)},"b64":${graft.JsonStr(b.b64)}}""")
       .mkString("[", ",", "]")
 
+  private def renderDvs(dvs: Seq[FileDv]): String =
+    dvs.map(d =>
+      s"""{"file":${graft.JsonStr(d.file)},"dv64":${graft.JsonStr(d.b64)},"del":${d.deleted}}""")
+      .mkString("[", ",", "]")
+
   private def renderShard(files: Seq[String], stats: Seq[ColStats],
-      rows: Seq[FileRows], blooms: Seq[FileBloom] = Seq.empty): String = {
-    // blooms rendered only when present — pre-bloom shards stay byte-identical
+      rows: Seq[FileRows], blooms: Seq[FileBloom] = Seq.empty,
+      dvs: Seq[FileDv] = Seq.empty): String = {
+    // blooms/dvs rendered only when present — earlier-era shards stay byte-identical
     val bl = if (blooms.isEmpty) "" else s""""blooms":${renderBlooms(blooms)},"""
-    s"""{"stats":${renderStats(stats)},"rows":${renderRows(rows)},$bl"files":${files.map(graft.JsonStr(_)).mkString("[", ",", "]")}}"""
+    val dv = if (dvs.isEmpty) "" else s""""dvs":${renderDvs(dvs)},"""
+    s"""{"stats":${renderStats(stats)},"rows":${renderRows(rows)},$bl$dv"files":${files.map(graft.JsonStr(_)).mkString("[", ",", "]")}}"""
   }
 
   private def renderManifestMeta(m: ManifestMeta): String = {
@@ -2210,9 +2626,19 @@ object Snapshots {
       .map(g => FileBloom(unescape(g.group(1)), unescape(g.group(2)), unescape(g.group(3))))
       .toSeq
 
-  private def parseShard(text: String): (Seq[String], Seq[ColStats], Seq[FileRows], Seq[FileBloom]) =
+  /** Deletion-vector entries, shape-anchored on the `"dv64"` key (blooms
+    * carry `"b64"`, stats `"min"`, rows `"n"` — no cross-match). Absent
+    * before round 9's merge-on-read deletes. */
+  private def parseDvsArray(text: String): Seq[FileDv] =
+    ("""\{"file":"([^"\\]*(?:\\.[^"\\]*)*)","dv64":"([^"\\]*(?:\\.[^"\\]*)*)","del":(\d+)\}""").r
+      .findAllMatchIn(text)
+      .map(g => FileDv(unescape(g.group(1)), unescape(g.group(2)), g.group(3).toLong))
+      .toSeq
+
+  private def parseShard(text: String)
+      : (Seq[String], Seq[ColStats], Seq[FileRows], Seq[FileBloom], Seq[FileDv]) =
     (parseFilesArray(text, "shard"), parseStatsArray(text), parseRowsArray(text),
-      parseBloomsArray(text))
+      parseBloomsArray(text), parseDvsArray(text))
 
   /** Minimal parser for the exact shapes renderManifestMeta emits — and,
     * for pre-shard tables, the legacy inline form (files+stats in the

@@ -210,7 +210,16 @@ object GraftExtensions {
         mk(children.head, children(1), children(2))
       })
 
+  private def one(name: String)(mk: Expression => Expression) =
+    (FunctionIdentifier(name),
+      new ExpressionInfo(classOf[DotF32].getName, name),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, s"$name takes exactly 1 argument")
+        mk(children.head)
+      })
+
   private val descriptors = Seq(
+    one("rb64_agg")(Rb64Agg(_)),
     two("dot_f32")(DotF32(_, _)),
     two("cosine_f32")(CosineF32(_, _)),
     two("bloom_agg")(new BloomFilterAggregate(_, _)),

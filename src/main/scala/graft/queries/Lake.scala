@@ -964,5 +964,133 @@ object Lake {
           sum(col("o_orderkey").cast("long")).as("sum_key"))
         .orderBy("ts", "seg")
     },
+
+    // ---- q105: MERGE-ON-READ DELETION VECTORS — two predicate deletes
+    //            (a price band touching every file + scattered point
+    //            deletes) land as per-file position bitmaps, NOT rewrites:
+    //            the data files are byte-untouched (DvSpec pins that), and
+    //            every read anti-joins the vectors back out. The whole
+    //            post-delete table aggregates under the hash gate against
+    //            the oracle's plain double-NOT filter — SQL DELETE
+    //            semantics (only TRUE rows go) across accumulated vectors.
+    //            The 100 TB shape: a GDPR-sized delete costs one pruned
+    //            scan + O(deleted positions) of compressed metadata where
+    //            copy-on-write rewrote every touched terabyte. ----
+    OracleQuery(
+      "q105_delete_vectors",
+      """WITH kept AS (
+        |  SELECT * FROM orders
+        |  WHERE NOT (o_totalprice < 50000.0) AND NOT (o_orderkey % 100 = 7))
+        |SELECT o_orderpriority,
+        |  count(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        |  MIN(o_totalprice) AS min_price,
+        |  MAX(o_totalprice) AS max_price
+        |FROM kept GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_dv"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val orders = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+      Snapshots.commit(orders.repartitionByRange(8, col("o_orderkey")), root,
+        statsCols = Seq("o_orderkey", "o_totalprice"))
+      // band delete: prunes by the o_totalprice stats index, vectors the rest
+      Snapshots.deleteWhere(spark, root, col("o_totalprice") < 50000.0)
+      // scattered point deletes: vectors accumulate (bitmap OR) per file
+      Snapshots.deleteWhere(spark, root, col("o_orderkey") % 100 === 7)
+      Snapshots.read(spark, root)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_orderkey")).cast("long").as("sum_key"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"))
+        .orderBy("o_orderpriority")
+    },
+
+    // ---- q106: BUCKETED CO-LOCATED JOIN — both sides hash-clustered into
+    //            the same bucket count on their join keys at write time
+    //            ([[graft.engine.Bucketed]]), so the SortMergeJoin plans
+    //            with NO ShuffleExchange on either side (BucketedJoinSpec
+    //            pins the plan; the merge hint keeps the join non-broadcast
+    //            at this SF, as it would be between 100 TB fact tables).
+    //            The oracle joins the raw tables — identical aggregates
+    //            prove the bucketed layout is lossless. ----
+    OracleQuery(
+      "q106_bucketed_join",
+      """SELECT c_mktsegment,
+        |  count(*) AS n,
+        |  CAST(SUM(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val orders = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.engine.Bucketed.write(orders, "graft_q106_orders", "o_custkey", 8,
+        s"$lakeBase/bkt_orders")
+      graft.engine.Bucketed.write(cust, "graft_q106_customer", "c_custkey", 8,
+        s"$lakeBase/bkt_customer")
+      val o = graft.engine.Bucketed.table(spark, "graft_q106_orders")
+      val c = graft.engine.Bucketed.table(spark, "graft_q106_customer")
+      o.hint("merge").join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), sum(col("o_orderkey")).cast("long").as("sum_key"))
+        .orderBy("c_mktsegment")
+    },
+
+    // ---- q107: TYPED CHANGE FEED — changesTyped classifies the net
+    //            row-level diff between two versions by key: updates
+    //            surface as update_pre/update_post pairs, pure arrivals
+    //            as insert, pure departures as delete — across a history
+    //            that mixes a keyed merge (updates + inserts) and a
+    //            VECTORED delete (so the feed must see position-deleted
+    //            rows with no file diff). The oracle rebuilds both table
+    //            states in SQL and classifies the EXCEPT ALL diff the
+    //            same way — row-exact over every change row. ----
+    OracleQuery(
+      "q107_changes_typed",
+      """WITH t1 AS (SELECT c_custkey AS k, c_mktsegment AS seg, c_acctbal AS bal
+        |            FROM customer),
+        |upd AS (SELECT k, 'UPDATED' AS seg, bal + 10.0 AS bal FROM t1 WHERE k % 7 = 0),
+        |ins AS (SELECT k + 200000 AS k, 'NEW' AS seg, CAST(5.0 AS DOUBLE) AS bal
+        |        FROM t1 WHERE k % 50 = 0),
+        |t2 AS (SELECT * FROM t1 WHERE k % 7 <> 0
+        |       UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |t3 AS (SELECT * FROM t2 WHERE NOT (seg = 'UPDATED' AND k % 3 = 0)),
+        |ni AS (SELECT * FROM t3 EXCEPT ALL SELECT * FROM t1),
+        |nd AS (SELECT * FROM t1 EXCEPT ALL SELECT * FROM t3),
+        |typed AS (
+        |  SELECT ni.*, CASE WHEN ni.k IN (SELECT k FROM nd)
+        |    THEN 'update_post' ELSE 'insert' END AS chg FROM ni
+        |  UNION ALL
+        |  SELECT nd.*, CASE WHEN nd.k IN (SELECT k FROM ni)
+        |    THEN 'update_pre' ELSE 'delete' END AS chg FROM nd)
+        |SELECT k, seg, bal, chg FROM typed
+        |ORDER BY k, chg, seg, bal""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/customer_cdf"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val t1 = Tables(spark, dir, "customer")
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").as("bal"))
+      Snapshots.commit(t1.repartitionByRange(6, col("k")), root,
+        statsCols = Seq("k"))
+      val batch = t1.filter(col("k") % 7 === 0)
+        .select(col("k"), lit("UPDATED").as("seg"), (col("bal") + 10.0).as("bal"))
+        .unionByName(t1.filter(col("k") % 50 === 0)
+          .select((col("k") + 200000L).as("k"), lit("NEW").as("seg"),
+            lit(5.0).as("bal")))
+      Snapshots.merge(batch, root, "k", statsCols = Seq("k"))
+      Snapshots.deleteWhere(spark, root,
+        col("seg") === "UPDATED" && col("k") % 3 === 0)
+      Snapshots.changesTyped(spark, root, 1, 3, "k")
+        .withColumnRenamed("_change", "chg")
+        .orderBy("k", "chg", "seg", "bal")
+    },
   )
 }

@@ -1,0 +1,395 @@
+package graft.streaming
+
+import java.util.{Map => JMap, Set => JSet}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
+import org.apache.parquet.hadoop.example.GroupReadSupport
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.schema.{MessageType, PrimitiveType}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.engine.Snapshots
+
+/** STREAMING SOURCE over a snapshot table — `spark.readStream.format(
+  * "graft.streaming.SnapshotSourceProvider").option("root", root).load()`
+  * tails the table's commit log as a Structured Streaming source: each
+  * micro-batch is exactly the rows the commits since the last batch
+  * APPENDED, offsets are snapshot VERSIONS (checkpointed by the engine, so
+  * restart resumes exactly-once), and the cost of a trigger is the new
+  * files — never the table. The missing half of the engine's streaming
+  * story: [[SnapshotSink]] lands streams INTO snapshot tables; this reads
+  * tables OUT as streams, so a lake table becomes a replayable feed for
+  * downstream incremental pipelines (index maintenance, dimension sync,
+  * training-data tailing) with no external queue.
+  *
+  * A proper DataSource V2 [[MicroBatchStream]], not a polling helper:
+  * Spark owns the trigger cadence, offset log, and replay; partitions are
+  * planned one-per-added-file from manifest arithmetic ([[Snapshots
+  * .diffFiles]] semantics) and each executor-side reader scans its file
+  * with parquet-hadoop directly (column-pruned via the parquet projection;
+  * the column-mapping translation rides the recorded schema, so renamed
+  * tables stream under their CURRENT logical names).
+  *
+  * Options:
+  *  - `root` (required): the snapshot table root URI;
+  *  - `startingVersion`: `earliest` (default — the whole table as the
+  *    first batch, version 0 as the base), `latest` (only commits after
+  *    stream start), or an explicit version number (exclusive base);
+  *  - `ignoreChanges` (default false): an append-only tail THROWS when a
+  *    spanned commit rewrote or vector-deleted rows (merge/delete/
+  *    compaction — emitting their files would duplicate or lose rows
+  *    downstream); `true` opts into emitting rewritten files' rows anyway
+  *    (Delta's ignoreChanges contract, for consumers that key-dedup).
+  *
+  * Retention caveat: a restart replans its uncommitted batch from the
+  * recorded offsets, so [[Snapshots.vacuum]] retention must cover the
+  * restart window (same contract as time travel). */
+class SnapshotSourceProvider extends TableProvider {
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    SnapshotSource.surfacedSchema(SnapshotSource.rootOf(options))
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: JMap[String, String]): Table =
+    new SnapshotStreamTable(schema, properties.asScala.toMap)
+
+  override def supportsExternalMetadata(): Boolean = true
+}
+
+private[streaming] object SnapshotSource {
+
+  def rootOf(options: CaseInsensitiveStringMap): String = {
+    val r = options.get("root")
+    require(r != null && r.nonEmpty,
+      "graft snapshot source needs .option(\"root\", <table root URI>)")
+    r
+  }
+
+  /** The head's recorded LOGICAL schema with the column-mapping key
+    * stripped (what downstream sees). */
+  def surfacedSchema(root: String): StructType = {
+    val spark = SparkSession.active
+    val head = Snapshots.headVersion(spark, root)
+    require(head > 0, s"no snapshot committed at $root yet — nothing to stream")
+    val s = Snapshots.parseSchemaStr(Snapshots.manifestMeta(spark, root, head).schema)
+      .getOrElse(sys.error(
+        s"$root has no recorded schema (legacy manifest) — commit once to record one"))
+    StructType(s.fields.map(f => f.copy(metadata = Metadata.empty)))
+  }
+
+  /** logical → physical column names as of the head (fixed at scan
+    * creation; a mid-stream rename breaks loudly rather than silently). */
+  def physicalNames(root: String): Map[String, String] = {
+    val spark = SparkSession.active
+    val head = Snapshots.headVersion(spark, root)
+    Snapshots.parseSchemaStr(Snapshots.manifestMeta(spark, root, head).schema)
+      .map(s => s.fields.map(f => f.name -> Snapshots.physicalOf(f)).toMap)
+      .getOrElse(Map.empty)
+  }
+}
+
+private[streaming] class SnapshotStreamTable(
+    tableSchema: StructType,
+    properties: Map[String, String]) extends Table with SupportsRead {
+
+  override def name(): String = s"graft-snapshot(${properties.getOrElse("root", "?")})"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): JSet[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new SnapshotScanBuilder(tableSchema, SnapshotSource.rootOf(options), options)
+}
+
+private[streaming] class SnapshotScanBuilder(
+    fullSchema: StructType,
+    root: String,
+    options: CaseInsensitiveStringMap)
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // keep full-schema field order/types; the pruner passes a subset
+    required = StructType(fullSchema.fields.filter(f =>
+      requiredSchema.fieldNames.contains(f.name)))
+
+  override def build(): Scan = new SnapshotScan(required, root,
+    options.getOrDefault("startingVersion", "earliest"),
+    options.getBoolean("ignoreChanges", false))
+}
+
+private[streaming] class SnapshotScan(
+    required: StructType,
+    root: String,
+    startingVersion: String,
+    ignoreChanges: Boolean) extends Scan {
+
+  override def readSchema(): StructType = required
+  override def description(): String = s"graft-snapshot $root"
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SnapshotMicroBatchStream(root, required, startingVersion, ignoreChanges)
+}
+
+/** Offset = snapshot VERSION: "every commit ≤ version is consumed". */
+private[streaming] case class SnapshotOffset(version: Long) extends Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private[streaming] class SnapshotMicroBatchStream(
+    root: String,
+    required: StructType,
+    startingVersion: String,
+    ignoreChanges: Boolean) extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+
+  override def initialOffset(): Offset = startingVersion match {
+    case "earliest" => SnapshotOffset(0L)
+    case "latest" => SnapshotOffset(Snapshots.headVersion(spark, root))
+    case v => SnapshotOffset(v.toLong)
+  }
+
+  override def latestOffset(): Offset =
+    SnapshotOffset(Snapshots.headVersion(spark, root))
+
+  override def deserializeOffset(json: String): Offset =
+    SnapshotOffset(""""version":(\d+)""".r.findFirstMatchIn(json)
+      .map(_.group(1).toLong)
+      .getOrElse(sys.error(s"bad snapshot-stream offset: $json")))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val fromV = start.asInstanceOf[SnapshotOffset].version
+    val toV = end.asInstanceOf[SnapshotOffset].version
+    if (toV <= fromV) return Array.empty
+    val mTo = Snapshots.manifest(spark, root, toV)
+    val mFrom = if (fromV == 0) None else Some(Snapshots.manifest(spark, root, fromV))
+    val fromFiles = mFrom.map(_.files.toSet).getOrElse(Set.empty[String])
+    val added = mTo.files.filterNot(fromFiles)
+    if (!ignoreChanges) {
+      val removed = fromFiles -- mTo.files.toSet
+      require(removed.isEmpty,
+        s"snapshot stream at $root: commits ($fromV, $toV] rewrote/removed " +
+          s"${removed.size} file(s) (merge/delete/compaction) — an append-only " +
+          "tail cannot represent that; set .option(\"ignoreChanges\", true) to " +
+          "emit rewritten files' rows anyway (downstream must key-dedup)")
+      // vector growth on a CARRIED file is a row delete the tail cannot
+      // represent; a vector on an ADDED file is fine — the reader applies
+      // it, so the deleted rows are simply never emitted
+      val fromDvByName = mFrom.map(_.dvs.map(d => d.file -> d.b64).toMap)
+        .getOrElse(Map.empty)
+      val carriedNames = fromFiles.map(u => new Path(u).getName)
+      val changed = mTo.dvs.filter(d => carriedNames.contains(d.file) &&
+        !fromDvByName.get(d.file).contains(d.b64))
+      require(changed.isEmpty,
+        s"snapshot stream at $root: commits ($fromV, $toV] vector-deleted rows " +
+          s"from ${changed.size} carried file(s) — an append-only tail cannot " +
+          "represent row deletes; set .option(\"ignoreChanges\", true) to skip them")
+    }
+    // per-added-file vector as of toV (a delete landing in the same span
+    // marks rows that never net-arrived — the reader skips them)
+    val dvByName = mTo.dvs.map(d => d.file -> d.b64).toMap
+    val confEntries = {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    }
+    added.sorted.map { uri =>
+      SnapshotFilePartition(uri, confEntries,
+        dvByName.get(new Path(uri).getName)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotReaderFactory(required.json,
+      required.fields.map(f => SnapshotSource.physicalNames(root)
+        .getOrElse(f.name, f.name)))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[streaming] case class SnapshotFilePartition(
+    uri: String,
+    confEntries: Array[(String, String)],
+    dvB64: Option[String]) extends InputPartition
+
+private[streaming] case class SnapshotReaderFactory(
+    requiredJson: String,
+    physNames: Array[String]) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[SnapshotFilePartition]
+    new SnapshotGroupReader(p, DataType.fromJson(requiredJson).asInstanceOf[StructType],
+      physNames)
+  }
+}
+
+/** Executor-side reader: parquet-hadoop Group records → InternalRow, with
+  * the projection pushed to the parquet reader (only requested physical
+  * columns that EXIST in the file decode; missing ones — pre-evolution
+  * files — surface null). Covers the engine's table types: boolean, int,
+  * long, float, double, string, binary, date, timestamp (INT96 and INT64
+  * in any parquet unit), and arrays of those primitives (Spark's 3-level
+  * list shape). Anything else fails loudly rather than mis-decoding. */
+private[streaming] class SnapshotGroupReader(
+    partition: SnapshotFilePartition,
+    required: StructType,
+    physNames: Array[String]) extends PartitionReader[InternalRow] {
+
+  private val conf = {
+    val c = new Configuration(false)
+    partition.confEntries.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val path = new Path(partition.uri)
+
+  private val fileSchema: MessageType = {
+    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
+    try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+  }
+
+  private val presentIdx: Array[Int] = physNames.indices
+    .filter(i => fileSchema.containsField(physNames(i))).toArray
+  private val present: Set[Int] = presentIdx.toSet
+
+  private val reader: ParquetReader[Group] = {
+    val fieldOf: String => org.apache.parquet.schema.Type =
+      n => fileSchema.getFields.asScala.find(_.getName == n)
+        .getOrElse(sys.error(s"column $n vanished from $path"))
+    val projection = new MessageType("spark_schema",
+      presentIdx.map(i => fieldOf(physNames(i))).toList.asJava)
+    val c = new Configuration(conf)
+    c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projection.toString)
+    ParquetReader.builder(new GroupReadSupport(), path).withConf(c).build()
+  }
+
+  private val dv: Option[org.roaringbitmap.longlong.Roaring64Bitmap] =
+    partition.dvB64.map { b64 =>
+      val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+      bm.deserialize(new java.io.DataInputStream(
+        new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(b64))))
+      bm
+    }
+
+  private var current: Group = _
+  private var rowIdx: Long = -1L
+
+  override def next(): Boolean = {
+    current = reader.read()
+    rowIdx += 1
+    while (current != null && dv.exists(_.contains(rowIdx))) {
+      current = reader.read()
+      rowIdx += 1
+    }
+    current != null
+  }
+
+  override def get(): InternalRow = {
+    val values = new Array[Any](required.length)
+    // fields absent from the file stay null (additive evolution)
+    required.fields.indices.foreach { i =>
+      values(i) =
+        if (!present.contains(i)) null
+        else {
+          val name = physNames(i)
+          if (current.getFieldRepetitionCount(name) == 0) null
+          else convert(current, name, required.fields(i).dataType)
+        }
+    }
+    new GenericInternalRow(values)
+  }
+
+  private def primitiveOf(name: String): PrimitiveType =
+    fileSchema.getFields.asScala.find(_.getName == name)
+      .getOrElse(sys.error(s"column $name vanished from $path"))
+      .asPrimitiveType()
+
+  private def convert(g: Group, name: String, dt: DataType): Any = dt match {
+    case BooleanType => g.getBoolean(name, 0)
+    case IntegerType => g.getInteger(name, 0)
+    case LongType =>
+      if (primitiveOf(name).getPrimitiveTypeName ==
+        PrimitiveType.PrimitiveTypeName.INT32) g.getInteger(name, 0).toLong
+      else g.getLong(name, 0)
+    case FloatType => g.getFloat(name, 0)
+    case DoubleType => g.getDouble(name, 0)
+    case StringType => UTF8String.fromBytes(g.getBinary(name, 0).getBytes)
+    case BinaryType => g.getBinary(name, 0).getBytes
+    case DateType => g.getInteger(name, 0)
+    case TimestampType | TimestampNTZType => timestampMicros(g, name)
+    case ArrayType(et, _) => listOf(g, name, et)
+    case other => sys.error(
+      s"snapshot stream reader does not support ${other.simpleString} ('$name')")
+  }
+
+  private def timestampMicros(g: Group, name: String): Long = {
+    val pt = primitiveOf(name)
+    pt.getPrimitiveTypeName match {
+      case PrimitiveType.PrimitiveTypeName.INT96 =>
+        // 12 bytes little-endian: 8 nanos-of-day + 4 julian day
+        val b = java.nio.ByteBuffer.wrap(g.getInt96(name, 0).getBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val nanos = b.getLong
+        val julian = b.getInt
+        (julian - 2440588L) * 86400000000L + nanos / 1000L
+      case _ =>
+        val raw = g.getLong(name, 0)
+        pt.getLogicalTypeAnnotation match {
+          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit match {
+              case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
+              case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS => raw
+              case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS => raw / 1000L
+            }
+          case _ => raw // bare INT64: assume micros
+        }
+    }
+  }
+
+  private def listOf(g: Group, name: String, et: DataType): GenericArrayData = {
+    // Spark's 3-level list: optional group name (LIST) {
+    //   repeated group list { optional T element } }
+    val outer = g.getGroup(name, 0)
+    val n = outer.getFieldRepetitionCount(0)
+    val arr = new Array[Any](n)
+    var i = 0
+    while (i < n) {
+      val entry = outer.getGroup(0, i)
+      arr(i) =
+        if (entry.getFieldRepetitionCount(0) == 0) null
+        else et match {
+          case FloatType => entry.getFloat(0, 0)
+          case DoubleType => entry.getDouble(0, 0)
+          case IntegerType => entry.getInteger(0, 0)
+          case LongType => entry.getLong(0, 0)
+          case BooleanType => entry.getBoolean(0, 0)
+          case StringType => UTF8String.fromBytes(entry.getBinary(0, 0).getBytes)
+          case other => sys.error(
+            s"snapshot stream reader does not support array<${other.simpleString}>")
+        }
+      i += 1
+    }
+    new GenericArrayData(arr)
+  }
+
+  override def close(): Unit = reader.close()
+}

@@ -1,0 +1,234 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Snapshots
+
+/** Merge-on-read DELETION VECTORS ([[Snapshots.deleteWhere]] /
+  * [[Snapshots.materializeDvs]]): a predicate delete that records row
+  * POSITIONS instead of rewriting files, applied by every read path.
+  * The pins here are the contract:
+  *  - result ≡ the copy-on-write delete (and plain filter) exactly;
+  *  - data files are byte-untouched by a vectored delete (that's the point);
+  *  - vectors accumulate across deletes (bitmap OR), re-deleting no-ops;
+  *  - the fraction cap flips a heavy delete to copy-on-write;
+  *  - metadata aggregates stay exact (rowCount subtracts, countWhere
+  *    scans vectored files, statsRange declines);
+  *  - CDC (signedDelta/changes) surfaces vectored rows with no file diff;
+  *  - compaction/materialization retires vectors with identical content;
+  *  - time travel and restore see/resurrect the pre-delete rows.
+  */
+class DvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    "file:" + Files.createTempDirectory("dv").toString + "/t"
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").as[Long].collect().toSet
+
+  private def dataFiles(root: String): Map[String, Long] = {
+    val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+    m.files.map { u =>
+      val p = new org.apache.hadoop.fs.Path(u)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      u -> f.getFileStatus(p).getModificationTime
+    }.toMap
+  }
+
+  test("deleteWhere(mergeOnRead) equals the filter — without touching data files") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 1000).select($"id", ($"id" % 7).as("bucket"))
+        .repartitionByRange(4, $"id"),
+      root, statsCols = Seq("id"))
+    val before = dataFiles(root)
+    val v2 = Snapshots.deleteWhere(spark, root, col("id") % 10 === 3)
+    assert(v2 === 2L)
+    // exactness: identical to filtering the original relation
+    assert(ids(Snapshots.read(spark, root)) ===
+      (0L until 1000L).filterNot(_ % 10 == 3).toSet)
+    // merge-on-read: the SAME files, byte-untouched
+    assert(dataFiles(root) === before,
+      "a vectored delete must not rewrite or add data files")
+    // time travel still sees the deleted rows
+    assert(ids(Snapshots.read(spark, root, 1)) === (0L until 1000L).toSet)
+  }
+
+  test("vectors accumulate across deletes; a matching-nothing delete no-ops") {
+    val root = tmp()
+    Snapshots.commit(spark.range(0, 500).select($"id"), root, statsCols = Seq("id"))
+    Snapshots.deleteWhere(spark, root, col("id") < 100)
+    val v = Snapshots.deleteWhere(spark, root, col("id") >= 450)
+    assert(ids(Snapshots.read(spark, root)) === (100L until 450L).toSet)
+    // re-issuing either predicate finds nothing new: true no-op, no version
+    assert(Snapshots.deleteWhere(spark, root, col("id") < 100) === v)
+    assert(Snapshots.headVersion(spark, root) === v)
+    // null-evaluating rows stay (SQL DELETE semantics): predicate over a
+    // column with nulls deletes only TRUE rows
+    val root2 = tmp()
+    Snapshots.commit(
+      Seq((1L, Some(1.0)), (2L, None), (3L, Some(3.0))).toDF("id", "x"), root2)
+    Snapshots.deleteWhere(spark, root2, col("x") > 2.0)
+    assert(ids(Snapshots.read(spark, root2)) === Set(1L, 2L))
+  }
+
+  test("fraction cap flips to copy-on-write; mergeOnRead=false forces it") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 400).select($"id").repartitionByRange(4, $"id"),
+      root, statsCols = Seq("id"))
+    val before = dataFiles(root).keySet
+    // delete 90% of the first file's range: over the 0.5 default cap — the
+    // touched file must REWRITE (CoW), others untouched
+    Snapshots.deleteWhere(spark, root, col("id") < 90)
+    val after = dataFiles(root).keySet
+    assert(ids(Snapshots.read(spark, root)) === (90L until 400L).toSet)
+    assert(after !== before, "a past-cap delete must rewrite the touched file")
+    assert(before.intersect(after).size >= 2, "untouched files must carry by reference")
+    val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+    assert(m.dvs.isEmpty, "past-cap delete must leave no vector behind")
+
+    // mergeOnRead=false: pure CoW even for a tiny delete — the ONE touched
+    // file rewrites (no vector left), the untouched files carry
+    val root2 = tmp()
+    Snapshots.commit(spark.range(0, 100).select($"id"), root2, statsCols = Seq("id"))
+    val b2 = dataFiles(root2).keySet
+    Snapshots.deleteWhere(spark, root2, col("id") === 5, mergeOnRead = false)
+    assert(ids(Snapshots.read(spark, root2)) === (0L until 100L).toSet - 5L)
+    val a2 = dataFiles(root2).keySet
+    assert(b2.intersect(a2).size === b2.size - 1,
+      "CoW must rewrite exactly the touched file")
+    assert(Snapshots.manifest(spark, root2,
+      Snapshots.headVersion(spark, root2)).dvs.isEmpty)
+  }
+
+  test("metadata aggregates stay exact under vectors") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 1000).select($"id").repartitionByRange(4, $"id"),
+      root, statsCols = Seq("id"))
+    assert(Snapshots.rowCount(spark, root) === Some(1000L))
+    assert(Snapshots.statsRange(spark, root, "id") === Some((0.0, 999.0)))
+    Snapshots.deleteWhere(spark, root, col("id") % 5 === 0)
+    // rowCount subtracts the vectors' cardinality — still metadata-only
+    assert(Snapshots.rowCount(spark, root) === Some(800L))
+    // countWhere: vectored files scan (with vectors applied) — exact
+    assert(Snapshots.countWhere(spark, root, col("id") < 500) === 400L)
+    assert(Snapshots.countWhere(spark, root, col("id") >= 0) === 800L)
+    // statsRange: the deleted rows might have been the extremes — declines
+    assert(Snapshots.statsRange(spark, root, "id") === None)
+    // readWhere / readRange / readForKeys all apply vectors
+    assert(ids(Snapshots.readWhere(spark, root, col("id") < 20)) ===
+      (0L until 20L).filterNot(_ % 5 == 0).toSet)
+    assert(ids(Snapshots.readRange(spark, root, "id", 0, 19)) ===
+      (0L until 20L).filterNot(_ % 5 == 0).toSet)
+    assert(ids(Snapshots.readForKeys(spark, root, "id",
+      Seq(10L, 11L, 12L).toDF("id"))) === Set(11L, 12L))
+  }
+
+  test("CDC: a vectored delete surfaces as -1 rows with no file diff; restore resurrects as +1") {
+    val root = tmp()
+    Snapshots.commit(spark.range(0, 100).select($"id"), root, statsCols = Seq("id"))
+    val v2 = Snapshots.deleteWhere(spark, root, col("id") >= 97)
+    val (added, removed) = Snapshots.diffFiles(spark, root, 1, v2)
+    assert(added.isEmpty && removed.isEmpty, "a vectored delete is metadata-only")
+    val delta = Snapshots.signedDelta(spark, root, 1, v2)
+      .select($"id", $"_sign").as[(Long, Int)].collect().toSet
+    assert(delta === Set((97L, -1), (98L, -1), (99L, -1)))
+    val ch = Snapshots.changes(spark, root, 1, v2)
+      .select($"id", $"_op").as[(Long, String)].collect().toSet
+    assert(ch === Set((97L, "D"), (98L, "D"), (99L, "D")))
+    // restore to v1: rows come back; CDC across the restore is the inverse
+    val v3 = Snapshots.restore(spark, root, 1)
+    assert(ids(Snapshots.read(spark, root)) === (0L until 100L).toSet)
+    val back = Snapshots.signedDelta(spark, root, v2, v3)
+      .select($"id", $"_sign").as[(Long, Int)].collect().toSet
+    assert(back === Set((97L, 1), (98L, 1), (99L, 1)))
+  }
+
+  test("materializeDvs rewrites only vectored files; compaction also clears vectors") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 400).select($"id").repartitionByRange(4, $"id"),
+      root, statsCols = Seq("id"))
+    Snapshots.deleteWhere(spark, root, col("id") % 100 < 5)
+    val expect = (0L until 400L).filterNot(_ % 100 < 5).toSet
+    val beforeFiles = dataFiles(root).keySet
+    val v = Snapshots.materializeDvs(spark, root, statsCols = Seq("id"))
+    assert(v === 3L)
+    val m = Snapshots.manifest(spark, root, v)
+    assert(m.dvs.isEmpty, "materialization must retire every vector")
+    assert(ids(Snapshots.read(spark, root)) === expect)
+    assert(Snapshots.statsRange(spark, root, "id") === Some((5.0, 399.0)))
+    // only vectored files rewrote — here all 4 ranges were hit, so check
+    // the no-op path instead: a second materialization has nothing to do
+    assert(Snapshots.materializeDvs(spark, root) === v)
+
+    // selective: vector only one file's range, others carry by reference
+    val root2 = tmp()
+    Snapshots.commit(
+      spark.range(0, 400).select($"id").repartitionByRange(4, $"id"),
+      root2, statsCols = Seq("id"))
+    Snapshots.deleteWhere(spark, root2, col("id") === 7)
+    val b2 = dataFiles(root2).keySet
+    Snapshots.materializeDvs(spark, root2, statsCols = Seq("id"))
+    val a2 = dataFiles(root2).keySet
+    assert(b2.intersect(a2).size === b2.size - 1,
+      "exactly the one vectored file must rewrite")
+    assert(ids(Snapshots.read(spark, root2)) === (0L until 400L).toSet - 7L)
+
+    // compact() reads vectors-applied and rewrites clean
+    val root3 = tmp()
+    Snapshots.commit(spark.range(0, 100).select($"id"), root3)
+    Snapshots.deleteWhere(spark, root3, col("id") < 10)
+    Snapshots.compact(spark, root3, targetFiles = 1, statsCols = Seq("id"))
+    val m3 = Snapshots.manifest(spark, root3, Snapshots.headVersion(spark, root3))
+    assert(m3.dvs.isEmpty)
+    assert(ids(Snapshots.read(spark, root3)) === (10L until 100L).toSet)
+    assert(Snapshots.rowCount(spark, root3) === Some(90L))
+  }
+
+  test("vectors survive merge/append around them; a rewrite retires the touched file's vector") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 400).select($"id", lit("old").as("s")).repartitionByRange(4, $"id"),
+      root, statsCols = Seq("id"))
+    // vector rows in the FIRST file's range (0..99) and the LAST's (300..399)
+    Snapshots.deleteWhere(spark, root, col("id").isin(3L, 397L))
+    // key-merge touching only the last file's range: its vector retires
+    // with the file; the first file's vector must survive the commit
+    Snapshots.merge(Seq((390L, "new")).toDF("id", "s"), root, "id",
+      statsCols = Seq("id"))
+    val got = Snapshots.read(spark, root)
+      .select($"id", $"s").as[(Long, String)].collect().toMap
+    assert(!got.contains(3L), "untouched file's vector must survive a merge elsewhere")
+    assert(!got.contains(397L), "rewritten file's survivors had the vector applied")
+    assert(got(390L) === "new")
+    assert(got.size === 398L)
+    // append beside the vectors: still applied
+    Snapshots.commit(Seq((1000L, "x")).toDF("id", "s"), root, append = true)
+    assert(Snapshots.read(spark, root).count() === 399L)
+    val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+    assert(m.dvs.map(_.deleted).sum === 1L, "only the surviving vector remains")
+  }
+
+  test("deleteWhere prunes the probe scan through the stats index") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 1000).select($"id").repartitionByRange(5, $"id"),
+      root, statsCols = Seq("id"))
+    // predicate confined to one file's range: only that file may scan.
+    // Indirect pin: the delete still lands exactly, and the untouched
+    // files' shard entries carry by reference (same shard names).
+    val metaBefore = Snapshots.manifestMeta(spark, root, 1L).shardRefs.toSet
+    Snapshots.deleteWhere(spark, root, col("id") === 42)
+    assert(ids(Snapshots.read(spark, root)) === (0L until 1000L).toSet - 42L)
+    val metaAfter = Snapshots.manifestMeta(spark, root, 2L).shardRefs.toSet
+    // the single batch shard got rewritten (vector added) — ref differs;
+    // content equality of the untouched portion is covered above
+    assert(metaBefore !== metaAfter)
+  }
+}
