@@ -1332,12 +1332,20 @@ object Snapshots {
     * contract as every other history-bearing operation here. Concurrency:
     * same optimistic arbiter as [[merge]] — a racing commit aborts the
     * delete rather than silently resurrecting rows. */
+  /** @param mergeOnRead true routes the delete through DELETION VECTORS
+    *   ([[FileDv]], same machinery as [[deleteWhere]]): matching rows'
+    *   positions vector instead of rewriting the touched files, with the
+    *   `maxDvFraction` cap flipping heavy files back to copy-on-write.
+    *   Default false — whole-file copy-on-write, the pre-round-9
+    *   behavior. */
   def delete(
       keys: DataFrame,
       root: String,
       key: String,
       statsCols: Seq[String] = Seq.empty,
-      bloomCols: Seq[String] = Seq.empty): Long = {
+      bloomCols: Seq[String] = Seq.empty,
+      mergeOnRead: Boolean = false,
+      maxDvFraction: Double = 0.5): Long = {
     val spark = keys.sparkSession
     import org.apache.spark.sql.functions.col
     val headV = headVersion(spark, root)
@@ -1353,6 +1361,38 @@ object Snapshots {
       case KeysOpaque => m.files
     }
     if (touched.isEmpty) return headV // no file can hold a matching row
+    if (mergeOnRead) {
+      // the right-to-erasure shape at its cheapest: mark the key set's row
+      // positions in the (stats/bloom-pruned) touched files and vector
+      // them — zero data-file rewrites under the fraction cap; existing
+      // vectors apply first so a replayed key set no-ops
+      import org.apache.spark.sql.functions.{call_function, count, lit}
+      graft.plans.GraftExtensions.register(spark)
+      val touchedNames = touched.map(u => new Path(u).getName).toSet
+      val existing = m.dvs.filter(d => touchedNames.contains(d.file) && d.deleted > 0)
+      val raw = readFilesRaw(spark, m, touched, withMeta = true)
+      val live =
+        if (existing.isEmpty) raw
+        else {
+          val pos = dvPositions(spark, existing)
+          val posSide =
+            if (existing.map(_.deleted).sum <= BroadcastDvPositions)
+              org.apache.spark.sql.functions.broadcast(pos)
+            else pos
+          raw.join(posSide, Seq(DvFileCol, DvPosCol), "left_anti")
+        }
+      val marked = live
+        .join(keys.select(col(key)).distinct(), Seq(key), "left_semi")
+        .groupBy(col(DvFileCol))
+        .agg(count(lit(1)).as("__n"),
+          call_function("rb64_agg", col(DvPosCol)).as("__bm"))
+        .collect()
+        .toSeq
+      return commitMarkedDeletes(spark, root, headV, shards, m, marked,
+        mergeOnRead = true, maxDvFraction, statsCols, bloomCols,
+        cowSurvivors = files => readFiles(spark, m, files)
+          .join(keys.select(col(key)).distinct(), Seq(key), "left_anti"))
+    }
     val touchedSet = touched.toSet
     val survivors = readFiles(spark, m, touched)
       .join(keys.select(col(key)).distinct(), Seq(key), "left_anti")
@@ -1454,6 +1494,32 @@ object Snapshots {
       .agg(count(lit(1)).as("__n"), call_function("rb64_agg", col(DvPosCol)).as("__bm"))
       .collect()
       .toSeq
+    commitMarkedDeletes(spark, root, headV, shards, m, marked, mergeOnRead,
+      maxDvFraction, statsCols, bloomCols,
+      // survivors of rewritten files: DVs applied, then SQL DELETE
+      // semantics — keep rows where cond is FALSE OR NULL
+      cowSurvivors = files => readFiles(spark, m, files)
+        .filter(!coalesce(cond, lit(false))))
+  }
+
+  /** Shared commit tail of the merge-on-read delete family: classify each
+    * marked file (vector vs copy-on-write by the fraction cap), OR new
+    * positions into existing vectors, rewrite CoW files through
+    * `cowSurvivors`, carry everything else by reference, publish fenced.
+    * `marked` rows are (file basename, new-deletion count, bitmap bytes);
+    * empty ⇒ true no-op (the head version returns unchanged). */
+  private def commitMarkedDeletes(
+      spark: SparkSession,
+      root: String,
+      headV: Long,
+      shards: Seq[Shard],
+      m: Manifest,
+      marked: Seq[org.apache.spark.sql.Row],
+      mergeOnRead: Boolean,
+      maxDvFraction: Double,
+      statsCols: Seq[String],
+      bloomCols: Seq[String],
+      cowSurvivors: Seq[String] => DataFrame): Long = {
     if (marked.isEmpty) return headV // nothing matched: true no-op
     val rowsByName = m.rows.map(r => r.file -> r.n).toMap
     val oldDvByName = m.dvs.map(d => d.file -> d).toMap
@@ -1477,17 +1543,14 @@ object Snapshots {
     val newRefs =
       if (cowFiles.isEmpty) Seq.empty
       else {
-        // survivors of rewritten files: DVs applied, then SQL DELETE
-        // semantics — keep rows where cond is FALSE OR NULL
-        val survivors = readFiles(spark, m, cowFiles)
-          .filter(!coalesce(cond, lit(false)))
+        val survivors = cowSurvivors(cowFiles)
         val (written, newStats, newRows, newBlooms) =
           writeBatch(survivors, root, statsCols, toPhys, bloomCols)
         Seq(writeShard(spark, root, written, newStats, newRows, newBlooms))
       }
     val carried = rewriteShards(spark, root, shards, cowFiles.toSet, dvUpdates)
     publishMeta(spark, root, tag = "", requireHead = headV) { head =>
-      val h = head.getOrElse(sys.error("deleteWhere base vanished"))
+      val h = head.getOrElse(sys.error("delete base vanished"))
       (carried ++ newRefs, h.schema)
     }
   }
@@ -2379,6 +2442,54 @@ object Snapshots {
       append = false, statsCols = statsCols, bloomCols = bloomCols)
   }
 
+  /** PREDICATE-SCOPED compaction — OPTIMIZE WHERE: rewrite into
+    * `targetFiles` only the files the mined predicate can touch (same
+    * conservative miner as [[readWhere]]); every other file carries by
+    * reference. The 100 TB form of [[compact]]: a full-table OPTIMIZE is
+    * unaffordable there, but "compact yesterday's ingest" / "re-cluster
+    * the hot key band" touches a sliver. The predicate only SELECTS files
+    * — no row is dropped (the rewrite keeps every row of the selected
+    * files, matching or not), so content is invariant by construction.
+    * Deletion vectors on selected files materialize as a side effect
+    * (the rewrite reads vectors-applied); unmined predicates degrade to
+    * the full compact, never to a wrong one. No-op (no new version) when
+    * nothing matches. */
+  def compactWhere(
+      spark: SparkSession,
+      root: String,
+      cond: org.apache.spark.sql.Column,
+      targetFiles: Int = 1,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet")
+    val meta = manifestMeta(spark, root, headV)
+    val shards = loadShards(spark, root, meta)
+    val m = resolve(meta, shards)
+    if (m.files.isEmpty) return headV
+    val probe =
+      if (m.schema.nonEmpty) readFilesRaw(spark, m, Seq.empty, withMeta = false).filter(cond)
+      else readFilesRaw(spark, m, m.files, withMeta = false).filter(cond)
+    val selected =
+      if (m.stats.isEmpty && m.blooms.isEmpty) m.files
+      else {
+        val (mined, _) = minePredicate(m, probe)
+        if (mined.isEmpty) m.files
+        else m.files.filter(mined.map(_.overlap.toSet).reduce(_ intersect _))
+      }
+    if (selected.isEmpty) return headV
+    val rewritten = readFiles(spark, m, selected).repartition(targetFiles)
+    val toPhys = parseSchema(m).map(logicalToPhysical).getOrElse(Map.empty)
+    val (written, newStats, newRows, newBlooms) =
+      writeBatch(rewritten, root, statsCols, toPhys, bloomCols)
+    val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
+    val carried = carryUntouched(spark, root, shards, selected.toSet)
+    publishMeta(spark, root, tag = "", requireHead = headV) { head =>
+      val h = head.getOrElse(sys.error("compactWhere base vanished"))
+      (carried :+ newRef, h.schema)
+    }
+  }
+
   /** Z-order-clustering compaction — the OPTIMIZE-by-layout maintenance
     * step: rewrite the head along the Morton curve of `dims`
     * ([[ZOrder.cluster]]) and re-collect per-file stats for those
@@ -2412,10 +2523,40 @@ object Snapshots {
     * time travel is a retention POLICY decision, not a side effect. */
   def vacuum(spark: SparkSession, root: String, keepLast: Int = 1): Unit = {
     require(keepLast >= 1, "must retain at least the head snapshot")
-    val f = fs(spark, root)
     val allMeta = historyMeta(spark, root)
     if (allMeta.size <= keepLast) return
     val (dropM, keepM) = allMeta.splitAt(allMeta.size - keepLast)
+    vacuumSplit(spark, root, dropM, keepM)
+  }
+
+  /** Time-based retention — the operational norm ("keep 7 days of time
+    * travel"): destroy every version whose PUBLISH timestamp is older than
+    * `cutoffMillis`, always retaining the head (a fully-stale table keeps
+    * its current state). Versions published at-or-after the cutoff are
+    * untouched regardless of count. Same deletion mechanics and in-flight
+    * safety as [[vacuum]]; [[retention]] wraps it as "now minus N ms". */
+  def vacuumBefore(spark: SparkSession, root: String, cutoffMillis: Long): Unit = {
+    val allMeta = historyMeta(spark, root)
+    if (allMeta.isEmpty) return
+    // the head survives unconditionally; pre-ts manifests (ts=0) age out
+    val (dropM, keepM) = allMeta.partition(m =>
+      m.ts < cutoffMillis && m.version != allMeta.last.version)
+    if (dropM.isEmpty) return
+    vacuumSplit(spark, root, dropM, keepM)
+  }
+
+  /** [[vacuumBefore]] with the cutoff at `now - retentionMs`. */
+  def retention(spark: SparkSession, root: String, retentionMs: Long): Unit = {
+    require(retentionMs >= 0, "retention must be non-negative")
+    vacuumBefore(spark, root, System.currentTimeMillis() - retentionMs)
+  }
+
+  private def vacuumSplit(
+      spark: SparkSession,
+      root: String,
+      dropM: Seq[ManifestMeta],
+      keepM: Seq[ManifestMeta]): Unit = {
+    val f = fs(spark, root)
     // shards are shared across versions by reference — resolve each ONCE by
     // name (the history() stance); per-version manifest() calls would re-read
     // shared shards once per referencing version, O(versions × shards) small

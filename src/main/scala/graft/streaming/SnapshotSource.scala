@@ -133,20 +133,23 @@ private[streaming] class SnapshotScanBuilder(
 
   override def build(): Scan = new SnapshotScan(required, root,
     options.getOrDefault("startingVersion", "earliest"),
-    options.getBoolean("ignoreChanges", false))
+    options.getBoolean("ignoreChanges", false),
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt))
 }
 
 private[streaming] class SnapshotScan(
     required: StructType,
     root: String,
     startingVersion: String,
-    ignoreChanges: Boolean) extends Scan {
+    ignoreChanges: Boolean,
+    maxFilesPerTrigger: Option[Int]) extends Scan {
 
   override def readSchema(): StructType = required
   override def description(): String = s"graft-snapshot $root"
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new SnapshotMicroBatchStream(root, required, startingVersion, ignoreChanges)
+    new SnapshotMicroBatchStream(root, required, startingVersion, ignoreChanges,
+      maxFilesPerTrigger)
 }
 
 /** Offset = snapshot VERSION: "every commit ≤ version is consumed". */
@@ -158,7 +161,12 @@ private[streaming] class SnapshotMicroBatchStream(
     root: String,
     required: StructType,
     startingVersion: String,
-    ignoreChanges: Boolean) extends MicroBatchStream {
+    ignoreChanges: Boolean,
+    maxFilesPerTrigger: Option[Int] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
 
   private def spark = SparkSession.active
 
@@ -170,6 +178,42 @@ private[streaming] class SnapshotMicroBatchStream(
 
   override def latestOffset(): Offset =
     SnapshotOffset(Snapshots.headVersion(spark, root))
+
+  /** Rate control: `maxFilesPerTrigger` bounds a trigger's batch to as
+    * many whole VERSIONS as fit the file budget (always at least one, so
+    * the stream progresses). The backfill guard at scale — without it,
+    * starting `earliest` on a million-file table plans the entire history
+    * as one micro-batch. */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = Snapshots.headVersion(spark, root)
+    val from = start.asInstanceOf[SnapshotOffset].version
+    limit match {
+      case mf: ReadMaxFiles if head > from =>
+        // walk versions forward, accumulating each step's ADDED file count
+        // (manifest arithmetic, no data I/O), until the budget is spent
+        var v = from
+        var budget = mf.maxFiles()
+        var prevFiles =
+          if (from == 0) Set.empty[String]
+          else Snapshots.manifest(spark, root, from).files.toSet
+        var done = false
+        while (!done && v < head) {
+          val next = Snapshots.manifest(spark, root, v + 1).files.toSet
+          val addedCount = (next -- prevFiles).size
+          if (addedCount <= budget || v == from) {
+            // always admit at least one version, else no progress
+            budget -= addedCount
+            prevFiles = next
+            v += 1
+          } else done = true
+        }
+        SnapshotOffset(v)
+      case _ => SnapshotOffset(head)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset =
     SnapshotOffset(""""version":(\d+)""".r.findFirstMatchIn(json)

@@ -215,6 +215,82 @@ class DvSpec extends SparkSpec {
     assert(m.dvs.map(_.deleted).sum === 1L, "only the surviving vector remains")
   }
 
+  test("keyed delete(mergeOnRead) vectors the key set without touching data files") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 1000).select($"id", ($"id" % 3).as("g"))
+        .repartitionByRange(4, $"id"),
+      root, statsCols = Seq("id"))
+    val before = dataFiles(root)
+    // scattered GDPR-style key set: stats-pruned probe, positions vectored
+    val keys = Seq(5L, 250L, 251L, 999L).toDF("id")
+    val v2 = Snapshots.delete(keys, root, "id", statsCols = Seq("id"),
+      mergeOnRead = true)
+    assert(v2 === 2L)
+    assert(ids(Snapshots.read(spark, root)) ===
+      (0L until 1000L).toSet -- Set(5L, 250L, 251L, 999L))
+    assert(dataFiles(root) === before,
+      "a vectored keyed delete must not rewrite or add data files")
+    // replayed key set: nothing new to mark, true no-op
+    assert(Snapshots.delete(keys, root, "id", mergeOnRead = true) === v2)
+    // rowCount subtracts; a later CoW keyed delete still composes
+    assert(Snapshots.rowCount(spark, root) === Some(996L))
+    Snapshots.delete(Seq(7L).toDF("id"), root, "id", statsCols = Seq("id"))
+    assert(ids(Snapshots.read(spark, root)) ===
+      (0L until 1000L).toSet -- Set(5L, 7L, 250L, 251L, 999L))
+  }
+
+  test("time-based vacuum: versions older than the cutoff go, head always stays") {
+    val root = tmp()
+    Snapshots.commit(spark.range(0, 10).select($"id"), root)
+    Snapshots.commit(spark.range(10, 20).select($"id"), root, append = true)
+    val midpoint = System.currentTimeMillis()
+    Thread.sleep(20)
+    Snapshots.commit(spark.range(20, 30).select($"id"), root, append = true)
+    Snapshots.vacuumBefore(spark, root, midpoint)
+    // v1/v2 published before the cutoff: gone; v3 (head) retained
+    assert(Snapshots.history(spark, root).map(_.version) === Seq(3L))
+    assert(ids(Snapshots.read(spark, root)) === (0L until 30L).toSet)
+    intercept[IllegalArgumentException] { Snapshots.read(spark, root, 1) }
+    // a cutoff beyond every version still keeps the head
+    Snapshots.vacuumBefore(spark, root, System.currentTimeMillis() + 3600000L)
+    assert(Snapshots.history(spark, root).map(_.version) === Seq(3L))
+    assert(ids(Snapshots.read(spark, root)) === (0L until 30L).toSet)
+  }
+
+  test("compactWhere rewrites only the predicate's files, preserving all content") {
+    val root = tmp()
+    // 4 range files; many tiny appends land in the 0..99 band
+    Snapshots.commit(
+      spark.range(0, 400).select($"id").repartitionByRange(4, $"id"),
+      root, statsCols = Seq("id"))
+    (0 until 5).foreach { i =>
+      Snapshots.commit(spark.range(1000L + i, 1001L + i).select($"id"),
+        root, append = true, statsCols = Seq("id"))
+    }
+    val before = dataFiles(root).keySet
+    // compact the small-file band: the 4 original range files are outside
+    // the predicate... only files that CAN hold id >= 1000 rewrite
+    val v = Snapshots.compactWhere(spark, root, col("id") >= 1000,
+      targetFiles = 1, statsCols = Seq("id"))
+    val after = dataFiles(root).keySet
+    assert(ids(Snapshots.read(spark, root)) ===
+      ((0L until 400L) ++ (1000L until 1005L)).toSet)
+    assert(before.intersect(after).size === 4,
+      "the four out-of-band range files must carry by reference")
+    assert(after.size === 5, "the five appended files must consolidate to one")
+    // a matching-nothing predicate is a true no-op
+    assert(Snapshots.compactWhere(spark, root, col("id") > 1e9) === v)
+    // vectors on selected files materialize through the rewrite
+    Snapshots.deleteWhere(spark, root, col("id") === 1002)
+    Snapshots.compactWhere(spark, root, col("id") >= 1000, targetFiles = 1,
+      statsCols = Seq("id"))
+    val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+    assert(m.dvs.isEmpty)
+    assert(ids(Snapshots.read(spark, root)) ===
+      ((0L until 400L) ++ Seq(1000L, 1001L, 1003L, 1004L)).toSet)
+  }
+
   test("deleteWhere prunes the probe scan through the stats index") {
     val root = tmp()
     Snapshots.commit(

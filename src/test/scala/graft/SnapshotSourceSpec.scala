@@ -177,6 +177,27 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("maxFilesPerTrigger paces a backfill into multiple version-aligned batches") {
+    val root = tmp("ssrc_rate")
+    // three single-file commits: with a 1-file budget each trigger admits
+    // exactly one version
+    Snapshots.commit(spark.range(0, 10).select($"id").repartition(1), root)
+    Snapshots.commit(spark.range(10, 20).select($"id").repartition(1), root, append = true)
+    Snapshots.commit(spark.range(20, 30).select($"id").repartition(1), root, append = true)
+    val q = spark.readStream.format(Fmt).option("root", root)
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("ssrc_rate")
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ssrc_rate").as[Long].collect().toSet === (0L until 30L).toSet)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length === 3,
+        s"expected 3 paced batches, got ${batches.map(_.numInputRows).mkString(",")}")
+      assert(batches.forall(_.numInputRows === 10))
+    } finally q.stop()
+  }
+
   test("streams under a renamed schema: current logical names over old files") {
     val root = tmp("ssrc_ren")
     Snapshots.commit(Seq((1L, "x")).toDF("id", "old_name"), root)
