@@ -1,0 +1,131 @@
+package graft.engine
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Write-audit-publish branches over [[Snapshots]] tables.
+  *
+  * A branch is an independent manifest chain sharing the table's data files
+  * and metadata shards by reference (see [[Snapshots.branchRoot]]): fork and
+  * publish are O(#shard-refs) metadata commits with ZERO file copies, and the
+  * full Snapshots verb set — commit/merge/mergeInto/delete/deleteWhere/schema
+  * evolution/time travel/compaction — works on the branch root unchanged.
+  *
+  * This is the lake-native form of the reference's staging-table swap
+  * (pandas_aws/redshift.py:386-416: CREATE TABLE LIKE → COPY → rename swap),
+  * generalized: the staging area is a first-class table state that any
+  * number of validation queries can read before ANYTHING becomes visible to
+  * main readers, and the swap is an atomic fast-forward of the main chain.
+  *
+  * Why it matters at 100 TB: an ingest that lands straight on the head makes
+  * every mistake instantly public and forces validation to race consumers.
+  * Branch isolation gives the write-audit-publish pattern (Iceberg's WAP /
+  * Delta's branch staging, re-expressed minimally): land the batch on a
+  * branch, run [[Expect]] audits against exactly the bytes that would
+  * publish, then fast-forward — the main chain's readers observe either the
+  * old head or the fully-audited new one, never an intermediate.
+  *
+  * Concurrency: publish is FAST-FORWARD-ONLY and fenced — it requires the
+  * main head to still be the branch's fork base at flip time (enforced
+  * atomically by the commit arbiter through `requireHead`). If main advanced
+  * since the fork, publish aborts loudly and nothing changes; the caller
+  * re-forks from the new head and replays. Dropping a branch deletes only
+  * its manifest chain; shared files are reclaimed by the reference-counting
+  * vacuum paths once no chain retains them.
+  */
+object Branches {
+
+  private val ForkTagRe = "fork:(\\d+)".r
+
+  /** The root string addressing branch `name` — pass anywhere a table root
+    * is accepted. */
+  def root(tableRoot: String, name: String): String =
+    Snapshots.branchRoot(tableRoot, name)
+
+  /** Branches currently existing at `tableRoot`, sorted. */
+  def list(spark: SparkSession, tableRoot: String): Seq[String] =
+    Snapshots.allRefs(spark, tableRoot).filter(_.nonEmpty)
+
+  /** Fork branch `name` from the main chain's head (or `version`, when
+    * given and still retained). Metadata-only: the branch's first manifest
+    * carries the base version's shard refs and schema by reference. Returns
+    * the branch head version (always 1). Racing forks of the same name: one
+    * wins, the loser aborts loudly. */
+  def fork(spark: SparkSession, tableRoot: String, name: String,
+      version: Long = -1L): Long = {
+    require(Snapshots.splitRef(tableRoot)._2.isEmpty,
+      "fork from the TABLE root, not from another branch")
+    val base =
+      if (version > 0) version else Snapshots.headVersion(spark, tableRoot)
+    require(base > 0, s"no snapshot committed at $tableRoot yet — nothing to fork")
+    val meta = Snapshots.manifestMeta(spark, tableRoot, base)
+    val bRoot = Snapshots.branchRoot(tableRoot, name)
+    require(Snapshots.headVersion(spark, bRoot) == 0,
+      s"branch '$name' already exists at $tableRoot — drop it or pick another name")
+    Snapshots.publishMeta(spark, bRoot, tag = s"fork:$base", requireHead = 0L,
+      retiredOverride = Some(meta.retired)) { _ =>
+      (Snapshots.shardRefsOf(spark, tableRoot, meta), meta.schema)
+    }
+  }
+
+  /** The main-chain version branch `name` forked from. Recorded as the tag
+    * of the branch's first manifest; vacuuming a branch must retain it
+    * (branches are short-lived staging areas — vacuum the table, not the
+    * branch). */
+  def forkBase(spark: SparkSession, tableRoot: String, name: String): Long = {
+    val bRoot = Snapshots.branchRoot(tableRoot, name)
+    require(Snapshots.headVersion(spark, bRoot) > 0,
+      s"branch '$name' does not exist at $tableRoot")
+    Snapshots.manifestMeta(spark, bRoot, 1L).tag match {
+      case ForkTagRe(v) => v.toLong
+      case t => sys.error(
+        s"branch '$name' at $tableRoot has no fork record (manifest-1 tag '$t')")
+    }
+  }
+
+  /** Atomically fast-forward the main chain to branch `name`'s head state.
+    * Requires main's head to still be the fork base — the fence is enforced
+    * inside the commit flip itself, so a racing main commit cannot slip in
+    * between the check and the publish. Metadata-only (shared shards carry
+    * by reference). Returns the new main version; the branch stays (drop it
+    * when done). */
+  def publish(spark: SparkSession, tableRoot: String, name: String): Long = {
+    val bRoot = Snapshots.branchRoot(tableRoot, name)
+    val bHead = Snapshots.headVersion(spark, bRoot)
+    require(bHead > 0, s"branch '$name' does not exist at $tableRoot")
+    val bMeta = Snapshots.manifestMeta(spark, bRoot, bHead)
+    val base = forkBase(spark, tableRoot, name)
+    val mainHead = Snapshots.headVersion(spark, tableRoot)
+    require(mainHead == base,
+      s"cannot fast-forward $tableRoot to branch '$name': main advanced to " +
+        s"v$mainHead since the fork at v$base — re-fork from the new head and replay")
+    Snapshots.publishMeta(spark, tableRoot, tag = s"publish:$name",
+      requireHead = base, retiredOverride = Some(bMeta.retired)) { _ =>
+      (Snapshots.shardRefsOf(spark, bRoot, bMeta), bMeta.schema)
+    }
+  }
+
+  /** The WRITE-AUDIT-PUBLISH gate: run `rules` against the branch's current
+    * state (one aggregate pass, [[Expect.audit]]); publish only when every
+    * rule has zero violations. Returns Right(new main version) on publish,
+    * Left(violation report rows) — and an untouched main chain — otherwise. */
+  def publishIf(spark: SparkSession, tableRoot: String, name: String,
+      rules: Seq[graft.operators.Expect.Rule]): Either[DataFrame, Long] = {
+    val bRoot = Snapshots.branchRoot(tableRoot, name)
+    val report = graft.operators.Expect.audit(Snapshots.read(spark, bRoot), rules)
+    val bad = report.filter(org.apache.spark.sql.functions.col("n_violations") > 0L)
+    if (bad.isEmpty) Right(publish(spark, tableRoot, name)) else Left(bad)
+  }
+
+  /** Delete branch `name`'s manifest chain. Shared data files / shards are
+    * untouched here; anything the branch alone referenced becomes orphaned
+    * and is reclaimed by [[Snapshots.vacuumOrphans]] after its grace
+    * window. */
+  def drop(spark: SparkSession, tableRoot: String, name: String): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"bad branch name '$name'")
+    val dir = new Path(s"${Snapshots.dataRoot(tableRoot)}/_snapshots/refs/$name")
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(dir, true)
+    ()
+  }
+}

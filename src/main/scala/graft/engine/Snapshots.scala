@@ -198,15 +198,57 @@ object Snapshots {
   private val SnapDir = "_snapshots"
   private val ManifestRe = "manifest-(\\d+)\\.json".r
 
+  /** Separator for branch-qualified roots ([[branchRoot]]). A branch is an
+    * independent MANIFEST CHAIN over the same table directory: its commit
+    * records live under `_snapshots/refs/<name>/`, while data files and
+    * metadata shards stay in the table's shared locations — so fork and
+    * fast-forward publish are pure metadata (zero file copies), and every
+    * Snapshots verb (commit/merge/mergeInto/delete/read/time-travel/schema
+    * evolution/maintenance) works on a branch root unchanged. */
+  private val RefSep = "@ref="
+
+  /** The root string addressing branch `name` of the table at `root`. Pass
+    * the result anywhere a table root is accepted. */
+  def branchRoot(root: String, name: String): String = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"branch name '$name' must match [A-Za-z0-9._-]+")
+    require(!root.contains(RefSep), s"'$root' is already branch-qualified")
+    s"$root$RefSep$name"
+  }
+
+  /** (table directory, branch name) — branch name "" is the main chain. */
+  private[engine] def splitRef(root: String): (String, String) = {
+    val i = root.indexOf(RefSep)
+    if (i < 0) (root, "") else (root.substring(0, i), root.substring(i + RefSep.length))
+  }
+
+  private[engine] def dataRoot(root: String): String = splitRef(root)._1
+
+  /** Directory holding this chain's manifest files. */
+  private def refDir(root: String): String = {
+    val (dir, ref) = splitRef(root)
+    if (ref.isEmpty) s"$dir/$SnapDir" else s"$dir/$SnapDir/refs/$ref"
+  }
+
+  /** Every manifest chain of the table: "" (main) plus each branch. */
+  private[engine] def allRefs(spark: SparkSession, root: String): Seq[String] = {
+    val refsDir = new Path(s"${dataRoot(root)}/$SnapDir/refs")
+    val f = fs(spark, root)
+    val branches =
+      if (!f.exists(refsDir)) Seq.empty[String]
+      else f.listStatus(refsDir).toSeq.filter(_.isDirectory).map(_.getPath.getName)
+    "" +: branches.sorted
+  }
+
   private def fs(spark: SparkSession, root: String) =
-    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    new Path(dataRoot(root)).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def manifestPath(root: String, v: Long) =
-    new Path(s"$root/$SnapDir/manifest-$v.json")
+    new Path(s"${refDir(root)}/manifest-$v.json")
 
   /** Latest committed version, 0 when the table has no snapshot yet. */
   def headVersion(spark: SparkSession, root: String): Long = {
-    val dir = new Path(s"$root/$SnapDir")
+    val dir = new Path(refDir(root))
     val f = fs(spark, root)
     if (!f.exists(dir)) 0L
     else
@@ -231,7 +273,9 @@ object Snapshots {
     parseManifestMeta(readText(spark, root, p))
   }
 
-  private def shardPath(root: String, name: String) = new Path(s"$root/$SnapDir/$name")
+  // shards are SHARED across the table's chains — always in the main dir
+  private def shardPath(root: String, name: String) =
+    new Path(s"${dataRoot(root)}/$SnapDir/$name")
 
   private def loadShard(spark: SparkSession, root: String, ref: ShardRef): Shard = {
     val (files, stats, rows, blooms, dvs) =
@@ -304,7 +348,7 @@ object Snapshots {
     fs(spark, root).exists(manifestPath(root, v))
 
   private def retainedVersions(spark: SparkSession, root: String): Seq[Long] = {
-    val dir = new Path(s"$root/$SnapDir")
+    val dir = new Path(refDir(root))
     val f = fs(spark, root)
     if (!f.exists(dir)) Seq.empty
     else
@@ -463,6 +507,8 @@ object Snapshots {
       root: String,
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty): Long = {
+    require(splitRef(root)._2.isEmpty,
+      "convertInPlace adopts a plain directory as a table's MAIN chain — fork a branch after")
     require(headVersion(spark, root) == 0,
       s"$root already has a snapshot history — convertInPlace adopts plain directories only")
     val f = fs(spark, root)
@@ -502,7 +548,7 @@ object Snapshots {
   /** The parent's shard refs, materializing a pre-shard (inline) manifest
     * into a real shard once so it can be carried by reference forever
     * after — the lazy migration path for old tables. */
-  private def shardRefsOf(spark: SparkSession, root: String, m: ManifestMeta): Seq[ShardRef] =
+  private[engine] def shardRefsOf(spark: SparkSession, root: String, m: ManifestMeta): Seq[ShardRef] =
     m.inline match {
       case Some((files, stats)) => Seq(writeShard(spark, root, files, stats))
       case None => m.shardRefs
@@ -554,7 +600,7 @@ object Snapshots {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
-    val dataDir = s"$root/data/c-$commitId"
+    val dataDir = s"${dataRoot(root)}/data/c-$commitId"
     // files always store PHYSICAL column names; the batch arrives logical.
     // Stats are likewise collected and recorded under physical names — the
     // resolve-time relabel maps them back to whatever the logical name is
@@ -929,7 +975,7 @@ object Snapshots {
       blooms: Seq[FileBloom] = Seq.empty,
       dvs: Seq[FileDv] = Seq.empty): ShardRef = {
     val f = fs(spark, root)
-    f.mkdirs(new Path(s"$root/$SnapDir"))
+    f.mkdirs(new Path(s"${dataRoot(root)}/$SnapDir"))
     val known = knownRows.map(_.file).toSet
     val missing = files.filterNot(u => known.contains(new Path(u).getName))
     val rows = knownRows ++ rowsFromFooters(spark, missing)
@@ -956,7 +1002,7 @@ object Snapshots {
     * amortizes to O(table metadata / 64) per commit. */
   private[graft] val AutoCompactShardRefs = 64
 
-  private def publishMeta(
+  private[engine] def publishMeta(
       spark: SparkSession,
       root: String,
       tag: String,
@@ -2567,7 +2613,14 @@ object Snapshots {
       case None => m.shardRefs.flatMap(r =>
         shardCache.getOrElseUpdate(r.name, loadShard(spark, root, r)).files)
     }
-    val live = keepM.flatMap(filesOf).toSet
+    // branches share data files and metadata shards with this chain by
+    // reference — every OTHER chain's full retained history is live too,
+    // or vacuuming main would corrupt a forked branch (and vice versa)
+    val (dir, thisRef) = splitRef(root)
+    val otherMeta = allRefs(spark, root).filterNot(_ == thisRef).flatMap { r =>
+      historyMeta(spark, if (r.isEmpty) dir else branchRoot(dir, r))
+    }
+    val live = (keepM ++ otherMeta).flatMap(filesOf).toSet
     dropM.flatMap(filesOf)
       .distinct.filterNot(live.contains)
       .foreach(uri => f.delete(new Path(uri), false))
@@ -2578,7 +2631,7 @@ object Snapshots {
     // manifest not yet published) — deleting it would corrupt the commit
     // the moment it publishes. In-flight-aged debris is vacuumOrphans'
     // job, behind its grace window.
-    val keptShards = keepM.flatMap(_.shardRefs.map(_.name)).toSet
+    val keptShards = (keepM ++ otherMeta).flatMap(_.shardRefs.map(_.name)).toSet
     dropM.flatMap(_.shardRefs.map(_.name)).distinct
       .filterNot(keptShards.contains)
       .foreach(name => f.delete(shardPath(root, name), false))
@@ -2618,9 +2671,14 @@ object Snapshots {
     * directories are removed afterwards. */
   def vacuumOrphans(spark: SparkSession, root: String, graceMs: Long = 3600000L): Int = {
     val f = fs(spark, root)
-    val dataDir = new Path(s"$root/data")
+    val dir = dataRoot(root)
+    val dataDir = new Path(s"$dir/data")
     if (!f.exists(dataDir)) return 0
-    val live = history(spark, root).flatMap(_.files).toSet
+    // data files and shards are shared across the table's chains: a file
+    // is an orphan only if NO chain (main or any branch) references it
+    def chainRoot(r: String) = if (r.isEmpty) dir else branchRoot(dir, r)
+    val refs = allRefs(spark, root)
+    val live = refs.flatMap(r => history(spark, chainRoot(r)).flatMap(_.files)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
     var deleted = 0
     val it = f.listFiles(dataDir, /*recursive=*/ true)
@@ -2638,8 +2696,9 @@ object Snapshots {
     // orphaned metadata shards: written by a crashed or losing committer,
     // referenced by no retained manifest — same grace-window contract as
     // data files (a writer may have landed its shard but not yet published)
-    val liveShards = historyMeta(spark, root).flatMap(_.shardRefs.map(_.name)).toSet
-    val snapDir = new Path(s"$root/$SnapDir")
+    val liveShards =
+      refs.flatMap(r => historyMeta(spark, chainRoot(r)).flatMap(_.shardRefs.map(_.name))).toSet
+    val snapDir = new Path(s"$dir/$SnapDir")
     if (f.exists(snapDir)) {
       f.listStatus(snapDir).toSeq
         .filter(st => st.isFile && st.getPath.getName.startsWith("shard-") &&
@@ -2664,9 +2723,9 @@ object Snapshots {
     * absent). */
   private def tryWriteManifest(spark: SparkSession, root: String, m: ManifestMeta): Boolean = {
     val f = fs(spark, root)
-    f.mkdirs(new Path(s"$root/$SnapDir"))
+    f.mkdirs(new Path(refDir(root)))
     val target = manifestPath(root, m.version)
-    val tmp = new Path(s"$root/$SnapDir/.tmp-${java.util.UUID.randomUUID()}")
+    val tmp = new Path(s"${refDir(root)}/.tmp-${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, /*overwrite=*/ true)
     try out.write(renderManifestMeta(m).getBytes("UTF-8")) finally out.close()
     try atomicNoReplace(f, tmp, target) finally f.delete(tmp, false)

@@ -1,0 +1,224 @@
+package graft.plans
+
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types._
+
+import graft.engine.{Incremental, Snapshots}
+
+/** Catalyst OPTIMIZER rules answering aggregates from maintained state —
+  * the query-rewrite layer over [[graft.engine.Incremental]] views and
+  * [[Snapshots]] manifests. The analyst writes the aggregate against the
+  * BASE table; when a registered materialized view (or the manifest's exact
+  * row counts) can answer it, the optimizer swaps the table scan for the
+  * state — a 100 TB scan becomes a group-count-sized read, with zero query
+  * changes.
+  *
+  * Correctness stance — a rewrite fires only when ALL hold, checked at
+  * optimization time:
+  *   1. the plan's scan reads EXACTLY the registered table's current head
+  *      file set (a time-travel read of an older version, or any other
+  *      parquet relation, never matches);
+  *   2. for views: the view state REFLECTS that same head
+  *      (`Incremental.reflectedVersion == headVersion`) — a stale view
+  *      silently falls back to the base scan, it never serves old numbers;
+  *   3. the aggregate's shape maps exactly onto maintained state columns:
+  *      grouping keys == view keys, and each aggregate is `count(1)` /
+  *      `sum(col)` / the Det.dsum decimal-exact form over a registered
+  *      measure, non-distinct and unfiltered.
+  * Output attribute ids are preserved, so the rewrite composes under any
+  * enclosing plan (joins, filters, sorts above the aggregate).
+  *
+  * Numeric note: view sums substitute the state's exact-decimal
+  * accumulation. For the [[graft.engine.Det]] 2-decimal measures every
+  * oracle query uses, that is bit-identical to the direct plan; it is also
+  * the ONLY summation order-independent enough to be stable under task
+  * retries at 1000-executor scale — registering a view asserts the measure
+  * has that exact-decimal semantics.
+  *
+  * Install once per session with [[ViewRewrite.install]] (idempotent); it
+  * rides `spark.experimental.extraOptimizations`, the sanctioned hook for
+  * optimizer extensions on a live session.
+  */
+object ViewRewrite {
+
+  /** A registered incremental sum/count view: `stateRoot` is the
+    * [[Incremental]] state table over `baseRoot`, keyed by `keys`, carrying
+    * `n_rows` plus `sum_<c>` for each measure in `sums`. */
+  final case class SumView(
+      name: String,
+      baseRoot: String,
+      stateRoot: String,
+      keys: Seq[String],
+      sums: Set[String])
+
+  // registries are per-JVM; entries key by baseRoot (one view per base is
+  // plenty for the rewrite demo — first registration wins)
+  private val views = new ConcurrentHashMap[String, SumView]()
+  private val countTables = ConcurrentHashMap.newKeySet[String]()
+
+  def registerView(v: SumView): Unit = views.put(v.baseRoot, v)
+
+  /** Register a table for metadata-only `count(*)` answering: a global
+    * count over its head scan returns the manifest's exact row count
+    * (deletion vectors included) without touching one data file. */
+  def registerCounts(root: String): Unit = { countTables.add(root); () }
+
+  def clear(): Unit = { views.clear(); countTables.clear() }
+
+  /** Idempotently append the rule to the session's optimizer. */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[Rewrite]))
+      spark.experimental.extraOptimizations = cur :+ new Rewrite
+  }
+
+  /** True when `df`'s optimized plan no longer scans any of `root`'s data
+    * files — the "did the rewrite actually fire" probe specs and oracle
+    * queries pin. */
+  def avoidedScan(df: org.apache.spark.sql.DataFrame, root: String): Boolean = {
+    val dataPrefix = s"${root.stripSuffix("/")}/data/"
+    !df.queryExecution.optimizedPlan.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.inputFiles.exists(_.startsWith(dataPrefix))
+        case _ => false
+      }
+    }.exists(identity)
+  }
+
+  /** The rule proper. Stateless — all state lives in the registries. */
+  final class Rewrite extends Rule[LogicalPlan] {
+    override def apply(plan: LogicalPlan): LogicalPlan =
+      if (views.isEmpty && countTables.isEmpty) plan
+      else plan.transformUp { case agg: Aggregate =>
+        rewriteCount(agg).orElse(rewriteView(agg)).getOrElse(agg)
+      }
+
+    /** The file set a plan scans, when it is exactly one parquet relation
+      * (possibly under an attribute-only Project the column pruner added). */
+    private def scanFiles(p: LogicalPlan): Option[Set[String]] = p match {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => Some(fs.location.inputFiles.toSet)
+        case _ => None
+      }
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        scanFiles(child)
+      case _ => None
+    }
+
+    /** Head version v of `root` iff the scanned file set is exactly v's. */
+    private def scanIsHead(spark: SparkSession, root: String,
+        scanned: Set[String]): Option[Long] = {
+      val head = Snapshots.headVersion(spark, root)
+      if (head == 0) None
+      else if (Snapshots.manifest(spark, root, head).files.toSet == scanned) Some(head)
+      else None
+    }
+
+    /** Complete, non-distinct, unfiltered aggregate function. */
+    private def plainAgg(e: Expression): Option[Expression] = e match {
+      case ae: AggregateExpression
+        if ae.mode == Complete && !ae.isDistinct && ae.filter.isEmpty =>
+        Some(ae.aggregateFunction)
+      case _ => None
+    }
+
+    private def isCountStar(e: Expression): Boolean = plainAgg(e) match {
+      case Some(Count(Seq(Literal(_, _)))) => true
+      case _ => false
+    }
+
+    /** Aggregate(no keys, single count(1), scan of a registered table) →
+      * one-row LocalRelation carrying the manifest's exact row count. */
+    private def rewriteCount(agg: Aggregate): Option[LogicalPlan] = {
+      if (agg.groupingExpressions.nonEmpty || agg.aggregateExpressions.size != 1)
+        return None
+      val al = agg.aggregateExpressions.head match {
+        case a: Alias if isCountStar(a.child) => a
+        case _ => return None
+      }
+      val scanned = scanFiles(agg.child).getOrElse(return None)
+      val spark = SparkSession.active
+      countTables.asScala.foreach { root =>
+        if (scanIsHead(spark, root, scanned).isDefined) {
+          val n = Snapshots.rowCount(spark, root).getOrElse(return None)
+          val out = AttributeReference(al.name, LongType, nullable = false)(
+            exprId = al.exprId)
+          return Some(LocalRelation(Seq(out), Seq(InternalRow(n))))
+        }
+      }
+      None
+    }
+
+    /** Aggregate(view keys, sums/counts over view measures, scan of the
+      * view's base head) → Project over the view state scan. */
+    private def rewriteView(agg: Aggregate): Option[LogicalPlan] = {
+      val scanned = scanFiles(agg.child).getOrElse(return None)
+      val spark = SparkSession.active
+      val v = views.asScala.values.find(v =>
+        scanIsHead(spark, v.baseRoot, scanned).exists(head =>
+          Incremental.reflectedVersion(spark, v.stateRoot) == head))
+        .getOrElse(return None)
+
+      val keyAttrs = agg.groupingExpressions.map {
+        case a: AttributeReference => a
+        case _ => return None
+      }
+      if (keyAttrs.map(_.name).toSet != v.keys.toSet) return None
+
+      // the state scan: keys, n_rows (long), sum_<c> (exact decimal)
+      val statePlan = Snapshots.read(spark, v.stateRoot).queryExecution.analyzed
+      val stateByName: Map[String, AttributeReference] =
+        statePlan.output.collect { case a: AttributeReference => a.name -> a }.toMap
+      if (!(v.keys ++ v.sums.map(c => s"sum_$c") ++ Seq("n_rows"))
+          .forall(stateByName.contains)) return None
+      def st(name: String): AttributeReference = stateByName(name)
+
+      /** The state expression matching one output column, or None. */
+      def mapped(e: NamedExpression): Option[NamedExpression] = e match {
+        case a: AttributeReference if v.keys.contains(a.name) =>
+          Some(Alias(st(a.name), a.name)(exprId = a.exprId))
+        case al: Alias =>
+          val sub = mapAgg(al.child)
+          sub.map(x => Alias(x, al.name)(exprId = al.exprId))
+        case _ => None
+      }
+
+      /** sum/count shapes over the base → state column expression of the
+        * SAME data type. */
+      def mapAgg(e: Expression): Option[Expression] = e match {
+        // Det.dsum: CAST(sum(CAST(c AS DECIMAL)) AS DOUBLE)
+        case c: Cast =>
+          mapAgg(c.child).map(inner => Cast(inner, c.dataType))
+        case _ if isCountStar(e) => Some(st("n_rows"))
+        case _ => plainAgg(e) match {
+          case Some(Sum(inner, _)) =>
+            val colName = inner match {
+              case a: AttributeReference => a.name
+              case c: Cast => c.child match {
+                case a: AttributeReference if c.dataType.isInstanceOf[DecimalType] => a.name
+                case _ => return None
+              }
+              case _ => return None
+            }
+            if (!v.sums.contains(colName)) None
+            else Some(Cast(st(s"sum_$colName"), e.dataType))
+          case _ => None
+        }
+      }
+
+      val out = agg.aggregateExpressions.map(e => mapped(e).getOrElse(return None))
+      Some(Project(out, statePlan))
+    }
+  }
+}

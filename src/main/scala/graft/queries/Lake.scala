@@ -1092,5 +1092,69 @@ object Lake {
         .withColumnRenamed("_change", "chg")
         .orderBy("k", "chg", "seg", "bal")
     },
+
+    // ---- q108: WRITE-AUDIT-PUBLISH — ingest lands on a BRANCH of the
+    //            snapshot table (zero-copy fork: manifests only), an
+    //            Expect audit runs against exactly the bytes that would
+    //            publish, and only a clean branch fast-forwards main. The
+    //            query stages a poisoned batch first (null segment — the
+    //            audit blocks it, main never sees it), then the real
+    //            upsert batch (audit passes, atomic fast-forward). The
+    //            oracle computes the good merge alone: a hash match proves
+    //            the bad batch left zero residue AND the published state
+    //            is exactly the branch's. ----
+    OracleQuery(
+      "q108_wap",
+      """WITH t AS (
+        |  SELECT c_custkey, c_mktsegment AS seg, c_acctbal AS bal FROM customer),
+        |s AS (
+        |  SELECT c_custkey, 'AUDITED' AS seg, bal + 10.0 AS bal
+        |  FROM t WHERE c_custkey % 5 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 200000, 'STAGED', CAST(0.5 AS DOUBLE)
+        |  FROM t WHERE c_custkey % 50 = 0)
+        |SELECT c_custkey, seg, bal FROM s
+        |UNION ALL
+        |SELECT c_custkey, seg, bal FROM t
+        |WHERE c_custkey NOT IN (SELECT c_custkey FROM s)
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      import graft.engine.Branches
+      import graft.operators.Expect
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/customer_wap"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val cust = Tables(spark, dir, "customer")
+        .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+          col("c_acctbal").as("bal"))
+      Snapshots.commit(cust.repartitionByRange(6, col("c_custkey")), root,
+        statsCols = Seq("c_custkey"))
+      val gate = Seq(Expect.Rule("seg_not_null", col("seg").isNotNull))
+
+      // poisoned batch: lands on its branch, FAILS the audit, never publishes
+      Branches.fork(spark, root, "bad")
+      Snapshots.commit(
+        spark.range(1).select(lit(-1L).as("c_custkey"),
+          lit(null).cast("string").as("seg"), lit(0.0).as("bal")),
+        Branches.root(root, "bad"), append = true)
+      require(Branches.publishIf(spark, root, "bad", gate).isLeft,
+        "poisoned branch must fail its audit")
+      Branches.drop(spark, root, "bad")
+
+      // real batch: branch upsert, audit passes, atomic fast-forward
+      Branches.fork(spark, root, "staging")
+      val upd = cust.filter(col("c_custkey") % 5 === 0)
+        .select(col("c_custkey"), lit("AUDITED").as("seg"),
+          (col("bal") + 10.0).as("bal"))
+        .unionByName(cust.filter(col("c_custkey") % 50 === 0)
+          .select((col("c_custkey") + 200000L).as("c_custkey"),
+            lit("STAGED").as("seg"), lit(0.5).as("bal")))
+      Snapshots.merge(upd, Branches.root(root, "staging"), "c_custkey",
+        statsCols = Seq("c_custkey"))
+      require(Branches.publishIf(spark, root, "staging", gate).isRight,
+        "clean branch must publish")
+      Branches.drop(spark, root, "staging")
+      Snapshots.read(spark, root).orderBy("c_custkey")
+    },
   )
 }

@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+
+import graft.engine.{Branches, Snapshots}
+import graft.operators.Expect
+import org.apache.spark.sql.functions._
+
+/** Write-audit-publish branches: zero-copy fork, isolated writes, audited
+  * fast-forward publish, fencing against concurrent main commits, and
+  * reference-safe vacuum across chains.
+  */
+class BranchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    "file:" + Files.createTempDirectory("branch").toString + "/t"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.as[(Long, String)].collect().toSet
+
+  private def dataFiles(root: String): Set[String] = {
+    val p = new Path(s"$root/data")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) Set.empty
+    else {
+      val it = f.listFiles(p, true)
+      Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .filter(_.isFile).map(_.getPath.toString).toSet
+    }
+  }
+
+  test("fork is zero-copy; branch and main are isolated; publish fast-forwards") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root,
+      statsCols = Seq("id"))
+    val before = dataFiles(root)
+
+    assert(Branches.fork(spark, root, "staging") === 1L)
+    // fork wrote manifests only — not one data file
+    assert(dataFiles(root) === before)
+    val bRoot = Branches.root(root, "staging")
+    assert(rows(Snapshots.read(spark, bRoot)) === Set((1L, "a"), (2L, "b")))
+    assert(Branches.list(spark, root) === Seq("staging"))
+    assert(Branches.forkBase(spark, root, "staging") === 1L)
+
+    // write on the branch: invisible to main
+    Snapshots.commit(Seq((3L, "c")).toDF("id", "s"), bRoot, append = true,
+      statsCols = Seq("id"))
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "a"), (2L, "b")))
+    assert(rows(Snapshots.read(spark, bRoot)) === Set((1L, "a"), (2L, "b"), (3L, "c")))
+
+    // the full verb set works on the branch root: merge by key
+    Snapshots.merge(Seq((2L, "B!")).toDF("id", "s"), bRoot, "id")
+    assert(rows(Snapshots.read(spark, bRoot)) === Set((1L, "a"), (2L, "B!"), (3L, "c")))
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "a"), (2L, "b")))
+
+    // publish: main atomically becomes the branch state, as a new version
+    val filesBefore = dataFiles(root)
+    val v = Branches.publish(spark, root, "staging")
+    assert(v === 2L)
+    assert(dataFiles(root) === filesBefore) // publish is metadata-only too
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "a"), (2L, "B!"), (3L, "c")))
+    // history records the publish; time travel to the pre-publish state works
+    assert(Snapshots.manifestMeta(spark, root, v).tag === "publish:staging")
+    assert(rows(Snapshots.read(spark, root, 1)) === Set((1L, "a"), (2L, "b")))
+
+    Branches.drop(spark, root, "staging")
+    assert(Branches.list(spark, root) === Seq.empty)
+    // main still reads fine after the drop (files are shared, not branch-owned)
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "a"), (2L, "B!"), (3L, "c")))
+  }
+
+  test("publish is fast-forward-only: a main commit after the fork fences it") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), root)
+    Branches.fork(spark, root, "wap")
+    Snapshots.commit(Seq((9L, "z")).toDF("id", "s"), root, append = true) // main moves
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "s"),
+      Branches.root(root, "wap"), append = true)
+    val e = intercept[IllegalArgumentException](Branches.publish(spark, root, "wap"))
+    assert(e.getMessage.contains("re-fork"))
+    // nothing changed on main
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "a"), (9L, "z")))
+    assert(Snapshots.headVersion(spark, root) === 2L)
+  }
+
+  test("publishIf: failing audit blocks the publish and reports; passing publishes") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), root)
+    Branches.fork(spark, root, "wap")
+    val bRoot = Branches.root(root, "wap")
+    Snapshots.commit(Seq((2L, null.asInstanceOf[String])).toDF("id", "s"),
+      bRoot, append = true)
+
+    val gate = Seq(Expect.Rule("s_not_null", col("s").isNotNull))
+    Branches.publishIf(spark, root, "wap", gate) match {
+      case Left(report) =>
+        val r = report.collect()
+        assert(r.length === 1 && r(0).getAs[String]("rule") === "s_not_null"
+          && r(0).getAs[Long]("n_violations") === 1L)
+      case Right(v) => fail(s"published v$v past a failing audit")
+    }
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "a"))) // untouched
+
+    // repair on the branch, re-audit, publish
+    Snapshots.merge(Seq((2L, "fixed")).toDF("id", "s"), bRoot, "id")
+    Branches.publishIf(spark, root, "wap", gate) match {
+      case Right(v) => assert(v === 2L)
+      case Left(_) => fail("clean branch failed its audit")
+    }
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "a"), (2L, "fixed")))
+  }
+
+  test("vacuum on main never destroys what a live branch references") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, "old")).toDF("id", "s"), root)
+    Branches.fork(spark, root, "keeper") // branch pins the v1 state
+    Snapshots.commit(Seq((2L, "new")).toDF("id", "s"), root) // overwrite: v1 files dead on main
+    Snapshots.vacuum(spark, root, keepLast = 1)
+    // v1 is gone from main's history…
+    assert(Snapshots.history(spark, root).map(_.version) === Seq(2L))
+    // …but the branch still reads its full state: files AND shards survived
+    assert(rows(Snapshots.read(spark, Branches.root(root, "keeper"))) ===
+      Set((1L, "old")))
+
+    // drop the branch: its files become orphans and only then get reclaimed
+    Branches.drop(spark, root, "keeper")
+    val n = Snapshots.vacuumOrphans(spark, root, graceMs = 0L)
+    assert(n > 0, "dropped branch's files should be reclaimable")
+    assert(rows(Snapshots.read(spark, root)) === Set((2L, "new")))
+  }
+
+  test("schema evolution on a branch publishes with the evolved schema") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), root, statsCols = Seq("id"))
+    Branches.fork(spark, root, "evo")
+    val bRoot = Branches.root(root, "evo")
+    Snapshots.renameColumn(spark, bRoot, "s", "label")
+    Snapshots.commit(Seq((2L, "b")).toDF("id", "label"), bRoot, append = true,
+      statsCols = Seq("id"))
+    // main is untouched by the branch's rename until publish
+    assert(Snapshots.read(spark, root).columns.toSeq === Seq("id", "s"))
+    Branches.publish(spark, root, "evo")
+    val got = Snapshots.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "label"))
+    // both file generations read under the renamed schema
+    assert(rows(got) === Set((1L, "a"), (2L, "b")))
+    // and stats pruning still works across the rename on main
+    assert(rows(Snapshots.readRange(spark, root, "id", 2, 2)) === Set((2L, "b")))
+  }
+}
