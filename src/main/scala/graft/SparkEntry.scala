@@ -38,7 +38,8 @@ object SparkEntry {
       graft.queries.Similarity.queries ++ graft.queries.MultimodalQ.queries ++
       graft.queries.Pipeline.queries ++ graft.queries.Skew.queries ++
       graft.queries.TrainingOps.queries ++ graft.queries.Lake.queries ++
-      graft.queries.Retrieval.queries ++ graft.queries.Quality.queries
+      graft.queries.Retrieval.queries ++ graft.queries.Quality.queries ++
+      graft.queries.Rewrite.queries
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -86,15 +86,20 @@ object ViewRewrite {
     * files — the "did the rewrite actually fire" probe specs and oracle
     * queries pin. */
   def avoidedScan(df: org.apache.spark.sql.DataFrame, root: String): Boolean = {
-    val dataPrefix = s"${root.stripSuffix("/")}/data/"
+    val dataPrefix = s"${pathOf(root).stripSuffix("/")}/data/"
     !df.queryExecution.optimizedPlan.collect {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation =>
-          fs.location.inputFiles.exists(_.startsWith(dataPrefix))
+          fs.location.inputFiles.exists(f => pathOf(f).startsWith(dataPrefix))
         case _ => false
       }
     }.exists(identity)
   }
+
+  /** Scheme-normalized path: `file:/x`, `file:///x`, and `/x` all compare
+    * equal (Hadoop and Spark render the same file under either form). */
+  private def pathOf(uri: String): String =
+    new org.apache.hadoop.fs.Path(uri).toUri.getPath
 
   /** The rule proper. Stateless — all state lives in the registries. */
   final class Rewrite extends Rule[LogicalPlan] {
@@ -108,7 +113,7 @@ object ViewRewrite {
       * (possibly under an attribute-only Project the column pruner added). */
     private def scanFiles(p: LogicalPlan): Option[Set[String]] = p match {
       case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => Some(fs.location.inputFiles.toSet)
+        case fs: HadoopFsRelation => Some(fs.location.inputFiles.map(pathOf).toSet)
         case _ => None
       }
       case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
@@ -121,7 +126,8 @@ object ViewRewrite {
         scanned: Set[String]): Option[Long] = {
       val head = Snapshots.headVersion(spark, root)
       if (head == 0) None
-      else if (Snapshots.manifest(spark, root, head).files.toSet == scanned) Some(head)
+      else if (Snapshots.manifest(spark, root, head).files.map(pathOf).toSet == scanned)
+        Some(head)
       else None
     }
 
@@ -160,10 +166,24 @@ object ViewRewrite {
       None
     }
 
+    /** Like [[scanFiles]], but tolerates Filter nodes on the way down,
+      * collecting their conjuncts. The caller must prove the filters
+      * commute with its rewrite (e.g. group-key-only predicates, which the
+      * optimizer pushes below an Aggregate from enclosing joins/filters). */
+    private def scanWithFilters(p: LogicalPlan)
+        : Option[(Set[String], Seq[Expression])] = p match {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, child) =>
+        scanWithFilters(child).map { case (fs, cs) => (fs, cond +: cs) }
+      case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
+        scanWithFilters(child)
+      case _ => scanFiles(p).map(fs => (fs, Seq.empty))
+    }
+
     /** Aggregate(view keys, sums/counts over view measures, scan of the
-      * view's base head) → Project over the view state scan. */
+      * view's base head — possibly under group-key-only filters) →
+      * Project over the (equivalently filtered) view state scan. */
     private def rewriteView(agg: Aggregate): Option[LogicalPlan] = {
-      val scanned = scanFiles(agg.child).getOrElse(return None)
+      val (scanned, filters) = scanWithFilters(agg.child).getOrElse(return None)
       val spark = SparkSession.active
       val v = views.asScala.values.find(v =>
         scanIsHead(spark, v.baseRoot, scanned).exists(head =>
@@ -175,6 +195,13 @@ object ViewRewrite {
         case _ => return None
       }
       if (keyAttrs.map(_.name).toSet != v.keys.toSet) return None
+
+      // a filter below the aggregate is sound to carry over the state ONLY
+      // when it touches group keys alone: key-only predicates commute with
+      // grouping (every surviving group is bit-identical), and that is
+      // exactly what the optimizer pushes down from enclosing joins/HAVING
+      if (!filters.forall(_.references.forall(a => v.keys.contains(a.name))))
+        return None
 
       // the state scan: keys, n_rows (long), sum_<c> (exact decimal)
       val statePlan = Snapshots.read(spark, v.stateRoot).queryExecution.analyzed
@@ -218,7 +245,15 @@ object ViewRewrite {
       }
 
       val out = agg.aggregateExpressions.map(e => mapped(e).getOrElse(return None))
-      Some(Project(out, statePlan))
+      val filtered =
+        if (filters.isEmpty) statePlan
+        else {
+          val remapped = filters.map(_.transform {
+            case a: AttributeReference => st(a.name)
+          }).reduce(And.apply)
+          org.apache.spark.sql.catalyst.plans.logical.Filter(remapped, statePlan)
+        }
+      Some(Project(out, filtered))
     }
   }
 }

@@ -1,0 +1,132 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Det, Incremental, Snapshots}
+import graft.plans.ViewRewrite
+
+/** Optimizer-level query rewrite: aggregates over a snapshot table's head
+  * scan are answered from a registered incremental view's state (or the
+  * manifest's row counts) — and fall back, silently and correctly, the
+  * moment any consistency premise fails.
+  */
+class ViewRewriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    "file:" + Files.createTempDirectory("vrw").toString + "/t"
+
+  private def freshBase(): (String, String) = {
+    val root = tmp()
+    val state = tmp()
+    Snapshots.commit(
+      Seq(("a", 1.50), ("a", 2.25), ("b", 4.00), ("c", 0.25))
+        .toDF("k", "x"),
+      root, statsCols = Seq("x"))
+    Incremental.refresh(spark, root, state, Seq("k"), Seq("x"))
+    (root, state)
+  }
+
+  private def aggQuery(root: String) =
+    Snapshots.read(spark, root).groupBy("k")
+      .agg(Det.dsum(col("x")).as("sum_x"), count(lit(1)).as("n"))
+
+  test("registered view answers the aggregate without scanning the base") {
+    val (root, state) = freshBase()
+    ViewRewrite.install(spark)
+    ViewRewrite.clear()
+
+    // before registration: same query scans the base
+    assert(!ViewRewrite.avoidedScan(aggQuery(root), root))
+
+    ViewRewrite.registerView(ViewRewrite.SumView("v", root, state, Seq("k"), Set("x")))
+    val q = aggQuery(root)
+    assert(ViewRewrite.avoidedScan(q, root), "rewrite must fire on the head scan")
+    assert(q.as[(String, Double, Long)].collect().toSet ===
+      Set(("a", 3.75, 2L), ("b", 4.0, 1L), ("c", 0.25, 1L)))
+  }
+
+  test("stale view falls back to the scan; refresh re-arms the rewrite") {
+    val (root, state) = freshBase()
+    ViewRewrite.install(spark)
+    ViewRewrite.clear()
+    ViewRewrite.registerView(ViewRewrite.SumView("v", root, state, Seq("k"), Set("x")))
+
+    Snapshots.commit(Seq(("b", 1.00)).toDF("k", "x"), root, append = true,
+      statsCols = Seq("x"))
+    // base advanced, view not refreshed: NO rewrite, and the scan answer
+    // includes the new row (never a stale view answer)
+    val q1 = aggQuery(root)
+    assert(!ViewRewrite.avoidedScan(q1, root))
+    assert(q1.filter($"k" === "b").as[(String, Double, Long)].head() === ("b", 5.0, 2L))
+
+    Incremental.refresh(spark, root, state, Seq("k"), Seq("x"))
+    val q2 = aggQuery(root)
+    assert(ViewRewrite.avoidedScan(q2, root))
+    assert(q2.filter($"k" === "b").as[(String, Double, Long)].head() === ("b", 5.0, 2L))
+  }
+
+  test("time-travel scans, distinct/filtered aggs, and foreign keys never rewrite") {
+    val (root, state) = freshBase()
+    Snapshots.commit(Seq(("z", 9.0)).toDF("k", "x"), root, append = true,
+      statsCols = Seq("x"))
+    Incremental.refresh(spark, root, state, Seq("k"), Seq("x"))
+    ViewRewrite.install(spark)
+    ViewRewrite.clear()
+    ViewRewrite.registerView(ViewRewrite.SumView("v", root, state, Seq("k"), Set("x")))
+
+    // time travel to v1: file set != head → no rewrite
+    val old = Snapshots.read(spark, root, 1).groupBy("k")
+      .agg(Det.dsum(col("x")).as("sum_x"), count(lit(1)).as("n"))
+    assert(!ViewRewrite.avoidedScan(old, root))
+    assert(!old.as[(String, Double, Long)].collect().exists(_._1 == "z"))
+
+    // countDistinct has no state column → no rewrite, still correct
+    val cd = Snapshots.read(spark, root).groupBy("k").agg(count_distinct($"x").as("n"))
+    assert(!ViewRewrite.avoidedScan(cd, root))
+
+    // grouping by a non-view key → no rewrite
+    val byX = Snapshots.read(spark, root).groupBy("x").agg(count(lit(1)).as("n"))
+    assert(!ViewRewrite.avoidedScan(byX, root))
+  }
+
+  test("rewritten aggregate composes under filters and joins (attr ids held)") {
+    val (root, state) = freshBase()
+    ViewRewrite.install(spark)
+    ViewRewrite.clear()
+    ViewRewrite.registerView(ViewRewrite.SumView("v", root, state, Seq("k"), Set("x")))
+
+    val dim = Seq(("a", "alpha"), ("b", "beta")).toDF("k", "label")
+    val q = aggQuery(root).filter(col("sum_x") > 1.0)
+      .join(dim, Seq("k")).orderBy("k")
+    assert(ViewRewrite.avoidedScan(q, root))
+    assert(q.select("k", "label", "sum_x").as[(String, String, Double)].collect().toSeq ===
+      Seq(("a", "alpha", 3.75), ("b", "beta", 4.0)))
+  }
+
+  test("count(*) over a registered table's head answers from the manifest") {
+    val root = tmp()
+    Snapshots.commit(spark.range(0, 1000).select($"id", ($"id" % 7).as("g")),
+      root, statsCols = Seq("id"))
+    ViewRewrite.install(spark)
+    ViewRewrite.clear()
+    ViewRewrite.registerCounts(root)
+
+    val q = Snapshots.read(spark, root).agg(count(lit(1)).as("n"))
+    assert(ViewRewrite.avoidedScan(q, root))
+    assert(q.as[Long].head() === 1000L)
+
+    // copy-on-write delete: head moves, manifest counts stay exact
+    Snapshots.delete(Seq(1L, 2L, 3L).toDF("id"), root, "id", statsCols = Seq("id"))
+    val q2 = Snapshots.read(spark, root).agg(count(lit(1)).as("n"))
+    assert(ViewRewrite.avoidedScan(q2, root))
+    assert(q2.as[Long].head() === 997L)
+
+    // a grouped count is NOT the registered shape → falls back
+    val grouped = Snapshots.read(spark, root).groupBy("g").agg(count(lit(1)).as("n"))
+    assert(!ViewRewrite.avoidedScan(grouped, root))
+    ViewRewrite.clear() // leave the shared session's optimizer inert
+  }
+}
