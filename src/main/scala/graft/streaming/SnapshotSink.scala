@@ -50,4 +50,98 @@ object SnapshotSink {
         ()
       }
       .start()
+
+  /** Streaming QUALITY GATE: every trigger's rows are audited row-by-row
+    * ([[graft.operators.Expect.annotate]]); clean rows append to the table,
+    * violating rows append — with their `_failed` rule names — to a
+    * QUARANTINE snapshot table. Nothing is dropped: triage reads the
+    * quarantine, repairs, and re-ingests. Both commits carry the batch-id
+    * tag, so a replayed trigger no-ops on both tables (exactly-once in
+    * effect), and the decision is deterministic per batch, so replay and
+    * first run always agree. One annotate pass per trigger — the audit is
+    * a conditional projection, not a second scan. */
+  def startGated(
+      source: DataFrame,
+      root: String,
+      quarantineRoot: String,
+      checkpointDir: String,
+      rules: Seq[graft.operators.Expect.Rule],
+      statsCols: Seq[String] = Seq.empty): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, size}
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val annotated = graft.operators.Expect.annotate(batch, rules)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val clean = annotated.filter(size(col("_failed")) === 0).drop("_failed")
+          val bad = annotated.filter(size(col("_failed")) > 0)
+          // main commits every trigger (time travel stays batch-aligned);
+          // the quarantine commits only when there is something to hold
+          Snapshots.commitIfAbsent(clean, root, tag = s"batch-$id",
+            append = true, statsCols = statsCols)
+          if (!bad.isEmpty)
+            Snapshots.commitIfAbsent(bad, quarantineRoot, tag = s"batch-$id",
+              append = true)
+        } finally annotated.unpersist()
+        ()
+      }
+      .start()
+  }
+
+  /** Streaming WRITE-AUDIT-PUBLISH: each trigger lands on a fresh BRANCH
+    * of the table, the audit runs against the candidate table state (base
+    * rows + batch — the view table-level invariants need), and only a
+    * clean candidate fast-forwards main ([[graft.engine.Branches]]). A
+    * failing batch is committed WHOLE to the quarantine table and main
+    * never moves — readers observe only audited states, ever.
+    *
+    * Use [[startGated]] when rules are per-row properties of the batch;
+    * use this when a rule must see batch and table together (referential
+    * shapes, distribution bounds) — and note an audit over the candidate
+    * STATE means a pre-existing violation blocks every subsequent batch,
+    * which is the honest reading of a table-level invariant.
+    *
+    * Exactly-once: the publish commit carries `publish:batch-<id>` and the
+    * quarantine commit `batch-<id>`; a replayed trigger observes either
+    * tag and no-ops. Single-writer on main is assumed (the streaming
+    * norm); if maintenance slips a commit between fork and publish, the
+    * fast-forward fence throws, the query restarts, and the replay retries
+    * against the fresh head — nothing is lost or doubled. */
+  def startWap(
+      source: DataFrame,
+      root: String,
+      quarantineRoot: String,
+      checkpointDir: String,
+      rules: Seq[graft.operators.Expect.Rule],
+      statsCols: Seq[String] = Seq.empty): StreamingQuery = {
+    import graft.engine.Branches
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val name = s"batch-$id"
+        val published =
+          Snapshots.historyMeta(spark, root).exists(_.tag == s"publish:$name")
+        val quarantined = Snapshots.headVersion(spark, quarantineRoot) > 0 &&
+          Snapshots.historyMeta(spark, quarantineRoot).exists(_.tag == name)
+        if (!published && !quarantined) {
+          Branches.drop(spark, root, name) // debris of a crashed attempt
+          Branches.fork(spark, root, name)
+          Snapshots.commit(batch, Branches.root(root, name), append = true,
+            statsCols = statsCols)
+          Branches.publishIf(spark, root, name, rules) match {
+            case Right(_) => ()
+            case Left(_) =>
+              Snapshots.commitIfAbsent(batch, quarantineRoot, tag = name,
+                append = true)
+          }
+          Branches.drop(spark, root, name)
+        }
+        ()
+      }
+      .start()
+  }
 }

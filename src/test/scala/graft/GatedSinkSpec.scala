@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Branches, Snapshots}
+import graft.operators.Expect
+
+/** Audited streaming ingest: the row-level quality gate (clean rows land,
+  * violations quarantine) and the branch-staged write-audit-publish sink
+  * (whole batches publish or quarantine atomically).
+  */
+class GatedSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    "file:" + Files.createTempDirectory("gated").toString
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+    df.select("id", "s").as[(Long, String)].collect().toSet
+
+  private val gate = Seq(
+    Expect.Rule("s_not_null", col("s").isNotNull),
+    Expect.Rule("id_positive", col("id") > 0L))
+
+  test("startGated: clean rows commit, violations quarantine with rule names") {
+    val base = tmp()
+    val root = s"$base/t"
+    val quar = s"$base/q"
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.SnapshotSink.startGated(
+      input.toDF().toDF("id", "s"), root, quar, s"$base/ckpt", gate,
+      statsCols = Seq("id"))
+    try {
+      input.addData((1L, "a"), (-5L, "neg"), (2L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      input.addData((3L, "c"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "a"), (3L, "c")))
+    // quarantine holds the violators, annotated with WHICH rule failed
+    val held = Snapshots.read(spark, quar)
+      .select($"id", concat_ws(",", $"_failed").as("why"))
+      .as[(Long, String)].collect().toMap
+    assert(held === Map(-5L -> "id_positive", 2L -> "s_not_null"))
+    // batch alignment on main; quarantine committed only for batch 0
+    assert(Snapshots.history(spark, root).map(_.tag) === Seq("batch-0", "batch-1"))
+    assert(Snapshots.history(spark, quar).map(_.tag) === Seq("batch-0"))
+
+    // replayed trigger no-ops on both tables
+    assert(Snapshots.commitIfAbsent(Seq((9L, "x")).toDF("id", "s"), root,
+      tag = "batch-1").isEmpty)
+    assert(Snapshots.commitIfAbsent(Seq((9L, "x")).toDF("id", "s"), quar,
+      tag = "batch-0").isEmpty)
+  }
+
+  test("startWap: whole batches publish or quarantine; main only ever audited") {
+    val base = tmp()
+    val root = s"$base/t"
+    val quar = s"$base/q"
+    Snapshots.commit(Seq((1L, "seed")).toDF("id", "s"), root,
+      statsCols = Seq("id"))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.SnapshotSink.startWap(
+      input.toDF().toDF("id", "s"), root, quar, s"$base/ckpt", gate,
+      statsCols = Seq("id"))
+    try {
+      input.addData((2L, "clean"))
+      q.processAllAvailable()
+      input.addData((3L, "ok"), (4L, null.asInstanceOf[String])) // poisons the batch
+      q.processAllAvailable()
+      input.addData((5L, "fine"))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch 1 never reached main — not even its clean row (whole-batch gate)
+    assert(rows(Snapshots.read(spark, root)) ===
+      Set((1L, "seed"), (2L, "clean"), (5L, "fine")))
+    assert(rows(Snapshots.read(spark, quar)) ===
+      Set((3L, "ok"), (4L, null)))
+    // main history carries the publish tags; no branches left behind
+    val tags = Snapshots.historyMeta(spark, root).map(_.tag)
+    assert(tags.count(_.startsWith("publish:batch-")) === 2, s"tags: $tags")
+    assert(Branches.list(spark, root) === Seq.empty)
+
+    // a replayed poisoned trigger is a no-op (quarantine tag fences it)
+    assert(Snapshots.commitIfAbsent(Seq((9L, "x")).toDF("id", "s"), quar,
+      tag = "batch-1").isEmpty)
+  }
+}
