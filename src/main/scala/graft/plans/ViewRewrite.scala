@@ -68,10 +68,17 @@ object ViewRewrite {
 
   def registerView(v: SumView): Unit = views.put(v.baseRoot, v)
 
-  /** Register a table for metadata-only `count(*)` answering: a global
-    * count over its head scan returns the manifest's exact row count
-    * (deletion vectors included) without touching one data file. */
-  def registerCounts(root: String): Unit = { countTables.add(root); () }
+  /** Register a table for metadata-only GLOBAL aggregate answering over
+    * its head scan: `count(*)` from the manifest's exact per-file row
+    * counts, and `min(c)`/`max(c)` from the per-file stats index when —
+    * and only when — every head file carries a stats row for `c`, the
+    * table holds no deletion vectors, and the recorded extrema are exactly
+    * representable as the column's type ([[MetaExact]]). Anything less
+    * falls back to the scan. Zero data I/O when it fires. */
+  def registerMeta(root: String): Unit = { countTables.add(root); () }
+
+  /** Alias of [[registerMeta]] (counts were the first metadata answer). */
+  def registerCounts(root: String): Unit = registerMeta(root)
 
   def clear(): Unit = { views.clear(); countTables.clear() }
 
@@ -144,23 +151,62 @@ object ViewRewrite {
       case _ => false
     }
 
-    /** Aggregate(no keys, single count(1), scan of a registered table) →
-      * one-row LocalRelation carrying the manifest's exact row count. */
+    /** Largest magnitude a double can round-trip losslessly with int64 —
+      * the stats index stores extrema as doubles, so a long min/max is
+      * answerable only inside this band. */
+    private val MetaExact = 1L << 52
+
+    /** Aggregate(no keys, only count(1)/min/max outputs, scan of a
+      * registered table's head) → one-row LocalRelation from the manifest:
+      * exact row counts, per-file stats folded to global extrema. */
     private def rewriteCount(agg: Aggregate): Option[LogicalPlan] = {
-      if (agg.groupingExpressions.nonEmpty || agg.aggregateExpressions.size != 1)
+      if (agg.groupingExpressions.nonEmpty || agg.aggregateExpressions.isEmpty)
         return None
-      val al = agg.aggregateExpressions.head match {
-        case a: Alias if isCountStar(a.child) => a
-        case _ => return None
-      }
       val scanned = scanFiles(agg.child).getOrElse(return None)
       val spark = SparkSession.active
       countTables.asScala.foreach { root =>
-        if (scanIsHead(spark, root, scanned).isDefined) {
-          val n = Snapshots.rowCount(spark, root).getOrElse(return None)
-          val out = AttributeReference(al.name, LongType, nullable = false)(
-            exprId = al.exprId)
-          return Some(LocalRelation(Seq(out), Seq(InternalRow(n))))
+        scanIsHead(spark, root, scanned).foreach { head =>
+          val m = Snapshots.manifest(spark, root, head)
+          if (m.dvs.nonEmpty || m.files.isEmpty) return None
+          val baseNames = m.files.map(pathOf(_).split('/').last).toSet
+          // per-column fold: defined only when EVERY head file has a
+          // recorded stats row (a missing row means unknown values there)
+          def extremum(c: String, isMin: Boolean): Option[Double] = {
+            val rows = m.stats.filter(_.col == c)
+            if (rows.map(_.file).toSet != baseNames) None
+            else Some(if (isMin) rows.map(_.min).min else rows.map(_.max).max)
+          }
+          def answer(e: Expression): Option[(Any, DataType)] = e match {
+            case _ if isCountStar(e) =>
+              Snapshots.rowCount(spark, root).map(n => (n, LongType))
+            case _ => plainAgg(e) match {
+              case Some(org.apache.spark.sql.catalyst.expressions.aggregate
+                  .Min(a: AttributeReference)) => fold(a, isMin = true)
+              case Some(org.apache.spark.sql.catalyst.expressions.aggregate
+                  .Max(a: AttributeReference)) => fold(a, isMin = false)
+              case _ => None
+            }
+          }
+          def fold(a: AttributeReference, isMin: Boolean): Option[(Any, DataType)] =
+            extremum(a.name, isMin).flatMap { v =>
+              a.dataType match {
+                case DoubleType => Some((v, DoubleType))
+                case LongType if math.abs(v) < MetaExact && v == math.rint(v) =>
+                  Some((v.toLong, LongType))
+                case IntegerType if math.abs(v) < Int.MaxValue && v == math.rint(v) =>
+                  Some((v.toInt, IntegerType))
+                case _ => None // not exactly representable from the double index
+              }
+            }
+          val resolved = agg.aggregateExpressions.map {
+            case al: Alias => answer(al.child).map { case (value, dt) =>
+              (AttributeReference(al.name, dt, nullable = false)(exprId = al.exprId),
+                value)
+            }.getOrElse(return None)
+            case _ => return None
+          }
+          return Some(LocalRelation(resolved.map(_._1),
+            Seq(InternalRow(resolved.map(_._2): _*))))
         }
       }
       None

@@ -88,6 +88,8 @@ object Rewrite {
       "q110_count_rewrite",
       """WITH t AS (SELECT * FROM orders WHERE o_orderkey % 13 <> 0)
         |SELECT (SELECT count(*) FROM t) AS n_total,
+        |  (SELECT min(o_orderkey) FROM t) AS k_min,
+        |  (SELECT max(o_orderkey) FROM t) AS k_max,
         |  o_orderstatus, count(*) AS n_status
         |FROM t GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin) { (spark, dir) =>
@@ -104,17 +106,19 @@ object Rewrite {
         root, "o_orderkey", statsCols = Seq("o_orderkey"))
 
       ViewRewrite.install(spark)
-      ViewRewrite.registerCounts(root)
-      val total = Snapshots.read(spark, root).agg(count(lit(1)).as("n_total"))
+      ViewRewrite.registerMeta(root)
+      val total = Snapshots.read(spark, root).agg(count(lit(1)).as("n_total"),
+        min(col("o_orderkey")).as("k_min"), max(col("o_orderkey")).as("k_max"))
       require(ViewRewrite.avoidedScan(total, root),
-        "count(*) must answer from the manifest, not a scan")
+        "count/min/max must answer from the manifest, not a scan")
       val byStatus = Snapshots.read(spark, root)
         .groupBy("o_orderstatus").agg(count(lit(1)).as("n_status"))
       require(!ViewRewrite.avoidedScan(byStatus, root),
         "grouped count has no registered state — it must scan")
       ViewRewrite.clear()
       total.crossJoin(byStatus).orderBy("o_orderstatus")
-        .select(col("n_total"), col("o_orderstatus"), col("n_status"))
+        .select(col("n_total"), col("k_min"), col("k_max"),
+          col("o_orderstatus"), col("n_status"))
     },
   )
 }

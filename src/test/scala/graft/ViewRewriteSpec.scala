@@ -129,4 +129,34 @@ class ViewRewriteSpec extends SparkSpec {
     assert(!ViewRewrite.avoidedScan(grouped, root))
     ViewRewrite.clear() // leave the shared session's optimizer inert
   }
+
+  test("global min/max answer from the stats index — only when it is complete") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(5, 905).select($"id", ($"id" * 2L).as("v"))
+        .repartitionByRange(4, $"id"),
+      root, statsCols = Seq("id")) // stats on id, NOT on v
+    ViewRewrite.install(spark)
+    ViewRewrite.clear()
+    ViewRewrite.registerMeta(root)
+
+    val q = Snapshots.read(spark, root)
+      .agg(min($"id").as("lo"), max($"id").as("hi"), count(lit(1)).as("n"))
+    assert(ViewRewrite.avoidedScan(q, root))
+    assert(q.as[(Long, Long, Long)].head() === ((5L, 904L, 900L)))
+
+    // v has no stats rows: the whole aggregate falls back (all-or-nothing)
+    val qv = Snapshots.read(spark, root).agg(min($"v").as("lo"))
+    assert(!ViewRewrite.avoidedScan(qv, root))
+    assert(qv.as[Long].head() === 10L)
+
+    // append WITHOUT stats: the id index is now incomplete → falls back,
+    // and the scan answer reflects the new extremum
+    Snapshots.commit(spark.range(0, 5).select($"id", ($"id" * 2L).as("v")),
+      root, append = true)
+    val q2 = Snapshots.read(spark, root).agg(min($"id").as("lo"))
+    assert(!ViewRewrite.avoidedScan(q2, root))
+    assert(q2.as[Long].head() === 0L)
+    ViewRewrite.clear()
+  }
 }
