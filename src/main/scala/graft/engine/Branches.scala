@@ -105,16 +105,71 @@ object Branches {
     }
   }
 
+  /** [[publish]] that REBASES instead of aborting when main advanced —
+    * for APPEND-ONLY branches: when every fork-base metadata shard is
+    * still carried (by name) in the branch head, the branch provably never
+    * rewrote, deleted, or compacted base data, so its contribution is
+    * exactly its ADDED shards and those commute with anything main did
+    * meanwhile (the snapshot-isolation append semantics: main's
+    * merges/deletes/compactions touch base-generation files, the branch's
+    * additions are fresh files). The publish then lands `main head's refs
+    * + branch-added refs` through the optimistic commit loop — no replay,
+    * no error, still metadata-only. A branch that modified base data (its
+    * ref set lost a fork-base shard) aborts loudly: re-fork and replay is
+    * the only sound path there.
+    *
+    * Schema: sides that didn't evolve inherit the other side's evolution
+    * (physical names are rename-stable, so either schema reads both sides'
+    * files); both sides evolving concurrently aborts. */
+  def publishRebase(spark: SparkSession, tableRoot: String, name: String): Long = {
+    val bRoot = Snapshots.branchRoot(tableRoot, name)
+    val bHead = Snapshots.headVersion(spark, bRoot)
+    require(bHead > 0, s"branch '$name' does not exist at $tableRoot")
+    val base = forkBase(spark, tableRoot, name)
+    if (Snapshots.headVersion(spark, tableRoot) == base)
+      return publish(spark, tableRoot, name) // plain fast-forward
+
+    val bMeta = Snapshots.manifestMeta(spark, bRoot, bHead)
+    val baseMeta = Snapshots.manifestMeta(spark, tableRoot, base) // throws if vacuumed
+    val baseRefs = Snapshots.shardRefsOf(spark, tableRoot, baseMeta).map(_.name).toSet
+    val branchRefs = Snapshots.shardRefsOf(spark, bRoot, bMeta)
+    require(baseRefs.subsetOf(branchRefs.map(_.name).toSet),
+      s"branch '$name' modified base data (a fork-base shard is gone from its refs) — " +
+        "rebase is sound for append-only branches; re-fork and replay instead")
+    val added = branchRefs.filterNot(r => baseRefs.contains(r.name))
+
+    Snapshots.publishMeta(spark, tableRoot, tag = s"publish:$name") { headOpt =>
+      val h = headOpt.getOrElse(sys.error(s"main chain vanished at $tableRoot"))
+      val schema =
+        if (bMeta.schema == baseMeta.schema) h.schema // branch didn't evolve
+        else if (h.schema == baseMeta.schema) bMeta.schema // main didn't evolve
+        else if (h.schema == bMeta.schema) h.schema
+        else sys.error(s"branch '$name' and $tableRoot both evolved their schema " +
+          "since the fork — resolve manually (re-fork and replay the evolution)")
+      // a shard main already carries (e.g. a replayed publish of this same
+      // branch) must not land twice — refs are carried by name
+      val cur = Snapshots.shardRefsOf(spark, tableRoot, h)
+      val curNames = cur.map(_.name).toSet
+      (cur ++ added.filterNot(a => curNames.contains(a.name)), schema)
+    }
+  }
+
   /** The WRITE-AUDIT-PUBLISH gate: run `rules` against the branch's current
     * state (one aggregate pass, [[Expect.audit]]); publish only when every
     * rule has zero violations. Returns Right(new main version) on publish,
-    * Left(violation report rows) — and an untouched main chain — otherwise. */
+    * Left(violation report rows) — and an untouched main chain — otherwise.
+    * `rebase = true` routes through [[publishRebase]] (append-only branches
+    * survive a concurrently advancing main). */
   def publishIf(spark: SparkSession, tableRoot: String, name: String,
-      rules: Seq[graft.operators.Expect.Rule]): Either[DataFrame, Long] = {
+      rules: Seq[graft.operators.Expect.Rule],
+      rebase: Boolean = false): Either[DataFrame, Long] = {
     val bRoot = Snapshots.branchRoot(tableRoot, name)
     val report = graft.operators.Expect.audit(Snapshots.read(spark, bRoot), rules)
     val bad = report.filter(org.apache.spark.sql.functions.col("n_violations") > 0L)
-    if (bad.isEmpty) Right(publish(spark, tableRoot, name)) else Left(bad)
+    if (!bad.isEmpty) Left(bad)
+    else Right(
+      if (rebase) publishRebase(spark, tableRoot, name)
+      else publish(spark, tableRoot, name))
   }
 
   /** Delete branch `name`'s manifest chain. Shared data files / shards are

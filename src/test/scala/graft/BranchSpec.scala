@@ -73,6 +73,40 @@ class BranchSpec extends SparkSpec {
     assert(rows(Snapshots.read(spark, root)) === Set((1L, "a"), (2L, "B!"), (3L, "c")))
   }
 
+  test("publishRebase lands an append-only branch onto an advanced main") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), root, statsCols = Seq("id"))
+    Branches.fork(spark, root, "feed")
+    val bRoot = Branches.root(root, "feed")
+    Snapshots.commit(Seq((2L, "branch")).toDF("id", "s"), bRoot, append = true,
+      statsCols = Seq("id"))
+    // main advances concurrently: an append AND a row merge on base data
+    Snapshots.commit(Seq((3L, "main")).toDF("id", "s"), root, append = true,
+      statsCols = Seq("id"))
+    Snapshots.merge(Seq((1L, "A!")).toDF("id", "s"), root, "id")
+
+    val v = Branches.publishRebase(spark, root, "feed")
+    assert(v === Snapshots.headVersion(spark, root))
+    // result = main's current state + the branch's additions
+    assert(rows(Snapshots.read(spark, root)) ===
+      Set((1L, "A!"), (2L, "branch"), (3L, "main")))
+
+    // a replayed rebase adds nothing twice
+    Branches.publishRebase(spark, root, "feed")
+    assert(rows(Snapshots.read(spark, root)) ===
+      Set((1L, "A!"), (2L, "branch"), (3L, "main")))
+
+    // a branch that MODIFIED base data cannot rebase
+    Branches.fork(spark, root, "mut")
+    Snapshots.merge(Seq((3L, "MUT")).toDF("id", "s"),
+      Branches.root(root, "mut"), "id")
+    Snapshots.commit(Seq((9L, "x")).toDF("id", "s"), root, append = true,
+      statsCols = Seq("id"))
+    val e = intercept[IllegalArgumentException](
+      Branches.publishRebase(spark, root, "mut"))
+    assert(e.getMessage.contains("append-only"))
+  }
+
   test("publish is fast-forward-only: a main commit after the fork fences it") {
     val root = tmp()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), root)
