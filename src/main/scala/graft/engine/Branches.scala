@@ -172,6 +172,26 @@ object Branches {
       else publish(spark, tableRoot, name))
   }
 
+  /** Drop every branch whose LAST COMMIT is older than `ttlMs` — the
+    * staging-debris bound: a forgotten WAP branch pins its fork-base files
+    * against vacuum forever (the cross-chain reference counting working as
+    * designed), so long-lived tables need a TTL sweep. Rides
+    * [[graft.engine.MaintenancePolicy.branchTtlMs]]; returns the dropped
+    * names. A branch someone is actively committing to has a fresh head ts
+    * and survives; pick a TTL above the longest legitimate audit window. */
+  def dropExpired(spark: SparkSession, tableRoot: String, ttlMs: Long): Seq[String] = {
+    require(ttlMs >= 0, "ttlMs must be non-negative")
+    val cutoff = System.currentTimeMillis() - ttlMs
+    list(spark, tableRoot).filter { name =>
+      val bRoot = Snapshots.branchRoot(tableRoot, name)
+      val head = Snapshots.headVersion(spark, bRoot)
+      val stale = head > 0 &&
+        Snapshots.manifestMeta(spark, bRoot, head).ts < cutoff
+      if (stale) drop(spark, tableRoot, name)
+      stale
+    }
+  }
+
   /** Delete branch `name`'s manifest chain. Shared data files / shards are
     * untouched here; anything the branch alone referenced becomes orphaned
     * and is reclaimed by [[Snapshots.vacuumOrphans]] after its grace

@@ -29,7 +29,13 @@ import org.apache.spark.sql.SparkSession
   *   bounds the scan amplification merge-on-read deletes accumulate
   *   (0.0 = materialize every vectored file); default off (-1). Skipped
   *   when a full data rewrite runs anyway (compact/z-order already
-  *   materialize as a side effect) */
+  *   materialize as a side effect)
+  * @param branchTtlMs >= 0: drop branches whose last commit is older than
+  *   this ([[Branches.dropExpired]]) — forgotten staging branches pin
+  *   their fork-base files against vacuum forever (the cross-chain
+  *   reference counting working as designed), so long-lived tables need
+  *   the TTL sweep; runs BEFORE vacuum/orphans so the same maintenance
+  *   pass reclaims what the expired branches alone pinned. Default off */
 final case class MaintenancePolicy(
     compactTargetFiles: Int = 0,
     zorderDims: Seq[String] = Seq.empty,
@@ -38,7 +44,8 @@ final case class MaintenancePolicy(
     vacuumKeepLast: Int = 0,
     orphanGraceMs: Long = -1L,
     bloomCols: Seq[String] = Seq.empty,
-    materializeDvFraction: Double = -1.0)
+    materializeDvFraction: Double = -1.0,
+    branchTtlMs: Long = -1L)
 
 /** Consolidated table maintenance — the verbs [[Snapshots]] exposes one by
   * one (compact, z-order, manifest consolidation, vacuum, orphan sweep),
@@ -75,6 +82,8 @@ object Maintain {
         policy.statsCols, bloomCols = policy.bloomCols)
     if (policy.compactManifests)
       Snapshots.compactManifests(spark, root)
+    if (policy.branchTtlMs >= 0)
+      Branches.dropExpired(spark, root, policy.branchTtlMs)
     if (policy.vacuumKeepLast > 0)
       Snapshots.vacuum(spark, root, policy.vacuumKeepLast)
     if (policy.orphanGraceMs >= 0)

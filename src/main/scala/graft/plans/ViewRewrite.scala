@@ -267,12 +267,18 @@ object ViewRewrite {
         case _ => None
       }
 
-      /** sum/count shapes over the base → state column expression of the
-        * SAME data type. */
+      /** sum/count shapes over the base — possibly under casts and
+        * arithmetic (Det.davg's `cast(sum(dec(c)), double) / count(c)` and
+        * friends) — → state column expression of the SAME data type. */
       def mapAgg(e: Expression): Option[Expression] = e match {
         // Det.dsum: CAST(sum(CAST(c AS DECIMAL)) AS DOUBLE)
         case c: Cast =>
           mapAgg(c.child).map(inner => Cast(inner, c.dataType))
+        // arithmetic over matched aggregates (avg = sum/count, ratios, …)
+        case b: BinaryArithmetic =>
+          for (l <- mapAgg(b.left); r <- mapAgg(b.right))
+            yield b.withNewChildren(Seq(l, r))
+        case l: Literal => Some(l)
         case _ if isCountStar(e) => Some(st("n_rows"))
         case _ => plainAgg(e) match {
           case Some(Sum(inner, _)) =>

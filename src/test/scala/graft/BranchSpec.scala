@@ -167,6 +167,19 @@ class BranchSpec extends SparkSpec {
     assert(rows(Snapshots.read(spark, root)) === Set((2L, "new")))
   }
 
+  test("branch TTL: maintenance drops stale branches, fresh ones survive") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), root)
+    Branches.fork(spark, root, "stale")
+    Thread.sleep(5)
+    assert(Branches.dropExpired(spark, root, ttlMs = 3600000L) === Seq.empty)
+    assert(Branches.list(spark, root) === Seq("stale"))
+    // via the consolidated policy, TTL 0: anything older than "now" goes
+    import graft.engine.{Maintain, MaintenancePolicy}
+    Maintain.maintain(spark, root, MaintenancePolicy(branchTtlMs = 0L))
+    assert(Branches.list(spark, root) === Seq.empty)
+  }
+
   test("schema evolution on a branch publishes with the evolved schema") {
     val root = tmp()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), root, statsCols = Seq("id"))

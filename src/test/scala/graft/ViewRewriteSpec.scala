@@ -48,6 +48,21 @@ class ViewRewriteSpec extends SparkSpec {
       Set(("a", 3.75, 2L), ("b", 4.0, 1L), ("c", 0.25, 1L)))
   }
 
+  test("arithmetic over matched aggregates rewrites (avg as sum/count, scaled sums)") {
+    val (root, state) = freshBase()
+    ViewRewrite.install(spark)
+    ViewRewrite.clear()
+    ViewRewrite.registerView(ViewRewrite.SumView("v", root, state, Seq("k"), Set("x")))
+
+    val q = Snapshots.read(spark, root).groupBy("k")
+      .agg((Det.dsum(col("x")) / count(lit(1))).as("avg_x"),
+        (Det.dsum(col("x")) * lit(2.0)).as("dbl_x"))
+    assert(ViewRewrite.avoidedScan(q, root))
+    assert(q.as[(String, Double, Double)].collect().toSet ===
+      Set(("a", 1.875, 7.5), ("b", 4.0, 8.0), ("c", 0.25, 0.5)))
+    ViewRewrite.clear()
+  }
+
   test("stale view falls back to the scan; refresh re-arms the rewrite") {
     val (root, state) = freshBase()
     ViewRewrite.install(spark)
