@@ -444,6 +444,56 @@ object Dedup {
           (col("c") === col("v")).as("is_keeper"))
         .orderBy("cluster", "p_partkey")
     },
+
+    // ---- q111: CORPUS OVERLAP MATRIX — exact pairwise shingle-Jaccard
+    //            between SOURCES, the pre-dedup diagnostic for a corpus
+    //            assembled from multiple dumps ("how much of dump B is
+    //            already in dump A?" decides dedup order and mixture
+    //            weights BEFORE paying the doc-level pass). Scale shape:
+    //            everything aggregates to the (source, shingle) level
+    //            FIRST, so the self-join keys on the shingle with per-key
+    //            cost ≤ |sources|² — bounded by the source count (a
+    //            handful), never the corpus; contrast the doc-level
+    //            postings joins, which need df caps. One shuffle to the
+    //            distinct, one to the pair count. ----
+    OracleQuery(
+      "q111_source_overlap",
+      """WITH toks AS (
+        |  SELECT source, string_split_regex(lower(text), '\s+') AS t FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+        |  FROM toks, unnest(generate_series(1, len(t) - 2)) AS g(i)),
+        |sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, n_common,
+        |  round(CAST(n_common AS DOUBLE) / (sa.n + sb.n - n_common), 9) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.source = src_a
+        |JOIN sizes sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin) { (spark, dir) =>
+      val sh = TextOps.shinglePostings(
+          docs(spark, dir).repartition(
+            spark.conf.get("spark.sql.shuffle.partitions").toInt),
+          "doc_id", "text", 3, keep = Seq("source"))
+        .select(col("source"), col("s")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      val jac = col("n_common").cast(DoubleType) /
+        (col("sa.n") + col("sb.n") - col("n_common"))
+      sh.as("a")
+        .join(sh.as("b"),
+          col("a.s") === col("b.s") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.as("sa"), col("sa.source") === col("src_a"))
+        .join(sizes.as("sb"), col("sb.source") === col("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_common"),
+          round(jac, 9).as("jaccard"))
+        .orderBy("src_a", "src_b")
+    },
   )
 
   /** q67/q68's shared candidate pipeline: (type, size, length-band)-blocked,
