@@ -211,7 +211,72 @@ object TextAnalysis {
           col("c_mktsegment"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
         .orderBy("pseudo_id")
     },
+
+    // ---- q112: BPE TOKENIZER TRAINING — learn a real merge table ON the
+    //            corpus (Sennrich-style: word-frequency pair counting,
+    //            greedy left-to-right application, count-then-lexicographic
+    //            tie-break). The corpus is scanned ONCE (word counting);
+    //            every round after is vocabulary-sized — the Zipf bound is
+    //            what makes tokenizer training a 100 TB operator. The
+    //            oracle is the SAME algorithm unrolled round by round in
+    //            SQL: symbols live in one sentinel-wrapped string, merge
+    //            application is plain non-regex replace (left-to-right
+    //            non-overlap semantics are identical in every engine), so
+    //            the learned merges, their ranks, AND their weighted
+    //            counts hash-match exactly — ties, overlaps and all. ----
+    OracleQuery("q112_bpe_merges", bpeOracleSql(BpeRounds)) { (spark, dir) =>
+      import spark.implicits._
+      graft.operators.Bpe.learn(docs(spark, dir), "text", BpeRounds)
+        .map(m => (m.rank, m.left, m.right, m.n)).toDF()
+        .toDF("merge_rank", "merge_left", "merge_right", "n")
+        .orderBy("merge_rank")
+    },
   )
+
+  // final + literal = compile-time constant (safe to reference from the
+  // `queries` initializer above regardless of declaration order)
+  private final val BpeRounds = 12
+
+  /** The BPE oracle, machine-unrolled: v0 = char-wrapped word vocab; round
+    * r counts adjacent wrapped pairs from v(r-1), takes the (count DESC,
+    * pair ASC) argmax, and applies it with plain `replace`. Sentinels are
+    * chr(1)/chr(2) — exactly graft.operators.Bpe.{L,R}. */
+  private def bpeOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { r =>
+      s"""p$r AS (
+         |  SELECT chr(1) || t[i] || chr(2) || chr(1) || t[i+1] || chr(2) AS pair,
+         |    CAST(sum(freq) AS BIGINT) AS c
+         |  FROM (SELECT freq,
+         |          string_split(trim(seq, chr(1) || chr(2)), chr(2) || chr(1)) AS t
+         |        FROM v${r - 1}),
+         |       unnest(generate_series(1, len(t) - 1)) AS g(i)
+         |  GROUP BY 1),
+         |b$r AS (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
+         |v$r AS (
+         |  SELECT word, freq,
+         |    replace(seq, b.pair, replace(b.pair, chr(2) || chr(1), '')) AS seq
+         |  FROM v${r - 1}, b$r b)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to k)
+      .map(r => s"SELECT $r AS merge_rank, pair, c FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""WITH w AS (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |    FROM documents) u
+       |  WHERE word <> '' GROUP BY word),
+       |v0 AS (
+       |  SELECT word, freq,
+       |    regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seq
+       |  FROM w),
+       |$rounds
+       |SELECT merge_rank,
+       |  string_split(trim(pair, chr(1) || chr(2)), chr(2) || chr(1))[1] AS merge_left,
+       |  string_split(trim(pair, chr(1) || chr(2)), chr(2) || chr(1))[2] AS merge_right,
+       |  c AS n
+       |FROM ($union)
+       |ORDER BY merge_rank""".stripMargin
+  }
 
   /** \b-anchored alternation usable by both Java regex and RE2. */
   private def sqlStopRe(words: Seq[String]): String =
