@@ -231,19 +231,40 @@ object TextAnalysis {
         .toDF("merge_rank", "merge_left", "merge_right", "n")
         .orderBy("merge_rank")
     },
+
+    // ---- q113: TOKEN ACCOUNTING THROUGH THE LEARNED TOKENIZER — the
+    //            upgrade of the regex token proxy (q22): encode the whole
+    //            corpus with q112's corpus-fitted merge table (row-local
+    //            replace chain, no shuffle, no UDF) and account tokens per
+    //            source — the number that prices a training run and drives
+    //            mixture weights. The oracle re-learns AND re-encodes in
+    //            SQL, so the end-to-end train→encode→account pipeline is
+    //            hash-gated, approximation-free. ----
+    OracleQuery("q113_bpe_token_budget", bpeEncodeSql(BpeRounds)) { (spark, dir) =>
+      val d = docs(spark, dir)
+      val merges = graft.operators.Bpe.learn(d, "text", BpeRounds)
+      graft.operators.Bpe.encode(d, "text", merges)
+        .groupBy("source")
+        .agg(sum(col("n_tokens")).cast(LongType).as("total_tokens"),
+          count(lit(1)).as("n_docs"),
+          (sum(col("n_tokens")).cast(DoubleType) /
+            count(lit(1)).cast(DoubleType)).as("avg_tokens"))
+        .orderBy("source")
+    },
   )
 
   // final + literal = compile-time constant (safe to reference from the
   // `queries` initializer above regardless of declaration order)
   private final val BpeRounds = 12
 
-  /** The BPE oracle, machine-unrolled: v0 = char-wrapped word vocab; round
-    * r counts adjacent wrapped pairs from v(r-1), takes the (count DESC,
-    * pair ASC) argmax, and applies it with plain `replace`. Sentinels are
-    * chr(1)/chr(2) — exactly graft.operators.Bpe.{L,R}. */
-  private def bpeOracleSql(k: Int): String = {
+  /** The shared BPE-learning CTE chain, machine-unrolled: v0 = char-wrapped
+    * word vocab; round r counts adjacent wrapped pairs from v(r-1), takes
+    * the (count DESC, pair ASC) argmax (b_r), and applies it with plain
+    * `replace`. Sentinels are chr(1)/chr(2) — exactly
+    * graft.operators.Bpe.{L,R}. */
+  private def bpeLearnCtes(k: Int): String = {
     val rounds = (1 to k).map { r =>
-      s"""p$r AS (
+      s"""p$r AS MATERIALIZED (
          |  SELECT chr(1) || t[i] || chr(2) || chr(1) || t[i+1] || chr(2) AS pair,
          |    CAST(sum(freq) AS BIGINT) AS c
          |  FROM (SELECT freq,
@@ -251,31 +272,69 @@ object TextAnalysis {
          |        FROM v${r - 1}),
          |       unnest(generate_series(1, len(t) - 1)) AS g(i)
          |  GROUP BY 1),
-         |b$r AS (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
-         |v$r AS (
+         |b$r AS MATERIALIZED (SELECT pair, c FROM p$r ORDER BY c DESC, pair LIMIT 1),
+         |v$r AS MATERIALIZED (
          |  SELECT word, freq,
          |    replace(seq, b.pair, replace(b.pair, chr(2) || chr(1), '')) AS seq
          |  FROM v${r - 1}, b$r b)""".stripMargin
     }.mkString(",\n")
-    val union = (1 to k)
-      .map(r => s"SELECT $r AS merge_rank, pair, c FROM b$r")
-      .mkString("\n  UNION ALL ")
-    s"""WITH w AS (
+    s"""WITH w AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
        |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
        |    FROM documents) u
        |  WHERE word <> '' GROUP BY word),
-       |v0 AS (
+       |v0 AS MATERIALIZED (
        |  SELECT word, freq,
        |    regexp_replace(word, '(.)', chr(1) || '\\1' || chr(2), 'g') AS seq
        |  FROM w),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private def bpeOracleSql(k: Int): String = {
+    val union = (1 to k)
+      .map(r => s"SELECT $r AS merge_rank, pair, c FROM b$r")
+      .mkString("\n  UNION ALL ")
+    s"""${bpeLearnCtes(k)}
        |SELECT merge_rank,
        |  string_split(trim(pair, chr(1) || chr(2)), chr(2) || chr(1))[1] AS merge_left,
        |  string_split(trim(pair, chr(1) || chr(2)), chr(2) || chr(1))[2] AS merge_right,
        |  c AS n
        |FROM ($union)
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** The encode oracle: wrap every document, apply the k learned merges in
+    * rank order, then count tokens as occurrences of the chr(1)
+    * symbol-opener — one token per wrapped symbol. The merge pairs are
+    * HOISTED into a one-row relation cross-joined onto the corpus (plain
+    * column refs in the replace chain — a per-row scalar subquery makes
+    * the engine re-evaluate the lookup 60k × k times), and the applied
+    * chain materializes once in its own CTE so the length diff doesn't
+    * evaluate it twice. */
+  private def bpeEncodeSql(k: Int): String = {
+    val pairCols = (1 to k).map(r => s"(SELECT pair FROM b$r) AS q$r").mkString(",\n    ")
+    val applied = (1 to k).foldLeft("seq0") { (acc, r) =>
+      s"replace($acc, m.q$r, replace(m.q$r, chr(2) || chr(1), ''))"
+    }
+    s"""${bpeLearnCtes(k)},
+       |m AS MATERIALIZED (SELECT
+       |    $pairCols),
+       |enc0 AS MATERIALIZED (
+       |  SELECT source,
+       |    regexp_replace(
+       |      regexp_replace(lower(text), '\\s+', chr(3), 'g'),
+       |      '([^' || chr(3) || '])', chr(1) || '\\1' || chr(2), 'g') AS seq0
+       |  FROM documents),
+       |encA AS MATERIALIZED (SELECT source, $applied AS seqk FROM enc0, m),
+       |enc AS (
+       |  SELECT source,
+       |    CAST(length(seqk) - length(replace(seqk, chr(1), '')) AS BIGINT)
+       |      AS n_tokens
+       |  FROM encA)
+       |SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  count(*) AS n_docs,
+       |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens
+       |FROM enc GROUP BY source ORDER BY source""".stripMargin
   }
 
   /** \b-anchored alternation usable by both Java regex and RE2. */
