@@ -481,13 +481,21 @@ object Dedup {
         .select(col("source"), col("s")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy("source").agg(count(lit(1)).as("n"))
+      // one aggregation to the per-shingle SOURCE SET, then a row-local
+      // pair explode — half the shuffle of a sh⋈sh self-join, same exact
+      // output (the sorted set makes src_a < src_b by construction; pair
+      // fan-out per shingle is ≤ C(|sources|, 2), saturating as the corpus
+      // grows, so past saturation total cost is linear in shingle count)
+      val bySrcSet = sh.groupBy("s")
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .filter(size(col("srcs")) > 1)
       val jac = col("n_common").cast(DoubleType) /
         (col("sa.n") + col("sb.n") - col("n_common"))
-      sh.as("a")
-        .join(sh.as("b"),
-          col("a.s") === col("b.s") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
-        .agg(count(lit(1)).as("n_common"))
+      bySrcSet
+        .select(col("srcs"), posexplode(col("srcs")).as(Seq("i", "src_a")))
+        .select(col("i"), col("src_a"), posexplode(col("srcs")).as(Seq("j", "src_b")))
+        .filter(col("i") < col("j"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
         .join(sizes.as("sa"), col("sa.source") === col("src_a"))
         .join(sizes.as("sb"), col("sb.source") === col("src_b"))
         .select(col("src_a"), col("src_b"), col("n_common"),

@@ -90,6 +90,57 @@ object SnapshotSink {
       .start()
   }
 
+  /** Apply an upsert/delete CHANGE FEED to a snapshot table — the "CDC
+    * apply" sink (Delta's foreachBatch-merge pattern as a first-class
+    * verb): rows carry the target's columns plus `opCol` ('U' upsert /
+    * 'D' delete) and `seqCol` (intra-batch ordering). Per trigger the
+    * batch compacts to the LATEST op per key (a CDC feed legitimately
+    * flips one key several times inside a trigger; MERGE's cardinality
+    * contract wants exactly one), then ONE `mergeInto` applies it:
+    * matched+D deletes, matched updates every non-key column, unmatched
+    * non-D inserts — and an unmatched D is correctly a no-op. Cost per
+    * trigger is the batch's keys' files (stats/bloom-pruned copy-on-write),
+    * never the table. Exactly-once: the merge commit carries the batch-id
+    * tag and a replayed trigger observes it and no-ops. */
+  def startCdcApply(
+      source: DataFrame,
+      root: String,
+      key: String,
+      opCol: String,
+      seqCol: String,
+      checkpointDir: String,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, row_number}
+    import org.apache.spark.sql.expressions.Window
+    import graft.engine.MergeClause
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val tag = s"cdc-batch-$id"
+        val applied = Snapshots.historyMeta(spark, root).exists(_.tag == tag)
+        if (!applied && !batch.isEmpty) {
+          val w = Window.partitionBy(key)
+            .orderBy(col(seqCol).desc, col(opCol).desc)
+          val latest = batch.withColumn("__rn", row_number().over(w))
+            .filter(col("__rn") === 1).drop("__rn", seqCol)
+          val attrs = latest.columns.filterNot(c => c == key || c == opCol)
+          Snapshots.mergeInto(latest, root, key,
+            Seq(
+              MergeClause.Delete(Some(col(s"s.$opCol") === "D")),
+              MergeClause.Update(attrs.map(c => c -> col(s"s.$c")).toMap),
+              MergeClause.Insert(
+                (key +: attrs).map(c => c -> col(s"s.$c")).toMap,
+                cond = Some(col(s"s.$opCol") =!= "D"))),
+            statsCols = statsCols, tag = tag, bloomCols = bloomCols)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Streaming WRITE-AUDIT-PUBLISH: each trigger lands on a fresh BRANCH
     * of the table, the audit runs against the candidate table state (base
     * rows + batch — the view table-level invariants need), and only a

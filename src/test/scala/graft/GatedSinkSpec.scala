@@ -58,6 +58,35 @@ class GatedSinkSpec extends SparkSpec {
       tag = "batch-0").isEmpty)
   }
 
+  test("startCdcApply: upsert/delete feed folds by latest-op-per-key, replay-fenced") {
+    val base = tmp()
+    val root = s"$base/t"
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root,
+      statsCols = Seq("id"))
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String, Long)]
+    val q = graft.streaming.SnapshotSink.startCdcApply(
+      input.toDF().toDF("id", "s", "op", "seq"), root, "id", "op", "seq",
+      s"$base/ckpt", statsCols = Seq("id"))
+    try {
+      // update 2, insert 3, delete 1, delete a key that never existed
+      input.addData((2L, "B", "U", 1L), (3L, "c", "U", 2L),
+        (1L, "", "D", 3L), (9L, "", "D", 4L))
+      q.processAllAvailable()
+      // within one trigger the key flips twice: the LATEST op wins
+      input.addData((4L, "first", "U", 1L), (4L, "last", "U", 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(rows(Snapshots.read(spark, root)) ===
+      Set((2L, "B"), (3L, "c"), (4L, "last")))
+    val tags = Snapshots.historyMeta(spark, root).map(_.tag)
+    assert(tags.count(_.startsWith("cdc-batch-")) === 2, s"tags: $tags")
+    // a replayed trigger observes its tag and must no-op (the sink's gate);
+    // the applied check is the same historyMeta scan the sink runs
+    assert(tags.contains("cdc-batch-0") && tags.contains("cdc-batch-1"))
+  }
+
   test("startWap: whole batches publish or quarantine; main only ever audited") {
     val base = tmp()
     val root = s"$base/t"
