@@ -167,6 +167,38 @@ class BranchSpec extends SparkSpec {
     assert(rows(Snapshots.read(spark, root)) === Set((2L, "new")))
   }
 
+  test("the streaming layer composes with branch roots: sink in, stream out") {
+    val base = java.nio.file.Files.createTempDirectory("branchstream").toString
+    val root = s"file:$base/t"
+    Snapshots.commit(Seq((1L, "seed")).toDF("id", "s"), root)
+    Branches.fork(spark, root, "feed")
+    val bRoot = Branches.root(root, "feed")
+
+    // SnapshotSink lands a stream ON THE BRANCH — main never moves
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = graft.streaming.SnapshotSink.start(
+      input.toDF().toDF("id", "s"), bRoot, s"$base/ckpt_in")
+    try {
+      input.addData((2L, "b"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "seed")))
+
+    // the DSv2 source tails the BRANCH's commit log
+    val out = s"$base/out"
+    val sq = spark.readStream.format("graft.streaming.SnapshotSourceProvider")
+      .option("root", bRoot).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", s"$base/ckpt_out").start()
+    try sq.processAllAvailable() finally sq.stop()
+    assert(rows(spark.read.parquet(out)) === Set((1L, "seed"), (2L, "b")))
+
+    // audited publish brings the streamed rows to main atomically
+    Branches.publish(spark, root, "feed")
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "seed"), (2L, "b")))
+  }
+
   test("branch TTL: maintenance drops stale branches, fresh ones survive") {
     val root = tmp()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), root)
