@@ -51,15 +51,18 @@ import graft.engine.{Incremental, Snapshots}
   */
 object ViewRewrite {
 
-  /** A registered incremental sum/count view: `stateRoot` is the
-    * [[Incremental]] state table over `baseRoot`, keyed by `keys`, carrying
-    * `n_rows` plus `sum_<c>` for each measure in `sums`. */
+  /** A registered incremental view: `stateRoot` is the [[Incremental]]
+    * state table over `baseRoot`, keyed by `keys`, carrying `n_rows` plus
+    * `sum_<c>` for each measure in `sums` (`Incremental.refresh`) and/or
+    * `min_<c>`/`max_<c>` for each column in `minmax`
+    * (`Incremental.refreshMinMax`). */
   final case class SumView(
       name: String,
       baseRoot: String,
       stateRoot: String,
       keys: Seq[String],
-      sums: Set[String])
+      sums: Set[String],
+      minmax: Set[String] = Set.empty)
 
   // registries are per-JVM; entries key by baseRoot (one view per base is
   // plenty for the rewrite demo — first registration wins)
@@ -253,7 +256,8 @@ object ViewRewrite {
       val statePlan = Snapshots.read(spark, v.stateRoot).queryExecution.analyzed
       val stateByName: Map[String, AttributeReference] =
         statePlan.output.collect { case a: AttributeReference => a.name -> a }.toMap
-      if (!(v.keys ++ v.sums.map(c => s"sum_$c") ++ Seq("n_rows"))
+      if (!(v.keys ++ v.sums.map(c => s"sum_$c") ++
+          v.minmax.flatMap(c => Seq(s"min_$c", s"max_$c")) ++ Seq("n_rows"))
           .forall(stateByName.contains)) return None
       def st(name: String): AttributeReference = stateByName(name)
 
@@ -281,6 +285,14 @@ object ViewRewrite {
         case l: Literal => Some(l)
         case _ if isCountStar(e) => Some(st("n_rows"))
         case _ => plainAgg(e) match {
+          case Some(org.apache.spark.sql.catalyst.expressions.aggregate
+              .Min(a: AttributeReference)) if v.minmax.contains(a.name) =>
+            val s = st(s"min_${a.name}")
+            Some(if (s.dataType == e.dataType) s else Cast(s, e.dataType))
+          case Some(org.apache.spark.sql.catalyst.expressions.aggregate
+              .Max(a: AttributeReference)) if v.minmax.contains(a.name) =>
+            val s = st(s"max_${a.name}")
+            Some(if (s.dataType == e.dataType) s else Cast(s, e.dataType))
           case Some(Sum(inner, _)) =>
             val colName = inner match {
               case a: AttributeReference => a.name

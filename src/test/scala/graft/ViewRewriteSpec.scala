@@ -121,6 +121,38 @@ class ViewRewriteSpec extends SparkSpec {
       Seq(("a", "alpha", 3.75), ("b", "beta", 4.0)))
   }
 
+  test("grouped min/max rewrite onto refreshMinMax state, through the delete regime") {
+    val root = tmp()
+    val state = tmp()
+    Snapshots.commit(
+      Seq(("a", 10L), ("a", 3L), ("b", 7L), ("b", 9L)).toDF("k", "x"),
+      root, statsCols = Seq("x"))
+    Incremental.refreshMinMax(spark, root, state, Seq("k"), Seq("x"))
+    ViewRewrite.install(spark)
+    ViewRewrite.clear()
+    ViewRewrite.registerView(ViewRewrite.SumView("mm", root, state,
+      Seq("k"), sums = Set.empty, minmax = Set("x")))
+
+    def q() = Snapshots.read(spark, root).groupBy("k")
+      .agg(min($"x").as("lo"), max($"x").as("hi"), count(lit(1)).as("n"))
+    assert(ViewRewrite.avoidedScan(q(), root))
+    assert(q().as[(String, Long, Long, Long)].collect().toSet ===
+      Set(("a", 3L, 10L, 2L), ("b", 7L, 9L, 2L)))
+
+    // a DELETE can move an extremum: view stale → fallback; after the
+    // delete-regime refresh the rewrite re-arms with the recomputed group
+    Snapshots.delete(Seq(10L).toDF("x"), root, "x", statsCols = Seq("x"))
+    assert(!ViewRewrite.avoidedScan(q(), root))
+    Incremental.refreshMinMax(spark, root, state, Seq("k"), Seq("x"))
+    assert(ViewRewrite.avoidedScan(q(), root))
+    assert(q().filter($"k" === "a").as[(String, Long, Long, Long)].head() ===
+      ("a", 3L, 3L, 1L))
+    // a sum over the same base has no state column here → falls back
+    val s = Snapshots.read(spark, root).groupBy("k").agg(sum($"x").as("t"))
+    assert(!ViewRewrite.avoidedScan(s, root))
+    ViewRewrite.clear()
+  }
+
   test("count(*) over a registered table's head answers from the manifest") {
     val root = tmp()
     Snapshots.commit(spark.range(0, 1000).select($"id", ($"id" % 7).as("g")),
