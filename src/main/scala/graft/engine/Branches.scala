@@ -172,6 +172,29 @@ object Branches {
       else publish(spark, tableRoot, name))
   }
 
+  /** What [[publish]] would make visible: the net row changes between the
+    * branch's fork state and its head — the review surface of the WAP loop
+    * (audit rules gate mechanically; a human or a diff-driven check reads
+    * this). The branch's first manifest IS the fork state carried by
+    * reference, so this is the in-chain CDC read (`Snapshots.changes`) at
+    * changed-files cost, with `_op` = 'I'/'D'; `pendingChangesTyped` gives
+    * the keyed insert/delete/update_pre/update_post form. */
+  def pendingChanges(spark: SparkSession, tableRoot: String, name: String): DataFrame = {
+    val bRoot = Snapshots.branchRoot(tableRoot, name)
+    val head = Snapshots.headVersion(spark, bRoot)
+    require(head > 0, s"branch '$name' does not exist at $tableRoot")
+    Snapshots.changes(spark, bRoot, 1L, head)
+  }
+
+  /** [[pendingChanges]] in the typed Delta-CDF shape, classified by `key`. */
+  def pendingChangesTyped(spark: SparkSession, tableRoot: String, name: String,
+      key: String): DataFrame = {
+    val bRoot = Snapshots.branchRoot(tableRoot, name)
+    val head = Snapshots.headVersion(spark, bRoot)
+    require(head > 0, s"branch '$name' does not exist at $tableRoot")
+    Snapshots.changesTyped(spark, bRoot, 1L, head, key)
+  }
+
   /** Drop every branch whose LAST COMMIT is older than `ttlMs` — the
     * staging-debris bound: a forgotten WAP branch pins its fork-base files
     * against vacuum forever (the cross-chain reference counting working as

@@ -167,6 +167,27 @@ class BranchSpec extends SparkSpec {
     assert(rows(Snapshots.read(spark, root)) === Set((2L, "new")))
   }
 
+  test("pendingChanges: the exact row diff a publish would make visible") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), root,
+      statsCols = Seq("id"))
+    Branches.fork(spark, root, "wap")
+    val bRoot = Branches.root(root, "wap")
+    Snapshots.merge(Seq((2L, "B!"), (3L, "c")).toDF("id", "s"), bRoot, "id")
+
+    val pend = Branches.pendingChanges(spark, root, "wap")
+      .select("id", "s", "_op").as[(Long, String, String)].collect().toSet
+    assert(pend === Set((2L, "b", "D"), (2L, "B!", "I"), (3L, "c", "I")))
+    val typed = Branches.pendingChangesTyped(spark, root, "wap", "id")
+      .select("id", "s", "_change").as[(Long, String, String)].collect().toSet
+    assert(typed === Set((2L, "b", "update_pre"), (2L, "B!", "update_post"),
+      (3L, "c", "insert")))
+    // the diff is exactly what publish then makes visible
+    Branches.publish(spark, root, "wap")
+    assert(rows(Snapshots.read(spark, root)) ===
+      Set((1L, "a"), (2L, "B!"), (3L, "c")))
+  }
+
   test("the streaming layer composes with branch roots: sink in, stream out") {
     val base = java.nio.file.Files.createTempDirectory("branchstream").toString
     val root = s"file:$base/t"
