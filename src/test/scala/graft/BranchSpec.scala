@@ -220,6 +220,38 @@ class BranchSpec extends SparkSpec {
     assert(rows(Snapshots.read(spark, root)) === Set((1L, "seed"), (2L, "b")))
   }
 
+  test("multi-table WAP through the catalog: readers flip atomically across tables") {
+    import graft.engine.Catalog
+    val base = java.nio.file.Files.createTempDirectory("catwap").toString
+    val (tA, tB, cat) = (s"file:$base/a", s"file:$base/b", s"file:$base/cat")
+    val vA0 = Snapshots.commit(Seq((1L, "a1")).toDF("id", "s"), tA)
+    val vB0 = Snapshots.commit(Seq((1L, "b1")).toDF("id", "s"), tB)
+    Catalog.publish(spark, cat, Map("a" -> (tA, vA0), "b" -> (tB, vB0)))
+    val pin0 = Catalog.pin(spark, cat)
+
+    // a cross-table change staged on branches of BOTH tables
+    Branches.fork(spark, tA, "rel")
+    Branches.fork(spark, tB, "rel")
+    Snapshots.merge(Seq((1L, "a2")).toDF("id", "s"), Branches.root(tA, "rel"), "id")
+    Snapshots.merge(Seq((1L, "b2")).toDF("id", "s"), Branches.root(tB, "rel"), "id")
+    val gate = Seq(Expect.Rule("s_not_null", col("s").isNotNull))
+    val vA = Branches.publishIf(spark, tA, "rel", gate).toOption.get
+    // between the two table publishes, a CATALOG reader still sees the
+    // OLD versions of both — per-table flips don't leak halfway states
+    assert(Catalog.read(spark, Catalog.pin(spark, cat), "a")
+      .as[(Long, String)].head() === ((1L, "a1")))
+    val vB = Branches.publishIf(spark, tB, "rel", gate).toOption.get
+    Catalog.publish(spark, cat, Map("a" -> (tA, vA), "b" -> (tB, vB)))
+
+    // the pre-flip pin still reads the consistent OLD pair; a fresh pin
+    // reads the consistent NEW pair — never a1/b2 or a2/b1
+    assert(Catalog.read(spark, pin0, "a").as[(Long, String)].head() === ((1L, "a1")))
+    assert(Catalog.read(spark, pin0, "b").as[(Long, String)].head() === ((1L, "b1")))
+    val pin1 = Catalog.pin(spark, cat)
+    assert(Catalog.read(spark, pin1, "a").as[(Long, String)].head() === ((1L, "a2")))
+    assert(Catalog.read(spark, pin1, "b").as[(Long, String)].head() === ((1L, "b2")))
+  }
+
   test("branch TTL: maintenance drops stale branches, fresh ones survive") {
     val root = tmp()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), root)
