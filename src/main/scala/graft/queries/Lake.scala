@@ -1156,5 +1156,64 @@ object Lake {
       Branches.drop(spark, root, "staging")
       Snapshots.read(spark, root).orderBy("c_custkey")
     },
+
+    // ---- q114: BRANCH DIFF REVIEW — pendingChangesTyped surfaces the exact
+    //            row-level diff a branch publish WOULD make visible, before
+    //            anything publishes: a reviewer reads the staged upsert +
+    //            vectored delete as classified update_pre/update_post /
+    //            insert / delete rows while main is still at its fork
+    //            version (pinned in-query). The cost is the branch's CHANGED
+    //            FILES only (the branch's first manifest IS the fork state,
+    //            so the diff never rescans the shared base). The oracle
+    //            rebuilds fork state and branch state in SQL and classifies
+    //            the EXCEPT ALL diff the same way — row-exact, proving the
+    //            review surface equals what publish would ship. ----
+    OracleQuery(
+      "q114_branch_diff",
+      """WITH t1 AS (SELECT o_orderkey AS k, o_orderstatus AS st,
+        |                   o_totalprice AS price FROM orders),
+        |upd AS (SELECT k, 'R' AS st, price + 1.0 AS price FROM t1 WHERE k % 11 = 0),
+        |ins AS (SELECT k + 900000 AS k, 'N' AS st, CAST(100.0 AS DOUBLE) AS price
+        |        FROM t1 WHERE k % 97 = 0),
+        |t2 AS (SELECT * FROM t1 WHERE k % 11 <> 0
+        |       UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins),
+        |t3 AS (SELECT * FROM t2 WHERE NOT (st = 'F' AND k % 13 = 0)),
+        |ni AS (SELECT * FROM t3 EXCEPT ALL SELECT * FROM t1),
+        |nd AS (SELECT * FROM t1 EXCEPT ALL SELECT * FROM t3),
+        |typed AS (
+        |  SELECT ni.*, CASE WHEN ni.k IN (SELECT k FROM nd)
+        |    THEN 'update_post' ELSE 'insert' END AS chg FROM ni
+        |  UNION ALL
+        |  SELECT nd.*, CASE WHEN nd.k IN (SELECT k FROM ni)
+        |    THEN 'update_pre' ELSE 'delete' END AS chg FROM nd)
+        |SELECT k, st, price, chg FROM typed
+        |ORDER BY k, chg, st, price""".stripMargin) { (spark, dir) =>
+      import graft.engine.Branches
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_review"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val t1 = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").as("price"))
+      Snapshots.commit(t1.repartitionByRange(6, col("k")), root,
+        statsCols = Seq("k"))
+      Branches.fork(spark, root, "review")
+      val bRoot = Branches.root(root, "review")
+      val batch = t1.filter(col("k") % 11 === 0)
+        .select(col("k"), lit("R").as("st"), (col("price") + 1.0).as("price"))
+        .unionByName(t1.filter(col("k") % 97 === 0)
+          .select((col("k") + 900000L).as("k"), lit("N").as("st"),
+            lit(100.0).as("price")))
+      Snapshots.merge(batch, bRoot, "k", statsCols = Seq("k"))
+      Snapshots.deleteWhere(spark, bRoot,
+        col("st") === "F" && col("k") % 13 === 0)
+      val diff = Branches.pendingChangesTyped(spark, root, "review", "k")
+        .withColumnRenamed("_change", "chg")
+        .orderBy("k", "chg", "st", "price")
+      require(Snapshots.headVersion(spark, root) == 1,
+        "reviewing a branch diff must not touch main")
+      diff
+    },
   )
 }
