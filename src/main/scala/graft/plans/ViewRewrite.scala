@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, Sum}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, Count, HllSketchAgg, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.InternalRow
@@ -53,16 +53,19 @@ object ViewRewrite {
 
   /** A registered incremental view: `stateRoot` is the [[Incremental]]
     * state table over `baseRoot`, keyed by `keys`, carrying `n_rows` plus
-    * `sum_<c>` for each measure in `sums` (`Incremental.refresh`) and/or
+    * `sum_<c>` for each measure in `sums` (`Incremental.refresh`),
     * `min_<c>`/`max_<c>` for each column in `minmax`
-    * (`Incremental.refreshMinMax`). */
+    * (`Incremental.refreshMinMax`), and/or `hll_<c>` default-precision HLL
+    * sketches for each column in `distincts`
+    * (`Incremental.refreshApproxDistinct`). */
   final case class SumView(
       name: String,
       baseRoot: String,
       stateRoot: String,
       keys: Seq[String],
       sums: Set[String],
-      minmax: Set[String] = Set.empty)
+      minmax: Set[String] = Set.empty,
+      distincts: Set[String] = Set.empty)
 
   // registries are per-JVM; entries key by baseRoot (one view per base is
   // plenty for the rewrite demo — first registration wins)
@@ -153,6 +156,12 @@ object ViewRewrite {
       case Some(Count(Seq(Literal(_, _)))) => true
       case _ => false
     }
+
+    /** The precision `hll_sketch_agg(c)` defaults to — what
+      * [[graft.engine.Incremental.refreshApproxDistinct]] builds state
+      * with. Derived from the expression itself so a Spark default bump
+      * can't silently mismatch. */
+    private val DefaultLgK = new HllSketchAgg(Literal(0L)).lgConfigK
 
     /** Largest magnitude a double can round-trip losslessly with int64 —
       * the stats index stores extrema as doubles, so a long min/max is
@@ -257,7 +266,8 @@ object ViewRewrite {
       val stateByName: Map[String, AttributeReference] =
         statePlan.output.collect { case a: AttributeReference => a.name -> a }.toMap
       if (!(v.keys ++ v.sums.map(c => s"sum_$c") ++
-          v.minmax.flatMap(c => Seq(s"min_$c", s"max_$c")) ++ Seq("n_rows"))
+          v.minmax.flatMap(c => Seq(s"min_$c", s"max_$c")) ++
+          v.distincts.map(c => s"hll_$c") ++ Seq("n_rows"))
           .forall(stateByName.contains)) return None
       def st(name: String): AttributeReference = stateByName(name)
 
@@ -283,6 +293,22 @@ object ViewRewrite {
           for (l <- mapAgg(b.left); r <- mapAgg(b.right))
             yield b.withNewChildren(Seq(l, r))
         case l: Literal => Some(l)
+        // hll_sketch_estimate(hll_sketch_agg(c)): the state stores the
+        // per-group sketch, and sketch maintenance is bit-identical to a
+        // rebuild (register-wise union is associative/commutative/
+        // idempotent — IncrementalSpec pins estimate EQUALITY), so
+        // estimating the stored sketch IS the direct plan's answer. Only
+        // the default precision matches the state's build; any explicit
+        // lgConfigK falls back to the scan.
+        case est: HllSketchEstimate => plainAgg(est.child) match {
+          case Some(h: HllSketchAgg) => h.left match {
+            case a: AttributeReference
+                if v.distincts.contains(a.name) && h.lgConfigK == DefaultLgK =>
+              Some(HllSketchEstimate(st(s"hll_${a.name}")))
+            case _ => None
+          }
+          case _ => None
+        }
         case _ if isCountStar(e) => Some(st("n_rows"))
         case _ => plainAgg(e) match {
           case Some(org.apache.spark.sql.catalyst.expressions.aggregate

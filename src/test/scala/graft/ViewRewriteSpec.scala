@@ -206,4 +206,42 @@ class ViewRewriteSpec extends SparkSpec {
     assert(q2.as[Long].head() === 0L)
     ViewRewrite.clear()
   }
+
+  test("approx-distinct estimates answer from the sketch state - default precision only") {
+    val root = tmp()
+    val state = tmp()
+    Snapshots.commit(
+      Seq(("a", "u1"), ("a", "u2"), ("a", "u1"), ("b", "u3")).toDF("k", "u"),
+      root)
+    Incremental.refreshApproxDistinct(spark, root, state, Seq("k"), Seq("u"))
+    ViewRewrite.install(spark)
+    ViewRewrite.clear()
+    ViewRewrite.registerView(ViewRewrite.SumView("v", root, state, Seq("k"),
+      Set.empty, distincts = Set("u")))
+
+    // sketch maintenance is bit-identical to a rebuild, so the rewritten
+    // estimate EQUALS the direct plan's, not approximately
+    def q = Snapshots.read(spark, root).groupBy("k")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("u"))).as("nd"),
+        count(lit(1)).as("n"))
+    assert(ViewRewrite.avoidedScan(q, root), "sketch rewrite must fire")
+    assert(q.as[(String, Long, Long)].collect().toSet ===
+      Set(("a", 2L, 3L), ("b", 1L, 1L)))
+
+    // an explicit non-default precision cannot be served by default-built
+    // state: falls back to the scan
+    val q13 = Snapshots.read(spark, root).groupBy("k")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("u"), 13)).as("nd"))
+    assert(!ViewRewrite.avoidedScan(q13, root))
+
+    // delete regime: stale view falls back; the touched-group recompute
+    // refresh re-arms with the exact post-delete estimate
+    Snapshots.deleteWhere(spark, root, col("u") === "u2")
+    assert(!ViewRewrite.avoidedScan(q, root))
+    Incremental.refreshApproxDistinct(spark, root, state, Seq("k"), Seq("u"))
+    assert(ViewRewrite.avoidedScan(q, root))
+    assert(q.as[(String, Long, Long)].collect().toSet ===
+      Set(("a", 1L, 2L), ("b", 1L, 1L)))
+    ViewRewrite.clear()
+  }
 }
