@@ -120,5 +120,58 @@ object Rewrite {
         .select(col("n_total"), col("k_min"), col("k_max"),
           col("o_orderstatus"), col("n_status"))
     },
+
+    // ---- q115: SKETCH-STATE DISTINCT REWRITE. An approx-distinct view
+    //            maintains per-segment HLL sketches through an append
+    //            (register-wise union) and a delete (touched-group
+    //            recompute); the analyst's hll_sketch_estimate over the
+    //            BASE scan answers from the stored sketches (required: no
+    //            base file in the plan). The distinct domain is bounded by
+    //            construction (custkey % 97 → ≤97 values per group at ANY
+    //            scale), which keeps the sketch in its exact sparse
+    //            regime — so the estimate is hash-gated against DuckDB's
+    //            EXACT count(DISTINCT), proving maintain → rewrite →
+    //            estimate end to end, not approximately. ----
+    OracleQuery(
+      "q115_sketch_rewrite",
+      """WITH t1 AS (SELECT c_mktsegment AS seg, c_custkey % 97 AS u
+        |            FROM customer),
+        |t2 AS (SELECT * FROM t1
+        |       UNION ALL SELECT seg, u FROM t1 WHERE u % 3 = 0),
+        |t3 AS (SELECT * FROM t2 WHERE NOT (seg = 'BUILDING' AND u >= 50))
+        |SELECT seg, count(DISTINCT u) AS nd, count(*) AS n
+        |FROM t3 GROUP BY seg ORDER BY seg""".stripMargin) { (spark, dir) =>
+      val root = scratch(dir, "cust_sketch_base")
+      val state = scratch(dir, "cust_sketch_state")
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      fsys.delete(new Path(state), true)
+      val t1 = Tables(spark, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), (col("c_custkey") % 97).as("u"))
+      Snapshots.commit(t1, root)
+      Incremental.refreshApproxDistinct(spark, root, state, Seq("seg"), Seq("u"))
+      // append regime: sketches union register-wise
+      Snapshots.commit(t1.filter(col("u") % 3 === 0), root, append = true)
+      Incremental.refreshApproxDistinct(spark, root, state, Seq("seg"), Seq("u"))
+      // delete regime: the touched group recomputes from the head.
+      // Copy-on-write, deliberately: a merge-on-read DV would make the head
+      // read more than a bare file scan, and the rewrite (correctly)
+      // refuses anything but an exact head file-set match.
+      Snapshots.deleteWhere(spark, root,
+        col("seg") === "BUILDING" && col("u") >= 50, mergeOnRead = false)
+      Incremental.refreshApproxDistinct(spark, root, state, Seq("seg"), Seq("u"))
+
+      ViewRewrite.install(spark)
+      ViewRewrite.registerView(ViewRewrite.SumView("cust_nd", root, state,
+        Seq("seg"), Set.empty, distincts = Set("u")))
+      val q = Snapshots.read(spark, root).groupBy("seg")
+        .agg(hll_sketch_estimate(hll_sketch_agg(col("u"))).as("nd"),
+          count(lit(1)).as("n"))
+        .orderBy("seg")
+      require(ViewRewrite.avoidedScan(q, root),
+        "sketch rewrite must fire: the optimized plan may not scan the base table")
+      ViewRewrite.clear()
+      q
+    },
   )
 }
