@@ -48,6 +48,52 @@ object IncrementalView {
       }
       .start()
 
+  /** [[start]] for the SKETCHABLE family: per-trigger
+    * [[Incremental.refreshApproxDistinct]] maintains per-group HLL
+    * sketches — each arriving batch unions register-wise into the stored
+    * sketches (append deltas are the streaming regime, so every trigger
+    * takes the mergeable path and the maintained sketch stays
+    * bit-identical to a rebuild); a delete commit interleaved by a
+    * maintenance job routes its touched groups through the recompute path
+    * at the next trigger. Same exactly-once tags both sides, so a
+    * replayed trigger is an observable no-op. The standing
+    * distinct-users/domains-per-source dashboard at a few KB of state per
+    * group — and [[graft.plans.ViewRewrite]] answers analyst
+    * `hll_sketch_estimate` queries from this state with zero extra wiring. */
+  def startApproxDistinct(
+      source: DataFrame,
+      root: String,
+      aggRoot: String,
+      checkpointDir: String,
+      groupCols: Seq[String],
+      distinctCols: Seq[String],
+      statsCols: Seq[String] = Seq.empty): StreamingQuery =
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        ingestApproxDistinct(batch, id, root, aggRoot, groupCols, distinctCols,
+          statsCols)
+      }
+      .start()
+
+  /** One [[startApproxDistinct]] trigger, public as the replay-safe
+    * building block. */
+  def ingestApproxDistinct(
+      batch: DataFrame,
+      batchId: Long,
+      root: String,
+      aggRoot: String,
+      groupCols: Seq[String],
+      distinctCols: Seq[String],
+      statsCols: Seq[String] = Seq.empty): Unit = {
+    Snapshots.commitIfAbsent(batch, root, tag = s"batch-$batchId",
+      append = true, statsCols = statsCols)
+    Incremental.refreshApproxDistinct(batch.sparkSession, root, aggRoot,
+      groupCols, distinctCols)
+    ()
+  }
+
   /** One trigger: atomic tagged commit + incremental refresh. Public as the
     * replay-safe building block (and for direct batch-mode catch-up). */
   def ingest(

@@ -315,6 +315,64 @@ class IncrementalSpec extends SparkSpec {
     assert(Snapshots.headVersion(spark, agg) === aggHead, "replayed keyed refresh re-ran")
   }
 
+  test("streaming approx-distinct view: sketch state = exact recompute, replay-safe, rewrite-ready") {
+    import graft.streaming.IncrementalView
+    import graft.plans.ViewRewrite
+    val root = tmp()
+    val agg = tmp()
+    // bounded distinct domain keeps every sketch in its exact sparse
+    // regime, so "approx" is checked with EQUALITY throughout; batch 2
+    // repeats a value the state already holds (idempotent union)
+    val batches = Seq(
+      docs((1, "a", 10), (2, "b", 20)),
+      docs((3, "a", 10)),
+      docs((4, "c", 40), (5, "b", 50)))
+    val srcDir = Files.createTempDirectory("ivdsrc").toFile
+    batches.zipWithIndex.foreach { case (df, i) =>
+      val tmpd = Files.createTempDirectory("ivdpart").toFile
+      df.coalesce(1).write.mode("overwrite").parquet("file:" + tmpd)
+      val part = tmpd.listFiles().find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(srcDir, s"b$i.parquet")
+      Files.move(part.toPath, target.toPath)
+      assert(target.setLastModified(1700000000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(batches.head.schema)
+      .option("maxFilesPerTrigger", "1").parquet("file:" + srcDir)
+    val q = IncrementalView.startApproxDistinct(stream, root, agg,
+      "file:" + Files.createTempDirectory("ivdchk"), Seq("grp"), Seq("chars"))
+    try q.processAllAvailable() finally q.stop()
+
+    def exact(): Map[String, Long] = Snapshots.read(spark, root).groupBy("grp")
+      .agg(count_distinct(col("chars")).as("nd"))
+      .as[(String, Long)].collect().toMap
+    def est(): Map[String, Long] =
+      Incremental.readApproxDistinct(spark, agg, Seq("chars"))
+        .select(col("grp"), col("approx_distinct_chars").cast("long"))
+        .as[(String, Long)].collect().toMap
+    assert(est() === exact(), "stream-maintained sketches diverged from exact")
+    assert(est() === Map("a" -> 1L, "b" -> 2L, "c" -> 1L))
+
+    // replaying the last trigger (restart shape): both sides no-op
+    val srcHead = Snapshots.headVersion(spark, root)
+    val aggHead = Snapshots.headVersion(spark, agg)
+    IncrementalView.ingestApproxDistinct(batches.last, 2L, root, agg,
+      Seq("grp"), Seq("chars"))
+    assert(Snapshots.headVersion(spark, root) === srcHead, "replayed batch re-committed")
+    assert(Snapshots.headVersion(spark, agg) === aggHead, "replayed refresh re-ran")
+
+    // the optimizer answers analyst estimates from the stream-built state
+    ViewRewrite.install(spark)
+    ViewRewrite.clear()
+    ViewRewrite.registerView(ViewRewrite.SumView("snd", root, agg, Seq("grp"),
+      Set.empty, distincts = Set("chars")))
+    val aq = Snapshots.read(spark, root).groupBy("grp")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("chars"))).as("nd"))
+    assert(ViewRewrite.avoidedScan(aq, root),
+      "sketch rewrite must fire over streaming-maintained state")
+    assert(aq.as[(String, Long)].collect().toMap === exact())
+    ViewRewrite.clear()
+  }
+
   test("the delta plan scans only the changed files") {
     val root = tmp()
     val v1 = Snapshots.commit(docs((1, "a", 10), (2, "b", 20)), root)
