@@ -257,7 +257,7 @@ object Snapshots {
         .maxOption.getOrElse(0L)
   }
 
-  private def readText(spark: SparkSession, root: String, p: Path): String = {
+  private[engine] def readText(spark: SparkSession, root: String, p: Path): String = {
     val f = fs(spark, root)
     val in = f.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -439,6 +439,8 @@ object Snapshots {
       s"$root has no recorded schema (legacy manifest) — commit once to record one"))
     require(s.fieldNames.contains(from), s"no column '$from' in $root")
     require(!s.fieldNames.contains(to), s"column '$to' already exists in $root")
+    require(!Checks.referenced(spark, Checks.list(spark, root)).contains(from),
+      s"cannot rename '$from': a CHECK constraint references it — drop the check first")
     val renamed = StructType(s.fields.map { f =>
       if (f.name != from) f
       else f.copy(name = to, metadata =
@@ -468,6 +470,8 @@ object Snapshots {
     val field = s.fields.find(_.name == name)
       .getOrElse(sys.error(s"no column '$name' in $root"))
     require(s.fields.length > 1, s"cannot drop the last column of $root")
+    require(!Checks.referenced(spark, Checks.list(spark, root)).contains(name),
+      s"cannot drop '$name': a CHECK constraint references it — drop the check first")
     val remaining = StructType(s.fields.filterNot(_.name == name))
     publishMeta(spark, root, tag = "", requireHead = headV,
       retiredOverride = Some(meta.retired :+ physicalOf(field))) { head =>
@@ -601,16 +605,41 @@ object Snapshots {
     val f = fs(spark, root)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = s"${dataRoot(root)}/data/c-$commitId"
+    // table CHECK constraints ride the write job as Observation metrics —
+    // violation counts cost zero extra passes over the batch (rules see
+    // LOGICAL names, so they attach before the physical rename below)
+    val rules = Checks.list(spark, root)
+    val obs =
+      if (rules.isEmpty) None
+      else Some(new org.apache.spark.sql.Observation(s"graft-checks-$commitId"))
+    val dfC = obs match {
+      case Some(o) =>
+        val ms = Checks.violationCounts(rules)
+        df.observe(o, ms.head, ms.tail: _*)
+      case None => df
+    }
     // files always store PHYSICAL column names; the batch arrives logical.
     // Stats are likewise collected and recorded under physical names — the
     // resolve-time relabel maps them back to whatever the logical name is
     // at read time.
     val dfP =
-      if (toPhys.isEmpty || !df.columns.exists(toPhys.contains)) df
-      else df.select(df.columns.toSeq.map(c =>
+      if (toPhys.isEmpty || !df.columns.exists(toPhys.contains)) dfC
+      else dfC.select(df.columns.toSeq.map(c =>
         org.apache.spark.sql.functions.col(c).as(toPhys.getOrElse(c, c))): _*)
     val statsP = statsCols.map(c => toPhys.getOrElse(c, c))
     dfP.write.parquet(dataDir)
+    obs.foreach { o =>
+      val got = o.get
+      val bad = rules.filter(r => got.get(r.name).exists(_.asInstanceOf[Long] > 0L))
+      if (bad.nonEmpty) {
+        // abort before anything references the staged files: readers never
+        // see a half-admitted batch, and a fixed retry is a plain re-run
+        f.delete(new Path(dataDir), true)
+        throw new IllegalArgumentException(
+          s"check constraint violation writing to $root: " + bad.map(r =>
+            s"'${r.name}' (${got(r.name)} rows, ${r.exprSql})").mkString(", "))
+      }
+    }
     val written = f.listStatus(new Path(dataDir)).toSeq
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
       .map(_.getPath.toString).sorted
@@ -2877,7 +2906,7 @@ object Snapshots {
     }
   }
 
-  private def unescape(s: String): String = {
+  private[engine] def unescape(s: String): String = {
     val sb = new StringBuilder(s.length)
     var i = 0
     while (i < s.length) {

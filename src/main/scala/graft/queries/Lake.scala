@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.engine.{Catalog, Incremental, MergeClause, S3Like, Snapshots, Tables}
+import graft.engine.{Catalog, Checks, Incremental, MergeClause, S3Like, Snapshots, Tables}
 
 /** Data-lake layout: Hive-style directory partitioning end to end — the
   * distributed form of the reference's prefix-keyed S3 listing (`get_keys`
@@ -1214,6 +1214,51 @@ object Lake {
       require(Snapshots.headVersion(spark, root) == 1,
         "reviewing a branch diff must not touch main")
       diff
+    },
+
+    // ---- q116: TABLE CHECK CONSTRAINTS — a persisted rule on the TABLE
+    //            (not any one writer) vets every write verb: a poisoned
+    //            upsert (negative price) aborts at WRITE time with zero
+    //            residue — the head never moves, staged files are swept —
+    //            and the clean upsert lands normally. Enforcement rides
+    //            the write job as Observation metrics (no second scan of
+    //            the batch, at any batch size). The oracle computes the
+    //            clean merge alone: a hash match proves both that the
+    //            constraint blocked the bad batch completely and that it
+    //            cost the good one nothing. ----
+    OracleQuery(
+      "q116_check_constraints",
+      """WITH t AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+        |clean AS (SELECT k, price + 5.0 AS price FROM t WHERE k % 19 = 0)
+        |SELECT k, price FROM clean
+        |UNION ALL SELECT k, price FROM t WHERE k % 19 <> 0
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_checked"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val t = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      Snapshots.commit(t.repartitionByRange(4, col("k")), root,
+        statsCols = Seq("k"))
+      Checks.add(spark, root, "price_pos", "price > 0")
+
+      // poisoned upsert: rejected at write time, nothing published
+      val poison = t.filter(col("k") % 19 === 0)
+        .select(col("k"), lit(-1.0).as("price"))
+      val rejected =
+        try { Snapshots.merge(poison, root, "k", statsCols = Seq("k")); false }
+        catch { case _: IllegalArgumentException => true }
+      require(rejected, "the poisoned merge must violate the check")
+      require(Snapshots.headVersion(spark, root) == 1,
+        "a rejected write must leave the head untouched")
+
+      // the clean version of the same upsert lands
+      Snapshots.merge(
+        t.filter(col("k") % 19 === 0)
+          .select(col("k"), (col("price") + 5.0).as("price")),
+        root, "k", statsCols = Seq("k"))
+      Snapshots.read(spark, root).orderBy("k")
     },
   )
 }
