@@ -195,6 +195,13 @@ object Snapshots {
       rows: Seq[FileRows] = Seq.empty, blooms: Seq[FileBloom] = Seq.empty,
       dvs: Seq[FileDv] = Seq.empty)
 
+  /** A read-modify-write commit found the head moved past the version it
+    * was computed from. Subclasses IllegalArgumentException so callers
+    * catching the historical abort keep working; [[merge]]'s rebase loop
+    * catches it PRECISELY (never a different argument error). */
+  final class ConcurrentCommitException(msg: String)
+    extends IllegalArgumentException(msg)
+
   private val SnapDir = "_snapshots"
   private val ManifestRe = "manifest-(\\d+)\\.json".r
 
@@ -1043,9 +1050,11 @@ object Snapshots {
       attempt += 1
       require(attempt <= 50, s"gave up committing to $root after 50 version collisions")
       val head = headVersion(spark, root)
-      require(requireHead < 0 || head == requireHead,
-        s"concurrent commit at $root (head v$head != expected v$requireHead) — " +
-          "the state this commit was computed from has moved; recompute and retry")
+      if (requireHead >= 0 && head != requireHead)
+        throw new ConcurrentCommitException(
+          s"requirement failed: concurrent commit at $root (head v$head != expected " +
+            s"v$requireHead) — the state this commit was computed from has moved; " +
+            "recompute and retry")
       val headMeta = if (head > 0) Some(manifestMeta(spark, root, head)) else None
       val (refs, schema) = build(headMeta)
       // retired physical names are a table-lifetime fact: inherited by every
@@ -1163,10 +1172,109 @@ object Snapshots {
     val (written, newStats, newRows, newBlooms) =
       writeBatch(survivors, root, statsCols, toPhys, bloomCols)
     val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
-    val carried = carryUntouched(spark, root, shards, touchedSet)
-    publishMeta(spark, root, tag, requireHead = headV) { head =>
-      val h = head.getOrElse(sys.error("merge base vanished"))
-      (carried :+ newRef, mergedSchemaJson(Some(h.schema), survivors.schema, fresh))
+    testPrePublishHook()
+    // Conflict-validated publish (snapshot isolation, the Iceberg commit
+    // model): losing the head race no longer always aborts. The merge's
+    // READ set is the touched files (the stats-pruned superset holding
+    // every occurrence of its keys) and its WRITE set the replacement
+    // files — if every interim commit is provably disjoint from both, the
+    // pre-written output re-points at the new head (metadata only, no
+    // data rewritten) and commutes with the interim commits; anything
+    // less provable aborts exactly as before. Callers that passed their
+    // OWN requireHead fence (keyed refresh, SCD folds — batches computed
+    // from cross-table state) keep strict abort semantics: their staleness
+    // is about the state they folded, not this table's files.
+    var baseV = headV
+    var baseMeta = meta
+    var baseShards = shards
+    var rebases = 0
+    while (true) {
+      val carried = carryUntouched(spark, root, baseShards, touchedSet)
+      try {
+        return publishMeta(spark, root, tag, requireHead = baseV) { head =>
+          val h = head.getOrElse(sys.error("merge base vanished"))
+          (carried :+ newRef, mergedSchemaJson(Some(h.schema), survivors.schema, fresh))
+        }
+      } catch {
+        case e: ConcurrentCommitException =>
+          rebases += 1
+          if (requireHead >= 0 || rebases > 10) throw e
+          val nwV = headVersion(spark, root)
+          val nwMeta = manifestMeta(spark, root, nwV)
+          val nwShards = loadShards(spark, root, nwMeta)
+          val nw = resolve(nwMeta, nwShards)
+          validateMergeRebase(m, meta, nw, nwMeta, key, probe, touchedSet) match {
+            case Left(reason) => throw new ConcurrentCommitException(
+              s"${e.getMessage} [rebase refused: $reason]")
+            case Right(()) =>
+              baseV = nwV; baseMeta = nwMeta; baseShards = nwShards
+          }
+      }
+    }
+    0L // unreachable
+  }
+
+  /** Test seam: runs between a merge's data write and its publish attempt,
+    * where a deterministic spec injects a racing commit. */
+  private[graft] var testPrePublishHook: () => Unit = () => ()
+
+  /** Right(()) iff re-pointing a keyed merge computed at `old` onto `nw`
+    * is provably sound — the interim commits are disjoint from the merge's
+    * read/write set, so the operations commute:
+    *   1. schema and retired-column history unchanged (an interim evolution
+    *      would need re-planning);
+    *   2. every file this merge rewrote still stands in the new head, with
+    *      its deletion vector unchanged (an interim rewrite/DV on one means
+    *      the survivors were computed from superseded rows — lost update);
+    *   3. no interim-added file can hold any of the merge's keys (checked
+    *      through the same stats/bloom candidacy the pruning used — a
+    *      statless added file is conservatively a conflict), otherwise the
+    *      upsert would miss rows it should have replaced.
+    * Interim removals of OTHER files need no check: the merge's keys live
+    * only inside its touched set (pruning is a superset), and the rebased
+    * carry derives from the NEW head's shards, so disjoint removals are
+    * respected automatically. */
+  private def validateMergeRebase(
+      old: Manifest,
+      oldMeta: ManifestMeta,
+      nw: Manifest,
+      nwMeta: ManifestMeta,
+      key: String,
+      probe: KeyProbe,
+      touched: Set[String]): Either[String, Unit] = {
+    def base(u: String) = new Path(u).getName
+    if (nwMeta.schema != oldMeta.schema)
+      Left("schema evolved between the merge's base and the new head")
+    else if (nwMeta.retired != oldMeta.retired)
+      Left("columns were retired between the merge's base and the new head")
+    else {
+      val nwFiles = nw.files.toSet
+      val touchedBase = touched.map(base)
+      def dvs(man: Manifest) =
+        man.dvs.filter(d => touchedBase.contains(d.file)).sortBy(_.file)
+      if (!touched.forall(nwFiles.contains))
+        Left("an interim commit rewrote or removed a file this merge rewrote")
+      else if (dvs(old) != dvs(nw))
+        Left("an interim commit changed a deletion vector on a file this merge rewrote")
+      else {
+        val oldFiles = old.files.toSet
+        val added = nw.files.filterNot(oldFiles)
+        if (added.isEmpty) Right(())
+        else {
+          val addedBase = added.map(base).toSet
+          val sub = Manifest(nw.version, added, nw.parent,
+            stats = nw.stats.filter(s => addedBase.contains(s.file)),
+            blooms = nw.blooms.filter(b => addedBase.contains(b.file)))
+          val risky = probe match {
+            case KeysSmall(ks) => candidateFilesForKeys(sub, key, ks)
+            case KeysRange(lo, hi) => candidateFiles(sub, key, lo, hi)
+            case KeysOpaqueSmall(ks) => candidateFilesForStrings(sub, key, ks)
+            case _ => added // opaque keys: no pruning index — conservative
+          }
+          if (risky.isEmpty) Right(())
+          else Left(s"an interim commit added ${risky.size} file(s) that may hold merge keys")
+        }
+      }
     }
   }
 

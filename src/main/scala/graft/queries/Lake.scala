@@ -1260,5 +1260,54 @@ object Lake {
         root, "k", statsCols = Seq("k"))
       Snapshots.read(spark, root).orderBy("k")
     },
+
+    // ---- q117: CONFLICT-VALIDATED MERGE REBASE — a keyed merge loses the
+    //            head race to a concurrent append (injected
+    //            deterministically at the engine's pre-publish seam) whose
+    //            keys are provably disjoint through the stats index. Old
+    //            behavior: abort, recompute, re-run the data pass. Now:
+    //            the pre-written output re-points at the new head —
+    //            metadata only, zero data rewritten — because disjoint
+    //            commits commute. The oracle computes the SERIAL
+    //            append-then-merge result: a hash match proves the rebased
+    //            publish is indistinguishable from the serial schedule
+    //            (snapshot isolation's promise), with neither the racer's
+    //            rows nor the merge's updates lost. ----
+    OracleQuery(
+      "q117_merge_rebase",
+      """WITH t AS (SELECT o_orderkey AS k, o_totalprice AS price FROM orders),
+        |racer AS (SELECT k + 500000 AS k, CAST(9.99 AS DOUBLE) AS price
+        |          FROM t WHERE k % 41 = 0),
+        |upd AS (SELECT k, price + 1.0 AS price FROM t WHERE k % 23 = 0)
+        |SELECT k, price FROM upd
+        |UNION ALL SELECT k, price FROM t WHERE k % 23 <> 0
+        |UNION ALL SELECT k, price FROM racer
+        |ORDER BY k""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_rebase"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val t = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"), col("o_totalprice").as("price"))
+      Snapshots.commit(t.repartitionByRange(4, col("k")), root,
+        statsCols = Seq("k"))
+      // the racer lands BETWEEN the merge's data write and its publish
+      Snapshots.testPrePublishHook = () => {
+        Snapshots.testPrePublishHook = () => ()
+        Snapshots.commit(
+          t.filter(col("k") % 41 === 0)
+            .select((col("k") + 500000L).as("k"), lit(9.99).as("price")),
+          root, append = true, statsCols = Seq("k"))
+      }
+      try
+        Snapshots.merge(
+          t.filter(col("k") % 23 === 0)
+            .select(col("k"), (col("price") + 1.0).as("price")),
+          root, "k", statsCols = Seq("k"))
+      finally Snapshots.testPrePublishHook = () => ()
+      require(Snapshots.headVersion(spark, root) == 3,
+        "the merge must have published ON TOP of the interim append (v3)")
+      Snapshots.read(spark, root).orderBy("k")
+    },
   )
 }

@@ -1,0 +1,167 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Snapshots
+
+/** Conflict-validated merge publish (snapshot isolation): a keyed merge
+  * that loses the head race no longer always aborts — when every interim
+  * commit is provably disjoint from the merge's read/write set, the
+  * pre-written output re-points at the new head (metadata only); anything
+  * less provable aborts exactly as before. Races are injected
+  * deterministically through the engine's pre-publish test seam.
+  */
+class MergeRebaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    "file:" + Files.createTempDirectory("mrb").toString + "/t"
+
+  /** id 1..40 in two range files, stats on id. */
+  private def freshTable(): String = {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(1, 41).select($"id", ($"id" * 10L).as("v"))
+        .repartitionByRange(2, $"id"),
+      root, statsCols = Seq("id"))
+    root
+  }
+
+  /** Install a SELF-CLEARING pre-publish hook (the racing op itself may run
+    * a merge, which would otherwise re-enter the seam forever). */
+  private def race(op: => Unit): Unit =
+    Snapshots.testPrePublishHook = () => {
+      Snapshots.testPrePublishHook = () => ()
+      op
+    }
+
+  private def resetHook(): Unit = Snapshots.testPrePublishHook = () => ()
+
+  test("a disjoint interim append rebases: no abort, no lost update") {
+    val root = freshTable()
+    try {
+      race {
+        Snapshots.commit(Seq((100L, 1000L)).toDF("id", "v"), root,
+          append = true, statsCols = Seq("id"))
+      }
+      // the merge was computed at v1; the racer publishes v2 mid-flight
+      Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), root, "id",
+        statsCols = Seq("id"))
+      assert(Snapshots.headVersion(spark, root) === 3L,
+        "merge must land ON TOP of the interim append")
+      val got = Snapshots.read(spark, root).as[(Long, Long)].collect().toMap
+      assert(got(5L) === -50L, "the merge's update was lost")
+      assert(got(100L) === 1000L, "the interim append's row was lost")
+      assert(got.size === 41)
+    } finally resetHook()
+  }
+
+  test("an interim append that may hold a merge key refuses the rebase") {
+    val root = freshTable()
+    try {
+      race {
+        Snapshots.commit(Seq((5L, 5555L)).toDF("id", "v"), root,
+          append = true, statsCols = Seq("id"))
+      }
+      val e = intercept[Snapshots.ConcurrentCommitException] {
+        Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), root, "id",
+          statsCols = Seq("id"))
+      }
+      assert(e.getMessage.contains("rebase refused"))
+      assert(e.getMessage.contains("may hold merge keys"))
+      // the aborted merge left no version; the racer's append stands alone
+      assert(Snapshots.headVersion(spark, root) === 2L)
+      assert(Snapshots.read(spark, root).filter($"id" === 5L)
+        .count() === 2L) // base row + racer's append, untouched by the abort
+    } finally resetHook()
+  }
+
+  test("an interim rewrite of a touched file refuses the rebase") {
+    val root = freshTable()
+    try {
+      race {
+        // racer merges key 7 — same file our merge of key 5 rewrote
+        Snapshots.merge(Seq((7L, 7777L)).toDF("id", "v"), root, "id",
+          statsCols = Seq("id"))
+      }
+      val e = intercept[Snapshots.ConcurrentCommitException] {
+        Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), root, "id",
+          statsCols = Seq("id"))
+      }
+      assert(e.getMessage.contains("rebase refused"))
+      assert(e.getMessage.contains("rewrote or removed"))
+      // the racer's update must not be lost
+      assert(Snapshots.read(spark, root).filter($"id" === 7L)
+        .select("v").as[Long].head() === 7777L)
+    } finally resetHook()
+  }
+
+  test("an interim statless append is conservatively a conflict") {
+    val root = freshTable()
+    try {
+      race {
+        // no statsCols: the added file has no pruning index — its key
+        // range is unknowable, so the rebase must refuse
+        Snapshots.commit(Seq((300L, 3L)).toDF("id", "v"), root, append = true)
+      }
+      val e = intercept[Snapshots.ConcurrentCommitException] {
+        Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), root, "id",
+          statsCols = Seq("id"))
+      }
+      assert(e.getMessage.contains("rebase refused"))
+    } finally resetHook()
+  }
+
+  test("an explicit requireHead fence never rebases") {
+    val root = freshTable()
+    try {
+      race {
+        Snapshots.commit(Seq((100L, 1000L)).toDF("id", "v"), root,
+          append = true, statsCols = Seq("id"))
+      }
+      // caller computed its batch FROM v1 state (the keyed-refresh shape):
+      // even a provably-disjoint interim commit must abort
+      intercept[Snapshots.ConcurrentCommitException] {
+        Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), root, "id",
+          statsCols = Seq("id"), requireHead = 1L)
+      }
+      assert(Snapshots.headVersion(spark, root) === 2L)
+    } finally resetHook()
+  }
+
+  test("an interim compaction refuses the rebase (every file moved)") {
+    val root = freshTable()
+    try {
+      race { Snapshots.compact(spark, root, targetFiles = 1) }
+      val e = intercept[Snapshots.ConcurrentCommitException] {
+        Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), root, "id",
+          statsCols = Seq("id"))
+      }
+      assert(e.getMessage.contains("rebase refused"))
+      // recompute-and-retry against the compacted head lands cleanly
+      Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), root, "id",
+        statsCols = Seq("id"))
+      assert(Snapshots.read(spark, root).filter($"id" === 5L)
+        .select("v").as[Long].head() === -50L)
+    } finally resetHook()
+  }
+
+  test("chained disjoint racers rebase repeatedly within the attempt bound") {
+    val root = freshTable()
+    try {
+      // two interim appends, the second installed by the first racer
+      race {
+        Snapshots.commit(Seq((100L, 1L)).toDF("id", "v"), root,
+          append = true, statsCols = Seq("id"))
+        Snapshots.commit(Seq((101L, 2L)).toDF("id", "v"), root,
+          append = true, statsCols = Seq("id"))
+      }
+      Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), root, "id",
+        statsCols = Seq("id"))
+      val got = Snapshots.read(spark, root).as[(Long, Long)].collect().toMap
+      assert(got(5L) === -50L && got(100L) === 1L && got(101L) === 2L)
+    } finally resetHook()
+  }
+}
