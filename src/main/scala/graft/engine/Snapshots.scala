@@ -1184,8 +1184,34 @@ object Snapshots {
     // OWN requireHead fence (keyed refresh, SCD folds — batches computed
     // from cross-table state) keep strict abort semantics: their staleness
     // is about the state they folded, not this table's files.
+    publishMergeOutput(spark, root, tag, headV, meta, shards, m, key, probe,
+      touchedSet, newRef, allowRebase = requireHead < 0)(h =>
+      mergedSchemaJson(Some(h.schema), survivors.schema, fresh))
+  }
+
+  /** The conflict-validated publish loop shared by [[merge]] and
+    * [[mergeInto]]: attempt the fenced publish; on losing the race,
+    * validate the interim commits against the merge's read/write set and
+    * — when provably disjoint — re-point the pre-written output at the
+    * new head and retry. `allowRebase = false` keeps the historical
+    * strict abort (explicit caller fences; by-source full-sync merges,
+    * whose row fates depend on EVERY target row, so no interim commit can
+    * ever commute with them). */
+  private def publishMergeOutput(
+      spark: SparkSession,
+      root: String,
+      tag: String,
+      headV: Long,
+      meta: ManifestMeta,
+      shards: Seq[Shard],
+      m: Manifest,
+      key: String,
+      probe: KeyProbe,
+      touchedSet: Set[String],
+      newRef: ShardRef,
+      allowRebase: Boolean)(
+      schemaJson: ManifestMeta => String): Long = {
     var baseV = headV
-    var baseMeta = meta
     var baseShards = shards
     var rebases = 0
     while (true) {
@@ -1193,12 +1219,12 @@ object Snapshots {
       try {
         return publishMeta(spark, root, tag, requireHead = baseV) { head =>
           val h = head.getOrElse(sys.error("merge base vanished"))
-          (carried :+ newRef, mergedSchemaJson(Some(h.schema), survivors.schema, fresh))
+          (carried :+ newRef, schemaJson(h))
         }
       } catch {
         case e: ConcurrentCommitException =>
           rebases += 1
-          if (requireHead >= 0 || rebases > 10) throw e
+          if (!allowRebase || rebases > 10) throw e
           val nwV = headVersion(spark, root)
           val nwMeta = manifestMeta(spark, root, nwV)
           val nwShards = loadShards(spark, root, nwMeta)
@@ -1207,7 +1233,7 @@ object Snapshots {
             case Left(reason) => throw new ConcurrentCommitException(
               s"${e.getMessage} [rebase refused: $reason]")
             case Right(()) =>
-              baseV = nwV; baseMeta = nwMeta; baseShards = nwShards
+              baseV = nwV; baseShards = nwShards
           }
       }
     }
@@ -1366,15 +1392,14 @@ object Snapshots {
       s"mergeInto source has duplicate '$key' values — MERGE requires at most " +
         "one source row per target row (the SQL cardinality violation)")
 
-    val touched =
-      if (hasBySource) m.files
-      else probeKeys(source, key) match {
-        case KeysEmpty => sys.error("mergeInto source has no non-null keys")
-        case KeysSmall(ks) => candidateFilesForKeys(m, key, ks)
-        case KeysRange(lo, hi) => candidateFiles(m, key, lo, hi)
-        case KeysOpaqueSmall(ks) => candidateFilesForStrings(m, key, ks)
-        case KeysOpaque => m.files
-      }
+    val probe = if (hasBySource) KeysOpaque else probeKeys(source, key)
+    val touched = probe match {
+      case KeysEmpty => sys.error("mergeInto source has no non-null keys")
+      case KeysSmall(ks) => candidateFilesForKeys(m, key, ks)
+      case KeysRange(lo, hi) => candidateFiles(m, key, lo, hi)
+      case KeysOpaqueSmall(ks) => candidateFilesForStrings(m, key, ks)
+      case KeysOpaque => m.files
+    }
     val touchedSet = touched.toSet
     val target = readFiles(spark, m, touched)
 
@@ -1449,11 +1474,11 @@ object Snapshots {
     val (written, newStats, newRows, newBlooms) =
       writeBatch(survivors, root, statsCols, toPhys, bloomCols)
     val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
-    val carried = carryUntouched(spark, root, shards, touchedSet)
-    publishMeta(spark, root, tag, requireHead = headV) { head =>
-      val h = head.getOrElse(sys.error("mergeInto base vanished"))
-      (carried :+ newRef, mergedSchemaJson(Some(h.schema), survivors.schema))
-    }
+    testPrePublishHook()
+    publishMergeOutput(spark, root, tag, headV, meta, shards, m, key, probe,
+      touchedSet, newRef,
+      allowRebase = requireHead < 0 && !hasBySource)(h =>
+      mergedSchemaJson(Some(h.schema), survivors.schema))
   }
 
   /** Carry the untouched portion of `shards` forward: a shard with no

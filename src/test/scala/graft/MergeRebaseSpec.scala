@@ -148,6 +148,36 @@ class MergeRebaseSpec extends SparkSpec {
     } finally resetHook()
   }
 
+  test("MERGE INTO rebases on a disjoint racer; by-source clauses never do") {
+    import graft.engine.MergeClause
+    val root = freshTable()
+    try {
+      race {
+        Snapshots.commit(Seq((100L, 1000L)).toDF("id", "v"), root,
+          append = true, statsCols = Seq("id"))
+      }
+      Snapshots.mergeInto(Seq((5L, -50L)).toDF("id", "v"), root, "id",
+        Seq(MergeClause.Update(Map("v" -> col("s.v"))),
+          MergeClause.Insert()),
+        statsCols = Seq("id"))
+      val got = Snapshots.read(spark, root).as[(Long, Long)].collect().toMap
+      assert(got(5L) === -50L && got(100L) === 1000L)
+
+      // a NOT MATCHED BY SOURCE clause makes row fates depend on EVERY
+      // target row — no interim commit can commute, even a disjoint one
+      race {
+        Snapshots.commit(Seq((200L, 2000L)).toDF("id", "v"), root,
+          append = true, statsCols = Seq("id"))
+      }
+      intercept[Snapshots.ConcurrentCommitException] {
+        Snapshots.mergeInto(Seq((6L, -60L)).toDF("id", "v"), root, "id",
+          Seq(MergeClause.Update(Map("v" -> col("s.v"))),
+            MergeClause.BySourceDelete(Some(col("t.id") > 1000L))),
+          statsCols = Seq("id"))
+      }
+    } finally resetHook()
+  }
+
   test("chained disjoint racers rebase repeatedly within the attempt bound") {
     val root = freshTable()
     try {
