@@ -1561,7 +1561,8 @@ object Snapshots {
     val meta = manifestMeta(spark, root, headV)
     val shards = loadShards(spark, root, meta)
     val m = resolve(meta, shards)
-    val touched = probeKeys(keys, key) match {
+    val probe = probeKeys(keys, key)
+    val touched = probe match {
       case KeysEmpty => return headV // empty key set: nothing to delete
       case KeysSmall(ks) => candidateFilesForKeys(m, key, ks)
       case KeysRange(lo, hi) => candidateFiles(m, key, lo, hi)
@@ -1609,11 +1610,12 @@ object Snapshots {
     val (written, newStats, newRows, newBlooms) =
       writeBatch(survivors, root, statsCols, toPhys, bloomCols)
     val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
-    val carried = carryUntouched(spark, root, shards, touchedSet)
-    publishMeta(spark, root, tag = "", requireHead = headV) { head =>
-      val h = head.getOrElse(sys.error("delete base vanished"))
-      (carried :+ newRef, mergedSchemaJson(Some(h.schema), survivors.schema))
-    }
+    testPrePublishHook()
+    // a keyed delete is an upsert with an empty replacement for its keys —
+    // the same disjointness validation makes its rebase sound
+    publishMergeOutput(spark, root, tag = "", headV, meta, shards, m, key,
+      probe, touchedSet, newRef, allowRebase = true)(h =>
+      mergedSchemaJson(Some(h.schema), survivors.schema))
   }
 
   /** Predicate DELETE with MERGE-ON-READ deletion vectors: rows matching

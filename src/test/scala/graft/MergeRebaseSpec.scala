@@ -178,6 +178,29 @@ class MergeRebaseSpec extends SparkSpec {
     } finally resetHook()
   }
 
+  test("a keyed delete rebases on a disjoint racer and refuses an overlapping one") {
+    val root = freshTable()
+    try {
+      race {
+        Snapshots.commit(Seq((100L, 1000L)).toDF("id", "v"), root,
+          append = true, statsCols = Seq("id"))
+      }
+      Snapshots.delete(Seq(5L).toDF("id"), root, "id", statsCols = Seq("id"))
+      val got = Snapshots.read(spark, root).as[(Long, Long)].collect().toMap
+      assert(!got.contains(5L) && got(100L) === 1000L && got.size === 40)
+
+      // racer re-inserts the key being deleted: the delete must abort, or
+      // the racer's row would silently survive a delete that "succeeded"
+      race {
+        Snapshots.commit(Seq((6L, 666L)).toDF("id", "v"), root,
+          append = true, statsCols = Seq("id"))
+      }
+      intercept[Snapshots.ConcurrentCommitException] {
+        Snapshots.delete(Seq(6L).toDF("id"), root, "id", statsCols = Seq("id"))
+      }
+    } finally resetHook()
+  }
+
   test("chained disjoint racers rebase repeatedly within the attempt bound") {
     val root = freshTable()
     try {
