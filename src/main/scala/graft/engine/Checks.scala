@@ -1,7 +1,7 @@
 package graft.engine
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Persisted table-level CHECK constraints over [[Snapshots]] tables — the
@@ -14,7 +14,10 @@ import org.apache.spark.sql.functions._
   *
   * Semantics follow SQL CHECK: a row passes when the predicate is TRUE or
   * NULL; only FALSE is a violation (so `col("x") >= 0` admits null x, and
-  * NOT NULL is spelled `col("x").isNotNull`).
+  * NOT NULL is spelled `col("x").isNotNull`). A batch that omits a checked
+  * column entirely is evaluated as if the column were null on every row —
+  * the same rows a schema-merging read would surface — so a predicate rule
+  * passes it and an IS NOT NULL rule rejects it, never an analysis error.
   *
   * Enforcement is ZERO extra passes: [[Snapshots]] attaches the rules as
   * `Observation` metrics on the batch being written, so violation counts
@@ -23,20 +26,30 @@ import org.apache.spark.sql.functions._
   * data directory is deleted and nothing becomes visible (the same
   * invisible-abort contract every snapshot write has), so readers never see
   * a half-admitted batch and a retry after fixing the data is a plain
-  * re-run.
+  * re-run. If the rule set CHANGED while the batch was writing (a
+  * concurrent `add` — the minutes-long window of a big write), the write
+  * path re-validates the just-written files against the new rules before
+  * publishing: one scan of this batch's files, only in the race.
   *
-  * `add` validates EXISTING data first (one pruned head scan) and refuses
-  * if any current row violates the rule — the Delta/Iceberg contract that
-  * makes "all committed rows satisfy all checks" an invariant rather than a
-  * hope. Rules persist as `_snapshots/checks-<n>.json` generations, each a
-  * full rule list published create-if-absent through the store's
-  * [[CommitArbiter]] — concurrent adds race safely (the loser re-reads and
-  * republishes), and crash-interrupted updates leave the prior generation
-  * intact. Rules are stored as SQL expression text (re-parsed per write),
-  * so they survive sessions and travel with the table directory; branches
-  * of the table share them (the rule set is table policy, like
-  * [[MaintenancePolicy]] — a WAP staging branch is checked at write time,
-  * before its publish-time audit even runs).
+  * `add` validates EXISTING data first — the current head of EVERY chain,
+  * main and branches (a branch is a future fast-forward of main, so an
+  * unvalidated branch would launder violating rows into main through a
+  * metadata-only publish) — and refuses if any current row violates the
+  * rule: the Delta/Iceberg contract that makes "all committed rows satisfy
+  * all checks" an invariant rather than a hope. [[Snapshots.restore]]
+  * closes the remaining metadata-only door by validating the restored-to
+  * state when rules exist (history predating a rule was never vetted by
+  * it). Rules persist as `_snapshots/checks/checks-<n>.json` generations
+  * (their own directory — the hot write path never lists the manifest
+  * history to discover them), each a full rule list published
+  * create-if-absent through the store's [[CommitArbiter]] — concurrent
+  * adds race safely (the loser re-reads and republishes), and
+  * crash-interrupted updates leave the prior generation intact. Rules are
+  * stored as SQL expression text (re-parsed per write), so they survive
+  * sessions and travel with the table directory; branches of the table
+  * share them (the rule set is table policy, like [[MaintenancePolicy]] —
+  * a WAP staging branch is checked at write time, before its publish-time
+  * audit even runs).
   */
 object Checks {
 
@@ -47,14 +60,18 @@ object Checks {
 
   private val FileRe = "checks-(\\d+)\\.json".r
 
-  private def checksDir(root: String) = s"${Snapshots.dataRoot(root)}/_snapshots"
+  private def checksDir(root: String) =
+    s"${Snapshots.dataRoot(root)}/_snapshots/checks"
 
   private def fsOf(spark: SparkSession, root: String) =
     new Path(Snapshots.dataRoot(root))
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (latest generation number, its rules) — (0, empty) when none. */
-  private def latest(spark: SparkSession, root: String): (Long, Seq[Rule]) = {
+  /** (latest generation number, its rules) — (0, empty) when none. The
+    * no-checks case is one existence probe of a dedicated directory, never
+    * a listing of the table's manifest history. */
+  private[engine] def listWithGen(
+      spark: SparkSession, root: String): (Long, Seq[Rule]) = {
     val f = fsOf(spark, root)
     val dir = new Path(checksDir(root))
     if (!f.exists(dir)) return (0L, Seq.empty)
@@ -68,22 +85,27 @@ object Checks {
 
   /** The table's current rule set (empty when unconstrained). */
   def list(spark: SparkSession, root: String): Seq[Rule] =
-    latest(spark, root)._2
+    listWithGen(spark, root)._2
 
   /** Attach a named CHECK, its predicate as SQL text (the DDL shape:
     * `CHECK (quality >= 0)` travels as `"quality >= 0"`). Validates
-    * existing data first: if any current row of the table violates the
-    * predicate, the add refuses and nothing changes — after a successful
-    * add, every committed row (past and future) satisfies every listed
-    * rule. */
+    * existing data first — the head of every chain, branches included: if
+    * any current row violates the predicate, the add refuses and nothing
+    * changes. After a successful add, every committed row (past and
+    * future, on every chain) satisfies every listed rule. */
   def add(spark: SparkSession, root: String, name: String, condSql: String): Unit = {
     require(name.matches("[A-Za-z0-9._-]+"),
       s"check name '$name' must match [A-Za-z0-9._-]+")
-    val cond = expr(condSql) // must parse, or every write would fail
-    if (Snapshots.headVersion(spark, root) > 0) {
-      val bad = Snapshots.read(spark, root).filter(!coalesce(cond, lit(true)))
-      require(bad.isEmpty,
-        s"cannot add check '$name' at $root: existing rows violate it")
+    expr(condSql) // must parse, or every write would fail
+    val base = Snapshots.dataRoot(root)
+    Snapshots.allRefs(spark, base).foreach { ref =>
+      val chain = if (ref.isEmpty) base else Snapshots.branchRoot(base, ref)
+      if (Snapshots.headVersion(spark, chain) > 0) {
+        val where = if (ref.isEmpty) "existing rows" else s"branch '$ref' rows"
+        require(findViolation(Snapshots.read(spark, chain),
+          Seq(Rule(name, condSql))).isEmpty,
+          s"cannot add check '$name' at $root: $where violate it")
+      }
     }
     publishRules(spark, root, { rules =>
       require(!rules.exists(_.name == name),
@@ -99,20 +121,55 @@ object Checks {
       rules.filterNot(_.name == name)
     })
 
-  /** Column names a rule set references — the guard rename/drop schema
-    * evolution consults (a rename would orphan the rule's text). */
+  /** Re-validate the table's CURRENT head against every rule, returning
+    * the violated rule names (empty = invariant holds). The operator's
+    * audit verb: by construction writes keep the invariant, but it makes
+    * the claim checkable rather than trusted. */
+  def verify(spark: SparkSession, root: String): Seq[String] = {
+    val rules = list(spark, root)
+    if (rules.isEmpty || Snapshots.headVersion(spark, root) == 0) Seq.empty
+    else findViolation(Snapshots.read(spark, root), rules).toSeq.map(_._1)
+  }
+
+  /** TOP-LEVEL column names a rule set references — the guard rename/drop
+    * schema evolution consults (a rename would orphan the rule's text). A
+    * struct-field reference like `meta.lang` pins the ROOT column `meta`. */
   private[engine] def referenced(
       spark: SparkSession, rules: Seq[Rule]): Set[String] =
     rules.flatMap(r =>
       spark.sessionState.sqlParser.parseExpression(r.exprSql).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          a.nameParts.last
+          a.nameParts.head
       }).toSet
 
-  /** Per-rule violation-count metrics for the write-path observation:
-    * rows where the predicate is strictly FALSE (null passes, per SQL). */
+  /** Per-rule violation-count metrics: rows where the predicate is
+    * strictly FALSE (null passes, per SQL). */
   private[engine] def violationCounts(rules: Seq[Rule]): Seq[Column] =
     rules.map(r => count_if(!coalesce(r.cond, lit(true))).as(r.name))
+
+  /** `df` with every rule-referenced column the frame LACKS added as a
+    * null literal — the rows a schema-merging read of this batch would
+    * surface, so rule evaluation matches read-time semantics instead of
+    * failing to resolve. */
+  private[engine] def augmentMissing(
+      spark: SparkSession, df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    val have = df.columns.toSet
+    val missing = referenced(spark, rules).diff(have).toSeq.sorted
+    missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null)))
+  }
+
+  /** First violated (rule name, count), if any, over `df` — the one-pass
+    * validation used by `add`, `verify`, and the write path's re-check
+    * after a racing rule change. */
+  private[engine] def findViolation(
+      df: DataFrame, rules: Seq[Rule]): Option[(String, Long)] = {
+    if (rules.isEmpty) return None
+    val aug = augmentMissing(df.sparkSession, df, rules)
+    val row = aug.select(violationCounts(rules): _*).head()
+    rules.zipWithIndex
+      .map { case (r, i) => (r.name, row.getLong(i)) }
+      .find(_._2 > 0L)
+  }
 
   /** Optimistic create-if-absent publish of the next rules generation. */
   private def publishRules(
@@ -120,7 +177,7 @@ object Checks {
     val fsys = fsOf(spark, root)
     var done = false
     while (!done) {
-      val (n, cur) = latest(spark, root)
+      val (n, cur) = listWithGen(spark, root)
       val next = f(cur)
       fsys.mkdirs(new Path(checksDir(root)))
       val tmp = new Path(s"${checksDir(root)}/.tmp-${java.util.UUID.randomUUID()}")

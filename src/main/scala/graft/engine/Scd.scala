@@ -69,6 +69,8 @@ object Scd {
     // the comparison base, reused for the changed-set and the closing
     // rewrite — persist so the probe scan runs once.
     val probe = Snapshots.probeKeys(batch.select(key), key)
+    // the head the fold below is computed FROM — the publish fences on it
+    val observedHead = Snapshots.headVersion(spark, root)
     // whole touched files, no exact key filter: every consumer below
     // re-filters exactly (the news left-join keys on the batch side; the
     // rewrite semi-joins on changedKeys), and the closing merge's anti
@@ -111,8 +113,11 @@ object Scd {
             news.drop("__isNew", "__curFrom")
               .withColumn("valid_from", lit(ts))
               .withColumn("valid_to", lit(null).cast("long")))
+        // the rewrite was computed FROM observedHead (hist, cur, the
+        // monotonicity gate): fence the publish on it — an SCD fold must
+        // recompute against a moved head, never rebase onto it
         Snapshots.mergeProbed(rewritten, root, key, probe,
-          statsCols = statsCols, tag = tag)
+          statsCols = statsCols, tag = tag, requireHead = observedHead)
       } finally news.unpersist()
     } finally hist.unpersist()
   }

@@ -614,15 +614,21 @@ object Snapshots {
     val dataDir = s"${dataRoot(root)}/data/c-$commitId"
     // table CHECK constraints ride the write job as Observation metrics —
     // violation counts cost zero extra passes over the batch (rules see
-    // LOGICAL names, so they attach before the physical rename below)
-    val rules = Checks.list(spark, root)
+    // LOGICAL names, so they attach before the physical rename below). A
+    // checked column the batch omits is evaluated as null on every row
+    // (the schema-merging read semantics), never an analysis error.
+    val (rulesGen, rules) = Checks.listWithGen(spark, root)
     val obs =
       if (rules.isEmpty) None
       else Some(new org.apache.spark.sql.Observation(s"graft-checks-$commitId"))
     val dfC = obs match {
       case Some(o) =>
+        val aug = Checks.augmentMissing(spark, df, rules)
         val ms = Checks.violationCounts(rules)
-        df.observe(o, ms.head, ms.tail: _*)
+        // write only the batch's real columns; the null augmentation
+        // exists for rule evaluation alone
+        aug.observe(o, ms.head, ms.tail: _*)
+          .select(df.columns.toSeq.map(org.apache.spark.sql.functions.col): _*)
       case None => df
     }
     // files always store PHYSICAL column names; the batch arrives logical.
@@ -645,6 +651,28 @@ object Snapshots {
         throw new IllegalArgumentException(
           s"check constraint violation writing to $root: " + bad.map(r =>
             s"'${r.name}' (${got(r.name)} rows, ${r.exprSql})").mkString(", "))
+      }
+    }
+    testPostWriteHook()
+    // a rule set that CHANGED while this batch wrote (a concurrent
+    // Checks.add — the minutes-long window of a big write) was not in the
+    // observation: re-validate the staged files against the current rules
+    // before anything can publish them — one scan of this batch's files,
+    // paid only in the race. Files store physical names; rules speak
+    // logical ones.
+    val (genNow, rulesNow) = Checks.listWithGen(spark, root)
+    if (genNow != rulesGen && rulesNow.nonEmpty &&
+        f.listStatus(new Path(dataDir)).exists(st =>
+          st.isFile && st.getPath.getName.endsWith(".parquet"))) {
+      val staged0 = spark.read.parquet(dataDir)
+      val toLogical = toPhys.map(_.swap)
+      val staged = staged0.select(staged0.columns.toSeq.map(c =>
+        org.apache.spark.sql.functions.col(c).as(toLogical.getOrElse(c, c))): _*)
+      Checks.findViolation(staged, rulesNow).foreach { case (rname, cnt) =>
+        f.delete(new Path(dataDir), true)
+        throw new IllegalArgumentException(
+          s"check constraint violation writing to $root: '$rname' ($cnt rows, " +
+            "rule added concurrently with this write)")
       }
     }
     val written = f.listStatus(new Path(dataDir)).toSeq
@@ -1243,6 +1271,10 @@ object Snapshots {
   /** Test seam: runs between a merge's data write and its publish attempt,
     * where a deterministic spec injects a racing commit. */
   private[graft] var testPrePublishHook: () => Unit = () => ()
+
+  /** Test seam inside [[writeBatch]], after the data write and before the
+    * rule-change re-check — where a spec injects a racing `Checks.add`. */
+  private[graft] var testPostWriteHook: () => Unit = () => ()
 
   /** Right(()) iff re-pointing a keyed merge computed at `old` onto `nw`
     * is provably sound — the interim commits are disjoint from the merge's
@@ -2628,6 +2660,18 @@ object Snapshots {
     * refresh would apply a delta against the wrong base. */
   def restore(spark: SparkSession, root: String, version: Long): Long = {
     val target = manifestMeta(spark, root, version) // throws if vacuumed away
+    // a restored-to state may PREDATE a CHECK rule — its rows were never
+    // vetted by it, and a metadata-only flip would launder them past the
+    // write-path enforcement. Validate the target state when rules exist
+    // (one scan; restore is a rare admin verb).
+    val rules = Checks.list(spark, root)
+    if (rules.nonEmpty) {
+      Checks.findViolation(read(spark, root, version), rules).foreach {
+        case (rname, cnt) => throw new IllegalArgumentException(
+          s"cannot restore $root to v$version: ${cnt} row(s) violate check " +
+            s"'$rname' (the version predates the rule) — drop the check first")
+      }
+    }
     // carry the target's shards BY REFERENCE — a restore is pure metadata,
     // O(#shards) whatever the table size
     val refs = shardRefsOf(spark, root, target)

@@ -1248,7 +1248,12 @@ object Lake {
         .select(col("k"), lit(-1.0).as("price"))
       val rejected =
         try { Snapshots.merge(poison, root, "k", statsCols = Seq("k")); false }
-        catch { case _: IllegalArgumentException => true }
+        catch {
+          // the CHECK must be what fired — any other argument error (a
+          // head-race abort, a collision give-up) must fail the query
+          case e: IllegalArgumentException
+              if e.getMessage != null && e.getMessage.contains("price_pos") => true
+        }
       require(rejected, "the poisoned merge must violate the check")
       require(Snapshots.headVersion(spark, root) == 1,
         "a rejected write must leave the head untouched")

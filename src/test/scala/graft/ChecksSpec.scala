@@ -112,6 +112,88 @@ class ChecksSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).columns.contains("q2"))
   }
 
+  test("a struct-field rule pins its ROOT column against rename/drop") {
+    val root = tmp()
+    Snapshots.commit(
+      Seq((1L, "en", 5L)).toDF("id", "lang0", "n")
+        .select(col("id"), struct(col("lang0").as("lang"), col("n")).as("meta")),
+      root)
+    Checks.add(spark, root, "lang_set", "meta.lang IS NOT NULL")
+    // the guard must see 'meta' (the root column), not 'lang'
+    intercept[IllegalArgumentException] {
+      Snapshots.renameColumn(spark, root, "meta", "m2")
+    }
+    // ...and must NOT block an unrelated column that shares the leaf name
+    val root2 = tmp()
+    Snapshots.commit(Seq((1L, "en", ("x", 1L))).toDF("id", "lang", "meta"), root2)
+    Checks.add(spark, root2, "lang_set", "meta._1 IS NOT NULL")
+    Snapshots.renameColumn(spark, root2, "lang", "language")
+    assert(Snapshots.read(spark, root2).columns.contains("language"))
+  }
+
+  test("a batch omitting a checked column evaluates it as null, not an error") {
+    val root = tmp()
+    Snapshots.commit(rows((1L, 10L)), root)
+    Checks.add(spark, root, "q_pos", "quality >= 0")
+    // predicate rule: absent column → null → passes (never AnalysisException)
+    Snapshots.commit(Seq(Tuple1(2L)).toDF("id"), root, append = true)
+    assert(Snapshots.read(spark, root).count() === 2L)
+    // NOT NULL rule: absent column → every row violates → rejected
+    Checks.drop(spark, root, "q_pos")
+    // (current rows include the null-quality append — clean them first)
+    Snapshots.delete(Seq(2L).toDF("id"), root, "id")
+    Checks.add(spark, root, "q_set", "quality IS NOT NULL")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq(Tuple1(3L)).toDF("id"), root, append = true)
+    }
+    assert(e.getMessage.contains("q_set"))
+  }
+
+  test("a rule added while a batch writes still vets that batch") {
+    val root = tmp()
+    Snapshots.commit(rows((1L, 10L)), root)
+    // the add lands while the batch's data files are being written — the
+    // window the post-write re-validation closes
+    Snapshots.testPostWriteHook = () => {
+      Snapshots.testPostWriteHook = () => ()
+      Checks.add(spark, root, "q_pos", "quality >= 0")
+    }
+    try {
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.merge(rows((2L, -5L)), root, "id")
+      }
+      assert(e.getMessage.contains("q_pos") &&
+        e.getMessage.contains("concurrently"))
+      assert(Snapshots.read(spark, root).count() === 1L)
+    } finally Snapshots.testPostWriteHook = () => ()
+  }
+
+  test("add validates branch heads; restore refuses a pre-rule violating state") {
+    import graft.engine.Branches
+    val root = tmp()
+    Snapshots.commit(rows((1L, 10L)), root)
+    Branches.fork(spark, root, "staging")
+    Snapshots.commit(rows((9L, -1L)), Branches.root(root, "staging"), append = true)
+    // the branch holds a violating row: the add must refuse — a later
+    // metadata-only publish would otherwise launder it into main
+    val e = intercept[IllegalArgumentException] {
+      Checks.add(spark, root, "q_pos", "quality >= 0")
+    }
+    assert(e.getMessage.contains("staging"))
+    Branches.drop(spark, root, "staging")
+
+    // restore: v1 has a violating row, v2 is clean, rule added at v2
+    val root2 = tmp()
+    Snapshots.commit(rows((1L, -3L)), root2)
+    Snapshots.deleteWhere(spark, root2, col("quality") < 0, mergeOnRead = false)
+    Checks.add(spark, root2, "q_pos", "quality >= 0")
+    val e2 = intercept[IllegalArgumentException] {
+      Snapshots.restore(spark, root2, 1L)
+    }
+    assert(e2.getMessage.contains("predates"))
+    assert(Checks.verify(spark, root2).isEmpty)
+  }
+
   test("branches share the table's rules: a staging write is checked too") {
     import graft.engine.Branches
     val root = tmp()
