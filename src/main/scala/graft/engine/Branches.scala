@@ -138,7 +138,17 @@ object Branches {
         "rebase is sound for append-only branches; re-fork and replay instead")
     val added = branchRefs.filterNot(r => baseRefs.contains(r.name))
 
-    Snapshots.publishMeta(spark, tableRoot, tag = s"publish:$name") { headOpt =>
+    // retired physical names are a table-lifetime fact on BOTH chains: a
+    // branch-side dropColumn is metadata-only (all shard refs carried, so
+    // it passes the append-only subset check above) and its retirement
+    // must survive the rebase, or a later re-added column of the same name
+    // would resurrect the pre-drop files' values. Union is always sound —
+    // over-retiring only forces fresh physical names.
+    val mainRetired = Snapshots
+      .manifestMeta(spark, tableRoot, Snapshots.headVersion(spark, tableRoot)).retired
+    val retired = (mainRetired ++ bMeta.retired).distinct
+    Snapshots.publishMeta(spark, tableRoot, tag = s"publish:$name",
+      retiredOverride = Some(retired)) { headOpt =>
       val h = headOpt.getOrElse(sys.error(s"main chain vanished at $tableRoot"))
       val schema =
         if (bMeta.schema == baseMeta.schema) h.schema // branch didn't evolve

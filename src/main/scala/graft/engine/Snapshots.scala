@@ -305,24 +305,19 @@ object Snapshots {
     // keeps working across renames with no knowledge of the mapping.
     // Dropped columns' stats keep their physical label — no logical name
     // reaches them, so they are inert.
+    val p2l: Map[String, String] = parseSchemaStr(m.schema) match {
+      case Some(sc) => sc.fields.iterator
+        .map(f => physicalOf(f) -> f.name).filter(e => e._1 != e._2).toMap
+      case None => Map.empty
+    }
     val stats = shards.flatMap(_.stats)
-    val relabeled = parseSchemaStr(m.schema) match {
-      case Some(s) =>
-        val p2l = s.fields.iterator
-          .map(f => physicalOf(f) -> f.name).filter(e => e._1 != e._2).toMap
-        if (p2l.isEmpty) stats
-        else stats.map(st => p2l.get(st.col).fold(st)(l => st.copy(col = l)))
-      case None => stats
-    }
+    val relabeled =
+      if (p2l.isEmpty) stats
+      else stats.map(st => p2l.get(st.col).fold(st)(l => st.copy(col = l)))
     val blooms = shards.flatMap(_.blooms)
-    val relabeledBlooms = parseSchemaStr(m.schema) match {
-      case Some(sc) =>
-        val p2l = sc.fields.iterator
-          .map(f => physicalOf(f) -> f.name).filter(e => e._1 != e._2).toMap
-        if (p2l.isEmpty) blooms
-        else blooms.map(bl => p2l.get(bl.col).fold(bl)(l => bl.copy(col = l)))
-      case None => blooms
-    }
+    val relabeledBlooms =
+      if (p2l.isEmpty) blooms
+      else blooms.map(bl => p2l.get(bl.col).fold(bl)(l => bl.copy(col = l)))
     Manifest(m.version, shards.flatMap(_.files), m.parent,
       relabeled, m.tag, m.ts, m.schema, shards.flatMap(_.rows), relabeledBlooms,
       shards.flatMap(_.dvs))
@@ -1418,8 +1413,11 @@ object Snapshots {
       case _ => false
     }
     // the standard's cardinality check: duplicate source keys would make
-    // first-match-wins nondeterministic. One small agg over the batch side.
-    require(source.groupBy(col(key)).count()
+    // first-match-wins nondeterministic. One small agg over the batch
+    // side. Null keys are exempt — null never equals any target key, so
+    // null-keyed rows can't contend for a target row (they flow to NOT
+    // MATCHED, where SQL inserts each of them).
+    require(source.filter(col(key).isNotNull).groupBy(col(key)).count()
       .filter(col("count") > 1).limit(1).count() == 0,
       s"mergeInto source has duplicate '$key' values — MERGE requires at most " +
         "one source row per target row (the SQL cardinality violation)")
@@ -1968,13 +1966,12 @@ object Snapshots {
     // from cast — the probe's whole job is to observe the null instead
     val casted = col(key).try_cast("double")
     val MaxDriverKeys = 100000
-    // ONE job in the common case: the distinct (cast, is-opaque) pairs up
+    // ONE job in the common case: the distinct (string, cast) pairs up
     // to the driver cap decide emptiness, opacity, AND the key set in a
-    // single pass (every opaque value collapses into one (null, true)
-    // row, so the distinct count stays ≈ the distinct key count). Each
-    // probe job re-executes the caller's batch plan, which may be deep —
-    // the keyed-incremental fold reads state files + the source delta —
-    // so job count here is commit latency, spec-pinned (CommitJobsSpec).
+    // single pass. Each probe job re-executes the caller's batch plan,
+    // which may be deep — the keyed-incremental fold reads state files +
+    // the source delta — so job count here is commit latency, spec-pinned
+    // (CommitJobsSpec).
     val rows = keysDf.filter(col(key).isNotNull)
       .select(col(key).cast("string").as("__s"), casted.as("__c"))
       .distinct().limit(MaxDriverKeys + 1).collect()
@@ -1988,9 +1985,16 @@ object Snapshots {
       return KeysOpaqueSmall(ks)
     }
     if (rows.length > MaxDriverKeys) {
-      // over the cap: the (rare) second pass fetches the global range
-      val r = keysDf.agg(min(casted), max(casted)).head()
-      KeysRange(r.getDouble(0), r.getDouble(1))
+      // over the cap: the (rare) second pass fetches the global range —
+      // and re-checks opacity over the WHOLE batch, because the capped
+      // sample above cannot prove the absence of non-numeric keys (a few
+      // opaque values hiding past the cap would otherwise let a numeric
+      // range prune away exactly the files holding their rows)
+      import org.apache.spark.sql.functions.{count, lit}
+      val r = keysDf.filter(col(key).isNotNull)
+        .agg(min(casted), max(casted), count(lit(1)), count(casted)).head()
+      if (r.getLong(2) != r.getLong(3)) KeysOpaque
+      else KeysRange(r.getDouble(0), r.getDouble(1))
     } else {
       val ks = rows.map(_.getDouble(1))
       java.util.Arrays.sort(ks)
@@ -2602,7 +2606,12 @@ object Snapshots {
       toV: Long,
       key: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, lit}
-    val ch = changes(spark, root, fromV, toV).persist()
+    // localCheckpoint, not persist: the four branches below each consume
+    // `ch`, and a persist here would leak its cached blocks for the
+    // session's lifetime (the caller gets a lazy frame and has no handle
+    // to unpersist). The checkpoint's blocks are reclaimed with the frame,
+    // and the changes plan (a changed-files CDC read) truncates cheaply.
+    val ch = changes(spark, root, fromV, toV).localCheckpoint()
     val ins = ch.filter(col("_op") === "I").drop("_op")
     val del = ch.filter(col("_op") === "D").drop("_op")
     val insKeys = ins.select(col(key)).distinct()

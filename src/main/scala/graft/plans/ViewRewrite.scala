@@ -261,8 +261,17 @@ object ViewRewrite {
       if (!filters.forall(_.references.forall(a => v.keys.contains(a.name))))
         return None
 
-      // the state scan: keys, n_rows (long), sum_<c> (exact decimal)
-      val statePlan = Snapshots.read(spark, v.stateRoot).queryExecution.analyzed
+      // the state scan: keys, n_rows (long), sum_<c> (exact decimal). A
+      // keyed state carries net-zero groups as TOMBSTONES (n_rows = 0,
+      // filtered by readKeyed) — a registered keyed state passes every
+      // column check here, so the rewrite must apply the same filter or
+      // it would surface phantom zero-count groups the real aggregate
+      // never emits. For non-keyed states n_rows is never 0 (groups drop
+      // at net zero), so the filter is a no-op there.
+      val stateDf = Snapshots.read(spark, v.stateRoot)
+      val statePlan = stateDf
+        .filter(org.apache.spark.sql.functions.col("n_rows") > 0L)
+        .queryExecution.analyzed
       val stateByName: Map[String, AttributeReference] =
         statePlan.output.collect { case a: AttributeReference => a.name -> a }.toMap
       if (!(v.keys ++ v.sums.map(c => s"sum_$c") ++

@@ -179,6 +179,11 @@ object SnapshotSink {
         val quarantined = Snapshots.headVersion(spark, quarantineRoot) > 0 &&
           Snapshots.historyMeta(spark, quarantineRoot).exists(_.tag == name)
         if (!published && !quarantined) {
+          // bootstrap: a branch needs a base to fork — a fresh table gets
+          // an empty v1 with the stream's schema (tagged, so a crash-and-
+          // replay between this and the fork is a plain re-entry)
+          if (Snapshots.headVersion(spark, root) == 0)
+            Snapshots.commit(batch.limit(0), root, tag = "wap-base")
           Branches.drop(spark, root, name) // debris of a crashed attempt
           Branches.fork(spark, root, name)
           Snapshots.commit(batch, Branches.root(root, name), append = true,

@@ -251,20 +251,25 @@ private[streaming] class SnapshotMicroBatchStream(
     // per-added-file vector as of toV (a delete landing in the same span
     // marks rows that never net-arrived — the reader skips them)
     val dvByName = mTo.dvs.map(d => d.file -> d.b64).toMap
-    val confEntries = {
-      val hc = spark.sparkContext.hadoopConfiguration
-      hc.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
-    }
     added.sorted.map { uri =>
-      SnapshotFilePartition(uri, confEntries,
+      SnapshotFilePartition(uri,
         dvByName.get(new Path(uri).getName)): InputPartition
     }.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // one head/manifest read for the whole batch, not one per column —
+    // and the Hadoop conf ships ONCE in the factory rather than copied
+    // into every per-file partition (a 10k-file backfill would otherwise
+    // serialize 10k conf copies from the driver)
+    val phys = SnapshotSource.physicalNames(root)
+    val confEntries = {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    }
     SnapshotReaderFactory(required.json,
-      required.fields.map(f => SnapshotSource.physicalNames(root)
-        .getOrElse(f.name, f.name)))
+      required.fields.map(f => phys.getOrElse(f.name, f.name)), confEntries)
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
@@ -272,17 +277,17 @@ private[streaming] class SnapshotMicroBatchStream(
 
 private[streaming] case class SnapshotFilePartition(
     uri: String,
-    confEntries: Array[(String, String)],
     dvB64: Option[String]) extends InputPartition
 
 private[streaming] case class SnapshotReaderFactory(
     requiredJson: String,
-    physNames: Array[String]) extends PartitionReaderFactory {
+    physNames: Array[String],
+    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
     new SnapshotGroupReader(p, DataType.fromJson(requiredJson).asInstanceOf[StructType],
-      physNames)
+      physNames, confEntries)
   }
 }
 
@@ -296,11 +301,12 @@ private[streaming] case class SnapshotReaderFactory(
 private[streaming] class SnapshotGroupReader(
     partition: SnapshotFilePartition,
     required: StructType,
-    physNames: Array[String]) extends PartitionReader[InternalRow] {
+    physNames: Array[String],
+    confEntries: Array[(String, String)]) extends PartitionReader[InternalRow] {
 
   private val conf = {
     val c = new Configuration(false)
-    partition.confEntries.foreach { case (k, v) => c.set(k, v) }
+    confEntries.foreach { case (k, v) => c.set(k, v) }
     c
   }
   private val path = new Path(partition.uri)

@@ -121,4 +121,24 @@ class GatedSinkSpec extends SparkSpec {
     assert(Snapshots.commitIfAbsent(Seq((9L, "x")).toDF("id", "s"), quar,
       tag = "batch-1").isEmpty)
   }
+
+  test("startWap bootstraps an empty table instead of crash-looping") {
+    val base = tmp()
+    val root = s"$base/t" // NO seed commit: first trigger must self-bootstrap
+    val quar = s"$base/q"
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.SnapshotSink.startWap(
+      input.toDF().toDF("id", "s"), root, quar, s"$base/ckpt", gate,
+      statsCols = Seq("id"))
+    try {
+      input.addData((1L, "first"))
+      q.processAllAvailable()
+      input.addData((2L, null.asInstanceOf[String])) // poisoned second batch
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "first")))
+    assert(rows(Snapshots.read(spark, quar)) === Set((2L, null)))
+    assert(Branches.list(spark, root) === Seq.empty)
+  }
 }

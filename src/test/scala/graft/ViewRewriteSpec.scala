@@ -207,6 +207,26 @@ class ViewRewriteSpec extends SparkSpec {
     ViewRewrite.clear()
   }
 
+  test("a keyed state's tombstone groups never surface through the rewrite") {
+    val root = tmp()
+    val state = tmp()
+    Snapshots.commit(
+      Seq(("a", 1.50), ("b", 4.00)).toDF("k", "x"), root, statsCols = Seq("x"))
+    Incremental.refreshKeyed(spark, root, state, Seq("k"), Seq("x"))
+    // group b nets to zero: the keyed state keeps it as a tombstone row
+    // (n_rows = 0) that readKeyed filters — the rewrite must filter too
+    Snapshots.deleteWhere(spark, root, $"k" === "b", mergeOnRead = false)
+    Incremental.refreshKeyed(spark, root, state, Seq("k"), Seq("x"))
+    ViewRewrite.install(spark)
+    ViewRewrite.clear()
+    ViewRewrite.registerView(ViewRewrite.SumView("kv", root, state, Seq("k"), Set("x")))
+    val q = aggQuery(root)
+    assert(ViewRewrite.avoidedScan(q, root), "keyed-state rewrite must fire")
+    assert(q.as[(String, Double, Long)].collect().toSet === Set(("a", 1.5, 1L)),
+      "tombstone group 'b' surfaced as a phantom zero-count row")
+    ViewRewrite.clear()
+  }
+
   test("approx-distinct estimates answer from the sketch state - default precision only") {
     val root = tmp()
     val state = tmp()
