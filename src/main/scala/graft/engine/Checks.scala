@@ -131,6 +131,20 @@ object Checks {
     else findViolation(Snapshots.read(spark, root), rules).toSeq.map(_._1)
   }
 
+  /** The table's rules as a ROW-LEVEL gate over `df`: the frame with any
+    * missing checked columns null-augmented (so rules resolve with the
+    * schema-merging read semantics) paired with [[graft.operators.Expect]]
+    * rules in CHECK semantics — a row passes on TRUE or NULL, fails only
+    * on FALSE. The bridge streaming sinks use to split a batch instead of
+    * letting a poison pill crash-loop the whole write. */
+  def gate(spark: SparkSession, root: String,
+      df: DataFrame): (DataFrame, Seq[graft.operators.Expect.Rule]) = {
+    val rules = list(spark, root)
+    (augmentMissing(spark, df, rules),
+      rules.map(r => graft.operators.Expect.Rule(r.name,
+        coalesce(r.cond, lit(true)))))
+  }
+
   /** TOP-LEVEL column names a rule set references — the guard rename/drop
     * schema evolution consults (a rename would orphan the rule's text). A
     * struct-field reference like `meta.lang` pins the ROOT column `meta`. */

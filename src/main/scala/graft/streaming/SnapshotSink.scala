@@ -90,6 +90,55 @@ object SnapshotSink {
       .start()
   }
 
+  /** [[startGated]] for a CONSTRAINED table: the gate IS the table's
+    * persisted [[graft.engine.Checks]] rules, re-read each trigger (a
+    * check added or dropped mid-stream applies from the next trigger).
+    * The operational gap this closes: on a checked table a plain sink is
+    * one poison pill from a crash loop — the write-path enforcement
+    * aborts the whole batch, the trigger replays, and the stream fails
+    * forever. Here the violating rows quarantine with the rule names they
+    * failed (`_failed`), the clean rows land, both exactly-once under the
+    * batch tag; a check-less table degrades to a plain append sink. Rule
+    * evaluation uses CHECK semantics (TRUE or NULL passes), and a batch
+    * omitting a checked column evaluates it as null per the
+    * schema-merging read. */
+  def startChecked(
+      source: DataFrame,
+      root: String,
+      quarantineRoot: String,
+      checkpointDir: String,
+      statsCols: Seq[String] = Seq.empty): StreamingQuery = {
+    import org.apache.spark.sql.functions.{col, size}
+    source.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val spark = batch.sparkSession
+        val (aug, rules) = graft.engine.Checks.gate(spark, root, batch)
+        if (rules.isEmpty) {
+          Snapshots.commitIfAbsent(batch, root, tag = s"batch-$id",
+            append = true, statsCols = statsCols)
+        } else {
+          val annotated = graft.operators.Expect.annotate(aug, rules)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val keep = batch.columns.toSeq.map(col)
+            val clean = annotated.filter(size(col("_failed")) === 0)
+              .select(keep: _*)
+            val bad = annotated.filter(size(col("_failed")) > 0)
+              .select(keep :+ col("_failed"): _*)
+            Snapshots.commitIfAbsent(clean, root, tag = s"batch-$id",
+              append = true, statsCols = statsCols)
+            if (!bad.isEmpty)
+              Snapshots.commitIfAbsent(bad, quarantineRoot, tag = s"batch-$id",
+                append = true)
+          } finally annotated.unpersist()
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Apply an upsert/delete CHANGE FEED to a snapshot table — the "CDC
     * apply" sink (Delta's foreachBatch-merge pattern as a first-class
     * verb): rows carry the target's columns plus `opCol` ('U' upsert /

@@ -141,4 +141,36 @@ class GatedSinkSpec extends SparkSpec {
     assert(rows(Snapshots.read(spark, quar)) === Set((2L, null)))
     assert(Branches.list(spark, root) === Seq.empty)
   }
+
+  test("startChecked: the table's persisted checks gate the stream, no crash loop") {
+    import graft.engine.Checks
+    val base = tmp()
+    val root = s"$base/t"
+    val quar = s"$base/q"
+    Snapshots.commit(Seq((1L, "seed")).toDF("id", "s"), root, statsCols = Seq("id"))
+    Checks.add(spark, root, "s_set", "s IS NOT NULL")
+    Checks.add(spark, root, "id_pos", "id > 0")
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val q = graft.streaming.SnapshotSink.startChecked(
+      input.toDF().toDF("id", "s"), root, quar, s"$base/ckpt",
+      statsCols = Seq("id"))
+    try {
+      // a batch a PLAIN sink would crash-loop on: write-path enforcement
+      // rejects the whole commit, the trigger replays, forever — here the
+      // violators split out and the stream keeps running
+      input.addData((2L, "ok"), (-3L, "neg"), (4L, null.asInstanceOf[String]))
+      q.processAllAvailable()
+      input.addData((5L, "clean"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(rows(Snapshots.read(spark, root)) ===
+      Set((1L, "seed"), (2L, "ok"), (5L, "clean")))
+    val held = Snapshots.read(spark, quar)
+      .select($"id", $"s", $"_failed")
+      .as[(Long, String, Seq[String])].collect().toSet
+    assert(held === Set((-3L, "neg", Seq("id_pos")), (4L, null, Seq("s_set"))))
+    // the landed table still satisfies its invariant, auditable on demand
+    assert(Checks.verify(spark, root).isEmpty)
+  }
 }
