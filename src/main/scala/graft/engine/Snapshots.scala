@@ -937,17 +937,37 @@ object Snapshots {
       files: Seq[String],
       dvs: Seq[FileDv]): DataFrame = {
     val names = files.map(u => new Path(u).getName).toSet
-    val relevant = dvs.filter(d => names.contains(d.file) && d.deleted > 0)
-    if (relevant.isEmpty) readFilesRaw(spark, m, files, withMeta = false)
+    if (!dvs.exists(d => names.contains(d.file) && d.deleted > 0))
+      readFilesRaw(spark, m, files, withMeta = false)
     else {
-      import org.apache.spark.sql.functions.{broadcast, col}
-      val raw = readFilesRaw(spark, m, files, withMeta = true)
-      val keep = raw.columns.filterNot(_.startsWith("__gdv_")).toSeq
+      import org.apache.spark.sql.functions.col
+      val live = liveRowsWithMeta(spark, m, files, dvs)
+      val keep = live.columns.filterNot(_.startsWith("__gdv_")).toSeq
+      live.select(keep.map(col): _*)
+    }
+  }
+
+  /** `files`' LIVE rows with the hidden DV-join meta columns retained:
+    * the vectors in `dvs` that cover these files anti-join out their
+    * marked positions (broadcast under [[BroadcastDvPositions]]). The ONE
+    * implementation of vector application — reads, keyed vectored
+    * deletes, and predicate vectored deletes all route here, so the join
+    * keys and the broadcast threshold cannot silently diverge. */
+  private def liveRowsWithMeta(
+      spark: SparkSession,
+      m: Manifest,
+      files: Seq[String],
+      dvs: Seq[FileDv]): DataFrame = {
+    val names = files.map(u => new Path(u).getName).toSet
+    val relevant = dvs.filter(d => names.contains(d.file) && d.deleted > 0)
+    val raw = readFilesRaw(spark, m, files, withMeta = true)
+    if (relevant.isEmpty) raw
+    else {
+      import org.apache.spark.sql.functions.broadcast
       val pos = dvPositions(spark, relevant)
       val posSide =
         if (relevant.map(_.deleted).sum <= BroadcastDvPositions) broadcast(pos) else pos
       raw.join(posSide, Seq(DvFileCol, DvPosCol), "left_anti")
-        .select(keep.map(col): _*)
     }
   }
 
@@ -1607,19 +1627,7 @@ object Snapshots {
       // vectors apply first so a replayed key set no-ops
       import org.apache.spark.sql.functions.{call_function, count, lit}
       graft.plans.GraftExtensions.register(spark)
-      val touchedNames = touched.map(u => new Path(u).getName).toSet
-      val existing = m.dvs.filter(d => touchedNames.contains(d.file) && d.deleted > 0)
-      val raw = readFilesRaw(spark, m, touched, withMeta = true)
-      val live =
-        if (existing.isEmpty) raw
-        else {
-          val pos = dvPositions(spark, existing)
-          val posSide =
-            if (existing.map(_.deleted).sum <= BroadcastDvPositions)
-              org.apache.spark.sql.functions.broadcast(pos)
-            else pos
-          raw.join(posSide, Seq(DvFileCol, DvPosCol), "left_anti")
-        }
+      val live = liveRowsWithMeta(spark, m, touched, m.dvs)
       val marked = live
         .join(keys.select(col(key)).distinct(), Seq(key), "left_semi")
         .groupBy(col(DvFileCol))
@@ -1716,19 +1724,7 @@ object Snapshots {
     // per file on the executors (existing DVs applied first — a re-issued
     // delete finds nothing new and no-ops)
     graft.plans.GraftExtensions.register(spark)
-    val candNames = candidates.map(u => new Path(u).getName).toSet
-    val existing = m.dvs.filter(d => candNames.contains(d.file) && d.deleted > 0)
-    val raw = readFilesRaw(spark, m, candidates, withMeta = true)
-    val live =
-      if (existing.isEmpty) raw
-      else {
-        val pos = dvPositions(spark, existing)
-        val posSide =
-          if (existing.map(_.deleted).sum <= BroadcastDvPositions)
-            org.apache.spark.sql.functions.broadcast(pos)
-          else pos
-        raw.join(posSide, Seq(DvFileCol, DvPosCol), "left_anti")
-      }
+    val live = liveRowsWithMeta(spark, m, candidates, m.dvs)
     val marked = live.filter(cond)
       .groupBy(col(DvFileCol))
       .agg(count(lit(1)).as("__n"), call_function("rb64_agg", col(DvPosCol)).as("__bm"))
