@@ -35,7 +35,15 @@ import org.apache.spark.sql.SparkSession
   *   their fork-base files against vacuum forever (the cross-chain
   *   reference counting working as designed), so long-lived tables need
   *   the TTL sweep; runs BEFORE vacuum/orphans so the same maintenance
-  *   pass reclaims what the expired branches alone pinned. Default off */
+  *   pass reclaims what the expired branches alone pinned. Default off
+  * @param rowTtlCol with `rowTtlMs` >= 0: ROW retention — rows whose
+  *   `rowTtlCol` (LONG epoch millis, or a timestamp read as UTC) is older
+  *   than `rowTtlMs` leave the table via a merge-on-read
+  *   [[Snapshots.deleteWhere]], the GDPR/log-retention sweep as policy
+  *   instead of a hand-written delete. Runs FIRST, so the same pass's
+  *   compaction materializes the vectors and vacuum ages out the rows'
+  *   files; stats-pruned, so the steady-state sweep touches only the
+  *   files whose range crosses the moving cutoff. Default off */
 final case class MaintenancePolicy(
     compactTargetFiles: Int = 0,
     zorderDims: Seq[String] = Seq.empty,
@@ -45,7 +53,9 @@ final case class MaintenancePolicy(
     orphanGraceMs: Long = -1L,
     bloomCols: Seq[String] = Seq.empty,
     materializeDvFraction: Double = -1.0,
-    branchTtlMs: Long = -1L)
+    branchTtlMs: Long = -1L,
+    rowTtlCol: String = "",
+    rowTtlMs: Long = -1L)
 
 /** Consolidated table maintenance — the verbs [[Snapshots]] exposes one by
   * one (compact, z-order, manifest consolidation, vacuum, orphan sweep),
@@ -68,6 +78,26 @@ object Maintain {
       spark: SparkSession,
       root: String,
       policy: MaintenancePolicy = MaintenancePolicy()): Long = {
+    if (policy.rowTtlMs >= 0 && policy.rowTtlCol.nonEmpty &&
+        Snapshots.headVersion(spark, root) > 0) {
+      import org.apache.spark.sql.functions.{col, lit}
+      import org.apache.spark.sql.types._
+      val cutoffMs = System.currentTimeMillis() - policy.rowTtlMs
+      val cutoff = Snapshots.read(spark, root)
+        .schema(policy.rowTtlCol).dataType match {
+        case LongType => lit(cutoffMs)
+        case TimestampNTZType => lit(java.time.LocalDateTime.ofEpochSecond(
+          math.floorDiv(cutoffMs, 1000L),
+          (math.floorMod(cutoffMs, 1000L) * 1000000L).toInt,
+          java.time.ZoneOffset.UTC))
+        case TimestampType => lit(java.time.Instant.ofEpochMilli(cutoffMs))
+        case other => sys.error(
+          s"rowTtlCol '${policy.rowTtlCol}' must be LONG epoch-millis or a " +
+            s"timestamp, got $other")
+      }
+      Snapshots.deleteWhere(spark, root, col(policy.rowTtlCol) < cutoff,
+        statsCols = policy.statsCols, bloomCols = policy.bloomCols)
+    }
     if (policy.zorderDims.nonEmpty)
       Snapshots.compactZOrder(spark, root, policy.zorderDims,
         math.max(policy.compactTargetFiles, 1), policy.statsCols,

@@ -528,4 +528,36 @@ class SnapshotSpec extends SparkSpec {
     assert(Snapshots.manifest(spark, a, headA).files.size ===
       Snapshots.manifest(spark, b, headB).files.size)
   }
+
+  test("row TTL policy: expired rows leave under maintain, fresh rows stay") {
+    import graft.engine.{Maintain, MaintenancePolicy}
+    val root = tmp()
+    val now = System.currentTimeMillis()
+    val old = now - 10 * 86400000L  // 10 days ago
+    Snapshots.commit(
+      Seq((1L, old), (2L, old + 1000L), (3L, now), (4L, now - 1000L))
+        .toDF("id", "ts").repartitionByRange(2, $"ts"),
+      root, statsCols = Seq("ts"))
+    // 7-day retention: the two 10-day-old rows leave; the sweep is the
+    // merge-on-read deleteWhere, so this is a metadata-sized commit
+    Maintain.maintain(spark, root,
+      MaintenancePolicy(rowTtlCol = "ts", rowTtlMs = 7 * 86400000L,
+        statsCols = Seq("ts")))
+    assert(Snapshots.read(spark, root).select("id").as[Long].collect().toSet ===
+      Set(3L, 4L))
+    // idempotent: nothing newly expired → no-op re-run
+    val head = Snapshots.headVersion(spark, root)
+    Maintain.maintain(spark, root,
+      MaintenancePolicy(rowTtlCol = "ts", rowTtlMs = 7 * 86400000L,
+        statsCols = Seq("ts")))
+    assert(Snapshots.headVersion(spark, root) === head,
+      "a TTL pass with nothing expired must not mint a version")
+    // a non-temporal column type refuses loudly
+    val root2 = tmp()
+    Snapshots.commit(Seq((1L, "x")).toDF("id", "s"), root2)
+    intercept[RuntimeException] {
+      Maintain.maintain(spark, root2,
+        MaintenancePolicy(rowTtlCol = "s", rowTtlMs = 0L))
+    }
+  }
 }
