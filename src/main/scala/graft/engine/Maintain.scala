@@ -78,13 +78,24 @@ object Maintain {
       spark: SparkSession,
       root: String,
       policy: MaintenancePolicy = MaintenancePolicy()): Long = {
+    // a half-configured retention pair is a compliance sweep that looks
+    // configured but never runs — refuse loudly, like every other
+    // misconfiguration in the engine
+    require(policy.rowTtlCol.nonEmpty == (policy.rowTtlMs >= 0),
+      "rowTtlCol and rowTtlMs must be configured together")
     if (policy.rowTtlMs >= 0 && policy.rowTtlCol.nonEmpty &&
         Snapshots.headVersion(spark, root) > 0) {
       import org.apache.spark.sql.functions.{col, lit}
       import org.apache.spark.sql.types._
       val cutoffMs = System.currentTimeMillis() - policy.rowTtlMs
-      val cutoff = Snapshots.read(spark, root)
-        .schema(policy.rowTtlCol).dataType match {
+      // the column type comes from the manifest's recorded schema (one
+      // small metadata file), not a full head resolve; legacy schema-less
+      // manifests fall back to the read plan
+      val headV = Snapshots.headVersion(spark, root)
+      val schema = Snapshots
+        .parseSchemaStr(Snapshots.manifestMeta(spark, root, headV).schema)
+        .getOrElse(Snapshots.read(spark, root).schema)
+      val cutoff = schema(policy.rowTtlCol).dataType match {
         case LongType => lit(cutoffMs)
         case TimestampNTZType => lit(java.time.LocalDateTime.ofEpochSecond(
           math.floorDiv(cutoffMs, 1000L),

@@ -936,15 +936,19 @@ object Snapshots {
       m: Manifest,
       files: Seq[String],
       dvs: Seq[FileDv]): DataFrame = {
-    val names = files.map(u => new Path(u).getName).toSet
-    if (!dvs.exists(d => names.contains(d.file) && d.deleted > 0))
-      readFilesRaw(spark, m, files, withMeta = false)
+    val relevant = relevantDvs(files, dvs)
+    if (relevant.isEmpty) readFilesRaw(spark, m, files, withMeta = false)
     else {
       import org.apache.spark.sql.functions.col
-      val live = liveRowsWithMeta(spark, m, files, dvs)
+      val live = liveRowsFiltered(spark, m, files, relevant)
       val keep = live.columns.filterNot(_.startsWith("__gdv_")).toSeq
       live.select(keep.map(col): _*)
     }
+  }
+
+  private def relevantDvs(files: Seq[String], dvs: Seq[FileDv]): Seq[FileDv] = {
+    val names = files.map(u => new Path(u).getName).toSet
+    dvs.filter(d => names.contains(d.file) && d.deleted > 0)
   }
 
   /** `files`' LIVE rows with the hidden DV-join meta columns retained:
@@ -957,9 +961,14 @@ object Snapshots {
       spark: SparkSession,
       m: Manifest,
       files: Seq[String],
-      dvs: Seq[FileDv]): DataFrame = {
-    val names = files.map(u => new Path(u).getName).toSet
-    val relevant = dvs.filter(d => names.contains(d.file) && d.deleted > 0)
+      dvs: Seq[FileDv]): DataFrame =
+    liveRowsFiltered(spark, m, files, relevantDvs(files, dvs))
+
+  private def liveRowsFiltered(
+      spark: SparkSession,
+      m: Manifest,
+      files: Seq[String],
+      relevant: Seq[FileDv]): DataFrame = {
     val raw = readFilesRaw(spark, m, files, withMeta = true)
     if (relevant.isEmpty) raw
     else {

@@ -98,45 +98,81 @@ object SnapshotSink {
     * aborts the whole batch, the trigger replays, and the stream fails
     * forever. Here the violating rows quarantine with the rule names they
     * failed (`_failed`), the clean rows land, both exactly-once under the
-    * batch tag; a check-less table degrades to a plain append sink. Rule
-    * evaluation uses CHECK semantics (TRUE or NULL passes), and a batch
-    * omitting a checked column evaluates it as null per the
-    * schema-merging read. */
+    * batch tag; a check-less table degrades to a plain append sink (still
+    * recording its split decision). Rule evaluation uses CHECK semantics
+    * (TRUE or NULL passes), and a batch omitting a checked column
+    * evaluates it as null per the schema-merging read.
+    *
+    * Replay protocol — the subtlety a mutable gate adds: startGated's
+    * batch-tag scheme assumes the clean/bad split is DETERMINISTIC per
+    * batch, and a rule set that changed between a crash and its replay
+    * breaks that (a row clean under the old rules but bad under the new
+    * ones would be re-quarantined after already landing — or worse, a
+    * formerly-bad row would be re-classified clean, see the root tag, and
+    * be written NOWHERE). So the split decision itself is made durable:
+    * the QUARANTINE commit happens first and ALWAYS (empty included), and
+    * a replay that finds it re-derives the clean set from the RECORDED
+    * bad rows (batch ∖ quarantined, multiset semantics) instead of
+    * re-gating — the first attempt's decision wins, whatever the rules
+    * say now. */
   def startChecked(
       source: DataFrame,
       root: String,
       quarantineRoot: String,
       checkpointDir: String,
       statsCols: Seq[String] = Seq.empty): StreamingQuery = {
-    import org.apache.spark.sql.functions.{col, size}
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        val spark = batch.sparkSession
-        val (aug, rules) = graft.engine.Checks.gate(spark, root, batch)
-        if (rules.isEmpty) {
-          Snapshots.commitIfAbsent(batch, root, tag = s"batch-$id",
-            append = true, statsCols = statsCols)
-        } else {
-          val annotated = graft.operators.Expect.annotate(aug, rules)
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          try {
-            val keep = batch.columns.toSeq.map(col)
-            val clean = annotated.filter(size(col("_failed")) === 0)
-              .select(keep: _*)
-            val bad = annotated.filter(size(col("_failed")) > 0)
-              .select(keep :+ col("_failed"): _*)
-            Snapshots.commitIfAbsent(clean, root, tag = s"batch-$id",
-              append = true, statsCols = statsCols)
-            if (!bad.isEmpty)
-              Snapshots.commitIfAbsent(bad, quarantineRoot, tag = s"batch-$id",
-                append = true)
-          } finally annotated.unpersist()
-        }
-        ()
+        ingestChecked(batch, id, root, quarantineRoot, statsCols)
       }
       .start()
+  }
+
+  /** One [[startChecked]] trigger — public as the replay-safe building
+    * block (and so the replay protocol is directly testable). */
+  def ingestChecked(
+      batch: DataFrame,
+      id: Long,
+      root: String,
+      quarantineRoot: String,
+      statsCols: Seq[String] = Seq.empty): Unit = {
+    import org.apache.spark.sql.functions.{array, col, size}
+    val spark = batch.sparkSession
+    val tag = s"batch-$id"
+    val keep = batch.columns.toSeq.map(col)
+    val decided = Snapshots.headVersion(spark, quarantineRoot) > 0 &&
+      Snapshots.historyMeta(spark, quarantineRoot).exists(_.tag == tag)
+    if (decided) {
+      // the split was already recorded — honor it verbatim, even if the
+      // rule set changed since (determinism is what the tag scheme needs)
+      val v = Snapshots.historyMeta(spark, quarantineRoot)
+        .find(_.tag == tag).get.version
+      val bad = Snapshots.changes(spark, quarantineRoot, v - 1, v)
+        .select(keep: _*)
+      Snapshots.commitIfAbsent(batch.exceptAll(bad), root, tag,
+        append = true, statsCols = statsCols)
+    } else {
+      val (aug, rules) = graft.engine.Checks.gate(spark, root, batch)
+      val annotated =
+        if (rules.isEmpty) batch.withColumn("_failed", array().cast("array<string>"))
+        else graft.operators.Expect.annotate(aug, rules)
+          .select(keep :+ col("_failed"): _*)
+      val cached = annotated
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val clean = cached.filter(size(col("_failed")) === 0).select(keep: _*)
+        val bad = cached.filter(size(col("_failed")) > 0)
+        // quarantine FIRST and ALWAYS: its tagged version IS the durable
+        // split decision a replay re-derives from (an empty one is the
+        // record that everything was clean)
+        Snapshots.commitIfAbsent(bad, quarantineRoot, tag, append = true)
+        Snapshots.commitIfAbsent(clean, root, tag, append = true,
+          statsCols = statsCols)
+      } finally cached.unpersist()
+    }
+    ()
   }
 
   /** Apply an upsert/delete CHANGE FEED to a snapshot table — the "CDC

@@ -173,4 +173,42 @@ class GatedSinkSpec extends SparkSpec {
     // the landed table still satisfies its invariant, auditable on demand
     assert(Checks.verify(spark, root).isEmpty)
   }
+
+  test("startChecked replay honors the recorded split even after rules change") {
+    import graft.engine.Checks
+    import graft.streaming.SnapshotSink
+    val base = tmp()
+    val root = s"$base/t"
+    val quar = s"$base/q"
+    Snapshots.commit(Seq((1L, "seed")).toDF("id", "s"), root, statsCols = Seq("id"))
+    Checks.add(spark, root, "id_pos", "id > 0")
+    val batch = Seq((2L, "ok"), (-3L, "neg")).toDF("id", "s")
+
+    // model the crash window exactly: the first attempt recorded its split
+    // (bad row in the tagged quarantine commit) and died before the clean
+    // commit reached root
+    Snapshots.commitIfAbsent(
+      Seq((-3L, "neg")).toDF("id", "s")
+        .withColumn("_failed", array(lit("id_pos"))),
+      quar, tag = "batch-7", append = true)
+    assert(!Snapshots.historyMeta(spark, root).exists(_.tag == "batch-7"))
+
+    // the operator drops the rule BETWEEN crash and replay — a drifted
+    // re-gate would call -3 clean, see root's missing tag, and write it
+    // to root (duplicating it against the quarantine record); worse, with
+    // the tag present it would be written NOWHERE. The recorded decision
+    // must win instead.
+    Checks.drop(spark, root, "id_pos")
+    SnapshotSink.ingestChecked(batch, 7L, root, quar)
+    assert(rows(Snapshots.read(spark, root)) === Set((1L, "seed"), (2L, "ok")),
+      "replay must land exactly the recorded clean rows")
+    assert(rows(Snapshots.read(spark, quar)) === Set((-3L, "neg")),
+      "replay must not duplicate or reclassify the recorded bad row")
+    // a second replay is a full no-op on both tables
+    val (hr, hq) = (Snapshots.headVersion(spark, root), Snapshots.headVersion(spark, quar))
+    SnapshotSink.ingestChecked(batch, 7L, root, quar)
+    assert(Snapshots.headVersion(spark, root) === hr)
+    assert(Snapshots.headVersion(spark, quar) === hq)
+    ()
+  }
 }
