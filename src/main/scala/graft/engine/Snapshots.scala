@@ -768,13 +768,31 @@ object Snapshots {
         val ann = p.getLogicalTypeAnnotation
         p.getPrimitiveTypeName match {
           case FLOAT | DOUBLE => ann == null
-          case INT32 | INT64 => ann == null || (ann match {
+          case INT64 => ann == null || (ann match {
             case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+            // MICROS timestamps (NTZ and LTZ both store micros): the
+            // canonical index unit is seconds, converted below
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+            case _ => false
+          })
+          case INT32 => ann == null || (ann match {
+            case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
+            case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
             case _ => false
           })
           case _ => false
         }
       }
+    /** Footer value → the index's canonical double (timestamps micros →
+      * seconds; everything else verbatim). */
+    def canonicalOf(t: org.apache.parquet.schema.Type): Number => Double = {
+      t.asPrimitiveType().getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          (v: Number) => v.longValue() / 1e6
+        case _ => (v: Number) => v.doubleValue()
+      }
+    }
     val conf = new org.apache.hadoop.conf.Configuration(
       spark.sparkContext.hadoopConfiguration)
     try {
@@ -794,6 +812,7 @@ object Snapshots {
             if (!schema.containsField(c)) None // evolving batch: no column → no stats
             else if (!supported(schema.getType(Seq(c): _*))) throw new FooterMiss
             else {
+              val conv = canonicalOf(schema.getType(Seq(c): _*))
               var lo = Double.PositiveInfinity
               var hi = Double.NegativeInfinity
               var nulls = 0L
@@ -813,8 +832,8 @@ object Snapshots {
                         any = true
                         (st.genericGetMin, st.genericGetMax) match {
                           case (mn: java.lang.Number, mx: java.lang.Number) =>
-                            lo = math.min(lo, mn.doubleValue())
-                            hi = math.max(hi, mx.doubleValue())
+                            lo = math.min(lo, conv(mn))
+                            hi = math.max(hi, conv(mx))
                           case _ => usable = false
                         }
                       } else if (!(st.isNumNullsSet &&
@@ -1854,11 +1873,23 @@ object Snapshots {
       statsCols: Seq[String]): (Seq[ColStats], Seq[FileRows]) = {
     if (statsCols.isEmpty) return (Seq.empty, Seq.empty)
     import org.apache.spark.sql.functions._
+    val src = spark.read.parquet(paths: _*)
+    val fieldTypes = src.schema.fields.map(f => f.name -> f.dataType).toMap
+    // temporal columns aggregate NATIVELY — their double cast is refused
+    // (NTZ, date) or the wrong unit trap — and convert on the DRIVER to
+    // the canonical double the whole index speaks: timestamps as epoch
+    // SECONDS (micros / 1e6, exactly what cast(timestamp as double)
+    // yields for the LTZ case), dates as epoch DAYS
+    def temporal(c: String): Boolean = fieldTypes.get(c).exists {
+      case org.apache.spark.sql.types.TimestampNTZType => true
+      case org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }
     val aggs = statsCols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"min_$c"),
-      max(col(c).cast("double")).as(s"max_$c"),
+      (if (temporal(c)) min(col(c)) else min(col(c).cast("double"))).as(s"min_$c"),
+      (if (temporal(c)) max(col(c)) else max(col(c).cast("double"))).as(s"max_$c"),
       count(col(c)).as(s"cnt_$c"))) :+ count(lit(1)).as("__rows")
-    val rowsOut = spark.read.parquet(paths: _*)
+    val rowsOut = src
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -1874,7 +1905,17 @@ object Snapshots {
         val hi = row.getAs[Any](s"max_$c")
         if (lo == null || hi == null) None // all-null file: no usable range
         else {
-          val (l, h) = (lo.asInstanceOf[Double], hi.asInstanceOf[Double])
+          def canonical(v: Any): Double = v match {
+            case d: java.lang.Double => d
+            case ldt: java.time.LocalDateTime =>
+              (ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+                ldt.getNano / 1000L) / 1e6
+            case ld: java.time.LocalDate => ld.toEpochDay.toDouble
+            case d: java.sql.Date => d.toLocalDate.toEpochDay.toDouble
+            case n: Number => n.doubleValue
+            case other => sys.error(s"unexpected stats value $other")
+          }
+          val (l, h) = (canonical(lo), canonical(hi))
           // a NaN/infinite bound can't prune soundly AND won't round-trip
           // as a JSON number — record no range (conservative)
           if (java.lang.Double.isFinite(l) && java.lang.Double.isFinite(h))
@@ -2137,6 +2178,13 @@ object Snapshots {
     }
     def litD(e: Expression): Option[Double] = e match {
       case Literal(null, _) => None
+      // timestamp literals carry MICROS internally; the stats index speaks
+      // SECONDS (the canonical cast-to-double unit) — a raw Number match
+      // would mine micros and prune every file out of a valid band. Date
+      // literals are epoch DAYS, matching their recorded unit through the
+      // generic path below.
+      case Literal(us: Long, TimestampType) => Some(us / 1e6)
+      case Literal(us: Long, TimestampNTZType) => Some(us / 1e6)
       case Literal(x, _) => x match {
         case n: Number => Some(n.doubleValue)
         case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)

@@ -1314,5 +1314,49 @@ object Lake {
         "the merge must have published ON TOP of the interim append (v3)")
       Snapshots.read(spark, root).orderBy("k")
     },
+
+    // ---- q118: TEMPORAL FILE SKIPPING — the stats index records epoch
+    //            SECONDS for timestamp columns and the predicate miner
+    //            converts literals (internally MICROS) to the same unit,
+    //            so the analyst's plain `ts >= ... AND ts < ...` band over
+    //            a time-clustered table prunes whole files before
+    //            planning (required in-query: the scan reads fewer files
+    //            than the table holds). The single most common lake
+    //            predicate, and the exact shape where a units slip
+    //            silently empties the result — which is why it sits under
+    //            the hash gate. ----
+    OracleQuery(
+      "q118_time_band",
+      s"""SELECT event_type, count(*) AS n,
+        |  ${graft.engine.Det.sql.dsum("value")} AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/events_tband"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      Snapshots.commit(
+        Tables(spark, dir, "events")
+          .select(col("ts"), col("event_type"), col("value"))
+          .repartitionByRange(6, col("ts")),
+        root, statsCols = Seq("ts"))
+      val cond = col("ts") >= lit(java.time.LocalDateTime.of(2024, 1, 10, 0, 0)) &&
+        col("ts") < lit(java.time.LocalDateTime.of(2024, 1, 20, 0, 0))
+      val banded = Snapshots.readWhere(spark, root, cond)
+      val scanned = banded.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+      val total = Snapshots.manifest(spark, root,
+        Snapshots.headVersion(spark, root)).files.size
+      require(scanned < total,
+        s"the time band must prune files ($scanned of $total scanned)")
+      banded.groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          graft.engine.Det.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+    },
   )
 }

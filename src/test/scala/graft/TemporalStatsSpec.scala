@@ -1,0 +1,93 @@
+package graft
+
+import java.nio.file.Files
+import java.time.{LocalDate, LocalDateTime}
+
+import org.apache.spark.sql.functions._
+
+import graft.engine.Snapshots
+
+/** Temporal columns in the stats index: timestamps (NTZ and LTZ) record
+  * epoch SECONDS and dates epoch DAYS, and the predicate miner converts
+  * literals to the same units — so `ts >= '...'` readWhere/countWhere
+  * prune files by time range, the single most common lake predicate. The
+  * unit discipline is the point: timestamp literals are MICROS internally,
+  * and mining them as raw numbers against seconds-valued stats would
+  * prune every file out of a valid band (a silently-empty result).
+  */
+class TemporalStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    "file:" + Files.createTempDirectory("tstats").toString + "/t"
+
+  private def day(d: Int): LocalDateTime = LocalDateTime.of(2024, 3, d, 12, 0)
+
+  test("NTZ timestamp stats: readWhere prunes by time band, exactly") {
+    val root = tmp()
+    val rows = (1 to 20).map(d => (d.toLong, day(d)))
+    Snapshots.commit(rows.toDF("id", "ts").repartitionByRange(4, $"ts"),
+      root, statsCols = Seq("ts"))
+    val cond = col("ts") >= lit(day(6)) && col("ts") < lit(day(16))
+    val got = Snapshots.readWhere(spark, root, cond)
+      .select("id").as[Long].collect().toSet
+    assert(got === (6L to 15L).toSet, "time-band readWhere lost or gained rows")
+    // the pruning actually fired: the planned scan reads fewer files than
+    // the table holds (4 range files, the band covers ~2)
+    val scanned = Snapshots.readWhere(spark, root, cond)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+    val total = Snapshots.manifest(spark, root,
+      Snapshots.headVersion(spark, root)).files.size
+    assert(scanned < total, s"no files pruned ($scanned of $total)")
+    // metadata counting stays consistent under the same predicate
+    assert(Snapshots.countWhere(spark, root, cond) === 10L)
+  }
+
+  test("LTZ timestamp stats: the micros-vs-seconds literal trap stays closed") {
+    val root = tmp()
+    val rows = (1 to 12).map(d =>
+      (d.toLong, day(d).toInstant(java.time.ZoneOffset.UTC)))
+    Snapshots.commit(rows.toDF("id", "ts").repartitionByRange(3, $"ts"),
+      root, statsCols = Seq("ts"))
+    val cond = col("ts") >= lit(day(4).toInstant(java.time.ZoneOffset.UTC))
+    // the regression this spec exists for: micros-mined literals against
+    // seconds-valued stats found NO candidate file and returned empty
+    val got = Snapshots.readWhere(spark, root, cond)
+      .select("id").as[Long].collect().toSet
+    assert(got === (4L to 12L).toSet,
+      "LTZ band read lost rows — literal/stats unit mismatch")
+  }
+
+  test("date stats: epoch-day literals mine against epoch-day ranges") {
+    val root = tmp()
+    val rows = (1 to 20).map(d => (d.toLong, LocalDate.of(2024, 3, d)))
+    Snapshots.commit(rows.toDF("id", "d").repartitionByRange(4, $"d"),
+      root, statsCols = Seq("d"))
+    val cond = col("d") >= lit(LocalDate.of(2024, 3, 8)) &&
+      col("d") <= lit(LocalDate.of(2024, 3, 12))
+    val got = Snapshots.readWhere(spark, root, cond)
+      .select("id").as[Long].collect().toSet
+    assert(got === (8L to 12L).toSet)
+    assert(Snapshots.countWhere(spark, root, cond) === 5L)
+  }
+
+  test("temporal stats survive merge maintenance and row-TTL pruning composes") {
+    import graft.engine.{Maintain, MaintenancePolicy}
+    val root = tmp()
+    val now = LocalDateTime.now(java.time.ZoneOffset.UTC)
+    val rows = Seq(
+      (1L, now.minusDays(30)), (2L, now.minusDays(20)),
+      (3L, now.minusDays(2)), (4L, now.minusDays(1)))
+    Snapshots.commit(rows.toDF("id", "ts").repartitionByRange(2, $"ts"),
+      root, statsCols = Seq("ts"))
+    // the TTL sweep's deleteWhere mines ts < cutoff through the same index
+    Maintain.maintain(spark, root,
+      MaintenancePolicy(rowTtlCol = "ts", rowTtlMs = 7L * 86400000L,
+        statsCols = Seq("ts")))
+    assert(Snapshots.read(spark, root).select("id").as[Long].collect().toSet ===
+      Set(3L, 4L))
+  }
+}
