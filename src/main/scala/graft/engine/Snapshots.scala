@@ -2171,10 +2171,42 @@ object Snapshots {
       case (_: DecimalType, DoubleType) => true
       case (f, t) => f == t
     }
-    def statAttr(e: Expression): Option[String] = e match {
-      case a: AttributeReference if statCols.contains(a.name) => Some(a.name)
-      case c: Cast if widening(c.child.dataType, c.dataType) => statAttr(c.child)
-      case _ => None
+    /** (stat column, monotone transform from its canonical unit to the
+      * compared unit, is-identity). Non-identity transforms come from
+      * TZ-FREE calendar shapes only — `cast(ntz_ts as date)` (wall-clock
+      * date, seconds → epoch days) and `year(date)` (days → year); their
+      * LTZ variants depend on the session zone and conservatively do not
+      * mine. A transformed conjunct contributes OVERLAP pruning only
+      * (`full` stays empty): monotone non-decreasing f maps a file's
+      * [min, max] to a bracketing [f(min), f(max)], so overlap stays a
+      * sound superset, while full acceptance would need injectivity. */
+    def statAttr(e: Expression): Option[(String, Double => Double, Boolean)] =
+      e match {
+        case a: AttributeReference if statCols.contains(a.name) =>
+          Some((a.name, identity[Double] _, true))
+        case c: Cast if widening(c.child.dataType, c.dataType) => statAttr(c.child)
+        case c: Cast if c.dataType == DateType &&
+            c.child.dataType == TimestampNTZType =>
+          statAttr(c.child).map { case (n, f, _) =>
+            (n, (x: Double) => math.floor(f(x) / 86400.0), false) }
+        case y: Year if y.child.dataType == DateType =>
+          statAttr(y.child).map { case (n, f, _) =>
+            (n, (x: Double) =>
+              java.time.LocalDate.ofEpochDay(f(x).toLong).getYear.toDouble,
+              false) }
+        case _ => None
+      }
+    /** Files whose TRANSFORMED recorded range can intersect [lo, hi]
+      * (stat-less files stay candidates). The transform-aware counterpart
+      * of [[candidateFiles]]. */
+    def overlapT(c: String, f: Double => Double, lo: Double, hi: Double): Seq[String] = {
+      val ranges = statsByCol.getOrElse(c, Map.empty)
+      m.files.filter { file =>
+        ranges.get(new Path(file).getName) match {
+          case Some(st) => f(st.max) >= lo && f(st.min) <= hi
+          case None => true
+        }
+      }
     }
     def litD(e: Expression): Option[Double] = e match {
       case Literal(null, _) => None
@@ -2205,23 +2237,29 @@ object Snapshots {
         byFile.get(new Path(f).getName).exists(s => s.nulls == 0L && ok(s))
       }.toSet
     }
-    def bound(c: String, x: Double, isLo: Boolean, strict: Boolean): MinedConjunct = {
+    def bound(a: (String, Double => Double, Boolean), x: Double,
+        isLo: Boolean, strict: Boolean): MinedConjunct = {
+      val (c, f, ident) = a
       val overlap =
-        if (isLo) candidateFiles(m, c, x, Double.PositiveInfinity)
-        else candidateFiles(m, c, Double.NegativeInfinity, x)
-      val full = fullFiles(c, s =>
-        if (isLo) { if (strict) s.min > x else s.min >= x }
-        else      { if (strict) s.max < x else s.max <= x })
+        if (isLo) overlapT(c, f, x, Double.PositiveInfinity)
+        else overlapT(c, f, Double.NegativeInfinity, x)
+      val full =
+        if (!ident) Set.empty[String]
+        else fullFiles(c, s =>
+          if (isLo) { if (strict) s.min > x else s.min >= x }
+          else      { if (strict) s.max < x else s.max <= x })
       MinedConjunct(overlap, full)
+    }
+    def pointOf(a: (String, Double => Double, Boolean), x: Double): MinedConjunct = {
+      val (c, f, ident) = a
+      MinedConjunct(overlapT(c, f, x, x),
+        if (!ident) Set.empty
+        else fullFiles(c, s => s.min == x && s.max == x))
     }
     def point(l: Expression, r: Expression): Option[MinedConjunct] =
       (statAttr(l), litD(r), statAttr(r), litD(l)) match {
-        case (Some(c), Some(x), _, _) =>
-          Some(MinedConjunct(candidateFiles(m, c, x, x),
-            fullFiles(c, s => s.min == x && s.max == x)))
-        case (_, _, Some(c), Some(x)) =>
-          Some(MinedConjunct(candidateFiles(m, c, x, x),
-            fullFiles(c, s => s.min == x && s.max == x)))
+        case (Some(a), Some(x), _, _) => Some(pointOf(a, x))
+        case (_, _, Some(a), Some(x)) => Some(pointOf(a, x))
         case _ => None
       }
     // `attr > lit` and `lit < attr` are the same lo-bound; mirror for hi.
@@ -2231,14 +2269,20 @@ object Snapshots {
     def band(l: Expression, r: Expression, loSide: Boolean,
         strict: Boolean): Option[MinedConjunct] =
       (statAttr(l), litD(r), statAttr(r), litD(l)) match {
-        case (Some(c), Some(x), _, _) => Some(bound(c, x, isLo = loSide, strict))
-        case (_, _, Some(c), Some(x)) => Some(bound(c, x, isLo = !loSide, strict))
+        case (Some(a), Some(x), _, _) => Some(bound(a, x, isLo = loSide, strict))
+        case (_, _, Some(a), Some(x)) => Some(bound(a, x, isLo = !loSide, strict))
         case _ => None
       }
-    def inKeys(c: String, arr: Array[Double]): MinedConjunct =
-      MinedConjunct(candidateFilesForKeys(m, c, arr),
-        fullFiles(c, s => s.min == s.max &&
-          java.util.Arrays.binarySearch(arr, s.min) >= 0))
+    def inKeys(a: (String, Double => Double, Boolean), arr: Array[Double]): MinedConjunct = {
+      val (c, f, ident) = a
+      if (ident)
+        MinedConjunct(candidateFilesForKeys(m, c, arr),
+          fullFiles(c, s => s.min == s.max &&
+            java.util.Arrays.binarySearch(arr, s.min) >= 0))
+      else
+        // transformed in-set: conservative range envelope of the key set
+        MinedConjunct(overlapT(c, f, arr.head, arr.last), Set.empty)
+    }
     // STRING equality/IN prunes through the per-file bloom index where one
     // is recorded ([[FileBloom]]): candidate = bloom-admitting files; the
     // FULL set stays empty — a bloom proves absence, never that every row
@@ -2275,24 +2319,24 @@ object Snapshots {
       case LessThan(l, r) => band(l, r, loSide = false, strict = true)
       case LessThanOrEqual(l, r) => band(l, r, loSide = false, strict = false)
       case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
-        statAttr(a).flatMap { c =>
+        statAttr(a).flatMap { sa =>
           val ks = vs.flatMap(litD)
           if (ks.size != vs.size) None // a non-numeric/null element: no pruning
           else {
             val arr = ks.toArray; java.util.Arrays.sort(arr)
-            Some(inKeys(c, arr))
+            Some(inKeys(sa, arr))
           }
         }.orElse {
           val ks = vs.flatMap(litS)
           if (ks.size != vs.size) None else bloomIn(a, ks)
         }
       case InSet(a, hs) if hs.nonEmpty =>
-        statAttr(a).flatMap { c =>
+        statAttr(a).flatMap { sa =>
           val ks = hs.toSeq.collect { case n: Number => n.doubleValue }
           if (ks.size != hs.size) None
           else {
             val arr = ks.toArray; java.util.Arrays.sort(arr)
-            Some(inKeys(c, arr))
+            Some(inKeys(sa, arr))
           }
         }.orElse {
           val ks = hs.toSeq.collect {

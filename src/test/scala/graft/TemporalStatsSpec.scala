@@ -74,6 +74,56 @@ class TemporalStatsSpec extends SparkSpec {
     assert(Snapshots.countWhere(spark, root, cond) === 5L)
   }
 
+  test("calendar-shape mining: cast-to-date and year() prune TZ-free") {
+    val root = tmp()
+    // three years of NTZ wall-clock data, range-clustered by ts
+    val rows = for (y <- 2023 to 2025; m <- 1 to 12)
+      yield ((y.toLong * 100 + m), LocalDateTime.of(y, m, 15, 9, 30))
+    Snapshots.commit(rows.toDF("id", "ts").repartitionByRange(6, $"ts"),
+      root, statsCols = Seq("ts"))
+    val total = Snapshots.manifest(spark, root,
+      Snapshots.headVersion(spark, root)).files.size
+
+    def prunedScan(cond: org.apache.spark.sql.Column): (Set[Long], Int) = {
+      val df = Snapshots.readWhere(spark, root, cond)
+      val files = df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+      (df.select("id").as[Long].collect().toSet, files)
+    }
+
+    // year(ts): analyzer compiles to year(cast(ts as date)) — wall-clock
+    // year, TZ-free for NTZ, mined through the composed transform
+    val (yr, yrFiles) = prunedScan(year($"ts") === 2024)
+    assert(yr === (1 to 12).map(m => 2024L * 100 + m).toSet)
+    assert(yrFiles < total, s"year() pruned nothing ($yrFiles of $total)")
+
+    // cast-to-date band
+    val (dd, ddFiles) = prunedScan(
+      $"ts".cast("date") >= lit(LocalDate.of(2025, 6, 1)))
+    assert(dd === (6 to 12).map(m => 2025L * 100 + m).toSet)
+    assert(ddFiles < total, s"cast(date) pruned nothing ($ddFiles of $total)")
+
+    // randomized equivalence sweep: every calendar shape must agree with
+    // the unpruned filter, whatever the band
+    val rnd = new scala.util.Random(7L)
+    for (_ <- 1 to 10) {
+      val y = 2023 + rnd.nextInt(3)
+      val m0 = 1 + rnd.nextInt(12)
+      val cond = rnd.nextInt(3) match {
+        case 0 => year($"ts") >= y
+        case 1 => $"ts".cast("date") < lit(LocalDate.of(y, m0, 1))
+        case _ => year($"ts") === y && $"ts".cast("date") >= lit(LocalDate.of(y, m0, 1))
+      }
+      val viaIndex = Snapshots.readWhere(spark, root, cond)
+        .select("id").as[Long].collect().toSet
+      val direct = Snapshots.read(spark, root).filter(cond)
+        .select("id").as[Long].collect().toSet
+      assert(viaIndex === direct, s"divergence under $cond")
+    }
+  }
+
   test("temporal stats survive merge maintenance and row-TTL pruning composes") {
     import graft.engine.{Maintain, MaintenancePolicy}
     val root = tmp()
