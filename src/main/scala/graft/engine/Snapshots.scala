@@ -741,11 +741,13 @@ object Snapshots {
 
   /** Footer-derived per-file stats: min/max/null-count for `statsCols` plus
     * row counts, read from the parquet FOOTERS of freshly-written files —
-    * metadata-only I/O, NO Spark job. Only integral/floating top-level
-    * columns qualify: for them chunk stats order-match Spark's double-cast
-    * exactly (long→double rounding is monotone, so cast(min) = min(cast));
-    * a DATE/TIMESTAMP/DECIMAL/string statsCol returns None and the caller
-    * falls back to the distributed scan, preserving its exact semantics. A
+    * metadata-only I/O, NO Spark job. Integral/floating top-level
+    * columns qualify (chunk stats order-match Spark's double-cast exactly:
+    * long→double rounding is monotone, so cast(min) = min(cast)), as do
+    * MICROS-annotated INT64 timestamps (converted to the index's canonical
+    * epoch seconds) and INT32 dates (epoch days verbatim); a
+    * DECIMAL/string/other statsCol returns None and the caller falls back
+    * to the distributed scan, preserving its exact semantics. A
     * (file, column) whose chunks lack usable stats yields no ColStats row
     * — consumers already treat missing stats as must-scan — and an all-null
     * file records none, both matching the scan path. Driver-side and
@@ -1860,7 +1862,8 @@ object Snapshots {
   }
 
   /** One scan of the freshly-written files (only — never the table) for
-    * per-file min/max + null count of the requested numeric columns AND
+    * per-file min/max + null count of the requested columns (numeric
+    * cast-to-double; temporal natively, converted to canonical units) AND
     * per-file row counts — one aggregation row per file, counts riding the
     * same pass for free. `paths` may be a directory (the write-batch case)
     * or an explicit file list (the [[convertInPlace]] adoption case) —
@@ -2064,7 +2067,28 @@ object Snapshots {
     require(v > 0, s"no snapshot committed at $root yet")
     val m = manifest(spark, root, v)
     val keep = candidateFiles(m, c, lo, hi)
-    val pred = col(c).cast("double") >= lo && col(c).cast("double") <= hi
+    // the exact filter speaks the column's own type: temporal columns
+    // refuse the double cast (and canonical bounds are seconds/days for
+    // them), so the literal converts instead of the column
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    def bnd(x: Double): org.apache.spark.sql.Column =
+      parseSchema(m).map(_.apply(c).dataType) match {
+        case Some(TimestampNTZType) =>
+          val us = Math.round(x * 1e6)
+          lit(java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+            (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
+        case Some(TimestampType) =>
+          lit(java.time.Instant.ofEpochSecond(0L).plusNanos(Math.round(x * 1e9)))
+        case Some(DateType) =>
+          lit(java.time.LocalDate.ofEpochDay(x.toLong))
+        case _ => lit(x)
+      }
+    val pred = parseSchema(m).map(_.apply(c).dataType) match {
+      case Some(TimestampNTZType) | Some(TimestampType) | Some(DateType) =>
+        col(c) >= bnd(lo) && col(c) <= bnd(hi)
+      case _ => col(c).cast("double") >= lo && col(c).cast("double") <= hi
+    }
     if (keep.isEmpty)
       // every file pruned: preserve schema (and exactness) via a plan that
       // cannot return rows — with a recorded schema that is a true empty
@@ -2197,17 +2221,21 @@ object Snapshots {
         case _ => None
       }
     /** Files whose TRANSFORMED recorded range can intersect [lo, hi]
-      * (stat-less files stay candidates). The transform-aware counterpart
-      * of [[candidateFiles]]. */
-    def overlapT(c: String, f: Double => Double, lo: Double, hi: Double): Seq[String] = {
-      val ranges = statsByCol.getOrElse(c, Map.empty)
-      m.files.filter { file =>
-        ranges.get(new Path(file).getName) match {
-          case Some(st) => f(st.max) >= lo && f(st.min) <= hi
-          case None => true
+      * (stat-less files stay candidates). Identity delegates to the one
+      * shared [[candidateFiles]] implementation so the two overlap tests
+      * cannot diverge. */
+    def overlapOf(c: String, f: Double => Double, ident: Boolean,
+        lo: Double, hi: Double): Seq[String] =
+      if (ident) candidateFiles(m, c, lo, hi)
+      else {
+        val ranges = statsByCol.getOrElse(c, Map.empty)
+        m.files.filter { file =>
+          ranges.get(new Path(file).getName) match {
+            case Some(st) => f(st.max) >= lo && f(st.min) <= hi
+            case None => true
+          }
         }
       }
-    }
     def litD(e: Expression): Option[Double] = e match {
       case Literal(null, _) => None
       // timestamp literals carry MICROS internally; the stats index speaks
@@ -2241,8 +2269,8 @@ object Snapshots {
         isLo: Boolean, strict: Boolean): MinedConjunct = {
       val (c, f, ident) = a
       val overlap =
-        if (isLo) overlapT(c, f, x, Double.PositiveInfinity)
-        else overlapT(c, f, Double.NegativeInfinity, x)
+        if (isLo) overlapOf(c, f, ident, x, Double.PositiveInfinity)
+        else overlapOf(c, f, ident, Double.NegativeInfinity, x)
       val full =
         if (!ident) Set.empty[String]
         else fullFiles(c, s =>
@@ -2252,7 +2280,7 @@ object Snapshots {
     }
     def pointOf(a: (String, Double => Double, Boolean), x: Double): MinedConjunct = {
       val (c, f, ident) = a
-      MinedConjunct(overlapT(c, f, x, x),
+      MinedConjunct(overlapOf(c, f, ident, x, x),
         if (!ident) Set.empty
         else fullFiles(c, s => s.min == x && s.max == x))
     }
@@ -2281,7 +2309,7 @@ object Snapshots {
             java.util.Arrays.binarySearch(arr, s.min) >= 0))
       else
         // transformed in-set: conservative range envelope of the key set
-        MinedConjunct(overlapT(c, f, arr.head, arr.last), Set.empty)
+        MinedConjunct(overlapOf(c, f, ident = false, arr.head, arr.last), Set.empty)
     }
     // STRING equality/IN prunes through the per-file bloom index where one
     // is recorded ([[FileBloom]]): candidate = bloom-admitting files; the
@@ -2332,7 +2360,14 @@ object Snapshots {
         }
       case InSet(a, hs) if hs.nonEmpty =>
         statAttr(a).flatMap { sa =>
-          val ks = hs.toSeq.collect { case n: Number => n.doubleValue }
+          // same unit discipline as litD: timestamp set elements are raw
+          // MICROS internally, the index speaks SECONDS (date Ints are
+          // already epoch days)
+          val conv: Number => Double = a.dataType match {
+            case TimestampType | TimestampNTZType => n => n.longValue() / 1e6
+            case _ => n => n.doubleValue
+          }
+          val ks = hs.toSeq.collect { case n: Number => conv(n) }
           if (ks.size != hs.size) None
           else {
             val arr = ks.toArray; java.util.Arrays.sort(arr)

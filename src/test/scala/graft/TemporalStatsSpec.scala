@@ -124,6 +124,28 @@ class TemporalStatsSpec extends SparkSpec {
     }
   }
 
+  test("readRange speaks the column's own type for temporal bounds") {
+    val root = tmp()
+    val rows = (1 to 10).map(d => (d.toLong, day(d)))
+    Snapshots.commit(rows.toDF("id", "ts").repartitionByRange(2, $"ts"),
+      root, statsCols = Seq("ts"))
+    // canonical epoch-second bounds — the exact filter must compare
+    // natively (the double cast is refused for NTZ and would crash here)
+    def sec(d: Int): Double =
+      day(d).toEpochSecond(java.time.ZoneOffset.UTC).toDouble
+    val got = Snapshots.readRange(spark, root, "ts", sec(3), sec(7))
+      .select("id").as[Long].collect().toSet
+    assert(got === (3L to 7L).toSet)
+    // date column variant
+    val root2 = tmp()
+    Snapshots.commit((1 to 10).map(d => (d.toLong, LocalDate.of(2024, 3, d)))
+      .toDF("id", "d").repartitionByRange(2, $"d"), root2, statsCols = Seq("d"))
+    val day0 = LocalDate.of(2024, 3, 4).toEpochDay.toDouble
+    val got2 = Snapshots.readRange(spark, root2, "d", day0, day0 + 3)
+      .select("id").as[Long].collect().toSet
+    assert(got2 === (4L to 7L).toSet)
+  }
+
   test("temporal stats survive merge maintenance and row-TTL pruning composes") {
     import graft.engine.{Maintain, MaintenancePolicy}
     val root = tmp()
