@@ -92,7 +92,14 @@ object Checks {
     * existing data first — the head of every chain, branches included: if
     * any current row violates the predicate, the add refuses and nothing
     * changes. After a successful add, every committed row (past and
-    * future, on every chain) satisfies every listed rule. */
+    * future, on every chain) satisfies every listed rule — up to one
+    * documented residual race: rule generations and manifest commits are
+    * arbitrated separately, so a write whose final rule-generation re-read
+    * predates this add's publish and whose manifest lands after this add's
+    * post-publish sweep can carry unvetted rows. The sweep rolls the rule
+    * back when it catches the racer; the remaining interleaving spans one
+    * manifest file-create (the write-side re-check sits immediately before
+    * publish), and [[verify]] audits it after the fact. */
   def add(spark: SparkSession, root: String, name: String, condSql: String): Unit = {
     require(name.matches("[A-Za-z0-9._-]+"),
       s"check name '$name' must match [A-Za-z0-9._-]+")
@@ -112,6 +119,32 @@ object Checks {
         s"check '$name' already exists at $root")
       rules :+ Rule(name, condSql)
     })
+    // post-publish sweep: a batch VALIDATED against the pre-add rule set
+    // can publish its manifest in the window between the head validation
+    // above and the rule generation landing (the write path re-checks the
+    // generation before publishing, but that re-check and this publish are
+    // not mutually ordered — rule generations and manifest commits go
+    // through separate arbiters). Re-validate every chain head now that
+    // the rule is live: if a racer landed violating rows, ROLL the rule
+    // BACK (publish a generation without it) and refuse the add — the
+    // invariant converges instead of silently breaking. The residual
+    // window is a racer whose final generation re-read predates this
+    // publish AND whose manifest lands after this sweep reads the head —
+    // the write-side re-check sits immediately before manifest publish,
+    // so that interleaving spans one file-create, not the minutes of the
+    // data write; `verify` audits it after the fact.
+    Snapshots.allRefs(spark, base).foreach { ref =>
+      val chain = if (ref.isEmpty) base else Snapshots.branchRoot(base, ref)
+      if (Snapshots.headVersion(spark, chain) > 0 &&
+          findViolation(Snapshots.read(spark, chain),
+            Seq(Rule(name, condSql))).nonEmpty) {
+        publishRules(spark, root, _.filterNot(_.name == name))
+        val where = if (ref.isEmpty) "rows" else s"branch '$ref' rows"
+        throw new IllegalArgumentException(
+          s"cannot add check '$name' at $root: a write racing this add " +
+            s"landed $where that violate it; the rule was rolled back")
+      }
+    }
   }
 
   /** Remove a named CHECK (future writes stop enforcing it). */
@@ -140,7 +173,7 @@ object Checks {
   def gate(spark: SparkSession, root: String,
       df: DataFrame): (DataFrame, Seq[graft.operators.Expect.Rule]) = {
     val rules = list(spark, root)
-    (augmentMissing(spark, df, rules),
+    (augmentMissing(spark, df, rules, tableSchema(spark, root)),
       rules.map(r => graft.operators.Expect.Rule(r.name,
         coalesce(r.cond, lit(true)))))
   }
@@ -161,24 +194,65 @@ object Checks {
   private[engine] def violationCounts(rules: Seq[Rule]): Seq[Column] =
     rules.map(r => count_if(!coalesce(r.cond, lit(true))).as(r.name))
 
+  /** Root column names a rule set references THROUGH a struct field
+    * (`meta.lang` → `meta`) — these need a TYPED null when absent, or the
+    * field extraction fails analysis on NullType. */
+  private def nestedReferenced(
+      spark: SparkSession, rules: Seq[Rule]): Set[String] =
+    rules.flatMap(r =>
+      spark.sessionState.sqlParser.parseExpression(r.exprSql).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.nameParts.length > 1 => a.nameParts.head
+      }).toSet
+
+  /** The table's recorded head schema, for typing null-augmented columns.
+    * By-name at call sites: the lookup only runs when a rule references a
+    * column the batch actually lacks. */
+  private[engine] def tableSchema(
+      spark: SparkSession, root: String): Option[org.apache.spark.sql.types.StructType] = {
+    val v = Snapshots.headVersion(spark, root)
+    if (v == 0) None
+    else Snapshots.parseSchemaStr(Snapshots.manifest(spark, root, v).schema)
+  }
+
   /** `df` with every rule-referenced column the frame LACKS added as a
     * null literal — the rows a schema-merging read of this batch would
     * surface, so rule evaluation matches read-time semantics instead of
-    * failing to resolve. */
+    * failing to resolve. Nulls are CAST to the table's recorded type when
+    * known, so a struct-field rule (`meta.lang IS NOT NULL`) on a batch
+    * lacking `meta` evaluates (to null → the field is null) instead of
+    * failing to extract from NullType; a nested reference to a column the
+    * TABLE doesn't know either is refused with a clear error. */
   private[engine] def augmentMissing(
-      spark: SparkSession, df: DataFrame, rules: Seq[Rule]): DataFrame = {
+      spark: SparkSession, df: DataFrame, rules: Seq[Rule],
+      schemaHint: => Option[org.apache.spark.sql.types.StructType] = None): DataFrame = {
     val have = df.columns.toSet
     val missing = referenced(spark, rules).diff(have).toSeq.sorted
-    missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null)))
+    if (missing.isEmpty) return df
+    val ts = schemaHint
+    val nested = nestedReferenced(spark, rules)
+    missing.foldLeft(df) { (d, c) =>
+      ts.flatMap(_.fields.find(_.name == c).map(_.dataType)) match {
+        case Some(dt) => d.withColumn(c, lit(null).cast(dt))
+        case None =>
+          require(!nested.contains(c),
+            s"check rule references nested field of '$c', which neither " +
+              "this batch nor the table schema defines — cannot type the " +
+              "null placeholder")
+          d.withColumn(c, lit(null))
+      }
+    }
   }
 
   /** First violated (rule name, count), if any, over `df` — the one-pass
     * validation used by `add`, `verify`, and the write path's re-check
     * after a racing rule change. */
   private[engine] def findViolation(
-      df: DataFrame, rules: Seq[Rule]): Option[(String, Long)] = {
+      df: DataFrame, rules: Seq[Rule],
+      schemaHint: => Option[org.apache.spark.sql.types.StructType] = None)
+      : Option[(String, Long)] = {
     if (rules.isEmpty) return None
-    val aug = augmentMissing(df.sparkSession, df, rules)
+    val aug = augmentMissing(df.sparkSession, df, rules, schemaHint)
     val row = aug.select(violationCounts(rules): _*).head()
     rules.zipWithIndex
       .map { case (r, i) => (r.name, row.getLong(i)) }

@@ -618,7 +618,8 @@ object Snapshots {
       else Some(new org.apache.spark.sql.Observation(s"graft-checks-$commitId"))
     val dfC = obs match {
       case Some(o) =>
-        val aug = Checks.augmentMissing(spark, df, rules)
+        val aug = Checks.augmentMissing(spark, df, rules,
+          Checks.tableSchema(spark, root))
         val ms = Checks.violationCounts(rules)
         // write only the batch's real columns; the null augmentation
         // exists for rule evaluation alone
@@ -663,7 +664,8 @@ object Snapshots {
       val toLogical = toPhys.map(_.swap)
       val staged = staged0.select(staged0.columns.toSeq.map(c =>
         org.apache.spark.sql.functions.col(c).as(toLogical.getOrElse(c, c))): _*)
-      Checks.findViolation(staged, rulesNow).foreach { case (rname, cnt) =>
+      Checks.findViolation(staged, rulesNow,
+          Checks.tableSchema(spark, root)).foreach { case (rname, cnt) =>
         f.delete(new Path(dataDir), true)
         throw new IllegalArgumentException(
           s"check constraint violation writing to $root: '$rname' ($cnt rows, " +
@@ -2079,7 +2081,13 @@ object Snapshots {
           lit(java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
             (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
         case Some(TimestampType) =>
-          lit(java.time.Instant.ofEpochSecond(0L).plusNanos(Math.round(x * 1e9)))
+          // round to exact microseconds like the NTZ branch: at
+          // current-epoch magnitudes a double's ulp is ~240ns, so a
+          // nanosecond reconstruction can shift the boundary within a
+          // microsecond and flip rows sitting exactly on it
+          val us = Math.round(x * 1e6)
+          lit(java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+            Math.floorMod(us, 1000000L) * 1000L))
         case Some(DateType) =>
           lit(java.time.LocalDate.ofEpochDay(x.toLong))
         case _ => lit(x)

@@ -32,8 +32,11 @@ import org.apache.spark.sql.types.LongType
   */
 object Bpe {
 
-  /** Sentinels delimiting one symbol: `<L> symbol <R>`. Words come
-    * from a whitespace split, so neither can occur inside a symbol. */
+  /** Sentinels delimiting one symbol: `<L> symbol <R>`. Whitespace
+    * splitting does NOT exclude control characters, so both [[learn]] and
+    * [[encode]] STRIP [-] from the text first ([[clean]]) —
+    * a document carrying a raw sentinel byte would otherwise silently
+    * corrupt pair counting and tokenization. */
   val L = "\u0001"
   val R = "\u0002"
   /** Word boundary in an encoded document — merges can never cross it
@@ -49,9 +52,16 @@ object Bpe {
   private def wrapChars(word: Column): Column =
     regexp_replace(word, "(.)", s"$L$$1$R")
 
+  /** `textCol` lowercased with the sentinel code points removed — the
+    * shared preamble of [[learn]] and [[encode]] (mirrored in the SQL
+    * oracle), making the sentinel-absence assumption true by
+    * construction. */
+  private def clean(textCol: String): Column =
+    regexp_replace(lower(col(textCol)), s"[$L-$WB]", "")
+
   /** (word, freq) over the corpus — the one corpus-sized pass. */
   private def wordFreqs(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(split(lower(col(textCol)), "\\s+")).as("word"))
+    docs.select(explode(split(clean(textCol), "\\s+")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).cast(LongType).as("freq"))
 
@@ -106,7 +116,7 @@ object Bpe {
     * boundaries interpose [[WB]], which no merge pattern can cross. */
   def encode(docs: DataFrame, textCol: String, merges: Seq[Merge]): DataFrame = {
     val wrapped = regexp_replace(
-      regexp_replace(lower(col(textCol)), "\\s+", WB), s"([^$WB])", s"$L$$1$R")
+      regexp_replace(clean(textCol), "\\s+", WB), s"([^$WB])", s"$L$$1$R")
     val merged = merges.foldLeft(wrapped) { (seq, m) =>
       val pat = s"$L${m.left}$R$L${m.right}$R"
       replace(seq, lit(pat), lit(s"$L${m.left}${m.right}$R"))

@@ -255,10 +255,16 @@ object ViewRewrite {
       if (keyAttrs.map(_.name).toSet != v.keys.toSet) return None
 
       // a filter below the aggregate is sound to carry over the state ONLY
-      // when it touches group keys alone: key-only predicates commute with
-      // grouping (every surviving group is bit-identical), and that is
-      // exactly what the optimizer pushes down from enclosing joins/HAVING
-      if (!filters.forall(_.references.forall(a => v.keys.contains(a.name))))
+      // when it is deterministic AND touches group keys alone: key-only
+      // deterministic predicates commute with grouping (every surviving
+      // group is bit-identical), and that is exactly what the optimizer
+      // pushes down from enclosing joins/HAVING. A reference-free
+      // non-deterministic predicate (rand() < 0.5) would pass a
+      // references-only check vacuously yet evaluate per GROUP on the
+      // state instead of per ROW on the base — so determinism is checked
+      // explicitly, and a filter must actually reference something.
+      if (!filters.forall(f => f.deterministic && f.references.nonEmpty &&
+          f.references.forall(a => v.keys.contains(a.name))))
         return None
 
       // the state scan: keys, n_rows (long), sum_<c> (exact decimal). A

@@ -280,7 +280,9 @@ object TextAnalysis {
     }.mkString(",\n")
     s"""WITH w AS MATERIALIZED (
        |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM (
-       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS word
+       |    SELECT unnest(string_split_regex(
+       |      regexp_replace(lower(text), '[' || chr(1) || '-' || chr(3) || ']', '', 'g'),
+       |      '\\s+')) AS word
        |    FROM documents) u
        |  WHERE word <> '' GROUP BY word),
        |v0 AS MATERIALIZED (
@@ -322,7 +324,9 @@ object TextAnalysis {
        |enc0 AS MATERIALIZED (
        |  SELECT source,
        |    regexp_replace(
-       |      regexp_replace(lower(text), '\\s+', chr(3), 'g'),
+       |      regexp_replace(
+       |        regexp_replace(lower(text), '[' || chr(1) || '-' || chr(3) || ']', '', 'g'),
+       |        '\\s+', chr(3), 'g'),
        |      '([^' || chr(3) || '])', chr(1) || '\\1' || chr(2), 'g') AS seq0
        |  FROM documents),
        |encA AS MATERIALIZED (SELECT source, $applied AS seqk FROM enc0, m),

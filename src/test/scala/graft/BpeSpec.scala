@@ -119,4 +119,19 @@ class BpeSpec extends SparkSpec {
       .select("tokens").as[Seq[String]].head()
     assert(crossed === Seq("a", "b"))
   }
+
+  test("raw sentinel bytes in the input are stripped, not corrupting") {
+    // \u0001..\u0003 are the internal sentinels; whitespace splitting does
+    // not exclude them, so a document carrying them must behave as if they
+    // were absent — in learn AND encode
+    val dirty = Seq(s"a${Bpe.L}b a${Bpe.R}b a${Bpe.WB}b ab cd")
+    val clean = Seq("ab ab ab ab cd")
+    val mDirty = Bpe.learn(dirty.toDF("text"), "text", 2)
+    val mClean = Bpe.learn(clean.toDF("text"), "text", 2)
+    assert(mDirty === mClean)
+    val enc = Bpe.encode(dirty.toDF("text"), "text", mDirty)
+      .select("tokens").as[Seq[String]].head()
+    assert(enc === Seq("ab", "ab", "ab", "ab", "cd"))
+    assert(enc.forall(t => !t.exists(c => c >= '\u0001' && c <= '\u0003')))
+  }
 }

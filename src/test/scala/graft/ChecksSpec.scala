@@ -149,6 +149,41 @@ class ChecksSpec extends SparkSpec {
     assert(e.getMessage.contains("q_set"))
   }
 
+  test("a struct-field rule types its null placeholder from the table schema") {
+    val root = tmp()
+    // head carries meta: struct<lang:string>
+    Snapshots.commit(
+      Seq((1L, "en")).toDF("id", "lang")
+        .select(col("id"), struct(col("lang")).as("meta")),
+      root)
+    Checks.add(spark, root, "lang_set", "meta.lang IS NOT NULL")
+    // a batch LACKING meta entirely: the null placeholder is cast to the
+    // recorded struct type, so the rule EVALUATES (lang null on every row
+    // → IS NOT NULL false → rejected as a violation, never an
+    // AnalysisException about extracting a field from NullType)
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(Seq(Tuple1(2L)).toDF("id"), root, append = true)
+    }
+    assert(e.getMessage.contains("lang_set"), s"got: ${e.getMessage}")
+    assert(Snapshots.read(spark, root).count() === 1L)
+    // a plain predicate over the struct field passes on the null (SQL
+    // CHECK semantics), same typed-null path
+    Checks.drop(spark, root, "lang_set")
+    Checks.add(spark, root, "lang_en", "meta.lang = 'en'")
+    Snapshots.commit(Seq(Tuple1(3L)).toDF("id"), root, append = true)
+    assert(Snapshots.read(spark, root).count() === 2L)
+  }
+
+  test("a nested rule over a column unknown to batch AND table fails clearly") {
+    val root = tmp()
+    // empty table: add skips head validation, so the bad rule can land
+    Checks.add(spark, root, "ghost", "ghost.field IS NOT NULL")
+    val e = intercept[IllegalArgumentException] {
+      Snapshots.commit(rows((1L, 10L)), root)
+    }
+    assert(e.getMessage.contains("cannot type"), s"got: ${e.getMessage}")
+  }
+
   test("a rule added while a batch writes still vets that batch") {
     val root = tmp()
     Snapshots.commit(rows((1L, 10L)), root)

@@ -107,6 +107,28 @@ class ViewRewriteSpec extends SparkSpec {
     assert(!ViewRewrite.avoidedScan(byX, root))
   }
 
+  test("a non-deterministic filter below the aggregate blocks the rewrite") {
+    val (root, state) = freshBase()
+    ViewRewrite.install(spark)
+    ViewRewrite.clear()
+    ViewRewrite.registerView(ViewRewrite.SumView("v", root, state, Seq("k"), Set("x")))
+
+    // spark_partition_id() >= 0 references NOTHING, so a references-only
+    // check passes it vacuously — but it is non-deterministic and must
+    // evaluate per ROW on the base, not per GROUP on the state: no rewrite
+    // (rand() < 2.0 won't do here: the optimizer folds it away knowing
+    // rand's [0,1) bounds, so no Filter survives to the rule)
+    val q = Snapshots.read(spark, root)
+      .filter(spark_partition_id() >= 0).groupBy("k")
+      .agg(Det.dsum(col("x")).as("sum_x"), count(lit(1)).as("n"))
+    assert(!ViewRewrite.avoidedScan(q, root),
+      "non-deterministic filter must not be carried onto the view state")
+    // always-true predicate: the scan answer equals the unfiltered one
+    assert(q.as[(String, Double, Long)].collect().toSet ===
+      Set(("a", 3.75, 2L), ("b", 4.0, 1L), ("c", 0.25, 1L)))
+    ViewRewrite.clear()
+  }
+
   test("rewritten aggregate composes under filters and joins (attr ids held)") {
     val (root, state) = freshBase()
     ViewRewrite.install(spark)
