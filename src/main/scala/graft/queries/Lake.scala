@@ -1358,5 +1358,57 @@ object Lake {
           graft.engine.Det.dsum(col("value")).as("sum_value"))
         .orderBy("event_type")
     },
+
+    // ---- q119: DSv2 BATCH READ OF A SNAPSHOT TABLE — the user-facing
+    //            half of the manifest index: plain `spark.sql` over a
+    //            registered DataSource-V2 view of the table gets the SAME
+    //            file pruning as the readWhere API (pushed filters mined
+    //            against the stats index inside the scan,
+    //            graft.engine.FilterPrune) and the SAME merge-on-read
+    //            semantics (deletion vectors applied by the per-file
+    //            readers). Required in-query: the scan plans fewer
+    //            partitions than the table holds files, AND the head
+    //            actually carries vectors — so both claims sit under the
+    //            hash gate, not in a spec alone. ----
+    OracleQuery(
+      "q119_dsv2_batch_read",
+      s"""SELECT event_type, count(*) AS n,
+        |  ${graft.engine.Det.sql.dsum("value")} AS sum_value
+        |FROM events
+        |WHERE NOT (value < 5.0)
+        |  AND ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-20 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/events_dsv2"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      Snapshots.commit(
+        Tables(spark, dir, "events")
+          .select(col("ts"), col("event_type"), col("value"))
+          .repartitionByRange(6, col("ts")),
+        root, statsCols = Seq("ts"))
+      // scattered low-value rows land as deletion vectors (merge-on-read)
+      Snapshots.deleteWhere(spark, root, col("value") < 5.0)
+      val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+      require(m.dvs.nonEmpty, "the delete must land as vectors, not rewrites")
+      spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .createOrReplaceTempView("events_snap")
+      val res = spark.sql(
+        """SELECT event_type, count(*) AS n,
+          |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+          |FROM events_snap
+          |WHERE ts >= TIMESTAMP'2024-01-10 00:00:00'
+          |  AND ts < TIMESTAMP'2024-01-20 00:00:00'
+          |GROUP BY event_type ORDER BY event_type""".stripMargin)
+      val scanned = res.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.length
+      }.sum
+      require(scanned < m.files.size,
+        s"SQL over the DSv2 table must prune files ($scanned of ${m.files.size})")
+      res
+    },
   )
 }

@@ -17,16 +17,35 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.engine.Snapshots
 
-/** STREAMING SOURCE over a snapshot table — `spark.readStream.format(
-  * "graft.streaming.SnapshotSourceProvider").option("root", root).load()`
+/** DataSource-V2 TABLE over a snapshot table — batch AND streaming reads
+  * through one provider, so the manifest index stops being an API-only
+  * privilege.
+  *
+  * BATCH (round 10): `spark.read.format("graft.streaming
+  * .SnapshotSourceProvider").option("root", root).load()` — or the same
+  * frame registered as a temp view and queried with plain `spark.sql` —
+  * plans a scan whose PUSHED filters prune FILES through the manifest's
+  * stats/bloom/null indexes ([[graft.engine.FilterPrune]], the
+  * `sources.Filter` twin of `readWhere`'s Catalyst miner) before a single
+  * byte is read, and whose per-file readers apply deletion vectors
+  * exactly like the API read path. All pushed filters stay RESIDUAL
+  * (Spark re-evaluates them row-exactly on surviving files), so pruning
+  * is pure I/O savings — at 100 TB the difference between a time-band
+  * query and a full-table outage. The scan also reports exact row counts
+  * from the manifest (post-pruning, DV-adjusted) so the optimizer can
+  * broadcast a filtered dimension read without a size sample.
+  * `.option("version", v)` time-travels the batch scan.
+  *
+  * STREAMING: `spark.readStream` on the same format string
   * tails the table's commit log as a Structured Streaming source: each
   * micro-batch is exactly the rows the commits since the last batch
   * APPENDED, offsets are snapshot VERSIONS (checkpointed by the engine, so
@@ -112,7 +131,7 @@ private[streaming] class SnapshotStreamTable(
   override def name(): String = s"graft-snapshot(${properties.getOrElse("root", "?")})"
   override def schema(): StructType = tableSchema
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new SnapshotScanBuilder(tableSchema, SnapshotSource.rootOf(options), options)
@@ -122,34 +141,115 @@ private[streaming] class SnapshotScanBuilder(
     fullSchema: StructType,
     root: String,
     options: CaseInsensitiveStringMap)
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep full-schema field order/types; the pruner passes a subset
     required = StructType(fullSchema.fields.filter(f =>
       requiredSchema.fieldNames.contains(f.name)))
 
-  override def build(): Scan = new SnapshotScan(required, root,
+  /** Every filter stays RESIDUAL (returned for Spark to re-evaluate
+    * row-exactly); the minable subset is reported as pushed and used for
+    * FILE pruning only — so a conservative index can never drop a row. */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters.filter(graft.engine.FilterPrune.minable(fullSchema, _))
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan = new SnapshotScan(required, fullSchema, root,
     options.getOrDefault("startingVersion", "earliest"),
     options.getBoolean("ignoreChanges", false),
-    Option(options.get("maxFilesPerTrigger")).map(_.toInt))
+    Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+    pushed,
+    Option(options.get("version")).map(_.toLong))
 }
 
 private[streaming] class SnapshotScan(
     required: StructType,
+    fullSchema: StructType,
     root: String,
     startingVersion: String,
     ignoreChanges: Boolean,
-    maxFilesPerTrigger: Option[Int]) extends Scan {
+    maxFilesPerTrigger: Option[Int],
+    pushed: Array[Filter] = Array.empty,
+    version: Option[Long] = None)
+  extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
-  override def description(): String = s"graft-snapshot $root"
+  override def description(): String =
+    s"graft-snapshot $root" +
+      (if (pushed.isEmpty) "" else pushed.mkString(" PushedFilters: [", ", ", "]"))
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new SnapshotMicroBatchStream(root, required, startingVersion, ignoreChanges,
       maxFilesPerTrigger)
+
+  // ---- batch half: manifest-index file pruning + DV-aware readers ----
+
+  private def spark = SparkSession.active
+
+  /** (manifest, surviving files) — resolved ONCE per scan: the pruned set
+    * feeds both partition planning and the statistics report, so the
+    * optimizer's row estimate and the executed scan can't disagree. */
+  private lazy val resolved: (Snapshots.Manifest, Seq[String]) = {
+    val v = version.getOrElse(Snapshots.headVersion(spark, root))
+    require(v > 0, s"no snapshot committed at $root yet")
+    val m = Snapshots.manifest(spark, root, v)
+    (m, graft.engine.FilterPrune.prune(m, fullSchema, pushed.toSeq))
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (m, kept) = resolved
+    val dvByName = m.dvs.map(d => d.file -> d.b64).toMap
+    kept.sorted.map { uri =>
+      SnapshotFilePartition(uri,
+        dvByName.get(new Path(uri).getName)): InputPartition
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val phys = SnapshotSource.physicalNames(root)
+    val confEntries = {
+      val hc = spark.sparkContext.hadoopConfiguration
+      hc.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
+    }
+    SnapshotReaderFactory(required.json,
+      required.fields.map(f => phys.getOrElse(f.name, f.name)), confEntries)
+  }
+
+  /** Exact post-pruning row count from the manifest's per-file counts
+    * minus deletion-vector cardinalities — zero data I/O. Lets Catalyst
+    * broadcast a filtered dimension read without sampling; degrades to
+    * unknown when any surviving file predates the row-count index. */
+  override def estimateStatistics(): Statistics = {
+    val (m, kept) = resolved
+    val rowsByName = m.rows.map(r => r.file -> r.n).toMap
+    val names = kept.map(f => new Path(f).getName)
+    val exact =
+      if (names.forall(rowsByName.contains)) {
+        val nameSet = names.toSet
+        val deleted = m.dvs.filter(d => nameSet.contains(d.file)).map(_.deleted).sum
+        Some(names.map(rowsByName).sum - deleted)
+      } else None
+    val width = math.max(required.defaultSize, 1)
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        exact.map(n => java.util.OptionalLong.of(n * width))
+          .getOrElse(java.util.OptionalLong.empty())
+      override def numRows(): java.util.OptionalLong =
+        exact.map(java.util.OptionalLong.of)
+          .getOrElse(java.util.OptionalLong.empty())
+    }
+  }
 }
 
 /** Offset = snapshot VERSION: "every commit ≤ version is consumed". */

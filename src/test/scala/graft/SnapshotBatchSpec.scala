@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.engine.Snapshots
+
+/** DSv2 BATCH reads of snapshot tables: a plain `spark.read.format(...)`
+  * (or SQL over a temp view of it) must see the same rows as the API read
+  * — deletion vectors applied, renames honored — while pushed filters
+  * prune FILES through the manifest's stats/bloom/null indexes and the
+  * scan reports exact manifest row counts to the optimizer.
+  */
+class SnapshotBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Fmt = "graft.streaming.SnapshotSourceProvider"
+
+  private def tmp(): String =
+    "file:" + Files.createTempDirectory("snapbatch").toString + "/t"
+
+  private def batchRead(root: String): DataFrame =
+    spark.read.format(Fmt).option("root", root).load()
+
+  private def scannedFiles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.inputPartitions.length
+    }.sum
+
+  private def freshTable(): String = {
+    val root = tmp()
+    val df = (1L to 4000L).map(i => (i, s"name_$i", (i % 7).toDouble))
+      .toDF("id", "name", "score")
+    Snapshots.commit(df.repartitionByRange(8, col("id")), root,
+      statsCols = Seq("id", "score"))
+    root
+  }
+
+  test("batch read equals the API read; SQL over a temp view works") {
+    val root = freshTable()
+    val api = Snapshots.read(spark, root).as[(Long, String, Double)].collect().toSet
+    val dsv2 = batchRead(root).as[(Long, String, Double)].collect().toSet
+    assert(dsv2 === api)
+
+    batchRead(root).createOrReplaceTempView("snap_t")
+    val n = spark.sql("SELECT count(*) AS n FROM snap_t").as[Long].head()
+    assert(n === 4000L)
+  }
+
+  test("pushed range filter prunes files; result stays row-exact") {
+    val root = freshTable()
+    val total = Snapshots.manifest(spark, root,
+      Snapshots.headVersion(spark, root)).files.size
+    val q = batchRead(root).filter(col("id") >= 3500L)
+    assert(scannedFiles(q) < total,
+      s"range filter must prune (scanned ${scannedFiles(q)} of $total)")
+    assert(q.select("id").as[Long].collect().toSet === (3500L to 4000L).toSet)
+    // the pushdown is visible in the scan description
+    assert(q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.exists(_.contains("PushedFilters")))
+
+    // point + IN prune harder
+    val point = batchRead(root).filter(col("id") === 42L)
+    assert(scannedFiles(point) === 1)
+    assert(point.count() === 1L)
+    val in = batchRead(root).filter(col("id").isin(10L, 3990L))
+    assert(scannedFiles(in) === 2)
+    assert(in.count() === 2L)
+  }
+
+  test("an unminable filter scans everything but never drops rows") {
+    val root = freshTable()
+    val total = Snapshots.manifest(spark, root,
+      Snapshots.headVersion(spark, root)).files.size
+    val q = batchRead(root).filter(col("name").endsWith("_7"))
+    assert(scannedFiles(q) === total)
+    assert(q.count() === 1L) // only "name_7" ends with "_7"
+  }
+
+  test("deletion vectors apply through the batch scan") {
+    val root = freshTable()
+    Snapshots.deleteWhere(spark, root, col("id") % 100 === 3)
+    val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+    assert(m.dvs.nonEmpty, "delete must have landed as vectors, not rewrites")
+    val api = Snapshots.read(spark, root).as[(Long, String, Double)].collect().toSet
+    val dsv2 = batchRead(root).as[(Long, String, Double)].collect().toSet
+    assert(dsv2 === api)
+    assert(!dsv2.exists(_._1 % 100 == 3))
+    assert(dsv2.size === 3960)
+  }
+
+  test("version option time-travels the batch scan") {
+    val root = freshTable()
+    Snapshots.commit(Seq((9001L, "late", 0.0)).toDF("id", "name", "score"),
+      root, append = true)
+    val head = batchRead(root)
+    val v1 = spark.read.format(Fmt).option("root", root)
+      .option("version", 1).load()
+    assert(head.count() === 4001L)
+    assert(v1.count() === 4000L)
+  }
+
+  test("the scan reports exact post-pruning, DV-adjusted row counts") {
+    val root = freshTable()
+    Snapshots.deleteWhere(spark, root, col("id") <= 10L)
+    val q = batchRead(root)
+    val reported = q.queryExecution.optimizedPlan.stats.rowCount
+    assert(reported.contains(BigInt(3990)),
+      s"expected exact manifest count 3990, got $reported")
+    // and with a pushed filter, the estimate shrinks with the file set
+    val band = batchRead(root).filter(col("id") >= 3500L)
+    val bandRows = band.queryExecution.optimizedPlan.collect {
+      case r if r.stats.rowCount.isDefined => r.stats.rowCount.get
+    }
+    assert(bandRows.nonEmpty && bandRows.min < BigInt(3990),
+      s"pruned scan must report fewer rows: $bandRows")
+  }
+
+  test("string-bloom equality pruning through the DSv2 scan") {
+    val root = tmp()
+    val df = (1L to 2000L).map(i => (f"doc_$i%05d", i)).toDF("doc_id", "v")
+    Snapshots.commit(df.repartitionByRange(8, col("doc_id")), root,
+      bloomCols = Seq("doc_id"))
+    val total = Snapshots.manifest(spark, root,
+      Snapshots.headVersion(spark, root)).files.size
+    val q = batchRead(root).filter(col("doc_id") === "doc_00042")
+    assert(scannedFiles(q) < total,
+      s"bloom must prune (scanned ${scannedFiles(q)} of $total)")
+    assert(q.select("v").as[Long].collect().toSeq === Seq(42L))
+  }
+
+  test("column pruning reaches the scan; renamed tables read under new names") {
+    val root = freshTable()
+    Snapshots.renameColumn(spark, root, "score", "quality")
+    val q = batchRead(root).select("id", "quality")
+    val scanSchemas = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan.readSchema().fieldNames.toSeq
+    }
+    assert(scanSchemas === Seq(Seq("id", "quality")))
+    assert(q.filter(col("id") === 5L).as[(Long, Double)].head() === ((5L, 5.0)))
+  }
+}
