@@ -105,18 +105,39 @@ object Branches {
     }
   }
 
-  /** [[publish]] that REBASES instead of aborting when main advanced —
-    * for APPEND-ONLY branches: when every fork-base metadata shard is
-    * still carried (by name) in the branch head, the branch provably never
-    * rewrote, deleted, or compacted base data, so its contribution is
-    * exactly its ADDED shards and those commute with anything main did
-    * meanwhile (the snapshot-isolation append semantics: main's
-    * merges/deletes/compactions touch base-generation files, the branch's
-    * additions are fresh files). The publish then lands `main head's refs
-    * + branch-added refs` through the optimistic commit loop — no replay,
-    * no error, still metadata-only. A branch that modified base data (its
-    * ref set lost a fork-base shard) aborts loudly: re-fork and replay is
-    * the only sound path there.
+  /** [[publish]] that REBASES instead of aborting when main advanced.
+    *
+    * APPEND-ONLY branches (the cheap shard-name proof): when every
+    * fork-base metadata shard is still carried (by name) in the branch
+    * head, the branch provably never rewrote, deleted, or compacted base
+    * data, so its contribution is exactly its ADDED shards and those
+    * commute with anything main did meanwhile (the snapshot-isolation
+    * append semantics: main's merges/deletes/compactions touch
+    * base-generation files, the branch's additions are fresh files). The
+    * publish then lands `main head's refs + branch-added refs` through the
+    * optimistic commit loop — no replay, no error, still metadata-only.
+    *
+    * Beyond append-only (round 10 — file-level disjointness): a branch
+    * that DID rewrite or vector-delete base data rebases when the two
+    * sides provably commute at row level:
+    *  - the base files the branch touched (rewrote, removed, or grew a
+    *    deletion vector on) are DISJOINT from the base files main touched
+    *    since the fork — neither side's writes read the other's;
+    *  - AND, unless every row-affecting branch commit was a
+    *    row-PRESERVING layout rewrite (compaction / DV materialization,
+    *    recognized by [[Snapshots.OptimizeTag]]), every interim MAIN
+    *    commit must be one — a main append/merge could carry rows the
+    *    branch's rewrite predicate would have touched on serial replay,
+    *    which file identity cannot decide, so it refuses (re-fork and
+    *    replay). A branch that only appended + compacted commutes with
+    *    ANY disjoint main activity; a branch that changed rows commutes
+    *    only with main layout maintenance.
+    * The rebased head is `main head − branch-removed files + branch-added
+    * files`, with the branch's deletion vectors carried onto surviving
+    * base files — pure metadata surgery ([[Snapshots.rebaseSurgery]]), no
+    * data re-pass, row-identical to the serial schedule by the argument
+    * above. A vacuumed interim manifest on either chain refuses
+    * conservatively (classification needs the history).
     *
     * Schema: sides that didn't evolve inherit the other side's evolution
     * (physical names are rename-stable, so either schema reads both sides'
@@ -133,9 +154,8 @@ object Branches {
     val baseMeta = Snapshots.manifestMeta(spark, tableRoot, base) // throws if vacuumed
     val baseRefs = Snapshots.shardRefsOf(spark, tableRoot, baseMeta).map(_.name).toSet
     val branchRefs = Snapshots.shardRefsOf(spark, bRoot, bMeta)
-    require(baseRefs.subsetOf(branchRefs.map(_.name).toSet),
-      s"branch '$name' modified base data (a fork-base shard is gone from its refs) — " +
-        "rebase is sound for append-only branches; re-fork and replay instead")
+    if (!baseRefs.subsetOf(branchRefs.map(_.name).toSet))
+      return publishRebaseGeneral(spark, tableRoot, name, base, bHead, bMeta, baseMeta)
     val added = branchRefs.filterNot(r => baseRefs.contains(r.name))
 
     // retired physical names are a table-lifetime fact on BOTH chains: a
@@ -150,18 +170,145 @@ object Branches {
     Snapshots.publishMeta(spark, tableRoot, tag = s"publish:$name",
       retiredOverride = Some(retired)) { headOpt =>
       val h = headOpt.getOrElse(sys.error(s"main chain vanished at $tableRoot"))
-      val schema =
-        if (bMeta.schema == baseMeta.schema) h.schema // branch didn't evolve
-        else if (h.schema == baseMeta.schema) bMeta.schema // main didn't evolve
-        else if (h.schema == bMeta.schema) h.schema
-        else sys.error(s"branch '$name' and $tableRoot both evolved their schema " +
-          "since the fork — resolve manually (re-fork and replay the evolution)")
+      val schema = rebasedSchema(tableRoot, name, bMeta.schema, baseMeta.schema, h.schema)
       // a shard main already carries (e.g. a replayed publish of this same
       // branch) must not land twice — refs are carried by name
       val cur = Snapshots.shardRefsOf(spark, tableRoot, h)
       val curNames = cur.map(_.name).toSet
       (cur ++ added.filterNot(a => curNames.contains(a.name)), schema)
     }
+  }
+
+  private def rebasedSchema(tableRoot: String, name: String,
+      branchSchema: String, baseSchema: String, mainSchema: String): String =
+    if (branchSchema == baseSchema) mainSchema // branch didn't evolve
+    else if (mainSchema == baseSchema) branchSchema // main didn't evolve
+    else if (mainSchema == branchSchema) mainSchema
+    else sys.error(s"branch '$name' and $tableRoot both evolved their schema " +
+      "since the fork — resolve manually (re-fork and replay the evolution)")
+
+  /** How one commit affected the table's ROWS, decided from metadata. */
+  private sealed trait CommitKind
+  /** Added files only (or metadata-only): adds rows, changes none. */
+  private case object Append extends CommitKind
+  /** [[Snapshots.OptimizeTag]]-tagged layout rewrite: row-preserving. */
+  private case object Optimize extends CommitKind
+  /** Removed files or grew a deletion vector, untagged: changed rows. */
+  private case object RowChanging extends CommitKind
+
+  /** Classify every commit in (fromV, toV] of `root`'s chain. Throws when
+    * an interim manifest is vacuumed (caller refuses conservatively). */
+  private def classifyChain(spark: SparkSession, root: String,
+      fromV: Long, toV: Long): Seq[CommitKind] = {
+    var prev = Snapshots.manifest(spark, root, fromV)
+    ((fromV + 1) to toV).map { v =>
+      val meta = Snapshots.manifestMeta(spark, root, v)
+      val cur = Snapshots.manifest(spark, root, v)
+      val removed = prev.files.toSet -- cur.files.toSet
+      // a DV change on a CARRIED-FORWARD file is a row delete (vectors only
+      // grow; they vanish only with their file)
+      val carriedNames = {
+        val curNames = cur.files.map(u => new Path(u).getName).toSet
+        prev.files.map(u => new Path(u).getName).toSet intersect curNames
+      }
+      val dvChanged = {
+        val pv = prev.dvs.map(d => d.file -> d.b64).toMap
+        cur.dvs.exists(d => carriedNames.contains(d.file) &&
+          !pv.get(d.file).contains(d.b64))
+      }
+      prev = cur
+      if (removed.isEmpty && !dvChanged) Append
+      else if (meta.tag.startsWith(Snapshots.OptimizeTag)) Optimize
+      else RowChanging
+    }
+  }
+
+  /** The file-level rebase for branches that rewrote base data — see
+    * [[publishRebase]]. Validates against a specific main head, publishes
+    * fenced to it, and re-validates on losing the race. */
+  private def publishRebaseGeneral(
+      spark: SparkSession,
+      tableRoot: String,
+      name: String,
+      base: Long,
+      bHead: Long,
+      bMeta: Snapshots.ManifestMeta,
+      baseMeta: Snapshots.ManifestMeta): Long = {
+    val bRoot = Snapshots.branchRoot(tableRoot, name)
+    def refuse(msg: String): Nothing = throw new IllegalArgumentException(
+      s"cannot rebase branch '$name' onto $tableRoot: $msg — re-fork and replay instead")
+
+    val baseM = Snapshots.manifest(spark, tableRoot, base)
+    val bM = Snapshots.manifest(spark, bRoot, bHead)
+    val baseFiles = baseM.files.toSet
+    val bFiles = bM.files.toSet
+    def dvMap(m: Snapshots.Manifest) = m.dvs.map(d => d.file -> d).toMap
+    val baseDv = dvMap(baseM)
+    val bDv = dvMap(bM)
+    def nameOf(u: String) = new Path(u).getName
+    val branchRemoved = baseFiles -- bFiles
+    val branchDvChanged = (baseFiles intersect bFiles).filter { u =>
+      val n = nameOf(u)
+      bDv.get(n).map(_.b64) != baseDv.get(n).map(_.b64)
+    }
+    val branchTouched = branchRemoved ++ branchDvChanged
+
+    val branchKinds =
+      try classifyChain(spark, bRoot, 1L, bHead)
+      catch { case scala.util.control.NonFatal(_) =>
+        refuse("a branch manifest is already vacuumed (cannot classify its commits)") }
+    val branchRowChanging = branchKinds.contains(RowChanging)
+
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 10) refuse("main kept advancing during the rebase (10 attempts)")
+      val mainHead = Snapshots.headVersion(spark, tableRoot)
+      val mainMeta = Snapshots.manifestMeta(spark, tableRoot, mainHead)
+      val mainM = Snapshots.manifest(spark, tableRoot, mainHead)
+      val mainFiles = mainM.files.toSet
+      val mainDv = dvMap(mainM)
+      val mainRemoved = baseFiles -- mainFiles
+      val mainDvChanged = (baseFiles intersect mainFiles).filter { u =>
+        val n = nameOf(u)
+        mainDv.get(n).map(_.b64) != baseDv.get(n).map(_.b64)
+      }
+      val mainTouched = mainRemoved ++ mainDvChanged
+
+      val clash = branchTouched intersect mainTouched
+      if (clash.nonEmpty)
+        refuse(s"both sides touched ${clash.size} of the same base file(s)")
+      if (branchRowChanging) {
+        val mainKinds =
+          try classifyChain(spark, tableRoot, base, mainHead)
+          catch { case scala.util.control.NonFatal(_) =>
+            refuse("an interim main manifest is already vacuumed") }
+        if (!mainKinds.forall(_ == Optimize))
+          refuse("the branch changed rows and main's interim commits are not " +
+            "all row-preserving layout rewrites — serial replay could differ")
+      }
+
+      // metadata surgery: main head minus branch-removed files, branch DVs
+      // carried onto surviving base files, plus the branch's added files
+      val dvUpdates = branchDvChanged.map(u => nameOf(u) -> bDv(nameOf(u))).toMap
+      val mainSide = Snapshots.rebaseSurgery(spark, tableRoot, mainMeta,
+        branchRemoved, dvUpdates)
+      val branchSide = Snapshots.rebaseSurgery(spark, bRoot, bMeta,
+        bFiles intersect baseFiles, Map.empty)
+      val mainNames = mainSide.map(_.name).toSet
+      val retired = (mainMeta.retired ++ bMeta.retired).distinct
+      val schema = rebasedSchema(tableRoot, name, bMeta.schema, baseMeta.schema,
+        mainMeta.schema)
+      try {
+        return Snapshots.publishMeta(spark, tableRoot, tag = s"publish:$name",
+          requireHead = mainHead, retiredOverride = Some(retired)) { _ =>
+          (mainSide ++ branchSide.filterNot(r => mainNames.contains(r.name)), schema)
+        }
+      } catch {
+        case _: Snapshots.ConcurrentCommitException => () // re-validate, retry
+      }
+    }
+    0L // unreachable
   }
 
   /** The WRITE-AUDIT-PUBLISH gate: run `rules` against the branch's current

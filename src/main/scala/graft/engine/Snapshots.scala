@@ -1304,7 +1304,8 @@ object Snapshots {
           val nwMeta = manifestMeta(spark, root, nwV)
           val nwShards = loadShards(spark, root, nwMeta)
           val nw = resolve(nwMeta, nwShards)
-          validateMergeRebase(m, meta, nw, nwMeta, key, probe, touchedSet) match {
+          validateMergeRebase(spark, root, m, meta, nw, nwMeta, key, probe,
+            touchedSet) match {
             case Left(reason) => throw new ConcurrentCommitException(
               s"${e.getMessage} [rebase refused: $reason]")
             case Right(()) =>
@@ -1331,15 +1332,25 @@ object Snapshots {
     *   2. every file this merge rewrote still stands in the new head, with
     *      its deletion vector unchanged (an interim rewrite/DV on one means
     *      the survivors were computed from superseded rows — lost update);
-    *   3. no interim-added file can hold any of the merge's keys (checked
-    *      through the same stats/bloom candidacy the pruning used — a
-    *      statless added file is conservatively a conflict), otherwise the
-    *      upsert would miss rows it should have replaced.
+    *   3. no interim-added file can hold any of the merge's keys. Checked
+    *      per interim COMMIT, walking the chain: an OPTIMIZE-tagged commit
+    *      ([[OptimizeTag]] — compaction / DV materialization, provably
+    *      row-preserving) whose removed files were all already key-free is
+    *      exempt — its outputs hold exactly those files' live rows, so
+    *      they are key-free by construction, stats or no stats (the case
+    *      "a merge racing a compaction of disjoint files"); every other
+    *      added file goes through the same stats/bloom candidacy the
+    *      pruning used (a statless one is conservatively a conflict),
+    *      otherwise the upsert would miss rows it should have replaced.
+    *      A vacuumed interim manifest degrades the walk to the bulk
+    *      head-level candidacy check (no exemptions — conservative).
     * Interim removals of OTHER files need no check: the merge's keys live
     * only inside its touched set (pruning is a superset), and the rebased
     * carry derives from the NEW head's shards, so disjoint removals are
     * respected automatically. */
   private def validateMergeRebase(
+      spark: SparkSession,
+      root: String,
       old: Manifest,
       oldMeta: ManifestMeta,
       nw: Manifest,
@@ -1348,6 +1359,21 @@ object Snapshots {
       probe: KeyProbe,
       touched: Set[String]): Either[String, Unit] = {
     def base(u: String) = new Path(u).getName
+    /** Files of `files` whose stats/bloom candidacy (recorded in `man`)
+      * cannot rule out a merge key. */
+    def riskyIn(man: Manifest, files: Seq[String]): Seq[String] = {
+      if (files.isEmpty) return Seq.empty
+      val fb = files.map(base).toSet
+      val sub = Manifest(man.version, files, man.parent,
+        stats = man.stats.filter(s => fb.contains(s.file)),
+        blooms = man.blooms.filter(b => fb.contains(b.file)))
+      probe match {
+        case KeysSmall(ks) => candidateFilesForKeys(sub, key, ks)
+        case KeysRange(lo, hi) => candidateFiles(sub, key, lo, hi)
+        case KeysOpaqueSmall(ks) => candidateFilesForStrings(sub, key, ks)
+        case _ => files // opaque keys: no pruning index — conservative
+      }
+    }
     if (nwMeta.schema != oldMeta.schema)
       Left("schema evolved between the merge's base and the new head")
     else if (nwMeta.retired != oldMeta.retired)
@@ -1365,21 +1391,56 @@ object Snapshots {
         val oldFiles = old.files.toSet
         val added = nw.files.filterNot(oldFiles)
         if (added.isEmpty) Right(())
-        else {
-          val addedBase = added.map(base).toSet
-          val sub = Manifest(nw.version, added, nw.parent,
-            stats = nw.stats.filter(s => addedBase.contains(s.file)),
-            blooms = nw.blooms.filter(b => addedBase.contains(b.file)))
-          val risky = probe match {
-            case KeysSmall(ks) => candidateFilesForKeys(sub, key, ks)
-            case KeysRange(lo, hi) => candidateFiles(sub, key, lo, hi)
-            case KeysOpaqueSmall(ks) => candidateFilesForStrings(sub, key, ks)
-            case _ => added // opaque keys: no pruning index — conservative
-          }
-          if (risky.isEmpty) Right(())
-          else Left(s"an interim commit added ${risky.size} file(s) that may hold merge keys")
-        }
+        else walkInterim(spark, root, old, nw, touched, oldFiles, added, riskyIn)
       }
+    }
+  }
+
+  /** Rule-3 per-commit walk (see [[validateMergeRebase]]): maintain the
+    * set of provably key-free files, exempting row-preserving rewrites of
+    * already-safe files from candidacy. */
+  private def walkInterim(
+      spark: SparkSession,
+      root: String,
+      old: Manifest,
+      nw: Manifest,
+      touched: Set[String],
+      oldFiles: Set[String],
+      added: Seq[String],
+      riskyIn: (Manifest, Seq[String]) => Seq[String]): Either[String, Unit] = {
+    try {
+      // everything outside the touched superset provably holds no merge key
+      var safe = oldFiles -- touched
+      var prev = oldFiles
+      var v = old.version + 1
+      while (v <= nw.version) {
+        val mm = manifestMeta(spark, root, v)
+        val cm = manifest(spark, root, v)
+        val cur = cm.files.toSet
+        val removed = prev -- cur
+        val addedC = (cur -- prev).toSeq
+        if (mm.tag.startsWith(OptimizeTag) && removed.subsetOf(safe))
+          safe ++= addedC // row-preserving rewrite of key-free files
+        else {
+          val risky = riskyIn(cm, addedC)
+          if (risky.nonEmpty)
+            return Left(
+              s"an interim commit added ${risky.size} file(s) that may hold merge keys")
+          safe ++= addedC
+        }
+        prev = cur
+        v += 1
+      }
+      Right(())
+    } catch {
+      case scala.util.control.NonFatal(_) =>
+        // an interim manifest is gone (vacuumed mid-race): no per-commit
+        // classification possible — bulk candidacy on the head, no
+        // exemptions
+        val risky = riskyIn(nw, added)
+        if (risky.isEmpty) Right(())
+        else Left(
+          s"an interim commit added ${risky.size} file(s) that may hold merge keys")
     }
   }
 
@@ -1574,6 +1635,17 @@ object Snapshots {
       shards: Seq[Shard],
       touched: Set[String]): Seq[ShardRef] =
     rewriteShards(spark, root, shards, touched, Map.empty)
+
+  /** [[rewriteShards]] over a manifest's shards, for cross-chain callers
+    * ([[Branches.publishRebase]]'s general case): drop `removed` files and
+    * apply `dvUpdates` to the survivors, metadata-only. */
+  private[engine] def rebaseSurgery(
+      spark: SparkSession,
+      root: String,
+      meta: ManifestMeta,
+      removed: Set[String],
+      dvUpdates: Map[String, FileDv]): Seq[ShardRef] =
+    rewriteShards(spark, root, loadShards(spark, root, meta), removed, dvUpdates)
 
   /** Carry `shards` forward minus `touched` files (dropped with all their
     * metadata — stats, counts, blooms, DVs retire with the file), applying
@@ -1856,11 +1928,10 @@ object Snapshots {
     val (written, newStats, newRows, newBlooms) =
       writeBatch(survivors, root, statsCols, toPhys, bloomCols)
     val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
-    val carried = carryUntouched(spark, root, shards, files.toSet)
-    publishMeta(spark, root, tag = "", requireHead = headV) { head =>
-      val h = head.getOrElse(sys.error("materializeDvs base vanished"))
-      (carried :+ newRef, h.schema)
-    }
+    testPrePublishHook()
+    // DV materialization is a row-preserving rewrite of its target files —
+    // same optimize-tagged, rebase-on-race publish as compactWhere
+    publishRewriteOutput(spark, root, headV, m, files.toSet, newRef)
   }
 
   /** One scan of the freshly-written files (only — never the table) for
@@ -2842,7 +2913,8 @@ object Snapshots {
     // rewrite — and no file to take a schema from; true no-op
     if (head > 0 && manifest(spark, root, head).files.isEmpty) return head
     commit(read(spark, root).repartition(targetFiles), root,
-      append = false, statsCols = statsCols, bloomCols = bloomCols)
+      append = false, statsCols = statsCols, bloomCols = bloomCols,
+      tag = freshOptimizeTag())
   }
 
   /** PREDICATE-SCOPED compaction — OPTIMIZE WHERE: rewrite into
@@ -2886,11 +2958,74 @@ object Snapshots {
     val (written, newStats, newRows, newBlooms) =
       writeBatch(rewritten, root, statsCols, toPhys, bloomCols)
     val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
-    val carried = carryUntouched(spark, root, shards, selected.toSet)
-    publishMeta(spark, root, tag = "", requireHead = headV) { head =>
-      val h = head.getOrElse(sys.error("compactWhere base vanished"))
-      (carried :+ newRef, h.schema)
+    testPrePublishHook()
+    publishRewriteOutput(spark, root, headV, m, selected.toSet, newRef)
+  }
+
+  /** Commit-tag prefix marking a ROW-PRESERVING layout rewrite (OPTIMIZE /
+    * DV materialization): the commit's added files hold exactly the live
+    * rows of its removed files. What lets a racing keyed merge's rebase
+    * validation exempt those added files from key candidacy — their rows
+    * came from files already proven key-free. */
+  private[engine] val OptimizeTag = "optimize:"
+
+  private def freshOptimizeTag(): String =
+    OptimizeTag + java.util.UUID.randomUUID().toString.take(8)
+
+  /** The conflict-validated publish for row-preserving file rewrites
+    * (compaction, DV materialization): losing the head race re-points the
+    * pre-written output at the new head instead of aborting, when provably
+    * sound — every rewritten source file must still stand in the new head
+    * with its deletion vector unchanged (an interim rewrite or DV growth
+    * on one means this output was computed from superseded rows — lost
+    * update). Everything ELSE the interim commits did (appends, merges,
+    * deletes, other compactions on disjoint files) commutes with a layout
+    * rewrite by construction: the rewrite only moves the rows of
+    * `selected`, and the rebased carry derives from the NEW head's shards.
+    * Serial-schedule note: a fresh OPTIMIZE on the new head might select
+    * MORE files; re-pointing compacts exactly the originally-selected ones
+    * — a smaller but equally valid maintenance outcome. */
+  private def publishRewriteOutput(
+      spark: SparkSession,
+      root: String,
+      headV: Long,
+      m: Manifest,
+      selected: Set[String],
+      newRef: ShardRef): Long = {
+    var baseV = headV
+    var rebases = 0
+    while (true) {
+      val baseShards = loadShards(spark, root, manifestMeta(spark, root, baseV))
+      val carried = carryUntouched(spark, root, baseShards, selected)
+      try {
+        return publishMeta(spark, root, tag = freshOptimizeTag(),
+          requireHead = baseV) { head =>
+          val h = head.getOrElse(sys.error("rewrite base vanished"))
+          (carried :+ newRef, h.schema)
+        }
+      } catch {
+        case e: ConcurrentCommitException =>
+          rebases += 1
+          if (rebases > 10) throw e
+          val nwV = headVersion(spark, root)
+          val nw = manifest(spark, root, nwV)
+          val nwFiles = nw.files.toSet
+          if (!selected.forall(nwFiles.contains))
+            throw new ConcurrentCommitException(
+              s"${e.getMessage} [rebase refused: an interim commit rewrote or " +
+                "removed a file this rewrite compacted]")
+          def base(u: String) = new Path(u).getName
+          val selBase = selected.map(base)
+          def dvsOf(man: Manifest) =
+            man.dvs.filter(d => selBase.contains(d.file)).sortBy(_.file)
+          if (dvsOf(m) != dvsOf(nw))
+            throw new ConcurrentCommitException(
+              s"${e.getMessage} [rebase refused: an interim commit changed a " +
+                "deletion vector on a file this rewrite compacted]")
+          baseV = nwV
+      }
     }
+    0L // unreachable
   }
 
   /** Z-order-clustering compaction — the OPTIMIZE-by-layout maintenance
@@ -2917,7 +3052,8 @@ object Snapshots {
     commit(ZOrder.cluster(read(spark, root), dims, targetFiles), root,
       append = false,
       statsCols = if (statsCols.isEmpty) dims else statsCols,
-      bloomCols = bloomCols)
+      bloomCols = bloomCols,
+      tag = freshOptimizeTag())
   }
 
   /** Destroy history: keep the newest `keepLast` manifests, delete older

@@ -96,7 +96,9 @@ class BranchSpec extends SparkSpec {
     assert(rows(Snapshots.read(spark, root)) ===
       Set((1L, "A!"), (2L, "branch"), (3L, "main")))
 
-    // a branch that MODIFIED base data cannot rebase
+    // a branch that MODIFIED base data cannot rebase over a main that
+    // ADDED rows (serial replay of the branch's merge might have touched
+    // them — file identity cannot decide, so it refuses)
     Branches.fork(spark, root, "mut")
     Snapshots.merge(Seq((3L, "MUT")).toDF("id", "s"),
       Branches.root(root, "mut"), "id")
@@ -104,7 +106,104 @@ class BranchSpec extends SparkSpec {
       statsCols = Seq("id"))
     val e = intercept[IllegalArgumentException](
       Branches.publishRebase(spark, root, "mut"))
-    assert(e.getMessage.contains("append-only"))
+    assert(e.getMessage.contains("re-fork and replay"))
+  }
+
+  // ---- round 10: rebase beyond append-only (file-level disjointness) ----
+
+  /** ids 1..40 in two range files [1..20][21..40], v = id*10. */
+  private def rangeTable(): String = {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(1, 41).select($"id", ($"id" * 10L).as("v"))
+        .repartitionByRange(2, $"id"),
+      root, statsCols = Seq("id"))
+    root
+  }
+
+  private def kv(root: String): Map[Long, Long] =
+    Snapshots.read(spark, root).as[(Long, Long)].collect().toMap
+
+  test("a branch that MERGED base data rebases over main layout maintenance") {
+    val root = rangeTable()
+    Branches.fork(spark, root, "upd")
+    val bRoot = Branches.root(root, "upd")
+    // branch rewrites the LOW file (merge key 5) — no longer append-only
+    Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), bRoot, "id",
+      statsCols = Seq("id"))
+    // main meanwhile compacts the HIGH file: row-preserving, file-disjoint
+    Snapshots.compactWhere(spark, root, $"id" >= 25L, targetFiles = 1)
+
+    val v = Branches.publishRebase(spark, root, "upd")
+    assert(v === Snapshots.headVersion(spark, root))
+    val got = kv(root)
+    assert(got(5L) === -50L, "the branch's merge was lost")
+    assert(got(30L) === 300L && got.size === 40,
+      "main's compacted rows must survive the rebase")
+  }
+
+  test("a branch merge refuses to rebase over a main ROW change, even disjoint") {
+    val root = rangeTable()
+    Branches.fork(spark, root, "upd")
+    Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"),
+      Branches.root(root, "upd"), "id", statsCols = Seq("id"))
+    // main merges a key in the OTHER file — files disjoint, but replaying
+    // the branch's merge serially might have seen main's new rows
+    Snapshots.merge(Seq((30L, -300L)).toDF("id", "v"), root, "id",
+      statsCols = Seq("id"))
+    val e = intercept[IllegalArgumentException](
+      Branches.publishRebase(spark, root, "upd"))
+    assert(e.getMessage.contains("row-preserving"))
+  }
+
+  test("both sides rewriting the SAME base file refuses the rebase") {
+    val root = rangeTable()
+    Branches.fork(spark, root, "upd")
+    Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"),
+      Branches.root(root, "upd"), "id", statsCols = Seq("id"))
+    Snapshots.compactWhere(spark, root, $"id" <= 10L, targetFiles = 1)
+    val e = intercept[IllegalArgumentException](
+      Branches.publishRebase(spark, root, "upd"))
+    assert(e.getMessage.contains("same base file"))
+  }
+
+  test("a branch that compacted + appended rebases over main row changes") {
+    val root = rangeTable()
+    Branches.fork(spark, root, "layout")
+    val bRoot = Branches.root(root, "layout")
+    // branch: row-preserving compaction of the high file, plus an append
+    Snapshots.compactWhere(spark, bRoot, $"id" >= 25L, targetFiles = 1)
+    Snapshots.commit(Seq((100L, 1000L)).toDF("id", "v"), bRoot, append = true,
+      statsCols = Seq("id"))
+    // main: a genuine row change — on the file the branch did NOT touch
+    Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), root, "id",
+      statsCols = Seq("id"))
+
+    Branches.publishRebase(spark, root, "layout")
+    val got = kv(root)
+    assert(got(5L) === -50L, "main's merge was lost")
+    assert(got(100L) === 1000L, "the branch's append was lost")
+    assert(got(30L) === 300L && got.size === 41)
+  }
+
+  test("branch deletion vectors carry onto the rebased head") {
+    val root = rangeTable()
+    Branches.fork(spark, root, "del")
+    val bRoot = Branches.root(root, "del")
+    // branch vector-deletes a high-file row (row-changing, metadata-only)
+    Snapshots.deleteWhere(spark, root = bRoot, cond = $"id" === 30L)
+    assert(Snapshots.manifest(spark, bRoot,
+      Snapshots.headVersion(spark, bRoot)).dvs.nonEmpty)
+    // main compacts the LOW file — row-preserving, disjoint
+    Snapshots.compactWhere(spark, root, $"id" <= 10L, targetFiles = 1)
+
+    Branches.publishRebase(spark, root, "del")
+    val got = kv(root)
+    assert(!got.contains(30L), "the branch's vectored delete was lost")
+    assert(got.size === 39 && got(5L) === 50L)
+    // the vector itself is carried in the rebased manifest
+    val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+    assert(m.dvs.exists(_.deleted === 1L))
   }
 
   test("publish is fast-forward-only: a main commit after the fork fences it") {

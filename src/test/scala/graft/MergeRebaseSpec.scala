@@ -217,4 +217,116 @@ class MergeRebaseSpec extends SparkSpec {
       assert(got(5L) === -50L && got(100L) === 1L && got(101L) === 2L)
     } finally resetHook()
   }
+
+  // ---- round 10: compaction ↔ merge races rebase when file-disjoint ----
+
+  test("a merge racing a compaction of DISJOINT files rebases (round 10)") {
+    val root = freshTable() // ids 1..40 in two range files [1..20][21..40]
+    try {
+      // racer compacts the HIGH file only; our merge touches key 5 (low)
+      race { Snapshots.compactWhere(spark, root, $"id" >= 25L, targetFiles = 1) }
+      Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), root, "id",
+        statsCols = Seq("id"))
+      assert(Snapshots.headVersion(spark, root) === 3L,
+        "merge must REBASE on top of the disjoint compaction, not abort")
+      val got = Snapshots.read(spark, root).as[(Long, Long)].collect().toMap
+      assert(got(5L) === -50L)
+      assert(got.size === 40 && got(30L) === 300L,
+        "compacted rows must survive the rebased merge")
+    } finally resetHook()
+  }
+
+  test("a merge racing a compaction of its OWN touched file still refuses") {
+    val root = freshTable()
+    try {
+      race { Snapshots.compactWhere(spark, root, $"id" <= 10L, targetFiles = 1) }
+      val e = intercept[Snapshots.ConcurrentCommitException] {
+        Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), root, "id",
+          statsCols = Seq("id"))
+      }
+      assert(e.getMessage.contains("rebase refused"))
+    } finally resetHook()
+  }
+
+  test("a compaction racing a merge of DISJOINT files rebases (round 10)") {
+    val root = freshTable()
+    try {
+      // racer merges key 5 (low file); the compaction rewrites the high file
+      race {
+        Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), root, "id",
+          statsCols = Seq("id"))
+      }
+      Snapshots.compactWhere(spark, root, $"id" >= 25L, targetFiles = 1)
+      assert(Snapshots.headVersion(spark, root) === 3L,
+        "compaction must REBASE on top of the disjoint merge, not abort")
+      val got = Snapshots.read(spark, root).as[(Long, Long)].collect().toMap
+      assert(got(5L) === -50L, "the interim merge's update was lost")
+      assert(got.size === 40)
+    } finally resetHook()
+  }
+
+  test("a compaction racing a rewrite of its selected files refuses") {
+    val root = freshTable()
+    try {
+      race {
+        Snapshots.merge(Seq((30L, -1L)).toDF("id", "v"), root, "id",
+          statsCols = Seq("id"))
+      }
+      val e = intercept[Snapshots.ConcurrentCommitException] {
+        Snapshots.compactWhere(spark, root, $"id" >= 25L, targetFiles = 1)
+      }
+      assert(e.getMessage.contains("rebase refused"))
+      // nothing lost: the racer's merge stands, retry compacts cleanly
+      Snapshots.compactWhere(spark, root, $"id" >= 25L, targetFiles = 1)
+      val got = Snapshots.read(spark, root).as[(Long, Long)].collect().toMap
+      assert(got(30L) === -1L && got.size === 40)
+    } finally resetHook()
+  }
+
+  test("a compaction racing a DV delete on its selected files refuses") {
+    val root = freshTable()
+    try {
+      race { Snapshots.deleteWhere(spark, root, $"id" === 30L) }
+      val e = intercept[Snapshots.ConcurrentCommitException] {
+        Snapshots.compactWhere(spark, root, $"id" >= 25L, targetFiles = 1)
+      }
+      assert(e.getMessage.contains("deletion vector"))
+      // the interim delete stands; a fresh compaction materializes it
+      Snapshots.compactWhere(spark, root, $"id" >= 25L, targetFiles = 1)
+      assert(Snapshots.read(spark, root).count() === 39L)
+    } finally resetHook()
+  }
+
+  test("DV materialization racing a disjoint append rebases") {
+    val root = freshTable()
+    Snapshots.deleteWhere(spark, root, $"id" === 30L)
+    try {
+      race {
+        Snapshots.commit(Seq((100L, 1000L)).toDF("id", "v"), root,
+          append = true, statsCols = Seq("id"))
+      }
+      Snapshots.materializeDvs(spark, root)
+      val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+      assert(m.dvs.isEmpty, "materialization must have cleared the vectors")
+      val got = Snapshots.read(spark, root).as[(Long, Long)].collect().toMap
+      assert(!got.contains(30L) && got(100L) === 1000L && got.size === 40)
+    } finally resetHook()
+  }
+
+  test("a merge racing an interim compaction CHAINED after an append rebases") {
+    val root = freshTable()
+    try {
+      race {
+        // append a key-disjoint row, then compact the high band — the
+        // walk must exonerate the compaction outputs through the chain
+        Snapshots.commit(Seq((100L, 1000L)).toDF("id", "v"), root,
+          append = true, statsCols = Seq("id"))
+        Snapshots.compactWhere(spark, root, $"id" >= 25L, targetFiles = 1)
+      }
+      Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), root, "id",
+        statsCols = Seq("id"))
+      val got = Snapshots.read(spark, root).as[(Long, Long)].collect().toMap
+      assert(got(5L) === -50L && got(100L) === 1000L && got.size === 41)
+    } finally resetHook()
+  }
 }
