@@ -136,8 +136,12 @@ object Branches {
     * files`, with the branch's deletion vectors carried onto surviving
     * base files — pure metadata surgery ([[Snapshots.rebaseSurgery]]), no
     * data re-pass, row-identical to the serial schedule by the argument
-    * above. A vacuumed interim manifest on either chain refuses
-    * conservatively (classification needs the history).
+    * above. A vacuumed interim manifest refuses conservatively wherever
+    * classification needs the history: the branch chain is always walked;
+    * main's chain is classified (and so can refuse on a vacuumed manifest)
+    * only when the branch changed rows — an append+optimize-only branch
+    * commutes with any disjoint main activity, so main's history is never
+    * inspected there.
     *
     * Schema: sides that didn't evolve inherit the other side's evolution
     * (physical names are rename-stable, so either schema reads both sides'

@@ -57,10 +57,12 @@ object Incremental {
     reflectedAt(spark, aggRoot, Snapshots.headVersion(spark, aggRoot))
 
   /** Walk the parent chain from `head` to the newest `src-v` tag.
-    * UNTAGGED commits are skipped: CONTENT-PRESERVING maintenance on the
-    * state table itself (compact / compactZOrder — tag "") must not make
-    * the state unreadable; the maintenance commit reflects whatever source
-    * version its newest tagged ancestor did. [[Snapshots.restore]] is NOT
+    * UNTAGGED and `optimize:`-tagged commits are skipped: CONTENT-
+    * PRESERVING maintenance on the state table itself (compact /
+    * compactZOrder / DV materialization — [[Snapshots.OptimizeTag]]) must
+    * not make the state unreadable; the maintenance commit reflects
+    * whatever source version its newest tagged ancestor did.
+    * [[Snapshots.restore]] is NOT
     * in that family — it changes content back to an older refresh — and
     * correctly republishes the target's own `src-v` tag, so the walk lands
     * on the restored refresh's source version, not the pre-restore head's.
@@ -78,6 +80,12 @@ object Incremental {
       m.tag match {
         case SrcTagRe(x) => return x.toLong
         case "" => v = m.parent
+        // optimize:<uuid> marks a ROW-PRESERVING layout rewrite (compact /
+        // z-order / DV materialization, [[Snapshots.OptimizeTag]]) — same
+        // content, new files. Maintenance on the state table itself must
+        // not wedge the refresh chain: walk to the parent exactly like an
+        // untagged commit.
+        case t if t.startsWith(Snapshots.OptimizeTag) => v = m.parent
         case other => sys.error(
           s"$aggRoot v$v carries tag '$other', not an Incremental src-v tag — " +
             "is this really an Incremental state table?")

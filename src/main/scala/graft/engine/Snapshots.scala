@@ -392,6 +392,14 @@ object Snapshots {
       tag: String = "",
       requireHead: Long = -1L,
       bloomCols: Seq[String] = Seq.empty): Long = {
+    // the optimize: prefix is how rebase validation RECOGNIZES provably
+    // row-preserving layout rewrites — only the internal rewrite committer
+    // ([[publishRewriteOutput]]) may stamp it; a caller-tagged overwrite
+    // wearing it would launder arbitrary content changes past racing
+    // merges and branch publishes as "row-preserving"
+    require(!tag.startsWith(OptimizeTag),
+      s"commit tags may not start with the reserved '$OptimizeTag' prefix " +
+        "(internal marker for row-preserving layout rewrites)")
     val spark = df.sparkSession
     // column-mapping translation for appends onto an evolved table: the
     // batch arrives with LOGICAL names, files store PHYSICAL ones. An
@@ -2901,20 +2909,48 @@ object Snapshots {
   /** Rewrite the head snapshot into `targetFiles` files and commit the
     * compacted layout as a NEW version. Readers pinned to older versions
     * keep their (still-present) files — this is the maintenance operation
-    * the manifest layer exists to make safe. */
+    * the manifest layer exists to make safe.
+    *
+    * FENCED on the head version the rewrite read ([[publishRewriteOutput]],
+    * same path as [[compactWhere]]): a racing append/merge either rebases
+    * (the output re-points at the new head, the racer's files carry) or
+    * refuses — never the unfenced overwrite that would republish stale
+    * content under a tag claiming row preservation. */
   def compact(
       spark: SparkSession,
       root: String,
       targetFiles: Int = 1,
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty): Long = {
-    val head = headVersion(spark, root)
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet")
+    val meta = manifestMeta(spark, root, headV)
+    val m = resolve(meta, loadShards(spark, root, meta))
     // a fully-emptied table (e.g. delete removed every row) has nothing to
     // rewrite — and no file to take a schema from; true no-op
-    if (head > 0 && manifest(spark, root, head).files.isEmpty) return head
-    commit(read(spark, root).repartition(targetFiles), root,
-      append = false, statsCols = statsCols, bloomCols = bloomCols,
-      tag = freshOptimizeTag())
+    if (m.files.isEmpty) return headV
+    rewriteAll(spark, root, headV, m,
+      readFiles(spark, m, m.files).repartition(targetFiles),
+      statsCols, bloomCols)
+  }
+
+  /** Shared tail of [[compact]] / [[compactZOrder]]: write `rewritten`
+    * (every live row of `m`, re-laid-out) and publish through the
+    * rebase-validated rewrite committer. */
+  private def rewriteAll(
+      spark: SparkSession,
+      root: String,
+      headV: Long,
+      m: Manifest,
+      rewritten: DataFrame,
+      statsCols: Seq[String],
+      bloomCols: Seq[String]): Long = {
+    val toPhys = parseSchema(m).map(logicalToPhysical).getOrElse(Map.empty)
+    val (written, newStats, newRows, newBlooms) =
+      writeBatch(rewritten, root, statsCols, toPhys, bloomCols)
+    val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
+    testPrePublishHook()
+    publishRewriteOutput(spark, root, headV, m, m.files.toSet, newRef)
   }
 
   /** PREDICATE-SCOPED compaction — OPTIMIZE WHERE: rewrite into
@@ -3047,13 +3083,14 @@ object Snapshots {
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty): Long = {
     require(dims.nonEmpty, "need at least one z-order dimension")
-    val head = headVersion(spark, root)
-    if (head > 0 && manifest(spark, root, head).files.isEmpty) return head
-    commit(ZOrder.cluster(read(spark, root), dims, targetFiles), root,
-      append = false,
-      statsCols = if (statsCols.isEmpty) dims else statsCols,
-      bloomCols = bloomCols,
-      tag = freshOptimizeTag())
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet")
+    val meta = manifestMeta(spark, root, headV)
+    val m = resolve(meta, loadShards(spark, root, meta))
+    if (m.files.isEmpty) return headV
+    rewriteAll(spark, root, headV, m,
+      ZOrder.cluster(readFiles(spark, m, m.files), dims, targetFiles),
+      if (statsCols.isEmpty) dims else statsCols, bloomCols)
   }
 
   /** Destroy history: keep the newest `keepLast` manifests, delete older

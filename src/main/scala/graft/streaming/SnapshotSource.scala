@@ -187,9 +187,18 @@ private[streaming] class SnapshotScan(
     s"graft-snapshot $root" +
       (if (pushed.isEmpty) "" else pushed.mkString(" PushedFilters: [", ", ", "]"))
 
-  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+  // set the moment the scan is claimed for streaming: the stats below
+  // describe the HEAD SNAPSHOT, which is the right answer for a batch scan
+  // but not for a micro-batch (whose input is a commit diff) — and forcing
+  // `resolved` would make a stream over a not-yet-committed table fail at
+  // planning instead of waiting for data
+  @volatile private var streamingUse = false
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+    streamingUse = true
     new SnapshotMicroBatchStream(root, required, startingVersion, ignoreChanges,
       maxFilesPerTrigger)
+  }
 
   // ---- batch half: manifest-index file pruning + DV-aware readers ----
 
@@ -231,6 +240,17 @@ private[streaming] class SnapshotScan(
     * broadcast a filtered dimension read without sampling; degrades to
     * unknown when any surviving file predates the row-count index. */
   override def estimateStatistics(): Statistics = {
+    // unknown for streaming scans (micro-batch input ≠ head snapshot) and
+    // for tables with no commits yet (a stream may plan before first data)
+    if (streamingUse ||
+        (version.isEmpty && Snapshots.headVersion(spark, root) == 0)) {
+      return new Statistics {
+        override def sizeInBytes(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+        override def numRows(): java.util.OptionalLong =
+          java.util.OptionalLong.empty()
+      }
+    }
     val (m, kept) = resolved
     val rowsByName = m.rows.map(r => r.file -> r.n).toMap
     val names = kept.map(f => new Path(f).getName)
