@@ -72,9 +72,10 @@ object Incremental {
     var v = head
     while (v > 0) {
       require(Snapshots.manifestExists(spark, aggRoot, v),
-        s"$aggRoot v$v was vacuumed away beneath untagged maintenance commits — " +
-          "cannot determine the reflected source version; vacuum state tables " +
-          "with keepLast reaching a tagged commit, or rebuild the state")
+        s"$aggRoot v$v was vacuumed away beneath maintenance commits (untagged " +
+          "or optimize:-tagged) — cannot determine the reflected source " +
+          "version; vacuum state tables with keepLast reaching a src-v-tagged " +
+          "commit, or rebuild the state")
       // metadata-level read: the tag lives in the commit record, no shard I/O
       val m = Snapshots.manifestMeta(spark, aggRoot, v)
       m.tag match {

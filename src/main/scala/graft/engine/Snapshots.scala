@@ -2878,14 +2878,18 @@ object Snapshots {
     * Requires the target manifest still retained (vacuum is the only thing
     * that forecloses a restore).
     *
-    * The restored commit CARRIES THE TARGET'S TAG: unlike compact/z-order
-    * maintenance (same content, new layout — correctly untagged), a restore
+    * The restored commit CARRIES THE TARGET'S CONTENT TAG: a restore
     * CHANGES table content back to what the tagged commit published, so any
     * tag-driven consumer must see that tag at the new head. Concretely, an
     * [[Incremental]] state table restored to an older `src-v<N>` refresh
     * must report reflectedVersion = N — an untagged restore would leave the
     * parent walk landing on the PRE-restore head's newer tag and the next
-    * refresh would apply a delta against the wrong base. */
+    * refresh would apply a delta against the wrong base. The one exception:
+    * a target whose own tag is the reserved row-preserving `optimize:`
+    * marker restores under its newest non-maintenance ancestor's tag
+    * instead (same rows, by the OptimizeTag contract) — republishing the
+    * marker verbatim would let the tag-skipping walkers treat a
+    * content-changing restore as invisible maintenance. */
   def restore(spark: SparkSession, root: String, version: Long): Long = {
     val target = manifestMeta(spark, root, version) // throws if vacuumed away
     // a restored-to state may PREDATE a CHECK rule — its rows were never
@@ -2903,7 +2907,29 @@ object Snapshots {
     // carry the target's shards BY REFERENCE — a restore is pure metadata,
     // O(#shards) whatever the table size
     val refs = shardRefsOf(spark, root, target)
-    publishMeta(spark, root, tag = target.tag) { _ => (refs, target.schema) }
+    // A restore is a CONTENT-CHANGING commit, so it must never wear the
+    // row-preserving `optimize:` marker — tag-reading walkers (Incremental
+    // reflectedAt, walkInterim, branch classifyChain) would skip it and
+    // attribute the pre-restore head's content to the new head. An
+    // optimize-tagged target holds exactly its newest non-maintenance
+    // ancestor's rows (that is the OptimizeTag contract), so the restore
+    // republishes under THAT ancestor's tag: the content it actually equals.
+    val contentTag =
+      if (!target.tag.startsWith(OptimizeTag)) target.tag
+      else {
+        var v = target.parent
+        var t: Option[String] = None
+        while (t.isEmpty && v > 0) {
+          require(manifestExists(spark, root, v),
+            s"cannot restore $root to v$version: it is a maintenance " +
+              s"(optimize:) commit and its content ancestor v$v was vacuumed " +
+              "away — restore to a non-maintenance version instead")
+          val mm = manifestMeta(spark, root, v)
+          if (mm.tag.startsWith(OptimizeTag)) v = mm.parent else t = Some(mm.tag)
+        }
+        t.getOrElse("")
+      }
+    publishMeta(spark, root, tag = contentTag) { _ => (refs, target.schema) }
   }
 
   /** Rewrite the head snapshot into `targetFiles` files and commit the

@@ -191,7 +191,12 @@ private[streaming] class SnapshotScan(
   // describe the HEAD SNAPSHOT, which is the right answer for a batch scan
   // but not for a micro-batch (whose input is a commit diff) — and forcing
   // `resolved` would make a stream over a not-yet-committed table fail at
-  // planning instead of waiting for data
+  // planning instead of waiting for data.
+  // Spark-ordering assumption: MicroBatchExecution calls toMicroBatchStream
+  // when it builds the execution plan, BEFORE any estimateStatistics on the
+  // scan — if a future Spark computed stats first, head-snapshot counts
+  // would again be attributed to commit-diff input (wrong cardinality, not
+  // wrong rows). Pinned by SnapshotStatsSpec so a version bump surfaces it.
   @volatile private var streamingUse = false
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
