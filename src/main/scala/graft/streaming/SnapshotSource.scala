@@ -352,27 +352,20 @@ private[streaming] class SnapshotMicroBatchStream(
     val mTo = Snapshots.manifest(spark, root, toV)
     val mFrom = if (fromV == 0) None else Some(Snapshots.manifest(spark, root, fromV))
     val fromFiles = mFrom.map(_.files.toSet).getOrElse(Set.empty[String])
-    val added = mTo.files.filterNot(fromFiles)
-    if (!ignoreChanges) {
-      val removed = fromFiles -- mTo.files.toSet
-      require(removed.isEmpty,
-        s"snapshot stream at $root: commits ($fromV, $toV] rewrote/removed " +
-          s"${removed.size} file(s) (merge/delete/compaction) — an append-only " +
-          "tail cannot represent that; set .option(\"ignoreChanges\", true) to " +
-          "emit rewritten files' rows anyway (downstream must key-dedup)")
-      // vector growth on a CARRIED file is a row delete the tail cannot
-      // represent; a vector on an ADDED file is fine — the reader applies
-      // it, so the deleted rows are simply never emitted
-      val fromDvByName = mFrom.map(_.dvs.map(d => d.file -> d.b64).toMap)
-        .getOrElse(Map.empty)
-      val carriedNames = fromFiles.map(u => new Path(u).getName)
-      val changed = mTo.dvs.filter(d => carriedNames.contains(d.file) &&
-        !fromDvByName.get(d.file).contains(d.b64))
-      require(changed.isEmpty,
-        s"snapshot stream at $root: commits ($fromV, $toV] vector-deleted rows " +
-          s"from ${changed.size} carried file(s) — an append-only tail cannot " +
-          "represent row deletes; set .option(\"ignoreChanges\", true) to skip them")
-    }
+    // files NOT to emit: those whose rows all predate the span. Starts as
+    // the span-base file set and grows across OptimizeTag commits — the
+    // manifest layer PROVES such a commit's added files hold exactly the
+    // live rows of its removed files, so a compaction of pre-span files is
+    // row-invisible to an append-only tail (skip its outputs, emit
+    // nothing), while a compaction of files appended WITHIN the span
+    // produces outputs that ARE the new rows (emit them). A commit that
+    // genuinely changed rows (untagged removal, DV growth on pre-span
+    // rows, a compaction mixing pre-span and in-span inputs) still throws
+    // without `ignoreChanges`: an append-only tail cannot represent it.
+    val preSpan: Set[String] =
+      if (ignoreChanges) fromFiles
+      else walkSpanProvenance(fromV, toV, fromFiles, mTo)
+    val added = mTo.files.filterNot(preSpan)
     // per-added-file vector as of toV (a delete landing in the same span
     // marks rows that never net-arrived — the reader skips them)
     val dvByName = mTo.dvs.map(d => d.file -> d.b64).toMap
@@ -380,6 +373,93 @@ private[streaming] class SnapshotMicroBatchStream(
       SnapshotFilePartition(uri,
         dvByName.get(new Path(uri).getName)): InputPartition
     }.toArray
+  }
+
+  /** Classify every commit in (fromV, toV] and return the set of head
+    * files whose rows all predate the span (never emitted). Throws
+    * (`ignoreChanges` hint) on any commit an append-only tail cannot
+    * represent. Falls back to the coarse whole-span check when an interim
+    * manifest was vacuumed away mid-stream. */
+  private def walkSpanProvenance(
+      fromV: Long,
+      toV: Long,
+      fromFiles: Set[String],
+      mTo: Snapshots.Manifest): Set[String] = {
+    def cannot(what: String) = throw new IllegalArgumentException(
+      s"snapshot stream at $root: commits ($fromV, $toV] $what — an " +
+        "append-only tail cannot represent that; set " +
+        ".option(\"ignoreChanges\", true) to emit rewritten files' rows " +
+        "anyway (downstream must key-dedup)")
+    var preSpan = fromFiles
+    // DVs as of the last seen commit, for pre-span files only (name-keyed)
+    var preDv: Map[String, String] = Map.empty
+    try {
+      var prevFiles = fromFiles
+      var prevDvs = (if (fromV == 0) Map.empty[String, String]
+        else Snapshots.manifest(spark, root, fromV).dvs
+          .map(d => d.file -> d.b64).toMap)
+      var v = fromV
+      while (v < toV) {
+        v += 1
+        val mm = Snapshots.manifestMeta(spark, root, v)
+        val cur = Snapshots.manifest(spark, root, v)
+        val curFiles = cur.files.toSet
+        val removed = prevFiles -- curFiles
+        val addedC = curFiles -- prevFiles
+        val optimize = mm.tag.startsWith(Snapshots.OptimizeTag)
+        if (optimize) {
+          val preIn = removed intersect preSpan
+          if (preIn.isEmpty) {
+            // pure in-span compaction: outputs carry only new rows — emit
+          } else if (preIn == removed) {
+            preSpan = preSpan -- removed ++ addedC // row-preserving carry
+          } else cannot(
+            s"compacted pre-span files together with in-span appends " +
+              "(the rewrite outputs mix old and new rows)")
+        } else {
+          val preRemoved = removed intersect preSpan
+          if (preRemoved.nonEmpty) cannot(
+            s"rewrote/removed ${preRemoved.size} pre-span file(s) " +
+              "(merge/delete)")
+          preSpan = preSpan -- removed
+        }
+        // vector growth on a PRE-SPAN file is a row delete the tail cannot
+        // represent; a vector on an in-span file is fine — the reader
+        // applies the toV vector, so those rows are simply never emitted
+        val preNames = preSpan.map(u => new Path(u).getName)
+        val curDvs = cur.dvs.map(d => d.file -> d.b64).toMap
+        val grew = curDvs.exists { case (f, b) =>
+          preNames.contains(f) && !prevDvs.get(f).contains(b) }
+        if (grew && !optimize) cannot(
+          "vector-deleted rows from pre-span file(s)")
+        prevFiles = curFiles
+        prevDvs = curDvs
+        preDv = curDvs // not used further; kept for clarity of final state
+      }
+      preSpan
+    } catch {
+      case _: IllegalArgumentException if false => preSpan // unreachable
+      case e: IllegalArgumentException if e.getMessage != null &&
+          e.getMessage.contains("append-only tail") => throw e
+      case scala.util.control.NonFatal(_) =>
+        // an interim manifest is gone (vacuumed mid-stream): no per-commit
+        // classification possible — coarse whole-span check, no exemptions
+        val removed = fromFiles -- mTo.files.toSet
+        if (removed.nonEmpty) cannot(
+          s"rewrote/removed ${removed.size} file(s) (merge/delete/" +
+            "compaction; interim manifests vacuumed, cannot prove row " +
+            "preservation)")
+        val fromDvByName =
+          (if (fromV == 0) Map.empty[String, String]
+           else Snapshots.manifest(spark, root, fromV).dvs
+             .map(d => d.file -> d.b64).toMap)
+        val carriedNames = fromFiles.map(u => new Path(u).getName)
+        val changed = mTo.dvs.filter(d => carriedNames.contains(d.file) &&
+          !fromDvByName.get(d.file).contains(d.b64))
+        if (changed.nonEmpty) cannot(
+          s"vector-deleted rows from ${changed.size} carried file(s)")
+        fromFiles
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
