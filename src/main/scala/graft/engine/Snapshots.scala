@@ -346,7 +346,7 @@ object Snapshots {
   }
 
   /** Whether version v's manifest is still retained (not vacuumed). */
-  private[engine] def manifestExists(spark: SparkSession, root: String, v: Long): Boolean =
+  private[graft] def manifestExists(spark: SparkSession, root: String, v: Long): Boolean =
     fs(spark, root).exists(manifestPath(root, v))
 
   private def retainedVersions(spark: SparkSession, root: String): Seq[Long] = {
@@ -2927,7 +2927,14 @@ object Snapshots {
           val mm = manifestMeta(spark, root, v)
           if (mm.tag.startsWith(OptimizeTag)) v = mm.parent else t = Some(mm.tag)
         }
-        t.getOrElse("")
+        // No non-maintenance ancestor should be possible (v1 is never
+        // optimize-tagged); if invariants ever change, fail loudly rather
+        // than publish an untagged restore that tag-walkers (Incremental,
+        // walkInterim) would misread exactly like the laundering bug.
+        t.getOrElse(sys.error(
+          s"cannot restore $root to v$version: it is a maintenance " +
+            "(optimize:) commit with no non-maintenance ancestor — the " +
+            "chain violates the OptimizeTag invariant"))
       }
     publishMeta(spark, root, tag = contentTag) { _ => (refs, target.schema) }
   }
@@ -3029,7 +3036,7 @@ object Snapshots {
     * rows of its removed files. What lets a racing keyed merge's rebase
     * validation exempt those added files from key candidacy — their rows
     * came from files already proven key-free. */
-  private[engine] val OptimizeTag = "optimize:"
+  private[graft] val OptimizeTag = "optimize:"
 
   private def freshOptimizeTag(): String =
     OptimizeTag + java.util.UUID.randomUUID().toString.take(8)

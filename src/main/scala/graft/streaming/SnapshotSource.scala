@@ -94,6 +94,12 @@ class SnapshotSourceProvider extends TableProvider {
 
 private[streaming] object SnapshotSource {
 
+  /** The micro-batch span contains a commit an append-only tail cannot
+    * represent (merge/delete/mixed compaction). Subclasses
+    * IllegalArgumentException so existing callers catching that keep
+    * working; internal code matches the TYPE, never the message. */
+  final class SpanNotAppendOnly(msg: String) extends IllegalArgumentException(msg)
+
   def rootOf(options: CaseInsensitiveStringMap): String = {
     val r = options.get("root")
     require(r != null && r.nonEmpty,
@@ -375,35 +381,80 @@ private[streaming] class SnapshotMicroBatchStream(
     }.toArray
   }
 
+  /** Span contains a commit the append-only tail cannot represent; the
+    * message carries the `ignoreChanges` opt-through hint. */
+  private def cannotRepresent(fromV: Long, toV: Long, what: String): Nothing =
+    throw new SnapshotSource.SpanNotAppendOnly(
+      s"snapshot stream at $root: commits ($fromV, $toV] $what — an " +
+        "append-only tail cannot represent that; set " +
+        ".option(\"ignoreChanges\", true) to emit rewritten files' rows " +
+        "anyway (downstream must key-dedup)")
+
   /** Classify every commit in (fromV, toV] and return the set of head
     * files whose rows all predate the span (never emitted). Throws
-    * (`ignoreChanges` hint) on any commit an append-only tail cannot
-    * represent. Falls back to the coarse whole-span check when an interim
-    * manifest was vacuumed away mid-stream. */
+    * [[SnapshotSource.SpanNotAppendOnly]] (`ignoreChanges` hint) on any
+    * commit an append-only tail cannot represent. Falls back to the coarse
+    * whole-span check when an interim manifest was vacuumed away
+    * mid-stream — detected explicitly up-front, never inferred from a
+    * caught failure (a genuine I/O error or bug must surface, not be
+    * misreported as "vacuumed").
+    *
+    * Cost shape: shards are write-once under fresh UUID names, so a commit
+    * whose shard-ref set contains all of its parent's provably removed no
+    * file and changed no deletion vector (every parent shard carried BY
+    * REFERENCE; a new shard only describes its own files). The common
+    * pure-append span therefore costs one O(#shards) commit-record read
+    * per version and ZERO shard I/O; full file lists load lazily, only
+    * around commits that drop or replace a shard. */
   private def walkSpanProvenance(
       fromV: Long,
       toV: Long,
       fromFiles: Set[String],
       mTo: Snapshots.Manifest): Set[String] = {
-    def cannot(what: String) = throw new IllegalArgumentException(
-      s"snapshot stream at $root: commits ($fromV, $toV] $what — an " +
-        "append-only tail cannot represent that; set " +
-        ".option(\"ignoreChanges\", true) to emit rewritten files' rows " +
-        "anyway (downstream must key-dedup)")
+    def cannot(what: String): Nothing = cannotRepresent(fromV, toV, what)
+    // per-commit classification needs every interim manifest; toV's is
+    // mTo (proven present), fromV's file list is already in fromFiles but
+    // its DVs may still be read below, so check it too when > 0
+    val vacuumed = (math.max(fromV, 1L) until toV)
+      .exists(v => !Snapshots.manifestExists(spark, root, v))
+    if (vacuumed) return coarseSpanCheck(fromV, toV, fromFiles, mTo)
+
     var preSpan = fromFiles
-    // DVs as of the last seen commit, for pre-span files only (name-keyed)
-    var preDv: Map[String, String] = Map.empty
-    try {
-      var prevFiles = fromFiles
-      var prevDvs = (if (fromV == 0) Map.empty[String, String]
-        else Snapshots.manifest(spark, root, fromV).dvs
-          .map(d => d.file -> d.b64).toMap)
-      var v = fromV
-      while (v < toV) {
-        v += 1
-        val mm = Snapshots.manifestMeta(spark, root, v)
+    // full (files, DVs) state of the previous commit, resolved lazily —
+    // only commits that replace a shard force shard I/O
+    var prevFull: Option[(Set[String], Map[String, String])] = None
+    def fullOf(v: Long): (Set[String], Map[String, String]) =
+      if (v == 0) (Set.empty, Map.empty)
+      else {
+        val m = Snapshots.manifest(spark, root, v)
+        (m.files.toSet, m.dvs.map(d => d.file -> d.b64).toMap)
+      }
+    // shard-ref names of the previous commit; None for pre-shard (inline)
+    // manifests, which are ineligible for the cheap path
+    def shardsOf(mm: Snapshots.ManifestMeta): Option[Set[String]] =
+      if (mm.inline.isDefined) None else Some(mm.shardRefs.map(_.name).toSet)
+    var prevShards: Option[Set[String]] =
+      if (fromV == 0) Some(Set.empty)
+      else shardsOf(Snapshots.manifestMeta(spark, root, fromV))
+    var v = fromV
+    while (v < toV) {
+      v += 1
+      val mm = Snapshots.manifestMeta(spark, root, v)
+      val curShards = shardsOf(mm)
+      val pureAppend = (prevShards, curShards) match {
+        case (Some(p), Some(c)) => p.subsetOf(c)
+        case _ => false
+      }
+      if (pureAppend) {
+        // every parent shard carried by reference: nothing removed, no DV
+        // changed — preSpan unchanged. The cached full state no longer
+        // describes v; drop it (recomputed on demand).
+        prevFull = None
+      } else {
+        val (prevFiles, prevDvs) = prevFull.getOrElse(fullOf(v - 1))
         val cur = Snapshots.manifest(spark, root, v)
         val curFiles = cur.files.toSet
+        val curDvs = cur.dvs.map(d => d.file -> d.b64).toMap
         val removed = prevFiles -- curFiles
         val addedC = curFiles -- prevFiles
         val optimize = mm.tag.startsWith(Snapshots.OptimizeTag)
@@ -414,7 +465,7 @@ private[streaming] class SnapshotMicroBatchStream(
           } else if (preIn == removed) {
             preSpan = preSpan -- removed ++ addedC // row-preserving carry
           } else cannot(
-            s"compacted pre-span files together with in-span appends " +
+            "compacted pre-span files together with in-span appends " +
               "(the rewrite outputs mix old and new rows)")
         } else {
           val preRemoved = removed intersect preSpan
@@ -427,39 +478,40 @@ private[streaming] class SnapshotMicroBatchStream(
         // represent; a vector on an in-span file is fine — the reader
         // applies the toV vector, so those rows are simply never emitted
         val preNames = preSpan.map(u => new Path(u).getName)
-        val curDvs = cur.dvs.map(d => d.file -> d.b64).toMap
         val grew = curDvs.exists { case (f, b) =>
           preNames.contains(f) && !prevDvs.get(f).contains(b) }
         if (grew && !optimize) cannot(
           "vector-deleted rows from pre-span file(s)")
-        prevFiles = curFiles
-        prevDvs = curDvs
-        preDv = curDvs // not used further; kept for clarity of final state
+        prevFull = Some((curFiles, curDvs))
       }
-      preSpan
-    } catch {
-      case _: IllegalArgumentException if false => preSpan // unreachable
-      case e: IllegalArgumentException if e.getMessage != null &&
-          e.getMessage.contains("append-only tail") => throw e
-      case scala.util.control.NonFatal(_) =>
-        // an interim manifest is gone (vacuumed mid-stream): no per-commit
-        // classification possible — coarse whole-span check, no exemptions
-        val removed = fromFiles -- mTo.files.toSet
-        if (removed.nonEmpty) cannot(
-          s"rewrote/removed ${removed.size} file(s) (merge/delete/" +
-            "compaction; interim manifests vacuumed, cannot prove row " +
-            "preservation)")
-        val fromDvByName =
-          (if (fromV == 0) Map.empty[String, String]
-           else Snapshots.manifest(spark, root, fromV).dvs
-             .map(d => d.file -> d.b64).toMap)
-        val carriedNames = fromFiles.map(u => new Path(u).getName)
-        val changed = mTo.dvs.filter(d => carriedNames.contains(d.file) &&
-          !fromDvByName.get(d.file).contains(d.b64))
-        if (changed.nonEmpty) cannot(
-          s"vector-deleted rows from ${changed.size} carried file(s)")
-        fromFiles
+      prevShards = curShards
     }
+    preSpan
+  }
+
+  /** Whole-span check when interim manifests were vacuumed: no per-commit
+    * classification is possible, so no compaction exemptions — any net
+    * file removal or carried-file DV change throws. */
+  private def coarseSpanCheck(
+      fromV: Long,
+      toV: Long,
+      fromFiles: Set[String],
+      mTo: Snapshots.Manifest): Set[String] = {
+    val removed = fromFiles -- mTo.files.toSet
+    if (removed.nonEmpty) cannotRepresent(fromV, toV,
+      s"rewrote/removed ${removed.size} file(s) (merge/delete/" +
+        "compaction; interim manifests vacuumed, cannot prove row " +
+        "preservation)")
+    val fromDvByName =
+      (if (fromV == 0) Map.empty[String, String]
+       else Snapshots.manifest(spark, root, fromV).dvs
+         .map(d => d.file -> d.b64).toMap)
+    val carriedNames = fromFiles.map(u => new Path(u).getName)
+    val changed = mTo.dvs.filter(d => carriedNames.contains(d.file) &&
+      !fromDvByName.get(d.file).contains(d.b64))
+    if (changed.nonEmpty) cannotRepresent(fromV, toV,
+      s"vector-deleted rows from ${changed.size} carried file(s)")
+    fromFiles
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
