@@ -1410,5 +1410,66 @@ object Lake {
         s"SQL over the DSv2 table must prune files ($scanned of ${m.files.size})")
       res
     },
+
+    // ---- q120: DSv2 RUNTIME (DPP) FILTERING — the dynamic half of the
+    //            snapshot scan's file pruning: when the snapshot table is
+    //            the probe side of a join, the build side's key set lands
+    //            on the scan AT EXECUTION (SupportsRuntimeFiltering) and
+    //            re-prunes files through the same stats index the static
+    //            pushdown uses. Required in-query: (a) the executed join
+    //            plan carries a runtime filter on the DSv2 scan, (b) a
+    //            direct IN-set application provably shrinks the planned
+    //            partitions — so the scale claim (a dimension-filtered
+    //            fact scan reads matching fact files, not the table) sits
+    //            under the hash gate. ----
+    OracleQuery(
+      "q120_dsv2_runtime_filter",
+      s"""SELECT o.o_orderpriority, count(*) AS n_items,
+        |  ${graft.engine.Det.sql.dsum("l.l_quantity")} AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderdate >= DATE '1997-03-01'
+        |  AND o.o_orderdate < DATE '1997-03-08'
+        |GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/lineitem_rtf"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      Snapshots.commit(
+        Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+          .repartitionByRange(8, col("l_orderkey")),
+        root, statsCols = Seq("l_orderkey"))
+      val fact = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+      val dim = Tables(spark, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Date.valueOf("1997-03-01")) &&
+          col("o_orderdate") < lit(java.sql.Date.valueOf("1997-03-08")))
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val res = fact.join(dim, fact("l_orderkey") === dim("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          graft.engine.Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+      // (a) Spark inserted the runtime filter on the fact scan
+      require(res.queryExecution.executedPlan.toString.contains("RuntimeFilters: ["),
+        "expected a runtime (DPP) filter on the DSv2 fact scan")
+      // (b) a direct IN-set application shrinks the planned partitions:
+      // pruning evidence independent of Spark's insertion heuristics
+      val scan = fact.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.head
+      val static = scan.toBatch.planInputPartitions().length
+      val rtf = scan.asInstanceOf[
+        org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+      val someKeys = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey")).limit(2)
+        .collect().map(_.getLong(0)).distinct
+      rtf.filter(Array[org.apache.spark.sql.sources.Filter](
+        org.apache.spark.sql.sources.In("l_orderkey", someKeys.map(_.asInstanceOf[Any]))))
+      val dynamic = scan.toBatch.planInputPartitions().length
+      require(dynamic < static,
+        s"runtime IN-set must prune the planned files ($dynamic of $static)")
+      res
+    },
   )
 }

@@ -6,23 +6,17 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.{ParquetFileReader, ParquetReader}
-import org.apache.parquet.hadoop.example.GroupReadSupport
-import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.parquet.example.data.Group
-import org.apache.parquet.schema.{MessageType, PrimitiveType}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
-import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
-import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.vectorized.ColumnarBatch
 
 import graft.engine.Snapshots
 
@@ -59,9 +53,10 @@ import graft.engine.Snapshots
   * A proper DataSource V2 [[MicroBatchStream]], not a polling helper:
   * Spark owns the trigger cadence, offset log, and replay; partitions are
   * planned one-per-added-file from manifest arithmetic ([[Snapshots
-  * .diffFiles]] semantics) and each executor-side reader scans its file
-  * with parquet-hadoop directly (column-pruned via the parquet projection;
-  * the column-mapping translation rides the recorded schema, so renamed
+  * .diffFiles]] semantics) and each executor-side reader decodes its file
+  * through Spark's VECTORIZED parquet reader ([[SnapshotVectorized]] —
+  * column-pruned, columnar batches when the batch is DV-free; the
+  * column-mapping translation rides the recorded schema, so renamed
   * tables stream under their CURRENT logical names).
   *
   * Options:
@@ -117,6 +112,16 @@ private[streaming] object SnapshotSource {
       .getOrElse(sys.error(
         s"$root has no recorded schema (legacy manifest) — commit once to record one"))
     StructType(s.fields.map(f => f.copy(metadata = Metadata.empty)))
+  }
+
+  /** Hadoop conf + session SQL confs flattened for the reader factory —
+    * the session overlay is what `sessionState.newHadoopConf()` would add
+    * (case sensitivity, session timezone, columnar batch size must reach
+    * the executor-side vectorized decoder). */
+  def readerConfEntries(spark: SparkSession): Array[(String, String)] = {
+    val hc = spark.sparkContext.hadoopConfiguration
+    (hc.iterator().asScala.map(e => e.getKey -> e.getValue) ++
+      spark.conf.getAll.iterator).toArray
   }
 
   /** logical → physical column names as of the head (fixed at scan
@@ -186,7 +191,8 @@ private[streaming] class SnapshotScan(
     maxFilesPerTrigger: Option[Int],
     pushed: Array[Filter] = Array.empty,
     version: Option[Long] = None)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
   override def description(): String =
@@ -215,9 +221,10 @@ private[streaming] class SnapshotScan(
 
   private def spark = SparkSession.active
 
-  /** (manifest, surviving files) — resolved ONCE per scan: the pruned set
-    * feeds both partition planning and the statistics report, so the
-    * optimizer's row estimate and the executed scan can't disagree. */
+  /** (manifest, surviving files) — resolved ONCE per scan from the STATIC
+    * pushed filters: the pruned set feeds both the statistics report and
+    * (absent runtime filters) partition planning, so the optimizer's row
+    * estimate and the executed scan can't disagree at plan time. */
   private lazy val resolved: (Snapshots.Manifest, Seq[String]) = {
     val v = version.getOrElse(Snapshots.headVersion(spark, root))
     require(v > 0, s"no snapshot committed at $root yet")
@@ -225,23 +232,48 @@ private[streaming] class SnapshotScan(
     (m, graft.engine.FilterPrune.prune(m, fullSchema, pushed.toSeq))
   }
 
+  // ---- dynamic file pruning (SupportsRuntimeFiltering): when this scan
+  // is the probe side of a join, Spark evaluates the build side first and
+  // hands the join-key value set here as an In() filter BEFORE partitions
+  // are planned — the manifest's stats/bloom indexes then drop every file
+  // whose range/bloom excludes all build-side keys. The DSv2 twin of the
+  // native path's DPP evidence (q82): a dimension-filtered fact scan reads
+  // only the matching fact files, not the whole table.
+
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+
+  /** Advertise only columns the manifest can actually prune on (stats or
+    * bloom indexed): a runtime IN-set on anything else cannot shrink the
+    * file list, so asking Spark to materialize it would cost a driver-side
+    * subquery for nothing. Restricted to the scan's OUTPUT (`required`) —
+    * Spark resolves these refs against the pruned projection. */
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val (m, _) = resolved
+    val indexed = (m.stats.map(_.col) ++ m.blooms.map(_.col)).toSet
+    required.fieldNames.filter(indexed)
+      .map(org.apache.spark.sql.connector.expressions.Expressions.column)
+  }
+
+  override def filter(filters: Array[Filter]): Unit =
+    runtimeFilters = filters
+
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (m, kept) = resolved
+    val finalKept =
+      if (runtimeFilters.isEmpty) kept
+      else kept.toSet.intersect(
+        graft.engine.FilterPrune.prune(m, fullSchema, runtimeFilters.toSeq)
+          .toSet).toSeq
     val dvByName = m.dvs.map(d => d.file -> d.b64).toMap
-    kept.sorted.map { uri =>
-      SnapshotFilePartition(uri,
-        dvByName.get(new Path(uri).getName)): InputPartition
-    }.toArray
+    SnapshotFilePartition.planned(finalKept, dvByName)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val phys = SnapshotSource.physicalNames(root)
-    val confEntries = {
-      val hc = spark.sparkContext.hadoopConfiguration
-      hc.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
-    }
+    val confEntries = SnapshotSource.readerConfEntries(spark)
     SnapshotReaderFactory(required.json,
       required.fields.map(f => phys.getOrElse(f.name, f.name)), confEntries)
   }
@@ -323,21 +355,43 @@ private[streaming] class SnapshotMicroBatchStream(
     val from = start.asInstanceOf[SnapshotOffset].version
     limit match {
       case mf: ReadMaxFiles if head > from =>
-        // walk versions forward, accumulating each step's ADDED file count
-        // (manifest arithmetic, no data I/O), until the budget is spent
+        // walk versions forward, accumulating each step's ADDED file count,
+        // until the budget is spent. Shard arithmetic keeps the common case
+        // metadata-cheap: shards are write-once, so a commit whose shard-ref
+        // set contains all of its parent's added exactly the NEW shards'
+        // recorded file counts — one O(#shards) commit-record read per
+        // version, no shard bodies. Only shard-replacing commits
+        // (compaction/merge/delete) load full file lists, lazily.
         var v = from
-        var budget = mf.maxFiles()
-        var prevFiles =
-          if (from == 0) Set.empty[String]
-          else Snapshots.manifest(spark, root, from).files.toSet
+        var budget: Long = mf.maxFiles().toLong
+        def shardsOf(mm: Snapshots.ManifestMeta): Option[Map[String, Long]] =
+          if (mm.inline.isDefined) None
+          else Some(mm.shardRefs.map(r => r.name -> r.n).toMap)
+        var prevShards: Option[Map[String, Long]] =
+          if (from == 0) Some(Map.empty)
+          else shardsOf(Snapshots.manifestMeta(spark, root, from))
+        var prevFiles: Option[Set[String]] =
+          if (from == 0) Some(Set.empty) else None
         var done = false
         while (!done && v < head) {
-          val next = Snapshots.manifest(spark, root, v + 1).files.toSet
-          val addedCount = (next -- prevFiles).size
+          val mm = Snapshots.manifestMeta(spark, root, v + 1)
+          val curShards = shardsOf(mm)
+          val addedCount: Long = (prevShards, curShards) match {
+            case (Some(p), Some(c)) if p.keySet.subsetOf(c.keySet) =>
+              prevFiles = None // cached file set no longer describes v+1
+              (c.keySet -- p.keySet).iterator.map(c).sum
+            case _ =>
+              val pf = prevFiles.getOrElse(
+                if (v == 0) Set.empty[String]
+                else Snapshots.manifest(spark, root, v).files.toSet)
+              val nf = Snapshots.manifest(spark, root, v + 1).files.toSet
+              prevFiles = Some(nf)
+              (nf -- pf).size.toLong
+          }
           if (addedCount <= budget || v == from) {
             // always admit at least one version, else no progress
             budget -= addedCount
-            prevFiles = next
+            prevShards = curShards
             v += 1
           } else done = true
         }
@@ -375,10 +429,7 @@ private[streaming] class SnapshotMicroBatchStream(
     // per-added-file vector as of toV (a delete landing in the same span
     // marks rows that never net-arrived — the reader skips them)
     val dvByName = mTo.dvs.map(d => d.file -> d.b64).toMap
-    added.sorted.map { uri =>
-      SnapshotFilePartition(uri,
-        dvByName.get(new Path(uri).getName)): InputPartition
-    }.toArray
+    SnapshotFilePartition.planned(added, dvByName)
   }
 
   /** Span contains a commit the append-only tail cannot represent; the
@@ -520,10 +571,7 @@ private[streaming] class SnapshotMicroBatchStream(
     // into every per-file partition (a 10k-file backfill would otherwise
     // serialize 10k conf copies from the driver)
     val phys = SnapshotSource.physicalNames(root)
-    val confEntries = {
-      val hc = spark.sparkContext.hadoopConfiguration
-      hc.iterator().asScala.map(e => e.getKey -> e.getValue).toArray
-    }
+    val confEntries = SnapshotSource.readerConfEntries(spark)
     SnapshotReaderFactory(required.json,
       required.fields.map(f => phys.getOrElse(f.name, f.name)), confEntries)
   }
@@ -534,169 +582,174 @@ private[streaming] class SnapshotMicroBatchStream(
 
 private[streaming] case class SnapshotFilePartition(
     uri: String,
-    dvB64: Option[String]) extends InputPartition
+    dvB64: Option[String],
+    columnar: Boolean) extends InputPartition
 
+private[streaming] object SnapshotFilePartition {
+  /** Plan one partition per file, stamped with a BATCH-UNIFORM columnar
+    * flag: Spark refuses a scan that mixes row and columnar partitions
+    * ("Cannot mix row-based and columnar input partitions"), so one DV'd
+    * file flips the whole batch to the row path — a planning-time
+    * decision, never a per-partition one. */
+  def planned(
+      files: Seq[String],
+      dvByName: Map[String, String]): Array[InputPartition] = {
+    val withDv = files.sorted.map(uri => uri -> dvByName.get(new Path(uri).getName))
+    val allFree = withDv.forall(_._2.isEmpty)
+    withDv.map { case (uri, dv) =>
+      SnapshotFilePartition(uri, dv, columnar = allFree): InputPartition
+    }.toArray
+  }
+}
+
+/** Executor-side decode through Spark's OWN vectorized parquet reader
+  * (the one behind `spark.read.parquet`): requested columns decode
+  * straight into column vectors with all of Spark's type handling —
+  * INT96 and INT64 timestamps in any unit, NTZ, decimals, nested
+  * lists/structs — instead of the 10-50× slower record-assembly path.
+  *
+  * A DV-free batch serves whole [[ColumnarBatch]]es
+  * (`supportColumnarReads`), so a snapshot scan enters whole-stage
+  * codegen exactly like a native parquet scan. A file WITH a deletion
+  * vector needs per-row position filtering — OSS `ColumnarBatch` has no
+  * selection vector — so a batch containing one iterates the SAME
+  * vectorized batches row-wise, skipping deleted ordinals (the
+  * columnar/row choice is stamped batch-uniform at planning time in
+  * [[SnapshotFilePartition.planned]]; Spark refuses mixed scans).
+  * Correctness never depends on which path ran. */
 private[streaming] case class SnapshotReaderFactory(
     requiredJson: String,
     physNames: Array[String],
     confEntries: Array[(String, String)]) extends PartitionReaderFactory {
 
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.asInstanceOf[SnapshotFilePartition].columnar
+
+  private def required: StructType =
+    DataType.fromJson(requiredJson).asInstanceOf[StructType]
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
-    new SnapshotGroupReader(p, DataType.fromJson(requiredJson).asInstanceOf[StructType],
-      physNames, confEntries)
+    new SnapshotRowReader(p, required, physNames, confEntries)
+  }
+
+  override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[SnapshotFilePartition]
+    require(p.dvB64.isEmpty, s"columnar read planned for DV'd file ${p.uri}")
+    new SnapshotBatchReader(p, required, physNames, confEntries)
   }
 }
 
-/** Executor-side reader: parquet-hadoop Group records → InternalRow, with
-  * the projection pushed to the parquet reader (only requested physical
-  * columns that EXIST in the file decode; missing ones — pre-evolution
-  * files — surface null). Covers the engine's table types: boolean, int,
-  * long, float, double, string, binary, date, timestamp (INT96 and INT64
-  * in any parquet unit), and arrays of those primitives (Spark's 3-level
-  * list shape). Anything else fails loudly rather than mis-decoding. */
-private[streaming] class SnapshotGroupReader(
+private[streaming] object SnapshotVectorized {
+
+  /** Hadoop conf key Spark's parquet ReadSupport takes the Catalyst
+    * requested schema from (`ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA`,
+    * private[parquet] but string-stable since Spark 1.x). */
+  private val RequestedSchemaKey =
+    "org.apache.spark.sql.parquet.row.requested_schema"
+
+  /** Open a [[VectorizedParquetRecordReader]] over the whole file with the
+    * required schema renamed to PHYSICAL column names (column mapping).
+    * Requested columns absent from the file (pre-evolution) surface as
+    * null vectors — the same contract as Spark's schema-evolution read.
+    * Rebase modes are CORRECTED: every snapshot file is written by this
+    * engine through Spark's writer, never by ancient Hive. */
+  def open(
+      uri: String,
+      required: StructType,
+      physNames: Array[String],
+      confEntries: Array[(String, String)]): VectorizedParquetRecordReader = {
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) }
+    val physSchema = StructType(required.fields.zipWithIndex.map {
+      case (f, i) => f.copy(name = physNames(i)) })
+    conf.set(RequestedSchemaKey, physSchema.json)
+    // what ParquetFileFormat sets before handing splits to this reader
+    conf.set("parquet.read.support.class",
+      "org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport")
+    // this reader requires nested vectorization for array/struct columns;
+    // never inherit a session that turned it off
+    conf.setBoolean("spark.sql.parquet.enableNestedColumnVectorizedReader", true)
+    // keys the schema converter reads with a RAW .toBoolean (no default):
+    // ParquetFileFormat force-sets them from the session; a session that
+    // set one explicitly came through in confEntries and wins here
+    def orDefault(k: String, v: String): Unit =
+      if (conf.get(k) == null) conf.set(k, v)
+    orDefault("spark.sql.parquet.binaryAsString", "false")
+    orDefault("spark.sql.parquet.int96AsTimestamp", "true")
+    orDefault("spark.sql.caseSensitive", "false")
+    orDefault("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+    orDefault("spark.sql.legacy.parquet.nanosAsLong", "false")
+    orDefault("spark.sql.parquet.fieldId.read.enabled", "false")
+    orDefault("spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID)
+    val capacity = conf.getInt("spark.sql.parquet.columnarReaderBatchSize", 4096)
+    // convertTz null: files are parquet-mr (Spark-written), no impala shift
+    val vr = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, capacity)
+    val path = new Path(uri)
+    val len = path.getFileSystem(conf).getFileStatus(path).getLen
+    // mapred.FileSplit (extends the mapreduce one): Spark's reader base
+    // casts the split to the legacy class internally
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      path, 0, len, Array.empty[String])
+    val attempt = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    try {
+      vr.initialize(split, attempt)
+      vr.initBatch(new StructType(), InternalRow.empty)
+      vr
+    } catch { case e: Throwable => vr.close(); throw e }
+  }
+
+  def decodeDv(b64: String): org.roaringbitmap.longlong.Roaring64Bitmap = {
+    val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+    bm.deserialize(new java.io.DataInputStream(
+      new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(b64))))
+    bm
+  }
+}
+
+/** Columnar fast path: whole batches handed to Spark (DV-free files). */
+private[streaming] class SnapshotBatchReader(
+    partition: SnapshotFilePartition,
+    required: StructType,
+    physNames: Array[String],
+    confEntries: Array[(String, String)]) extends PartitionReader[ColumnarBatch] {
+
+  private val vr = SnapshotVectorized.open(
+    partition.uri, required, physNames, confEntries)
+  vr.enableReturningBatches()
+
+  override def next(): Boolean = vr.nextKeyValue()
+  override def get(): ColumnarBatch = vr.getCurrentValue.asInstanceOf[ColumnarBatch]
+  override def close(): Unit = vr.close()
+}
+
+/** Row path for DV'd files: the SAME vectorized decode, iterated row-wise
+  * with a running file ordinal so deleted positions are skipped. The
+  * returned row is Spark's reused ColumnarBatchRow — standard file-source
+  * contract (consumers read before advancing). */
+private[streaming] class SnapshotRowReader(
     partition: SnapshotFilePartition,
     required: StructType,
     physNames: Array[String],
     confEntries: Array[(String, String)]) extends PartitionReader[InternalRow] {
 
-  private val conf = {
-    val c = new Configuration(false)
-    confEntries.foreach { case (k, v) => c.set(k, v) }
-    c
-  }
-  private val path = new Path(partition.uri)
-
-  private val fileSchema: MessageType = {
-    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(path, conf))
-    try fr.getFooter.getFileMetaData.getSchema finally fr.close()
-  }
-
-  private val presentIdx: Array[Int] = physNames.indices
-    .filter(i => fileSchema.containsField(physNames(i))).toArray
-  private val present: Set[Int] = presentIdx.toSet
-
-  private val reader: ParquetReader[Group] = {
-    val fieldOf: String => org.apache.parquet.schema.Type =
-      n => fileSchema.getFields.asScala.find(_.getName == n)
-        .getOrElse(sys.error(s"column $n vanished from $path"))
-    val projection = new MessageType("spark_schema",
-      presentIdx.map(i => fieldOf(physNames(i))).toList.asJava)
-    val c = new Configuration(conf)
-    c.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
-      projection.toString)
-    ParquetReader.builder(new GroupReadSupport(), path).withConf(c).build()
-  }
-
-  private val dv: Option[org.roaringbitmap.longlong.Roaring64Bitmap] =
-    partition.dvB64.map { b64 =>
-      val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
-      bm.deserialize(new java.io.DataInputStream(
-        new java.io.ByteArrayInputStream(java.util.Base64.getDecoder.decode(b64))))
-      bm
-    }
-
-  private var current: Group = _
+  private val vr = SnapshotVectorized.open(
+    partition.uri, required, physNames, confEntries)
+  private val dv = partition.dvB64.map(SnapshotVectorized.decodeDv)
   private var rowIdx: Long = -1L
 
   override def next(): Boolean = {
-    current = reader.read()
+    var has = vr.nextKeyValue()
     rowIdx += 1
-    while (current != null && dv.exists(_.contains(rowIdx))) {
-      current = reader.read()
+    while (has && dv.exists(_.contains(rowIdx))) {
+      has = vr.nextKeyValue()
       rowIdx += 1
     }
-    current != null
+    has
   }
 
-  override def get(): InternalRow = {
-    val values = new Array[Any](required.length)
-    // fields absent from the file stay null (additive evolution)
-    required.fields.indices.foreach { i =>
-      values(i) =
-        if (!present.contains(i)) null
-        else {
-          val name = physNames(i)
-          if (current.getFieldRepetitionCount(name) == 0) null
-          else convert(current, name, required.fields(i).dataType)
-        }
-    }
-    new GenericInternalRow(values)
-  }
-
-  private def primitiveOf(name: String): PrimitiveType =
-    fileSchema.getFields.asScala.find(_.getName == name)
-      .getOrElse(sys.error(s"column $name vanished from $path"))
-      .asPrimitiveType()
-
-  private def convert(g: Group, name: String, dt: DataType): Any = dt match {
-    case BooleanType => g.getBoolean(name, 0)
-    case IntegerType => g.getInteger(name, 0)
-    case LongType =>
-      if (primitiveOf(name).getPrimitiveTypeName ==
-        PrimitiveType.PrimitiveTypeName.INT32) g.getInteger(name, 0).toLong
-      else g.getLong(name, 0)
-    case FloatType => g.getFloat(name, 0)
-    case DoubleType => g.getDouble(name, 0)
-    case StringType => UTF8String.fromBytes(g.getBinary(name, 0).getBytes)
-    case BinaryType => g.getBinary(name, 0).getBytes
-    case DateType => g.getInteger(name, 0)
-    case TimestampType | TimestampNTZType => timestampMicros(g, name)
-    case ArrayType(et, _) => listOf(g, name, et)
-    case other => sys.error(
-      s"snapshot stream reader does not support ${other.simpleString} ('$name')")
-  }
-
-  private def timestampMicros(g: Group, name: String): Long = {
-    val pt = primitiveOf(name)
-    pt.getPrimitiveTypeName match {
-      case PrimitiveType.PrimitiveTypeName.INT96 =>
-        // 12 bytes little-endian: 8 nanos-of-day + 4 julian day
-        val b = java.nio.ByteBuffer.wrap(g.getInt96(name, 0).getBytes)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        val nanos = b.getLong
-        val julian = b.getInt
-        (julian - 2440588L) * 86400000000L + nanos / 1000L
-      case _ =>
-        val raw = g.getLong(name, 0)
-        pt.getLogicalTypeAnnotation match {
-          case t: org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-            t.getUnit match {
-              case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MILLIS => raw * 1000L
-              case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS => raw
-              case org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.NANOS => raw / 1000L
-            }
-          case _ => raw // bare INT64: assume micros
-        }
-    }
-  }
-
-  private def listOf(g: Group, name: String, et: DataType): GenericArrayData = {
-    // Spark's 3-level list: optional group name (LIST) {
-    //   repeated group list { optional T element } }
-    val outer = g.getGroup(name, 0)
-    val n = outer.getFieldRepetitionCount(0)
-    val arr = new Array[Any](n)
-    var i = 0
-    while (i < n) {
-      val entry = outer.getGroup(0, i)
-      arr(i) =
-        if (entry.getFieldRepetitionCount(0) == 0) null
-        else et match {
-          case FloatType => entry.getFloat(0, 0)
-          case DoubleType => entry.getDouble(0, 0)
-          case IntegerType => entry.getInteger(0, 0)
-          case LongType => entry.getLong(0, 0)
-          case BooleanType => entry.getBoolean(0, 0)
-          case StringType => UTF8String.fromBytes(entry.getBinary(0, 0).getBytes)
-          case other => sys.error(
-            s"snapshot stream reader does not support array<${other.simpleString}>")
-        }
-      i += 1
-    }
-    new GenericArrayData(arr)
-  }
-
-  override def close(): Unit = reader.close()
+  override def get(): InternalRow = vr.getCurrentValue.asInstanceOf[InternalRow]
+  override def close(): Unit = vr.close()
 }

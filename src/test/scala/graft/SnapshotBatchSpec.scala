@@ -133,6 +133,40 @@ class SnapshotBatchSpec extends SparkSpec {
     assert(q.select("v").as[Long].collect().toSeq === Seq(42L))
   }
 
+  test("runtime filtering: an IN-set landing after planning re-prunes files") {
+    val root = freshTable() // 8 range files by id, statsCols id+score
+    val scan = batchRead(root).queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head
+    val rf = scan.asInstanceOf[
+      org.apache.spark.sql.connector.read.SupportsRuntimeFiltering]
+    // only index-backed columns advertised (name has no stats/bloom: a
+    // runtime IN-set on it could never prune, so don't ask Spark for one)
+    assert(rf.filterAttributes().map(_.fieldNames().head).toSet ===
+      Set("id", "score"))
+    val before = scan.toBatch.planInputPartitions().length
+    assert(before === 8)
+    rf.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("id", Array(42L, 3990L))))
+    val after = scan.toBatch.planInputPartitions().length
+    assert(after === 2,
+      s"two point keys in two distinct range files must plan 2 of $before")
+  }
+
+  test("DPP end-to-end: dimension-filtered join runs a runtime filter on the fact scan") {
+    val root = freshTable()
+    val dim = Seq((42L, "a"), (3990L, "b"), (4100L, "c")).toDF("k", "tag")
+    val fact = batchRead(root)
+    val joined = fact.join(dim.filter(col("tag") =!= "c"),
+      fact("id") === dim("k"))
+    val rows = joined.select("id", "tag").as[(Long, String)].collect().toSet
+    assert(rows === Set((42L, "a"), (3990L, "b")))
+    // the executed plan's fact scan carries the dynamic-pruning filter
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("RuntimeFilters: ["),
+      s"expected a runtime filter on the DSv2 scan; plan:\n$planStr")
+  }
+
   test("column pruning reaches the scan; renamed tables read under new names") {
     val root = freshTable()
     Snapshots.renameColumn(spark, root, "score", "quality")
