@@ -1471,5 +1471,76 @@ object Lake {
         s"runtime IN-set must prune the planned files ($dynamic of $static)")
       res
     },
+
+    // ---- q121: DSv2 COUNT(*) PUSHDOWN — an ungrouped, unfiltered count
+    //            over a snapshot table answers from the MANIFEST (per-file
+    //            recorded row counts minus deletion-vector cardinalities):
+    //            the scan plans ONE synthetic partition and opens zero
+    //            data files. The DSv2 twin of the native count rewrite
+    //            (q110). Required in-query: the executed plan carries the
+    //            pushed-count scan AND the table's head holds vectors — so
+    //            the DV-adjustment claim sits under the hash gate. ----
+    OracleQuery(
+      "q121_dsv2_count_pushdown",
+      """SELECT CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem WHERE NOT (l_quantity < 5.0)""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/lineitem_cnt"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      Snapshots.commit(
+        Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_quantity"))
+          .repartitionByRange(8, col("l_orderkey")),
+        root, statsCols = Seq("l_quantity"))
+      Snapshots.deleteWhere(spark, root, col("l_quantity") < 5.0)
+      val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+      require(m.dvs.nonEmpty, "the delete must land as vectors, not rewrites")
+      val cnt = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .groupBy().count()
+      val descs = cnt.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          (b.scan.description(), b.inputPartitions.length)
+      }
+      require(descs.exists { case (d, np) =>
+        d.contains("PushedAggregates: [COUNT(*)]") && np == 1 },
+        s"expected the manifest count scan, got $descs")
+      cnt.select(col("count").cast("long").as("n"))
+    },
+
+    // ---- q122: DSv2 BATCH WRITE — `df.write.format(...).save()` IS an
+    //            engine commit (V1Write bridge onto Snapshots.commit):
+    //            two appends land as two manifest versions, the write
+    //            option `statsCols` indexes the new files, and the
+    //            round-trip through the DSv2 read must be row-exact
+    //            against DuckDB over the original source. ----
+    OracleQuery(
+      "q122_dsv2_write_commit",
+      s"""SELECT l_linestatus, count(*) AS n,
+        |  ${graft.engine.Det.sql.dsum("l_quantity")} AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/lineitem_w"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linestatus"), col("l_quantity"))
+      val Fmt = "graft.streaming.SnapshotSourceProvider"
+      li.filter(col("l_orderkey") % 2 === 0)
+        .write.format(Fmt).option("root", root)
+        .option("statsCols", "l_orderkey").mode("append").save()
+      li.filter(col("l_orderkey") % 2 =!= 0)
+        .write.format(Fmt).option("root", root)
+        .option("statsCols", "l_orderkey").mode("append").save()
+      require(Snapshots.headVersion(spark, root) == 2L,
+        "each df.write append must land as one manifest version")
+      spark.read.format(Fmt).option("root", root).load()
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          graft.engine.Det.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_linestatus")
+    },
   )
 }

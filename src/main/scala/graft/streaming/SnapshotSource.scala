@@ -103,11 +103,13 @@ private[streaming] object SnapshotSource {
   }
 
   /** The head's recorded LOGICAL schema with the column-mapping key
-    * stripped (what downstream sees). */
+    * stripped (what downstream sees). Empty on a not-yet-committed table
+    * (a first WRITE must be able to get a Table object; reads guard with
+    * a clear error in newScanBuilder instead). */
   def surfacedSchema(root: String): StructType = {
     val spark = SparkSession.active
     val head = Snapshots.headVersion(spark, root)
-    require(head > 0, s"no snapshot committed at $root yet — nothing to stream")
+    if (head == 0) return new StructType()
     val s = Snapshots.parseSchemaStr(Snapshots.manifestMeta(spark, root, head).schema)
       .getOrElse(sys.error(
         s"$root has no recorded schema (legacy manifest) — commit once to record one"))
@@ -137,15 +139,83 @@ private[streaming] object SnapshotSource {
 
 private[streaming] class SnapshotStreamTable(
     tableSchema: StructType,
-    properties: Map[String, String]) extends Table with SupportsRead {
+    properties: Map[String, String])
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
   override def name(): String = s"graft-snapshot(${properties.getOrElse("root", "?")})"
   override def schema(): StructType = tableSchema
+  // ACCEPT_ANY_SCHEMA: the engine's commit owns schema semantics (additive
+  // merge on append, fresh schema on overwrite, column-mapping renames) —
+  // Spark's by-name validation against the head schema would REJECT the
+  // additive evolution commit is designed to accept
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new SnapshotScanBuilder(tableSchema, SnapshotSource.rootOf(options), options)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val root = SnapshotSource.rootOf(options)
+    require(Snapshots.headVersion(SparkSession.active, root) > 0,
+      s"no snapshot committed at $root yet — nothing to read or stream")
+    new SnapshotScanBuilder(tableSchema, root, options)
+  }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val opts =
+      if (info.options.containsKey("root")) info.options
+      else new CaseInsensitiveStringMap((properties ++
+        info.options.asScala).asJava)
+    new SnapshotWriteBuilder(SnapshotSource.rootOf(opts), opts)
+  }
+}
+
+/** BATCH WRITES through the same format string:
+  * `df.write.format("graft.streaming.SnapshotSourceProvider")
+  * .option("root", root).mode("append"|"overwrite").save()` — a V1Write
+  * bridge straight onto [[Snapshots.commit]], so a DSv2 write IS an
+  * engine commit: the distributed parquet write job, CHECK-constraint
+  * observation, column-mapping translation for appends onto renamed
+  * tables, additive schema merge, and the optimistic publish fence all
+  * apply identically to API callers and `df.write` callers. Write
+  * options: `statsCols` / `bloomCols` (comma-separated) index the new
+  * files for pruning; `tag` stamps the commit. Mode `overwrite` is a
+  * truncating commit (fresh schema generation, old versions remain
+  * time-travelable); `append` is an append commit. */
+private[streaming] class SnapshotWriteBuilder(
+    root: String,
+    options: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.connector.write.WriteBuilder
+  with org.apache.spark.sql.connector.write.SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+    overwrite = true
+    this
+  }
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation
+          : org.apache.spark.sql.sources.InsertableRelation =
+        new org.apache.spark.sql.sources.InsertableRelation {
+          override def insert(
+              data: org.apache.spark.sql.DataFrame,
+              legacyOverwrite: Boolean): Unit = {
+            def cols(k: String): Seq[String] =
+              Option(options.get(k)).toSeq
+                .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            Snapshots.commit(data, root,
+              append = !overwrite,
+              statsCols = cols("statsCols"),
+              tag = options.getOrDefault("tag", ""),
+              bloomCols = cols("bloomCols"))
+          }
+        }
+    }
 }
 
 private[streaming] class SnapshotScanBuilder(
@@ -154,10 +224,12 @@ private[streaming] class SnapshotScanBuilder(
     options: CaseInsensitiveStringMap)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
-  with SupportsPushDownFilters {
+  with SupportsPushDownFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
+  private var pushedCount: Option[Long] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep full-schema field order/types; the pruner passes a subset
@@ -174,12 +246,89 @@ private[streaming] class SnapshotScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new SnapshotScan(required, fullSchema, root,
-    options.getOrDefault("startingVersion", "earliest"),
-    options.getBoolean("ignoreChanges", false),
-    Option(options.get("maxFilesPerTrigger")).map(_.toInt),
-    pushed,
-    Option(options.get("version")).map(_.toLong))
+  // ---- COUNT(*) pushdown: ungrouped count answers from the manifest
+  // alone — per-file recorded row counts minus deletion-vector
+  // cardinalities, zero data I/O (the DSv2 twin of the native count
+  // rewrite, q110). Complete pushdown: the scan emits the ONE final row.
+  // Declined when any head file predates the row-count index, or any
+  // filter was pushed (ours are file-level, never row-exact; Spark also
+  // refuses aggregates over post-scan filters on its own — the guard here
+  // is belt and braces). Streaming never sees this: aggregate pushdown
+  // only runs on batch v2 relations.
+
+  private def countOf(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Long] = {
+    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    agg.aggregateExpressions match {
+      case Array(_: org.apache.spark.sql.connector.expressions.aggregate.CountStar) =>
+        val spark = SparkSession.active
+        val v = Option(options.get("version")).map(_.toLong)
+          .getOrElse(Snapshots.headVersion(spark, root))
+        if (v <= 0) return None
+        val m = Snapshots.manifest(spark, root, v)
+        val rowsByName = m.rows.map(r => r.file -> r.n).toMap
+        val names = m.files.map(f => new Path(f).getName)
+        if (names.forall(rowsByName.contains))
+          Some(names.map(rowsByName).sum - m.dvs.map(_.deleted).sum)
+        else None
+      case _ => None
+    }
+  }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countOf(agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    val c = countOf(agg)
+    c.foreach(n => pushedCount = Some(n))
+    c.isDefined
+  }
+
+  override def build(): Scan = pushedCount match {
+    case Some(n) => new SnapshotCountScan(root, n)
+    case None => new SnapshotScan(required, fullSchema, root,
+      options.getOrDefault("startingVersion", "earliest"),
+      options.getBoolean("ignoreChanges", false),
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      pushed,
+      Option(options.get("version")).map(_.toLong))
+  }
+}
+
+/** The one-row scan a completely-pushed COUNT(*) builds: no file is
+  * opened — the count came from the manifest at build time. */
+private[streaming] class SnapshotCountScan(root: String, n: Long)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def description(): String =
+    s"graft-snapshot-count $root PushedAggregates: [COUNT(*)]"
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(SnapshotCountPartition(n))
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    SnapshotCountReaderFactory
+}
+
+private[streaming] case class SnapshotCountPartition(n: Long) extends InputPartition
+
+private[streaming] object SnapshotCountReaderFactory extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val n = partition.asInstanceOf[SnapshotCountPartition].n
+      private var served = false
+      override def next(): Boolean = if (served) false else { served = true; true }
+      override def get(): InternalRow =
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n))
+      override def close(): Unit = ()
+    }
 }
 
 private[streaming] class SnapshotScan(
@@ -268,7 +417,7 @@ private[streaming] class SnapshotScan(
         graft.engine.FilterPrune.prune(m, fullSchema, runtimeFilters.toSeq)
           .toSet).toSeq
     val dvByName = m.dvs.map(d => d.file -> d.b64).toMap
-    SnapshotFilePartition.planned(finalKept, dvByName)
+    SnapshotFilePartition.planned(finalKept, dvByName, spark)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -429,7 +578,7 @@ private[streaming] class SnapshotMicroBatchStream(
     // per-added-file vector as of toV (a delete landing in the same span
     // marks rows that never net-arrived — the reader skips them)
     val dvByName = mTo.dvs.map(d => d.file -> d.b64).toMap
-    SnapshotFilePartition.planned(added, dvByName)
+    SnapshotFilePartition.planned(added, dvByName, spark)
   }
 
   /** Span contains a commit the append-only tail cannot represent; the
@@ -580,25 +729,59 @@ private[streaming] class SnapshotMicroBatchStream(
   override def stop(): Unit = ()
 }
 
+/** One scan task: a byte range of one file. `length` -1 = whole file (the
+  * reader sizes it); a sub-range reads the row groups whose MIDPOINT falls
+  * inside it (parquet split semantics — every row lands in exactly one
+  * range). */
 private[streaming] case class SnapshotFilePartition(
     uri: String,
     dvB64: Option[String],
-    columnar: Boolean) extends InputPartition
+    columnar: Boolean,
+    start: Long = 0L,
+    length: Long = -1L) extends InputPartition
 
 private[streaming] object SnapshotFilePartition {
-  /** Plan one partition per file, stamped with a BATCH-UNIFORM columnar
-    * flag: Spark refuses a scan that mixes row and columnar partitions
-    * ("Cannot mix row-based and columnar input partitions"), so one DV'd
-    * file flips the whole batch to the row path — a planning-time
-    * decision, never a per-partition one. */
+  /** Plan partitions for the files of one batch.
+    *
+    * Columnar is stamped BATCH-UNIFORM: Spark refuses a scan that mixes
+    * row and columnar partitions ("Cannot mix row-based and columnar
+    * input partitions"), so one DV'd file flips the whole batch to the
+    * row path — a planning-time decision, never a per-partition one.
+    *
+    * Splitting: when the batch holds FEWER files than would keep the
+    * cluster busy, DV-free files larger than
+    * `spark.sql.files.maxPartitionBytes` split into byte ranges — the
+    * native reader's parallelism contract, so a compacted (one-file)
+    * table still scans with full parallelism instead of one task. The
+    * size lookups are bounded by the few-files guard (no per-file RPC
+    * storm on a million-file table, where one-task-per-file is already
+    * parallel). DV'd files stay whole: the position skip needs the
+    * file-global row ordinal, which a byte range cannot know without
+    * reading the footer. */
   def planned(
       files: Seq[String],
-      dvByName: Map[String, String]): Array[InputPartition] = {
+      dvByName: Map[String, String],
+      spark: SparkSession): Array[InputPartition] = {
     val withDv = files.sorted.map(uri => uri -> dvByName.get(new Path(uri).getName))
     val allFree = withDv.forall(_._2.isEmpty)
-    withDv.map { case (uri, dv) =>
-      SnapshotFilePartition(uri, dv, columnar = allFree): InputPartition
-    }.toArray
+    val fewFiles = withDv.size < spark.sparkContext.defaultParallelism * 4
+    if (!fewFiles)
+      return withDv.map { case (uri, dv) =>
+        SnapshotFilePartition(uri, dv, columnar = allFree): InputPartition
+      }.toArray
+    val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    lazy val fs = new Path(withDv.head._1)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    withDv.flatMap { case (uri, dv) =>
+      val len = if (dv.isEmpty) fs.getFileStatus(new Path(uri)).getLen else -1L
+      if (dv.isDefined || len <= maxBytes)
+        Seq(SnapshotFilePartition(uri, dv, columnar = allFree))
+      else
+        (0L until len by maxBytes).map(off =>
+          SnapshotFilePartition(uri, None, columnar = allFree,
+            start = off, length = math.min(maxBytes, len - off)))
+    }.map(p => p: InputPartition).toArray
   }
 }
 
@@ -658,7 +841,9 @@ private[streaming] object SnapshotVectorized {
       uri: String,
       required: StructType,
       physNames: Array[String],
-      confEntries: Array[(String, String)]): VectorizedParquetRecordReader = {
+      confEntries: Array[(String, String)],
+      start: Long = 0L,
+      length: Long = -1L): VectorizedParquetRecordReader = {
     val conf = new Configuration(false)
     confEntries.foreach { case (k, v) => conf.set(k, v) }
     val physSchema = StructType(required.fields.zipWithIndex.map {
@@ -687,11 +872,13 @@ private[streaming] object SnapshotVectorized {
     val vr = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, capacity)
     val path = new Path(uri)
-    val len = path.getFileSystem(conf).getFileStatus(path).getLen
+    val len =
+      if (length >= 0) length
+      else path.getFileSystem(conf).getFileStatus(path).getLen - start
     // mapred.FileSplit (extends the mapreduce one): Spark's reader base
     // casts the split to the legacy class internally
     val split = new org.apache.hadoop.mapred.FileSplit(
-      path, 0, len, Array.empty[String])
+      path, start, len, Array.empty[String])
     val attempt = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
       conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
     try {
@@ -717,7 +904,8 @@ private[streaming] class SnapshotBatchReader(
     confEntries: Array[(String, String)]) extends PartitionReader[ColumnarBatch] {
 
   private val vr = SnapshotVectorized.open(
-    partition.uri, required, physNames, confEntries)
+    partition.uri, required, physNames, confEntries,
+    partition.start, partition.length)
   vr.enableReturningBatches()
 
   override def next(): Boolean = vr.nextKeyValue()
@@ -736,7 +924,8 @@ private[streaming] class SnapshotRowReader(
     confEntries: Array[(String, String)]) extends PartitionReader[InternalRow] {
 
   private val vr = SnapshotVectorized.open(
-    partition.uri, required, physNames, confEntries)
+    partition.uri, required, physNames, confEntries,
+    partition.start, partition.length)
   private val dv = partition.dvB64.map(SnapshotVectorized.decodeDv)
   private var rowIdx: Long = -1L
 

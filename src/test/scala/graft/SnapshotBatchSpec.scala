@@ -133,6 +133,49 @@ class SnapshotBatchSpec extends SparkSpec {
     assert(q.select("v").as[Long].collect().toSeq === Seq(42L))
   }
 
+  test("a compacted single-file table splits into parallel byte ranges, rows exactly once") {
+    val root = tmp()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    hc.set("parquet.block.size", "65536") // small row groups: sub-splits carry rows
+    try {
+      Snapshots.commit(
+        spark.range(1, 100001).select(col("id"), md5(col("id").cast("string")).as("s"))
+          .repartition(1),
+        root)
+    } finally oldBlock.fold(hc.unset("parquet.block.size"))(
+      hc.set("parquet.block.size", _))
+    assert(Snapshots.manifest(spark, root, 1L).files.size === 1)
+    val oldMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+    try {
+      val q = batchRead(root)
+      val parts = scannedFiles(q)
+      assert(parts > 1, s"one large file must split into byte ranges, got $parts")
+      assert(q.select("id").as[Long].collect().toSet === (1L to 100000L).toSet)
+    } finally oldMax.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
+      spark.conf.set("spark.sql.files.maxPartitionBytes", _))
+  }
+
+  test("COUNT(*) pushes down to the manifest: one-row scan, DV-adjusted, no file I/O") {
+    val root = freshTable()
+    Snapshots.deleteWhere(spark, root, col("id") <= 10L) // vectors adjust the count
+    val q = batchRead(root).groupBy().count()
+    assert(q.as[Long].head() === 3990L)
+    val descs = q.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => (b.scan.description(), b.inputPartitions.length)
+    }
+    assert(descs.exists { case (d, n) =>
+      d.contains("PushedAggregates: [COUNT(*)]") && n == 1 },
+      s"expected the manifest count scan, got $descs")
+    // a filtered count must NOT push (file pruning is not row-exact):
+    // still answers row-exactly through the normal scan
+    val filtered = batchRead(root).filter(col("id") > 3990L)
+    assert(filtered.count() === 10L)
+    assert(!filtered.groupBy().count().queryExecution.executedPlan.toString
+      .contains("PushedAggregates"))
+  }
+
   test("runtime filtering: an IN-set landing after planning re-prunes files") {
     val root = freshTable() // 8 range files by id, statsCols id+score
     val scan = batchRead(root).queryExecution.executedPlan.collect {
@@ -165,6 +208,53 @@ class SnapshotBatchSpec extends SparkSpec {
     val planStr = joined.queryExecution.executedPlan.toString
     assert(planStr.contains("RuntimeFilters: ["),
       s"expected a runtime filter on the DSv2 scan; plan:\n$planStr")
+  }
+
+  test("df.write through the provider IS an engine commit: append, overwrite, time travel") {
+    val root = tmp()
+    Seq((1L, "a"), (2L, "b")).toDF("id", "s")
+      .write.format(Fmt).option("root", root)
+      .option("statsCols", "id").mode("append").save()
+    Seq((3L, "c")).toDF("id", "s")
+      .write.format(Fmt).option("root", root)
+      .option("statsCols", "id").mode("append").save()
+    // both writes landed as engine commits — versioned, API-readable
+    assert(Snapshots.headVersion(spark, root) === 2L)
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSet ===
+      Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(batchRead(root).count() === 3L)
+    // overwrite truncates at the head; history stays time-travelable
+    Seq((9L, "z")).toDF("id", "s")
+      .write.format(Fmt).option("root", root).mode("overwrite").save()
+    assert(batchRead(root).as[(Long, String)].collect().toSet === Set((9L, "z")))
+    assert(spark.read.format(Fmt).option("root", root).option("version", 2)
+      .load().count() === 3L)
+  }
+
+  test("df.write append onto a renamed table rides the column mapping") {
+    val root = tmp()
+    Snapshots.commit(Seq((1L, "x")).toDF("id", "old_name"), root)
+    Snapshots.renameColumn(spark, root, "old_name", "new_name")
+    // the append arrives with the CURRENT logical name; files must store
+    // the physical one so old and new generations read together
+    Seq((2L, "y")).toDF("id", "new_name")
+      .write.format(Fmt).option("root", root).mode("append").save()
+    assert(batchRead(root).as[(Long, String)].collect().toSet ===
+      Set((1L, "x"), (2L, "y")))
+    assert(batchRead(root).schema.fieldNames.toSeq === Seq("id", "new_name"))
+  }
+
+  test("a write-option statsCols indexes the new files: pushed filters prune them") {
+    val root = tmp()
+    (1L to 4000L).map(i => (i, i % 7)).toDF("id", "v")
+      .repartitionByRange(8, col("id"))
+      .write.format(Fmt).option("root", root)
+      .option("statsCols", "id").mode("append").save()
+    val total = Snapshots.manifest(spark, root,
+      Snapshots.headVersion(spark, root)).files.size
+    val q = batchRead(root).filter(col("id") === 42L)
+    assert(scannedFiles(q) === 1, s"stats from the write must prune ($total files)")
+    assert(q.count() === 1L)
   }
 
   test("column pruning reaches the scan; renamed tables read under new names") {
