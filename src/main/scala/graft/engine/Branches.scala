@@ -62,8 +62,10 @@ object Branches {
     val bRoot = Snapshots.branchRoot(tableRoot, name)
     require(Snapshots.headVersion(spark, bRoot) == 0,
       s"branch '$name' already exists at $tableRoot — drop it or pick another name")
+    // fork carries the base's exact file set — its clustering comes along
     Snapshots.publishMeta(spark, bRoot, tag = s"fork:$base", requireHead = 0L,
-      retiredOverride = Some(meta.retired)) { _ =>
+      retiredOverride = Some(meta.retired),
+      clustering = _ => meta.clustering) { _ =>
       (Snapshots.shardRefsOf(spark, tableRoot, meta), meta.schema)
     }
   }
@@ -99,8 +101,11 @@ object Branches {
     require(mainHead == base,
       s"cannot fast-forward $tableRoot to branch '$name': main advanced to " +
         s"v$mainHead since the fork at v$base — re-fork from the new head and replay")
+    // fast-forward: main becomes exactly the branch head's file set, so
+    // main takes the branch head's clustering (whatever branch commits did)
     Snapshots.publishMeta(spark, tableRoot, tag = s"publish:$name",
-      requireHead = base, retiredOverride = Some(bMeta.retired)) { _ =>
+      requireHead = base, retiredOverride = Some(bMeta.retired),
+      clustering = _ => bMeta.clustering) { _ =>
       (Snapshots.shardRefsOf(spark, bRoot, bMeta), bMeta.schema)
     }
   }

@@ -134,6 +134,49 @@ object Snapshots {
     *    must-scan/unknowable) stay exact. */
   final case class FileDv(file: String, b64: String, deleted: Long)
 
+  /** HASH-CLUSTERED table layout (round 13): every data file of the
+    * version holds exactly the rows whose `pmod(murmur3(col), buckets)`
+    * equals the file's bucket id (the id is the writer's shuffle-partition
+    * index, recoverable from the `part-NNNNN` file name). What this buys
+    * at 100 TB: two tables clustered on their join keys with the SAME
+    * bucket count join with ZERO shuffle on either side — Spark's
+    * storage-partitioned join recognizes the DSv2 scans as co-partitioned
+    * (`KeyGroupedPartitioning` over `bucket(n, col)`) and plans the join
+    * exchange-free, so the dominant cost of a repeated fact⋈fact
+    * reconciliation (hash-exchanging BOTH sides) is paid once at write
+    * time instead of every query. The spec is a property of one manifest
+    * VERSION: any commit that adds unbucketed files or rewrites files
+    * (merge, copy-on-write delete, compaction) publishes WITHOUT it —
+    * conservative-correct, a drop can never produce a wrong join — while
+    * DV-only deletes and metadata-only commits carry it forward (vectors
+    * never move rows between files). `col` is recorded PHYSICAL (rename-
+    * stable, like ColStats); the resolved view relabels it logical. */
+  final case class Clustering(col: String, buckets: Int)
+
+  private val PartIdxRe = "part-(\\d+)-.*".r
+
+  /** The writer shuffle-partition index encoded in a data file's name —
+    * under a [[Clustering]] spec, the file's bucket id. None for a name
+    * outside Spark's `part-NNNNN-` convention (defensive: such a file can
+    * never be proven bucket-pure, so callers treat the table unclustered). */
+  private[graft] def bucketOfFile(name: String): Option[Int] = name match {
+    case PartIdxRe(i) => Some(i.toInt)
+    case _ => None
+  }
+
+  /** Version v's clustering spec with its column relabeled LOGICAL —
+    * metadata-only (no shard load; the spec and the schema both live in
+    * the commit record). None when v is unclustered or uncommitted. */
+  def clusteringAt(spark: SparkSession, root: String, v: Long): Option[Clustering] = {
+    if (v <= 0) return None
+    val mm = manifestMeta(spark, root, v)
+    mm.clustering.map { c =>
+      parseSchemaStr(mm.schema)
+        .flatMap(_.fields.find(f => physicalOf(f) == c.col))
+        .fold(c)(f => c.copy(col = f.name))
+    }
+  }
+
   /** One committed table state, RESOLVED: `files` are absolute URIs,
     * immutable. `tag` is a caller idempotency token ("" = untagged): a
     * commit carrying an already-present tag is skipped, which turns
@@ -159,7 +202,8 @@ object Snapshots {
       schema: String = "",
       rows: Seq[FileRows] = Seq.empty,
       blooms: Seq[FileBloom] = Seq.empty,
-      dvs: Seq[FileDv] = Seq.empty)
+      dvs: Seq[FileDv] = Seq.empty,
+      clustering: Option[Clustering] = None)
 
   /** Reference to one immutable metadata shard: `name` is the file under
     * `_snapshots/`, `n` its file-entry count (size hint, no I/O needed to
@@ -188,7 +232,8 @@ object Snapshots {
       ts: Long = 0L,
       schema: String = "",
       retired: Seq[String] = Seq.empty,
-      inline: Option[(Seq[String], Seq[ColStats])] = None)
+      inline: Option[(Seq[String], Seq[ColStats])] = None,
+      clustering: Option[Clustering] = None)
 
   /** A loaded shard: its ref plus the content. */
   private final case class Shard(ref: ShardRef, files: Seq[String], stats: Seq[ColStats],
@@ -320,7 +365,8 @@ object Snapshots {
       else blooms.map(bl => p2l.get(bl.col).fold(bl)(l => bl.copy(col = l)))
     Manifest(m.version, shards.flatMap(_.files), m.parent,
       relabeled, m.tag, m.ts, m.schema, shards.flatMap(_.rows), relabeledBlooms,
-      shards.flatMap(_.dvs))
+      shards.flatMap(_.dvs),
+      m.clustering.map(c => p2l.get(c.col).fold(c)(l => c.copy(col = l))))
   }
 
   /** Column-mapping metadata key: a field whose on-disk (PHYSICAL) column
@@ -391,7 +437,8 @@ object Snapshots {
       statsCols: Seq[String] = Seq.empty,
       tag: String = "",
       requireHead: Long = -1L,
-      bloomCols: Seq[String] = Seq.empty): Long = {
+      bloomCols: Seq[String] = Seq.empty,
+      clusterBy: Option[(String, Int)] = None): Long = {
     // the optimize: prefix is how rebase validation RECOGNIZES provably
     // row-preserving layout rewrites — only the internal rewrite committer
     // ([[publishRewriteOutput]]) may stamp it; a caller-tagged overwrite
@@ -419,14 +466,60 @@ object Snapshots {
           (ps.map(logicalToPhysical).getOrElse(Map.empty) ++ fresh, fresh)
         }
       }
+    // hash-clustered layout (see [[Clustering]]): validate the spec against
+    // the head BEFORE the write job — an append may only cluster onto a
+    // head already clustered by the same (physical column, bucket count),
+    // or onto an empty table; anything else would publish a version whose
+    // file set is not bucket-pure, so it fails loudly here instead
+    val clusterSpec = clusterBy.map { case (c, n) =>
+      require(n > 0, s"clusterBy bucket count must be positive, got $n")
+      require(df.columns.contains(c),
+        s"clusterBy column '$c' is not in the batch (${df.columns.mkString(", ")})")
+      val t = df.schema(c).dataType
+      require(ClusterableTypes.contains(t),
+        s"clusterBy column '$c' has type $t — hash clustering supports " +
+          ClusterableTypes.mkString(", "))
+      Clustering(toPhys.getOrElse(c, c), n)
+    }
+    if (append && clusterSpec.isDefined) {
+      val headV0 = headVersion(spark, root)
+      if (headV0 > 0) {
+        val hc = manifestMeta(spark, root, headV0).clustering
+        require(hc == clusterSpec,
+          s"clustered append onto $root requires the head to carry the same " +
+            s"clustering spec; head has ${hc.getOrElse("none")}, batch wants " +
+            s"${clusterSpec.get} — overwrite (append=false) to re-cluster")
+      }
+    }
     val (written, newStats, newRows, newBlooms) =
-      writeBatch(df, root, statsCols, toPhys, bloomCols)
+      writeBatch(df, root, statsCols, toPhys, bloomCols, clusterSpec)
     val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
-    publishMeta(spark, root, tag, requireHead) { head =>
+    publishMeta(spark, root, tag, requireHead, clustering = head =>
+      // an unclustered append onto a clustered head adds bucket-impure
+      // files: the spec drops (conservative-correct). A clustered append
+      // re-validates against the CURRENT head inside the publish loop —
+      // the pre-write check above may have raced an unclustered commit.
+      if (clusterSpec.isEmpty) None
+      else if (!append || head.isEmpty) clusterSpec
+      else if (head.flatMap(_.clustering) == clusterSpec) clusterSpec
+      else throw new ConcurrentCommitException(
+        s"requirement failed: concurrent commit at $root changed the " +
+          "clustering spec beneath this clustered append")) { head =>
       val parent = if (append) head else None
       val refs = parent.map(shardRefsOf(spark, root, _)).getOrElse(Seq.empty) :+ newRef
       (refs, mergedSchemaJson(parent.map(_.schema), df.schema, assigned))
     }
+  }
+
+  /** Key types [[commit]]'s `clusterBy` accepts: exactly those whose
+    * murmur3 bucket mapping the DSv2 `graft.bucket` catalog function
+    * reproduces ([[graft.streaming.SnapshotCatalog]]) — the writer
+    * (Spark's `HashPartitioning`) and the storage-partitioned-join
+    * machinery must agree on key→bucket or a co-partitioned join would
+    * silently drop matches. */
+  private[graft] val ClusterableTypes: Set[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Set(IntegerType, LongType, StringType, DateType, TimestampType, TimestampNTZType)
   }
 
   /** NON-ADDITIVE schema evolution, part 1: rename a column as a
@@ -457,7 +550,10 @@ object Snapshots {
         new org.apache.spark.sql.types.MetadataBuilder()
           .withMetadata(f.metadata).putString(PhysicalKey, physicalOf(f)).build())
     })
-    publishMeta(spark, root, tag = "", requireHead = headV) { head =>
+    // metadata-only: files untouched, clustering carries (its col is the
+    // rename-stable PHYSICAL name, so renaming the cluster key is fine)
+    publishMeta(spark, root, tag = "", requireHead = headV,
+      clustering = h => h.flatMap(_.clustering)) { head =>
       val h = head.getOrElse(sys.error("rename base vanished"))
       (shardRefsOf(spark, root, h), renamed.json)
     }
@@ -483,8 +579,12 @@ object Snapshots {
     require(!Checks.referenced(spark, Checks.list(spark, root)).contains(name),
       s"cannot drop '$name': a CHECK constraint references it — drop the check first")
     val remaining = StructType(s.fields.filterNot(_.name == name))
+    // metadata-only: clustering carries — unless the dropped column IS the
+    // cluster key, whose spec then names a column no schema surfaces
     publishMeta(spark, root, tag = "", requireHead = headV,
-      retiredOverride = Some(meta.retired :+ physicalOf(field))) { head =>
+      retiredOverride = Some(meta.retired :+ physicalOf(field)),
+      clustering = h =>
+        h.flatMap(_.clustering).filterNot(_.col == physicalOf(field))) { head =>
       val h = head.getOrElse(sys.error("drop base vanished"))
       (shardRefsOf(spark, root, h), remaining.json)
     }
@@ -610,7 +710,8 @@ object Snapshots {
       root: String,
       statsCols: Seq[String],
       toPhys: Map[String, String] = Map.empty,
-      bloomCols: Seq[String] = Seq.empty): (Seq[String], Seq[ColStats], Seq[FileRows], Seq[FileBloom]) = {
+      bloomCols: Seq[String] = Seq.empty,
+      cluster: Option[Clustering] = None): (Seq[String], Seq[ColStats], Seq[FileRows], Seq[FileBloom]) = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
@@ -644,7 +745,15 @@ object Snapshots {
       else dfC.select(df.columns.toSeq.map(c =>
         org.apache.spark.sql.functions.col(c).as(toPhys.getOrElse(c, c))): _*)
     val statsP = statsCols.map(c => toPhys.getOrElse(c, c))
-    dfP.write.parquet(dataDir)
+    // hash-clustered write: one shuffle partition per bucket, so the
+    // writer's `part-NNNNN` file index IS the bucket id (the explicit
+    // partition count pins the shuffle — AQE never coalesces a
+    // REPARTITION_BY_NUM, which is what keeps index == pmod(hash(col), n)).
+    // Bucket purity then holds per FILE, the invariant the manifest's
+    // Clustering spec asserts and storage-partitioned joins rely on.
+    val dfW = cluster.fold(dfP)(c =>
+      dfP.repartition(c.buckets, org.apache.spark.sql.functions.col(c.col)))
+    dfW.write.parquet(dataDir)
     obs.foreach { o =>
       val got = o.get
       val bad = rules.filter(r => got.get(r.name).exists(_.asInstanceOf[Long] > 0L))
@@ -1121,12 +1230,18 @@ object Snapshots {
     * amortizes to O(table metadata / 64) per commit. */
   private[graft] val AutoCompactShardRefs = 64
 
+  /** `clustering` decides the published manifest's hash-clustering spec
+    * FROM the head's (None in, None out for most commits): the default
+    * DROPS it — conservative-correct, since only a path that provably
+    * keeps every file bucket-pure (DV-only deletes, metadata-only commits,
+    * a clustered append onto a same-spec head) may carry it forward. */
   private[engine] def publishMeta(
       spark: SparkSession,
       root: String,
       tag: String,
       requireHead: Long = -1L,
-      retiredOverride: Option[Seq[String]] = None)(
+      retiredOverride: Option[Seq[String]] = None,
+      clustering: Option[ManifestMeta] => Option[Clustering] = _ => None)(
       build: Option[ManifestMeta] => (Seq[ShardRef], String)): Long = {
     var attempt = 0
     while (true) {
@@ -1145,7 +1260,8 @@ object Snapshots {
       val retired = retiredOverride.getOrElse(
         headMeta.map(_.retired).getOrElse(Seq.empty))
       val m = ManifestMeta(head + 1, head, refs, tag,
-        ts = System.currentTimeMillis(), schema = schema, retired = retired)
+        ts = System.currentTimeMillis(), schema = schema, retired = retired,
+        clustering = clustering(headMeta))
       if (tryWriteManifest(spark, root, m)) {
         // default-on metadata upkeep: once the ref list outgrows the
         // threshold, consolidate to ONE shard. The compaction commit itself
@@ -1897,7 +2013,12 @@ object Snapshots {
         Seq(writeShard(spark, root, written, newStats, newRows, newBlooms))
       }
     val carried = rewriteShards(spark, root, shards, cowFiles.toSet, dvUpdates)
-    publishMeta(spark, root, tag = "", requireHead = headV) { head =>
+    // a PURE deletion-vector delete never moves a row between files, so
+    // bucket purity — and the clustering spec — survives; any copy-on-write
+    // rewrite produces files with no recorded bucket, so the spec drops
+    publishMeta(spark, root, tag = "", requireHead = headV,
+      clustering = h =>
+        if (cowFiles.isEmpty) h.flatMap(_.clustering) else None) { head =>
       val h = head.getOrElse(sys.error("delete base vanished"))
       (carried ++ newRefs, h.schema)
     }
@@ -2936,7 +3057,10 @@ object Snapshots {
             "(optimize:) commit with no non-maintenance ancestor — the " +
             "chain violates the OptimizeTag invariant"))
       }
-    publishMeta(spark, root, tag = contentTag) { _ => (refs, target.schema) }
+    // the restored state IS the target's file set — its clustering comes
+    // back with it (DV state included: refs are the target's shards)
+    publishMeta(spark, root, tag = contentTag,
+      clustering = _ => target.clustering) { _ => (refs, target.schema) }
   }
 
   /** Rewrite the head snapshot into `targetFiles` files and commit the
@@ -2977,13 +3101,45 @@ object Snapshots {
       m: Manifest,
       rewritten: DataFrame,
       statsCols: Seq[String],
-      bloomCols: Seq[String]): Long = {
+      bloomCols: Seq[String],
+      cluster: Option[Clustering] = None): Long = {
     val toPhys = parseSchema(m).map(logicalToPhysical).getOrElse(Map.empty)
     val (written, newStats, newRows, newBlooms) =
-      writeBatch(rewritten, root, statsCols, toPhys, bloomCols)
+      writeBatch(rewritten, root, statsCols, toPhys, bloomCols, cluster)
     val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
     testPrePublishHook()
-    publishRewriteOutput(spark, root, headV, m, m.files.toSet, newRef)
+    publishRewriteOutput(spark, root, headV, m, m.files.toSet, newRef, cluster)
+  }
+
+  /** BUCKET-PRESERVING compaction — the maintenance step for
+    * hash-clustered tables ([[Clustering]]): every clustered append adds
+    * up to `buckets` new files, so a streamed-into clustered table
+    * accumulates small files per bucket; plain [[compact]] would merge
+    * them but DROP the clustering spec (its layout proves nothing about
+    * buckets), killing storage-partitioned joins until a full re-clustered
+    * overwrite. This rewrites all live rows back through the SAME
+    * clustered-write path — one output file per bucket, deletion vectors
+    * materialized as a side effect — and republishes the spec, under the
+    * usual row-preserving OPTIMIZE contract (racing commits rebase or
+    * refuse exactly like [[compact]]; a racing spec-dropping commit makes
+    * the republished spec drop too, never mislabel). */
+  def compactClustered(
+      spark: SparkSession,
+      root: String,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Long = {
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet")
+    val meta = manifestMeta(spark, root, headV)
+    val c = meta.clustering.getOrElse(sys.error(
+      s"$root head carries no clustering spec — use compact/compactZOrder, " +
+        "or re-cluster with commit(clusterBy)"))
+    val m = resolve(meta, loadShards(spark, root, meta))
+    if (m.files.isEmpty) return headV
+    // already one file per bucket and vector-free: true no-op
+    if (m.files.size <= c.buckets && m.dvs.isEmpty) return headV
+    rewriteAll(spark, root, headV, m, readFiles(spark, m, m.files),
+      statsCols, bloomCols, cluster = Some(c))
   }
 
   /** PREDICATE-SCOPED compaction — OPTIMIZE WHERE: rewrite into
@@ -3060,7 +3216,8 @@ object Snapshots {
       headV: Long,
       m: Manifest,
       selected: Set[String],
-      newRef: ShardRef): Long = {
+      newRef: ShardRef,
+      cluster: Option[Clustering] = None): Long = {
     var baseV = headV
     var rebases = 0
     while (true) {
@@ -3068,7 +3225,12 @@ object Snapshots {
       val carried = carryUntouched(spark, root, baseShards, selected)
       try {
         return publishMeta(spark, root, tag = freshOptimizeTag(),
-          requireHead = baseV) { head =>
+          requireHead = baseV,
+          // a clustered rewrite republishes the spec ONLY while the head
+          // still carries it: a rebased-over interim commit that dropped
+          // the spec added bucket-impure files this rewrite never touched
+          clustering = h =>
+            cluster.filter(c => h.flatMap(_.clustering).contains(c))) { head =>
           val h = head.getOrElse(sys.error("rewrite base vanished"))
           (carried :+ newRef, h.schema)
         }
@@ -3217,7 +3379,9 @@ object Snapshots {
     // one-time footer backfill here (consolidation already touches all
     // metadata — the natural upgrade point)
     val one = writeShard(spark, root, m.files, m.stats, m.rows, m.blooms, m.dvs)
-    publishMeta(spark, root, tag = "", requireHead = headV) { _ =>
+    // metadata-only consolidation: same files, clustering carries
+    publishMeta(spark, root, tag = "", requireHead = headV,
+      clustering = h => h.flatMap(_.clustering)) { _ =>
       (Seq(one), meta.schema)
     }
   }
@@ -3343,7 +3507,10 @@ object Snapshots {
     val retired =
       if (m.retired.isEmpty) ""
       else s""","retired":${m.retired.map(graft.JsonStr(_)).mkString("[", ",", "]")}"""
-    s"""{"version":${m.version},"parent":${m.parent},"ts":${m.ts},"tag":${graft.JsonStr(m.tag)},"schema":${graft.JsonStr(m.schema)},"shards":$shards$retired}"""
+    // optional like retired: unclustered manifests stay byte-compatible
+    val clustering = m.clustering.fold("")(c =>
+      s""","clustering":{"col":${graft.JsonStr(c.col)},"buckets":${c.buckets}}""")
+    s"""{"version":${m.version},"parent":${m.parent},"ts":${m.ts},"tag":${graft.JsonStr(m.tag)},"schema":${graft.JsonStr(m.schema)},"shards":$shards$retired$clustering}"""
   }
 
   private def parseFilesArray(text: String, what: String): Seq[String] = {
@@ -3425,6 +3592,11 @@ object Snapshots {
       .map(m => """"([^"\\]*(?:\\.[^"\\]*)*)"""".r.findAllMatchIn(m.group(1))
         .map(g => unescape(g.group(1))).toSeq)
       .getOrElse(Seq.empty)
+    // optional: pre-clustering manifests read as None (unclustered)
+    val clustering =
+      """"clustering":\{"col":"([^"\\]*(?:\\.[^"\\]*)*)","buckets":(\d+)\}""".r
+        .findFirstMatchIn(text)
+        .map(g => Clustering(unescape(g.group(1)), g.group(2).toInt))
     val shardsField = """"shards":\[(.*?)\]""".r.findFirstMatchIn(text).map(_.group(1))
     shardsField match {
       case Some(body) =>
@@ -3432,11 +3604,12 @@ object Snapshots {
           .findAllMatchIn(body)
           .map(g => ShardRef(unescape(g.group(1)), g.group(2).toLong)).toSeq
         ManifestMeta(longField("version"), longField("parent"), refs, tag, ts, schema,
-          retired = retired)
+          retired = retired, clustering = clustering)
       case None => // legacy inline manifest
         ManifestMeta(longField("version"), longField("parent"), Seq.empty, tag, ts, schema,
           retired = retired,
-          inline = Some((parseFilesArray(text, "manifest"), parseStatsArray(text))))
+          inline = Some((parseFilesArray(text, "manifest"), parseStatsArray(text))),
+          clustering = clustering)
     }
   }
 

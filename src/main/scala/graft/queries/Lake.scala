@@ -1542,5 +1542,64 @@ object Lake {
           graft.engine.Det.dsum(col("l_quantity")).as("sum_qty"))
         .orderBy("l_linestatus")
     },
+
+    // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
+    //            hash-clustered on their join keys (same bucket count),
+    //            read through the graft SnapshotCatalog, joined with ZERO
+    //            shuffle on either side (required in-plan: a sort-merge /
+    //            shuffled-hash join with no Exchange anywhere), and the
+    //            join result hash-compared against DuckDB's plain join.
+    //            The 100 TB point: bucketing pays the exchange once at
+    //            write; every repeated fact⋈fact join after that skips
+    //            BOTH sides' shuffles. ----
+    OracleQuery(
+      "q123_clustered_spj",
+      s"""SELECT o_orderpriority, count(*) AS n,
+        |  ${graft.engine.Det.sql.dsum("l_quantity")} AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val liRoot = s"$lakeBase/lineitem_spj"
+      val ordRoot = s"$lakeBase/orders_spj"
+      val fsys = new Path(liRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(liRoot), true)
+      fsys.delete(new Path(ordRoot), true)
+      Snapshots.commit(
+        Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        liRoot, clusterBy = Some(("l_orderkey", 16)))
+      Snapshots.commit(
+        Tables(spark, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+        ordRoot, clusterBy = Some(("o_orderkey", 16)))
+      spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+      val prev = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+        .map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val li = spark.table(s"graft.`$liRoot`")
+        val ord = spark.table(s"graft.`$ordRoot`")
+          .filter(col("o_orderstatus") === "F")
+        val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        val p = joined.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        require(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"expected a non-broadcast join:\n$p")
+        require(!p.contains("Exchange"),
+          s"co-clustered snapshot join must plan with zero exchanges:\n$p")
+        // materialize INSIDE the pinned-conf scope: the driver hashes the
+        // frame lazily, so the result must not depend on restored confs
+        joined.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            graft.engine.Det.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderpriority")
+          .localCheckpoint(true)
+      } finally prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    },
   )
 }

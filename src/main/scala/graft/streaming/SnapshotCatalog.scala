@@ -1,0 +1,159 @@
+package graft.streaming
+
+import java.util.{Map => JMap}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.engine.Snapshots
+
+/** Path-addressed CATALOG over snapshot tables — the piece that turns the
+  * engine's hash-clustered layout ([[Snapshots.Clustering]]) into Spark
+  * STORAGE-PARTITIONED JOINS.
+  *
+  * Register once per session:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft",
+  *     "graft.streaming.SnapshotCatalog")
+  *   spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+  * }}}
+  * then address any snapshot table by its root path, backtick-quoted as
+  * one identifier part: `spark.table("graft.`/lake/facts`")` (SQL:
+  * ``SELECT ... FROM graft.`/lake/facts` ``).
+  *
+  * Why a catalog at all, when `spark.read.format(...).load()` already
+  * reads these tables: Spark resolves a scan's reported
+  * `KeyGroupedPartitioning(bucket(n, col))` ONLY for relations whose
+  * catalog also implements [[FunctionCatalog]] and serves the `bucket`
+  * function — a bare path-based relation has no function catalog, so its
+  * reported partitioning is discarded and every join shuffles. Through
+  * this catalog, two tables clustered on their join keys with the same
+  * bucket count plan a sort-merge join with ZERO ShuffleExchange on
+  * either side — at 100 TB the exchange IS the query cost, and this
+  * removes it for every repeated join on the clustered key.
+  *
+  * The served `bucket` function reproduces the writer's mapping exactly:
+  * `pmod(murmur3(key, seed=42), n)` — the same `HashPartitioning`
+  * arithmetic `df.repartition(n, col)` used when [[Snapshots.commit]]
+  * laid the files out (`clusterBy`). The agreement is pinned by spec
+  * against Spark's own `hash()` SQL function; it is what makes Spark's
+  * one-side-shuffle fallback (`spark.sql.sources.v2.bucketing.shuffle
+  * .enabled`) route rows to the correct storage bucket. */
+class SnapshotCatalog extends TableCatalog with FunctionCatalog {
+
+  private var catalogName: String = "graft"
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+
+  override def name(): String = catalogName
+
+  /** The table root is the identifier itself. One backticked part is the
+    * normal form; dotted forms reassemble (a.b.c → "a.b.c") so an
+    * unquoted dotted path still resolves. */
+  private def rootOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  override def loadTable(ident: Identifier): Table = {
+    val root = rootOf(ident)
+    if (Snapshots.headVersion(SparkSession.active, root) == 0)
+      throw new NoSuchTableException(ident)
+    new SnapshotStreamTable(
+      SnapshotSource.surfacedSchema(root), Map("root" -> root))
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    try Snapshots.headVersion(SparkSession.active, rootOf(ident)) > 0
+    catch { case scala.util.control.NonFatal(_) => false }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    Array.empty // tables are paths; there is no enumerable namespace
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "alter snapshot tables through the graft.engine.Snapshots API " +
+        "(renameColumn / dropColumn / Checks)")
+
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException(
+      "drop snapshot tables by deleting the table directory (their data is " +
+        "path-addressed; this catalog never deletes data)")
+
+  override def renameTable(old: Identifier, nw: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      "snapshot tables are path-addressed — move the directory instead")
+
+  // ---- FunctionCatalog: exactly one function, the clustering transform ----
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) GraftBucketFunction
+    else throw new NoSuchFunctionException(ident)
+}
+
+/** The `bucket(numBuckets, col)` v2 function backing
+  * [[SnapshotCatalog]]'s reported table partitioning. Binding validates
+  * the key type against [[Snapshots.ClusterableTypes]] — the same gate
+  * `commit(clusterBy)` enforces, so a spec the writer produced always
+  * binds. */
+object GraftBucketFunction extends UnboundFunction {
+
+  override def name(): String = "bucket"
+  override def description(): String =
+    "bucket(n, col): pmod(murmur3(col, 42), n) — the graft snapshot " +
+      "clustered-write bucket id"
+
+  override def bind(inputType: StructType): BoundFunction = {
+    require(inputType.fields.length == 2,
+      s"bucket takes (numBuckets INT, key), got $inputType")
+    val keyType = inputType.fields(1).dataType
+    require(Snapshots.ClusterableTypes.contains(keyType),
+      s"bucket key type $keyType is not hash-clusterable " +
+        s"(supported: ${Snapshots.ClusterableTypes.mkString(", ")})")
+    GraftBucketBound(keyType)
+  }
+}
+
+/** Bound form: MUST reproduce the writer's `HashPartitioning` bucket id —
+  * `pmod(Murmur3Hash(seed=42)(key), n)` per key type, null hashing to the
+  * bare seed, exactly Catalyst's interpreted hash semantics. A divergence
+  * here would let the one-side-shuffle SPJ fallback route rows to the
+  * wrong storage bucket and silently drop join matches; the agreement is
+  * spec-pinned against `functions.hash` + `pmod`. */
+case class GraftBucketBound(keyType: DataType) extends ScalarFunction[Integer] {
+
+  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def resultType(): DataType = IntegerType
+  override def name(): String = "bucket"
+  override def canonicalName(): String = "graft.bucket"
+  override def isResultNullable: Boolean = false
+
+  override def produceResult(input: InternalRow): Integer = {
+    val n = input.getInt(0)
+    val seed = 42
+    val h: Int =
+      if (input.isNullAt(1)) seed // Murmur3Hash of a null child is the seed
+      else keyType match {
+        case IntegerType | DateType =>
+          Murmur3_x86_32.hashInt(input.getInt(1), seed)
+        case LongType | TimestampType | TimestampNTZType =>
+          Murmur3_x86_32.hashLong(input.getLong(1), seed)
+        case StringType =>
+          val s: UTF8String = input.getUTF8String(1)
+          Murmur3_x86_32.hashUnsafeBytes(
+            s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
+        case t => sys.error(s"unreachable: unclusterable key type $t")
+      }
+    val m = h % n
+    if (m < 0) m + n else m
+  }
+}

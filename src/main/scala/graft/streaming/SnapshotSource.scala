@@ -10,7 +10,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
 import org.apache.spark.sql.sources.Filter
@@ -145,6 +147,16 @@ private[streaming] class SnapshotStreamTable(
 
   override def name(): String = s"graft-snapshot(${properties.getOrElse("root", "?")})"
   override def schema(): StructType = tableSchema
+
+  /** Hash-clustered tables advertise their layout as a bucket transform
+    * (metadata surface; the JOIN machinery keys off the SCAN's reported
+    * KeyGroupedPartitioning, which SnapshotScan derives per version). */
+  override def partitioning(): Array[Transform] =
+    properties.get("root")
+      .flatMap(r => Snapshots.clusteringAt(SparkSession.active, r,
+        Snapshots.headVersion(SparkSession.active, r)))
+      .map(c => Array[Transform](Expressions.bucket(c.buckets, c.col)))
+      .getOrElse(Array.empty)
   // ACCEPT_ANY_SCHEMA: the engine's commit owns schema semantics (additive
   // merge on append, fresh schema on overwrite, column-mapping renames) —
   // Spark's by-name validation against the head schema would REJECT the
@@ -155,10 +167,17 @@ private[streaming] class SnapshotStreamTable(
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
-    val root = SnapshotSource.rootOf(options)
+    // a catalog-loaded table ships its root in the TABLE properties; a
+    // format-string read ships it in the per-read options (which also win
+    // for per-read settings like version/startingVersion)
+    val opts =
+      if (options.containsKey("root")) options
+      else new CaseInsensitiveStringMap((properties ++
+        options.asScala).asJava)
+    val root = SnapshotSource.rootOf(opts)
     require(Snapshots.headVersion(SparkSession.active, root) > 0,
       s"no snapshot committed at $root yet — nothing to read or stream")
-    new SnapshotScanBuilder(tableSchema, root, options)
+    new SnapshotScanBuilder(tableSchema, root, opts)
   }
 
   override def newWriteBuilder(
@@ -208,11 +227,19 @@ private[streaming] class SnapshotWriteBuilder(
             def cols(k: String): Seq[String] =
               Option(options.get(k)).toSeq
                 .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            // hash-clustered layout from the writer API:
+            // .option("clusterBy", "key").option("clusterBuckets", "32")
+            val clusterBy = Option(options.get("clusterBy")).map { c =>
+              val n = Option(options.get("clusterBuckets")).getOrElse(sys.error(
+                "clusterBy write option needs clusterBuckets (the bucket count)"))
+              (c, n.toInt)
+            }
             Snapshots.commit(data, root,
               append = !overwrite,
               statsCols = cols("statsCols"),
               tag = options.getOrDefault("tag", ""),
-              bloomCols = cols("bloomCols"))
+              bloomCols = cols("bloomCols"),
+              clusterBy = clusterBy)
           }
         }
     }
@@ -341,6 +368,7 @@ private[streaming] class SnapshotScan(
     pushed: Array[Filter] = Array.empty,
     version: Option[Long] = None)
   extends Scan with Batch with SupportsReportStatistics
+  with SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
@@ -409,6 +437,42 @@ private[streaming] class SnapshotScan(
 
   override def toBatch: Batch = this
 
+  // ---- storage-partitioned joins (SupportsReportPartitioning): a table
+  // the engine hash-clustered at write time (commit's clusterBy — see
+  // Snapshots.Clustering) reports KeyGroupedPartitioning over
+  // bucket(n, col), and each planned partition carries its file's bucket
+  // id as the partition key. Loaded through SnapshotCatalog (which serves
+  // the bucket function), two tables clustered on their join keys with
+  // the same bucket count then join with ZERO shuffle on either side.
+
+  /** The manifest's clustering spec, validated against the kept files:
+    * Some only when every surviving file's name recovers a bucket id
+    * below the spec's count (write-invariant recovery; anything else —
+    * adopted files, foreign names — degrades to unclustered, never to a
+    * wrong partition key). */
+  private lazy val clustered: Option[Snapshots.Clustering] = {
+    val (m, kept) = resolved
+    m.clustering.filter { c =>
+      kept.forall(u =>
+        Snapshots.bucketOfFile(new Path(u).getName).exists(_ < c.buckets))
+    }
+  }
+
+  override def outputPartitioning(): Partitioning = {
+    // a micro-batch's input is a commit diff, not the head layout; and an
+    // unclustered (or unverifiable) table has no grouping to report
+    if (streamingUse) return new UnknownPartitioning(0)
+    clustered match {
+      case Some(c) =>
+        val (_, kept) = resolved
+        val distinct = kept.flatMap(u =>
+          Snapshots.bucketOfFile(new Path(u).getName)).distinct.size
+        new KeyGroupedPartitioning(
+          Array(Expressions.bucket(c.buckets, c.col)), distinct)
+      case None => new UnknownPartitioning(0)
+    }
+  }
+
   override def planInputPartitions(): Array[InputPartition] = {
     val (m, kept) = resolved
     val finalKept =
@@ -417,7 +481,8 @@ private[streaming] class SnapshotScan(
         graft.engine.FilterPrune.prune(m, fullSchema, runtimeFilters.toSeq)
           .toSet).toSeq
     val dvByName = m.dvs.map(d => d.file -> d.b64).toMap
-    SnapshotFilePartition.planned(finalKept, dvByName, spark)
+    SnapshotFilePartition.planned(finalKept, dvByName, spark,
+      clustered = clustered.isDefined)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -738,7 +803,17 @@ private[streaming] case class SnapshotFilePartition(
     dvB64: Option[String],
     columnar: Boolean,
     start: Long = 0L,
-    length: Long = -1L) extends InputPartition
+    length: Long = -1L,
+    bucket: Int = -1) extends InputPartition with HasPartitionKey {
+
+  /** The file's clustering bucket id, as the storage-partitioned-join
+    * grouping key. Read only when the scan reported
+    * KeyGroupedPartitioning, which it does only after every planned file
+    * recovered a bucket — so -1 never reaches Spark. */
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
 
 private[streaming] object SnapshotFilePartition {
   /** Plan partitions for the files of one batch.
@@ -761,13 +836,22 @@ private[streaming] object SnapshotFilePartition {
   def planned(
       files: Seq[String],
       dvByName: Map[String, String],
-      spark: SparkSession): Array[InputPartition] = {
+      spark: SparkSession,
+      clustered: Boolean = false): Array[InputPartition] = {
     val withDv = files.sorted.map(uri => uri -> dvByName.get(new Path(uri).getName))
     val allFree = withDv.forall(_._2.isEmpty)
+    // under a reported KeyGroupedPartitioning every partition carries its
+    // file's bucket id (validated recoverable by the scan); byte-ranges of
+    // one file share its bucket — Spark's partition grouping reassembles
+    // same-key splits into one join task
+    def bucketOf(uri: String): Int =
+      if (!clustered) -1
+      else Snapshots.bucketOfFile(new Path(uri).getName).getOrElse(-1)
     val fewFiles = withDv.size < spark.sparkContext.defaultParallelism * 4
     if (!fewFiles)
       return withDv.map { case (uri, dv) =>
-        SnapshotFilePartition(uri, dv, columnar = allFree): InputPartition
+        SnapshotFilePartition(uri, dv, columnar = allFree,
+          bucket = bucketOf(uri)): InputPartition
       }.toArray
     val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
@@ -776,11 +860,13 @@ private[streaming] object SnapshotFilePartition {
     withDv.flatMap { case (uri, dv) =>
       val len = if (dv.isEmpty) fs.getFileStatus(new Path(uri)).getLen else -1L
       if (dv.isDefined || len <= maxBytes)
-        Seq(SnapshotFilePartition(uri, dv, columnar = allFree))
+        Seq(SnapshotFilePartition(uri, dv, columnar = allFree,
+          bucket = bucketOf(uri)))
       else
         (0L until len by maxBytes).map(off =>
           SnapshotFilePartition(uri, None, columnar = allFree,
-            start = off, length = math.min(maxBytes, len - off)))
+            start = off, length = math.min(maxBytes, len - off),
+            bucket = bucketOf(uri)))
     }.map(p => p: InputPartition).toArray
   }
 }

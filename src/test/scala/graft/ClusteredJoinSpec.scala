@@ -1,0 +1,272 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.Snapshots
+import graft.streaming.GraftBucketBound
+
+/** Storage-partitioned joins over hash-clustered snapshot tables:
+  * `commit(clusterBy)` lays files out one-per-bucket, the DSv2 scan
+  * reports `KeyGroupedPartitioning(bucket(n, col))` through
+  * [[graft.streaming.SnapshotCatalog]], and a join of two co-clustered
+  * tables plans with ZERO shuffle on either side. */
+class ClusteredJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    "file:" + Files.createTempDirectory("clustered").toString + "/t"
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  private def withSpj[A](body: => A): A = {
+    spark.conf.set("spark.sql.catalog.graft",
+      "graft.streaming.SnapshotCatalog")
+    val prev = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // pin the non-broadcast path: the 100 TB regime SPJ exists for
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      body
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+    }
+  }
+
+  private def catalogRead(root: String): DataFrame =
+    spark.table(s"graft.`$root`")
+
+  test("the bucket catalog function reproduces the writer's HashPartitioning mapping") {
+    val n = 16
+    // Spark's own pmod(hash(col), n) IS the writer-side mapping
+    // (HashPartitioning.partitionIdExpression); the v2 function must agree
+    def sparkSide(df: DataFrame): Seq[Int] =
+      df.select(pmod(hash(col("k")), lit(n)).cast("int")).as[Int].collect().toSeq
+    val longs = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue)
+    val gotL = longs.map { v =>
+      GraftBucketBound(LongType).produceResult(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n, v))).intValue
+    }
+    assert(gotL === sparkSide(longs.toDF("k")))
+    val ints = Seq(0, 7, -3, Int.MaxValue, Int.MinValue)
+    val gotI = ints.map { v =>
+      GraftBucketBound(IntegerType).produceResult(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n, v))).intValue
+    }
+    assert(gotI === sparkSide(ints.toDF("k")))
+    val strs = Seq("", "a", "doc-123", "ü-multibyte", "a" * 100)
+    val gotS = strs.map { v =>
+      GraftBucketBound(StringType).produceResult(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n, org.apache.spark.unsafe.types.UTF8String.fromString(v))))
+        .intValue
+    }
+    assert(gotS === sparkSide(strs.toDF("k")))
+    // null key: Murmur3Hash of a null child is the seed
+    val gotNull = GraftBucketBound(LongType).produceResult(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, null))).intValue
+    val sparkNull = spark.sql(s"SELECT CAST(pmod(hash(CAST(NULL AS BIGINT)), $n) AS INT)")
+      .as[Int].head()
+    assert(gotNull === sparkNull)
+  }
+
+  test("clusterBy commit records the spec and lays files out bucket-pure") {
+    val root = tmp()
+    val df = (1L to 4000L).map(i => (i, s"v$i")).toDF("k", "v")
+    Snapshots.commit(df, root, clusterBy = Some(("k", 8)))
+    val m = Snapshots.manifest(spark, root, 1L)
+    assert(m.clustering === Some(Snapshots.Clustering("k", 8)))
+    assert(m.files.nonEmpty && m.files.size <= 8)
+    // every file holds ONLY rows of its named bucket
+    m.files.foreach { f =>
+      val b = Snapshots.bucketOfFile(new org.apache.hadoop.fs.Path(f).getName).get
+      val distinct = spark.read.parquet(f)
+        .select(pmod(hash(col("k")), lit(8)).cast("int")).distinct()
+        .as[Int].collect().toSeq
+      assert(distinct === Seq(b), s"file $f mixes buckets $distinct")
+    }
+  }
+
+  test("co-clustered snapshot tables join with zero exchanges; rows exact") {
+    withSpj {
+      val lRoot = tmp()
+      val rRoot = tmp()
+      val left = (1L to 5000L).map(i => (i, i * 2)).toDF("k", "a")
+      val right = (2500L to 7500L).map(i => (i, i % 97)).toDF("k2", "b")
+      Snapshots.commit(left, lRoot, clusterBy = Some(("k", 8)))
+      Snapshots.commit(right, rRoot, clusterBy = Some(("k2", 8)))
+      val l = catalogRead(lRoot)
+      val r = catalogRead(rRoot)
+      val joined = l.join(r, l("k") === r("k2"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"co-clustered snapshot join must not shuffle either side:\n$p")
+      val got = joined.agg(count(lit(1)), sum($"a" + $"b")).as[(Long, Long)].first()
+      val exp = left.join(right, $"k" === $"k2")
+        .agg(count(lit(1)), sum($"a" + $"b")).as[(Long, Long)].first()
+      assert(got === exp)
+    }
+  }
+
+  test("mismatched bucket counts fall back to a shuffled join, rows exact") {
+    withSpj {
+      val lRoot = tmp()
+      val rRoot = tmp()
+      val left = (1L to 2000L).map(i => (i, i)).toDF("k", "a")
+      val right = (1L to 2000L).map(i => (i, i)).toDF("k2", "b")
+      Snapshots.commit(left, lRoot, clusterBy = Some(("k", 8)))
+      Snapshots.commit(right, rRoot, clusterBy = Some(("k2", 4)))
+      val l = catalogRead(lRoot)
+      val r = catalogRead(rRoot)
+      val joined = l.join(r, l("k") === r("k2"))
+      assert(plan(joined).contains("Exchange"),
+        "incompatible bucket counts cannot storage-partition the join")
+      assert(joined.count() === 2000L)
+    }
+  }
+
+  test("a DV delete preserves clustering; the join stays exchange-free and DV-exact") {
+    withSpj {
+      val lRoot = tmp()
+      val rRoot = tmp()
+      val left = (1L to 4000L).map(i => (i, i)).toDF("k", "a")
+      val right = (1L to 4000L).map(i => (i, i)).toDF("k2", "b")
+      Snapshots.commit(left, lRoot, clusterBy = Some(("k", 8)),
+        statsCols = Seq("k"))
+      Snapshots.commit(right, rRoot, clusterBy = Some(("k2", 8)))
+      Snapshots.deleteWhere(spark, lRoot, col("k") <= 1000L)
+      val head = Snapshots.headVersion(spark, lRoot)
+      val m = Snapshots.manifest(spark, lRoot, head)
+      assert(m.dvs.nonEmpty, "the delete must land as vectors")
+      assert(m.clustering === Some(Snapshots.Clustering("k", 8)),
+        "a pure-DV delete must not drop the clustering spec")
+      val joined = catalogRead(lRoot).join(catalogRead(rRoot),
+        col("k") === col("k2"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange"), s"DV'd clustered join must stay SPJ:\n$p")
+      assert(joined.count() === 3000L)
+    }
+  }
+
+  test("rewrites drop the spec (compact); metadata-only commits carry it (rename)") {
+    val root = tmp()
+    Snapshots.commit((1L to 2000L).map(i => (i, i)).toDF("k", "v"), root,
+      clusterBy = Some(("k", 4)))
+    Snapshots.renameColumn(spark, root, "k", "key")
+    val afterRename = Snapshots.clusteringAt(spark, root,
+      Snapshots.headVersion(spark, root))
+    assert(afterRename === Some(Snapshots.Clustering("key", 4)),
+      "rename must carry the spec, relabeled to the new logical name")
+    Snapshots.compact(spark, root, targetFiles = 2)
+    assert(Snapshots.clusteringAt(spark, root,
+      Snapshots.headVersion(spark, root)).isEmpty,
+      "a layout rewrite cannot prove bucket purity — the spec must drop")
+  }
+
+  test("a clustered append needs the head's spec; same-spec append keeps SPJ working") {
+    withSpj {
+      val root = tmp()
+      val rRoot = tmp()
+      Snapshots.commit((1L to 1000L).map(i => (i, i)).toDF("k", "a"), root,
+        clusterBy = Some(("k", 8)))
+      Snapshots.commit((1001L to 2000L).map(i => (i, i)).toDF("k", "a"), root,
+        append = true, clusterBy = Some(("k", 8)))
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.commit((1L to 10L).map(i => (i, i)).toDF("k", "a"), root,
+          append = true, clusterBy = Some(("k", 4)))
+      }
+      assert(e.getMessage.contains("clustering"))
+      // an UNclustered append drops the spec — conservative-correct
+      val dropRoot = tmp()
+      Snapshots.commit((1L to 100L).map(i => (i, i)).toDF("k", "a"), dropRoot,
+        clusterBy = Some(("k", 8)))
+      Snapshots.commit((101L to 200L).map(i => (i, i)).toDF("k", "a"), dropRoot,
+        append = true)
+      assert(Snapshots.clusteringAt(spark, dropRoot, 2L).isEmpty)
+      // the two-commit clustered table still joins exchange-free
+      Snapshots.commit((1L to 2000L).map(i => (i, i)).toDF("k2", "b"), rRoot,
+        clusterBy = Some(("k2", 8)))
+      val joined = catalogRead(root).join(catalogRead(rRoot),
+        col("k") === col("k2"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange"),
+        s"multi-commit clustered join must stay SPJ:\n$p")
+      assert(joined.count() === 2000L)
+    }
+  }
+
+  test("compactClustered merges per-bucket small files, keeps the spec and SPJ") {
+    withSpj {
+      val root = tmp()
+      val rRoot = tmp()
+      Snapshots.commit((1L to 1000L).map(i => (i, i)).toDF("k", "a"), root,
+        clusterBy = Some(("k", 4)), statsCols = Seq("k"))
+      Snapshots.commit((1001L to 2000L).map(i => (i, i)).toDF("k", "a"), root,
+        append = true, clusterBy = Some(("k", 4)), statsCols = Seq("k"))
+      Snapshots.commit((2001L to 3000L).map(i => (i, i)).toDF("k", "a"), root,
+        append = true, clusterBy = Some(("k", 4)), statsCols = Seq("k"))
+      Snapshots.deleteWhere(spark, root, col("k") <= 100L)
+      assert(Snapshots.manifest(spark, root,
+        Snapshots.headVersion(spark, root)).files.size > 4)
+      Snapshots.compactClustered(spark, root, statsCols = Seq("k"))
+      val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+      assert(m.clustering === Some(Snapshots.Clustering("k", 4)),
+        "bucket-preserving compaction must republish the spec")
+      assert(m.files.size <= 4, s"expected ≤4 files, got ${m.files.size}")
+      assert(m.dvs.isEmpty, "compaction must materialize deletion vectors")
+      Snapshots.commit((1L to 3000L).map(i => (i, i)).toDF("k2", "b"), rRoot,
+        clusterBy = Some(("k2", 4)))
+      val joined = catalogRead(root).join(catalogRead(rRoot),
+        col("k") === col("k2"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange"), s"post-compaction join must stay SPJ:\n$p")
+      assert(joined.count() === 2900L)
+    }
+  }
+
+  test("one-side-shuffle SPJ: an unclustered side routes INTO the storage buckets") {
+    withSpj {
+      val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.shuffle.enabled")
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+        val root = tmp()
+        Snapshots.commit((1L to 4000L).map(i => (i, i * 3)).toDF("k", "a"), root,
+          clusterBy = Some(("k", 8)))
+        val other = (2000L to 6000L).map(i => (i, i % 13)).toDF("k2", "b")
+        val joined = catalogRead(root).join(other, col("k") === col("k2"))
+        val p = plan(joined)
+        // at most ONE exchange (the plain side routing into the buckets);
+        // row-exactness is the REAL assertion: Spark shuffles the plain
+        // side through OUR bucket function — a writer/function hash
+        // disagreement would silently drop matches, not error
+        // formatted explain names each node twice (tree + detail): count
+        // the detail headers
+        assert("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1,
+          s"only the unclustered side may shuffle:\n$p")
+        assert(joined.count() === 2001L)
+        val got = joined.agg(sum($"a" + $"b")).as[Long].first()
+        val exp = (1L to 4000L).map(i => (i, i * 3)).toDF("k", "a")
+          .join(other, col("k") === col("k2"))
+          .agg(sum($"a" + $"b")).as[Long].first()
+        assert(got === exp)
+      } finally prev.fold(
+        spark.conf.unset("spark.sql.sources.v2.bucketing.shuffle.enabled"))(
+        spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", _))
+    }
+  }
+}
