@@ -150,8 +150,12 @@ object Snapshots {
     * conservative-correct, a drop can never produce a wrong join — while
     * DV-only deletes and metadata-only commits carry it forward (vectors
     * never move rows between files). `col` is recorded PHYSICAL (rename-
-    * stable, like ColStats); the resolved view relabels it logical. */
-  final case class Clustering(col: String, buckets: Int)
+    * stable, like ColStats); the resolved view relabels it logical.
+    * `sorted` additionally asserts every file's ROWS are ascending on
+    * `col` (nulls first — Spark's asc) — the scan then reports the
+    * ordering too, and a co-clustered sort-merge join drops its SORTS
+    * along with its exchanges. */
+  final case class Clustering(col: String, buckets: Int, sorted: Boolean = false)
 
   private val PartIdxRe = "part-(\\d+)-.*".r
 
@@ -438,7 +442,8 @@ object Snapshots {
       tag: String = "",
       requireHead: Long = -1L,
       bloomCols: Seq[String] = Seq.empty,
-      clusterBy: Option[(String, Int)] = None): Long = {
+      clusterBy: Option[(String, Int)] = None,
+      clusterSorted: Boolean = false): Long = {
     // the optimize: prefix is how rebase validation RECOGNIZES provably
     // row-preserving layout rewrites — only the internal rewrite committer
     // ([[publishRewriteOutput]]) may stamp it; a caller-tagged overwrite
@@ -479,7 +484,7 @@ object Snapshots {
       require(ClusterableTypes.contains(t),
         s"clusterBy column '$c' has type $t — hash clustering supports " +
           ClusterableTypes.mkString(", "))
-      Clustering(toPhys.getOrElse(c, c), n)
+      Clustering(toPhys.getOrElse(c, c), n, sorted = clusterSorted)
     }
     if (append && clusterSpec.isDefined) {
       val headV0 = headVersion(spark, root)
@@ -751,8 +756,12 @@ object Snapshots {
     // REPARTITION_BY_NUM, which is what keeps index == pmod(hash(col), n)).
     // Bucket purity then holds per FILE, the invariant the manifest's
     // Clustering spec asserts and storage-partitioned joins rely on.
-    val dfW = cluster.fold(dfP)(c =>
-      dfP.repartition(c.buckets, org.apache.spark.sql.functions.col(c.col)))
+    // A `sorted` spec additionally sorts rows inside each bucket (asc,
+    // nulls first — what the scan's reported ordering asserts).
+    val dfW = cluster.fold(dfP) { c =>
+      val r = dfP.repartition(c.buckets, org.apache.spark.sql.functions.col(c.col))
+      if (c.sorted) r.sortWithinPartitions(c.col) else r
+    }
     dfW.write.parquet(dataDir)
     obs.foreach { o =>
       val got = o.get
@@ -2985,11 +2994,13 @@ object Snapshots {
       tag: String,
       append: Boolean = true,
       statsCols: Seq[String] = Seq.empty,
-      requireHead: Long = -1L): Option[Long] = {
+      requireHead: Long = -1L,
+      clusterBy: Option[(String, Int)] = None): Option[Long] = {
     require(tag.nonEmpty, "idempotency tag must be non-empty")
     // tag scan at the metadata level — no shard I/O
     if (historyMeta(df.sparkSession, root).exists(_.tag == tag)) None
-    else Some(commit(df, root, append, statsCols, tag, requireHead))
+    else Some(commit(df, root, append, statsCols, tag, requireHead,
+      clusterBy = clusterBy))
   }
 
   /** Roll the table back to `version` — as a NEW commit whose file list is
@@ -3509,7 +3520,8 @@ object Snapshots {
       else s""","retired":${m.retired.map(graft.JsonStr(_)).mkString("[", ",", "]")}"""
     // optional like retired: unclustered manifests stay byte-compatible
     val clustering = m.clustering.fold("")(c =>
-      s""","clustering":{"col":${graft.JsonStr(c.col)},"buckets":${c.buckets}}""")
+      s""","clustering":{"col":${graft.JsonStr(c.col)},"buckets":${c.buckets}""" +
+        (if (c.sorted) ""","sorted":true}""" else "}"))
     s"""{"version":${m.version},"parent":${m.parent},"ts":${m.ts},"tag":${graft.JsonStr(m.tag)},"schema":${graft.JsonStr(m.schema)},"shards":$shards$retired$clustering}"""
   }
 
@@ -3594,9 +3606,10 @@ object Snapshots {
       .getOrElse(Seq.empty)
     // optional: pre-clustering manifests read as None (unclustered)
     val clustering =
-      """"clustering":\{"col":"([^"\\]*(?:\\.[^"\\]*)*)","buckets":(\d+)\}""".r
+      """"clustering":\{"col":"([^"\\]*(?:\\.[^"\\]*)*)","buckets":(\d+)(,"sorted":true)?\}""".r
         .findFirstMatchIn(text)
-        .map(g => Clustering(unescape(g.group(1)), g.group(2).toInt))
+        .map(g => Clustering(unescape(g.group(1)), g.group(2).toInt,
+          sorted = g.group(3) != null))
     val shardsField = """"shards":\[(.*?)\]""".r.findFirstMatchIn(text).map(_.group(1))
     shardsField match {
       case Some(body) =>

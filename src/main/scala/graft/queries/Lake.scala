@@ -1543,6 +1543,49 @@ object Lake {
         .orderBy("l_linestatus")
     },
 
+    // ---- q124: DSv2 MIN/MAX/COUNT PUSHDOWN — an ungrouped aggregate mix
+    //            over a stats-indexed snapshot table answers entirely from
+    //            the MANIFEST (per-file ranges + row counts): the scan
+    //            plans ONE synthetic partition and opens zero data files.
+    //            Only provably-exact answers push: int/date always, long
+    //            within ±2^53; floats (NaN) and timestamps (stats store
+    //            seconds) never. Required in-plan: the pushed-agg scan. ----
+    OracleQuery(
+      "q124_dsv2_minmax_pushdown",
+      """SELECT min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+        |  min(l_linenumber) AS min_ln, max(l_linenumber) AS max_ln,
+        |  CAST(min(CAST(l_shipdate AS DATE)) AS TIMESTAMP) AS min_sd,
+        |  CAST(max(CAST(l_shipdate AS DATE)) AS TIMESTAMP) AS max_sd,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/lineitem_mm"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      Snapshots.commit(
+        Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_shipdate").cast("date").as("l_sdate"))
+          .repartitionByRange(8, col("l_orderkey")),
+        root, statsCols = Seq("l_orderkey", "l_linenumber", "l_sdate"))
+      val agg = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .agg(min(col("l_orderkey")).as("min_ok"), max(col("l_orderkey")).as("max_ok"),
+          min(col("l_linenumber")).as("min_ln"), max(col("l_linenumber")).as("max_ln"),
+          min(col("l_sdate")).cast("timestamp_ntz").as("min_sd"),
+          max(col("l_sdate")).cast("timestamp_ntz").as("max_sd"),
+          count(lit(1)).as("n"))
+      val descs = agg.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          (b.scan.description(), b.inputPartitions.length)
+      }
+      require(descs.exists { case (d, np) =>
+        d.contains("PushedAggregates") && d.contains("MIN(l_orderkey)") &&
+          d.contains("MAX(l_sdate)") && np == 1 },
+        s"expected the manifest min/max scan, got $descs")
+      agg
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO

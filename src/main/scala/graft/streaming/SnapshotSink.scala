@@ -27,25 +27,41 @@ object SnapshotSink {
     *   metadata-only (same files, same stats, one commit) and idempotent
     *   on replay (a single-shard head no-ops), so folding it into the
     *   ingest loop keeps resolution O(1)-ish forever at O(table
-    *   metadata / N) amortized cost. */
+    *   metadata / N) amortized cost.
+    * @param clusterBy hash-cluster every batch commit on (column, buckets)
+    *   ([[Snapshots.Clustering]]): the streamed-into table keeps its
+    *   storage-partitioned-join layout, so downstream joins/aggs on the
+    *   key never shuffle it. Each trigger adds ≤ buckets files per batch;
+    *   pair with `compactClusteredEvery` to fold them back to one per
+    *   bucket WITHOUT dropping the spec (plain compaction would).
+    * @param compactClusteredEvery run [[Snapshots.compactClustered]]
+    *   every N batches (0 = never) — the clustered twin of
+    *   `compactManifestsEvery`, same best-effort semantics: a concurrent
+    *   commit aborts the maintenance, never the query. */
   def start(
       source: DataFrame,
       root: String,
       checkpointDir: String,
       statsCols: Seq[String] = Seq.empty,
-      compactManifestsEvery: Int = 0): StreamingQuery =
+      compactManifestsEvery: Int = 0,
+      clusterBy: Option[(String, Int)] = None,
+      compactClusteredEvery: Int = 0): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
         Snapshots.commitIfAbsent(batch, root, tag = s"batch-$id",
-          append = true, statsCols = statsCols)
+          append = true, statsCols = statsCols, clusterBy = clusterBy)
+        // optional maintenance, best-effort: a concurrent commit between
+        // the maintenance op's head read and its publish throws its
+        // requireHead fence — that must not kill the whole streaming
+        // query; the next eligible trigger retries
         if (compactManifestsEvery > 0 && id % compactManifestsEvery == compactManifestsEvery - 1)
-          // optional maintenance, best-effort: a concurrent commit between
-          // compactManifests' head read and its publish throws its
-          // requireHead fence — that must not kill the whole streaming
-          // query; the next eligible trigger retries
           try Snapshots.compactManifests(batch.sparkSession, root)
+          catch { case scala.util.control.NonFatal(_) => () }
+        if (compactClusteredEvery > 0 && id % compactClusteredEvery == compactClusteredEvery - 1)
+          try Snapshots.compactClustered(batch.sparkSession, root,
+            statsCols = statsCols)
           catch { case scala.util.control.NonFatal(_) => () }
         ()
       }

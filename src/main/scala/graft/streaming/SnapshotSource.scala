@@ -239,7 +239,8 @@ private[streaming] class SnapshotWriteBuilder(
               statsCols = cols("statsCols"),
               tag = options.getOrDefault("tag", ""),
               bloomCols = cols("bloomCols"),
-              clusterBy = clusterBy)
+              clusterBy = clusterBy,
+              clusterSorted = options.getBoolean("clusterSorted", false))
           }
         }
     }
@@ -256,7 +257,7 @@ private[streaming] class SnapshotScanBuilder(
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
-  private var pushedCount: Option[Long] = None
+  private var pushedAgg: Option[(StructType, Array[Any], String)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep full-schema field order/types; the pruner passes a subset
@@ -273,49 +274,117 @@ private[streaming] class SnapshotScanBuilder(
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  // ---- COUNT(*) pushdown: ungrouped count answers from the manifest
-  // alone — per-file recorded row counts minus deletion-vector
-  // cardinalities, zero data I/O (the DSv2 twin of the native count
-  // rewrite, q110). Complete pushdown: the scan emits the ONE final row.
-  // Declined when any head file predates the row-count index, or any
-  // filter was pushed (ours are file-level, never row-exact; Spark also
-  // refuses aggregates over post-scan filters on its own — the guard here
-  // is belt and braces). Streaming never sees this: aggregate pushdown
-  // only runs on batch v2 relations.
+  // ---- AGGREGATE pushdown: an ungrouped COUNT(*) / COUNT(col) /
+  // MIN(col) / MAX(col) mix answers from the manifest alone — per-file
+  // recorded row counts, null counts, and column ranges; zero data I/O
+  // (the DSv2 twin of the native count rewrite, q110, and of
+  // [[Snapshots.statsRange]]). Complete pushdown: the scan emits the ONE
+  // final row. Declined whole (never partially) when ANY requested
+  // aggregate is not provably exact from metadata:
+  //  - any pushed filter (ours are file-level, never row-exact; Spark
+  //    also refuses aggregates over post-scan filters on its own — the
+  //    guard here is belt and braces), or any GROUP BY;
+  //  - a head file predating the row-count / stats index;
+  //  - a live deletion vector, for anything but COUNT(*) (which subtracts
+  //    cardinalities exactly): which rows a vector deleted is unknowable
+  //    from metadata — the extreme row may be gone;
+  //  - MIN/MAX on a type the double-cast stats can't reproduce EXACTLY:
+  //    int/date (always exact), long within ±2^53 (checked per value);
+  //    float/double are excluded for NaN semantics (parquet footer stats
+  //    omit NaN; Spark's MAX ranks NaN above every value), timestamps
+  //    because the index stores seconds (micros/1e6 — rounded).
+  // Streaming never sees this: aggregate pushdown only runs on batch v2
+  // relations.
 
-  private def countOf(
+  private def aggAnswer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[Long] = {
+      : Option[(StructType, Array[Any], String)] = {
+    import org.apache.spark.sql.connector.expressions.NamedReference
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
-    agg.aggregateExpressions match {
-      case Array(_: org.apache.spark.sql.connector.expressions.aggregate.CountStar) =>
-        val spark = SparkSession.active
-        val v = Option(options.get("version")).map(_.toLong)
-          .getOrElse(Snapshots.headVersion(spark, root))
-        if (v <= 0) return None
-        val m = Snapshots.manifest(spark, root, v)
-        val rowsByName = m.rows.map(r => r.file -> r.n).toMap
-        val names = m.files.map(f => new Path(f).getName)
-        if (names.forall(rowsByName.contains))
-          Some(names.map(rowsByName).sum - m.dvs.map(_.deleted).sum)
-        else None
+    val spark = SparkSession.active
+    val v = Option(options.get("version")).map(_.toLong)
+      .getOrElse(Snapshots.headVersion(spark, root))
+    if (v <= 0) return None
+    val m = Snapshots.manifest(spark, root, v)
+    if (m.files.isEmpty) return None // empty-table MIN is null — let Spark plan it
+    val names = m.files.map(f => new Path(f).getName)
+    val rowsByName = m.rows.map(r => r.file -> r.n).toMap
+    val rowsComplete = names.forall(rowsByName.contains)
+    val anyDv = m.dvs.exists(_.deleted > 0)
+    def colOf(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
+        case _ => None
+      }
+    // every live file's recorded stats for c, or None (index incomplete)
+    def statsFor(c: String): Option[Seq[Snapshots.ColStats]] = {
+      val byFile = m.stats.filter(_.col == c).map(s => s.file -> s).toMap
+      if (names.forall(byFile.contains)) Some(names.map(byFile)) else None
+    }
+    // the double-cast stat value converted back to the column's type, iff
+    // provably the exact original value
+    def exact(dt: DataType, d: Double): Option[Any] = dt match {
+      case IntegerType if d.isWhole => Some(d.toInt)
+      case DateType if d.isWhole => Some(d.toInt)
+      case ShortType if d.isWhole => Some(d.toShort)
+      case ByteType if d.isWhole => Some(d.toByte)
+      case LongType if d.isWhole && math.abs(d) < 9007199254740992.0 => // 2^53
+        Some(d.toLong)
       case _ => None
+    }
+    def extremum(e: org.apache.spark.sql.connector.expressions.Expression,
+        isMin: Boolean): Option[(StructField, Any, String)] =
+      for {
+        c <- colOf(e)
+        if !anyDv
+        f <- fullSchema.fields.find(_.name == c)
+        st <- statsFor(c)
+        d = if (isMin) st.map(_.min).min else st.map(_.max).max
+        value <- exact(f.dataType, d)
+        fn = if (isMin) "MIN" else "MAX"
+      } yield (StructField(s"${fn.toLowerCase}($c)", f.dataType, nullable = false),
+        value, s"$fn($c)")
+    val answers: Array[Option[(StructField, Any, String)]] =
+      agg.aggregateExpressions.map {
+        case _: CountStar if rowsComplete =>
+          Some((StructField("count(*)", LongType, nullable = false),
+            (names.map(rowsByName).sum - m.dvs.map(_.deleted).sum): Any,
+            "COUNT(*)"))
+        case cnt: Count if !cnt.isDistinct && rowsComplete && !anyDv =>
+          for {
+            c <- colOf(cnt.column)
+            st <- statsFor(c)
+            if st.forall(_.nulls >= 0L)
+          } yield (StructField(s"count($c)", LongType, nullable = false),
+            (names.map(rowsByName).sum - st.map(_.nulls).sum): Any,
+            s"COUNT($c)")
+        case mn: Min => extremum(mn.column, isMin = true)
+        case mx: Max => extremum(mx.column, isMin = false)
+        case _ => None
+      }
+    if (answers.exists(_.isEmpty)) None
+    else {
+      val flat = answers.flatten
+      Some((StructType(flat.map(_._1)), flat.map(_._2).toArray,
+        flat.map(_._3).mkString("[", ", ", "]")))
     }
   }
 
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    countOf(agg).isDefined
+    aggAnswer(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val c = countOf(agg)
-    c.foreach(n => pushedCount = Some(n))
-    c.isDefined
+    val a = aggAnswer(agg)
+    a.foreach(x => pushedAgg = Some(x))
+    a.isDefined
   }
 
-  override def build(): Scan = pushedCount match {
-    case Some(n) => new SnapshotCountScan(root, n)
+  override def build(): Scan = pushedAgg match {
+    case Some((schema, values, descr)) =>
+      new SnapshotAggScan(root, schema, values, descr)
     case None => new SnapshotScan(required, fullSchema, root,
       options.getOrDefault("startingVersion", "earliest"),
       options.getBoolean("ignoreChanges", false),
@@ -325,35 +394,35 @@ private[streaming] class SnapshotScanBuilder(
   }
 }
 
-/** The one-row scan a completely-pushed COUNT(*) builds: no file is
-  * opened — the count came from the manifest at build time. */
-private[streaming] class SnapshotCountScan(root: String, n: Long)
+/** The one-row scan a completely-pushed aggregation builds: no file is
+  * opened — every value came from the manifest at build time. */
+private[streaming] class SnapshotAggScan(
+    root: String, schema: StructType, values: Array[Any], descr: String)
   extends Scan with Batch {
 
-  override def readSchema(): StructType =
-    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def readSchema(): StructType = schema
   override def description(): String =
-    s"graft-snapshot-count $root PushedAggregates: [COUNT(*)]"
+    s"graft-snapshot-agg $root PushedAggregates: $descr"
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(SnapshotCountPartition(n))
+    Array(SnapshotAggPartition(values))
 
   override def createReaderFactory(): PartitionReaderFactory =
-    SnapshotCountReaderFactory
+    SnapshotAggReaderFactory
 }
 
-private[streaming] case class SnapshotCountPartition(n: Long) extends InputPartition
+private[streaming] case class SnapshotAggPartition(values: Array[Any])
+  extends InputPartition
 
-private[streaming] object SnapshotCountReaderFactory extends PartitionReaderFactory {
+private[streaming] object SnapshotAggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val n = partition.asInstanceOf[SnapshotCountPartition].n
+      private val vs = partition.asInstanceOf[SnapshotAggPartition].values
       private var served = false
       override def next(): Boolean = if (served) false else { served = true; true }
       override def get(): InternalRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](n))
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs)
       override def close(): Unit = ()
     }
 }
@@ -369,6 +438,7 @@ private[streaming] class SnapshotScan(
     version: Option[Long] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsReportPartitioning
+  with org.apache.spark.sql.connector.read.SupportsReportOrdering
   with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = required
@@ -470,6 +540,36 @@ private[streaming] class SnapshotScan(
         new KeyGroupedPartitioning(
           Array(Expressions.bucket(c.buckets, c.col)), distinct)
       case None => new UnknownPartitioning(0)
+    }
+  }
+
+  /** Per-partition sort order (SupportsReportOrdering): a sorted
+    * clustering spec ([[Snapshots.Clustering]] with `sorted`) asserts
+    * every FILE's rows ascend on the cluster key — reported ONLY when
+    * every planned partition is exactly one whole file and no two files
+    * share a bucket, because Spark may fuse same-key partitions (grouped
+    * SPJ reads, byte ranges) into one task whose concatenation it would
+    * then wrongly trust as sorted. Under the report, a co-clustered
+    * sort-merge join plans with neither exchanges NOR sorts — the scan
+    * feeds the merge directly. Runtime filters only SHRINK the file set,
+    * so a plan-time report stays valid at execution. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    if (streamingUse) return Array.empty
+    clustered.filter(_.sorted) match {
+      case Some(c) if required.fieldNames.contains(c.col) =>
+        val parts = planInputPartitions()
+        val whole = parts.forall {
+          case p: SnapshotFilePartition => p.start == 0L && p.length == -1L
+          case _ => false
+        }
+        val oneFilePerBucket = parts.length ==
+          parts.collect { case p: SnapshotFilePartition => p.bucket }.distinct.length
+        if (whole && oneFilePerBucket)
+          Array(Expressions.sort(Expressions.column(c.col),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+        else Array.empty
+      case _ => Array.empty
     }
   }
 

@@ -239,6 +239,131 @@ class ClusteredJoinSpec extends SparkSpec {
     }
   }
 
+  test("groupBy on the cluster key aggregates with zero exchanges") {
+    withSpj {
+      val root = tmp()
+      Snapshots.commit((1L to 8000L).map(i => (i % 500, i)).toDF("k", "v"), root,
+        clusterBy = Some(("k", 8)))
+      val agg = catalogRead(root).groupBy("k")
+        .agg(count(lit(1)).as("n"), sum($"v").as("s"))
+      val p = plan(agg)
+      assert(!p.contains("Exchange"),
+        s"clustered groupBy on the bucket key must not shuffle:\n$p")
+      val got = agg.agg(count(lit(1)), sum($"n"), sum($"s"))
+        .as[(Long, Long, Long)].first()
+      assert(got === ((500L, 8000L, (1L to 8000L).sum)))
+    }
+  }
+
+  test("streamed-into clustered table keeps SPJ through triggers and maintenance") {
+    withSpj {
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      val root = tmp()
+      val rRoot = tmp()
+      val ckpt = Files.createTempDirectory("clusteredsink").toString
+      val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+      // compactClusteredEvery=2: the second trigger folds the accumulated
+      // per-bucket files back to one per bucket WITHOUT dropping the spec
+      val q = graft.streaming.SnapshotSink.start(
+        input.toDF().toDF("k", "a"), root, ckpt,
+        clusterBy = Some(("k", 4)), compactClusteredEvery = 2)
+      try {
+        input.addData((1L to 1000L).map(i => (i, i)): _*)
+        q.processAllAvailable()
+        input.addData((1001L to 2000L).map(i => (i, i)): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+      assert(m.clustering === Some(Snapshots.Clustering("k", 4)),
+        "every trigger and the maintenance pass must keep the spec")
+      assert(m.files.size <= 4,
+        s"compactClustered must fold trigger files to one per bucket, got ${m.files.size}")
+      Snapshots.commit((1L to 2000L).map(i => (i, i % 7)).toDF("k2", "b"), rRoot,
+        clusterBy = Some(("k2", 4)))
+      val joined = catalogRead(root).join(catalogRead(rRoot), col("k") === col("k2"))
+      val p = plan(joined)
+      assert(!p.contains("Exchange"),
+        s"streamed-into clustered table must still join exchange-free:\n$p")
+      assert(joined.count() === 2000L)
+    }
+  }
+
+  test("sorted clustering: SMJ plans with zero exchanges AND zero sorts; files sorted on disk") {
+    withSpj {
+      val lRoot = tmp()
+      val rRoot = tmp()
+      val left = (1L to 5000L).map(i => (i, i * 2)).toDF("k", "a")
+      val right = (2500L to 7500L).map(i => (i, i % 97)).toDF("k2", "b")
+      Snapshots.commit(left, lRoot, clusterBy = Some(("k", 8)), clusterSorted = true)
+      Snapshots.commit(right, rRoot, clusterBy = Some(("k2", 8)), clusterSorted = true)
+      assert(Snapshots.clusteringAt(spark, lRoot, 1L) ===
+        Some(Snapshots.Clustering("k", 8, sorted = true)),
+        "the sorted flag must round-trip through the manifest json")
+      // every file's rows ascend on the key (the invariant the report asserts)
+      Snapshots.manifest(spark, lRoot, 1L).files.foreach { f =>
+        val ks = spark.read.parquet(f).select("k").as[Long].collect().toSeq
+        assert(ks === ks.sorted, s"file $f is not sorted on k")
+      }
+      val joined = catalogRead(lRoot).join(catalogRead(rRoot), col("k") === col("k2"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin"), s"expected SMJ:\n$p")
+      assert(!p.contains("Exchange"), s"sorted-clustered SMJ must not shuffle:\n$p")
+      assert("""\(\d+\) Sort\b""".r.findFirstIn(p).isEmpty,
+        s"sorted-clustered SMJ must not re-sort either side:\n$p")
+      val got = joined.agg(count(lit(1)), sum($"a" + $"b")).as[(Long, Long)].first()
+      val exp = left.join(right, $"k" === $"k2")
+        .agg(count(lit(1)), sum($"a" + $"b")).as[(Long, Long)].first()
+      assert(got === exp)
+      // UNsorted clustering pins the contrast: exchange-free but re-sorted
+      val uRoot = tmp()
+      val vRoot = tmp()
+      Snapshots.commit(left, uRoot, clusterBy = Some(("k", 8)))
+      Snapshots.commit(right, vRoot, clusterBy = Some(("k2", 8)))
+      val p2 = plan(catalogRead(uRoot).join(catalogRead(vRoot), col("k") === col("k2")))
+      assert(!p2.contains("Exchange") &&
+        """\(\d+\) Sort\b""".r.findFirstIn(p2).isDefined,
+        s"unsorted clustering must keep SPJ but sort both sides:\n$p2")
+    }
+  }
+
+  test("sort report withdraws under multi-file buckets; compactClustered restores it") {
+    withSpj {
+      val root = tmp()
+      val rRoot = tmp()
+      Snapshots.commit((1L to 1000L).map(i => (i, i)).toDF("k", "a"), root,
+        clusterBy = Some(("k", 4)), clusterSorted = true)
+      Snapshots.commit((1001L to 2000L).map(i => (i, i)).toDF("k", "a"), root,
+        append = true, clusterBy = Some(("k", 4)), clusterSorted = true)
+      // an append with a different sortedness is a different spec: refused
+      val e = intercept[IllegalArgumentException] {
+        Snapshots.commit((1L to 10L).map(i => (i, i)).toDF("k", "a"), root,
+          append = true, clusterBy = Some(("k", 4)))
+      }
+      assert(e.getMessage.contains("clustering"))
+      Snapshots.commit((1L to 2000L).map(i => (i, i)).toDF("k2", "b"), rRoot,
+        clusterBy = Some(("k2", 4)), clusterSorted = true)
+      // two sorted files per bucket: their concatenation is NOT sorted —
+      // the report must withdraw (Sorts appear) while SPJ holds
+      val before = plan(catalogRead(root).join(catalogRead(rRoot),
+        col("k") === col("k2")))
+      assert(!before.contains("Exchange") &&
+        """\(\d+\) Sort\b""".r.findFirstIn(before).isDefined,
+        s"multi-file buckets must re-sort (concatenation unsorted):\n$before")
+      // bucket-preserving compaction folds to one sorted file per bucket:
+      // the report returns and the sorts vanish
+      Snapshots.compactClustered(spark, root)
+      assert(Snapshots.clusteringAt(spark, root,
+        Snapshots.headVersion(spark, root)) ===
+        Some(Snapshots.Clustering("k", 4, sorted = true)))
+      val joined = catalogRead(root).join(catalogRead(rRoot), col("k") === col("k2"))
+      val after = plan(joined)
+      assert(!after.contains("Exchange") &&
+        """\(\d+\) Sort\b""".r.findFirstIn(after).isEmpty,
+        s"post-compaction sorted buckets must merge sort-free:\n$after")
+      assert(joined.count() === 2000L)
+    }
+  }
+
   test("one-side-shuffle SPJ: an unclustered side routes INTO the storage buckets") {
     withSpj {
       val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.shuffle.enabled")

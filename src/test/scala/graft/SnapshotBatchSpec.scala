@@ -176,6 +176,49 @@ class SnapshotBatchSpec extends SparkSpec {
       .contains("PushedAggregates"))
   }
 
+  test("MIN/MAX/COUNT(col) push down to the manifest stats: one-row scan, exact") {
+    val root = tmp()
+    val df = (1L to 4000L).map(i =>
+      (i, if (i % 10 == 0) null else s"n$i",
+        java.sql.Date.valueOf(s"2024-01-${(i % 28 + 1).toString.reverse.padTo(2, '0').reverse}"),
+        i.toInt - 2000,
+        if (i % 10 == 0) None else Some(i * 3)))
+      .toDF("id", "name", "d", "k", "v")
+    Snapshots.commit(df.repartitionByRange(8, col("id")), root,
+      statsCols = Seq("id", "d", "k", "v"))
+    def descOf(q: DataFrame): String =
+      q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.scan.description()
+      }.mkString("\n")
+    // a mixed aggregate answers entirely from metadata
+    val q = batchRead(root).agg(
+      min(col("id")), max(col("id")), min(col("d")), max(col("k")),
+      count(lit(1)), count(col("v")))
+    val d = descOf(q)
+    assert(d.contains("PushedAggregates") && d.contains("MIN(id)") &&
+      d.contains("MAX(k)") && d.contains("COUNT(v)"), s"got: $d")
+    val row = q.head()
+    assert(row.getLong(0) === 1L && row.getLong(1) === 4000L)
+    assert(row.getDate(2) === java.sql.Date.valueOf("2024-01-01"))
+    assert(row.getInt(3) === 2000)
+    assert(row.getLong(4) === 4000L && row.getLong(5) === 3600L)
+    // no stats on the column → no pushdown, still exact through the scan
+    val noStats = batchRead(root).agg(min(col("name")))
+    assert(!descOf(noStats).contains("PushedAggregates"))
+    assert(noStats.head().getString(0) === "n1")
+    // a live deletion vector poisons extremes (the min row may be gone):
+    // whole aggregation declines, answers stay row-exact via the scan
+    Snapshots.deleteWhere(spark, root, col("id") <= 5L)
+    val afterDv = batchRead(root).agg(min(col("id")), count(lit(1)))
+    assert(!descOf(afterDv).contains("MIN"), descOf(afterDv))
+    val r2 = afterDv.head()
+    assert(r2.getLong(0) === 6L && r2.getLong(1) === 3995L)
+    // pure COUNT(*) still pushes (vectors subtract exactly)
+    val cnt = batchRead(root).groupBy().count()
+    assert(descOf(cnt).contains("PushedAggregates: [COUNT(*)]"))
+    assert(cnt.as[Long].head() === 3995L)
+  }
+
   test("runtime filtering: an IN-set landing after planning re-prunes files") {
     val root = freshTable() // 8 range files by id, statsCols id+score
     val scan = batchRead(root).queryExecution.executedPlan.collect {
