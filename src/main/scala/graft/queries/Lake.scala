@@ -1586,6 +1586,43 @@ object Lake {
       agg
     },
 
+    // ---- q125: SQL CATALOG ROUND-TRIP — CTAS creates a hash-clustered
+    //            snapshot table from SQL, INSERT INTO appends the other
+    //            half INHERITING the clustering spec (a SQL insert must
+    //            not declassify the layout), and the catalog read of the
+    //            final table must match DuckDB over the original source.
+    //            Required in-query: both versions carry the spec. ----
+    OracleQuery(
+      "q125_sql_catalog_roundtrip",
+      s"""SELECT o_orderpriority, count(*) AS n,
+        |  ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_tp
+        |FROM orders
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_sql"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+      Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .createOrReplaceTempView("orders_src")
+      spark.sql(
+        s"CREATE TABLE graft.`$root` PARTITIONED BY (bucket(8, o_orderkey)) AS " +
+          "SELECT * FROM orders_src WHERE o_orderkey % 2 = 0")
+      spark.sql(s"INSERT INTO graft.`$root` " +
+        "SELECT * FROM orders_src WHERE o_orderkey % 2 <> 0")
+      val head = Snapshots.headVersion(spark, root)
+      require(head == 3L, s"expected create+CTAS-select+insert = 3 versions, got $head")
+      require(Snapshots.clusteringAt(spark, root, head)
+        .contains(Snapshots.Clustering("o_orderkey", 8)),
+        "the SQL insert must inherit the clustering spec, not drop it")
+      spark.sql(
+        s"""SELECT o_orderpriority, count(*) AS n,
+          |  ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_tp
+          |FROM graft.`$root`
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO

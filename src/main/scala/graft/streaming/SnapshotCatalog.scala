@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.{NoSuchFunctionException, NoSuchTableException}
 import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
@@ -69,9 +70,79 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
       SnapshotSource.surfacedSchema(root), Map("root" -> root))
   }
 
+  /** SQL time travel: ``SELECT ... FROM graft.`/lake/t` VERSION AS OF 3``.
+    * The table pins its version as a property — the scan builder's merged
+    * options carry it, so pruning/stats/aggregate pushdown all answer for
+    * THAT version, and the schema is the version's own (era semantics). */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val root = rootOf(ident)
+    val v = try version.toLong catch {
+      case _: NumberFormatException => throw new NoSuchTableException(ident)
+    }
+    if (v <= 0 || v > Snapshots.headVersion(SparkSession.active, root))
+      throw new NoSuchTableException(ident)
+    new SnapshotStreamTable(
+      SnapshotSource.surfacedSchema(root, v),
+      Map("root" -> root, "version" -> v.toString))
+  }
+
+  /** SQL time travel by wall clock: ``... TIMESTAMP AS OF '2026-08-15'``.
+    * `timestamp` arrives in MICROseconds (the TableCatalog contract);
+    * resolution is publish-time ≤ ts, ties to the highest version — the
+    * same rule as [[Snapshots.readAsOf]]. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (Snapshots.headVersion(SparkSession.active, root) == 0)
+      throw new NoSuchTableException(ident)
+    val v = SnapshotSource.versionAsOf(root, timestamp / 1000L)
+    new SnapshotStreamTable(
+      SnapshotSource.surfacedSchema(root, v),
+      Map("root" -> root, "version" -> v.toString))
+  }
+
   override def tableExists(ident: Identifier): Boolean =
     try Snapshots.headVersion(SparkSession.active, rootOf(ident)) > 0
     catch { case scala.util.control.NonFatal(_) => false }
+
+  /** SQL DDL: ``CREATE TABLE graft.`/lake/t` (k BIGINT, v STRING)
+    * PARTITIONED BY (bucket(8, k))`` — materialized as an EMPTY schema-
+    * recording commit (v1), so the table immediately exists for
+    * `INSERT INTO` / scans, and a `bucket` transform becomes the engine's
+    * hash-clustering spec (every later insert validates against it). CTAS
+    * rides the same path: create (v1), then the SELECT lands as the
+    * append commit (v2). `TBLPROPERTIES ('clusterSorted'='true')` asks
+    * for sorted buckets. */
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    if (Snapshots.headVersion(spark, root) > 0)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(name(), root))
+    val clusterBy: Option[(String, Int)] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "bucket" =>
+        val ref = t.arguments.collectFirst {
+          case r: NamedReference => r.fieldNames.mkString(".") }
+        val n = t.arguments.collectFirst {
+          case l: Literal[_] => l.value.toString.toInt }
+        Some((ref.getOrElse(sys.error("bucket transform needs a column")),
+          n.getOrElse(sys.error("bucket transform needs a bucket count"))))
+      case other => sys.error(
+        s"graft tables support PARTITIONED BY (bucket(n, col)) only, got " +
+          other.mkString(", "))
+    }
+    val sorted = Option(properties.get("clusterSorted")).exists(_.toBoolean)
+    Snapshots.commit(
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema),
+      root, append = false, clusterBy = clusterBy, clusterSorted = sorted)
+    loadTable(ident)
+  }
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // tables are paths; there is no enumerable namespace

@@ -104,19 +104,45 @@ private[streaming] object SnapshotSource {
     r
   }
 
-  /** The head's recorded LOGICAL schema with the column-mapping key
-    * stripped (what downstream sees). Empty on a not-yet-committed table
-    * (a first WRITE must be able to get a Table object; reads guard with
-    * a clear error in newScanBuilder instead). */
-  def surfacedSchema(root: String): StructType = {
+  /** The recorded LOGICAL schema of `version` (default: head) with the
+    * column-mapping key stripped (what downstream sees) — time travel
+    * shows each version its own era's schema. Empty on a not-yet-committed
+    * table (a first WRITE must be able to get a Table object; reads guard
+    * with a clear error in newScanBuilder instead). */
+  def surfacedSchema(root: String, version: Long = -1L): StructType = {
     val spark = SparkSession.active
-    val head = Snapshots.headVersion(spark, root)
-    if (head == 0) return new StructType()
-    val s = Snapshots.parseSchemaStr(Snapshots.manifestMeta(spark, root, head).schema)
+    val v = if (version > 0) version else Snapshots.headVersion(spark, root)
+    if (v == 0) return new StructType()
+    val s = Snapshots.parseSchemaStr(Snapshots.manifestMeta(spark, root, v).schema)
       .getOrElse(sys.error(
         s"$root has no recorded schema (legacy manifest) — commit once to record one"))
     StructType(s.fields.map(f => f.copy(metadata = Metadata.empty)))
   }
+
+  /** The newest retained version published at or before `tsMillis` — the
+    * wall-clock → version resolution behind `TIMESTAMP AS OF` and the
+    * `asOfTimestamp` read option (same rule as [[Snapshots.readAsOf]]:
+    * ties to the highest version; throws when everything retained is
+    * newer). Commit-record reads only, no shard I/O. */
+  def versionAsOf(root: String, tsMillis: Long): Long = {
+    val eligible = Snapshots.historyMeta(SparkSession.active, root)
+      .filter(_.ts <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no retained snapshot at $root published at or before $tsMillis")
+    eligible.map(_.version).max
+  }
+
+  /** `asOfTimestamp` option values: epoch millis (all digits) or a
+    * timestamp string — ISO instant (`2026-08-15T00:00:00Z`) or local
+    * `yyyy-MM-dd HH:mm:ss[.f]` (session-zone-free: wall clock is taken as
+    * the JVM default zone, matching java.sql.Timestamp semantics). */
+  def parseAsOfMillis(s: String): Long =
+    if (s.nonEmpty && s.forall(_.isDigit)) s.toLong
+    else try java.time.Instant.parse(s).toEpochMilli
+    catch {
+      case _: java.time.format.DateTimeParseException =>
+        java.sql.Timestamp.valueOf(s).getTime
+    }
 
   /** Hadoop conf + session SQL confs flattened for the reader factory —
     * the session overlay is what `sessionState.newHadoopConf()` would add
@@ -154,7 +180,8 @@ private[streaming] class SnapshotStreamTable(
   override def partitioning(): Array[Transform] =
     properties.get("root")
       .flatMap(r => Snapshots.clusteringAt(SparkSession.active, r,
-        Snapshots.headVersion(SparkSession.active, r)))
+        properties.get("version").map(_.toLong).getOrElse(
+          Snapshots.headVersion(SparkSession.active, r))))
       .map(c => Array[Transform](Expressions.bucket(c.buckets, c.col)))
       .getOrElse(Array.empty)
   // ACCEPT_ANY_SCHEMA: the engine's commit owns schema semantics (additive
@@ -228,19 +255,36 @@ private[streaming] class SnapshotWriteBuilder(
               Option(options.get(k)).toSeq
                 .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
             // hash-clustered layout from the writer API:
-            // .option("clusterBy", "key").option("clusterBuckets", "32")
-            val clusterBy = Option(options.get("clusterBy")).map { c =>
-              val n = Option(options.get("clusterBuckets")).getOrElse(sys.error(
-                "clusterBy write option needs clusterBuckets (the bucket count)"))
-              (c, n.toInt)
-            }
+            // .option("clusterBy", "key").option("clusterBuckets", "32").
+            // An APPEND with no clusterBy option INHERITS the head's
+            // recorded spec — `INSERT INTO` / plain `df.write` appends
+            // keep a clustered table clustered by default instead of
+            // silently declassifying it (.option("clusterBy", "") opts
+            // out explicitly; overwrite never inherits — a truncating
+            // write is a fresh layout decision).
+            val explicit = Option(options.get("clusterBy")).filter(_.nonEmpty)
+              .map { c =>
+                val n = Option(options.get("clusterBuckets")).getOrElse(sys.error(
+                  "clusterBy write option needs clusterBuckets (the bucket count)"))
+                (c, n.toInt)
+              }
+            val spark0 = data.sparkSession
+            val inherited =
+              if (overwrite || options.containsKey("clusterBy")) None
+              else {
+                val headV = Snapshots.headVersion(spark0, root)
+                if (headV > 0) Snapshots.clusteringAt(spark0, root, headV)
+                else None
+              }
             Snapshots.commit(data, root,
               append = !overwrite,
               statsCols = cols("statsCols"),
               tag = options.getOrDefault("tag", ""),
               bloomCols = cols("bloomCols"),
-              clusterBy = clusterBy,
-              clusterSorted = options.getBoolean("clusterSorted", false))
+              clusterBy = explicit.orElse(inherited.map(c => (c.col, c.buckets))),
+              clusterSorted =
+                if (explicit.isDefined) options.getBoolean("clusterSorted", false)
+                else inherited.exists(_.sorted))
           }
         }
     }
@@ -258,6 +302,16 @@ private[streaming] class SnapshotScanBuilder(
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[(StructType, Array[Any], String)] = None
+
+  /** Time travel, resolved once per scan: an explicit `version` option
+    * wins; else `asOfTimestamp` (epoch millis or timestamp string — see
+    * [[SnapshotSource.parseAsOfMillis]]) resolves by publish wall clock;
+    * else the head. A catalog `VERSION AS OF` / `TIMESTAMP AS OF` load
+    * arrives here as a table-property-merged `version` option. */
+  private lazy val travelVersion: Option[Long] =
+    Option(options.get("version")).map(_.toLong)
+      .orElse(Option(options.get("asOfTimestamp")).map(s =>
+        SnapshotSource.versionAsOf(root, SnapshotSource.parseAsOfMillis(s))))
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep full-schema field order/types; the pruner passes a subset
@@ -303,8 +357,7 @@ private[streaming] class SnapshotScanBuilder(
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
     val spark = SparkSession.active
-    val v = Option(options.get("version")).map(_.toLong)
-      .getOrElse(Snapshots.headVersion(spark, root))
+    val v = travelVersion.getOrElse(Snapshots.headVersion(spark, root))
     if (v <= 0) return None
     val m = Snapshots.manifest(spark, root, v)
     if (m.files.isEmpty) return None // empty-table MIN is null — let Spark plan it
@@ -390,7 +443,7 @@ private[streaming] class SnapshotScanBuilder(
       options.getBoolean("ignoreChanges", false),
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       pushed,
-      Option(options.get("version")).map(_.toLong))
+      travelVersion)
   }
 }
 

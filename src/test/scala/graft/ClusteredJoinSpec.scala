@@ -364,6 +364,82 @@ class ClusteredJoinSpec extends SparkSpec {
     }
   }
 
+  test("SQL DDL/DML: CREATE TABLE + INSERT INTO + CTAS land as clustered engine commits") {
+    withSpj {
+      val root = tmp()
+      val rRoot = tmp()
+      // CREATE TABLE with a bucket layout = empty schema-recording commit
+      spark.sql(
+        s"CREATE TABLE graft.`$root` (k BIGINT, v BIGINT) " +
+          "PARTITIONED BY (bucket(4, k))")
+      assert(Snapshots.headVersion(spark, root) === 1L)
+      assert(Snapshots.clusteringAt(spark, root, 1L) ===
+        Some(Snapshots.Clustering("k", 4)))
+      assert(spark.table(s"graft.`$root`").count() === 0L)
+      // INSERT INTO inherits the clustering — the table stays SPJ-ready
+      spark.sql(s"INSERT INTO graft.`$root` " +
+        "SELECT id AS k, id * 2 AS v FROM range(1, 2001)")
+      assert(Snapshots.clusteringAt(spark, root, 2L) ===
+        Some(Snapshots.Clustering("k", 4)),
+        "a SQL insert must not declassify a clustered table")
+      // CTAS: create (v1) + the SELECT as the append commit (v2)
+      spark.sql(
+        s"CREATE TABLE graft.`$rRoot` PARTITIONED BY (bucket(4, k2)) AS " +
+          "SELECT id AS k2, id % 7 AS b FROM range(1, 2001)")
+      assert(Snapshots.headVersion(spark, rRoot) === 2L)
+      assert(Snapshots.clusteringAt(spark, rRoot, 2L) ===
+        Some(Snapshots.Clustering("k2", 4)))
+      // creating over an existing table refuses
+      intercept[Exception] {
+        spark.sql(s"CREATE TABLE graft.`$root` (x BIGINT)")
+      }
+      // and the two SQL-born tables join exchange-free
+      val joined = spark.sql(
+        s"SELECT v, b FROM graft.`$root` JOIN graft.`$rRoot` ON k = k2")
+      val p = plan(joined)
+      assert(!p.contains("Exchange"),
+        s"SQL-born co-clustered tables must join without shuffles:\n$p")
+      val exp = (1L to 2000L).map(i => i * 2 + i % 7).sum
+      assert(joined.agg(sum($"v" + $"b")).head().getLong(0) === exp)
+    }
+  }
+
+  test("skewed buckets: partially-clustered distribution keeps SPJ row-exact") {
+    withSpj {
+      val prev = spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled")
+      try {
+        // SPJ's skew mitigation: the smaller side's matching partitions
+        // replicate so one hot storage bucket splits across tasks instead
+        // of serializing the stage on it — layout decided at write time,
+        // skew handled at plan time. The assertion that matters is
+        // ROW-EXACTNESS under replication (a bug here double-counts).
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled",
+          "true")
+        val lRoot = tmp()
+        val rRoot = tmp()
+        // 80% of the fact rows land on ONE key → one hot bucket
+        val fact = (1L to 5000L).map(i =>
+          (if (i % 5 != 0) 7L else i, i)).toDF("k", "a")
+        val dim = (1L to 1000L).map(i => (i, i * 10)).toDF("k2", "b")
+        Snapshots.commit(fact, lRoot, clusterBy = Some(("k", 8)))
+        Snapshots.commit(dim, rRoot, clusterBy = Some(("k2", 8)))
+        val joined = catalogRead(lRoot).join(catalogRead(rRoot),
+          col("k") === col("k2"))
+        val p = plan(joined)
+        assert(!p.contains("Exchange"), s"skewed SPJ must still not shuffle:\n$p")
+        val got = joined.agg(count(lit(1)), sum($"a" + $"b")).as[(Long, Long)].first()
+        val exp = fact.join(dim, col("k") === col("k2"))
+          .agg(count(lit(1)), sum($"a" + $"b")).as[(Long, Long)].first()
+        assert(got === exp, "partially-clustered replication must stay row-exact")
+      } finally prev.fold(spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled"))(
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.partiallyClusteredDistribution.enabled", _))
+    }
+  }
+
   test("one-side-shuffle SPJ: an unclustered side routes INTO the storage buckets") {
     withSpj {
       val prev = spark.conf.getOption("spark.sql.sources.v2.bucketing.shuffle.enabled")

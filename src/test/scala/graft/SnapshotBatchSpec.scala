@@ -219,6 +219,41 @@ class SnapshotBatchSpec extends SparkSpec {
     assert(cnt.as[Long].head() === 3995L)
   }
 
+  test("asOfTimestamp option and SQL VERSION/TIMESTAMP AS OF time-travel the scan") {
+    val root = tmp()
+    Snapshots.commit((1L to 100L).map(i => (i, i)).toDF("k", "v"), root)
+    Thread.sleep(15) // publish timestamps must separate the versions
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(15)
+    Snapshots.commit((101L to 200L).map(i => (i, i)).toDF("k", "v"), root,
+      append = true)
+    // option forms: epoch millis and ISO instant
+    def asOf(ts: String): Long =
+      spark.read.format(Fmt).option("root", root)
+        .option("asOfTimestamp", ts).load().count()
+    assert(asOf(t1.toString) === 100L)
+    assert(asOf(java.time.Instant.ofEpochMilli(t1).toString) === 100L)
+    assert(asOf(System.currentTimeMillis().toString) === 200L)
+    // everything retained is newer → loud error, not an empty read
+    val e = intercept[Exception] { asOf("1000") }
+    assert(e.getMessage.contains("published at or before"))
+    // SQL surfaces through the catalog
+    spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$root` VERSION AS OF 1")
+      .head().getLong(0) === 100L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$root`")
+      .head().getLong(0) === 200L)
+    val lit = new java.sql.Timestamp(t1).toString
+    assert(spark.sql(
+      s"SELECT count(*) FROM graft.`$root` TIMESTAMP AS OF '$lit'")
+      .head().getLong(0) === 100L)
+    // era schema: a version loaded before a rename surfaces its OWN names
+    Snapshots.renameColumn(spark, root, "k", "key")
+    assert(spark.sql(s"SELECT key FROM graft.`$root` LIMIT 1").columns === Array("key"))
+    assert(spark.sql(s"SELECT k FROM graft.`$root` VERSION AS OF 2 WHERE k > 150")
+      .count() === 50L)
+  }
+
   test("runtime filtering: an IN-set landing after planning re-prunes files") {
     val root = freshTable() // 8 range files by id, statsCols id+score
     val scan = batchRead(root).queryExecution.executedPlan.collect {
