@@ -595,6 +595,141 @@ object Snapshots {
     }
   }
 
+  /** ADDITIVE schema evolution as an explicit METADATA-ONLY commit: the
+    * new column is appended (nullable) to the recorded schema and no file
+    * is touched — every existing row reads null for it, the same
+    * schema-merging semantics an additive append already has. The one
+    * subtlety is physical naming: when the logical name collides with a
+    * RETIRED (dropped) column's bytes still sitting in old files, or with
+    * a live column renamed away from it, the new column stores under a
+    * fresh suffixed physical name so those old values can never
+    * resurrect into it. At 100 TB ALTER TABLE ADD COLUMNS must be O(1)
+    * metadata, never a rewrite. */
+  def addColumn(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      dataType: org.apache.spark.sql.types.DataType): Long = {
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet")
+    val meta = manifestMeta(spark, root, headV)
+    val s = parseSchemaStr(meta.schema).getOrElse(sys.error(
+      s"$root has no recorded schema (legacy manifest) — commit once to record one"))
+    require(!s.fieldNames.contains(name), s"column '$name' already exists in $root")
+    val taken = meta.retired.toSet ++ s.fields.map(physicalOf).toSet
+    val base = org.apache.spark.sql.types.StructField(name, dataType, nullable = true)
+    val field =
+      if (!taken.contains(name)) base
+      else base.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+        .putString(PhysicalKey,
+          s"${name}__${java.util.UUID.randomUUID().toString.replace("-", "").take(8)}")
+        .build())
+    publishMeta(spark, root, tag = "", requireHead = headV,
+      clustering = h => h.flatMap(_.clustering)) { head =>
+      val h = head.getOrElse(sys.error("add-column base vanished"))
+      (shardRefsOf(spark, root, h), StructType(s.fields :+ field).json)
+    }
+  }
+
+  /** TRUNCATE: remove every row as a METADATA-ONLY commit — the new
+    * version references zero shards while keeping the head's schema,
+    * retired names, and clustering spec (truncation empties the table,
+    * it does not un-declare its layout). Old versions stay
+    * time-travelable ([[vacuum]] owns erasure, [[restore]] undoes). The
+    * SQL TRUNCATE TABLE / unconditioned DELETE shape: O(1) metadata at
+    * any table size, vs the predicate path's full mark-and-vector scan. */
+  def truncate(spark: SparkSession, root: String): Long = {
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet")
+    publishMeta(spark, root, tag = "", requireHead = headV,
+      clustering = h => h.flatMap(_.clustering)) { head =>
+      val h = head.getOrElse(sys.error("truncate base vanished"))
+      (Seq.empty, h.schema)
+    }
+  }
+
+  /** A fresh unguessable staging directory under the table's data area —
+    * where a DSv2 executor-side write stages files before
+    * [[replaceFiles]] publishes them (nothing references the directory
+    * until then, so an aborted job leaves only unreachable bytes for
+    * [[vacuum]]). */
+  private[graft] def newStagingDir(root: String): String =
+    s"${dataRoot(root)}/data/c-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  /** COPY-ON-WRITE file replacement — the commit primitive behind SQL
+    * UPDATE / MERGE / rewriting DELETE ([[graft.streaming]]'s group-based
+    * row-level operations): atomically swap `removed` (files a row-level
+    * scan read, whose surviving+updated rows were rewritten) for
+    * `newFiles` (already staged under [[newStagingDir]], PHYSICAL column
+    * names). Everything the operation did not touch carries by shard
+    * REFERENCE — metadata cost is O(touched), never O(table).
+    *
+    * Guarantees:
+    *  - `requireHead` fence: the publish aborts loudly if any commit
+    *    landed since `expectedHead` (the version the scan read) — a
+    *    concurrent writer can never be silently clobbered; the caller
+    *    recomputes and retries.
+    *  - removed files retire with ALL their metadata (stats, counts,
+    *    blooms, deletion vectors) via the shared shard surgery; the new
+    *    files are indexed under the same physical columns the head
+    *    indexes, so pruning strength survives the rewrite.
+    *  - CHECK constraints validate the staged files before anything
+    *    references them (UPDATE/MERGE can manufacture violating rows).
+    *  - the clustering spec DROPS (default-conservative): a rewritten
+    *    file is not provably bucket-pure; `compactClustered` restores. */
+  private[graft] def replaceFiles(
+      spark: SparkSession,
+      root: String,
+      expectedHead: Long,
+      removed: Set[String],
+      newFiles: Seq[String],
+      tag: String = ""): Long = {
+    require(expectedHead > 0, s"replaceFiles needs a committed base at $root")
+    val meta = manifestMeta(spark, root, expectedHead)
+    val shards = loadShards(spark, root, meta)
+    val m = resolve(meta, shards)
+    val fileSet = m.files.toSet
+    require(removed.subsetOf(fileSet),
+      s"replaceFiles: ${(removed -- fileSet).take(3).mkString(", ")} not in " +
+        s"$root v$expectedHead — the scanned state has moved")
+    val logical = parseSchema(m)
+    val toPhys = logical.map(logicalToPhysical).getOrElse(Map.empty)
+    // validate staged rows against table CHECKs before they become
+    // reachable (rules speak logical names; files store physical)
+    val rules = Checks.list(spark, root)
+    if (rules.nonEmpty && newFiles.nonEmpty) {
+      val staged0 = spark.read.parquet(newFiles: _*)
+      val toLogical = toPhys.map(_.swap)
+      val staged = staged0.select(staged0.columns.toSeq.map(c =>
+        org.apache.spark.sql.functions.col(c).as(toLogical.getOrElse(c, c))): _*)
+      Checks.findViolation(staged, rules, logical).foreach { case (rname, cnt) =>
+        fs(spark, root).delete(new Path(newFiles.head).getParent, true)
+        throw new IllegalArgumentException(
+          s"check constraint violation rewriting $root: '$rname' ($cnt rows)")
+      }
+    }
+    // index replacements under the physical columns the head indexes
+    val statsP = m.stats.map(_.col).distinct
+    val bloomP = m.blooms.map(_.col).distinct
+    val (stats, rows) =
+      if (newFiles.isEmpty) (Seq.empty[ColStats], Seq.empty[FileRows])
+      else statsFromFooters(spark, newFiles, statsP)
+        .getOrElse(collectStats(spark, newFiles, statsP))
+    val blooms =
+      if (bloomP.isEmpty || newFiles.isEmpty) Seq.empty[FileBloom]
+      else collectBlooms(spark, newFiles, bloomP,
+        logical.getOrElse(sys.error(s"$root has no recorded schema")),
+        toPhys,
+        if (rows.nonEmpty) rows else rowsFromFooters(spark, newFiles))
+    val newRef =
+      if (newFiles.isEmpty) None
+      else Some(writeShard(spark, root, newFiles, stats, rows, blooms))
+    publishMeta(spark, root, tag, requireHead = expectedHead) { head =>
+      val h = head.getOrElse(sys.error("replace base vanished"))
+      (carryUntouched(spark, root, shards, removed) ++ newRef, h.schema)
+    }
+  }
+
   /** ZERO-COPY adoption of an existing plain-parquet directory as a
     * snapshot table (the CONVERT-in-place shape): version 1 is published
     * referencing the directory's existing files — no row is rewritten, no

@@ -1623,6 +1623,114 @@ object Lake {
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
 
+    // ---- q126: SQL DELETE — `DELETE FROM graft.\`t\` WHERE ...` lands as
+    //            the engine's MERGE-ON-READ delete (positions folded into
+    //            per-file deletion vectors; zero data files rewritten —
+    //            required in-query), and the post-delete read must equal
+    //            DuckDB's surviving rows. The oracle applies SQL DELETE
+    //            semantics: rows where the predicate is TRUE die, all
+    //            others (FALSE and NULL) survive. ----
+    OracleQuery(
+      "q126_sql_delete",
+      s"""SELECT l_returnflag, count(*) AS n,
+        |  ${graft.engine.Det.sql.dsum("l_quantity")} AS sum_qty
+        |FROM lineitem
+        |WHERE NOT (l_returnflag IN ('A') AND l_orderkey <= 30000)
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/lineitem_del"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+      Snapshots.commit(
+        Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+          .repartitionByRange(8, col("l_orderkey")),
+        root, statsCols = Seq("l_orderkey"))
+      val filesBefore = Snapshots.manifest(spark, root, 1L).files.toSet
+      spark.sql(s"DELETE FROM graft.`$root` " +
+        "WHERE l_returnflag IN ('A') AND l_orderkey <= 30000")
+      val m2 = Snapshots.manifest(spark, root, 2L)
+      require(m2.files.toSet == filesBefore && m2.dvs.nonEmpty,
+        "SQL DELETE must vector rows (merge-on-read), not rewrite files")
+      spark.sql(
+        s"""SELECT l_returnflag, count(*) AS n,
+          |  ${graft.engine.Det.sql.dsum("l_quantity")} AS sum_qty
+          |FROM graft.`$root`
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // ---- q127: SQL UPDATE + MERGE — group-based copy-on-write row-level
+    //            operations: an UPDATE re-prices a key range (rewriting
+    //            only the files its stats-pruned predicate touches —
+    //            required in-query: most files carry by reference), then
+    //            a MERGE upserts a delta (matched rows update, new keys
+    //            insert); the final table must equal DuckDB applying the
+    //            same UPDATE+MERGE algebra to the source. ----
+    OracleQuery(
+      "q127_sql_update_merge",
+      s"""WITH updated AS (
+        |  SELECT o_orderkey,
+        |    CASE WHEN o_orderkey <= 5000
+        |      THEN o_totalprice * CAST(2 AS DOUBLE) ELSE o_totalprice
+        |    END AS o_totalprice
+        |  FROM orders
+        |), delta AS (
+        |  SELECT o_orderkey * 10 AS d_key, CAST(1.5 AS DOUBLE) AS d_price
+        |  FROM orders WHERE o_orderkey <= 400
+        |), merged AS (
+        |  SELECT u.o_orderkey,
+        |    COALESCE(d.d_price, u.o_totalprice) AS o_totalprice
+        |  FROM updated u LEFT JOIN delta d ON u.o_orderkey = d.d_key
+        |  UNION ALL
+        |  SELECT d.d_key, d.d_price FROM delta d
+        |  WHERE NOT EXISTS (SELECT 1 FROM updated u WHERE u.o_orderkey = d.d_key)
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+        |  ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_p
+        |FROM merged""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_rl"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+      val src = Tables(spark, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice").cast("double").as("o_totalprice"))
+      Snapshots.commit(src.repartitionByRange(8, col("o_orderkey")),
+        root, statsCols = Seq("o_orderkey"))
+      val m1 = Snapshots.manifest(spark, root, 1L)
+      // files whose recorded o_orderkey range sits wholly above the
+      // predicate can be PROVEN untouched — the stats miner must carry
+      // exactly those by reference (scale-free pin: at sf0.001 the
+      // cutoff spans every file and the set is empty; at sf0.01+ it is
+      // most of the 8 range files)
+      val provablyUntouched = m1.stats
+        .filter(st => st.col == "o_orderkey" && st.min > 5000.0)
+        .map(_.file).toSet
+      spark.sql(s"UPDATE graft.`$root` " +
+        "SET o_totalprice = o_totalprice * CAST(2 AS DOUBLE) " +
+        "WHERE o_orderkey <= 5000")
+      val after = Snapshots.manifest(spark, root, 2L).files
+        .map(u => new Path(u).getName).toSet
+      require(provablyUntouched.subsetOf(after),
+        s"a stats-pruned UPDATE must carry provably-untouched files by " +
+          s"reference (${provablyUntouched.size} expected)")
+      src.where(col("o_orderkey") <= 400)
+        .select((col("o_orderkey") * 10).as("d_key"), lit(1.5).as("d_price"))
+        .createOrReplaceTempView("orders_delta")
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t USING orders_delta d ON t.o_orderkey = d.d_key
+          |WHEN MATCHED THEN UPDATE SET o_totalprice = d.d_price
+          |WHEN NOT MATCHED THEN INSERT (o_orderkey, o_totalprice) VALUES (d.d_key, d.d_price)
+          |""".stripMargin)
+      spark.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+          |  ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_p
+          |FROM graft.`$root`""".stripMargin)
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO

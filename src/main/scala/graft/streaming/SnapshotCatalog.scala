@@ -67,7 +67,8 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
     if (Snapshots.headVersion(SparkSession.active, root) == 0)
       throw new NoSuchTableException(ident)
     new SnapshotStreamTable(
-      SnapshotSource.surfacedSchema(root), Map("root" -> root))
+      SnapshotSource.surfacedSchema(root),
+      Map("root" -> root, "sqlResolved" -> "true"))
   }
 
   /** SQL time travel: ``SELECT ... FROM graft.`/lake/t` VERSION AS OF 3``.
@@ -83,7 +84,7 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
       throw new NoSuchTableException(ident)
     new SnapshotStreamTable(
       SnapshotSource.surfacedSchema(root, v),
-      Map("root" -> root, "version" -> v.toString))
+      Map("root" -> root, "version" -> v.toString, "sqlResolved" -> "true"))
   }
 
   /** SQL time travel by wall clock: ``... TIMESTAMP AS OF '2026-08-15'``.
@@ -97,7 +98,7 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
     val v = SnapshotSource.versionAsOf(root, timestamp / 1000L)
     new SnapshotStreamTable(
       SnapshotSource.surfacedSchema(root, v),
-      Map("root" -> root, "version" -> v.toString))
+      Map("root" -> root, "version" -> v.toString, "sqlResolved" -> "true"))
   }
 
   override def tableExists(ident: Identifier): Boolean =
@@ -147,10 +148,56 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // tables are paths; there is no enumerable namespace
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "alter snapshot tables through the graft.engine.Snapshots API " +
-        "(renameColumn / dropColumn / Checks)")
+  /** SQL schema evolution — every supported change is a METADATA-ONLY
+    * engine commit (no file is ever rewritten; see the Snapshots column-
+    * mapping contract):
+    *   - `ALTER TABLE ... RENAME COLUMN a TO b` → [[Snapshots.renameColumn]]
+    *   - `ALTER TABLE ... DROP COLUMN a`        → [[Snapshots.dropColumn]]
+    *   - `ALTER TABLE ... ADD COLUMNS (c TYPE)` → [[Snapshots.addColumn]]
+    * Nested fields, column positions (FIRST/AFTER), defaults, type
+    * changes, and property changes refuse loudly — each would need
+    * semantics the engine does not record, and a silently-dropped ALTER
+    * is a correctness bug waiting downstream. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import TableChange._
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    if (Snapshots.headVersion(spark, root) == 0)
+      throw new NoSuchTableException(ident)
+    def topLevel(fieldNames: Array[String], what: String): String = {
+      require(fieldNames.length == 1,
+        s"$what: nested column ${fieldNames.mkString(".")} is not supported " +
+          "(snapshot schema evolution is top-level)")
+      fieldNames(0)
+    }
+    changes.foreach {
+      case r: RenameColumn =>
+        Snapshots.renameColumn(spark, root,
+          topLevel(r.fieldNames, "RENAME COLUMN"), r.newName)
+      case d: DeleteColumn =>
+        val col = topLevel(d.fieldNames, "DROP COLUMN")
+        val exists = SnapshotSource.surfacedSchema(root).fieldNames.contains(col)
+        if (exists) Snapshots.dropColumn(spark, root, col)
+        else if (!Option(d.ifExists).exists(_.booleanValue))
+          sys.error(s"no column '$col' in $root")
+      case a: AddColumn =>
+        val col = topLevel(a.fieldNames, "ADD COLUMNS")
+        require(a.isNullable,
+          s"ADD COLUMNS $col: added columns must be nullable " +
+            "(every existing row reads null for them)")
+        require(a.position == null,
+          s"ADD COLUMNS $col: FIRST/AFTER positions are not supported " +
+            "(new columns append last)")
+        require(a.defaultValue == null,
+          s"ADD COLUMNS $col: column DEFAULT values are not supported")
+        Snapshots.addColumn(spark, root, col, a.dataType)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change $other — supported: RENAME " +
+          "COLUMN, DROP COLUMN, ADD COLUMNS (nullable, no default, " +
+          "appended last); CHECK constraints go through graft.engine.Checks")
+    }
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException(

@@ -1,0 +1,243 @@
+package graft.streaming
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.column.ParquetProperties
+import org.apache.parquet.hadoop.ParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{DataType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.engine.Snapshots
+
+/** GROUP-BASED (copy-on-write) row-level operations — what turns SQL
+  * `UPDATE`, `MERGE INTO`, and rewriting `DELETE` into engine commits on
+  * snapshot tables:
+  * {{{
+  *   UPDATE graft.`/lake/t` SET v = v + 1 WHERE k < 10
+  *   MERGE INTO graft.`/lake/t` t USING src s ON t.k = s.k
+  *     WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *
+  * }}}
+  * Spark's rewrite rules plan a [[Scan]] over the CANDIDATE GROUPS (for
+  * this engine a group = one data file), recompute every surviving row of
+  * those groups (updated where matched, copied verbatim otherwise, plus
+  * MERGE inserts), and hand the result to this operation's [[Write]] —
+  * whose commit atomically swaps the scanned files for the rewritten
+  * ones ([[Snapshots.replaceFiles]]).
+  *
+  * The 100 TB shape lives in the pruning, not the rewrite: the operation
+  * condition is pushed into the scan as a static filter (stats/bloom file
+  * pruning) AND as a runtime group filter
+  * ([[SnapshotScan.filterAttributes]] — e.g. a MERGE's source keys land
+  * as an IN-set that re-prunes files at execution), so a point-ish UPDATE
+  * rewrites the files its keys touch, never the table. The scan NEVER
+  * drops rows of surviving files (pushed filters prune files only; the
+  * full condition re-evaluates inside Spark's rewrite projection) — the
+  * group contract that makes copy-on-write sound.
+  *
+  * Consistency: the operation pins the head version at creation; the
+  * scan reads exactly that version and the commit fences on it
+  * (`requireHead`), so a concurrent commit aborts this operation loudly
+  * instead of being clobbered. */
+private[streaming] class SnapshotRowLevelOperation(
+    root: String,
+    tableSchema: StructType,
+    cmd: RowLevelOperation.Command)
+  extends RowLevelOperation {
+
+  /** The version this whole operation reads and replaces — scan and
+    * commit must agree or rows written since the scan would vanish. */
+  private[streaming] val pinnedHead: Long =
+    Snapshots.headVersion(SparkSession.active, root)
+
+  /** Files the row-level scan finally planned (post runtime filtering) —
+    * exactly the set the commit retires. Null until the scan plans. */
+  @volatile private[streaming] var scannedFiles: Seq[String] = null
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    require(pinnedHead > 0, s"no snapshot committed at $root yet — nothing to $cmd")
+    val merged = new CaseInsensitiveStringMap((options.asScala ++
+      Map("root" -> root, "version" -> pinnedHead.toString)).asJava)
+    val op = this
+    new SnapshotScanBuilder(tableSchema, root, merged) {
+      override def build(): Scan = super.build() match {
+        case sc: SnapshotScan =>
+          sc.onPlanned = files => op.scannedFiles = files
+          sc
+        case other => sys.error(
+          s"row-level scan over $root built ${other.getClass.getName} — " +
+            "aggregate pushdown must never claim a rewrite's scan")
+      }
+    }
+  }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new SnapshotReplaceWrite(
+        root, info.schema(), SnapshotRowLevelOperation.this)
+    }
+
+  override def description(): String = s"graft-row-level-$cmd $root"
+}
+
+/** The copy-on-write [[Write]]: executors stage the rewritten rows as
+  * parquet under an unreferenced commit directory; the driver commit
+  * swaps scanned→staged atomically. Rows arrive under LOGICAL names and
+  * are stored under the table's PHYSICAL names (column mapping). */
+private[streaming] class SnapshotReplaceWrite(
+    root: String,
+    rowSchema: StructType,
+    op: SnapshotRowLevelOperation)
+  extends Write with BatchWrite {
+
+  private val stagingDir = Snapshots.newStagingDir(root)
+
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"graft-replace-data $root"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val spark = SparkSession.active
+    val phys = SnapshotSource.physicalNames(root)
+    val physSchema = StructType(rowSchema.fields.map(f =>
+      StructField(phys.getOrElse(f.name, f.name), f.dataType, f.nullable)))
+    // ParquetWriteSupport + SparkToParquetSchemaConverter read these RAW
+    // (`.toBoolean` / `withName`, no ConfigEntry default fallback) —
+    // resolve them on the DRIVER through the session conf (which does
+    // apply defaults) and append LAST so they override any unset/garbage
+    // value in the flattened conf
+    def resolved(key: String, dflt: String): (String, String) =
+      key -> spark.conf.get(key, dflt)
+    val writerKeys = Array(
+      resolved(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false"),
+      resolved(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS"),
+      resolved(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true"),
+      resolved(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED"),
+      resolved(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED"),
+      resolved(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false"),
+      resolved(SQLConf.CASE_SENSITIVE.key, "false"))
+    SnapshotParquetWriterFactory(stagingDir, physSchema.json,
+      SnapshotSource.readerConfEntries(spark) ++ writerKeys)
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val newFiles = messages.collect {
+      case m: SnapshotFileCommit if m.path != null => m.path
+    }.toSeq.sorted
+    val removed = Option(op.scannedFiles).getOrElse(sys.error(
+      s"replace-data write on $root committed before its scan planned — " +
+        "cannot determine the replaced files"))
+    if (removed.isEmpty && newFiles.isEmpty) return // nothing matched: no-op
+    Snapshots.replaceFiles(spark, root, op.pinnedHead, removed.toSet, newFiles)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val p = new Path(stagingDir)
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(p, true) // staged files are unreferenced — plain cleanup
+  }
+}
+
+private[streaming] case class SnapshotFileCommit(path: String, rows: Long)
+  extends WriterCommitMessage
+
+/** Serialized to executors: staging dir + physical-name schema (json) +
+  * flattened session/hadoop conf (same pattern as the read factory). */
+private[streaming] case class SnapshotParquetWriterFactory(
+    stagingDir: String,
+    physSchemaJson: String,
+    confEntries: Array[(String, String)])
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new SnapshotParquetDataWriter(
+      f"$stagingDir/part-$partitionId%05d-$taskId.parquet",
+      physSchemaJson, confEntries)
+}
+
+/** Executor-side parquet writer of InternalRows via Spark's own
+  * [[ParquetWriteSupport]] — the exact value encoding `df.write.parquet`
+  * produces (decimals, timestamps, nested arrays/maps all match), so
+  * files staged here are indistinguishable from engine-written ones.
+  * Lazy-opens on the first row: an empty task stages nothing. */
+private[streaming] class SnapshotParquetDataWriter(
+    path: String,
+    physSchemaJson: String,
+    confEntries: Array[(String, String)])
+  extends DataWriter[InternalRow] {
+
+  private var writer: ParquetWriter[InternalRow] = null
+  private var rows = 0L
+  private lazy val schema = DataType.fromJson(physSchemaJson).asInstanceOf[StructType]
+  // Spark's group-based rewrite prefixes every row with an INT
+  // `__row_operation` column (and, having no metadata projection to
+  // trigger its own stripping task, hands rows to this writer RAW):
+  // rows marked WRITE/WRITE_WITH_METADATA persist, anything else is a
+  // row the rewrite decided to drop (e.g. MERGE WHEN MATCHED DELETE)
+  private lazy val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+    schema, 1 to schema.length)
+
+  private def open(): Unit = {
+    val conf = new Configuration(false)
+    confEntries.foreach { case (k, v) => conf.set(k, v) } // driver-resolved keys last
+    ParquetWriteSupport.setSchema(schema, conf)
+    val codec = conf.get("spark.sql.parquet.compression.codec", "snappy")
+      .toLowerCase match {
+        case "none" | "uncompressed" => CompressionCodecName.UNCOMPRESSED
+        case "gzip" => CompressionCodecName.GZIP
+        case "zstd" => CompressionCodecName.ZSTD
+        case "lz4" | "lz4raw" | "lz4_raw" => CompressionCodecName.LZ4_RAW
+        case _ => CompressionCodecName.SNAPPY
+      }
+    writer = new ParquetWriter[InternalRow](
+      new Path(path), new ParquetWriteSupport, codec,
+      ParquetWriter.DEFAULT_BLOCK_SIZE, ParquetWriter.DEFAULT_PAGE_SIZE,
+      ParquetWriter.DEFAULT_PAGE_SIZE,
+      /*enableDictionary=*/ true, /*validating=*/ false,
+      ParquetProperties.WriterVersion.PARQUET_1_0, conf)
+  }
+
+  override def write(record: InternalRow): Unit = {
+    import org.apache.spark.sql.catalyst.util.RowDeltaUtils
+    val out =
+      if (record.numFields == schema.length) record // already bare (defensive)
+      else {
+        require(record.numFields == schema.length + 1,
+          s"row-level write row has ${record.numFields} fields for a " +
+            s"${schema.length}-column schema — unexpected rewrite layout")
+        val op = record.getInt(0)
+        if (op != RowDeltaUtils.WRITE_OPERATION &&
+            op != RowDeltaUtils.WRITE_WITH_METADATA_OPERATION) return
+        proj.project(record)
+        proj
+      }
+    if (writer == null) open()
+    writer.write(out)
+    rows += 1
+  }
+
+  override def commit(): WriterCommitMessage = {
+    if (writer != null) writer.close()
+    SnapshotFileCommit(if (writer == null) null else path, rows)
+  }
+
+  override def abort(): Unit =
+    if (writer != null) {
+      writer.close()
+      val p = new Path(path)
+      p.getFileSystem(new Configuration()).delete(p, false)
+    }
+
+  override def close(): Unit = ()
+}

@@ -6,7 +6,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
@@ -144,6 +144,55 @@ private[streaming] object SnapshotSource {
         java.sql.Timestamp.valueOf(s).getTime
     }
 
+  /** EXACT `sources.Filter` → Column translation for SQL DELETE. Unlike
+    * [[graft.engine.FilterPrune]] (conservative file pruning, where a
+    * miss only costs I/O) this decides WHICH ROWS DIE, so every node must
+    * reproduce Spark's own evaluation exactly or refuse: None bubbles up,
+    * `canDeleteWhere` answers false, and Spark reports the predicate as
+    * untranslatable instead of deleting the wrong rows. Only top-level
+    * columns of `schema` translate — a dotted attribute could be either a
+    * nested field or a literal dotted name, and guessing is how a DELETE
+    * corrupts a table. */
+  def filterColumn(schema: StructType, f: Filter): Option[Column] = {
+    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.sources._
+    def top(a: String): Option[Column] =
+      if (schema.fieldNames.contains(a))
+        Some(org.apache.spark.sql.functions.col(s"`$a`"))
+      else None
+    def bin(a: String, v: Any)(op: (Column, Column) => Column): Option[Column] =
+      if (v == null) None else top(a).map(c => op(c, lit(v)))
+    f match {
+      case EqualTo(a, v) => bin(a, v)(_ === _)
+      case EqualNullSafe(a, null) => top(a).map(_.isNull)
+      case EqualNullSafe(a, v) => bin(a, v)(_ <=> _)
+      case GreaterThan(a, v) => bin(a, v)(_ > _)
+      case GreaterThanOrEqual(a, v) => bin(a, v)(_ >= _)
+      case LessThan(a, v) => bin(a, v)(_ < _)
+      case LessThanOrEqual(a, v) => bin(a, v)(_ <= _)
+      case In(a, vs) =>
+        // Catalyst In: null values in the list never MATCH (they yield
+        // null, not true), so translating them with isin is exact for
+        // the TRUE-rows-die delete semantics
+        top(a).map(_.isin(vs.toSeq.map(lit): _*))
+      case IsNull(a) => top(a).map(_.isNull)
+      case IsNotNull(a) => top(a).map(_.isNotNull)
+      case StringStartsWith(a, v) => top(a).map(_.startsWith(v))
+      case StringEndsWith(a, v) => top(a).map(_.endsWith(v))
+      case StringContains(a, v) => top(a).map(_.contains(v))
+      case And(l, r) =>
+        for { x <- filterColumn(schema, l); y <- filterColumn(schema, r) }
+          yield x && y
+      case Or(l, r) =>
+        for { x <- filterColumn(schema, l); y <- filterColumn(schema, r) }
+          yield x || y
+      case Not(c) => filterColumn(schema, c).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+
   /** Hadoop conf + session SQL confs flattened for the reader factory —
     * the session overlay is what `sessionState.newHadoopConf()` would add
     * (case sensitivity, session timezone, columnar batch size must reach
@@ -169,7 +218,9 @@ private[streaming] class SnapshotStreamTable(
     tableSchema: StructType,
     properties: Map[String, String])
   extends Table with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   override def name(): String = s"graft-snapshot(${properties.getOrElse("root", "?")})"
   override def schema(): StructType = tableSchema
@@ -184,14 +235,24 @@ private[streaming] class SnapshotStreamTable(
           Snapshots.headVersion(SparkSession.active, r))))
       .map(c => Array[Transform](Expressions.bucket(c.buckets, c.col)))
       .getOrElse(Array.empty)
-  // ACCEPT_ANY_SCHEMA: the engine's commit owns schema semantics (additive
-  // merge on append, fresh schema on overwrite, column-mapping renames) —
-  // Spark's by-name validation against the head schema would REJECT the
-  // additive evolution commit is designed to accept
-  override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+  // ACCEPT_ANY_SCHEMA — but only on the format-string path: there the
+  // engine's commit owns schema semantics (additive merge on append,
+  // fresh schema on overwrite, column-mapping renames) and Spark's
+  // validation against the head schema would REJECT the additive
+  // evolution commit is designed to accept. A CATALOG-loaded table
+  // (`INSERT INTO graft.\`root\``) instead keeps Spark's standard output
+  // resolution: SQL inserts are BY POSITION with casts, so an unaliased
+  // `INSERT INTO t SELECT id, id` lands in the table's columns rather
+  // than arriving under the SELECT's names (which the engine's by-name
+  // commit would treat as brand-new columns — silent corruption).
+  // Catalog-path schema evolution goes through ALTER TABLE instead.
+  override def capabilities(): JSet[TableCapability] = {
+    val base = Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
+      TableCapability.TRUNCATE)
+    (if (properties.get("sqlResolved").contains("true")) base
+     else base + TableCapability.ACCEPT_ANY_SCHEMA).asJava
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     // a catalog-loaded table ships its root in the TABLE properties; a
@@ -205,6 +266,69 @@ private[streaming] class SnapshotStreamTable(
     require(Snapshots.headVersion(SparkSession.active, root) > 0,
       s"no snapshot committed at $root yet — nothing to read or stream")
     new SnapshotScanBuilder(tableSchema, root, opts)
+  }
+
+  // ---- SQL DML: DELETE FROM / TRUNCATE TABLE land as engine commits ----
+
+  private def mutableRoot: String = {
+    require(!properties.contains("version"),
+      "cannot mutate a time-traveled snapshot table (VERSION/TIMESTAMP AS " +
+        "OF reads are immutable history) — address the table without AS OF")
+    properties.getOrElse("root", sys.error("snapshot table lost its root"))
+  }
+
+  /** True iff every filter translates EXACTLY (see
+    * [[SnapshotSource.filterColumn]]) and the table is not time-traveled —
+    * otherwise Spark surfaces the untranslatable predicate instead of us
+    * deleting the wrong rows. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    !properties.contains("version") && filters.forall(f =>
+      SnapshotSource.filterColumn(tableSchema, f).isDefined)
+
+  /** `DELETE FROM graft.`root` WHERE ...` → the engine's merge-on-read
+    * [[Snapshots.deleteWhere]]: stats/bloom-pruned mark scan, positions
+    * folded into per-file deletion vectors, copy-on-write only past the
+    * DV-fraction cap — the 100 TB delete shape, now one SQL statement. An
+    * unconditioned DELETE short-circuits to the O(1) metadata truncate. */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val root = mutableRoot
+    val spark = SparkSession.active
+    if (filters.isEmpty) { Snapshots.truncate(spark, root); return }
+    val cond = filters.map(f => SnapshotSource.filterColumn(tableSchema, f)
+        .getOrElse(sys.error(s"untranslatable DELETE filter $f — " +
+          "canDeleteWhere should have refused this plan")))
+      .reduce(_ && _)
+    // a provably-constant TRUE condition (DELETE with no WHERE arrives as
+    // AlwaysTrue) is a truncate, not a full mark-and-vector scan
+    val allRows = filters.forall {
+      case _: org.apache.spark.sql.sources.AlwaysTrue => true
+      case _ => false
+    }
+    if (allRows) Snapshots.truncate(spark, root)
+    else Snapshots.deleteWhere(spark, root, cond)
+  }
+
+  /** SQL TRUNCATE TABLE: O(1) metadata commit keeping schema, retired
+    * names, and clustering ([[Snapshots.truncate]]). */
+  override def truncateTable(): Boolean = {
+    Snapshots.truncate(SparkSession.active, mutableRoot)
+    true
+  }
+
+  /** SQL UPDATE / MERGE INTO / rewriting DELETE — group-based
+    * copy-on-write row-level operations ([[SnapshotRowLevelOperation]]):
+    * the condition prunes candidate files statically AND at runtime, the
+    * rewrite recomputes those files' rows, and the commit swaps them
+    * atomically under a head fence. */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    val root = mutableRoot
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build()
+          : org.apache.spark.sql.connector.write.RowLevelOperation =
+        new SnapshotRowLevelOperation(root, tableSchema, info.command)
+    }
   }
 
   override def newWriteBuilder(
@@ -542,6 +666,12 @@ private[streaming] class SnapshotScan(
 
   @volatile private var runtimeFilters: Array[Filter] = Array.empty
 
+  /** Row-level-operation hook ([[SnapshotRowLevelOperation]]): receives
+    * the FINAL (post-runtime-filter) planned file list on every planning
+    * pass, so the copy-on-write commit replaces exactly the files whose
+    * rows the rewrite read. Null outside row-level scans. */
+  @volatile private[streaming] var onPlanned: Seq[String] => Unit = null
+
   /** Advertise only columns the manifest can actually prune on (stats or
     * bloom indexed): a runtime IN-set on anything else cannot shrink the
     * file list, so asking Spark to materialize it would cost a driver-side
@@ -634,6 +764,7 @@ private[streaming] class SnapshotScan(
         graft.engine.FilterPrune.prune(m, fullSchema, runtimeFilters.toSeq)
           .toSet).toSeq
     val dvByName = m.dvs.map(d => d.file -> d.b64).toMap
+    if (onPlanned != null) onPlanned(finalKept)
     SnapshotFilePartition.planned(finalKept, dvByName, spark,
       clustered = clustered.isDefined)
   }
