@@ -648,6 +648,66 @@ object Snapshots {
     }
   }
 
+  /** IDEMPOTENT file-level append — the commit primitive behind the DSv2
+    * STREAMING write ([[graft.streaming]]): `newFiles` are already staged
+    * under [[newStagingDir]] (PHYSICAL column names) by executor-side
+    * writers; this publishes them as one append commit tagged `tag`. A
+    * retained version already carrying the tag means a REPLAYED epoch —
+    * the staged duplicates are deleted and nothing publishes
+    * (exactly-once in effect; same contract as [[commitIfAbsent]]).
+    * Appends are conflict-free, so the publish retries past concurrent
+    * committers instead of fencing. The new files are indexed under the
+    * same physical columns the head indexes; the clustering spec drops
+    * (a streamed batch is not provably bucket-pure — the clustered
+    * ingest path stays [[graft.streaming.SnapshotSink]]). */
+  private[graft] def appendFiles(
+      spark: SparkSession,
+      root: String,
+      newFiles: Seq[String],
+      tag: String,
+      schemaIfNew: Option[StructType] = None): Option[Long] = {
+    require(tag.nonEmpty, "idempotency tag must be non-empty")
+    if (historyMeta(spark, root).exists(_.tag == tag)) {
+      if (newFiles.nonEmpty)
+        fs(spark, root).delete(new Path(newFiles.head).getParent, true)
+      return None
+    }
+    val headV = headVersion(spark, root)
+    val (statsP, bloomP) =
+      if (headV == 0) (Seq.empty[String], Seq.empty[String])
+      else {
+        val m = resolve(manifestMeta(spark, root, headV),
+          loadShards(spark, root, manifestMeta(spark, root, headV)))
+        (m.stats.map(_.col).distinct, m.blooms.map(_.col).distinct)
+      }
+    val (stats, rows) =
+      if (newFiles.isEmpty) (Seq.empty[ColStats], Seq.empty[FileRows])
+      else statsFromFooters(spark, newFiles, statsP)
+        .getOrElse(collectStats(spark, newFiles, statsP))
+    val blooms =
+      if (bloomP.isEmpty || newFiles.isEmpty) Seq.empty[FileBloom]
+      else {
+        val logical = parseSchemaStr(manifestMeta(spark, root, headV).schema)
+        collectBlooms(spark, newFiles, bloomP,
+          logical.getOrElse(sys.error(s"$root has no recorded schema")),
+          logical.map(logicalToPhysical).getOrElse(Map.empty),
+          if (rows.nonEmpty) rows else rowsFromFooters(spark, newFiles))
+      }
+    val newRef =
+      if (newFiles.isEmpty) None
+      else Some(writeShard(spark, root, newFiles, stats, rows, blooms))
+    Some(publishMeta(spark, root, tag) { head =>
+      // schema: the staged files carry the head's physical schema (the
+      // writer factory derived it from the head) — keep it; a FRESH
+      // table records the writer's logical schema (no mapping yet)
+      val schema = head.map(_.schema)
+        .orElse(schemaIfNew.map(_.json))
+        .getOrElse("")
+      (head.map(h => shardRefsOf(spark, root, h)).getOrElse(Seq.empty) ++ newRef,
+        schema)
+    })
+  }
+
   /** A fresh unguessable staging directory under the table's data area —
     * where a DSv2 executor-side write stages files before
     * [[replaceFiles]] publishes them (nothing references the directory

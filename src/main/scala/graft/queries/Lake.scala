@@ -1731,6 +1731,46 @@ object Lake {
           |FROM graft.`$root`""".stripMargin)
     },
 
+    // ---- q128: SQL CALL PROCEDURES — the admin lifecycle from SQL: a
+    //            DELETE mutates the table, CALL restore rolls it back as
+    //            history, CALL compact folds the layout, CALL vacuum
+    //            reclaims — and the final read must still equal DuckDB
+    //            over the untouched source (the lifecycle is row-neutral
+    //            by construction). Required in-query: history row count
+    //            tracks the commits, compact leaves target_files files. ----
+    OracleQuery(
+      "q128_sql_procedures",
+      s"""SELECT l_linestatus, count(*) AS n,
+        |  ${graft.engine.Det.sql.dsum("l_extendedprice")} AS sum_ep
+        |FROM lineitem
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/lineitem_proc"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+      Snapshots.commit(
+        Tables(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_linestatus"), col("l_extendedprice"))
+          .repartitionByRange(4, col("l_orderkey")),
+        root, statsCols = Seq("l_orderkey"))
+      spark.sql(s"DELETE FROM graft.`$root` WHERE l_orderkey <= 1000")
+      require(spark.sql(s"CALL graft.system.history('$root')").count() == 2L,
+        "commit + delete = 2 history rows")
+      spark.sql(s"CALL graft.system.restore('$root', version => 1)")
+      spark.sql(s"CALL graft.system.compact('$root', target_files => 2, " +
+        "stats_cols => 'l_orderkey')")
+      require(Snapshots.manifest(spark, root,
+        Snapshots.headVersion(spark, root)).files.size == 2,
+        "compact must leave exactly target_files files")
+      spark.sql(s"CALL graft.system.vacuum('$root', keep_last => 1)")
+      spark.sql(
+        s"""SELECT l_linestatus, count(*) AS n,
+          |  ${graft.engine.Det.sql.dsum("l_extendedprice")} AS sum_ep
+          |FROM graft.`$root`
+          |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO

@@ -47,7 +47,8 @@ import graft.engine.Snapshots
   * against Spark's own `hash()` SQL function; it is what makes Spark's
   * one-side-shuffle fallback (`spark.sql.sources.v2.bucketing.shuffle
   * .enabled`) route rows to the correct storage bucket. */
-class SnapshotCatalog extends TableCatalog with FunctionCatalog {
+class SnapshotCatalog extends TableCatalog with FunctionCatalog
+  with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft"
 
@@ -207,6 +208,22 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog {
   override def renameTable(old: Identifier, nw: Identifier): Unit =
     throw new UnsupportedOperationException(
       "snapshot tables are path-addressed — move the directory instead")
+
+  // ---- ProcedureCatalog: the engine's admin verbs as SQL CALL targets ----
+  // CALL graft.system.history('/lake/t') / compact / compact_clustered /
+  // compact_zorder / restore / vacuum / vacuum_orphans / convert /
+  // add_check / drop_check — see [[SnapshotProcedures]].
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    SnapshotProcedures.all.getOrElse(ident.name().toLowerCase,
+      throw new RuntimeException(
+        s"no such procedure '${ident.name()}' — available: " +
+          SnapshotProcedures.all.keys.toSeq.sorted.mkString(", ")))
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    SnapshotProcedures.all.keys.toArray.sorted
+      .map(n => Identifier.of(Array("system"), n))
 
   // ---- FunctionCatalog: exactly one function, the clustering transform ----
 

@@ -64,6 +64,23 @@ private[streaming] class SnapshotRowLevelOperation(
 
   override def command(): RowLevelOperation.Command = cmd
 
+  /** `_file` through the rewrite plan: funds Spark's RUNTIME GROUP
+    * FILTERING — the condition's matching files compute as a dynamic
+    * subquery and land back on the main scan as an `In(_file, ...)`
+    * runtime filter, so an UPDATE/MERGE whose condition no static index
+    * mines still rewrites only the files that hold matching rows. */
+  override def requiredMetadataAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column(SnapshotSource.FileCol))
+
+  /** Both the rewrite's MAIN scan and (later) the group-filter
+    * subquery's scan build through this operation. Only the FIRST build
+    * — the main scan, whose final planned set is what the commit must
+    * replace — binds the scanned-files hook; the subquery scan's
+    * condition-pushed subset must never masquerade as it. */
+  private val boundMain = new java.util.concurrent.atomic.AtomicBoolean(false)
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     require(pinnedHead > 0, s"no snapshot committed at $root yet — nothing to $cmd")
     val merged = new CaseInsensitiveStringMap((options.asScala ++
@@ -72,7 +89,8 @@ private[streaming] class SnapshotRowLevelOperation(
     new SnapshotScanBuilder(tableSchema, root, merged) {
       override def build(): Scan = super.build() match {
         case sc: SnapshotScan =>
-          sc.onPlanned = files => op.scannedFiles = files
+          if (boundMain.compareAndSet(false, true))
+            sc.onPlanned = files => op.scannedFiles = files
           sc
         case other => sys.error(
           s"row-level scan over $root built ${other.getClass.getName} — " +
@@ -107,26 +125,9 @@ private[streaming] class SnapshotReplaceWrite(
 
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val spark = SparkSession.active
-    val phys = SnapshotSource.physicalNames(root)
-    val physSchema = StructType(rowSchema.fields.map(f =>
-      StructField(phys.getOrElse(f.name, f.name), f.dataType, f.nullable)))
-    // ParquetWriteSupport + SparkToParquetSchemaConverter read these RAW
-    // (`.toBoolean` / `withName`, no ConfigEntry default fallback) —
-    // resolve them on the DRIVER through the session conf (which does
-    // apply defaults) and append LAST so they override any unset/garbage
-    // value in the flattened conf
-    def resolved(key: String, dflt: String): (String, String) =
-      key -> spark.conf.get(key, dflt)
-    val writerKeys = Array(
-      resolved(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false"),
-      resolved(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS"),
-      resolved(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true"),
-      resolved(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED"),
-      resolved(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED"),
-      resolved(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false"),
-      resolved(SQLConf.CASE_SENSITIVE.key, "false"))
-    SnapshotParquetWriterFactory(stagingDir, physSchema.json,
-      SnapshotSource.readerConfEntries(spark) ++ writerKeys)
+    SnapshotParquetWriterFactory(stagingDir,
+      SnapshotParquetDataWriter.physSchemaJson(root, rowSchema),
+      SnapshotParquetDataWriter.writerConf(spark))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -152,6 +153,75 @@ private[streaming] class SnapshotReplaceWrite(
 private[streaming] case class SnapshotFileCommit(path: String, rows: Long)
   extends WriterCommitMessage
 
+/** Native STREAMING write — `df.writeStream.format(...).option("root",
+  * root).start()` / `.toTable("graft.\`root\`")` without the foreachBatch
+  * wrapper: executors stage each epoch's rows as parquet, and the epoch
+  * commit publishes them as ONE append tagged `stream-<queryId>-e<epoch>`
+  * ([[Snapshots.appendFiles]]). The tag is the exactly-once mechanism: a
+  * replayed epoch (restart from checkpoint) finds its tag already
+  * retained, deletes its duplicate staged files, and publishes nothing.
+  * Appends never introduce columns on this path (additive evolution
+  * stays with the batch commit — checked loudly before any data moves);
+  * the clustered-ingest path with per-trigger maintenance remains
+  * [[SnapshotSink]]. */
+private[streaming] class SnapshotStreamingWrite(
+    root: String,
+    rowSchema: StructType,
+    queryId: String)
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val stagingDir = Snapshots.newStagingDir(root)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    val head = SnapshotSource.surfacedSchema(root)
+    if (head.fields.nonEmpty) {
+      val unknown = rowSchema.fieldNames.filterNot(head.fieldNames.contains)
+      require(unknown.isEmpty,
+        s"streaming append to $root introduces column(s) " +
+          s"${unknown.mkString(", ")} — evolve the schema with a batch " +
+          "commit first (streamed appends never evolve schemas silently)")
+    }
+    SnapshotStreamingWriterFactory(stagingDir,
+      SnapshotParquetDataWriter.physSchemaJson(root, rowSchema),
+      SnapshotParquetDataWriter.writerConf(spark))
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val newFiles = messages.collect {
+      case m: SnapshotFileCommit if m.path != null => m.path
+    }.toSeq.sorted
+    if (newFiles.isEmpty) return // an empty trigger mints no version
+    Snapshots.appendFiles(SparkSession.active, root, newFiles,
+      tag = s"stream-$queryId-e$epochId", schemaIfNew = Some(rowSchema))
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val f = new Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case m: SnapshotFileCommit if m.path != null =>
+        f.delete(new Path(m.path), false)
+      case _ => ()
+    }
+  }
+}
+
+private[streaming] case class SnapshotStreamingWriterFactory(
+    stagingDir: String,
+    physSchemaJson: String,
+    confEntries: Array[(String, String)])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+
+  override def createWriter(
+      partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] =
+    new SnapshotParquetDataWriter(
+      f"$stagingDir/part-e$epochId-$partitionId%05d-$taskId.parquet",
+      physSchemaJson, confEntries)
+}
+
 /** Serialized to executors: staging dir + physical-name schema (json) +
   * flattened session/hadoop conf (same pattern as the read factory). */
 private[streaming] case class SnapshotParquetWriterFactory(
@@ -164,6 +234,39 @@ private[streaming] case class SnapshotParquetWriterFactory(
     new SnapshotParquetDataWriter(
       f"$stagingDir/part-$partitionId%05d-$taskId.parquet",
       physSchemaJson, confEntries)
+}
+
+private[streaming] object SnapshotParquetDataWriter {
+
+  /** The table's PHYSICAL schema for `rowSchema`'s columns (column
+    * mapping applied; the `_file` metadata column — provenance plumbing,
+    * never persisted data — stripped). */
+  def physSchemaJson(root: String, rowSchema: StructType): String = {
+    val phys = SnapshotSource.physicalNames(root)
+    StructType(rowSchema.fields
+      .filterNot(_.name == SnapshotSource.FileCol)
+      .map(f => StructField(phys.getOrElse(f.name, f.name), f.dataType, f.nullable)))
+      .json
+  }
+
+  /** Flattened conf for executor-side parquet writing.
+    * ParquetWriteSupport + SparkToParquetSchemaConverter read several
+    * keys RAW (`.toBoolean` / `withName`, no ConfigEntry default
+    * fallback) — resolve them on the DRIVER through the session conf
+    * (which does apply defaults) and append LAST so they override any
+    * unset/garbage value in the flattened entries. */
+  def writerConf(spark: SparkSession): Array[(String, String)] = {
+    def resolved(key: String, dflt: String): (String, String) =
+      key -> spark.conf.get(key, dflt)
+    SnapshotSource.readerConfEntries(spark) ++ Array(
+      resolved(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false"),
+      resolved(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS"),
+      resolved(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true"),
+      resolved(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED"),
+      resolved(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED"),
+      resolved(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key, "false"),
+      resolved(SQLConf.CASE_SENSITIVE.key, "false"))
+  }
 }
 
 /** Executor-side parquet writer of InternalRows via Spark's own

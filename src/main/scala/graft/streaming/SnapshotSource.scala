@@ -144,6 +144,24 @@ private[streaming] object SnapshotSource {
         java.sql.Timestamp.valueOf(s).getTime
     }
 
+  /** The `_file` METADATA COLUMN: each row's data-file basename.
+    * `SELECT _file, * FROM graft.\`t\`` answers row provenance, and the
+    * row-level operations' RUNTIME GROUP FILTERING rides it — Spark
+    * computes the files holding condition-matching rows as a dynamic
+    * subquery and prunes the rewrite's scan to exactly those, so an
+    * UPDATE/MERGE whose condition no static index can mine still
+    * rewrites only the files it must. */
+  val FileCol = "_file"
+
+  val FileMetadataColumn: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = FileCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "basename of the snapshot data file this row resides in"
+    }
+
   /** EXACT `sources.Filter` → Column translation for SQL DELETE. Unlike
     * [[graft.engine.FilterPrune]] (conservative file pruning, where a
     * miss only costs I/O) this decides WHICH ROWS DIE, so every node must
@@ -208,6 +226,7 @@ private[streaming] object SnapshotSource {
   def physicalNames(root: String): Map[String, String] = {
     val spark = SparkSession.active
     val head = Snapshots.headVersion(spark, root)
+    if (head == 0) return Map.empty // fresh table: logical IS physical
     Snapshots.parseSchemaStr(Snapshots.manifestMeta(spark, root, head).schema)
       .map(s => s.fields.map(f => f.name -> Snapshots.physicalOf(f)).toMap)
       .getOrElse(Map.empty)
@@ -220,7 +239,15 @@ private[streaming] class SnapshotStreamTable(
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite
   with org.apache.spark.sql.connector.catalog.SupportsDelete
-  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
+  with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
+  with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
+
+  /** `_file` (row provenance + runtime group filtering) — hidden if a
+    * data column ever claims the name (data wins; no silent shadowing). */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (tableSchema.fieldNames.contains(SnapshotSource.FileCol)) Array.empty
+    else Array(SnapshotSource.FileMetadataColumn)
 
   override def name(): String = s"graft-snapshot(${properties.getOrElse("root", "?")})"
   override def schema(): StructType = tableSchema
@@ -249,7 +276,7 @@ private[streaming] class SnapshotStreamTable(
   override def capabilities(): JSet[TableCapability] = {
     val base = Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE)
+      TableCapability.STREAMING_WRITE, TableCapability.TRUNCATE)
     (if (properties.get("sqlResolved").contains("true")) base
      else base + TableCapability.ACCEPT_ANY_SCHEMA).asJava
   }
@@ -338,7 +365,7 @@ private[streaming] class SnapshotStreamTable(
       if (info.options.containsKey("root")) info.options
       else new CaseInsensitiveStringMap((properties ++
         info.options.asScala).asJava)
-    new SnapshotWriteBuilder(SnapshotSource.rootOf(opts), opts)
+    new SnapshotWriteBuilder(SnapshotSource.rootOf(opts), opts, info)
   }
 }
 
@@ -356,7 +383,8 @@ private[streaming] class SnapshotStreamTable(
   * time-travelable); `append` is an append commit. */
 private[streaming] class SnapshotWriteBuilder(
     root: String,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
   extends org.apache.spark.sql.connector.write.WriteBuilder
   with org.apache.spark.sql.connector.write.SupportsTruncate {
 
@@ -369,6 +397,17 @@ private[streaming] class SnapshotWriteBuilder(
 
   override def build(): org.apache.spark.sql.connector.write.Write =
     new org.apache.spark.sql.connector.write.V1Write {
+      /** Native micro-batch STREAMING write (no foreachBatch wrapper) —
+        * one epoch = one tagged append commit, exactly-once on replay
+        * ([[SnapshotStreamingWrite]]). Append output mode only: complete
+        * mode would truncate the table every trigger. */
+      override def toStreaming
+          : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+        require(!overwrite,
+          s"streaming writes to $root are append-only — 'complete'/" +
+            "'truncate' output would rewrite the whole table every trigger")
+        new SnapshotStreamingWrite(root, info.schema(), info.queryId())
+      }
       override def toInsertableRelation
           : org.apache.spark.sql.sources.InsertableRelation =
         new org.apache.spark.sql.sources.InsertableRelation {
@@ -438,9 +477,13 @@ private[streaming] class SnapshotScanBuilder(
         SnapshotSource.versionAsOf(root, SnapshotSource.parseAsOfMillis(s))))
 
   override def pruneColumns(requiredSchema: StructType): Unit =
-    // keep full-schema field order/types; the pruner passes a subset
+    // keep full-schema field order/types; the pruner passes a subset.
+    // The `_file` metadata column (never in fullSchema) rides LAST —
+    // the readers synthesize it per file, the parquet read never sees it
     required = StructType(fullSchema.fields.filter(f =>
-      requiredSchema.fieldNames.contains(f.name)))
+      requiredSchema.fieldNames.contains(f.name)) ++
+      requiredSchema.fields.filter(_.name == SnapshotSource.FileCol)
+        .map(_ => StructField(SnapshotSource.FileCol, StringType, nullable = false)))
 
   /** Every filter stays RESIDUAL (returned for Spark to re-evaluate
     * row-exactly); the minable subset is reported as pushed and used for
@@ -679,6 +722,14 @@ private[streaming] class SnapshotScan(
     * Spark resolves these refs against the pruned projection. */
   override def filterAttributes()
       : Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    // a scan carrying `_file` is a row-level rewrite's scan: advertise
+    // ONLY the file column — its runtime IN-set is bounded by the file
+    // count, whereas a data column's matching-value set is unbounded
+    // (collecting millions of keys onto the driver is the failure mode
+    // group filtering exists to avoid)
+    if (required.fieldNames.contains(SnapshotSource.FileCol))
+      return Array(org.apache.spark.sql.connector.expressions.Expressions
+        .column(SnapshotSource.FileCol))
     val (m, _) = resolved
     val indexed = (m.stats.map(_.col) ++ m.blooms.map(_.col)).toSet
     required.fieldNames.filter(indexed)
@@ -758,10 +809,29 @@ private[streaming] class SnapshotScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (m, kept) = resolved
+    // `_file` runtime filters (row-level group filtering) name files
+    // directly by basename; everything else mines the stats/bloom index
+    val (fileFilters, dataFilters) = runtimeFilters.partition {
+      case org.apache.spark.sql.sources.In(SnapshotSource.FileCol, _) => true
+      case org.apache.spark.sql.sources.EqualTo(SnapshotSource.FileCol, _) => true
+      case _ => false
+    }
+    val fileKept =
+      if (fileFilters.isEmpty) kept
+      else {
+        val allowed = fileFilters.iterator.flatMap {
+          case org.apache.spark.sql.sources.In(_, vs) =>
+            vs.iterator.map(String.valueOf)
+          case org.apache.spark.sql.sources.EqualTo(_, v) =>
+            Iterator.single(String.valueOf(v))
+          case _ => Iterator.empty[String]
+        }.toSet
+        kept.filter(u => allowed.contains(new Path(u).getName))
+      }
     val finalKept =
-      if (runtimeFilters.isEmpty) kept
-      else kept.toSet.intersect(
-        graft.engine.FilterPrune.prune(m, fullSchema, runtimeFilters.toSeq)
+      if (dataFilters.isEmpty) fileKept
+      else fileKept.toSet.intersect(
+        graft.engine.FilterPrune.prune(m, fullSchema, dataFilters.toSeq)
           .toSet).toSeq
     val dvByName = m.dvs.map(d => d.file -> d.b64).toMap
     if (onPlanned != null) onPlanned(finalKept)
@@ -1273,13 +1343,38 @@ private[streaming] class SnapshotBatchReader(
     physNames: Array[String],
     confEntries: Array[(String, String)]) extends PartitionReader[ColumnarBatch] {
 
+  // `_file` is synthesized, never parquet-read: strip it from the
+  // requested schema and append a constant vector per returned batch
+  private val fileIdx = required.fieldNames.indexOf(SnapshotSource.FileCol)
+  private val dataRequired =
+    if (fileIdx < 0) required
+    else StructType(required.fields.filterNot(_.name == SnapshotSource.FileCol))
+  private val dataPhys =
+    if (fileIdx < 0) physNames
+    else required.fields.zip(physNames)
+      .filterNot(_._1.name == SnapshotSource.FileCol).map(_._2)
+  private val baseName =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      new Path(partition.uri).getName)
+
   private val vr = SnapshotVectorized.open(
-    partition.uri, required, physNames, confEntries,
+    partition.uri, dataRequired, dataPhys, confEntries,
     partition.start, partition.length)
   vr.enableReturningBatches()
 
   override def next(): Boolean = vr.nextKeyValue()
-  override def get(): ColumnarBatch = vr.getCurrentValue.asInstanceOf[ColumnarBatch]
+  override def get(): ColumnarBatch = {
+    val b = vr.getCurrentValue.asInstanceOf[ColumnarBatch]
+    if (fileIdx < 0) return b
+    require(fileIdx == dataRequired.length,
+      s"_file must be the scan's last column, got position $fileIdx")
+    val cv = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
+      b.numRows, StringType)
+    cv.setUtf8String(baseName)
+    val cols = Array.tabulate[org.apache.spark.sql.vectorized.ColumnVector](
+      b.numCols + 1)(i => if (i < b.numCols) b.column(i) else cv)
+    new ColumnarBatch(cols, b.numRows)
+  }
   override def close(): Unit = vr.close()
 }
 
@@ -1293,8 +1388,29 @@ private[streaming] class SnapshotRowReader(
     physNames: Array[String],
     confEntries: Array[(String, String)]) extends PartitionReader[InternalRow] {
 
+  private val fileIdx = required.fieldNames.indexOf(SnapshotSource.FileCol)
+  private val dataRequired =
+    if (fileIdx < 0) required
+    else StructType(required.fields.filterNot(_.name == SnapshotSource.FileCol))
+  private val dataPhys =
+    if (fileIdx < 0) physNames
+    else required.fields.zip(physNames)
+      .filterNot(_._1.name == SnapshotSource.FileCol).map(_._2)
+  // `_file` appended via a reused JoinedRow — zero per-row allocation
+  private val joined =
+    if (fileIdx < 0) null
+    else {
+      require(fileIdx == dataRequired.length,
+        s"_file must be the scan's last column, got position $fileIdx")
+      new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+        null,
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(
+            new Path(partition.uri).getName))))
+    }
+
   private val vr = SnapshotVectorized.open(
-    partition.uri, required, physNames, confEntries,
+    partition.uri, dataRequired, dataPhys, confEntries,
     partition.start, partition.length)
   private val dv = partition.dvB64.map(SnapshotVectorized.decodeDv)
   private var rowIdx: Long = -1L
@@ -1309,6 +1425,9 @@ private[streaming] class SnapshotRowReader(
     has
   }
 
-  override def get(): InternalRow = vr.getCurrentValue.asInstanceOf[InternalRow]
+  override def get(): InternalRow = {
+    val r = vr.getCurrentValue.asInstanceOf[InternalRow]
+    if (joined == null) r else joined.withLeft(r)
+  }
   override def close(): Unit = vr.close()
 }

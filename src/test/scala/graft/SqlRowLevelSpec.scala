@@ -124,6 +124,46 @@ class SqlRowLevelSpec extends SparkSpec {
     assert(got.where($"k" <= 3L).count() === 0L)
   }
 
+  test("_file metadata column: provenance on clean and DV'd files") {
+    val root = tmp()
+    Snapshots.commit(
+      (1L to 400L).map(i => (i, i)).toDF("k", "v").repartitionByRange(4, col("k")),
+      root, statsCols = Seq("k"))
+    val t = spark.table(s"graft.`$root`")
+    // columnar path: 4 distinct files, counts per file sum to the total
+    val perFile = t.select(col("_file")).groupBy("_file").count().collect()
+    assert(perFile.length === 4)
+    assert(perFile.map(_.getLong(1)).sum === 400L)
+    assert(perFile.forall(_.getString(0).endsWith(".parquet")))
+    // DV path (row reader): vector some rows, provenance still exact
+    Snapshots.deleteWhere(spark, root, col("k") <= 50L)
+    val after = spark.table(s"graft.`$root`")
+      .groupBy("_file").count().collect()
+    assert(after.map(_.getLong(1)).sum === 350L)
+    assert(after.length === 4)
+  }
+
+  test("runtime group filtering: an unindexed UPDATE rewrites only matching files") {
+    val root = tmp()
+    // NO statsCols: the static index cannot mine s — only the dynamic
+    // _file subquery can narrow the rewrite
+    Snapshots.commit(
+      (1L to 4000L).map(i => (i, if (i <= 500) "hot" else s"cold$i"))
+        .toDF("k", "s").repartitionByRange(8, col("k")),
+      root)
+    val before = Snapshots.manifest(spark, root, 1L).files.toSet
+    assert(before.size === 8)
+    spark.sql(s"UPDATE graft.`$root` SET s = 'patched' WHERE s = 'hot'")
+    val after = Snapshots.manifest(spark, root, 2L).files.toSet
+    val carried = before intersect after
+    assert(carried.size >= 6,
+      s"group filtering must carry the non-matching files by reference, " +
+        s"carried only ${carried.size} of 8")
+    val got = spark.table(s"graft.`$root`")
+    assert(got.where($"s" === "patched").count() === 500L)
+    assert(got.count() === 4000L)
+  }
+
   test("UPDATE that matches nothing is a true no-op") {
     val root = freshTable()
     spark.sql(s"UPDATE graft.`$root` SET v = 0 WHERE k > 99999")
