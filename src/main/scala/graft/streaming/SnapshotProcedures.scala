@@ -121,6 +121,16 @@ private[streaming] object SnapshotProcedures {
       r => versionRow(Snapshots.compactClustered(spark, str(r, 0),
         csv(r, 1), csv(r, 2)))),
 
+    Proc("compact_where",
+      "compact only the files the predicate's stats/bloom mining touches",
+      Seq(in("table", StringType), in("cond", StringType),
+        inDefault("target_files", IntegerType, "1"),
+        inDefault("stats_cols", StringType, "''")),
+      VersionOut,
+      r => versionRow(Snapshots.compactWhere(spark, str(r, 0),
+        org.apache.spark.sql.functions.expr(str(r, 1)), r.getInt(2),
+        csv(r, 3)))),
+
     Proc("compact_zorder",
       "rewrite along the Morton curve of dims (csv); re-collects their stats",
       Seq(in("table", StringType), in("dims", StringType),
@@ -157,6 +167,39 @@ private[streaming] object SnapshotProcedures {
       VersionOut,
       r => versionRow(Snapshots.convertInPlace(spark, str(r, 0),
         csv(r, 1), csv(r, 2)))),
+
+    Proc("create_branch",
+      "zero-copy fork of the table (at `version`, default head) as a WAP " +
+        "branch — address it as graft.`<table>@ref=<name>` for reads/writes",
+      Seq(in("table", StringType), in("name", StringType),
+        inDefault("version", LongType, "-1")),
+      VersionOut,
+      r => versionRow(graft.engine.Branches.fork(spark, str(r, 0), str(r, 1),
+        r.getLong(2)))),
+
+    Proc("publish_branch",
+      "atomically fast-forward main to the branch head; rebase => true " +
+        "auto-rebases append-only branches onto an advanced main first",
+      Seq(in("table", StringType), in("name", StringType),
+        inDefault("rebase", BooleanType, "true")),
+      VersionOut,
+      r => versionRow(
+        if (r.getBoolean(2))
+          graft.engine.Branches.publishRebase(spark, str(r, 0), str(r, 1))
+        else graft.engine.Branches.publish(spark, str(r, 0), str(r, 1)))),
+
+    Proc("drop_branch",
+      "delete a branch's manifests (reference-safe: shared data stays)",
+      Seq(in("table", StringType), in("name", StringType)),
+      OkOut,
+      { r => graft.engine.Branches.drop(spark, str(r, 0), str(r, 1)); OkRow }),
+
+    Proc("list_branches",
+      "one row per live branch of the table",
+      Seq(in("table", StringType)),
+      StructType(Seq(StructField("branch", StringType, false))),
+      r => graft.engine.Branches.list(spark, str(r, 0)).sorted
+        .map(n => new GenericInternalRow(Array[Any](utf8(n))))),
 
     Proc("add_check",
       "add a table CHECK constraint (validates existing data first)",

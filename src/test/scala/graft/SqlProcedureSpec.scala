@@ -42,10 +42,16 @@ class SqlProcedureSpec extends SparkSpec {
       .head().getLong(0)
     assert(v === 4L)
     assert(spark.table(s"graft.`$root`").count() === 3L)
+    // predicate-scoped compaction: the commits carried no stats index,
+    // so the miner conservatively keeps every file — the rewrite must
+    // stay row-neutral whatever it touches
+    val v2 = spark.sql(s"CALL graft.system.compact_where('$root', 'k > 100')")
+      .head().getLong(0)
+    assert(spark.table(s"graft.`$root`").count() === 3L)
     spark.sql(s"CALL graft.system.vacuum('$root', keep_last => 1)")
     // vacuumed history: only the head remains readable
     val h = spark.sql(s"CALL graft.system.history('$root')").collect()
-    assert(h.map(_.getLong(0)).toSeq === Seq(4L))
+    assert(h.map(_.getLong(0)).toSeq === Seq(v2))
     assert(spark.table(s"graft.`$root`").count() === 3L)
   }
 
@@ -71,6 +77,30 @@ class SqlProcedureSpec extends SparkSpec {
     spark.sql(s"CALL graft.system.drop_check('$root', 'v_pos')")
     spark.sql(s"INSERT INTO graft.`$root` VALUES (2, -1)")
     assert(spark.table(s"graft.`$root`").count() === 2L)
+  }
+
+  test("branch lifecycle from SQL: fork, write via @ref address, audit, publish") {
+    val root = tmp()
+    Snapshots.commit((1L to 100L).map(i => (i, i)).toDF("k", "v"), root)
+    spark.sql(s"CALL graft.system.create_branch('$root', 'staging')")
+    assert(spark.sql(s"CALL graft.system.list_branches('$root')")
+      .as[String].collect().toSeq === Seq("staging"))
+    // the branch is a first-class SQL table: insert + delete on it,
+    // main unchanged until publish
+    spark.sql(s"INSERT INTO graft.`$root@ref=staging` " +
+      "SELECT id, id FROM range(101, 111)")
+    spark.sql(s"DELETE FROM graft.`$root@ref=staging` WHERE k <= 10")
+    assert(spark.table(s"graft.`$root@ref=staging`").count() === 100L)
+    assert(spark.table(s"graft.`$root`").count() === 100L,
+      "main must not see branch work before publish")
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$root@ref=staging` WHERE k <= 10")
+      .head().getLong(0) === 0L)
+    spark.sql(s"CALL graft.system.publish_branch('$root', 'staging')")
+    assert(spark.table(s"graft.`$root`").count() === 100L)
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$root` WHERE k > 100")
+      .head().getLong(0) === 10L)
+    spark.sql(s"CALL graft.system.drop_branch('$root', 'staging')")
+    assert(spark.sql(s"CALL graft.system.list_branches('$root')").count() === 0L)
   }
 
   test("convert adopts a plain parquet dir; unknown procedure refuses with the list") {
