@@ -168,6 +168,35 @@ private[streaming] object SnapshotProcedures {
       r => versionRow(Snapshots.convertInPlace(spark, str(r, 0),
         csv(r, 1), csv(r, 2)))),
 
+    Proc("table_stats",
+      "one row per data file of `version` (default head): rows, vectored " +
+        "deletes, byte-range-splittable flag — DESCRIBE DETAIL at file grain",
+      Seq(in("table", StringType), inDefault("version", LongType, "-1")),
+      StructType(Seq(
+        StructField("file", StringType, false),
+        StructField("rows", LongType, true),
+        StructField("deleted", LongType, false),
+        StructField("indexed_cols", StringType, true))),
+      { r =>
+        val root = str(r, 0)
+        val v0 = r.getLong(1)
+        val v = if (v0 > 0) v0 else Snapshots.headVersion(spark, root)
+        val m = Snapshots.manifest(spark, root, v)
+        val rows = m.rows.map(x => x.file -> x.n).toMap
+        val dvs = m.dvs.map(d => d.file -> d.deleted).toMap
+        val cols = (m.stats.map(s => s.file -> s.col) ++
+          m.blooms.map(b => b.file -> b.col))
+          .groupBy(_._1).map { case (f, xs) => f -> xs.map(_._2).distinct.sorted }
+        m.files.sorted.map { u =>
+          val base = new org.apache.hadoop.fs.Path(u).getName
+          new GenericInternalRow(Array[Any](
+            utf8(base),
+            rows.get(base).filter(_ >= 0L).map(Long.box).orNull,
+            dvs.getOrElse(base, 0L),
+            cols.get(base).map(cs => utf8(cs.mkString(","))).orNull))
+        }
+      }),
+
     Proc("create_branch",
       "zero-copy fork of the table (at `version`, default head) as a WAP " +
         "branch — address it as graft.`<table>@ref=<name>` for reads/writes",

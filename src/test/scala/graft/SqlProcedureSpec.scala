@@ -79,6 +79,24 @@ class SqlProcedureSpec extends SparkSpec {
     assert(spark.table(s"graft.`$root`").count() === 2L)
   }
 
+  test("table_stats reports per-file rows, vectored deletes, and indexed cols") {
+    val root = tmp()
+    Snapshots.commit(
+      (1L to 400L).map(i => (i, s"s$i")).toDF("k", "s")
+        .repartitionByRange(4, col("k")),
+      root, statsCols = Seq("k"), bloomCols = Seq("s"))
+    spark.sql(s"DELETE FROM graft.`$root` WHERE k <= 50")
+    val st = spark.sql(s"CALL graft.system.table_stats('$root')").collect()
+    assert(st.length === 4)
+    assert(st.map(_.getLong(1)).sum === 400L)
+    assert(st.map(_.getLong(2)).sum === 50L)
+    assert(st.forall(_.getString(3) === "k,s"))
+    // time-traveled stats answer for THAT version: no deletes at v1
+    val v1 = spark.sql(s"CALL graft.system.table_stats('$root', version => 1)")
+      .collect()
+    assert(v1.map(_.getLong(2)).sum === 0L)
+  }
+
   test("branch lifecycle from SQL: fork, write via @ref address, audit, publish") {
     val root = tmp()
     Snapshots.commit((1L to 100L).map(i => (i, i)).toDF("k", "v"), root)
