@@ -1771,6 +1771,53 @@ object Lake {
           |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin)
     },
 
+    // ---- q129: SQL WRITE-AUDIT-PUBLISH — a branch forked by CALL takes
+    //            SQL DML (DELETE + INSERT) invisibly (required in-query:
+    //            main is bit-unchanged while the branch diverges), then
+    //            publish fast-forwards main atomically; the published
+    //            table must equal DuckDB applying the same algebra. ----
+    OracleQuery(
+      "q129_sql_wap",
+      s"""WITH staged AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE NOT (o_orderkey <= 2000)
+        |  UNION ALL
+        |  SELECT o_orderkey + 1000000, CAST(9.5 AS DOUBLE) FROM orders
+        |  WHERE o_orderkey <= 300
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+        |  ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_p
+        |FROM staged""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_wap"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+      Snapshots.commit(
+        Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").cast("double").as("o_totalprice"))
+          .repartitionByRange(4, col("o_orderkey")),
+        root, statsCols = Seq("o_orderkey"))
+      spark.sql(s"CALL graft.system.create_branch('$root', 'audit')")
+      spark.sql(s"DELETE FROM graft.`$root@ref=audit` WHERE o_orderkey <= 2000")
+      spark.sql(s"INSERT INTO graft.`$root@ref=audit` " +
+        "SELECT o_orderkey + 1000000, CAST(9.5 AS DOUBLE) " +
+        s"FROM graft.`$root` WHERE o_orderkey <= 300")
+      // audit gate: main must be bit-unchanged while the branch diverges
+      require(Snapshots.headVersion(spark, root) == 1L,
+        "branch DML must not advance main before publish")
+      require(spark.sql(
+        s"SELECT count(*) FROM graft.`$root` WHERE o_orderkey > 1000000")
+        .head().getLong(0) == 0L, "main must not see branch inserts")
+      spark.sql(s"CALL graft.system.publish_branch('$root', 'audit')")
+      spark.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k,
+          |  ${graft.engine.Det.sql.dsum("o_totalprice")} AS sum_p
+          |FROM graft.`$root`""".stripMargin)
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO

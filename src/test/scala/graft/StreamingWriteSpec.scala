@@ -103,6 +103,36 @@ class StreamingWriteSpec extends SparkSpec {
     q2.stop()
   }
 
+  test("readStream.table tails a catalog table; toTable streams into one") {
+    val root = tmp("swr_t")
+    spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "s"), root)
+    // catalog-addressed streaming READ
+    val q = spark.readStream.table(s"graft.`$root`")
+      .writeStream.format("memory").queryName("swr_tail")
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("swr_tail").count() === 1L)
+      Snapshots.commit(Seq((2L, "b")).toDF("k", "s"), root, append = true)
+      q.processAllAvailable()
+      assert(spark.table("swr_tail").count() === 2L)
+    } finally q.stop()
+    // catalog-addressed streaming WRITE (toTable)
+    implicit val sq = spark.sqlContext
+    val sink = tmp("swr_t2")
+    Snapshots.commit(Seq((0L, "z")).toDF("k", "s"), sink)
+    val in = MemoryStream[(Long, String)]
+    val q2 = in.toDF().toDF("k", "s").writeStream
+      .option("checkpointLocation", ckpt())
+      .toTable(s"graft.`$sink`")
+    try {
+      in.addData((5L, "e"))
+      q2.processAllAvailable()
+      assert(spark.table(s"graft.`$sink`").count() === 2L)
+    } finally q2.stop()
+  }
+
   test("streamed-in table serves SQL and time travel like any other") {
     val root = tmp("swr_q")
     spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
