@@ -1818,6 +1818,50 @@ object Lake {
           |FROM graft.`$root`""".stripMargin)
     },
 
+    // ---- q130: STREAMING BACKFILL ACROSS COMPACTION — a stream catching
+    //            up over an interleaved append→compact→append history
+    //            must emit every row EXACTLY ONCE: the span-provenance
+    //            walk proves the interim compaction row-invisible (its
+    //            outputs carry only pre-span rows) instead of
+    //            crash-looping or double-emitting. The streamed-into sink
+    //            is hash-compared against DuckDB over the source rows —
+    //            the batch equivalent is plain SQL. ----
+    OracleQuery(
+      "q130_stream_backfill",
+      s"""SELECT l_returnflag, count(*) AS n,
+        |  ${graft.engine.Det.sql.dsum("l_quantity")} AS sum_qty
+        |FROM lineitem
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/lineitem_bf"
+      val sink = s"$lakeBase/lineitem_bf_sink"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      fsys.delete(new Path(sink), true)
+      val li = Tables(spark, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"))
+      // interleaved history: append half, compact (optimize-tagged,
+      // row-preserving), append the other half
+      Snapshots.commit(li.filter(col("l_orderkey") % 2 === 0)
+        .repartition(4), root)
+      Snapshots.compact(spark, root, targetFiles = 1)
+      Snapshots.commit(li.filter(col("l_orderkey") % 2 =!= 0)
+        .repartition(4), root, append = true)
+      // catch-up stream from the beginning of history into a sink table
+      val ck = java.nio.file.Files.createTempDirectory("bf_ck").toString
+      val q = graft.streaming.SnapshotSink.start(
+        spark.readStream.format("graft.streaming.SnapshotSourceProvider")
+          .option("root", root).option("startingVersion", "earliest").load(),
+        sink, ck)
+      try q.processAllAvailable() finally q.stop()
+      spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+      spark.sql(
+        s"""SELECT l_returnflag, count(*) AS n,
+          |  ${graft.engine.Det.sql.dsum("l_quantity")} AS sum_qty
+          |FROM graft.`$sink`
+          |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO
