@@ -61,14 +61,19 @@ object Bench {
       def snap: (Long, Long, Long) = (in.get, sr.get, sw.get)
     }
     spark.sparkContext.addSparkListener(io)
+    // counters must hold still for TWO consecutive checks (200 ms) and the
+    // tail cap is 5 s: async stage-completion events from a long query can
+    // otherwise smear its input_mb into the next query's delta (observed as
+    // q03 input_mb:0 in subset runs). Fast queries still exit in ~200 ms.
     def quiesce(): (Long, Long, Long) = {
       var prev = io.snap
+      var stable = 0
       var i = 0
-      while (i < 10) {
+      while (i < 50 && stable < 2) {
         Thread.sleep(100)
         val cur = io.snap
-        if (cur == prev) return cur
-        prev = cur; i += 1
+        if (cur == prev) stable += 1 else { stable = 0; prev = cur }
+        i += 1
       }
       prev
     }
@@ -115,42 +120,148 @@ object Bench {
         (in1 - in0) >> 20, (sr1 - sr0) >> 20, (sw1 - sw0) >> 20)
     }
     // pass-major order: pass 1 runs q01..q90, then pass 2 runs q01..q90, ...
-    val passes: Seq[Seq[(String, Attempt)]] = (1 to repeats).map { _ =>
+    var passes: Seq[Seq[(String, Attempt)]] = (1 to repeats).map { _ =>
       benched.map { case (name, fn) => (name, runOnce(fn)) }
     }
-    val results = benched.map { case (name, _) =>
-      val attempts = passes.map(_.find(_._1 == name).get._2)
+    def bestOf(attempts: Seq[Attempt]): Attempt = {
       // a failing attempt never wins: prefer the fastest SUCCESSFUL attempt,
       // fall back to the fastest failure only if every attempt failed
       val ok = attempts.filter(_.err.isEmpty)
-      val best = (if (ok.nonEmpty) ok else attempts).minBy(_.sec)
+      (if (ok.nonEmpty) ok else attempts).minBy(_.sec)
+    }
+    // ---- noise-accept gate (round-13 verdict #1) ----------------------
+    // Sentinel queries with committed quiet-box floors: when this run's
+    // sentinel band (median best/floor over the sentinels present) exceeds
+    // GateBar, the whole run sat under co-tenant load — interleaving spreads
+    // a *windowed* spike across passes but cannot defend against a load band
+    // covering the entire run (that is exactly how the r13 artifact came out
+    // 27% inflated). Remedy: run extra full passes (per-query min folds them
+    // in) until the band clears or the retry budget is spent; either way the
+    // band and verdict are stamped into both artifacts so an inflated run is
+    // self-identifying instead of masquerading as a regression.
+    val GateBar = 1.5
+    // floors are keyed by sf basename — they are quiet-box measurements at a
+    // specific scale, so the gate arms only when benching that scale (the
+    // driver contract runs sf0.1; curve runs at other SFs stay ungated)
+    val floors: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("tools/bench_floors.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper
+        val m = om.readValue(p.toFile, classOf[java.util.Map[String, Object]])
+        val sfKey = java.nio.file.Paths.get(sfDir).getFileName.toString
+        m.asScala.get(sfKey) match {
+          case Some(qm: java.util.Map[_, _]) =>
+            qm.asScala.map { case (k, v) => k.toString -> v.toString.toDouble }.toMap
+          case _ => Map.empty
+        }
+      } catch { case NonFatal(_) => Map.empty }
+    }
+    def sentinelBand: Option[Double] = {
+      val ratios = benched.flatMap { case (name, _) =>
+        floors.get(name).map { floor =>
+          bestOf(passes.map(_.find(_._1 == name).get._2)).sec / math.max(floor, 1e-3)
+        }
+      }.sorted
+      if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
+    }
+    val maxExtraPasses =
+      sys.env.get("SPARK_GRAFT_GATE_RETRIES").flatMap(_.toIntOption).getOrElse(2)
+    var extra = 0
+    while (sentinelBand.exists(_ > GateBar) && extra < maxExtraPasses) {
+      extra += 1
+      passes = passes :+ benched.map { case (name, fn) => (name, runOnce(fn)) }
+    }
+    val band = sentinelBand
+    val loadOk = band.forall(_ <= GateBar)
+    val results = benched.map { case (name, _) =>
+      val attempts = passes.map(_.find(_._1 == name).get._2)
+      val best = bestOf(attempts)
       val spread = attempts.map(_.sec).max / best.sec
       (name, best, spread, attempts)
+    }
+    // ---- provenance (round-13 verdict #7) -----------------------------
+    // head: the git commit this run measured (archaeology-free cross-round
+    // comparison). src_fingerprint: a hash of src/main/scala CONTENT — the
+    // fold key below — so committing the artifact itself (which moves HEAD
+    // but touches no source) does not orphan the floors it records.
+    val gitHead: String =
+      try {
+        val p = new ProcessBuilder("git", "rev-parse", "HEAD").start()
+        val out = new String(p.getInputStream.readAllBytes()).trim
+        if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
+      } catch { case NonFatal(_) => "unknown" }
+    val srcFingerprint: String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val root = java.nio.file.Paths.get("src/main/scala")
+      if (java.nio.file.Files.isDirectory(root)) {
+        java.nio.file.Files.walk(root).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .toSeq.sortBy(_.toString)
+          .foreach { p =>
+            md.update(p.toString.getBytes("UTF-8"))
+            md.update(java.nio.file.Files.readAllBytes(p))
+          }
+      }
+      md.digest().take(8).map(b => f"$b%02x").mkString
+    }
+    // ---- same-code min fold (round-13 verdict #1, the curve's documented
+    // min methodology applied to the registry artifact) ------------------
+    // If the profile path already holds a run of the SAME source (fingerprint
+    // match) on the SAME sf, the committed artifact becomes the per-query min
+    // of that run and this one: a later load-inflated run can only confirm or
+    // improve the floors, never overwrite them with noise. Errors are never
+    // hidden — a query whose current best failed keeps its failure.
+    val profilePath =
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PROFILE", "BENCH_profile.json"))
+    val (priorSecs, priorRuns): (Map[String, Double], Int) =
+      if (!java.nio.file.Files.exists(profilePath)) (Map.empty, 0)
+      else try {
+        val om = new com.fasterxml.jackson.databind.ObjectMapper
+        val m = om.readValue(profilePath.toFile, classOf[java.util.Map[String, Object]])
+        val sameCode = String.valueOf(m.get("src_fingerprint")) == srcFingerprint &&
+          String.valueOf(m.get("sf")) == sfDir
+        if (!sameCode) (Map.empty, 0)
+        else {
+          val qm = m.get("queries").asInstanceOf[java.util.Map[String, Object]].asScala
+          val secs = qm.flatMap { case (k, v) =>
+            val sec = v.asInstanceOf[java.util.Map[String, Object]].get("sec")
+            Option(sec).map(s => k -> s.toString.toDouble)
+          }.toMap
+          val runs = Option(m.get("folded_runs")).map(_.toString.toInt).getOrElse(1)
+          (secs, runs)
+        }
+      } catch { case NonFatal(_) => (Map.empty, 0) }
+    val folded = results.map { case (k, best, spread, attempts) =>
+      val sec =
+        if (best.err.isEmpty) priorSecs.get(k).map(math.min(_, best.sec)).getOrElse(best.sec)
+        else best.sec
+      (k, best, sec, spread, attempts)
     }
     // 3-decimal (ms) precision: the full-precision line for 71 queries is
     // ~3.4 KB and overflowed the driver's stdout tail window in round 4
     // (BENCH_r04.json parsed:null) — compactness is part of the contract
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v)) // '.' even under comma-decimal locales
-    val qs = results.map { case (k, best, _, _) => JsonStr(k) + ":" + ms(best.sec) }
+    val qs = folded.map { case (k, _, sec, _, _) => JsonStr(k) + ":" + ms(sec) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, best, _, _) if best.err.isDefined =>
+    val errs = folded.collect { case (k, best, _, _, _) if best.err.isDefined =>
       JsonStr(k) + ":" + JsonStr(best.err.get)
     }.mkString("{", ",", "}")
-    val total = results.map(_._2.sec).sum
+    val total = folded.map(_._3).sum
     val gcTotal = results.map(_._2.gcSec).sum
+    val bandJson = band.map(b => s""","sentinel_band":${ms(b)},"load_ok":$loadOk""").getOrElse("")
     // the driver line stays compact (round-4 lesson: it must fit a stdout
     // tail window) — aggregate GC only here, per-query detail in the profile
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","gc_sec":${ms(gcTotal)},"best_of":$repeats,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    val profile = results.map { case (k, best, spread, attempts) =>
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","gc_sec":${ms(gcTotal)},"best_of":${repeats + extra}$bandJson,"head":${JsonStr(gitHead)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val profile = folded.map { case (k, best, sec, spread, attempts) =>
       // per-attempt (start, sec) pairs make a co-tenant load window directly
       // visible: slow attempts across many queries share a wall-clock band
       val att = attempts.map(a => s"""[${ms(a.startEpoch)},${ms(a.sec)}]""").mkString("[", ",", "]")
-      JsonStr(k) + s""":{"sec":${ms(best.sec)},"spread":${ms(spread)},"gc_sec":${ms(best.gcSec)},"peak_heap_mb":${best.heapMb},"input_mb":${best.inMb},"shuffle_read_mb":${best.srMb},"shuffle_write_mb":${best.swMb},"attempts":$att}"""
+      JsonStr(k) + s""":{"sec":${ms(sec)},"run_sec":${ms(best.sec)},"spread":${ms(spread)},"gc_sec":${ms(best.gcSec)},"peak_heap_mb":${best.heapMb},"input_mb":${best.inMb},"shuffle_read_mb":${best.srMb},"shuffle_write_mb":${best.swMb},"attempts":$att}"""
     }.mkString("{", ",", "}")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PROFILE", "BENCH_profile.json")),
-      s"""{"sf":"$sfDir","best_of":$repeats,"interleaved":true,"total_sec":${ms(total)},"total_gc_sec":${ms(gcTotal)},"queries":$profile}""")
+    java.nio.file.Files.writeString(profilePath,
+      s"""{"sf":"$sfDir","best_of":${repeats + extra},"interleaved":true,"head":${JsonStr(gitHead)},"src_fingerprint":${JsonStr(srcFingerprint)},"folded_runs":${priorRuns + 1}$bandJson,"total_sec":${ms(total)},"total_gc_sec":${ms(gcTotal)},"queries":$profile}""")
     spark.stop()
   }
 }
