@@ -1,0 +1,228 @@
+package graft.engine
+
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate, Operators}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType}
+import org.apache.spark.sql.catalyst.util.DateTimeUtils
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Row-group (and page/bloom) predicate pushdown for the DSv2 snapshot
+  * readers — the WITHIN-file half of filter pruning. [[FilterPrune]] drops
+  * whole files via the manifest index; this module re-expresses the same
+  * pushed conjuncts as parquet `FilterPredicate`s so the reader's
+  * `ParquetFileReader` can additionally drop row groups (footer stats),
+  * pages (column indexes) and probe bloom filters INSIDE each surviving
+  * file. Invisible at sf0.1 (~1 MB files = one row group); at 100 TB with
+  * ~1 GB files and 128 MB row groups it is the difference between decoding
+  * a boundary file and decoding 1/8th of it.
+  *
+  * Soundness: every pushed filter stays RESIDUAL in Spark (the scan returns
+  * all filters from `pushFilters`), so a dropped row group is always one the
+  * residual filter would have emptied anyway. Translation is per-FILE on the
+  * executor against the file's real footer schema: a conjunct whose column
+  * is absent (pre-evolution file) or whose physical type disagrees (a
+  * type-widened column whose old files hold the narrow type) is simply
+  * omitted for that file — conservative, never wrong.
+  *
+  * Two scan shapes must NOT row-group-filter, enforced at the call sites:
+  *  - DV'd files: deletion vectors address absolute row ordinals, which
+  *    skipped row groups would shift;
+  *  - row-level-operation scans (CoW rewrite): the copied-rows path must
+  *    read every row of a replaced file, matching or not.
+  */
+private[graft] object RowGroupFilters {
+
+  /** Driver-side pre-resolved conjunct: physical column name, a canonical
+    * primitive value, and a type tag the executor checks against the file
+    * footer before building the parquet predicate. Serializable by
+    * construction (ships inside the reader factory). */
+  sealed trait RgF extends Serializable
+  /** op: eq | gt | gte | lt | lte. `value` canonical (Int/Long/Float/Double/
+    * Boolean/String). */
+  final case class RgCmp(op: String, phys: String, tpe: String, value: Any) extends RgF
+  final case class RgIn(phys: String, tpe: String, values: Array[Any]) extends RgF
+  final case class RgIsNull(phys: String, tpe: String, isNull: Boolean) extends RgF
+  final case class RgOr(l: RgF, r: RgF) extends RgF
+  final case class RgAnd(l: RgF, r: RgF) extends RgF
+
+  /** Largest IN-set worth shipping: runtime DPP sets beyond this stop
+    * paying for themselves (the predicate java-serializes into the task's
+    * Hadoop conf) and the file-level bloom prune has already run. */
+  private val InCap = 10000
+
+  // ---- driver side: sources.Filter -> RgF --------------------------------
+
+  /** Translate the translatable conjuncts of `filters` (logical names)
+    * into shippable form. Untranslatable conjuncts are dropped — AND
+    * semantics make that conservative. */
+  def translate(
+      filters: Seq[Filter],
+      schema: StructType,
+      physOf: Map[String, String]): Array[RgF] =
+    filters.flatMap(one(_, schema, physOf)).toArray
+
+  private def tagOf(dt: DataType): Option[String] = dt match {
+    case ByteType | ShortType | IntegerType | DateType => Some("int")
+    case LongType => Some("long")
+    case FloatType => Some("float")
+    case DoubleType => Some("double")
+    case BooleanType => Some("boolean")
+    case StringType => Some("string")
+    case _ => None // decimal/timestamp/binary/nested: not worth the edge cases
+  }
+
+  /** Canonical primitive for (type tag, catalyst-external literal), or None
+    * when the pair can't be represented exactly. NaN never pushes (parquet
+    * footer stats omit NaN, so a NaN literal could wrongly drop groups). */
+  private def canon(tag: String, v: Any): Option[Any] = (tag, v) match {
+    case (_, null) => None
+    case ("int", n: java.lang.Number) if n.longValue >= Int.MinValue && n.longValue <= Int.MaxValue =>
+      Some(n.intValue)
+    case ("int", d: java.sql.Date) => Some(DateTimeUtils.fromJavaDate(d))
+    case ("int", ld: java.time.LocalDate) => Some(DateTimeUtils.localDateToDays(ld))
+    case ("long", n: java.lang.Number) => Some(n.longValue)
+    case ("float", f: java.lang.Float) if !f.isNaN => Some(f.floatValue)
+    case ("double", d: java.lang.Double) if !d.isNaN => Some(d.doubleValue)
+    case ("boolean", b: java.lang.Boolean) => Some(b.booleanValue)
+    case ("string", s: String) => Some(s)
+    case _ => None
+  }
+
+  private def one(f: Filter, schema: StructType, physOf: Map[String, String]): Option[RgF] = {
+    def col(a: String): Option[(String, String)] = // (phys, tag)
+      for {
+        field <- schema.fields.find(_.name == a)
+        tag <- tagOf(field.dataType)
+        phys <- physOf.get(a).orElse(Some(a))
+      } yield (phys, tag)
+    def cmp(op: String, a: String, v: Any): Option[RgF] =
+      col(a).flatMap { case (p, t) => canon(t, v).map(RgCmp(op, p, t, _)) }
+    f match {
+      case EqualTo(a, v) => cmp("eq", a, v)
+      case EqualNullSafe(a, null) => col(a).map { case (p, t) => RgIsNull(p, t, isNull = true) }
+      case EqualNullSafe(a, v) => cmp("eq", a, v)
+      case GreaterThan(a, v) => cmp("gt", a, v)
+      case GreaterThanOrEqual(a, v) => cmp("gte", a, v)
+      case LessThan(a, v) => cmp("lt", a, v)
+      case LessThanOrEqual(a, v) => cmp("lte", a, v)
+      case IsNull(a) => col(a).map { case (p, t) => RgIsNull(p, t, isNull = true) }
+      case IsNotNull(a) => col(a).map { case (p, t) => RgIsNull(p, t, isNull = false) }
+      case In(a, vs) if vs.nonEmpty && vs.length <= InCap =>
+        col(a).flatMap { case (p, t) =>
+          val cs = vs.flatMap(v => canon(t, v))
+          // a null/untranslatable member makes the IN unminable (its rows
+          // could live anywhere) — all-or-nothing, like FilterPrune
+          if (cs.length == vs.length) Some(RgIn(p, t, cs)) else None
+        }
+      case Or(l, r) =>
+        for { lf <- one(l, schema, physOf); rf <- one(r, schema, physOf) } yield RgOr(lf, rf)
+      case And(l, r) =>
+        // both sides translatable -> AND; one side -> that side alone is
+        // still an implied (weaker) predicate, safe under AND semantics
+        (one(l, schema, physOf), one(r, schema, physOf)) match {
+          case (Some(lf), Some(rf)) => Some(RgAnd(lf, rf))
+          case (Some(lf), None) => Some(lf)
+          case (None, Some(rf)) => Some(rf)
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
+  // ---- executor side: RgF + footer schema -> FilterPredicate -------------
+
+  /** The parquet primitive type a tag requires in the file, plus (for
+    * strings) the UTF8 annotation that guarantees the file's comparator is
+    * unsigned-lexicographic = Spark's UTF8String order. */
+  private def footerOk(schema: MessageType, phys: String, tag: String): Boolean = {
+    if (!schema.containsField(phys)) return false
+    schema.getType(Array(phys): _*) match {
+      case p: PrimitiveType =>
+        import PrimitiveType.PrimitiveTypeName._
+        tag match {
+          case "int" => p.getPrimitiveTypeName == INT32
+          case "long" => p.getPrimitiveTypeName == INT64
+          case "float" => p.getPrimitiveTypeName == FLOAT
+          case "double" => p.getPrimitiveTypeName == DOUBLE
+          case "boolean" => p.getPrimitiveTypeName == BOOLEAN
+          case "string" => p.getPrimitiveTypeName == BINARY &&
+            p.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType()
+          case _ => false
+        }
+      case _ => false
+    }
+  }
+
+  /** Build the AND of every conjunct this FILE's footer can satisfy; None
+    * when nothing survives (no predicate set, full read). */
+  def build(rgs: Array[RgF], footer: MessageType): Option[FilterPredicate] = {
+    val preds = rgs.flatMap(buildOne(_, footer))
+    preds.reduceOption(FilterApi.and)
+  }
+
+  private def buildOne(f: RgF, footer: MessageType): Option[FilterPredicate] = f match {
+    case RgCmp(op, phys, tag, v) if footerOk(footer, phys, tag) => Some(cmpPred(op, phys, tag, v))
+    case RgIsNull(phys, tag, isNull) if footerOk(footer, phys, tag) =>
+      Some(if (isNull) cmpPred("eq", phys, tag, null) else cmpPred("noteq", phys, tag, null))
+    case RgIn(phys, tag, vs) if footerOk(footer, phys, tag) => Some(inPred(phys, tag, vs))
+    case RgOr(l, r) =>
+      // OR is all-or-nothing: dropping one side would STRENGTHEN the
+      // predicate (unsound); AND sides may drop independently
+      for { lp <- buildOne(l, footer); rp <- buildOne(r, footer) } yield FilterApi.or(lp, rp)
+    case RgAnd(l, r) =>
+      (buildOne(l, footer), buildOne(r, footer)) match {
+        case (Some(lp), Some(rp)) => Some(FilterApi.and(lp, rp))
+        case (Some(lp), None) => Some(lp)
+        case (None, Some(rp)) => Some(rp)
+        case _ => None
+      }
+    case _ => None
+  }
+
+  private def cmpPred(op: String, phys: String, tag: String, v: Any): FilterPredicate = {
+    def mk[T <: Comparable[T],
+           C <: Operators.Column[T] with Operators.SupportsLtGt with Operators.SupportsEqNotEq](
+        c: C, value: T): FilterPredicate = op match {
+      case "eq" => FilterApi.eq(c, value)
+      case "noteq" => FilterApi.notEq(c, value)
+      case "gt" => FilterApi.gt(c, value)
+      case "gte" => FilterApi.gtEq(c, value)
+      case "lt" => FilterApi.lt(c, value)
+      case "lte" => FilterApi.ltEq(c, value)
+    }
+    tag match {
+      case "int" => mk(FilterApi.intColumn(phys), v.asInstanceOf[java.lang.Integer])
+      case "long" => mk(FilterApi.longColumn(phys), v.asInstanceOf[java.lang.Long])
+      case "float" => mk(FilterApi.floatColumn(phys), v.asInstanceOf[java.lang.Float])
+      case "double" => mk(FilterApi.doubleColumn(phys), v.asInstanceOf[java.lang.Double])
+      case "string" => mk(FilterApi.binaryColumn(phys),
+        if (v == null) null else Binary.fromString(v.asInstanceOf[String]))
+      case "boolean" =>
+        val c = FilterApi.booleanColumn(phys)
+        val b = v.asInstanceOf[java.lang.Boolean]
+        op match {
+          case "eq" => FilterApi.eq(c, b)
+          case "noteq" => FilterApi.notEq(c, b)
+        }
+    }
+  }
+
+  private def inPred(phys: String, tag: String, vs: Array[Any]): FilterPredicate = {
+    def set[T](f: Any => T): java.util.HashSet[T] = {
+      val s = new java.util.HashSet[T](vs.length * 2)
+      vs.foreach(v => s.add(f(v)))
+      s
+    }
+    tag match {
+      case "int" => FilterApi.in(FilterApi.intColumn(phys), set(_.asInstanceOf[java.lang.Integer]))
+      case "long" => FilterApi.in(FilterApi.longColumn(phys), set(_.asInstanceOf[java.lang.Long]))
+      case "float" => FilterApi.in(FilterApi.floatColumn(phys), set(_.asInstanceOf[java.lang.Float]))
+      case "double" => FilterApi.in(FilterApi.doubleColumn(phys), set(_.asInstanceOf[java.lang.Double]))
+      case "string" => FilterApi.in(FilterApi.binaryColumn(phys),
+        set(v => Binary.fromString(v.asInstanceOf[String])))
+      case "boolean" => FilterApi.in(FilterApi.booleanColumn(phys),
+        set(_.asInstanceOf[java.lang.Boolean]))
+    }
+  }
+}

@@ -842,8 +842,20 @@ private[streaming] class SnapshotScan(
   override def createReaderFactory(): PartitionReaderFactory = {
     val phys = SnapshotSource.physicalNames(root)
     val confEntries = SnapshotSource.readerConfEntries(spark)
+    // within-file row-group predicates from the SAME conjuncts that pruned
+    // files (static pushed + runtime data filters, which by now have
+    // arrived — createReaderFactory runs at execution). NEVER on a
+    // row-level-operation scan: its CoW rewrite must copy every row of a
+    // replaced file, matching or not, so dropping non-matching row groups
+    // would silently delete them.
+    val rowLevel = onPlanned != null ||
+      required.fieldNames.contains(SnapshotSource.FileCol)
+    val rg =
+      if (rowLevel) Array.empty[graft.engine.RowGroupFilters.RgF]
+      else graft.engine.RowGroupFilters.translate(
+        (pushed ++ runtimeFilters).toSeq, fullSchema, phys)
     SnapshotReaderFactory(required.json,
-      required.fields.map(f => phys.getOrElse(f.name, f.name)), confEntries)
+      required.fields.map(f => phys.getOrElse(f.name, f.name)), confEntries, rg)
   }
 
   /** Exact post-pruning row count from the manifest's per-file counts
@@ -1243,7 +1255,9 @@ private[streaming] object SnapshotFilePartition {
 private[streaming] case class SnapshotReaderFactory(
     requiredJson: String,
     physNames: Array[String],
-    confEntries: Array[(String, String)]) extends PartitionReaderFactory {
+    confEntries: Array[(String, String)],
+    rgFilters: Array[graft.engine.RowGroupFilters.RgF] = Array.empty)
+  extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
     partition.asInstanceOf[SnapshotFilePartition].columnar
@@ -1253,13 +1267,16 @@ private[streaming] case class SnapshotReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
-    new SnapshotRowReader(p, required, physNames, confEntries)
+    // row-group filtering is ordinal-shifting — a DV'd file must decode
+    // every position or the vector deletes the wrong rows
+    val rg = if (p.dvB64.isEmpty) rgFilters else Array.empty[graft.engine.RowGroupFilters.RgF]
+    new SnapshotRowReader(p, required, physNames, confEntries, rg)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
     require(p.dvB64.isEmpty, s"columnar read planned for DV'd file ${p.uri}")
-    new SnapshotBatchReader(p, required, physNames, confEntries)
+    new SnapshotBatchReader(p, required, physNames, confEntries, rgFilters)
   }
 }
 
@@ -1283,9 +1300,29 @@ private[streaming] object SnapshotVectorized {
       physNames: Array[String],
       confEntries: Array[(String, String)],
       start: Long = 0L,
-      length: Long = -1L): VectorizedParquetRecordReader = {
+      length: Long = -1L,
+      rgFilters: Array[graft.engine.RowGroupFilters.RgF] = Array.empty)
+      : VectorizedParquetRecordReader = {
     val conf = new Configuration(false)
     confEntries.foreach { case (k, v) => conf.set(k, v) }
+    // row-group/page/bloom predicate pushdown (the within-file half of
+    // filter pruning — [[graft.engine.RowGroupFilters]]): re-validate each
+    // shipped conjunct against THIS file's footer (column present, physical
+    // type matches — pre-evolution and pre-widening files differ), then hand
+    // the surviving AND to the reader's ParquetFileReader via the standard
+    // conf key. One extra footer read per filtered file; the row groups it
+    // skips at 128 MB each repay it instantly.
+    if (rgFilters.nonEmpty) {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(uri), conf)
+      val footer = {
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getFooter.getFileMetaData.getSchema finally r.close()
+      }
+      graft.engine.RowGroupFilters.build(rgFilters, footer).foreach { pred =>
+        org.apache.parquet.hadoop.ParquetInputFormat.setFilterPredicate(conf, pred)
+      }
+    }
     val physSchema = StructType(required.fields.zipWithIndex.map {
       case (f, i) => f.copy(name = physNames(i)) })
     conf.set(RequestedSchemaKey, physSchema.json)
@@ -1341,7 +1378,9 @@ private[streaming] class SnapshotBatchReader(
     partition: SnapshotFilePartition,
     required: StructType,
     physNames: Array[String],
-    confEntries: Array[(String, String)]) extends PartitionReader[ColumnarBatch] {
+    confEntries: Array[(String, String)],
+    rgFilters: Array[graft.engine.RowGroupFilters.RgF] = Array.empty)
+  extends PartitionReader[ColumnarBatch] {
 
   // `_file` is synthesized, never parquet-read: strip it from the
   // requested schema and append a constant vector per returned batch
@@ -1359,7 +1398,7 @@ private[streaming] class SnapshotBatchReader(
 
   private val vr = SnapshotVectorized.open(
     partition.uri, dataRequired, dataPhys, confEntries,
-    partition.start, partition.length)
+    partition.start, partition.length, rgFilters)
   vr.enableReturningBatches()
 
   override def next(): Boolean = vr.nextKeyValue()
@@ -1386,7 +1425,9 @@ private[streaming] class SnapshotRowReader(
     partition: SnapshotFilePartition,
     required: StructType,
     physNames: Array[String],
-    confEntries: Array[(String, String)]) extends PartitionReader[InternalRow] {
+    confEntries: Array[(String, String)],
+    rgFilters: Array[graft.engine.RowGroupFilters.RgF] = Array.empty)
+  extends PartitionReader[InternalRow] {
 
   private val fileIdx = required.fieldNames.indexOf(SnapshotSource.FileCol)
   private val dataRequired =
@@ -1411,7 +1452,11 @@ private[streaming] class SnapshotRowReader(
 
   private val vr = SnapshotVectorized.open(
     partition.uri, dataRequired, dataPhys, confEntries,
-    partition.start, partition.length)
+    partition.start, partition.length,
+    // belt and braces with the factory's gate: a DV'd file never
+    // row-group-filters (ordinal shift would delete the wrong rows)
+    if (partition.dvB64.isEmpty) rgFilters
+    else Array.empty[graft.engine.RowGroupFilters.RgF])
   private val dv = partition.dvB64.map(SnapshotVectorized.decodeDv)
   private var rowIdx: Long = -1L
 

@@ -133,6 +133,51 @@ class SnapshotBatchSpec extends SparkSpec {
     assert(q.select("v").as[Long].collect().toSeq === Seq(42L))
   }
 
+  test("row-group predicate pushdown: a point filter decodes a fraction of a multi-row-group file") {
+    val root = tmp()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    hc.set("parquet.block.size", "65536") // ~1.6k rows per row group
+    try {
+      Snapshots.commit(
+        spark.range(1, 100001).select(col("id"), md5(col("id").cast("string")).as("s"))
+          .sort("id").repartition(1), // one file, id-ordered -> tight row-group stats
+        root)
+    } finally oldBlock.fold(hc.unset("parquet.block.size"))(
+      hc.set("parquet.block.size", _))
+    assert(Snapshots.manifest(spark, root, 1L).files.size === 1)
+    def decodedRows(q: DataFrame): Long = {
+      q.collect()
+      q.queryExecution.executedPlan.collect {
+        case b: BatchScanExec => b.metrics("numOutputRows").value
+      }.sum
+    }
+    // point predicate: footer stats keep ~one row group (and the page
+    // index inside it), not the whole 100k-row file
+    val point = batchRead(root).filter(col("id") === 42L)
+    assert(point.select("id").as[Long].collect().toSeq === Seq(42L))
+    val scanned = decodedRows(point)
+    assert(scanned > 0 && scanned < 25000L,
+      s"point filter must skip row groups (decoded $scanned of 100000)")
+    // range predicate over the tail skips the head row groups
+    val band = batchRead(root).filter(col("id") >= 99000L)
+    assert(band.count() === 1001L)
+    val bandScanned = decodedRows(band)
+    assert(bandScanned < 25000L,
+      s"range filter must skip row groups (decoded $bandScanned of 100000)")
+    // a DV'd file must NOT row-group-filter (positions are absolute):
+    // the same query stays row-exact and decodes the full file
+    Snapshots.deleteWhere(spark, root, col("id") === 500L)
+    val dvQ = batchRead(root).filter(col("id") === 42L)
+    assert(dvQ.select("id").as[Long].collect().toSeq === Seq(42L))
+    assert(decodedRows(dvQ) === 99999L,
+      "DV'd file must decode every live position (no ordinal shift)")
+    // filter on a column the footer lacks the expected type for is simply
+    // not pushed: string equality without blooms still answers exactly
+    val s = batchRead(root).filter(col("s") === md5(lit("77")))
+    assert(s.count() === 1L)
+  }
+
   test("a compacted single-file table splits into parallel byte ranges, rows exactly once") {
     val root = tmp()
     val hc = spark.sparkContext.hadoopConfiguration
