@@ -237,7 +237,16 @@ object Snapshots {
       schema: String = "",
       retired: Seq[String] = Seq.empty,
       inline: Option[(Seq[String], Seq[ColStats])] = None,
-      clustering: Option[Clustering] = None)
+      clustering: Option[Clustering] = None,
+      /** Advisory index declaration: the PHYSICAL (stats, bloom) column
+        * names new appends should index under — carried commit-to-commit
+        * so [[appendFiles]] (the per-epoch streaming commit) learns them
+        * from the head RECORD alone, O(1), instead of resolving every
+        * shard (O(table metadata) per trigger). None on legacy manifests
+        * → appendFiles falls back to the full resolve. Advisory only:
+        * readers treat missing per-file stats as must-scan, so an
+        * imprecise declaration weakens pruning, never correctness. */
+      indexed: Option[(Seq[String], Seq[String])] = None)
 
   /** A loaded shard: its ref plus the content. */
   private final case class Shard(ref: ShardRef, files: Seq[String], stats: Seq[ColStats],
@@ -279,6 +288,19 @@ object Snapshots {
   }
 
   private[engine] def dataRoot(root: String): String = splitRef(root)._1
+
+  /** Remove the table's EXISTENCE: delete the whole `_snapshots` metadata
+    * area (manifest chains incl. branches, shards, checks) and nothing
+    * else — data files stay on disk as unreferenced debris the caller
+    * reclaims by deleting the directory. The SQL DROP TABLE primitive
+    * ([[graft.streaming.SnapshotCatalog]]); also what makes a
+    * half-stranded table directory reusable. */
+  def dropMetadata(spark: SparkSession, root: String): Unit = {
+    require(!root.contains(RefSep),
+      s"dropMetadata on branch-qualified '$root' — drop the branch instead")
+    fs(spark, root).delete(new Path(s"${dataRoot(root)}/$SnapDir"), true)
+    ()
+  }
 
   /** Directory holding this chain's manifest files. */
   private def refDir(root: String): String = {
@@ -490,10 +512,16 @@ object Snapshots {
       val headV0 = headVersion(spark, root)
       if (headV0 > 0) {
         val hc = manifestMeta(spark, root, headV0).clustering
-        require(hc == clusterSpec,
-          s"clustered append onto $root requires the head to carry the same " +
-            s"clustering spec; head has ${hc.getOrElse("none")}, batch wants " +
-            s"${clusterSpec.get} — overwrite (append=false) to re-cluster")
+        // ConcurrentCommitException (not a bare require): the mismatch is
+        // indistinguishable from a racing spec-dropping commit, and the
+        // publish loop's re-validation throws exactly this type for the
+        // same condition — callers (SnapshotSink) get ONE failure shape
+        // to convert into an actionable terminal error
+        if (hc != clusterSpec) throw new ConcurrentCommitException(
+          s"requirement failed: clustered append onto $root requires the " +
+            s"head to carry the same clustering spec; head has " +
+            s"${hc.getOrElse("none")}, batch wants ${clusterSpec.get} — " +
+            "overwrite (append=false) to re-cluster")
       }
     }
     val (written, newStats, newRows, newBlooms) =
@@ -509,7 +537,17 @@ object Snapshots {
       else if (head.flatMap(_.clustering) == clusterSpec) clusterSpec
       else throw new ConcurrentCommitException(
         s"requirement failed: concurrent commit at $root changed the " +
-          "clustering spec beneath this clustered append")) { head =>
+          "clustering spec beneath this clustered append"),
+      indexed = head => {
+        val mineS = statsCols.map(c => toPhys.getOrElse(c, c))
+        val mineB = bloomCols.map(c => toPhys.getOrElse(c, c))
+        // overwrite restarts the declaration; append unions with the
+        // head's (a legacy None head stays None — fallback resolve)
+        if (!append || head.isEmpty) Some((mineS, mineB))
+        else head.flatMap(_.indexed).map { case (s, b) =>
+          ((s ++ mineS).distinct, (b ++ mineB).distinct)
+        }
+      }) { head =>
       val parent = if (append) head else None
       val refs = parent.map(shardRefsOf(spark, root, _)).getOrElse(Seq.empty) :+ newRef
       (refs, mergedSchemaJson(parent.map(_.schema), df.schema, assigned))
@@ -561,6 +599,80 @@ object Snapshots {
       clustering = h => h.flatMap(_.clustering)) { head =>
       val h = head.getOrElse(sys.error("rename base vanished"))
       (shardRefsOf(spark, root, h), renamed.json)
+    }
+  }
+
+  /** NON-ADDITIVE schema evolution, part 3: WIDEN a column's type as a
+    * METADATA-ONLY commit — int→long, float→double, decimal growth. No
+    * file is rewritten; the recorded schema simply asks for the wider
+    * type and BOTH readers (the native `spark.read.schema` path and the
+    * DSv2 vectorized reader, which requests the widened Catalyst type
+    * against the file's physical column) widen narrow-generation files
+    * at decode time via Spark 4's parquet widening updaters. Later
+    * appends write the wide type; mixed generations coexist under one
+    * logical schema, the same column-mapping trick renames ride.
+    *
+    * Only provably VALUE-PRESERVING promotions are accepted (the check
+    * is [[widenOk]]); everything else keeps refusing loudly. Widening
+    * the CLUSTER KEY refuses: bucket ids are hashes of the value's
+    * runtime type, so int-hashed old files and long-hashed new writes
+    * would disagree on which bucket a key lives in — re-cluster instead. */
+  def widenColumn(
+      spark: SparkSession,
+      root: String,
+      name: String,
+      to: org.apache.spark.sql.types.DataType): Long = {
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet")
+    val meta = manifestMeta(spark, root, headV)
+    val s = parseSchemaStr(meta.schema).getOrElse(sys.error(
+      s"$root has no recorded schema (legacy manifest) — commit once to record one"))
+    val field = s.fields.find(_.name == name)
+      .getOrElse(sys.error(s"no column '$name' in $root"))
+    require(widenOk(field.dataType, to),
+      s"ALTER COLUMN $name TYPE: ${field.dataType.simpleString} -> " +
+        s"${to.simpleString} is not a value-preserving widening (supported: " +
+        "byte/short/int -> wider integral, int -> double, float -> double, " +
+        "integral -> decimal with room, decimal(p,s) -> decimal(p',s') with " +
+        "p'-s' >= p-s and s' >= s)")
+    // the meta's clustering col is the rename-stable PHYSICAL name
+    val clusterKey = meta.clustering.map(_.col)
+    require(!clusterKey.contains(name) && !clusterKey.contains(physicalOf(field)),
+      s"cannot widen cluster key '$name': bucket ids hash the runtime type, " +
+        "so old and new generations would disagree on key placement — " +
+        "re-cluster (compact_clustered) after widening elsewhere, or first " +
+        "commit an unclustered overwrite")
+    val widened = StructType(s.fields.map(f =>
+      if (f.name != name) f else f.copy(dataType = to)))
+    publishMeta(spark, root, tag = "", requireHead = headV,
+      clustering = h => h.flatMap(_.clustering)) { head =>
+      val h = head.getOrElse(sys.error("widen base vanished"))
+      (shardRefsOf(spark, root, h), widened.json)
+    }
+  }
+
+  /** Provably value-preserving type promotions (every old value maps to
+    * itself in the new type, bit-exactly). Long→double is NOT one (53-bit
+    * mantissa); neither is any narrowing or scale shrink. */
+  private[graft] def widenOk(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    def intDigits(dt: DataType): Option[Int] = dt match {
+      case ByteType => Some(3); case ShortType => Some(5)
+      case IntegerType => Some(10); case LongType => Some(19); case _ => None
+    }
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case (f: DecimalType, t: DecimalType) =>
+        t.precision - t.scale >= f.precision - f.scale && t.scale >= f.scale
+      case (f @ (ByteType | ShortType | IntegerType | LongType), t: DecimalType) =>
+        intDigits(f).exists(d => t.precision - t.scale >= d)
+      case _ => false
     }
   }
 
@@ -673,9 +785,11 @@ object Snapshots {
       return None
     }
     val headV = headVersion(spark, root)
+    // O(1) from the head RECORD when declared; legacy heads (pre-indexed
+    // manifests) pay the full shard resolve once per trigger as before
     val (statsP, bloomP) =
       if (headV == 0) (Seq.empty[String], Seq.empty[String])
-      else {
+      else manifestMeta(spark, root, headV).indexed.getOrElse {
         val m = resolve(manifestMeta(spark, root, headV),
           loadShards(spark, root, manifestMeta(spark, root, headV)))
         (m.stats.map(_.col).distinct, m.blooms.map(_.col).distinct)
@@ -696,7 +810,12 @@ object Snapshots {
     val newRef =
       if (newFiles.isEmpty) None
       else Some(writeShard(spark, root, newFiles, stats, rows, blooms))
-    Some(publishMeta(spark, root, tag) { head =>
+    Some(publishMeta(spark, root, tag,
+      // carry the head's declaration; a legacy (undeclared) head gets
+      // BACKFILLED from the resolve this trigger already paid, and a
+      // fresh table records its (empty) truth — either way the NEXT
+      // trigger reads it O(1)
+      indexed = h => h.flatMap(_.indexed).orElse(Some((statsP, bloomP)))) { head =>
       // schema: the staged files carry the head's physical schema (the
       // writer factory derived it from the head) — keep it; a FRESH
       // table records the writer's logical schema (no mapping yet)
@@ -1445,7 +1564,11 @@ object Snapshots {
       tag: String,
       requireHead: Long = -1L,
       retiredOverride: Option[Seq[String]] = None,
-      clustering: Option[ManifestMeta] => Option[Clustering] = _ => None)(
+      clustering: Option[ManifestMeta] => Option[Clustering] = _ => None,
+      // advisory index declaration (see ManifestMeta.indexed): default =
+      // carry the head's; shard-adding commits pass their contribution
+      indexed: Option[ManifestMeta] => Option[(Seq[String], Seq[String])] =
+        h => h.flatMap(_.indexed))(
       build: Option[ManifestMeta] => (Seq[ShardRef], String)): Long = {
     var attempt = 0
     while (true) {
@@ -1465,7 +1588,7 @@ object Snapshots {
         headMeta.map(_.retired).getOrElse(Seq.empty))
       val m = ManifestMeta(head + 1, head, refs, tag,
         ts = System.currentTimeMillis(), schema = schema, retired = retired,
-        clustering = clustering(headMeta))
+        clustering = clustering(headMeta), indexed = indexed(headMeta))
       if (tryWriteManifest(spark, root, m)) {
         // default-on metadata upkeep: once the ref list outgrows the
         // threshold, consolidate to ONE shard. The compaction commit itself
@@ -3323,12 +3446,14 @@ object Snapshots {
     * accumulates small files per bucket; plain [[compact]] would merge
     * them but DROP the clustering spec (its layout proves nothing about
     * buckets), killing storage-partitioned joins until a full re-clustered
-    * overwrite. This rewrites all live rows back through the SAME
-    * clustered-write path — one output file per bucket, deletion vectors
-    * materialized as a side effect — and republishes the spec, under the
-    * usual row-preserving OPTIMIZE contract (racing commits rebase or
-    * refuse exactly like [[compact]]; a racing spec-dropping commit makes
-    * the republished spec drop too, never mislabel). */
+    * overwrite. This rewrites ONLY the multi-file (or vector-carrying)
+    * buckets back through the SAME clustered-write path — one output file
+    * per rewritten bucket, deletion vectors materialized as a side effect,
+    * every already-tidy bucket carried by reference — and republishes the
+    * spec, under the usual row-preserving OPTIMIZE contract (racing
+    * commits rebase or refuse exactly like [[compact]]; a racing
+    * spec-dropping commit makes the republished spec drop too, never
+    * mislabel). */
   def compactClustered(
       spark: SparkSession,
       root: String,
@@ -3342,10 +3467,33 @@ object Snapshots {
         "or re-cluster with commit(clusterBy)"))
     val m = resolve(meta, loadShards(spark, root, meta))
     if (m.files.isEmpty) return headV
-    // already one file per bucket and vector-free: true no-op
-    if (m.files.size <= c.buckets && m.dvs.isEmpty) return headV
-    rewriteAll(spark, root, headV, m, readFiles(spark, m, m.files),
-      statsCols, bloomCols, cluster = Some(c))
+    // PER-BUCKET selection: only buckets holding >1 file (fold the small
+    // files) or a deletion vector (materialize it) rewrite; every
+    // single-file vector-free bucket carries by reference. A streamed-into
+    // clustered table's periodic maintenance thus costs O(recent ingest),
+    // not O(table) — two appends touching 4 of 16 buckets rewrite those 4
+    // buckets' 8 files, nothing else. Unrecoverable bucket names (adopted
+    // files) degrade to the full rewrite, never to a wrong partial one.
+    val byBucket = m.files.map(u => bucketOfFile(new Path(u).getName) -> u)
+    val selected: Seq[String] =
+      if (byBucket.exists(_._1.isEmpty)) m.files
+      else {
+        val dvNames = m.dvs.filter(_.deleted > 0).map(_.file).toSet
+        byBucket.groupBy(_._1.get).valuesIterator
+          .map(_.map(_._2))
+          .filter(fs => fs.size > 1 ||
+            fs.exists(u => dvNames.contains(new Path(u).getName)))
+          .flatten.toSeq
+      }
+    // true no-op: no bucket has more than one file and no vectors live
+    if (selected.isEmpty) return headV
+    val rewritten = readFiles(spark, m, selected)
+    val toPhys = parseSchema(m).map(logicalToPhysical).getOrElse(Map.empty)
+    val (written, newStats, newRows, newBlooms) =
+      writeBatch(rewritten, root, statsCols, toPhys, bloomCols, Some(c))
+    val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
+    testPrePublishHook()
+    publishRewriteOutput(spark, root, headV, m, selected.toSet, newRef, Some(c))
   }
 
   /** PREDICATE-SCOPED compaction — OPTIMIZE WHERE: rewrite into
@@ -3717,7 +3865,11 @@ object Snapshots {
     val clustering = m.clustering.fold("")(c =>
       s""","clustering":{"col":${graft.JsonStr(c.col)},"buckets":${c.buckets}""" +
         (if (c.sorted) ""","sorted":true}""" else "}"))
-    s"""{"version":${m.version},"parent":${m.parent},"ts":${m.ts},"tag":${graft.JsonStr(m.tag)},"schema":${graft.JsonStr(m.schema)},"shards":$shards$retired$clustering}"""
+    // optional like retired: pre-indexed manifests stay byte-compatible
+    val indexed = m.indexed.fold("") { case (s, b) =>
+      s""","indexed":{"s":${s.map(graft.JsonStr(_)).mkString("[", ",", "]")},"b":${b.map(graft.JsonStr(_)).mkString("[", ",", "]")}}"""
+    }
+    s"""{"version":${m.version},"parent":${m.parent},"ts":${m.ts},"tag":${graft.JsonStr(m.tag)},"schema":${graft.JsonStr(m.schema)},"shards":$shards$retired$clustering$indexed}"""
   }
 
   private def parseFilesArray(text: String, what: String): Seq[String] = {
@@ -3805,6 +3957,15 @@ object Snapshots {
         .findFirstMatchIn(text)
         .map(g => Clustering(unescape(g.group(1)), g.group(2).toInt,
           sorted = g.group(3) != null))
+    // optional: pre-indexed manifests read as None (appendFiles resolves)
+    val indexed =
+      """"indexed":\{"s":\[(.*?)\],"b":\[(.*?)\]\}""".r.findFirstMatchIn(text)
+        .map { g =>
+          def cols(body: String) =
+            """"([^"\\]*(?:\\.[^"\\]*)*)"""".r.findAllMatchIn(body)
+              .map(x => unescape(x.group(1))).toSeq
+          (cols(g.group(1)), cols(g.group(2)))
+        }
     val shardsField = """"shards":\[(.*?)\]""".r.findFirstMatchIn(text).map(_.group(1))
     shardsField match {
       case Some(body) =>
@@ -3812,12 +3973,12 @@ object Snapshots {
           .findAllMatchIn(body)
           .map(g => ShardRef(unescape(g.group(1)), g.group(2).toLong)).toSeq
         ManifestMeta(longField("version"), longField("parent"), refs, tag, ts, schema,
-          retired = retired, clustering = clustering)
+          retired = retired, clustering = clustering, indexed = indexed)
       case None => // legacy inline manifest
         ManifestMeta(longField("version"), longField("parent"), Seq.empty, tag, ts, schema,
           retired = retired,
           inline = Some((parseFilesArray(text, "manifest"), parseStatsArray(text))),
-          clustering = clustering)
+          clustering = clustering, indexed = indexed)
     }
   }
 

@@ -1612,7 +1612,9 @@ object Lake {
       spark.sql(s"INSERT INTO graft.`$root` " +
         "SELECT * FROM orders_src WHERE o_orderkey % 2 <> 0")
       val head = Snapshots.headVersion(spark, root)
-      require(head == 3L, s"expected create+CTAS-select+insert = 3 versions, got $head")
+      // CTAS stages atomically: the SELECT's write IS v1 (no pre-committed
+      // empty table), then the INSERT appends v2
+      require(head == 2L, s"expected atomic-CTAS+insert = 2 versions, got $head")
       require(Snapshots.clusteringAt(spark, root, head)
         .contains(Snapshots.Clustering("o_orderkey", 8)),
         "the SQL insert must inherit the clustering spec, not drop it")
@@ -1860,6 +1862,248 @@ object Lake {
           |  ${graft.engine.Det.sql.dsum("l_quantity")} AS sum_qty
           |FROM graft.`$sink`
           |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)
+    },
+
+    // ---- q131: SQL TYPE-WIDENING ALTER — int/float columns widen to
+    //            bigint/double as METADATA-ONLY commits (required
+    //            in-query: zero files rewritten); narrow-generation files
+    //            decode under the wide schema, a post-widen INSERT writes
+    //            the wide type, and a MERGE updates rows living in
+    //            narrow files — the final aggregate must equal DuckDB
+    //            applying the same widen+append+merge algebra. ----
+    OracleQuery(
+      "q131_sql_widen",
+      s"""WITH base AS (
+        |  SELECT CAST(o_orderkey AS INTEGER) AS k,
+        |    -- integer-valued floats: exact in float, double, and decimal,
+        |    -- so the widened read can hash-match decimal-exact arithmetic
+        |    -- (fractional float bits round differently DuckDB-vs-JVM)
+        |    CAST(CAST(FLOOR(CAST(o_totalprice AS DOUBLE)) AS REAL) AS DOUBLE) AS p
+        |  FROM orders
+        |), merged AS (
+        |  SELECT CAST(k AS BIGINT) AS k,
+        |    CASE WHEN k <= 300 THEN CAST(9.25 AS DOUBLE) ELSE p END AS p
+        |  FROM base
+        |  UNION ALL
+        |  SELECT CAST(k AS BIGINT) + 3000000, CAST(2.5 AS DOUBLE)
+        |  FROM base WHERE k <= 500
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  ${graft.engine.Det.sql.dsum("p")} AS sum_p
+        |FROM merged""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_widen"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+      Snapshots.commit(
+        Tables(spark, dir, "orders")
+          .select(col("o_orderkey").cast("int").as("k"),
+            floor(col("o_totalprice").cast("double")).cast("float").as("p"))
+          .repartitionByRange(4, col("k")),
+        root, statsCols = Seq("k"))
+      val filesBefore = Snapshots.manifest(spark, root, 1L).files.toSet
+      spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN k TYPE BIGINT")
+      spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN p TYPE DOUBLE")
+      require(Snapshots.manifest(spark, root, 3L).files.toSet == filesBefore,
+        "type widening must be metadata-only (no file rewritten)")
+      require(spark.table(s"graft.`$root`").schema("k").dataType
+        == org.apache.spark.sql.types.LongType,
+        "catalog must surface the widened type")
+      // wide-generation append + a MERGE whose updates land in NARROW files
+      spark.sql(s"INSERT INTO graft.`$root` " +
+        s"SELECT CAST(k AS BIGINT) + 3000000, CAST(2.5 AS DOUBLE) " +
+        s"FROM graft.`$root` WHERE k <= 500")
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t
+          |USING (SELECT k AS mk FROM graft.`$root` WHERE k <= 300) s
+          |ON t.k = s.mk
+          |WHEN MATCHED THEN UPDATE SET p = CAST(9.25 AS DOUBLE)""".stripMargin)
+      spark.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(k) AS BIGINT) AS sum_k,
+          |  ${graft.engine.Det.sql.dsum("p")} AS sum_p
+          |FROM graft.`$root`""".stripMargin)
+    },
+
+    // ---- q132: SQL ALTER SURFACE END-TO-END — RENAME COLUMN (metadata-
+    //            only, column mapping), then INSERT INTO (by-position,
+    //            writing under the rename-stable physical name), then a
+    //            MERGE keyed on the RENAMED column, read back through the
+    //            catalog — the SQL twin of the q98 rename machinery,
+    //            certified under the hash gate. ----
+    OracleQuery(
+      "q132_sql_alter_surface",
+      s"""WITH base AS (
+        |  SELECT c_custkey AS cust_id,
+        |    CAST(c_acctbal AS DOUBLE) AS bal
+        |  FROM customer
+        |), appended AS (
+        |  SELECT cust_id, bal FROM base
+        |  UNION ALL
+        |  SELECT cust_id + 1000000, CAST(0.5 AS DOUBLE) FROM base
+        |  WHERE cust_id <= 200
+        |), merged AS (
+        |  SELECT cust_id,
+        |    CASE WHEN cust_id % 10 = 3 THEN bal + CAST(50 AS DOUBLE)
+        |         ELSE bal END AS bal
+        |  FROM appended
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(cust_id) AS BIGINT) AS sum_id,
+        |  ${graft.engine.Det.sql.dsum("bal")} AS sum_bal
+        |FROM merged""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/customer_alter"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+      Snapshots.commit(
+        Tables(spark, dir, "customer")
+          .select(col("c_custkey"), col("c_acctbal").cast("double").as("bal"))
+          .repartitionByRange(4, col("c_custkey")),
+        root, statsCols = Seq("c_custkey"))
+      val filesBefore = Snapshots.manifest(spark, root, 1L).files.toSet
+      spark.sql(s"ALTER TABLE graft.`$root` RENAME COLUMN c_custkey TO cust_id")
+      require(Snapshots.manifest(spark, root, 2L).files.toSet == filesBefore,
+        "rename must be metadata-only")
+      // by-position INSERT writes under the rename-stable PHYSICAL name
+      spark.sql(s"INSERT INTO graft.`$root` " +
+        s"SELECT cust_id + 1000000, CAST(0.5 AS DOUBLE) " +
+        s"FROM graft.`$root` WHERE cust_id <= 200")
+      // MERGE keyed on the RENAMED column updates rows in pre-rename files
+      spark.sql(
+        s"""MERGE INTO graft.`$root` t
+          |USING (SELECT cust_id AS mk FROM graft.`$root` WHERE cust_id % 10 = 3) s
+          |ON t.cust_id = s.mk
+          |WHEN MATCHED THEN UPDATE SET bal = t.bal + CAST(50 AS DOUBLE)""".stripMargin)
+      spark.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(cust_id) AS BIGINT) AS sum_id,
+          |  ${graft.engine.Det.sql.dsum("bal")} AS sum_bal
+          |FROM graft.`$root`""".stripMargin)
+    },
+
+    // ---- q133: NATIVE STREAMING KEYED UPSERT — a CDC-shaped feed
+    //            streamed through `writeStream.option("upsertKey", k)`
+    //            (no foreachBatch): each epoch lands as ONE tagged keyed
+    //            merge — updates replace, inserts append, a replayed
+    //            epoch no-ops. The final table must equal DuckDB applying
+    //            the same upsert algebra to the source. ----
+    OracleQuery(
+      "q133_stream_upsert",
+      s"""WITH upserted AS (
+        |  SELECT o_orderkey AS k,
+        |    CASE WHEN o_orderkey % 10 = 3 THEN CAST(1.25 AS DOUBLE)
+        |         ELSE CAST(o_totalprice AS DOUBLE) END AS p
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000, CAST(7.5 AS DOUBLE)
+        |  FROM orders WHERE o_orderkey <= 400
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  ${graft.engine.Det.sql.dsum("p")} AS sum_p
+        |FROM upserted""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val target = s"$lakeBase/orders_upstream"
+      val feed = s"$lakeBase/orders_upfeed"
+      val fsys = new Path(target).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(target), true)
+      fsys.delete(new Path(feed), true)
+      val src = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").as("k"),
+          col("o_totalprice").cast("double").as("p"))
+      Snapshots.commit(src.repartitionByRange(4, col("k")), target,
+        statsCols = Seq("k"))
+      // the CDC feed: key-disjoint updates + inserts (order-insensitive,
+      // so any micro-batch grouping yields the same final table)
+      Snapshots.commit(
+        src.where(col("k") % 10 === 3).select(col("k"), lit(1.25).as("p"))
+          .unionByName(src.where(col("k") <= 400)
+            .select((col("k") + 2000000).as("k"), lit(7.5).as("p"))),
+        feed)
+      val ck = java.nio.file.Files.createTempDirectory("up_ck").toString
+      val fmt = "graft.streaming.SnapshotSourceProvider"
+      val q = spark.readStream.format(fmt)
+        .option("root", feed).option("startingVersion", "earliest").load()
+        .writeStream.format(fmt)
+        .option("root", target).option("upsertKey", "k")
+        .option("statsCols", "k")
+        .option("checkpointLocation", ck)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+      // required in-query: the feed landed as epoch-tagged MERGE commits
+      // (the native path), not as appends
+      val tags = Snapshots.historyMeta(spark, target).map(_.tag)
+      require(tags.exists(_.startsWith("stream-")),
+        s"expected epoch-tagged upsert commits, got $tags")
+      spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+      spark.sql(
+        s"""SELECT CAST(count(*) AS BIGINT) AS n,
+          |  CAST(sum(k) AS BIGINT) AS sum_k,
+          |  ${graft.engine.Det.sql.dsum("p")} AS sum_p
+          |FROM graft.`$target`""".stripMargin)
+    },
+
+    // ---- q134: REDUCIBLE-BUCKET SPJ — lineitem clustered 32, orders 16:
+    //            divisible counts join with ZERO exchanges (required
+    //            in-plan — the finer side's partitions coalesce by
+    //            id % 16 via the bucket function's ReducibleFunction),
+    //            and the result hash-matches DuckDB's plain join. The
+    //            100 TB point: bucket-count evolution (re-clustering a
+    //            grown table at 2× buckets) never re-buys either side's
+    //            shuffle against not-yet-evolved tables. ----
+    OracleQuery(
+      "q134_reducible_spj",
+      s"""SELECT o_orderpriority, count(*) AS n,
+        |  ${graft.engine.Det.sql.dsum("l_quantity")} AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'O'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val liRoot = s"$lakeBase/lineitem_rspj"
+      val ordRoot = s"$lakeBase/orders_rspj"
+      val fsys = new Path(liRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(liRoot), true)
+      fsys.delete(new Path(ordRoot), true)
+      Snapshots.commit(
+        Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        liRoot, clusterBy = Some(("l_orderkey", 32)))
+      Snapshots.commit(
+        Tables(spark, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+        ordRoot, clusterBy = Some(("o_orderkey", 16)))
+      spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+      val keys = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val prev = keys.map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val li = spark.table(s"graft.`$liRoot`")
+        val ord = spark.table(s"graft.`$ordRoot`")
+          .filter(col("o_orderstatus") === "O")
+        val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        val p = joined.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        require(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"expected a non-broadcast join:\n$p")
+        require(!p.contains("Exchange"),
+          s"32-vs-16 clustered join must plan with zero exchanges:\n$p")
+        joined.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            graft.engine.Det.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderpriority")
+          .localCheckpoint(true)
+      } finally prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
     },
 
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed

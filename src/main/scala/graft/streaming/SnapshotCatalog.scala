@@ -48,6 +48,7 @@ import graft.engine.Snapshots
   * one-side-shuffle fallback (`spark.sql.sources.v2.bucketing.shuffle
   * .enabled`) route rows to the correct storage bucket. */
 class SnapshotCatalog extends TableCatalog with FunctionCatalog
+  with org.apache.spark.sql.connector.catalog.StagingTableCatalog
   with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = "graft"
@@ -114,18 +115,9 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog
     * rides the same path: create (v1), then the SELECT lands as the
     * append commit (v2). `TBLPROPERTIES ('clusterSorted'='true')` asks
     * for sorted buckets. */
-  override def createTable(
-      ident: Identifier,
-      schema: StructType,
-      partitions: Array[Transform],
-      properties: JMap[String, String]): Table = {
+  private def clusterOf(partitions: Array[Transform]): Option[(String, Int)] = {
     import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
-    val spark = SparkSession.active
-    val root = rootOf(ident)
-    if (Snapshots.headVersion(spark, root) > 0)
-      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
-        Array(name(), root))
-    val clusterBy: Option[(String, Int)] = partitions.toSeq match {
+    partitions.toSeq match {
       case Seq() => None
       case Seq(t) if t.name == "bucket" =>
         val ref = t.arguments.collectFirst {
@@ -138,13 +130,83 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog
         s"graft tables support PARTITIONED BY (bucket(n, col)) only, got " +
           other.mkString(", "))
     }
+  }
+
+  override def createTable(
+      ident: Identifier,
+      schema: StructType,
+      partitions: Array[Transform],
+      properties: JMap[String, String]): Table = {
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    if (Snapshots.headVersion(spark, root) > 0)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(name(), root))
     val sorted = Option(properties.get("clusterSorted")).exists(_.toBoolean)
     Snapshots.commit(
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         schema),
-      root, append = false, clusterBy = clusterBy, clusterSorted = sorted)
+      root, append = false, clusterBy = clusterOf(partitions), clusterSorted = sorted)
     loadTable(ident)
   }
+
+  /** ATOMIC CTAS/RTAS staging ([[StagingTableCatalog]]): nothing commits
+    * until the SELECT's write job succeeds — the write itself IS the
+    * table's v1, so a failed CTAS leaves NO visible table (only
+    * unreferenced staging debris under the directory) and re-running it
+    * simply works. This replaces the old create-empty-v1-then-insert
+    * shape, whose failed SELECT stranded a visible empty table that
+    * `dropTable` (then unsupported) could not clear. */
+  override def stageCreate(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    if (Snapshots.headVersion(spark, root) > 0)
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+        Array(name(), root))
+    val cluster = clusterOf(info.partitions())
+    val sorted = Option(info.properties().get("clusterSorted")).exists(_.toBoolean)
+    val props = Map("root" -> root, "sqlResolved" -> "true") ++
+      cluster.map { case (c, n) => Map(
+        "clusterBy" -> c, "clusterBuckets" -> n.toString,
+        "clusterSorted" -> sorted.toString)
+      }.getOrElse(Map.empty)
+    val schema = info.schema()
+    new SnapshotStreamTable(schema, props)
+      with org.apache.spark.sql.connector.catalog.StagedTable {
+      override def commitStagedChanges(): Unit =
+        // the CTAS write commit (one append onto the empty root) already
+        // published v1 with the SELECT's rows; a write path that never ran
+        // still owes the table's existence — record the schema as v1
+        if (Snapshots.headVersion(spark, root) == 0)
+          Snapshots.commit(
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+            root, append = false, clusterBy = cluster, clusterSorted = sorted)
+      override def abortStagedChanges(): Unit = ()
+      // nothing to undo: the only publish happens at successful write
+      // completion, and deleting on abort could race a concurrent
+      // creator's legitimate v1
+    }
+  }
+
+  override def stageReplace(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    throw new UnsupportedOperationException(
+      "REPLACE TABLE is not supported — DROP TABLE (metadata) then CTAS, " +
+        "or use an overwrite write")
+
+  override def stageCreateOrReplace(
+      ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    throw new UnsupportedOperationException(
+      "CREATE OR REPLACE TABLE is not supported — DROP TABLE (metadata) " +
+        "then CTAS, or use an overwrite write")
 
   override def listTables(namespace: Array[String]): Array[Identifier] =
     Array.empty // tables are paths; there is no enumerable namespace
@@ -155,10 +217,12 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog
     *   - `ALTER TABLE ... RENAME COLUMN a TO b` → [[Snapshots.renameColumn]]
     *   - `ALTER TABLE ... DROP COLUMN a`        → [[Snapshots.dropColumn]]
     *   - `ALTER TABLE ... ADD COLUMNS (c TYPE)` → [[Snapshots.addColumn]]
-    * Nested fields, column positions (FIRST/AFTER), defaults, type
-    * changes, and property changes refuse loudly — each would need
-    * semantics the engine does not record, and a silently-dropped ALTER
-    * is a correctness bug waiting downstream. */
+    *   - `ALTER TABLE ... ALTER COLUMN c TYPE t` → [[Snapshots.widenColumn]]
+    *     (value-preserving widenings only; narrowings refuse)
+    * Nested fields, column positions (FIRST/AFTER), defaults, and
+    * property changes refuse loudly — each would need semantics the
+    * engine does not record, and a silently-dropped ALTER is a
+    * correctness bug waiting downstream. */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     import TableChange._
     val spark = SparkSession.active
@@ -192,18 +256,36 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog
         require(a.defaultValue == null,
           s"ADD COLUMNS $col: column DEFAULT values are not supported")
         Snapshots.addColumn(spark, root, col, a.dataType)
+      case u: UpdateColumnType =>
+        // value-preserving widenings only (int→long, float→double, decimal
+        // growth) — a metadata-only commit with read-side widening in both
+        // readers; anything else still refuses inside widenColumn
+        Snapshots.widenColumn(spark, root,
+          topLevel(u.fieldNames, "ALTER COLUMN TYPE"), u.newDataType)
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change $other — supported: RENAME " +
           "COLUMN, DROP COLUMN, ADD COLUMNS (nullable, no default, " +
-          "appended last); CHECK constraints go through graft.engine.Checks")
+          "appended last), ALTER COLUMN TYPE (widening); CHECK " +
+          "constraints go through graft.engine.Checks")
     }
     loadTable(ident)
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    throw new UnsupportedOperationException(
-      "drop snapshot tables by deleting the table directory (their data is " +
-        "path-addressed; this catalog never deletes data)")
+  /** SQL DROP TABLE: removes the table's EXISTENCE — the `_snapshots`
+    * manifest chain (commit records, metadata shards, checks) — and never
+    * a data file. The directory's parquet bytes become unreferenced
+    * debris; reclaim them by deleting the directory (path-addressed data
+    * stays the caller's to own). Branches are part of the chain and go
+    * with it; a branch-qualified identifier refuses (drop the branch via
+    * `CALL graft.system.drop_branch` instead). */
+  override def dropTable(ident: Identifier): Boolean = {
+    val spark = SparkSession.active
+    val root = rootOf(ident)
+    require(!root.contains("@ref="),
+      s"DROP TABLE on branch '$root' — use CALL graft.system.drop_branch")
+    if (Snapshots.headVersion(spark, root) == 0) false
+    else { Snapshots.dropMetadata(spark, root); true }
+  }
 
   override def renameTable(old: Identifier, nw: Identifier): Unit =
     throw new UnsupportedOperationException(
@@ -264,7 +346,35 @@ object GraftBucketFunction extends UnboundFunction {
   * here would let the one-side-shuffle SPJ fallback route rows to the
   * wrong storage bucket and silently drop join matches; the agreement is
   * spec-pinned against `functions.hash` + `pmod`. */
-case class GraftBucketBound(keyType: DataType) extends ScalarFunction[Integer] {
+case class GraftBucketBound(keyType: DataType)
+  extends ScalarFunction[Integer]
+  with org.apache.spark.sql.connector.catalog.functions.ReducibleFunction[Integer, Integer] {
+
+  /** MISMATCHED-bucket storage-partitioned joins: when the counts divide
+    * (32 vs 16), the coarser grouping is recoverable from the finer ids
+    * alone — `pmod(h,32) % 16 == pmod(h,16)` — so Spark (under
+    * `spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled`)
+    * asks the finer side for a reducer and COALESCES its partitions into
+    * the coarser side's key space instead of shuffling either side: a
+    * 16-vs-32 clustered join plans with zero exchanges. Non-divisible
+    * counts return null (no reduction) and fall back to the one-side
+    * shuffle against this same function. */
+  override def reducer(
+      thisNumBuckets: Int,
+      other: org.apache.spark.sql.connector.catalog.functions.ReducibleFunction[_, _],
+      otherNumBuckets: Int)
+      : org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer] =
+    other match {
+      case _: GraftBucketBound
+          if thisNumBuckets > otherNumBuckets &&
+            thisNumBuckets % otherNumBuckets == 0 =>
+        new org.apache.spark.sql.connector.catalog.functions.Reducer[Integer, Integer]
+          with Serializable {
+          override def reduce(v: Integer): Integer =
+            Integer.valueOf(v.intValue % otherNumBuckets)
+        }
+      case _ => null
+    }
 
   override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
   override def resultType(): DataType = IntegerType

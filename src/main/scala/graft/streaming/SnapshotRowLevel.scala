@@ -209,6 +209,111 @@ private[streaming] class SnapshotStreamingWrite(
   }
 }
 
+/** Native STREAMING KEYED UPSERT — `df.writeStream.format(...)
+  * .option("root", root).option("upsertKey", "k")`: each epoch applies as
+  * ONE keyed merge commit ([[Snapshots.merge]] — same-key rows replace,
+  * new keys append, untouched files carry by reference), so a CDC feed or
+  * an update-mode streaming aggregate maintains a keyed table natively,
+  * no foreachBatch wrapper. Exactly-once rides the same epoch tag as the
+  * append path: a replayed epoch finds `stream-<queryId>-e<epoch>`
+  * retained, deletes its duplicate staged input, and applies nothing.
+  * The executors stage the epoch's rows as parquet exactly like the
+  * append path; only the COMMIT differs — it reads the staged rows back
+  * (one scan of the epoch, never the table) and routes them through the
+  * stats-pruned merge. Specialized CDC shapes (SCD2 history, incremental
+  * view folds) remain [[ScdSink]] / [[IncrementalView]]. */
+private[streaming] class SnapshotUpsertStreamingWrite(
+    root: String,
+    rowSchema: StructType,
+    queryId: String,
+    key: String,
+    statsCols: Seq[String])
+  extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  private val stagingDir = Snapshots.newStagingDir(root)
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory = {
+    val spark = SparkSession.active
+    require(rowSchema.fieldNames.contains(key),
+      s"upsertKey '$key' is not in the streamed schema " +
+        s"(${rowSchema.fieldNames.mkString(", ")})")
+    val head = SnapshotSource.surfacedSchema(root)
+    if (head.fields.nonEmpty) {
+      val unknown = rowSchema.fieldNames.filterNot(head.fieldNames.contains)
+      require(unknown.isEmpty,
+        s"streaming upsert to $root introduces column(s) " +
+          s"${unknown.mkString(", ")} — evolve the schema with a batch " +
+          "commit first (streamed writes never evolve schemas silently)")
+    }
+    SnapshotStreamingWriterFactory(stagingDir,
+      SnapshotParquetDataWriter.physSchemaJson(root, rowSchema),
+      SnapshotParquetDataWriter.writerConf(spark))
+  }
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val newFiles = messages.collect {
+      case m: SnapshotFileCommit if m.path != null => m.path
+    }.toSeq.sorted
+    if (newFiles.isEmpty) return // an empty trigger applies nothing
+    val tag = s"stream-$queryId-e$epochId"
+    val fsys = new Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (Snapshots.historyMeta(spark, root).exists(_.tag == tag)) {
+      fsys.delete(new Path(stagingDir), true) // replayed epoch: no-op
+      return
+    }
+    // read the staged epoch back under LOGICAL names and merge it
+    val phys = SnapshotSource.physicalNames(root)
+    val dataFields = rowSchema.fields.filterNot(_.name == SnapshotSource.FileCol)
+    val physSchema = StructType(dataFields.map(f =>
+      f.copy(name = phys.getOrElse(f.name, f.name))))
+    val staged = spark.read.schema(physSchema).parquet(newFiles: _*)
+      .select(dataFields.toSeq.map(f =>
+        org.apache.spark.sql.functions.col(phys.getOrElse(f.name, f.name))
+          .as(f.name)): _*)
+    // the merge fences on the head it read — a concurrent commit (another
+    // writer, maintenance) aborts it loudly; recompute-and-retry is safe
+    // here because the tag publishes only with the merge itself. The FIRST
+    // epoch onto a not-yet-existing table has no base to merge into: it
+    // commits as the table's initial content (same tag idempotency).
+    var attempts = 0
+    var done = false
+    while (!done) {
+      attempts += 1
+      try {
+        if (Snapshots.headVersion(spark, root) == 0)
+          Snapshots.commitIfAbsent(staged, root, tag = tag, append = true,
+            statsCols = statsCols)
+        else Snapshots.merge(staged, root, key, statsCols = statsCols, tag = tag)
+        done = true
+      } catch {
+        case e: Snapshots.ConcurrentCommitException if attempts < 5 => ()
+        case e: Snapshots.ConcurrentCommitException =>
+          throw new IllegalStateException(
+            s"streaming upsert epoch $epochId into $root lost $attempts head " +
+              "races — a concurrent writer is churning this table. Cause: " +
+              e.getMessage, e)
+      }
+    }
+    // the merge wrote its own files; the staged epoch input is now debris
+    fsys.delete(new Path(stagingDir), true)
+    ()
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val f = new Path(stagingDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case m: SnapshotFileCommit if m.path != null =>
+        f.delete(new Path(m.path), false)
+      case _ => ()
+    }
+  }
+}
+
 private[streaming] case class SnapshotStreamingWriterFactory(
     stagingDir: String,
     physSchemaJson: String,

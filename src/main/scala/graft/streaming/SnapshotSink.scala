@@ -50,8 +50,23 @@ object SnapshotSink {
       .option("checkpointLocation", checkpointDir)
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, id: Long) =>
-        Snapshots.commitIfAbsent(batch, root, tag = s"batch-$id",
+        try Snapshots.commitIfAbsent(batch, root, tag = s"batch-$id",
           append = true, statsCols = statsCols, clusterBy = clusterBy)
+        catch {
+          // a batch commit's only fence is the clustering-spec
+          // re-validation: a concurrent commit dropped or changed the
+          // head's spec beneath this clustered ingest. Swallowing would
+          // DROP the batch (the replay tag is per-trigger), so the query
+          // must stop — but with an actionable terminal error instead of
+          // a bare requirement trace
+          case e: Snapshots.ConcurrentCommitException =>
+            throw new IllegalStateException(
+              s"clustered streaming ingest into $root halted: a concurrent " +
+                "commit changed the table's clustering spec beneath the " +
+                "stream. Re-cluster the table (overwrite commit with the " +
+                "sink's clusterBy) and restart from the checkpoint, or " +
+                "restart the sink without clusterBy. Cause: " + e.getMessage, e)
+        }
         // optional maintenance, best-effort: a concurrent commit between
         // the maintenance op's head read and its publish throws its
         // requireHead fence — that must not kill the whole streaming

@@ -365,7 +365,13 @@ private[streaming] class SnapshotStreamTable(
       if (info.options.containsKey("root")) info.options
       else new CaseInsensitiveStringMap((properties ++
         info.options.asScala).asJava)
-    new SnapshotWriteBuilder(SnapshotSource.rootOf(opts), opts, info)
+    val root = SnapshotSource.rootOf(opts)
+    // the keyed-upsert builder additionally accepts UPDATE output mode
+    // (update-as-append marker): an update-mode streaming aggregate's
+    // changed-key epochs are exactly what a keyed merge applies
+    if (Option(opts.get("upsertKey")).exists(_.trim.nonEmpty))
+      new SnapshotUpsertWriteBuilder(root, opts, info)
+    else new SnapshotWriteBuilder(root, opts, info)
   }
 }
 
@@ -381,6 +387,17 @@ private[streaming] class SnapshotStreamTable(
   * files for pruning; `tag` stamps the commit. Mode `overwrite` is a
   * truncating commit (fresh schema generation, old versions remain
   * time-travelable); `append` is an append commit. */
+/** [[SnapshotWriteBuilder]] for keyed-upsert writes (`upsertKey` option):
+  * the update-as-append marker lets UPDATE-output-mode streaming queries
+  * (e.g. incrementally maintained aggregates) write here — each epoch's
+  * changed keys route through the keyed merge. */
+private[streaming] class SnapshotUpsertWriteBuilder(
+    root: String,
+    options: CaseInsensitiveStringMap,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+  extends SnapshotWriteBuilder(root, options, info)
+  with org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+
 private[streaming] class SnapshotWriteBuilder(
     root: String,
     options: CaseInsensitiveStringMap,
@@ -406,7 +423,16 @@ private[streaming] class SnapshotWriteBuilder(
         require(!overwrite,
           s"streaming writes to $root are append-only — 'complete'/" +
             "'truncate' output would rewrite the whole table every trigger")
-        new SnapshotStreamingWrite(root, info.schema(), info.queryId())
+        Option(options.get("upsertKey")).map(_.trim).filter(_.nonEmpty) match {
+          case Some(k) =>
+            def cols(key: String): Seq[String] =
+              Option(options.get(key)).toSeq
+                .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            new SnapshotUpsertStreamingWrite(root, info.schema(),
+              info.queryId(), k, cols("statsCols"))
+          case None =>
+            new SnapshotStreamingWrite(root, info.schema(), info.queryId())
+        }
       }
       override def toInsertableRelation
           : org.apache.spark.sql.sources.InsertableRelation =

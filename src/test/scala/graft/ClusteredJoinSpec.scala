@@ -123,20 +123,79 @@ class ClusteredJoinSpec extends SparkSpec {
     }
   }
 
-  test("mismatched bucket counts fall back to a shuffled join, rows exact") {
+  test("mismatched-but-divisible bucket counts join with ZERO exchanges (reducible buckets)") {
+    withSpj {
+      val prevCt = spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
+      try {
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+        val lRoot = tmp()
+        val rRoot = tmp()
+        val left = (1L to 2000L).map(i => (i, i)).toDF("k", "a")
+        val right = (1L to 2000L).map(i => (i, i * 10)).toDF("k2", "b")
+        Snapshots.commit(left, lRoot, clusterBy = Some(("k", 8)))
+        Snapshots.commit(right, rRoot, clusterBy = Some(("k2", 4)))
+        val l = catalogRead(lRoot)
+        val r = catalogRead(rRoot)
+        val joined = l.join(r, l("k") === r("k2"))
+        // the 8-bucket side REDUCES (id % 4) into the 4-bucket key space:
+        // partitions coalesce, nothing shuffles
+        assert(!plan(joined).contains("Exchange"),
+          s"divisible bucket counts must storage-partition the join:\n${plan(joined)}")
+        assert(joined.count() === 2000L)
+        assert(joined.agg(sum($"a" * $"b")).head().getLong(0)
+          === (1L to 2000L).map(i => i * i * 10).sum,
+          "every key must meet its match (reduced ids route correctly)")
+      } finally prevCt.fold(spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled"))(
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", _))
+    }
+  }
+
+  test("non-divisible bucket counts fall back to a shuffled join, rows exact") {
     withSpj {
       val lRoot = tmp()
       val rRoot = tmp()
-      val left = (1L to 2000L).map(i => (i, i)).toDF("k", "a")
-      val right = (1L to 2000L).map(i => (i, i)).toDF("k2", "b")
-      Snapshots.commit(left, lRoot, clusterBy = Some(("k", 8)))
-      Snapshots.commit(right, rRoot, clusterBy = Some(("k2", 4)))
+      Snapshots.commit((1L to 2000L).map(i => (i, i)).toDF("k", "a"),
+        lRoot, clusterBy = Some(("k", 8)))
+      Snapshots.commit((1L to 2000L).map(i => (i, i)).toDF("k2", "b"),
+        rRoot, clusterBy = Some(("k2", 6)))
       val l = catalogRead(lRoot)
       val r = catalogRead(rRoot)
       val joined = l.join(r, l("k") === r("k2"))
       assert(plan(joined).contains("Exchange"),
-        "incompatible bucket counts cannot storage-partition the join")
+        "8-vs-6 buckets share no reduction and must shuffle")
       assert(joined.count() === 2000L)
+    }
+  }
+
+  test("a bucket-count-evolved table joins its pre-evolution self with zero exchanges") {
+    withSpj {
+      val prevCt = spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
+      try {
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+        val root = tmp()
+        Snapshots.commit((1L to 3000L).map(i => (i, i)).toDF("k", "a"),
+          root, clusterBy = Some(("k", 16)))
+        // re-cluster at double the bucket count (overwrite commit — the
+        // bucket-evolution path; old version stays time-travelable)
+        Snapshots.commit(Snapshots.read(spark, root),
+          root, clusterBy = Some(("k", 32)))
+        val now = catalogRead(root)
+        val before = spark.sql(s"SELECT k AS k0, a AS a0 FROM graft.`$root` VERSION AS OF 1")
+        val joined = now.join(before, $"k" === $"k0")
+        assert(!plan(joined).contains("Exchange"),
+          s"16-vs-32 generations of one table must join exchange-free:\n${plan(joined)}")
+        assert(joined.count() === 3000L)
+        assert(joined.filter($"a" =!= $"a0").count() === 0L)
+      } finally prevCt.fold(spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled"))(
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", _))
     }
   }
 
@@ -239,6 +298,38 @@ class ClusteredJoinSpec extends SparkSpec {
     }
   }
 
+  test("compactClustered touches only untidy buckets; tidy ones carry by reference") {
+    val root = tmp()
+    Snapshots.commit((1L to 4000L).map(i => (i, i)).toDF("k", "v"), root,
+      clusterBy = Some(("k", 16)))
+    // two hot-key appends land files in a handful of buckets only
+    Snapshots.commit(Seq((7L, 70L), (9L, 90L)).toDF("k", "v"), root,
+      append = true, clusterBy = Some(("k", 16)))
+    Snapshots.commit(Seq((7L, 71L)).toDF("k", "v"), root,
+      append = true, clusterBy = Some(("k", 16)))
+    val before = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+    def bucketsOf(files: Seq[String]) = files.groupBy(u =>
+      Snapshots.bucketOfFile(new org.apache.hadoop.fs.Path(u).getName).get)
+    val hot = bucketsOf(before.files).filter(_._2.size > 1).keySet
+    val tidyFiles = bucketsOf(before.files).filterNot(e => hot.contains(e._1))
+      .values.flatten.map(u => new org.apache.hadoop.fs.Path(u).getName).toSet
+    assert(hot.nonEmpty && tidyFiles.nonEmpty,
+      s"fixture needs both hot and tidy buckets, got hot=$hot tidy=${tidyFiles.size}")
+    val v = Snapshots.compactClustered(spark, root)
+    val after = Snapshots.manifest(spark, root, v)
+    val afterNames = after.files.map(u => new org.apache.hadoop.fs.Path(u).getName).toSet
+    assert(tidyFiles.subsetOf(afterNames),
+      "single-file buckets must carry by reference, not rewrite")
+    assert(bucketsOf(after.files).values.forall(_.size == 1),
+      "every bucket must end with exactly one file")
+    assert(after.clustering === Some(Snapshots.Clustering("k", 16)))
+    assert(Snapshots.read(spark, root).count() === 4003L)
+    // a tidy table is a true no-op — even when (sparse buckets) the old
+    // files<=buckets guard would have been fooled
+    assert(Snapshots.compactClustered(spark, root) === v,
+      "nothing untidy left: compactClustered must not mint a version")
+  }
+
   test("groupBy on the cluster key aggregates with zero exchanges") {
     withSpj {
       val root = tmp()
@@ -286,6 +377,32 @@ class ClusteredJoinSpec extends SparkSpec {
         s"streamed-into clustered table must still join exchange-free:\n$p")
       assert(joined.count() === 2000L)
     }
+  }
+
+  test("a spec-dropping race halts clustered ingest with an actionable error, not a bare require") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = tmp()
+    val ckpt = Files.createTempDirectory("clusteredrace").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
+    val q = graft.streaming.SnapshotSink.start(
+      input.toDF().toDF("k", "a"), root, ckpt, clusterBy = Some(("k", 4)))
+    try {
+      input.addData((1L, 1L))
+      q.processAllAvailable()
+      // a concurrent UNCLUSTERED append drops the head's spec beneath the stream
+      Snapshots.commit(Seq((99L, 99L)).toDF("k", "a"), root, append = true)
+      assert(Snapshots.manifestMeta(spark, root,
+        Snapshots.headVersion(spark, root)).clustering.isEmpty)
+      input.addData((2L, 2L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("clustered streaming ingest")),
+        s"expected the actionable terminal error, got: ${causes(e).map(_.getClass.getSimpleName)}")
+    } finally q.stop()
   }
 
   test("sorted clustering: SMJ plans with zero exchanges AND zero sorts; files sorted on disk") {
@@ -382,12 +499,12 @@ class ClusteredJoinSpec extends SparkSpec {
       assert(Snapshots.clusteringAt(spark, root, 2L) ===
         Some(Snapshots.Clustering("k", 4)),
         "a SQL insert must not declassify a clustered table")
-      // CTAS: create (v1) + the SELECT as the append commit (v2)
+      // CTAS stages atomically: the SELECT's write IS v1
       spark.sql(
         s"CREATE TABLE graft.`$rRoot` PARTITIONED BY (bucket(4, k2)) AS " +
           "SELECT id AS k2, id % 7 AS b FROM range(1, 2001)")
-      assert(Snapshots.headVersion(spark, rRoot) === 2L)
-      assert(Snapshots.clusteringAt(spark, rRoot, 2L) ===
+      assert(Snapshots.headVersion(spark, rRoot) === 1L)
+      assert(Snapshots.clusteringAt(spark, rRoot, 1L) ===
         Some(Snapshots.Clustering("k2", 4)))
       // creating over an existing table refuses
       intercept[Exception] {

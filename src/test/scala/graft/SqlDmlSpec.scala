@@ -139,6 +139,107 @@ class SqlDmlSpec extends SparkSpec {
     assert(Snapshots.headVersion(spark, root) === 1L)
   }
 
+  test("ALTER COLUMN TYPE widens metadata-only; both generations read; merge after widen") {
+    val root = tmp()
+    Snapshots.commit((1 to 100).map(i => (i, i.toFloat / 2, BigDecimal(i) / 100))
+      .toDF("k", "f", "d")
+      .select(col("k"), col("f"),
+        col("d").cast(org.apache.spark.sql.types.DecimalType(5, 2)).as("d")),
+      root, statsCols = Seq("k"))
+    val filesBefore = Snapshots.manifest(spark, root, 1L).files.toSet
+    spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN f TYPE DOUBLE")
+    spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN d TYPE DECIMAL(12,4)")
+    assert(Snapshots.manifest(spark, root, 4L).files.toSet === filesBefore,
+      "widening must be metadata-only (no file rewritten)")
+    // both readers surface the widened types over the NARROW files
+    val apiSchema = Snapshots.read(spark, root).schema
+    assert(apiSchema("k").dataType === org.apache.spark.sql.types.LongType)
+    assert(apiSchema("f").dataType === org.apache.spark.sql.types.DoubleType)
+    assert(apiSchema("d").dataType === org.apache.spark.sql.types.DecimalType(12, 4))
+    assert(spark.table(s"graft.`$root`").schema("k").dataType
+      === org.apache.spark.sql.types.LongType)
+    assert(Snapshots.read(spark, root).agg(sum("k")).head().getLong(0) === 5050L)
+    assert(spark.sql(s"SELECT sum(k) FROM graft.`$root`").head().getLong(0) === 5050L)
+    assert(spark.sql(s"SELECT sum(f) FROM graft.`$root` WHERE k <= 4")
+      .head().getDouble(0) === 5.0)
+    // time travel to the pre-widen version surfaces the NARROW schema
+    assert(spark.sql(s"SELECT * FROM graft.`$root` VERSION AS OF 1")
+      .schema("k").dataType === org.apache.spark.sql.types.IntegerType)
+    // appends after the widen write the WIDE type; generations mix in one scan
+    Snapshots.commit(Seq((101L, 2.5d, BigDecimal("99.1234")))
+      .toDF("k", "f", "d")
+      .select(col("k"), col("f"),
+        col("d").cast(org.apache.spark.sql.types.DecimalType(12, 4)).as("d")),
+      root, append = true)
+    assert(spark.table(s"graft.`$root`").count() === 101L)
+    // MERGE over the widened key: updates hit rows in narrow-generation files
+    spark.sql(
+      s"""MERGE INTO graft.`$root` t USING (SELECT 7 AS k, 100.0 AS nf) s
+         |ON t.k = s.k WHEN MATCHED THEN UPDATE SET f = s.nf""".stripMargin)
+    assert(spark.sql(s"SELECT f FROM graft.`$root` WHERE k = 7")
+      .head().getDouble(0) === 100.0)
+    assert(spark.table(s"graft.`$root`").count() === 101L)
+    // point filter through the stats index still prunes and stays exact
+    assert(spark.sql(s"SELECT count(*) FROM graft.`$root` WHERE k = 101")
+      .head().getLong(0) === 1L)
+    // non-widening changes keep refusing — Spark's analyzer rejects
+    // narrowings before the catalog (NOT_SUPPORTED_CHANGE_COLUMN), and the
+    // engine's own guard refuses anything not provably value-preserving
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE graft.`$root` ALTER COLUMN k TYPE INT")
+    }
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"))
+    val eApi = intercept[Exception] { Snapshots.widenColumn(spark, root, "k",
+      org.apache.spark.sql.types.IntegerType) }
+    assert(eApi.getMessage.contains("value-preserving"))
+    val eApi2 = intercept[Exception] { Snapshots.widenColumn(spark, root, "f",
+      org.apache.spark.sql.types.StringType) }
+    assert(eApi2.getMessage.contains("value-preserving"))
+    // widening the cluster key refuses (bucket hashes are type-sensitive)
+    val croot = tmp()
+    graft.engine.Snapshots.commit(
+      (1 to 50).map(i => (i, s"v$i")).toDF("ck", "v"), croot,
+      clusterBy = Some(("ck", 4)))
+    val e2 = intercept[Exception] { Snapshots.widenColumn(spark, croot, "ck",
+      org.apache.spark.sql.types.LongType) }
+    assert(e2.getMessage.contains("cluster key"))
+  }
+
+  test("CTAS is atomic: a failed SELECT leaves no table, the retry succeeds; DROP TABLE clears metadata") {
+    val root = tmp()
+    // a CTAS whose SELECT fails mid-job must create NOTHING
+    intercept[Exception] {
+      spark.sql(s"CREATE TABLE graft.`$root` AS " +
+        "SELECT id, CAST(assert_true(id < 5) AS STRING) AS x FROM range(0, 100000)")
+    }
+    assert(graft.engine.Snapshots.headVersion(spark, root) === 0L,
+      "a failed CTAS must not strand a visible (empty) table")
+    assert(!spark.catalog.tableExists(s"graft.`$root`"))
+    // the retry works (no TableAlreadyExists from the failed attempt)
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT id AS k FROM range(1, 101)")
+    assert(graft.engine.Snapshots.headVersion(spark, root) === 1L,
+      "atomic CTAS: the SELECT's write is v1 itself")
+    assert(spark.table(s"graft.`$root`").count() === 100L)
+    // an empty-result CTAS still creates the table (schema-recording v1)
+    val root2 = tmp()
+    spark.sql(s"CREATE TABLE graft.`$root2` AS " +
+      s"SELECT k FROM graft.`$root` WHERE k < 0")
+    assert(spark.table(s"graft.`$root2`").count() === 0L)
+    assert(spark.table(s"graft.`$root2`").schema.fieldNames === Array("k"))
+    // DROP TABLE removes the existence (metadata chain), data debris stays
+    spark.sql(s"DROP TABLE graft.`$root`")
+    assert(graft.engine.Snapshots.headVersion(spark, root) === 0L)
+    assert(!spark.catalog.tableExists(s"graft.`$root`"))
+    // the directory is reusable: CTAS over the dropped root succeeds
+    spark.sql(s"CREATE TABLE graft.`$root` AS SELECT id AS z FROM range(1, 11)")
+    assert(spark.table(s"graft.`$root`").count() === 10L)
+    spark.sql(s"DROP TABLE IF EXISTS graft.`$root`")
+    // dropping a missing table: IF EXISTS no-ops, bare DROP refuses
+    spark.sql(s"DROP TABLE IF EXISTS graft.`$root`")
+    intercept[Exception] { spark.sql(s"DROP TABLE graft.`$root`") }
+  }
+
   test("engine truncate fences concurrent commits; addColumn collides safely") {
     val root = tmp()
     Snapshots.commit(Seq((1L, "a")).toDF("k", "s"), root)

@@ -42,6 +42,36 @@ class StreamingWriteSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("epoch commits learn indexed columns from the head record, O(1) per trigger") {
+    val root = tmp("swr_idx")
+    // batch-committed head declares its stats/bloom columns in the RECORD
+    Snapshots.commit((1L to 500L).map(i => (i, s"s$i")).toDF("k", "s"),
+      root, statsCols = Seq("k"), bloomCols = Seq("s"))
+    val head1 = Snapshots.manifestMeta(spark, root, 1L)
+    assert(head1.indexed === Some((Seq("k"), Seq("s"))),
+      "a commit must declare its indexed physical columns in the manifest record")
+    // a streamed epoch indexes its files under the declared columns —
+    // straight from the head meta, no shard resolve
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "s").writeStream.format(Fmt)
+      .option("root", root).option("checkpointLocation", ckpt()).start()
+    try { in.addData((501L, "x501")); q.processAllAvailable() } finally q.stop()
+    val m2 = Snapshots.manifest(spark, root, 2L)
+    val newFiles = (m2.files.toSet -- Snapshots.manifest(spark, root, 1L).files.toSet)
+      .map(u => new org.apache.hadoop.fs.Path(u).getName)
+    assert(newFiles.nonEmpty)
+    assert(newFiles.forall(f => m2.stats.exists(st => st.file == f && st.col == "k")),
+      "epoch files must be stats-indexed under the declared column")
+    assert(newFiles.forall(f => m2.blooms.exists(b => b.file == f && b.col == "s")),
+      "epoch files must be bloom-indexed under the declared column")
+    assert(Snapshots.manifestMeta(spark, root, 2L).indexed
+      === Some((Seq("k"), Seq("s"))), "the declaration must carry")
+    // declaration round-trips the manifest text (render/parse symmetry)
+    val reparsed = Snapshots.manifestMeta(spark, root, 2L)
+    assert(reparsed.indexed === Some((Seq("k"), Seq("s"))))
+  }
+
   test("restart from checkpoint: a replayed epoch publishes nothing twice") {
     val root = tmp("swr_r")
     val ck = ckpt()
@@ -74,6 +104,100 @@ class StreamingWriteSpec extends SparkSpec {
     assert(t.as[Long].collect().toSet === Set(1L, 2L, 3L, 10L, 11L))
     val tags = Snapshots.historyMeta(spark, root).map(_.tag)
     assert(tags.distinct.length === tags.length, s"duplicate epoch tags: $tags")
+  }
+
+  test("streaming keyed upsert: every trigger boundary equals the batch merge") {
+    val root = tmp("swr_up")
+    // seed a keyed table
+    Snapshots.commit((1L to 100L).map(i => (i, s"v$i", 0L)).toDF("k", "v", "gen"),
+      root, statsCols = Seq("k"))
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val q = in.toDF().toDF("k", "v", "gen").writeStream.format(Fmt)
+      .option("root", root).option("upsertKey", "k")
+      .option("statsCols", "k")
+      .option("checkpointLocation", ckpt()).start()
+    def table() = spark.read.format(Fmt).option("root", root).load()
+      .as[(Long, String, Long)].collect().toSet
+    try {
+      // trigger 1: update existing keys + insert new ones
+      in.addData((5L, "up5", 1L), (6L, "up6", 1L), (200L, "new200", 1L))
+      q.processAllAvailable()
+      val expected1 = (1L to 100L).map(i =>
+        if (i == 5L) (5L, "up5", 1L) else if (i == 6L) (6L, "up6", 1L)
+        else (i, s"v$i", 0L)).toSet + ((200L, "new200", 1L))
+      assert(table() === expected1, "after trigger 1 the table must equal the batch merge")
+      // trigger 2: second generation over some of the same keys
+      in.addData((5L, "up5b", 2L), (300L, "new300", 2L))
+      q.processAllAvailable()
+      val expected2 = expected1.filterNot(_._1 == 5L) +
+        ((5L, "up5b", 2L)) + ((300L, "new300", 2L))
+      assert(table() === expected2, "after trigger 2 the table must equal the batch merge")
+      // the merges carried untouched files by reference, never the table:
+      // head history = seed + 2 merge commits, each epoch-tagged
+      val metas = Snapshots.historyMeta(spark, root)
+      assert(metas.count(_.tag.startsWith("stream-")) === 2)
+    } finally q.stop()
+  }
+
+  test("streaming keyed upsert replays exactly-once across a kill/restart") {
+    val root = tmp("swr_upr")
+    val ck = ckpt()
+    Snapshots.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "v"), root,
+      statsCols = Seq("k"))
+    implicit val sq = spark.sqlContext
+    val in1 = MemoryStream[(Long, String)]
+    val q1 = in1.toDF().toDF("k", "v").writeStream.format(Fmt)
+      .option("root", root).option("upsertKey", "k")
+      .option("checkpointLocation", ck).start()
+    try { in1.addData((1L, "a2"), (3L, "c")); q1.processAllAvailable() }
+    finally q1.stop()
+    val afterFirst = spark.read.format(Fmt).option("root", root).load()
+      .as[(Long, String)].collect().toSet
+    assert(afterFirst === Set((1L, "a2"), (2L, "b"), (3L, "c")))
+    // second incarnation replays epoch 0 with the same rows: the retained
+    // tag must make the merge a no-op (no double-apply, no version mint)
+    val vBefore = Snapshots.headVersion(spark, root)
+    val in2 = MemoryStream[(Long, String)]
+    in2.addData((1L, "a2"), (3L, "c"))
+    val q2 = in2.toDF().toDF("k", "v").writeStream.format(Fmt)
+      .option("root", root).option("upsertKey", "k")
+      .option("checkpointLocation", ck).start()
+    try {
+      q2.processAllAvailable()
+      assert(Snapshots.headVersion(spark, root) === vBefore,
+        "a replayed upsert epoch must publish nothing")
+      in2.addData((2L, "b2"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.read.format(Fmt).option("root", root).load()
+      .as[(Long, String)].collect().toSet
+      === Set((1L, "a2"), (2L, "b2"), (3L, "c")))
+  }
+
+  test("update-mode streaming aggregate maintains a keyed table through upsert") {
+    val root = tmp("swr_agg")
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(String, Long)]
+    // update-mode word-count: each trigger emits only the CHANGED keys;
+    // the upsert write applies them as a keyed merge — the table IS the
+    // aggregate, incrementally maintained
+    val counts = in.toDF().toDF("w", "n")
+      .groupBy("w").agg(sum("n").as("total"))
+    val q = counts.writeStream.format(Fmt)
+      .option("root", root).option("upsertKey", "w")
+      .option("checkpointLocation", ckpt())
+      .outputMode("update").start()
+    try {
+      in.addData(("a", 1L), ("b", 2L))
+      q.processAllAvailable()
+      in.addData(("a", 10L), ("c", 5L))
+      q.processAllAvailable()
+    } finally q.stop()
+    val t = spark.read.format(Fmt).option("root", root).load()
+      .as[(String, Long)].collect().toSet
+    assert(t === Set(("a", 11L), ("b", 2L), ("c", 5L)),
+      "the upserted table must equal the full aggregate")
   }
 
   test("streamed appends ride the column mapping and never evolve schemas") {
@@ -131,6 +255,20 @@ class StreamingWriteSpec extends SparkSpec {
       q2.processAllAvailable()
       assert(spark.table(s"graft.`$sink`").count() === 2L)
     } finally q2.stop()
+    // catalog-addressed streaming UPSERT: the upsertKey writer option
+    // survives the catalog's property merge — toTable CDC-applies
+    val in3 = MemoryStream[(Long, String)]
+    val q3 = in3.toDF().toDF("k", "s").writeStream
+      .option("checkpointLocation", ckpt())
+      .option("upsertKey", "k")
+      .toTable(s"graft.`$sink`")
+    try {
+      in3.addData((5L, "e2"), (9L, "i"))
+      q3.processAllAvailable()
+      assert(spark.table(s"graft.`$sink`").as[(Long, String)].collect().toSet
+        === Set((0L, "z"), (5L, "e2"), (9L, "i")),
+        "toTable with upsertKey must merge, not append")
+    } finally q3.stop()
   }
 
   test("streamed-in table serves SQL and time travel like any other") {
