@@ -10,6 +10,24 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // fingerprint the source FIRST — it must describe the code this run
+    // measures, not whatever sits on disk when the run finishes (an
+    // edit landing mid-run would otherwise mislabel the artifact)
+    val srcFingerprint: String = {
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      val srcRoot = java.nio.file.Paths.get("src/main/scala")
+      if (java.nio.file.Files.isDirectory(srcRoot)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(srcRoot).iterator().asScala
+          .filter(p => java.nio.file.Files.isRegularFile(p))
+          .toSeq.sortBy(_.toString)
+          .foreach { p =>
+            md.update(p.toString.getBytes("UTF-8"))
+            md.update(java.nio.file.Files.readAllBytes(p))
+          }
+      }
+      md.digest().take(8).map(b => f"$b%02x").mkString
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -191,20 +209,6 @@ object Bench {
         val out = new String(p.getInputStream.readAllBytes()).trim
         if (p.waitFor() == 0 && out.nonEmpty) out else "unknown"
       } catch { case NonFatal(_) => "unknown" }
-    val srcFingerprint: String = {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
-      val root = java.nio.file.Paths.get("src/main/scala")
-      if (java.nio.file.Files.isDirectory(root)) {
-        java.nio.file.Files.walk(root).iterator().asScala
-          .filter(p => java.nio.file.Files.isRegularFile(p))
-          .toSeq.sortBy(_.toString)
-          .foreach { p =>
-            md.update(p.toString.getBytes("UTF-8"))
-            md.update(java.nio.file.Files.readAllBytes(p))
-          }
-      }
-      md.digest().take(8).map(b => f"$b%02x").mkString
-    }
     // ---- same-code min fold (round-13 verdict #1, the curve's documented
     // min methodology applied to the registry artifact) ------------------
     // If the profile path already holds a run of the SAME source (fingerprint

@@ -2106,6 +2106,63 @@ object Lake {
       }
     },
 
+    // ---- q135: ROW-GROUP PREDICATE PUSHDOWN — lineitem compacted to ONE
+    //            key-sorted file with ~1 MB row groups; a point predicate
+    //            must decode a FRACTION of the file (required in-query:
+    //            the scan's output rows < half the table — footer stats +
+    //            page indexes skip the non-matching row groups), while the
+    //            result hash-matches DuckDB. The 100 TB point: inside a
+    //            1 GB file with 128 MB row groups, a pruned read costs
+    //            1/8th of a boundary file, and this is the gate that
+    //            proves the predicate actually reaches the reader. ----
+    OracleQuery(
+      "q135_rowgroup_point",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_linenumber) AS BIGINT) AS sum_ln,
+        |  ${graft.engine.Det.sql.dsum("l_quantity")} AS sum_qty
+        |FROM lineitem WHERE l_orderkey = 1""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/lineitem_rg"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val hc = spark.sparkContext.hadoopConfiguration
+      val oldBlock = Option(hc.get("parquet.block.size"))
+      hc.set("parquet.block.size", (1 << 17).toString) // ~128 KB row groups
+      try {
+        Snapshots.commit(
+          Tables(spark, dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity")
+            .repartition(1).sortWithinPartitions("l_orderkey"),
+          root)
+      } finally oldBlock.fold(hc.unset("parquet.block.size"))(
+        hc.set("parquet.block.size", _))
+      val m1 = Snapshots.manifest(spark, root, 1L)
+      require(m1.files.size == 1)
+      // the skip gate only binds when the file actually HAS row groups to
+      // skip (sf0.001's lineitem fits one group — nothing to prune there)
+      val rowGroups = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(m1.files.head), hc)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      }
+      val total = Snapshots.read(spark, root).count()
+      val q = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load().filter(col("l_orderkey") === 1L)
+      q.collect()
+      val decoded = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.metrics("numOutputRows").value
+      }.sum
+      if (rowGroups > 1)
+        require(decoded > 0 && decoded < total / 2,
+          s"point predicate must skip row groups " +
+            s"(decoded $decoded of $total across $rowGroups groups)")
+      q.agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("l_linenumber")).cast("bigint").as("sum_ln"),
+        graft.engine.Det.dsum(col("l_quantity")).as("sum_qty"))
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO
