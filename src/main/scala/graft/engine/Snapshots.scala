@@ -1076,7 +1076,18 @@ object Snapshots {
       val r = dfP.repartition(c.buckets, org.apache.spark.sql.functions.col(c.col))
       if (c.sorted) r.sortWithinPartitions(c.col) else r
     }
-    dfW.write.parquet(dataDir)
+    // bloom-indexed columns also get PARQUET-INTERNAL bloom filters
+    // (adaptive sizing): the manifest's FileBloom prunes whole FILES, the
+    // in-file blooms let the reader's row-group predicate pushdown
+    // ([[RowGroupFilters]]) skip ROW GROUPS on point predicates whose
+    // stats ranges can't discriminate (high-cardinality strings in
+    // unsorted files — exactly what FileBloom columns are)
+    val bloomPhysW = bloomCols.map(c => toPhys.getOrElse(c, c))
+    val writer = bloomPhysW.foldLeft(
+      dfW.write.option("parquet.bloom.filter.adaptive.enabled", "true")) {
+      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    writer.parquet(dataDir)
     obs.foreach { o =>
       val got = o.get
       val bad = rules.filter(r => got.get(r.name).exists(_.asInstanceOf[Long] > 0L))

@@ -861,16 +861,12 @@ private[streaming] class SnapshotScan(
           .toSet).toSeq
     val dvByName = m.dvs.map(d => d.file -> d.b64).toMap
     if (onPlanned != null) onPlanned(finalKept)
-    SnapshotFilePartition.planned(finalKept, dvByName, spark,
-      clustered = clustered.isDefined)
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val phys = SnapshotSource.physicalNames(root)
-    val confEntries = SnapshotSource.readerConfEntries(spark)
-    // within-file row-group predicates from the SAME conjuncts that pruned
-    // files (static pushed + runtime data filters, which by now have
-    // arrived — createReaderFactory runs at execution). NEVER on a
+    // within-file row-group predicates from the SAME conjuncts that prune
+    // files (static pushed + runtime data filters). Stamped on the
+    // PARTITIONS, not the reader factory: Spark materializes the factory
+    // at plan time (its supportsColumnar probe), BEFORE runtime filters
+    // arrive — partition planning is the hook that re-runs after
+    // `filter()`, so DPP IN-sets reach the parquet reader. NEVER on a
     // row-level-operation scan: its CoW rewrite must copy every row of a
     // replaced file, matching or not, so dropping non-matching row groups
     // would silently delete them.
@@ -879,9 +875,17 @@ private[streaming] class SnapshotScan(
     val rg =
       if (rowLevel) Array.empty[graft.engine.RowGroupFilters.RgF]
       else graft.engine.RowGroupFilters.translate(
-        (pushed ++ runtimeFilters).toSeq, fullSchema, phys)
+        (pushed ++ dataFilters).toSeq, fullSchema,
+        SnapshotSource.physicalNames(root))
+    SnapshotFilePartition.planned(finalKept, dvByName, spark,
+      clustered = clustered.isDefined, rgFilters = rg)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val phys = SnapshotSource.physicalNames(root)
+    val confEntries = SnapshotSource.readerConfEntries(spark)
     SnapshotReaderFactory(required.json,
-      required.fields.map(f => phys.getOrElse(f.name, f.name)), confEntries, rg)
+      required.fields.map(f => phys.getOrElse(f.name, f.name)), confEntries)
   }
 
   /** Exact post-pruning row count from the manifest's per-file counts
@@ -1196,7 +1200,14 @@ private[streaming] case class SnapshotFilePartition(
     columnar: Boolean,
     start: Long = 0L,
     length: Long = -1L,
-    bucket: Int = -1) extends InputPartition with HasPartitionKey {
+    bucket: Int = -1,
+    /** Row-group predicate conjuncts for THIS partition's read
+      * ([[graft.engine.RowGroupFilters]]). Stamped at partition PLANNING —
+      * which runs again AFTER runtime filters arrive — never on the reader
+      * factory, which Spark builds at plan time (its `supportsColumnar`
+      * probe) before any DPP set exists. Empty on DV'd files. */
+    rg: Array[graft.engine.RowGroupFilters.RgF] = Array.empty)
+  extends InputPartition with HasPartitionKey {
 
   /** The file's clustering bucket id, as the storage-partitioned-join
     * grouping key. Read only when the scan reported
@@ -1229,7 +1240,9 @@ private[streaming] object SnapshotFilePartition {
       files: Seq[String],
       dvByName: Map[String, String],
       spark: SparkSession,
-      clustered: Boolean = false): Array[InputPartition] = {
+      clustered: Boolean = false,
+      rgFilters: Array[graft.engine.RowGroupFilters.RgF] =
+        Array.empty): Array[InputPartition] = {
     val withDv = files.sorted.map(uri => uri -> dvByName.get(new Path(uri).getName))
     val allFree = withDv.forall(_._2.isEmpty)
     // under a reported KeyGroupedPartitioning every partition carries its
@@ -1239,11 +1252,15 @@ private[streaming] object SnapshotFilePartition {
     def bucketOf(uri: String): Int =
       if (!clustered) -1
       else Snapshots.bucketOfFile(new Path(uri).getName).getOrElse(-1)
+    // row-group filtering never applies to a DV'd file: deletion vectors
+    // address absolute ordinals a skipped row group would shift
+    def rgOf(dv: Option[String]): Array[graft.engine.RowGroupFilters.RgF] =
+      if (dv.isEmpty) rgFilters else Array.empty
     val fewFiles = withDv.size < spark.sparkContext.defaultParallelism * 4
     if (!fewFiles)
       return withDv.map { case (uri, dv) =>
         SnapshotFilePartition(uri, dv, columnar = allFree,
-          bucket = bucketOf(uri)): InputPartition
+          bucket = bucketOf(uri), rg = rgOf(dv)): InputPartition
       }.toArray
     val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
@@ -1253,12 +1270,12 @@ private[streaming] object SnapshotFilePartition {
       val len = if (dv.isEmpty) fs.getFileStatus(new Path(uri)).getLen else -1L
       if (dv.isDefined || len <= maxBytes)
         Seq(SnapshotFilePartition(uri, dv, columnar = allFree,
-          bucket = bucketOf(uri)))
+          bucket = bucketOf(uri), rg = rgOf(dv)))
       else
         (0L until len by maxBytes).map(off =>
           SnapshotFilePartition(uri, None, columnar = allFree,
             start = off, length = math.min(maxBytes, len - off),
-            bucket = bucketOf(uri)))
+            bucket = bucketOf(uri), rg = rgFilters))
     }.map(p => p: InputPartition).toArray
   }
 }
@@ -1281,8 +1298,7 @@ private[streaming] object SnapshotFilePartition {
 private[streaming] case class SnapshotReaderFactory(
     requiredJson: String,
     physNames: Array[String],
-    confEntries: Array[(String, String)],
-    rgFilters: Array[graft.engine.RowGroupFilters.RgF] = Array.empty)
+    confEntries: Array[(String, String)])
   extends PartitionReaderFactory {
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -1293,16 +1309,13 @@ private[streaming] case class SnapshotReaderFactory(
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
-    // row-group filtering is ordinal-shifting — a DV'd file must decode
-    // every position or the vector deletes the wrong rows
-    val rg = if (p.dvB64.isEmpty) rgFilters else Array.empty[graft.engine.RowGroupFilters.RgF]
-    new SnapshotRowReader(p, required, physNames, confEntries, rg)
+    new SnapshotRowReader(p, required, physNames, confEntries)
   }
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
     require(p.dvB64.isEmpty, s"columnar read planned for DV'd file ${p.uri}")
-    new SnapshotBatchReader(p, required, physNames, confEntries, rgFilters)
+    new SnapshotBatchReader(p, required, physNames, confEntries)
   }
 }
 
@@ -1404,8 +1417,7 @@ private[streaming] class SnapshotBatchReader(
     partition: SnapshotFilePartition,
     required: StructType,
     physNames: Array[String],
-    confEntries: Array[(String, String)],
-    rgFilters: Array[graft.engine.RowGroupFilters.RgF] = Array.empty)
+    confEntries: Array[(String, String)])
   extends PartitionReader[ColumnarBatch] {
 
   // `_file` is synthesized, never parquet-read: strip it from the
@@ -1424,7 +1436,7 @@ private[streaming] class SnapshotBatchReader(
 
   private val vr = SnapshotVectorized.open(
     partition.uri, dataRequired, dataPhys, confEntries,
-    partition.start, partition.length, rgFilters)
+    partition.start, partition.length, partition.rg)
   vr.enableReturningBatches()
 
   override def next(): Boolean = vr.nextKeyValue()
@@ -1451,8 +1463,7 @@ private[streaming] class SnapshotRowReader(
     partition: SnapshotFilePartition,
     required: StructType,
     physNames: Array[String],
-    confEntries: Array[(String, String)],
-    rgFilters: Array[graft.engine.RowGroupFilters.RgF] = Array.empty)
+    confEntries: Array[(String, String)])
   extends PartitionReader[InternalRow] {
 
   private val fileIdx = required.fieldNames.indexOf(SnapshotSource.FileCol)
@@ -1479,9 +1490,9 @@ private[streaming] class SnapshotRowReader(
   private val vr = SnapshotVectorized.open(
     partition.uri, dataRequired, dataPhys, confEntries,
     partition.start, partition.length,
-    // belt and braces with the factory's gate: a DV'd file never
+    // belt and braces with the planner's gate: a DV'd file never
     // row-group-filters (ordinal shift would delete the wrong rows)
-    if (partition.dvB64.isEmpty) rgFilters
+    if (partition.dvB64.isEmpty) partition.rg
     else Array.empty[graft.engine.RowGroupFilters.RgF])
   private val dv = partition.dvB64.map(SnapshotVectorized.decodeDv)
   private var rowIdx: Long = -1L
