@@ -127,7 +127,7 @@ private[streaming] class SnapshotReplaceWrite(
     val spark = SparkSession.active
     SnapshotParquetWriterFactory(stagingDir,
       SnapshotParquetDataWriter.physSchemaJson(root, rowSchema),
-      SnapshotParquetDataWriter.writerConf(spark))
+      SnapshotParquetDataWriter.writerConfWithBlooms(spark, root))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -185,7 +185,7 @@ private[streaming] class SnapshotStreamingWrite(
     }
     SnapshotStreamingWriterFactory(stagingDir,
       SnapshotParquetDataWriter.physSchemaJson(root, rowSchema),
-      SnapshotParquetDataWriter.writerConf(spark))
+      SnapshotParquetDataWriter.writerConfWithBlooms(spark, root))
   }
 
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -360,6 +360,25 @@ private[streaming] object SnapshotParquetDataWriter {
     * fallback) — resolve them on the DRIVER through the session conf
     * (which does apply defaults) and append LAST so they override any
     * unset/garbage value in the flattened entries. */
+  /** [[writerConf]] plus parquet-internal bloom filters (adaptive) on the
+    * table's declared bloom-indexed PHYSICAL columns — read O(1) from the
+    * head record ([[Snapshots.ManifestMeta.indexed]]) so files written by
+    * the DSv2 paths (streaming epochs, CoW rewrites) prune row groups on
+    * string points exactly like batch-committed ones. A legacy head
+    * without the declaration simply writes without them (pruning weakens,
+    * never rows). */
+  def writerConfWithBlooms(spark: SparkSession, root: String): Array[(String, String)] = {
+    val headV = Snapshots.headVersion(spark, root)
+    val bloomPhys =
+      if (headV == 0) Seq.empty[String]
+      else Snapshots.manifestMeta(spark, root, headV).indexed
+        .map(_._2).getOrElse(Seq.empty)
+    writerConf(spark) ++
+      (if (bloomPhys.isEmpty) Array.empty[(String, String)]
+       else Array("parquet.bloom.filter.adaptive.enabled" -> "true") ++
+         bloomPhys.map(c => s"parquet.bloom.filter.enabled#$c" -> "true"))
+  }
+
   def writerConf(spark: SparkSession): Array[(String, String)] = {
     def resolved(key: String, dflt: String): (String, String) =
       key -> spark.conf.get(key, dflt)
@@ -408,12 +427,29 @@ private[streaming] class SnapshotParquetDataWriter(
         case "lz4" | "lz4raw" | "lz4_raw" => CompressionCodecName.LZ4_RAW
         case _ => CompressionCodecName.SNAPPY
       }
-    writer = new ParquetWriter[InternalRow](
-      new Path(path), new ParquetWriteSupport, codec,
-      ParquetWriter.DEFAULT_BLOCK_SIZE, ParquetWriter.DEFAULT_PAGE_SIZE,
-      ParquetWriter.DEFAULT_PAGE_SIZE,
-      /*enableDictionary=*/ true, /*validating=*/ false,
-      ParquetProperties.WriterVersion.PARQUET_1_0, conf)
+    // Builder API (the legacy constructor ignores per-column properties):
+    // bloom enables arrive as `parquet.bloom.filter.enabled#<col>` conf
+    // entries ([[SnapshotParquetDataWriter.writerConfWithBlooms]]) and are
+    // applied explicitly — the builder reads its own settings, not the
+    // conf's dynamic keys
+    class B(p: Path) extends ParquetWriter.Builder[InternalRow, B](p) {
+      override def self(): B = this
+      override def getWriteSupport(c: Configuration) = new ParquetWriteSupport
+    }
+    val bloomPrefix = "parquet.bloom.filter.enabled#"
+    val bloomCols = confEntries.collect {
+      case (k, "true") if k.startsWith(bloomPrefix) =>
+        k.substring(bloomPrefix.length)
+    }
+    var b = new B(new Path(path))
+      .withConf(conf)
+      .withCompressionCodec(codec)
+      .withDictionaryEncoding(true)
+      .withValidation(false)
+      .withWriterVersion(ParquetProperties.WriterVersion.PARQUET_1_0)
+    if (bloomCols.nonEmpty) b = b.withAdaptiveBloomFilterEnabled(true)
+    bloomCols.foreach(c => b = b.withBloomFilterEnabled(c, true))
+    writer = b.build()
   }
 
   override def write(record: InternalRow): Unit = {

@@ -67,6 +67,21 @@ class StreamingWriteSpec extends SparkSpec {
       "epoch files must be bloom-indexed under the declared column")
     assert(Snapshots.manifestMeta(spark, root, 2L).indexed
       === Some((Seq("k"), Seq("s"))), "the declaration must carry")
+    // the epoch's files also carry PARQUET-INTERNAL blooms on the declared
+    // column (row-group pruning inside the file, not just file pruning)
+    val epochFile = m2.files.find(u =>
+      newFiles.contains(new org.apache.hadoop.fs.Path(u).getName)).get
+    val pf = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(epochFile),
+        spark.sparkContext.hadoopConfiguration))
+    try {
+      val cols = pf.getRowGroups.get(0).getColumns
+      val sCol = (0 until cols.size).map(cols.get)
+        .find(_.getPath.toDotString == "s").get
+      assert(sCol.getBloomFilterOffset >= 0,
+        "streamed epoch files must write parquet blooms on declared columns")
+    } finally pf.close()
     // declaration round-trips the manifest text (render/parse symmetry)
     val reparsed = Snapshots.manifestMeta(spark, root, 2L)
     assert(reparsed.indexed === Some((Seq("k"), Seq("s"))))
