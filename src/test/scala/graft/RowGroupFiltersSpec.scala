@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.parquet.schema.MessageTypeParser
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.RowGroupFilters
+
+/** Translation soundness for the row-group predicate pushdown
+  * ([[graft.engine.RowGroupFilters]]): what ships, what refuses, and what
+  * each FILE's footer re-validation keeps. The invariants here are the
+  * no-lost-rows contract — a conjunct may only ever be dropped (weakening
+  * the predicate), never strengthened.
+  */
+class RowGroupFiltersSpec extends AnyFunSuite {
+
+  private val schema = StructType(Seq(
+    StructField("i", IntegerType), StructField("l", LongType),
+    StructField("f", FloatType), StructField("d", DoubleType),
+    StructField("s", StringType), StructField("b", BooleanType),
+    StructField("dt", DateType), StructField("dec", DecimalType(5, 2)),
+    StructField("arr", ArrayType(LongType))))
+
+  private val footer = MessageTypeParser.parseMessageType(
+    """message spark_schema {
+      |  optional int32 i;
+      |  optional int64 l;
+      |  optional float f;
+      |  optional double d;
+      |  optional binary s (STRING);
+      |  optional boolean b;
+      |  optional int32 dt (DATE);
+      |  optional binary raw;
+      |}""".stripMargin)
+
+  private def t(fs: Filter*) =
+    RowGroupFilters.translate(fs, schema, Map.empty)
+
+  test("simple comparisons on primitive types translate; opaque types refuse") {
+    assert(t(EqualTo("i", 5)).length === 1)
+    assert(t(GreaterThan("l", 10L)).length === 1)
+    assert(t(LessThanOrEqual("d", 1.5)).length === 1)
+    assert(t(EqualTo("s", "x")).length === 1)
+    assert(t(EqualTo("b", true)).length === 1)
+    assert(t(EqualTo("dt", java.sql.Date.valueOf("2024-01-01"))).length === 1)
+    // decimal and array columns never ship (edge cases not worth the risk)
+    assert(t(EqualTo("dec", new java.math.BigDecimal("1.23"))).isEmpty)
+    assert(t(EqualTo("arr", Array(1L))).isEmpty)
+    // unknown column refuses
+    assert(t(EqualTo("nope", 1)).isEmpty)
+  }
+
+  test("NaN literals never push (footer stats omit NaN - could wrongly drop groups)") {
+    assert(t(EqualTo("f", Float.NaN)).isEmpty)
+    assert(t(EqualTo("d", Double.NaN)).isEmpty)
+    assert(t(GreaterThan("d", Double.NaN)).isEmpty)
+    // ordinary floats still push
+    assert(t(EqualTo("f", 1.5f)).length === 1)
+  }
+
+  test("null literals only ship through the null-test shapes") {
+    assert(t(EqualTo("i", null)).isEmpty)
+    assert(t(IsNull("i")).length === 1)
+    assert(t(IsNotNull("s")).length === 1)
+    assert(t(EqualNullSafe("i", null)).length === 1) // <=> null IS a null test
+  }
+
+  test("IN is all-or-nothing: a null or untranslatable member kills the whole set") {
+    assert(t(In("i", Array(1, 2, 3))).length === 1)
+    assert(t(In("i", Array(1, null, 3))).isEmpty)
+    assert(t(In("i", Array.empty[Any])).isEmpty)
+    // over the ship cap: refused, the file-level index already ran
+    assert(t(In("i", (1 to 20000).map(x => x: Any).toArray)).isEmpty)
+  }
+
+  test("OR requires both sides; AND keeps a translatable side alone (implied weaker predicate)") {
+    assert(t(Or(EqualTo("i", 1), EqualTo("l", 2L))).length === 1)
+    assert(t(Or(EqualTo("i", 1), EqualTo("dec", new java.math.BigDecimal("1")))).isEmpty)
+    assert(t(And(EqualTo("i", 1), EqualTo("dec", new java.math.BigDecimal("1")))).length === 1)
+    assert(t(And(EqualTo("dec", new java.math.BigDecimal("1")), EqualTo("l", 2L))).length === 1)
+  }
+
+  test("footer re-validation drops missing columns and type-mismatched generations") {
+    // column present with matching physical type: predicate builds
+    assert(RowGroupFilters.build(t(EqualTo("i", 5)), footer).isDefined)
+    // pre-evolution file lacking the column: conjunct drops -> no predicate
+    val noI = MessageTypeParser.parseMessageType(
+      "message spark_schema { optional int64 l; }")
+    assert(RowGroupFilters.build(t(EqualTo("i", 5)), noI).isEmpty)
+    // a widened column's OLD files hold the narrow type: long predicate
+    // against an int32 footer drops (the residual filter still runs)
+    val narrowL = MessageTypeParser.parseMessageType(
+      "message spark_schema { optional int32 l; }")
+    assert(RowGroupFilters.build(t(EqualTo("l", 5L)), narrowL).isEmpty)
+    // string predicate requires the UTF8 annotation (unsigned comparator)
+    assert(RowGroupFilters.build(t(EqualTo("s", "x")), footer).isDefined)
+    val rawS = MessageTypeParser.parseMessageType(
+      "message spark_schema { optional binary s; }")
+    assert(RowGroupFilters.build(t(EqualTo("s", "x")), rawS).isEmpty)
+    // OR with one footer-dropped side drops whole (strengthening is unsound)
+    val orF = t(Or(EqualTo("i", 1), EqualTo("l", 2L)))
+    assert(RowGroupFilters.build(orF, noI).isEmpty)
+    // AND with one footer-dropped side keeps the other
+    val andF = t(And(EqualTo("i", 1), EqualTo("l", 2L)))
+    assert(RowGroupFilters.build(andF, noI).isDefined)
+  }
+}
