@@ -2163,6 +2163,59 @@ object Lake {
         graft.engine.Det.dsum(col("l_quantity")).as("sum_qty"))
     },
 
+    // ---- q136: ONE-SIDE-SHUFFLE SPJ — lineitem clustered on its join
+    //            key, orders left UNCLUSTERED: under
+    //            `v2.bucketing.shuffle.enabled` Spark shuffles ONLY the
+    //            plain side, routing its rows through the engine's served
+    //            `bucket` function into the storage buckets (required
+    //            in-plan: at most one Exchange, and none above the
+    //            clustered scan). Hash-exactness is the real certification
+    //            — a writer/function disagreement on key→bucket silently
+    //            DROPS matches rather than erroring, and only the DuckDB
+    //            compare can see that. ----
+    OracleQuery(
+      "q136_oneside_spj",
+      s"""SELECT o_orderpriority, count(*) AS n,
+        |  ${graft.engine.Det.sql.dsum("l_quantity")} AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'P'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val liRoot = s"$lakeBase/lineitem_ospj"
+      val fsys = new Path(liRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(liRoot), true)
+      Snapshots.commit(
+        Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
+        liRoot, clusterBy = Some(("l_orderkey", 16)))
+      spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+      val keys = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.shuffle.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+      val prev = keys.map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val li = spark.table(s"graft.`$liRoot`")
+        val ord = Tables(spark, dir, "orders")
+          .select("o_orderkey", "o_orderstatus", "o_orderpriority")
+          .filter(col("o_orderstatus") === "P")
+        val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        val p = joined.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        require("""\(\d+\) Exchange""".r.findAllIn(p).size <= 1,
+          s"only the unclustered side may shuffle:\n$p")
+        joined.groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            graft.engine.Det.dsum(col("l_quantity")).as("sum_qty"))
+          .orderBy("o_orderpriority")
+          .localCheckpoint(true)
+      } finally prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO

@@ -1176,6 +1176,23 @@ private[streaming] class SnapshotMicroBatchStream(
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
+    // a TYPE drift between the stream's planned schema and the table's
+    // head (ALTER COLUMN TYPE widening mid-stream) cannot be read
+    // correctly — the wide generation's files would decode into the
+    // stream's narrow vectors (a cryptic task failure at best, silent
+    // overflow at worst). Fail at planning with the operational answer:
+    // a restart re-resolves the schema and reads BOTH generations wide.
+    val head = SnapshotSource.surfacedSchema(root)
+    val drifted = required.fields.flatMap { f =>
+      head.fields.find(_.name == f.name)
+        .filter(_.dataType != f.dataType)
+        .map(h => s"${f.name}: ${f.dataType.simpleString} -> ${h.dataType.simpleString}")
+    }
+    if (drifted.nonEmpty) throw new IllegalStateException(
+      s"the schema of $root changed beneath this stream " +
+        s"(${drifted.mkString(", ")}) — restart the streaming query from " +
+        "its checkpoint to pick up the widened schema (it will resume at " +
+        "the failed batch and read every generation under the new types)")
     // one head/manifest read for the whole batch, not one per column —
     // and the Hadoop conf ships ONCE in the factory rather than copied
     // into every per-file partition (a 10k-file backfill would otherwise

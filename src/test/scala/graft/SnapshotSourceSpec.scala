@@ -198,6 +198,49 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a widen mid-stream fails with restart guidance; the restart reads every generation wide") {
+    val root = tmp("ssrc_w")
+    val sink = tmp("ssrc_wsink")
+    Snapshots.commit(Seq((1, "a"), (2, "b")).toDF("k", "s"), root)
+    val ck = ckpt()
+    def startQ() = spark.readStream.format(Fmt).option("root", root)
+      .option("startingVersion", "earliest").load()
+      .writeStream.format(Fmt).option("root", sink)
+      .option("checkpointLocation", ck).start()
+    val q = startQ()
+    try {
+      q.processAllAvailable()
+      assert(spark.read.format(Fmt).option("root", sink).load().count() === 2L)
+      // widen + a wide-generation append beneath the running stream: its
+      // planned int vectors cannot hold the new files — the failure must
+      // be the ACTIONABLE planning error, not a task-level decode crash
+      Snapshots.widenColumn(spark, root, "k", org.apache.spark.sql.types.LongType)
+      Snapshots.commit(Seq((5000000000L, "wide")).toDF("k", "s"), root,
+        append = true)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+      assert(causes(e).exists(c =>
+        String.valueOf(c.getMessage).contains("restart the streaming query")),
+        s"expected the schema-drift planning error, got ${e.getMessage.take(200)}")
+    } finally q.stop()
+    // operational recovery: widen the SINK to match, restart from the
+    // same checkpoint — the stream re-resolves the WIDE schema, resumes
+    // at exactly the failed batch, and the sink lands the wide row
+    Snapshots.widenColumn(spark, sink, "k", org.apache.spark.sql.types.LongType)
+    val q2 = startQ()
+    try {
+      q2.processAllAvailable()
+      val out = spark.read.format(Fmt).option("root", sink).load()
+      assert(out.schema("k").dataType === org.apache.spark.sql.types.LongType)
+      assert(out.as[(Long, String)].collect().toSet
+        === Set((1L, "a"), (2L, "b"), (5000000000L, "wide")),
+        "the restarted stream must resume at exactly the failed batch")
+    } finally q2.stop()
+  }
+
   test("streams under a renamed schema: current logical names over old files") {
     val root = tmp("ssrc_ren")
     Snapshots.commit(Seq((1L, "x")).toDF("id", "old_name"), root)
