@@ -2216,6 +2216,60 @@ object Lake {
       }
     },
 
+    // ---- q137: PARQUET-BLOOM ROW-GROUP PRUNING — the string twin of
+    //            q135: a key-SHUFFLED single file (every row group's
+    //            [min,max] string range spans ~everything, so footer
+    //            stats cannot discriminate) with bloom-indexed keys; a
+    //            string point predicate must decode a fraction of the
+    //            file via the parquet-internal blooms the engine now
+    //            writes for bloomCols (required in-query when the file
+    //            has >1 row group), and the result hash-matches DuckDB. ----
+    OracleQuery(
+      "q137_bloom_rowgroup",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+        |FROM orders
+        |WHERE md5(CAST(o_orderkey AS VARCHAR)) = md5('1')""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_bloomrg"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val hc = spark.sparkContext.hadoopConfiguration
+      val oldBlock = Option(hc.get("parquet.block.size"))
+      hc.set("parquet.block.size", (1 << 17).toString)
+      try {
+        Snapshots.commit(
+          Tables(spark, dir, "orders")
+            .select(col("o_orderkey"),
+              md5(col("o_orderkey").cast("string")).as("okey"))
+            .repartition(1), // hash keys: stats ranges overlap everywhere
+          root, bloomCols = Seq("okey"))
+      } finally oldBlock.fold(hc.unset("parquet.block.size"))(
+        hc.set("parquet.block.size", _))
+      val m1 = Snapshots.manifest(spark, root, 1L)
+      require(m1.files.size == 1)
+      val rowGroups = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(m1.files.head), hc)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      }
+      val total = Snapshots.read(spark, root).count()
+      val q = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load().filter(col("okey") === md5(lit("1")))
+      q.collect()
+      val decoded = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.metrics("numOutputRows").value
+      }.sum
+      if (rowGroups > 4)
+        require(decoded > 0 && decoded < total / 2,
+          s"bloom must skip row groups on a string point " +
+            s"(decoded $decoded of $total across $rowGroups groups)")
+      q.agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("o_orderkey")).cast("bigint").as("sum_k"))
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO
