@@ -228,9 +228,14 @@ object Bench {
         if (!sameCode) (Map.empty, 0)
         else {
           val qm = m.get("queries").asInstanceOf[java.util.Map[String, Object]].asScala
+          // a prior FAILED attempt's sec is not a floor: a fast failure
+          // would understate a now-passing query forever (profiles stamp
+          // "err" per query since round 15; legacy rows without the field
+          // were all-success artifacts)
           val secs = qm.flatMap { case (k, v) =>
-            val sec = v.asInstanceOf[java.util.Map[String, Object]].get("sec")
-            Option(sec).map(s => k -> s.toString.toDouble)
+            val entry = v.asInstanceOf[java.util.Map[String, Object]]
+            if (entry.get("err") != null) None
+            else Option(entry.get("sec")).map(s => k -> s.toString.toDouble)
           }.toMap
           val runs = Option(m.get("folded_runs")).map(_.toString.toInt).getOrElse(1)
           (secs, runs)
@@ -262,7 +267,8 @@ object Bench {
       // per-attempt (start, sec) pairs make a co-tenant load window directly
       // visible: slow attempts across many queries share a wall-clock band
       val att = attempts.map(a => s"""[${ms(a.startEpoch)},${ms(a.sec)}]""").mkString("[", ",", "]")
-      JsonStr(k) + s""":{"sec":${ms(sec)},"run_sec":${ms(best.sec)},"spread":${ms(spread)},"gc_sec":${ms(best.gcSec)},"peak_heap_mb":${best.heapMb},"input_mb":${best.inMb},"shuffle_read_mb":${best.srMb},"shuffle_write_mb":${best.swMb},"attempts":$att}"""
+      val errField = best.err.fold("")(e => s""""err":${JsonStr(e)},""")
+      JsonStr(k) + s""":{$errField"sec":${ms(sec)},"run_sec":${ms(best.sec)},"spread":${ms(spread)},"gc_sec":${ms(best.gcSec)},"peak_heap_mb":${best.heapMb},"input_mb":${best.inMb},"shuffle_read_mb":${best.srMb},"shuffle_write_mb":${best.swMb},"attempts":$att}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(profilePath,
       s"""{"sf":"$sfDir","best_of":${repeats + extra},"interleaved":true,"head":${JsonStr(gitHead)},"src_fingerprint":${JsonStr(srcFingerprint)},"folded_runs":${priorRuns + 1}$bandJson,"total_sec":${ms(total)},"total_gc_sec":${ms(gcTotal)},"queries":$profile}""")

@@ -72,16 +72,30 @@ private[graft] object RowGroupFilters {
     case _ => None // decimal/timestamp/binary/nested: not worth the edge cases
   }
 
+  /** The exact Long of an INTEGRAL box — Byte/Short/Integer/Long only. A
+    * fractional Number (Double 1.5 as a LessThan bound) must NOT truncate
+    * through longValue: lt(l, 1) wrongly drops a group whose only value is
+    * 1 even though l < 1.5 matches it. Unreachable via current Spark
+    * pushdown (UnwrapCastInBinaryComparison normalizes literal types), but
+    * the module's soundness must not rest on that staying true. */
+  private def integral(v: Any): Option[Long] = v match {
+    case b: java.lang.Byte => Some(b.longValue)
+    case s: java.lang.Short => Some(s.longValue)
+    case i: java.lang.Integer => Some(i.longValue)
+    case l: java.lang.Long => Some(l.longValue)
+    case _ => None
+  }
+
   /** Canonical primitive for (type tag, catalyst-external literal), or None
     * when the pair can't be represented exactly. NaN never pushes (parquet
     * footer stats omit NaN, so a NaN literal could wrongly drop groups). */
   private def canon(tag: String, v: Any): Option[Any] = (tag, v) match {
     case (_, null) => None
-    case ("int", n: java.lang.Number) if n.longValue >= Int.MinValue && n.longValue <= Int.MaxValue =>
-      Some(n.intValue)
     case ("int", d: java.sql.Date) => Some(DateTimeUtils.fromJavaDate(d))
     case ("int", ld: java.time.LocalDate) => Some(DateTimeUtils.localDateToDays(ld))
-    case ("long", n: java.lang.Number) => Some(n.longValue)
+    case ("int", v) =>
+      integral(v).filter(l => l >= Int.MinValue && l <= Int.MaxValue).map(_.toInt)
+    case ("long", v) if integral(v).isDefined => integral(v)
     case ("float", f: java.lang.Float) if !f.isNaN => Some(f.floatValue)
     case ("double", d: java.lang.Double) if !d.isNaN => Some(d.doubleValue)
     case ("boolean", b: java.lang.Boolean) => Some(b.booleanValue)

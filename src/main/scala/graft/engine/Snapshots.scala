@@ -3958,10 +3958,7 @@ object Snapshots {
     val schema = """"schema":"([^"\\]*(?:\\.[^"\\]*)*)"""".r.findFirstMatchIn(text)
       .map(m => unescape(m.group(1))).getOrElse("")
     // optional: pre-evolution manifests carry no retired list
-    val retired = """"retired":\[(.*?)\]""".r.findFirstMatchIn(text)
-      .map(m => """"([^"\\]*(?:\\.[^"\\]*)*)"""".r.findAllMatchIn(m.group(1))
-        .map(g => unescape(g.group(1))).toSeq)
-      .getOrElse(Seq.empty)
+    val retired = stringArrayAfter(text, """"retired":""").getOrElse(Seq.empty)
     // optional: pre-clustering manifests read as None (unclustered)
     val clustering =
       """"clustering":\{"col":"([^"\\]*(?:\\.[^"\\]*)*)","buckets":(\d+)(,"sorted":true)?\}""".r
@@ -3969,14 +3966,15 @@ object Snapshots {
         .map(g => Clustering(unescape(g.group(1)), g.group(2).toInt,
           sorted = g.group(3) != null))
     // optional: pre-indexed manifests read as None (appendFiles resolves)
-    val indexed =
-      """"indexed":\{"s":\[(.*?)\],"b":\[(.*?)\]\}""".r.findFirstMatchIn(text)
-        .map { g =>
-          def cols(body: String) =
-            """"([^"\\]*(?:\\.[^"\\]*)*)"""".r.findAllMatchIn(body)
-              .map(x => unescape(x.group(1))).toSeq
-          (cols(g.group(1)), cols(g.group(2)))
-        }
+    val indexed = {
+      val at = text.indexOf(""""indexed":{"s":""")
+      if (at < 0) None
+      else for {
+        (s, afterS) <- stringArrayAt(text, at + """"indexed":{"s":""".length)
+        bAt = text.indexOf(""""b":""", afterS) if bAt >= 0
+        (b, _) <- stringArrayAt(text, bAt + """"b":""".length)
+      } yield (s, b)
+    }
     val shardsField = """"shards":\[(.*?)\]""".r.findFirstMatchIn(text).map(_.group(1))
     shardsField match {
       case Some(body) =>
@@ -3991,6 +3989,43 @@ object Snapshots {
           inline = Some((parseFilesArray(text, "manifest"), parseStatsArray(text))),
           clustering = clustering, indexed = indexed)
     }
+  }
+
+  /** Parse the `["a","b",...]` string array whose `[` sits at `text(at)`,
+    * QUOTE-AWARE: a `]` inside a quoted element (a physical column name
+    * containing a bracket) never terminates the array early — the failure
+    * mode of the old non-greedy `\[(.*?)\]` capture, which silently
+    * mis-declared the indexed columns for every subsequent epoch. Returns
+    * (elements, index just past the closing `]`); None when `text(at)` is
+    * not `[` or the array never closes (malformed → caller treats as
+    * absent, the conservative read). */
+  private def stringArrayAt(text: String, at: Int): Option[(Seq[String], Int)] = {
+    if (at < 0 || at >= text.length || text.charAt(at) != '[') return None
+    val out = Seq.newBuilder[String]
+    var i = at + 1
+    while (i < text.length) {
+      text.charAt(i) match {
+        case ']' => return Some((out.result(), i + 1))
+        case '"' =>
+          val sb = new StringBuilder
+          i += 1
+          while (i < text.length && text.charAt(i) != '"') {
+            if (text.charAt(i) == '\\' && i + 1 < text.length) {
+              sb.append(text.charAt(i)).append(text.charAt(i + 1)); i += 2
+            } else { sb.append(text.charAt(i)); i += 1 }
+          }
+          if (i >= text.length) return None // unterminated string
+          out += unescape(sb.toString); i += 1
+        case _ => i += 1 // separators/whitespace
+      }
+    }
+    None // unterminated array
+  }
+
+  /** First `<marker>["..."]` string array in `text`, quote-aware. */
+  private def stringArrayAfter(text: String, marker: String): Option[Seq[String]] = {
+    val at = text.indexOf(marker)
+    if (at < 0) None else stringArrayAt(text, at + marker.length).map(_._1)
   }
 
   private[engine] def unescape(s: String): String = {

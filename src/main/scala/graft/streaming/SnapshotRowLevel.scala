@@ -227,7 +227,8 @@ private[streaming] class SnapshotUpsertStreamingWrite(
     rowSchema: StructType,
     queryId: String,
     key: String,
-    statsCols: Seq[String])
+    statsCols: Seq[String],
+    orderCol: Option[String] = None)
   extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   private val stagingDir = Snapshots.newStagingDir(root)
@@ -238,6 +239,9 @@ private[streaming] class SnapshotUpsertStreamingWrite(
     require(rowSchema.fieldNames.contains(key),
       s"upsertKey '$key' is not in the streamed schema " +
         s"(${rowSchema.fieldNames.mkString(", ")})")
+    orderCol.foreach(o => require(rowSchema.fieldNames.contains(o),
+      s"upsertOrder '$o' is not in the streamed schema " +
+        s"(${rowSchema.fieldNames.mkString(", ")})"))
     val head = SnapshotSource.surfacedSchema(root)
     if (head.fields.nonEmpty) {
       val unknown = rowSchema.fieldNames.filterNot(head.fieldNames.contains)
@@ -256,10 +260,13 @@ private[streaming] class SnapshotUpsertStreamingWrite(
     val newFiles = messages.collect {
       case m: SnapshotFileCommit if m.path != null => m.path
     }.toSeq.sorted
-    if (newFiles.isEmpty) return // an empty trigger applies nothing
-    val tag = s"stream-$queryId-e$epochId"
     val fsys = new Path(stagingDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (newFiles.isEmpty) { // an empty trigger applies nothing — and must
+      fsys.delete(new Path(stagingDir), true) // not strand its staging dir
+      return
+    }
+    val tag = s"stream-$queryId-e$epochId"
     if (Snapshots.historyMeta(spark, root).exists(_.tag == tag)) {
       fsys.delete(new Path(stagingDir), true) // replayed epoch: no-op
       return
@@ -269,10 +276,44 @@ private[streaming] class SnapshotUpsertStreamingWrite(
     val dataFields = rowSchema.fields.filterNot(_.name == SnapshotSource.FileCol)
     val physSchema = StructType(dataFields.map(f =>
       f.copy(name = phys.getOrElse(f.name, f.name))))
-    val staged = spark.read.schema(physSchema).parquet(newFiles: _*)
+    val stagedRaw = spark.read.schema(physSchema).parquet(newFiles: _*)
       .select(dataFields.toSeq.map(f =>
         org.apache.spark.sql.functions.col(phys.getOrElse(f.name, f.name))
           .as(f.name)): _*)
+    // Intra-epoch duplicate keys: [[Snapshots.merge]] replaces head rows
+    // but appends EVERY batch row, so a CDC feed that batches two events
+    // for one key in a single trigger would land both and silently break
+    // the keyed-table invariant. With an `upsertOrder` column the epoch
+    // folds LAST-Wins per key (greatest order value; a tie on the max is
+    // ambiguous and refuses); without one, key-unique epochs are REQUIRED
+    // and validated here — one cheap aggregation of the staged epoch
+    // (O(epoch), never the table) instead of a silent corruption.
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val staged = orderCol match {
+      case Some(o) =>
+        val top = stagedRaw
+          .withColumn("__rk", org.apache.spark.sql.functions.rank().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy(col(key)).orderBy(col(o).desc_nulls_last)))
+          .filter(col("__rk") === 1).drop("__rk")
+        val ambiguous = top.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).limit(1).collect()
+        require(ambiguous.isEmpty,
+          s"streaming upsert epoch $epochId into $root holds rows for key " +
+            s"${ambiguous.headOption.map(_.get(0)).orNull} that TIE on " +
+            s"upsertOrder '$o' — last-wins is ambiguous; make the order " +
+            "column unique per key within a trigger")
+        top
+      case None =>
+        val dup = stagedRaw.groupBy(col(key)).agg(count(lit(1)).as("__n"))
+          .filter(col("__n") > 1).limit(1).collect()
+        require(dup.isEmpty,
+          s"streaming upsert epoch $epochId into $root carries " +
+            s"${dup.headOption.map(r => s"duplicate key ${r.get(0)} (x${r.get(1)})").getOrElse("")} " +
+            "within one trigger — set .option(\"upsertOrder\", <col>) for " +
+            "last-wins folding, or deduplicate the feed upstream")
+        stagedRaw
+    }
     // the merge fences on the head it read — a concurrent commit (another
     // writer, maintenance) aborts it loudly; recompute-and-retry is safe
     // here because the tag publishes only with the merge itself. The FIRST
@@ -306,11 +347,11 @@ private[streaming] class SnapshotUpsertStreamingWrite(
     val spark = SparkSession.active
     val f = new Path(stagingDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    messages.foreach {
-      case m: SnapshotFileCommit if m.path != null =>
-        f.delete(new Path(m.path), false)
-      case _ => ()
-    }
+    // unlike the APPEND path (whose staging dir becomes live table data on
+    // commit), upsert-staged input never outlives the epoch: the whole dir
+    // is safe to drop, so long-running streams accumulate no debris
+    f.delete(new Path(stagingDir), true)
+    ()
   }
 }
 

@@ -429,7 +429,9 @@ private[streaming] class SnapshotWriteBuilder(
               Option(options.get(key)).toSeq
                 .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
             new SnapshotUpsertStreamingWrite(root, info.schema(),
-              info.queryId(), k, cols("statsCols"))
+              info.queryId(), k, cols("statsCols"),
+              orderCol = Option(options.get("upsertOrder"))
+                .map(_.trim).filter(_.nonEmpty))
           case None =>
             new SnapshotStreamingWrite(root, info.schema(), info.queryId())
         }

@@ -51,6 +51,20 @@ class RowGroupFiltersSpec extends AnyFunSuite {
     assert(t(EqualTo("nope", 1)).isEmpty)
   }
 
+  test("fractional literals against integral columns never truncate-push") {
+    // lt(l, 1) built from LessThan(l, 1.5) would wrongly drop a row group
+    // whose only value is 1 (1 < 1.5 matches). Fractional Number boxes must
+    // refuse the integral tags outright — only Byte/Short/Integer/Long ship.
+    assert(t(LessThan("l", java.lang.Double.valueOf(1.5))).isEmpty)
+    assert(t(GreaterThan("i", java.lang.Float.valueOf(2.5f))).isEmpty)
+    assert(t(EqualTo("l", new java.math.BigDecimal("3.7"))).isEmpty)
+    // integral boxes still push, including cross-width ones
+    assert(t(LessThan("l", java.lang.Integer.valueOf(1))).length === 1)
+    assert(t(EqualTo("i", java.lang.Long.valueOf(7L))).length === 1)
+    // an int-tagged literal outside Int range refuses (no wraparound)
+    assert(t(EqualTo("i", java.lang.Long.valueOf(Long.MaxValue))).isEmpty)
+  }
+
   test("NaN literals never push (footer stats omit NaN - could wrongly drop groups)") {
     assert(t(EqualTo("f", Float.NaN)).isEmpty)
     assert(t(EqualTo("d", Double.NaN)).isEmpty)

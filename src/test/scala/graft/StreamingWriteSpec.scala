@@ -190,6 +190,106 @@ class StreamingWriteSpec extends SparkSpec {
       === Set((1L, "a2"), (2L, "b2"), (3L, "c")))
   }
 
+  test("intra-epoch duplicate keys refuse loudly without upsertOrder") {
+    // a CDC feed batching two events for one key in ONE trigger would land
+    // BOTH rows (merge replaces head rows but appends every staged row),
+    // silently breaking the keyed-table invariant — it must refuse instead
+    val root = tmp("swr_dup")
+    Snapshots.commit(Seq((1L, "a")).toDF("k", "v"), root, statsCols = Seq("k"))
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = in.toDF().toDF("k", "v").writeStream.format(Fmt)
+      .option("root", root).option("upsertKey", "k")
+      .option("checkpointLocation", ckpt()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      in.addData((5L, "first"), (5L, "second"))
+      q.processAllAvailable()
+    }
+    q.stop()
+    def deepMsg(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + deepMsg(t.getCause)
+    assert(deepMsg(e).contains("duplicate key"))
+    // the failed epoch published nothing and left no staged debris: every
+    // parquet under data/ is referenced by the (unchanged) head manifest
+    assert(Snapshots.read(spark, root).as[(Long, String)].collect().toSet
+      === Set((1L, "a")))
+    val dataDir = new org.apache.hadoop.fs.Path(root.stripPrefix("file:") + "/data")
+    val fs = dataDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val onDisk = {
+      val it = fs.listFiles(dataDir, true)
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) { val f = it.next(); if (f.getPath.getName.endsWith(".parquet")) b += f.getPath.getName }
+      b.result().toSet
+    }
+    val referenced = Snapshots.manifest(spark, root,
+      Snapshots.headVersion(spark, root)).files
+      .map(u => new org.apache.hadoop.fs.Path(u).getName).toSet
+    assert(onDisk === referenced,
+      s"aborted upsert epoch left staged debris: ${onDisk -- referenced}")
+  }
+
+  test("upsertOrder folds intra-epoch duplicates last-wins; order ties refuse") {
+    val root = tmp("swr_ord")
+    Snapshots.commit(Seq((1L, "a", 0L)).toDF("k", "v", "seq"), root,
+      statsCols = Seq("k"))
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, String, Long)]
+    val q = in.toDF().toDF("k", "v", "seq").writeStream.format(Fmt)
+      .option("root", root).option("upsertKey", "k")
+      .option("upsertOrder", "seq")
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      // two events for key 5 in one trigger: the seq=2 row must win
+      in.addData((5L, "first", 1L), (5L, "second", 2L), (7L, "only", 1L))
+      q.processAllAvailable()
+      assert(spark.read.format(Fmt).option("root", root).load()
+        .as[(Long, String, Long)].collect().toSet
+        === Set((1L, "a", 0L), (5L, "second", 2L), (7L, "only", 1L)))
+    } finally q.stop()
+    // a tie on the max order value is ambiguous last-wins: refuse
+    val in2 = MemoryStream[(Long, String, Long)]
+    val q2 = in2.toDF().toDF("k", "v", "seq").writeStream.format(Fmt)
+      .option("root", root).option("upsertKey", "k")
+      .option("upsertOrder", "seq")
+      .option("checkpointLocation", ckpt()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      in2.addData((9L, "x", 3L), (9L, "y", 3L))
+      q2.processAllAvailable()
+    }
+    q2.stop()
+    def deepMsg(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + deepMsg(t.getCause)
+    assert(deepMsg(e).contains("TIE"))
+  }
+
+  test("indexed declaration survives bracket characters in column names") {
+    // the 'indexed' manifest field was parsed with a non-greedy bracket
+    // regex: a physical name containing ']' terminated the capture early,
+    // silently mis-declaring the indexed columns for every later epoch
+    val root = tmp("swr_br")
+    Snapshots.commit((1L to 50L).map(i => (i, i * 2)).toDF("k]x", "v"),
+      root, statsCols = Seq("k]x"))
+    assert(Snapshots.manifestMeta(spark, root, 1L).indexed
+      === Some((Seq("k]x"), Seq.empty)),
+      "commit must declare the bracket-bearing column intact")
+    // a streamed epoch learns the declaration from the head RECORD — a
+    // truncated parse would stats-index the wrong column from here on
+    implicit val sq = spark.sqlContext
+    val in = MemoryStream[(Long, Long)]
+    val q = in.toDF().toDF("k]x", "v").writeStream.format(Fmt)
+      .option("root", root).option("checkpointLocation", ckpt()).start()
+    try { in.addData((51L, 102L)); q.processAllAvailable() } finally q.stop()
+    val m2 = Snapshots.manifest(spark, root, 2L)
+    val newFiles = (m2.files.toSet --
+      Snapshots.manifest(spark, root, 1L).files.toSet)
+      .map(u => new org.apache.hadoop.fs.Path(u).getName)
+    assert(newFiles.nonEmpty)
+    assert(newFiles.forall(f => m2.stats.exists(st => st.file == f && st.col == "k]x")),
+      "epoch files must be stats-indexed under the bracket-bearing column")
+    assert(Snapshots.manifestMeta(spark, root, 2L).indexed
+      === Some((Seq("k]x"), Seq.empty)))
+  }
+
   test("update-mode streaming aggregate maintains a keyed table through upsert") {
     val root = tmp("swr_agg")
     implicit val sq = spark.sqlContext
