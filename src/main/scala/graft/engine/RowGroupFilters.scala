@@ -39,7 +39,8 @@ private[graft] object RowGroupFilters {
     * construction (ships inside the reader factory). */
   sealed trait RgF extends Serializable
   /** op: eq | gt | gte | lt | lte. `value` canonical (Int/Long/Float/Double/
-    * Boolean/String). */
+    * Boolean/String; timestamps as epoch-micros Long, decimals as the
+    * unscaled Long at the column's scale). */
   final case class RgCmp(op: String, phys: String, tpe: String, value: Any) extends RgF
   final case class RgIn(phys: String, tpe: String, values: Array[Any]) extends RgF
   final case class RgIsNull(phys: String, tpe: String, isNull: Boolean) extends RgF
@@ -69,7 +70,20 @@ private[graft] object RowGroupFilters {
     case DoubleType => Some("double")
     case BooleanType => Some("boolean")
     case StringType => Some("string")
-    case _ => None // decimal/timestamp/binary/nested: not worth the edge cases
+    // ts-range scans over event/log tables are THE archetypal 100 TB
+    // predicate: canonicalize to epoch micros (Long); the executor-side
+    // footer check requires the exact TIMESTAMP(MICROS) annotation with
+    // the matching UTC adjustment (ts = instant/LTZ, tsn = wall/NTZ), so
+    // INT96-era and MILLIS files simply omit the conjunct
+    case TimestampType => Some("ts")
+    case TimestampNTZType => Some("tsn")
+    // fixed-scale decimals stored as INT32/INT64 (precision <= 18):
+    // canonicalize to the UNSCALED Long at the column's scale; the footer
+    // check requires a DECIMAL annotation with the same scale, so a file
+    // generation with different scale (or FIXED_LEN_BYTE_ARRAY storage)
+    // omits. The tag carries the scale.
+    case d: DecimalType if d.precision <= 18 => Some(s"dec${d.scale}")
+    case _ => None // wide-decimal/binary/nested: not worth the edge cases
   }
 
   /** The exact Long of an INTEGRAL box — Byte/Short/Integer/Long only. A
@@ -100,6 +114,21 @@ private[graft] object RowGroupFilters {
     case ("double", d: java.lang.Double) if !d.isNaN => Some(d.doubleValue)
     case ("boolean", b: java.lang.Boolean) => Some(b.booleanValue)
     case ("string", s: String) => Some(s)
+    // epoch-micros canonicalization, the exact arithmetic FilterPrune's
+    // file-level miner uses (before its /1e6) — both java.sql and java.time
+    // literal flavors arrive depending on spark.sql.datetime.java8API
+    case ("ts", t: java.sql.Timestamp) => Some(DateTimeUtils.fromJavaTimestamp(t))
+    case ("ts", i: java.time.Instant) => Some(DateTimeUtils.instantToMicros(i))
+    case ("tsn", l: java.time.LocalDateTime) => Some(DateTimeUtils.localDateTimeToMicros(l))
+    case ("tsn", t: java.sql.Timestamp) => Some(DateTimeUtils.fromJavaTimestamp(t))
+    case (dec, b: java.math.BigDecimal) if dec.startsWith("dec") =>
+      // exact rescale to the column's scale, then the unscaled long; a
+      // literal the scale can't represent exactly (or that overflows 18
+      // digits) refuses — the residual filter still evaluates row-exactly
+      try Some(b.setScale(dec.drop(3).toInt).unscaledValue.longValueExact)
+      catch { case _: ArithmeticException => None }
+    case (dec, d: Decimal) if dec.startsWith("dec") =>
+      canon(dec, d.toJavaBigDecimal)
     case _ => None
   }
 
@@ -146,25 +175,52 @@ private[graft] object RowGroupFilters {
 
   // ---- executor side: RgF + footer schema -> FilterPredicate -------------
 
-  /** The parquet primitive type a tag requires in the file, plus (for
-    * strings) the UTF8 annotation that guarantees the file's comparator is
-    * unsigned-lexicographic = Spark's UTF8String order. */
-  private def footerOk(schema: MessageType, phys: String, tag: String): Boolean = {
-    if (!schema.containsField(phys)) return false
+  /** Resolve a driver-side tag against THIS file's footer: the PRIMITIVE
+    * tag to build the parquet predicate with, or None when the file can't
+    * satisfy the conjunct soundly. Strings require the UTF8 annotation
+    * (unsigned-lexicographic comparator = Spark's UTF8String order);
+    * timestamps require the exact TIMESTAMP(MICROS) annotation with the
+    * matching UTC adjustment (INT96/MILLIS generations omit); decimals
+    * require a DECIMAL annotation at the SAME scale (a widened precision
+    * may move INT32→INT64 between file generations — each resolves to its
+    * own storage width). */
+  private def footerTag(schema: MessageType, phys: String, tag: String): Option[String] = {
+    if (!schema.containsField(phys)) return None
     schema.getType(Array(phys): _*) match {
       case p: PrimitiveType =>
         import PrimitiveType.PrimitiveTypeName._
-        tag match {
-          case "int" => p.getPrimitiveTypeName == INT32
-          case "long" => p.getPrimitiveTypeName == INT64
-          case "float" => p.getPrimitiveTypeName == FLOAT
-          case "double" => p.getPrimitiveTypeName == DOUBLE
-          case "boolean" => p.getPrimitiveTypeName == BOOLEAN
-          case "string" => p.getPrimitiveTypeName == BINARY &&
-            p.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType()
+        val prim = p.getPrimitiveTypeName
+        val ann = p.getLogicalTypeAnnotation
+        def tsOk(utc: Boolean): Boolean = prim == INT64 && (ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+            t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS &&
+              t.isAdjustedToUTC == utc
           case _ => false
+        })
+        def decScale: Option[Int] = ann match {
+          case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some(d.getScale)
+          case _ => None
         }
-      case _ => false
+        tag match {
+          case "int" if prim == INT32 => Some("int")
+          case "long" if prim == INT64 => Some("long")
+          case "float" if prim == FLOAT => Some("float")
+          case "double" if prim == DOUBLE => Some("double")
+          case "boolean" if prim == BOOLEAN => Some("boolean")
+          case "string" if prim == BINARY &&
+            ann == LogicalTypeAnnotation.stringType() => Some("string")
+          case "ts" if tsOk(utc = true) => Some("long")
+          case "tsn" if tsOk(utc = false) => Some("long")
+          case dec if dec.startsWith("dec") &&
+              decScale.contains(dec.drop(3).toInt) =>
+            prim match {
+              case INT32 => Some("int")
+              case INT64 => Some("long")
+              case _ => None
+            }
+          case _ => None
+        }
+      case _ => None
     }
   }
 
@@ -175,11 +231,34 @@ private[graft] object RowGroupFilters {
     preds.reduceOption(FilterApi.and)
   }
 
+  /** Re-shape a canonical value to the file's RESOLVED storage width: a
+    * decimal's unscaled Long lands as Int in an INT32-stored generation.
+    * An unscaled value outside Int range cannot appear in such a file —
+    * but rather than reason per-operator about always-false/always-true,
+    * the conjunct just omits (conservative, residual still exact). */
+  private def adaptV(v: Any, resolved: String): Option[Any] = (resolved, v) match {
+    case (_, null) => Some(null)
+    case ("int", l: java.lang.Long) =>
+      if (l.longValue >= Int.MinValue && l.longValue <= Int.MaxValue)
+        Some(Integer.valueOf(l.intValue))
+      else None
+    case _ => Some(v)
+  }
+
   private def buildOne(f: RgF, footer: MessageType): Option[FilterPredicate] = f match {
-    case RgCmp(op, phys, tag, v) if footerOk(footer, phys, tag) => Some(cmpPred(op, phys, tag, v))
-    case RgIsNull(phys, tag, isNull) if footerOk(footer, phys, tag) =>
-      Some(if (isNull) cmpPred("eq", phys, tag, null) else cmpPred("noteq", phys, tag, null))
-    case RgIn(phys, tag, vs) if footerOk(footer, phys, tag) => Some(inPred(phys, tag, vs))
+    case RgCmp(op, phys, tag, v) =>
+      footerTag(footer, phys, tag).flatMap(rt =>
+        adaptV(v, rt).map(cmpPred(op, phys, rt, _)))
+    case RgIsNull(phys, tag, isNull) =>
+      footerTag(footer, phys, tag).map(rt =>
+        if (isNull) cmpPred("eq", phys, rt, null) else cmpPred("noteq", phys, rt, null))
+    case RgIn(phys, tag, vs) =>
+      footerTag(footer, phys, tag).flatMap { rt =>
+        val adapted = vs.flatMap(adaptV(_, rt))
+        // all-or-nothing, like translation: a dropped member would
+        // strengthen the disjunction
+        if (adapted.length == vs.length) Some(inPred(phys, rt, adapted)) else None
+      }
     case RgOr(l, r) =>
       // OR is all-or-nothing: dropping one side would STRENGTHEN the
       // predicate (unsound); AND sides may drop independently

@@ -25,6 +25,22 @@ object Lake {
     s"file:${sys.props("java.io.tmpdir")}/graft_lake_$tag/documents_by_lang"
   }
 
+  /** Sum of DSv2 scan `numOutputRows` across an EXECUTED plan — the
+    * rows-decoded gate for the row-group-pruning oracles (q135/q137/q138).
+    * Must recurse through the adaptive wrappers: `TreeNode.collect` stops
+    * at [[AdaptiveSparkPlanExec]] (childless) and at materialized
+    * [[QueryStageExec]] leaves, both of which hide the scan. */
+  private def scanOutputRows(p: org.apache.spark.sql.execution.SparkPlan): Long =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scanOutputRows(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scanOutputRows(s.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.metrics("numOutputRows").value
+      case other => other.children.map(scanOutputRows).sum
+    }
+
   val queries: Seq[OracleQuery] = Seq(
     // ---- q63: write documents partitioned by lang, read back with a lang
     //           predicate that prunes directories, aggregate. The oracle
@@ -2146,21 +2162,24 @@ object Lake {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRowGroups.size finally r.close()
       }
-      val total = Snapshots.read(spark, root).count()
+      // total from the manifest's per-file row counts — metadata, no scan
+      val total = m1.rows.map(_.n).sum
+      require(total > 0, "commit must record per-file row counts")
       val q = spark.read.format("graft.streaming.SnapshotSourceProvider")
         .option("root", root).load().filter(col("l_orderkey") === 1L)
-      q.collect()
-      val decoded = q.queryExecution.executedPlan.collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.metrics("numOutputRows").value
-      }.sum
+      // ONE execution: materialize the hash-checked agg itself, then gate
+      // on ITS BatchScanExec metrics (the old warm-up collect() ran the
+      // filtered scan twice and put a driver materialization in the query)
+      val res = q.agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("l_linenumber")).cast("bigint").as("sum_ln"),
+        graft.engine.Det.dsum(col("l_quantity")).as("sum_qty"))
+      val out = res.localCheckpoint(true)
+      val decoded = scanOutputRows(res.queryExecution.executedPlan)
       if (rowGroups > 1)
         require(decoded > 0 && decoded < total / 2,
           s"point predicate must skip row groups " +
             s"(decoded $decoded of $total across $rowGroups groups)")
-      q.agg(count(lit(1)).cast("bigint").as("n"),
-        sum(col("l_linenumber")).cast("bigint").as("sum_ln"),
-        graft.engine.Det.dsum(col("l_quantity")).as("sum_qty"))
+      out
     },
 
     // ---- q136: ONE-SIDE-SHUFFLE SPJ — lineitem clustered on its join
@@ -2254,20 +2273,81 @@ object Lake {
         val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
         try r.getRowGroups.size finally r.close()
       }
-      val total = Snapshots.read(spark, root).count()
+      val total = m1.rows.map(_.n).sum
+      require(total > 0, "commit must record per-file row counts")
       val q = spark.read.format("graft.streaming.SnapshotSourceProvider")
         .option("root", root).load().filter(col("okey") === md5(lit("1")))
-      q.collect()
-      val decoded = q.queryExecution.executedPlan.collect {
-        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
-          b.metrics("numOutputRows").value
-      }.sum
+      // ONE execution (see q135): gate on the hash-checked agg's own scan
+      val res = q.agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("o_orderkey")).cast("bigint").as("sum_k"))
+      val out = res.localCheckpoint(true)
+      val decoded = scanOutputRows(res.queryExecution.executedPlan)
       if (rowGroups > 4)
         require(decoded > 0 && decoded < total / 2,
           s"bloom must skip row groups on a string point " +
             s"(decoded $decoded of $total across $rowGroups groups)")
-      q.agg(count(lit(1)).cast("bigint").as("n"),
-        sum(col("o_orderkey")).cast("bigint").as("sum_k"))
+      out
+    },
+
+    // ---- q138: TIMESTAMP ROW-GROUP PRUNING — the temporal twin of q135:
+    //            events committed ts-SORTED into one file with small row
+    //            groups; a `ts BETWEEN` band (THE archetypal 100 TB
+    //            event-table predicate) must decode a fraction of the file
+    //            via footer stats on the TIMESTAMP(MICROS) column
+    //            (RowGroupFilters round 15: tsn→INT64-micros translation,
+    //            annotation re-validated per file). Required in-query: the
+    //            hash-checked agg's OWN scan decodes < half the table;
+    //            result hash-matches DuckDB. ----
+    OracleQuery(
+      "q138_ts_rowgroup",
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  ${graft.engine.Det.sql.dsum("value")} AS sum_value
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-14 00:00:00'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/events_tsrg"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val hc = spark.sparkContext.hadoopConfiguration
+      val oldBlock = Option(hc.get("parquet.block.size"))
+      hc.set("parquet.block.size", (1 << 16).toString) // ~64 KB row groups
+      try {
+        Snapshots.commit(
+          Tables(spark, dir, "events")
+            .select(col("ts"), col("event_type"), col("value"))
+            .repartition(1).sortWithinPartitions("ts"),
+          root, statsCols = Seq("ts"))
+      } finally oldBlock.fold(hc.unset("parquet.block.size"))(
+        hc.set("parquet.block.size", _))
+      val m1 = Snapshots.manifest(spark, root, 1L)
+      require(m1.files.size == 1)
+      val rowGroups = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(m1.files.head), hc)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      }
+      val total = m1.rows.map(_.n).sum
+      require(total > 0, "commit must record per-file row counts")
+      val q = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .filter(col("ts") >= lit(java.time.LocalDateTime.of(2024, 1, 10, 0, 0)) &&
+          col("ts") < lit(java.time.LocalDateTime.of(2024, 1, 14, 0, 0)))
+      val res = q.groupBy("event_type")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          graft.engine.Det.dsum(col("value")).as("sum_value"))
+        .orderBy("event_type")
+      val out = res.localCheckpoint(true)
+      val decoded = scanOutputRows(res.queryExecution.executedPlan)
+      // the band is ~13% of a 30-day table: with enough groups to skip,
+      // a working micros translation decodes well under half the rows
+      if (rowGroups > 3)
+        require(decoded > 0 && decoded < total / 2,
+          s"ts band must skip row groups " +
+            s"(decoded $decoded of $total across $rowGroups groups)")
+      out
     },
 
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed

@@ -20,6 +20,8 @@ class RowGroupFiltersSpec extends AnyFunSuite {
     StructField("f", FloatType), StructField("d", DoubleType),
     StructField("s", StringType), StructField("b", BooleanType),
     StructField("dt", DateType), StructField("dec", DecimalType(5, 2)),
+    StructField("wdec", DecimalType(25, 2)),
+    StructField("ts", TimestampType), StructField("tsn", TimestampNTZType),
     StructField("arr", ArrayType(LongType))))
 
   private val footer = MessageTypeParser.parseMessageType(
@@ -31,6 +33,9 @@ class RowGroupFiltersSpec extends AnyFunSuite {
       |  optional binary s (STRING);
       |  optional boolean b;
       |  optional int32 dt (DATE);
+      |  optional int32 dec (DECIMAL(5,2));
+      |  optional int64 ts (TIMESTAMP(MICROS,true));
+      |  optional int64 tsn (TIMESTAMP(MICROS,false));
       |  optional binary raw;
       |}""".stripMargin)
 
@@ -44,11 +49,58 @@ class RowGroupFiltersSpec extends AnyFunSuite {
     assert(t(EqualTo("s", "x")).length === 1)
     assert(t(EqualTo("b", true)).length === 1)
     assert(t(EqualTo("dt", java.sql.Date.valueOf("2024-01-01"))).length === 1)
-    // decimal and array columns never ship (edge cases not worth the risk)
-    assert(t(EqualTo("dec", new java.math.BigDecimal("1.23"))).isEmpty)
+    // narrow decimals and timestamps now ship (round 15)
+    assert(t(EqualTo("dec", new java.math.BigDecimal("1.23"))).length === 1)
+    assert(t(GreaterThan("ts", java.sql.Timestamp.valueOf("2024-06-01 12:00:00"))).length === 1)
+    assert(t(LessThan("tsn", java.time.LocalDateTime.of(2024, 6, 1, 0, 0))).length === 1)
+    // wide (>18-digit) decimals and array columns never ship
+    assert(t(EqualTo("wdec", new java.math.BigDecimal("1.23"))).isEmpty)
     assert(t(EqualTo("arr", Array(1L))).isEmpty)
     // unknown column refuses
     assert(t(EqualTo("nope", 1)).isEmpty)
+  }
+
+  test("timestamp conjuncts require the exact TIMESTAMP(MICROS) annotation per file") {
+    val f = t(GreaterThan("ts", java.sql.Timestamp.valueOf("2024-06-01 12:00:00")))
+    val fn = t(EqualTo("tsn", java.time.LocalDateTime.of(2024, 6, 1, 0, 0)))
+    assert(RowGroupFilters.build(f, footer).isDefined)
+    assert(RowGroupFilters.build(fn, footer).isDefined)
+    // MILLIS file generation: omit (micros literal would mis-compare)
+    val millis = MessageTypeParser.parseMessageType(
+      "message s { optional int64 ts (TIMESTAMP(MILLIS,true)); }")
+    assert(RowGroupFilters.build(f, millis).isEmpty)
+    // INT96 legacy storage: omit
+    val int96 = MessageTypeParser.parseMessageType(
+      "message s { optional int96 ts; }")
+    assert(RowGroupFilters.build(f, int96).isEmpty)
+    // UTC-adjustment mismatch (an LTZ predicate against an NTZ file): omit
+    val ntzFile = MessageTypeParser.parseMessageType(
+      "message s { optional int64 ts (TIMESTAMP(MICROS,false)); }")
+    assert(RowGroupFilters.build(f, ntzFile).isEmpty)
+    assert(RowGroupFilters.build(
+      t(EqualTo("tsn", java.time.LocalDateTime.of(2024, 6, 1, 0, 0))),
+      MessageTypeParser.parseMessageType(
+        "message s { optional int64 tsn (TIMESTAMP(MICROS,true)); }")).isEmpty)
+  }
+
+  test("decimal conjuncts resolve per file generation and refuse scale drift") {
+    val f = t(GreaterThanOrEqual("dec", new java.math.BigDecimal("12.50")))
+    // INT32 storage (precision <= 9): builds at int width
+    assert(RowGroupFilters.build(f, footer).isDefined)
+    // INT64 storage (a precision-widened generation, same scale): builds
+    val wide = MessageTypeParser.parseMessageType(
+      "message s { optional int64 dec (DECIMAL(12,2)); }")
+    assert(RowGroupFilters.build(f, wide).isDefined)
+    // scale mismatch: unscaled values are not comparable — omit
+    val drift = MessageTypeParser.parseMessageType(
+      "message s { optional int32 dec (DECIMAL(5,3)); }")
+    assert(RowGroupFilters.build(f, drift).isEmpty)
+    // binary-backed decimal storage: omit
+    val fixed = MessageTypeParser.parseMessageType(
+      "message s { optional fixed_len_byte_array(16) dec (DECIMAL(5,2)); }")
+    assert(RowGroupFilters.build(f, fixed).isEmpty)
+    // a literal the column scale cannot represent exactly refuses at translate
+    assert(t(EqualTo("dec", new java.math.BigDecimal("1.005"))).isEmpty)
   }
 
   test("fractional literals against integral columns never truncate-push") {
@@ -90,9 +142,9 @@ class RowGroupFiltersSpec extends AnyFunSuite {
 
   test("OR requires both sides; AND keeps a translatable side alone (implied weaker predicate)") {
     assert(t(Or(EqualTo("i", 1), EqualTo("l", 2L))).length === 1)
-    assert(t(Or(EqualTo("i", 1), EqualTo("dec", new java.math.BigDecimal("1")))).isEmpty)
-    assert(t(And(EqualTo("i", 1), EqualTo("dec", new java.math.BigDecimal("1")))).length === 1)
-    assert(t(And(EqualTo("dec", new java.math.BigDecimal("1")), EqualTo("l", 2L))).length === 1)
+    assert(t(Or(EqualTo("i", 1), EqualTo("wdec", new java.math.BigDecimal("1")))).isEmpty)
+    assert(t(And(EqualTo("i", 1), EqualTo("wdec", new java.math.BigDecimal("1")))).length === 1)
+    assert(t(And(EqualTo("wdec", new java.math.BigDecimal("1")), EqualTo("l", 2L))).length === 1)
   }
 
   test("footer re-validation drops missing columns and type-mismatched generations") {
