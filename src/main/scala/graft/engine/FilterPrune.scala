@@ -94,11 +94,26 @@ private[graft] object FilterPrune {
       num(a, v).map(x => Snapshots.candidateFiles(m, a, x, x))
         .orElse(v match {
           case s: String if isString(a) =>
-            // string equality prunes through the per-file bloom index;
-            // with no blooms recorded this is all files (conservative)
-            Some(Snapshots.candidateFilesForStrings(m, a, Array(s)))
+            // string equality prunes through the per-file bloom index AND
+            // the slo/shi string bounds (sorted/z-ordered string keys
+            // prune by range even where no bloom was recorded); either
+            // index absent = conservative
+            val viaBloom = Snapshots.candidateFilesForStrings(m, a, Array(s)).toSet
+            Some(Snapshots.candidateFilesForStringBand(m, a, s, Some(s + "\u0000"))
+              .filter(viaBloom))
           case _ => None
         })
+
+    // string comparisons prune through the slo/shi bounds in UTF8-byte
+    // order; the least string strictly above s is s+"\u0000", which turns
+    // the exclusive/inclusive variants into half-open bands
+    def strBand(a: String, v: Any)(band: String => (String, Option[String]))
+        : Option[Seq[String]] = v match {
+      case s: String if isString(a) =>
+        val (lo, hi) = band(s)
+        Some(Snapshots.candidateFilesForStringBand(m, a, lo, hi))
+      case _ => None
+    }
 
     f match {
       case EqualTo(a, v) => point(a, v)
@@ -106,12 +121,21 @@ private[graft] object FilterPrune {
       case EqualNullSafe(a, v) => point(a, v)
       case GreaterThan(a, v) =>
         num(a, v).map(x => Snapshots.candidateFiles(m, a, x, Double.PositiveInfinity))
+          .orElse(strBand(a, v)(s => (s + "\u0000", None)))
       case GreaterThanOrEqual(a, v) =>
         num(a, v).map(x => Snapshots.candidateFiles(m, a, x, Double.PositiveInfinity))
+          .orElse(strBand(a, v)(s => (s, None)))
       case LessThan(a, v) =>
         num(a, v).map(x => Snapshots.candidateFiles(m, a, Double.NegativeInfinity, x))
+          .orElse(strBand(a, v)(s => ("", Some(s))))
       case LessThanOrEqual(a, v) =>
         num(a, v).map(x => Snapshots.candidateFiles(m, a, Double.NegativeInfinity, x))
+          .orElse(strBand(a, v)(s => ("", Some(s + "\u0000"))))
+      // LIKE 'p%' == the band [p, nextPrefix(p)) — min/max bounds answer
+      // prefix ranges exactly (round-15 close of the :142 punt)
+      case StringStartsWith(a, p) if p != null && p.nonEmpty && isString(a) =>
+        Some(Snapshots.candidateFilesForStringBand(m, a, p,
+          RowGroupFilters.nextPrefix(p)))
       case In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
         val nums = vs.flatMap(num(a, _))
         if (nums.length == vs.length) {

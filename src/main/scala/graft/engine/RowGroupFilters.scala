@@ -132,6 +132,25 @@ private[graft] object RowGroupFilters {
     case _ => None
   }
 
+  /** The least string strictly greater than EVERY string with prefix `p`,
+    * in CODE-POINT order (== UTF-8 byte order == parquet's unsigned binary
+    * comparator == Spark's UTF8String order): increment p's last code
+    * point, dropping trailing U+10FFFF positions first. Incrementing
+    * U+D7FF jumps the (unencodable) surrogate block to U+E000 — no valid
+    * code point lies between, so the bound stays tight and the result
+    * stays a well-formed string. None when p is all-U+10FFFF (no upper
+    * bound exists; callers keep only the `>= p` half). */
+  private[graft] def nextPrefix(p: String): Option[String] = {
+    val cps = p.codePoints.toArray
+    var i = cps.length - 1
+    while (i >= 0 && cps(i) == 0x10FFFF) i -= 1
+    if (i < 0) None
+    else {
+      val next = if (cps(i) + 1 == 0xD800) 0xE000 else cps(i) + 1
+      Some(new String(cps.take(i) :+ next, 0, i + 1))
+    }
+  }
+
   private def one(f: Filter, schema: StructType, physOf: Map[String, String]): Option[RgF] = {
     def col(a: String): Option[(String, String)] = // (phys, tag)
       for {
@@ -157,6 +176,14 @@ private[graft] object RowGroupFilters {
           // a null/untranslatable member makes the IN unminable (its rows
           // could live anywhere) — all-or-nothing, like FilterPrune
           if (cs.length == vs.length) Some(RgIn(p, t, cs)) else None
+        }
+      // LIKE 'p%' as the range [p, nextPrefix(p)): min/max footer stats
+      // answer prefix ranges exactly — a top-5 warehouse predicate shape
+      // over doc/source string keys
+      case StringStartsWith(a, p) if p != null && p.nonEmpty =>
+        col(a).filter(_._2 == "string").map { case (phys, t) =>
+          val gte = RgCmp("gte", phys, t, p)
+          nextPrefix(p).fold(gte: RgF)(hi => RgAnd(gte, RgCmp("lt", phys, t, hi)))
         }
       case Or(l, r) =>
         for { lf <- one(l, schema, physOf); rf <- one(r, schema, physOf) } yield RgOr(lf, rf)

@@ -80,9 +80,17 @@ object Snapshots {
     * `nulls` is the file's null count for the column (-1 in pre-round-8
     * shards = unknown): [[countWhere]] may only count a file from metadata
     * when the conjunct's column provably has NO nulls there — a null row
-    * fails every comparison, so a nulls-bearing file must scan. */
+    * fails every comparison, so a nulls-bearing file must scan.
+    * STRING columns (round 15) record their bounds in `slo`/`shi` instead
+    * (UTF8-byte order — Spark's UTF8String min/max and parquet's unsigned
+    * binary comparator agree on it); `min`/`max` hold inert placeholders
+    * for them, and every numeric consumer keys off the SCHEMA type so the
+    * two families never cross. What string bounds buy at 100 TB: prefix
+    * (`LIKE 'abc%'`), equality, and IN predicates over sorted/z-ordered
+    * doc/source keys prune FILES from the manifest alone, the exact
+    * complement of the [[FileBloom]] equality index. */
   final case class ColStats(file: String, col: String, min: Double, max: Double,
-      nulls: Long = -1L)
+      nulls: Long = -1L, slo: String = null, shi: String = null)
 
   /** Per-file row count (file keyed by basename, like [[ColStats]]),
     * recorded at shard-write time — from the stats pass when one runs,
@@ -1236,9 +1244,18 @@ object Snapshots {
             case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => true
             case _ => false
           })
+          // UTF8 strings: bounds land in slo/shi (chunk min/max may be
+          // TRUNCATED bounds — parquet's BinaryTruncator keeps them valid
+          // as bounds, which is all band pruning needs)
+          case BINARY => ann == LogicalTypeAnnotation.stringType()
           case _ => false
         }
       }
+    def isStringType(t: org.apache.parquet.schema.Type): Boolean =
+      t.isPrimitive &&
+        t.asPrimitiveType().getPrimitiveTypeName == BINARY &&
+        t.asPrimitiveType().getLogicalTypeAnnotation ==
+          LogicalTypeAnnotation.stringType()
     /** Footer value → the index's canonical double (timestamps micros →
       * seconds; everything else verbatim). */
     def canonicalOf(t: org.apache.parquet.schema.Type): Number => Double = {
@@ -1267,9 +1284,12 @@ object Snapshots {
             if (!schema.containsField(c)) None // evolving batch: no column → no stats
             else if (!supported(schema.getType(Seq(c): _*))) throw new FooterMiss
             else {
+              val isStr = isStringType(schema.getType(Seq(c): _*))
               val conv = canonicalOf(schema.getType(Seq(c): _*))
               var lo = Double.PositiveInfinity
               var hi = Double.NegativeInfinity
+              var sLo: Array[Byte] = null
+              var sHi: Array[Byte] = null
               var nulls = 0L
               var nullsKnown = true
               var usable = true
@@ -1286,9 +1306,17 @@ object Snapshots {
                       if (st.hasNonNullValue) {
                         any = true
                         (st.genericGetMin, st.genericGetMax) match {
-                          case (mn: java.lang.Number, mx: java.lang.Number) =>
+                          case (mn: java.lang.Number, mx: java.lang.Number) if !isStr =>
                             lo = math.min(lo, conv(mn))
                             hi = math.max(hi, conv(mx))
+                          case (mn: org.apache.parquet.io.api.Binary,
+                                mx: org.apache.parquet.io.api.Binary) if isStr =>
+                            // unsigned-byte order == UTF-8 code-point order
+                            val (mnB, mxB) = (mn.getBytes, mx.getBytes)
+                            if (sLo == null ||
+                                java.util.Arrays.compareUnsigned(mnB, sLo) < 0) sLo = mnB
+                            if (sHi == null ||
+                                java.util.Arrays.compareUnsigned(mxB, sHi) > 0) sHi = mxB
                           case _ => usable = false
                         }
                       } else if (!(st.isNumNullsSet &&
@@ -1297,8 +1325,14 @@ object Snapshots {
                     }
                 }
               }
-              if (!usable || !any ||
-                !java.lang.Double.isFinite(lo) || !java.lang.Double.isFinite(hi))
+              if (!usable || !any) None
+              else if (isStr) {
+                if (sLo == null || sHi == null) None
+                else Some(ColStats(name, c, 0, 0,
+                  nulls = if (nullsKnown) nulls else -1L,
+                  slo = new String(sLo, java.nio.charset.StandardCharsets.UTF_8),
+                  shi = new String(sHi, java.nio.charset.StandardCharsets.UTF_8)))
+              } else if (!java.lang.Double.isFinite(lo) || !java.lang.Double.isFinite(hi))
                 None // conservative: file stays an always-candidate
               else Some(ColStats(name, c, lo, hi,
                 nulls = if (nullsKnown) nulls else -1L))
@@ -2428,9 +2462,15 @@ object Snapshots {
       case org.apache.spark.sql.types.DateType => true
       case _ => false
     }
+    // string columns aggregate natively too: their min/max land in the
+    // stats entry's slo/shi bounds (UTF8-byte order — Spark's string
+    // min/max and the parquet comparator agree), funding prefix/equality
+    // file pruning where the numeric index is blind
+    def stringy(c: String): Boolean =
+      fieldTypes.get(c).contains(org.apache.spark.sql.types.StringType)
     val aggs = statsCols.flatMap(c => Seq(
-      (if (temporal(c)) min(col(c)) else min(col(c).cast("double"))).as(s"min_$c"),
-      (if (temporal(c)) max(col(c)) else max(col(c).cast("double"))).as(s"max_$c"),
+      (if (temporal(c) || stringy(c)) min(col(c)) else min(col(c).cast("double"))).as(s"min_$c"),
+      (if (temporal(c) || stringy(c)) max(col(c)) else max(col(c).cast("double"))).as(s"max_$c"),
       count(col(c)).as(s"cnt_$c"))) :+ count(lit(1)).as("__rows")
     val rowsOut = src
       .groupBy(input_file_name().as("__f"))
@@ -2447,6 +2487,10 @@ object Snapshots {
         val lo = row.getAs[Any](s"min_$c")
         val hi = row.getAs[Any](s"max_$c")
         if (lo == null || hi == null) None // all-null file: no usable range
+        else if (stringy(c))
+          Some(ColStats(file, c, 0, 0,
+            nulls = nRows - row.getAs[Long](s"cnt_$c"),
+            slo = lo.asInstanceOf[String], shi = hi.asInstanceOf[String]))
         else {
           def canonical(v: Any): Double = v match {
             case d: java.lang.Double => d
@@ -2477,7 +2521,10 @@ object Snapshots {
     * files whose recorded range overlaps, plus files with no recorded range
     * (pruning must stay conservative). */
   def candidateFiles(m: Manifest, c: String, lo: Double, hi: Double): Seq[String] = {
-    val ranges = m.stats.filter(_.col == c).map(s => s.file -> s).toMap
+    // slo-bearing entries are STRING bounds whose min/max are inert
+    // placeholders — a numeric probe must never read them
+    val ranges = m.stats.filter(s => s.col == c && s.slo == null)
+      .map(s => s.file -> s).toMap
     m.files.filter { f =>
       ranges.get(new Path(f).getName) match {
         case Some(s) => s.min <= hi && s.max >= lo
@@ -2494,7 +2541,8 @@ object Snapshots {
     * keys, so per-file membership prunes orders of magnitude harder.
     * O(|files| · log |keys|); stat-less files stay conservative. */
   def candidateFilesForKeys(m: Manifest, c: String, keys: Array[Double]): Seq[String] = {
-    val ranges = m.stats.filter(_.col == c).map(s => s.file -> s).toMap
+    val ranges = m.stats.filter(s => s.col == c && s.slo == null)
+      .map(s => s.file -> s).toMap
     m.files.filter { f =>
       ranges.get(new Path(f).getName) match {
         case Some(s) =>
@@ -2527,6 +2575,33 @@ object Snapshots {
             new java.io.ByteArrayInputStream(
               java.util.Base64.getDecoder.decode(b.b64)))
           hashes.exists(bf.mightContainLong)
+        case None => true
+      }
+    }
+  }
+
+  /** STRING band pruning over the slo/shi bounds (round 15): the files
+    * whose recorded string range intersects `[lo, hiExclusive)` —
+    * `hiExclusive = None` means unbounded above. Comparisons run in
+    * UTF8-BYTE order ([[org.apache.spark.unsafe.types.UTF8String]]), the
+    * order the bounds were collected in (Spark string min/max, parquet
+    * binary comparator) — java.lang.String's UTF-16 order disagrees on
+    * supplementary characters and must never touch this index. Files
+    * without recorded bounds stay conservative. Serves prefix predicates
+    * (`[p, nextPrefix(p))`), equality (`[v, v+"\u0000")`), and IN sets. */
+  def candidateFilesForStringBand(
+      m: Manifest, c: String, lo: String, hiExclusive: Option[String]): Seq[String] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ranges = m.stats.filter(s => s.col == c && s.slo != null)
+      .map(s => s.file -> s).toMap
+    if (ranges.isEmpty) return m.files
+    val loU = UTF8String.fromString(lo)
+    val hiU = hiExclusive.map(UTF8String.fromString)
+    m.files.filter { f =>
+      ranges.get(new Path(f).getName) match {
+        case Some(s) =>
+          UTF8String.fromString(s.shi).compareTo(loU) >= 0 &&
+            hiU.forall(h => UTF8String.fromString(s.slo).compareTo(h) < 0)
         case None => true
       }
     }
@@ -2720,8 +2795,10 @@ object Snapshots {
     import org.apache.spark.sql.catalyst.expressions._
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     import org.apache.spark.sql.types._
-    val statCols = m.stats.map(_.col).toSet
-    val statsByCol = m.stats.groupBy(_.col)
+    // string-bound entries (slo set) never numeric-mine
+    val numStats = m.stats.filter(_.slo == null)
+    val statCols = numStats.map(_.col).toSet
+    val statsByCol = numStats.groupBy(_.col)
       .map { case (c, ss) => c -> ss.map(s => s.file -> s).toMap }
 
     // the analyzed (resolved, coerced) predicate — what will actually run
@@ -3019,7 +3096,10 @@ object Snapshots {
     val v = if (version >= 0) version else headVersion(spark, root)
     require(v > 0, s"no snapshot committed at $root yet")
     val m = manifest(spark, root, v)
-    val byFile = m.stats.filter(_.col == c).map(s => s.file -> s).toMap
+    // string-bound entries (slo set) carry placeholder min/max — this is a
+    // NUMERIC range API, so they read as "no recorded range" (None)
+    val byFile = m.stats.filter(s => s.col == c && s.slo == null)
+      .map(s => s.file -> s).toMap
     val rowsByName = m.rows.map(r => r.file -> r.n).toMap
     val names = m.files.map(f => new Path(f).getName)
     // a deletion vector may have removed the extreme rows a file's recorded
@@ -3834,9 +3914,14 @@ object Snapshots {
     CommitArbiter.publish(f, tmp, target)
 
   private def renderStats(stats: Seq[ColStats]): String =
-    stats.map(s =>
-      s"""{"file":${graft.JsonStr(s.file)},"col":${graft.JsonStr(s.col)},"min":${s.min},"max":${s.max},"nulls":${s.nulls}}""")
-      .mkString("[", ",", "]")
+    stats.map { s =>
+      // string bounds rendered only when present — numeric entries (and
+      // every pre-round-15 shard) stay byte-identical
+      val str =
+        if (s.slo == null) ""
+        else s""","slo":${graft.JsonStr(s.slo)},"shi":${graft.JsonStr(s.shi)}"""
+      s"""{"file":${graft.JsonStr(s.file)},"col":${graft.JsonStr(s.col)},"min":${s.min},"max":${s.max},"nulls":${s.nulls}$str}"""
+    }.mkString("[", ",", "]")
 
   private def renderRows(rows: Seq[FileRows]): String =
     rows.map(r => s"""{"file":${graft.JsonStr(r.file)},"n":${r.n}}""")
@@ -3893,13 +3978,18 @@ object Snapshots {
 
   private def parseStatsArray(text: String): Seq[ColStats] = {
     val num = """-?[0-9.eE+-]+"""
-    // "nulls" optional: pre-round-8 shards lack it → -1 (unknown)
+    val str = """"([^"\\]*(?:\\.[^"\\]*)*)""""
+    // "nulls" optional: pre-round-8 shards lack it → -1 (unknown);
+    // "slo"/"shi" optional: string-column entries only (round 15)
     ("""\{"file":"([^"\\]*(?:\\.[^"\\]*)*)","col":"([^"\\]*(?:\\.[^"\\]*)*)","min":(""" + num +
-      """),"max":(""" + num + """)(?:,"nulls":(-?\d+))?\}""").r
+      """),"max":(""" + num + """)(?:,"nulls":(-?\d+))?(?:,"slo":""" + str +
+      ""","shi":""" + str + """)?\}""").r
       .findAllMatchIn(text).map { g =>
         ColStats(unescape(g.group(1)), unescape(g.group(2)),
           g.group(3).toDouble, g.group(4).toDouble,
-          Option(g.group(5)).map(_.toLong).getOrElse(-1L))
+          Option(g.group(5)).map(_.toLong).getOrElse(-1L),
+          Option(g.group(6)).map(unescape).orNull,
+          Option(g.group(7)).map(unescape).orNull)
       }.toSeq
   }
 

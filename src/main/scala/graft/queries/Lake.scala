@@ -2350,6 +2350,78 @@ object Lake {
       out
     },
 
+    // ---- q139: PREFIX (LIKE 'p%') PRUNING — string keys committed
+    //            range-ordered across files with string min/max bounds
+    //            (ColStats slo/shi, round 15) and small row groups: a
+    //            prefix predicate is the band [p, nextPrefix(p)), answered
+    //            at BOTH granularities — FilterPrune drops whole files on
+    //            the recorded bounds, RowGroupFilters drops row groups on
+    //            the parquet binary stats inside the survivor. Required
+    //            in-query: the scan plans fewer partitions than the table
+    //            holds files AND decodes a sliver of the rows; the LIKE
+    //            result hash-matches DuckDB. ----
+    OracleQuery(
+      "q139_prefix_prune",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+        |FROM orders
+        |WHERE md5(CAST(o_orderkey AS VARCHAR)) LIKE 'ab%'""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_prefix"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val hc = spark.sparkContext.hadoopConfiguration
+      val oldBlock = Option(hc.get("parquet.block.size"))
+      hc.set("parquet.block.size", (1 << 16).toString)
+      try {
+        Snapshots.commit(
+          Tables(spark, dir, "orders")
+            .select(col("o_orderkey"),
+              md5(col("o_orderkey").cast("string")).as("okey"))
+            .repartitionByRange(4, col("okey"))
+            .sortWithinPartitions("okey"),
+          root, statsCols = Seq("okey"))
+      } finally oldBlock.fold(hc.unset("parquet.block.size"))(
+        hc.set("parquet.block.size", _))
+      val m1 = Snapshots.manifest(spark, root, 1L)
+      require(m1.files.size > 1, "range layout must produce several files")
+      require(m1.files.forall(f => m1.stats.exists(s =>
+        s.file == new Path(f).getName && s.col == "okey" && s.slo != null)),
+        "every file must record string bounds for the key")
+      val total = m1.rows.map(_.n).sum
+      require(total > 0)
+      val q = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .filter(col("okey").startsWith("ab"))
+      // file half: the prefix band must prune whole files at planning
+      val planned = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.length
+      }.sum
+      require(planned > 0 && planned < m1.files.size,
+        s"prefix band must prune files ($planned of ${m1.files.size} planned)")
+      // row-group half: the survivor's sorted layout decodes a sliver
+      val res = q.agg(count(lit(1)).cast("bigint").as("n"),
+        sum(col("o_orderkey")).cast("bigint").as("sum_k"))
+      val out = res.localCheckpoint(true)
+      val decoded = scanOutputRows(res.queryExecution.executedPlan)
+      require(decoded > 0 && decoded < total / 2,
+        s"prefix must prune (decoded $decoded of $total)")
+      // row-group half binds once files are big enough to hold several
+      // groups (sf0.01+): the sorted survivor decodes a sliver, not itself
+      val rowGroups = {
+        val in = org.apache.parquet.hadoop.util.HadoopInputFile
+          .fromPath(new Path(m1.files.head), hc)
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+        try r.getRowGroups.size finally r.close()
+      }
+      if (rowGroups > 3)
+        require(decoded < total / 8,
+          s"prefix must skip row groups inside the survivor " +
+            s"(decoded $decoded of $total, ~$rowGroups groups/file)")
+      out
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO

@@ -147,6 +147,32 @@ class RowGroupFiltersSpec extends AnyFunSuite {
     assert(t(And(EqualTo("wdec", new java.math.BigDecimal("1")), EqualTo("l", 2L))).length === 1)
   }
 
+  test("StringStartsWith translates to the [p, nextPrefix(p)) range on string columns") {
+    assert(t(StringStartsWith("s", "ab")).length === 1)
+    assert(RowGroupFilters.build(t(StringStartsWith("s", "ab")), footer).isDefined)
+    // non-string columns and empty prefixes refuse
+    assert(t(StringStartsWith("i", "1")).isEmpty)
+    assert(t(StringStartsWith("s", "")).isEmpty)
+    // a non-UTF8-annotated binary file generation drops the conjunct
+    val rawS = MessageTypeParser.parseMessageType(
+      "message spark_schema { optional binary s; }")
+    assert(RowGroupFilters.build(t(StringStartsWith("s", "ab")), rawS).isEmpty)
+  }
+
+  test("nextPrefix increments the last code point in code-point order") {
+    def cps(xs: Int*): String = new String(xs.toArray, 0, xs.length)
+    assert(RowGroupFilters.nextPrefix("ab") === Some("ac"))
+    assert(RowGroupFilters.nextPrefix("a") === Some("b"))
+    // BMP max: U+FFFF + 1 = U+10000 (a supplementary code point)
+    assert(RowGroupFilters.nextPrefix(cps('a', 0xFFFF)) === Some(cps('a', 0x10000)))
+    // surrogate block: U+D7FF + 1 jumps to U+E000 (no valid cp between)
+    assert(RowGroupFilters.nextPrefix(cps('a', 0xD7FF)) === Some(cps('a', 0xE000)))
+    // trailing U+10FFFF positions drop before incrementing
+    assert(RowGroupFilters.nextPrefix("ab" + cps(0x10FFFF)) === Some("ac"))
+    // an all-max prefix has no upper bound
+    assert(RowGroupFilters.nextPrefix(cps(0x10FFFF, 0x10FFFF)) === None)
+  }
+
   test("footer re-validation drops missing columns and type-mismatched generations") {
     // column present with matching physical type: predicate builds
     assert(RowGroupFilters.build(t(EqualTo("i", 5)), footer).isDefined)
