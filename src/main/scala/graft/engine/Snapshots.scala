@@ -162,8 +162,19 @@ object Snapshots {
     * `sorted` additionally asserts every file's ROWS are ascending on
     * `col` (nulls first — Spark's asc) — the scan then reports the
     * ordering too, and a co-clustered sort-merge join drops its SORTS
-    * along with its exchanges. */
-  final case class Clustering(col: String, buckets: Int, sorted: Boolean = false)
+    * along with its exchanges.
+    * Round 15: `cols` generalizes to COMPOSITE keys as a BUCKET GRID —
+    * one single-column `bucket(buckets, c_i)` transform per key (Spark's
+    * storage-partitioned-join resolution only accepts single-reference
+    * bucket transforms; a joint-hash multi-column transform resolves to a
+    * shape EnsureRequirements won't honor). Each data file holds exactly
+    * one grid cell, laid out as `__gb0=<id>/__gb1=<id>/...` partition
+    * directories (ids recovered from the PATH, not the part index), so a
+    * (tenant, day)-keyed fact joins exchange-free on both keys. Grid
+    * volume is buckets^k files per commit — keep k small and buckets
+    * modest (4-32), which is also what makes each cell file large enough
+    * to scan well at 100 TB. */
+  final case class Clustering(cols: Seq[String], buckets: Int, sorted: Boolean = false)
 
   private val PartIdxRe = "part-(\\d+)-.*".r
 
@@ -176,6 +187,26 @@ object Snapshots {
     case _ => None
   }
 
+  private val GridRe = ".*-g(\\d+(?:-\\d+)*)\\.parquet".r
+
+  /** COMPOSITE-key recovery: the grid cell ids encoded in a data file's
+    * NAME (`part-00004-<uuid>-g3-7.parquet`), one id per cluster column.
+    * None when the suffix is missing or the wrong arity — such a file can
+    * never be proven cell-pure, so callers treat the table unclustered
+    * (conservative, like [[bucketOfFile]]). */
+  private[graft] def gridOfFile(name: String, dims: Int): Option[Seq[Int]] =
+    name match {
+      case GridRe(ids) =>
+        val parts = ids.split('-').toSeq
+        if (parts.length == dims) Some(parts.map(_.toInt)) else None
+      case _ => None
+    }
+
+  /** The synthetic grid-id column names a composite clustered write
+    * shuffles on (never stored inside the parquet files). */
+  private[graft] def gridColNames(dims: Int): Seq[String] =
+    (0 until dims).map(i => s"__gb$i")
+
   /** Version v's clustering spec with its column relabeled LOGICAL —
     * metadata-only (no shard load; the spec and the schema both live in
     * the commit record). None when v is unclustered or uncommitted. */
@@ -183,9 +214,9 @@ object Snapshots {
     if (v <= 0) return None
     val mm = manifestMeta(spark, root, v)
     mm.clustering.map { c =>
-      parseSchemaStr(mm.schema)
-        .flatMap(_.fields.find(f => physicalOf(f) == c.col))
-        .fold(c)(f => c.copy(col = f.name))
+      val p2l = parseSchemaStr(mm.schema).map(_.fields.iterator
+        .map(f => physicalOf(f) -> f.name).toMap).getOrElse(Map.empty)
+      c.copy(cols = c.cols.map(cc => p2l.getOrElse(cc, cc)))
     }
   }
 
@@ -400,7 +431,7 @@ object Snapshots {
     Manifest(m.version, shards.flatMap(_.files), m.parent,
       relabeled, m.tag, m.ts, m.schema, shards.flatMap(_.rows), relabeledBlooms,
       shards.flatMap(_.dvs),
-      m.clustering.map(c => p2l.get(c.col).fold(c)(l => c.copy(col = l))))
+      m.clustering.map(c => c.copy(cols = c.cols.map(cc => p2l.getOrElse(cc, cc)))))
   }
 
   /** Column-mapping metadata key: a field whose on-disk (PHYSICAL) column
@@ -472,7 +503,7 @@ object Snapshots {
       tag: String = "",
       requireHead: Long = -1L,
       bloomCols: Seq[String] = Seq.empty,
-      clusterBy: Option[(String, Int)] = None,
+      clusterBy: Option[(Seq[String], Int)] = None,
       clusterSorted: Boolean = false): Long = {
     // the optimize: prefix is how rebase validation RECOGNIZES provably
     // row-preserving layout rewrites — only the internal rewrite committer
@@ -506,15 +537,18 @@ object Snapshots {
     // head already clustered by the same (physical column, bucket count),
     // or onto an empty table; anything else would publish a version whose
     // file set is not bucket-pure, so it fails loudly here instead
-    val clusterSpec = clusterBy.map { case (c, n) =>
+    val clusterSpec = clusterBy.map { case (cs, n) =>
       require(n > 0, s"clusterBy bucket count must be positive, got $n")
-      require(df.columns.contains(c),
-        s"clusterBy column '$c' is not in the batch (${df.columns.mkString(", ")})")
-      val t = df.schema(c).dataType
-      require(ClusterableTypes.contains(t),
-        s"clusterBy column '$c' has type $t — hash clustering supports " +
-          ClusterableTypes.mkString(", "))
-      Clustering(toPhys.getOrElse(c, c), n, sorted = clusterSorted)
+      require(cs.nonEmpty, "clusterBy needs at least one column")
+      cs.foreach { c =>
+        require(df.columns.contains(c),
+          s"clusterBy column '$c' is not in the batch (${df.columns.mkString(", ")})")
+        val t = df.schema(c).dataType
+        require(ClusterableTypes.contains(t),
+          s"clusterBy column '$c' has type $t — hash clustering supports " +
+            ClusterableTypes.mkString(", "))
+      }
+      Clustering(cs.map(c => toPhys.getOrElse(c, c)), n, sorted = clusterSorted)
     }
     if (append && clusterSpec.isDefined) {
       val headV0 = headVersion(spark, root)
@@ -643,9 +677,9 @@ object Snapshots {
         "byte/short/int -> wider integral, int -> double, float -> double, " +
         "integral -> decimal with room, decimal(p,s) -> decimal(p',s') with " +
         "p'-s' >= p-s and s' >= s)")
-    // the meta's clustering col is the rename-stable PHYSICAL name
-    val clusterKey = meta.clustering.map(_.col)
-    require(!clusterKey.contains(name) && !clusterKey.contains(physicalOf(field)),
+    // the meta's clustering cols are the rename-stable PHYSICAL names
+    val clusterKeys = meta.clustering.toSeq.flatMap(_.cols)
+    require(!clusterKeys.contains(name) && !clusterKeys.contains(physicalOf(field)),
       s"cannot widen cluster key '$name': bucket ids hash the runtime type, " +
         "so old and new generations would disagree on key placement — " +
         "re-cluster (compact_clustered) after widening elsewhere, or first " +
@@ -709,7 +743,7 @@ object Snapshots {
     publishMeta(spark, root, tag = "", requireHead = headV,
       retiredOverride = Some(meta.retired :+ physicalOf(field)),
       clustering = h =>
-        h.flatMap(_.clustering).filterNot(_.col == physicalOf(field))) { head =>
+        h.flatMap(_.clustering).filterNot(_.cols.contains(physicalOf(field)))) { head =>
       val h = head.getOrElse(sys.error("drop base vanished"))
       (shardRefsOf(spark, root, h), remaining.json)
     }
@@ -1049,8 +1083,12 @@ object Snapshots {
     // checked column the batch omits is evaluated as null on every row
     // (the schema-merging read semantics), never an analysis error.
     val (rulesGen, rules) = Checks.listWithGen(spark, root)
+    // composite-grid writes run through an RDD action (no Dataset command),
+    // which never completes an Observation — their CHECKs validate
+    // post-write against the staged files instead (below)
+    val compositeCluster = cluster.exists(_.cols.size > 1)
     val obs =
-      if (rules.isEmpty) None
+      if (rules.isEmpty || compositeCluster) None
       else Some(new org.apache.spark.sql.Observation(s"graft-checks-$commitId"))
     val dfC = obs match {
       case Some(o) =>
@@ -1080,22 +1118,28 @@ object Snapshots {
     // Clustering spec asserts and storage-partitioned joins rely on.
     // A `sorted` spec additionally sorts rows inside each bucket (asc,
     // nulls first — what the scan's reported ordering asserts).
-    val dfW = cluster.fold(dfP) { c =>
-      val r = dfP.repartition(c.buckets, org.apache.spark.sql.functions.col(c.col))
-      if (c.sorted) r.sortWithinPartitions(c.col) else r
-    }
+    val bloomPhysW = bloomCols.map(c => toPhys.getOrElse(c, c))
     // bloom-indexed columns also get PARQUET-INTERNAL bloom filters
     // (adaptive sizing): the manifest's FileBloom prunes whole FILES, the
     // in-file blooms let the reader's row-group predicate pushdown
     // ([[RowGroupFilters]]) skip ROW GROUPS on point predicates whose
     // stats ranges can't discriminate (high-cardinality strings in
     // unsorted files — exactly what FileBloom columns are)
-    val bloomPhysW = bloomCols.map(c => toPhys.getOrElse(c, c))
-    val writer = bloomPhysW.foldLeft(
-      dfW.write.option("parquet.bloom.filter.adaptive.enabled", "true")) {
-      (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    val gridWritten: Seq[String] =
+      if (compositeCluster) writeGridBatch(dfP, dataDir, cluster.get, bloomPhysW)
+      else Seq.empty
+    if (!compositeCluster) {
+      val dfW = cluster.fold(dfP) { c =>
+        val ks = c.cols.map(org.apache.spark.sql.functions.col)
+        val r = dfP.repartition(c.buckets, ks: _*)
+        if (c.sorted) r.sortWithinPartitions(ks: _*) else r
+      }
+      val writer = bloomPhysW.foldLeft(
+        dfW.write.option("parquet.bloom.filter.adaptive.enabled", "true")) {
+        (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
+      }
+      writer.parquet(dataDir)
     }
-    writer.parquet(dataDir)
     obs.foreach { o =>
       val got = o.get
       val bad = rules.filter(r => got.get(r.name).exists(_.asInstanceOf[Long] > 0L))
@@ -1116,7 +1160,7 @@ object Snapshots {
     // paid only in the race. Files store physical names; rules speak
     // logical ones.
     val (genNow, rulesNow) = Checks.listWithGen(spark, root)
-    if (genNow != rulesGen && rulesNow.nonEmpty &&
+    if ((genNow != rulesGen || compositeCluster) && rulesNow.nonEmpty &&
         f.listStatus(new Path(dataDir)).exists(st =>
           st.isFile && st.getPath.getName.endsWith(".parquet"))) {
       val staged0 = spark.read.parquet(dataDir)
@@ -1131,9 +1175,15 @@ object Snapshots {
             "rule added concurrently with this write)")
       }
     }
-    val written = f.listStatus(new Path(dataDir)).toSeq
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).sorted
+    // composite grids take the JOB-REPORTED list, never the listing: a
+    // failed task attempt's partial file must not enter the manifest (the
+    // native writer path gets this from its commit protocol; debris is
+    // unreferenced and vacuumable either way)
+    val written =
+      if (compositeCluster) gridWritten.sorted
+      else f.listStatus(new Path(dataDir)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString).sorted
     // footers first: the scan pass re-reads every byte this commit just
     // wrote — at any scale that DOUBLES commit I/O and costs a Spark job;
     // the footers already carry exact chunk stats for the common key types
@@ -1154,6 +1204,72 @@ object Snapshots {
       else collectBlooms(spark, Seq(dataDir), bloomCols.map(c => toPhys.getOrElse(c, c)),
         df.schema, toPhys, rows)
     (written, stats, rows, blooms)
+  }
+
+  /** COMPOSITE-grid batch write (round 15): one parquet file per grid
+    * CELL, flat under `dataDir`, named `part-<pid>-<uuid>-g<i0>-<i1>...`
+    * so [[gridOfFile]] recovers the cell from the NAME (unique basenames —
+    * the manifest keys all per-file metadata by basename — and no
+    * object-store renames). Rows shuffle on the id tuple (a collision
+    * merging two cells into one task is fine: the sequential writer splits
+    * them into separate files) and stream cell-sorted through one
+    * executor-side [[graft.streaming.SnapshotParquetDataWriter]] at a
+    * time; a `sorted` spec additionally sorts rows inside each cell.
+    * Returns the job-reported file URIs. */
+  private def writeGridBatch(
+      dfP: DataFrame,
+      dataDir: String,
+      c: Clustering,
+      bloomPhys: Seq[String]): Seq[String] = {
+    import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+    val spark = dfP.sparkSession
+    val k = c.cols.size
+    val ids = c.cols.zipWithIndex.map { case (cc, i) =>
+      pmod(hash(col(cc)), lit(c.buckets)).cast("int").as(s"__gb$i") }
+    val idCols = gridColNames(k).map(col)
+    val parts = math.min(math.pow(c.buckets.toDouble, k.toDouble), 1024.0).toInt
+    val q0 = dfP.select(dfP.columns.map(col) ++ ids: _*)
+      .repartition(parts, idCols: _*)
+    // cells stream sequentially through one writer per task: always sort
+    // by the id tuple; a sorted spec additionally sorts inside each cell
+    val q = q0.sortWithinPartitions(
+      (idCols ++ (if (c.sorted) c.cols.map(col) else Nil)): _*)
+    val dataWidth = dfP.columns.length
+    val physSchemaJson = dfP.schema.json
+    val confEntries =
+      graft.streaming.SnapshotParquetDataWriter.writerConf(spark) ++
+        (if (bloomPhys.isEmpty) Array.empty[(String, String)]
+         else Array("parquet.bloom.filter.adaptive.enabled" -> "true") ++
+           bloomPhys.map(cc => s"parquet.bloom.filter.enabled#$cc" -> "true"))
+    val dims = k
+    q.queryExecution.toRdd.mapPartitions { it =>
+      val out = Seq.newBuilder[String]
+      val schema = org.apache.spark.sql.types.DataType.fromJson(physSchemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val proj = org.apache.spark.sql.catalyst.ProjectingInternalRow(
+        schema, 0 until dataWidth)
+      val uuid = java.util.UUID.randomUUID().toString.take(8)
+      val pid = org.apache.spark.TaskContext.getPartitionId()
+      var cur: Seq[Int] = null
+      var w: graft.streaming.SnapshotParquetDataWriter = null
+      var path: String = null
+      def close(): Unit = if (w != null) { w.commit(); out += path; w = null }
+      while (it.hasNext) {
+        val row = it.next()
+        val cell = (0 until dims).map(i => row.getInt(dataWidth + i))
+        if (cell != cur) {
+          close()
+          cur = cell
+          path = f"$dataDir/part-$pid%05d-$uuid-g${cell.mkString("-")}.parquet"
+          w = new graft.streaming.SnapshotParquetDataWriter(
+            path, physSchemaJson, confEntries)
+        }
+        proj.project(row)
+        w.write(proj)
+      }
+      close()
+      out.result().iterator
+    }.collect().toSeq
   }
 
   /** One scan of the freshly-written files building a per-file Bloom sketch
@@ -3404,7 +3520,7 @@ object Snapshots {
       append: Boolean = true,
       statsCols: Seq[String] = Seq.empty,
       requireHead: Long = -1L,
-      clusterBy: Option[(String, Int)] = None): Option[Long] = {
+      clusterBy: Option[(Seq[String], Int)] = None): Option[Long] = {
     require(tag.nonEmpty, "idempotency tag must be non-empty")
     // tag scan at the metadata level — no shard I/O
     if (historyMeta(df.sparkSession, root).exists(_.tag == tag)) None
@@ -3565,7 +3681,11 @@ object Snapshots {
     // not O(table) — two appends touching 4 of 16 buckets rewrite those 4
     // buckets' 8 files, nothing else. Unrecoverable bucket names (adopted
     // files) degrade to the full rewrite, never to a wrong partial one.
-    val byBucket = m.files.map(u => bucketOfFile(new Path(u).getName) -> u)
+    // grouping key: bucket id (single-col spec) or grid cell (composite)
+    def keyOf(name: String): Option[Seq[Int]] =
+      if (c.cols.size == 1) bucketOfFile(name).map(Seq(_))
+      else gridOfFile(name, c.cols.size)
+    val byBucket = m.files.map(u => keyOf(new Path(u).getName) -> u)
     val selected: Seq[String] =
       if (byBucket.exists(_._1.isEmpty)) m.files
       else {
@@ -3958,9 +4078,15 @@ object Snapshots {
       if (m.retired.isEmpty) ""
       else s""","retired":${m.retired.map(graft.JsonStr(_)).mkString("[", ",", "]")}"""
     // optional like retired: unclustered manifests stay byte-compatible
-    val clustering = m.clustering.fold("")(c =>
-      s""","clustering":{"col":${graft.JsonStr(c.col)},"buckets":${c.buckets}""" +
-        (if (c.sorted) ""","sorted":true}""" else "}"))
+    val clustering = m.clustering.fold("")(c => {
+      // single-key specs keep the legacy "col" form byte-identical;
+      // composite keys (round 15) render a "cols" array
+      val key =
+        if (c.cols.length == 1) s""""col":${graft.JsonStr(c.cols.head)}"""
+        else s""""cols":${c.cols.map(graft.JsonStr(_)).mkString("[", ",", "]")}"""
+      s""","clustering":{$key,"buckets":${c.buckets}""" +
+        (if (c.sorted) ""","sorted":true}""" else "}")
+    })
     // optional like retired: pre-indexed manifests stay byte-compatible
     val indexed = m.indexed.fold("") { case (s, b) =>
       s""","indexed":{"s":${s.map(graft.JsonStr(_)).mkString("[", ",", "]")},"b":${b.map(graft.JsonStr(_)).mkString("[", ",", "]")}}"""
@@ -4049,12 +4175,25 @@ object Snapshots {
       .map(m => unescape(m.group(1))).getOrElse("")
     // optional: pre-evolution manifests carry no retired list
     val retired = stringArrayAfter(text, """"retired":""").getOrElse(Seq.empty)
-    // optional: pre-clustering manifests read as None (unclustered)
-    val clustering =
-      """"clustering":\{"col":"([^"\\]*(?:\\.[^"\\]*)*)","buckets":(\d+)(,"sorted":true)?\}""".r
-        .findFirstMatchIn(text)
-        .map(g => Clustering(unescape(g.group(1)), g.group(2).toInt,
-          sorted = g.group(3) != null))
+    // optional: pre-clustering manifests read as None (unclustered).
+    // Composite keys (round 15) carry a quote-aware "cols" array; the
+    // legacy single-key "col" form parses as before.
+    val clustering = {
+      val multi = {
+        val at = text.indexOf(""""clustering":{"cols":""")
+        if (at < 0) None
+        else for {
+          (cols, after) <- stringArrayAt(text, at + """"clustering":{"cols":""".length)
+          bm <- """^,"buckets":(\d+)(,"sorted":true)?\}""".r
+            .findFirstMatchIn(text.substring(after))
+        } yield Clustering(cols, bm.group(1).toInt, sorted = bm.group(2) != null)
+      }
+      multi.orElse(
+        """"clustering":\{"col":"([^"\\]*(?:\\.[^"\\]*)*)","buckets":(\d+)(,"sorted":true)?\}""".r
+          .findFirstMatchIn(text)
+          .map(g => Clustering(Seq(unescape(g.group(1))), g.group(2).toInt,
+            sorted = g.group(3) != null)))
+    }
     // optional: pre-indexed manifests read as None (appendFiles resolves)
     val indexed = {
       val at = text.indexOf(""""indexed":{"s":""")

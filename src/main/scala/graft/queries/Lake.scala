@@ -1632,7 +1632,7 @@ object Lake {
       // empty table), then the INSERT appends v2
       require(head == 2L, s"expected atomic-CTAS+insert = 2 versions, got $head")
       require(Snapshots.clusteringAt(spark, root, head)
-        .contains(Snapshots.Clustering("o_orderkey", 8)),
+        .contains(Snapshots.Clustering(Seq("o_orderkey"), 8)),
         "the SQL insert must inherit the clustering spec, not drop it")
       spark.sql(
         s"""SELECT o_orderpriority, count(*) AS n,
@@ -2086,11 +2086,11 @@ object Lake {
       fsys.delete(new Path(ordRoot), true)
       Snapshots.commit(
         Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
-        liRoot, clusterBy = Some(("l_orderkey", 32)))
+        liRoot, clusterBy = Some((Seq("l_orderkey"), 32)))
       Snapshots.commit(
         Tables(spark, dir, "orders")
           .select("o_orderkey", "o_orderstatus", "o_orderpriority"),
-        ordRoot, clusterBy = Some(("o_orderkey", 16)))
+        ordRoot, clusterBy = Some((Seq("o_orderkey"), 16)))
       spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
       val keys = Seq(
         "spark.sql.sources.v2.bucketing.enabled",
@@ -2205,7 +2205,7 @@ object Lake {
       fsys.delete(new Path(liRoot), true)
       Snapshots.commit(
         Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
-        liRoot, clusterBy = Some(("l_orderkey", 16)))
+        liRoot, clusterBy = Some((Seq("l_orderkey"), 16)))
       spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
       val keys = Seq(
         "spark.sql.sources.v2.bucketing.enabled",
@@ -2422,6 +2422,70 @@ object Lake {
       out
     },
 
+    // ---- q140: COMPOSITE-KEY SPJ — both sides committed as a BUCKET GRID
+    //            on (l_partkey, l_suppkey): one single-column bucket
+    //            transform per key (round 15 — Spark's SPJ resolution only
+    //            honors single-reference buckets; the engine lays one file
+    //            per grid cell, ids recovered from the file name), so the
+    //            two-key join the (tenant, day)-shaped warehouse fact runs
+    //            plans with ZERO exchanges on either side (required
+    //            in-plan), and the join result hash-matches DuckDB. ----
+    OracleQuery(
+      "q140_composite_spj",
+      s"""SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(b.cnt) AS BIGINT) AS sum_cnt,
+        |  ${graft.engine.Det.sql.dsum("a.l_quantity")} AS sum_qty
+        |FROM lineitem a
+        |JOIN (SELECT l_partkey, l_suppkey, count(*) AS cnt
+        |      FROM lineitem GROUP BY l_partkey, l_suppkey) b
+        |ON a.l_partkey = b.l_partkey AND a.l_suppkey = b.l_suppkey""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val liRoot = s"$lakeBase/lineitem_grid"
+      val aggRoot = s"$lakeBase/partsupp_grid"
+      val fsys = new Path(liRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(liRoot), true)
+      fsys.delete(new Path(aggRoot), true)
+      val li = Tables(spark, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity")
+      Snapshots.commit(li, liRoot,
+        clusterBy = Some((Seq("l_partkey", "l_suppkey"), 4)))
+      Snapshots.commit(
+        li.groupBy("l_partkey", "l_suppkey")
+          .agg(count(lit(1)).cast("bigint").as("cnt"))
+          .withColumnRenamed("l_partkey", "p2").withColumnRenamed("l_suppkey", "s2"),
+        aggRoot, clusterBy = Some((Seq("p2", "s2"), 4)))
+      val m = Snapshots.manifest(spark, liRoot, 1L)
+      require(m.clustering ==
+        Some(Snapshots.Clustering(Seq("l_partkey", "l_suppkey"), 4)))
+      spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+      val prev = Seq(
+        "spark.sql.sources.v2.bucketing.enabled",
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+        "spark.sql.autoBroadcastJoinThreshold")
+        .map(k => k -> spark.conf.getOption(k))
+      try {
+        spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+        spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val a = spark.table(s"graft.`$liRoot`")
+        val b = spark.table(s"graft.`$aggRoot`")
+        val joined = a.join(b,
+          a("l_partkey") === b("p2") && a("l_suppkey") === b("s2"))
+        val p = joined.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        require(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"expected a non-broadcast join:\n$p")
+        require(!p.contains("Exchange"),
+          s"composite-key co-clustered join must plan with zero exchanges:\n$p")
+        joined.agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("cnt")).cast("bigint").as("sum_cnt"),
+          graft.engine.Det.dsum(col("l_quantity")).as("sum_qty"))
+          .localCheckpoint(true)
+      } finally prev.foreach { case (k, v) =>
+        v.fold(spark.conf.unset(k))(spark.conf.set(k, _))
+      }
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO
@@ -2446,11 +2510,11 @@ object Lake {
       fsys.delete(new Path(ordRoot), true)
       Snapshots.commit(
         Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
-        liRoot, clusterBy = Some(("l_orderkey", 16)))
+        liRoot, clusterBy = Some((Seq("l_orderkey"), 16)))
       Snapshots.commit(
         Tables(spark, dir, "orders")
           .select("o_orderkey", "o_orderstatus", "o_orderpriority"),
-        ordRoot, clusterBy = Some(("o_orderkey", 16)))
+        ordRoot, clusterBy = Some((Seq("o_orderkey"), 16)))
       spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
       val prev = Seq(
         "spark.sql.sources.v2.bucketing.enabled",

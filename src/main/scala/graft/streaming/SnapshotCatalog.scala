@@ -115,21 +115,33 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog
     * rides the same path: create (v1), then the SELECT lands as the
     * append commit (v2). `TBLPROPERTIES ('clusterSorted'='true')` asks
     * for sorted buckets. */
-  private def clusterOf(partitions: Array[Transform]): Option[(String, Int)] = {
+  private def clusterOf(partitions: Array[Transform]): Option[(Seq[String], Int)] = {
     import org.apache.spark.sql.connector.expressions.{Literal, NamedReference}
-    partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) if t.name == "bucket" =>
-        val ref = t.arguments.collectFirst {
+    if (partitions.isEmpty) return None
+    // composite keys (round 15): one single-column bucket transform per
+    // key — PARTITIONED BY (bucket(4, tenant), bucket(4, day)) — the only
+    // shape Spark's storage-partitioned-join resolution honors. All
+    // transforms must agree on the count (the engine's grid is uniform).
+    val parsed = partitions.toSeq.map {
+      case t if t.name == "bucket" =>
+        val refs = t.arguments.toSeq.collect {
           case r: NamedReference => r.fieldNames.mkString(".") }
         val n = t.arguments.collectFirst {
           case l: Literal[_] => l.value.toString.toInt }
-        Some((ref.getOrElse(sys.error("bucket transform needs a column")),
-          n.getOrElse(sys.error("bucket transform needs a bucket count"))))
+        require(refs.length == 1,
+          s"bucket(${t.arguments.mkString(", ")}): use ONE column per " +
+            "bucket transform — composite keys are expressed as " +
+            "PARTITIONED BY (bucket(n, c1), bucket(n, c2)) (Spark's " +
+            "storage-partitioned joins only resolve single-column buckets)")
+        (refs.head, n.getOrElse(sys.error("bucket transform needs a bucket count")))
       case other => sys.error(
-        s"graft tables support PARTITIONED BY (bucket(n, col)) only, got " +
-          other.mkString(", "))
+        s"graft tables support PARTITIONED BY (bucket(n, col), ...) only, got $other")
     }
+    val counts = parsed.map(_._2).distinct
+    require(counts.length == 1,
+      s"all bucket transforms must share one count (the grid is uniform), " +
+        s"got ${parsed.map { case (c, n) => s"bucket($n, $c)" }.mkString(", ")}")
+    Some((parsed.map(_._1), counts.head))
   }
 
   override def createTable(
@@ -169,8 +181,8 @@ class SnapshotCatalog extends TableCatalog with FunctionCatalog
     val cluster = clusterOf(info.partitions())
     val sorted = Option(info.properties().get("clusterSorted")).exists(_.toBoolean)
     val props = Map("root" -> root, "sqlResolved" -> "true") ++
-      cluster.map { case (c, n) => Map(
-        "clusterBy" -> c, "clusterBuckets" -> n.toString,
+      cluster.map { case (cs, n) => Map(
+        "clusterBy" -> cs.mkString(","), "clusterBuckets" -> n.toString,
         "clusterSorted" -> sorted.toString)
       }.getOrElse(Map.empty)
     val schema = info.schema()
@@ -330,13 +342,13 @@ object GraftBucketFunction extends UnboundFunction {
       "clustered-write bucket id"
 
   override def bind(inputType: StructType): BoundFunction = {
-    require(inputType.fields.length == 2,
-      s"bucket takes (numBuckets INT, key), got $inputType")
-    val keyType = inputType.fields(1).dataType
-    require(Snapshots.ClusterableTypes.contains(keyType),
-      s"bucket key type $keyType is not hash-clusterable " +
-        s"(supported: ${Snapshots.ClusterableTypes.mkString(", ")})")
-    GraftBucketBound(keyType)
+    require(inputType.fields.length >= 2,
+      s"bucket takes (numBuckets INT, key, ...), got $inputType")
+    val keyTypes = inputType.fields.drop(1).map(_.dataType).toSeq
+    keyTypes.foreach(t => require(Snapshots.ClusterableTypes.contains(t),
+      s"bucket key type $t is not hash-clusterable " +
+        s"(supported: ${Snapshots.ClusterableTypes.mkString(", ")})"))
+    GraftBucketBound(keyTypes)
   }
 }
 
@@ -346,7 +358,7 @@ object GraftBucketFunction extends UnboundFunction {
   * here would let the one-side-shuffle SPJ fallback route rows to the
   * wrong storage bucket and silently drop join matches; the agreement is
   * spec-pinned against `functions.hash` + `pmod`. */
-case class GraftBucketBound(keyType: DataType)
+case class GraftBucketBound(keyTypes: Seq[DataType])
   extends ScalarFunction[Integer]
   with org.apache.spark.sql.connector.catalog.functions.ReducibleFunction[Integer, Integer] {
 
@@ -376,7 +388,8 @@ case class GraftBucketBound(keyType: DataType)
       case _ => null
     }
 
-  override def inputTypes(): Array[DataType] = Array(IntegerType, keyType)
+  override def inputTypes(): Array[DataType] =
+    (IntegerType +: keyTypes).toArray
   override def resultType(): DataType = IntegerType
   override def name(): String = "bucket"
   override def canonicalName(): String = "graft.bucket"
@@ -384,20 +397,28 @@ case class GraftBucketBound(keyType: DataType)
 
   override def produceResult(input: InternalRow): Integer = {
     val n = input.getInt(0)
-    val seed = 42
-    val h: Int =
-      if (input.isNullAt(1)) seed // Murmur3Hash of a null child is the seed
-      else keyType match {
-        case IntegerType | DateType =>
-          Murmur3_x86_32.hashInt(input.getInt(1), seed)
-        case LongType | TimestampType | TimestampNTZType =>
-          Murmur3_x86_32.hashLong(input.getLong(1), seed)
-        case StringType =>
-          val s: UTF8String = input.getUTF8String(1)
-          Murmur3_x86_32.hashUnsafeBytes(
-            s.getBaseObject, s.getBaseOffset, s.numBytes(), seed)
-        case t => sys.error(s"unreachable: unclusterable key type $t")
+    // Catalyst's Murmur3Hash(children, 42) CHAINS: each key hashes with the
+    // running hash as its seed, nulls leave it unchanged — reproduced
+    // exactly so composite-key specs route rows like the writer did
+    var h: Int = 42
+    var i = 0
+    while (i < keyTypes.length) {
+      val ord = i + 1
+      if (!input.isNullAt(ord)) {
+        h = keyTypes(i) match {
+          case IntegerType | DateType =>
+            Murmur3_x86_32.hashInt(input.getInt(ord), h)
+          case LongType | TimestampType | TimestampNTZType =>
+            Murmur3_x86_32.hashLong(input.getLong(ord), h)
+          case StringType =>
+            val s: UTF8String = input.getUTF8String(ord)
+            Murmur3_x86_32.hashUnsafeBytes(
+              s.getBaseObject, s.getBaseOffset, s.numBytes(), h)
+          case t => sys.error(s"unreachable: unclusterable key type $t")
+        }
       }
+      i += 1
+    }
     val m = h % n
     if (m < 0) m + n else m
   }

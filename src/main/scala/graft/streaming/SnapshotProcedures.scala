@@ -97,7 +97,7 @@ private[streaming] object SnapshotProcedures {
             m.shardRefs.size,
             m.shardRefs.map(_.n).sum,
             m.clustering.map(c => utf8(
-              s"bucket(${c.buckets}, ${c.col})${if (c.sorted) " sorted" else ""}"))
+              s"bucket(${c.buckets}, ${c.cols.mkString(", ")})${if (c.sorted) " sorted" else ""}"))
               .orNull))
         }
       }),

@@ -382,7 +382,7 @@ private[streaming] case class SnapshotParquetWriterFactory(
       physSchemaJson, confEntries)
 }
 
-private[streaming] object SnapshotParquetDataWriter {
+private[graft] object SnapshotParquetDataWriter {
 
   /** The table's PHYSICAL schema for `rowSchema`'s columns (column
     * mapping applied; the `_file` metadata column — provenance plumbing,
@@ -439,7 +439,7 @@ private[streaming] object SnapshotParquetDataWriter {
   * produces (decimals, timestamps, nested arrays/maps all match), so
   * files staged here are indistinguishable from engine-written ones.
   * Lazy-opens on the first row: an empty task stages nothing. */
-private[streaming] class SnapshotParquetDataWriter(
+private[graft] class SnapshotParquetDataWriter(
     path: String,
     physSchemaJson: String,
     confEntries: Array[(String, String)])

@@ -44,7 +44,7 @@ object SnapshotSink {
       checkpointDir: String,
       statsCols: Seq[String] = Seq.empty,
       compactManifestsEvery: Int = 0,
-      clusterBy: Option[(String, Int)] = None,
+      clusterBy: Option[(Seq[String], Int)] = None,
       compactClusteredEvery: Int = 0): StreamingQuery =
     source.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -260,7 +260,8 @@ private[streaming] class SnapshotStreamTable(
       .flatMap(r => Snapshots.clusteringAt(SparkSession.active, r,
         properties.get("version").map(_.toLong).getOrElse(
           Snapshots.headVersion(SparkSession.active, r))))
-      .map(c => Array[Transform](Expressions.bucket(c.buckets, c.col)))
+      .map(c => c.cols.map(cc =>
+        Expressions.bucket(c.buckets, cc): Transform).toArray)
       .getOrElse(Array.empty)
   // ACCEPT_ANY_SCHEMA — but only on the format-string path: there the
   // engine's commit owns schema semantics (additive merge on append,
@@ -457,7 +458,8 @@ private[streaming] class SnapshotWriteBuilder(
               .map { c =>
                 val n = Option(options.get("clusterBuckets")).getOrElse(sys.error(
                   "clusterBy write option needs clusterBuckets (the bucket count)"))
-                (c, n.toInt)
+                // comma-separated for composite keys: "tenant,day"
+                (c.split(",").map(_.trim).filter(_.nonEmpty).toSeq, n.toInt)
               }
             val spark0 = data.sparkSession
             val inherited =
@@ -472,7 +474,7 @@ private[streaming] class SnapshotWriteBuilder(
               statsCols = cols("statsCols"),
               tag = options.getOrDefault("tag", ""),
               bloomCols = cols("bloomCols"),
-              clusterBy = explicit.orElse(inherited.map(c => (c.col, c.buckets))),
+              clusterBy = explicit.orElse(inherited.map(c => (c.cols, c.buckets))),
               clusterSorted =
                 if (explicit.isDefined) options.getBoolean("clusterSorted", false)
                 else inherited.exists(_.sorted))
@@ -778,29 +780,41 @@ private[streaming] class SnapshotScan(
   // the same bucket count then join with ZERO shuffle on either side.
 
   /** The manifest's clustering spec, validated against the kept files:
-    * Some only when every surviving file's name recovers a bucket id
-    * below the spec's count (write-invariant recovery; anything else —
-    * adopted files, foreign names — degrades to unclustered, never to a
-    * wrong partition key). */
+    * Some only when every surviving file's name recovers its key — the
+    * part index for a single-column spec, the `-g<i>-<j>` grid suffix for
+    * a composite one — with every id below the spec's count
+    * (write-invariant recovery; anything else — adopted files, foreign
+    * names — degrades to unclustered, never to a wrong partition key). */
   private lazy val clustered: Option[Snapshots.Clustering] = {
     val (m, kept) = resolved
-    m.clustering.filter { c =>
-      kept.forall(u =>
-        Snapshots.bucketOfFile(new Path(u).getName).exists(_ < c.buckets))
-    }
+    m.clustering.filter(c => kept.forall(u => keyOfFile(u, c).isDefined))
+  }
+
+  /** The partition-key ids of one file under spec `c`, or None when
+    * unrecoverable/out-of-range. */
+  private def keyOfFile(uri: String, c: Snapshots.Clustering): Option[Seq[Int]] = {
+    val name = new Path(uri).getName
+    val ids =
+      if (c.cols.size == 1) Snapshots.bucketOfFile(name).map(Seq(_))
+      else Snapshots.gridOfFile(name, c.cols.size)
+    ids.filter(_.forall(i => i >= 0 && i < c.buckets))
   }
 
   override def outputPartitioning(): Partitioning = {
     // a micro-batch's input is a commit diff, not the head layout; and an
-    // unclustered (or unverifiable) table has no grouping to report
+    // unclustered (or unverifiable) table has no grouping to report.
+    // Composite specs report one SINGLE-COLUMN bucket transform per key
+    // (Spark's SPJ resolution only honors single-reference bucket
+    // transforms) with the file's grid-cell tuple as the partition key.
     if (streamingUse) return new UnknownPartitioning(0)
     clustered match {
       case Some(c) =>
         val (_, kept) = resolved
-        val distinct = kept.flatMap(u =>
-          Snapshots.bucketOfFile(new Path(u).getName)).distinct.size
+        val distinct = kept.flatMap(u => keyOfFile(u, c)).distinct.size
         new KeyGroupedPartitioning(
-          Array(Expressions.bucket(c.buckets, c.col)), distinct)
+          c.cols.map(cc => Expressions.bucket(c.buckets, cc)
+            : org.apache.spark.sql.connector.expressions.Expression).toArray,
+          distinct)
       case None => new UnknownPartitioning(0)
     }
   }
@@ -819,17 +833,17 @@ private[streaming] class SnapshotScan(
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     if (streamingUse) return Array.empty
     clustered.filter(_.sorted) match {
-      case Some(c) if required.fieldNames.contains(c.col) =>
+      case Some(c) if c.cols.forall(required.fieldNames.contains) =>
         val parts = planInputPartitions()
         val whole = parts.forall {
           case p: SnapshotFilePartition => p.start == 0L && p.length == -1L
           case _ => false
         }
         val oneFilePerBucket = parts.length ==
-          parts.collect { case p: SnapshotFilePartition => p.bucket }.distinct.length
+          parts.collect { case p: SnapshotFilePartition => p.key }.distinct.length
         if (whole && oneFilePerBucket)
-          Array(Expressions.sort(Expressions.column(c.col),
-            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
+          c.cols.map(cc => Expressions.sort(Expressions.column(cc),
+            org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
         else Array.empty
       case _ => Array.empty
     }
@@ -880,7 +894,7 @@ private[streaming] class SnapshotScan(
         (pushed ++ dataFilters).toSeq, fullSchema,
         SnapshotSource.physicalNames(root))
     SnapshotFilePartition.planned(finalKept, dvByName, spark,
-      clustered = clustered.isDefined, rgFilters = rg)
+      clustered = clustered, rgFilters = rg)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1219,7 +1233,7 @@ private[streaming] case class SnapshotFilePartition(
     columnar: Boolean,
     start: Long = 0L,
     length: Long = -1L,
-    bucket: Int = -1,
+    key: Seq[Int] = Nil,
     /** Row-group predicate conjuncts for THIS partition's read
       * ([[graft.engine.RowGroupFilters]]). Stamped at partition PLANNING —
       * which runs again AFTER runtime filters arrive — never on the reader
@@ -1228,13 +1242,15 @@ private[streaming] case class SnapshotFilePartition(
     rg: Array[graft.engine.RowGroupFilters.RgF] = Array.empty)
   extends InputPartition with HasPartitionKey {
 
-  /** The file's clustering bucket id, as the storage-partitioned-join
-    * grouping key. Read only when the scan reported
-    * KeyGroupedPartitioning, which it does only after every planned file
-    * recovered a bucket — so -1 never reaches Spark. */
+  /** The file's clustering key — (bucket id) for a single-column spec,
+    * the grid-cell tuple for a composite one — as the
+    * storage-partitioned-join grouping key. Read only when the scan
+    * reported KeyGroupedPartitioning, which it does only after every
+    * planned file recovered its key — so an empty key never reaches
+    * Spark. */
   override def partitionKey(): InternalRow =
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-      Array[Any](bucket))
+      key.map(i => i: Any).toArray)
 }
 
 private[streaming] object SnapshotFilePartition {
@@ -1259,27 +1275,31 @@ private[streaming] object SnapshotFilePartition {
       files: Seq[String],
       dvByName: Map[String, String],
       spark: SparkSession,
-      clustered: Boolean = false,
+      clustered: Option[Snapshots.Clustering] = None,
       rgFilters: Array[graft.engine.RowGroupFilters.RgF] =
         Array.empty): Array[InputPartition] = {
     val withDv = files.sorted.map(uri => uri -> dvByName.get(new Path(uri).getName))
     val allFree = withDv.forall(_._2.isEmpty)
     // under a reported KeyGroupedPartitioning every partition carries its
-    // file's bucket id (validated recoverable by the scan); byte-ranges of
-    // one file share its bucket — Spark's partition grouping reassembles
-    // same-key splits into one join task
-    def bucketOf(uri: String): Int =
-      if (!clustered) -1
-      else Snapshots.bucketOfFile(new Path(uri).getName).getOrElse(-1)
-    // row-group filtering never applies to a DV'd file: deletion vectors
-    // address absolute ordinals a skipped row group would shift
+    // file's key — bucket id or grid-cell tuple (validated recoverable by
+    // the scan); byte-ranges of one file share its key — Spark's partition
+    // grouping reassembles same-key splits into one join task
+    def bucketOf(uri: String): Seq[Int] = clustered.toSeq.flatMap { c =>
+      val name = new Path(uri).getName
+      if (c.cols.size == 1) Snapshots.bucketOfFile(name).toSeq
+      else Snapshots.gridOfFile(name, c.cols.size).getOrElse(Nil)
+    }
+    // DV'd files row-group-filter too (round 15): their reader requests
+    // Spark's parquet row-index temp column, so every emitted row carries
+    // its exact FILE-GLOBAL ordinal regardless of skipped groups/pages —
+    // the deletion vector applies to true positions, never shifted ones
     def rgOf(dv: Option[String]): Array[graft.engine.RowGroupFilters.RgF] =
-      if (dv.isEmpty) rgFilters else Array.empty
+      rgFilters
     val fewFiles = withDv.size < spark.sparkContext.defaultParallelism * 4
     if (!fewFiles)
       return withDv.map { case (uri, dv) =>
         SnapshotFilePartition(uri, dv, columnar = allFree,
-          bucket = bucketOf(uri), rg = rgOf(dv)): InputPartition
+          key = bucketOf(uri), rg = rgOf(dv)): InputPartition
       }.toArray
     val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
@@ -1289,12 +1309,12 @@ private[streaming] object SnapshotFilePartition {
       val len = if (dv.isEmpty) fs.getFileStatus(new Path(uri)).getLen else -1L
       if (dv.isDefined || len <= maxBytes)
         Seq(SnapshotFilePartition(uri, dv, columnar = allFree,
-          bucket = bucketOf(uri), rg = rgOf(dv)))
+          key = bucketOf(uri), rg = rgOf(dv)))
       else
         (0L until len by maxBytes).map(off =>
           SnapshotFilePartition(uri, None, columnar = allFree,
             start = off, length = math.min(maxBytes, len - off),
-            bucket = bucketOf(uri), rg = rgFilters))
+            key = bucketOf(uri), rg = rgFilters))
     }.map(p => p: InputPartition).toArray
   }
 }
@@ -1506,20 +1526,41 @@ private[streaming] class SnapshotRowReader(
             new Path(partition.uri).getName))))
     }
 
+  /** DV + row-group pruning need EXACT file-global ordinals: when both
+    * are in play the scan requests Spark's parquet row-index temp column
+    * (`_tmp_metadata_row_index` — string-stable; the vectorized reader's
+    * RowIndexGenerator fills it from page offsets, correct under any
+    * row-group/page skipping) and strips it before emitting. Without
+    * filters the sequential counter stays exact and cheaper. */
+  private val needRowIdx = partition.dvB64.isDefined && partition.rg.nonEmpty
+  private val RowIdxCol = "_tmp_metadata_row_index"
+  private val readRequired =
+    if (!needRowIdx) dataRequired
+    else StructType(dataRequired.fields :+
+      org.apache.spark.sql.types.StructField(RowIdxCol,
+        org.apache.spark.sql.types.LongType, nullable = true))
+  private val readPhys =
+    if (!needRowIdx) dataPhys else dataPhys :+ RowIdxCol
+
   private val vr = SnapshotVectorized.open(
-    partition.uri, dataRequired, dataPhys, confEntries,
-    partition.start, partition.length,
-    // belt and braces with the planner's gate: a DV'd file never
-    // row-group-filters (ordinal shift would delete the wrong rows)
-    if (partition.dvB64.isEmpty) partition.rg
-    else Array.empty[graft.engine.RowGroupFilters.RgF])
+    partition.uri, readRequired, readPhys, confEntries,
+    partition.start, partition.length, partition.rg)
   private val dv = partition.dvB64.map(SnapshotVectorized.decodeDv)
   private var rowIdx: Long = -1L
+  private val stripIdx =
+    if (!needRowIdx) null
+    else org.apache.spark.sql.catalyst.ProjectingInternalRow(
+      dataRequired, 0 until dataRequired.length)
+
+  private def ordinal(): Long =
+    if (needRowIdx)
+      vr.getCurrentValue.asInstanceOf[InternalRow].getLong(dataRequired.length)
+    else rowIdx
 
   override def next(): Boolean = {
     var has = vr.nextKeyValue()
     rowIdx += 1
-    while (has && dv.exists(_.contains(rowIdx))) {
+    while (has && dv.exists(_.contains(ordinal()))) {
       has = vr.nextKeyValue()
       rowIdx += 1
     }
@@ -1527,7 +1568,10 @@ private[streaming] class SnapshotRowReader(
   }
 
   override def get(): InternalRow = {
-    val r = vr.getCurrentValue.asInstanceOf[InternalRow]
+    val raw = vr.getCurrentValue.asInstanceOf[InternalRow]
+    val r =
+      if (stripIdx == null) raw
+      else { stripIdx.project(raw); stripIdx }
     if (joined == null) r else joined.withLeft(r)
   }
   override def close(): Unit = vr.close()

@@ -54,28 +54,28 @@ class ClusteredJoinSpec extends SparkSpec {
       df.select(pmod(hash(col("k")), lit(n)).cast("int")).as[Int].collect().toSeq
     val longs = Seq(0L, 1L, -1L, 42L, Long.MaxValue, Long.MinValue)
     val gotL = longs.map { v =>
-      GraftBucketBound(LongType).produceResult(
+      GraftBucketBound(Seq(LongType)).produceResult(
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](n, v))).intValue
     }
     assert(gotL === sparkSide(longs.toDF("k")))
     val ints = Seq(0, 7, -3, Int.MaxValue, Int.MinValue)
     val gotI = ints.map { v =>
-      GraftBucketBound(IntegerType).produceResult(
+      GraftBucketBound(Seq(IntegerType)).produceResult(
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](n, v))).intValue
     }
     assert(gotI === sparkSide(ints.toDF("k")))
     val strs = Seq("", "a", "doc-123", "ü-multibyte", "a" * 100)
     val gotS = strs.map { v =>
-      GraftBucketBound(StringType).produceResult(
+      GraftBucketBound(Seq(StringType)).produceResult(
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
           Array[Any](n, org.apache.spark.unsafe.types.UTF8String.fromString(v))))
         .intValue
     }
     assert(gotS === sparkSide(strs.toDF("k")))
     // null key: Murmur3Hash of a null child is the seed
-    val gotNull = GraftBucketBound(LongType).produceResult(
+    val gotNull = GraftBucketBound(Seq(LongType)).produceResult(
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](n, null))).intValue
     val sparkNull = spark.sql(s"SELECT CAST(pmod(hash(CAST(NULL AS BIGINT)), $n) AS INT)")
@@ -86,9 +86,9 @@ class ClusteredJoinSpec extends SparkSpec {
   test("clusterBy commit records the spec and lays files out bucket-pure") {
     val root = tmp()
     val df = (1L to 4000L).map(i => (i, s"v$i")).toDF("k", "v")
-    Snapshots.commit(df, root, clusterBy = Some(("k", 8)))
+    Snapshots.commit(df, root, clusterBy = Some((Seq("k"), 8)))
     val m = Snapshots.manifest(spark, root, 1L)
-    assert(m.clustering === Some(Snapshots.Clustering("k", 8)))
+    assert(m.clustering === Some(Snapshots.Clustering(Seq("k"), 8)))
     assert(m.files.nonEmpty && m.files.size <= 8)
     // every file holds ONLY rows of its named bucket
     m.files.foreach { f =>
@@ -100,14 +100,82 @@ class ClusteredJoinSpec extends SparkSpec {
     }
   }
 
+  test("composite-key bucket function matches the writer's chained murmur3 fold") {
+    val n = 16
+    // df.repartition(n, c1, c2) buckets by pmod(hash(c1, c2), n) — the
+    // multi-arg v2 function must reproduce the CHAINED hash exactly
+    val rows = Seq((1L, "a"), (-7L, ""), (42L, "tenant-1"), (0L, "ü"))
+    val sparkSide = rows.toDF("k", "s")
+      .select(pmod(hash(col("k"), col("s")), lit(n)).cast("int")).as[Int].collect().toSeq
+    val got = rows.map { case (k, s) =>
+      GraftBucketBound(Seq(LongType, StringType)).produceResult(
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n, k,
+            org.apache.spark.unsafe.types.UTF8String.fromString(s)))).intValue
+    }
+    assert(got === sparkSide)
+    // a null component leaves the running hash unchanged (Catalyst's rule)
+    val gotNull = GraftBucketBound(Seq(LongType, StringType)).produceResult(
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](n, 5L, null))).intValue
+    val sparkNull = spark.sql(
+      s"SELECT CAST(pmod(hash(CAST(5 AS BIGINT), CAST(NULL AS STRING)), $n) AS INT)")
+      .as[Int].head()
+    assert(gotNull === sparkNull)
+  }
+
+  test("two-column cluster keys join with zero exchanges (composite SPJ)") {
+    withSpj {
+      val lRoot = tmp()
+      val rRoot = tmp()
+      // (tenant, day)-shaped composite key
+      val left = (1 to 6000).map(i =>
+        (s"t${i % 7}", (i % 30).toLong, i.toLong)).toDF("tenant", "day", "a")
+      val right = (1 to 4000).map(i =>
+        (s"t${i % 9}", (i % 30).toLong, (i % 13).toLong)).toDF("tenant2", "day2", "b")
+      Snapshots.commit(left, lRoot, clusterBy = Some((Seq("tenant", "day"), 8)))
+      Snapshots.commit(right, rRoot, clusterBy = Some((Seq("tenant2", "day2"), 8)))
+      val m = Snapshots.manifest(spark, lRoot, 1L)
+      assert(m.clustering === Some(Snapshots.Clustering(Seq("tenant", "day"), 8)),
+        "the composite spec must round-trip the manifest record")
+      // grid-cell purity: every file holds exactly one (bucket(tenant),
+      // bucket(day)) cell, the ids recoverable from its name
+      m.files.foreach { f =>
+        val name = new org.apache.hadoop.fs.Path(f).getName
+        val cell = Snapshots.gridOfFile(name, 2)
+          .getOrElse(fail(s"file $name carries no grid suffix"))
+        val distinct = spark.read.parquet(f)
+          .select(pmod(hash(col("tenant")), lit(8)).cast("int"),
+            pmod(hash(col("day")), lit(8)).cast("int"))
+          .distinct().as[(Int, Int)].collect().toSeq
+        assert(distinct === Seq((cell(0), cell(1))),
+          s"file $name mixes grid cells $distinct")
+      }
+      val l = catalogRead(lRoot)
+      val r = catalogRead(rRoot)
+      val joined = l.join(r,
+        l("tenant") === r("tenant2") && l("day") === r("day2"))
+      val p = plan(joined)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a non-broadcast join:\n$p")
+      assert(!p.contains("Exchange"),
+        s"composite-key co-clustered join must not shuffle either side:\n$p")
+      val got = joined.agg(count(lit(1)), sum($"a" * $"b")).as[(Long, Long)].first()
+      val exp = left.join(right,
+        $"tenant" === $"tenant2" && $"day" === $"day2")
+        .agg(count(lit(1)), sum($"a" * $"b")).as[(Long, Long)].first()
+      assert(got === exp, "composite SPJ must not change the join result")
+    }
+  }
+
   test("co-clustered snapshot tables join with zero exchanges; rows exact") {
     withSpj {
       val lRoot = tmp()
       val rRoot = tmp()
       val left = (1L to 5000L).map(i => (i, i * 2)).toDF("k", "a")
       val right = (2500L to 7500L).map(i => (i, i % 97)).toDF("k2", "b")
-      Snapshots.commit(left, lRoot, clusterBy = Some(("k", 8)))
-      Snapshots.commit(right, rRoot, clusterBy = Some(("k2", 8)))
+      Snapshots.commit(left, lRoot, clusterBy = Some((Seq("k"), 8)))
+      Snapshots.commit(right, rRoot, clusterBy = Some((Seq("k2"), 8)))
       val l = catalogRead(lRoot)
       val r = catalogRead(rRoot)
       val joined = l.join(r, l("k") === r("k2"))
@@ -134,8 +202,8 @@ class ClusteredJoinSpec extends SparkSpec {
         val rRoot = tmp()
         val left = (1L to 2000L).map(i => (i, i)).toDF("k", "a")
         val right = (1L to 2000L).map(i => (i, i * 10)).toDF("k2", "b")
-        Snapshots.commit(left, lRoot, clusterBy = Some(("k", 8)))
-        Snapshots.commit(right, rRoot, clusterBy = Some(("k2", 4)))
+        Snapshots.commit(left, lRoot, clusterBy = Some((Seq("k"), 8)))
+        Snapshots.commit(right, rRoot, clusterBy = Some((Seq("k2"), 4)))
         val l = catalogRead(lRoot)
         val r = catalogRead(rRoot)
         val joined = l.join(r, l("k") === r("k2"))
@@ -159,9 +227,9 @@ class ClusteredJoinSpec extends SparkSpec {
       val lRoot = tmp()
       val rRoot = tmp()
       Snapshots.commit((1L to 2000L).map(i => (i, i)).toDF("k", "a"),
-        lRoot, clusterBy = Some(("k", 8)))
+        lRoot, clusterBy = Some((Seq("k"), 8)))
       Snapshots.commit((1L to 2000L).map(i => (i, i)).toDF("k2", "b"),
-        rRoot, clusterBy = Some(("k2", 6)))
+        rRoot, clusterBy = Some((Seq("k2"), 6)))
       val l = catalogRead(lRoot)
       val r = catalogRead(rRoot)
       val joined = l.join(r, l("k") === r("k2"))
@@ -180,11 +248,11 @@ class ClusteredJoinSpec extends SparkSpec {
           "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
         val root = tmp()
         Snapshots.commit((1L to 3000L).map(i => (i, i)).toDF("k", "a"),
-          root, clusterBy = Some(("k", 16)))
+          root, clusterBy = Some((Seq("k"), 16)))
         // re-cluster at double the bucket count (overwrite commit — the
         // bucket-evolution path; old version stays time-travelable)
         Snapshots.commit(Snapshots.read(spark, root),
-          root, clusterBy = Some(("k", 32)))
+          root, clusterBy = Some((Seq("k"), 32)))
         val now = catalogRead(root)
         val before = spark.sql(s"SELECT k AS k0, a AS a0 FROM graft.`$root` VERSION AS OF 1")
         val joined = now.join(before, $"k" === $"k0")
@@ -205,14 +273,14 @@ class ClusteredJoinSpec extends SparkSpec {
       val rRoot = tmp()
       val left = (1L to 4000L).map(i => (i, i)).toDF("k", "a")
       val right = (1L to 4000L).map(i => (i, i)).toDF("k2", "b")
-      Snapshots.commit(left, lRoot, clusterBy = Some(("k", 8)),
+      Snapshots.commit(left, lRoot, clusterBy = Some((Seq("k"), 8)),
         statsCols = Seq("k"))
-      Snapshots.commit(right, rRoot, clusterBy = Some(("k2", 8)))
+      Snapshots.commit(right, rRoot, clusterBy = Some((Seq("k2"), 8)))
       Snapshots.deleteWhere(spark, lRoot, col("k") <= 1000L)
       val head = Snapshots.headVersion(spark, lRoot)
       val m = Snapshots.manifest(spark, lRoot, head)
       assert(m.dvs.nonEmpty, "the delete must land as vectors")
-      assert(m.clustering === Some(Snapshots.Clustering("k", 8)),
+      assert(m.clustering === Some(Snapshots.Clustering(Seq("k"), 8)),
         "a pure-DV delete must not drop the clustering spec")
       val joined = catalogRead(lRoot).join(catalogRead(rRoot),
         col("k") === col("k2"))
@@ -225,11 +293,11 @@ class ClusteredJoinSpec extends SparkSpec {
   test("rewrites drop the spec (compact); metadata-only commits carry it (rename)") {
     val root = tmp()
     Snapshots.commit((1L to 2000L).map(i => (i, i)).toDF("k", "v"), root,
-      clusterBy = Some(("k", 4)))
+      clusterBy = Some((Seq("k"), 4)))
     Snapshots.renameColumn(spark, root, "k", "key")
     val afterRename = Snapshots.clusteringAt(spark, root,
       Snapshots.headVersion(spark, root))
-    assert(afterRename === Some(Snapshots.Clustering("key", 4)),
+    assert(afterRename === Some(Snapshots.Clustering(Seq("key"), 4)),
       "rename must carry the spec, relabeled to the new logical name")
     Snapshots.compact(spark, root, targetFiles = 2)
     assert(Snapshots.clusteringAt(spark, root,
@@ -242,24 +310,24 @@ class ClusteredJoinSpec extends SparkSpec {
       val root = tmp()
       val rRoot = tmp()
       Snapshots.commit((1L to 1000L).map(i => (i, i)).toDF("k", "a"), root,
-        clusterBy = Some(("k", 8)))
+        clusterBy = Some((Seq("k"), 8)))
       Snapshots.commit((1001L to 2000L).map(i => (i, i)).toDF("k", "a"), root,
-        append = true, clusterBy = Some(("k", 8)))
+        append = true, clusterBy = Some((Seq("k"), 8)))
       val e = intercept[IllegalArgumentException] {
         Snapshots.commit((1L to 10L).map(i => (i, i)).toDF("k", "a"), root,
-          append = true, clusterBy = Some(("k", 4)))
+          append = true, clusterBy = Some((Seq("k"), 4)))
       }
       assert(e.getMessage.contains("clustering"))
       // an UNclustered append drops the spec — conservative-correct
       val dropRoot = tmp()
       Snapshots.commit((1L to 100L).map(i => (i, i)).toDF("k", "a"), dropRoot,
-        clusterBy = Some(("k", 8)))
+        clusterBy = Some((Seq("k"), 8)))
       Snapshots.commit((101L to 200L).map(i => (i, i)).toDF("k", "a"), dropRoot,
         append = true)
       assert(Snapshots.clusteringAt(spark, dropRoot, 2L).isEmpty)
       // the two-commit clustered table still joins exchange-free
       Snapshots.commit((1L to 2000L).map(i => (i, i)).toDF("k2", "b"), rRoot,
-        clusterBy = Some(("k2", 8)))
+        clusterBy = Some((Seq("k2"), 8)))
       val joined = catalogRead(root).join(catalogRead(rRoot),
         col("k") === col("k2"))
       val p = plan(joined)
@@ -274,22 +342,22 @@ class ClusteredJoinSpec extends SparkSpec {
       val root = tmp()
       val rRoot = tmp()
       Snapshots.commit((1L to 1000L).map(i => (i, i)).toDF("k", "a"), root,
-        clusterBy = Some(("k", 4)), statsCols = Seq("k"))
+        clusterBy = Some((Seq("k"), 4)), statsCols = Seq("k"))
       Snapshots.commit((1001L to 2000L).map(i => (i, i)).toDF("k", "a"), root,
-        append = true, clusterBy = Some(("k", 4)), statsCols = Seq("k"))
+        append = true, clusterBy = Some((Seq("k"), 4)), statsCols = Seq("k"))
       Snapshots.commit((2001L to 3000L).map(i => (i, i)).toDF("k", "a"), root,
-        append = true, clusterBy = Some(("k", 4)), statsCols = Seq("k"))
+        append = true, clusterBy = Some((Seq("k"), 4)), statsCols = Seq("k"))
       Snapshots.deleteWhere(spark, root, col("k") <= 100L)
       assert(Snapshots.manifest(spark, root,
         Snapshots.headVersion(spark, root)).files.size > 4)
       Snapshots.compactClustered(spark, root, statsCols = Seq("k"))
       val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
-      assert(m.clustering === Some(Snapshots.Clustering("k", 4)),
+      assert(m.clustering === Some(Snapshots.Clustering(Seq("k"), 4)),
         "bucket-preserving compaction must republish the spec")
       assert(m.files.size <= 4, s"expected ≤4 files, got ${m.files.size}")
       assert(m.dvs.isEmpty, "compaction must materialize deletion vectors")
       Snapshots.commit((1L to 3000L).map(i => (i, i)).toDF("k2", "b"), rRoot,
-        clusterBy = Some(("k2", 4)))
+        clusterBy = Some((Seq("k2"), 4)))
       val joined = catalogRead(root).join(catalogRead(rRoot),
         col("k") === col("k2"))
       val p = plan(joined)
@@ -301,12 +369,12 @@ class ClusteredJoinSpec extends SparkSpec {
   test("compactClustered touches only untidy buckets; tidy ones carry by reference") {
     val root = tmp()
     Snapshots.commit((1L to 4000L).map(i => (i, i)).toDF("k", "v"), root,
-      clusterBy = Some(("k", 16)))
+      clusterBy = Some((Seq("k"), 16)))
     // two hot-key appends land files in a handful of buckets only
     Snapshots.commit(Seq((7L, 70L), (9L, 90L)).toDF("k", "v"), root,
-      append = true, clusterBy = Some(("k", 16)))
+      append = true, clusterBy = Some((Seq("k"), 16)))
     Snapshots.commit(Seq((7L, 71L)).toDF("k", "v"), root,
-      append = true, clusterBy = Some(("k", 16)))
+      append = true, clusterBy = Some((Seq("k"), 16)))
     val before = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
     def bucketsOf(files: Seq[String]) = files.groupBy(u =>
       Snapshots.bucketOfFile(new org.apache.hadoop.fs.Path(u).getName).get)
@@ -322,7 +390,7 @@ class ClusteredJoinSpec extends SparkSpec {
       "single-file buckets must carry by reference, not rewrite")
     assert(bucketsOf(after.files).values.forall(_.size == 1),
       "every bucket must end with exactly one file")
-    assert(after.clustering === Some(Snapshots.Clustering("k", 16)))
+    assert(after.clustering === Some(Snapshots.Clustering(Seq("k"), 16)))
     assert(Snapshots.read(spark, root).count() === 4003L)
     // a tidy table is a true no-op — even when (sparse buckets) the old
     // files<=buckets guard would have been fooled
@@ -334,7 +402,7 @@ class ClusteredJoinSpec extends SparkSpec {
     withSpj {
       val root = tmp()
       Snapshots.commit((1L to 8000L).map(i => (i % 500, i)).toDF("k", "v"), root,
-        clusterBy = Some(("k", 8)))
+        clusterBy = Some((Seq("k"), 8)))
       val agg = catalogRead(root).groupBy("k")
         .agg(count(lit(1)).as("n"), sum($"v").as("s"))
       val p = plan(agg)
@@ -357,7 +425,7 @@ class ClusteredJoinSpec extends SparkSpec {
       // per-bucket files back to one per bucket WITHOUT dropping the spec
       val q = graft.streaming.SnapshotSink.start(
         input.toDF().toDF("k", "a"), root, ckpt,
-        clusterBy = Some(("k", 4)), compactClusteredEvery = 2)
+        clusterBy = Some((Seq("k"), 4)), compactClusteredEvery = 2)
       try {
         input.addData((1L to 1000L).map(i => (i, i)): _*)
         q.processAllAvailable()
@@ -365,12 +433,12 @@ class ClusteredJoinSpec extends SparkSpec {
         q.processAllAvailable()
       } finally q.stop()
       val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
-      assert(m.clustering === Some(Snapshots.Clustering("k", 4)),
+      assert(m.clustering === Some(Snapshots.Clustering(Seq("k"), 4)),
         "every trigger and the maintenance pass must keep the spec")
       assert(m.files.size <= 4,
         s"compactClustered must fold trigger files to one per bucket, got ${m.files.size}")
       Snapshots.commit((1L to 2000L).map(i => (i, i % 7)).toDF("k2", "b"), rRoot,
-        clusterBy = Some(("k2", 4)))
+        clusterBy = Some((Seq("k2"), 4)))
       val joined = catalogRead(root).join(catalogRead(rRoot), col("k") === col("k2"))
       val p = plan(joined)
       assert(!p.contains("Exchange"),
@@ -385,7 +453,7 @@ class ClusteredJoinSpec extends SparkSpec {
     val ckpt = Files.createTempDirectory("clusteredrace").toString
     val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long)]
     val q = graft.streaming.SnapshotSink.start(
-      input.toDF().toDF("k", "a"), root, ckpt, clusterBy = Some(("k", 4)))
+      input.toDF().toDF("k", "a"), root, ckpt, clusterBy = Some((Seq("k"), 4)))
     try {
       input.addData((1L, 1L))
       q.processAllAvailable()
@@ -411,10 +479,10 @@ class ClusteredJoinSpec extends SparkSpec {
       val rRoot = tmp()
       val left = (1L to 5000L).map(i => (i, i * 2)).toDF("k", "a")
       val right = (2500L to 7500L).map(i => (i, i % 97)).toDF("k2", "b")
-      Snapshots.commit(left, lRoot, clusterBy = Some(("k", 8)), clusterSorted = true)
-      Snapshots.commit(right, rRoot, clusterBy = Some(("k2", 8)), clusterSorted = true)
+      Snapshots.commit(left, lRoot, clusterBy = Some((Seq("k"), 8)), clusterSorted = true)
+      Snapshots.commit(right, rRoot, clusterBy = Some((Seq("k2"), 8)), clusterSorted = true)
       assert(Snapshots.clusteringAt(spark, lRoot, 1L) ===
-        Some(Snapshots.Clustering("k", 8, sorted = true)),
+        Some(Snapshots.Clustering(Seq("k"), 8, sorted = true)),
         "the sorted flag must round-trip through the manifest json")
       // every file's rows ascend on the key (the invariant the report asserts)
       Snapshots.manifest(spark, lRoot, 1L).files.foreach { f =>
@@ -434,8 +502,8 @@ class ClusteredJoinSpec extends SparkSpec {
       // UNsorted clustering pins the contrast: exchange-free but re-sorted
       val uRoot = tmp()
       val vRoot = tmp()
-      Snapshots.commit(left, uRoot, clusterBy = Some(("k", 8)))
-      Snapshots.commit(right, vRoot, clusterBy = Some(("k2", 8)))
+      Snapshots.commit(left, uRoot, clusterBy = Some((Seq("k"), 8)))
+      Snapshots.commit(right, vRoot, clusterBy = Some((Seq("k2"), 8)))
       val p2 = plan(catalogRead(uRoot).join(catalogRead(vRoot), col("k") === col("k2")))
       assert(!p2.contains("Exchange") &&
         """\(\d+\) Sort\b""".r.findFirstIn(p2).isDefined,
@@ -448,17 +516,17 @@ class ClusteredJoinSpec extends SparkSpec {
       val root = tmp()
       val rRoot = tmp()
       Snapshots.commit((1L to 1000L).map(i => (i, i)).toDF("k", "a"), root,
-        clusterBy = Some(("k", 4)), clusterSorted = true)
+        clusterBy = Some((Seq("k"), 4)), clusterSorted = true)
       Snapshots.commit((1001L to 2000L).map(i => (i, i)).toDF("k", "a"), root,
-        append = true, clusterBy = Some(("k", 4)), clusterSorted = true)
+        append = true, clusterBy = Some((Seq("k"), 4)), clusterSorted = true)
       // an append with a different sortedness is a different spec: refused
       val e = intercept[IllegalArgumentException] {
         Snapshots.commit((1L to 10L).map(i => (i, i)).toDF("k", "a"), root,
-          append = true, clusterBy = Some(("k", 4)))
+          append = true, clusterBy = Some((Seq("k"), 4)))
       }
       assert(e.getMessage.contains("clustering"))
       Snapshots.commit((1L to 2000L).map(i => (i, i)).toDF("k2", "b"), rRoot,
-        clusterBy = Some(("k2", 4)), clusterSorted = true)
+        clusterBy = Some((Seq("k2"), 4)), clusterSorted = true)
       // two sorted files per bucket: their concatenation is NOT sorted —
       // the report must withdraw (Sorts appear) while SPJ holds
       val before = plan(catalogRead(root).join(catalogRead(rRoot),
@@ -471,7 +539,7 @@ class ClusteredJoinSpec extends SparkSpec {
       Snapshots.compactClustered(spark, root)
       assert(Snapshots.clusteringAt(spark, root,
         Snapshots.headVersion(spark, root)) ===
-        Some(Snapshots.Clustering("k", 4, sorted = true)))
+        Some(Snapshots.Clustering(Seq("k"), 4, sorted = true)))
       val joined = catalogRead(root).join(catalogRead(rRoot), col("k") === col("k2"))
       val after = plan(joined)
       assert(!after.contains("Exchange") &&
@@ -491,13 +559,13 @@ class ClusteredJoinSpec extends SparkSpec {
           "PARTITIONED BY (bucket(4, k))")
       assert(Snapshots.headVersion(spark, root) === 1L)
       assert(Snapshots.clusteringAt(spark, root, 1L) ===
-        Some(Snapshots.Clustering("k", 4)))
+        Some(Snapshots.Clustering(Seq("k"), 4)))
       assert(spark.table(s"graft.`$root`").count() === 0L)
       // INSERT INTO inherits the clustering — the table stays SPJ-ready
       spark.sql(s"INSERT INTO graft.`$root` " +
         "SELECT id AS k, id * 2 AS v FROM range(1, 2001)")
       assert(Snapshots.clusteringAt(spark, root, 2L) ===
-        Some(Snapshots.Clustering("k", 4)),
+        Some(Snapshots.Clustering(Seq("k"), 4)),
         "a SQL insert must not declassify a clustered table")
       // CTAS stages atomically: the SELECT's write IS v1
       spark.sql(
@@ -505,7 +573,7 @@ class ClusteredJoinSpec extends SparkSpec {
           "SELECT id AS k2, id % 7 AS b FROM range(1, 2001)")
       assert(Snapshots.headVersion(spark, rRoot) === 1L)
       assert(Snapshots.clusteringAt(spark, rRoot, 1L) ===
-        Some(Snapshots.Clustering("k2", 4)))
+        Some(Snapshots.Clustering(Seq("k2"), 4)))
       // creating over an existing table refuses
       intercept[Exception] {
         spark.sql(s"CREATE TABLE graft.`$root` (x BIGINT)")
@@ -540,8 +608,8 @@ class ClusteredJoinSpec extends SparkSpec {
         val fact = (1L to 5000L).map(i =>
           (if (i % 5 != 0) 7L else i, i)).toDF("k", "a")
         val dim = (1L to 1000L).map(i => (i, i * 10)).toDF("k2", "b")
-        Snapshots.commit(fact, lRoot, clusterBy = Some(("k", 8)))
-        Snapshots.commit(dim, rRoot, clusterBy = Some(("k2", 8)))
+        Snapshots.commit(fact, lRoot, clusterBy = Some((Seq("k"), 8)))
+        Snapshots.commit(dim, rRoot, clusterBy = Some((Seq("k2"), 8)))
         val joined = catalogRead(lRoot).join(catalogRead(rRoot),
           col("k") === col("k2"))
         val p = plan(joined)
@@ -564,7 +632,7 @@ class ClusteredJoinSpec extends SparkSpec {
         spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
         val root = tmp()
         Snapshots.commit((1L to 4000L).map(i => (i, i * 3)).toDF("k", "a"), root,
-          clusterBy = Some(("k", 8)))
+          clusterBy = Some((Seq("k"), 8)))
         val other = (2000L to 6000L).map(i => (i, i % 13)).toDF("k2", "b")
         val joined = catalogRead(root).join(other, col("k") === col("k2"))
         val p = plan(joined)

@@ -61,7 +61,7 @@ class SqlDmlSpec extends SparkSpec {
   test("unconditioned DELETE and TRUNCATE TABLE are O(1) metadata commits") {
     val root = tmp()
     Snapshots.commit((1L to 500L).map(i => (i, i)).toDF("k", "v"), root,
-      clusterBy = Some(("k", 4)))
+      clusterBy = Some((Seq("k"), 4)))
     spark.sql(s"DELETE FROM graft.`$root`")
     assert(Snapshots.headVersion(spark, root) === 2L)
     val m2 = Snapshots.manifest(spark, root, 2L)
@@ -69,10 +69,10 @@ class SqlDmlSpec extends SparkSpec {
     assert(spark.table(s"graft.`$root`").count() === 0L)
     // schema and clustering survive the truncate; appends re-cluster
     assert(Snapshots.clusteringAt(spark, root, 2L) ===
-      Some(Snapshots.Clustering("k", 4)))
+      Some(Snapshots.Clustering(Seq("k"), 4)))
     spark.sql(s"INSERT INTO graft.`$root` SELECT id, id FROM range(1, 11)")
     assert(Snapshots.clusteringAt(spark, root, 3L) ===
-      Some(Snapshots.Clustering("k", 4)))
+      Some(Snapshots.Clustering(Seq("k"), 4)))
     assert(spark.table(s"graft.`$root`").count() === 10L)
     spark.sql(s"TRUNCATE TABLE graft.`$root`")
     assert(spark.table(s"graft.`$root`").count() === 0L)
@@ -200,7 +200,7 @@ class SqlDmlSpec extends SparkSpec {
     val croot = tmp()
     graft.engine.Snapshots.commit(
       (1 to 50).map(i => (i, s"v$i")).toDF("ck", "v"), croot,
-      clusterBy = Some(("ck", 4)))
+      clusterBy = Some((Seq("ck"), 4)))
     val e2 = intercept[Exception] { Snapshots.widenColumn(spark, croot, "ck",
       org.apache.spark.sql.types.LongType) }
     assert(e2.getMessage.contains("cluster key"))

@@ -20,7 +20,7 @@ class SqlProcedureSpec extends SparkSpec {
   test("history returns one row per retained version with tags and clustering") {
     val root = tmp()
     Snapshots.commit((1L to 100L).map(i => (i, i)).toDF("k", "v"), root,
-      clusterBy = Some(("k", 4)))
+      clusterBy = Some((Seq("k"), 4)))
     Snapshots.commit((101L to 200L).map(i => (i, i)).toDF("k", "v"), root,
       append = true, tag = "batch-2")
     val h = spark.sql(s"CALL graft.system.history('$root')").collect()
