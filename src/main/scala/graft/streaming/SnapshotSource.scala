@@ -1268,9 +1268,12 @@ private[streaming] object SnapshotFilePartition {
     * table still scans with full parallelism instead of one task. The
     * size lookups are bounded by the few-files guard (no per-file RPC
     * storm on a million-file table, where one-task-per-file is already
-    * parallel). DV'd files stay whole: the position skip needs the
-    * file-global row ordinal, which a byte range cannot know without
-    * reading the footer. */
+    * parallel). DV'd files split too (round 16): each range's reader
+    * requests the parquet row-index column, whose per-row-group offset
+    * parquet-mr computes from the FULL footer block list — file-global
+    * ordinals under any split, so the same deletion vector applies to
+    * every range without shift. A heavily-deleted large file is no
+    * longer a single-task straggler. */
   def planned(
       files: Seq[String],
       dvByName: Map[String, String],
@@ -1289,30 +1292,24 @@ private[streaming] object SnapshotFilePartition {
       if (c.cols.size == 1) Snapshots.bucketOfFile(name).toSeq
       else Snapshots.gridOfFile(name, c.cols.size).getOrElse(Nil)
     }
-    // DV'd files row-group-filter too (round 15): their reader requests
-    // Spark's parquet row-index temp column, so every emitted row carries
-    // its exact FILE-GLOBAL ordinal regardless of skipped groups/pages —
-    // the deletion vector applies to true positions, never shifted ones
-    def rgOf(dv: Option[String]): Array[graft.engine.RowGroupFilters.RgF] =
-      rgFilters
     val fewFiles = withDv.size < spark.sparkContext.defaultParallelism * 4
     if (!fewFiles)
       return withDv.map { case (uri, dv) =>
         SnapshotFilePartition(uri, dv, columnar = allFree,
-          key = bucketOf(uri), rg = rgOf(dv)): InputPartition
+          key = bucketOf(uri), rg = rgFilters): InputPartition
       }.toArray
     val maxBytes = org.apache.spark.network.util.JavaUtils.byteStringAsBytes(
       spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
     lazy val fs = new Path(withDv.head._1)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     withDv.flatMap { case (uri, dv) =>
-      val len = if (dv.isEmpty) fs.getFileStatus(new Path(uri)).getLen else -1L
-      if (dv.isDefined || len <= maxBytes)
+      val len = fs.getFileStatus(new Path(uri)).getLen
+      if (len <= maxBytes)
         Seq(SnapshotFilePartition(uri, dv, columnar = allFree,
-          key = bucketOf(uri), rg = rgOf(dv)))
+          key = bucketOf(uri), rg = rgFilters))
       else
         (0L until len by maxBytes).map(off =>
-          SnapshotFilePartition(uri, None, columnar = allFree,
+          SnapshotFilePartition(uri, dv, columnar = allFree,
             start = off, length = math.min(maxBytes, len - off),
             key = bucketOf(uri), rg = rgFilters))
     }.map(p => p: InputPartition).toArray
@@ -1526,13 +1523,17 @@ private[streaming] class SnapshotRowReader(
             new Path(partition.uri).getName))))
     }
 
-  /** DV + row-group pruning need EXACT file-global ordinals: when both
-    * are in play the scan requests Spark's parquet row-index temp column
+  /** The DV needs EXACT file-global ordinals whenever the reader can
+    * skip or start mid-file — row-group/page filters, or a byte-range
+    * split (whose first row is not ordinal 0). In those cases the scan
+    * requests Spark's parquet row-index temp column
     * (`_tmp_metadata_row_index` — string-stable; the vectorized reader's
-    * RowIndexGenerator fills it from page offsets, correct under any
-    * row-group/page skipping) and strips it before emitting. Without
-    * filters the sequential counter stays exact and cheaper. */
-  private val needRowIdx = partition.dvB64.isDefined && partition.rg.nonEmpty
+    * RowIndexGenerator fills it from the row group's file-global
+    * rowIndexOffset, correct under any skipping or split) and strips it
+    * before emitting. A whole-file unfiltered read keeps the cheaper
+    * sequential counter. */
+  private val needRowIdx = partition.dvB64.isDefined &&
+    (partition.rg.nonEmpty || partition.start > 0 || partition.length >= 0)
   private val RowIdxCol = "_tmp_metadata_row_index"
   private val readRequired =
     if (!needRowIdx) dataRequired

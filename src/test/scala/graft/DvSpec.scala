@@ -338,6 +338,42 @@ class DvSpec extends SparkSpec {
       s"point range must skip row groups in the DV'd file (decoded $decoded of 60000)")
   }
 
+  test("a DV'd large file splits into byte ranges: rows exactly once, deletes applied") {
+    val root = tmp()
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    hc.set("parquet.block.size", "65536") // small row groups: sub-splits carry rows
+    try {
+      Snapshots.commit(
+        spark.range(1, 100001).select($"id", md5($"id".cast("string")).as("s"))
+          .repartition(1),
+        root, statsCols = Seq("id"))
+    } finally oldBlock.fold(hc.unset("parquet.block.size"))(
+      hc.set("parquet.block.size", _))
+    assert(Snapshots.manifest(spark, root, 1L).files.size === 1)
+    // deletes spread across the whole file: every byte range hits some
+    Snapshots.deleteWhere(spark, root, col("id") % 10 === 3)
+    val oldMax = spark.conf.getOption("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "262144")
+    try {
+      def dsv2(): org.apache.spark.sql.DataFrame = spark.read
+        .format("graft.streaming.SnapshotSourceProvider").option("root", root).load()
+      val q = dsv2()
+      val parts = q.queryExecution.executedPlan.collect {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+          b.inputPartitions.length
+      }.sum
+      assert(parts > 1, s"a DV'd large file must split into byte ranges, got $parts")
+      // every live row exactly once, every deleted row absent — the
+      // row-index ordinals are file-global in every range
+      assert(ids(q) === (1L to 100000L).filterNot(_ % 10 == 3).toSet)
+      // point reads through the split + row-group-filtered path stay exact
+      assert(ids(dsv2().filter(col("id") === 42L)) === Set(42L))
+      assert(ids(dsv2().filter(col("id") === 43L)) === Set.empty[Long])
+    } finally oldMax.fold(spark.conf.unset("spark.sql.files.maxPartitionBytes"))(
+      spark.conf.set("spark.sql.files.maxPartitionBytes", _))
+  }
+
   test("deleteWhere prunes the probe scan through the stats index") {
     val root = tmp()
     Snapshots.commit(
