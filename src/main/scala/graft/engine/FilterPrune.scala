@@ -63,8 +63,10 @@ private[graft] object FilterPrune {
       Some(DateTimeUtils.instantToMicros(i) / 1e6)
     case (TimestampNTZType, l: java.time.LocalDateTime) =>
       Some(DateTimeUtils.localDateTimeToMicros(l) / 1e6)
+    // NTZ stores wall-clock micros: go through the LOCAL fields, never
+    // fromJavaTimestamp (instant-based — shifts by the JVM zone offset)
     case (TimestampNTZType, t: java.sql.Timestamp) =>
-      Some(DateTimeUtils.fromJavaTimestamp(t) / 1e6)
+      Some(DateTimeUtils.localDateTimeToMicros(t.toLocalDateTime) / 1e6)
     case (_: NumericType, n: Number) => Some(n.doubleValue)
     case _ => None
   }

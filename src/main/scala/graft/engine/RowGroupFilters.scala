@@ -83,7 +83,11 @@ private[graft] object RowGroupFilters {
     // generation with different scale (or FIXED_LEN_BYTE_ARRAY storage)
     // omits. The tag carries the scale.
     case d: DecimalType if d.precision <= 18 => Some(s"dec${d.scale}")
-    case _ => None // wide-decimal/binary/nested: not worth the edge cases
+    // raw binary: parquet's un-annotated BINARY comparator is unsigned
+    // lexicographic, the same order Spark's BinaryType comparisons use —
+    // point/range predicates on content hashes and fingerprint keys
+    case BinaryType => Some("binary")
+    case _ => None // wide-decimal/nested: not worth the edge cases
   }
 
   /** The exact Long of an INTEGRAL box — Byte/Short/Integer/Long only. A
@@ -103,7 +107,7 @@ private[graft] object RowGroupFilters {
   /** Canonical primitive for (type tag, catalyst-external literal), or None
     * when the pair can't be represented exactly. NaN never pushes (parquet
     * footer stats omit NaN, so a NaN literal could wrongly drop groups). */
-  private def canon(tag: String, v: Any): Option[Any] = (tag, v) match {
+  private[graft] def canon(tag: String, v: Any): Option[Any] = (tag, v) match {
     case (_, null) => None
     case ("int", d: java.sql.Date) => Some(DateTimeUtils.fromJavaDate(d))
     case ("int", ld: java.time.LocalDate) => Some(DateTimeUtils.localDateToDays(ld))
@@ -120,7 +124,10 @@ private[graft] object RowGroupFilters {
     case ("ts", t: java.sql.Timestamp) => Some(DateTimeUtils.fromJavaTimestamp(t))
     case ("ts", i: java.time.Instant) => Some(DateTimeUtils.instantToMicros(i))
     case ("tsn", l: java.time.LocalDateTime) => Some(DateTimeUtils.localDateTimeToMicros(l))
-    case ("tsn", t: java.sql.Timestamp) => Some(DateTimeUtils.fromJavaTimestamp(t))
+    // NTZ stores wall-clock micros: go through the LOCAL fields, never
+    // fromJavaTimestamp (instant-based — shifts by the JVM zone offset)
+    case ("tsn", t: java.sql.Timestamp) =>
+      Some(DateTimeUtils.localDateTimeToMicros(t.toLocalDateTime))
     case (dec, b: java.math.BigDecimal) if dec.startsWith("dec") =>
       // exact rescale to the column's scale, then the unscaled long; a
       // literal the scale can't represent exactly (or that overflows 18
@@ -129,6 +136,7 @@ private[graft] object RowGroupFilters {
       catch { case _: ArithmeticException => None }
     case (dec, d: Decimal) if dec.startsWith("dec") =>
       canon(dec, d.toJavaBigDecimal)
+    case ("binary", b: Array[Byte]) => Some(b)
     case _ => None
   }
 
@@ -236,6 +244,9 @@ private[graft] object RowGroupFilters {
           case "boolean" if prim == BOOLEAN => Some("boolean")
           case "string" if prim == BINARY &&
             ann == LogicalTypeAnnotation.stringType() => Some("string")
+          // an ANNOTATED binary (decimal/bson/...) may sort differently:
+          // only the raw un-annotated primitive is unsigned-comparable
+          case "binary" if prim == BINARY && ann == null => Some("binary")
           case "ts" if tsOk(utc = true) => Some("long")
           case "tsn" if tsOk(utc = false) => Some("long")
           case dec if dec.startsWith("dec") &&
@@ -318,6 +329,9 @@ private[graft] object RowGroupFilters {
       case "double" => mk(FilterApi.doubleColumn(phys), v.asInstanceOf[java.lang.Double])
       case "string" => mk(FilterApi.binaryColumn(phys),
         if (v == null) null else Binary.fromString(v.asInstanceOf[String]))
+      case "binary" => mk(FilterApi.binaryColumn(phys),
+        if (v == null) null
+        else Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]]))
       case "boolean" =>
         val c = FilterApi.booleanColumn(phys)
         val b = v.asInstanceOf[java.lang.Boolean]
@@ -341,6 +355,8 @@ private[graft] object RowGroupFilters {
       case "double" => FilterApi.in(FilterApi.doubleColumn(phys), set(_.asInstanceOf[java.lang.Double]))
       case "string" => FilterApi.in(FilterApi.binaryColumn(phys),
         set(v => Binary.fromString(v.asInstanceOf[String])))
+      case "binary" => FilterApi.in(FilterApi.binaryColumn(phys),
+        set(v => Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]])))
       case "boolean" => FilterApi.in(FilterApi.booleanColumn(phys),
         set(_.asInstanceOf[java.lang.Boolean]))
     }

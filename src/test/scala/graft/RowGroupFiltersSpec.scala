@@ -22,7 +22,7 @@ class RowGroupFiltersSpec extends AnyFunSuite {
     StructField("dt", DateType), StructField("dec", DecimalType(5, 2)),
     StructField("wdec", DecimalType(25, 2)),
     StructField("ts", TimestampType), StructField("tsn", TimestampNTZType),
-    StructField("arr", ArrayType(LongType))))
+    StructField("arr", ArrayType(LongType)), StructField("raw", BinaryType)))
 
   private val footer = MessageTypeParser.parseMessageType(
     """message spark_schema {
@@ -196,5 +196,52 @@ class RowGroupFiltersSpec extends AnyFunSuite {
     // AND with one footer-dropped side keeps the other
     val andF = t(And(EqualTo("i", 1), EqualTo("l", 2L)))
     assert(RowGroupFilters.build(andF, noI).isDefined)
+  }
+
+  test("binary point predicates ship against un-annotated BINARY only") {
+    val f = t(EqualTo("raw", Array[Byte](1, 2, 3)))
+    assert(f.length === 1)
+    assert(RowGroupFilters.build(f, footer).isDefined)
+    // range and IN shapes ship too (unsigned comparator on both sides)
+    assert(RowGroupFilters.build(
+      t(GreaterThan("raw", Array[Byte](0x7f.toByte))), footer).isDefined)
+    assert(RowGroupFilters.build(
+      t(In("raw", Array(Array[Byte](1), Array[Byte](2)))), footer).isDefined)
+    // an ANNOTATED binary generation (string/decimal/...) may order
+    // differently — the footer check omits
+    val annotated = MessageTypeParser.parseMessageType(
+      "message s { optional binary raw (STRING); }")
+    assert(RowGroupFilters.build(f, annotated).isEmpty)
+    // and a string predicate never lands on the raw column either way
+    assert(RowGroupFilters.build(t(EqualTo("s", "x")),
+      MessageTypeParser.parseMessageType(
+        "message s { optional binary s; }")).isEmpty)
+  }
+
+  test("NTZ java.sql.Timestamp literals canonicalize by WALL CLOCK, zone-independent") {
+    // Timestamp.valueOf parses the wall clock in the JVM default zone;
+    // an NTZ column stores those same wall-clock micros. The canon must
+    // round-trip through the LOCAL fields — an instant-based conversion
+    // (fromJavaTimestamp) would shift the bound by the zone offset and
+    // prune row groups that hold matching rows.
+    val wall = java.time.LocalDateTime.of(2024, 6, 1, 12, 30, 15)
+    val expect = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .localDateTimeToMicros(wall)
+    val old = java.util.TimeZone.getDefault
+    try {
+      for (z <- Seq("UTC", "America/New_York", "Asia/Tokyo")) {
+        java.util.TimeZone.setDefault(java.util.TimeZone.getTimeZone(z))
+        val ts = java.sql.Timestamp.valueOf("2024-06-01 12:30:15")
+        assert(RowGroupFilters.canon("tsn", ts) === Some(expect),
+          s"NTZ canon must be zone-independent (zone $z)")
+        // the LocalDateTime flavor is the reference arithmetic
+        assert(RowGroupFilters.canon("tsn", wall) === Some(expect))
+        // LTZ ('ts') literals ARE instants: canon stays instant-based and
+        // therefore tracks the zone the wall-clock string was parsed in
+        assert(RowGroupFilters.canon("ts", ts) ===
+          Some(org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJavaTimestamp(ts)))
+      }
+    } finally java.util.TimeZone.setDefault(old)
   }
 }
