@@ -168,9 +168,10 @@ object Snapshots {
     * storage-partitioned-join resolution only accepts single-reference
     * bucket transforms; a joint-hash multi-column transform resolves to a
     * shape EnsureRequirements won't honor). Each data file holds exactly
-    * one grid cell, laid out as `__gb0=<id>/__gb1=<id>/...` partition
-    * directories (ids recovered from the PATH, not the part index), so a
-    * (tenant, day)-keyed fact joins exchange-free on both keys. Grid
+    * one grid cell, encoded as a flat `-g<i>-<j>-...` basename suffix
+    * (ids recovered from the file NAME by [[gridOfFile]], one per cluster
+    * column), so a (tenant, day)-keyed fact joins exchange-free on both
+    * keys. Grid
     * volume is buckets^k files per commit — keep k small and buckets
     * modest (4-32), which is also what makes each cell file large enough
     * to scan well at 100 TB. */
@@ -1160,10 +1161,19 @@ object Snapshots {
     // paid only in the race. Files store physical names; rules speak
     // logical ones.
     val (genNow, rulesNow) = Checks.listWithGen(spark, root)
+    // validate the JOB-REPORTED files for the composite path (writeGridBatch
+    // bypasses the output-commit protocol, so the live dir may also hold a
+    // retried attempt's duplicate or a torn partial — neither is this
+    // batch's content); the native-writer path keeps the directory listing
+    // (its commit protocol already cleaned attempts)
+    val stagedUris =
+      if (compositeCluster) gridWritten
+      else f.listStatus(new Path(dataDir)).toSeq
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath.toString)
     if ((genNow != rulesGen || compositeCluster) && rulesNow.nonEmpty &&
-        f.listStatus(new Path(dataDir)).exists(st =>
-          st.isFile && st.getPath.getName.endsWith(".parquet"))) {
-      val staged0 = spark.read.parquet(dataDir)
+        stagedUris.nonEmpty) {
+      val staged0 = spark.read.parquet(stagedUris: _*)
       val toLogical = toPhys.map(_.swap)
       val staged = staged0.select(staged0.columns.toSeq.map(c =>
         org.apache.spark.sql.functions.col(c).as(toLogical.getOrElse(c, c))): _*)
@@ -1179,11 +1189,7 @@ object Snapshots {
     // failed task attempt's partial file must not enter the manifest (the
     // native writer path gets this from its commit protocol; debris is
     // unreferenced and vacuumable either way)
-    val written =
-      if (compositeCluster) gridWritten.sorted
-      else f.listStatus(new Path(dataDir)).toSeq
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toString).sorted
+    val written = stagedUris.sorted
     // footers first: the scan pass re-reads every byte this commit just
     // wrote — at any scale that DOUBLES commit I/O and costs a Spark job;
     // the footers already carry exact chunk stats for the common key types

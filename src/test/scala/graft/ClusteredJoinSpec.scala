@@ -267,6 +267,48 @@ class ClusteredJoinSpec extends SparkSpec {
     }
   }
 
+  test("a grid-evolved composite table joins its pre-evolution self with zero exchanges") {
+    withSpj {
+      val prevCt = spark.conf.getOption(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
+      try {
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+        val root = tmp()
+        val rows = (1 to 5000).map(i =>
+          (s"t${i % 7}", (i % 30).toLong, i.toLong)).toDF("tenant", "day", "a")
+        Snapshots.commit(rows, root, clusterBy = Some((Seq("tenant", "day"), 4)))
+        // re-cluster the grid at double the per-dimension bucket count
+        // (overwrite commit); each dimension's bucket(8) reduces to the
+        // old generation's bucket(4), so the join needs no exchange
+        Snapshots.commit(Snapshots.read(spark, root), root,
+          clusterBy = Some((Seq("tenant", "day"), 8)))
+        assert(Snapshots.clusteringAt(spark, root,
+          Snapshots.headVersion(spark, root)) ===
+          Some(Snapshots.Clustering(Seq("tenant", "day"), 8)))
+        val now = catalogRead(root)
+        val before = spark.sql(
+          s"SELECT tenant AS t0, day AS d0, a AS a0 FROM graft.`$root` VERSION AS OF 1")
+        val joined = now.join(before, $"tenant" === $"t0" && $"day" === $"d0")
+        val p = plan(joined)
+        assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+          s"expected a non-broadcast join:\n$p")
+        assert(!p.contains("Exchange"),
+          s"(4,4)-vs-(8,8) grid generations must join exchange-free:\n$p")
+        // rows join themselves exactly: same key-mates pre and post
+        val got = joined.agg(count(lit(1)), sum($"a" * $"a0")).as[(Long, Long)].first()
+        val exp = rows.join(
+          rows.select($"tenant".as("t0"), $"day".as("d0"), $"a".as("a0")),
+          $"tenant" === $"t0" && $"day" === $"d0")
+          .agg(count(lit(1)), sum($"a" * $"a0")).as[(Long, Long)].first()
+        assert(got === exp, "grid evolution must not change the join result")
+      } finally prevCt.fold(spark.conf.unset(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled"))(
+        spark.conf.set(
+          "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", _))
+    }
+  }
+
   test("a DV delete preserves clustering; the join stays exchange-free and DV-exact") {
     withSpj {
       val lRoot = tmp()
