@@ -12,21 +12,50 @@ object Bench {
       .filter(_.nonEmpty)
     // fingerprint the source FIRST — it must describe the code this run
     // measures, not whatever sits on disk when the run finishes (an
-    // edit landing mid-run would otherwise mislabel the artifact)
-    val srcFingerprint: String = {
-      val md = java.security.MessageDigest.getInstance("SHA-256")
+    // edit landing mid-run would otherwise mislabel the artifact).
+    // Two granularities (round-15 verdict #3): the whole-tree hash is
+    // provenance; the min fold below keys on PER-QUERY fingerprints —
+    // hash(engine tree + the graft/queries files whose text holds the
+    // query's name literal) — so a commit touching one query file (or
+    // only tests/docs/this harness) no longer orphans every other
+    // query's floor and noise regressions stop entering the artifact.
+    val (srcFingerprint, queryFp): (String, String => String) = {
+      import scala.jdk.CollectionConverters._
+      def sha(parts: Seq[Array[Byte]]): String = {
+        val md = java.security.MessageDigest.getInstance("SHA-256")
+        parts.foreach(md.update)
+        md.digest().take(8).map(b => f"$b%02x").mkString
+      }
       val srcRoot = java.nio.file.Paths.get("src/main/scala")
-      if (java.nio.file.Files.isDirectory(srcRoot)) {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(srcRoot).iterator().asScala
+      if (!java.nio.file.Files.isDirectory(srcRoot)) ("nosrc", (_: String) => "nosrc")
+      else {
+        val files = java.nio.file.Files.walk(srcRoot).iterator().asScala
           .filter(p => java.nio.file.Files.isRegularFile(p))
           .toSeq.sortBy(_.toString)
-          .foreach { p =>
-            md.update(p.toString.getBytes("UTF-8"))
-            md.update(java.nio.file.Files.readAllBytes(p))
-          }
+          .map(p => p.toString.replace('\\', '/') ->
+            java.nio.file.Files.readAllBytes(p))
+        def hashOf(fs: Seq[(String, Array[Byte])]): String =
+          sha(fs.flatMap { case (p, b) => Seq(p.getBytes("UTF-8"), b) })
+        val whole = hashOf(files)
+        val isQueryFile = (p: String) => p.contains("/graft/queries/")
+        // the measurement harness itself is NOT part of what a query
+        // floor measures — a fold-logic or profile-schema edit here must
+        // not invalidate engine floors (methodology changes that alter
+        // the timed region should bump the name of this exclusion list)
+        val isHarness = (p: String) =>
+          p.endsWith("/graft/Bench.scala") || p.endsWith("/graft/Verify.scala")
+        val engineHash = hashOf(files.filterNot { case (p, _) =>
+          isQueryFile(p) || isHarness(p) })
+        val qFiles = files.filter { case (p, _) => isQueryFile(p) }
+          .map { case (p, b) => (p, b, new String(b, "UTF-8")) }
+        val fp = (name: String) => {
+          val owning = qFiles.filter(_._3.contains("\"" + name + "\""))
+          if (owning.isEmpty) whole // unlocatable: the conservative old key
+          else sha(engineHash.getBytes("UTF-8") +: name.getBytes("UTF-8") +:
+            owning.flatMap { case (p, b, _) => Seq(p.getBytes("UTF-8"), b) })
+        }
+        (whole, fp)
       }
-      md.digest().take(8).map(b => f"$b%02x").mkString
     }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -79,17 +108,18 @@ object Bench {
       def snap: (Long, Long, Long) = (in.get, sr.get, sw.get)
     }
     spark.sparkContext.addSparkListener(io)
-    // Native-scan input attribution (round-15 verdict #3): Spark 4's
-    // vectorized parquet reader bypasses the Hadoop FS statistics that feed
-    // task inputMetrics (measured: a full 11 MB lineitem count reports
-    // ~17 KB), so 119/137 profile rows read input_mb:0 while DSv2 scans
-    // (whose readers open through counted streams) report real bytes. Sweep
-    // every successful query execution's plan for FileSourceScanExec
-    // "filesSize" (size of files read, POST partition/file pruning) and
-    // take the per-query max(measured delta, planned sweep) — DSv2 keeps
-    // its measured truth, native scans get their planned-bytes truth, and
-    // manifest-answered queries stay provably ~0.
-    val planIn = new java.util.concurrent.atomic.AtomicLong
+    // Native-scan input attribution (round-15 verdict #3, tightened per
+    // round-16 advice): Spark 4's vectorized parquet reader bypasses the
+    // Hadoop FS statistics that feed task inputMetrics (measured: a full
+    // 11 MB lineitem count reports ~17 KB), so native scans need a
+    // plan-derived figure while DSv2 scans (whose readers open through
+    // counted streams) report real measured bytes. The sweep reads ONLY
+    // the benched query's own final execution — not every QueryExecution
+    // on the listener bus — so in-query setup reads and repeated
+    // executions no longer inflate input_mb, and a row-group-pruned DSv2
+    // scan keeps its measured (decoded) truth. filesSize is post
+    // file-pruning but pre row-group-pruning and pre column-projection:
+    // a native-scan row is an upper bound on bytes touched, by design.
     def scanBytes(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         scanBytes(a.executedPlan)
@@ -97,30 +127,22 @@ object Bench {
         scanBytes(s.plan)
       case f: org.apache.spark.sql.execution.FileSourceScanExec =>
         f.metrics.get("filesSize").map(_.value).getOrElse(0L)
-      case other => other.children.map(scanBytes).sum
+      case other =>
+        // scalar/dynamic subqueries hold their own scans (DPP probes,
+        // scalar aggregates) — they are part of this query's input
+        (other.subqueries ++ other.children).map(scanBytes).sum
     }
-    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-        try planIn.addAndGet(scanBytes(qe.executedPlan))
-        catch { case NonFatal(_) => () } // diagnostics must never fail a run
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, e: Exception): Unit = ()
-    })
     // counters must hold still for TWO consecutive checks (200 ms) and the
     // tail cap is 5 s: async stage-completion events from a long query can
     // otherwise smear its input_mb into the next query's delta (observed as
     // q03 input_mb:0 in subset runs). Fast queries still exit in ~200 ms.
-    // The planned-bytes sweep rides the same quiescence (QueryExecution
-    // listeners post on the same async bus).
-    def quiesce(): (Long, Long, Long, Long) = {
-      def snap = { val (a, b, c) = io.snap; (a, b, c, planIn.get) }
-      var prev = snap
+    def quiesce(): (Long, Long, Long) = {
+      var prev = io.snap
       var stable = 0
       var i = 0
       while (i < 50 && stable < 2) {
         Thread.sleep(100)
-        val cur = snap
+        val cur = io.snap
         if (cur == prev) stable += 1 else { stable = 0; prev = cur }
         i += 1
       }
@@ -150,25 +172,36 @@ object Bench {
     case class Attempt(startEpoch: Double, sec: Double, err: Option[String],
                        gcSec: Double, heapMb: Long, inMb: Long, srMb: Long, swMb: Long)
     def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Attempt = {
-      val (in0, sr0, sw0, pl0) = quiesce()
+      val (in0, sr0, sw0) = quiesce()
       resetPeaks()
       val gc0 = gcMillis
       val startEpoch = System.currentTimeMillis() / 1e3
       val t0 = System.nanoTime()
+      // count through a handle we keep: cd.queryExecution IS the executed
+      // final plan, the one whose scan metrics attribute this query
+      var finalQe: org.apache.spark.sql.execution.QueryExecution = null
       val err =
-        try { fn(spark, sfDir).count(); None }
+        try {
+          val cd = fn(spark, sfDir).groupBy().count()
+          cd.collect()
+          finalQe = cd.queryExecution
+          None
+        }
         catch { case NonFatal(e) =>
           Some(s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
         }
       val sec = (System.nanoTime() - t0) / 1e9
       val gcSec = (gcMillis - gc0) / 1e3
       val heapMb = peakHeapMb
-      val (in1, sr1, sw1, pl1) = quiesce()
+      val (in1, sr1, sw1) = quiesce()
+      val planned = // outside the timed region; diagnostics never fail a run
+        if (finalQe == null) 0L
+        else try scanBytes(finalQe.executedPlan) catch { case NonFatal(_) => 0L }
       spark.catalog.clearCache()
       // measured (DSv2 readers count through FS statistics) vs planned
       // (native scans' post-pruning filesSize): the larger is the honest one
       Attempt(startEpoch, sec, err, gcSec, heapMb,
-        math.max(in1 - in0, pl1 - pl0) >> 20, (sr1 - sr0) >> 20, (sw1 - sw0) >> 20)
+        math.max(in1 - in0, planned) >> 20, (sr1 - sr0) >> 20, (sw1 - sw0) >> 20)
     }
     // pass-major order: pass 1 runs q01..q90, then pass 2 runs q01..q90, ...
     var passes: Seq[Seq[(String, Attempt)]] = (1 to repeats).map { _ =>
@@ -244,11 +277,14 @@ object Bench {
       } catch { case NonFatal(_) => "unknown" }
     // ---- same-code min fold (round-13 verdict #1, the curve's documented
     // min methodology applied to the registry artifact) ------------------
-    // If the profile path already holds a run of the SAME source (fingerprint
-    // match) on the SAME sf, the committed artifact becomes the per-query min
-    // of that run and this one: a later load-inflated run can only confirm or
-    // improve the floors, never overwrite them with noise. Errors are never
-    // hidden — a query whose current best failed keeps its failure.
+    // If the profile path already holds a run of the same sf, each query
+    // whose PER-QUERY fingerprint matches folds to the min of the prior
+    // floor and this run (round-16: the fold used to key on the whole-tree
+    // hash, so any commit orphaned every floor and noise regressions in
+    // untouched files entered the committed artifact). A later
+    // load-inflated run can only confirm or improve a floor, never
+    // overwrite it with noise. Errors are never hidden — a query whose
+    // current best failed keeps its failure.
     val profilePath =
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PROFILE", "BENCH_profile.json"))
     val (priorSecs, priorRuns): (Map[String, Double], Int) =
@@ -256,18 +292,22 @@ object Bench {
       else try {
         val om = new com.fasterxml.jackson.databind.ObjectMapper
         val m = om.readValue(profilePath.toFile, classOf[java.util.Map[String, Object]])
-        val sameCode = String.valueOf(m.get("src_fingerprint")) == srcFingerprint &&
-          String.valueOf(m.get("sf")) == sfDir
-        if (!sameCode) (Map.empty, 0)
+        if (String.valueOf(m.get("sf")) != sfDir) (Map.empty, 0)
         else {
+          val wholeMatch = String.valueOf(m.get("src_fingerprint")) == srcFingerprint
           val qm = m.get("queries").asInstanceOf[java.util.Map[String, Object]].asScala
           // a prior FAILED attempt's sec is not a floor: a fast failure
           // would understate a now-passing query forever (profiles stamp
           // "err" per query since round 15; legacy rows without the field
-          // were all-success artifacts)
+          // were all-success artifacts). A row without "fp" (pre-round-16
+          // artifact) folds only under the old whole-tree rule.
           val secs = qm.flatMap { case (k, v) =>
             val entry = v.asInstanceOf[java.util.Map[String, Object]]
-            if (entry.get("err") != null) None
+            val fpOk = Option(entry.get("fp")) match {
+              case Some(fp) => fp.toString == queryFp(k)
+              case None => wholeMatch
+            }
+            if (entry.get("err") != null || !fpOk) None
             else Option(entry.get("sec")).map(s => k -> s.toString.toDouble)
           }.toMap
           val runs = Option(m.get("folded_runs")).map(_.toString.toInt).getOrElse(1)
@@ -301,7 +341,7 @@ object Bench {
       // visible: slow attempts across many queries share a wall-clock band
       val att = attempts.map(a => s"""[${ms(a.startEpoch)},${ms(a.sec)}]""").mkString("[", ",", "]")
       val errField = best.err.fold("")(e => s""""err":${JsonStr(e)},""")
-      JsonStr(k) + s""":{$errField"sec":${ms(sec)},"run_sec":${ms(best.sec)},"spread":${ms(spread)},"gc_sec":${ms(best.gcSec)},"peak_heap_mb":${best.heapMb},"input_mb":${best.inMb},"shuffle_read_mb":${best.srMb},"shuffle_write_mb":${best.swMb},"attempts":$att}"""
+      JsonStr(k) + s""":{$errField"fp":${JsonStr(queryFp(k))},"sec":${ms(sec)},"run_sec":${ms(best.sec)},"spread":${ms(spread)},"gc_sec":${ms(best.gcSec)},"peak_heap_mb":${best.heapMb},"input_mb":${best.inMb},"shuffle_read_mb":${best.srMb},"shuffle_write_mb":${best.swMb},"attempts":$att}"""
     }.mkString("{", ",", "}")
     java.nio.file.Files.writeString(profilePath,
       s"""{"sf":"$sfDir","best_of":${repeats + extra},"interleaved":true,"head":${JsonStr(gitHead)},"src_fingerprint":${JsonStr(srcFingerprint)},"folded_runs":${priorRuns + 1}$bandJson,"total_sec":${ms(total)},"total_gc_sec":${ms(gcTotal)},"queries":$profile}""")
