@@ -2486,6 +2486,50 @@ object Lake {
       }
     },
 
+    // ---- q141: DV'D SCAN STAYS COLUMNAR — a merge-on-read delete lands
+    //            as deletion vectors (data files byte-untouched, required
+    //            in-query), and the subsequent aggregation scan must KEEP
+    //            the columnar/whole-stage-codegen path (required in-plan:
+    //            ColumnarToRow above the scan) — round 16's filtered
+    //            columnar batches. The 100 TB point: one delete on a
+    //            million-file table must not downgrade every DV-free
+    //            neighbor to row-wise iteration. Result hash-matches
+    //            DuckDB's post-delete aggregate. ----
+    OracleQuery(
+      "q141_dv_columnar",
+      s"""SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_k
+        |FROM orders
+        |WHERE o_orderkey % 10 <> 3
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_dv"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      Snapshots.commit(
+        Tables(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .repartition(4),
+        root, statsCols = Seq("o_orderkey"))
+      val filesBefore = Snapshots.manifest(spark, root, 1L).files.toSet
+      Snapshots.deleteWhere(spark, root, col("o_orderkey") % 10 === 3)
+      val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+      require(m.dvs.nonEmpty, "the delete must land as vectors (merge-on-read)")
+      require(m.files.toSet == filesBefore,
+        "a vectored delete must not rewrite or add data files")
+      val q = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+      val res = q.groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("o_orderkey")).cast("bigint").as("sum_k"))
+        .orderBy("o_orderpriority")
+      val out = res.localCheckpoint(true)
+      val plan = res.queryExecution.executedPlan.toString
+      require(plan.contains("ColumnarToRow"),
+        s"DV'd scan must stay columnar (filtered batches):\n$plan")
+      out
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO

@@ -894,7 +894,8 @@ private[streaming] class SnapshotScan(
         (pushed ++ dataFilters).toSeq, fullSchema,
         SnapshotSource.physicalNames(root))
     SnapshotFilePartition.planned(finalKept, dvByName, spark,
-      clustered = clustered, rgFilters = rg)
+      clustered = clustered, rgFilters = rg,
+      dvColumnar = SnapshotFilePartition.dvCopyable(required))
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1055,7 +1056,8 @@ private[streaming] class SnapshotMicroBatchStream(
     // per-added-file vector as of toV (a delete landing in the same span
     // marks rows that never net-arrived — the reader skips them)
     val dvByName = mTo.dvs.map(d => d.file -> d.b64).toMap
-    SnapshotFilePartition.planned(added, dvByName, spark)
+    SnapshotFilePartition.planned(added, dvByName, spark,
+      dvColumnar = SnapshotFilePartition.dvCopyable(required))
   }
 
   /** Span contains a commit the append-only tail cannot represent; the
@@ -1238,7 +1240,9 @@ private[streaming] case class SnapshotFilePartition(
       * ([[graft.engine.RowGroupFilters]]). Stamped at partition PLANNING —
       * which runs again AFTER runtime filters arrive — never on the reader
       * factory, which Spark builds at plan time (its `supportsColumnar`
-      * probe) before any DPP set exists. Empty on DV'd files. */
+      * probe) before any DPP set exists. DV'd files filter too: their
+      * readers recover exact file-global ordinals via the parquet
+      * row-index column. */
     rg: Array[graft.engine.RowGroupFilters.RgF] = Array.empty)
   extends InputPartition with HasPartitionKey {
 
@@ -1279,10 +1283,14 @@ private[streaming] object SnapshotFilePartition {
       dvByName: Map[String, String],
       spark: SparkSession,
       clustered: Option[Snapshots.Clustering] = None,
-      rgFilters: Array[graft.engine.RowGroupFilters.RgF] =
-        Array.empty): Array[InputPartition] = {
+      rgFilters: Array[graft.engine.RowGroupFilters.RgF] = Array.empty,
+      dvColumnar: Boolean = false): Array[InputPartition] = {
     val withDv = files.sorted.map(uri => uri -> dvByName.get(new Path(uri).getName))
-    val allFree = withDv.forall(_._2.isEmpty)
+    // columnar whenever possible (round 16): DV'd files serve FILTERED
+    // columnar batches when the schema is flat-copyable (`dvColumnar`),
+    // so one deletion vector on a million-file table no longer drops
+    // every DV-free neighbor out of whole-stage codegen
+    val allFree = withDv.forall(_._2.isEmpty) || dvColumnar
     // under a reported KeyGroupedPartitioning every partition carries its
     // file's key — bucket id or grid-cell tuple (validated recoverable by
     // the scan); byte-ranges of one file share its key — Spark's partition
@@ -1314,6 +1322,20 @@ private[streaming] object SnapshotFilePartition {
             key = bucketOf(uri), rg = rgFilters))
     }.map(p => p: InputPartition).toArray
   }
+
+  /** Whether a DV'd file can be served COLUMNAR under `schema`: every
+    * column must copy cleanly into a writable vector when a batch needs
+    * survivor filtering (flat types only — nested arrays/maps/structs
+    * fall back to the batch-uniform row path). The synthesized `_file`
+    * column is a per-batch constant, always fine. */
+  def dvCopyable(schema: StructType): Boolean = schema.fields.forall(f =>
+    f.name == SnapshotSource.FileCol || (f.dataType match {
+      case BooleanType | ByteType | ShortType | IntegerType | DateType |
+           LongType | TimestampType | TimestampNTZType | FloatType |
+           DoubleType | StringType | BinaryType => true
+      case _: DecimalType => true
+      case _ => false
+    }))
 }
 
 /** Executor-side decode through Spark's OWN vectorized parquet reader
@@ -1326,9 +1348,12 @@ private[streaming] object SnapshotFilePartition {
   * (`supportColumnarReads`), so a snapshot scan enters whole-stage
   * codegen exactly like a native parquet scan. A file WITH a deletion
   * vector needs per-row position filtering — OSS `ColumnarBatch` has no
-  * selection vector — so a batch containing one iterates the SAME
-  * vectorized batches row-wise, skipping deleted ordinals (the
-  * columnar/row choice is stamped batch-uniform at planning time in
+  * selection vector — so a DV'd file serves FILTERED columnar batches
+  * ([[SnapshotDvBatchReader]]: zero-copy when the batch's ordinal range
+  * holds no deletes, survivor copy-out otherwise) when every column is
+  * flat-copyable, and falls back to row-wise iteration of the same
+  * vectorized batches for nested schemas (the columnar/row choice is
+  * stamped batch-uniform at planning time in
   * [[SnapshotFilePartition.planned]]; Spark refuses mixed scans).
   * Correctness never depends on which path ran. */
 private[streaming] case class SnapshotReaderFactory(
@@ -1350,8 +1375,8 @@ private[streaming] case class SnapshotReaderFactory(
 
   override def createColumnarReader(partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[SnapshotFilePartition]
-    require(p.dvB64.isEmpty, s"columnar read planned for DV'd file ${p.uri}")
-    new SnapshotBatchReader(p, required, physNames, confEntries)
+    if (p.dvB64.isEmpty) new SnapshotBatchReader(p, required, physNames, confEntries)
+    else new SnapshotDvBatchReader(p, required, physNames, confEntries)
   }
 }
 
@@ -1489,6 +1514,154 @@ private[streaming] class SnapshotBatchReader(
     new ColumnarBatch(cols, b.numRows)
   }
   override def close(): Unit = vr.close()
+}
+
+/** Columnar path for DV'd files (round 16): the SAME vectorized decode,
+  * served as FILTERED columnar batches — so one deletion vector no longer
+  * drops a whole scan (including every DV-free neighbor file) out of
+  * whole-stage codegen. Two regimes per batch:
+  *  - no deleted ordinal falls inside the batch's range (the common case
+  *    for a lightly-deleted file — two bitmap ranks decide): serve the
+  *    decoded batch ZERO-COPY;
+  *  - otherwise copy the survivors into reused writable vectors (flat
+  *    types only — [[SnapshotFilePartition.dvCopyable]] gates planning,
+  *    nested schemas keep the row path).
+  * Ordinals are file-global: the parquet row-index column whenever the
+  * read can skip or start mid-file, else a sequential counter — the same
+  * contract as [[SnapshotRowReader]]. */
+private[streaming] class SnapshotDvBatchReader(
+    partition: SnapshotFilePartition,
+    required: StructType,
+    physNames: Array[String],
+    confEntries: Array[(String, String)])
+  extends PartitionReader[ColumnarBatch] {
+
+  import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
+  import org.apache.spark.sql.vectorized.ColumnVector
+
+  private val fileIdx = required.fieldNames.indexOf(SnapshotSource.FileCol)
+  private val dataRequired =
+    if (fileIdx < 0) required
+    else StructType(required.fields.filterNot(_.name == SnapshotSource.FileCol))
+  private val dataPhys =
+    if (fileIdx < 0) physNames
+    else required.fields.zip(physNames)
+      .filterNot(_._1.name == SnapshotSource.FileCol).map(_._2)
+  private val baseName =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      new Path(partition.uri).getName)
+
+  private val needRowIdx =
+    partition.rg.nonEmpty || partition.start > 0 || partition.length >= 0
+  private val RowIdxCol = "_tmp_metadata_row_index"
+  private val readRequired =
+    if (!needRowIdx) dataRequired
+    else StructType(dataRequired.fields :+
+      StructField(RowIdxCol, LongType, nullable = true))
+  private val readPhys =
+    if (!needRowIdx) dataPhys else dataPhys :+ RowIdxCol
+
+  private val vr = SnapshotVectorized.open(
+    partition.uri, readRequired, readPhys, confEntries,
+    partition.start, partition.length, partition.rg)
+  vr.enableReturningBatches()
+  private val dv = SnapshotVectorized.decodeDv(partition.dvB64.get)
+  private var base = 0L // sequential file ordinal when !needRowIdx
+  private var current: ColumnarBatch = null
+
+  // survivor copy-out vectors and index scratch, reused across batches
+  private var out: Array[WritableColumnVector] = null
+  private var selIdx: Array[Int] = new Array[Int](0)
+
+  private def withFile(cols: Array[ColumnVector], n: Int): ColumnarBatch = {
+    if (fileIdx < 0) return new ColumnarBatch(cols, n)
+    require(fileIdx == dataRequired.length,
+      s"_file must be the scan's last column, got position $fileIdx")
+    val cv = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
+      n, StringType)
+    cv.setUtf8String(baseName)
+    new ColumnarBatch(cols :+ (cv: ColumnVector), n)
+  }
+
+  override def next(): Boolean = {
+    if (!vr.nextKeyValue()) return false
+    val b = vr.getCurrentValue.asInstanceOf[ColumnarBatch]
+    val n = b.numRows
+    val base0 = base // this batch's first sequential ordinal
+    def ordOf(i: Int): Long =
+      if (needRowIdx) b.column(dataRequired.length).getLong(i) else base0 + i
+    val (first, last) = if (n == 0) (0L, -1L) else (ordOf(0), ordOf(n - 1))
+    if (!needRowIdx) base += n
+    // two ranks answer "any deleted ordinal in [first, last]?" — ordinals
+    // are non-negative, so rank(first-1) is safe except at 0
+    val deletedInRange =
+      if (n == 0) 0L
+      else dv.rankLong(last) - (if (first == 0L) 0L else dv.rankLong(first - 1L))
+    val dataCols = Array.tabulate[ColumnVector](dataRequired.length)(b.column)
+    current =
+      if (deletedInRange == 0L) withFile(dataCols, n) // zero-copy
+      else {
+        if (selIdx.length < n) selIdx = new Array[Int](n)
+        var m = 0
+        var i = 0
+        while (i < n) {
+          if (!dv.contains(ordOf(i))) { selIdx(m) = i; m += 1 }
+          i += 1
+        }
+        if (out == null)
+          out = dataRequired.fields.map(f =>
+            new OnHeapColumnVector(math.max(n, 4096), f.dataType): WritableColumnVector)
+        var j = 0
+        while (j < out.length) {
+          out(j).reset()
+          out(j).reserve(n)
+          copyCol(dataCols(j), out(j), dataRequired.fields(j).dataType, m)
+          j += 1
+        }
+        withFile(out.map(v => v: ColumnVector), m)
+      }
+    true
+  }
+
+  /** Copy `m` survivor rows (indices in `selIdx`) of one column. Types
+    * outside this dispatch never reach the columnar DV path — planning
+    * gates on [[SnapshotFilePartition.dvCopyable]]. */
+  private def copyCol(src: ColumnVector, dst: WritableColumnVector,
+      dt: DataType, m: Int): Unit = {
+    var k = 0
+    dt match {
+      case BooleanType => while (k < m) { val i = selIdx(k)
+        if (src.isNullAt(i)) dst.putNull(k) else dst.putBoolean(k, src.getBoolean(i)); k += 1 }
+      case ByteType => while (k < m) { val i = selIdx(k)
+        if (src.isNullAt(i)) dst.putNull(k) else dst.putByte(k, src.getByte(i)); k += 1 }
+      case ShortType => while (k < m) { val i = selIdx(k)
+        if (src.isNullAt(i)) dst.putNull(k) else dst.putShort(k, src.getShort(i)); k += 1 }
+      case IntegerType | DateType => while (k < m) { val i = selIdx(k)
+        if (src.isNullAt(i)) dst.putNull(k) else dst.putInt(k, src.getInt(i)); k += 1 }
+      case LongType | TimestampType | TimestampNTZType => while (k < m) { val i = selIdx(k)
+        if (src.isNullAt(i)) dst.putNull(k) else dst.putLong(k, src.getLong(i)); k += 1 }
+      case FloatType => while (k < m) { val i = selIdx(k)
+        if (src.isNullAt(i)) dst.putNull(k) else dst.putFloat(k, src.getFloat(i)); k += 1 }
+      case DoubleType => while (k < m) { val i = selIdx(k)
+        if (src.isNullAt(i)) dst.putNull(k) else dst.putDouble(k, src.getDouble(i)); k += 1 }
+      case StringType => while (k < m) { val i = selIdx(k)
+        if (src.isNullAt(i)) dst.putNull(k)
+        else { val s = src.getUTF8String(i); dst.putByteArray(k, s.getBytes) }; k += 1 }
+      case BinaryType => while (k < m) { val i = selIdx(k)
+        if (src.isNullAt(i)) dst.putNull(k) else dst.putByteArray(k, src.getBinary(i)); k += 1 }
+      case d: DecimalType => while (k < m) { val i = selIdx(k)
+        if (src.isNullAt(i)) dst.putNull(k)
+        else dst.putDecimal(k, src.getDecimal(i, d.precision, d.scale), d.precision); k += 1 }
+      case other => throw new IllegalStateException(
+        s"non-copyable type $other reached the columnar DV path")
+    }
+  }
+
+  override def get(): ColumnarBatch = current
+  override def close(): Unit = {
+    vr.close()
+    if (out != null) out.foreach(_.close())
+  }
 }
 
 /** Row path for DV'd files: the SAME vectorized decode, iterated row-wise

@@ -374,6 +374,49 @@ class DvSpec extends SparkSpec {
       spark.conf.set("spark.sql.files.maxPartitionBytes", _))
   }
 
+  test("a DV'd flat table stays COLUMNAR: filtered batches, every type exact") {
+    val root = tmp()
+    def shaped(df: org.apache.spark.sql.Dataset[java.lang.Long]) = df.select(
+      $"id",
+      ($"id" % 97).cast("int").as("i"),
+      ($"id" % 2 === 0).as("flag"),
+      md5($"id".cast("string")).as("s"),
+      to_binary(md5($"id".cast("string")), lit("hex")).as("bin"),
+      ($"id" * 3).cast("decimal(12,2)").as("dec"),
+      when($"id" % 11 === 0, lit(null)).otherwise($"id".cast("double")).as("d"),
+      timestamp_seconds($"id").as("ts"))
+    Snapshots.commit(shaped(spark.range(0, 20000).as[java.lang.Long]).repartition(2), root,
+      statsCols = Seq("id"))
+    Snapshots.deleteWhere(spark, root, $"id" % 10 === 3)
+    def dsv2(): org.apache.spark.sql.DataFrame = spark.read
+      .format("graft.streaming.SnapshotSourceProvider").option("root", root).load()
+    val q = dsv2()
+    q.collect()
+    // the scan must stay on the columnar path (ColumnarToRow above it),
+    // DV notwithstanding — one delete must not cost the table codegen
+    assert(q.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      s"DV'd flat scan must stay columnar:\n${q.queryExecution.executedPlan}")
+    // survivor copy-out is type-exact for every flat type incl. nulls
+    val expected = shaped(spark.range(0, 20000).as[java.lang.Long]).filter(!($"id" % 10 === 3))
+    assert(q.exceptAll(expected).count() === 0L)
+    assert(expected.exceptAll(dsv2()).count() === 0L)
+    assert(dsv2().count() === 18000L)
+    // nested schemas keep the row path (no columnar copy for arrays) and
+    // stay row-exact
+    val root2 = tmp()
+    Snapshots.commit(
+      spark.range(0, 100).select($"id", array($"id", -$"id").as("arr")), root2)
+    Snapshots.deleteWhere(spark, root2, $"id" < 10)
+    val q2 = spark.read.format("graft.streaming.SnapshotSourceProvider")
+      .option("root", root2).load()
+    q2.collect()
+    assert(!q2.queryExecution.executedPlan.toString.contains("ColumnarToRow"),
+      "a nested DV'd schema must fall back to the row path")
+    assert(ids(q2) === (10L until 100L).toSet)
+    assert(q2.select(expr("arr[1]")).as[Long].collect().toSet ===
+      (10L until 100L).map(-_).toSet)
+  }
+
   test("deleteWhere prunes the probe scan through the stats index") {
     val root = tmp()
     Snapshots.commit(
