@@ -287,12 +287,13 @@ object Bench {
     // current best failed keeps its failure.
     val profilePath =
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PROFILE", "BENCH_profile.json"))
-    val (priorSecs, priorRuns): (Map[String, Double], Int) =
-      if (!java.nio.file.Files.exists(profilePath)) (Map.empty, 0)
+    val (priorSecs, priorRuns, priorEntries): (Map[String, Double], Int,
+        Map[String, java.util.Map[String, Object]]) =
+      if (!java.nio.file.Files.exists(profilePath)) (Map.empty, 0, Map.empty)
       else try {
         val om = new com.fasterxml.jackson.databind.ObjectMapper
         val m = om.readValue(profilePath.toFile, classOf[java.util.Map[String, Object]])
-        if (String.valueOf(m.get("sf")) != sfDir) (Map.empty, 0)
+        if (String.valueOf(m.get("sf")) != sfDir) (Map.empty, 0, Map.empty)
         else {
           val wholeMatch = String.valueOf(m.get("src_fingerprint")) == srcFingerprint
           val qm = m.get("queries").asInstanceOf[java.util.Map[String, Object]].asScala
@@ -310,10 +311,16 @@ object Bench {
             if (entry.get("err") != null || !fpOk) None
             else Option(entry.get("sec")).map(s => k -> s.toString.toDouble)
           }.toMap
-          val runs = Option(m.get("folded_runs")).map(_.toString.toInt).getOrElse(1)
-          (secs, runs)
+          // runs counts artifacts actually folded in: a prior profile
+          // contributing zero floors (every fp orphaned) resets to 0
+          val runs =
+            if (secs.isEmpty) 0
+            else Option(m.get("folded_runs")).map(_.toString.toInt).getOrElse(1)
+          val entries = qm.map { case (k, v) =>
+            k -> v.asInstanceOf[java.util.Map[String, Object]] }.toMap
+          (secs, runs, entries)
         }
-      } catch { case NonFatal(_) => (Map.empty, 0) }
+      } catch { case NonFatal(_) => (Map.empty, 0, Map.empty) }
     val folded = results.map { case (k, best, spread, attempts) =>
       val sec =
         if (best.err.isEmpty) priorSecs.get(k).map(math.min(_, best.sec)).getOrElse(best.sec)
@@ -336,15 +343,30 @@ object Bench {
     // the driver line stays compact (round-4 lesson: it must fit a stdout
     // tail window) — aggregate GC only here, per-query detail in the profile
     println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","gc_sec":${ms(gcTotal)},"best_of":${repeats + extra}$bandJson,"head":${JsonStr(gitHead)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
-    val profile = folded.map { case (k, best, sec, spread, attempts) =>
+    val benchedNames = benched.map(_._1).toSet
+    // a SUBSET run (SPARK_GRAFT_ONLY) must not orphan the rest of the
+    // registry: prior entries whose per-query fingerprint still matches
+    // the current code carry through verbatim — subset re-runs become a
+    // cheap way to improve one query's floor without losing the others
+    val om = new com.fasterxml.jackson.databind.ObjectMapper
+    val carried = priorEntries.toSeq
+      .filter { case (k, e) =>
+        !benchedNames.contains(k) && String.valueOf(e.get("fp")) == queryFp(k) }
+      .sortBy(_._1)
+    val carriedJson =
+      carried.map { case (k, e) => JsonStr(k) + ":" + om.writeValueAsString(e) }
+    // the profile total covers everything it records, carried included
+    val profileTotal = total + carried.flatMap { case (_, e) =>
+      Option(e.get("sec")).map(_.toString.toDouble) }.sum
+    val profile = (folded.map { case (k, best, sec, spread, attempts) =>
       // per-attempt (start, sec) pairs make a co-tenant load window directly
       // visible: slow attempts across many queries share a wall-clock band
       val att = attempts.map(a => s"""[${ms(a.startEpoch)},${ms(a.sec)}]""").mkString("[", ",", "]")
       val errField = best.err.fold("")(e => s""""err":${JsonStr(e)},""")
       JsonStr(k) + s""":{$errField"fp":${JsonStr(queryFp(k))},"sec":${ms(sec)},"run_sec":${ms(best.sec)},"spread":${ms(spread)},"gc_sec":${ms(best.gcSec)},"peak_heap_mb":${best.heapMb},"input_mb":${best.inMb},"shuffle_read_mb":${best.srMb},"shuffle_write_mb":${best.swMb},"attempts":$att}"""
-    }.mkString("{", ",", "}")
+    } ++ carriedJson).mkString("{", ",", "}")
     java.nio.file.Files.writeString(profilePath,
-      s"""{"sf":"$sfDir","best_of":${repeats + extra},"interleaved":true,"head":${JsonStr(gitHead)},"src_fingerprint":${JsonStr(srcFingerprint)},"folded_runs":${priorRuns + 1}$bandJson,"total_sec":${ms(total)},"total_gc_sec":${ms(gcTotal)},"queries":$profile}""")
+      s"""{"sf":"$sfDir","best_of":${repeats + extra},"interleaved":true,"head":${JsonStr(gitHead)},"src_fingerprint":${JsonStr(srcFingerprint)},"folded_runs":${priorRuns + 1}$bandJson,"total_sec":${ms(profileTotal)},"total_gc_sec":${ms(gcTotal)},"queries":$profile}""")
     spark.stop()
   }
 }
