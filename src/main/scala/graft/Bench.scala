@@ -19,7 +19,7 @@ object Bench {
     // query's name literal) — so a commit touching one query file (or
     // only tests/docs/this harness) no longer orphans every other
     // query's floor and noise regressions stop entering the artifact.
-    val (srcFingerprint, queryFp): (String, String => String) = {
+    val (srcFingerprint, queryFps): (String, Map[String, String]) = {
       import scala.jdk.CollectionConverters._
       def sha(parts: Seq[Array[Byte]]): String = {
         val md = java.security.MessageDigest.getInstance("SHA-256")
@@ -27,7 +27,7 @@ object Bench {
         md.digest().take(8).map(b => f"$b%02x").mkString
       }
       val srcRoot = java.nio.file.Paths.get("src/main/scala")
-      if (!java.nio.file.Files.isDirectory(srcRoot)) ("nosrc", (_: String) => "nosrc")
+      if (!java.nio.file.Files.isDirectory(srcRoot)) ("nosrc", Map.empty)
       else {
         val files = java.nio.file.Files.walk(srcRoot).iterator().asScala
           .filter(p => java.nio.file.Files.isRegularFile(p))
@@ -37,26 +37,39 @@ object Bench {
         def hashOf(fs: Seq[(String, Array[Byte])]): String =
           sha(fs.flatMap { case (p, b) => Seq(p.getBytes("UTF-8"), b) })
         val whole = hashOf(files)
-        val isQueryFile = (p: String) => p.contains("/graft/queries/")
+        val names = SparkEntry.queries.keys.toSeq.sorted
+        // a query OWNS the graft/queries files whose text holds its name
+        // literal (the registration site); query-dir files owning NO name
+        // (shared plumbing like OracleQuery.scala) count as engine — an
+        // edit there must invalidate every floor, not none
+        val (qFiles, shared) = files.partition { case (p, b) =>
+          p.contains("/graft/queries/") && {
+            val text = new String(b, "UTF-8")
+            names.exists(n => text.contains("\"" + n + "\""))
+          }
+        }
         // the measurement harness itself is NOT part of what a query
         // floor measures — a fold-logic or profile-schema edit here must
         // not invalidate engine floors (methodology changes that alter
         // the timed region should bump the name of this exclusion list)
         val isHarness = (p: String) =>
           p.endsWith("/graft/Bench.scala") || p.endsWith("/graft/Verify.scala")
-        val engineHash = hashOf(files.filterNot { case (p, _) =>
-          isQueryFile(p) || isHarness(p) })
-        val qFiles = files.filter { case (p, _) => isQueryFile(p) }
-          .map { case (p, b) => (p, b, new String(b, "UTF-8")) }
-        val fp = (name: String) => {
-          val owning = qFiles.filter(_._3.contains("\"" + name + "\""))
-          if (owning.isEmpty) whole // unlocatable: the conservative old key
-          else sha(engineHash.getBytes("UTF-8") +: name.getBytes("UTF-8") +:
-            owning.flatMap { case (p, b, _) => Seq(p.getBytes("UTF-8"), b) })
-        }
-        (whole, fp)
+        val engineHash = hashOf(shared.filterNot { case (p, _) => isHarness(p) })
+        val qTexts = qFiles.map { case (p, b) => (p, b, new String(b, "UTF-8")) }
+        // precomputed once: ~140 lookups x 3 call sites otherwise re-scan
+        // and re-hash every query file per call
+        val fps = names.map { name =>
+          val owning = qTexts.filter(_._3.contains("\"" + name + "\""))
+          name -> {
+            if (owning.isEmpty) whole // unlocatable: the conservative old key
+            else sha(engineHash.getBytes("UTF-8") +: name.getBytes("UTF-8") +:
+              owning.flatMap { case (p, b, _) => Seq(p.getBytes("UTF-8"), b) })
+          }
+        }.toMap
+        (whole, fps)
       }
     }
+    def queryFp(name: String): String = queryFps.getOrElse(name, srcFingerprint)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -113,13 +126,15 @@ object Bench {
     // Hadoop FS statistics that feed task inputMetrics (measured: a full
     // 11 MB lineitem count reports ~17 KB), so native scans need a
     // plan-derived figure while DSv2 scans (whose readers open through
-    // counted streams) report real measured bytes. The sweep reads ONLY
-    // the benched query's own final execution — not every QueryExecution
-    // on the listener bus — so in-query setup reads and repeated
-    // executions no longer inflate input_mb, and a row-group-pruned DSv2
-    // scan keeps its measured (decoded) truth. filesSize is post
-    // file-pruning but pre row-group-pruning and pre column-projection:
-    // a native-scan row is an upper bound on bytes touched, by design.
+    // counted streams) report real measured bytes. The PLANNED sweep
+    // reads ONLY the benched query's own final execution — not every
+    // QueryExecution on the listener bus — so setup executions no longer
+    // inflate its figure; the MEASURED deltas still span the whole
+    // attempt (in-query commits and their reads included), so a
+    // setup-heavy lake query's input/shuffle columns describe the
+    // attempt, not just the final scan. filesSize is post file-pruning
+    // but pre row-group-pruning and pre column-projection: a native-scan
+    // row is an upper bound on bytes touched, by design.
     def scanBytes(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
       case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
         scanBytes(a.executedPlan)
@@ -287,13 +302,13 @@ object Bench {
     // current best failed keeps its failure.
     val profilePath =
       java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_PROFILE", "BENCH_profile.json"))
-    val (priorSecs, priorRuns, priorEntries): (Map[String, Double], Int,
-        Map[String, java.util.Map[String, Object]]) =
-      if (!java.nio.file.Files.exists(profilePath)) (Map.empty, 0, Map.empty)
+    val (priorSecs, priorRuns, priorEntries, priorWholeMatch): (Map[String, Double],
+        Int, Map[String, java.util.Map[String, Object]], Boolean) =
+      if (!java.nio.file.Files.exists(profilePath)) (Map.empty, 0, Map.empty, false)
       else try {
         val om = new com.fasterxml.jackson.databind.ObjectMapper
         val m = om.readValue(profilePath.toFile, classOf[java.util.Map[String, Object]])
-        if (String.valueOf(m.get("sf")) != sfDir) (Map.empty, 0, Map.empty)
+        if (String.valueOf(m.get("sf")) != sfDir) (Map.empty, 0, Map.empty, false)
         else {
           val wholeMatch = String.valueOf(m.get("src_fingerprint")) == srcFingerprint
           val qm = m.get("queries").asInstanceOf[java.util.Map[String, Object]].asScala
@@ -318,9 +333,9 @@ object Bench {
             else Option(m.get("folded_runs")).map(_.toString.toInt).getOrElse(1)
           val entries = qm.map { case (k, v) =>
             k -> v.asInstanceOf[java.util.Map[String, Object]] }.toMap
-          (secs, runs, entries)
+          (secs, runs, entries, wholeMatch)
         }
-      } catch { case NonFatal(_) => (Map.empty, 0, Map.empty) }
+      } catch { case NonFatal(_) => (Map.empty, 0, Map.empty, false) }
     val folded = results.map { case (k, best, spread, attempts) =>
       val sec =
         if (best.err.isEmpty) priorSecs.get(k).map(math.min(_, best.sec)).getOrElse(best.sec)
@@ -351,7 +366,13 @@ object Bench {
     val om = new com.fasterxml.jackson.databind.ObjectMapper
     val carried = priorEntries.toSeq
       .filter { case (k, e) =>
-        !benchedNames.contains(k) && String.valueOf(e.get("fp")) == queryFp(k) }
+        // same acceptance rule as the fold: a legacy row (no "fp") is
+        // current iff the whole tree matched — dropping it here would be
+        // the very orphaning this carry exists to prevent
+        !benchedNames.contains(k) && (Option(e.get("fp")) match {
+          case Some(fp) => String.valueOf(fp) == queryFp(k)
+          case None => priorWholeMatch
+        }) }
       .sortBy(_._1)
     val carriedJson =
       carried.map { case (k, e) => JsonStr(k) + ":" + om.writeValueAsString(e) }

@@ -1473,6 +1473,47 @@ private[streaming] object SnapshotVectorized {
   }
 }
 
+/** ONE definition of the per-reader request shape, shared by all three
+  * readers so the `_file`-last invariant, the row-index column name, and
+  * the ordinal-exactness rule can never desynchronize between paths:
+  *  - `_file` is synthesized, never parquet-read: stripped from the
+  *    requested schema, appended as a constant vector per served batch;
+  *  - DV skipping needs EXACT file-global ordinals whenever the reader
+  *    can skip or start mid-file (row-group/page filters, or a byte-range
+  *    split whose first row is not ordinal 0): request Spark's parquet
+  *    row-index temp column (`_tmp_metadata_row_index` — string-stable;
+  *    the vectorized reader fills it from the row group's file-global
+  *    rowIndexOffset) and strip it before emitting. A whole-file
+  *    unfiltered read keeps the cheaper sequential counter; a DV-free
+  *    partition never needs ordinals at all. */
+private[streaming] final class ReaderShape(
+    partition: SnapshotFilePartition,
+    required: StructType,
+    physNames: Array[String]) {
+  val fileIdx: Int = required.fieldNames.indexOf(SnapshotSource.FileCol)
+  val dataRequired: StructType =
+    if (fileIdx < 0) required
+    else StructType(required.fields.filterNot(_.name == SnapshotSource.FileCol))
+  val dataPhys: Array[String] =
+    if (fileIdx < 0) physNames
+    else required.fields.zip(physNames)
+      .filterNot(_._1.name == SnapshotSource.FileCol).map(_._2)
+  if (fileIdx >= 0) require(fileIdx == dataRequired.length,
+    s"_file must be the scan's last column, got position $fileIdx")
+  val baseName: org.apache.spark.unsafe.types.UTF8String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      new Path(partition.uri).getName)
+  val needRowIdx: Boolean = partition.dvB64.isDefined &&
+    (partition.rg.nonEmpty || partition.start > 0 || partition.length >= 0)
+  private val RowIdxCol = "_tmp_metadata_row_index"
+  val readRequired: StructType =
+    if (!needRowIdx) dataRequired
+    else StructType(dataRequired.fields :+
+      StructField(RowIdxCol, LongType, nullable = true))
+  val readPhys: Array[String] =
+    if (!needRowIdx) dataPhys else dataPhys :+ RowIdxCol
+}
+
 /** Columnar fast path: whole batches handed to Spark (DV-free files). */
 private[streaming] class SnapshotBatchReader(
     partition: SnapshotFilePartition,
@@ -1481,34 +1522,20 @@ private[streaming] class SnapshotBatchReader(
     confEntries: Array[(String, String)])
   extends PartitionReader[ColumnarBatch] {
 
-  // `_file` is synthesized, never parquet-read: strip it from the
-  // requested schema and append a constant vector per returned batch
-  private val fileIdx = required.fieldNames.indexOf(SnapshotSource.FileCol)
-  private val dataRequired =
-    if (fileIdx < 0) required
-    else StructType(required.fields.filterNot(_.name == SnapshotSource.FileCol))
-  private val dataPhys =
-    if (fileIdx < 0) physNames
-    else required.fields.zip(physNames)
-      .filterNot(_._1.name == SnapshotSource.FileCol).map(_._2)
-  private val baseName =
-    org.apache.spark.unsafe.types.UTF8String.fromString(
-      new Path(partition.uri).getName)
+  private val shape = new ReaderShape(partition, required, physNames)
 
   private val vr = SnapshotVectorized.open(
-    partition.uri, dataRequired, dataPhys, confEntries,
+    partition.uri, shape.dataRequired, shape.dataPhys, confEntries,
     partition.start, partition.length, partition.rg)
   vr.enableReturningBatches()
 
   override def next(): Boolean = vr.nextKeyValue()
   override def get(): ColumnarBatch = {
     val b = vr.getCurrentValue.asInstanceOf[ColumnarBatch]
-    if (fileIdx < 0) return b
-    require(fileIdx == dataRequired.length,
-      s"_file must be the scan's last column, got position $fileIdx")
+    if (shape.fileIdx < 0) return b
     val cv = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
       b.numRows, StringType)
-    cv.setUtf8String(baseName)
+    cv.setUtf8String(shape.baseName)
     val cols = Array.tabulate[org.apache.spark.sql.vectorized.ColumnVector](
       b.numCols + 1)(i => if (i < b.numCols) b.column(i) else cv)
     new ColumnarBatch(cols, b.numRows)
@@ -1539,30 +1566,11 @@ private[streaming] class SnapshotDvBatchReader(
   import org.apache.spark.sql.execution.vectorized.{OnHeapColumnVector, WritableColumnVector}
   import org.apache.spark.sql.vectorized.ColumnVector
 
-  private val fileIdx = required.fieldNames.indexOf(SnapshotSource.FileCol)
-  private val dataRequired =
-    if (fileIdx < 0) required
-    else StructType(required.fields.filterNot(_.name == SnapshotSource.FileCol))
-  private val dataPhys =
-    if (fileIdx < 0) physNames
-    else required.fields.zip(physNames)
-      .filterNot(_._1.name == SnapshotSource.FileCol).map(_._2)
-  private val baseName =
-    org.apache.spark.unsafe.types.UTF8String.fromString(
-      new Path(partition.uri).getName)
-
-  private val needRowIdx =
-    partition.rg.nonEmpty || partition.start > 0 || partition.length >= 0
-  private val RowIdxCol = "_tmp_metadata_row_index"
-  private val readRequired =
-    if (!needRowIdx) dataRequired
-    else StructType(dataRequired.fields :+
-      StructField(RowIdxCol, LongType, nullable = true))
-  private val readPhys =
-    if (!needRowIdx) dataPhys else dataPhys :+ RowIdxCol
+  private val shape = new ReaderShape(partition, required, physNames)
+  import shape.{dataRequired, needRowIdx}
 
   private val vr = SnapshotVectorized.open(
-    partition.uri, readRequired, readPhys, confEntries,
+    partition.uri, shape.readRequired, shape.readPhys, confEntries,
     partition.start, partition.length, partition.rg)
   vr.enableReturningBatches()
   private val dv = SnapshotVectorized.decodeDv(partition.dvB64.get)
@@ -1574,12 +1582,10 @@ private[streaming] class SnapshotDvBatchReader(
   private var selIdx: Array[Int] = new Array[Int](0)
 
   private def withFile(cols: Array[ColumnVector], n: Int): ColumnarBatch = {
-    if (fileIdx < 0) return new ColumnarBatch(cols, n)
-    require(fileIdx == dataRequired.length,
-      s"_file must be the scan's last column, got position $fileIdx")
+    if (shape.fileIdx < 0) return new ColumnarBatch(cols, n)
     val cv = new org.apache.spark.sql.execution.vectorized.ConstantColumnVector(
       n, StringType)
-    cv.setUtf8String(baseName)
+    cv.setUtf8String(shape.baseName)
     new ColumnarBatch(cols :+ (cv: ColumnVector), n)
   }
 
@@ -1675,49 +1681,18 @@ private[streaming] class SnapshotRowReader(
     confEntries: Array[(String, String)])
   extends PartitionReader[InternalRow] {
 
-  private val fileIdx = required.fieldNames.indexOf(SnapshotSource.FileCol)
-  private val dataRequired =
-    if (fileIdx < 0) required
-    else StructType(required.fields.filterNot(_.name == SnapshotSource.FileCol))
-  private val dataPhys =
-    if (fileIdx < 0) physNames
-    else required.fields.zip(physNames)
-      .filterNot(_._1.name == SnapshotSource.FileCol).map(_._2)
+  private val shape = new ReaderShape(partition, required, physNames)
+  import shape.{dataRequired, needRowIdx}
   // `_file` appended via a reused JoinedRow — zero per-row allocation
   private val joined =
-    if (fileIdx < 0) null
-    else {
-      require(fileIdx == dataRequired.length,
-        s"_file must be the scan's last column, got position $fileIdx")
-      new org.apache.spark.sql.catalyst.expressions.JoinedRow(
-        null,
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(
-            new Path(partition.uri).getName))))
-    }
-
-  /** The DV needs EXACT file-global ordinals whenever the reader can
-    * skip or start mid-file — row-group/page filters, or a byte-range
-    * split (whose first row is not ordinal 0). In those cases the scan
-    * requests Spark's parquet row-index temp column
-    * (`_tmp_metadata_row_index` — string-stable; the vectorized reader's
-    * RowIndexGenerator fills it from the row group's file-global
-    * rowIndexOffset, correct under any skipping or split) and strips it
-    * before emitting. A whole-file unfiltered read keeps the cheaper
-    * sequential counter. */
-  private val needRowIdx = partition.dvB64.isDefined &&
-    (partition.rg.nonEmpty || partition.start > 0 || partition.length >= 0)
-  private val RowIdxCol = "_tmp_metadata_row_index"
-  private val readRequired =
-    if (!needRowIdx) dataRequired
-    else StructType(dataRequired.fields :+
-      org.apache.spark.sql.types.StructField(RowIdxCol,
-        org.apache.spark.sql.types.LongType, nullable = true))
-  private val readPhys =
-    if (!needRowIdx) dataPhys else dataPhys :+ RowIdxCol
+    if (shape.fileIdx < 0) null
+    else new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+      null,
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](shape.baseName)))
 
   private val vr = SnapshotVectorized.open(
-    partition.uri, readRequired, readPhys, confEntries,
+    partition.uri, shape.readRequired, shape.readPhys, confEntries,
     partition.start, partition.length, partition.rg)
   private val dv = partition.dvB64.map(SnapshotVectorized.decodeDv)
   private var rowIdx: Long = -1L
