@@ -1338,11 +1338,51 @@ object Snapshots {
     * (never the table's), so this stays trivial even when the table is
     * 100 TB; the footer open is the same metadata read [[writeShard]]
     * already does for row counts, now paid once. */
-  private def statsFromFooters(
+  /** Footer reads above this count fan out as a Spark job instead of a
+    * serial driver loop: a 10k-file commit's stats pass is then bounded
+    * by the cluster, not one thread's round-trips (at 100 TB the commit
+    * path IS the ingest hot path). Below it, the job-launch overhead
+    * costs more than the loop. */
+  private val FooterFanoutCutoff = 64
+
+  /** The driver's Hadoop conf as shippable entries (credentials, fs
+    * settings) — executors rebuild a Configuration from them. */
+  private def hadoopEntries(spark: SparkSession): Array[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    spark.sparkContext.hadoopConfiguration.iterator().asScala
+      .map(e => e.getKey -> e.getValue).toArray
+  }
+
+  private def footerConf(entries: Array[(String, String)]) = {
+    val conf = new org.apache.hadoop.conf.Configuration(true)
+    entries.foreach { case (k, v) => conf.set(k, v) }
+    conf
+  }
+
+  /** Mine footers serially on the driver for small batches, as a Spark
+    * job above [[FooterFanoutCutoff]]. `one` must be executor-safe
+    * (self-contained, no SparkSession capture). */
+  private def minedFooters[T: scala.reflect.ClassTag](
       spark: SparkSession,
       files: Seq[String],
-      statsCols: Seq[String]): Option[(Seq[ColStats], Seq[FileRows])] = {
-    if (statsCols.isEmpty) return Some((Seq.empty, Seq.empty))
+      one: String => T): Seq[T] =
+    if (files.size <= FooterFanoutCutoff) files.map(one)
+    else {
+      val parts = math.max(1,
+        math.min(files.size / 8, spark.sparkContext.defaultParallelism * 2))
+      spark.sparkContext.parallelize(files, parts).map(one).collect().toSeq
+    }
+
+  /** Mine ONE file's footer into its stats rows + row count. None = this
+    * footer cannot yield sound stats (unreadable, or a stats column's
+    * physical type is outside the index's canon) — the CALLER falls back
+    * to the scan pass for the whole batch. A column merely missing stats
+    * yields no row for it (the file stays an always-candidate), which is
+    * not a miss. Executor-safe: conf rebuilt from shipped entries. */
+  private def mineFooterStats(
+      uri: String,
+      statsCols: Seq[String],
+      confEntries: Array[(String, String)]): Option[(Seq[ColStats], FileRows)] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -1387,10 +1427,10 @@ object Snapshots {
         case _ => (v: Number) => v.doubleValue()
       }
     }
-    val conf = new org.apache.hadoop.conf.Configuration(
-      spark.sparkContext.hadoopConfiguration)
+    val conf = footerConf(confEntries)
     try {
-      val perFile = files.map { u =>
+      val u = uri
+      val perFile = {
         val in = org.apache.parquet.hadoop.util.HadoopInputFile
           .fromPath(new Path(u), conf)
         val r =
@@ -1463,8 +1503,19 @@ object Snapshots {
           (colStats, FileRows(name, nRows))
         } finally r.close()
       }
-      Some((perFile.flatMap(_._1), perFile.map(_._2)))
+      Some(perFile)
     } catch { case _: FooterMiss => None }
+  }
+
+  private def statsFromFooters(
+      spark: SparkSession,
+      files: Seq[String],
+      statsCols: Seq[String]): Option[(Seq[ColStats], Seq[FileRows])] = {
+    if (statsCols.isEmpty) return Some((Seq.empty, Seq.empty))
+    val entries = hadoopEntries(spark)
+    val perFile = minedFooters(spark, files, mineFooterStats(_, statsCols, entries))
+    if (perFile.contains(None)) None
+    else Some((perFile.flatMap(_.get._1), perFile.map(_.get._2)))
   }
 
   /** Additive schema evolution: the carried schema plus any columns the
@@ -1669,19 +1720,21 @@ object Snapshots {
   /** Per-file row counts from parquet footers — a metadata read per file,
     * no Spark job. Unreadable footers are omitted (consumers treat a
     * missing count as "must scan", never as zero). */
+  /** Executor-safe single-footer row count (None: unreadable). */
+  private def mineFooterRows(
+      uri: String, confEntries: Array[(String, String)]): Option[FileRows] =
+    try {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(uri), footerConf(confEntries))
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      val n = try r.getRecordCount finally r.close()
+      Some(FileRows(new Path(uri).getName, n))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   private def rowsFromFooters(spark: SparkSession, files: Seq[String]): Seq[FileRows] = {
     if (files.isEmpty) return Seq.empty
-    val conf = new org.apache.hadoop.conf.Configuration(
-      spark.sparkContext.hadoopConfiguration)
-    files.flatMap { u =>
-      try {
-        val in = org.apache.parquet.hadoop.util.HadoopInputFile
-          .fromPath(new Path(u), conf)
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-        val n = try r.getRecordCount finally r.close()
-        Some(FileRows(new Path(u).getName, n))
-      } catch { case scala.util.control.NonFatal(_) => None }
-    }
+    val entries = hadoopEntries(spark)
+    minedFooters(spark, files, mineFooterRows(_, entries)).flatten
   }
 
   private def writeShard(

@@ -70,6 +70,26 @@ class CommitJobsSpec extends SparkSpec {
     assert(m.stats.forall(_.nulls === 0L))
   }
 
+  test("a many-file commit mines footers as ONE bounded fan-out job, exact") {
+    val root = tmp()
+    // 80 files > the fan-out cutoff: the stats pass becomes a Spark job
+    // (bounded by the cluster, not one driver thread's round-trips) —
+    // and costs exactly one job, with the metadata identical to the
+    // serial path's
+    val df = spark.range(0, 20000).select($"id", ($"id" % 97).as("k"))
+      .repartition(80)
+    val jobs = countJobs {
+      withAqeOff(Snapshots.commit(df, root, statsCols = Seq("id")))
+    }
+    assert(jobs <= 2, s"write + one footer fan-out expected, got $jobs jobs")
+    val m = Snapshots.manifest(spark, root, 1)
+    assert(m.files.size === 80)
+    assert(m.rows.map(_.n).sum === 20000L)
+    assert(m.stats.count(_.col == "id") === 80)
+    assert(m.stats.map(_.min).min === 0.0 && m.stats.map(_.max).max === 19999.0)
+    assert(m.stats.forall(_.nulls === 0L))
+  }
+
   test("footer stats equal scan stats on a range-clustered multi-file commit") {
     val rootF = tmp()
     val df = spark.range(0, 800)
