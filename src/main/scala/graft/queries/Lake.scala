@@ -2530,6 +2530,45 @@ object Lake {
       out
     },
 
+    // ---- q142: TOP-N FILE CAPPING — `ORDER BY key LIMIT n` pushed into
+    //            the DSv2 scan (SupportsPushDownTopN, round 16): lineitem
+    //            committed RANGE-laid-out across 8 files with l_orderkey
+    //            stats, and the top-50 must plan only the boundary
+    //            file(s) — required in-query: the hash-checked plan's own
+    //            scan decodes < half the table. Partial pushdown: Spark
+    //            keeps its TakeOrdered above, the scan only drops files
+    //            whose recorded range provably cannot reach the top
+    //            (FilterPrune.capForTopN — budget over live rows, sound
+    //            under DVs/nulls/truncated bounds; LimitPushSpec pins the
+    //            edge cases). The 100 TB point: "latest n" over a
+    //            range-laid-out table reads O(boundary), not O(table). ----
+    OracleQuery(
+      "q142_topn_prune",
+      """SELECT l_orderkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber LIMIT 50""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/lineitem_topn"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      Snapshots.commit(
+        Tables(spark, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .repartitionByRange(8, col("l_orderkey")),
+        root, statsCols = Seq("l_orderkey"))
+      val total = Snapshots.manifest(spark, root, 1L).rows.map(_.n).sum
+      require(total > 0, "commit must record per-file row counts")
+      val res = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .orderBy("l_orderkey", "l_linenumber")
+        .limit(50)
+      val out = res.localCheckpoint(true)
+      val d = scanOutputRows(res.queryExecution.executedPlan)
+      require(d > 0 && d < total / 2,
+        s"top-50 must cap to boundary files (decoded $d of $total)")
+      out
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO

@@ -490,11 +490,15 @@ private[streaming] class SnapshotScanBuilder(
   extends ScanBuilder
   with SupportsPushDownRequiredColumns
   with SupportsPushDownFilters
-  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+  with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+  with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
   private var pushedAgg: Option[(StructType, Array[Any], String)] = None
+  private var pushedLimit: Option[Int] = None
+  private var pushedTopN: Option[(String, Boolean)] = None // (col, descending)
 
   /** Time travel, resolved once per scan: an explicit `version` option
     * wins; else `asOfTimestamp` (epoch millis or timestamp string — see
@@ -524,6 +528,51 @@ private[streaming] class SnapshotScanBuilder(
   }
 
   override def pushedFilters(): Array[Filter] = pushed
+
+  // ---- LIMIT / TOP-N pushdown: always PARTIAL (Spark keeps its own
+  // Limit/TakeOrdered on top; the scan only plans FEWER FILES — just
+  // enough whose recorded live rows provably cover the limit, see
+  // [[graft.engine.FilterPrune.capForLimit]]/[[capForTopN]]). Spark only
+  // offers these on a filterless scan (every filter here stays residual,
+  // so a Filter node always blocks the rewrite when one exists); the
+  // plan-time guard in planInputPartitions re-checks anyway. ----
+
+  override def pushLimit(limit: Int): Boolean = {
+    pushedLimit = Some(limit); true
+  }
+
+  /** TOP-N capping keys on the FIRST sort key only (sound for any
+    * lexicographic suffix: the n smallest rows all carry first-key values
+    * ≤ the n-th smallest first-key value). Accepted only for a direct
+    * column of a bounds-faithful type under the DEFAULT null ordering —
+    * everything else declines and Spark plans its ordinary global sort. */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      limit: Int): Boolean = {
+    import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
+    val ok = orders.headOption.flatMap { o =>
+      o.expression() match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          val desc = o.direction() == SortDirection.DESCENDING
+          val defaultNulls =
+            if (desc) o.nullOrdering() == NullOrdering.NULLS_LAST
+            else o.nullOrdering() == NullOrdering.NULLS_FIRST
+          val prunable = fullSchema.fields.find(_.name == r.fieldNames.head)
+            .exists(_.dataType match {
+              case ByteType | ShortType | IntegerType | LongType | DateType |
+                   TimestampType | TimestampNTZType | _: DecimalType |
+                   StringType => true
+              case _ => false // float/double: NaN is invisible to bounds
+            })
+          if (defaultNulls && prunable) Some((r.fieldNames.head, desc)) else None
+        case _ => None
+      }
+    }
+    ok.foreach { t => pushedTopN = Some(t); pushedLimit = Some(limit) }
+    ok.isDefined
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   // ---- AGGREGATE pushdown: an ungrouped COUNT(*) / COUNT(col) /
   // MIN(col) / MAX(col) mix answers from the manifest alone — per-file
@@ -640,7 +689,9 @@ private[streaming] class SnapshotScanBuilder(
       options.getBoolean("ignoreChanges", false),
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       pushed,
-      travelVersion)
+      travelVersion,
+      pushedLimit,
+      pushedTopN)
   }
 }
 
@@ -685,7 +736,9 @@ private[streaming] class SnapshotScan(
     ignoreChanges: Boolean,
     maxFilesPerTrigger: Option[Int],
     pushed: Array[Filter] = Array.empty,
-    version: Option[Long] = None)
+    version: Option[Long] = None,
+    pushedLimit: Option[Int] = None,
+    pushedTopN: Option[(String, Boolean)] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -694,7 +747,10 @@ private[streaming] class SnapshotScan(
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-snapshot $root" +
-      (if (pushed.isEmpty) "" else pushed.mkString(" PushedFilters: [", ", ", "]"))
+      (if (pushed.isEmpty) "" else pushed.mkString(" PushedFilters: [", ", ", "]")) +
+      pushedTopN.map { case (c, d) =>
+        s" PushedTopN: [$c ${if (d) "DESC" else "ASC"}, ${pushedLimit.getOrElse(-1)}]"
+      }.getOrElse(pushedLimit.map(n => s" PushedLimit: $n").getOrElse(""))
 
   // set the moment the scan is claimed for streaming: the stats below
   // describe the HEAD SNAPSHOT, which is the right answer for a batch scan
@@ -875,6 +931,24 @@ private[streaming] class SnapshotScan(
       else fileKept.toSet.intersect(
         graft.engine.FilterPrune.prune(m, fullSchema, dataFilters.toSeq)
           .toSet).toSeq
+    // pushed LIMIT / TOP-N cap: plan only files whose recorded live rows
+    // already cover the limit (TOP-N: only files that can hold a top row
+    // under the stats threshold). Strictly a file-count reduction — Spark
+    // retains its own Limit/TakeOrdered above the partial pushdown — and
+    // only on a genuinely filterless, non-row-level scan: a residual
+    // filter would make per-file row counts an overestimate of output
+    // rows, and a CoW rewrite must see every file it might replace.
+    val capped =
+      if (pushed.nonEmpty || runtimeFilters.nonEmpty || onPlanned != null ||
+          required.fieldNames.contains(SnapshotSource.FileCol)) finalKept
+      else pushedTopN match {
+        case Some((c, desc)) => pushedLimit.map(n =>
+          graft.engine.FilterPrune.capForTopN(m, fullSchema, finalKept, c, desc, n))
+          .getOrElse(finalKept)
+        case None => pushedLimit.map(n =>
+          graft.engine.FilterPrune.capForLimit(m, finalKept, n))
+          .getOrElse(finalKept)
+      }
     val dvByName = m.dvs.map(d => d.file -> d.b64).toMap
     if (onPlanned != null) onPlanned(finalKept)
     // within-file row-group predicates from the SAME conjuncts that prune
@@ -893,7 +967,7 @@ private[streaming] class SnapshotScan(
       else graft.engine.RowGroupFilters.translate(
         (pushed ++ dataFilters).toSeq, fullSchema,
         SnapshotSource.physicalNames(root))
-    SnapshotFilePartition.planned(finalKept, dvByName, spark,
+    SnapshotFilePartition.planned(capped, dvByName, spark,
       clustered = clustered, rgFilters = rg,
       dvColumnar = SnapshotFilePartition.dvCopyable(required))
   }

@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.Snapshots
+
+/** Pushed LIMIT / TOP-N file capping (round 16,
+  * [[graft.engine.FilterPrune.capForLimit]]/[[capForTopN]] wired through
+  * `SupportsPushDownLimit`/`SupportsPushDownTopN` on the DSv2 scan).
+  *
+  * The contract under test:
+  *  - a plain `LIMIT n` plans only files whose recorded live rows cover n
+  *    (any-k-rows semantics — Spark's retained GlobalLimit trims exactly);
+  *  - `ORDER BY c LIMIT n` plans only boundary files under the stats
+  *    threshold, and the result is EXACTLY the full sort's top n — for
+  *    asc and desc, numeric and string keys, with nulls (default
+  *    orderings put them first asc / last desc), under deletion vectors,
+  *    and on multi-key sorts (first-key pruning only);
+  *  - every unprovable situation degrades to NO capping, never to a
+  *    wrong row: missing stats, float keys (NaN is invisible to bounds),
+  *    residual filters (Spark never offers the pushdown there).
+  */
+class LimitPushSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    "file:" + Files.createTempDirectory("limitpush").toString + "/t"
+
+  private def load(root: String): DataFrame =
+    spark.read.format("graft.streaming.SnapshotSourceProvider")
+      .option("root", root).load()
+
+  /** Sum of DSv2 scan numOutputRows across an executed plan (the decoded
+    * gate, same recursion as the q135/q138 oracles). */
+  private def decoded(df: DataFrame): Long = {
+    df.collect() // force execution
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        go(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(s.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.metrics("numOutputRows").value
+      case other => other.children.map(go).sum
+    }
+    go(df.queryExecution.executedPlan)
+  }
+
+  /** 8 range-disjoint files over ids [0, 8000) with stats on every
+    * interesting column. */
+  private def rangeTable(root: String): Unit = {
+    Snapshots.commit(
+      spark.range(0, 8000).select(
+        $"id",
+        ($"id" % 7).as("bucket"),
+        format_string("k%05d", $"id").as("skey"),
+        when($"id" % 100 === 0, lit(null)).otherwise($"id").as("holey"),
+        $"id".cast("float").as("fkey"))
+        .repartitionByRange(8, $"id"),
+      root, statsCols = Seq("id", "skey", "holey", "fkey"))
+  }
+
+  test("plain LIMIT plans a prefix of files, not the table") {
+    val root = tmp(); rangeTable(root)
+    val q = load(root).limit(100)
+    assert(q.count() === 100L)
+    val d = decoded(load(root).limit(100))
+    assert(d >= 100L && d <= 2000L,
+      s"LIMIT 100 over 8x1000-row files must decode ~1 file, saw $d")
+  }
+
+  test("topN asc equals the full sort and decodes only boundary files") {
+    val root = tmp(); rangeTable(root)
+    val q = load(root).select($"id").orderBy($"id").limit(50)
+    assert(q.as[Long].collect().toSeq === (0L until 50L))
+    val d = decoded(load(root).select($"id").orderBy($"id").limit(50))
+    assert(d <= 2000L, s"asc top-50 must decode ~1 boundary file, saw $d")
+  }
+
+  test("topN desc equals the full sort and decodes only boundary files") {
+    val root = tmp(); rangeTable(root)
+    val q = load(root).select($"id").orderBy($"id".desc).limit(50)
+    assert(q.as[Long].collect().toSeq === (7999L to 7950L by -1L))
+    val d = decoded(load(root).select($"id").orderBy($"id".desc).limit(50))
+    assert(d <= 2000L, s"desc top-50 must decode ~1 boundary file, saw $d")
+  }
+
+  test("multi-key sort prunes on the first key and keeps the exact order") {
+    val root = tmp(); rangeTable(root)
+    val got = load(root).select($"id", $"bucket")
+      .orderBy($"id".desc, $"bucket").limit(20)
+      .as[(Long, Long)].collect().toSeq
+    val want = (0L until 8000L).map(i => (i, i % 7))
+      .sortBy { case (i, b) => (-i, b) }.take(20)
+    assert(got === want)
+  }
+
+  test("asc with nulls: NULLS FIRST rows surface exactly; nulled files survive") {
+    val root = tmp(); rangeTable(root)
+    // every file holds some `holey` nulls (ids ≡ 0 mod 100) — the capper
+    // may never drop a file whose null count is nonzero under asc
+    val got = load(root).select($"holey").orderBy($"holey").limit(85)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    val all = (0L until 8000L).map(i => if (i % 100 == 0) -1L else i)
+    val want = all.sortBy(v => (v != -1L, v)).take(85)
+    assert(got.count(_ == -1L) === 80)
+    assert(got.sorted === want.sorted)
+  }
+
+  test("desc with nulls: NULLS LAST never surfaces a null in the top") {
+    val root = tmp(); rangeTable(root)
+    val got = load(root).select($"holey").orderBy($"holey".desc).limit(30)
+      .collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSeq
+    val want = (0L until 8000L).filter(_ % 100 != 0).sorted.reverse.take(30)
+    assert(got === want)
+  }
+
+  test("topN under deletion vectors: budget counts live rows only") {
+    val root = tmp(); rangeTable(root)
+    // delete the top 990 ids — the boundary file's live tail shrinks to 10
+    // rows, so a sound top-50 must pull from the NEXT file too
+    assert(Snapshots.deleteWhere(spark, root, col("id") >= 7010) > 0L)
+    val got = load(root).select($"id").orderBy($"id".desc).limit(50)
+      .as[Long].collect().toSeq
+    assert(got === (7009L to 6960L by -1L))
+  }
+
+  test("string key topN prunes through slo/shi bounds") {
+    val root = tmp(); rangeTable(root)
+    val got = load(root).select($"skey").orderBy($"skey").limit(10)
+      .as[String].collect().toSeq
+    assert(got === (0 until 10).map(i => f"k$i%05d"))
+    val d = decoded(load(root).select($"skey").orderBy($"skey").limit(10))
+    assert(d <= 2000L, s"string top-10 must decode ~1 boundary file, saw $d")
+  }
+
+  test("float keys never cap (NaN-blind bounds) but stay exact") {
+    val root = tmp(); rangeTable(root)
+    val q = load(root).select($"fkey").orderBy($"fkey").limit(5)
+    assert(q.as[Float].collect().toSeq === (0 until 5).map(_.toFloat))
+    assert(decoded(load(root).select($"fkey").orderBy($"fkey").limit(5)) === 8000L,
+      "a float sort key must not file-cap — NaN is invisible to min/max")
+  }
+
+  test("missing stats: no capping, exact result") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 4000).select($"id").repartitionByRange(4, $"id"), root)
+    val got = load(root).select($"id").orderBy($"id".desc).limit(7)
+      .as[Long].collect().toSeq
+    assert(got === (3999L to 3993L by -1L))
+    assert(decoded(load(root).select($"id").orderBy($"id".desc).limit(7)) === 4000L)
+  }
+
+  test("capForTopN unit soundness: disjoint ranges drop, overlaps keep") {
+    // a: [0,40] x60 rows, b: [50,150] x60 rows
+    val m = Snapshots.Manifest(1L, Seq("a.parquet", "b.parquet"), 0L,
+      stats = Seq(
+        Snapshots.ColStats("a.parquet", "k", 0, 40, nulls = 0L),
+        Snapshots.ColStats("b.parquet", "k", 50, 150, nulls = 0L)),
+      rows = Seq(Snapshots.FileRows("a.parquet", 60L),
+        Snapshots.FileRows("b.parquet", 60L)))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    val kept80 = graft.engine.FilterPrune.capForTopN(
+      m, schema, m.files, "k", desc = true, limit = 80)
+    assert(kept80 === m.files, "80 > b's 60 provable rows — the budget must widen")
+    val kept10 = graft.engine.FilterPrune.capForTopN(
+      m, schema, m.files, "k", desc = true, limit = 10)
+    assert(kept10 === Seq("b.parquet"),
+      "10 ≤ 60 rows provably ≥ 50, and a's whole range sits below 50")
+    // overlapping variant: c overlaps the threshold — must survive
+    val m2 = m.copy(stats = Seq(
+      Snapshots.ColStats("a.parquet", "k", 0, 100, nulls = 0L),
+      Snapshots.ColStats("b.parquet", "k", 50, 150, nulls = 0L)))
+    val kept10b = graft.engine.FilterPrune.capForTopN(
+      m2, schema, m2.files, "k", desc = true, limit = 10)
+    assert(kept10b === m2.files,
+      "a's hi=100 crosses the threshold 50 — it may hold top rows")
+  }
+}
