@@ -210,6 +210,18 @@ private[graft] object FilterPrune {
     * read at 100 TB: "latest n events" over a range-laid-out table plans
     * the tail files, not the table.
     *
+    * Besides the capped list, returns the threshold as a residual-style
+    * filter (`col <= T` asc / `col >= T` desc) when one is provably safe
+    * to push INSIDE the surviving files as a row-group predicate — the
+    * within-file half: a 1 GB boundary file then decodes its boundary row
+    * groups, not all of it. Ascending requires a zero recorded null count
+    * on EVERY kept file (NULLS FIRST rows may be in the top-n, and a
+    * page/group of nulls fails a comparison predicate); descending drops
+    * nulls safely (NULLS LAST can never reach a top the budget already
+    * filled). Types whose canonical stat can't convert back exactly-or-
+    * conservatively (timestamps in rounded seconds, decimals) emit no
+    * threshold filter — the file cap alone stands.
+    *
     * Soundness rests only on the stats being conservative BOUNDS in a
     * monotone canonical order (numeric cast-to-double, string UTF8-byte —
     * both recorded that way, truncated parquet binary bounds included):
@@ -232,15 +244,19 @@ private[graft] object FilterPrune {
       kept: Seq[String],
       col: String,
       desc: Boolean,
-      limit: Int): Seq[String] = {
-    if (limit <= 0) return kept
-    val dt = schema.fields.find(_.name == col).map(_.dataType).getOrElse(return kept)
+      limit: Int): (Seq[String], Option[Filter]) = {
+    if (limit <= 0) return (kept, None)
+    val dt = schema.fields.find(_.name == col).map(_.dataType)
+      .getOrElse(return (kept, None))
     val stats = m.stats.filter(_.col == col).map(s => s.file -> s).toMap
     val rows = m.rows.map(r => r.file -> r.n).toMap
     val dvd = m.dvs.map(d => d.file -> d.deleted).toMap
 
-    def cap[T](bounds: Snapshots.ColStats => Option[(T, T)])(
-        implicit ord: Ordering[T]): Seq[String] = {
+    def cap[T](bounds: Snapshots.ColStats => Option[(T, T)],
+        // external-typed threshold literal for the within-file predicate;
+        // None when no exact-or-conservative conversion exists
+        lit: T => Option[Any])(
+        implicit ord: Ordering[T]): (Seq[String], Option[Filter]) = {
       final case class E(lo: T, hi: T, live: Long)
       val entries = kept.flatMap { uri =>
         val name = new Path(uri).getName
@@ -264,9 +280,9 @@ private[graft] object FilterPrune {
         covered += e.live
         thr = Some(if (desc) e.lo else e.hi)
       }
-      if (covered < limit) return kept
+      if (covered < limit) return (kept, None)
       val t = thr.get
-      kept.filter { uri =>
+      val capped = kept.filter { uri =>
         stats.get(new Path(uri).getName).flatMap(s => bounds(s).map(b => (s, b))) match {
           case Some((s, (lo, hi))) =>
             if (desc) ord.gteq(hi, t)
@@ -274,6 +290,15 @@ private[graft] object FilterPrune {
           case None => true
         }
       }
+      // the within-file threshold: asc only when every KEPT file is
+      // provably null-free on the sort column
+      val nullFree = capped.forall(uri =>
+        stats.get(new Path(uri).getName).exists(_.nulls == 0L))
+      val thrFilter =
+        if (desc) lit(t).map(GreaterThanOrEqual(col, _))
+        else if (nullFree) lit(t).map(LessThanOrEqual(col, _))
+        else None
+      (capped, thrFilter)
     }
 
     dt match {
@@ -282,11 +307,27 @@ private[graft] object FilterPrune {
           (a, b) => a.compareTo(b)
         cap(s => Option(s.slo).map(lo =>
           (org.apache.spark.unsafe.types.UTF8String.fromString(lo),
-            org.apache.spark.unsafe.types.UTF8String.fromString(s.shi))))
-      case ByteType | ShortType | IntegerType | LongType | DateType |
-           TimestampType | TimestampNTZType | _: DecimalType =>
-        cap(s => if (s.slo == null) Some((s.min, s.max)) else None)
-      case _ => kept // float/double (NaN-blind bounds), nested, binary
+            org.apache.spark.unsafe.types.UTF8String.fromString(s.shi))),
+          (t: org.apache.spark.unsafe.types.UTF8String) => Some(t.toString))
+      case ByteType | ShortType | IntegerType | LongType | DateType =>
+        cap(s => if (s.slo == null) Some((s.min, s.max)) else None,
+          (t: Double) => dt match {
+            // stats of integral columns are exact canonical doubles
+            case ByteType if t.isWhole => Some(t.toByte)
+            case ShortType if t.isWhole => Some(t.toShort)
+            case IntegerType if t.isWhole => Some(t.toInt)
+            case LongType if t.isWhole && math.abs(t) < 9007199254740992.0 =>
+              Some(t.toLong)
+            case DateType if t.isWhole =>
+              Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(t.toLong)))
+            case _ => None
+          })
+      case TimestampType | TimestampNTZType | _: DecimalType =>
+        // file cap only: the index stores rounded canonical units, and a
+        // back-converted literal could round to the WRONG side of real rows
+        cap(s => if (s.slo == null) Some((s.min, s.max)) else None,
+          (_: Double) => None)
+      case _ => (kept, None) // float/double (NaN-blind bounds), nested, binary
     }
   }
 }

@@ -496,7 +496,7 @@ private[streaming] class SnapshotScanBuilder(
 
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
-  private var pushedAgg: Option[(StructType, Array[Any], String)] = None
+  private var pushedAgg: Option[(StructType, Seq[Array[Any]], String)] = None
   private var pushedLimit: Option[Int] = None
   private var pushedTopN: Option[(String, Boolean)] = None // (col, descending)
 
@@ -574,20 +574,30 @@ private[streaming] class SnapshotScanBuilder(
 
   override def isPartiallyPushed(): Boolean = true
 
-  // ---- AGGREGATE pushdown: an ungrouped COUNT(*) / COUNT(col) /
-  // MIN(col) / MAX(col) mix answers from the manifest alone — per-file
-  // recorded row counts, null counts, and column ranges; zero data I/O
-  // (the DSv2 twin of the native count rewrite, q110, and of
-  // [[Snapshots.statsRange]]). Complete pushdown: the scan emits the ONE
-  // final row. Declined whole (never partially) when ANY requested
-  // aggregate is not provably exact from metadata:
+  // ---- AGGREGATE pushdown: a COUNT(*) / COUNT(col) / MIN(col) /
+  // MAX(col) mix — ungrouped, or GROUP BY columns on which every file is
+  // single-valued — answers from the manifest alone: per-file recorded
+  // row counts, null counts, and column ranges; zero data I/O (the DSv2
+  // twin of the native count rewrite, q110, and of
+  // [[Snapshots.statsRange]]). Complete pushdown: the scan emits the
+  // final row(s), one per group. GROUP BY qualifies when every live
+  // file's stats PIN each group column to one non-null value (numeric
+  // min==max, string slo==shi — truncated bounds that coincide still pin
+  // the value — with a recorded zero null count): the natural layout of
+  // an ingest that appends one partition-key value per batch (per-day
+  // event commits), where "rows per day" then costs O(manifest) instead
+  // of a 100 TB scan. Declined whole (never partially) when ANY
+  // requested aggregate or group key is not provably exact from metadata:
   //  - any pushed filter (ours are file-level, never row-exact; Spark
   //    also refuses aggregates over post-scan filters on its own — the
-  //    guard here is belt and braces), or any GROUP BY;
-  //  - a head file predating the row-count / stats index;
+  //    guard here is belt and braces);
+  //  - a head file predating the row-count / stats index, or a group
+  //    column any file doesn't pin single-valued;
   //  - a live deletion vector, for anything but COUNT(*) (which subtracts
-  //    cardinalities exactly): which rows a vector deleted is unknowable
-  //    from metadata — the extreme row may be gone;
+  //    per-file cardinalities exactly — sound per group too, since a
+  //    single-valued file belongs wholly to its group): which rows a
+  //    vector deleted is unknowable from metadata — the extreme row may
+  //    be gone;
   //  - MIN/MAX on a type the double-cast stats can't reproduce EXACTLY:
   //    int/date (always exact), long within ±2^53 (checked per value);
   //    float/double are excluded for NaN semantics (parquet footer stats
@@ -598,10 +608,14 @@ private[streaming] class SnapshotScanBuilder(
 
   private def aggAnswer(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Option[(StructType, Array[Any], String)] = {
+      : Option[(StructType, Seq[Array[Any]], String)] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    if (agg.groupByExpressions.nonEmpty || pushed.nonEmpty) return None
+    if (pushed.nonEmpty) return None
+    val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map {
+      case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames.head
+      case _ => return None
+    }
     val spark = SparkSession.active
     val v = travelVersion.getOrElse(Snapshots.headVersion(spark, root))
     if (v <= 0) return None
@@ -616,11 +630,6 @@ private[streaming] class SnapshotScanBuilder(
         case r: NamedReference if r.fieldNames.length == 1 => Some(r.fieldNames.head)
         case _ => None
       }
-    // every live file's recorded stats for c, or None (index incomplete)
-    def statsFor(c: String): Option[Seq[Snapshots.ColStats]] = {
-      val byFile = m.stats.filter(_.col == c).map(s => s.file -> s).toMap
-      if (names.forall(byFile.contains)) Some(names.map(byFile)) else None
-    }
     // the double-cast stat value converted back to the column's type, iff
     // provably the exact original value
     def exact(dt: DataType, d: Double): Option[Any] = dt match {
@@ -632,41 +641,85 @@ private[streaming] class SnapshotScanBuilder(
         Some(d.toLong)
       case _ => None
     }
-    def extremum(e: org.apache.spark.sql.connector.expressions.Expression,
+    val statsByColFile = m.stats.map(s => (s.col, s.file) -> s).toMap
+    // one group tuple per live file (catalyst-encoded values): ungrouped
+    // = the single empty tuple; grouped = every file must PIN every group
+    // column to one non-null value, else the whole pushdown declines
+    def groupValue(s: Snapshots.ColStats, dt: DataType): Option[Any] = dt match {
+      case StringType if s.slo != null && s.slo == s.shi && s.nulls == 0L =>
+        Some(org.apache.spark.unsafe.types.UTF8String.fromString(s.slo))
+      case _ if s.slo == null && s.min == s.max && s.nulls == 0L =>
+        exact(dt, s.min)
+      case _ => None
+    }
+    val groupFields: Seq[StructField] =
+      groupCols.map(c => fullSchema.fields.find(_.name == c).getOrElse(return None))
+    val tupleOf: Map[String, Seq[Any]] =
+      if (groupCols.isEmpty) names.map(_ -> (Nil: Seq[Any])).toMap
+      else names.map { n =>
+        n -> groupCols.zip(groupFields).map { case (c, f) =>
+          statsByColFile.get((c, n)).flatMap(groupValue(_, f.dataType))
+            .getOrElse(return None)
+        }
+      }.toMap
+    // groups in file order of first appearance (deterministic output)
+    val groups: Seq[(Seq[Any], Seq[String])] = {
+      val order = scala.collection.mutable.LinkedHashMap
+        .empty[Seq[Any], scala.collection.mutable.Buffer[String]]
+      names.foreach(n =>
+        order.getOrElseUpdate(tupleOf(n), scala.collection.mutable.Buffer.empty) += n)
+      order.toSeq.map { case (g, ns) => g -> ns.toSeq }
+    }
+    val dvdByName = m.dvs.map(d => d.file -> d.deleted).toMap
+    def statsOver(fs: Seq[String], c: String): Option[Seq[Snapshots.ColStats]] = {
+      val sts = fs.map(n => statsByColFile.get((c, n)))
+      if (sts.exists(_.isEmpty)) None else Some(sts.flatten)
+    }
+    def extremum(fs: Seq[String],
+        e: org.apache.spark.sql.connector.expressions.Expression,
         isMin: Boolean): Option[(StructField, Any, String)] =
       for {
         c <- colOf(e)
         if !anyDv
         f <- fullSchema.fields.find(_.name == c)
-        st <- statsFor(c)
+        st <- statsOver(fs, c)
         d = if (isMin) st.map(_.min).min else st.map(_.max).max
         value <- exact(f.dataType, d)
         fn = if (isMin) "MIN" else "MAX"
       } yield (StructField(s"${fn.toLowerCase}($c)", f.dataType, nullable = false),
         value, s"$fn($c)")
-    val answers: Array[Option[(StructField, Any, String)]] =
+    def answersFor(fs: Seq[String]): Array[Option[(StructField, Any, String)]] =
       agg.aggregateExpressions.map {
         case _: CountStar if rowsComplete =>
           Some((StructField("count(*)", LongType, nullable = false),
-            (names.map(rowsByName).sum - m.dvs.map(_.deleted).sum): Any,
+            (fs.map(rowsByName).sum -
+              fs.map(n => dvdByName.getOrElse(n, 0L)).sum): Any,
             "COUNT(*)"))
         case cnt: Count if !cnt.isDistinct && rowsComplete && !anyDv =>
           for {
             c <- colOf(cnt.column)
-            st <- statsFor(c)
+            st <- statsOver(fs, c)
             if st.forall(_.nulls >= 0L)
           } yield (StructField(s"count($c)", LongType, nullable = false),
-            (names.map(rowsByName).sum - st.map(_.nulls).sum): Any,
+            (fs.map(rowsByName).sum - st.map(_.nulls).sum): Any,
             s"COUNT($c)")
-        case mn: Min => extremum(mn.column, isMin = true)
-        case mx: Max => extremum(mx.column, isMin = false)
+        case mn: Min => extremum(fs, mn.column, isMin = true)
+        case mx: Max => extremum(fs, mx.column, isMin = false)
         case _ => None
       }
-    if (answers.exists(_.isEmpty)) None
+    val perGroup = groups.map { case (g, fs) => g -> answersFor(fs) }
+    if (perGroup.exists(_._2.exists(_.isEmpty))) None
     else {
-      val flat = answers.flatten
-      Some((StructType(flat.map(_._1)), flat.map(_._2).toArray,
-        flat.map(_._3).mkString("[", ", ", "]")))
+      val aggFields = perGroup.head._2.flatten.map(_._1)
+      val schema = StructType(groupFields.map(f =>
+        StructField(f.name, f.dataType, nullable = false)) ++ aggFields)
+      val rows = perGroup.map { case (g, ans) =>
+        (g ++ ans.flatten.map(_._2)).toArray }
+      val descr =
+        (if (groupCols.isEmpty) ""
+         else groupCols.mkString("group by [", ", ", "] ")) +
+          perGroup.head._2.flatten.map(_._3).mkString("[", ", ", "]")
+      Some((schema, rows, descr))
     }
   }
 
@@ -682,8 +735,8 @@ private[streaming] class SnapshotScanBuilder(
   }
 
   override def build(): Scan = pushedAgg match {
-    case Some((schema, values, descr)) =>
-      new SnapshotAggScan(root, schema, values, descr)
+    case Some((schema, rows, descr)) =>
+      new SnapshotAggScan(root, schema, rows, descr)
     case None => new SnapshotScan(required, fullSchema, root,
       options.getOrDefault("startingVersion", "earliest"),
       options.getBoolean("ignoreChanges", false),
@@ -695,10 +748,11 @@ private[streaming] class SnapshotScanBuilder(
   }
 }
 
-/** The one-row scan a completely-pushed aggregation builds: no file is
-  * opened — every value came from the manifest at build time. */
+/** The metadata-rows scan a completely-pushed aggregation builds: no
+  * file is opened — every value came from the manifest at build time.
+  * One row when ungrouped, one per group under a pushed GROUP BY. */
 private[streaming] class SnapshotAggScan(
-    root: String, schema: StructType, values: Array[Any], descr: String)
+    root: String, schema: StructType, rows: Seq[Array[Any]], descr: String)
   extends Scan with Batch {
 
   override def readSchema(): StructType = schema
@@ -707,23 +761,24 @@ private[streaming] class SnapshotAggScan(
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] =
-    Array(SnapshotAggPartition(values))
+    Array(SnapshotAggPartition(rows))
 
   override def createReaderFactory(): PartitionReaderFactory =
     SnapshotAggReaderFactory
 }
 
-private[streaming] case class SnapshotAggPartition(values: Array[Any])
+private[streaming] case class SnapshotAggPartition(rows: Seq[Array[Any]])
   extends InputPartition
 
 private[streaming] object SnapshotAggReaderFactory extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
-      private val vs = partition.asInstanceOf[SnapshotAggPartition].values
-      private var served = false
-      override def next(): Boolean = if (served) false else { served = true; true }
+      private val it = partition.asInstanceOf[SnapshotAggPartition].rows.iterator
+      private var row: Array[Any] = _
+      override def next(): Boolean =
+        if (it.hasNext) { row = it.next(); true } else false
       override def get(): InternalRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vs)
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(row)
       override def close(): Unit = ()
     }
 }
@@ -938,16 +993,17 @@ private[streaming] class SnapshotScan(
     // only on a genuinely filterless, non-row-level scan: a residual
     // filter would make per-file row counts an overestimate of output
     // rows, and a CoW rewrite must see every file it might replace.
-    val capped =
+    val (capped, topNThreshold) =
       if (pushed.nonEmpty || runtimeFilters.nonEmpty || onPlanned != null ||
-          required.fieldNames.contains(SnapshotSource.FileCol)) finalKept
+          required.fieldNames.contains(SnapshotSource.FileCol))
+        (finalKept, None: Option[Filter])
       else pushedTopN match {
         case Some((c, desc)) => pushedLimit.map(n =>
           graft.engine.FilterPrune.capForTopN(m, fullSchema, finalKept, c, desc, n))
-          .getOrElse(finalKept)
-        case None => pushedLimit.map(n =>
+          .getOrElse((finalKept, None))
+        case None => (pushedLimit.map(n =>
           graft.engine.FilterPrune.capForLimit(m, finalKept, n))
-          .getOrElse(finalKept)
+          .getOrElse(finalKept), None)
       }
     val dvByName = m.dvs.map(d => d.file -> d.b64).toMap
     if (onPlanned != null) onPlanned(finalKept)
@@ -965,7 +1021,7 @@ private[streaming] class SnapshotScan(
     val rg =
       if (rowLevel) Array.empty[graft.engine.RowGroupFilters.RgF]
       else graft.engine.RowGroupFilters.translate(
-        (pushed ++ dataFilters).toSeq, fullSchema,
+        (pushed ++ dataFilters ++ topNThreshold).toSeq, fullSchema,
         SnapshotSource.physicalNames(root))
     SnapshotFilePartition.planned(capped, dvByName, spark,
       clustered = clustered, rgFilters = rg,

@@ -1,0 +1,161 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+import graft.engine.Snapshots
+
+/** GROUP BY pushdown into the manifest aggregate path (round 16 extension
+  * of the ungrouped COUNT/MIN/MAX pushdown): when every live file is
+  * single-valued on every group column (numeric min==max / string
+  * slo==shi, zero recorded nulls), a grouped COUNT(*)/COUNT(col)/MIN/MAX
+  * answers entirely from per-file metadata — the scan emits one row per
+  * group and opens no data file. The natural producer of that layout is
+  * an ingest that appends one partition-key value per commit (per-day /
+  * per-source event batches).
+  *
+  * Soundness pins mirror the ungrouped suite: single-valuedness is
+  * required per file (a mixed file declines the WHOLE pushdown), nulls in
+  * a group column decline (metadata can't see the null group), deletion
+  * vectors keep COUNT(*) exact per group (a single-valued file belongs
+  * wholly to its group) but poison extremes, and every answer equals the
+  * scan-computed reference.
+  */
+class GroupedAggPushSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    "file:" + Files.createTempDirectory("gagg").toString + "/t"
+
+  private def batchRead(root: String): DataFrame =
+    spark.read.format("graft.streaming.SnapshotSourceProvider")
+      .option("root", root).load()
+
+  /** Scan descriptions through the adaptive wrappers (grouped plans are
+    * AQE-wrapped; TreeNode.collect stops at the adaptive boundary). */
+  private def descOf(q: DataFrame): String = {
+    q.collect() // materialize the adaptive plan
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        go(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(s.plan)
+      case b: BatchScanExec => Seq(b.scan.description())
+      case o => o.children.flatMap(go)
+    }
+    go(q.queryExecution.executedPlan).mkString("\n")
+  }
+
+  private def deleteDataFiles(root: String): Unit = {
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(new Path(s"$root/data"), true)
+  }
+
+  /** Per-source appends: each commit lands files holding ONE src value. */
+  private def perKeyTable(): String = {
+    val root = tmp()
+    Seq("a", "b", "c").zipWithIndex.foreach { case (s, i) =>
+      val n = 100 * (i + 1)
+      val df = spark.range(0, n)
+        .select(lit(s).as("src"), ($"id" + i * 1000).as("id"),
+          (($"id" % 50) + i).cast("int").as("v"))
+      Snapshots.commit(df.repartition(2), root, append = i > 0,
+        statsCols = Seq("src", "id", "v"))
+    }
+    root
+  }
+
+  test("grouped COUNT(*)/MIN/MAX answers from the manifest with no data I/O") {
+    val root = perKeyTable()
+    val q = batchRead(root).groupBy("src")
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+      .orderBy("src")
+    val want = Seq(("a", 100L, 0L, 99L), ("b", 200L, 1000L, 1199L),
+      ("c", 300L, 2000L, 2299L))
+    assert(q.as[(String, Long, Long, Long)].collect().toSeq === want)
+    val d = descOf(q)
+    assert(d.contains("PushedAggregates") && d.contains("group by [src]"),
+      s"got: $d")
+    // the strongest pin: the same answer with the data files GONE
+    deleteDataFiles(root)
+    assert(batchRead(root).groupBy("src")
+      .agg(count(lit(1)).as("n"), min("id").as("lo"), max("id").as("hi"))
+      .orderBy("src")
+      .as[(String, Long, Long, Long)].collect().toSeq === want)
+  }
+
+  test("a file holding two group values declines the whole pushdown, stays exact") {
+    val root = tmp()
+    // one commit, one partition → one file with both 'x' and 'y'
+    Snapshots.commit(
+      Seq(("x", 1L), ("x", 2L), ("y", 3L)).toDF("src", "id").coalesce(1),
+      root, statsCols = Seq("src", "id"))
+    val q = batchRead(root).groupBy("src").agg(count(lit(1)).as("n")).orderBy("src")
+    assert(!descOf(q).contains("PushedAggregates"), descOf(q))
+    assert(q.as[(String, Long)].collect().toSeq === Seq(("x", 2L), ("y", 1L)))
+  }
+
+  test("nulls in the group column decline (metadata can't see the null group)") {
+    val root = tmp()
+    Snapshots.commit(
+      Seq((Option("x"), 1L), (Option("x"), 2L)).toDF("src", "id").coalesce(1),
+      root, statsCols = Seq("src", "id"))
+    Snapshots.commit(
+      Seq((Option.empty[String], 3L), (Option.empty[String], 4L))
+        .toDF("src", "id").coalesce(1),
+      root, append = true, statsCols = Seq("src", "id"))
+    val q = batchRead(root).groupBy("src").agg(count(lit(1)).as("n"))
+    assert(!descOf(q).contains("PushedAggregates"), descOf(q))
+    assert(q.collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap ===
+      Map(Option("x") -> 2L, None -> 2L))
+  }
+
+  test("deletion vectors: grouped COUNT(*) subtracts per group; MIN declines") {
+    val root = perKeyTable()
+    Snapshots.deleteWhere(spark, root, col("src") === "b" && col("id") < 1050L)
+    val cnt = batchRead(root).groupBy("src").agg(count(lit(1)).as("n")).orderBy("src")
+    assert(descOf(cnt).contains("group by [src]"), descOf(cnt))
+    assert(cnt.as[(String, Long)].collect().toSeq ===
+      Seq(("a", 100L), ("b", 150L), ("c", 300L)))
+    val mn = batchRead(root).groupBy("src").agg(min("id").as("lo")).orderBy("src")
+    assert(!descOf(mn).contains("PushedAggregates"), descOf(mn))
+    assert(mn.as[(String, Long)].collect().toSeq ===
+      Seq(("a", 0L), ("b", 1050L), ("c", 2000L)))
+  }
+
+  test("multi-column groups and numeric group keys push exactly") {
+    val root = tmp()
+    for {
+      (s, i) <- Seq("a", "b").zipWithIndex
+      d <- 1 to 3
+    } Snapshots.commit(
+      spark.range(0, 10L * d).select(lit(s).as("src"), lit(d).cast("int").as("day"),
+        $"id"),
+      root, append = !(i == 0 && d == 1), statsCols = Seq("src", "day", "id"))
+    val q = batchRead(root).groupBy("src", "day")
+      .agg(count(lit(1)).as("n"), max("id").as("hi"))
+      .orderBy("src", "day")
+    val d = descOf(q)
+    assert(d.contains("group by [src, day]"), s"got: $d")
+    val want = for { s <- Seq("a", "b"); dd <- 1 to 3 }
+      yield (s, dd, 10L * dd, 10L * dd - 1)
+    assert(q.as[(String, Int, Long, Long)].collect().toSeq === want)
+  }
+
+  test("grouped COUNT(col) subtracts per-group null counts") {
+    val root = tmp()
+    Seq("p", "q").zipWithIndex.foreach { case (s, i) =>
+      val df = spark.range(0, 100)
+        .select(lit(s).as("src"), $"id",
+          when($"id" % (10 * (i + 1)) === 0, lit(null)).otherwise($"id").as("v"))
+      Snapshots.commit(df.repartition(2), root, append = i > 0,
+        statsCols = Seq("src", "v"))
+    }
+    val q = batchRead(root).groupBy("src").agg(count(col("v")).as("nv")).orderBy("src")
+    assert(descOf(q).contains("group by [src]"), descOf(q))
+    assert(q.as[(String, Long)].collect().toSeq === Seq(("p", 90L), ("q", 95L)))
+  }
+}

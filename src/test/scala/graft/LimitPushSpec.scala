@@ -165,20 +165,51 @@ class LimitPushSpec extends SparkSpec {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("k",
         org.apache.spark.sql.types.LongType)))
-    val kept80 = graft.engine.FilterPrune.capForTopN(
+    val (kept80, _) = graft.engine.FilterPrune.capForTopN(
       m, schema, m.files, "k", desc = true, limit = 80)
     assert(kept80 === m.files, "80 > b's 60 provable rows — the budget must widen")
-    val kept10 = graft.engine.FilterPrune.capForTopN(
+    val (kept10, thr10) = graft.engine.FilterPrune.capForTopN(
       m, schema, m.files, "k", desc = true, limit = 10)
     assert(kept10 === Seq("b.parquet"),
       "10 ≤ 60 rows provably ≥ 50, and a's whole range sits below 50")
+    assert(thr10 ===
+      Some(org.apache.spark.sql.sources.GreaterThanOrEqual("k", 50L)),
+      "the within-file threshold rides along for row-group pruning")
     // overlapping variant: c overlaps the threshold — must survive
     val m2 = m.copy(stats = Seq(
       Snapshots.ColStats("a.parquet", "k", 0, 100, nulls = 0L),
       Snapshots.ColStats("b.parquet", "k", 50, 150, nulls = 0L)))
-    val kept10b = graft.engine.FilterPrune.capForTopN(
+    val (kept10b, _) = graft.engine.FilterPrune.capForTopN(
       m2, schema, m2.files, "k", desc = true, limit = 10)
     assert(kept10b === m2.files,
       "a's hi=100 crosses the threshold 50 — it may hold top rows")
+  }
+
+  test("topN threshold prunes row groups inside an overlapping survivor file") {
+    // file A: ids [0, 1000) — covers the whole top-1000 budget, so the
+    // threshold T lands at A.hi=999; file B: ids [500, 100000) SORTED in
+    // ~64 KB row groups — B survives the file cap (lo 500 ≤ T) but the
+    // within-file `id <= 999` predicate must drop all but its head groups
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 1000).toDF("id").coalesce(1),
+      root, statsCols = Seq("id"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    hc.set("parquet.block.size", (1 << 16).toString)
+    try {
+      Snapshots.commit(
+        spark.range(500, 100000).toDF("id")
+          .repartition(1).sortWithinPartitions("id"),
+        root, append = true, statsCols = Seq("id"))
+    } finally oldBlock.fold(hc.unset("parquet.block.size"))(
+      hc.set("parquet.block.size", _))
+    assert(Snapshots.manifest(spark, root, 2L).files.size === 2)
+    val want = ((0L until 1000L) ++ (500L until 1000L)).sorted.take(1000)
+    val q = load(root).orderBy($"id").limit(1000)
+    assert(q.select("id").as[Long].collect().toSeq === want)
+    val d = decoded(load(root).orderBy($"id").limit(1000))
+    assert(d < 20000L,
+      s"the within-file threshold must drop B's row groups above 999, saw $d")
   }
 }
