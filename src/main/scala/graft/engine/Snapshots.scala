@@ -395,11 +395,45 @@ object Snapshots {
   private def shardPath(root: String, name: String) =
     new Path(s"${dataRoot(root)}/$SnapDir/$name")
 
-  private def loadShard(spark: SparkSession, root: String, ref: ShardRef): Shard = {
-    val (files, stats, rows, blooms, dvs) =
-      parseShard(readText(spark, root, shardPath(root, ref.name)))
-    Shard(ref, files, stats, rows, blooms, dvs)
+  /** Process-wide shard cache (round 16). Shards are IMMUTABLE and
+    * UUID-named (write-once, `overwrite=false`), so (root, name) keys one
+    * content forever — a resolve that planning repeats (every scan, every
+    * commit's parent read) parses each shard JSON once per process
+    * instead of once per call. Bounded by total cached FILE ENTRIES (the
+    * size driver), LRU-evicted; vacuumed shards age out the same way
+    * (nothing can request them — their manifests are gone). */
+  private object ShardCache {
+    private val MaxEntries = 200000L
+    private val map =
+      new java.util.LinkedHashMap[(String, String), Shard](64, 0.75f, true)
+    private var weight = 0L
+    def get(root: String, name: String): Option[Shard] =
+      synchronized(Option(map.get((root, name))))
+    def put(root: String, name: String, sh: Shard): Unit = synchronized {
+      val k = (root, name)
+      if (!map.containsKey(k)) {
+        map.put(k, sh)
+        weight += math.max(1L, sh.files.size.toLong)
+        val it = map.entrySet().iterator()
+        while (weight > MaxEntries && it.hasNext) {
+          val e = it.next()
+          if (e.getKey != k) {
+            weight -= math.max(1L, e.getValue.files.size.toLong)
+            it.remove()
+          }
+        }
+      }
+    }
   }
+
+  private def loadShard(spark: SparkSession, root: String, ref: ShardRef): Shard =
+    ShardCache.get(root, ref.name).getOrElse {
+      val (files, stats, rows, blooms, dvs) =
+        parseShard(readText(spark, root, shardPath(root, ref.name)))
+      val sh = Shard(ref, files, stats, rows, blooms, dvs)
+      ShardCache.put(root, ref.name, sh)
+      sh
+    }
 
   private def loadShards(spark: SparkSession, root: String, m: ManifestMeta): Seq[Shard] =
     m.inline match {
@@ -2484,33 +2518,53 @@ object Snapshots {
     val probe =
       if (m.schema.nonEmpty) readFilesRaw(spark, m, Seq.empty, withMeta = false).filter(cond)
       else readFilesRaw(spark, m, m.files, withMeta = false).filter(cond)
-    val candidates =
-      if (m.stats.isEmpty && m.blooms.isEmpty) m.files
+    val (candidates, fullDrop) =
+      if (m.stats.isEmpty && m.blooms.isEmpty) (m.files, Set.empty[String])
       else {
-        val (mined, _) = minePredicate(m, probe)
-        if (mined.isEmpty) m.files
+        val (mined, allMinable) = minePredicate(m, probe)
+        if (mined.isEmpty) (m.files, Set.empty[String])
         else {
           val keepSet = mined.map(_.overlap.toSet).reduce(_ intersect _)
-          m.files.filter(keepSet)
+          val kept = m.files.filter(keepSet)
+          // METADATA DELETE (round 16): a file EVERY conjunct fully
+          // accepts (recorded bounds inside the band, zero recorded
+          // nulls) provably holds ONLY matching rows — drop it from the
+          // manifest without scanning, vectoring, or rewriting it. The
+          // retention shape at 100 TB: `DELETE WHERE day < cutoff` over a
+          // day-laid-out table is O(manifest), not a scan of the expiring
+          // region. Sound under an existing DV (live rows ⊆ all rows, all
+          // matching); files with unrecorded stats never full-accept.
+          val full =
+            if (!allMinable) Set.empty[String]
+            else mined.map(_.full).reduce(_ intersect _)
+          (kept, kept.filter(full).toSet)
         }
       }
     if (candidates.isEmpty) return headV
-    // one distributed pass: positions of newly-matching rows, compressed
-    // per file on the executors (existing DVs applied first — a re-issued
-    // delete finds nothing new and no-ops)
-    graft.plans.GraftExtensions.register(spark)
-    val live = liveRowsWithMeta(spark, m, candidates, m.dvs)
-    val marked = live.filter(cond)
-      .groupBy(col(DvFileCol))
-      .agg(count(lit(1)).as("__n"), call_function("rb64_agg", col(DvPosCol)).as("__bm"))
-      .collect()
-      .toSeq
+    val scanSet = candidates.filterNot(fullDrop)
+    // one distributed pass over the files that are NOT provably all-match:
+    // positions of newly-matching rows, compressed per file on the
+    // executors (existing DVs applied first — a re-issued delete finds
+    // nothing new and no-ops)
+    val marked =
+      if (scanSet.isEmpty) Seq.empty[org.apache.spark.sql.Row]
+      else {
+        graft.plans.GraftExtensions.register(spark)
+        val live = liveRowsWithMeta(spark, m, scanSet, m.dvs)
+        live.filter(cond)
+          .groupBy(col(DvFileCol))
+          .agg(count(lit(1)).as("__n"),
+            call_function("rb64_agg", col(DvPosCol)).as("__bm"))
+          .collect()
+          .toSeq
+      }
     commitMarkedDeletes(spark, root, headV, shards, m, marked, mergeOnRead,
       maxDvFraction, statsCols, bloomCols,
       // survivors of rewritten files: DVs applied, then SQL DELETE
       // semantics — keep rows where cond is FALSE OR NULL
       cowSurvivors = files => readFiles(spark, m, files)
-        .filter(!coalesce(cond, lit(false))))
+        .filter(!coalesce(cond, lit(false))),
+      dropFiles = fullDrop)
   }
 
   /** Shared commit tail of the merge-on-read delete family: classify each
@@ -2530,8 +2584,11 @@ object Snapshots {
       maxDvFraction: Double,
       statsCols: Seq[String],
       bloomCols: Seq[String],
-      cowSurvivors: Seq[String] => DataFrame): Long = {
-    if (marked.isEmpty) return headV // nothing matched: true no-op
+      cowSurvivors: Seq[String] => DataFrame,
+      // files (URIs) provably ALL-MATCHING from metadata: dropped from the
+      // manifest outright — never scanned, vectored, or rewritten
+      dropFiles: Set[String] = Set.empty): Long = {
+    if (marked.isEmpty && dropFiles.isEmpty) return headV // true no-op
     val rowsByName = m.rows.map(r => r.file -> r.n).toMap
     val oldDvByName = m.dvs.map(d => d.file -> d).toMap
     // classify each touched file: vector it, or rewrite it (fraction cap /
@@ -2559,10 +2616,12 @@ object Snapshots {
           writeBatch(survivors, root, statsCols, toPhys, bloomCols)
         Seq(writeShard(spark, root, written, newStats, newRows, newBlooms))
       }
-    val carried = rewriteShards(spark, root, shards, cowFiles.toSet, dvUpdates)
+    val carried =
+      rewriteShards(spark, root, shards, cowFiles.toSet ++ dropFiles, dvUpdates)
     // a PURE deletion-vector delete never moves a row between files, so
-    // bucket purity — and the clustering spec — survives; any copy-on-write
-    // rewrite produces files with no recorded bucket, so the spec drops
+    // bucket purity — and the clustering spec — survives; metadata drops
+    // remove whole files, which also preserves purity. Only a copy-on-write
+    // rewrite produces files with no recorded bucket, dropping the spec.
     publishMeta(spark, root, tag = "", requireHead = headV,
       clustering = h =>
         if (cowFiles.isEmpty) h.flatMap(_.clustering) else None) { head =>

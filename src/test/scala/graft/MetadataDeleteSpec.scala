@@ -1,0 +1,131 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+
+import graft.engine.Snapshots
+
+/** METADATA DELETE (round 16): a `deleteWhere` predicate that provably
+  * matches EVERY row of a file (the mined conjuncts' full-acceptance set —
+  * recorded bounds inside the band, zero recorded nulls) drops that file
+  * from the manifest without scanning, vectoring, or rewriting it. The
+  * retention shape at 100 TB: `DELETE WHERE day < cutoff` over a
+  * day-laid-out table touches O(manifest), not the expiring region's
+  * bytes.
+  *
+  * Pins:
+  *  - an aligned delete is PURELY metadata: zero data I/O, proven by
+  *    physically deleting the doomed files' bytes FIRST — the delete
+  *    still succeeds and reads stay exact;
+  *  - a misaligned delete mixes: interior files drop, the boundary file
+  *    vectors (or rewrites past the cap), results row-exact either way;
+  *  - nulls in the predicate column block full acceptance (SQL DELETE
+  *    keeps cond-NULL rows — dropping the file would erase them);
+  *  - an existing DV does not block a drop (live rows ⊆ all rows);
+  *  - time travel still sees dropped rows; the snapshot model holds.
+  */
+class MetadataDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    "file:" + Files.createTempDirectory("mdel").toString + "/t"
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** 8 range-disjoint 100-wide files over ids [0, 800). */
+  private def build(): String = {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 800).select($"id",
+        when($"id" % 5 === 0, lit(null)).otherwise($"id").as("v")),
+      root, statsCols = Seq("id", "v"))
+    root
+  }
+
+  private def ids(root: String): Set[Long] =
+    Snapshots.read(spark, root).select("id").as[Long].collect().toSet
+
+  test("an aligned retention delete drops files with zero data I/O") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 800).toDF("id").repartitionByRange(8, $"id"),
+      root, statsCols = Seq("id"))
+    val m1 = Snapshots.manifest(spark, root, 1L)
+    assert(m1.files.size === 8)
+    // destroy the doomed region's BYTES first: a metadata delete never
+    // opens them, so this only fails if something scans
+    val doomed = m1.files.filter { u =>
+      val s = m1.stats.find(x => x.file == new Path(u).getName && x.col == "id").get
+      s.max < 300
+    }
+    assert(doomed.size === 3)
+    doomed.foreach(u => assert(fs(root).delete(new Path(u), false)))
+    val v2 = Snapshots.deleteWhere(spark, root, col("id") < 300)
+    assert(v2 === 2L)
+    val m2 = Snapshots.manifest(spark, root, v2)
+    assert(m2.files.size === 5, "three fully-matching files must drop")
+    assert(m2.dvs.isEmpty, "an aligned delete needs no vectors")
+    assert(ids(root) === (300L until 800L).toSet)
+  }
+
+  test("a misaligned delete drops interior files and vectors the boundary") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 800).toDF("id").repartitionByRange(8, $"id"),
+      root, statsCols = Seq("id"))
+    val before = Snapshots.manifest(spark, root, 1L).files.toSet
+    val v2 = Snapshots.deleteWhere(spark, root, col("id") < 250)
+    val m2 = Snapshots.manifest(spark, root, v2)
+    assert(m2.files.size === 6, "files [0,99] and [100,199] must drop")
+    assert(m2.files.toSet.subsetOf(before), "no rewrite: no new files")
+    assert(m2.dvs.map(_.deleted).sum === 50L, "boundary file vectors 50 rows")
+    assert(ids(root) === (250L until 800L).toSet)
+  }
+
+  test("nulls in the predicate column block the drop; null rows survive") {
+    val root = build() // v = null on multiples of 5, else id
+    val v2 = Snapshots.deleteWhere(spark, root, col("v") < 300)
+    val m2 = Snapshots.manifest(spark, root, v2)
+    // no file may drop: every file holds cond-NULL rows that must survive
+    assert(m2.files.size === Snapshots.manifest(spark, root, 1L).files.size)
+    val got = Snapshots.read(spark, root).select("id").as[Long].collect().toSet
+    val want = (0L until 800L).filterNot(i => i % 5 != 0 && i < 300).toSet
+    assert(got === want)
+  }
+
+  test("an existing deletion vector does not block a full-match drop") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 400).toDF("id").repartitionByRange(4, $"id"),
+      root, statsCols = Seq("id"))
+    val v2 = Snapshots.deleteWhere(spark, root, col("id") % 10 === 7) // vectors
+    assert(Snapshots.manifest(spark, root, v2).dvs.nonEmpty)
+    val v3 = Snapshots.deleteWhere(spark, root, col("id") < 200)
+    val m3 = Snapshots.manifest(spark, root, v3)
+    assert(m3.files.size === 2, "both fully-covered files drop, DV'd or not")
+    assert(m3.dvs.forall(d => m3.files.exists(u => new Path(u).getName == d.file)),
+      "dropped files' vectors must not linger in the manifest")
+    assert(ids(root) === (200L until 400L).filterNot(_ % 10 == 7).toSet)
+  }
+
+  test("time travel still sees dropped rows; SQL DELETE routes the same path") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 400).toDF("id").repartitionByRange(4, $"id"),
+      root, statsCols = Seq("id"))
+    val v2 = Snapshots.deleteWhere(spark, root, col("id") < 100)
+    assert(Snapshots.manifest(spark, root, v2).files.size === 3)
+    assert(Snapshots.read(spark, root, 1).count() === 400L)
+    // the SQL surface drops through the same metadata path
+    spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+    spark.sql(s"DELETE FROM graft.`$root` WHERE id < 200")
+    val h = Snapshots.headVersion(spark, root)
+    val mh = Snapshots.manifest(spark, root, h)
+    assert(mh.files.size === 2 && mh.dvs.isEmpty,
+      s"SQL DELETE must drop the second file too, got ${mh.files.size} files")
+    assert(ids(root) === (200L until 400L).toSet)
+  }
+}
