@@ -2569,6 +2569,102 @@ object Lake {
       out
     },
 
+    // ---- q143: GROUPED METADATA AGGREGATE — events ingested the way a
+    //            production feed lands them (one commit per event_type;
+    //            every file single-valued on the key with recorded
+    //            stats), then `GROUP BY event_type` with count/min/max
+    //            answers ENTIRELY from the manifest: the pushed-aggregate
+    //            scan (SupportsPushDownAggregates + round-16 group-by
+    //            extension) emits exactly one row per group and opens no
+    //            data file — required in-query: the hash-checked plan's
+    //            scan outputs exactly #groups rows. The 100 TB reading:
+    //            "rows per day/source" — the commonest ops probe on an
+    //            event lake — costs O(manifest), not a table scan.
+    //            Result hash-matches DuckDB's real aggregation. ----
+    OracleQuery(
+      "q143_grouped_meta_agg",
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(event_id) AS BIGINT) AS min_id,
+        |  CAST(max(event_id) AS BIGINT) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/events_bytype"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val ev = Tables(spark, dir, "events").select("event_type", "event_id")
+      // the per-key ingest shape: one append per event_type (the distinct
+      // set is the partition-key domain — O(5) here, never O(rows))
+      val types = ev.select("event_type").distinct()
+        .collect().map(_.getString(0)).sorted
+      types.zipWithIndex.foreach { case (t, i) =>
+        Snapshots.commit(ev.filter(col("event_type") === t).repartition(2),
+          root, append = i > 0, statsCols = Seq("event_type", "event_id"))
+      }
+      // single-partition sort, not orderBy: range partitioning SAMPLES its
+      // child first, which would execute the (tiny) agg scan twice and
+      // blur the exact row-count gate below
+      val res = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+        .coalesce(1).sortWithinPartitions("event_type")
+      val out = res.localCheckpoint(true)
+      val d = scanOutputRows(res.queryExecution.executedPlan)
+      require(d == types.length,
+        s"grouped agg must answer from the manifest " +
+          s"(scan emitted $d rows, expected ${types.length} groups)")
+      out
+    },
+
+    // ---- q144: METADATA RETENTION DELETE — events committed range-laid
+    //            on event_id (8 tight files, recorded bounds), then the
+    //            retention verb `DELETE WHERE event_id < cutoff`: files
+    //            whose bounds sit entirely under the cutoff DROP from the
+    //            manifest without being scanned, vectored, or rewritten
+    //            (round 16 metadata delete); only the one boundary file
+    //            vectors. Required in-query: ≥2 files gone, ZERO new data
+    //            files (no copy-on-write), and the survivors' aggregate
+    //            hash-matches DuckDB's post-delete state. The 100 TB
+    //            reading: expiring a day/region of a laid-out table costs
+    //            O(manifest), not a scan-and-rewrite of the expiring
+    //            bytes. ----
+    OracleQuery(
+      "q144_metadata_delete",
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events WHERE event_id >= 2500
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/events_retention"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val ev = Tables(spark, dir, "events").select("event_id", "event_type")
+      // fixed ~500-id-wide range files at any SF, so the 2500 cutoff always
+      // covers several whole files (the layout a day-partitioned ingest has)
+      val nFiles = math.max(4, (ev.count() / 500).toInt)
+      Snapshots.commit(ev.repartitionByRange(nFiles, col("event_id")),
+        root, statsCols = Seq("event_id"))
+      val before = Snapshots.manifest(spark, root, 1L).files.toSet
+      // maxDvFraction=1.0: the boundary file must VECTOR even when range
+      // sampling lands it mostly under the cutoff — a retention delete
+      // should never rewrite bytes, and the no-new-files gate pins that
+      val v2 = Snapshots.deleteWhere(spark, root, col("event_id") < 2500,
+        maxDvFraction = 1.0)
+      val m2 = Snapshots.manifest(spark, root, v2)
+      require(before.size - m2.files.size >= 2,
+        s"retention must DROP fully-covered files from the manifest " +
+          s"(${before.size} -> ${m2.files.size})")
+      require(m2.files.toSet.subsetOf(before),
+        "a metadata+vector delete must write no new data files")
+      spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("event_id")).cast("bigint").as("sum_id"))
+        .orderBy("event_type")
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO
