@@ -97,8 +97,11 @@ object Snapshots {
     * else from the parquet footers (metadata-only reads, no Spark job).
     * What lets `count(*)` and fully-contained band counts answer in
     * O(metadata): see [[rowCount]] / [[countWhere]]. Pre-round-8 shards
-    * carry none; consumers degrade to scanning. */
-  final case class FileRows(file: String, n: Long)
+    * carry none; consumers degrade to scanning.
+    * Round 16: `bytes` (on-disk size, -1 in earlier shards = unknown)
+    * funds byte-based streaming admission (`maxBytesPerTrigger`) without
+    * a per-file RPC at trigger time. */
+  final case class FileRows(file: String, n: Long, bytes: Long = -1L)
 
   /** Per-file Bloom filter over a STRING key column (round 9) — the
     * pruning index [[ColStats]] cannot be for opaque keys. A numeric key
@@ -1200,11 +1203,13 @@ object Snapshots {
     // retried attempt's duplicate or a torn partial — neither is this
     // batch's content); the native-writer path keeps the directory listing
     // (its commit protocol already cleaned attempts)
-    val stagedUris =
-      if (compositeCluster) gridWritten
+    val stagedSized: Seq[(String, Long)] =
+      if (compositeCluster)
+        gridWritten.map(u => u -> f.getFileStatus(new Path(u)).getLen)
       else f.listStatus(new Path(dataDir)).toSeq
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.toString)
+        .map(st => st.getPath.toString -> st.getLen)
+    val stagedUris = stagedSized.map(_._1)
     if ((genNow != rulesGen || compositeCluster) && rulesNow.nonEmpty &&
         stagedUris.nonEmpty) {
       val staged0 = spark.read.parquet(stagedUris: _*)
@@ -1239,11 +1244,17 @@ object Snapshots {
         rows0 ++ rowsFromFooters(spark,
           written.filterNot(u => known.contains(new Path(u).getName)))
       }
+    // byte sizes ride along from the staging listing (free — already
+    // listed) for rows the stats/footer pass didn't size (Spark-job stats)
+    val sizeByName = stagedSized.iterator
+      .map { case (u, len) => new Path(u).getName -> len }.toMap
+    val rowsB = rows.map(r =>
+      if (r.bytes >= 0L) r else r.copy(bytes = sizeByName.getOrElse(r.file, -1L)))
     val blooms =
       if (bloomCols.isEmpty) Seq.empty
       else collectBlooms(spark, Seq(dataDir), bloomCols.map(c => toPhys.getOrElse(c, c)),
-        df.schema, toPhys, rows)
-    (written, stats, rows, blooms)
+        df.schema, toPhys, rowsB)
+    (written, stats, rowsB, blooms)
   }
 
   /** COMPOSITE-grid batch write (round 15): one parquet file per grid
@@ -1534,7 +1545,7 @@ object Snapshots {
                 nulls = if (nullsKnown) nulls else -1L))
             }
           }
-          (colStats, FileRows(name, nRows))
+          (colStats, FileRows(name, nRows, in.getLength))
         } finally r.close()
       }
       Some(perFile)
@@ -1762,7 +1773,7 @@ object Snapshots {
         .fromPath(new Path(uri), footerConf(confEntries))
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       val n = try r.getRecordCount finally r.close()
-      Some(FileRows(new Path(uri).getName, n))
+      Some(FileRows(new Path(uri).getName, n, in.getLength))
     } catch { case scala.util.control.NonFatal(_) => None }
 
   private def rowsFromFooters(spark: SparkSession, files: Seq[String]): Seq[FileRows] = {
@@ -4162,7 +4173,9 @@ object Snapshots {
     }.mkString("[", ",", "]")
 
   private def renderRows(rows: Seq[FileRows]): String =
-    rows.map(r => s"""{"file":${graft.JsonStr(r.file)},"n":${r.n}}""")
+    // "b" only when known — earlier-era shard bodies stay byte-identical
+    rows.map(r => s"""{"file":${graft.JsonStr(r.file)},"n":${r.n}""" +
+        (if (r.bytes >= 0L) s""","b":${r.bytes}}""" else "}"))
       .mkString("[", ",", "]")
 
   /** Shard body: one immutable file list + its stats + per-file row counts.
@@ -4241,9 +4254,10 @@ object Snapshots {
     * entries carry `"col"` right after `"file"`, manifest shard refs use
     * `"name"` — no cross-match); absent in pre-round-8 shards → empty. */
   private def parseRowsArray(text: String): Seq[FileRows] =
-    """\{"file":"([^"\\]*(?:\\.[^"\\]*)*)","n":(\d+)\}""".r
+    """\{"file":"([^"\\]*(?:\\.[^"\\]*)*)","n":(\d+)(?:,"b":(\d+))?\}""".r
       .findAllMatchIn(text)
-      .map(g => FileRows(unescape(g.group(1)), g.group(2).toLong)).toSeq
+      .map(g => FileRows(unescape(g.group(1)), g.group(2).toLong,
+        Option(g.group(3)).map(_.toLong).getOrElse(-1L))).toSeq
 
   /** Bloom entries, shape-anchored on the `"b64"` key (stats carry
     * `"min"`, rows carry `"n"` — no cross-match). Absent pre-round-9.

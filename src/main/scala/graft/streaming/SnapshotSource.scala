@@ -744,7 +744,9 @@ private[streaming] class SnapshotScanBuilder(
       pushed,
       travelVersion,
       pushedLimit,
-      pushedTopN)
+      pushedTopN,
+      Option(options.get("maxBytesPerTrigger")).map(
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes))
   }
 }
 
@@ -793,7 +795,8 @@ private[streaming] class SnapshotScan(
     pushed: Array[Filter] = Array.empty,
     version: Option[Long] = None,
     pushedLimit: Option[Int] = None,
-    pushedTopN: Option[(String, Boolean)] = None)
+    pushedTopN: Option[(String, Boolean)] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -822,7 +825,7 @@ private[streaming] class SnapshotScan(
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
     streamingUse = true
     new SnapshotMicroBatchStream(root, required, startingVersion, ignoreChanges,
-      maxFilesPerTrigger)
+      maxFilesPerTrigger, maxBytesPerTrigger)
   }
 
   // ---- batch half: manifest-index file pruning + DV-aware readers ----
@@ -1082,11 +1085,12 @@ private[streaming] class SnapshotMicroBatchStream(
     required: StructType,
     startingVersion: String,
     ignoreChanges: Boolean,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    maxBytesPerTrigger: Option[Long] = None)
   extends MicroBatchStream
   with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
 
-  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxFiles}
+  import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   private def spark = SparkSession.active
 
@@ -1099,18 +1103,62 @@ private[streaming] class SnapshotMicroBatchStream(
   override def latestOffset(): Offset =
     SnapshotOffset(Snapshots.headVersion(spark, root))
 
-  /** Rate control: `maxFilesPerTrigger` bounds a trigger's batch to as
-    * many whole VERSIONS as fit the file budget (always at least one, so
-    * the stream progresses). The backfill guard at scale — without it,
-    * starting `earliest` on a million-file table plans the entire history
-    * as one micro-batch. */
-  override def getDefaultReadLimit: ReadLimit =
-    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+  /** Rate control: `maxFilesPerTrigger` / `maxBytesPerTrigger` bound a
+    * trigger's batch to as many whole VERSIONS as fit the budget (always
+    * at least one, so the stream progresses); both set = both respected.
+    * The backfill guard at scale — without it, starting `earliest` on a
+    * million-file table plans the entire history as one micro-batch, and
+    * file COUNTS alone mis-pace a backfill whose file sizes vary 100×
+    * (bytes is what executor memory and trigger latency actually see). */
+  override def getDefaultReadLimit: ReadLimit = {
+    val limits = maxFilesPerTrigger.map(n => ReadLimit.maxFiles(n)).toSeq ++
+      maxBytesPerTrigger.map(b => ReadLimit.maxBytes(b))
+    limits match {
+      case Seq() => ReadLimit.allAvailable()
+      case Seq(one) => one
+      case many => ReadLimit.compositeLimit(many.toArray)
+    }
+  }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
     val head = Snapshots.headVersion(spark, root)
     val from = start.asInstanceOf[SnapshotOffset].version
     limit match {
+      case c: CompositeReadLimit if head > from =>
+        // both budgets must admit a version: take the tighter cut
+        SnapshotOffset(c.getReadLimits.map(l =>
+          latestOffset(start, l).asInstanceOf[SnapshotOffset].version).min)
+      case mb: ReadMaxBytes if head > from =>
+        // walk versions forward, accumulating each step's ADDED bytes from
+        // the shard-recorded per-file sizes (round 16 — no RPC per file;
+        // the shard bodies load once via the process cache and are what
+        // batch planning reads anyway). A file whose shard predates the
+        // size index counts as budget-exhausting (admitted alone with its
+        // version, conservative), so old tables still make progress.
+        var v = from
+        var budget: Long = mb.maxBytes()
+        var prevFiles: Set[String] =
+          if (from == 0) Set.empty
+          else Snapshots.manifest(spark, root, from).files.toSet
+        var done = false
+        while (!done && v < head) {
+          val m1 = Snapshots.manifest(spark, root, v + 1)
+          val added = m1.files.toSet -- prevFiles
+          val sized = m1.rows.iterator.map(r => r.file -> r.bytes).toMap
+          var bytes = 0L
+          added.foreach { u =>
+            val b = sized.getOrElse(new Path(u).getName, -1L)
+            val add = if (b >= 0L) b else Long.MaxValue / 4
+            bytes = math.min(Long.MaxValue / 2, bytes + add)
+          }
+          if (bytes <= budget || v == from) {
+            // always admit at least one version, else no progress
+            budget = math.max(0L, budget - bytes)
+            prevFiles = m1.files.toSet
+            v += 1
+          } else done = true
+        }
+        SnapshotOffset(v)
       case mf: ReadMaxFiles if head > from =>
         // walk versions forward, accumulating each step's ADDED file count,
         // until the budget is spent. Shard arithmetic keeps the common case

@@ -198,6 +198,47 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("maxBytesPerTrigger paces a backfill by shard-recorded file sizes") {
+    val root = tmp("ssrc_bytes")
+    // three single-file commits of very different widths: a byte budget
+    // sized to one small file admits versions one at a time — and the
+    // budget arithmetic reads ONLY the shard-recorded sizes (no FS RPC)
+    Snapshots.commit(spark.range(0, 10).select($"id").repartition(1), root)
+    Snapshots.commit(spark.range(10, 20).select($"id").repartition(1), root, append = true)
+    Snapshots.commit(spark.range(20, 30).select($"id").repartition(1), root, append = true)
+    val m = Snapshots.manifest(spark, root, 3L)
+    assert(m.rows.forall(_.bytes > 0L), "commits must record per-file byte sizes")
+    val oneFile = m.rows.map(_.bytes).min
+    val q = spark.readStream.format(Fmt).option("root", root)
+      .option("maxBytesPerTrigger", oneFile.toString).load()
+      .writeStream.format("memory").queryName("ssrc_bytes")
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ssrc_bytes").as[Long].collect().toSet === (0L until 30L).toSet)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length === 3,
+        s"expected 3 byte-paced batches, got ${batches.map(_.numInputRows).mkString(",")}")
+    } finally q.stop()
+  }
+
+  test("maxFiles and maxBytes together: the tighter budget wins per trigger") {
+    val root = tmp("ssrc_both")
+    Snapshots.commit(spark.range(0, 10).select($"id").repartition(1), root)
+    Snapshots.commit(spark.range(10, 20).select($"id").repartition(1), root, append = true)
+    // generous byte budget + 1-file budget → files bound pacing (2 batches)
+    val q = spark.readStream.format(Fmt).option("root", root)
+      .option("maxFilesPerTrigger", "1")
+      .option("maxBytesPerTrigger", "1g").load()
+      .writeStream.format("memory").queryName("ssrc_both")
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("ssrc_both").as[Long].collect().toSet === (0L until 20L).toSet)
+      assert(q.recentProgress.count(_.numInputRows > 0) === 2)
+    } finally q.stop()
+  }
+
   test("a widen mid-stream fails with restart guidance; the restart reads every generation wide") {
     val root = tmp("ssrc_w")
     val sink = tmp("ssrc_wsink")
