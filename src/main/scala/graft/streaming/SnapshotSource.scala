@@ -1088,11 +1088,27 @@ private[streaming] class SnapshotMicroBatchStream(
     maxFilesPerTrigger: Option[Int] = None,
     maxBytesPerTrigger: Option[Long] = None)
   extends MicroBatchStream
-  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadLimit, ReadMaxBytes, ReadMaxFiles}
 
   private def spark = SparkSession.active
+
+  /** Trigger.AvailableNow: the head version pinned at query start — the
+    * paced catch-up (rate limits still honored trigger by trigger)
+    * processes up to exactly this point and terminates, ignoring
+    * anything committed after. None outside AvailableNow runs. */
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(Snapshots.headVersion(spark, root))
+
+  /** The head this trigger may admit up to (AvailableNow pins it). */
+  private def admissionHead(): Long = {
+    val h = Snapshots.headVersion(spark, root)
+    availableNowCap.fold(h)(math.min(h, _))
+  }
 
   override def initialOffset(): Offset = startingVersion match {
     case "earliest" => SnapshotOffset(0L)
@@ -1100,8 +1116,7 @@ private[streaming] class SnapshotMicroBatchStream(
     case v => SnapshotOffset(v.toLong)
   }
 
-  override def latestOffset(): Offset =
-    SnapshotOffset(Snapshots.headVersion(spark, root))
+  override def latestOffset(): Offset = SnapshotOffset(admissionHead())
 
   /** Rate control: `maxFilesPerTrigger` / `maxBytesPerTrigger` bound a
     * trigger's batch to as many whole VERSIONS as fit the budget (always
@@ -1121,7 +1136,7 @@ private[streaming] class SnapshotMicroBatchStream(
   }
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val head = Snapshots.headVersion(spark, root)
+    val head = admissionHead()
     val from = start.asInstanceOf[SnapshotOffset].version
     limit match {
       case c: CompositeReadLimit if head > from =>

@@ -239,6 +239,25 @@ class SnapshotSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("Trigger.AvailableNow: paced catch-up to the start-time head, then stop") {
+    val root = tmp("ssrc_avnow")
+    Snapshots.commit(spark.range(0, 10).select($"id").repartition(1), root)
+    Snapshots.commit(spark.range(10, 20).select($"id").repartition(1), root, append = true)
+    Snapshots.commit(spark.range(20, 30).select($"id").repartition(1), root, append = true)
+    val q = spark.readStream.format(Fmt).option("root", root)
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream.format("memory").queryName("ssrc_avnow")
+      .option("checkpointLocation", ckpt())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    // terminates on its own once the pinned head is consumed
+    assert(q.awaitTermination(120000), "AvailableNow query must self-terminate")
+    assert(spark.table("ssrc_avnow").as[Long].collect().toSet === (0L until 30L).toSet)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length === 3,
+      s"rate limits must still pace the catch-up, got ${batches.length} batches")
+  }
+
   test("a widen mid-stream fails with restart guidance; the restart reads every generation wide") {
     val root = tmp("ssrc_w")
     val sink = tmp("ssrc_wsink")
