@@ -3179,15 +3179,25 @@ object Snapshots {
         // transformed in-set: conservative range envelope of the key set
         MinedConjunct(overlapOf(c, f, ident = false, arr.head, arr.last), Set.empty)
     }
-    // STRING equality/IN prunes through the per-file bloom index where one
-    // is recorded ([[FileBloom]]): candidate = bloom-admitting files; the
-    // FULL set stays empty — a bloom proves absence, never that every row
-    // matches, so metadata-only acceptance is impossible and those files
-    // scan (exact, like any partially-accepted file)
+    // STRING conjuncts prune through BOTH string indexes: the per-file
+    // bloom ([[FileBloom]], equality/IN absence) and the slo/shi bounds
+    // ([[ColStats]] string form, UTF8-byte order — bands, prefixes).
+    // Round 16: strings also FULL-accept — slo==shi==k pins every row to
+    // k exactly (truncated parquet bounds that coincide still pin), and a
+    // band swallows a file whose whole [slo, shi] sits inside it — so
+    // `lang = 'de'` retention deletes drop partition-shaped files as
+    // metadata and countWhere answers string bands without scanning.
+    // Truncation stays sound by direction: slo is a LOWER bound (slo >= k
+    // proves every row >= k), shi an UPPER one (shi < k proves every row
+    // < k); nulls must be recorded ZERO for any full acceptance.
     val bloomedCols = m.blooms.map(_.col).toSet
-    def bloomAttr(e: Expression): Option[String] = e match {
-      case a: AttributeReference
-          if bloomedCols.contains(a.name) && a.dataType == StringType => Some(a.name)
+    val strStatCols = m.stats.iterator.filter(_.slo != null).map(_.col).toSet
+    val strStatsByCol = m.stats.filter(_.slo != null).groupBy(_.col)
+      .map { case (c, ss) => c -> ss.map(s => s.file -> s).toMap }
+    def strAttr(e: Expression): Option[String] = e match {
+      case a: AttributeReference if a.dataType == StringType &&
+          (bloomedCols.contains(a.name) || strStatCols.contains(a.name)) =>
+        Some(a.name)
       case _ => None
     }
     def litS(e: Expression): Option[String] = e match {
@@ -3195,25 +3205,88 @@ object Snapshots {
         Some(u.toString)
       case _ => None
     }
-    def bloomPoint(l: Expression, r: Expression): Option[MinedConjunct] =
-      (bloomAttr(l), litS(r), bloomAttr(r), litS(l)) match {
-        case (Some(c), Some(k), _, _) =>
-          Some(MinedConjunct(candidateFilesForStrings(m, c, Array(k)), Set.empty))
-        case (_, _, Some(c), Some(k)) =>
-          Some(MinedConjunct(candidateFilesForStrings(m, c, Array(k)), Set.empty))
+    def cmpU(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    def fullStrFiles(c: String, ok: ColStats => Boolean): Set[String] = {
+      val byFile = strStatsByCol.getOrElse(c, Map.empty)
+      m.files.filter(f =>
+        byFile.get(new Path(f).getName).exists(s => s.nulls == 0L && ok(s))).toSet
+    }
+    def strPointOf(c: String, k: String): MinedConjunct = {
+      val band = candidateFilesForStringBand(m, c, k, Some(k + "\u0000"))
+      val overlap =
+        if (!bloomedCols.contains(c)) band
+        else { val b = candidateFilesForStrings(m, c, Array(k)).toSet; band.filter(b) }
+      MinedConjunct(overlap, fullStrFiles(c, s => s.slo == k && s.shi == k))
+    }
+    def strPoint(l: Expression, r: Expression): Option[MinedConjunct] =
+      (strAttr(l), litS(r), strAttr(r), litS(l)) match {
+        case (Some(c), Some(k), _, _) => Some(strPointOf(c, k))
+        case (_, _, Some(c), Some(k)) => Some(strPointOf(c, k))
         case _ => None
       }
-    def bloomIn(a: Expression, keys: Seq[String]): Option[MinedConjunct] =
-      bloomAttr(a).map(c =>
-        MinedConjunct(candidateFilesForStrings(m, c, keys.toArray), Set.empty))
+    def strBandOf(c: String, k: String, isLo: Boolean, strict: Boolean): MinedConjunct = {
+      // the least string strictly above k is k+"\u0000" (UTF8-byte order)
+      val overlap =
+        if (isLo) candidateFilesForStringBand(m, c, if (strict) k + "\u0000" else k, None)
+        else candidateFilesForStringBand(m, c, "", Some(if (strict) k else k + "\u0000"))
+      val full = fullStrFiles(c, s =>
+        if (isLo) { if (strict) cmpU(s.slo, k) > 0 else cmpU(s.slo, k) >= 0 }
+        else { if (strict) cmpU(s.shi, k) < 0 else cmpU(s.shi, k) <= 0 })
+      MinedConjunct(overlap, full)
+    }
+    def strBand(l: Expression, r: Expression, loSide: Boolean,
+        strict: Boolean): Option[MinedConjunct] =
+      (strAttr(l), litS(r), strAttr(r), litS(l)) match {
+        case (Some(c), Some(k), _, _) => Some(strBandOf(c, k, loSide, strict))
+        case (_, _, Some(c), Some(k)) => Some(strBandOf(c, k, !loSide, strict))
+        case _ => None
+      }
+    def strIn(a: Expression, keys: Seq[String]): Option[MinedConjunct] =
+      strAttr(a).map { c =>
+        // overlap = bloom-admitted ∩ (range-touching ANY key): both string
+        // indexes constrain, either absent = that side conservative
+        val viaBloom =
+          if (bloomedCols.contains(c))
+            candidateFilesForStrings(m, c, keys.toArray).toSet
+          else null
+        val viaBand = keys.iterator.flatMap(k =>
+          candidateFilesForStringBand(m, c, k, Some(k + "\u0000"))).toSet
+        val overlap = m.files.filter(f =>
+          viaBand.contains(f) && (viaBloom == null || viaBloom.contains(f)))
+        val ks = keys.toSet
+        MinedConjunct(overlap,
+          fullStrFiles(c, s => s.slo == s.shi && ks.contains(s.slo)))
+      }
     // mine one conjunct (None = opaque, no constraint)
     def permits(e: Expression): Option[MinedConjunct] = e match {
-      case EqualTo(l, r) => point(l, r).orElse(bloomPoint(l, r))
-      case EqualNullSafe(l, r) => point(l, r).orElse(bloomPoint(l, r))
-      case GreaterThan(l, r) => band(l, r, loSide = true, strict = true)
-      case GreaterThanOrEqual(l, r) => band(l, r, loSide = true, strict = false)
-      case LessThan(l, r) => band(l, r, loSide = false, strict = true)
-      case LessThanOrEqual(l, r) => band(l, r, loSide = false, strict = false)
+      case EqualTo(l, r) => point(l, r).orElse(strPoint(l, r))
+      case EqualNullSafe(l, r) => point(l, r).orElse(strPoint(l, r))
+      case GreaterThan(l, r) =>
+        band(l, r, loSide = true, strict = true)
+          .orElse(strBand(l, r, loSide = true, strict = true))
+      case GreaterThanOrEqual(l, r) =>
+        band(l, r, loSide = true, strict = false)
+          .orElse(strBand(l, r, loSide = true, strict = false))
+      case LessThan(l, r) =>
+        band(l, r, loSide = false, strict = true)
+          .orElse(strBand(l, r, loSide = false, strict = true))
+      case LessThanOrEqual(l, r) =>
+        band(l, r, loSide = false, strict = false)
+          .orElse(strBand(l, r, loSide = false, strict = false))
+      case StartsWith(l, r) =>
+        // LIKE 'p%' == the band [p, nextPrefix(p)); full acceptance iff a
+        // file's whole [slo, shi] sits inside it (needs a finite roof)
+        (strAttr(l), litS(r)) match {
+          case (Some(c), Some(p)) if p.nonEmpty =>
+            val np = RowGroupFilters.nextPrefix(p)
+            Some(MinedConjunct(
+              candidateFilesForStringBand(m, c, p, np),
+              np.fold(Set.empty[String])(roof => fullStrFiles(c, s =>
+                cmpU(s.slo, p) >= 0 && cmpU(s.shi, roof) < 0))))
+          case _ => None
+        }
       case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
         statAttr(a).flatMap { sa =>
           val ks = vs.flatMap(litD)
@@ -3224,7 +3297,7 @@ object Snapshots {
           }
         }.orElse {
           val ks = vs.flatMap(litS)
-          if (ks.size != vs.size) None else bloomIn(a, ks)
+          if (ks.size != vs.size) None else strIn(a, ks)
         }
       case InSet(a, hs) if hs.nonEmpty =>
         statAttr(a).flatMap { sa =>
@@ -3244,7 +3317,7 @@ object Snapshots {
         }.orElse {
           val ks = hs.toSeq.collect {
             case u: org.apache.spark.unsafe.types.UTF8String => u.toString }
-          if (ks.size != hs.size) None else bloomIn(a, ks)
+          if (ks.size != hs.size) None else strIn(a, ks)
         }
       case _ => None
     }

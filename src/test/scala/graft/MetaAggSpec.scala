@@ -140,4 +140,39 @@ class MetaAggSpec extends SparkSpec {
         Snapshots.read(spark, root).filter(cond).count(), s"drift for $cond")
     }
   }
+
+  test("string predicates count from metadata: equality, band, IN, prefix") {
+    val root = tmp()
+    // per-lang commits: every file single-valued on lang with slo/shi stats
+    Seq("de", "en", "fr").zipWithIndex.foreach { case (l, i) =>
+      Snapshots.commit(
+        spark.range(0, 100 * (i + 1)).select(lit(l).as("lang"), $"id")
+          .repartition(2),
+        root, append = i > 0, statsCols = Seq("lang", "id"))
+    }
+    deleteDataFiles(root) // the strongest pin: answers survive the bytes
+    assert(Snapshots.countWhere(spark, root, col("lang") === "en") === 200L)
+    assert(Snapshots.countWhere(spark, root, col("lang") >= "e") === 500L)
+    assert(Snapshots.countWhere(spark, root, col("lang") < "e") === 100L)
+    assert(Snapshots.countWhere(spark, root, col("lang").isin("de", "fr")) === 400L)
+    assert(Snapshots.countWhere(spark, root, col("lang").startsWith("f")) === 300L)
+    assert(Snapshots.countWhere(spark, root, col("lang") === "zz") === 0L)
+  }
+
+  test("string full-acceptance never fires on nulled or mixed files") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 100).select(
+        when($"id" % 10 === 0, lit(null)).otherwise(lit("en")).as("lang"), $"id")
+        .coalesce(1),
+      root, statsCols = Seq("lang", "id"))
+    // nulls in the file: metadata may not count it — scan path, exact
+    assert(Snapshots.countWhere(spark, root, col("lang") === "en") === 90L)
+    val root2 = tmp()
+    Snapshots.commit(
+      spark.range(0, 100).select(
+        when($"id" % 2 === 0, "en").otherwise("fr").as("lang"), $"id").coalesce(1),
+      root2, statsCols = Seq("lang", "id"))
+    assert(Snapshots.countWhere(spark, root2, col("lang") === "en") === 50L)
+  }
 }

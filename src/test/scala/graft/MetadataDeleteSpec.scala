@@ -111,6 +111,44 @@ class MetadataDeleteSpec extends SparkSpec {
     assert(ids(root) === (200L until 400L).filterNot(_ % 10 == 7).toSet)
   }
 
+  test("a string-keyed partition drop is metadata-only (lang = 'de')") {
+    val root = tmp()
+    Seq("de", "en", "fr").zipWithIndex.foreach { case (l, i) =>
+      Snapshots.commit(
+        spark.range(0, 100).select(lit(l).as("lang"), ($"id" + i * 1000).as("id"))
+          .repartition(2),
+        root, append = i > 0, statsCols = Seq("lang", "id"))
+    }
+    val m1 = Snapshots.manifest(spark, root, 3L)
+    // destroy the doomed partition's BYTES first: the drop must not scan
+    val doomed = m1.files.filter { u =>
+      m1.stats.exists(s => s.file == new Path(u).getName && s.col == "lang" &&
+        s.slo == "de" && s.shi == "de")
+    }
+    assert(doomed.size === 2)
+    doomed.foreach(u => assert(fs(root).delete(new Path(u), false)))
+    val v = Snapshots.deleteWhere(spark, root, col("lang") === "de")
+    val m = Snapshots.manifest(spark, root, v)
+    assert(m.files.size === 4 && m.dvs.isEmpty,
+      "the single-valued 'de' files must drop as metadata")
+    assert(ids(root) === ((1000L until 1100L) ++ (2000L until 2100L)).toSet)
+  }
+
+  test("a LIKE-prefix delete drops whole single-prefix files") {
+    val root = tmp()
+    Seq("web-a", "web-b", "img-a").zipWithIndex.foreach { case (src, i) =>
+      Snapshots.commit(
+        spark.range(0, 50).select(lit(src).as("source"), ($"id" + i * 100).as("id"))
+          .coalesce(1),
+        root, append = i > 0, statsCols = Seq("source", "id"))
+    }
+    val v = Snapshots.deleteWhere(spark, root, col("source").startsWith("web-"))
+    val m = Snapshots.manifest(spark, root, v)
+    assert(m.files.size === 1 && m.dvs.isEmpty,
+      s"both web-* files must drop as metadata, got ${m.files.size}")
+    assert(ids(root) === (200L until 250L).toSet)
+  }
+
   test("time travel still sees dropped rows; SQL DELETE routes the same path") {
     val root = tmp()
     Snapshots.commit(
