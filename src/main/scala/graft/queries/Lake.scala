@@ -2665,6 +2665,101 @@ object Lake {
         .orderBy("event_type")
     },
 
+    // ---- q145: STRING PARTITION DELETE — documents ingested one commit
+    //            per lang (every file single-valued on the key with
+    //            slo/shi string bounds), then `DELETE WHERE lang='de'`:
+    //            the round-16 string full-acceptance drops every 'de'
+    //            file from the manifest as METADATA — no scan, no
+    //            vectors, no rewrite (required in-query: files vanish,
+    //            zero DVs, zero new data files). The GDPR/source-removal
+    //            shape at 100 TB: expelling a language or source from a
+    //            partition-laid corpus costs O(manifest). Survivors
+    //            hash-match DuckDB's complement aggregate. ----
+    OracleQuery(
+      "q145_string_partition_delete",
+      """SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents WHERE lang <> 'de'
+        |GROUP BY lang ORDER BY lang""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/docs_bylang_del"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val docs = Tables(spark, dir, "documents").select("lang", "n_chars")
+      val langs = docs.select("lang").distinct()
+        .collect().map(_.getString(0)).sorted // O(langs), the key domain
+      langs.zipWithIndex.foreach { case (l, i) =>
+        Snapshots.commit(docs.filter(col("lang") === l).repartition(2),
+          root, append = i > 0, statsCols = Seq("lang", "n_chars"))
+      }
+      val before = Snapshots.manifest(spark, root,
+        Snapshots.headVersion(spark, root)).files.toSet
+      val v = Snapshots.deleteWhere(spark, root, col("lang") === "de")
+      val m = Snapshots.manifest(spark, root, v)
+      require(m.files.size < before.size,
+        "the 'de' partition files must DROP from the manifest")
+      require(m.files.toSet.subsetOf(before) && m.dvs.isEmpty,
+        "a string partition delete must be pure metadata: no DVs, no rewrites")
+      spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("n_chars")).cast("bigint").as("total_chars"))
+        .orderBy("lang")
+    },
+
+    // ---- q146: BYTE-PACED AVAILABLE-NOW DRAIN — events land as three
+    //            appends; a streaming read with maxBytesPerTrigger sized
+    //            to ~one version's bytes under Trigger.AvailableNow must
+    //            (a) SELF-TERMINATE at the start-time head, (b) take
+    //            MULTIPLE paced triggers (required in-query), and (c)
+    //            land every row exactly once in the sink — whose
+    //            aggregate hash-matches DuckDB on the source table. The
+    //            100 TB backfill verb: drain history under a byte budget
+    //            (what executor memory actually sees) without leaving a
+    //            continuous stream running. ----
+    OracleQuery(
+      "q146_bytes_availablenow",
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS sum_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/events_drain"
+      val sink = s"$lakeBase/events_drain_sink"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      fsys.delete(new Path(sink), true)
+      val ev = Tables(spark, dir, "events").select("event_id", "event_type")
+      Snapshots.commit(ev.filter(col("event_id") % 3 === 0).repartition(2), root)
+      Snapshots.commit(ev.filter(col("event_id") % 3 === 1).repartition(2), root,
+        append = true)
+      Snapshots.commit(ev.filter(col("event_id") % 3 === 2).repartition(2), root,
+        append = true)
+      val mh = Snapshots.manifest(spark, root, 3L)
+      require(mh.rows.forall(_.bytes > 0L), "commits must record file sizes")
+      val budget = mh.rows.map(_.bytes).max // < one version: paced drain
+      val ck = java.nio.file.Files.createTempDirectory("drain_ck").toString
+      val q = spark.readStream.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).option("maxBytesPerTrigger", budget.toString).load()
+        .writeStream.option("checkpointLocation", ck).outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          Snapshots.commitIfAbsent(batch, sink, tag = s"batch-$id", append = true)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      require(q.awaitTermination(180000),
+        "an AvailableNow drain must terminate on its own")
+      require(q.recentProgress.count(_.numInputRows > 0) >= 2,
+        "the byte budget must pace the drain into multiple triggers")
+      spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", sink).load()
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("event_id")).cast("bigint").as("sum_id"))
+        .orderBy("event_type")
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO
