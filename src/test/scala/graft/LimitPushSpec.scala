@@ -185,6 +185,59 @@ class LimitPushSpec extends SparkSpec {
       "a's hi=100 crosses the threshold 50 — it may hold top rows")
   }
 
+  test("randomized soundness: capForTopN never drops a file holding a top row") {
+    val rnd = new scala.util.Random(17)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k",
+        org.apache.spark.sql.types.LongType)))
+    (1 to 200).foreach { trial =>
+      val nFiles = 1 + rnd.nextInt(8)
+      // per file: real values, a null count, a DV cardinality, and
+      // possibly LOOSENED (truncation-like) recorded bounds
+      val files = (0 until nFiles).map { i =>
+        val n = 1 + rnd.nextInt(30)
+        val base = rnd.nextInt(1000).toLong
+        val vals = Seq.fill(n)(base + rnd.nextInt(200).toLong)
+        val nulls = if (rnd.nextBoolean()) rnd.nextInt(5) else 0
+        val dv = rnd.nextInt(math.min(4, vals.size + nulls))
+        val slack = if (rnd.nextInt(4) == 0) rnd.nextInt(10).toLong else 0L
+        (s"f$i.parquet", vals, nulls, dv, slack)
+      }
+      val m = Snapshots.Manifest(1L, files.map(_._1), 0L,
+        stats = files.map { case (f, vals, nulls, _, slack) =>
+          Snapshots.ColStats(f, "k", (vals.min - slack).toDouble,
+            (vals.max + slack).toDouble, nulls = nulls.toLong) },
+        rows = files.map { case (f, vals, nulls, _, _) =>
+          Snapshots.FileRows(f, (vals.size + nulls).toLong) },
+        dvs = files.collect { case (f, _, _, dv, _) if dv > 0 =>
+          Snapshots.FileDv(f, "", dv.toLong) })
+      val limit = 1 + rnd.nextInt(25)
+      val desc = rnd.nextBoolean()
+      val (kept, _) = graft.engine.FilterPrune.capForTopN(
+        m, schema, m.files, "k", desc, limit)
+      // the scan-output contract under partial pushdown: Spark re-sorts
+      // whatever the capped scan emits, so the kept files' rows must
+      // yield the SAME top-n key multiset as the whole table (nulls: asc
+      // = NULLS FIRST, desc = NULLS LAST). The realization checked keeps
+      // every physical row — a superset of any DV'd survivor set, still
+      // covered because the budget counts live rows conservatively.
+      val rows = files.flatMap { case (f, vals, nulls, _, _) =>
+        vals.map(v => (f, Option(v))) ++ Seq.fill(nulls)((f, Option.empty[Long]))
+      }
+      def topVals(rs: Seq[(String, Option[Long])]): Seq[Option[Long]] = {
+        val ordered =
+          if (desc) rs.sortBy { case (_, v) => (v.isEmpty, v.fold(0L)(-_)) }
+          else rs.sortBy { case (_, v) => (v.isDefined, v.getOrElse(0L)) }
+        ordered.take(limit).map(_._2)
+      }
+      val keptSet = kept.toSet
+      assert(topVals(rows.filter(r => keptSet.contains(r._1))) === topVals(rows),
+        s"trial $trial (desc=$desc, limit=$limit): capped top-$limit diverges; " +
+          s"kept=$kept files=${files.map(f =>
+            (f._1, f._2.min, f._2.max, f._3, f._4, f._5))}")
+    }
+  }
+
   test("topN threshold prunes row groups inside an overlapping survivor file") {
     // file A: ids [0, 1000) — covers the whole top-1000 budget, so the
     // threshold T lands at A.hi=999; file B: ids [500, 100000) SORTED in
