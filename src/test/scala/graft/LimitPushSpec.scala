@@ -185,6 +185,35 @@ class LimitPushSpec extends SparkSpec {
       "a's hi=100 crosses the threshold 50 — it may hold top rows")
   }
 
+  test("randomized soundness: capForLimit always covers the limit or keeps everything") {
+    val rnd = new scala.util.Random(23)
+    (1 to 200).foreach { trial =>
+      val nFiles = 1 + rnd.nextInt(10)
+      val files = (0 until nFiles).map { i =>
+        val n = rnd.nextInt(40).toLong
+        val dv = if (n > 0 && rnd.nextBoolean()) rnd.nextInt(n.toInt).toLong else 0L
+        val known = rnd.nextInt(5) > 0 // some files predate the count index
+        (s"f$i.parquet", n, dv, known)
+      }
+      val m = Snapshots.Manifest(1L, files.map(_._1), 0L,
+        rows = files.collect { case (f, n, _, true) => Snapshots.FileRows(f, n) },
+        dvs = files.collect { case (f, _, dv, _) if dv > 0 =>
+          Snapshots.FileDv(f, "", dv) })
+      val limit = 1 + rnd.nextInt(120)
+      val kept = graft.engine.FilterPrune.capForLimit(m, m.files, limit)
+      // the capped prefix must PROVABLY hold >= limit live rows, or be the
+      // whole list (counts only trusted when recorded)
+      val provable = kept.map { f =>
+        files.find(_._1 == f).collect { case (_, n, dv, true) =>
+          math.max(0L, n - dv) }.getOrElse(0L)
+      }.sum
+      assert(provable >= limit || kept == m.files,
+        s"trial $trial: kept $kept proves only $provable of $limit")
+      // and it is a PREFIX (order preserved — any-k-rows semantics)
+      assert(m.files.take(kept.size) === kept)
+    }
+  }
+
   test("randomized soundness: capForTopN never drops a file holding a top row") {
     val rnd = new scala.util.Random(17)
     val schema = org.apache.spark.sql.types.StructType(Seq(
