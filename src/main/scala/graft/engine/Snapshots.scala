@@ -2602,9 +2602,25 @@ object Snapshots {
     if (marked.isEmpty && dropFiles.isEmpty) return headV // true no-op
     val rowsByName = m.rows.map(r => r.file -> r.n).toMap
     val oldDvByName = m.dvs.map(d => d.file -> d).toMap
-    // classify each touched file: vector it, or rewrite it (fraction cap /
-    // unknown row count / mergeOnRead off — all conservative toward CoW)
-    val (cowRows, dvRows) = marked.partition { r =>
+    // a file whose EVERY recorded row is now deleted holds no live data:
+    // drop it from the manifest outright instead of carrying a
+    // full-cardinality vector (dead weight in every later plan, and the
+    // phantom-group state for the metadata aggregate) or rewriting it to an
+    // empty file. Sound exactly when the row count is recorded: new marks
+    // are positions among LIVE rows (disjoint from any existing vector by
+    // construction), so new + old == n means every row is gone.
+    val (deadRows, liveRowsMarked) = marked.partition { r =>
+      val f = r.getString(0)
+      val total = r.getLong(1) + oldDvByName.get(f).map(_.deleted).getOrElse(0L)
+      rowsByName.get(f).exists(n => n > 0L && total == n)
+    }
+    val deadNames = deadRows.map(_.getString(0)).toSet
+    val allDrops = dropFiles ++
+      m.files.filter(u => deadNames.contains(new Path(u).getName))
+    // classify each remaining touched file: vector it, or rewrite it
+    // (fraction cap / unknown row count / mergeOnRead off — all
+    // conservative toward CoW)
+    val (cowRows, dvRows) = liveRowsMarked.partition { r =>
       val f = r.getString(0)
       val total = r.getLong(1) + oldDvByName.get(f).map(_.deleted).getOrElse(0L)
       !mergeOnRead || rowsByName.get(f).forall(n => n <= 0L) ||
@@ -2628,7 +2644,7 @@ object Snapshots {
         Seq(writeShard(spark, root, written, newStats, newRows, newBlooms))
       }
     val carried =
-      rewriteShards(spark, root, shards, cowFiles.toSet ++ dropFiles, dvUpdates)
+      rewriteShards(spark, root, shards, cowFiles.toSet ++ allDrops, dvUpdates)
     // a PURE deletion-vector delete never moves a row between files, so
     // bucket purity — and the clustering spec — survives; metadata drops
     // remove whole files, which also preserves purity. Only a copy-on-write

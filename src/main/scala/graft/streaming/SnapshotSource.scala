@@ -671,6 +671,23 @@ private[streaming] class SnapshotScanBuilder(
       order.toSeq.map { case (g, ns) => g -> ns.toSeq }
     }
     val dvdByName = m.dvs.map(d => d.file -> d.deleted).toMap
+    // SQL GROUP BY emits NO row for a group with zero live rows — a group
+    // whose every file is fully deletion-vectored (reachable via
+    // deleteWhere(maxDvFraction = 1.0): classification keeps a 100% vector
+    // merge-on-read) must be suppressed, not answered as (group, 0).
+    // Ungrouped COUNT(*) = 0 stays correct and is NOT suppressed. When live
+    // counts are unprovable (row counts incomplete) under any vector, the
+    // grouped pushdown declines whole — today unreachable (COUNT(*) needs
+    // rowsComplete; MIN/MAX/COUNT(col) need !anyDv) but kept as a fence.
+    val liveGroups: Seq[(Seq[Any], Seq[String])] =
+      if (groupCols.isEmpty) groups
+      else if (rowsComplete) groups.filter { case (_, fs) =>
+        fs.map(n => rowsByName(n) - dvdByName.getOrElse(n, 0L)).sum > 0L }
+      else if (anyDv) return None
+      else groups
+    // every group vectored away: decline — Spark's scan of the (DV-filtered)
+    // files produces the correct empty grouped result
+    if (groupCols.nonEmpty && liveGroups.isEmpty) return None
     def statsOver(fs: Seq[String], c: String): Option[Seq[Snapshots.ColStats]] = {
       val sts = fs.map(n => statsByColFile.get((c, n)))
       if (sts.exists(_.isEmpty)) None else Some(sts.flatten)
@@ -707,7 +724,7 @@ private[streaming] class SnapshotScanBuilder(
         case mx: Max => extremum(fs, mx.column, isMin = false)
         case _ => None
       }
-    val perGroup = groups.map { case (g, fs) => g -> answersFor(fs) }
+    val perGroup = liveGroups.map { case (g, fs) => g -> answersFor(fs) }
     if (perGroup.exists(_._2.exists(_.isEmpty))) None
     else {
       val aggFields = perGroup.head._2.flatten.map(_._1)

@@ -145,6 +145,87 @@ class GroupedAggPushSpec extends SparkSpec {
     assert(q.as[(String, Int, Long, Long)].collect().toSeq === want)
   }
 
+  /** Doctor the head manifest so `fileName` (recorded row count `n`)
+    * carries a FULL deletion vector — the state `commitMarkedDeletes` can
+    * no longer produce (it drops fully-deleted files), synthesized here
+    * the only way it can still arise: a shard written by an older binary.
+    * The shard is re-written under a NEW name (shards are immutable and
+    * process-cached) and the manifest is re-pointed at it. */
+  private def fullVector(root: String, fileName: String, n: Long): Unit = {
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = new Path(s"$root/_snapshots")
+    def readText(p: Path): String = {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    def writeText(p: Path, s: String): Unit = {
+      val out = f.create(p, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    val shard = f.listStatus(snap).map(_.getPath)
+      .filter(_.getName.startsWith("shard-"))
+      .find(p => readText(p).contains(fileName))
+      .getOrElse(fail(s"no shard holds $fileName"))
+    val bm = new org.roaringbitmap.longlong.Roaring64Bitmap()
+    (0L until n).foreach(p => bm.add(p))
+    bm.runOptimize()
+    val bos = new java.io.ByteArrayOutputStream()
+    bm.serialize(new java.io.DataOutputStream(bos))
+    val b64 = java.util.Base64.getEncoder.encodeToString(bos.toByteArray)
+    val doctored = readText(shard).replace(""""files":""",
+      s""""dvs":[{"file":"$fileName","dv64":"$b64","del":$n}],"files":""")
+    val newName = s"shard-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.json"
+    writeText(new Path(snap, newName), doctored)
+    val head = f.listStatus(snap).map(_.getPath.getName)
+      .flatMap("""manifest-(\d+)\.json""".r.findFirstMatchIn(_))
+      .map(_.group(1).toLong).max
+    val mp = new Path(snap, s"manifest-$head.json")
+    writeText(mp, readText(mp).replace(shard.getName, newName))
+  }
+
+  test("a fully-vectored single-group file never emits a phantom (group, 0) row") {
+    val root = tmp()
+    Seq("a", "b").zipWithIndex.foreach { case (s, i) =>
+      Snapshots.commit(
+        spark.range(0, 100).select(lit(s).as("src"), $"id").coalesce(1),
+        root, append = i > 0, statsCols = Seq("src", "id"))
+    }
+    val m = Snapshots.manifest(spark, root, 2L)
+    val bFile = m.stats.find(s => s.col == "src" && s.slo == "b").get.file
+    fullVector(root, bFile, 100L)
+    val q = batchRead(root).groupBy("src").agg(count(lit(1)).as("n")).orderBy("src")
+    // still a COMPLETE pushdown — the dead group is suppressed INSIDE the
+    // metadata answer (SQL GROUP BY emits no row for an empty group)
+    val d = descOf(q)
+    assert(d.contains("group by [src]"), s"got: $d")
+    assert(q.as[(String, Long)].collect().toSeq === Seq(("a", 100L)))
+    // the no-I/O pin: same answer with the data bytes gone
+    deleteDataFiles(root)
+    assert(batchRead(root).groupBy("src").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect().toSeq === Seq(("a", 100L)))
+  }
+
+  test("every group fully vectored declines the pushdown; scan returns the empty grouped result") {
+    val root = tmp()
+    Seq("a", "b").zipWithIndex.foreach { case (s, i) =>
+      Snapshots.commit(
+        spark.range(0, 50).select(lit(s).as("src"), $"id").coalesce(1),
+        root, append = i > 0, statsCols = Seq("src", "id"))
+    }
+    val m = Snapshots.manifest(spark, root, 2L)
+    Seq("a", "b").foreach { s =>
+      fullVector(root, m.stats.find(x => x.col == "src" && x.slo == s).get.file, 50L)
+    }
+    val q = batchRead(root).groupBy("src").agg(count(lit(1)).as("n"))
+    assert(!descOf(q).contains("PushedAggregates"), descOf(q))
+    assert(q.collect().isEmpty, "GROUP BY over zero live rows emits no rows")
+    // ungrouped COUNT(*) = 0 still answers from metadata (a global count of
+    // an empty table IS one row) — suppression is grouped-only
+    val c = batchRead(root).agg(count(lit(1)).as("n"))
+    assert(descOf(c).contains("PushedAggregates"), descOf(c))
+    assert(c.as[Long].collect().toSeq === Seq(0L))
+  }
+
   test("grouped COUNT(col) subtracts per-group null counts") {
     val root = tmp()
     Seq("p", "q").zipWithIndex.foreach { case (s, i) =>

@@ -149,6 +149,49 @@ class MetadataDeleteSpec extends SparkSpec {
     assert(ids(root) === (200L until 250L).toSet)
   }
 
+  test("a file fully deleted by SCAN (stats can't prove it) drops instead of carrying a 100% vector") {
+    val root = tmp()
+    // one file per src value, stats on src ONLY — a predicate on id can
+    // never full-accept from metadata, so the delete must scan and mark
+    Seq("a" -> (0L, 100L), "b" -> (100L, 200L)).zipWithIndex.foreach {
+      case ((s, (lo, hi)), i) =>
+        Snapshots.commit(
+          spark.range(lo, hi).select(lit(s).as("src"), $"id").coalesce(1),
+          root, append = i > 0, statsCols = Seq("src"))
+    }
+    // every row of file 'b' matches; maxDvFraction=1.0 means the fraction
+    // cap alone would KEEP a 100% vector — the fully-dead check must drop
+    // the file from the manifest instead
+    val v = Snapshots.deleteWhere(spark, root, col("id") >= 100L,
+      maxDvFraction = 1.0)
+    val m = Snapshots.manifest(spark, root, v)
+    assert(m.files.size === 1, "the fully-deleted file must leave the manifest")
+    assert(m.dvs.isEmpty, "no full-cardinality vector may linger")
+    assert(ids(root) === (0L until 100L).toSet)
+    // and the grouped metadata aggregate sees no phantom 'b' group
+    val q = spark.read.format("graft.streaming.SnapshotSourceProvider")
+      .option("root", root).load()
+      .groupBy("src").count()
+    assert(q.as[(String, Long)].collect().toSeq === Seq(("a", 100L)))
+  }
+
+  test("a partially fully-dead delete drops only the dead file, vectors the rest") {
+    val root = tmp()
+    Seq("a" -> (0L, 100L), "b" -> (100L, 200L), "c" -> (200L, 300L))
+      .zipWithIndex.foreach { case ((s, (lo, hi)), i) =>
+        Snapshots.commit(
+          spark.range(lo, hi).select(lit(s).as("src"), $"id").coalesce(1),
+          root, append = i > 0, statsCols = Seq("src"))
+      }
+    // kills all of 'b', half of 'c', none of 'a' — scan path throughout
+    val v = Snapshots.deleteWhere(spark, root,
+      col("id") >= 100L && col("id") < 250L, maxDvFraction = 1.0)
+    val m = Snapshots.manifest(spark, root, v)
+    assert(m.files.size === 2, "only the fully-dead 'b' file drops")
+    assert(m.dvs.map(_.deleted).sum === 50L, "'c' vectors its 50 dead rows")
+    assert(ids(root) === ((0L until 100L) ++ (250L until 300L)).toSet)
+  }
+
   test("time travel still sees dropped rows; SQL DELETE routes the same path") {
     val root = tmp()
     Snapshots.commit(
