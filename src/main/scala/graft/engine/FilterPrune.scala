@@ -18,9 +18,10 @@ import org.apache.spark.sql.types._
   * of the files that can satisfy the conjunction — the scan's residual
   * filters still evaluate row-exactly on everything that survives, so a
   * conservative miss costs I/O, never rows. Literals convert to the stats
-  * index's canonical units (numbers as cast-to-double, timestamps as epoch
-  * SECONDS via the same micros/1e6 arithmetic the stats pass uses, dates as
-  * epoch days) so rounding can never disagree with the recorded ranges.
+  * index's canonical units (numbers as cast-to-double, timestamps as exact
+  * epoch MICROS — the unit the stats pass records, double-exact to ±2^53 —
+  * dates as epoch days) so rounding can never disagree with the recorded
+  * ranges.
   */
 private[graft] object FilterPrune {
 
@@ -58,15 +59,15 @@ private[graft] object FilterPrune {
     case (DateType, ld: java.time.LocalDate) =>
       Some(DateTimeUtils.localDateToDays(ld).toDouble)
     case (TimestampType, t: java.sql.Timestamp) =>
-      Some(DateTimeUtils.fromJavaTimestamp(t) / 1e6)
+      Some(DateTimeUtils.fromJavaTimestamp(t).toDouble)
     case (TimestampType, i: java.time.Instant) =>
-      Some(DateTimeUtils.instantToMicros(i) / 1e6)
+      Some(DateTimeUtils.instantToMicros(i).toDouble)
     case (TimestampNTZType, l: java.time.LocalDateTime) =>
-      Some(DateTimeUtils.localDateTimeToMicros(l) / 1e6)
+      Some(DateTimeUtils.localDateTimeToMicros(l).toDouble)
     // NTZ stores wall-clock micros: go through the LOCAL fields, never
     // fromJavaTimestamp (instant-based — shifts by the JVM zone offset)
     case (TimestampNTZType, t: java.sql.Timestamp) =>
-      Some(DateTimeUtils.localDateTimeToMicros(t.toLocalDateTime) / 1e6)
+      Some(DateTimeUtils.localDateTimeToMicros(t.toLocalDateTime).toDouble)
     case (_: NumericType, n: Number) => Some(n.doubleValue)
     case _ => None
   }
@@ -219,8 +220,10 @@ private[graft] object FilterPrune {
     * page/group of nulls fails a comparison predicate); descending drops
     * nulls safely (NULLS LAST can never reach a top the budget already
     * filled). Types whose canonical stat can't convert back exactly-or-
-    * conservatively (timestamps in rounded seconds, decimals) emit no
-    * threshold filter — the file cap alone stands.
+    * conservatively (decimals beyond a double's 15 digits; long/timestamp
+    * values outside ±2^53) emit no threshold filter — the file cap alone
+    * stands. Timestamps record exact epoch micros (round 17), so "latest
+    * n events by ts" — THE 100 TB top-n shape — gets both halves.
     *
     * Soundness rests only on the stats being conservative BOUNDS in a
     * monotone canonical order (numeric cast-to-double, string UTF8-byte —
@@ -309,10 +312,13 @@ private[graft] object FilterPrune {
           (org.apache.spark.unsafe.types.UTF8String.fromString(lo),
             org.apache.spark.unsafe.types.UTF8String.fromString(s.shi))),
           (t: org.apache.spark.unsafe.types.UTF8String) => Some(t.toString))
-      case ByteType | ShortType | IntegerType | LongType | DateType =>
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType =>
         cap(s => if (s.slo == null) Some((s.min, s.max)) else None,
           (t: Double) => dt match {
-            // stats of integral columns are exact canonical doubles
+            // stats of integral/temporal columns are exact canonical
+            // doubles (timestamps record exact epoch micros — round 17);
+            // long-width values only emit inside the exact-double range
             case ByteType if t.isWhole => Some(t.toByte)
             case ShortType if t.isWhole => Some(t.toShort)
             case IntegerType if t.isWhole => Some(t.toInt)
@@ -320,11 +326,17 @@ private[graft] object FilterPrune {
               Some(t.toLong)
             case DateType if t.isWhole =>
               Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(t.toLong)))
+            case TimestampType
+                if t.isWhole && math.abs(t) < 9007199254740992.0 =>
+              Some(DateTimeUtils.toJavaTimestamp(t.toLong))
+            case TimestampNTZType
+                if t.isWhole && math.abs(t) < 9007199254740992.0 =>
+              Some(DateTimeUtils.microsToLocalDateTime(t.toLong))
             case _ => None
           })
-      case TimestampType | TimestampNTZType | _: DecimalType =>
-        // file cap only: the index stores rounded canonical units, and a
-        // back-converted literal could round to the WRONG side of real rows
+      case _: DecimalType =>
+        // file cap only: a back-converted decimal literal could round to
+        // the WRONG side of real rows beyond a double's 15 digits
         cap(s => if (s.slo == null) Some((s.min, s.max)) else None,
           (_: Double) => None)
       case _ => (kept, None) // float/double (NaN-blind bounds), nested, binary

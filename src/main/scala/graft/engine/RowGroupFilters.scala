@@ -119,8 +119,8 @@ private[graft] object RowGroupFilters {
     case ("boolean", b: java.lang.Boolean) => Some(b.booleanValue)
     case ("string", s: String) => Some(s)
     // epoch-micros canonicalization, the exact arithmetic FilterPrune's
-    // file-level miner uses (before its /1e6) — both java.sql and java.time
-    // literal flavors arrive depending on spark.sql.datetime.java8API
+    // file-level miner uses (same unit since round 17) — both java.sql and
+    // java.time literal flavors arrive depending on spark.sql.datetime.java8API
     case ("ts", t: java.sql.Timestamp) => Some(DateTimeUtils.fromJavaTimestamp(t))
     case ("ts", i: java.time.Instant) => Some(DateTimeUtils.instantToMicros(i))
     case ("tsn", l: java.time.LocalDateTime) => Some(DateTimeUtils.localDateTimeToMicros(l))

@@ -438,6 +438,27 @@ object Snapshots {
       sh
     }
 
+  /** Total recorded bytes of the files in `refs`' shards (bodies load via
+    * the process cache) — the streaming byte-pacer's append-delta step: an
+    * append-only commit's added files are exactly its NEW shards' files,
+    * so pacing reads those bodies only, never the full manifest. A file
+    * without a recorded size counts as budget-exhausting (Long.MaxValue/4,
+    * saturating) — conservative, the pacer admits it alone. */
+  private[graft] def shardFileBytes(
+      spark: SparkSession, root: String, refs: Seq[ShardRef]): Long = {
+    var total = 0L
+    refs.foreach { r =>
+      val sh = loadShard(spark, root, r)
+      val sized = sh.rows.iterator.map(fr => fr.file -> fr.bytes).toMap
+      sh.files.foreach { u =>
+        val b = sized.getOrElse(new Path(u).getName, -1L)
+        val add = if (b >= 0L) b else Long.MaxValue / 4
+        total = math.min(Long.MaxValue / 2, total + add)
+      }
+    }
+    total
+  }
+
   private def loadShards(spark: SparkSession, root: String, m: ManifestMeta): Seq[Shard] =
     m.inline match {
       // pre-shard manifest: its content acts as one unnamed pseudo-shard
@@ -1176,7 +1197,17 @@ object Snapshots {
         dfW.write.option("parquet.bloom.filter.adaptive.enabled", "true")) {
         (w, c) => w.option(s"parquet.bloom.filter.enabled#$c", "true")
       }
-      writer.parquet(dataDir)
+      // snapshot data files always store LTZ timestamps as standard INT64
+      // TIMESTAMP(MICROS), never legacy INT96: footer row-group stats and
+      // the footer-mining stats job are blind to INT96 (no usable min/max),
+      // so INT96 files forfeit row-group pruning, top-n thresholds, and
+      // footer-mined file stats. Session-conf wrap: the parquet writer has
+      // no per-write option for this (the DSv2 writer path pins the same
+      // value in SnapshotParquetDataWriter.writerConf).
+      val tsKey = "spark.sql.parquet.outputTimestampType"
+      val tsPrev = spark.conf.get(tsKey)
+      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
+      try writer.parquet(dataDir) finally spark.conf.set(tsKey, tsPrev)
     }
     obs.foreach { o =>
       val got = o.get
@@ -1372,8 +1403,8 @@ object Snapshots {
     * metadata-only I/O, NO Spark job. Integral/floating top-level
     * columns qualify (chunk stats order-match Spark's double-cast exactly:
     * long→double rounding is monotone, so cast(min) = min(cast)), as do
-    * MICROS-annotated INT64 timestamps (converted to the index's canonical
-    * epoch seconds) and INT32 dates (epoch days verbatim); a
+    * MICROS-annotated INT64 timestamps (epoch micros, the index's canonical
+    * unit, verbatim) and INT32 dates (epoch days verbatim); a
     * DECIMAL/string/other statsCol returns None and the caller falls back
     * to the distributed scan, preserving its exact semantics. A
     * (file, column) whose chunks lack usable stats yields no ColStats row
@@ -1440,8 +1471,8 @@ object Snapshots {
           case FLOAT | DOUBLE => ann == null
           case INT64 => ann == null || (ann match {
             case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation => i.isSigned
-            // MICROS timestamps (NTZ and LTZ both store micros): the
-            // canonical index unit is seconds, converted below
+            // MICROS timestamps (NTZ and LTZ both store micros): already
+            // the canonical index unit — recorded verbatim below
             case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
               ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
             case _ => false
@@ -1463,12 +1494,12 @@ object Snapshots {
         t.asPrimitiveType().getPrimitiveTypeName == BINARY &&
         t.asPrimitiveType().getLogicalTypeAnnotation ==
           LogicalTypeAnnotation.stringType()
-    /** Footer value → the index's canonical double (timestamps micros →
-      * seconds; everything else verbatim). */
+    /** Footer value → the index's canonical double (timestamps as exact
+      * epoch micros; everything else verbatim). */
     def canonicalOf(t: org.apache.parquet.schema.Type): Number => Double = {
       t.asPrimitiveType().getLogicalTypeAnnotation match {
         case _: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
-          (v: Number) => v.longValue() / 1e6
+          (v: Number) => v.longValue().toDouble
         case _ => (v: Number) => v.doubleValue()
       }
     }
@@ -2714,11 +2745,17 @@ object Snapshots {
     val src = spark.read.parquet(paths: _*)
     val fieldTypes = src.schema.fields.map(f => f.name -> f.dataType).toMap
     // temporal columns aggregate NATIVELY — their double cast is refused
-    // (NTZ, date) or the wrong unit trap — and convert on the DRIVER to
-    // the canonical double the whole index speaks: timestamps as epoch
-    // SECONDS (micros / 1e6, exactly what cast(timestamp as double)
-    // yields for the LTZ case), dates as epoch DAYS
+    // (NTZ, date) or the wrong unit (LTZ cast-to-double yields fractional
+    // seconds) — and convert on the DRIVER to the canonical double the
+    // whole index speaks: timestamps as epoch MICROS (exact in a double to
+    // ±2^53 ≈ ±285 years, so equality/top-n/min-max pushdowns stay
+    // EXACT where a rounded-seconds canon had to decline), dates as epoch
+    // DAYS. Round 17 changed the timestamp canon from seconds to micros;
+    // shards written by older binaries carry seconds and must not be read
+    // by this one (tables are rebuilt per session — see renderRows' note
+    // on the same one-way contract for the "b" key).
     def temporal(c: String): Boolean = fieldTypes.get(c).exists {
+      case org.apache.spark.sql.types.TimestampType => true
       case org.apache.spark.sql.types.TimestampNTZType => true
       case org.apache.spark.sql.types.DateType => true
       case _ => false
@@ -2755,9 +2792,15 @@ object Snapshots {
         else {
           def canonical(v: Any): Double = v match {
             case d: java.lang.Double => d
-            case ldt: java.time.LocalDateTime =>
+            case ldt: java.time.LocalDateTime => // NTZ wall-clock micros
               (ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
-                ldt.getNano / 1000L) / 1e6
+                ldt.getNano / 1000L).toDouble
+            case i: java.time.Instant => // LTZ epoch micros (java8 API on)
+              org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .instantToMicros(i).toDouble
+            case t: java.sql.Timestamp => // LTZ epoch micros (java8 API off)
+              org.apache.spark.sql.catalyst.util.DateTimeUtils
+                .fromJavaTimestamp(t).toDouble
             case ld: java.time.LocalDate => ld.toEpochDay.toDouble
             case d: java.sql.Date => d.toLocalDate.toEpochDay.toDouble
             case n: Number => n.doubleValue
@@ -2886,10 +2929,17 @@ object Snapshots {
     * is OPAQUE: the ColStats index is numeric-only, so no pruning is
     * possible and every file is a candidate — conservative, never wrong. */
   private[engine] def probeKeys(keysDf: DataFrame, key: String): KeyProbe = {
-    import org.apache.spark.sql.functions.{col, min, max}
+    import org.apache.spark.sql.functions.{col, min, max, unix_micros}
     // try_cast, not cast: under ANSI semantics a malformed string THROWS
-    // from cast — the probe's whole job is to observe the null instead
-    val casted = col(key).try_cast("double")
+    // from cast — the probe's whole job is to observe the null instead.
+    // LTZ timestamp keys must speak the index's canonical unit — exact
+    // epoch MICROS (cast-to-double would yield fractional seconds); NTZ
+    // and date keys refuse the double cast and stay opaque (conservative).
+    val casted = keysDf.schema.find(_.name == key).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) =>
+        unix_micros(col(key)).cast("double")
+      case _ => col(key).try_cast("double")
+    }
     val MaxDriverKeys = 100000
     // ONE job in the common case: the distinct (string, cast) pairs up
     // to the driver cap decide emptiness, opacity, AND the key set in a
@@ -2944,22 +2994,18 @@ object Snapshots {
     val m = manifest(spark, root, v)
     val keep = candidateFiles(m, c, lo, hi)
     // the exact filter speaks the column's own type: temporal columns
-    // refuse the double cast (and canonical bounds are seconds/days for
+    // refuse the double cast (and canonical bounds are micros/days for
     // them), so the literal converts instead of the column
     import org.apache.spark.sql.functions.lit
     import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
     def bnd(x: Double): org.apache.spark.sql.Column =
       parseSchema(m).map(_.apply(c).dataType) match {
         case Some(TimestampNTZType) =>
-          val us = Math.round(x * 1e6)
+          val us = Math.round(x) // canonical micros, exact to ±2^53
           lit(java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
             (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC))
         case Some(TimestampType) =>
-          // round to exact microseconds like the NTZ branch: at
-          // current-epoch magnitudes a double's ulp is ~240ns, so a
-          // nanosecond reconstruction can shift the boundary within a
-          // microsecond and flip rows sitting exactly on it
-          val us = Math.round(x * 1e6)
+          val us = Math.round(x) // canonical micros, exact to ±2^53
           lit(java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
             Math.floorMod(us, 1000000L) * 1000L))
         case Some(DateType) =>
@@ -3082,7 +3128,7 @@ object Snapshots {
     /** (stat column, monotone transform from its canonical unit to the
       * compared unit, is-identity). Non-identity transforms come from
       * TZ-FREE calendar shapes only — `cast(ntz_ts as date)` (wall-clock
-      * date, seconds → epoch days) and `year(date)` (days → year); their
+      * date, micros → epoch days) and `year(date)` (days → year); their
       * LTZ variants depend on the session zone and conservatively do not
       * mine. A transformed conjunct contributes OVERLAP pruning only
       * (`full` stays empty): monotone non-decreasing f maps a file's
@@ -3096,7 +3142,7 @@ object Snapshots {
         case c: Cast if c.dataType == DateType &&
             c.child.dataType == TimestampNTZType =>
           statAttr(c.child).map { case (n, f, _) =>
-            (n, (x: Double) => math.floor(f(x) / 86400.0), false) }
+            (n, (x: Double) => math.floor(f(x) / 86400e6), false) } // micros → days
         case y: Year if y.child.dataType == DateType =>
           statAttr(y.child).map { case (n, f, _) =>
             (n, (x: Double) =>
@@ -3122,13 +3168,12 @@ object Snapshots {
       }
     def litD(e: Expression): Option[Double] = e match {
       case Literal(null, _) => None
-      // timestamp literals carry MICROS internally; the stats index speaks
-      // SECONDS (the canonical cast-to-double unit) — a raw Number match
-      // would mine micros and prune every file out of a valid band. Date
-      // literals are epoch DAYS, matching their recorded unit through the
-      // generic path below.
-      case Literal(us: Long, TimestampType) => Some(us / 1e6)
-      case Literal(us: Long, TimestampNTZType) => Some(us / 1e6)
+      // timestamp literals carry MICROS internally — exactly the index's
+      // canonical unit (round 17; the seconds canon before it rounded).
+      // Date literals are epoch DAYS, matching their recorded unit through
+      // the generic path below.
+      case Literal(us: Long, TimestampType) => Some(us.toDouble)
+      case Literal(us: Long, TimestampNTZType) => Some(us.toDouble)
       case Literal(x, _) => x match {
         case n: Number => Some(n.doubleValue)
         case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
@@ -3149,6 +3194,30 @@ object Snapshots {
         byFile.get(new Path(f).getName).exists(s => s.nulls == 0L && ok(s))
       }.toSet
     }
+    // FULL acceptance on EQUALITY or a NON-STRICT bound compares the
+    // rounded-double stat to the rounded-double literal — sound only when
+    // value→double is INJECTIVE over the compared values, else distinct
+    // values collapse (long 2^53+1 and 2^53 share a double: `id =
+    // 9007199254740993L` must not full-accept a file of ...992s — wired to
+    // dropFiles, that collapse is data loss). int/date/short/byte are
+    // always exact; long only strictly inside ±2^53 (a long beyond rounds
+    // to a double of magnitude ≥ 2^53, so the per-VALUE check suffices);
+    // decimals when the type's precision ≤ 15 (doubles round-trip 15
+    // significant decimal digits, so the map is injective per type);
+    // float/double never (NaN-blind stats); timestamps like longs — the
+    // index records exact epoch micros. STRICT bounds need no guard:
+    // rounding is monotone non-decreasing, so rd(v) < rd(lit) ⟹ v < lit.
+    // Overlap pruning is likewise monotone-safe and stays unguarded. The
+    // same exactness rule guards aggAnswer.exact and capForTopN.
+    val typeOf: Map[String, DataType] =
+      filtered.queryExecution.analyzed.output.map(a => a.name -> a.dataType).toMap
+    def injective(c: String, d: Double): Boolean = typeOf.get(c).exists {
+      case ByteType | ShortType | IntegerType | DateType => true
+      case LongType | TimestampType | TimestampNTZType =>
+        d.isWhole && math.abs(d) < 9007199254740992.0 // 2^53
+      case dec: DecimalType => dec.precision <= 15
+      case _ => false
+    }
     def bound(a: (String, Double => Double, Boolean), x: Double,
         isLo: Boolean, strict: Boolean): MinedConjunct = {
       val (c, f, ident) = a
@@ -3158,15 +3227,21 @@ object Snapshots {
       val full =
         if (!ident) Set.empty[String]
         else fullFiles(c, s =>
-          if (isLo) { if (strict) s.min > x else s.min >= x }
-          else      { if (strict) s.max < x else s.max <= x })
+          if (isLo) {
+            if (strict) s.min > x
+            else injective(c, x) && injective(c, s.min) && s.min >= x
+          } else {
+            if (strict) s.max < x
+            else injective(c, x) && injective(c, s.max) && s.max <= x
+          })
       MinedConjunct(overlap, full)
     }
     def pointOf(a: (String, Double => Double, Boolean), x: Double): MinedConjunct = {
       val (c, f, ident) = a
       MinedConjunct(overlapOf(c, f, ident, x, x),
         if (!ident) Set.empty
-        else fullFiles(c, s => s.min == x && s.max == x))
+        else fullFiles(c, s =>
+          injective(c, x) && injective(c, s.min) && s.min == x && s.max == x))
     }
     def point(l: Expression, r: Expression): Option[MinedConjunct] =
       (statAttr(l), litD(r), statAttr(r), litD(l)) match {
@@ -3189,7 +3264,7 @@ object Snapshots {
       val (c, f, ident) = a
       if (ident)
         MinedConjunct(candidateFilesForKeys(m, c, arr),
-          fullFiles(c, s => s.min == s.max &&
+          fullFiles(c, s => s.min == s.max && injective(c, s.min) &&
             java.util.Arrays.binarySearch(arr, s.min) >= 0))
       else
         // transformed in-set: conservative range envelope of the key set
@@ -3318,10 +3393,10 @@ object Snapshots {
       case InSet(a, hs) if hs.nonEmpty =>
         statAttr(a).flatMap { sa =>
           // same unit discipline as litD: timestamp set elements are raw
-          // MICROS internally, the index speaks SECONDS (date Ints are
+          // MICROS internally — the index's canonical unit (date Ints are
           // already epoch days)
           val conv: Number => Double = a.dataType match {
-            case TimestampType | TimestampNTZType => n => n.longValue() / 1e6
+            case TimestampType | TimestampNTZType => n => n.longValue().toDouble
             case _ => n => n.doubleValue
           }
           val ks = hs.toSeq.collect { case n: Number => conv(n) }
@@ -4262,7 +4337,16 @@ object Snapshots {
     }.mkString("[", ",", "]")
 
   private def renderRows(rows: Seq[FileRows]): String =
-    // "b" only when known — earlier-era shard bodies stay byte-identical
+    // "b" only when known — earlier-era shard bodies stay byte-identical.
+    // COMPATIBILITY IS ONE-WAY (by design, no version marker): this
+    // binary reads every earlier shard generation, but a PRE-round-16
+    // reader's rows regex required `"n":(\d+)}` immediately before the
+    // brace and silently parses ZERO row entries from a "b"-bearing shard
+    // (degrading rowCount/countWhere/aggregate pushdown, never wrong
+    // answers — missing counts always decline to the scan). Round 17's
+    // micros timestamp canon is likewise one-way: mixed-version
+    // deployments must upgrade readers before writers, the same contract
+    // every shard-format addition here has carried.
     rows.map(r => s"""{"file":${graft.JsonStr(r.file)},"n":${r.n}""" +
         (if (r.bytes >= 0L) s""","b":${r.bytes}}""" else "}"))
       .mkString("[", ",", "]")

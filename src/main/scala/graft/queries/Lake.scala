@@ -41,6 +41,20 @@ object Lake {
       case other => other.children.map(scanOutputRows).sum
     }
 
+  /** Planned input-partition count of the first DSv2 scan in an EXECUTED
+    * plan — the "how many files did the scan PLAN" gate (each snapshot
+    * file maps to ≥1 partition; a LIMIT cap shows as fewer partitions). */
+  private def scanPartitions(p: org.apache.spark.sql.execution.SparkPlan): Long =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scanPartitions(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scanPartitions(s.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.inputRDD.partitions.length.toLong
+      case other => other.children.map(scanPartitions).sum
+    }
+
   val queries: Seq[OracleQuery] = Seq(
     // ---- q63: write documents partitioned by lang, read back with a lang
     //           predicate that prunes directories, aggregate. The oracle
@@ -2813,6 +2827,100 @@ object Lake {
       require(d == types.length - 1,
         s"grouped agg must answer from the manifest with the dead group " +
           s"suppressed (scan emitted $d rows, expected ${types.length - 1})")
+      out
+    },
+
+    // ---- q148: LIMIT WITHOUT ROW COUNTS — the capForLimit DEGRADE path
+    //            end-to-end: lineitem committed across 8 files, then the
+    //            shard doctored to the PRE-round-8 format (row-count
+    //            entries stripped, exactly what a shard written by an
+    //            older binary looks like). `LIMIT n` must still answer
+    //            exactly — unknown counts contribute ZERO to the cap's
+    //            budget, so the scan degrades to planning EVERY file
+    //            (required in-query: planned partitions == file count),
+    //            never to missing rows. The aggregate wrapper makes the
+    //            any-k-rows LIMIT deterministic for the oracle. ----
+    OracleQuery(
+      "q148_limit_degrade",
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT l_orderkey) >= 1 AS INTEGER) AS has_keys
+        |FROM (SELECT * FROM lineitem LIMIT 500)""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/lineitem_nostats"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      Snapshots.commit(
+        Tables(spark, dir, "lineitem")
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .repartition(8),
+        root)
+      // age the shard to the pre-row-count era: strip "rows" entries (the
+      // parser reads their absence as unknown counts), re-point the
+      // manifest (shards are immutable + process-cached, so the doctored
+      // body needs a fresh name)
+      def readText(p: Path): String = {
+        val in = fsys.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      }
+      def writeText(p: Path, s: String): Unit = {
+        val out = fsys.create(p, true)
+        try out.write(s.getBytes("UTF-8")) finally out.close()
+      }
+      val snap = new Path(s"$root/_snapshots")
+      fsys.listStatus(snap).map(_.getPath)
+        .filter(_.getName.startsWith("shard-")).foreach { sp =>
+          val aged = readText(sp).replaceAll(
+            """"rows":\[[^\]]*\]""", """"rows":[]""")
+          val nn = s"shard-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.json"
+          writeText(new Path(snap, nn), aged)
+          val mp = new Path(snap, "manifest-1.json")
+          writeText(mp, readText(mp).replace(sp.getName, nn))
+        }
+      val m = Snapshots.manifest(spark, root, 1L)
+      require(m.rows.isEmpty, "the doctored manifest must carry no row counts")
+      val nFiles = m.files.size
+      val res = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .limit(500)
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          (count(col("l_orderkey")) >= 1).cast("int").as("has_keys"))
+      val out = res.localCheckpoint(true)
+      val parts = scanPartitions(res.queryExecution.executedPlan)
+      require(parts >= nFiles,
+        s"unknown row counts must cap NOTHING (planned $parts of $nFiles files)")
+      out
+    },
+
+    // ---- q149: TIMESTAMP TOP-N — "latest n events by ts", THE 100 TB
+    //            top-n shape, over events committed range-laid on ts. The
+    //            round-17 exact-micros canon lets the TOP-N pushdown both
+    //            CAP files (only the tail can reach the top) and push the
+    //            `ts >= T` threshold into surviving files' row groups —
+    //            required in-query: the scan decodes < half the table.
+    //            Hash-matches DuckDB's full sort. ----
+    OracleQuery(
+      "q149_ts_topn",
+      """SELECT event_id, ts, event_type
+        |FROM events
+        |ORDER BY ts DESC, event_id DESC LIMIT 50""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/events_tstopn"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      Snapshots.commit(
+        Tables(spark, dir, "events").select("event_id", "ts", "event_type")
+          .repartitionByRange(8, col("ts")),
+        root, statsCols = Seq("ts"))
+      val total = Snapshots.manifest(spark, root, 1L).rows.map(_.n).sum
+      require(total > 0, "commit must record per-file row counts")
+      val res = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .limit(50)
+      val out = res.localCheckpoint(true)
+      val d = scanOutputRows(res.queryExecution.executedPlan)
+      require(d > 0 && d < total / 2,
+        s"ts top-50 must cap to boundary files (decoded $d of $total)")
       out
     },
 

@@ -599,10 +599,10 @@ private[streaming] class SnapshotScanBuilder(
   //    vector deleted is unknowable from metadata — the extreme row may
   //    be gone;
   //  - MIN/MAX on a type the double-cast stats can't reproduce EXACTLY:
-  //    int/date (always exact), long within ±2^53 (checked per value);
+  //    int/date (always exact), long and timestamps within ±2^53 (checked
+  //    per value; the index records exact epoch micros since round 17);
   //    float/double are excluded for NaN semantics (parquet footer stats
-  //    omit NaN; Spark's MAX ranks NaN above every value), timestamps
-  //    because the index stores seconds (micros/1e6 — rounded).
+  //    omit NaN; Spark's MAX ranks NaN above every value).
   // Streaming never sees this: aggregate pushdown only runs on batch v2
   // relations.
 
@@ -638,6 +638,10 @@ private[streaming] class SnapshotScanBuilder(
       case ShortType if d.isWhole => Some(d.toShort)
       case ByteType if d.isWhole => Some(d.toByte)
       case LongType if d.isWhole && math.abs(d) < 9007199254740992.0 => // 2^53
+        Some(d.toLong)
+      // exact epoch micros (round 17); catalyst-internal value is Long
+      case TimestampType | TimestampNTZType
+          if d.isWhole && math.abs(d) < 9007199254740992.0 =>
         Some(d.toLong)
       case _ => None
     }
@@ -1162,31 +1166,56 @@ private[streaming] class SnapshotMicroBatchStream(
           latestOffset(start, l).asInstanceOf[SnapshotOffset].version).min)
       case mb: ReadMaxBytes if head > from =>
         // walk versions forward, accumulating each step's ADDED bytes from
-        // the shard-recorded per-file sizes (round 16 — no RPC per file;
-        // the shard bodies load once via the process cache and are what
-        // batch planning reads anyway). A file whose shard predates the
+        // the shard-recorded per-file sizes (round 16 — no RPC per file).
+        // Round 17: the common append-only step costs one O(#shards)
+        // commit-record read plus the NEW shards' bodies only (shards are
+        // write-once, so a commit whose shard-ref set contains all of its
+        // parent's added exactly the new shards' files) — the same delta
+        // arithmetic as the ReadMaxFiles branch, instead of resolving and
+        // set-differencing FULL manifests per version on a long catch-up.
+        // Shard-replacing commits (compaction/merge/delete) fall back to
+        // the full-manifest diff, lazily. A file whose shard predates the
         // size index counts as budget-exhausting (admitted alone with its
         // version, conservative), so old tables still make progress.
         var v = from
         var budget: Long = mb.maxBytes()
-        var prevFiles: Set[String] =
-          if (from == 0) Set.empty
-          else Snapshots.manifest(spark, root, from).files.toSet
+        def refsOf(mm: Snapshots.ManifestMeta): Option[Seq[Snapshots.ShardRef]] =
+          if (mm.inline.isDefined) None else Some(mm.shardRefs)
+        var prevRefs: Option[Set[String]] =
+          if (from == 0) Some(Set.empty)
+          else refsOf(Snapshots.manifestMeta(spark, root, from))
+            .map(_.map(_.name).toSet)
+        var prevFiles: Option[Set[String]] =
+          if (from == 0) Some(Set.empty) else None
         var done = false
         while (!done && v < head) {
-          val m1 = Snapshots.manifest(spark, root, v + 1)
-          val added = m1.files.toSet -- prevFiles
-          val sized = m1.rows.iterator.map(r => r.file -> r.bytes).toMap
-          var bytes = 0L
-          added.foreach { u =>
-            val b = sized.getOrElse(new Path(u).getName, -1L)
-            val add = if (b >= 0L) b else Long.MaxValue / 4
-            bytes = math.min(Long.MaxValue / 2, bytes + add)
+          val mm = Snapshots.manifestMeta(spark, root, v + 1)
+          val curRefs = refsOf(mm)
+          val bytes: Long = (prevRefs, curRefs) match {
+            case (Some(p), Some(c)) if p.subsetOf(c.map(_.name).toSet) =>
+              prevFiles = None // cached file set no longer describes v+1
+              Snapshots.shardFileBytes(spark, root,
+                c.filterNot(r => p.contains(r.name)))
+            case _ =>
+              val pf = prevFiles.getOrElse(
+                if (v == 0) Set.empty[String]
+                else Snapshots.manifest(spark, root, v).files.toSet)
+              val m1 = Snapshots.manifest(spark, root, v + 1)
+              val added = m1.files.toSet -- pf
+              prevFiles = Some(m1.files.toSet)
+              val sized = m1.rows.iterator.map(r => r.file -> r.bytes).toMap
+              var b0 = 0L
+              added.foreach { u =>
+                val b = sized.getOrElse(new Path(u).getName, -1L)
+                val add = if (b >= 0L) b else Long.MaxValue / 4
+                b0 = math.min(Long.MaxValue / 2, b0 + add)
+              }
+              b0
           }
           if (bytes <= budget || v == from) {
             // always admit at least one version, else no progress
             budget = math.max(0L, budget - bytes)
-            prevFiles = m1.files.toSet
+            prevRefs = curRefs.map(_.map(_.name).toSet)
             v += 1
           } else done = true
         }

@@ -104,6 +104,59 @@ class AdviceFixSpec extends SparkSpec {
       Set(("doc-b", 20L), ("doc-c", 30L)))
   }
 
+  test("metadata delete never full-accepts longs that collapse in double space") {
+    // round-16 advice: full acceptance compared stats and literals as
+    // doubles with no exact-representability guard — DELETE WHERE
+    // id = 2^53+1 full-accepted (and DROPPED) a file whose rows are 2^53,
+    // silently deleting non-matching rows. Equality and non-strict bounds
+    // must decline full acceptance outside the exact-double range.
+    import graft.engine.Snapshots
+    import org.apache.spark.sql.functions.{col, lit}
+    val big = 9007199254740992L // 2^53; 2^53+1 rounds to the same double
+    val root = tmp() + "/t"
+    Snapshots.commit(
+      spark.range(0, 100).select((lit(big) + ($"id" * 0)).as("id"), $"id".as("v"))
+        .coalesce(1),
+      root, statsCols = Seq("id"))
+    val head = Snapshots.headVersion(spark, root)
+    // equality on the collapsing neighbor: a true no-op, zero rows deleted
+    assert(Snapshots.deleteWhere(spark, root, col("id") === (big + 1)) === head)
+    // non-strict band on the collapsing neighbor: also a no-op
+    assert(Snapshots.deleteWhere(spark, root, col("id") >= (big + 1)) === head)
+    assert(Snapshots.read(spark, root).count() === 100L)
+    // countWhere must not overcount through the same primitive
+    assert(Snapshots.countWhere(spark, root, col("id") === (big + 1)) === 0L)
+    assert(Snapshots.countWhere(spark, root, col("id") === big) === 100L)
+  }
+
+  test("wide decimals decline full acceptance; in-range types still metadata-delete") {
+    import graft.engine.Snapshots
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = tmp() + "/t"
+    // DecimalType(20,0): 20 significant digits exceed a double's 15 —
+    // distinct values can collapse, so equality must scan, not drop
+    Snapshots.commit(
+      spark.range(0, 50)
+        .select(lit(new java.math.BigDecimal("9007199254740993"))
+          .cast("decimal(20,0)").as("d"), $"id").coalesce(1),
+      root, statsCols = Seq("d"))
+    val head = Snapshots.headVersion(spark, root)
+    assert(Snapshots.deleteWhere(spark, root,
+      col("d") === lit(new java.math.BigDecimal("9007199254740992"))
+        .cast("decimal(20,0)")) === head)
+    assert(Snapshots.read(spark, root).count() === 50L)
+    // int columns are always double-exact: the aligned drop still fires
+    val root2 = tmp() + "/t2"
+    Snapshots.commit(
+      spark.range(0, 200).select($"id".cast("int").as("k"))
+        .repartitionByRange(2, col("k")),
+      root2, statsCols = Seq("k"))
+    val v = Snapshots.deleteWhere(spark, root2, col("k") < 100)
+    val m = Snapshots.manifest(spark, root2, v)
+    assert(m.files.size === 1 && m.dvs.isEmpty,
+      "the int-keyed aligned delete must stay a pure metadata drop")
+  }
+
   test("commit requireHead fences a read-modify-write against a racing commit") {
     // round-6 advice: Incremental.refresh could double-apply a delta when a
     // concurrent refresher advanced the state between its head read and its

@@ -226,6 +226,36 @@ class GroupedAggPushSpec extends SparkSpec {
     assert(c.as[Long].collect().toSeq === Seq(0L))
   }
 
+  test("timestamp MIN/MAX answers from the manifest (exact micros canon)") {
+    // the round-17 canon records exact epoch micros, so timestamp extremes
+    // reproduce exactly from metadata where the seconds canon declined
+    val base = 1700000000000000L
+    val root = tmp()
+    Seq("a", "b").zipWithIndex.foreach { case (s, i) =>
+      Snapshots.commit(
+        spark.range(0, 100)
+          .select(lit(s).as("src"),
+            timestamp_micros(lit(base) + (lit(i) * 86400000000L) +
+              $"id" * 1000001L).as("ts"))
+          .coalesce(1),
+        root, append = i > 0, statsCols = Seq("src", "ts"))
+    }
+    val q = batchRead(root).groupBy("src")
+      .agg(min("ts").as("lo"), max("ts").as("hi")).orderBy("src")
+    val d = descOf(q)
+    assert(d.contains("group by [src]"), s"got: $d")
+    val got = q.collect().map(r => (r.getString(0),
+      r.getTimestamp(1).getTime, r.getTimestamp(2).getTime)).toSeq
+    def ms(us: Long) = us / 1000L
+    assert(got === Seq(
+      ("a", ms(base), ms(base + 99L * 1000001L)),
+      ("b", ms(base + 86400000000L), ms(base + 86400000000L + 99L * 1000001L))))
+    // the no-I/O pin
+    deleteDataFiles(root)
+    assert(batchRead(root).groupBy("src")
+      .agg(min("ts").as("lo"), max("ts").as("hi")).count() === 2L)
+  }
+
   test("grouped COUNT(col) subtracts per-group null counts") {
     val root = tmp()
     Seq("p", "q").zipWithIndex.foreach { case (s, i) =>

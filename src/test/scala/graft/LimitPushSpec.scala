@@ -267,6 +267,66 @@ class LimitPushSpec extends SparkSpec {
     }
   }
 
+  test("timestamp keys cap files AND emit the within-file threshold (exact micros)") {
+    // "latest n events by ts" — THE 100 TB top-n shape. The round-17
+    // micros canon makes the recorded bounds exact, so the capper emits a
+    // typed threshold literal where the seconds canon had to stop at the
+    // file cap. LTZ column: its stats ride the native driver-side
+    // conversion (the old cast-to-double path would have recorded
+    // fractional seconds).
+    val base = 1700000000000000L // epoch micros, well inside ±2^53
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 8000)
+        .select($"id", timestamp_micros(lit(base) + $"id" * 1000000L).as("ts"))
+        .repartitionByRange(8, $"ts"),
+      root, statsCols = Seq("ts"))
+    val got = load(root).orderBy($"ts".desc).limit(50)
+      .select("id").as[Long].collect().toSeq
+    assert(got === (7999L to 7950L by -1L))
+    val d = decoded(load(root).orderBy($"ts".desc).limit(50))
+    assert(d <= 2000L, s"ts-keyed desc top-50 must decode ~1 boundary file, saw $d")
+    // within-file half: a sorted overlapping file's row groups above the
+    // threshold never decode (the ts literal converts back exactly)
+    val root2 = tmp()
+    Snapshots.commit(
+      spark.range(0, 1000)
+        .select(timestamp_micros(lit(base) + $"id" * 1000000L).as("ts"))
+        .coalesce(1),
+      root2, statsCols = Seq("ts"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    hc.set("parquet.block.size", (1 << 16).toString)
+    try {
+      Snapshots.commit(
+        spark.range(500, 100000)
+          .select(timestamp_micros(lit(base) + $"id" * 1000000L).as("ts"))
+          .repartition(1).sortWithinPartitions("ts"),
+        root2, append = true, statsCols = Seq("ts"))
+    } finally oldBlock.fold(hc.unset("parquet.block.size"))(
+      hc.set("parquet.block.size", _))
+    val q = load(root2).orderBy($"ts").limit(1000)
+    assert(q.count() === 1000L)
+    val d2 = decoded(load(root2).orderBy($"ts").limit(1000))
+    assert(d2 < 20000L,
+      s"the ts threshold must drop the sorted file's tail row groups, saw $d2")
+  }
+
+  test("ntz timestamp keys cap and threshold like ltz") {
+    val base = 1700000000000000L
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 4000)
+        .select($"id", timestamp_micros(lit(base) + $"id" * 1000000L)
+          .cast("timestamp_ntz").as("ts"))
+        .repartitionByRange(4, $"ts"),
+      root, statsCols = Seq("ts"))
+    val got = load(root).orderBy($"ts").limit(30).select("id").as[Long].collect().toSeq
+    assert(got === (0L until 30L))
+    val d = decoded(load(root).orderBy($"ts").limit(30))
+    assert(d <= 2000L, s"ntz ts top-30 must decode ~1 boundary file, saw $d")
+  }
+
   test("topN threshold prunes row groups inside an overlapping survivor file") {
     // file A: ids [0, 1000) — covers the whole top-1000 budget, so the
     // threshold T lands at A.hi=999; file B: ids [500, 100000) SORTED in

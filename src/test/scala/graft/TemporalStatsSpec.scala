@@ -8,11 +8,12 @@ import org.apache.spark.sql.functions._
 import graft.engine.Snapshots
 
 /** Temporal columns in the stats index: timestamps (NTZ and LTZ) record
-  * epoch SECONDS and dates epoch DAYS, and the predicate miner converts
-  * literals to the same units — so `ts >= '...'` readWhere/countWhere
-  * prune files by time range, the single most common lake predicate. The
-  * unit discipline is the point: timestamp literals are MICROS internally,
-  * and mining them as raw numbers against seconds-valued stats would
+  * exact epoch MICROS (round 17 — double-exact to ±2^53, so equality/
+  * top-n/min-max pushdowns never decline for rounding) and dates epoch
+  * DAYS, and the predicate miner converts literals to the same units — so
+  * `ts >= '...'` readWhere/countWhere prune files by time range, the
+  * single most common lake predicate. The unit discipline is the point:
+  * a literal mined in the wrong unit against the recorded stats would
   * prune every file out of a valid band (a silently-empty result).
   */
 class TemporalStatsSpec extends SparkSpec {
@@ -129,11 +130,12 @@ class TemporalStatsSpec extends SparkSpec {
     val rows = (1 to 10).map(d => (d.toLong, day(d)))
     Snapshots.commit(rows.toDF("id", "ts").repartitionByRange(2, $"ts"),
       root, statsCols = Seq("ts"))
-    // canonical epoch-second bounds — the exact filter must compare
-    // natively (the double cast is refused for NTZ and would crash here)
-    def sec(d: Int): Double =
-      day(d).toEpochSecond(java.time.ZoneOffset.UTC).toDouble
-    val got = Snapshots.readRange(spark, root, "ts", sec(3), sec(7))
+    // canonical epoch-MICROS bounds (round 17) — the exact filter must
+    // compare natively (the double cast is refused for NTZ and would
+    // crash here)
+    def us(d: Int): Double =
+      day(d).toEpochSecond(java.time.ZoneOffset.UTC).toDouble * 1e6
+    val got = Snapshots.readRange(spark, root, "ts", us(3), us(7))
       .select("id").as[Long].collect().toSet
     assert(got === (3L to 7L).toSet)
     // date column variant
