@@ -2396,20 +2396,38 @@ object Snapshots {
 
   /** Carry `shards` forward minus `touched` files (dropped with all their
     * metadata — stats, counts, blooms, DVs retire with the file), applying
-    * `dvUpdates` (basename → replacement vector) to surviving files. A
-    * shard intersecting neither carries BY REFERENCE; an affected one gets
-    * a metadata-only rewrite that never re-opens surviving data files. */
+    * `dvUpdates` (basename → replacement vector) to surviving files and
+    * dropping any DV entry in `dvDrop` (files whose vector was re-written
+    * into a NEW deletion-vector shard by the fan-out delete — the stale
+    * entry must not coexist with it). A shard intersecting none of these
+    * carries BY REFERENCE; an affected one gets a metadata-only rewrite
+    * that never re-opens surviving data files. PURE-DV shards (empty file
+    * list, the fan-out delete's output) carry vectors for files that live
+    * in OTHER shards: they rewrite when any of their entries' files is
+    * touched/updated/dropped, and vanish when no entry survives. */
   private def rewriteShards(
       spark: SparkSession,
       root: String,
       shards: Seq[Shard],
       touched: Set[String],
-      dvUpdates: Map[String, FileDv]): Seq[ShardRef] =
+      dvUpdates: Map[String, FileDv],
+      dvDrop: Set[String] = Set.empty): Seq[ShardRef] = {
+    val touchedNames = touched.map(u => new Path(u).getName)
+    def dvStale(d: FileDv): Boolean =
+      touchedNames.contains(d.file) || dvUpdates.contains(d.file) ||
+        dvDrop.contains(d.file)
     shards.flatMap { sh =>
       val affected = sh.ref.name.isEmpty || sh.files.exists(touched) ||
-        sh.files.exists(u => dvUpdates.contains(new Path(u).getName))
+        sh.files.exists(u => dvUpdates.contains(new Path(u).getName)) ||
+        sh.dvs.exists(dvStale)
       if (!affected) Some(sh.ref)
-      else {
+      else if (sh.files.isEmpty) {
+        // pure-DV shard: filter its entries; gone entirely when none left
+        val dvs = sh.dvs.filterNot(dvStale)
+        if (dvs.isEmpty) None
+        else Some(writeShard(spark, root, Seq.empty, Seq.empty, Seq.empty,
+          Seq.empty, dvs))
+      } else {
         val keep = sh.files.filterNot(touched)
         if (keep.isEmpty) None
         else {
@@ -2417,8 +2435,7 @@ object Snapshots {
           // stats, row counts, blooms AND deletion vectors carry through
           // filtered — a metadata-only rewrite must never re-open
           // surviving data files
-          val dvs = sh.dvs.filter(d =>
-            keepNames.contains(d.file) && !dvUpdates.contains(d.file)) ++
+          val dvs = sh.dvs.filter(d => keepNames.contains(d.file) && !dvStale(d)) ++
             dvUpdates.valuesIterator.filter(d => keepNames.contains(d.file))
           Some(writeShard(spark, root, keep,
             sh.stats.filter(s => keepNames.contains(s.file)),
@@ -2428,6 +2445,7 @@ object Snapshots {
         }
       }
     }
+  }
 
   /** Copy-on-write DELETE by key set: rows of the head snapshot whose `key`
     * appears in `keys` are removed; everything else carries forward BY FILE
@@ -2484,10 +2502,8 @@ object Snapshots {
         .groupBy(col(DvFileCol))
         .agg(count(lit(1)).as("__n"),
           call_function("rb64_agg", col(DvPosCol)).as("__bm"))
-        .collect()
-        .toSeq
-      return commitMarkedDeletes(spark, root, headV, shards, m, marked,
-        mergeOnRead = true, maxDvFraction, statsCols, bloomCols,
+      return commitMarkedDeletes(spark, root, headV, shards, m, Some(marked),
+        touched.size, mergeOnRead = true, maxDvFraction, statsCols, bloomCols,
         cowSurvivors = files => readFiles(spark, m, files)
           .join(keys.select(col(key)).distinct(), Seq(key), "left_anti"))
     }
@@ -2589,19 +2605,17 @@ object Snapshots {
     // executors (existing DVs applied first — a re-issued delete finds
     // nothing new and no-ops)
     val marked =
-      if (scanSet.isEmpty) Seq.empty[org.apache.spark.sql.Row]
+      if (scanSet.isEmpty) None
       else {
         graft.plans.GraftExtensions.register(spark)
         val live = liveRowsWithMeta(spark, m, scanSet, m.dvs)
-        live.filter(cond)
+        Some(live.filter(cond)
           .groupBy(col(DvFileCol))
           .agg(count(lit(1)).as("__n"),
-            call_function("rb64_agg", col(DvPosCol)).as("__bm"))
-          .collect()
-          .toSeq
+            call_function("rb64_agg", col(DvPosCol)).as("__bm")))
       }
-    commitMarkedDeletes(spark, root, headV, shards, m, marked, mergeOnRead,
-      maxDvFraction, statsCols, bloomCols,
+    commitMarkedDeletes(spark, root, headV, shards, m, marked, scanSet.size,
+      mergeOnRead, maxDvFraction, statsCols, bloomCols,
       // survivors of rewritten files: DVs applied, then SQL DELETE
       // semantics — keep rows where cond is FALSE OR NULL
       cowSurvivors = files => readFiles(spark, m, files)
@@ -2609,19 +2623,49 @@ object Snapshots {
       dropFiles = fullDrop)
   }
 
+  /** Touched-file count above which [[commitMarkedDeletes]] classifies,
+    * merges, and serializes deletion vectors IN THE MARKING JOB instead of
+    * collecting per-file bitmaps to the driver (test-overridable). */
+  private[graft] var MarkedDeleteFanout: Int = 4096
+
+  /** Per-file delete classification, shared verbatim by the driver and
+    * fan-out paths so they cannot diverge: 0 = DROP (every recorded row
+    * now deleted — the file leaves the manifest), 1 = COPY-ON-WRITE
+    * (mergeOnRead off / unknown row count / fraction cap exceeded — all
+    * conservative toward CoW), 2 = VECTOR. */
+  private def classifyMarked(
+      newDel: Long, oldDel: Long, recorded: Option[Long],
+      mergeOnRead: Boolean, maxDvFraction: Double): Int = {
+    val total = newDel + oldDel
+    if (recorded.exists(n => n > 0L && total == n)) 0
+    else if (!mergeOnRead || recorded.forall(_ <= 0L) ||
+      total.toDouble / recorded.get > maxDvFraction) 1
+    else 2
+  }
+
   /** Shared commit tail of the merge-on-read delete family: classify each
-    * marked file (vector vs copy-on-write by the fraction cap), OR new
-    * positions into existing vectors, rewrite CoW files through
+    * marked file (drop vs vector vs copy-on-write — [[classifyMarked]]),
+    * OR new positions into existing vectors, rewrite CoW files through
     * `cowSurvivors`, carry everything else by reference, publish fenced.
-    * `marked` rows are (file basename, new-deletion count, bitmap bytes);
-    * empty ⇒ true no-op (the head version returns unchanged). */
+    * `marked` is the UNCOLLECTED (file basename, new-deletion count,
+    * bitmap bytes) aggregate; None / empty ⇒ true no-op (the head version
+    * returns unchanged).
+    *
+    * Driver memory: up to [[MarkedDeleteFanout]] touched files the bitmap
+    * rows collect (one compressed bitmap per file — the Delta-style commit
+    * shape). ABOVE it the job itself merges each file's marks with its
+    * existing vector, classifies, and writes the surviving vectors into
+    * PURE-DV shards (one per partition, committed by reference); the
+    * driver sees only (kind, name) strings — O(touched) names, zero bitmap
+    * bytes — closing the last driver-side bottleneck of an O(table) delete. */
   private def commitMarkedDeletes(
       spark: SparkSession,
       root: String,
       headV: Long,
       shards: Seq[Shard],
       m: Manifest,
-      marked: Seq[org.apache.spark.sql.Row],
+      marked: Option[DataFrame],
+      touchedCount: Int,
       mergeOnRead: Boolean,
       maxDvFraction: Double,
       statsCols: Seq[String],
@@ -2630,40 +2674,92 @@ object Snapshots {
       // files (URIs) provably ALL-MATCHING from metadata: dropped from the
       // manifest outright — never scanned, vectored, or rewritten
       dropFiles: Set[String] = Set.empty): Long = {
-    if (marked.isEmpty && dropFiles.isEmpty) return headV // true no-op
     val rowsByName = m.rows.map(r => r.file -> r.n).toMap
     val oldDvByName = m.dvs.map(d => d.file -> d).toMap
-    // a file whose EVERY recorded row is now deleted holds no live data:
-    // drop it from the manifest outright instead of carrying a
-    // full-cardinality vector (dead weight in every later plan, and the
-    // phantom-group state for the metadata aggregate) or rewriting it to an
-    // empty file. Sound exactly when the row count is recorded: new marks
-    // are positions among LIVE rows (disjoint from any existing vector by
-    // construction), so new + old == n means every row is gone.
-    val (deadRows, liveRowsMarked) = marked.partition { r =>
-      val f = r.getString(0)
-      val total = r.getLong(1) + oldDvByName.get(f).map(_.deleted).getOrElse(0L)
-      rowsByName.get(f).exists(n => n > 0L && total == n)
-    }
-    val deadNames = deadRows.map(_.getString(0)).toSet
+    val fanout = mergeOnRead && touchedCount > MarkedDeleteFanout
+    // each branch yields: dead file names, CoW file names, driver-held DV
+    // replacements, names whose DV moved into new pure-DV shards, and
+    // those shards' refs
+    val (deadNames, cowNames, dvUpdates, dvMoved, dvShardRefs):
+        (Set[String], Set[String], Map[String, FileDv], Set[String], Seq[ShardRef]) =
+      if (!fanout) {
+        val rows = marked.map(_.collect().toSeq).getOrElse(Seq.empty)
+        if (rows.isEmpty && dropFiles.isEmpty) return headV // true no-op
+        def kind(r: org.apache.spark.sql.Row): Int = {
+          val f = r.getString(0)
+          classifyMarked(r.getLong(1),
+            oldDvByName.get(f).map(_.deleted).getOrElse(0L),
+            rowsByName.get(f), mergeOnRead, maxDvFraction)
+        }
+        // kind 0: a file whose EVERY recorded row is now deleted holds no
+        // live data — drop it from the manifest outright instead of
+        // carrying a full-cardinality vector (dead weight in every later
+        // plan, and the phantom-group state for the metadata aggregate) or
+        // rewriting it to an empty file. Sound exactly when the row count
+        // is recorded: new marks are positions among LIVE rows (disjoint
+        // from any existing vector by construction), so new + old == n
+        // means every row is gone.
+        val dead = rows.filter(kind(_) == 0).map(_.getString(0)).toSet
+        val cow = rows.filter(kind(_) == 1).map(_.getString(0)).toSet
+        val dvs = rows.filter(kind(_) == 2).map { r =>
+          val f = r.getString(0)
+          val bm = dvFromBytes(r.getAs[Array[Byte]]("__bm"))
+          oldDvByName.get(f).foreach(old => bm.or(dvDecode(old.b64)))
+          f -> FileDv(f, dvEncode(bm), bm.getLongCardinality)
+        }.toMap
+        (dead, cow, dvs, Set.empty[String], Seq.empty[ShardRef])
+      } else {
+        // FAN-OUT: ship the (tiny) recorded-count and old-vector indexes to
+        // the job, classify and merge executor-side, stage pure-DV shards
+        import spark.implicits._
+        val rowsB = spark.sparkContext.broadcast(rowsByName)
+        val oldDvDf = m.dvs.map(d => (d.file, d.b64, d.deleted))
+          .toDF(DvFileCol, "__old64", "__olddel")
+        val joined = marked.get.join(oldDvDf, Seq(DvFileCol), "left")
+        val snapDir = s"${dataRoot(root)}/$SnapDir"
+        val confEntries = graft.streaming.SnapshotParquetDataWriter.writerConf(spark)
+        val mor = mergeOnRead
+        val cap = maxDvFraction
+        val outcomes: Seq[(String, String)] = joined.rdd.mapPartitions { it =>
+          val entries = Seq.newBuilder[FileDv]
+          val out = Seq.newBuilder[(String, String)]
+          it.foreach { r =>
+            val f = r.getString(0)
+            val oldDel = if (r.isNullAt(4)) 0L else r.getLong(4)
+            classifyMarked(r.getLong(1), oldDel, rowsB.value.get(f), mor, cap) match {
+              case 0 => out += (("drop", f))
+              case 1 => out += (("cow", f))
+              case _ =>
+                val bm = dvFromBytes(r.getAs[Array[Byte]]("__bm"))
+                if (!r.isNullAt(3)) bm.or(dvDecode(r.getString(3)))
+                entries += FileDv(f, dvEncode(bm), bm.getLongCardinality)
+                out += (("dv", f))
+            }
+          }
+          val es = entries.result()
+          if (es.nonEmpty) {
+            val name = "shard-" +
+              java.util.UUID.randomUUID().toString.replace("-", "").take(16) + ".json"
+            val conf = new org.apache.hadoop.conf.Configuration(false)
+            confEntries.foreach { case (k, v) => conf.set(k, v) }
+            val p = new Path(s"$snapDir/$name")
+            val os = p.getFileSystem(conf).create(p, false)
+            try os.write(renderShard(Seq.empty, Seq.empty, Seq.empty,
+              Seq.empty, es).getBytes("UTF-8"))
+            finally os.close()
+            out += (("shard", name))
+          }
+          out.result().iterator
+        }.collect().toSeq
+        if (outcomes.isEmpty && dropFiles.isEmpty) return headV // true no-op
+        (outcomes.collect { case ("drop", f) => f }.toSet,
+          outcomes.collect { case ("cow", f) => f }.toSet,
+          Map.empty[String, FileDv],
+          outcomes.collect { case ("dv", f) => f }.toSet,
+          outcomes.collect { case ("shard", n) => ShardRef(n, 0L) })
+      }
     val allDrops = dropFiles ++
       m.files.filter(u => deadNames.contains(new Path(u).getName))
-    // classify each remaining touched file: vector it, or rewrite it
-    // (fraction cap / unknown row count / mergeOnRead off — all
-    // conservative toward CoW)
-    val (cowRows, dvRows) = liveRowsMarked.partition { r =>
-      val f = r.getString(0)
-      val total = r.getLong(1) + oldDvByName.get(f).map(_.deleted).getOrElse(0L)
-      !mergeOnRead || rowsByName.get(f).forall(n => n <= 0L) ||
-        total.toDouble / rowsByName(f) > maxDvFraction
-    }
-    val dvUpdates = dvRows.map { r =>
-      val f = r.getString(0)
-      val bm = dvFromBytes(r.getAs[Array[Byte]]("__bm"))
-      oldDvByName.get(f).foreach(old => bm.or(dvDecode(old.b64)))
-      f -> FileDv(f, dvEncode(bm), bm.getLongCardinality)
-    }.toMap
-    val cowNames = cowRows.map(_.getString(0)).toSet
     val cowFiles = m.files.filter(u => cowNames.contains(new Path(u).getName))
     val toPhys = parseSchema(m).map(logicalToPhysical).getOrElse(Map.empty)
     val newRefs =
@@ -2674,8 +2770,8 @@ object Snapshots {
           writeBatch(survivors, root, statsCols, toPhys, bloomCols)
         Seq(writeShard(spark, root, written, newStats, newRows, newBlooms))
       }
-    val carried =
-      rewriteShards(spark, root, shards, cowFiles.toSet ++ allDrops, dvUpdates)
+    val carried = rewriteShards(spark, root, shards,
+      cowFiles.toSet ++ allDrops, dvUpdates, dvDrop = dvMoved)
     // a PURE deletion-vector delete never moves a row between files, so
     // bucket purity — and the clustering spec — survives; metadata drops
     // remove whole files, which also preserves purity. Only a copy-on-write
@@ -2684,7 +2780,7 @@ object Snapshots {
       clustering = h =>
         if (cowFiles.isEmpty) h.flatMap(_.clustering) else None) { head =>
       val h = head.getOrElse(sys.error("delete base vanished"))
-      (carried ++ newRefs, h.schema)
+      (carried ++ newRefs ++ dvShardRefs, h.schema)
     }
   }
 

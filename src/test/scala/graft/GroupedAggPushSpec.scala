@@ -98,6 +98,23 @@ class GroupedAggPushSpec extends SparkSpec {
     assert(q.as[(String, Long)].collect().toSeq === Seq(("x", 2L), ("y", 1L)))
   }
 
+  test("a stats-less file declines the whole grouped pushdown (mixed manifest)") {
+    // compacted history with recorded stats + a fresh append without them:
+    // the DOCUMENTED decision (SURVEY §11) is to decline WHOLE — partial
+    // metadata answering would need a hybrid scan for a layout the scale
+    // curve has not surfaced, and the decline costs one ordinary scan
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 60).select(lit("a").as("src"), $"id").coalesce(1),
+      root, statsCols = Seq("src", "id"))
+    Snapshots.commit(
+      spark.range(0, 40).select(lit("b").as("src"), $"id").coalesce(1),
+      root, append = true) // no statsCols: file 2 pins nothing
+    val q = batchRead(root).groupBy("src").agg(count(lit(1)).as("n")).orderBy("src")
+    assert(!descOf(q).contains("PushedAggregates"), descOf(q))
+    assert(q.as[(String, Long)].collect().toSeq === Seq(("a", 60L), ("b", 40L)))
+  }
+
   test("nulls in the group column decline (metadata can't see the null group)") {
     val root = tmp()
     Snapshots.commit(

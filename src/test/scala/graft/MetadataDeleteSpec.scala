@@ -192,6 +192,54 @@ class MetadataDeleteSpec extends SparkSpec {
     assert(ids(root) === ((0L until 100L) ++ (250L until 300L)).toSet)
   }
 
+  test("a wide delete fans out: vectors written by the job as pure-DV shards, no driver bitmaps") {
+    // above MarkedDeleteFanout the marking job classifies, merges, and
+    // serializes the vectors itself (one pure-DV shard per partition,
+    // committed by reference) — the driver never holds a bitmap. The spec
+    // drops the threshold to force the path on a 12-file table and then
+    // drives every later interaction a fan-out vector can have: a second
+    // fan-out delete must SUPERSEDE the first shard's entries (no
+    // duplicate vectors per file), a full-file kill must DROP the file
+    // and retire its shard-held vector, and time travel still sees
+    // everything.
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 1200).toDF("id").repartitionByRange(12, $"id"),
+      root, statsCols = Seq("id"))
+    val prev = Snapshots.MarkedDeleteFanout
+    Snapshots.MarkedDeleteFanout = 4
+    try {
+      // % is opaque to the miner → every file scans → 12 > 4 → fan-out
+      val v2 = Snapshots.deleteWhere(spark, root, col("id") % 10 === 7)
+      val m2 = Snapshots.manifest(spark, root, v2)
+      assert(m2.files.size === 12 && m2.dvs.size === 12)
+      assert(m2.dvs.map(_.deleted).sum === 120L)
+      val meta2 = Snapshots.manifestMeta(spark, root, v2)
+      assert(meta2.shardRefs.exists(_.n == 0L),
+        "fan-out vectors must land in pure-DV shards committed by reference")
+      assert(ids(root) === (0L until 1200L).filterNot(_ % 10 == 7).toSet)
+      // second fan-out delete: merged vectors, no duplicate entries
+      val v3 = Snapshots.deleteWhere(spark, root, col("id") % 10 === 3)
+      val m3 = Snapshots.manifest(spark, root, v3)
+      assert(m3.dvs.map(_.deleted).sum === 240L)
+      assert(m3.dvs.map(_.file).distinct.size === m3.dvs.size,
+        "a superseded pure-DV shard entry must not coexist with its replacement")
+      assert(ids(root) ===
+        (0L until 1200L).filterNot(i => i % 10 == 7 || i % 10 == 3).toSet)
+      // kill the last file entirely (80 live rows + 20 vectored = all 100):
+      // the fan-out drop path — file leaves the manifest, vector retires
+      val v4 = Snapshots.deleteWhere(spark, root, (col("id") >= 1100L) === lit(true))
+      val m4 = Snapshots.manifest(spark, root, v4)
+      assert(m4.files.size === 11, "the fully-dead file must drop under fan-out")
+      assert(m4.dvs.forall(d => m4.files.exists(u => new Path(u).getName == d.file)),
+        "a dropped file's shard-held vector must not linger")
+      assert(ids(root) ===
+        (0L until 1100L).filterNot(i => i % 10 == 7 || i % 10 == 3).toSet)
+      // history: the pre-delete snapshot still reads complete
+      assert(Snapshots.read(spark, root, 1).count() === 1200L)
+    } finally Snapshots.MarkedDeleteFanout = prev
+  }
+
   test("time travel still sees dropped rows; SQL DELETE routes the same path") {
     val root = tmp()
     Snapshots.commit(
