@@ -334,11 +334,19 @@ private[graft] object FilterPrune {
               Some(DateTimeUtils.microsToLocalDateTime(t.toLong))
             case _ => None
           })
-      case _: DecimalType =>
-        // file cap only: a back-converted decimal literal could round to
-        // the WRONG side of real rows beyond a double's 15 digits
+      case dec: DecimalType =>
+        // precision ≤ 15: value→double is injective (doubles round-trip 15
+        // significant decimal digits), so the stat double names a UNIQUE
+        // decimal of the column's type — Double.toString's shortest
+        // representation recovers it exactly and the threshold pushes into
+        // row groups ("top n by price"). Wider decimals keep the file cap
+        // only: a back-converted literal could round to the wrong side.
         cap(s => if (s.slo == null) Some((s.min, s.max)) else None,
-          (_: Double) => None)
+          (t: Double) =>
+            if (dec.precision > 15 || !java.lang.Double.isFinite(t)) None
+            else try Some(java.math.BigDecimal.valueOf(t)
+              .setScale(dec.scale)) // throws if the scale can't hold it
+            catch { case _: ArithmeticException => None })
       case _ => (kept, None) // float/double (NaN-blind bounds), nested, binary
     }
   }

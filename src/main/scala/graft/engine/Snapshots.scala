@@ -294,7 +294,12 @@ object Snapshots {
   /** A loaded shard: its ref plus the content. */
   private final case class Shard(ref: ShardRef, files: Seq[String], stats: Seq[ColStats],
       rows: Seq[FileRows] = Seq.empty, blooms: Seq[FileBloom] = Seq.empty,
-      dvs: Seq[FileDv] = Seq.empty)
+      dvs: Seq[FileDv] = Seq.empty,
+      // false for shard generations whose TIMESTAMP stats predate the
+      // round-17 exact-micros canon (they recorded rounded seconds):
+      // [[resolve]] hides their timestamp stats so no miner can compare
+      // micros literals against seconds bounds — degrade, never lie
+      tsExact: Boolean = true)
 
   /** A read-modify-write commit found the head moved past the version it
     * was computed from. Subclasses IllegalArgumentException so callers
@@ -431,9 +436,9 @@ object Snapshots {
 
   private def loadShard(spark: SparkSession, root: String, ref: ShardRef): Shard =
     ShardCache.get(root, ref.name).getOrElse {
-      val (files, stats, rows, blooms, dvs) =
+      val (files, stats, rows, blooms, dvs, tsExact) =
         parseShard(readText(spark, root, shardPath(root, ref.name)))
-      val sh = Shard(ref, files, stats, rows, blooms, dvs)
+      val sh = Shard(ref, files, stats, rows, blooms, dvs, tsExact)
       ShardCache.put(root, ref.name, sh)
       sh
     }
@@ -445,24 +450,31 @@ object Snapshots {
     * without a recorded size counts as budget-exhausting (Long.MaxValue/4,
     * saturating) — conservative, the pacer admits it alone. */
   private[graft] def shardFileBytes(
-      spark: SparkSession, root: String, refs: Seq[ShardRef]): Long = {
-    var total = 0L
-    refs.foreach { r =>
+      spark: SparkSession, root: String, refs: Seq[ShardRef]): Long =
+    refs.foldLeft(0L) { (acc, r) =>
       val sh = loadShard(spark, root, r)
-      val sized = sh.rows.iterator.map(fr => fr.file -> fr.bytes).toMap
-      sh.files.foreach { u =>
-        val b = sized.getOrElse(new Path(u).getName, -1L)
-        val add = if (b >= 0L) b else Long.MaxValue / 4
-        total = math.min(Long.MaxValue / 2, total + add)
-      }
+      saturatingBytes(acc, sh.files.map(u => new Path(u).getName),
+        sh.rows.iterator.map(fr => fr.file -> fr.bytes).toMap)
     }
-    total
-  }
+
+  /** Accumulate recorded file sizes onto `acc`, saturating: a file without
+    * a recorded size (pre-index shard) adds Long.MaxValue/4 — it EXHAUSTS
+    * any realistic byte budget, so the pacer admits it alone; the
+    * Long.MaxValue/2 clamp keeps repeated unknowns from overflowing. One
+    * shared definition so the pacer's shard-delta and full-manifest
+    * branches cannot diverge. */
+  private[graft] def saturatingBytes(
+      acc: Long, names: Iterable[String], sized: Map[String, Long]): Long =
+    names.foldLeft(acc) { (t, n) =>
+      val b = sized.getOrElse(n, -1L)
+      math.min(Long.MaxValue / 2, t + (if (b >= 0L) b else Long.MaxValue / 4))
+    }
 
   private def loadShards(spark: SparkSession, root: String, m: ManifestMeta): Seq[Shard] =
     m.inline match {
       // pre-shard manifest: its content acts as one unnamed pseudo-shard
-      case Some((files, stats)) => Seq(Shard(ShardRef("", files.size), files, stats))
+      case Some((files, stats)) => // pre-shard era: seconds-canon ts stats
+        Seq(Shard(ShardRef("", files.size), files, stats, tsExact = false))
       case None => m.shardRefs.map(loadShard(spark, root, _))
     }
 
@@ -479,7 +491,24 @@ object Snapshots {
         .map(f => physicalOf(f) -> f.name).filter(e => e._1 != e._2).toMap
       case None => Map.empty
     }
-    val stats = shards.flatMap(_.stats)
+    // round-17 canon fence: a shard without the "tsus" marker recorded its
+    // TIMESTAMP stats in rounded SECONDS — comparing them against the
+    // micros canon would prune valid files (silently-empty reads) or
+    // full-accept wrong ones (metadata-deleting non-matching rows). Hide
+    // exactly those entries: the columns read as stat-less (must-scan,
+    // conservative). Physical names: stats are recorded under them. With
+    // no parseable schema the column TYPES are unknowable, so an unmarked
+    // shard hides ALL its numeric stats (string slo/shi bounds are
+    // canon-free and always survive).
+    val tsPhys: Option[Set[String]] = parseSchemaStr(m.schema).map(_.fields
+      .iterator.filter(f => f.dataType ==
+          org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      .map(physicalOf).toSet)
+    def canonSafe(sh: Shard)(st: ColStats): Boolean =
+      sh.tsExact || st.slo != null ||
+        tsPhys.exists(ts => !ts.contains(st.col))
+    val stats = shards.flatMap(sh => sh.stats.filter(canonSafe(sh)))
     val relabeled =
       if (p2l.isEmpty) stats
       else stats.map(st => p2l.get(st.col).fold(st)(l => st.copy(col = l)))
@@ -539,7 +568,8 @@ object Snapshots {
     val cache = scala.collection.mutable.HashMap.empty[String, Shard]
     historyMeta(spark, root).map { m =>
       val shards = m.inline match {
-        case Some((files, stats)) => Seq(Shard(ShardRef("", files.size), files, stats))
+        case Some((files, stats)) => // pre-shard era: seconds-canon ts stats
+        Seq(Shard(ShardRef("", files.size), files, stats, tsExact = false))
         case None => m.shardRefs.map(r =>
           cache.getOrElseUpdate(r.name, loadShard(spark, root, r)))
       }
@@ -1820,7 +1850,8 @@ object Snapshots {
       stats: Seq[ColStats],
       knownRows: Seq[FileRows] = Seq.empty,
       blooms: Seq[FileBloom] = Seq.empty,
-      dvs: Seq[FileDv] = Seq.empty): ShardRef = {
+      dvs: Seq[FileDv] = Seq.empty,
+      tsExact: Boolean = true): ShardRef = {
     val f = fs(spark, root)
     f.mkdirs(new Path(s"${dataRoot(root)}/$SnapDir"))
     val known = knownRows.map(_.file).toSet
@@ -1828,7 +1859,8 @@ object Snapshots {
     val rows = knownRows ++ rowsFromFooters(spark, missing)
     val name = s"shard-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.json"
     val out = f.create(shardPath(root, name), /*overwrite=*/ false)
-    try out.write(renderShard(files, stats, rows, blooms, dvs).getBytes("UTF-8")) finally out.close()
+    try out.write(renderShard(files, stats, rows, blooms, dvs, tsExact)
+      .getBytes("UTF-8")) finally out.close()
     ShardRef(name, files.size)
   }
 
@@ -2426,7 +2458,7 @@ object Snapshots {
         val dvs = sh.dvs.filterNot(dvStale)
         if (dvs.isEmpty) None
         else Some(writeShard(spark, root, Seq.empty, Seq.empty, Seq.empty,
-          Seq.empty, dvs))
+          Seq.empty, dvs, tsExact = sh.tsExact))
       } else {
         val keep = sh.files.filterNot(touched)
         if (keep.isEmpty) None
@@ -2441,7 +2473,7 @@ object Snapshots {
             sh.stats.filter(s => keepNames.contains(s.file)),
             sh.rows.filter(r => keepNames.contains(r.file)),
             sh.blooms.filter(b => keepNames.contains(b.file)),
-            dvs))
+            dvs, tsExact = sh.tsExact))
         }
       }
     }
@@ -2847,9 +2879,10 @@ object Snapshots {
     // ±2^53 ≈ ±285 years, so equality/top-n/min-max pushdowns stay
     // EXACT where a rounded-seconds canon had to decline), dates as epoch
     // DAYS. Round 17 changed the timestamp canon from seconds to micros;
-    // shards written by older binaries carry seconds and must not be read
-    // by this one (tables are rebuilt per session — see renderRows' note
-    // on the same one-way contract for the "b" key).
+    // new shards carry the "tsus" marker and [[resolve]] hides timestamp
+    // stats from unmarked (older-binary) shards, so old tables stay
+    // readable with conservative pruning (see renderRows' compatibility
+    // note).
     def temporal(c: String): Boolean = fieldTypes.get(c).exists {
       case org.apache.spark.sql.types.TimestampType => true
       case org.apache.spark.sql.types.TimestampNTZType => true
@@ -3029,11 +3062,22 @@ object Snapshots {
     // try_cast, not cast: under ANSI semantics a malformed string THROWS
     // from cast — the probe's whole job is to observe the null instead.
     // LTZ timestamp keys must speak the index's canonical unit — exact
-    // epoch MICROS (cast-to-double would yield fractional seconds); NTZ
-    // and date keys refuse the double cast and stay opaque (conservative).
+    // epoch MICROS (cast-to-double would yield fractional seconds) — and
+    // date keys epoch DAYS (the per-day upsert/delete shape; the plain
+    // double cast refuses dates, which CRASHED the probe's analysis — the
+    // refusal is an AnalysisException even under try_cast, not a null).
+    // NTZ keys go opaque EXPLICITLY for the same reason: wall-clock micros
+    // would need a session-zone-independent conversion the function
+    // library doesn't offer, and the naive cast throws at analysis rather
+    // than degrading (conservative: every file is a candidate, never
+    // wrong).
     val casted = keysDf.schema.find(_.name == key).map(_.dataType) match {
       case Some(org.apache.spark.sql.types.TimestampType) =>
         unix_micros(col(key)).cast("double")
+      case Some(org.apache.spark.sql.types.DateType) =>
+        org.apache.spark.sql.functions.unix_date(col(key)).cast("double")
+      case Some(org.apache.spark.sql.types.TimestampNTZType) =>
+        org.apache.spark.sql.functions.lit(null).cast("double")
       case _ => col(key).try_cast("double")
     }
     val MaxDriverKeys = 100000
@@ -3587,7 +3631,8 @@ object Snapshots {
   }
 
   /** The column's table-wide [min, max] (as the recorded double-cast
-    * values) in O(metadata). Some iff every file either carries recorded
+    * values, in the index's canonical units: timestamps exact epoch
+    * MICROS, dates epoch days) in O(metadata). Some iff every file either carries recorded
     * stats for `c` or provably holds zero rows — a file with rows but no
     * recorded range (stat-less commit, or an all-null file, which records
     * none) makes the answer unknowable from metadata ⇒ None. Null values
@@ -4434,15 +4479,18 @@ object Snapshots {
 
   private def renderRows(rows: Seq[FileRows]): String =
     // "b" only when known — earlier-era shard bodies stay byte-identical.
-    // COMPATIBILITY IS ONE-WAY (by design, no version marker): this
-    // binary reads every earlier shard generation, but a PRE-round-16
-    // reader's rows regex required `"n":(\d+)}` immediately before the
-    // brace and silently parses ZERO row entries from a "b"-bearing shard
-    // (degrading rowCount/countWhere/aggregate pushdown, never wrong
-    // answers — missing counts always decline to the scan). Round 17's
-    // micros timestamp canon is likewise one-way: mixed-version
-    // deployments must upgrade readers before writers, the same contract
-    // every shard-format addition here has carried.
+    // COMPATIBILITY IS ONE-WAY (by design): this binary reads every
+    // earlier shard generation SAFELY — a pre-round-16 shard has no "b"
+    // sizes (byte pacing degrades to admit-alone), and a pre-round-17
+    // shard has no "tsus" marker, so [[resolve]] hides its seconds-canon
+    // timestamp stats (those columns read as stat-less: must-scan,
+    // conservative — degrade, never lie). The reverse direction is the
+    // one-way part: a PRE-round-16 reader's rows regex required
+    // `"n":(\d+)}` immediately before the brace and silently parses ZERO
+    // row entries from a "b"-bearing shard (degrading rowCount/countWhere/
+    // aggregate pushdown, never wrong answers), and a pre-round-17 reader
+    // would compare micros stats against seconds literals (wrong answers)
+    // — mixed-version deployments upgrade readers before writers.
     rows.map(r => s"""{"file":${graft.JsonStr(r.file)},"n":${r.n}""" +
         (if (r.bytes >= 0L) s""","b":${r.bytes}}""" else "}"))
       .mkString("[", ",", "]")
@@ -4462,11 +4510,16 @@ object Snapshots {
 
   private def renderShard(files: Seq[String], stats: Seq[ColStats],
       rows: Seq[FileRows], blooms: Seq[FileBloom] = Seq.empty,
-      dvs: Seq[FileDv] = Seq.empty): String = {
+      dvs: Seq[FileDv] = Seq.empty,
+      // the round-17 timestamp-canon marker; a METADATA REWRITE of an old
+      // shard must pass the SOURCE shard's flag, or seconds-era stats
+      // would launder into "exact micros"
+      tsExact: Boolean = true): String = {
     // blooms/dvs rendered only when present — earlier-era shards stay byte-identical
     val bl = if (blooms.isEmpty) "" else s""""blooms":${renderBlooms(blooms)},"""
     val dv = if (dvs.isEmpty) "" else s""""dvs":${renderDvs(dvs)},"""
-    s"""{"stats":${renderStats(stats)},"rows":${renderRows(rows)},$bl$dv"files":${files.map(graft.JsonStr(_)).mkString("[", ",", "]")}}"""
+    val ts = if (tsExact) """"tsus":true,""" else ""
+    s"""{"stats":${renderStats(stats)},"rows":${renderRows(rows)},$bl$dv$ts"files":${files.map(graft.JsonStr(_)).mkString("[", ",", "]")}}"""
   }
 
   private def renderManifestMeta(m: ManifestMeta): String = {
@@ -4553,9 +4606,12 @@ object Snapshots {
       .toSeq
 
   private def parseShard(text: String)
-      : (Seq[String], Seq[ColStats], Seq[FileRows], Seq[FileBloom], Seq[FileDv]) =
+      : (Seq[String], Seq[ColStats], Seq[FileRows], Seq[FileBloom], Seq[FileDv], Boolean) =
     (parseFilesArray(text, "shard"), parseStatsArray(text), parseRowsArray(text),
-      parseBloomsArray(text), parseDvsArray(text))
+      parseBloomsArray(text), parseDvsArray(text),
+      // round-17 marker: absent => the shard's TIMESTAMP stats are rounded
+      // seconds (older binary) and must not be compared against micros
+      text.contains("\"tsus\":true"))
 
   /** Minimal parser for the exact shapes renderManifestMeta emits — and,
     * for pre-shard tables, the legacy inline form (files+stats in the

@@ -425,7 +425,11 @@ private[graft] object SnapshotParquetDataWriter {
       key -> spark.conf.get(key, dflt)
     SnapshotSource.readerConfEntries(spark) ++ Array(
       resolved(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key, "false"),
-      resolved(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key, "TIMESTAMP_MICROS"),
+      // PINNED, not session-resolved: snapshot files are never INT96 (the
+      // footer-stats-blind legacy type) no matter what the session sets —
+      // the same invariant writeBatch's native path enforces with its
+      // conf wrap
+      SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key -> "TIMESTAMP_MICROS",
       resolved(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key, "true"),
       resolved(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key, "CORRECTED"),
       resolved(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key, "CORRECTED"),

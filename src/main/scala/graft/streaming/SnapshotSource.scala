@@ -1203,14 +1203,9 @@ private[streaming] class SnapshotMicroBatchStream(
               val m1 = Snapshots.manifest(spark, root, v + 1)
               val added = m1.files.toSet -- pf
               prevFiles = Some(m1.files.toSet)
-              val sized = m1.rows.iterator.map(r => r.file -> r.bytes).toMap
-              var b0 = 0L
-              added.foreach { u =>
-                val b = sized.getOrElse(new Path(u).getName, -1L)
-                val add = if (b >= 0L) b else Long.MaxValue / 4
-                b0 = math.min(Long.MaxValue / 2, b0 + add)
-              }
-              b0
+              Snapshots.saturatingBytes(0L,
+                added.map(u => new Path(u).getName),
+                m1.rows.iterator.map(r => r.file -> r.bytes).toMap)
           }
           if (bytes <= budget || v == from) {
             // always admit at least one version, else no progress

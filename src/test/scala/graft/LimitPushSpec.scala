@@ -327,6 +327,32 @@ class LimitPushSpec extends SparkSpec {
     assert(d <= 2000L, s"ntz ts top-30 must decode ~1 boundary file, saw $d")
   }
 
+  test("decimal keys at precision <= 15 emit the within-file threshold; wider keep the file cap") {
+    // "top n by price": a decimal(12,2)'s values all have <= 15 significant
+    // digits, so the stat double names a unique decimal and the threshold
+    // literal converts back exactly (shortest-repr + exact rescale)
+    val root = tmp()
+    def dec(df: org.apache.spark.sql.DataFrame) =
+      df.select((($"id" * 100 + 25) / 100).cast("decimal(12,2)").as("price"))
+    Snapshots.commit(dec(spark.range(0, 1000).toDF("id")).coalesce(1),
+      root, statsCols = Seq("price"))
+    val hc = spark.sparkContext.hadoopConfiguration
+    val oldBlock = Option(hc.get("parquet.block.size"))
+    hc.set("parquet.block.size", (1 << 16).toString)
+    try {
+      Snapshots.commit(
+        dec(spark.range(500, 100000).toDF("id"))
+          .repartition(1).sortWithinPartitions("price"),
+        root, append = true, statsCols = Seq("price"))
+    } finally oldBlock.fold(hc.unset("parquet.block.size"))(
+      hc.set("parquet.block.size", _))
+    val q = load(root).orderBy($"price").limit(1000)
+    assert(q.count() === 1000L)
+    val d = decoded(load(root).orderBy($"price").limit(1000))
+    assert(d < 20000L,
+      s"the decimal threshold must drop the sorted file's tail row groups, saw $d")
+  }
+
   test("topN threshold prunes row groups inside an overlapping survivor file") {
     // file A: ids [0, 1000) — covers the whole top-1000 budget, so the
     // threshold T lands at A.hi=999; file B: ids [500, 100000) SORTED in

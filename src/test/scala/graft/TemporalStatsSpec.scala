@@ -148,6 +148,88 @@ class TemporalStatsSpec extends SparkSpec {
     assert(got2 === (4L to 7L).toSet)
   }
 
+  test("seconds-era shards (no tsus marker) hide their ts stats: degrade, never lie") {
+    // a shard written by a pre-round-17 binary recorded timestamp stats in
+    // rounded SECONDS and carries no "tsus" marker. Simulated by doctoring
+    // the shard back to that generation: resolve must HIDE the ts stats
+    // (columns read as stat-less → every file scans, results exact) —
+    // comparing micros literals against seconds bounds would return
+    // silently-empty bands and metadata-delete wrong files
+    val root = tmp()
+    val rows = (1 to 20).map(d => (d.toLong, day(d)))
+    Snapshots.commit(rows.toDF("id", "ts").repartitionByRange(4, $"ts"),
+      root, statsCols = Seq("ts"))
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = new org.apache.hadoop.fs.Path(s"$root/_snapshots")
+    def readText(p: org.apache.hadoop.fs.Path): String = {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    def writeText(p: org.apache.hadoop.fs.Path, s: String): Unit = {
+      val out = f.create(p, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    val shard = f.listStatus(snap).map(_.getPath)
+      .find(_.getName.startsWith("shard-")).get
+    val aged = """"col":"ts","min":([-0-9.eE]+),"max":([-0-9.eE]+)""".r
+      .replaceAllIn(readText(shard).replace(""""tsus":true,""", ""), m =>
+        s""""col":"ts","min":${m.group(1).toDouble / 1e6},"max":${m.group(2).toDouble / 1e6}""")
+    val nn = s"shard-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.json"
+    writeText(new org.apache.hadoop.fs.Path(snap, nn), aged)
+    val mp = new org.apache.hadoop.fs.Path(snap, "manifest-1.json")
+    writeText(mp, readText(mp).replace(shard.getName, nn))
+    // the band read stays EXACT (the old stats are invisible, all files scan)
+    val cond = col("ts") >= lit(day(6)) && col("ts") < lit(day(16))
+    val got = Snapshots.readWhere(spark, root, cond)
+      .select("id").as[Long].collect().toSet
+    assert(got === (6L to 15L).toSet,
+      "seconds-era ts stats must be hidden, not compared against micros")
+    assert(Snapshots.countWhere(spark, root, cond) === 10L)
+    // a retention delete over the aged shard must not metadata-drop wrongly
+    val v = Snapshots.deleteWhere(spark, root, col("ts") < lit(day(6)))
+    assert(Snapshots.read(spark, root).select("id").as[Long].collect().toSet ===
+      (6L to 20L).toSet)
+    // and statsRange (a pure metadata answer) declines instead of lying
+    assert(Snapshots.statsRange(spark, root, "ts", 1L).isEmpty)
+  }
+
+  test("date-keyed delete prunes through epoch-day stats (probe no longer opaque)") {
+    // the per-day upsert/delete shape: a DATE key column now probes as
+    // canonical epoch DAYS (unix_date) instead of going opaque on the
+    // refused double cast — a keyed CoW delete must rewrite ONLY the file
+    // whose recorded day range can hold the keys, carrying the rest by
+    // reference
+    val root = tmp()
+    val rows = (1 to 20).map(i => (i.toLong, LocalDate.of(2024, 3, i)))
+    Snapshots.commit(rows.toDF("id", "d").repartitionByRange(4, $"d"),
+      root, statsCols = Seq("d"))
+    val before = Snapshots.manifest(spark, root, 1L).files.toSet
+    assert(before.size === 4)
+    val keys = Seq(LocalDate.of(2024, 3, 18), LocalDate.of(2024, 3, 20)).toDF("d")
+    val v = Snapshots.delete(keys, root, key = "d")
+    val after = Snapshots.manifest(spark, root, v).files.toSet
+    assert(before.intersect(after).size === before.size - 1,
+      s"only the one file holding days 18-20 may rewrite " +
+        s"(carried ${before.intersect(after).size} of ${before.size})")
+    val got = Snapshots.read(spark, root).select("id").as[Long].collect().toSet
+    assert(got === (1L to 20L).toSet -- Set(18L, 20L))
+  }
+
+  test("NTZ-keyed delete degrades to opaque instead of crashing the probe's analysis") {
+    // try_cast(ntz as double) is an ANALYSIS error (DATATYPE_MISMATCH), not
+    // a runtime null — the probe must route NTZ keys to the opaque branch
+    // deliberately (every file a candidate, exact result)
+    val root = tmp()
+    val rows = (1 to 10).map(d => (d.toLong, day(d)))
+    Snapshots.commit(rows.toDF("id", "ts").repartitionByRange(2, $"ts"),
+      root, statsCols = Seq("ts"))
+    val keys = Seq(day(3), day(7)).toDF("ts")
+    Snapshots.delete(keys, root, key = "ts")
+    assert(Snapshots.read(spark, root).select("id").as[Long].collect().toSet ===
+      (1L to 10L).toSet -- Set(3L, 7L))
+  }
+
   test("temporal stats survive merge maintenance and row-TTL pruning composes") {
     import graft.engine.{Maintain, MaintenancePolicy}
     val root = tmp()
