@@ -90,7 +90,12 @@ object Snapshots {
     * doc/source keys prune FILES from the manifest alone, the exact
     * complement of the [[FileBloom]] equality index. */
   final case class ColStats(file: String, col: String, min: Double, max: Double,
-      nulls: Long = -1L, slo: String = null, shi: String = null)
+      nulls: Long = -1L, slo: String = null, shi: String = null,
+      // exact per-file SUM of an integral/decimal column as a plain decimal
+      // string (round 17; null = not recorded — footer-mined stats carry
+      // none, the distributed stats pass records it). Funds SUM aggregate
+      // pushdown: "daily revenue / token totals" in O(manifest).
+      sumS: String = null)
 
   /** Per-file row count (file keyed by basename, like [[ColStats]]),
     * recorded at shard-write time — from the stats pass when one runs,
@@ -2895,10 +2900,23 @@ object Snapshots {
     // file pruning where the numeric index is blind
     def stringy(c: String): Boolean =
       fieldTypes.get(c).contains(org.apache.spark.sql.types.StringType)
+    // integral/decimal columns additionally record an EXACT per-file SUM
+    // (decimal(38) accumulation, try_sum → null on the unrealistic 38-digit
+    // overflow = not recorded): the metadata behind SUM aggregate pushdown.
+    // Floats/doubles never (order-dependent rounding), temporals never
+    // (summing timestamps is meaningless).
+    def summable(c: String): Option[Int] = fieldTypes.get(c).collect {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => 0
+      case d: org.apache.spark.sql.types.DecimalType => d.scale
+    }
     val aggs = statsCols.flatMap(c => Seq(
       (if (temporal(c) || stringy(c)) min(col(c)) else min(col(c).cast("double"))).as(s"min_$c"),
       (if (temporal(c) || stringy(c)) max(col(c)) else max(col(c).cast("double"))).as(s"max_$c"),
-      count(col(c)).as(s"cnt_$c"))) :+ count(lit(1)).as("__rows")
+      count(col(c)).as(s"cnt_$c")) ++
+      summable(c).map(sc => try_sum(col(c)
+        .cast(org.apache.spark.sql.types.DecimalType(38, sc))).as(s"sum_$c"))) :+
+      count(lit(1)).as("__rows")
     val rowsOut = src
       .groupBy(input_file_name().as("__f"))
       .agg(aggs.head, aggs.tail: _*)
@@ -2936,10 +2954,14 @@ object Snapshots {
             case other => sys.error(s"unexpected stats value $other")
           }
           val (l, h) = (canonical(lo), canonical(hi))
+          val sumS = summable(c)
+            .map(_ => row.getAs[java.math.BigDecimal](s"sum_$c"))
+            .filter(_ != null).map(_.toPlainString).orNull
           // a NaN/infinite bound can't prune soundly AND won't round-trip
           // as a JSON number — record no range (conservative)
           if (java.lang.Double.isFinite(l) && java.lang.Double.isFinite(h))
-            Some(ColStats(file, c, l, h, nulls = nRows - row.getAs[Long](s"cnt_$c")))
+            Some(ColStats(file, c, l, h,
+              nulls = nRows - row.getAs[Long](s"cnt_$c"), sumS = sumS))
           else None
         }
       }
@@ -4474,7 +4496,9 @@ object Snapshots {
       val str =
         if (s.slo == null) ""
         else s""","slo":${graft.JsonStr(s.slo)},"shi":${graft.JsonStr(s.shi)}"""
-      s"""{"file":${graft.JsonStr(s.file)},"col":${graft.JsonStr(s.col)},"min":${s.min},"max":${s.max},"nulls":${s.nulls}$str}"""
+      // sum rendered only when recorded — sum-less entries stay byte-identical
+      val sm = if (s.sumS == null) "" else s""","sum":${graft.JsonStr(s.sumS)}"""
+      s"""{"file":${graft.JsonStr(s.file)},"col":${graft.JsonStr(s.col)},"min":${s.min},"max":${s.max},"nulls":${s.nulls}$sm$str}"""
     }.mkString("[", ",", "]")
 
   private def renderRows(rows: Seq[FileRows]): String =
@@ -4559,16 +4583,19 @@ object Snapshots {
     val num = """-?[0-9.eE+-]+"""
     val str = """"([^"\\]*(?:\\.[^"\\]*)*)""""
     // "nulls" optional: pre-round-8 shards lack it → -1 (unknown);
-    // "slo"/"shi" optional: string-column entries only (round 15)
+    // "sum" optional: scan-collected entries only (round 17, plain decimal
+    // string — never escaped); "slo"/"shi" optional: string-column entries
+    // only (round 15)
     ("""\{"file":"([^"\\]*(?:\\.[^"\\]*)*)","col":"([^"\\]*(?:\\.[^"\\]*)*)","min":(""" + num +
-      """),"max":(""" + num + """)(?:,"nulls":(-?\d+))?(?:,"slo":""" + str +
+      """),"max":(""" + num + """)(?:,"nulls":(-?\d+))?(?:,"sum":"([-0-9.]+)")?(?:,"slo":""" + str +
       ""","shi":""" + str + """)?\}""").r
       .findAllMatchIn(text).map { g =>
         ColStats(unescape(g.group(1)), unescape(g.group(2)),
           g.group(3).toDouble, g.group(4).toDouble,
           Option(g.group(5)).map(_.toLong).getOrElse(-1L),
-          Option(g.group(6)).map(unescape).orNull,
-          Option(g.group(7)).map(unescape).orNull)
+          Option(g.group(7)).map(unescape).orNull,
+          Option(g.group(8)).map(unescape).orNull,
+          sumS = g.group(6))
       }.toSeq
   }
 

@@ -2924,6 +2924,50 @@ object Lake {
       out
     },
 
+    // ---- q150: SUM AGGREGATE PUSHDOWN — orders ingested one commit per
+    //            priority with DECIMAL pricing (money is decimal in a
+    //            lake table; the stats pass records EXACT per-file sums
+    //            via decimal(38) accumulation), then `revenue per
+    //            priority` = GROUP BY + SUM + COUNT answers ENTIRELY
+    //            from the manifest: required in-query, the scan emits
+    //            exactly #groups rows and its description carries the
+    //            pushed SUM. The 100 TB reading: the commonest BI probe
+    //            on a fact table — daily/source revenue, token totals —
+    //            costs O(manifest), not a table scan. Hash-matches
+    //            DuckDB's real aggregation over the same decimals. ----
+    OracleQuery(
+      "q150_sum_pushdown",
+      """SELECT o_orderpriority,
+        |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS rev,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_byprio"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val ord = Tables(spark, dir, "orders")
+        .select(col("o_orderpriority"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      val prios = ord.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted // O(key domain)
+      prios.zipWithIndex.foreach { case (p, i) =>
+        Snapshots.commit(ord.filter(col("o_orderpriority") === p).repartition(2),
+          root, append = i > 0, statsCols = Seq("o_orderpriority", "o_totalprice"))
+      }
+      val res = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .groupBy("o_orderpriority")
+        .agg(round(sum(col("o_totalprice")).cast("double"), 2).as("rev"),
+          count(lit(1)).cast("bigint").as("n"))
+        .coalesce(1).sortWithinPartitions("o_orderpriority")
+      val out = res.localCheckpoint(true)
+      val d = scanOutputRows(res.queryExecution.executedPlan)
+      require(d == prios.length,
+        s"grouped SUM must answer from the manifest " +
+          s"(scan emitted $d rows, expected ${prios.length} groups)")
+      out
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO

@@ -610,7 +610,7 @@ private[streaming] class SnapshotScanBuilder(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Array[Any]], String)] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
     if (pushed.nonEmpty) return None
     val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map {
       case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames.head
@@ -645,6 +645,21 @@ private[streaming] class SnapshotScanBuilder(
         Some(d.toLong)
       case _ => None
     }
+    // exact-total → (catalyst value, Spark's Sum result type), None when
+    // the total can't be represented there (the scan then computes it
+    // natively, overflow semantics and all)
+    def sumResult(dt: DataType, total: java.math.BigDecimal): Option[(Any, DataType)] =
+      dt match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          try Some((total.longValueExact(): Any, LongType))
+          catch { case _: ArithmeticException => None }
+        case d: DecimalType =>
+          val p = math.min(38, d.precision + 10)
+          val dec = org.apache.spark.sql.types.Decimal(total)
+          if (dec.changePrecision(p, d.scale)) Some((dec: Any, DecimalType(p, d.scale)))
+          else None
+        case _ => None
+      }
     val statsByColFile = m.stats.map(s => (s.col, s.file) -> s).toMap
     // one group tuple per live file (catalyst-encoded values): ungrouped
     // = the single empty tuple; grouped = every file must PIN every group
@@ -726,6 +741,24 @@ private[streaming] class SnapshotScanBuilder(
             s"COUNT($c)")
         case mn: Min => extremum(fs, mn.column, isMin = true)
         case mx: Max => extremum(fs, mx.column, isMin = false)
+        // SUM answers from the exact per-file sums the stats pass records
+        // (integral/decimal only — never floats, whose summation is
+        // order-dependent). Requires every file's entry to carry one
+        // (footer-mined stats don't — decline whole) and no live vector
+        // (deleted rows' contributions are unknowable). The total is exact
+        // decimal arithmetic; it converts to Spark's Sum result type only
+        // when it provably fits (long overflow / precision escape decline,
+        // preserving the engine's native overflow behavior).
+        case sm: Sum if !sm.isDistinct && !anyDv =>
+          for {
+            c <- colOf(sm.column)
+            f <- fullSchema.fields.find(_.name == c)
+            st <- statsOver(fs, c)
+            if st.nonEmpty && st.forall(_.sumS != null)
+            total = st.map(x => new java.math.BigDecimal(x.sumS)).reduce(_.add(_))
+            out <- sumResult(f.dataType, total)
+          } yield (StructField(s"sum($c)", out._2, nullable = false),
+            out._1, s"SUM($c)")
         case _ => None
       }
     val perGroup = liveGroups.map { case (g, fs) => g -> answersFor(fs) }

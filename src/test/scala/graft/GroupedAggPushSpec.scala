@@ -273,6 +273,64 @@ class GroupedAggPushSpec extends SparkSpec {
       .agg(min("ts").as("lo"), max("ts").as("hi")).count() === 2L)
   }
 
+  test("SUM answers from recorded per-file sums: grouped, ungrouped, exact decimals") {
+    // per-source ingest with a long measure and a decimal price: the stats
+    // pass records exact per-file sums (decimal(38) accumulation), so
+    // "revenue per source" is one metadata row per group, zero data I/O
+    val root = tmp()
+    Seq("a", "b").zipWithIndex.foreach { case (s, i) =>
+      Snapshots.commit(
+        spark.range(0, 100)
+          .select(lit(s).as("src"), ($"id" + i * 1000).as("v"),
+            (($"id" * 100 + 25) / 100).cast("decimal(12,2)").as("price"))
+          .repartition(2),
+        root, append = i > 0, statsCols = Seq("src", "v", "price"))
+    }
+    val q = batchRead(root).groupBy("src")
+      .agg(sum("v").as("sv"), sum("price").as("sp"), count(lit(1)).as("n"))
+      .orderBy("src")
+    val d = descOf(q)
+    assert(d.contains("group by [src]") && d.contains("SUM"), s"got: $d")
+    val expPrice = new java.math.BigDecimal("4975.00") // Σ (i + 0.25), i<100
+    val got = q.collect().map(r => (r.getString(0), r.getLong(1),
+      r.getDecimal(2), r.getLong(3))).toSeq
+    assert(got === Seq(
+      ("a", 4950L, expPrice, 100L),
+      ("b", 104950L, expPrice, 100L)))
+    // the no-I/O pin: same answers with the data bytes gone
+    deleteDataFiles(root)
+    assert(batchRead(root).groupBy("src").agg(sum("v").as("sv")).orderBy("src")
+      .as[(String, Long)].collect().toSeq === Seq(("a", 4950L), ("b", 104950L)))
+    // ungrouped too
+    assert(batchRead(root).agg(sum("v")).as[Long].collect().toSeq === Seq(109900L))
+  }
+
+  test("SUM declines without recorded sums (footer-mined stats) and under vectors") {
+    // numeric-only statsCols ride the footer miner, which records no sums:
+    // SUM must decline whole while COUNT/MIN/MAX still answer
+    val root = tmp()
+    Snapshots.commit(spark.range(0, 500).toDF("id").repartition(2),
+      root, statsCols = Seq("id"))
+    val sumQ = batchRead(root).agg(sum("id").as("s"))
+    assert(!descOf(sumQ).contains("PushedAggregates"), descOf(sumQ))
+    assert(sumQ.as[Long].collect().toSeq === Seq(124750L))
+    val cnt = batchRead(root).agg(count(lit(1)).as("n"), max("id").as("hi"))
+    assert(descOf(cnt).contains("PushedAggregates"), descOf(cnt))
+    // vectors poison sums (the deleted rows' contributions are unknowable)
+    val root2 = tmp()
+    Seq("a", "b").zipWithIndex.foreach { case (s, i) =>
+      Snapshots.commit(
+        spark.range(0, 100).select(lit(s).as("src"), ($"id" + i * 1000).as("v")),
+        root2, append = i > 0, statsCols = Seq("src", "v"))
+    }
+    Snapshots.deleteWhere(spark, root2, col("v") % 7 === 0)
+    val q2 = batchRead(root2).groupBy("src").agg(sum("v").as("sv")).orderBy("src")
+    assert(!descOf(q2).contains("PushedAggregates"), descOf(q2))
+    val want = Seq("a" -> (0 until 100).filter(_ % 7 != 0).map(_.toLong).sum,
+      "b" -> (0 until 100).map(_ + 1000).filter(_ % 7 != 0).map(_.toLong).sum)
+    assert(q2.as[(String, Long)].collect().toSeq === want)
+  }
+
   test("grouped COUNT(col) subtracts per-group null counts") {
     val root = tmp()
     Seq("p", "q").zipWithIndex.foreach { case (s, i) =>
