@@ -2821,6 +2821,84 @@ object Snapshots {
     }
   }
 
+  /** ANALYZE for the snapshot layer: (re)build the per-file stats (and
+    * optionally bloom) index for `statsCols`/`bloomCols` over the HEAD
+    * snapshot with ONE distributed read pass and a METADATA-ONLY commit —
+    * no data file is rewritten or moved. The ops verb the 100 TB path
+    * needs: a table committed without an index (or before a column
+    * mattered) gains pruning, metadata counts, and SUM/MIN/MAX/grouped
+    * aggregate pushdown for the cost of a scan, where the only
+    * alternative today — [[compact]] — rewrites every byte. Per shard,
+    * entries for the reindexed columns are REPLACED and everything else
+    * (row counts with their recorded byte sizes, deletion vectors,
+    * other columns' stats and blooms) carries through the metadata
+    * rewrite; file lists are untouched, so clustering and bucket purity
+    * survive. Stats cover each file's PHYSICAL rows (deletion vectors
+    * included — same contract as write-time stats: pruning stays a
+    * superset, extremes decline under vectors). Old-generation shards'
+    * seconds-canon timestamp stats are dropped rather than laundered
+    * into the new (tsus-marked) shard bodies. */
+  def reindexStats(
+      spark: SparkSession,
+      root: String,
+      statsCols: Seq[String],
+      bloomCols: Seq[String] = Seq.empty): Long = {
+    val headV = headVersion(spark, root)
+    require(headV > 0, s"no snapshot committed at $root yet")
+    require(statsCols.nonEmpty || bloomCols.nonEmpty,
+      "reindexStats needs at least one column to index")
+    val meta = manifestMeta(spark, root, headV)
+    val shards = loadShards(spark, root, meta)
+    val m = resolve(meta, shards)
+    if (m.files.isEmpty) return headV
+    val schemaOpt = parseSchema(m)
+    val toPhys = schemaOpt.map(logicalToPhysical).getOrElse(Map.empty)
+    val statsP = statsCols.map(c => toPhys.getOrElse(c, c))
+    val bloomP = bloomCols.map(c => toPhys.getOrElse(c, c))
+    val (newStats, newRows) = collectStats(spark, m.files, statsP)
+    val newBlooms =
+      if (bloomP.isEmpty) Seq.empty
+      else {
+        val physSchema = spark.read.parquet(m.files: _*).schema
+        val rowsForEst =
+          if (newRows.nonEmpty) newRows
+          else if (m.rows.nonEmpty) m.rows
+          else rowsFromFooters(spark, m.files)
+        collectBlooms(spark, m.files, bloomP, physSchema, Map.empty, rowsForEst)
+      }
+    val tsPhysSet: Set[String] = schemaOpt.map(_.fields.iterator.filter(f =>
+        f.dataType == org.apache.spark.sql.types.TimestampType ||
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      .map(physicalOf).toSet).getOrElse(Set.empty)
+    val statsByFile = newStats.groupBy(_.file)
+    val bloomsByFile = newBlooms.groupBy(_.file)
+    val rowsByFileNew = newRows.map(r => r.file -> r).toMap
+    val refs = shards.map { sh =>
+      val names = sh.files.map(u => new Path(u).getName)
+      // old entries survive unless this reindex replaces their column or
+      // they are canon-unsafe (unmarked shard + ts-typed, or unmarked with
+      // no parseable schema to prove a column is NOT ts-typed)
+      val keptStats = sh.stats.filter(st => !statsP.contains(st.col) &&
+        (sh.tsExact || st.slo != null ||
+          (schemaOpt.isDefined && !tsPhysSet.contains(st.col))))
+      val addStats = names.flatMap(n => statsByFile.getOrElse(n, Seq.empty))
+      val keptBlooms = sh.blooms.filterNot(b => bloomP.contains(b.col))
+      val addBlooms = names.flatMap(n => bloomsByFile.getOrElse(n, Seq.empty))
+      // old row entries win (they carry recorded byte sizes); new ones
+      // only fill gaps (legacy count-less shards)
+      val oldRowsByName = sh.rows.map(r => r.file -> r).toMap
+      val rws = names.flatMap(n => oldRowsByName.get(n).orElse(rowsByFileNew.get(n)))
+      writeShard(spark, root, sh.files, keptStats ++ addStats, rws,
+        keptBlooms ++ addBlooms, sh.dvs)
+    }
+    // metadata-only, file list unchanged: clustering carries
+    publishMeta(spark, root, tag = "", requireHead = headV,
+      clustering = h => h.flatMap(_.clustering)) { head =>
+      val h = head.getOrElse(sys.error("reindex base vanished"))
+      (refs, h.schema)
+    }
+  }
+
   /** Materialize deletion vectors back into clean files: every file whose
     * deleted fraction is ≥ `minFraction` (default: any vector at all) is
     * rewritten without its deleted rows and its vector retired — the

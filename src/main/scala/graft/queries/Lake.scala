@@ -2968,6 +2968,55 @@ object Lake {
       out
     },
 
+    // ---- q151: REINDEX (ANALYZE) — lineitem ingested with NO index at
+    //            all, then `reindexStats` builds the per-file stats in
+    //            one read pass and a METADATA-ONLY commit (required
+    //            in-query: the file list is byte-identical across the
+    //            commit). A band aggregate afterwards must PRUNE through
+    //            the new index (required in-query: the planned scan
+    //            reads fewer files than the table holds) and hash-match
+    //            DuckDB. The 100 TB reading: an unindexed table gains
+    //            pruning + metadata answers for the cost of one scan —
+    //            the only alternative, compaction, rewrites every byte. ----
+    OracleQuery(
+      "q151_reindex_analyze",
+      s"""SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(l_orderkey) AS BIGINT) AS sum_k
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 3000
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/lineitem_reindex"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      Snapshots.commit( // deliberately index-less ingest
+        Tables(spark, dir, "lineitem")
+          .select("l_orderkey", "l_returnflag")
+          .repartitionByRange(8, col("l_orderkey")),
+        root)
+      val before = Snapshots.manifest(spark, root, 1L).files.toSet
+      val v2 = Snapshots.reindexStats(spark, root, Seq("l_orderkey"))
+      val m2 = Snapshots.manifest(spark, root, v2)
+      require(m2.files.toSet == before,
+        "reindex must be metadata-only: no data file rewritten or moved")
+      require(m2.stats.exists(_.col == "l_orderkey"), "the index must exist")
+      val res = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .filter(col("l_orderkey").between(1000L, 3000L))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("l_orderkey")).cast("bigint").as("sum_k"))
+        .orderBy("l_returnflag")
+      val out = res.localCheckpoint(true)
+      val planned = res.queryExecution.executedPlan.toString
+      // the new index prunes: the DSv2 scan's pushed band reaches the
+      // file list (fewer partitions than files — observed via the scan's
+      // reported pushed filters AND a partition count below the table's)
+      val parts = scanPartitions(res.queryExecution.executedPlan)
+      require(parts > 0 && parts < before.size,
+        s"reindex must light up pruning (planned $parts of ${before.size} files)\n$planned")
+      out
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO

@@ -112,6 +112,15 @@ private[streaming] object SnapshotProcedures {
       r => versionRow(Snapshots.compact(spark, str(r, 0), r.getInt(1),
         csv(r, 2), csv(r, 3)))),
 
+    Proc("reindex",
+      "ANALYZE: rebuild per-file stats/blooms in one scan, metadata-only commit",
+      Seq(in("table", StringType),
+        inDefault("stats_cols", StringType, "''"),
+        inDefault("bloom_cols", StringType, "''")),
+      VersionOut,
+      r => versionRow(Snapshots.reindexStats(spark, str(r, 0),
+        csv(r, 1), csv(r, 2)))),
+
     Proc("compact_clustered",
       "bucket-preserving small-file folding; republishes the clustering spec",
       Seq(in("table", StringType),

@@ -593,11 +593,13 @@ private[streaming] class SnapshotScanBuilder(
   //    guard here is belt and braces);
   //  - a head file predating the row-count / stats index, or a group
   //    column any file doesn't pin single-valued;
-  //  - a live deletion vector, for anything but COUNT(*) (which subtracts
+  //  - a live deletion vector, for COUNT(col) (deleted rows' null-ness is
+  //    unknowable) and SUM (their contribution is); COUNT(*) subtracts
   //    per-file cardinalities exactly — sound per group too, since a
-  //    single-valued file belongs wholly to its group): which rows a
-  //    vector deleted is unknowable from metadata — the extreme row may
-  //    be gone;
+  //    single-valued file belongs wholly to its group — and MIN/MAX still
+  //    answer when the winning bound comes from a vector-FREE file with
+  //    every vectored file's bound on the losing side (a vector only
+  //    removes rows); the winner hiding in a vectored file declines;
   //  - MIN/MAX on a type the double-cast stats can't reproduce EXACTLY:
   //    int/date (always exact), long and timestamps within ±2^53 (checked
   //    per value; the index records exact epoch micros since round 17);
@@ -711,15 +713,26 @@ private[streaming] class SnapshotScanBuilder(
       val sts = fs.map(n => statsByColFile.get((c, n)))
       if (sts.exists(_.isEmpty)) None else Some(sts.flatten)
     }
+    // MIN/MAX under deletion vectors (round 17 refinement): a vector can
+    // only REMOVE rows, so when the recorded extremum comes from a CLEAN
+    // (vector-free) file and every vectored file's bound is on the losing
+    // side, the clean bound IS the true extremum — exact. The winner
+    // hiding in a vectored file (its extreme row may be deleted) still
+    // declines, as does a group with no clean file at all.
     def extremum(fs: Seq[String],
         e: org.apache.spark.sql.connector.expressions.Expression,
         isMin: Boolean): Option[(StructField, Any, String)] =
       for {
         c <- colOf(e)
-        if !anyDv
         f <- fullSchema.fields.find(_.name == c)
         st <- statsOver(fs, c)
-        d = if (isMin) st.map(_.min).min else st.map(_.max).max
+        (dirty, clean) = st.partition(s => dvdByName.getOrElse(s.file, 0L) > 0L)
+        if clean.nonEmpty
+        d = if (isMin) clean.map(_.min).min else clean.map(_.max).max
+        if dirty.isEmpty || {
+          val dd = if (isMin) dirty.map(_.min).min else dirty.map(_.max).max
+          if (isMin) d <= dd else d >= dd
+        }
         value <- exact(f.dataType, d)
         fn = if (isMin) "MIN" else "MAX"
       } yield (StructField(s"${fn.toLowerCase}($c)", f.dataType, nullable = false),

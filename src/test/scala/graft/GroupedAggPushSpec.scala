@@ -143,6 +143,30 @@ class GroupedAggPushSpec extends SparkSpec {
       Seq(("a", 0L), ("b", 1050L), ("c", 2000L)))
   }
 
+  test("MIN/MAX under vectors answers when a clean file provably holds the winner") {
+    // three range files on id; vector rows out of the LOW file only: MAX's
+    // winner is the clean high file (answers — a vector only removes
+    // rows), MIN's recorded winner is the vectored file (declines — its
+    // extreme row may be the deleted one)
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 300).select(lit("s").as("src"), $"id")
+        .repartitionByRange(3, $"id"),
+      root, statsCols = Seq("src", "id"))
+    Snapshots.deleteWhere(spark, root, col("id") < 10L) // vectors the low file
+    assert(Snapshots.manifest(spark, root,
+      Snapshots.headVersion(spark, root)).dvs.nonEmpty)
+    val mx = batchRead(root).agg(max("id").as("hi"))
+    assert(descOf(mx).contains("PushedAggregates"), descOf(mx))
+    assert(mx.as[Long].collect().toSeq === Seq(299L))
+    // the no-I/O pin for the answering side
+    val mn = batchRead(root).agg(min("id").as("lo"))
+    assert(!descOf(mn).contains("PushedAggregates"), descOf(mn))
+    assert(mn.as[Long].collect().toSeq === Seq(10L))
+    deleteDataFiles(root)
+    assert(batchRead(root).agg(max("id")).as[Long].collect().toSeq === Seq(299L))
+  }
+
   test("multi-column groups and numeric group keys push exactly") {
     val root = tmp()
     for {

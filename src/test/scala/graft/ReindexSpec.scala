@@ -1,0 +1,154 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.engine.Snapshots
+
+/** [[Snapshots.reindexStats]] — ANALYZE for the snapshot layer: one
+  * distributed read pass + a METADATA-ONLY commit (re)builds the per-file
+  * stats/bloom index; no data file is rewritten or moved. The ops verb
+  * that gives an unindexed 100 TB table pruning, metadata counts, and
+  * aggregate pushdown without [[Snapshots.compact]]'s full rewrite.
+  *
+  * Pins: the file list is IDENTICAL across the commit; deletion vectors,
+  * recorded byte sizes, and other columns' metadata carry; the indexed
+  * surface actually lights up (band pruning, countWhere from metadata,
+  * SUM/MIN/MAX pushdown answering with the data bytes destroyed);
+  * seconds-era timestamp stats are dropped, never laundered into the new
+  * tsus-marked shards; the SQL CALL surface routes the same path.
+  */
+class ReindexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    "file:" + Files.createTempDirectory("reindex").toString + "/t"
+
+  private def batchRead(root: String): DataFrame =
+    spark.read.format("graft.streaming.SnapshotSourceProvider")
+      .option("root", root).load()
+
+  private def fs(root: String) =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  test("an unindexed table gains pruning, metadata counts, and agg pushdown in one metadata commit") {
+    val root = tmp()
+    Snapshots.commit( // NO statsCols: a plain, index-less ingest
+      spark.range(0, 800)
+        .select(lit("src0").as("src"), $"id", ($"id" % 50).as("v"))
+        .repartitionByRange(8, $"id"),
+      root)
+    assert(Snapshots.statsRange(spark, root, "id").isEmpty)
+    val before = Snapshots.manifest(spark, root, 1L).files.toSet
+
+    val v2 = Snapshots.reindexStats(spark, root, Seq("src", "id", "v"))
+    val m2 = Snapshots.manifest(spark, root, v2)
+    assert(m2.files.toSet === before, "reindex must move no data file")
+    assert(Snapshots.statsRange(spark, root, "id") === Some((0.0, 799.0)))
+    // band pruning now fires
+    val planned = Snapshots.readWhere(spark, root, col("id") >= 700)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+    assert(planned < before.size, s"no pruning after reindex ($planned of ${before.size})")
+    assert(Snapshots.countWhere(spark, root, col("id") < 100) === 100L)
+    // aggregate pushdown (COUNT/MIN/MAX/SUM) answers with the bytes GONE
+    val q = batchRead(root).groupBy("src")
+      .agg(count(lit(1)).as("n"), min("id").as("lo"),
+        max("id").as("hi"), sum("v").as("sv"))
+    fs(root).delete(new Path(s"$root/data"), true)
+    val want = ("src0", 800L, 0L, 799L, (0L until 800L).map(_ % 50).sum)
+    assert(q.as[(String, Long, Long, Long, Long)].collect().toSeq === Seq(want))
+  }
+
+  test("reindex carries deletion vectors, byte sizes, and unrelated columns' metadata") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 400).select($"id", ($"id" * 2).as("w"))
+        .repartitionByRange(4, $"id"),
+      root, statsCols = Seq("id"))
+    Snapshots.deleteWhere(spark, root, col("id") % 10 === 3) // vectors
+    val mPre = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+    assert(mPre.dvs.nonEmpty && mPre.rows.forall(_.bytes > 0L))
+
+    val v = Snapshots.reindexStats(spark, root, Seq("w"))
+    val m = Snapshots.manifest(spark, root, v)
+    assert(m.dvs.map(d => d.file -> d.deleted).toMap ===
+      mPre.dvs.map(d => d.file -> d.deleted).toMap, "vectors must carry")
+    assert(m.rows.forall(_.bytes > 0L), "recorded byte sizes must carry")
+    assert(m.stats.exists(_.col == "w") && m.stats.exists(_.col == "id"),
+      "the new index adds w without dropping id")
+    assert(Snapshots.read(spark, root).select("id").as[Long].collect().toSet ===
+      (0L until 400L).filterNot(_ % 10 == 3).toSet)
+    // the new w index prunes
+    assert(Snapshots.countWhere(spark, root, col("w") >= 780) ===
+      (390L until 400L).filterNot(_ % 10 == 3).size.toLong)
+  }
+
+  test("seconds-era ts stats are dropped by reindex, not laundered; reindexing ts heals them") {
+    val root = tmp()
+    val day = (d: Int) => java.time.LocalDateTime.of(2024, 3, d, 12, 0)
+    Snapshots.commit(
+      (1 to 20).map(d => (d.toLong, day(d))).toDF("id", "ts")
+        .repartitionByRange(4, $"ts"),
+      root, statsCols = Seq("ts", "id"))
+    // age the shard to the seconds generation (no tsus marker, /1e6 stats)
+    val f = fs(root)
+    val snap = new Path(s"$root/_snapshots")
+    def readText(p: Path): String = {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    def writeText(p: Path, s: String): Unit = {
+      val out = f.create(p, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    val shard = f.listStatus(snap).map(_.getPath)
+      .find(_.getName.startsWith("shard-")).get
+    val aged = """"col":"ts","min":([-0-9.eE]+),"max":([-0-9.eE]+)""".r
+      .replaceAllIn(readText(shard).replace(""""tsus":true,""", ""), mm =>
+        s""""col":"ts","min":${mm.group(1).toDouble / 1e6},"max":${mm.group(2).toDouble / 1e6}""")
+    val nn = s"shard-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.json"
+    writeText(new Path(snap, nn), aged)
+    val mp = new Path(snap, "manifest-1.json")
+    writeText(mp, readText(mp).replace(shard.getName, nn))
+    // reindex a DIFFERENT column: the aged ts stats must NOT reappear as
+    // exact-micros in the new tsus-marked shard
+    val v2 = Snapshots.reindexStats(spark, root, Seq("id"))
+    assert(Snapshots.manifest(spark, root, v2).stats.forall(_.col != "ts"),
+      "seconds-canon ts stats must be dropped, not laundered")
+    val cond = col("ts") >= lit(day(6)) && col("ts") < lit(day(16))
+    assert(Snapshots.countWhere(spark, root, cond) === 10L)
+    // reindexing ts itself rebuilds exact-micros stats: range prunes again
+    Snapshots.reindexStats(spark, root, Seq("ts"))
+    val planned = Snapshots.readWhere(spark, root, cond)
+      .queryExecution.sparkPlan.collect {
+        case fe: org.apache.spark.sql.execution.FileSourceScanExec =>
+          fe.relation.location.inputFiles.length
+      }.sum
+    assert(planned < 4, s"healed ts index must prune ($planned of 4)")
+    assert(Snapshots.readWhere(spark, root, cond).count() === 10L)
+  }
+
+  test("SQL CALL reindex routes the same path; bloom columns index too") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 300)
+        .select(format_string("doc-%05d", $"id").as("doc_id"), $"id")
+        .repartition(3),
+      root)
+    spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+    spark.sql(
+      s"CALL graft.system.reindex('$root', stats_cols => 'id', bloom_cols => 'doc_id')")
+    val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+    assert(m.stats.exists(_.col == "id") && m.blooms.exists(_.col == "doc_id"))
+    // the bloom index prunes a point probe to fewer files
+    val probed = Snapshots.readForKeys(spark, root, "doc_id",
+      Seq("doc-00007").toDF("doc_id"))
+    assert(probed.select("id").as[Long].collect().toSeq === Seq(7L))
+  }
+}
