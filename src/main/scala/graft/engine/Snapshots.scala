@@ -491,7 +491,8 @@ object Snapshots {
     // keeps working across renames with no knowledge of the mapping.
     // Dropped columns' stats keep their physical label — no logical name
     // reaches them, so they are inert.
-    val p2l: Map[String, String] = parseSchemaStr(m.schema) match {
+    val schemaOpt = parseSchemaStr(m.schema) // parsed ONCE per resolve
+    val p2l: Map[String, String] = schemaOpt match {
       case Some(sc) => sc.fields.iterator
         .map(f => physicalOf(f) -> f.name).filter(e => e._1 != e._2).toMap
       case None => Map.empty
@@ -500,20 +501,11 @@ object Snapshots {
     // TIMESTAMP stats in rounded SECONDS — comparing them against the
     // micros canon would prune valid files (silently-empty reads) or
     // full-accept wrong ones (metadata-deleting non-matching rows). Hide
-    // exactly those entries: the columns read as stat-less (must-scan,
-    // conservative). Physical names: stats are recorded under them. With
-    // no parseable schema the column TYPES are unknowable, so an unmarked
-    // shard hides ALL its numeric stats (string slo/shi bounds are
-    // canon-free and always survive).
-    val tsPhys: Option[Set[String]] = parseSchemaStr(m.schema).map(_.fields
-      .iterator.filter(f => f.dataType ==
-          org.apache.spark.sql.types.TimestampType ||
-        f.dataType == org.apache.spark.sql.types.TimestampNTZType)
-      .map(physicalOf).toSet)
-    def canonSafe(sh: Shard)(st: ColStats): Boolean =
-      sh.tsExact || st.slo != null ||
-        tsPhys.exists(ts => !ts.contains(st.col))
-    val stats = shards.flatMap(sh => sh.stats.filter(canonSafe(sh)))
+    // exactly those entries ([[canonSafeStat]], the ONE shared rule): the
+    // columns read as stat-less (must-scan, conservative).
+    val tsPhys = tsPhysicalCols(schemaOpt)
+    val stats = shards.flatMap(sh =>
+      sh.stats.filter(canonSafeStat(sh.tsExact, tsPhys, _)))
     val relabeled =
       if (p2l.isEmpty) stats
       else stats.map(st => p2l.get(st.col).fold(st)(l => st.copy(col = l)))
@@ -534,6 +526,25 @@ object Snapshots {
     * logical name, so files written before the rename stay readable with no
     * rewrite, the Delta-style column-mapping idea. */
   private val PhysicalKey = "graft.physical"
+
+  /** PHYSICAL names of timestamp-typed columns, None when the schema is
+    * unknowable (legacy schema-less manifests). */
+  private def tsPhysicalCols(
+      schema: Option[StructType]): Option[Set[String]] =
+    schema.map(_.fields.iterator.filter(f =>
+        f.dataType == org.apache.spark.sql.types.TimestampType ||
+          f.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      .map(physicalOf).toSet)
+
+  /** The round-17 canon-fence rule, shared by [[resolve]] (hide) and
+    * [[reindexStats]] (never carry into a marked shard): a stats entry
+    * from an UNMARKED shard survives only if it is a string bound
+    * (canon-free) or its column is provably NOT timestamp-typed; with no
+    * parseable schema, only string bounds survive. One definition so the
+    * two sites cannot diverge. */
+  private def canonSafeStat(
+      tsExact: Boolean, tsPhys: Option[Set[String]], st: ColStats): Boolean =
+    tsExact || st.slo != null || tsPhys.exists(ts => !ts.contains(st.col))
 
   private[graft] def physicalOf(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey) else f.name
@@ -660,8 +671,27 @@ object Snapshots {
             "overwrite (append=false) to re-cluster")
       }
     }
+    // an APPEND maintains the head's declared index even when the caller
+    // passes no statsCols — the same inheritance the streaming sink has
+    // always had ([[appendFiles]]); without it one append after a
+    // [[reindexStats]] (or any indexed ingest driven by a stats-less
+    // writer) leaves a stat-less file that declines every metadata
+    // answer table-wide. Declared names are PHYSICAL; only columns the
+    // batch actually carries are collected (schema evolution may omit
+    // some — their files simply record no entry, conservative).
+    val (effStats, effBlooms) = {
+      val base = (statsCols.map(c => toPhys.getOrElse(c, c)),
+        bloomCols.map(c => toPhys.getOrElse(c, c)))
+      val hv = if (append) headVersion(spark, root) else 0L
+      if (hv == 0L) base
+      else manifestMeta(spark, root, hv).indexed.fold(base) { case (ds, db) =>
+        val batchPhys = df.columns.map(c => toPhys.getOrElse(c, c)).toSet
+        ((base._1 ++ ds.filter(batchPhys)).distinct,
+          (base._2 ++ db.filter(batchPhys)).distinct)
+      }
+    }
     val (written, newStats, newRows, newBlooms) =
-      writeBatch(df, root, statsCols, toPhys, bloomCols, clusterSpec)
+      writeBatch(df, root, effStats, toPhys, effBlooms, clusterSpec)
     val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
     publishMeta(spark, root, tag, requireHead, clustering = head =>
       // an unclustered append onto a clustered head adds bucket-impure
@@ -1119,7 +1149,12 @@ object Snapshots {
     * after — the lazy migration path for old tables. */
   private[engine] def shardRefsOf(spark: SparkSession, root: String, m: ManifestMeta): Seq[ShardRef] =
     m.inline match {
-      case Some((files, stats)) => Seq(writeShard(spark, root, files, stats))
+      // pre-shard era: its TIMESTAMP stats are seconds-canon — the
+      // materialized shard must NOT carry the tsus marker (loadShards
+      // marks the same inline content tsExact=false; a marked shard here
+      // would launder seconds bounds into "exact micros")
+      case Some((files, stats)) =>
+        Seq(writeShard(spark, root, files, stats, tsExact = false))
       case None => m.shardRefs
     }
 
@@ -2866,21 +2901,17 @@ object Snapshots {
           else rowsFromFooters(spark, m.files)
         collectBlooms(spark, m.files, bloomP, physSchema, Map.empty, rowsForEst)
       }
-    val tsPhysSet: Set[String] = schemaOpt.map(_.fields.iterator.filter(f =>
-        f.dataType == org.apache.spark.sql.types.TimestampType ||
-          f.dataType == org.apache.spark.sql.types.TimestampNTZType)
-      .map(physicalOf).toSet).getOrElse(Set.empty)
+    val tsPhys = tsPhysicalCols(schemaOpt)
     val statsByFile = newStats.groupBy(_.file)
     val bloomsByFile = newBlooms.groupBy(_.file)
     val rowsByFileNew = newRows.map(r => r.file -> r).toMap
     val refs = shards.map { sh =>
       val names = sh.files.map(u => new Path(u).getName)
       // old entries survive unless this reindex replaces their column or
-      // they are canon-unsafe (unmarked shard + ts-typed, or unmarked with
-      // no parseable schema to prove a column is NOT ts-typed)
+      // they are canon-unsafe (the same [[canonSafeStat]] rule resolve
+      // hides by — never carried into the new tsus-marked shard)
       val keptStats = sh.stats.filter(st => !statsP.contains(st.col) &&
-        (sh.tsExact || st.slo != null ||
-          (schemaOpt.isDefined && !tsPhysSet.contains(st.col))))
+        canonSafeStat(sh.tsExact, tsPhys, st))
       val addStats = names.flatMap(n => statsByFile.getOrElse(n, Seq.empty))
       val keptBlooms = sh.blooms.filterNot(b => bloomP.contains(b.col))
       val addBlooms = names.flatMap(n => bloomsByFile.getOrElse(n, Seq.empty))
@@ -2891,9 +2922,17 @@ object Snapshots {
       writeShard(spark, root, sh.files, keptStats ++ addStats, rws,
         keptBlooms ++ addBlooms, sh.dvs)
     }
-    // metadata-only, file list unchanged: clustering carries
+    // metadata-only, file list unchanged: clustering carries. The head's
+    // INDEX DECLARATION must grow by the reindexed columns, or the next
+    // append would record no stats for them and the fresh index would
+    // silently decay back to must-scan (one stat-less file declines every
+    // metadata answer).
     publishMeta(spark, root, tag = "", requireHead = headV,
-      clustering = h => h.flatMap(_.clustering)) { head =>
+      clustering = h => h.flatMap(_.clustering),
+      indexed = h => {
+        val (hs, hb) = h.flatMap(_.indexed).getOrElse((Seq.empty, Seq.empty))
+        Some(((hs ++ statsP).distinct, (hb ++ bloomP).distinct))
+      }) { head =>
       val h = head.getOrElse(sys.error("reindex base vanished"))
       (refs, h.schema)
     }

@@ -698,8 +698,10 @@ private[streaming] class SnapshotScanBuilder(
     // merge-on-read) must be suppressed, not answered as (group, 0).
     // Ungrouped COUNT(*) = 0 stays correct and is NOT suppressed. When live
     // counts are unprovable (row counts incomplete) under any vector, the
-    // grouped pushdown declines whole — today unreachable (COUNT(*) needs
-    // rowsComplete; MIN/MAX/COUNT(col) need !anyDv) but kept as a fence.
+    // grouped pushdown declines whole — REACHABLE since round 17's
+    // MIN/MAX/COUNT(col)-under-vector refinements, which no longer require
+    // a vector-free table: without this fence a group whose every live row
+    // is deleted could answer where SQL emits no row.
     val liveGroups: Seq[(Seq[Any], Seq[String])] =
       if (groupCols.isEmpty) groups
       else if (rowsComplete) groups.filter { case (_, fs) =>
@@ -744,14 +746,37 @@ private[streaming] class SnapshotScanBuilder(
             (fs.map(rowsByName).sum -
               fs.map(n => dvdByName.getOrElse(n, 0L)).sum): Any,
             "COUNT(*)"))
-        case cnt: Count if !cnt.isDistinct && rowsComplete && !anyDv =>
+        // COUNT(col) = rows minus nulls; a vectored file still answers
+        // when its recorded null count is ZERO (every live row is then
+        // non-null: count = live rows). A vectored file WITH nulls
+        // declines — whether the deleted rows were the null ones is
+        // unknowable from metadata.
+        case cnt: Count if !cnt.isDistinct && rowsComplete =>
           for {
             c <- colOf(cnt.column)
             st <- statsOver(fs, c)
             if st.forall(_.nulls >= 0L)
+            if st.forall(s => dvdByName.getOrElse(s.file, 0L) == 0L || s.nulls == 0L)
           } yield (StructField(s"count($c)", LongType, nullable = false),
-            (fs.map(rowsByName).sum - st.map(_.nulls).sum): Any,
+            st.map(s => rowsByName(s.file) - dvdByName.getOrElse(s.file, 0L) -
+              (if (dvdByName.getOrElse(s.file, 0L) == 0L) s.nulls else 0L)).sum: Any,
             s"COUNT($c)")
+        // COUNT(DISTINCT col) when every file PINS col single-valued
+        // (numeric min==max / string slo==shi, zero nulls): the distinct
+        // set is exactly the pinned values of files with ≥1 live row —
+        // "how many sources/days" in O(manifest). Exact under vectors via
+        // live counts (a fully-vectored file's value may be gone).
+        case cnt: Count if cnt.isDistinct && rowsComplete =>
+          for {
+            c <- colOf(cnt.column)
+            f <- fullSchema.fields.find(_.name == c)
+            st <- statsOver(fs, c)
+            pinned = st.map(s => groupValue(s, f.dataType).map(v =>
+              v -> (rowsByName(s.file) - dvdByName.getOrElse(s.file, 0L))))
+            if pinned.forall(_.isDefined)
+          } yield (StructField(s"count(DISTINCT $c)", LongType, nullable = false),
+            pinned.flatten.groupBy(_._1).count(_._2.map(_._2).sum > 0L).toLong: Any,
+            s"COUNT(DISTINCT $c)")
         case mn: Min => extremum(fs, mn.column, isMin = true)
         case mx: Max => extremum(fs, mx.column, isMin = false)
         // SUM answers from the exact per-file sums the stats pass records
@@ -1250,7 +1275,9 @@ private[streaming] class SnapshotMicroBatchStream(
               val added = m1.files.toSet -- pf
               prevFiles = Some(m1.files.toSet)
               Snapshots.saturatingBytes(0L,
-                added.map(u => new Path(u).getName),
+                // toSeq FIRST: `added` is a Set, and a converted table may
+                // carry duplicate basenames — each file's bytes must count
+                added.toSeq.map(u => new Path(u).getName),
                 m1.rows.iterator.map(r => r.file -> r.bytes).toMap)
           }
           if (bytes <= budget || v == from) {

@@ -104,12 +104,15 @@ class GroupedAggPushSpec extends SparkSpec {
     // metadata answering would need a hybrid scan for a layout the scale
     // curve has not surfaced, and the decline costs one ordinary scan
     val root = tmp()
-    Snapshots.commit(
-      spark.range(0, 60).select(lit("a").as("src"), $"id").coalesce(1),
-      root, statsCols = Seq("src", "id"))
+    // the stat-less file must come FIRST: round 17's appends inherit the
+    // head's index declaration, so a stats-bearing head would index the
+    // second file automatically (exactly the decay the inheritance fixes)
     Snapshots.commit(
       spark.range(0, 40).select(lit("b").as("src"), $"id").coalesce(1),
-      root, append = true) // no statsCols: file 2 pins nothing
+      root) // no statsCols: this file pins nothing, ever
+    Snapshots.commit(
+      spark.range(0, 60).select(lit("a").as("src"), $"id").coalesce(1),
+      root, append = true, statsCols = Seq("src", "id"))
     val q = batchRead(root).groupBy("src").agg(count(lit(1)).as("n")).orderBy("src")
     assert(!descOf(q).contains("PushedAggregates"), descOf(q))
     assert(q.as[(String, Long)].collect().toSeq === Seq(("a", 60L), ("b", 40L)))
@@ -353,6 +356,46 @@ class GroupedAggPushSpec extends SparkSpec {
     val want = Seq("a" -> (0 until 100).filter(_ % 7 != 0).map(_.toLong).sum,
       "b" -> (0 until 100).map(_ + 1000).filter(_ % 7 != 0).map(_.toLong).sum)
     assert(q2.as[(String, Long)].collect().toSeq === want)
+  }
+
+  test("COUNT(col) under vectors answers for null-free files; nulled+vectored declines") {
+    val root = tmp()
+    // file A: 100 rows, 10 nulls in v; file B: 100 rows, v never null
+    Snapshots.commit(
+      spark.range(0, 100).select(lit("a").as("src"),
+        when($"id" % 10 === 0, lit(null)).otherwise($"id").as("v")).coalesce(1),
+      root, statsCols = Seq("src", "v"))
+    Snapshots.commit(
+      spark.range(100, 200).select(lit("b").as("src"), $"id".as("v")).coalesce(1),
+      root, append = true, statsCols = Seq("src", "v"))
+    // vector rows out of the NULL-FREE file: its live rows are all
+    // non-null, so COUNT(v) still answers from metadata
+    Snapshots.deleteWhere(spark, root, col("v") >= 150L && col("v") % 3 === 0)
+    val q = batchRead(root).agg(count(col("v")).as("nv"))
+    assert(descOf(q).contains("PushedAggregates"), descOf(q))
+    val deleted = (150L until 200L).count(_ % 3 == 0)
+    assert(q.as[Long].collect().toSeq === Seq(90L + 100L - deleted))
+    // vector rows out of the NULLED file: whether the deleted rows were
+    // the nulls is unknowable — declines, stays exact
+    Snapshots.deleteWhere(spark, root, col("v") < 50L)
+    val q2 = batchRead(root).agg(count(col("v")).as("nv"))
+    assert(!descOf(q2).contains("PushedAggregates"), descOf(q2))
+  }
+
+  test("COUNT(DISTINCT key) answers from pinned single-valued files") {
+    val root = perKeyTable()
+    val q = batchRead(root).agg(countDistinct(col("src")).as("d"))
+    val d = descOf(q)
+    assert(d.contains("COUNT(DISTINCT src)"), s"got: $d")
+    assert(q.as[Long].collect().toSeq === Seq(3L))
+    // a partial vector does not change the distinct set
+    Snapshots.deleteWhere(spark, root, col("id") % 7 === 0)
+    assert(batchRead(root).agg(countDistinct(col("src")).as("d"))
+      .as[Long].collect().toSeq === Seq(3L))
+    // the no-I/O pin
+    deleteDataFiles(root)
+    assert(batchRead(root).agg(countDistinct(col("src")).as("d"))
+      .as[Long].collect().toSeq === Seq(3L))
   }
 
   test("grouped COUNT(col) subtracts per-group null counts") {

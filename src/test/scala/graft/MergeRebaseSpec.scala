@@ -98,19 +98,39 @@ class MergeRebaseSpec extends SparkSpec {
     } finally resetHook()
   }
 
-  test("an interim statless append is conservatively a conflict") {
+  test("an interim append with an unknowable key range is conservatively a conflict") {
     val root = freshTable()
     try {
       race {
-        // no statsCols: the added file has no pruning index — its key
-        // range is unknowable, so the rebase must refuse
-        Snapshots.commit(Seq((300L, 3L)).toDF("id", "v"), root, append = true)
+        // round 17: a statsCols-free append INHERITS the head's index
+        // declaration (so a plain statless racer now records key stats and
+        // rebases cleanly — the improved behavior). An unknowable range
+        // still exists: an all-null key file records no stats entry, and
+        // the rebase must refuse it.
+        Snapshots.commit(Seq((Option.empty[Long], 3L)).toDF("id", "v"),
+          root, append = true)
       }
       val e = intercept[Snapshots.ConcurrentCommitException] {
         Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), root, "id",
           statsCols = Seq("id"))
       }
       assert(e.getMessage.contains("rebase refused"))
+    } finally resetHook()
+  }
+
+  test("a statless disjoint racer now rebases: the append inherited the key index") {
+    val root = freshTable()
+    try {
+      race {
+        Snapshots.commit(Seq((300L, 3L)).toDF("id", "v"), root, append = true)
+      }
+      // disjoint keys, provable from the inherited stats: the merge lands
+      Snapshots.merge(Seq((5L, -50L)).toDF("id", "v"), root, "id",
+        statsCols = Seq("id"))
+      assert(Snapshots.read(spark, root).filter(col("id") === 5L)
+        .select("v").as[Long].collect().toSeq === Seq(-50L))
+      assert(Snapshots.read(spark, root).filter(col("id") === 300L)
+        .select("v").as[Long].collect().toSeq === Seq(3L))
     } finally resetHook()
   }
 

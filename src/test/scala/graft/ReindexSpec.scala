@@ -89,6 +89,46 @@ class ReindexSpec extends SparkSpec {
       (390L until 400L).filterNot(_ % 10 == 3).size.toLong)
   }
 
+  test("the reindexed columns persist: appends after a reindex keep recording their stats") {
+    // reindex must grow the head's INDEX DECLARATION, or the next append
+    // records no stats for the new columns and the fresh index silently
+    // decays back to must-scan (one stat-less file declines every
+    // metadata answer)
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 200).select(lit("a").as("src"), $"id").coalesce(1),
+      root) // index-less
+    Snapshots.reindexStats(spark, root, Seq("src", "id"))
+    Snapshots.commit(
+      spark.range(200, 400).select(lit("b").as("src"), $"id").coalesce(1),
+      root, append = true) // NO statsCols: must inherit the declaration
+    val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+    assert(m.files.size === 2)
+    assert(m.stats.count(_.col == "id") === 2,
+      "the appended file must carry id stats from the inherited declaration")
+    // and the metadata surfaces keep answering over BOTH files
+    assert(Snapshots.statsRange(spark, root, "id") === Some((0.0, 399.0)))
+    val q = batchRead(root).groupBy("src")
+      .agg(count(lit(1)).as("n"), max("id").as("hi")).orderBy("src")
+    assert(descOf_(q).contains("group by [src]"), descOf_(q))
+    assert(q.as[(String, Long, Long)].collect().toSeq ===
+      Seq(("a", 200L, 199L), ("b", 200L, 399L)))
+  }
+
+  /** Scan descriptions through the adaptive wrappers. */
+  private def descOf_(q: DataFrame): String = {
+    q.collect()
+    def go(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        go(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => go(s.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        Seq(b.scan.description())
+      case o => o.children.flatMap(go)
+    }
+    go(q.queryExecution.executedPlan).mkString("\n")
+  }
+
   test("seconds-era ts stats are dropped by reindex, not laundered; reindexing ts heals them") {
     val root = tmp()
     val day = (d: Int) => java.time.LocalDateTime.of(2024, 3, d, 12, 0)
@@ -97,25 +137,7 @@ class ReindexSpec extends SparkSpec {
         .repartitionByRange(4, $"ts"),
       root, statsCols = Seq("ts", "id"))
     // age the shard to the seconds generation (no tsus marker, /1e6 stats)
-    val f = fs(root)
-    val snap = new Path(s"$root/_snapshots")
-    def readText(p: Path): String = {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    }
-    def writeText(p: Path, s: String): Unit = {
-      val out = f.create(p, true)
-      try out.write(s.getBytes("UTF-8")) finally out.close()
-    }
-    val shard = f.listStatus(snap).map(_.getPath)
-      .find(_.getName.startsWith("shard-")).get
-    val aged = """"col":"ts","min":([-0-9.eE]+),"max":([-0-9.eE]+)""".r
-      .replaceAllIn(readText(shard).replace(""""tsus":true,""", ""), mm =>
-        s""""col":"ts","min":${mm.group(1).toDouble / 1e6},"max":${mm.group(2).toDouble / 1e6}""")
-    val nn = s"shard-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.json"
-    writeText(new Path(snap, nn), aged)
-    val mp = new Path(snap, "manifest-1.json")
-    writeText(mp, readText(mp).replace(shard.getName, nn))
+    ageShardToSecondsCanon(root)
     // reindex a DIFFERENT column: the aged ts stats must NOT reappear as
     // exact-micros in the new tsus-marked shard
     val v2 = Snapshots.reindexStats(spark, root, Seq("id"))

@@ -159,26 +159,7 @@ class TemporalStatsSpec extends SparkSpec {
     val rows = (1 to 20).map(d => (d.toLong, day(d)))
     Snapshots.commit(rows.toDF("id", "ts").repartitionByRange(4, $"ts"),
       root, statsCols = Seq("ts"))
-    val f = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val snap = new org.apache.hadoop.fs.Path(s"$root/_snapshots")
-    def readText(p: org.apache.hadoop.fs.Path): String = {
-      val in = f.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    }
-    def writeText(p: org.apache.hadoop.fs.Path, s: String): Unit = {
-      val out = f.create(p, true)
-      try out.write(s.getBytes("UTF-8")) finally out.close()
-    }
-    val shard = f.listStatus(snap).map(_.getPath)
-      .find(_.getName.startsWith("shard-")).get
-    val aged = """"col":"ts","min":([-0-9.eE]+),"max":([-0-9.eE]+)""".r
-      .replaceAllIn(readText(shard).replace(""""tsus":true,""", ""), m =>
-        s""""col":"ts","min":${m.group(1).toDouble / 1e6},"max":${m.group(2).toDouble / 1e6}""")
-    val nn = s"shard-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.json"
-    writeText(new org.apache.hadoop.fs.Path(snap, nn), aged)
-    val mp = new org.apache.hadoop.fs.Path(snap, "manifest-1.json")
-    writeText(mp, readText(mp).replace(shard.getName, nn))
+    ageShardToSecondsCanon(root)
     // the band read stays EXACT (the old stats are invisible, all files scan)
     val cond = col("ts") >= lit(day(6)) && col("ts") < lit(day(16))
     val got = Snapshots.readWhere(spark, root, cond)

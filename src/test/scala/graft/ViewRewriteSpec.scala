@@ -219,13 +219,27 @@ class ViewRewriteSpec extends SparkSpec {
     assert(!ViewRewrite.avoidedScan(qv, root))
     assert(qv.as[Long].head() === 10L)
 
-    // append WITHOUT stats: the id index is now incomplete → falls back,
-    // and the scan answer reflects the new extremum
+    // round 17: a stat-less APPEND inherits the head's index declaration,
+    // so it keeps the index COMPLETE — the rewrite still answers, now
+    // with the new extremum
     Snapshots.commit(spark.range(0, 5).select($"id", ($"id" * 2L).as("v")),
       root, append = true)
+    ViewRewrite.registerMeta(root)
     val q2 = Snapshots.read(spark, root).agg(min($"id").as("lo"))
-    assert(!ViewRewrite.avoidedScan(q2, root))
     assert(q2.as[Long].head() === 0L)
+
+    // an incomplete index can only arise from a stat-less HEAD era now:
+    // the all-or-nothing completeness rule still falls back there
+    val root2 = tmp()
+    Snapshots.commit(
+      spark.range(100, 200).select($"id", ($"id" * 2L).as("v")),
+      root2) // no stats, no declaration
+    Snapshots.commit(spark.range(0, 100).select($"id", ($"id" * 2L).as("v")),
+      root2, append = true, statsCols = Seq("id"))
+    ViewRewrite.registerMeta(root2)
+    val q3 = Snapshots.read(spark, root2).agg(min($"id").as("lo"))
+    assert(!ViewRewrite.avoidedScan(q3, root2))
+    assert(q3.as[Long].head() === 0L)
     ViewRewrite.clear()
   }
 
