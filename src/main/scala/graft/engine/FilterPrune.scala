@@ -170,6 +170,198 @@ private[graft] object FilterPrune {
     }
   }
 
+  /** FULL-ACCEPTANCE mining of one pushed filter — the `sources.Filter`
+    * twin of the Catalyst miner's full set ([[Snapshots.deleteWhere]]'s
+    * `MinedConjunct.full`): the files whose EVERY LIVE ROW provably
+    * satisfies `f`, from the recorded per-file stats alone. Dual contract
+    * to [[overlap]]: it never OVERSTATES — a shape (or file) it cannot
+    * prove simply isn't in the set, which costs opportunity, never rows.
+    * What constitutes a proof:
+    *  - a recorded stats entry with ZERO nulls (a null row fails every
+    *    comparison; unknown null counts — footer-legacy -1 — don't prove);
+    *  - equality / non-strict bounds / IN additionally pass the shared
+    *    exact-double injectivity rule ([[Snapshots.exactValue]], the
+    *    2^53 / p≤15 rule) on BOTH the literal and the file bound, so two
+    *    distinct values can never collapse onto one double; STRICT bounds
+    *    are monotone-safe unguarded (rd(v) ≤ rd(lit) whenever v ≤ lit, so
+    *    rd-min > rd(lit) proves every v > lit);
+    *  - string bounds compare exactly in UTF8-byte order; truncated
+    *    parquet bounds stay sound by direction (slo is a LOWER bound —
+    *    slo ≥ k proves every row ≥ k; shi an UPPER one);
+    *  - And intersects; Or unions (a file wholly inside either side is
+    *    wholly inside the disjunction); deletion vectors only REMOVE
+    *    rows, so acceptance survives them.
+    * Consumer: the snapshot scan builder's EXACT-FILTER claim — when every
+    * file a pushed conjunction overlaps is also fully accepted by it, the
+    * scan's output needs no residual re-evaluation, which is what unlocks
+    * aggregate pushdown and limit/top-n file capping UNDER a filter. */
+  def fullAccept(
+      m: Snapshots.Manifest,
+      schema: StructType,
+      f: Filter): Set[String] = {
+    def typeOf(a: String): Option[DataType] =
+      schema.fields.find(_.name == a).map(_.dataType)
+    def num(a: String, v: Any): Option[Double] = typeOf(a).flatMap(canon(_, v))
+    def inj(a: String, d: Double): Boolean =
+      typeOf(a).exists(dt => Snapshots.exactValue(dt, d).isDefined)
+    def isString(a: String): Boolean = typeOf(a).contains(StringType)
+    def cmpU(x: String, y: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+    def full(a: String)(ok: Snapshots.ColStats => Boolean): Set[String] = {
+      val byFile = m.stats.iterator.filter(_.col == a).map(s => s.file -> s).toMap
+      m.files.iterator.filter { file =>
+        byFile.get(new Path(file).getName).exists(s => s.nulls == 0L && ok(s))
+      }.toSet
+    }
+    def point(a: String, v: Any): Set[String] = num(a, v) match {
+      case Some(x) => full(a)(s => s.slo == null &&
+        inj(a, x) && inj(a, s.min) && s.min == x && s.max == x)
+      case None => v match {
+        case k: String if isString(a) => full(a)(s => s.slo == k && s.shi == k)
+        case _ => Set.empty
+      }
+    }
+    def bound(a: String, v: Any, isLo: Boolean, strict: Boolean): Set[String] =
+      num(a, v) match {
+        case Some(x) => full(a) { s =>
+          s.slo == null && {
+            if (isLo) {
+              if (strict) s.min > x else inj(a, x) && inj(a, s.min) && s.min >= x
+            } else {
+              if (strict) s.max < x else inj(a, x) && inj(a, s.max) && s.max <= x
+            }
+          }
+        }
+        case None => v match {
+          case k: String if isString(a) => full(a) { s =>
+            s.slo != null && {
+              if (isLo) { if (strict) cmpU(s.slo, k) > 0 else cmpU(s.slo, k) >= 0 }
+              else { if (strict) cmpU(s.shi, k) < 0 else cmpU(s.shi, k) <= 0 }
+            }
+          }
+          case _ => Set.empty
+        }
+      }
+    f match {
+      case EqualTo(a, v) if v != null => point(a, v)
+      case EqualNullSafe(a, v) if v != null => point(a, v)
+      case GreaterThan(a, v) => bound(a, v, isLo = true, strict = true)
+      case GreaterThanOrEqual(a, v) => bound(a, v, isLo = true, strict = false)
+      case LessThan(a, v) => bound(a, v, isLo = false, strict = true)
+      case LessThanOrEqual(a, v) => bound(a, v, isLo = false, strict = false)
+      case In(a, vs) if vs.nonEmpty && !vs.contains(null) =>
+        val nums = vs.flatMap(num(a, _))
+        if (nums.length == vs.length) {
+          val arr = nums; java.util.Arrays.sort(arr)
+          full(a)(s => s.slo == null && s.min == s.max && inj(a, s.min) &&
+            java.util.Arrays.binarySearch(arr, s.min) >= 0)
+        } else if (isString(a) && vs.forall(_.isInstanceOf[String])) {
+          val ks = vs.iterator.map(_.asInstanceOf[String]).toSet
+          full(a)(s => s.slo != null && s.slo == s.shi && ks.contains(s.slo))
+        } else Set.empty
+      // LIKE 'p%': a file is wholly inside [p, nextPrefix(p)) — needs the
+      // finite roof (an all-0xFF prefix has none: every-row-≥-p alone
+      // proves nothing about the prefix)
+      case StringStartsWith(a, p) if p != null && p.nonEmpty && isString(a) =>
+        RowGroupFilters.nextPrefix(p) match {
+          case Some(roof) => full(a)(s =>
+            s.slo != null && cmpU(s.slo, p) >= 0 && cmpU(s.shi, roof) < 0)
+          case None => Set.empty
+        }
+      case IsNotNull(a) => full(a)(_ => true)
+      case And(l, r) => fullAccept(m, schema, l) intersect fullAccept(m, schema, r)
+      case Or(l, r) => fullAccept(m, schema, l) union fullAccept(m, schema, r)
+      case _ => Set.empty // IsNull (all-null files record no entry), Not, ...
+    }
+  }
+
+  /** FULL-REJECTION mining of one pushed filter: the files PROVABLY
+    * holding NO satisfying row. The third miner face — overlap is the
+    * conservative superset, full-accept the all-rows proof, full-reject
+    * the no-rows proof. Unlike acceptance it needs NO zero-null guard (a
+    * null row never satisfies a comparison, so it strengthens rejection),
+    * and the injectivity rule applies on the OPPOSITE bounds: a strict
+    * bound rejects its closed boundary only when both doubles provably
+    * name the original values (`id < 600` rejects a min==600 file only if
+    * 600 names min exactly), while a NON-strict bound rejects strictly
+    * past the boundary unguarded (rd monotone: rd(min) > rd(lit) ⟹
+    * min > lit). Consumer: [[exactPrune]] — the strictness-aware planning
+    * set the exact-filter claim covers. */
+  def fullReject(
+      m: Snapshots.Manifest,
+      schema: StructType,
+      f: Filter): Set[String] = {
+    def typeOf(a: String): Option[DataType] =
+      schema.fields.find(_.name == a).map(_.dataType)
+    def num(a: String, v: Any): Option[Double] = typeOf(a).flatMap(canon(_, v))
+    def inj(a: String, d: Double): Boolean =
+      typeOf(a).exists(dt => Snapshots.exactValue(dt, d).isDefined)
+    def isString(a: String): Boolean = typeOf(a).contains(StringType)
+    def cmpU(x: String, y: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+    def rej(a: String)(ok: Snapshots.ColStats => Boolean): Set[String] = {
+      val byFile = m.stats.iterator.filter(_.col == a).map(s => s.file -> s).toMap
+      m.files.iterator.filter { file =>
+        byFile.get(new Path(file).getName).exists(ok)
+      }.toSet
+    }
+    // every row fails `a OP x` ⟺ the file's whole range sits on the
+    // losing side; `boundary` = the file bound that must clear the literal
+    def side(a: String, v: Any, rejectBelow: Boolean, strictOp: Boolean): Set[String] =
+      num(a, v) match {
+        case Some(x) => rej(a) { s =>
+          s.slo == null && {
+            // rejectBelow: OP wants values ABOVE x, so a file wholly at or
+            // under x rejects (s.max vs x); else mirror on s.min
+            val b = if (rejectBelow) s.max else s.min
+            val past = if (rejectBelow) b < x else b > x
+            // a strict OP also rejects the exact boundary (v == x fails it)
+            past || (strictOp && b == x && inj(a, x) && inj(a, b))
+          }
+        }
+        case None => v match {
+          case k: String if isString(a) => rej(a) { s =>
+            s.slo != null && {
+              val c = if (rejectBelow) cmpU(s.shi, k) else -cmpU(s.slo, k)
+              if (strictOp) c <= 0 else c < 0
+            }
+          }
+          case _ => Set.empty
+        }
+      }
+    f match {
+      case GreaterThan(a, v) => side(a, v, rejectBelow = true, strictOp = true)
+      case GreaterThanOrEqual(a, v) => side(a, v, rejectBelow = true, strictOp = false)
+      case LessThan(a, v) => side(a, v, rejectBelow = false, strictOp = true)
+      case LessThanOrEqual(a, v) => side(a, v, rejectBelow = false, strictOp = false)
+      case And(l, r) => fullReject(m, schema, l) union fullReject(m, schema, r)
+      case Or(l, r) => fullReject(m, schema, l) intersect fullReject(m, schema, r)
+      // equality/IN boundaries are already exact in the closed overlap;
+      // everything else proves nothing here (overlap alone constrains)
+      case _ => Set.empty
+    }
+  }
+
+  /** Strictness-aware planning set: [[prune]]'s overlap minus the files
+    * every conjunct provably rejects. Always a sound file-pruning set (a
+    * rejected file holds no satisfying row); specifically it is THE set
+    * the exact-filter claim proves — the claim requires every file here
+    * to be fully accepted, and the claimed scan must plan exactly this
+    * set (the closed-band [[prune]] would re-admit a strict-boundary file
+    * whose rows all FAIL the filter, and with no residual left those rows
+    * would leak into the result). */
+  def exactPrune(
+      m: Snapshots.Manifest,
+      schema: StructType,
+      filters: Seq[Filter]): Seq[String] = {
+    val rejected = filters.foldLeft(Set.empty[String]) { (acc, f) =>
+      acc union fullReject(m, schema, f)
+    }
+    prune(m, schema, filters).filterNot(rejected)
+  }
+
   // ---- pushed LIMIT / TOP-N file capping (round 16) --------------------
   //
   // Both cappers run ONLY on a filterless scan (no static pushed filters,
@@ -313,40 +505,25 @@ private[graft] object FilterPrune {
             org.apache.spark.unsafe.types.UTF8String.fromString(s.shi))),
           (t: org.apache.spark.unsafe.types.UTF8String) => Some(t.toString))
       case ByteType | ShortType | IntegerType | LongType | DateType |
-           TimestampType | TimestampNTZType =>
+           TimestampType | TimestampNTZType | _: DecimalType =>
+        // the threshold literal emits only when the stat double provably
+        // names the UNIQUE original value — the one shared 2^53/p≤15 rule
+        // ([[Snapshots.exactValue]]); a type/value outside it keeps the
+        // file cap alone (a back-converted literal could round to the
+        // wrong side). Filters carry EXTERNAL values, so the catalyst
+        // value converts (days → Date, micros → Timestamp/LocalDateTime,
+        // Decimal → BigDecimal).
         cap(s => if (s.slo == null) Some((s.min, s.max)) else None,
-          (t: Double) => dt match {
-            // stats of integral/temporal columns are exact canonical
-            // doubles (timestamps record exact epoch micros — round 17);
-            // long-width values only emit inside the exact-double range
-            case ByteType if t.isWhole => Some(t.toByte)
-            case ShortType if t.isWhole => Some(t.toShort)
-            case IntegerType if t.isWhole => Some(t.toInt)
-            case LongType if t.isWhole && math.abs(t) < 9007199254740992.0 =>
-              Some(t.toLong)
-            case DateType if t.isWhole =>
-              Some(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(t.toLong)))
-            case TimestampType
-                if t.isWhole && math.abs(t) < 9007199254740992.0 =>
-              Some(DateTimeUtils.toJavaTimestamp(t.toLong))
-            case TimestampNTZType
-                if t.isWhole && math.abs(t) < 9007199254740992.0 =>
-              Some(DateTimeUtils.microsToLocalDateTime(t.toLong))
-            case _ => None
-          })
-      case dec: DecimalType =>
-        // precision ≤ 15: value→double is injective (doubles round-trip 15
-        // significant decimal digits), so the stat double names a UNIQUE
-        // decimal of the column's type — Double.toString's shortest
-        // representation recovers it exactly and the threshold pushes into
-        // row groups ("top n by price"). Wider decimals keep the file cap
-        // only: a back-converted literal could round to the wrong side.
-        cap(s => if (s.slo == null) Some((s.min, s.max)) else None,
-          (t: Double) =>
-            if (dec.precision > 15 || !java.lang.Double.isFinite(t)) None
-            else try Some(java.math.BigDecimal.valueOf(t)
-              .setScale(dec.scale)) // throws if the scale can't hold it
-            catch { case _: ArithmeticException => None })
+          (t: Double) => Snapshots.exactValue(dt, t).map(v => (dt, v) match {
+            case (DateType, days: Int) =>
+              java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(days.toLong))
+            case (TimestampType, us: Long) => DateTimeUtils.toJavaTimestamp(us)
+            case (TimestampNTZType, us: Long) =>
+              DateTimeUtils.microsToLocalDateTime(us)
+            case (_: DecimalType, d: org.apache.spark.sql.types.Decimal) =>
+              d.toJavaBigDecimal
+            case (_, x) => x // byte/short/int/long box as-is
+          }))
       case _ => (kept, None) // float/double (NaN-blind bounds), nested, binary
     }
   }

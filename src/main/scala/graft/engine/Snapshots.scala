@@ -549,9 +549,85 @@ object Snapshots {
   private[graft] def physicalOf(f: org.apache.spark.sql.types.StructField): String =
     if (f.metadata.contains(PhysicalKey)) f.metadata.getString(PhysicalKey) else f.name
 
+  /** THE exact-double rule, in one place (the [[canonSafeStat]] precedent):
+    * the canonical-double stat value `d` converted back to a CATALYST value
+    * of column type `dt`, iff value→double is provably INJECTIVE over the
+    * compared values — so the conversion names the unique original, and a
+    * consumer that treats it as exact (full acceptance feeding metadata
+    * deletes, aggregate answers, top-n thresholds) can never collapse two
+    * distinct values onto one double (long 2^53+1 and 2^53 share a double:
+    * `id = 9007199254740993L` must not full-accept a file of ...992s).
+    * Arms: int/date/short/byte always exact; long and timestamps (exact
+    * epoch MICROS since round 17) per value strictly inside ±2^53 (a long
+    * beyond rounds to a double of magnitude ≥ 2^53, so the per-VALUE check
+    * suffices); decimals when the TYPE's precision ≤ 15 (doubles round-trip
+    * 15 significant decimal digits, so the map is injective per type —
+    * `Double.toString`'s shortest representation recovers the value, and a
+    * scale the type can't hold proves `d` is no image at all → None);
+    * float/double never (NaN-blind stats); strings have no double canon.
+    * Callers: [[graft.streaming.SnapshotSourceProvider]]'s aggregate
+    * pushdown, the Catalyst miner's full-acceptance guard here, and
+    * [[FilterPrune]]'s top-n threshold emission / full-acceptance twin. */
+  private[graft] def exactValue(
+      dt: org.apache.spark.sql.types.DataType, d: Double): Option[Any] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case IntegerType if d.isWhole => Some(d.toInt)
+      case DateType if d.isWhole => Some(d.toInt) // catalyst days
+      case ShortType if d.isWhole => Some(d.toShort)
+      case ByteType if d.isWhole => Some(d.toByte)
+      case LongType if d.isWhole && math.abs(d) < 9007199254740992.0 => // 2^53
+        Some(d.toLong)
+      case TimestampType | TimestampNTZType
+          if d.isWhole && math.abs(d) < 9007199254740992.0 =>
+        Some(d.toLong) // catalyst epoch micros
+      case dec: DecimalType
+          if dec.precision <= 15 && java.lang.Double.isFinite(d) =>
+        try {
+          val bd = java.math.BigDecimal.valueOf(d).setScale(dec.scale)
+          val v = org.apache.spark.sql.types.Decimal(bd)
+          if (v.changePrecision(dec.precision, dec.scale)) Some(v) else None
+        } catch { case _: ArithmeticException => None }
+      case _ => None
+    }
+  }
+
   /** logical→physical renames (non-identity entries only). */
   private[graft] def logicalToPhysical(s: StructType): Map[String, String] =
     s.fields.iterator.map(f => f.name -> physicalOf(f)).filter(e => e._1 != e._2).toMap
+
+  /** Reference-counted session-conf pin: `pinned` holds `key` at `value`
+    * for the duration of `body`, restoring the pre-pin value only when the
+    * LAST concurrent pinner of the same (session, key) exits. A plain
+    * set/restore wrap is racy under concurrent same-session commits — one
+    * thread's finally-restore can land between another's set and its job
+    * planning; here every concurrent pinner asserts the same value, so the
+    * window never reopens mid-flight. The lock guards only the counter
+    * bookkeeping, never the (minutes-long) body. */
+  private object ConfPin {
+    private val state =
+      scala.collection.mutable.Map.empty[(SparkSession, String), (Option[String], Int)]
+    def pinned[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
+      val k = (spark, key)
+      state.synchronized {
+        state.get(k) match {
+          case Some((prev, n)) => state(k) = (prev, n + 1)
+          case None =>
+            val prev = spark.conf.getOption(key)
+            spark.conf.set(key, value)
+            state(k) = (prev, 1)
+        }
+      }
+      try body finally state.synchronized {
+        val (prev, n) = state(k)
+        if (n > 1) state(k) = (prev, n - 1)
+        else {
+          state.remove(k)
+          prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+        }
+      }
+    }
+  }
 
   /** Read manifest v fully resolved (throws with a clear message when v was
     * never committed or has been vacuumed away). */
@@ -676,22 +752,24 @@ object Snapshots {
     // always had ([[appendFiles]]); without it one append after a
     // [[reindexStats]] (or any indexed ingest driven by a stats-less
     // writer) leaves a stat-less file that declines every metadata
-    // answer table-wide. Declared names are PHYSICAL; only columns the
-    // batch actually carries are collected (schema evolution may omit
-    // some — their files simply record no entry, conservative).
-    val (effStats, effBlooms) = {
-      val base = (statsCols.map(c => toPhys.getOrElse(c, c)),
-        bloomCols.map(c => toPhys.getOrElse(c, c)))
+    // answer table-wide. Declared names are PHYSICAL and ride into
+    // writeBatch as its pre-mapped `statsPhysExtra` — never back through
+    // the logical→physical mapping (a renamed-away-then-re-added logical
+    // name would collide and redirect them). Only columns the batch
+    // actually carries are collected (schema evolution may omit some —
+    // their files simply record no entry, conservative).
+    val (inhStatsP, inhBloomsP) = {
       val hv = if (append) headVersion(spark, root) else 0L
-      if (hv == 0L) base
-      else manifestMeta(spark, root, hv).indexed.fold(base) { case (ds, db) =>
+      val none = (Seq.empty[String], Seq.empty[String])
+      if (hv == 0L) none
+      else manifestMeta(spark, root, hv).indexed.fold(none) { case (ds, db) =>
         val batchPhys = df.columns.map(c => toPhys.getOrElse(c, c)).toSet
-        ((base._1 ++ ds.filter(batchPhys)).distinct,
-          (base._2 ++ db.filter(batchPhys)).distinct)
+        (ds.filter(batchPhys), db.filter(batchPhys))
       }
     }
     val (written, newStats, newRows, newBlooms) =
-      writeBatch(df, root, effStats, toPhys, effBlooms, clusterSpec)
+      writeBatch(df, root, statsCols, toPhys, bloomCols, clusterSpec,
+        statsPhysExtra = inhStatsP, bloomPhysExtra = inhBloomsP)
     val newRef = writeShard(spark, root, written, newStats, newRows, newBlooms)
     publishMeta(spark, root, tag, requireHead, clustering = head =>
       // an unclustered append onto a clustered head adds bucket-impure
@@ -1201,7 +1279,14 @@ object Snapshots {
       statsCols: Seq[String],
       toPhys: Map[String, String] = Map.empty,
       bloomCols: Seq[String] = Seq.empty,
-      cluster: Option[Clustering] = None): (Seq[String], Seq[ColStats], Seq[FileRows], Seq[FileBloom]) = {
+      cluster: Option[Clustering] = None,
+      // index names that are ALREADY PHYSICAL (a head's inherited
+      // declaration) — unioned AFTER the logical→physical mapping, never
+      // through it: re-mapping a physical name that collides with a
+      // renamed-away-then-re-added logical name would silently record
+      // stats under the wrong column
+      statsPhysExtra: Seq[String] = Seq.empty,
+      bloomPhysExtra: Seq[String] = Seq.empty): (Seq[String], Seq[ColStats], Seq[FileRows], Seq[FileBloom]) = {
     val spark = df.sparkSession
     val f = fs(spark, root)
     val commitId = java.util.UUID.randomUUID().toString.take(8)
@@ -1238,7 +1323,7 @@ object Snapshots {
       if (toPhys.isEmpty || !df.columns.exists(toPhys.contains)) dfC
       else dfC.select(df.columns.toSeq.map(c =>
         org.apache.spark.sql.functions.col(c).as(toPhys.getOrElse(c, c))): _*)
-    val statsP = statsCols.map(c => toPhys.getOrElse(c, c))
+    val statsP = (statsCols.map(c => toPhys.getOrElse(c, c)) ++ statsPhysExtra).distinct
     // hash-clustered write: one shuffle partition per bucket, so the
     // writer's `part-NNNNN` file index IS the bucket id (the explicit
     // partition count pins the shuffle — AQE never coalesces a
@@ -1247,7 +1332,7 @@ object Snapshots {
     // Clustering spec asserts and storage-partitioned joins rely on.
     // A `sorted` spec additionally sorts rows inside each bucket (asc,
     // nulls first — what the scan's reported ordering asserts).
-    val bloomPhysW = bloomCols.map(c => toPhys.getOrElse(c, c))
+    val bloomPhysW = (bloomCols.map(c => toPhys.getOrElse(c, c)) ++ bloomPhysExtra).distinct
     // bloom-indexed columns also get PARQUET-INTERNAL bloom filters
     // (adaptive sizing): the manifest's FileBloom prunes whole FILES, the
     // in-file blooms let the reader's row-group predicate pushdown
@@ -1271,13 +1356,16 @@ object Snapshots {
       // TIMESTAMP(MICROS), never legacy INT96: footer row-group stats and
       // the footer-mining stats job are blind to INT96 (no usable min/max),
       // so INT96 files forfeit row-group pruning, top-n thresholds, and
-      // footer-mined file stats. Session-conf wrap: the parquet writer has
+      // footer-mined file stats. Session-conf pin: the parquet writer has
       // no per-write option for this (the DSv2 writer path pins the same
-      // value in SnapshotParquetDataWriter.writerConf).
-      val tsKey = "spark.sql.parquet.outputTimestampType"
-      val tsPrev = spark.conf.get(tsKey)
-      spark.conf.set(tsKey, "TIMESTAMP_MICROS")
-      try writer.parquet(dataDir) finally spark.conf.set(tsKey, tsPrev)
+      // value in SnapshotParquetDataWriter.writerConf). Reference-counted
+      // ([[ConfPin]]) rather than a plain set/restore wrap: under the
+      // supported concurrent same-session commits, one thread's restore
+      // must not land inside another thread's set→plan window and hand it
+      // an INT96 (footer-stats-blind) file — all concurrent writes pin the
+      // SAME value, so the original only restores when the LAST one exits.
+      ConfPin.pinned(spark, "spark.sql.parquet.outputTimestampType",
+        "TIMESTAMP_MICROS") { writer.parquet(dataDir) }
     }
     obs.foreach { o =>
       val got = o.get
@@ -3478,25 +3566,16 @@ object Snapshots {
     // value→double is INJECTIVE over the compared values, else distinct
     // values collapse (long 2^53+1 and 2^53 share a double: `id =
     // 9007199254740993L` must not full-accept a file of ...992s — wired to
-    // dropFiles, that collapse is data loss). int/date/short/byte are
-    // always exact; long only strictly inside ±2^53 (a long beyond rounds
-    // to a double of magnitude ≥ 2^53, so the per-VALUE check suffices);
-    // decimals when the type's precision ≤ 15 (doubles round-trip 15
-    // significant decimal digits, so the map is injective per type);
-    // float/double never (NaN-blind stats); timestamps like longs — the
-    // index records exact epoch micros. STRICT bounds need no guard:
+    // dropFiles, that collapse is data loss). STRICT bounds need no guard:
     // rounding is monotone non-decreasing, so rd(v) < rd(lit) ⟹ v < lit.
     // Overlap pruning is likewise monotone-safe and stays unguarded. The
-    // same exactness rule guards aggAnswer.exact and capForTopN.
+    // rule itself lives in ONE place — [[exactValue]] (round 18; also
+    // guards aggAnswer.exact, FilterPrune's full-acceptance twin, and the
+    // capForTopN threshold emission).
     val typeOf: Map[String, DataType] =
       filtered.queryExecution.analyzed.output.map(a => a.name -> a.dataType).toMap
-    def injective(c: String, d: Double): Boolean = typeOf.get(c).exists {
-      case ByteType | ShortType | IntegerType | DateType => true
-      case LongType | TimestampType | TimestampNTZType =>
-        d.isWhole && math.abs(d) < 9007199254740992.0 // 2^53
-      case dec: DecimalType => dec.precision <= 15
-      case _ => false
-    }
+    def injective(c: String, d: Double): Boolean =
+      typeOf.get(c).exists(dt => exactValue(dt, d).isDefined)
     def bound(a: (String, Double => Double, Boolean), x: Double,
         isLo: Boolean, strict: Boolean): MinedConjunct = {
       val (c, f, ident) = a

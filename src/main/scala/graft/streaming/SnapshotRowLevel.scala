@@ -87,6 +87,11 @@ private[streaming] class SnapshotRowLevelOperation(
       Map("root" -> root, "version" -> pinnedHead.toString)).asJava)
     val op = this
     new SnapshotScanBuilder(tableSchema, root, merged) {
+      // a rewrite's scan must keep residual-complete semantics: the CoW
+      // commit replaces exactly the files whose EVERY row it read back,
+      // so the exact-filter claim (which removes Spark's re-evaluation
+      // and invites limit/top-n capping) never applies here
+      override protected def allowExactFilterClaim: Boolean = false
       override def build(): Scan = super.build() match {
         case sc: SnapshotScan =>
           if (boundMain.compareAndSet(false, true))

@@ -519,11 +519,54 @@ private[streaming] class SnapshotScanBuilder(
       requiredSchema.fields.filter(_.name == SnapshotSource.FileCol)
         .map(_ => StructField(SnapshotSource.FileCol, StringType, nullable = false)))
 
-  /** Every filter stays RESIDUAL (returned for Spark to re-evaluate
-    * row-exactly); the minable subset is reported as pushed and used for
-    * FILE pruning only — so a conservative index can never drop a row. */
+  // ---- EXACT filter claim (round 18): by default every filter stays
+  // RESIDUAL (returned for Spark to re-evaluate row-exactly) and the
+  // minable subset is used for FILE pruning only — a conservative index
+  // can never drop a row. But when the manifest PROVES the whole pushed
+  // conjunction exact — every file it OVERLAPS is also FULLY accepted by
+  // every conjunct ([[graft.engine.FilterPrune.fullAccept]], zero nulls +
+  // the shared 2^53/p≤15 injectivity rule) — the scan's output over the
+  // pruned files IS the filtered result, row for row: files outside the
+  // overlap hold no satisfying row, files inside hold ONLY satisfying
+  // rows. The builder then claims the conjunction (returns no residuals),
+  // which removes Spark's Filter node and unlocks the pushdowns a
+  // residual always blocked: grouped/ungrouped AGGREGATES over a band
+  // ("revenue per priority WHERE day BETWEEN …" in O(manifest)) and
+  // LIMIT/TOP-N file capping under a filter. The proof pins the manifest
+  // VERSION it mined (`minedVersion`), and the scan plans at exactly that
+  // version — a concurrent commit can't shift the file set under the
+  // claim (same snapshot-isolation contract as the aggregate answer).
+  // Batch-only by construction: streaming scans never pass through
+  // Spark's V2 pushdown rule. Row-level rewrites opt out
+  // ([[SnapshotRowLevelOperation]] overrides the flag): their CoW commit
+  // must see residual-complete semantics, never a claimed subset.
+  private var exactPushed: Boolean = false
+  private var minedVersion: Option[Long] = None
+  protected def allowExactFilterClaim: Boolean = true
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(graft.engine.FilterPrune.minable(fullSchema, _))
+    if (allowExactFilterClaim && filters.nonEmpty) {
+      val spark = SparkSession.active
+      val v = travelVersion.getOrElse(Snapshots.headVersion(spark, root))
+      if (v > 0) {
+        val m = Snapshots.manifest(spark, root, v)
+        // the strictness-aware set the scan will plan under the claim —
+        // the closed-band prune would re-admit a strict-boundary file
+        // whose rows all fail, and with no residual left they would leak
+        val overlap =
+          graft.engine.FilterPrune.exactPrune(m, fullSchema, pushed.toSeq).toSet
+        val full = filters.iterator
+          .map(graft.engine.FilterPrune.fullAccept(m, fullSchema, _))
+          .reduce(_ intersect _)
+        if (overlap.subsetOf(full)) {
+          pushed = filters // all claimed — honest pushedFilters report
+          exactPushed = true
+          minedVersion = Some(v)
+          return Array.empty
+        }
+      }
+    }
     filters
   }
 
@@ -602,7 +645,9 @@ private[streaming] class SnapshotScanBuilder(
   //    removes rows); the winner hiding in a vectored file declines;
   //  - MIN/MAX on a type the double-cast stats can't reproduce EXACTLY:
   //    int/date (always exact), long and timestamps within ±2^53 (checked
-  //    per value; the index records exact epoch micros since round 17);
+  //    per value; the index records exact epoch micros since round 17),
+  //    decimals of precision ≤ 15 (injective through a double — round 18,
+  //    the money-column case: MIN/MAX(price) and decimal GROUP BY keys);
   //    float/double are excluded for NaN semantics (parquet footer stats
   //    omit NaN; Spark's MAX ranks NaN above every value).
   // Streaming never sees this: aggregate pushdown only runs on batch v2
@@ -613,17 +658,30 @@ private[streaming] class SnapshotScanBuilder(
       : Option[(StructType, Seq[Array[Any]], String)] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
-    if (pushed.nonEmpty) return None
+    // a pushed filter declines UNLESS the builder claimed the conjunction
+    // EXACT (round 18): under the claim the filtered table IS exactly the
+    // overlap files' live rows, so the answer restricts to that file set
+    // and the unfiltered machinery below applies unchanged — the flagship
+    // band+GROUP BY rollup in O(manifest)
+    if (pushed.nonEmpty && !exactPushed) return None
     val groupCols: Seq[String] = agg.groupByExpressions.toSeq.map {
       case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames.head
       case _ => return None
     }
     val spark = SparkSession.active
-    val v = travelVersion.getOrElse(Snapshots.headVersion(spark, root))
+    val v = travelVersion.orElse(minedVersion)
+      .getOrElse(Snapshots.headVersion(spark, root))
     if (v <= 0) return None
     val m = Snapshots.manifest(spark, root, v)
     if (m.files.isEmpty) return None // empty-table MIN is null — let Spark plan it
-    val names = m.files.map(f => new Path(f).getName)
+    val files =
+      if (exactPushed && pushed.nonEmpty)
+        graft.engine.FilterPrune.exactPrune(m, fullSchema, pushed.toSeq)
+      else m.files
+    // an empty claimed band: decline — Spark's scan of zero files yields
+    // the correct empty grouped / null-extremum ungrouped result natively
+    if (files.isEmpty) return None
+    val names = files.map(f => new Path(f).getName)
     val rowsByName = m.rows.map(r => r.file -> r.n).toMap
     val rowsComplete = names.forall(rowsByName.contains)
     val anyDv = m.dvs.exists(_.deleted > 0)
@@ -633,20 +691,10 @@ private[streaming] class SnapshotScanBuilder(
         case _ => None
       }
     // the double-cast stat value converted back to the column's type, iff
-    // provably the exact original value
-    def exact(dt: DataType, d: Double): Option[Any] = dt match {
-      case IntegerType if d.isWhole => Some(d.toInt)
-      case DateType if d.isWhole => Some(d.toInt)
-      case ShortType if d.isWhole => Some(d.toShort)
-      case ByteType if d.isWhole => Some(d.toByte)
-      case LongType if d.isWhole && math.abs(d) < 9007199254740992.0 => // 2^53
-        Some(d.toLong)
-      // exact epoch micros (round 17); catalyst-internal value is Long
-      case TimestampType | TimestampNTZType
-          if d.isWhole && math.abs(d) < 9007199254740992.0 =>
-        Some(d.toLong)
-      case _ => None
-    }
+    // provably the exact original value — the one shared 2^53/p≤15 rule
+    // ([[Snapshots.exactValue]]; round 18 adds the DecimalType arm, so
+    // MIN/MAX(price) and GROUP BY on a decimal key answer from the manifest)
+    def exact(dt: DataType, d: Double): Option[Any] = Snapshots.exactValue(dt, d)
     // exact-total → (catalyst value, Spark's Sum result type), None when
     // the total can't be represented there (the scan then computes it
     // natively, overflow semantics and all)
@@ -783,14 +831,18 @@ private[streaming] class SnapshotScanBuilder(
         // (integral/decimal only — never floats, whose summation is
         // order-dependent). Requires every file's entry to carry one
         // (footer-mined stats don't — decline whole) and no live vector
-        // (deleted rows' contributions are unknowable). The total is exact
-        // decimal arithmetic; it converts to Spark's Sum result type only
-        // when it provably fits (long overflow / precision escape decline,
-        // preserving the engine's native overflow behavior).
-        case sm: Sum if !sm.isDistinct && !anyDv =>
+        // on the ANSWERED file set (deleted rows' contributions are
+        // unknowable) — per GROUP, not table-wide (round 18): a vector
+        // confined to another group's files must not decline this one.
+        // The total is exact decimal arithmetic; it converts to Spark's
+        // Sum result type only when it provably fits (long overflow /
+        // precision escape decline, preserving the engine's native
+        // overflow behavior).
+        case sm: Sum if !sm.isDistinct =>
           for {
             c <- colOf(sm.column)
             f <- fullSchema.fields.find(_.name == c)
+            if fs.forall(n => dvdByName.getOrElse(n, 0L) == 0L)
             st <- statsOver(fs, c)
             if st.nonEmpty && st.forall(_.sumS != null)
             total = st.map(x => new java.math.BigDecimal(x.sumS)).reduce(_.add(_))
@@ -815,30 +867,49 @@ private[streaming] class SnapshotScanBuilder(
     }
   }
 
+  // Spark's pushdown rule asks supportCompletePushDown THEN pushAggregation
+  // with the SAME Aggregation instance — memoize by reference so one
+  // compile resolves the manifest and builds the groups ONCE, not twice
+  // (O(manifest) driver work; round-18 close of the r17 cost note).
+  private var aggMemo:
+      Option[(AnyRef, Option[(StructType, Seq[Array[Any]], String)])] = None
+  private def aggAnswerMemo(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[(StructType, Seq[Array[Any]], String)] = aggMemo match {
+    case Some((k, v)) if k eq agg => v
+    case _ =>
+      val v = aggAnswer(agg)
+      aggMemo = Some((agg, v))
+      v
+  }
+
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    aggAnswer(agg).isDefined
+    aggAnswerMemo(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    val a = aggAnswer(agg)
+    val a = aggAnswerMemo(agg)
     a.foreach(x => pushedAgg = Some(x))
     a.isDefined
   }
 
   override def build(): Scan = pushedAgg match {
     case Some((schema, rows, descr)) =>
-      new SnapshotAggScan(root, schema, rows, descr)
+      new SnapshotAggScan(root, schema, rows,
+        descr + (if (exactPushed && pushed.nonEmpty)
+          pushed.mkString(" ExactPushedFilters: [", ", ", "]") else ""))
     case None => new SnapshotScan(required, fullSchema, root,
       options.getOrDefault("startingVersion", "earliest"),
       options.getBoolean("ignoreChanges", false),
       Option(options.get("maxFilesPerTrigger")).map(_.toInt),
       pushed,
-      travelVersion,
+      travelVersion.orElse(minedVersion), // claim proof pins the snapshot
       pushedLimit,
       pushedTopN,
       Option(options.get("maxBytesPerTrigger")).map(
-        org.apache.spark.network.util.JavaUtils.byteStringAsBytes))
+        org.apache.spark.network.util.JavaUtils.byteStringAsBytes),
+      exactPushed)
   }
 }
 
@@ -888,7 +959,12 @@ private[streaming] class SnapshotScan(
     version: Option[Long] = None,
     pushedLimit: Option[Int] = None,
     pushedTopN: Option[(String, Boolean)] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    // the builder PROVED every pushed filter exact over the (pinned)
+    // manifest: pruned files need no residual re-evaluation, so the
+    // limit/top-n file caps — normally forfeited under a filter because
+    // recorded rows would overestimate output rows — stay sound
+    exactPushed: Boolean = false)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -897,7 +973,10 @@ private[streaming] class SnapshotScan(
   override def readSchema(): StructType = required
   override def description(): String =
     s"graft-snapshot $root" +
-      (if (pushed.isEmpty) "" else pushed.mkString(" PushedFilters: [", ", ", "]")) +
+      (if (pushed.isEmpty) ""
+       else pushed.mkString(
+         if (exactPushed) " ExactPushedFilters: [" else " PushedFilters: [",
+         ", ", "]")) +
       pushedTopN.map { case (c, d) =>
         s" PushedTopN: [$c ${if (d) "DESC" else "ASC"}, ${pushedLimit.getOrElse(-1)}]"
       }.getOrElse(pushedLimit.map(n => s" PushedLimit: $n").getOrElse(""))
@@ -932,7 +1011,14 @@ private[streaming] class SnapshotScan(
     val v = version.getOrElse(Snapshots.headVersion(spark, root))
     require(v > 0, s"no snapshot committed at $root yet")
     val m = Snapshots.manifest(spark, root, v)
-    (m, graft.engine.FilterPrune.prune(m, fullSchema, pushed.toSeq))
+    // an exact claim MUST plan the strictness-aware set its proof covered
+    // (the builder pins `version`, so this recompute sees the same
+    // manifest): a closed-band boundary file's rows would leak with no
+    // residual Filter left to drop them
+    val kept =
+      if (exactPushed) graft.engine.FilterPrune.exactPrune(m, fullSchema, pushed.toSeq)
+      else graft.engine.FilterPrune.prune(m, fullSchema, pushed.toSeq)
+    (m, kept)
   }
 
   // ---- dynamic file pruning (SupportsRuntimeFiltering): when this scan
@@ -1085,11 +1171,15 @@ private[streaming] class SnapshotScan(
     // already cover the limit (TOP-N: only files that can hold a top row
     // under the stats threshold). Strictly a file-count reduction — Spark
     // retains its own Limit/TakeOrdered above the partial pushdown — and
-    // only on a genuinely filterless, non-row-level scan: a residual
-    // filter would make per-file row counts an overestimate of output
-    // rows, and a CoW rewrite must see every file it might replace.
+    // only on a filterless or EXACT-claimed, non-row-level scan: a
+    // residual filter would make per-file row counts an overestimate of
+    // output rows (under the exact claim every planned file's live rows
+    // ARE output rows, so the cap stands — "latest n in the band" plans
+    // boundary files, not the band), and a CoW rewrite must see every
+    // file it might replace.
     val (capped, topNThreshold) =
-      if (pushed.nonEmpty || runtimeFilters.nonEmpty || onPlanned != null ||
+      if ((pushed.nonEmpty && !exactPushed) ||
+          runtimeFilters.nonEmpty || onPlanned != null ||
           required.fieldNames.contains(SnapshotSource.FileCol))
         (finalKept, None: Option[Filter])
       else pushedTopN match {
@@ -1113,10 +1203,16 @@ private[streaming] class SnapshotScan(
     // would silently delete them.
     val rowLevel = onPlanned != null ||
       required.fieldNames.contains(SnapshotSource.FileCol)
+    // under the EXACT claim the pushed conjuncts never translate: every
+    // planned file is FULLY accepted (all row groups match — zero pruning
+    // value), and with Spark's Filter node gone the read schema may omit
+    // the filter column, which a parquet row-group predicate would treat
+    // as all-null and wrongly drop every group
     val rg =
       if (rowLevel) Array.empty[graft.engine.RowGroupFilters.RgF]
       else graft.engine.RowGroupFilters.translate(
-        (pushed ++ dataFilters ++ topNThreshold).toSeq, fullSchema,
+        ((if (exactPushed) Array.empty[Filter] else pushed)
+          ++ dataFilters ++ topNThreshold).toSeq, fullSchema,
         SnapshotSource.physicalNames(root))
     SnapshotFilePartition.planned(capped, dvByName, spark,
       clustered = clustered, rgFilters = rg,
