@@ -2,7 +2,7 @@ package graft.engine
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.types.{ByteType, DataType, DecimalType, IntegerType, LongType, ShortType, StringType, StructType}
 
 /** One WHEN clause of a conditional [[Snapshots.mergeInto]]. Conditions and
   * SET/VALUES expressions are ordinary Columns over the aliased sides:
@@ -572,10 +572,16 @@ object Snapshots {
       dt: org.apache.spark.sql.types.DataType, d: Double): Option[Any] = {
     import org.apache.spark.sql.types._
     dt match {
-      case IntegerType if d.isWhole => Some(d.toInt)
-      case DateType if d.isWhole => Some(d.toInt) // catalyst days
-      case ShortType if d.isWhole => Some(d.toShort)
-      case ByteType if d.isWhole => Some(d.toByte)
+      // range-checked before narrowing: every in-range value is exact in a
+      // double, but a stray out-of-range double must decline, never wrap
+      case IntegerType if d.isWhole && d >= Int.MinValue && d <= Int.MaxValue =>
+        Some(d.toInt)
+      case DateType if d.isWhole && d >= Int.MinValue && d <= Int.MaxValue =>
+        Some(d.toInt) // catalyst days
+      case ShortType if d.isWhole && d >= Short.MinValue && d <= Short.MaxValue =>
+        Some(d.toShort)
+      case ByteType if d.isWhole && d >= Byte.MinValue && d <= Byte.MaxValue =>
+        Some(d.toByte)
       case LongType if d.isWhole && math.abs(d) < 9007199254740992.0 => // 2^53
         Some(d.toLong)
       case TimestampType | TimestampNTZType
@@ -2951,21 +2957,43 @@ object Snapshots {
     * needs: a table committed without an index (or before a column
     * mattered) gains pruning, metadata counts, and SUM/MIN/MAX/grouped
     * aggregate pushdown for the cost of a scan, where the only
-    * alternative today — [[compact]] — rewrites every byte. Per shard,
-    * entries for the reindexed columns are REPLACED and everything else
-    * (row counts with their recorded byte sizes, deletion vectors,
-    * other columns' stats and blooms) carries through the metadata
-    * rewrite; file lists are untouched, so clustering and bucket purity
-    * survive. Stats cover each file's PHYSICAL rows (deletion vectors
-    * included — same contract as write-time stats: pruning stays a
-    * superset, extremes decline under vectors). Old-generation shards'
-    * seconds-canon timestamp stats are dropped rather than laundered
-    * into the new (tsus-marked) shard bodies. */
+    * alternative today — [[compact]] — rewrites every byte.
+    *
+    * INCREMENTAL (round 18): the read pass covers ONLY files missing a
+    * full-fidelity entry for some requested column — an entry that is
+    * canon-safe ([[canonSafeStat]]) AND as capable as a fresh scan's
+    * (string bounds for string columns; an exact recorded SUM for
+    * integral/decimal columns — pre-round-17 entries lack one, so
+    * adopting an old table still heals it into SUM pushdown). Covered
+    * files' entries carry verbatim: stats describe immutable write-once
+    * parquet, so a recorded entry can never be stale. Cost is therefore
+    * ∝ index DECAY, not table size — declaring one new column on a
+    * 100 TB table scans that column's stat-less files, not every byte.
+    * Shards with nothing to heal carry BY REFERENCE (zero metadata
+    * churn); a fully-covered request with the declaration already grown
+    * is a version-less no-op. Known conservative corner: a file whose
+    * requested column is ALL-NULL (or all-NaN, or past the decimal(38)
+    * sum guard) records no entry by design, so repeated ANALYZE re-scans
+    * it — absence is indistinguishable from never-indexed. `force = true`
+    * restores the old semantics: re-scan and REPLACE everything.
+    *
+    * Per rewritten shard, entries for the healed (file, column) pairs are
+    * replaced and everything else (row counts with their recorded byte
+    * sizes, deletion vectors, other columns' stats and blooms) carries
+    * through the metadata rewrite; file lists are untouched, so
+    * clustering and bucket purity survive. Stats cover each file's
+    * PHYSICAL rows (deletion vectors included — same contract as
+    * write-time stats: pruning stays a superset, extremes decline under
+    * vectors). Old-generation shards' seconds-canon timestamp stats are
+    * dropped rather than laundered into the new (tsus-marked) shard
+    * bodies — canon-unsafe entries count as missing, so their files
+    * re-scan and heal. */
   def reindexStats(
       spark: SparkSession,
       root: String,
       statsCols: Seq[String],
-      bloomCols: Seq[String] = Seq.empty): Long = {
+      bloomCols: Seq[String] = Seq.empty,
+      force: Boolean = false): Long = {
     val headV = headVersion(spark, root)
     require(headV > 0, s"no snapshot committed at $root yet")
     require(statsCols.nonEmpty || bloomCols.nonEmpty,
@@ -2978,37 +3006,101 @@ object Snapshots {
     val toPhys = schemaOpt.map(logicalToPhysical).getOrElse(Map.empty)
     val statsP = statsCols.map(c => toPhys.getOrElse(c, c))
     val bloomP = bloomCols.map(c => toPhys.getOrElse(c, c))
-    val (newStats, newRows) = collectStats(spark, m.files, statsP)
-    val newBlooms =
-      if (bloomP.isEmpty) Seq.empty
-      else {
-        val physSchema = spark.read.parquet(m.files: _*).schema
-        val rowsForEst =
-          if (newRows.nonEmpty) newRows
-          else if (m.rows.nonEmpty) m.rows
-          else rowsFromFooters(spark, m.files)
-        collectBlooms(spark, m.files, bloomP, physSchema, Map.empty, rowsForEst)
-      }
     val tsPhys = tsPhysicalCols(schemaOpt)
+    // column type by PHYSICAL name, for the fresh-capability check
+    val physType: Map[String, DataType] = schemaOpt
+      .map(_.fields.iterator.map(f => physicalOf(f) -> f.dataType).toMap)
+      .getOrElse(Map.empty)
+    // is this recorded entry everything a fresh scan would produce? A
+    // capability mismatch (numeric bounds on a string column, a missing
+    // SUM on a summable one) marks the file for re-scan; unknown schema
+    // falls back to presence (legacy tables: conservative pruning, no
+    // metadata aggregates anyway).
+    def capable(st: ColStats): Boolean = physType.get(st.col) match {
+      case Some(StringType) => st.slo != null
+      case Some(ByteType | ShortType | IntegerType | LongType |
+                _: DecimalType) => st.slo == null && st.sumS != null
+      case Some(_) => st.slo == null
+      case None => true
+    }
+    // per shard: which files lack a full-fidelity entry for some requested
+    // stats column / a bloom for some requested bloom column
+    val (needS, needB) = {
+      val s = Seq.newBuilder[String]; val b = Seq.newBuilder[String]
+      shards.foreach { sh =>
+        val covered: Map[String, Set[String]] = sh.stats
+          .filter(st => canonSafeStat(sh.tsExact, tsPhys, st) && capable(st))
+          .groupBy(_.file).map { case (f, sts) => f -> sts.map(_.col).toSet }
+        val bloomed: Map[String, Set[String]] =
+          sh.blooms.groupBy(_.file).map { case (f, bs) => f -> bs.map(_.col).toSet }
+        sh.files.foreach { u =>
+          val n = new Path(u).getName
+          if (force || !statsP.forall(covered.getOrElse(n, Set.empty))) s += u
+          if (bloomP.nonEmpty &&
+              (force || !bloomP.forall(bloomed.getOrElse(n, Set.empty)))) b += u
+        }
+      }
+      (s.result(), b.result())
+    }
+    val declared = meta.indexed.exists { case (hs, hb) =>
+      statsP.forall(hs.contains) && bloomP.forall(hb.contains) }
+    // fully covered and already declared: ANALYZE verified the index in
+    // O(metadata) — no scan, no commit
+    if (needS.isEmpty && needB.isEmpty && declared) return headV
+    val (newStats, newRows) =
+      if (needS.isEmpty) (Seq.empty[ColStats], Seq.empty[FileRows])
+      else collectStats(spark, needS, statsP)
+    val newBlooms =
+      if (needB.isEmpty) Seq.empty[FileBloom]
+      else {
+        val physSchema = spark.read.parquet(needB: _*).schema
+        val newRowsByF = newRows.map(r => r.file -> r).toMap
+        val oldRowsByF = m.rows.map(r => r.file -> r).toMap
+        val rowsForEst = needB.flatMap { u =>
+          val n = new Path(u).getName
+          newRowsByF.get(n).orElse(oldRowsByF.get(n))
+        }
+        val est =
+          if (rowsForEst.size == needB.size) rowsForEst
+          else rowsForEst ++ rowsFromFooters(spark,
+            needB.filterNot(u => rowsForEst.exists(_.file == new Path(u).getName)))
+        collectBlooms(spark, needB, bloomP, physSchema, Map.empty, est)
+      }
     val statsByFile = newStats.groupBy(_.file)
     val bloomsByFile = newBlooms.groupBy(_.file)
     val rowsByFileNew = newRows.map(r => r.file -> r).toMap
+    val scannedS = needS.map(u => new Path(u).getName).toSet
+    val scannedB = needB.map(u => new Path(u).getName).toSet
     val refs = shards.map { sh =>
       val names = sh.files.map(u => new Path(u).getName)
-      // old entries survive unless this reindex replaces their column or
-      // they are canon-unsafe (the same [[canonSafeStat]] rule resolve
-      // hides by — never carried into the new tsus-marked shard)
-      val keptStats = sh.stats.filter(st => !statsP.contains(st.col) &&
-        canonSafeStat(sh.tsExact, tsPhys, st))
-      val addStats = names.flatMap(n => statsByFile.getOrElse(n, Seq.empty))
-      val keptBlooms = sh.blooms.filterNot(b => bloomP.contains(b.col))
-      val addBlooms = names.flatMap(n => bloomsByFile.getOrElse(n, Seq.empty))
-      // old row entries win (they carry recorded byte sizes); new ones
-      // only fill gaps (legacy count-less shards)
       val oldRowsByName = sh.rows.map(r => r.file -> r).toMap
-      val rws = names.flatMap(n => oldRowsByName.get(n).orElse(rowsByFileNew.get(n)))
-      writeShard(spark, root, sh.files, keptStats ++ addStats, rws,
-        keptBlooms ++ addBlooms, sh.dvs)
+      // untouched shards carry by reference — the pre-shard pseudo-shard
+      // (empty ref name) has no reference to carry and always rewrites;
+      // a shard with a count-less file rewrites too (writeShard fills the
+      // row gap from footers — metadata I/O only), so one healed pass
+      // also completes rowsComplete for the metadata COUNT surface
+      val touched = sh.ref.name.isEmpty ||
+        names.exists(n => scannedS(n) || scannedB(n)) ||
+        names.exists(n => !oldRowsByName.contains(n))
+      if (!touched) sh.ref
+      else {
+        // old entries survive unless this reindex re-scanned their file for
+        // their column, or they are canon-unsafe (the same [[canonSafeStat]]
+        // rule resolve hides by — never carried into the new tsus-marked
+        // shard)
+        val keptStats = sh.stats.filter(st =>
+          !(statsP.contains(st.col) && scannedS(st.file)) &&
+            canonSafeStat(sh.tsExact, tsPhys, st))
+        val addStats = names.flatMap(n => statsByFile.getOrElse(n, Seq.empty))
+        val keptBlooms = sh.blooms.filterNot(b =>
+          bloomP.contains(b.col) && scannedB(b.file))
+        val addBlooms = names.flatMap(n => bloomsByFile.getOrElse(n, Seq.empty))
+        // old row entries win (they carry recorded byte sizes); new ones
+        // only fill gaps (legacy count-less shards)
+        val rws = names.flatMap(n => oldRowsByName.get(n).orElse(rowsByFileNew.get(n)))
+        writeShard(spark, root, sh.files, keptStats ++ addStats, rws,
+          keptBlooms ++ addBlooms, sh.dvs)
+      }
     }
     // metadata-only, file list unchanged: clustering carries. The head's
     // INDEX DECLARATION must grow by the reindexed columns, or the next

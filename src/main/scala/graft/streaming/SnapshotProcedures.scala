@@ -113,13 +113,14 @@ private[streaming] object SnapshotProcedures {
         csv(r, 2), csv(r, 3)))),
 
     Proc("reindex",
-      "ANALYZE: rebuild per-file stats/blooms in one scan, metadata-only commit",
+      "ANALYZE: heal per-file stats/blooms (scan ∝ decay; force => full rebuild), metadata-only commit",
       Seq(in("table", StringType),
         inDefault("stats_cols", StringType, "''"),
-        inDefault("bloom_cols", StringType, "''")),
+        inDefault("bloom_cols", StringType, "''"),
+        inDefault("force", BooleanType, "false")),
       VersionOut,
       r => versionRow(Snapshots.reindexStats(spark, str(r, 0),
-        csv(r, 1), csv(r, 2)))),
+        csv(r, 1), csv(r, 2), force = !r.isNullAt(3) && r.getBoolean(3)))),
 
     Proc("compact_clustered",
       "bucket-preserving small-file folding; republishes the clustering spec",

@@ -156,6 +156,60 @@ class ReindexSpec extends SparkSpec {
     assert(Snapshots.readWhere(spark, root, cond).count() === 10L)
   }
 
+  test("reindex is incremental: covered files' bytes are never read, decayed ones heal") {
+    val root = tmp()
+    Snapshots.commit(spark.range(0, 200).select($"id").coalesce(1), root)
+    // ANALYZE collects full-fidelity entries (sums included) for batch 1
+    val v2 = Snapshots.reindexStats(spark, root, Seq("id"))
+    assert(v2 === 2L)
+    val batch1Shard = Snapshots.manifestMeta(spark, root, v2).shardRefs.head.name
+    // the append inherits the declaration but records WRITE-TIME entries —
+    // no recorded SUM — so batch 2 is exactly the natural decay ANALYZE heals
+    Snapshots.commit(
+      spark.range(200, 400).select($"id").coalesce(1), root, append = true)
+    val batch1File = Snapshots.manifest(spark, root, 1L).files.head
+    assert(Snapshots.manifest(spark, root, 3L).stats.exists(_.sumS == null),
+      "the appended file's write-time entry must lack a sum (the decay under test)")
+
+    // destroy the COVERED batch's bytes: the incremental pass must not read
+    // them (a full rebuild would throw FileNotFound here)
+    assert(fs(root).delete(new Path(batch1File), false))
+    val v4 = Snapshots.reindexStats(spark, root, Seq("id"))
+    assert(v4 === 4L)
+    // batch 1's shard carried BY REFERENCE; only the decayed one rewrote
+    val refsAfter = Snapshots.manifestMeta(spark, root, v4).shardRefs.map(_.name)
+    assert(refsAfter.contains(batch1Shard),
+      s"untouched shard must carry by reference (have $refsAfter)")
+    // every entry is full-fidelity again: the aggregate answers from
+    // metadata alone, batch 1's bytes still gone
+    val m4 = Snapshots.manifest(spark, root, v4)
+    assert(m4.stats.filter(_.col == "id").forall(_.sumS != null))
+    val q = batchRead(root).agg(sum("id").as("s"), count(lit(1)).as("n"),
+      min("id").as("lo"), max("id").as("hi"))
+    assert(q.as[(Long, Long, Long, Long)].collect().toSeq ===
+      Seq(((0L until 400L).sum, 400L, 0L, 399L)))
+  }
+
+  test("a fully-covered reindex is a version-less no-op; force rebuilds") {
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 100).select($"id").coalesce(1), root,
+      statsCols = Seq("id"))
+    // write-time entries lack sums: the first ANALYZE heals them (v2)...
+    assert(Snapshots.reindexStats(spark, root, Seq("id")) === 2L)
+    // ...after which a repeat verifies coverage in O(metadata): no commit
+    assert(Snapshots.reindexStats(spark, root, Seq("id")) === 2L,
+      "covered + declared: no new version")
+    assert(Snapshots.headVersion(spark, root) === 2L)
+    // force: the old replace-everything semantics, via the SQL CALL surface
+    spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
+    val v = spark.sql(
+      s"CALL graft.system.reindex('$root', stats_cols => 'id', force => true)")
+      .collect().head.getLong(0)
+    assert(v === 3L)
+    assert(Snapshots.statsRange(spark, root, "id") === Some((0.0, 99.0)))
+  }
+
   test("SQL CALL reindex routes the same path; bloom columns index too") {
     val root = tmp()
     Snapshots.commit(
