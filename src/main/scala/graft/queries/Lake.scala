@@ -41,6 +41,20 @@ object Lake {
       case other => other.children.map(scanOutputRows).sum
     }
 
+  /** Concatenated DSv2 scan descriptions of an EXECUTED plan — the
+    * "what did the scan claim it pushed" gate (PushedAggregates /
+    * ExactPushedFilters land here). */
+  private def scanDesc(p: org.apache.spark.sql.execution.SparkPlan): String =
+    p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scanDesc(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scanDesc(s.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+        b.scan.description()
+      case other => other.children.map(scanDesc).mkString("\n")
+    }
+
   /** Planned input-partition count of the first DSv2 scan in an EXECUTED
     * plan — the "how many files did the scan PLAN" gate (each snapshot
     * file maps to ≥1 partition; a LIMIT cap shows as fewer partitions). */
@@ -3014,6 +3028,130 @@ object Lake {
       val parts = scanPartitions(res.queryExecution.executedPlan)
       require(parts > 0 && parts < before.size,
         s"reindex must light up pruning (planned $parts of ${before.size} files)\n$planned")
+      out
+    },
+
+    // ---- q152: EXACT FILTER CLAIM + GROUPED AGGREGATE — the flagship BI
+    //            probe (band + GROUP BY). Orders land as one file per
+    //            (priority, orderkey band); the probe's band is exactly
+    //            the middle band, so every file it OVERLAPS it also FULLY
+    //            accepts (zero nulls + the shared injectivity rule) and
+    //            the scan builder claims the conjunction: Spark keeps no
+    //            residual Filter, and the grouped COUNT/MIN/MAX answers
+    //            from the manifest restricted to the claimed files
+    //            (required in-query: the scan emits exactly one row per
+    //            group — zero data I/O). The 100 TB reading: "revenue per
+    //            priority WHERE day in range" on a day-partitioned ingest
+    //            costs O(manifest), not a scan. ----
+    OracleQuery(
+      "q152_exact_claim_rollup",
+      // the band is DERIVED from the data (max/3, 2·max/3 — the same
+      // integer arithmetic the Spark side uses to lay the files out), so
+      // the probe is non-trivial at every scale factor
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(o_orderkey) AS BIGINT) AS lo,
+        |  CAST(max(o_orderkey) AS BIGINT) AS hi
+        |FROM orders
+        |WHERE o_orderkey > (SELECT max(o_orderkey) // 3 FROM orders)
+        |  AND o_orderkey <= (SELECT max(o_orderkey) * 2 // 3 FROM orders)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_bands"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val ord = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_orderpriority"))
+      val kmax = ord.agg(max("o_orderkey")).head.getLong(0)
+      val (b1, b2) = (kmax / 3, kmax * 2 / 3)
+      val prios = ord.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted // O(key domain)
+      val bands = Seq((1L, b1), (b1 + 1L, b2), (b2 + 1L, Long.MaxValue))
+      var appended = false
+      prios.foreach { p =>
+        bands.foreach { case (lo, hi) =>
+          val part = ord.filter(col("o_orderpriority") === p &&
+            col("o_orderkey").between(lo, hi)).coalesce(1)
+          if (!part.isEmpty) {
+            Snapshots.commit(part, root, append = appended,
+              statsCols = Seq("o_orderkey", "o_orderpriority"))
+            appended = true
+          }
+        }
+      }
+      val res = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .filter(col("o_orderkey").between(b1 + 1L, b2))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          min("o_orderkey").cast("bigint").as("lo"),
+          max("o_orderkey").cast("bigint").as("hi"))
+        // sortWithinPartitions on the 1-partition result: a global orderBy
+        // plans a range exchange whose SAMPLING pass executes the scan a
+        // second time, double-counting the rows-emitted gate below
+        .coalesce(1).sortWithinPartitions("o_orderpriority")
+      val out = res.localCheckpoint(true)
+      val d = scanOutputRows(res.queryExecution.executedPlan)
+      require(d == out.count(),
+        s"band + GROUP BY under the exact claim must answer from the " +
+          s"manifest (scan emitted $d rows, expected ${out.count()} groups)")
+      val desc = scanDesc(res.queryExecution.executedPlan)
+      require(desc.contains("ExactPushedFilters"),
+        s"the band must be CLAIMED exact (no residual Filter):\n$desc")
+      out
+    },
+
+    // ---- q153: DECIMAL AGGREGATE PUSHDOWN — money columns are THE lake
+    //            fact-table type. Orders land one commit per priority with
+    //            a decimal(4,2) rate pinned per file and o_totalprice as
+    //            decimal(15,2); MIN/MAX/SUM on the decimal measure and
+    //            GROUP BY on the decimal key all answer from the manifest
+    //            through the shared p≤15 injectivity rule (required
+    //            in-query: the scan emits exactly one row per group). ----
+    OracleQuery(
+      "q153_decimal_agg_pushdown",
+      """SELECT round(CAST(rate AS DOUBLE), 2) AS rate,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(CAST(min(price) AS DOUBLE), 2) AS lo,
+        |  round(CAST(max(price) AS DOUBLE), 2) AS hi,
+        |  round(CAST(sum(price) AS DOUBLE), 2) AS rev
+        |FROM (SELECT CAST('0.0' || substr(o_orderpriority, 1, 1) AS DECIMAL(4,2)) AS rate,
+        |        CAST(o_totalprice AS DECIMAL(15,2)) AS price
+        |      FROM orders) AS t
+        |GROUP BY rate ORDER BY rate""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_decimal"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val ord = Tables(spark, dir, "orders")
+        .select(concat(lit("0.0"), substring(col("o_orderpriority"), 1, 1))
+          .cast("decimal(4,2)").as("rate"),
+          col("o_totalprice").cast("decimal(15,2)").as("price"))
+      val rates = ord.select("rate").distinct()
+        .collect().map(_.getDecimal(0)).sorted // O(key domain)
+      rates.zipWithIndex.foreach { case (r, i) =>
+        Snapshots.commit(ord.filter(col("rate") === r).repartition(2),
+          root, append = i > 0, statsCols = Seq("rate", "price"))
+      }
+      val res = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .groupBy("rate")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          round(min("price").cast("double"), 2).as("lo"),
+          round(max("price").cast("double"), 2).as("hi"),
+          round(sum("price").cast("double"), 2).as("rev"))
+        .select(round(col("rate").cast("double"), 2).as("rate"),
+          col("n"), col("lo"), col("hi"), col("rev"))
+        .coalesce(1).sortWithinPartitions("rate")
+      val out = res.localCheckpoint(true)
+      val d = scanOutputRows(res.queryExecution.executedPlan)
+      require(d == rates.length,
+        s"decimal grouped MIN/MAX/SUM must answer from the manifest " +
+          s"(scan emitted $d rows, expected ${rates.length} groups)")
+      val desc = scanDesc(res.queryExecution.executedPlan)
+      require(desc.contains("MIN(price)") && desc.contains("MAX(price)") &&
+        desc.contains("group by [rate]"),
+        s"the decimal extremes must be PUSHED, not post-computed:\n$desc")
       out
     },
 

@@ -483,6 +483,15 @@ private[streaming] class SnapshotWriteBuilder(
     }
 }
 
+/** Test-visible probe: counts [[SnapshotScanBuilder.aggAnswerMemo]] MISSES
+  * (i.e. actual `aggAnswer` manifest resolves). Spark's pushdown rule calls
+  * `supportCompletePushDown` then `pushAggregation` on the same builder with
+  * the same Aggregation — the memo must make that ONE resolve, and the spec
+  * pins it via this counter (suites run sequentially in the forked JVM). */
+private[graft] object AggPushProbe {
+  val misses = new java.util.concurrent.atomic.AtomicLong(0L)
+}
+
 private[streaming] class SnapshotScanBuilder(
     fullSchema: StructType,
     root: String,
@@ -878,6 +887,7 @@ private[streaming] class SnapshotScanBuilder(
       : Option[(StructType, Seq[Array[Any]], String)] = aggMemo match {
     case Some((k, v)) if k eq agg => v
     case _ =>
+      AggPushProbe.misses.incrementAndGet()
       val v = aggAnswer(agg)
       aggMemo = Some((agg, v))
       v

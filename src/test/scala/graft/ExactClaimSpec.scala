@@ -246,6 +246,17 @@ class ExactClaimSpec extends SparkSpec {
       Seq((4, (400L until 500L).sum), (5, (500L until 600L).sum)))
   }
 
+  test("one pushed-aggregate compile resolves the manifest once (memo across support/push)") {
+    val root = rangeTable()
+    val q = batchRead(root).groupBy("bucket").agg(count(lit(1)).as("n"))
+    val before = graft.streaming.AggPushProbe.misses.get()
+    q.collect() // one compile: supportCompletePushDown THEN pushAggregation
+    val delta = graft.streaming.AggPushProbe.misses.get() - before
+    assert(descOf(q).contains("PushedAggregates"), descOf(q))
+    assert(delta === 1L,
+      s"aggAnswer must resolve the manifest once per compile (ran $delta times)")
+  }
+
   test("IN over pinned keys claims; a non-member file is pruned, not filtered") {
     val root = rangeTable()
     val q = batchRead(root).filter($"bucket".isin(1, 4))
