@@ -3110,11 +3110,16 @@ object Lake {
     //            in-query: the scan emits exactly one row per group). ----
     OracleQuery(
       "q153_decimal_agg_pushdown",
+      // avg_micros replicates Spark's decimal Average EXACTLY in integer
+      // arithmetic: result scale is s+4 = 6, rounding HALF_UP, so with
+      // N = sum_cents·10^4 and D = count, avg·10^6 = (2N + D) // (2D)
       """SELECT round(CAST(rate AS DOUBLE), 2) AS rate,
         |  CAST(count(*) AS BIGINT) AS n,
         |  round(CAST(min(price) AS DOUBLE), 2) AS lo,
         |  round(CAST(max(price) AS DOUBLE), 2) AS hi,
-        |  round(CAST(sum(price) AS DOUBLE), 2) AS rev
+        |  round(CAST(sum(price) AS DOUBLE), 2) AS rev,
+        |  CAST((2 * CAST(sum(price * 100) AS BIGINT) * 10000 + count(*))
+        |       // (2 * count(*)) AS BIGINT) AS avg_micros
         |FROM (SELECT CAST('0.0' || substr(o_orderpriority, 1, 1) AS DECIMAL(4,2)) AS rate,
         |        CAST(o_totalprice AS DECIMAL(15,2)) AS price
         |      FROM orders) AS t
@@ -3139,19 +3144,20 @@ object Lake {
         .agg(count(lit(1)).cast("bigint").as("n"),
           round(min("price").cast("double"), 2).as("lo"),
           round(max("price").cast("double"), 2).as("hi"),
-          round(sum("price").cast("double"), 2).as("rev"))
+          round(sum("price").cast("double"), 2).as("rev"),
+          (avg("price") * lit(1000000)).cast("bigint").as("avg_micros"))
         .select(round(col("rate").cast("double"), 2).as("rate"),
-          col("n"), col("lo"), col("hi"), col("rev"))
+          col("n"), col("lo"), col("hi"), col("rev"), col("avg_micros"))
         .coalesce(1).sortWithinPartitions("rate")
       val out = res.localCheckpoint(true)
       val d = scanOutputRows(res.queryExecution.executedPlan)
       require(d == rates.length,
-        s"decimal grouped MIN/MAX/SUM must answer from the manifest " +
+        s"decimal grouped MIN/MAX/SUM/AVG must answer from the manifest " +
           s"(scan emitted $d rows, expected ${rates.length} groups)")
       val desc = scanDesc(res.queryExecution.executedPlan)
       require(desc.contains("MIN(price)") && desc.contains("MAX(price)") &&
-        desc.contains("group by [rate]"),
-        s"the decimal extremes must be PUSHED, not post-computed:\n$desc")
+        desc.contains("AVG(price)") && desc.contains("group by [rate]"),
+        s"the decimal extremes/avg must be PUSHED, not post-computed:\n$desc")
       out
     },
 

@@ -666,7 +666,7 @@ private[streaming] class SnapshotScanBuilder(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[(StructType, Seq[Array[Any]], String)] = {
     import org.apache.spark.sql.connector.expressions.NamedReference
-    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min, Sum}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Avg, Count, CountStar, Max, Min, Sum}
     // a pushed filter declines UNLESS the builder claimed the conjunction
     // EXACT (round 18): under the claim the filtered table IS exactly the
     // overlap files' live rows, so the answer restricts to that file set
@@ -858,6 +858,39 @@ private[streaming] class SnapshotScanBuilder(
             out <- sumResult(f.dataType, total)
           } yield (StructField(s"sum($c)", out._2, nullable = false),
             out._1, s"SUM($c)")
+        // AVG from the same metadata SUM uses: exact total over the
+        // answered files divided by their exact non-null row count —
+        // DECIMAL columns only, where Spark's own Average is exact
+        // decimal arithmetic (sum buffer decimal(p+10, s), result
+        // decimal(p+4, s+4), HALF_UP division) that the manifest can
+        // reproduce bit-for-bit. Integral/float inputs decline: Spark
+        // sums them in a DOUBLE buffer, so the native result is
+        // order-dependent and a metadata answer could differ in the last
+        // ulp. Same guards as SUM (recorded sums, no vector on the
+        // answered set) plus recorded null counts (AVG averages the
+        // NON-NULL rows only) and a provably non-empty group (the
+        // all-null AVG is NULL — let the scan produce it).
+        case av: Avg if !av.isDistinct && rowsComplete =>
+          for {
+            c <- colOf(av.column)
+            f <- fullSchema.fields.find(_.name == c)
+            d <- f.dataType match {
+              case dt: DecimalType if dt.precision + 4 <= 38 => Some(dt)
+              case _ => None
+            }
+            if fs.forall(n => dvdByName.getOrElse(n, 0L) == 0L)
+            st <- statsOver(fs, c)
+            if st.nonEmpty && st.forall(s => s.sumS != null && s.nulls >= 0L)
+            cnt = st.map(s => rowsByName(s.file) - s.nulls).sum
+            if cnt > 0L
+            total = st.map(x => new java.math.BigDecimal(x.sumS)).reduce(_.add(_))
+            q = total.divide(java.math.BigDecimal.valueOf(cnt),
+              d.scale + 4, java.math.RoundingMode.HALF_UP)
+            dec = org.apache.spark.sql.types.Decimal(q)
+            if dec.changePrecision(d.precision + 4, d.scale + 4)
+          } yield (StructField(s"avg($c)",
+            DecimalType(d.precision + 4, d.scale + 4), nullable = false),
+            dec: Any, s"AVG($c)")
         case _ => None
       }
     val perGroup = liveGroups.map { case (g, fs) => g -> answersFor(fs) }

@@ -411,4 +411,64 @@ class GroupedAggPushSpec extends SparkSpec {
     assert(descOf(q).contains("group by [src]"), descOf(q))
     assert(q.as[(String, Long)].collect().toSeq === Seq(("p", 90L), ("q", 95L)))
   }
+
+  test("AVG(decimal) answers from the manifest, bit-equal to native at the HALF boundary") {
+    val root = tmp()
+    // 31 × 0.01 + 1 × 0.02 over 32 rows: avg = 0.33/32 = 0.0103125
+    // exactly — the digit past the result scale (2+4=6) is a bare 5, so
+    // HALF_UP (Spark's decimal Average) gives 0.010313 where HALF_EVEN
+    // would give 0.010312. The metadata division must round identically.
+    val df = spark.range(0, 32)
+      .select(lit("g").as("src"),
+        when($"id" === 0L, lit("0.02")).otherwise(lit("0.01"))
+          .cast("decimal(9,2)").as("price"))
+    Snapshots.commit(df.coalesce(1), root, statsCols = Seq("src", "price"))
+    val q = batchRead(root).groupBy("src").agg(avg("price").as("a"))
+    val d = descOf(q)
+    assert(d.contains("AVG(price)"), s"decimal AVG must push:\n$d")
+    val native = df.groupBy("src").agg(avg("price").as("a"))
+    assert(native.schema("a").dataType ===
+      org.apache.spark.sql.types.DecimalType(13, 6))
+    assert(q.schema("a").dataType ===
+      org.apache.spark.sql.types.DecimalType(13, 6))
+    val pushed = q.collect().head.getDecimal(1)
+    assert(pushed === native.collect().head.getDecimal(1))
+    assert(pushed.toPlainString === "0.010313", "HALF_UP at the boundary")
+    // the no-I/O pin
+    deleteDataFiles(root)
+    assert(batchRead(root).groupBy("src").agg(avg("price").as("a"))
+      .collect().head.getDecimal(1).toPlainString === "0.010313")
+  }
+
+  test("AVG averages the non-null rows; integral/vectored inputs decline") {
+    val root = tmp()
+    Seq("x", "y").zipWithIndex.foreach { case (s, i) =>
+      val df = spark.range(0, 20)
+        .select(lit(s).as("src"), $"id",
+          when($"id" === 3L && i == 0, lit(null))
+            .otherwise(($"id" + 1).cast("string"))
+            .cast("decimal(10,2)").as("price"))
+      Snapshots.commit(df.coalesce(1), root, append = i > 0,
+        statsCols = Seq("src", "id", "price"))
+    }
+    val q = batchRead(root).groupBy("src").agg(avg("price").as("a")).orderBy("src")
+    assert(descOf(q).contains("AVG(price)"), descOf(q))
+    // x: prices 1..20 with 4 nulled → sum 206 / 19; y: 1..20 → 210 / 20
+    def dec(n: Int, d: Int) = new java.math.BigDecimal(n)
+      .divide(java.math.BigDecimal.valueOf(d.toLong), 6, java.math.RoundingMode.HALF_UP)
+    assert(q.collect().map(_.getDecimal(1)).toSeq === Seq(dec(206, 19), dec(210, 20)))
+    // integral input declines (double-sum order dependence) but stays right
+    val qi = batchRead(root).groupBy("src").agg(avg("id").as("ai")).orderBy("src")
+    assert(!descOf(qi).contains("AVG(id)"), descOf(qi))
+    assert(qi.collect().map(_.getDouble(1)).toSeq === Seq(9.5, 9.5))
+    // a vector on the answered set declines AVG whole (deleted rows'
+    // contributions unknowable) — and the scan recomputes it right
+    Snapshots.deleteWhere(spark, root, $"src" === "y" && $"id" === 0L)
+    val qv = batchRead(root).groupBy("src").agg(avg("price").as("a")).orderBy("src")
+    assert(!descOf(qv).contains("AVG(price)"), descOf(qv))
+    // y after deleting id=0 (price 1): prices 2..20 → 209 / 19 = 11 exactly
+    val exp = new java.math.BigDecimal(209)
+      .divide(java.math.BigDecimal.valueOf(19L), 6, java.math.RoundingMode.HALF_UP)
+    assert(qv.collect().map(_.getDecimal(1)).last === exp)
+  }
 }
