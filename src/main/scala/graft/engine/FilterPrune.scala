@@ -68,9 +68,56 @@ private[graft] object FilterPrune {
     // fromJavaTimestamp (instant-based — shifts by the JVM zone offset)
     case (TimestampNTZType, t: java.sql.Timestamp) =>
       Some(DateTimeUtils.localDateTimeToMicros(t.toLocalDateTime).toDouble)
-    case (_: NumericType, n: Number) => Some(n.doubleValue)
+    // a NaN literal is UNMINABLE, not a range probe: Spark orders NaN
+    // above every value and equal to itself, while recorded bounds are
+    // NaN-blind (footers omit NaN) — comparing the literal against them
+    // would prune files whose hidden NaN rows DO satisfy `a = NaN` /
+    // `a > x`. None → no constraint, the residual Filter decides.
+    case (_: NumericType, n: Number) =>
+      Some(n.doubleValue).filterNot(_.isNaN)
     case _ => None
   }
+
+  // ---- shared miner primitives (fullAccept + fullReject): ONE definition
+  // per rule so the two proof faces cannot drift (the exact-claim
+  // consumer needs them to agree on what "proven" means) ----
+
+  private def fieldType(schema: StructType, a: String): Option[DataType] =
+    schema.fields.find(_.name == a).map(_.dataType)
+
+  private def litCanon(schema: StructType, a: String, v: Any): Option[Double] =
+    fieldType(schema, a).flatMap(canon(_, v))
+
+  private def injective(schema: StructType, a: String, d: Double): Boolean =
+    fieldType(schema, a).exists(dt => Snapshots.exactValue(dt, d).isDefined)
+
+  private def stringTyped(schema: StructType, a: String): Boolean =
+    fieldType(schema, a).contains(StringType)
+
+  /** Recorded float/double bounds are NaN-BLIND: parquet footers omit NaN
+    * from min/max (and the distributed stats pass declines non-finite
+    * bounds), so a finite recorded range proves nothing about EVERY row —
+    * a file [6.0, NaN] records min=max=6.0 and `price > 5.0` would
+    * full-accept it while the NaN row fails the comparison. ACCEPTANCE
+    * must therefore never trust float/double bounds (the non-strict arms
+    * already decline through [[Snapshots.exactValue]], which has no
+    * float arm; strict arms need this guard). REJECTION may trust them:
+    * NaN fails every comparison, which only strengthens a
+    * no-satisfying-row proof — same argument as nulls. */
+  private def nanBlind(schema: StructType, a: String): Boolean =
+    fieldType(schema, a).exists {
+      case FloatType | DoubleType => true
+      case _ => false
+    }
+
+  private def cmpUtf8(x: String, y: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(x)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+
+  /** Per-file recorded stats of one column, keyed by basename. */
+  private def statsBy(
+      m: Snapshots.Manifest, a: String): Map[String, Snapshots.ColStats] =
+    m.stats.iterator.filter(_.col == a).map(s => s.file -> s).toMap
 
   /** The overlap set of one filter: Some(files that might hold a
     * satisfying row) or None (opaque — no constraint). */
@@ -199,23 +246,18 @@ private[graft] object FilterPrune {
       m: Snapshots.Manifest,
       schema: StructType,
       f: Filter): Set[String] = {
-    def typeOf(a: String): Option[DataType] =
-      schema.fields.find(_.name == a).map(_.dataType)
-    def num(a: String, v: Any): Option[Double] = typeOf(a).flatMap(canon(_, v))
-    def inj(a: String, d: Double): Boolean =
-      typeOf(a).exists(dt => Snapshots.exactValue(dt, d).isDefined)
-    def isString(a: String): Boolean = typeOf(a).contains(StringType)
-    def cmpU(x: String, y: String): Int =
-      org.apache.spark.unsafe.types.UTF8String.fromString(x)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+    def num(a: String, v: Any): Option[Double] = litCanon(schema, a, v)
+    def inj(a: String, d: Double): Boolean = injective(schema, a, d)
+    def isString(a: String): Boolean = stringTyped(schema, a)
+    def cmpU(x: String, y: String): Int = cmpUtf8(x, y)
     def full(a: String)(ok: Snapshots.ColStats => Boolean): Set[String] = {
-      val byFile = m.stats.iterator.filter(_.col == a).map(s => s.file -> s).toMap
+      val byFile = statsBy(m, a)
       m.files.iterator.filter { file =>
         byFile.get(new Path(file).getName).exists(s => s.nulls == 0L && ok(s))
       }.toSet
     }
     def point(a: String, v: Any): Set[String] = num(a, v) match {
-      case Some(x) => full(a)(s => s.slo == null &&
+      case Some(x) => full(a)(s => s.slo == null && !nanBlind(schema, a) &&
         inj(a, x) && inj(a, s.min) && s.min == x && s.max == x)
       case None => v match {
         case k: String if isString(a) => full(a)(s => s.slo == k && s.shi == k)
@@ -224,8 +266,10 @@ private[graft] object FilterPrune {
     }
     def bound(a: String, v: Any, isLo: Boolean, strict: Boolean): Set[String] =
       num(a, v) match {
+        // NaN-blind bounds never ACCEPT (see [[nanBlind]]): a float file's
+        // finite range cannot prove every row passes the comparison
         case Some(x) => full(a) { s =>
-          s.slo == null && {
+          s.slo == null && !nanBlind(schema, a) && {
             if (isLo) {
               if (strict) s.min > x else inj(a, x) && inj(a, s.min) && s.min >= x
             } else {
@@ -292,17 +336,15 @@ private[graft] object FilterPrune {
       m: Snapshots.Manifest,
       schema: StructType,
       f: Filter): Set[String] = {
-    def typeOf(a: String): Option[DataType] =
-      schema.fields.find(_.name == a).map(_.dataType)
-    def num(a: String, v: Any): Option[Double] = typeOf(a).flatMap(canon(_, v))
-    def inj(a: String, d: Double): Boolean =
-      typeOf(a).exists(dt => Snapshots.exactValue(dt, d).isDefined)
-    def isString(a: String): Boolean = typeOf(a).contains(StringType)
-    def cmpU(x: String, y: String): Int =
-      org.apache.spark.unsafe.types.UTF8String.fromString(x)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
+    def num(a: String, v: Any): Option[Double] = litCanon(schema, a, v)
+    def inj(a: String, d: Double): Boolean = injective(schema, a, d)
+    def isString(a: String): Boolean = stringTyped(schema, a)
+    def cmpU(x: String, y: String): Int = cmpUtf8(x, y)
+    // NaN-blind float/double bounds stay usable HERE: NaN fails every
+    // comparison, so invisible NaN rows only strengthen "no satisfying
+    // row" — rejection needs no [[nanBlind]] guard (acceptance does)
     def rej(a: String)(ok: Snapshots.ColStats => Boolean): Set[String] = {
-      val byFile = m.stats.iterator.filter(_.col == a).map(s => s.file -> s).toMap
+      val byFile = statsBy(m, a)
       m.files.iterator.filter { file =>
         byFile.get(new Path(file).getName).exists(ok)
       }.toSet

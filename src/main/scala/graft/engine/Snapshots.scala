@@ -611,22 +611,28 @@ object Snapshots {
     * window never reopens mid-flight. The lock guards only the counter
     * bookkeeping, never the (minutes-long) body. */
   private object ConfPin {
-    private val state =
-      scala.collection.mutable.Map.empty[(SparkSession, String), (Option[String], Int)]
+    private val state = scala.collection.mutable
+      .Map.empty[(SparkSession, String), (Option[String], String, Int)]
     def pinned[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
       val k = (spark, key)
       state.synchronized {
         state.get(k) match {
-          case Some((prev, n)) => state(k) = (prev, n + 1)
+          case Some((prev, pinnedValue, n)) =>
+            // the soundness argument REQUIRES concurrent pinners to agree:
+            // a second pinner of a different value would otherwise run its
+            // whole body under the first one's setting, silently
+            require(pinnedValue == value,
+              s"conflicting concurrent pins of $key: '$pinnedValue' vs '$value'")
+            state(k) = (prev, pinnedValue, n + 1)
           case None =>
             val prev = spark.conf.getOption(key)
             spark.conf.set(key, value)
-            state(k) = (prev, 1)
+            state(k) = (prev, value, 1)
         }
       }
       try body finally state.synchronized {
-        val (prev, n) = state(k)
-        if (n > 1) state(k) = (prev, n - 1)
+        val (prev, pinnedValue, n) = state(k)
+        if (n > 1) state(k) = (prev, pinnedValue, n - 1)
         else {
           state.remove(k)
           prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
@@ -3044,9 +3050,16 @@ object Snapshots {
     }
     val declared = meta.indexed.exists { case (hs, hb) =>
       statsP.forall(hs.contains) && bloomP.forall(hb.contains) }
-    // fully covered and already declared: ANALYZE verified the index in
-    // O(metadata) — no scan, no commit
-    if (needS.isEmpty && needB.isEmpty && declared) return headV
+    // row counts must be complete too: the shard loop's row-gap heal
+    // (footer-read, metadata I/O only) is what completes rowsComplete for
+    // the metadata COUNT surface, and the no-op must not skip it forever
+    val rowsComplete = shards.forall { sh =>
+      val known = sh.rows.iterator.map(_.file).toSet
+      sh.files.forall(u => known.contains(new Path(u).getName))
+    }
+    // fully covered, already declared, counts complete: ANALYZE verified
+    // the index in O(metadata) — no scan, no commit
+    if (needS.isEmpty && needB.isEmpty && declared && rowsComplete) return headV
     val (newStats, newRows) =
       if (needS.isEmpty) (Seq.empty[ColStats], Seq.empty[FileRows])
       else collectStats(spark, needS, statsP)

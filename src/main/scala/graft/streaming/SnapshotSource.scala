@@ -553,13 +553,28 @@ private[streaming] class SnapshotScanBuilder(
   private var minedVersion: Option[Long] = None
   protected def allowExactFilterClaim: Boolean = true
 
+  // ONE manifest resolve per compile: the claim proof (pushFilters), the
+  // aggregate answer, and the constructed scan's plan-time prune all read
+  // the same pinned version — cache the (version, manifest) pair on the
+  // builder and hand it to the scan, instead of three full resolves of
+  // O(table metadata) per filtered query
+  private var mCache: Option[(Long, Snapshots.Manifest)] = None
+  private def manifestAt(spark: SparkSession, v: Long): Snapshots.Manifest =
+    mCache match {
+      case Some((cv, m)) if cv == v => m
+      case _ =>
+        val m = Snapshots.manifest(spark, root, v)
+        mCache = Some((v, m))
+        m
+    }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters.filter(graft.engine.FilterPrune.minable(fullSchema, _))
     if (allowExactFilterClaim && filters.nonEmpty) {
       val spark = SparkSession.active
       val v = travelVersion.getOrElse(Snapshots.headVersion(spark, root))
       if (v > 0) {
-        val m = Snapshots.manifest(spark, root, v)
+        val m = manifestAt(spark, v)
         // the strictness-aware set the scan will plan under the claim —
         // the closed-band prune would re-admit a strict-boundary file
         // whose rows all fail, and with no residual left they would leak
@@ -681,7 +696,7 @@ private[streaming] class SnapshotScanBuilder(
     val v = travelVersion.orElse(minedVersion)
       .getOrElse(Snapshots.headVersion(spark, root))
     if (v <= 0) return None
-    val m = Snapshots.manifest(spark, root, v)
+    val m = manifestAt(spark, v)
     if (m.files.isEmpty) return None // empty-table MIN is null — let Spark plan it
     val files =
       if (exactPushed && pushed.nonEmpty)
@@ -884,6 +899,11 @@ private[streaming] class SnapshotScanBuilder(
             cnt = st.map(s => rowsByName(s.file) - s.nulls).sum
             if cnt > 0L
             total = st.map(x => new java.math.BigDecimal(x.sumS)).reduce(_.add(_))
+            // the total must fit Spark's SUM BUFFER decimal(min(38,p+10),s):
+            // past it the native Average overflows to NULL (non-ANSI), and
+            // a numeric metadata answer would diverge — decline, same as SUM
+            buf = org.apache.spark.sql.types.Decimal(total)
+            if buf.changePrecision(math.min(38, d.precision + 10), d.scale)
             q = total.divide(java.math.BigDecimal.valueOf(cnt),
               d.scale + 4, java.math.RoundingMode.HALF_UP)
             dec = org.apache.spark.sql.types.Decimal(q)
@@ -952,7 +972,8 @@ private[streaming] class SnapshotScanBuilder(
       pushedTopN,
       Option(options.get("maxBytesPerTrigger")).map(
         org.apache.spark.network.util.JavaUtils.byteStringAsBytes),
-      exactPushed)
+      exactPushed,
+      mCache)
   }
 }
 
@@ -1007,7 +1028,11 @@ private[streaming] class SnapshotScan(
     // manifest: pruned files need no residual re-evaluation, so the
     // limit/top-n file caps — normally forfeited under a filter because
     // recorded rows would overestimate output rows — stay sound
-    exactPushed: Boolean = false)
+    exactPushed: Boolean = false,
+    // the builder's already-resolved manifest (version-tagged): reused by
+    // `resolved` when the versions agree, so a filtered compile costs one
+    // metadata resolve, not one per consumer
+    preResolved: Option[(Long, Snapshots.Manifest)] = None)
   extends Scan with Batch with SupportsReportStatistics
   with SupportsReportPartitioning
   with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -1053,7 +1078,8 @@ private[streaming] class SnapshotScan(
   private lazy val resolved: (Snapshots.Manifest, Seq[String]) = {
     val v = version.getOrElse(Snapshots.headVersion(spark, root))
     require(v > 0, s"no snapshot committed at $root yet")
-    val m = Snapshots.manifest(spark, root, v)
+    val m = preResolved.collect { case (cv, pm) if cv == v => pm }
+      .getOrElse(Snapshots.manifest(spark, root, v))
     // an exact claim MUST plan the strictness-aware set its proof covered
     // (the builder pins `version`, so this recompute sees the same
     // manifest): a closed-band boundary file's rows would leak with no

@@ -246,6 +246,50 @@ class ExactClaimSpec extends SparkSpec {
       Seq((4, (400L until 500L).sum), (5, (500L until 600L).sum)))
   }
 
+  test("NaN-blind float bounds never claim: a hidden NaN row must not leak") {
+    // Spark orders NaN ABOVE every value, so for `fv < 7` a NaN row fails
+    // the filter while a NaN-blind recorded range [6.0, 6.9] (legacy /
+    // foreign parquet footers omit NaN) would full-accept the file — a
+    // claimed scan would return the NaN row with no residual to stop it.
+    // The engine's own stats pass drops NaN-polluted entries, so DOCTOR
+    // one in to model the foreign-footer shape.
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 11)
+        .select($"id", when($"id" === 10L, lit(Float.NaN))
+          .otherwise(($"id".cast("float") / 10f) + lit(6.0f)).as("fv"))
+        .coalesce(1), // ONE file so the NaN poisons the whole column's stats
+      root, statsCols = Seq("id", "fv"))
+    val f = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snap = new Path(s"$root/_snapshots")
+    def readText(p: Path): String = {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val shard = f.listStatus(snap).map(_.getPath)
+      .find(_.getName.startsWith("shard-")).getOrElse(fail("no shard"))
+    val body = readText(shard)
+    assert(!body.contains("\"col\":\"fv\""),
+      "the engine must record no entry for a NaN-polluted float column")
+    val fname = """"file":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1)
+    val doctored = body.replace("\"stats\":[",
+      s""""stats":[{"file":"$fname","col":"fv","min":6.0,"max":6.9,"nulls":0},""")
+    val nn = s"shard-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.json"
+    val out = f.create(new Path(snap, nn), false)
+    try out.write(doctored.getBytes("UTF-8")) finally out.close()
+    val mp = new Path(snap, "manifest-1.json")
+    val repointed = readText(mp).replace(shard.getName, nn) // read BEFORE create truncates
+    val out2 = f.create(mp, true)
+    try out2.write(repointed.getBytes("UTF-8")) finally out2.close()
+
+    val q = batchRead(root).filter($"fv" < 7.0f)
+    val d = descOf(q)
+    assert(!d.contains("ExactPushedFilters"),
+      s"NaN-blind float bounds must never claim:\n$d")
+    assert(hasResidualFilter(q), "the residual Filter must drop the NaN row")
+    assert(q.count() === 10L, "NaN fails fv < 7 under Spark's NaN ordering")
+  }
+
   test("one pushed-aggregate compile resolves the manifest once (memo across support/push)") {
     val root = rangeTable()
     val q = batchRead(root).groupBy("bucket").agg(count(lit(1)).as("n"))

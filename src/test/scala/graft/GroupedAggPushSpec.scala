@@ -471,4 +471,32 @@ class GroupedAggPushSpec extends SparkSpec {
       .divide(java.math.BigDecimal.valueOf(19L), 6, java.math.RoundingMode.HALF_UP)
     assert(qv.collect().map(_.getDecimal(1)).last === exp)
   }
+
+  test("AVG declines past Spark's sum buffer: overflow must stay native") {
+    // 20000 × 9·10^31 ≈ 1.8·10^36 overflows the decimal(38,2) sum buffer
+    // Spark's Average uses for a decimal(34,2) input — the quotient would
+    // still fit decimal(38,6), so without the buffer guard a metadata AVG
+    // would answer a number where the native plan overflows (throws under
+    // ANSI, NULL otherwise). The pushdown must decline and leave the scan
+    // to its native semantics.
+    // per-file recorded sums are bounded by the same decimal(38,2)
+    // accumulator, so the overflow comes from the CROSS-FILE total:
+    // two files of 10000 × 9·10^31 each sum to 9·10^35 (recorded), and
+    // their 1.8·10^36 total escapes the 36-integer-digit buffer
+    val root = tmp()
+    val big = "9" + "0" * 31 + ".00"
+    (0 to 1).foreach { i =>
+      Snapshots.commit(
+        spark.range(0, 10000)
+          .select(lit("g").as("src"), lit(big).cast("decimal(34,2)").as("wide"))
+          .coalesce(1),
+        root, append = i > 0, statsCols = Seq("src", "wide"))
+    }
+    val q = batchRead(root).groupBy("src").agg(avg("wide").as("a"))
+    // inspect the UNEXECUTED plan: executing may throw on native overflow
+    val d = q.queryExecution.sparkPlan.collect {
+      case b: BatchScanExec => b.scan.description()
+    }.mkString("\n")
+    assert(!d.contains("AVG(wide)"), s"overflowing AVG must not push:\n$d")
+  }
 }

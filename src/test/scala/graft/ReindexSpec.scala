@@ -210,6 +210,41 @@ class ReindexSpec extends SparkSpec {
     assert(Snapshots.statsRange(spark, root, "id") === Some((0.0, 99.0)))
   }
 
+  test("a count-less shard heals through ANALYZE even when stats are covered") {
+    // row counts come from footers (metadata I/O, no data read) in the
+    // shard rewrite — the no-op fast path must not skip that heal forever,
+    // or rowsComplete (the metadata COUNT gate) never turns on
+    val root = tmp()
+    Snapshots.commit(
+      spark.range(0, 120).select($"id",
+        concat(lit("t"), ($"id" % 4).cast("string")).as("tag")).coalesce(1),
+      root, statsCols = Seq("tag")) // string entries: capable as written
+    val f = fs(root)
+    val snap = new Path(s"$root/_snapshots")
+    def readText(p: Path): String = {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val shard = f.listStatus(snap).map(_.getPath)
+      .find(_.getName.startsWith("shard-")).getOrElse(fail("no shard"))
+    val countless = readText(shard).replaceAll("""\"rows\":\[[^\]]*\]""", "\"rows\":[]")
+    val nn = s"shard-${java.util.UUID.randomUUID().toString.replace("-", "").take(16)}.json"
+    val out = f.create(new Path(snap, nn), false)
+    try out.write(countless.getBytes("UTF-8")) finally out.close()
+    val mp = new Path(snap, "manifest-1.json")
+    val repointed = readText(mp).replace(shard.getName, nn) // read BEFORE create truncates
+    val out2 = f.create(mp, true)
+    try out2.write(repointed.getBytes("UTF-8")) finally out2.close()
+    assert(Snapshots.manifest(spark, root, 1L).rows.isEmpty)
+
+    val v2 = Snapshots.reindexStats(spark, root, Seq("tag"))
+    assert(v2 === 2L, "covered stats with missing counts must still heal")
+    val m2 = Snapshots.manifest(spark, root, v2)
+    assert(m2.rows.map(_.n).sum === 120L, "footer-read counts must land")
+    // now fully covered: the repeat is the no-op
+    assert(Snapshots.reindexStats(spark, root, Seq("tag")) === 2L)
+  }
+
   test("SQL CALL reindex routes the same path; bloom columns index too") {
     val root = tmp()
     Snapshots.commit(
