@@ -3,6 +3,22 @@ import org.apache.spark.sql.SparkSession
 import scala.util.control.NonFatal
 object Bench {
   def main(args: Array[String]): Unit = {
+    // ---- wall-clock budget (round 19) ---------------------------------
+    // The driver runs this main under a hard timeout; round 18's run sat
+    // on a ~1.5x-slow shared host and the SECOND interleaved pass pushed
+    // wall past the cap — rc 124, no artifact at all. A degraded artifact
+    // beats a missing one, so passes after the first are admitted only
+    // while the measured region fits the budget: before each extra pass
+    // the previous pass's wall is the cost estimate, and a pass already
+    // running is truncated at the first query past the budget. Pass 1
+    // always completes (every query needs at least one timing — without
+    // that there is nothing sound to emit). The budget covers only this
+    // JVM's work; the env knob exists for local profile-folding runs,
+    // which want every pass (set it large).
+    val benchT0 = System.nanoTime()
+    def elapsedSec: Double = (System.nanoTime() - benchT0) / 1e9
+    val budgetSec = sys.env.get("SPARK_GRAFT_BUDGET_SEC")
+      .flatMap(_.toDoubleOption).filter(_ > 0).getOrElse(480.0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // optional comma-separated subset (iteration / scale-curve runs);
@@ -231,8 +247,35 @@ object Bench {
         math.max(in1 - in0, planned) >> 20, (sr1 - sr0) >> 20, (sw1 - sw0) >> 20)
     }
     // pass-major order: pass 1 runs q01..q90, then pass 2 runs q01..q90, ...
-    var passes: Seq[Seq[(String, Attempt)]] = (1 to repeats).map { _ =>
-      benched.map { case (name, fn) => (name, runOnce(fn)) }
+    // Pass 1 is unconditional; later passes respect the wall budget —
+    // `degraded` marks an artifact whose best-of lost passes to the clock.
+    var degraded = false
+    // a pass that stops mid-way once the budget trips: the queries it DID
+    // reach still contribute attempts (bestOf folds variable counts)
+    def runPassBudgeted(): Seq[(String, Attempt)] = {
+      val out = Seq.newBuilder[(String, Attempt)]
+      val it = benched.iterator
+      var stop = false
+      while (it.hasNext && !stop) {
+        val (name, fn) = it.next()
+        out += ((name, runOnce(fn)))
+        if (elapsedSec > budgetSec) { stop = true; degraded = true }
+      }
+      out.result()
+    }
+    // estimate of the NEXT pass's wall cost = the last full pass's wall
+    // (pass 1's includes warmup/startup — a conservative overestimate)
+    var lastPassSec = 0.0
+    var passes: Seq[Seq[(String, Attempt)]] =
+      Seq(benched.map { case (name, fn) => (name, runOnce(fn)) })
+    lastPassSec = elapsedSec
+    for (_ <- 2 to repeats) {
+      if (degraded || elapsedSec + lastPassSec > budgetSec) degraded = true
+      else {
+        val t = elapsedSec
+        passes = passes :+ runPassBudgeted()
+        lastPassSec = elapsedSec - t
+      }
     }
     def bestOf(attempts: Seq[Attempt]): Attempt = {
       // a failing attempt never wins: prefer the fastest SUCCESSFUL attempt,
@@ -268,10 +311,12 @@ object Bench {
         }
       } catch { case NonFatal(_) => Map.empty }
     }
+    def attemptsOf(name: String): Seq[Attempt] =
+      passes.flatMap(_.find(_._1 == name)).map(_._2)
     def sentinelBand: Option[Double] = {
       val ratios = benched.flatMap { case (name, _) =>
         floors.get(name).map { floor =>
-          bestOf(passes.map(_.find(_._1 == name).get._2)).sec / math.max(floor, 1e-3)
+          bestOf(attemptsOf(name)).sec / math.max(floor, 1e-3)
         }
       }.sorted
       if (ratios.isEmpty) None else Some(ratios(ratios.size / 2))
@@ -279,14 +324,19 @@ object Bench {
     val maxExtraPasses =
       sys.env.get("SPARK_GRAFT_GATE_RETRIES").flatMap(_.toIntOption).getOrElse(2)
     var extra = 0
-    while (sentinelBand.exists(_ > GateBar) && extra < maxExtraPasses) {
+    // noise-retry passes respect the same budget as the repeat passes: a
+    // load-inflated run on a slow host must still produce an artifact
+    while (sentinelBand.exists(_ > GateBar) && extra < maxExtraPasses &&
+        !degraded && elapsedSec + lastPassSec <= budgetSec) {
       extra += 1
-      passes = passes :+ benched.map { case (name, fn) => (name, runOnce(fn)) }
+      val t = elapsedSec
+      passes = passes :+ runPassBudgeted()
+      lastPassSec = elapsedSec - t
     }
     val band = sentinelBand
     val loadOk = band.forall(_ <= GateBar)
     val results = benched.map { case (name, _) =>
-      val attempts = passes.map(_.find(_._1 == name).get._2)
+      val attempts = attemptsOf(name)
       val best = bestOf(attempts)
       val spread = attempts.map(_.sec).max / best.sec
       (name, best, spread, attempts)
@@ -367,9 +417,13 @@ object Bench {
     val total = folded.map(_._3).sum
     val gcTotal = results.map(_._2.gcSec).sum
     val bandJson = band.map(b => s""","sentinel_band":${ms(b)},"load_ok":$loadOk""").getOrElse("")
+    // degraded: the wall budget cost this run some of its passes — the
+    // numbers are best-of-fewer, biased high, and a reader comparing
+    // rounds should prefer a non-degraded artifact of the same head
+    val degJson = if (degraded) ""","degraded":true""" else ""
     // the driver line stays compact (round-4 lesson: it must fit a stdout
     // tail window) — aggregate GC only here, per-query detail in the profile
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","gc_sec":${ms(gcTotal)},"best_of":${repeats + extra}$bandJson,"head":${JsonStr(gitHead)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","gc_sec":${ms(gcTotal)},"best_of":${passes.size}$degJson$bandJson,"head":${JsonStr(gitHead)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     val benchedNames = benched.map(_._1).toSet
     // a SUBSET run (SPARK_GRAFT_ONLY) must not orphan the rest of the
     // registry: prior entries whose per-query fingerprint still matches
@@ -399,7 +453,7 @@ object Bench {
       JsonStr(k) + s""":{$errField"fp":${JsonStr(queryFp(k))},"sec":${ms(sec)},"run_sec":${ms(best.sec)},"spread":${ms(spread)},"gc_sec":${ms(best.gcSec)},"peak_heap_mb":${best.heapMb},"input_mb":${best.inMb},"shuffle_read_mb":${best.srMb},"shuffle_write_mb":${best.swMb},"attempts":$att}"""
     } ++ carriedJson).mkString("{", ",", "}")
     java.nio.file.Files.writeString(profilePath,
-      s"""{"sf":"$sfDir","best_of":${repeats + extra},"interleaved":true,"head":${JsonStr(gitHead)},"src_fingerprint":${JsonStr(srcFingerprint)},"folded_runs":${priorRuns + 1}$bandJson,"total_sec":${ms(profileTotal)},"total_gc_sec":${ms(gcTotal)},"queries":$profile}""")
+      s"""{"sf":"$sfDir","best_of":${passes.size},"interleaved":true$degJson,"head":${JsonStr(gitHead)},"src_fingerprint":${JsonStr(srcFingerprint)},"folded_runs":${priorRuns + 1}$bandJson,"total_sec":${ms(profileTotal)},"total_gc_sec":${ms(gcTotal)},"queries":$profile}""")
     spark.stop()
   }
 }
