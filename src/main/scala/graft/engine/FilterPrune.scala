@@ -101,9 +101,15 @@ private[graft] object FilterPrune {
     * full-accept it while the NaN row fails the comparison. ACCEPTANCE
     * must therefore never trust float/double bounds (the non-strict arms
     * already decline through [[Snapshots.exactValue]], which has no
-    * float arm; strict arms need this guard). REJECTION may trust them:
-    * NaN fails every comparison, which only strengthens a
-    * no-satisfying-row proof — same argument as nulls. */
+    * float arm; strict arms need this guard). REJECTION splits by side:
+    * Spark orders NaN ABOVE every value (`nanSafeCompareDoubles`), so a
+    * hidden NaN row FAILS `a < x` / `a <= x` — min-side rejection stays
+    * sound unguarded — but SATISFIES `a > x` / `a >= x`, so max-side
+    * rejection (and the overlap prune's max-side test for up-unbounded
+    * bands, [[Snapshots.candidateFiles]]) must refuse NaN-blind bounds
+    * exactly as acceptance does: a doctored/foreign entry [6.0, 6.9]
+    * over a file hiding NaN would otherwise prune the file and silently
+    * drop a row `fv > 7` returns, with no residual left to recover it. */
   private def nanBlind(schema: StructType, a: String): Boolean =
     fieldType(schema, a).exists {
       case FloatType | DoubleType => true
@@ -340,9 +346,11 @@ private[graft] object FilterPrune {
     def inj(a: String, d: Double): Boolean = injective(schema, a, d)
     def isString(a: String): Boolean = stringTyped(schema, a)
     def cmpU(x: String, y: String): Int = cmpUtf8(x, y)
-    // NaN-blind float/double bounds stay usable HERE: NaN fails every
-    // comparison, so invisible NaN rows only strengthen "no satisfying
-    // row" — rejection needs no [[nanBlind]] guard (acceptance does)
+    // NaN-blind float/double bounds are usable HERE only on the MIN side:
+    // NaN sorts above every value, so a hidden NaN row genuinely fails
+    // `a < x` / `a <= x` (min-side rejection sound unguarded) but
+    // SATISFIES `a > x` / `a >= x` — max-side rejection must refuse
+    // NaN-blind bounds like acceptance does (see [[nanBlind]])
     def rej(a: String)(ok: Snapshots.ColStats => Boolean): Set[String] = {
       val byFile = statsBy(m, a)
       m.files.iterator.filter { file =>
@@ -354,9 +362,10 @@ private[graft] object FilterPrune {
     def side(a: String, v: Any, rejectBelow: Boolean, strictOp: Boolean): Set[String] =
       num(a, v) match {
         case Some(x) => rej(a) { s =>
-          s.slo == null && {
+          s.slo == null && !(rejectBelow && nanBlind(schema, a)) && {
             // rejectBelow: OP wants values ABOVE x, so a file wholly at or
-            // under x rejects (s.max vs x); else mirror on s.min
+            // under x rejects (s.max vs x — the NaN-blind-guarded side);
+            // else mirror on s.min
             val b = if (rejectBelow) s.max else s.min
             val past = if (rejectBelow) b < x else b > x
             // a strict OP also rejects the exact boundary (v == x fails it)

@@ -611,30 +611,41 @@ object Snapshots {
     * window never reopens mid-flight. The lock guards only the counter
     * bookkeeping, never the (minutes-long) body. */
   private object ConfPin {
-    private val state = scala.collection.mutable
-      .Map.empty[(SparkSession, String), (Option[String], String, Int)]
+    // WEAK session keys (round 19): a (session, key) entry lives only for
+    // the duration of a pin, but a body that never returns normally (a
+    // killed thread) would otherwise anchor its dead SparkSession here
+    // forever in a long-lived multi-session process. During a live pin the
+    // caller's stack holds the session strongly, so an active entry can
+    // never be collected out from under its own finally-restore.
+    private val state = new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, (Option[String], String, Int)]]
     def pinned[T](spark: SparkSession, key: String, value: String)(body: => T): T = {
-      val k = (spark, key)
       state.synchronized {
-        state.get(k) match {
+        val per = Option(state.get(spark)).getOrElse {
+          val m = scala.collection.mutable.Map.empty[String, (Option[String], String, Int)]
+          state.put(spark, m); m
+        }
+        per.get(key) match {
           case Some((prev, pinnedValue, n)) =>
             // the soundness argument REQUIRES concurrent pinners to agree:
             // a second pinner of a different value would otherwise run its
             // whole body under the first one's setting, silently
             require(pinnedValue == value,
               s"conflicting concurrent pins of $key: '$pinnedValue' vs '$value'")
-            state(k) = (prev, pinnedValue, n + 1)
+            per(key) = (prev, pinnedValue, n + 1)
           case None =>
             val prev = spark.conf.getOption(key)
             spark.conf.set(key, value)
-            state(k) = (prev, value, 1)
+            per(key) = (prev, value, 1)
         }
       }
       try body finally state.synchronized {
-        val (prev, pinnedValue, n) = state(k)
-        if (n > 1) state(k) = (prev, pinnedValue, n - 1)
+        val per = state.get(spark) // non-null: `spark` is strongly held here
+        val (prev, pinnedValue, n) = per(key)
+        if (n > 1) per(key) = (prev, pinnedValue, n - 1)
         else {
-          state.remove(k)
+          per.remove(key)
+          if (per.isEmpty) state.remove(spark)
           prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
         }
       }
@@ -3284,19 +3295,40 @@ object Snapshots {
 
   /** The subset of `m.files` a [lo, hi] range predicate on `c` can touch:
     * files whose recorded range overlaps, plus files with no recorded range
-    * (pruning must stay conservative). */
+    * (pruning must stay conservative).
+    *
+    * NaN fence (round 19): recorded float/double bounds are NaN-BLIND
+    * (parquet footers omit NaN; the stats pass declines non-finite
+    * bounds), while Spark orders NaN ABOVE every value — so an
+    * UP-UNBOUNDED probe [x, +inf) (compiled from `a > x` / `a >= x`) is
+    * satisfied by NaN rows the recorded max cannot see, and the max-side
+    * test must not prune on such columns (a doctored/legacy/foreign
+    * NaN-blind entry would otherwise silently drop NaN rows). Probes
+    * with a finite roof stay fully prunable: NaN fails `<= hi`. */
   def candidateFiles(m: Manifest, c: String, lo: Double, hi: Double): Seq[String] = {
+    val maxBlind = hi.isPosInfinity && nanBlindType(m, c)
     // slo-bearing entries are STRING bounds whose min/max are inert
     // placeholders — a numeric probe must never read them
     val ranges = m.stats.filter(s => s.col == c && s.slo == null)
       .map(s => s.file -> s).toMap
     m.files.filter { f =>
       ranges.get(new Path(f).getName) match {
-        case Some(s) => s.min <= hi && s.max >= lo
+        case Some(s) => s.min <= hi && (maxBlind || s.max >= lo)
         case None => true
       }
     }
   }
+
+  /** Whether `c` is float/double in `m`'s schema — the types whose
+    * recorded bounds are NaN-blind ([[candidateFiles]]' fence; unknown
+    * schema stays conservative = treat as blind). */
+  private def nanBlindType(m: Manifest, c: String): Boolean =
+    parseSchema(m) match {
+      case Some(sc) => sc.fields.exists(f => f.name == c &&
+        (f.dataType == org.apache.spark.sql.types.FloatType ||
+          f.dataType == org.apache.spark.sql.types.DoubleType))
+      case None => true
+    }
 
   /** Key-SET pruning: the files whose recorded `c` range contains at least
     * one of `keys` (sorted ascending). For a scattered key set — the
@@ -3647,7 +3679,11 @@ object Snapshots {
       case Literal(us: Long, TimestampType) => Some(us.toDouble)
       case Literal(us: Long, TimestampNTZType) => Some(us.toDouble)
       case Literal(x, _) => x match {
-        case n: Number => Some(n.doubleValue)
+        // a NaN literal is UNMINABLE, not a range probe (same rule as
+        // FilterPrune.canon): Spark orders NaN above every value and equal
+        // to itself, while recorded bounds are NaN-blind — `fv = NaN`
+        // against them would prune files whose hidden NaN rows match
+        case n: Number => Some(n.doubleValue).filterNot(_.isNaN)
         case d: org.apache.spark.sql.types.Decimal => Some(d.toDouble)
         case _ => None
       }
@@ -3681,6 +3717,18 @@ object Snapshots {
       filtered.queryExecution.analyzed.output.map(a => a.name -> a.dataType).toMap
     def injective(c: String, d: Double): Boolean =
       typeOf.get(c).exists(dt => exactValue(dt, d).isDefined)
+    // float/double bounds are NaN-BLIND (the stats pass declines
+    // NaN-polluted entries; foreign/doctored ones may hide NaN rows), so
+    // a finite recorded range proves nothing about EVERY row — FULL
+    // acceptance never trusts them (one rule with FilterPrune.fullAccept's
+    // nanBlind; e.g. `fv < 7`'s hi-strict arm would otherwise full-accept
+    // [6.0, 6.9] over a file hiding NaN, and deleteWhere would drop the
+    // NaN row that fails the predicate). Overlap pruning's NaN fence
+    // lives in [[candidateFiles]].
+    def nanBlindC(c: String): Boolean = typeOf.get(c).exists {
+      case FloatType | DoubleType => true
+      case _ => false
+    }
     def bound(a: (String, Double => Double, Boolean), x: Double,
         isLo: Boolean, strict: Boolean): MinedConjunct = {
       val (c, f, ident) = a
@@ -3688,7 +3736,7 @@ object Snapshots {
         if (isLo) overlapOf(c, f, ident, x, Double.PositiveInfinity)
         else overlapOf(c, f, ident, Double.NegativeInfinity, x)
       val full =
-        if (!ident) Set.empty[String]
+        if (!ident || nanBlindC(c)) Set.empty[String]
         else fullFiles(c, s =>
           if (isLo) {
             if (strict) s.min > x
@@ -3702,7 +3750,7 @@ object Snapshots {
     def pointOf(a: (String, Double => Double, Boolean), x: Double): MinedConjunct = {
       val (c, f, ident) = a
       MinedConjunct(overlapOf(c, f, ident, x, x),
-        if (!ident) Set.empty
+        if (!ident || nanBlindC(c)) Set.empty
         else fullFiles(c, s =>
           injective(c, x) && injective(c, s.min) && s.min == x && s.max == x))
     }
@@ -3863,7 +3911,8 @@ object Snapshots {
             case _ => n => n.doubleValue
           }
           val ks = hs.toSeq.collect { case n: Number => conv(n) }
-          if (ks.size != hs.size) None
+          // a NaN set element: unminable, same rule as litD
+          if (ks.size != hs.size || ks.exists(_.isNaN)) None
           else {
             val arr = ks.toArray; java.util.Arrays.sort(arr)
             Some(inKeys(sa, arr))

@@ -288,6 +288,21 @@ class ExactClaimSpec extends SparkSpec {
       s"NaN-blind float bounds must never claim:\n$d")
     assert(hasResidualFilter(q), "the residual Filter must drop the NaN row")
     assert(q.count() === 10L, "NaN fails fv < 7 under Spark's NaN ordering")
+
+    // ---- the REJECTION face of the same threat model (round 19) ----
+    // Spark orders NaN ABOVE every value, so `fv > 7` is TRUE for the
+    // hidden NaN row — the doctored max 6.9 must not full-reject or
+    // overlap-prune the file (either would silently drop the NaN row
+    // with no residual able to recover it: the file never gets scanned).
+    val gt = batchRead(root).filter($"fv" > 7.0f)
+    assert(gt.count() === 1L,
+      "the hidden NaN row satisfies fv > 7 — NaN-blind max bounds must not prune")
+    assert(batchRead(root).filter($"fv" >= 7.0f).count() === 1L)
+    // equality with a finite literal stays prunable: NaN never equals 7
+    assert(batchRead(root).filter($"fv" === 7.0f).count() === 0L)
+    // the MIN side genuinely rejects: every row (NaN included) fails
+    // fv < 5, and the doctored min 6.0 > 5 proves it — sound prune
+    assert(batchRead(root).filter($"fv" < 5.0f).count() === 0L)
   }
 
   test("one pushed-aggregate compile resolves the manifest once (memo across support/push)") {
