@@ -3161,6 +3161,62 @@ object Lake {
       out
     },
 
+    // ---- q154: FAN-OUT DELETE — a scattered (unminable) delete touching
+    //            EVERY file of a many-file table, with MarkedDeleteFanout
+    //            lowered in-query so classification, vector merging, and
+    //            shard serialization all run EXECUTOR-SIDE (the 100 TB
+    //            path: a GDPR-sized delete over 100k files must not
+    //            collect 100k bitmaps to the driver). Required in-query:
+    //            every file carries a deletion vector, and the commit
+    //            points at executor-written pure-DV shards BY REFERENCE
+    //            (ShardRef n=0 — no data file rewritten, no bitmap ever
+    //            held on the driver). Result hash-matches DuckDB's view
+    //            of the surviving rows. ----
+    OracleQuery(
+      "q154_fanout_delete",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(o_orderkey) AS BIGINT) AS lo,
+        |  CAST(max(o_orderkey) AS BIGINT) AS hi,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sk
+        |FROM orders WHERE o_orderkey % 10 >= 3
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_fanout_del"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val ord = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_orderpriority"))
+      // round-robin into 24 files so the scattered predicate below touches
+      // every one of them
+      Snapshots.commit(ord.repartition(24), root, statsCols = Seq("o_orderkey"))
+      // `% 10` is unminable, so no file prunes and all 24 scan; fanout
+      // lowered to 1 forces the executor-side path; maxDvFraction = 1.0
+      // keeps every outcome merge-on-read (deterministic at every SF)
+      val prevFan = Snapshots.MarkedDeleteFanout
+      Snapshots.MarkedDeleteFanout = 1
+      try Snapshots.deleteWhere(spark, root, col("o_orderkey") % 10 < 3,
+        maxDvFraction = 1.0)
+      finally Snapshots.MarkedDeleteFanout = prevFan
+      val m = Snapshots.manifest(spark, root, 2)
+      require(m.files.size == 24,
+        s"merge-on-read must rewrite nothing: expected 24 files, got ${m.files.size}")
+      require(m.dvs.size == 24,
+        s"the scattered delete must vector EVERY file, got ${m.dvs.size}")
+      val meta = Snapshots.manifestMeta(spark, root, 2)
+      require(meta.shardRefs.exists(_.n == 0L),
+        s"fan-out must commit executor-written pure-DV shards by reference, " +
+          s"got refs ${meta.shardRefs.map(r => s"${r.name}:${r.n}")}")
+      spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          min("o_orderkey").cast("bigint").as("lo"),
+          max("o_orderkey").cast("bigint").as("hi"),
+          sum("o_orderkey").cast("bigint").as("sk"))
+        .coalesce(1).sortWithinPartitions("o_orderpriority")
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO

@@ -1620,7 +1620,17 @@ private[streaming] class SnapshotMicroBatchStream(
               "(the rewrite outputs mix old and new rows)")
         } else {
           val preRemoved = removed intersect preSpan
-          if (preRemoved.nonEmpty) cannot(
+          // DROP-ONLY commit (round 19): files removed, NONE added — the
+          // full-kill/retention delete shape (`DELETE WHERE` classifying
+          // every touched file as a metadata drop). Nothing was rewritten,
+          // so there exist no out-of-contract rows to emit or replay; the
+          // tail represents the delete BY OMISSION (Delta's ignoreDeletes,
+          // default-on here) and plans an empty delta instead of killing
+          // every follower on each retention cycle. A commit that also
+          // ADDS files while removing pre-span ones is a rewrite and still
+          // throws; DV growth on surviving pre-span files is checked
+          // separately below and still throws.
+          if (preRemoved.nonEmpty && addedC.nonEmpty) cannot(
             s"rewrote/removed ${preRemoved.size} pre-span file(s) " +
               "(merge/delete)")
           preSpan = preSpan -- removed
@@ -1649,7 +1659,13 @@ private[streaming] class SnapshotMicroBatchStream(
       fromFiles: Set[String],
       mTo: Snapshots.Manifest): Set[String] = {
     val removed = fromFiles -- mTo.files.toSet
-    if (removed.nonEmpty) cannotRepresent(fromV, toV,
+    val netAdded = mTo.files.toSet -- fromFiles
+    // net drop-only span (round 19): every file at toV was already present
+    // at fromV and some were removed — whatever happened in between, every
+    // row that changed was ultimately deleted, so omission represents it
+    // (same contract as the per-commit drop-only case). Removal WITH net
+    // adds stays unprovable here and throws.
+    if (removed.nonEmpty && netAdded.nonEmpty) cannotRepresent(fromV, toV,
       s"rewrote/removed ${removed.size} file(s) (merge/delete/" +
         "compaction; interim manifests vacuumed, cannot prove row " +
         "preservation)")

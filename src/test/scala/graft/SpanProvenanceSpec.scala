@@ -147,4 +147,96 @@ class SpanProvenanceSpec extends SparkSpec {
     assert(msg.contains("ignoreChanges"))
     assert(msg.contains("vacuumed"))
   }
+
+  test("drop-only commit (full-kill delete): empty delta, no replay, no error") {
+    // round 19 (r17 carry): a retention/full-kill delete commits files
+    // REMOVED and none added. Nothing was rewritten, so the tail
+    // represents the delete by omission — the live stream must plan an
+    // EMPTY delta (no SpanNotAppendOnly, no re-emit) and keep tailing
+    // appends that land after the kill.
+    val root = tmp("span_drop")
+    Snapshots.commit(spark.range(0, 10).select($"id").repartition(2), root,
+      statsCols = Seq("id"))
+    val q = spark.readStream.format(Fmt).option("root", root).load()
+      .writeStream.format("memory").queryName("span_drop")
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      q.processAllAvailable() // consumed v1: its files are now pre-span
+      Snapshots.deleteWhere(spark, root, $"id" < 1000L) // every row matches
+      // the delete must be the drop-only shape: no files, no new shards
+      val m2 = Snapshots.manifest(spark, root, 2)
+      assert(m2.files.isEmpty, "full-kill must drop every file")
+      q.processAllAvailable() // spans the drop commit: empty delta
+      assert(spark.table("span_drop").count() === 10, "no replay, no retract")
+      Snapshots.commit(spark.range(100, 105).select($"id"), root,
+        append = true, statsCols = Seq("id"))
+      q.processAllAvailable() // the tail survives the kill and keeps going
+      assert(spark.table("span_drop").as[Long].collect().toSet ===
+        ((0L until 10L) ++ (100L until 105L)).toSet)
+    } finally q.stop()
+  }
+
+  test("drop-only commit with ignoreChanges: same empty delta") {
+    val root = tmp("span_drop_ic")
+    Snapshots.commit(spark.range(0, 8).select($"id").repartition(2), root,
+      statsCols = Seq("id"))
+    val q = spark.readStream.format(Fmt).option("root", root)
+      .option("ignoreChanges", "true").load()
+      .writeStream.format("memory").queryName("span_drop_ic")
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      q.processAllAvailable()
+      Snapshots.deleteWhere(spark, root, $"id" < 1000L)
+      q.processAllAvailable()
+      assert(spark.table("span_drop_ic").count() === 8)
+    } finally q.stop()
+  }
+
+  test("byte pacing spans a drop-only commit: fast path falls back, stream completes") {
+    // the append-only byte-pacing arithmetic (new-shards-only delta)
+    // cannot describe a commit that REPLACES shards with nothing — it
+    // must fall back to the full-manifest diff (zero added bytes) and
+    // keep admitting versions past the kill
+    val root = tmp("span_drop_pace")
+    Snapshots.commit(spark.range(0, 10).select($"id").repartition(2), root,
+      statsCols = Seq("id"))
+    val q = spark.readStream.format(Fmt).option("root", root)
+      .option("maxBytesPerTrigger", "1").load() // one version per trigger
+      .writeStream.format("memory").queryName("span_drop_pace")
+      .option("checkpointLocation", ckpt()).start()
+    try {
+      q.processAllAvailable()
+      Snapshots.deleteWhere(spark, root, $"id" < 1000L) // v2: drop-only
+      Snapshots.commit(spark.range(20, 30).select($"id"), root,
+        append = true, statsCols = Seq("id")) // v3
+      q.processAllAvailable()
+      assert(spark.table("span_drop_pace").as[Long].collect().toSet ===
+        ((0L until 10L) ++ (20L until 30L)).toSet)
+    } finally q.stop()
+  }
+
+  test("drop-only net span across a vacuumed interim: coarse check tails cleanly") {
+    val root = tmp("span_drop_vac")
+    val ck = ckpt()
+    // repartition: a zero-row part file records no stats, cannot
+    // full-accept, and would SURVIVE the delete (classified keep) —
+    // making the net span removal+add instead of drop-only
+    Snapshots.commit(spark.range(0, 6).select($"id").repartition(2), root,
+      statsCols = Seq("id"))
+    val out = Files.createTempDirectory("span_dropvac_out").toString
+    val q1 = spark.readStream.format(Fmt).option("root", root).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).start()
+    try { q1.processAllAvailable() } finally q1.stop()
+    Snapshots.commit(spark.range(6, 9).select($"id").repartition(2), root,
+      append = true, statsCols = Seq("id")) // v2
+    Snapshots.deleteWhere(spark, root, $"id" >= 0L) // v3: drops everything
+    dropManifest(root, 2) // per-commit proof gone; net view = drop-only
+    val q2 = spark.readStream.format(Fmt).option("root", root).load()
+      .writeStream.format("parquet").option("path", out)
+      .option("checkpointLocation", ck).start()
+    try { q2.processAllAvailable() } finally q2.stop()
+    // the in-span append (6..8) was deleted before consumption: omitted
+    assert(spark.read.parquet(out).as[Long].collect().toSet === (0L until 6L).toSet)
+  }
 }
