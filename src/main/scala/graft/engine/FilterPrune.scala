@@ -43,9 +43,15 @@ private[graft] object FilterPrune {
 
   /** Structural minability — used to report `pushedFilters` honestly at
     * build time, before any manifest is read. Same code path as [[prune]]
-    * over a stat-less dummy, so the report can't drift from the pruning. */
-  def minable(schema: StructType, f: Filter): Boolean =
-    overlap(Dummy, schema, f).isDefined
+    * over a stat-less dummy, so the report can't drift from the pruning.
+    * Null-ness shapes are special-cased: their overlap arms key off
+    * recorded null counts / tombstones the dummy cannot carry, yet they
+    * DO mine on real manifests (round 19 — the IS NULL claim). */
+  def minable(schema: StructType, f: Filter): Boolean = f match {
+    case IsNull(_) | IsNotNull(_) | EqualNullSafe(_, null) => true
+    case Not(IsNull(_)) | Not(IsNotNull(_)) => true
+    case _ => overlap(Dummy, schema, f).isDefined
+  }
 
   private val Dummy = Snapshots.Manifest(1L, Seq("dummy.parquet"), 0L,
     stats = Seq(Snapshots.ColStats("dummy.parquet", "*", 0, 0, 0)))
@@ -120,6 +126,32 @@ private[graft] object FilterPrune {
     org.apache.spark.unsafe.types.UTF8String.fromString(x)
       .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y))
 
+  /** Files provably ALL-NULL in `a`: a no-range tombstone whose (real)
+    * null count equals the file's recorded row count. Range-bearing
+    * entries can never qualify — bounds exist ⟹ some non-null row — so
+    * the tombstone is the ONLY source. Deletion vectors only remove
+    * rows, so the proof survives them (IS NULL acceptance, IS NOT NULL
+    * rejection). */
+  private def allNullFiles(m: Snapshots.Manifest, a: String): Set[String] = {
+    val rowsBy = m.rows.iterator.map(r => r.file -> r.n).toMap
+    val tomb = m.tombs.iterator
+      .filter(t => t.col == a && t.nulls > 0L &&
+        rowsBy.get(t.file).contains(t.nulls))
+      .map(_.file).toSet
+    if (tomb.isEmpty) Set.empty
+    else m.files.iterator.filter(f => tomb(new Path(f).getName)).toSet
+  }
+
+  /** Files provably holding ZERO nulls of `a` — exact recorded counts
+    * from range entries or tombstones (an all-NaN float file's tombstone
+    * carries nulls=0). IS NULL rejection, IS NOT NULL acceptance. */
+  private def zeroNullFiles(m: Snapshots.Manifest, a: String): Set[String] = {
+    val zero = (m.stats.iterator ++ m.tombs.iterator)
+      .filter(s => s.col == a && s.nulls == 0L).map(_.file).toSet
+    if (zero.isEmpty) Set.empty
+    else m.files.iterator.filter(f => zero(new Path(f).getName)).toSet
+  }
+
   /** Per-file recorded stats of one column, keyed by basename. */
   private def statsBy(
       m: Snapshots.Manifest, a: String): Map[String, Snapshots.ColStats] =
@@ -137,13 +169,31 @@ private[graft] object FilterPrune {
     def isString(a: String): Boolean = typeOf(a).contains(StringType)
 
     // files that might hold a NULL of column a: recorded zero-null files
-    // prune; unknown null counts (-1, pre-index shards) stay conservative
+    // prune (tombstones' null counts are real too — an all-NaN float
+    // file's tombstone carries nulls=0 and prunes); unknown null counts
+    // (-1, pre-index shards) stay conservative
     def nullable(a: String): Option[Seq[String]] = {
-      val byFile = m.stats.filter(_.col == a).map(s => s.file -> s).toMap
+      val byFile = (m.stats ++ m.tombs).filter(_.col == a)
+        .map(s => s.file -> s).toMap
       if (byFile.isEmpty) None
       else Some(m.files.filter { file =>
         byFile.get(new Path(file).getName).forall(_.nulls != 0L)
       })
+    }
+
+    // files that might hold a NON-null of column a: a tombstone covering
+    // every recorded row proves the file all-null — no satisfying row.
+    // Range-bearing entries prove nothing here (min/max exist ⟹ some
+    // non-null row, which only CONFIRMS candidacy). None when no
+    // tombstone constrains (conservative, and the pre-round-19 behavior).
+    def notNullable(a: String): Option[Seq[String]] = {
+      val rowsBy = m.rows.iterator.map(r => r.file -> r.n).toMap
+      val allNull = m.tombs.iterator
+        .filter(t => t.col == a && t.nulls > 0L &&
+          rowsBy.get(t.file).contains(t.nulls))
+        .map(_.file).toSet
+      if (allNull.isEmpty) None
+      else Some(m.files.filterNot(f => allNull(new Path(f).getName)))
     }
 
     def point(a: String, v: Any): Option[Seq[String]] =
@@ -202,6 +252,9 @@ private[graft] object FilterPrune {
             vs.map(_.asInstanceOf[String])))
         else None
       case IsNull(a) => nullable(a)
+      case IsNotNull(a) => notNullable(a)
+      case Not(IsNull(a)) => notNullable(a)
+      case Not(IsNotNull(a)) => nullable(a)
       // conjunction: each minable side constrains independently
       case And(l, r) =>
         (overlap(m, schema, l), overlap(m, schema, r)) match {
@@ -319,10 +372,18 @@ private[graft] object FilterPrune {
             s.slo != null && cmpU(s.slo, p) >= 0 && cmpU(s.shi, roof) < 0)
           case None => Set.empty
         }
-      case IsNotNull(a) => full(a)(_ => true)
+      // zeroNullFiles ⊇ the classic zero-null range entries, plus
+      // tombstoned all-NaN files (NaN is not null)
+      case IsNotNull(a) => zeroNullFiles(m, a)
+      // round 19: the all-null tombstone is the IS NULL proof — nulls ==
+      // recorded rows pins every row null (mixed files can never accept)
+      case IsNull(a) => allNullFiles(m, a)
+      case EqualNullSafe(a, null) => allNullFiles(m, a)
+      case Not(IsNull(a)) => zeroNullFiles(m, a)
+      case Not(IsNotNull(a)) => allNullFiles(m, a)
       case And(l, r) => fullAccept(m, schema, l) intersect fullAccept(m, schema, r)
       case Or(l, r) => fullAccept(m, schema, l) union fullAccept(m, schema, r)
-      case _ => Set.empty // IsNull (all-null files record no entry), Not, ...
+      case _ => Set.empty // Not(...), opaque shapes
     }
   }
 
@@ -387,6 +448,13 @@ private[graft] object FilterPrune {
       case GreaterThanOrEqual(a, v) => side(a, v, rejectBelow = true, strictOp = false)
       case LessThan(a, v) => side(a, v, rejectBelow = false, strictOp = true)
       case LessThanOrEqual(a, v) => side(a, v, rejectBelow = false, strictOp = false)
+      // null-ness rejection (round 19): exact zero-null counts prove no
+      // IS NULL row; an all-null tombstone proves no IS NOT NULL row
+      case IsNull(a) => zeroNullFiles(m, a)
+      case EqualNullSafe(a, null) => zeroNullFiles(m, a)
+      case IsNotNull(a) => allNullFiles(m, a)
+      case Not(IsNull(a)) => allNullFiles(m, a)
+      case Not(IsNotNull(a)) => zeroNullFiles(m, a)
       case And(l, r) => fullReject(m, schema, l) union fullReject(m, schema, r)
       case Or(l, r) => fullReject(m, schema, l) intersect fullReject(m, schema, r)
       // equality/IN boundaries are already exact in the closed overlap;

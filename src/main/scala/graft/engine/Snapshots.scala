@@ -93,9 +93,20 @@ object Snapshots {
       nulls: Long = -1L, slo: String = null, shi: String = null,
       // exact per-file SUM of an integral/decimal column as a plain decimal
       // string (round 17; null = not recorded — footer-mined stats carry
-      // none, the distributed stats pass records it). Funds SUM aggregate
-      // pushdown: "daily revenue / token totals" in O(manifest).
-      sumS: String = null)
+      // none, the distributed stats pass records it; "!" = the scan TRIED
+      // and the value is unrecordable — decimal(38) overflow — so reindex
+      // must not re-scan). Funds SUM aggregate pushdown: "daily revenue /
+      // token totals" in O(manifest).
+      sumS: String = null,
+      // NO-RANGE TOMBSTONE (round 19): the file WAS scanned for this
+      // column and no range is producible — all-null, or all-NaN float
+      // bounds. min/max are inert; `nulls` is real (for an all-null file
+      // it equals the row count — the IS NULL full-acceptance proof).
+      // Kept out of [[Manifest.stats]] by [[resolve]] so no range
+      // consumer can ever read the inert bounds; its jobs are (a) telling
+      // [[reindexStats]] the absence is by design, not decay, and (b)
+      // funding IS NULL / IS NOT NULL mining via [[Manifest.tombs]].
+      nr: Boolean = false)
 
   /** Per-file row count (file keyed by basename, like [[ColStats]]),
     * recorded at shard-write time — from the stats pass when one runs,
@@ -255,7 +266,12 @@ object Snapshots {
       rows: Seq[FileRows] = Seq.empty,
       blooms: Seq[FileBloom] = Seq.empty,
       dvs: Seq[FileDv] = Seq.empty,
-      clustering: Option[Clustering] = None)
+      clustering: Option[Clustering] = None,
+      // no-range tombstones ([[ColStats.nr]]), SEPARATED from `stats` by
+      // [[resolve]] so the inert bounds can never reach a range consumer:
+      // the only readers are IS NULL / IS NOT NULL mining (real `nulls`
+      // counts) — reindex coverage checks read shards, not this
+      tombs: Seq[ColStats] = Seq.empty)
 
   /** Reference to one immutable metadata shard: `name` is the file under
     * `_snapshots/`, `n` its file-entry count (size hint, no I/O needed to
@@ -504,19 +520,23 @@ object Snapshots {
     // exactly those entries ([[canonSafeStat]], the ONE shared rule): the
     // columns read as stat-less (must-scan, conservative).
     val tsPhys = tsPhysicalCols(schemaOpt)
-    val stats = shards.flatMap(sh =>
-      sh.stats.filter(canonSafeStat(sh.tsExact, tsPhys, _)))
-    val relabeled =
-      if (p2l.isEmpty) stats
-      else stats.map(st => p2l.get(st.col).fold(st)(l => st.copy(col = l)))
+    // no-range TOMBSTONES ride to their own collection: every range
+    // consumer reads `stats` and must never see a tombstone's inert
+    // min/max; IS NULL mining reads `tombs`
+    val (tombStats, rangeStats) = shards.flatMap(sh =>
+      sh.stats.filter(canonSafeStat(sh.tsExact, tsPhys, _))).partition(_.nr)
+    def relab(ss: Seq[ColStats]): Seq[ColStats] =
+      if (p2l.isEmpty) ss
+      else ss.map(st => p2l.get(st.col).fold(st)(l => st.copy(col = l)))
     val blooms = shards.flatMap(_.blooms)
     val relabeledBlooms =
       if (p2l.isEmpty) blooms
       else blooms.map(bl => p2l.get(bl.col).fold(bl)(l => bl.copy(col = l)))
     Manifest(m.version, shards.flatMap(_.files), m.parent,
-      relabeled, m.tag, m.ts, m.schema, shards.flatMap(_.rows), relabeledBlooms,
-      shards.flatMap(_.dvs),
-      m.clustering.map(c => c.copy(cols = c.cols.map(cc => p2l.getOrElse(cc, cc)))))
+      relab(rangeStats), m.tag, m.ts, m.schema, shards.flatMap(_.rows),
+      relabeledBlooms, shards.flatMap(_.dvs),
+      m.clustering.map(c => c.copy(cols = c.cols.map(cc => p2l.getOrElse(cc, cc)))),
+      tombs = relab(tombStats))
   }
 
   /** Column-mapping metadata key: a field whose on-disk (PHYSICAL) column
@@ -1744,7 +1764,13 @@ object Snapshots {
                     }
                 }
               }
-              if (!usable || !any) None
+              if (!usable) None
+              else if (!any)
+                // every chunk proved all-null (the usable guard above
+                // rejected anything else): a no-range TOMBSTONE, so
+                // ANALYZE never mistakes this file for index decay
+                (if (nullsKnown) Some(ColStats(name, c, 0, 0,
+                  nulls = nulls, nr = true)) else None)
               else if (isStr) {
                 if (sLo == null || sHi == null) None
                 else Some(ColStats(name, c, 0, 0,
@@ -1752,7 +1778,11 @@ object Snapshots {
                   slo = new String(sLo, java.nio.charset.StandardCharsets.UTF_8),
                   shi = new String(sHi, java.nio.charset.StandardCharsets.UTF_8)))
               } else if (!java.lang.Double.isFinite(lo) || !java.lang.Double.isFinite(hi))
-                None // conservative: file stays an always-candidate
+                // NaN-polluted float/double chunk bounds (parquet-mr
+                // propagates NaN): no usable range BY DESIGN — tombstone
+                // when the null count is exact, else stay absent
+                (if (nullsKnown) Some(ColStats(name, c, 0, 0,
+                  nulls = nulls, nr = true)) else None)
               else Some(ColStats(name, c, lo, hi,
                 nulls = if (nullsKnown) nulls else -1L))
             }
@@ -2988,11 +3018,13 @@ object Snapshots {
     * 100 TB table scans that column's stat-less files, not every byte.
     * Shards with nothing to heal carry BY REFERENCE (zero metadata
     * churn); a fully-covered request with the declaration already grown
-    * is a version-less no-op. Known conservative corner: a file whose
-    * requested column is ALL-NULL (or all-NaN, or past the decimal(38)
-    * sum guard) records no entry by design, so repeated ANALYZE re-scans
-    * it — absence is indistinguishable from never-indexed. `force = true`
-    * restores the old semantics: re-scan and REPLACE everything.
+    * is a version-less no-op. Round 19 closed the all-null corner: a
+    * file whose requested column produces no range (all-null, all-NaN)
+    * records a no-range TOMBSTONE ([[ColStats.nr]]) and a decimal(38)
+    * sum overflow the "!" sentinel, so by-design absence is
+    * distinguishable from decay and repeated ANALYZE is O(metadata).
+    * `force = true` restores the old semantics: re-scan and REPLACE
+    * everything.
     *
     * Per rewritten shard, entries for the healed (file, column) pairs are
     * replaced and everything else (row counts with their recorded byte
@@ -3033,13 +3065,18 @@ object Snapshots {
     // SUM on a summable one) marks the file for re-scan; unknown schema
     // falls back to presence (legacy tables: conservative pruning, no
     // metadata aggregates anyway).
-    def capable(st: ColStats): Boolean = physType.get(st.col) match {
+    // a TOMBSTONE ([[ColStats.nr]]) is everything a fresh scan would
+    // produce — the scan already ran and proved no range/sum exists, so
+    // the file is covered, not decayed (the round-19 fix for "every
+    // ANALYZE re-scans all-null files forever"). The "!" sum sentinel
+    // counts as a recorded sum for the same reason: tried, unrecordable.
+    def capable(st: ColStats): Boolean = st.nr || (physType.get(st.col) match {
       case Some(StringType) => st.slo != null
       case Some(ByteType | ShortType | IntegerType | LongType |
                 _: DecimalType) => st.slo == null && st.sumS != null
       case Some(_) => st.slo == null
       case None => true
-    }
+    })
     // per shard: which files lack a full-fidelity entry for some requested
     // stats column / a bloom for some requested bloom column
     val (needS, needB) = {
@@ -3252,7 +3289,13 @@ object Snapshots {
       statsCols.flatMap { c =>
         val lo = row.getAs[Any](s"min_$c")
         val hi = row.getAs[Any](s"max_$c")
-        if (lo == null || hi == null) None // all-null file: no usable range
+        // scanned, nothing producible → a TOMBSTONE, not absence: the
+        // incremental reindex must be able to tell "no range by design"
+        // (all-null, all-NaN) from decay, or every ANALYZE re-scans the
+        // file forever. The nulls count is real; bounds are inert.
+        def tomb = Some(ColStats(file, c, 0, 0,
+          nulls = nRows - row.getAs[Long](s"cnt_$c"), nr = true))
+        if (lo == null || hi == null) tomb // all-null file: no usable range
         else if (stringy(c))
           Some(ColStats(file, c, 0, 0,
             nulls = nRows - row.getAs[Long](s"cnt_$c"),
@@ -3275,15 +3318,20 @@ object Snapshots {
             case other => sys.error(s"unexpected stats value $other")
           }
           val (l, h) = (canonical(lo), canonical(hi))
+          // a null try_sum here is the decimal(38) OVERFLOW (the all-null
+          // case returned above): record the "!" sentinel so reindex
+          // knows the sum was tried and is unrecordable — consumers read
+          // it as "no sum" ([[recordedSum]]), never as a number
           val sumS = summable(c)
-            .map(_ => row.getAs[java.math.BigDecimal](s"sum_$c"))
-            .filter(_ != null).map(_.toPlainString).orNull
+            .map(_ => Option(row.getAs[java.math.BigDecimal](s"sum_$c"))
+              .map(_.toPlainString).getOrElse("!")).orNull
           // a NaN/infinite bound can't prune soundly AND won't round-trip
-          // as a JSON number — record no range (conservative)
+          // as a JSON number — tombstone (all-NaN float file: no range by
+          // design, and re-scanning would reproduce the same NaN bounds)
           if (java.lang.Double.isFinite(l) && java.lang.Double.isFinite(h))
             Some(ColStats(file, c, l, h,
               nulls = nRows - row.getAs[Long](s"cnt_$c"), sumS = sumS))
-          else None
+          else tomb
         }
       }
     }
@@ -3292,6 +3340,13 @@ object Snapshots {
     }
     (stats, fileRows)
   }
+
+  /** The recorded per-file SUM as a number, if one is usable: None for
+    * never-recorded (footer-mined / pre-round-17) AND for the "!"
+    * tried-but-unrecordable sentinel (decimal(38) overflow). Every
+    * consumer of [[ColStats.sumS]] must come through here. */
+  def recordedSum(st: ColStats): Option[java.math.BigDecimal] =
+    Option(st.sumS).filter(_ != "!").map(new java.math.BigDecimal(_))
 
   /** The subset of `m.files` a [lo, hi] range predicate on `c` can touch:
     * files whose recorded range overlaps, plus files with no recorded range
@@ -4748,8 +4803,10 @@ object Snapshots {
     val m = resolve(meta, loadShards(spark, root, meta))
     // known counts pass through; a legacy table's uncounted files get a
     // one-time footer backfill here (consolidation already touches all
-    // metadata — the natural upgrade point)
-    val one = writeShard(spark, root, m.files, m.stats, m.rows, m.blooms, m.dvs)
+    // metadata — the natural upgrade point). Tombstones ride along or the
+    // consolidation would turn by-design absence back into "decay".
+    val one = writeShard(spark, root, m.files, m.stats ++ m.tombs, m.rows,
+      m.blooms, m.dvs)
     // metadata-only consolidation: same files, clustering carries
     publishMeta(spark, root, tag = "", requireHead = headV,
       clustering = h => h.flatMap(_.clustering)) { _ =>
@@ -4848,7 +4905,11 @@ object Snapshots {
         else s""","slo":${graft.JsonStr(s.slo)},"shi":${graft.JsonStr(s.shi)}"""
       // sum rendered only when recorded — sum-less entries stay byte-identical
       val sm = if (s.sumS == null) "" else s""","sum":${graft.JsonStr(s.sumS)}"""
-      s"""{"file":${graft.JsonStr(s.file)},"col":${graft.JsonStr(s.col)},"min":${s.min},"max":${s.max},"nulls":${s.nulls}$sm$str}"""
+      // tombstone marker only when set — range entries stay byte-identical
+      // (a pre-round-19 reader's regex skips nr-bearing entries entirely:
+      // the file reads as stat-less — conservative, never wrong)
+      val nrF = if (s.nr) ""","nr":1""" else ""
+      s"""{"file":${graft.JsonStr(s.file)},"col":${graft.JsonStr(s.col)},"min":${s.min},"max":${s.max},"nulls":${s.nulls}$nrF$sm$str}"""
     }.mkString("[", ",", "]")
 
   private def renderRows(rows: Seq[FileRows]): String =
@@ -4936,16 +4997,19 @@ object Snapshots {
     // "sum" optional: scan-collected entries only (round 17, plain decimal
     // string — never escaped); "slo"/"shi" optional: string-column entries
     // only (round 15)
+    // "nr" optional: the round-19 no-range tombstone; "sum" accepts the
+    // "!" sentinel (tried, unrecordable) alongside plain decimal strings
     ("""\{"file":"([^"\\]*(?:\\.[^"\\]*)*)","col":"([^"\\]*(?:\\.[^"\\]*)*)","min":(""" + num +
-      """),"max":(""" + num + """)(?:,"nulls":(-?\d+))?(?:,"sum":"([-0-9.]+)")?(?:,"slo":""" + str +
+      """),"max":(""" + num + """)(?:,"nulls":(-?\d+))?(?:,"nr":(1))?(?:,"sum":"([-0-9.!]+)")?(?:,"slo":""" + str +
       ""","shi":""" + str + """)?\}""").r
       .findAllMatchIn(text).map { g =>
         ColStats(unescape(g.group(1)), unescape(g.group(2)),
           g.group(3).toDouble, g.group(4).toDouble,
           Option(g.group(5)).map(_.toLong).getOrElse(-1L),
-          Option(g.group(7)).map(unescape).orNull,
           Option(g.group(8)).map(unescape).orNull,
-          sumS = g.group(6))
+          Option(g.group(9)).map(unescape).orNull,
+          sumS = g.group(7),
+          nr = g.group(6) != null)
       }.toSeq
   }
 

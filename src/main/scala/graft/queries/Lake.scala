@@ -3217,6 +3217,66 @@ object Lake {
         .coalesce(1).sortWithinPartitions("o_orderpriority")
     },
 
+    // ---- q155: IS NULL CLAIM over a null-partitioned layout — sparse
+    //            optional columns (annotations, labels, redaction notes)
+    //            land whole files of nulls at lake scale. Orders commit
+    //            one file per priority with `note` NULL for priorities
+    //            1-2 and populated otherwise; the all-null files record
+    //            no-range TOMBSTONES whose null count pins every row
+    //            null, zero-null files prune via exact null counts, so
+    //            `WHERE note IS NULL` is claimed EXACT (no residual) and
+    //            the grouped rollup answers from the manifest (required
+    //            in-query: one scan row per group + ExactPushedFilters).
+    //            The 100 TB reading: "rows still unlabeled, by shard" is
+    //            O(manifest). ----
+    OracleQuery(
+      "q155_isnull_claim_rollup",
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(o_orderkey) AS BIGINT) AS lo,
+        |  CAST(max(o_orderkey) AS BIGINT) AS hi
+        |FROM (SELECT o_orderkey, o_orderpriority,
+        |        CASE WHEN substr(o_orderpriority, 1, 1) <= '2' THEN NULL
+        |             ELSE o_orderpriority END AS note
+        |      FROM orders) t
+        |WHERE note IS NULL
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (spark, dir) =>
+      val lakeBase = lakeUri(dir).stripSuffix("/documents_by_lang")
+      val root = s"$lakeBase/orders_nullnote"
+      val fsys = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fsys.delete(new Path(root), true)
+      val ord = Tables(spark, dir, "orders")
+        .select(col("o_orderkey").cast("bigint").as("o_orderkey"),
+          col("o_orderpriority"),
+          when(substring(col("o_orderpriority"), 1, 1) <= "2",
+            lit(null).cast("string"))
+            .otherwise(col("o_orderpriority")).as("note"))
+      val prios = ord.select("o_orderpriority").distinct()
+        .collect().map(_.getString(0)).sorted // O(key domain)
+      prios.zipWithIndex.foreach { case (p, i) =>
+        Snapshots.commit(ord.filter(col("o_orderpriority") === p).coalesce(1),
+          root, append = i > 0,
+          statsCols = Seq("o_orderkey", "o_orderpriority", "note"))
+      }
+      val nullPrios = prios.count(_.substring(0, 1) <= "2")
+      val res = spark.read.format("graft.streaming.SnapshotSourceProvider")
+        .option("root", root).load()
+        .filter(col("note").isNull)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          min("o_orderkey").cast("bigint").as("lo"),
+          max("o_orderkey").cast("bigint").as("hi"))
+        .coalesce(1).sortWithinPartitions("o_orderpriority")
+      val out = res.localCheckpoint(true)
+      val d = scanOutputRows(res.queryExecution.executedPlan)
+      require(d == nullPrios,
+        s"IS NULL rollup must answer from the manifest " +
+          s"(scan emitted $d rows, expected $nullPrios groups)")
+      val desc = scanDesc(res.queryExecution.executedPlan)
+      require(desc.contains("ExactPushedFilters"),
+        s"IS NULL over the null-partitioned layout must claim exact:\n$desc")
+      out
+    },
+
     // ---- q123: STORAGE-PARTITIONED JOIN — lineitem and orders committed
     //            hash-clustered on their join keys (same bucket count),
     //            read through the graft SnapshotCatalog, joined with ZERO

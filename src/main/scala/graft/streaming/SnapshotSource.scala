@@ -868,8 +868,9 @@ private[streaming] class SnapshotScanBuilder(
             f <- fullSchema.fields.find(_.name == c)
             if fs.forall(n => dvdByName.getOrElse(n, 0L) == 0L)
             st <- statsOver(fs, c)
-            if st.nonEmpty && st.forall(_.sumS != null)
-            total = st.map(x => new java.math.BigDecimal(x.sumS)).reduce(_.add(_))
+            sums = st.map(Snapshots.recordedSum) // "!" overflow sentinel = no sum
+            if st.nonEmpty && sums.forall(_.isDefined)
+            total = sums.map(_.get).reduce(_.add(_))
             out <- sumResult(f.dataType, total)
           } yield (StructField(s"sum($c)", out._2, nullable = false),
             out._1, s"SUM($c)")
@@ -895,10 +896,11 @@ private[streaming] class SnapshotScanBuilder(
             }
             if fs.forall(n => dvdByName.getOrElse(n, 0L) == 0L)
             st <- statsOver(fs, c)
-            if st.nonEmpty && st.forall(s => s.sumS != null && s.nulls >= 0L)
+            sums = st.map(Snapshots.recordedSum) // "!" overflow sentinel = no sum
+            if st.nonEmpty && sums.forall(_.isDefined) && st.forall(_.nulls >= 0L)
             cnt = st.map(s => rowsByName(s.file) - s.nulls).sum
             if cnt > 0L
-            total = st.map(x => new java.math.BigDecimal(x.sumS)).reduce(_.add(_))
+            total = sums.map(_.get).reduce(_.add(_))
             // the total must fit Spark's SUM BUFFER decimal(min(38,p+10),s):
             // past it the native Average overflows to NULL (non-ANSI), and
             // a numeric metadata answer would diverge — decline, same as SUM

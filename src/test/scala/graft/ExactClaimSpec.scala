@@ -269,8 +269,13 @@ class ExactClaimSpec extends SparkSpec {
     val shard = f.listStatus(snap).map(_.getPath)
       .find(_.getName.startsWith("shard-")).getOrElse(fail("no shard"))
     val body = readText(shard)
-    assert(!body.contains("\"col\":\"fv\""),
-      "the engine must record no entry for a NaN-polluted float column")
+    // the NaN-polluted float column must record no usable RANGE: footer
+    // mining leaves it absent (parquet-mr omits NaN-polluted float
+    // bounds), the distributed pass records a no-range tombstone (round
+    // 19) — either way nothing a miner could trust
+    val fvEntries = """\{[^}]*"col":"fv"[^}]*\}""".r.findAllIn(body).toList
+    assert(fvEntries.forall(_.contains("\"nr\":1")),
+      s"a NaN-polluted float column must record no usable range: $fvEntries")
     val fname = """"file":"([^"]+)"""".r.findFirstMatchIn(body).get.group(1)
     val doctored = body.replace("\"stats\":[",
       s""""stats":[{"file":"$fname","col":"fv","min":6.0,"max":6.9,"nulls":0},""")
@@ -303,6 +308,59 @@ class ExactClaimSpec extends SparkSpec {
     // the MIN side genuinely rejects: every row (NaN included) fails
     // fv < 5, and the doctored min 6.0 > 5 proves it — sound prune
     assert(batchRead(root).filter($"fv" < 5.0f).count() === 0L)
+  }
+
+  test("IS NULL / IS NOT NULL claim from tombstones: null-partitioned rollup answers O(manifest)") {
+    // round 19 (pairs with the all-null tombstone): a layout that
+    // separates null from non-null files makes `WHERE c IS NULL` an
+    // exact claim — all-null files FULLY accept via their tombstone
+    // (nulls == recorded rows), zero-null files prune via their exact
+    // null counts, so no residual remains and the grouped rollup answers
+    // from the manifest. IS NOT NULL claims the complement. A MIXED file
+    // kills both claims (its rows need the residual).
+    val root = tmp()
+    def part(lo: Long, hi: Long, nul: Boolean, b: Int) =
+      spark.range(lo, hi).select($"id",
+        (if (nul) lit(null).cast("string") else concat(lit("n"), $"id")).as("note"),
+        lit(b).as("bucket")).coalesce(1)
+    val sc = Seq("id", "note", "bucket")
+    Snapshots.commit(part(0, 100, nul = true, 1), root, statsCols = sc)
+    Snapshots.commit(part(100, 200, nul = true, 2), root, append = true, statsCols = sc)
+    Snapshots.commit(part(200, 300, nul = false, 3), root, append = true, statsCols = sc)
+
+    val q = batchRead(root).filter($"note".isNull)
+      .groupBy("bucket").agg(count(lit(1)).as("n"),
+        min("id").as("lo"), max("id").as("hi"))
+      .coalesce(1).sortWithinPartitions("bucket")
+    assert(q.as[(Int, Long, Long, Long)].collect().toSeq ===
+      Seq((1, 100L, 0L, 99L), (2, 100L, 100L, 199L)))
+    val d = descOf(q)
+    assert(d.contains("ExactPushedFilters"), s"IS NULL must claim:\n$d")
+    assert(d.contains("PushedAggregates"), s"the rollup must answer from metadata:\n$d")
+    assert(!hasResidualFilter(q), "no residual under the IS NULL claim")
+
+    val q2 = batchRead(root).filter($"note".isNotNull)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .coalesce(1).sortWithinPartitions("bucket")
+    assert(q2.as[(Int, Long)].collect().toSeq === Seq((3, 100L)))
+    assert(descOf(q2).contains("ExactPushedFilters"),
+      s"IS NOT NULL must claim the complement:\n${descOf(q2)}")
+
+    // a mixed-null file (bucket 4): neither side can claim it — residual
+    // semantics return, results stay exact
+    Snapshots.commit(
+      spark.range(300, 400).select($"id",
+        when($"id" % 2 === 0, concat(lit("n"), $"id")).as("note"),
+        lit(4).as("bucket")).coalesce(1),
+      root, append = true, statsCols = sc)
+    val q3 = batchRead(root).filter($"note".isNull)
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .coalesce(1).sortWithinPartitions("bucket")
+    assert(q3.as[(Int, Long)].collect().toSeq ===
+      Seq((1, 100L), (2, 100L), (4, 50L)))
+    assert(!descOf(q3).contains("ExactPushedFilters"),
+      "a mixed-null file must kill the claim")
+    assert(hasResidualFilter(q3), "mixed file: the residual must filter")
   }
 
   test("one pushed-aggregate compile resolves the manifest once (memo across support/push)") {

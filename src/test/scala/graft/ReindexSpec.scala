@@ -190,6 +190,38 @@ class ReindexSpec extends SparkSpec {
       Seq(((0L until 400L).sum, 400L, 0L, 399L)))
   }
 
+  test("all-null / all-NaN columns tombstone: repeat ANALYZE reads zero data bytes") {
+    // round 19: a file whose requested column produces no range used to
+    // record NOTHING — indistinguishable from never-indexed, so every
+    // ANALYZE re-scanned it forever. Now the scan records a no-range
+    // tombstone (real null count, inert bounds) and coverage is provable
+    // in O(metadata).
+    val root = tmp()
+    Snapshots.commit(spark.range(0, 100)
+      .select($"id", $"id".cast("double").as("v"),
+        ($"id" / 10).cast("float").as("f")).coalesce(1), root)
+    Snapshots.commit(spark.range(100, 200)
+      .select($"id", lit(null).cast("double").as("v"),
+        lit(Float.NaN).as("f")).coalesce(1), root, append = true)
+    val v3 = Snapshots.reindexStats(spark, root, Seq("id", "v", "f"))
+    assert(v3 === 3L)
+    val m3 = Snapshots.manifest(spark, root, v3)
+    // the degenerate (file, col) pairs carry tombstones with REAL null
+    // counts: all-null v (100 nulls), all-NaN f (0 nulls — NaN ≠ null)
+    assert(m3.tombs.exists(t => t.col == "v" && t.nulls === 100L),
+      s"all-null column must tombstone, tombs=${m3.tombs}")
+    assert(m3.tombs.exists(t => t.col == "f" && t.nulls === 0L),
+      s"all-NaN float column must tombstone, tombs=${m3.tombs}")
+    // tombstones never reach the range index (resolve separates them)
+    assert(!m3.stats.exists(_.nr), "no tombstone may sit in Manifest.stats")
+    assert(m3.stats.count(_.col == "id") === 2, "plain columns index normally")
+    // destroy EVERY data byte: the repeat ANALYZE must verify coverage in
+    // O(metadata) — re-scanning a tombstoned file would throw FileNotFound
+    m3.files.foreach(u => assert(fs(root).delete(new Path(u), false)))
+    assert(Snapshots.reindexStats(spark, root, Seq("id", "v", "f")) === 3L,
+      "tombstone-covered: version-less no-op, zero data bytes read")
+  }
+
   test("a fully-covered reindex is a version-less no-op; force rebuilds") {
     val root = tmp()
     Snapshots.commit(
