@@ -783,9 +783,25 @@ private[streaming] class SnapshotScanBuilder(
     // every group vectored away: decline — Spark's scan of the (DV-filtered)
     // files produces the correct empty grouped result
     if (groupCols.nonEmpty && liveGroups.isEmpty) return None
+    // Range entries of `c` over `fs`: every file must carry either a
+    // range entry or a provably ALL-NULL tombstone (nulls == recorded
+    // rows). An all-null file contributes NOTHING to COUNT(col)/
+    // COUNT(DISTINCT)/MIN/MAX/SUM/AVG — they all ignore nulls — so it is
+    // simply omitted from the returned entries (round 19: sparse optional
+    // columns no longer decline the whole pushdown). A NaN tombstone
+    // (nulls < rows, float/double) declines: its rows hold values the
+    // recorded bounds cannot see. All-files-all-null yields Some(empty),
+    // which every consumer already declines (native NULL semantics).
+    val tombByColFile = m.tombs.map(t => (t.col, t.file) -> t).toMap
     def statsOver(fs: Seq[String], c: String): Option[Seq[Snapshots.ColStats]] = {
-      val sts = fs.map(n => statsByColFile.get((c, n)))
-      if (sts.exists(_.isEmpty)) None else Some(sts.flatten)
+      val parts: Seq[Option[Option[Snapshots.ColStats]]] = fs.map { n =>
+        statsByColFile.get((c, n)).map(Some(_): Option[Snapshots.ColStats])
+          .orElse(tombByColFile.get((c, n)).collect {
+            case t if t.nulls >= 0L && rowsByName.get(n).contains(t.nulls) =>
+              None: Option[Snapshots.ColStats]
+          })
+      }
+      if (parts.exists(_.isEmpty)) None else Some(parts.flatten.flatten)
     }
     // MIN/MAX under deletion vectors (round 17 refinement): a vector can
     // only REMOVE rows, so when the recorded extremum comes from a CLEAN

@@ -499,4 +499,66 @@ class GroupedAggPushSpec extends SparkSpec {
     }.mkString("\n")
     assert(!d.contains("AVG(wide)"), s"overflowing AVG must not push:\n$d")
   }
+
+  test("an ALL-NULL file's tombstone no longer declines the aggregate pushdown") {
+    // round 19: sparse optional columns land whole files of nulls; such a
+    // file contributes NOTHING to null-ignoring aggregates, and its
+    // tombstone (nulls == recorded rows) proves it — COUNT/MIN/MAX/SUM/
+    // AVG answer from the remaining files' entries. A NaN tombstone must
+    // still decline (its rows hold values the bounds cannot see).
+    val root = tmp()
+    Snapshots.commit(spark.range(0, 100)
+      .select(lit("s1").as("src"), $"id".cast("decimal(10,2)").as("amt"))
+      .coalesce(1), root, statsCols = Seq("src", "amt"))
+    Snapshots.commit(spark.range(0, 50)
+      .select(lit("s2").as("src"), lit(null).cast("decimal(10,2)").as("amt"))
+      .coalesce(1), root, append = true, statsCols = Seq("src", "amt"))
+    // write-time decimal stats ride the distributed pass (sums recorded),
+    // and the all-null file records a tombstone, not an entry
+    val m = Snapshots.manifest(spark, root, 2L)
+    assert(m.tombs.exists(t => t.col == "amt" && t.nulls == 50L),
+      s"all-null decimal file must tombstone, tombs=${m.tombs}")
+    val q = batchRead(root).agg(
+      count($"amt").as("n"), min($"amt").as("lo"), max($"amt").as("hi"),
+      sum($"amt").as("s"), avg($"amt").as("a"))
+    val d2 = descOf(q)
+    assert(d2.contains("COUNT(amt)") && d2.contains("MIN(amt)") &&
+      d2.contains("MAX(amt)") && d2.contains("SUM(amt)") &&
+      d2.contains("AVG(amt)"),
+      s"all aggregates must push over the tombstoned layout:\n$d2")
+    val r = q.collect().head
+    assert(r.getLong(0) === 100L)
+    assert(r.getDecimal(1).compareTo(new java.math.BigDecimal("0.00")) === 0)
+    assert(r.getDecimal(2).compareTo(new java.math.BigDecimal("99.00")) === 0)
+    assert(r.getDecimal(3).compareTo(new java.math.BigDecimal("4950.00")) === 0)
+    assert(r.getDecimal(4).compareTo(new java.math.BigDecimal("49.5")) === 0)
+    // grouped COUNT(*) still answers per group (the all-null file's group
+    // keeps its rows — COUNT(*) counts nulls too)
+    val g = batchRead(root).groupBy("src").agg(count(lit(1)).as("n"))
+      .coalesce(1).sortWithinPartitions("src")
+    assert(g.as[(String, Long)].collect().toSeq === Seq(("s1", 100L), ("s2", 50L)))
+  }
+
+  test("a NaN tombstone still declines MIN/MAX/COUNT(col) pushdown") {
+    val root = tmp()
+    Snapshots.commit(spark.range(0, 100)
+      .select(lit("s1").as("src"), ($"id" % 10).as("k"),
+        ($"id" / 10).cast("float").as("fv")).coalesce(1),
+      root, statsCols = Seq("src", "k", "fv"))
+    Snapshots.commit(spark.range(0, 50)
+      .select(lit("s2").as("src"), ($"id" % 10).as("k"),
+        lit(Float.NaN).cast("float").as("fv")).coalesce(1),
+      root, append = true, statsCols = Seq("src", "k", "fv"))
+    // ANALYZE records the all-NaN tombstone (nulls = 0 < rows)
+    Snapshots.reindexStats(spark, root, Seq("src", "k", "fv"))
+    val m = Snapshots.manifest(spark, root, Snapshots.headVersion(spark, root))
+    assert(m.tombs.exists(t => t.col == "fv" && t.nulls == 0L),
+      s"all-NaN file must tombstone with nulls=0, tombs=${m.tombs}")
+    // COUNT(fv) must NOT answer by omitting the NaN file: its 50 NaN
+    // rows ARE non-null. The NaN tombstone (nulls < rows) declines.
+    val q = batchRead(root).agg(count($"fv").as("n"))
+    assert(!descOf(q).contains("COUNT(fv)"),
+      s"a NaN tombstone must decline COUNT(col):\n${descOf(q)}")
+    assert(q.as[Long].collect().head === 150L, "NaN counts as non-null")
+  }
 }
