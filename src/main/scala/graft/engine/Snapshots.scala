@@ -3916,8 +3916,41 @@ object Snapshots {
         MinedConjunct(overlap,
           fullStrFiles(c, s => s.slo == s.shi && ks.contains(s.slo)))
       }
+    // NULL-NESS conjuncts (round 19, the Catalyst twin of FilterPrune's
+    // IS NULL mining): null counts are type-agnostic — numeric ranges,
+    // string bounds, and no-range tombstones all carry one. IS NULL
+    // overlaps the files that might hold a null (exact zero-null entries
+    // prune) and FULLY accepts all-null-tombstoned files (nulls ==
+    // recorded rows — `DELETE WHERE c IS NULL` drops them as metadata);
+    // IS NOT NULL mirrors. Unknown counts (-1) stay conservative.
+    val rowsByFileN: Map[String, Long] = m.rows.iterator.map(r => r.file -> r.n).toMap
+    def nullness(a: Expression, isNull: Boolean): Option[MinedConjunct] = a match {
+      case attr: AttributeReference =>
+        val c = attr.name
+        val known: Map[String, Long] = (m.stats.iterator ++ m.tombs.iterator)
+          .filter(s => s.col == c && s.nulls >= 0L).map(s => s.file -> s.nulls).toMap
+        if (known.isEmpty) None
+        else {
+          val allNull = m.tombs.iterator
+            .filter(t => t.col == c && t.nulls > 0L &&
+              rowsByFileN.get(t.file).contains(t.nulls)).map(_.file).toSet
+          val zeroNull = known.collect { case (f, 0L) => f }.toSet
+          def nameOf(f: String) = new Path(f).getName
+          if (isNull) Some(MinedConjunct(
+            m.files.filter(f => !zeroNull(nameOf(f))),
+            m.files.filter(f => allNull(nameOf(f))).toSet))
+          else Some(MinedConjunct(
+            m.files.filter(f => !allNull(nameOf(f))),
+            m.files.filter(f => zeroNull(nameOf(f))).toSet))
+        }
+      case _ => None
+    }
     // mine one conjunct (None = opaque, no constraint)
     def permits(e: Expression): Option[MinedConjunct] = e match {
+      case IsNull(a) => nullness(a, isNull = true)
+      case IsNotNull(a) => nullness(a, isNull = false)
+      case Not(IsNull(a)) => nullness(a, isNull = false)
+      case Not(IsNotNull(a)) => nullness(a, isNull = true)
       case EqualTo(l, r) => point(l, r).orElse(strPoint(l, r))
       case EqualNullSafe(l, r) => point(l, r).orElse(strPoint(l, r))
       case GreaterThan(l, r) =>
@@ -4059,12 +4092,14 @@ object Snapshots {
 
   /** The column's table-wide [min, max] (as the recorded double-cast
     * values, in the index's canonical units: timestamps exact epoch
-    * MICROS, dates epoch days) in O(metadata). Some iff every file either carries recorded
-    * stats for `c` or provably holds zero rows — a file with rows but no
-    * recorded range (stat-less commit, or an all-null file, which records
-    * none) makes the answer unknowable from metadata ⇒ None. Null values
-    * never participate in min/max, so partial-null files with stats are
-    * exact. */
+    * MICROS, dates epoch days) in O(metadata). Some iff every file either
+    * carries recorded stats for `c`, provably holds zero rows, or is
+    * provably all-null (round-19 tombstone, nulls == rows — contributes
+    * nothing to min/max). A file with rows but no usable range
+    * (stat-less commit, or a NaN tombstone — NaN rows DO participate in
+    * Spark's min/max ordering) makes the answer unknowable ⇒ None. Null
+    * values never participate in min/max, so partial-null files with
+    * stats are exact. */
   def statsRange(
       spark: SparkSession,
       root: String,
@@ -4082,9 +4117,17 @@ object Snapshots {
     // a deletion vector may have removed the extreme rows a file's recorded
     // range rests on — the exact answer is unknowable from metadata
     if (m.dvs.exists(d => d.deleted > 0 && names.contains(d.file))) return None
+    // a provably ALL-NULL file (tombstone with nulls == recorded rows)
+    // contributes nothing to min/max — skip it (round 19). A NaN
+    // tombstone does NOT qualify: NaN rows participate in Spark's min/max
+    // ordering, so such a file keeps the answer unknowable.
+    val allNull = m.tombs.iterator
+      .filter(t => t.col == c && t.nulls > 0L &&
+        rowsByName.get(t.file).contains(t.nulls)).map(_.file).toSet
     val covered = names.filter(byFile.contains)
     val uncovered = names.filterNot(byFile.contains)
       .filterNot(n => rowsByName.get(n).contains(0L))
+      .filterNot(allNull)
     if (uncovered.nonEmpty || covered.isEmpty) None
     else Some((covered.map(byFile(_).min).min, covered.map(byFile(_).max).max))
   }

@@ -257,4 +257,36 @@ class MetadataDeleteSpec extends SparkSpec {
       s"SQL DELETE must drop the second file too, got ${mh.files.size} files")
     assert(ids(root) === (200L until 400L).toSet)
   }
+
+  test("DELETE WHERE c IS NULL drops all-null files as metadata; countWhere answers") {
+    // round 19 (the Catalyst face of null-ness mining): a null-partitioned
+    // layout — all-null files tombstoned, populated files with exact
+    // zero-null counts — makes `c IS NULL` fully decidable from metadata:
+    // the delete drops the all-null files without opening them, and
+    // countWhere answers without a scan.
+    val root = tmp()
+    Snapshots.commit(spark.range(0, 100)
+      .select($"id", lit(null).cast("long").as("v")).coalesce(1),
+      root, statsCols = Seq("id", "v"))
+    Snapshots.commit(spark.range(100, 300)
+      .select($"id", $"id".as("v")).coalesce(1),
+      root, append = true, statsCols = Seq("id", "v"))
+    val m2 = Snapshots.manifest(spark, root, 2L)
+    assert(m2.tombs.exists(t => t.col == "v" && t.nulls == 100L),
+      s"the all-null file must tombstone, tombs=${m2.tombs}")
+    // countWhere: both sides answer from metadata — prove it by
+    // destroying every data byte first
+    m2.files.foreach(u => assert(fs(root).delete(new Path(u), false)))
+    assert(Snapshots.countWhere(spark, root, col("v").isNull) === 100L)
+    assert(Snapshots.countWhere(spark, root, col("v").isNotNull) === 200L)
+    val v3 = Snapshots.deleteWhere(spark, root, col("v").isNull)
+    assert(v3 === 3L)
+    val m3 = Snapshots.manifest(spark, root, v3)
+    assert(m3.files.size === 1 && m3.dvs.isEmpty,
+      s"the all-null file must drop as metadata, got ${m3.files.size} files")
+    // and the complement: IS NOT NULL fully accepts the zero-null file
+    val v4 = Snapshots.deleteWhere(spark, root, col("v").isNotNull)
+    assert(Snapshots.manifest(spark, root, v4).files.isEmpty,
+      "IS NOT NULL must drop the zero-null file as metadata")
+  }
 }
