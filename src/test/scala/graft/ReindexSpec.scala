@@ -222,6 +222,35 @@ class ReindexSpec extends SparkSpec {
       "tombstone-covered: version-less no-op, zero data bytes read")
   }
 
+  test("a decimal(38) sum overflow records the '!' sentinel: tried, not decay") {
+    // 20000 × 9·10^31 = 1.8·10^36 overflows the decimal(38,2) per-file
+    // accumulator: try_sum yields null. Pre-round-19 that recorded
+    // sumS=null — indistinguishable from a never-tried footer entry, so
+    // every ANALYZE re-scanned the file. The "!" sentinel marks it tried:
+    // consumers read "no sum" (SUM/AVG decline), reindex reads "covered".
+    val root = tmp()
+    val big = "9" + "0" * 31 + ".00"
+    Snapshots.commit(spark.range(0, 20000)
+      .select(lit("g").as("src"), lit(big).cast("decimal(34,2)").as("wide"))
+      .coalesce(1), root, statsCols = Seq("src", "wide"))
+    val m = Snapshots.manifest(spark, root, 1L)
+    val st = m.stats.find(_.col == "wide").getOrElse(fail("no wide entry"))
+    assert(st.sumS === "!", s"overflowed sum must record the sentinel, got ${st.sumS}")
+    assert(Snapshots.recordedSum(st).isEmpty, "the sentinel is not a number")
+    assert(st.min === 9e31 && st.max === 9e31, "the range survives the overflow")
+    // SUM pushdown must NOT treat the sentinel as a recorded sum: the
+    // scan computes natively and overflows per the engine's semantics
+    // (ANSI throws ARITHMETIC_OVERFLOW) — a sentinel parsed as a number
+    // would have answered 1.8e36 from metadata instead
+    val q = batchRead(root).agg(sum("wide").as("s"))
+    intercept[ArithmeticException] { q.collect() }
+    // ANALYZE: tried-and-unrecordable counts as covered — version-less
+    // no-op, proven with the data bytes destroyed
+    m.files.foreach(u => assert(fs(root).delete(new Path(u), false)))
+    assert(Snapshots.reindexStats(spark, root, Seq("src", "wide")) === 1L,
+      "sentinel-covered: no re-scan")
+  }
+
   test("a fully-covered reindex is a version-less no-op; force rebuilds") {
     val root = tmp()
     Snapshots.commit(
