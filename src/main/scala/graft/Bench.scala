@@ -69,7 +69,8 @@ object Bench {
         // not invalidate engine floors (methodology changes that alter
         // the timed region should bump the name of this exclusion list)
         val isHarness = (p: String) =>
-          p.endsWith("/graft/Bench.scala") || p.endsWith("/graft/Verify.scala")
+          p.endsWith("/graft/Bench.scala") || p.endsWith("/graft/Verify.scala") ||
+            p.endsWith("/graft/PlanDump.scala")
         val engineHash = hashOf(shared.filterNot { case (p, _) => isHarness(p) })
         val qTexts = qFiles.map { case (p, b) => (p, b, new String(b, "UTF-8")) }
         // precomputed once: ~140 lookups x 3 call sites otherwise re-scan
