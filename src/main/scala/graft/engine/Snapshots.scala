@@ -1638,16 +1638,26 @@ object Snapshots {
 
   /** Mine footers serially on the driver for small batches, as a Spark
     * job above [[FooterFanoutCutoff]]. `one` must be executor-safe
-    * (self-contained, no SparkSession capture). */
+    * (self-contained, no SparkSession capture). The driver path hands
+    * `one` the driver's own Hadoop conf; the fanout path rebuilds ONE conf
+    * per partition from shipped entries — `new Configuration(true)`
+    * re-parses the XML resource files, which measured as a visible slice
+    * of commit wall time when paid per file. */
   private def minedFooters[T: scala.reflect.ClassTag](
       spark: SparkSession,
       files: Seq[String],
-      one: String => T): Seq[T] =
-    if (files.size <= FooterFanoutCutoff) files.map(one)
-    else {
+      one: (String, org.apache.hadoop.conf.Configuration) => T): Seq[T] =
+    if (files.size <= FooterFanoutCutoff) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      files.map(one(_, conf))
+    } else {
+      val entries = hadoopEntries(spark)
       val parts = math.max(1,
         math.min(files.size / 8, spark.sparkContext.defaultParallelism * 2))
-      spark.sparkContext.parallelize(files, parts).map(one).collect().toSeq
+      spark.sparkContext.parallelize(files, parts).mapPartitions { it =>
+        val conf = footerConf(entries)
+        it.map(one(_, conf))
+      }.collect().toSeq
     }
 
   /** Mine ONE file's footer into its stats rows + row count. None = this
@@ -1659,7 +1669,7 @@ object Snapshots {
   private def mineFooterStats(
       uri: String,
       statsCols: Seq[String],
-      confEntries: Array[(String, String)]): Option[(Seq[ColStats], FileRows)] = {
+      conf: org.apache.hadoop.conf.Configuration): Option[(Seq[ColStats], FileRows)] = {
     import scala.jdk.CollectionConverters._
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import org.apache.parquet.schema.LogicalTypeAnnotation
@@ -1704,7 +1714,6 @@ object Snapshots {
         case _ => (v: Number) => v.doubleValue()
       }
     }
-    val conf = footerConf(confEntries)
     try {
       val u = uri
       val perFile = {
@@ -1799,8 +1808,7 @@ object Snapshots {
       files: Seq[String],
       statsCols: Seq[String]): Option[(Seq[ColStats], Seq[FileRows])] = {
     if (statsCols.isEmpty) return Some((Seq.empty, Seq.empty))
-    val entries = hadoopEntries(spark)
-    val perFile = minedFooters(spark, files, mineFooterStats(_, statsCols, entries))
+    val perFile = minedFooters(spark, files, mineFooterStats(_, statsCols, _))
     if (perFile.contains(None)) None
     else Some((perFile.flatMap(_.get._1), perFile.map(_.get._2)))
   }
@@ -2009,20 +2017,18 @@ object Snapshots {
     * missing count as "must scan", never as zero). */
   /** Executor-safe single-footer row count (None: unreadable). */
   private def mineFooterRows(
-      uri: String, confEntries: Array[(String, String)]): Option[FileRows] =
+      uri: String, conf: org.apache.hadoop.conf.Configuration): Option[FileRows] =
     try {
       val in = org.apache.parquet.hadoop.util.HadoopInputFile
-        .fromPath(new Path(uri), footerConf(confEntries))
+        .fromPath(new Path(uri), conf)
       val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
       val n = try r.getRecordCount finally r.close()
       Some(FileRows(new Path(uri).getName, n, in.getLength))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  private def rowsFromFooters(spark: SparkSession, files: Seq[String]): Seq[FileRows] = {
-    if (files.isEmpty) return Seq.empty
-    val entries = hadoopEntries(spark)
-    minedFooters(spark, files, mineFooterRows(_, entries)).flatten
-  }
+  private def rowsFromFooters(spark: SparkSession, files: Seq[String]): Seq[FileRows] =
+    if (files.isEmpty) Seq.empty
+    else minedFooters(spark, files, mineFooterRows).flatten
 
   private def writeShard(
       spark: SparkSession,

@@ -222,6 +222,10 @@ object GraftExtensions {
     one("rb64_agg")(Rb64Agg(_)),
     two("dot_f32")(DotF32(_, _)),
     two("cosine_f32")(CosineF32(_, _)),
+    two("quantize_scaled")(QuantizeScaled(_, _)),
+    two("dot_i64")(DotI64(_, _)),
+    two("l2_i64")(L2I64(_, _)),
+    three("dot_dec_double")(DotDecDouble(_, _, _)),
     two("bloom_agg")(new BloomFilterAggregate(_, _)),
     // explicit-size variant: (child, estimatedItems, numBits) — the 2-arg
     // form sizes by the runtime-filter conf maximum, far too large for the

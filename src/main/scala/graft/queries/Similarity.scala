@@ -11,17 +11,20 @@ import graft.functions.VecOps
   * brute-force cosine top-k as the correctness baseline, and a
   * random-hyperplane LSH-bucketed ANN as the scale path.
   *
-  * Both are bit-exact oracle-checked (see VecOps for the decimal dot-product
-  * contract). The LSH variant derives hyperplane signs from md5, so bucket
-  * assignment — and therefore even its recall misses — is identical in any
-  * engine: the probabilistic index is still a deterministic function of the
-  * data.
+  * Both are bit-exact oracle-checked (see [[VecOps]] for the decimal
+  * widening contract and [[graft.plans.VecQuant]] for the array-form exact
+  * arithmetic these queries execute: every score the oracle computes over
+  * exploded decimal/scaled-long postings is reproduced bit-for-bit by one
+  * whole-stage-codegen loop over the quantized arrays). The LSH variants
+  * derive hyperplane signs from md5, so bucket assignment — and therefore
+  * even their recall misses — is identical in any engine: the probabilistic
+  * index is still a deterministic function of the data.
   *
   * Scale shape: queries are a small broadcast relation probed against the
-  * corpus postings (no corpus shuffle for brute-force); LSH verification
-  * joins touch candidate pairs only, cost ∝ Σ bucket². At 100 TB the
-  * bucket key (or IVF centroid id) becomes the partition key and each
-  * executor ranks its buckets locally.
+  * corpus (no corpus shuffle for brute-force); LSH verification joins touch
+  * candidate PAIRS only — one row per pair, not pair×dim posting rows —
+  * with cost ∝ Σ bucket². At 100 TB the bucket key (or IVF centroid id)
+  * becomes the partition key and each executor ranks its buckets locally.
   */
 object Similarity {
 
@@ -52,12 +55,61 @@ object Similarity {
       |      FROM cos) r
       |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin
 
-  private def ed(spark: SparkSession, dir: String): DataFrame =
-    VecOps.explodeVec(
-      Tables(spark, dir, "embeddings")
-        .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt),
-      "vec_id", "embedding")
+  /** Array-form quantized corpus: ONE row per vector, `q<scale>` holding
+    * the exact 10^scale-scaled long view of every element
+    * ([[graft.plans.QuantizeScaled]]). The exploded (vec_id, i, x) posting
+    * form this replaces pushed dim rows per vector through every dot's
+    * exchange + hash aggregate; the array form computes the SAME exact
+    * integer arithmetic in one codegen loop per PAIR ([[graft.plans.DotI64]]
+    * / [[graft.plans.DotDecDouble]]), so candidate verification shuffles
+    * pairs, not pair×dim postings, and the per-dot aggregations (with
+    * their exchanges) vanish from the plan. Quantization runs once per
+    * vector; the relation is persisted because every downstream stage
+    * (norms, centroids, both verify sides) re-reads it. */
+  private def evq(
+      spark: SparkSession,
+      dir: String,
+      scale: Int,
+      qCol: String,
+      extra: Seq[String] = Nil): DataFrame = {
+    graft.plans.GraftExtensions.register(spark)
+    Tables(spark, dir, "embeddings")
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("vec_id") +: extra.map(col) :+
+        call_function("quantize_scaled", col("embedding"), lit(scale)).as(qCol): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Exact integer dot of two scaled-long arrays (≡ SUM over the exploded
+    * postings' products, bit-for-bit). */
+  private def dotq(a: Column, b: Column): Column =
+    call_function("dot_i64", a, b)
+
+  /** Exact decimal dot of two 1e9-scaled arrays rendered as DOUBLE
+    * (≡ CAST(SUM(xd·xd') AS DOUBLE) over the DECIMAL(18,9) postings). */
+  private def dot9(a: Column, b: Column): Column =
+    call_function("dot_dec_double", a, b, lit(18))
+
+  /** The scale-9 corpus (vec_id, q9) — the DECIMAL(18,9) family's view. */
+  private def ev9(spark: SparkSession, dir: String): DataFrame =
+    evq(spark, dir, 9, "q9")
+
+  /** L2 norms off the array view: (vec_id, nrm) — the exact decimal sum of
+    * squares, one sqrt (≡ [[VecOps.norms]] over the exploded postings). */
+  private def nrm9(e: DataFrame): DataFrame =
+    e.select(col("vec_id"), sqrt(dot9(col("q9"), col("q9"))).as("nrm"))
+
+  /** ±1 hyperplane sign rows (p, parr: array<long> of 64 md5-derived signs)
+    * — the array twin of the exploded (p, i, sgn) relation: a sign vote is
+    * then one dot_i64(vector, plane) instead of 64 posting-join rows. */
+  private def planeArrays(spark: SparkSession, planes: Int): DataFrame =
+    spark.range(0, planes)
+      .select(col("id").cast(IntegerType).as("p"))
+      .select(col("p"), expr(
+        """transform(sequence(1, 64), i ->
+          |  CASE WHEN instr('0123456789abcdef',
+          |    substr(md5(concat(cast(p as string), ',', cast(i as string))), 1, 1)) - 1 >= 8
+          |  THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)""".stripMargin).as("parr"))
 
   /** cosine = dot / (|a| |b|) and top-K ranking — shared tail. */
   private def rankTail(dots: DataFrame, nrm: DataFrame): DataFrame = {
@@ -74,18 +126,10 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** (vec_id [, extra...], i, xm) postings on the exact 1e6-scaled long
-    * view (see q42), shared by the quantized-dot queries. */
-  private def ed6(spark: SparkSession, dir: String, extra: Seq[String] = Nil): DataFrame = {
-    val keep = col("vec_id") +: extra.map(col)
-    Tables(spark, dir, "embeddings")
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)
-      .select(keep :+ posexplode(col("embedding")).as(Seq("i0", "x")): _*)
-      .select(keep ++ Seq((col("i0") + 1).as("i"),
-        (col("x").cast(DoubleType).cast(DecimalType(18, 6)) * lit(1000000L))
-          .cast(LongType).as("xm")): _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-  }
+  /** The scale-6 corpus (vec_id [, extra...], q6) — the 1e6-scaled long
+    * view the quantized-dot queries ride ([[evq]]). */
+  private def ev6(spark: SparkSession, dir: String, extra: Seq[String] = Nil): DataFrame =
+    evq(spark, dir, 6, "q6", extra)
 
   /** Shared oracle prelude for the quantized (1e6 long) postings. */
   private val ed6Sql =
@@ -140,13 +184,14 @@ object Similarity {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY cosine DESC, cand_id) AS rn FROM cos) r
          |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
-      val e = ed6(spark, dir)
-      val n6 = e.groupBy("vec_id").agg(sum(col("xm") * col("xm")).as("nsq"))
+      val e = ev6(spark, dir)
+      val n6 = e.select(col("vec_id"), dotq(col("q6"), col("q6")).as("nsq"))
       val cent = e.filter(col("vec_id") % 250 === 1)
-        .select(col("vec_id").as("c_id"), col("i").as("ci"), col("xm").as("cxm"))
-      val cdots = e.join(broadcast(cent), col("ci") === col("i"))
-        .groupBy(col("vec_id"), col("c_id"))
-        .agg(sum(col("xm") * col("cxm")).as("dot6"))
+        .select(col("vec_id").as("c_id"), col("q6").as("cq"))
+      // vector × centroid scores: one codegen dot per pair — the posting
+      // form shuffled pair×dim rows through a hash aggregate here
+      val cdots = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("c_id"), dotq(col("q6"), col("cq")).as("dot6"))
       val score = col("dot6").cast(DoubleType) / sqrt(col("nc.nsq").cast(DoubleType))
       val assignW = Window.partitionBy(col("cd.vec_id")).orderBy(score.desc, col("c_id"))
       val ranked = cdots.as("cd")
@@ -165,9 +210,9 @@ object Similarity {
         .distinct()
       val dots = cand
         .join(e.as("a"), col("a.vec_id") === col("query_id"))
-        .join(e.as("b"), col("b.vec_id") === col("cand_id") && col("b.i") === col("a.i"))
-        .groupBy("query_id", "cand_id")
-        .agg(sum(col("a.xm") * col("b.xm")).as("dot6"))
+        .join(e.as("b"), col("b.vec_id") === col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          dotq(col("a.q6"), col("b.q6")).as("dot6"))
       val cos = dots
         .join(n6.as("na"), col("na.vec_id") === col("query_id"))
         .join(n6.as("nb"), col("nb.vec_id") === col("cand_id"))
@@ -250,24 +295,18 @@ object Similarity {
         |WHERE cosine >= 0.4 ORDER BY v1, v2""".stripMargin) { (spark, dir) =>
       val nBands = 8
       val ppb = 3 // planes per band — the block-size knob (see scaladoc)
-      val ed6l = ed6(spark, dir, Seq("label"))
-      val n6 = ed6l.groupBy("vec_id").agg(sum(col("xm") * col("xm")).as("nsq"))
-      // 24 hyperplanes × 64 dims of md5-derived ±1 signs (tiny, broadcast)
-      val planes = spark.range(0, nBands * ppb * 64)
-        .select((col("id") / 64).cast(IntegerType).as("p"),
-          (col("id") % 64 + 1).cast(IntegerType).as("i"))
-        .select(col("p"), col("i"),
-          when(expr("instr('0123456789abcdef', substr(md5(concat(cast(p as string), ',', cast(i as string))), 1, 1)) - 1 >= 8"), 1)
-            .otherwise(-1).as("sgn"))
-      // sign votes on the exact scaled-long view — integer codegen math
-      val bits = ed6l.join(broadcast(planes), planes("i") === ed6l("i"))
-        .groupBy(col("vec_id"), col("p"))
-        .agg(when(sum(col("sgn") * col("xm")) >= 0, "1").otherwise("0").as("b"))
+      val e = ev6(spark, dir, Seq("label"))
+      val n6 = e.select(col("vec_id"), dotq(col("q6"), col("q6")).as("nsq"))
+      // 24 hyperplanes × 64 dims of md5-derived ±1 signs (tiny, broadcast);
+      // a sign vote is one codegen dot against the plane's ±1 array
+      val bits = e.crossJoin(broadcast(planeArrays(spark, nBands * ppb)))
+        .select(col("vec_id"), col("p"),
+          when(dotq(col("q6"), col("parr")) >= 0, "1").otherwise("0").as("b"))
       val sig = bits.groupBy("vec_id")
         .agg(array_join(
           transform(array_sort(collect_list(struct(col("p"), col("b")))), x => x.getField("b")),
           "").as("sig"))
-      val lab = ed6l.select("vec_id", "label").distinct()
+      val lab = e.select("vec_id", "label").distinct()
       val vecs = sig.join(lab, "vec_id")
         .select(col("vec_id"), col("label"),
           explode(array((0 until nBands).map(k =>
@@ -279,11 +318,10 @@ object Similarity {
         .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"), col("a.label").as("label"))
         .distinct()
       val dots = cand
-        .join(ed6l.select("vec_id", "i", "xm").as("a"), col("a.vec_id") === col("v1"))
-        .join(ed6l.select("vec_id", "i", "xm").as("b"),
-          col("b.vec_id") === col("v2") && col("b.i") === col("a.i"))
-        .groupBy("v1", "v2", "label")
-        .agg(sum(col("a.xm") * col("b.xm")).as("dot6"))
+        .join(e.select("vec_id", "q6").as("a"), col("a.vec_id") === col("v1"))
+        .join(e.select("vec_id", "q6").as("b"), col("b.vec_id") === col("v2"))
+        .select(col("v1"), col("v2"), col("label"),
+          dotq(col("a.q6"), col("b.q6")).as("dot6"))
       dots
         .join(n6.as("na"), col("na.vec_id") === col("v1"))
         .join(n6.as("nb"), col("nb.vec_id") === col("v2"))
@@ -309,15 +347,16 @@ object Similarity {
          |  FROM dots JOIN norms nq ON nq.vec_id = query_id
          |            JOIN norms nc ON nc.vec_id = cand_id)
          |$rankTailSql""".stripMargin) { (spark, dir) =>
-      val e = ed(spark, dir)
-      val nrm = VecOps.norms(e, "vec_id")
+      val e = ev9(spark, dir)
+      val nrm = nrm9(e)
       val q = e.filter(col("vec_id") % 100 === 0)
-        .select(col("vec_id").as("query_id"), col("i").as("qi"), col("xd").as("qd"))
-      // queries are small — broadcast them so the corpus never shuffles
+        .select(col("vec_id").as("query_id"), col("q9").as("qq"))
+      // queries are small — broadcast them so the corpus never shuffles;
+      // one codegen dot per (vector, query) pair, no aggregation
       val dots = e
-        .join(broadcast(q), col("i") === col("qi") && col("vec_id") =!= col("query_id"))
-        .groupBy(col("query_id"), col("vec_id").as("cand_id"))
-        .agg(sum(col("qd") * col("xd")).cast(DoubleType).as("dot"))
+        .join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("cand_id"),
+          dot9(col("q9"), col("qq")).as("dot"))
       rankTail(dots, nrm)
     },
 
@@ -392,23 +431,14 @@ object Similarity {
          |  FROM dots JOIN norms nq ON nq.vec_id = query_id
          |            JOIN norms nc ON nc.vec_id = cand_id)
          |$rankTailSql""".stripMargin) { (spark, dir) =>
-      val e = ed(spark, dir)
-      val nrm = VecOps.norms(e, "vec_id")
+      val e = ev9(spark, dir)
+      val nrm = nrm9(e)
       // 4 tables × 8 hyperplanes × 64 dims of md5-derived ±1 signs (tiny,
-      // broadcast; one flat range — a crossJoin of two ranges would plan a
-      // nested loop)
-      val planes = spark.range(0, 32 * 64)
-        .select((col("id") / 64).cast(IntegerType).as("p"),
-          (col("id") % 64 + 1).cast(IntegerType).as("i"))
-        .select(col("p"), col("i"),
-          when(expr("instr('0123456789abcdef', substr(md5(concat(cast(p as string), ',', cast(i as string))), 1, 1)) - 1 >= 8"), 1)
-            .otherwise(-1).as("sgn"))
-      // sign votes on the exact scaled-long view (xl) — integer codegen
-      // math; keep the raw vote s: its sign is the bit, its magnitude the
-      // multi-probe margin
-      val bits = e.join(broadcast(planes), planes("i") === e("i"))
-        .groupBy(col("vec_id"), col("p"))
-        .agg(sum(col("sgn") * col("xl")).as("s"))
+      // broadcast). A sign vote is one codegen dot of the 1e9-scaled array
+      // against the plane's ±1 array — integer math; keep the raw vote s:
+      // its sign is the bit, its magnitude the multi-probe margin
+      val bits = e.crossJoin(broadcast(planeArrays(spark, 32)))
+        .select(col("vec_id"), col("p"), dotq(col("q9"), col("parr")).as("s"))
       // per (vector, table): the 8-bit integer signature (bucket key within
       // the table — probing a neighbor bucket is just an XOR mask) and the
       // flip order — plane positions ascending by |margin|, the multi-probe
@@ -438,7 +468,11 @@ object Similarity {
           && col("c.vec_id") =!= col("q.vec_id"))
         .select(col("q.vec_id").as("query_id"), col("c.vec_id").as("cand_id"))
         .distinct() // a pair colliding in several tables/probes verifies once
-      val dots = VecOps.pairDots(cand, e, "query_id", "cand_id")
+      val dots = cand
+        .join(e.as("va"), col("va.vec_id") === col("query_id"))
+        .join(e.as("vb"), col("vb.vec_id") === col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          dot9(col("va.q9"), col("vb.q9")).as("dot"))
       rankTail(dots, nrm)
     },
 
@@ -484,14 +518,13 @@ object Similarity {
          |SELECT a.vec_id, a.cell, (dup.vec_id IS NULL) AS kept
          |FROM assign a LEFT JOIN dup ON dup.vec_id = a.vec_id
          |ORDER BY a.vec_id""".stripMargin) { (spark, dir) =>
-      val e6 = ed6(spark, dir)
-      val n6 = e6.groupBy("vec_id").agg(sum(col("xm") * col("xm")).as("nsq"))
+      val e6 = ev6(spark, dir)
+      val n6 = e6.select(col("vec_id"), dotq(col("q6"), col("q6")).as("nsq"))
       // seed centroids: a few rows per √N-ish stride — tiny, broadcast
       val cent = e6.filter(col("vec_id") % 100 === 1)
-        .select(col("vec_id").as("c_id"), col("i").as("ci"), col("xm").as("cm"))
-      val cdots = e6.join(broadcast(cent), col("ci") === col("i"))
-        .groupBy(col("vec_id"), col("c_id"))
-        .agg(sum(col("xm") * col("cm")).as("dot6"))
+        .select(col("vec_id").as("c_id"), col("q6").as("cq"))
+      val cdots = e6.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("c_id"), dotq(col("q6"), col("cq")).as("dot6"))
       val byVec = Window.partitionBy(col("vec_id")).orderBy(
         (col("dot6").cast(DoubleType) / sqrt(col("c_nsq").cast(DoubleType))).desc,
         col("c_id"))
@@ -501,15 +534,17 @@ object Similarity {
         .withColumn("rn", row_number().over(byVec))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("c_id").as("cell"))
-      // cell-tagged postings feed both sides of the within-cell verify
+      // cell-tagged vectors feed both sides of the within-cell verify: the
+      // self-join emits one row per cell-mate PAIR (not pair×dim postings),
+      // each verified by one codegen dot
       val mem = e6.join(assign, "vec_id")
-        .select(col("vec_id"), col("cell"), col("i"), col("xm"))
+        .select(col("vec_id"), col("cell"), col("q6"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dots = mem.as("a")
-        .join(mem.as("b"), col("b.cell") === col("a.cell") && col("b.i") === col("a.i")
+        .join(mem.as("b"), col("b.cell") === col("a.cell")
           && col("a.vec_id") < col("b.vec_id"))
-        .groupBy(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"))
-        .agg(sum(col("a.xm") * col("b.xm")).as("dot6"))
+        .select(col("a.vec_id").as("v1"), col("b.vec_id").as("v2"),
+          dotq(col("a.q6"), col("b.q6")).as("dot6"))
       val dup = dots
         .join(n6.as("na"), col("na.vec_id") === col("v1"))
         .join(n6.as("nb"), col("nb.vec_id") === col("v2"))
@@ -585,29 +620,31 @@ object Similarity {
          |      cand_id) AS rn
          |  FROM dots JOIN n6 na ON na.vec_id = query_id JOIN n6 nb ON nb.vec_id = cand_id) z
          |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
-      val e6 = ed6(spark, dir)
-      val n6 = e6.groupBy("vec_id").agg(sum(col("xm") * col("xm")).as("nsq"))
-      // truncating int cast = floor for the non-negative (i-1)/8
+      val e6 = ev6(spark, dir)
+      val n6 = e6.select(col("vec_id"), dotq(col("q6"), col("q6")).as("nsq"))
+      // per-subspace slices: 8 rows per vector (posexplode pos = the
+      // 0-based subspace id m), each an 8-long subvector array
       val sub = e6.select(col("vec_id"),
-        ((col("i") - 1) / lit(8)).cast(IntegerType).as("m"), col("i"), col("xm"))
-      // codebook: first-64 vectors' subvectors — tiny (M×K×8 rows), broadcast
+        posexplode(array((0 until 8).map(m =>
+          slice(col("q6"), m * 8 + 1, 8)): _*)).as(Seq("m", "sq")))
+      // codebook: first-64 vectors' subvectors — tiny (M×K rows), broadcast
       val cb = sub.filter(col("vec_id") < 64)
-        .select(col("m").as("cm"), col("vec_id").as("k"), col("i").as("ci"),
-          col("xm").as("cxm"))
-      // encode: exact integer L2 per (vector, subspace, codeword), argmin
+        .select(col("m").as("cm"), col("vec_id").as("k"), col("sq").as("csq"))
+      // encode: exact integer L2 per (vector, subspace, codeword) — one
+      // codegen loop per candidate codeword, no posting aggregation
       val enc = sub
-        .join(broadcast(cb), col("cm") === col("m") && col("ci") === col("i"))
-        .groupBy(col("vec_id"), col("m"), col("k"))
-        .agg(sum((col("xm") - col("cxm")) * (col("xm") - col("cxm"))).as("d2"))
+        .join(broadcast(cb), col("cm") === col("m"))
+        .select(col("vec_id"), col("m"), col("k"),
+          call_function("l2_i64", col("sq"), col("csq")).as("d2"))
       val byVecSub = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("k"))
       val codes = enc.withColumn("rn", row_number().over(byVecSub))
         .filter(col("rn") === 1).select("vec_id", "m", "k")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // ADC lookup table: per query, exact dot with every codeword — tiny
-      val qlut = e6.filter(col("vec_id") % 100 === 0)
-        .join(broadcast(cb), col("ci") === col("i"))
-        .groupBy(col("vec_id").as("query_id"), col("cm").as("lm"), col("k").as("lk"))
-        .agg(sum(col("xm") * col("cxm")).as("pdot"))
+      val qlut = sub.filter(col("vec_id") % 100 === 0)
+        .join(broadcast(cb), col("cm") === col("m"))
+        .select(col("vec_id").as("query_id"), col("cm").as("lm"), col("k").as("lk"),
+          dotq(col("sq"), col("csq")).as("pdot"))
       // approx score: 8 LUT adds per candidate — codes ⋈ broadcast LUT,
       // the corpus-sized relation never shuffles for the probe
       val approx = codes
@@ -620,12 +657,12 @@ object Similarity {
         .filter(col("rn") <= 60).select("query_id", "cand_id")
       // exact rerank of the shortlist only (quantized-exact dots + norms)
       val dots = short
-        .join(e6.select(col("vec_id"), col("i"), col("xm")).as("a"),
+        .join(e6.select(col("vec_id"), col("q6")).as("a"),
           col("a.vec_id") === col("query_id"))
-        .join(e6.select(col("vec_id"), col("i"), col("xm")).as("b"),
-          col("b.vec_id") === col("cand_id") && col("b.i") === col("a.i"))
-        .groupBy("query_id", "cand_id")
-        .agg(sum(col("a.xm") * col("b.xm")).as("dot6"))
+        .join(e6.select(col("vec_id"), col("q6")).as("b"),
+          col("b.vec_id") === col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          dotq(col("a.q6"), col("b.q6")).as("dot6"))
       val cosine = col("dot6").cast(DoubleType) /
         (sqrt(col("na.nsq").cast(DoubleType)) * sqrt(col("nb.nsq").cast(DoubleType)))
       val byQc = Window.partitionBy("query_id").orderBy(cosine.desc, col("cand_id"))
@@ -717,15 +754,14 @@ object Similarity {
          |      cand_id) AS rn
          |  FROM dots JOIN n6 na ON na.vec_id = query_id JOIN n6 nb ON nb.vec_id = cand_id) z
          |WHERE rn <= 5 ORDER BY query_id, rank""".stripMargin) { (spark, dir) =>
-      val e6 = ed6(spark, dir)
-      val n6 = e6.groupBy("vec_id").agg(sum(col("xm") * col("xm")).as("nsq"))
+      val e6 = ev6(spark, dir)
+      val n6 = e6.select(col("vec_id"), dotq(col("q6"), col("q6")).as("nsq"))
       // IVF: nearest-centroid assignment for the corpus, top-4 probes for
       // the query subset (exactly q43/q52's machinery, wider probe)
       val cent = e6.filter(col("vec_id") % 250 === 1)
-        .select(col("vec_id").as("c_id"), col("i").as("ci"), col("xm").as("cxm"))
-      val cdots = e6.join(broadcast(cent), col("ci") === col("i"))
-        .groupBy(col("vec_id"), col("c_id"))
-        .agg(sum(col("xm") * col("cxm")).as("dot6"))
+        .select(col("vec_id").as("c_id"), col("q6").as("cq"))
+      val cdots = e6.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("c_id"), dotq(col("q6"), col("cq")).as("dot6"))
       val score = col("dot6").cast(DoubleType) / sqrt(col("nc.nsq").cast(DoubleType))
       val assignW = Window.partitionBy(col("cd.vec_id")).orderBy(score.desc, col("c_id"))
       val ranked = cdots.as("cd")
@@ -738,21 +774,21 @@ object Similarity {
       val probes = ranked.filter(col("vid") % 100 === 0)
       // PQ: 8 subspaces × 16 codewords, exact integer L2 argmin (q80)
       val sub = e6.select(col("vec_id"),
-        ((col("i") - 1) / lit(8)).cast(IntegerType).as("m"), col("i"), col("xm"))
+        posexplode(array((0 until 8).map(m =>
+          slice(col("q6"), m * 8 + 1, 8)): _*)).as(Seq("m", "sq")))
       val cb = sub.filter(col("vec_id") < 64)
-        .select(col("m").as("cm"), col("vec_id").as("k"), col("i").as("ci"),
-          col("xm").as("cxm"))
+        .select(col("m").as("cm"), col("vec_id").as("k"), col("sq").as("csq"))
       val enc = sub
-        .join(broadcast(cb), col("cm") === col("m") && col("ci") === col("i"))
-        .groupBy(col("vec_id"), col("m"), col("k"))
-        .agg(sum((col("xm") - col("cxm")) * (col("xm") - col("cxm"))).as("d2"))
+        .join(broadcast(cb), col("cm") === col("m"))
+        .select(col("vec_id"), col("m"), col("k"),
+          call_function("l2_i64", col("sq"), col("csq")).as("d2"))
       val byVecSub = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("k"))
       val codes = enc.withColumn("rn", row_number().over(byVecSub))
         .filter(col("rn") === 1).select("vec_id", "m", "k")
-      val qlut = e6.filter(col("vec_id") % 100 === 0)
-        .join(broadcast(cb), col("ci") === col("i"))
-        .groupBy(col("vec_id").as("query_id"), col("cm").as("lm"), col("k").as("lk"))
-        .agg(sum(col("xm") * col("cxm")).as("pdot"))
+      val qlut = sub.filter(col("vec_id") % 100 === 0)
+        .join(broadcast(cb), col("cm") === col("m"))
+        .select(col("vec_id").as("query_id"), col("cm").as("lm"), col("k").as("lk"),
+          dotq(col("sq"), col("csq")).as("pdot"))
       // candidates = probed cells' members; ADC runs on THESE codes only —
       // the cell partition is the scan pruning, the LUT adds are the
       // per-candidate cost
@@ -772,12 +808,12 @@ object Similarity {
       val short = approx.withColumn("rn", row_number().over(byQ))
         .filter(col("rn") <= 60).select("query_id", "cand_id")
       val dots = short
-        .join(e6.select(col("vec_id"), col("i"), col("xm")).as("a"),
+        .join(e6.select(col("vec_id"), col("q6")).as("a"),
           col("a.vec_id") === col("query_id"))
-        .join(e6.select(col("vec_id"), col("i"), col("xm")).as("b"),
-          col("b.vec_id") === col("cand_id") && col("b.i") === col("a.i"))
-        .groupBy("query_id", "cand_id")
-        .agg(sum(col("a.xm") * col("b.xm")).as("dot6"))
+        .join(e6.select(col("vec_id"), col("q6")).as("b"),
+          col("b.vec_id") === col("cand_id"))
+        .select(col("query_id"), col("cand_id"),
+          dotq(col("a.q6"), col("b.q6")).as("dot6"))
       val cosine = col("dot6").cast(DoubleType) /
         (sqrt(col("na.nsq").cast(DoubleType)) * sqrt(col("nb.nsq").cast(DoubleType)))
       val byQc = Window.partitionBy("query_id").orderBy(cosine.desc, col("cand_id"))
