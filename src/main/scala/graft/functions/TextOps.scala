@@ -81,7 +81,13 @@ object TextOps {
       keep: Seq[String] = Seq.empty): org.apache.spark.sql.DataFrame =
     positionalShingles(df, idCol, textCol, n, keep)
       .drop("pos")
-      .dropDuplicates(idCol, "s")
+      // keep columns join the dedup KEY (they are functionally dependent on
+      // idCol per the contract above, so the distinct rows are identical):
+      // carrying them as first(col) aggregates instead forces SortAggregate
+      // — string-valued FIRST buffers are not UnsafeRow-mutable — and a
+      // full sort of the postings; as grouping keys this stays a
+      // HashAggregate (r19)
+      .dropDuplicates(idCol +: "s" +: keep)
 
   /** Count of alphanumeric word tokens (BPE-ish regex token proxy). */
   def tokenCount(text: Column): Column =

@@ -54,11 +54,19 @@ object MinHashLSH {
   }
 
   /** Wide signature relation (doc_id, h0..h11): h_i = min over shingles of
-    * md5("i:" + s), all 12 as min-aggregates of ONE groupBy pass. */
+    * md5("i:" + s), all 12 from ONE [[graft.plans.MinHashMins]] aggregate.
+    * The 12-column `min(md5(...))` form this replaces planned as
+    * SortAggregate (string min buffers are not UnsafeRow-mutable), paying
+    * two full sorts of the postings per signature pass; the typed aggregate
+    * runs hash-grouped (ObjectHashAggregate) and hashes all 12 families in
+    * one reused-digest pass per shingle. Values are identical bit-for-bit
+    * (MinHashMinsSpec pins the equivalence). */
   def signatures(sh: DataFrame): DataFrame = {
-    val hashCols = (0 until numHashes).map(i =>
-      min(md5(concat(lit(s"$i:"), col("s")))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+    graft.plans.GraftExtensions.register(sh.sparkSession)
+    sh.groupBy("doc_id")
+      .agg(call_function("minhash_mins", col("s"), lit(numHashes)).as("__hs"))
+      .select(col("doc_id") +: (0 until numHashes).map(i =>
+        element_at(col("__hs"), i + 1).as(s"h$i")): _*)
   }
 
   /** Band keys (doc_id, bkey) from a wide signature relation:

@@ -223,6 +223,7 @@ object GraftExtensions {
     two("dot_f32")(DotF32(_, _)),
     two("cosine_f32")(CosineF32(_, _)),
     two("quantize_scaled")(QuantizeScaled(_, _)),
+    two("minhash_mins")(MinHashMins(_, _)),
     two("dot_i64")(DotI64(_, _)),
     two("l2_i64")(L2I64(_, _)),
     three("dot_dec_double")(DotDecDouble(_, _, _)),

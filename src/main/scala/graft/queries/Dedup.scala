@@ -43,10 +43,15 @@ object Dedup {
     * query feeds it to 2–4 downstream subplans. The local corpus is one
     * parquet file → one input split, so spread rows across the session's
     * shuffle parallelism first (on a real cluster the scan already has that
-    * many splits and this exchange is ~free vs. the expression work). */
+    * many splits and this exchange is ~free vs. the expression work).
+    * Spread BY doc_id, not round-robin: the shingle window partitions on
+    * doc_id, so hash distribution here satisfies it and the window's own
+    * exchange of the full token stream disappears (r19; ids are dense, so
+    * the hash spread is as even as round-robin). */
   private def rawPostings(spark: SparkSession, dir: String): DataFrame =
     TextOps.shinglePostings(
-      docs(spark, dir).repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt),
+      docs(spark, dir).repartition(
+        spark.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id")),
       "doc_id", "text", 3)
 
   private def postings(spark: SparkSession, dir: String): DataFrame =
@@ -285,7 +290,7 @@ object Dedup {
         |FROM per WHERE n_dup > 0 ORDER BY doc_id""".stripMargin) { (spark, dir) =>
       val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val spans = TextOps.positionalShingles(
-          docs(spark, dir).repartition(parts), "doc_id", "text", 8)
+          docs(spark, dir).repartition(parts, col("doc_id")), "doc_id", "text", 8)
         .select(col("doc_id"), md5(col("s")).as("g"))
       val gdf = spans.groupBy("g").agg(countDistinct(col("doc_id")).as("ndocs"))
       spans.join(gdf, "g") // co-partitioned with gdf's exchange key
@@ -318,7 +323,7 @@ object Dedup {
         |ORDER BY doc_id, fp""".stripMargin) { (spark, dir) =>
       val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val shp = TextOps.positionalShingles(
-          docs(spark, dir).repartition(parts), "doc_id", "text", 3)
+          docs(spark, dir).repartition(parts, col("doc_id")), "doc_id", "text", 3)
         .select(col("doc_id"), col("pos"), md5(col("s")).as("h"))
       val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
       shp.select(col("doc_id"), min(col("h")).over(win).as("fp"))
@@ -476,7 +481,7 @@ object Dedup {
         |ORDER BY src_a, src_b""".stripMargin) { (spark, dir) =>
       val sh = TextOps.shinglePostings(
           docs(spark, dir).repartition(
-            spark.conf.get("spark.sql.shuffle.partitions").toInt),
+            spark.conf.get("spark.sql.shuffle.partitions").toInt, col("doc_id")),
           "doc_id", "text", 3, keep = Seq("source"))
         .select(col("source"), col("s")).distinct()
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -72,18 +72,30 @@ class PlanSpec extends SparkSpec {
   }
 
   test("no extension query ever plans an all-pairs join") {
-    // the scale contract of the dedup/similarity family: candidate
-    // generation is always a key-equi join (shingle / band / bucket /
-    // cell / label+dim), never a cartesian or nested-loop product
-    Seq("q27_jaccard_pairs", "q28_minhash_lsh", "q30_cosine_topk",
-        "q31_ann_lsh", "q39_training_pipeline", "q42_embedding_neardup",
-        "q43_ann_ivf", "q52_ann_ivf_probe2", "q67_fuzzy_neardup",
-        "q69_bloom_decontaminate", "q77_dup_spans",
-        "q78_semantic_dedup", "q80_pq_adc", "q86_referential_audit",
-        "q89_ngram_decontamination").foreach { q =>
+    // the scale contract of the dedup/text family: candidate generation is
+    // always a key-equi join (shingle / band / bucket / length-band), never
+    // a cartesian or nested-loop product
+    Seq("q27_jaccard_pairs", "q28_minhash_lsh", "q39_training_pipeline",
+        "q67_fuzzy_neardup", "q69_bloom_decontaminate", "q77_dup_spans",
+        "q86_referential_audit", "q89_ngram_decontamination").foreach { q =>
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q plans a nested-loop join")
+    }
+    // the vector family's scoring joins (corpus × centroids / hyperplanes /
+    // query subset) are INTENTIONAL full products of the corpus with a
+    // broadcast-small relation — since round 19 they stream the corpus once
+    // against the broadcast side (BroadcastNestedLoopJoin; output
+    // cardinality identical to the old posting equi-join-on-i form, input
+    // rows dim× fewer). The guard here is that no such join may DEGRADE to
+    // a non-broadcast CartesianProduct (both sides shuffled to every task —
+    // the true all-pairs catastrophe), and every candidate VERIFY join
+    // stays key-equi (asserted per query below: bkey / cell / c_id keys).
+    Seq("q30_cosine_topk", "q31_ann_lsh", "q42_embedding_neardup",
+        "q43_ann_ivf", "q52_ann_ivf_probe2", "q78_semantic_dedup",
+        "q80_pq_adc", "q102_ann_ivfpq").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian product")
     }
   }
 
