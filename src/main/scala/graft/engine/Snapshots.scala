@@ -4355,22 +4355,28 @@ object Snapshots {
   /** Net row-level changes between two versions (CDC read): columns of the
     * table plus `_op` — 'I' for net-inserted rows, 'D' for net-deleted rows.
     * Multiset semantics: a row appearing k more times in `toV` than in
-    * `fromV` yields k 'I' rows. Built from the signed delta by multiset
-    * difference (`exceptAll` both ways), so carried-forward rows in
-    * rewritten files drop out and a pure compaction yields ZERO changes.
-    * Scans only the manifest diff's files — at 100 TB the cost of reading a
-    * day's changes is the day's files, not the table. */
+    * `fromV` yields k 'I' rows — the SUM OF SIGNS per distinct row value,
+    * computed in one grouped pass over the signed delta (r19; the former
+    * `exceptAll` both ways aggregated the same union twice). Carried-forward
+    * rows in rewritten files net to zero, so a pure compaction yields ZERO
+    * changes. Scans only the manifest diff's files — at 100 TB the cost of
+    * reading a day's changes is the day's files, not the table. */
   def changes(
       spark: SparkSession,
       root: String,
       fromV: Long,
       toV: Long): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions._
     val signed = signedDelta(spark, root, fromV, toV)
-    val a = signed.filter(col("_sign") === 1).drop("_sign")
-    val r = signed.filter(col("_sign") === -1).drop("_sign")
-    a.exceptAll(r).withColumn("_op", lit("I"))
-      .unionByName(r.exceptAll(a).withColumn("_op", lit("D")))
+    val cols = signed.columns.filterNot(_ == "_sign").toSeq
+    signed.groupBy(cols.map(col): _*)
+      .agg(sum(col("_sign").cast("long")).as("__net"))
+      .filter(col("__net") =!= 0L)
+      .withColumn("_op", when(col("__net") > 0, "I").otherwise("D"))
+      // k net occurrences → k rows (the exceptAll multiset contract)
+      .withColumn("__dup",
+        explode(array_repeat(lit(1), abs(col("__net")).cast("int"))))
+      .select(cols.map(col) :+ col("_op"): _*)
   }
 
   /** TYPED change feed (the Delta CDF `_change_type` shape): [[changes]]'
@@ -4389,24 +4395,23 @@ object Snapshots {
       fromV: Long,
       toV: Long,
       key: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
-    // localCheckpoint, not persist: the four branches below each consume
-    // `ch`, and a persist here would leak its cached blocks for the
-    // session's lifetime (the caller gets a lazy frame and has no handle
-    // to unpersist). The checkpoint's blocks are reclaimed with the frame,
-    // and the changes plan (a changed-files CDC read) truncates cheaply.
-    val ch = changes(spark, root, fromV, toV).localCheckpoint()
-    val ins = ch.filter(col("_op") === "I").drop("_op")
-    val del = ch.filter(col("_op") === "D").drop("_op")
-    val insKeys = ins.select(col(key)).distinct()
-    val delKeys = del.select(col(key)).distinct()
-    ins.join(delKeys, Seq(key), "left_anti").withColumn("_change", lit("insert"))
-      .unionByName(ins.join(delKeys, Seq(key), "left_semi")
-        .withColumn("_change", lit("update_post")))
-      .unionByName(del.join(insKeys, Seq(key), "left_anti")
-        .withColumn("_change", lit("delete")))
-      .unionByName(del.join(insKeys, Seq(key), "left_semi")
-        .withColumn("_change", lit("update_pre")))
+    import org.apache.spark.sql.functions._
+    // ONE keyed window pass classifies every row: a key with rows on both
+    // sides of the diff is an update, one-sided keys are plain
+    // inserts/deletes. Replaces the former localCheckpoint + two key
+    // distincts + four semi/anti joins (r19): the window's key exchange is
+    // the only shuffle, it runs over the (already changed-files-only)
+    // delta, and the frame stays lazy — no materialization job.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    changes(spark, root, fromV, toV)
+      .withColumn("__i", max(when(col("_op") === "I", 1).otherwise(0)).over(w))
+      .withColumn("__d", max(when(col("_op") === "D", 1).otherwise(0)).over(w))
+      .withColumn("_change",
+        when(col("_op") === "I",
+          when(col("__d") === 1, "update_post").otherwise("insert"))
+          .otherwise(
+            when(col("__i") === 1, "update_pre").otherwise("delete")))
+      .drop("_op", "__i", "__d")
   }
 
   /** Idempotent tagged commit: a no-op returning None when any retained

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -65,12 +64,16 @@ object Bpe {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).cast(LongType).as("freq"))
 
-  /** Weighted adjacent-pair counts over the vocabulary state. */
+  /** Weighted adjacent-pair counts over the vocabulary state. The next
+    * symbol is read row-locally from the symbol array (`get(ss, pos+1)`,
+    * null past the end — exactly `lead` within the word): a per-round
+    * window here would exchange + sort the vocabulary once per merge
+    * round, K times per training run, for what is a narrow map (r19). */
   private def pairCounts(vocab: DataFrame): DataFrame = {
     val syms = split(trim(col("seq"), s"$L$R"), s"$R$L")
-    val w = Window.partitionBy("word").orderBy("pos")
-    vocab.select(col("word"), col("freq"), posexplode(syms).as(Seq("pos", "sym")))
-      .withColumn("nxt", lead(col("sym"), 1).over(w))
+    vocab.select(col("freq"), syms.as("ss"))
+      .select(col("freq"), col("ss"), posexplode(col("ss")).as(Seq("pos", "sym")))
+      .withColumn("nxt", get(col("ss"), col("pos") + 1))
       .filter(col("nxt").isNotNull)
       .groupBy(concat(lit(L), col("sym"), lit(R), lit(L), col("nxt"), lit(R))
         .as("pair"))
