@@ -25,12 +25,26 @@ object Profile {
     require(cols.nonEmpty, "profile needs at least one column")
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty, s"columns not in frame: ${missing.mkString(", ")}")
+    graft.plans.GraftExtensions.register(df.sparkSession)
 
-    def metrics(c: String): Seq[Column] = Seq(
-      count(col(c)).as(s"__nn_$c"),
-      countDistinct(col(c)).as(s"__nd_$c"),
-      min(col(c)).cast(StringType).as(s"__mn_$c"),
-      max(col(c)).cast(StringType).as(s"__mx_$c"))
+    def metrics(c: String): Seq[Column] = {
+      // STRING min/max ride the typed aggregate: a declarative string
+      // Min/Max buffer is not UnsafeRow-mutable and would drag the WHOLE
+      // multi-column profile pass onto SortAggregate (two sorts of the
+      // Expand'd rows); other types aggregate natively and cast after —
+      // cast(min(c)) == min(c) rendered, while min(cast(c)) would compare
+      // numbers as text (r19)
+      val (mn, mx) =
+        if (df.schema(c).dataType == StringType)
+          (call_function("min_str", col(c)), call_function("max_str", col(c)))
+        else
+          (min(col(c)).cast(StringType), max(col(c)).cast(StringType))
+      Seq(
+        count(col(c)).as(s"__nn_$c"),
+        countDistinct(col(c)).as(s"__nd_$c"),
+        mn.as(s"__mn_$c"),
+        mx.as(s"__mx_$c"))
+    }
 
     val one = df.agg(
       count(lit(1)).as("__n"),

@@ -224,6 +224,8 @@ object GraftExtensions {
     two("cosine_f32")(CosineF32(_, _)),
     two("quantize_scaled")(QuantizeScaled(_, _)),
     two("minhash_mins")(MinHashMins(_, _)),
+    one("min_str")(MinMaxStr(_, isMin = true)),
+    one("max_str")(MinMaxStr(_, isMin = false)),
     two("dot_i64")(DotI64(_, _)),
     two("l2_i64")(L2I64(_, _)),
     three("dot_dec_double")(DotDecDouble(_, _, _)),
