@@ -70,7 +70,7 @@ object Bench {
         // the timed region should bump the name of this exclusion list)
         val isHarness = (p: String) =>
           p.endsWith("/graft/Bench.scala") || p.endsWith("/graft/Verify.scala") ||
-            p.endsWith("/graft/PlanDump.scala")
+            p.contains("/graft/diag/")
         val engineHash = hashOf(shared.filterNot { case (p, _) => isHarness(p) })
         val qTexts = qFiles.map { case (p, b) => (p, b, new String(b, "UTF-8")) }
         // precomputed once: ~140 lookups x 3 call sites otherwise re-scan
@@ -371,7 +371,15 @@ object Bench {
       else try {
         val om = new com.fasterxml.jackson.databind.ObjectMapper
         val m = om.readValue(profilePath.toFile, classOf[java.util.Map[String, Object]])
-        if (String.valueOf(m.get("sf")) != sfDir) (Map.empty, 0, Map.empty, false)
+        // floors are per (sf, core count): round 19's 8-core scaling run
+        // folded against the 32-core floors the main run had just written,
+        // so its printed line was the other run's numbers (q91-q99
+        // bit-identical across the two artifacts). A prior profile at a
+        // different cpus contributes nothing — no fold, no carry. Legacy
+        // profiles without the field are treated as same-cpus (they all
+        // predate scaling runs that reuse a profile).
+        val cpusOk = Option(m.get("cpus")).forall(c => String.valueOf(c) == cpus)
+        if (String.valueOf(m.get("sf")) != sfDir || !cpusOk) (Map.empty, 0, Map.empty, false)
         else {
           val wholeMatch = String.valueOf(m.get("src_fingerprint")) == srcFingerprint
           val qm = m.get("queries").asInstanceOf[java.util.Map[String, Object]].asScala
@@ -422,9 +430,20 @@ object Bench {
     // numbers are best-of-fewer, biased high, and a reader comparing
     // rounds should prefer a non-degraded artifact of the same head
     val degJson = if (degraded) ""","degraded":true""" else ""
-    // the driver line stays compact (round-4 lesson: it must fit a stdout
-    // tail window) — aggregate GC only here, per-query detail in the profile
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","gc_sec":${ms(gcTotal)},"best_of":${passes.size}$degJson$bandJson,"head":${JsonStr(gitHead)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    // Two output lines (round-19 verdict #1). The FULL line (queries map
+    // included) comes first — for humans and files; at 155 queries it is
+    // ~5 KB and can never fit the driver's 2000-char stdout tail, which is
+    // why every BENCH_r*.json since round 4 has parsed:null. The LAST line
+    // printed is a compact totals line that always fits the tail window;
+    // the per-query map additionally goes to a stable side file
+    // (BENCH_queries.json next to the profile) the driver/judge can read.
+    val fullLine = s"""{"metric":"total","value":${ms(total)},"unit":"sec","gc_sec":${ms(gcTotal)},"best_of":${passes.size}$degJson$bandJson,"head":${JsonStr(gitHead)},"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(fullLine)
+    val queriesPath = profilePath.resolveSibling("BENCH_queries.json")
+    java.nio.file.Files.writeString(queriesPath,
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","cpus":$cpus,"queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val nErrors = folded.count(_._2.err.isDefined)
+    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","gc_sec":${ms(gcTotal)},"best_of":${passes.size}$degJson$bandJson,"n_queries":${folded.size},"n_errors":$nErrors,"queries_file":"${queriesPath.getFileName}","head":${JsonStr(gitHead)},"sf":"$sfDir"}""")
     val benchedNames = benched.map(_._1).toSet
     // a SUBSET run (SPARK_GRAFT_ONLY) must not orphan the rest of the
     // registry: prior entries whose per-query fingerprint still matches
@@ -454,7 +473,7 @@ object Bench {
       JsonStr(k) + s""":{$errField"fp":${JsonStr(queryFp(k))},"sec":${ms(sec)},"run_sec":${ms(best.sec)},"spread":${ms(spread)},"gc_sec":${ms(best.gcSec)},"peak_heap_mb":${best.heapMb},"input_mb":${best.inMb},"shuffle_read_mb":${best.srMb},"shuffle_write_mb":${best.swMb},"attempts":$att}"""
     } ++ carriedJson).mkString("{", ",", "}")
     java.nio.file.Files.writeString(profilePath,
-      s"""{"sf":"$sfDir","best_of":${passes.size},"interleaved":true$degJson,"head":${JsonStr(gitHead)},"src_fingerprint":${JsonStr(srcFingerprint)},"folded_runs":${priorRuns + 1}$bandJson,"total_sec":${ms(profileTotal)},"total_gc_sec":${ms(gcTotal)},"queries":$profile}""")
+      s"""{"sf":"$sfDir","cpus":$cpus,"best_of":${passes.size},"interleaved":true$degJson,"head":${JsonStr(gitHead)},"src_fingerprint":${JsonStr(srcFingerprint)},"folded_runs":${priorRuns + 1}$bandJson,"total_sec":${ms(profileTotal)},"total_gc_sec":${ms(gcTotal)},"queries":$profile}""")
     spark.stop()
   }
 }

@@ -1,5 +1,8 @@
-package graft
-// SCRATCH diagnostic (not committed): commit-path latency decomposition.
+package graft.diag
+
+import graft._
+// Diagnostic main (graft.diag is excluded from the bench fingerprint):
+// commit-path latency decomposition.
 object CommitProbe {
   def main(args: Array[String]): Unit = {
     val spark = org.apache.spark.sql.SparkSession.builder()

@@ -1,4 +1,6 @@
-package graft
+package graft.diag
+
+import graft._
 import org.apache.spark.sql.SparkSession
 import scala.util.control.NonFatal
 

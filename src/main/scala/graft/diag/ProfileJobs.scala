@@ -1,8 +1,11 @@
-package graft
+package graft.diag
+
+import graft._
 import org.apache.spark.sql.SparkSession
 import scala.collection.concurrent.TrieMap
 
-/** SCRATCH diagnostic (not committed): per-job wall-clock timeline for a
+/** Diagnostic main (graft.diag is excluded from the bench fingerprint):
+  * per-job wall-clock timeline for a
   * subset of queries — attributes a query's time to its build steps. */
 object ProfileJobs {
   def main(args: Array[String]): Unit = {
