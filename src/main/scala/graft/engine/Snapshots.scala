@@ -841,6 +841,95 @@ object Snapshots {
     }
   }
 
+  /** Multi-batch commit: stage N independent same-schema batches as
+    * CONCURRENT write jobs (each batch written exactly as [[commit]] would
+    * write it — own commit dir, stats, shard), then publish ONE manifest
+    * referencing all of them. The per-key ingest loops (one commit per
+    * priority/band so every file is single-key and the manifest can answer
+    * grouped aggregates) were paying N sequential job round-trips plus N
+    * manifest publishes for work with no data dependency; overlapping the
+    * staging back-fills the scheduler (guide: overlap independent jobs)
+    * and the single publish removes N-1 metadata round-trips. File
+    * CONTENT and per-file stats are identical to the sequential loop —
+    * only version count (1, not N) and wall-clock change.
+    *
+    * Scope (internal, not a declared surface): same schema across batches
+    * (enforced), no clustering, optional stats/bloom columns shared by all
+    * batches. Batches whose plans are expensive stay lazy until their
+    * staging thread runs them. */
+  private[graft] def commitAll(
+      batches: Seq[DataFrame],
+      root: String,
+      append: Boolean = false,
+      statsCols: Seq[String] = Seq.empty,
+      tag: String = "",
+      bloomCols: Seq[String] = Seq.empty,
+      maxConcurrent: Int = 4): Long = {
+    require(batches.nonEmpty, "commitAll needs at least one batch")
+    require(!tag.startsWith(OptimizeTag),
+      s"commit tags may not start with the reserved '$OptimizeTag' prefix")
+    val schema0 = batches.head.schema
+    batches.foreach(b => require(b.schema == schema0,
+      "commitAll batches must share one schema — evolving batches commit sequentially"))
+    val spark = batches.head.sparkSession
+    // logical→physical mapping + inherited index declarations exactly as
+    // [[commit]], computed ONCE from the head all batches land on
+    val (toPhys, assigned) =
+      if (!append) (Map.empty[String, String], Map.empty[String, String])
+      else {
+        val headV0 = headVersion(spark, root)
+        if (headV0 == 0) (Map.empty[String, String], Map.empty[String, String])
+        else {
+          val m0 = manifestMeta(spark, root, headV0)
+          val ps = parseSchemaStr(m0.schema)
+          val fresh = freshPhysicals(ps, m0.retired, schema0)
+          (ps.map(logicalToPhysical).getOrElse(Map.empty) ++ fresh, fresh)
+        }
+      }
+    val (inhStatsP, inhBloomsP) = {
+      val hv = if (append) headVersion(spark, root) else 0L
+      val none = (Seq.empty[String], Seq.empty[String])
+      if (hv == 0L) none
+      else manifestMeta(spark, root, hv).indexed.fold(none) { case (ds, db) =>
+        val batchPhys = schema0.fieldNames.map(c => toPhys.getOrElse(c, c)).toSet
+        (ds.filter(batchPhys), db.filter(batchPhys))
+      }
+    }
+    // concurrent staging: a small pool is plenty — the point is to back-fill
+    // the scheduler during each job's tail and overlap the driver-side
+    // footer/shard work, not to saturate the cluster with N full jobs
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrent, batches.size)))
+    val refs: Seq[ShardRef] =
+      try {
+        implicit val ec: scala.concurrent.ExecutionContext =
+          scala.concurrent.ExecutionContext.fromExecutorService(pool)
+        val futs = batches.map { b =>
+          scala.concurrent.Future {
+            val (written, st, rows, blooms) =
+              writeBatch(b, root, statsCols, toPhys, bloomCols, None,
+                statsPhysExtra = inhStatsP, bloomPhysExtra = inhBloomsP)
+            writeShard(spark, root, written, st, rows, blooms)
+          }
+        }
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(futs),
+          scala.concurrent.duration.Duration.Inf)
+      } finally pool.shutdown()
+    publishMeta(spark, root, tag, indexed = head => {
+      val mineS = statsCols.map(c => toPhys.getOrElse(c, c))
+      val mineB = bloomCols.map(c => toPhys.getOrElse(c, c))
+      if (!append || head.isEmpty) Some((mineS, mineB))
+      else head.flatMap(_.indexed).map { case (s, b) =>
+        ((s ++ mineS).distinct, (b ++ mineB).distinct)
+      }
+    }) { head =>
+      val parent = if (append) head else None
+      val parentRefs = parent.map(shardRefsOf(spark, root, _)).getOrElse(Seq.empty)
+      (parentRefs ++ refs, mergedSchemaJson(parent.map(_.schema), schema0, assigned))
+    }
+  }
+
   /** Key types [[commit]]'s `clusterBy` accepts: exactly those whose
     * murmur3 bucket mapping the DSv2 `graft.bucket` catalog function
     * reproduces ([[graft.streaming.SnapshotCatalog]]) — the writer
@@ -4360,7 +4449,13 @@ object Snapshots {
     * `exceptAll` both ways aggregated the same union twice). Carried-forward
     * rows in rewritten files net to zero, so a pure compaction yields ZERO
     * changes. Scans only the manifest diff's files — at 100 TB the cost of
-    * reading a day's changes is the day's files, not the table. */
+    * reading a day's changes is the day's files, not the table.
+    *
+    * Bound: a single distinct row value whose net multiplicity exceeds
+    * Int.MaxValue throws under ANSI at the replication cast (`exceptAll`
+    * had no such ceiling); 2^31 duplicates of ONE identical row is far
+    * outside any real CDC feed, and the k-element replication array is
+    * likewise materialized per distinct row, not streamed. */
   def changes(
       spark: SparkSession,
       root: String,
@@ -4386,9 +4481,12 @@ object Snapshots {
     * `delete`. What a downstream consumer (dimension sync, cache
     * invalidation, search-index maintenance) actually needs: "which keys
     * changed and how", not a bag of signed rows. Cost is [[changes]] plus
-    * two broadcast-friendly key semi-joins over the (already changed-files-
-    * only) delta — never the table. Multi-row keys classify as a unit: any
-    * key with rows on both sides is an update for all its rows. */
+    * ONE keyed window pass over the (already changed-files-only) delta —
+    * never the table. Multi-row keys classify as a unit: any key with rows
+    * on both sides is an update for all its rows. NULL keys never pair:
+    * they classify as plain insert/delete (the key-join algebra — `k IN
+    * (...)` — that defined this feed never matches NULL against NULL,
+    * and a window partition would). */
   def changesTyped(
       spark: SparkSession,
       root: String,
@@ -4403,9 +4501,15 @@ object Snapshots {
     // the only shuffle, it runs over the (already changed-files-only)
     // delta, and the frame stays lazy — no materialization job.
     val w = org.apache.spark.sql.expressions.Window.partitionBy(key)
+    // window partitioning treats NULL keys as one group, but the CDC
+    // contract (join algebra) says a NULL key matches nothing: guard the
+    // classification so null-key rows on both sides stay insert/delete
+    val nn = col(key).isNotNull
     changes(spark, root, fromV, toV)
-      .withColumn("__i", max(when(col("_op") === "I", 1).otherwise(0)).over(w))
-      .withColumn("__d", max(when(col("_op") === "D", 1).otherwise(0)).over(w))
+      .withColumn("__i",
+        when(nn, max(when(col("_op") === "I", 1).otherwise(0)).over(w)).otherwise(0))
+      .withColumn("__d",
+        when(nn, max(when(col("_op") === "D", 1).otherwise(0)).over(w)).otherwise(0))
       .withColumn("_change",
         when(col("_op") === "I",
           when(col("__d") === 1, "update_post").otherwise("insert"))

@@ -87,7 +87,13 @@ case class QuantizeScaled(left: Expression, right: Expression)
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(FloatType, _), IntegerType) if right.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // a null literal would silently unbox to scale 0; out-of-range
+        // scales have no decimal(18,s) meaning — reject both up front
+        val s = right.eval()
+        if (s != null && s.asInstanceOf[Int] >= 0 && s.asInstanceOf[Int] <= 18)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"quantize_scaled needs a scale in [0, 18], got $s")
       case (l, r) => TypeCheckResult.TypeCheckFailure(
         s"quantize_scaled requires (array<float>, int literal), got " +
           s"(${l.simpleString(10)}, ${r.simpleString(10)})")
@@ -218,7 +224,13 @@ case class DotDecDouble(first: Expression, second: Expression, third: Expression
     (first.dataType, second.dataType, third.dataType) match {
       case (ArrayType(LongType, _), ArrayType(LongType, _), IntegerType)
           if third.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // same guard as quantize_scaled: null unboxes to 0, and the
+        // 128-bit→double render is only meaningful for decimal scales
+        val s = third.eval()
+        if (s != null && s.asInstanceOf[Int] >= 0 && s.asInstanceOf[Int] <= 18)
+          TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"dot_dec_double needs a scale in [0, 18], got $s")
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
         s"dot_dec_double requires (array<long>, array<long>, int literal), got " +
           s"(${a.simpleString(10)}, ${b.simpleString(10)}, ${c.simpleString(10)})")

@@ -2964,10 +2964,14 @@ object Lake {
           col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
       val prios = ord.select("o_orderpriority").distinct()
         .collect().map(_.getString(0)).sorted // O(key domain)
-      prios.zipWithIndex.foreach { case (p, i) =>
-        Snapshots.commit(ord.filter(col("o_orderpriority") === p).repartition(2),
-          root, append = i > 0, statsCols = Seq("o_orderpriority", "o_totalprice"))
-      }
+      // one staged batch per priority, written CONCURRENTLY and published
+      // as ONE manifest (identical files/stats to the former sequential
+      // per-priority commits; N-1 publish round-trips and the sequential
+      // job tails removed — guide §2.6/§5)
+      Snapshots.commitAll(
+        prios.toSeq.map(p =>
+          ord.filter(col("o_orderpriority") === p).repartition(2)),
+        root, statsCols = Seq("o_orderpriority", "o_totalprice"))
       val res = spark.read.format("graft.streaming.SnapshotSourceProvider")
         .option("root", root).load()
         .groupBy("o_orderpriority")
@@ -3067,18 +3071,23 @@ object Lake {
       val prios = ord.select("o_orderpriority").distinct()
         .collect().map(_.getString(0)).sorted // O(key domain)
       val bands = Seq((1L, b1), (b1 + 1L, b2), (b2 + 1L, Long.MaxValue))
-      var appended = false
-      prios.foreach { p =>
-        bands.foreach { case (lo, hi) =>
-          val part = ord.filter(col("o_orderpriority") === p &&
-            col("o_orderkey").between(lo, hi)).coalesce(1)
-          if (!part.isEmpty) {
-            Snapshots.commit(part, root, append = appended,
-              statsCols = Seq("o_orderkey", "o_orderpriority"))
-            appended = true
-          }
-        }
-      }
+      // non-empty (priority, band) cells from ONE distinct pass — the
+      // former per-cell `isEmpty` probe was a limit-1 job per cell (15
+      // driver round-trips); the cells then stage concurrently and publish
+      // as ONE manifest (same single-key-per-file layout, guide §2.6/§5)
+      val bandIdx = when(col("o_orderkey") < 1L, -1)
+        .when(col("o_orderkey") <= b1, 0)
+        .when(col("o_orderkey") <= b2, 1).otherwise(2)
+      val present = ord.select(col("o_orderpriority").as("p"), bandIdx.as("b"))
+        .distinct().collect().map(r => (r.getString(0), r.getInt(1))).toSet
+      val cells = for {
+        p <- prios.toSeq
+        ((lo, hi), bi) <- bands.zipWithIndex
+        if present((p, bi))
+      } yield ord.filter(col("o_orderpriority") === p &&
+        col("o_orderkey").between(lo, hi)).coalesce(1)
+      Snapshots.commitAll(cells, root,
+        statsCols = Seq("o_orderkey", "o_orderpriority"))
       val res = spark.read.format("graft.streaming.SnapshotSourceProvider")
         .option("root", root).load()
         .filter(col("o_orderkey").between(b1 + 1L, b2))
@@ -3134,10 +3143,11 @@ object Lake {
           col("o_totalprice").cast("decimal(15,2)").as("price"))
       val rates = ord.select("rate").distinct()
         .collect().map(_.getDecimal(0)).sorted // O(key domain)
-      rates.zipWithIndex.foreach { case (r, i) =>
-        Snapshots.commit(ord.filter(col("rate") === r).repartition(2),
-          root, append = i > 0, statsCols = Seq("rate", "price"))
-      }
+      // concurrent per-rate staging + one publish (same files/stats as the
+      // former sequential commits — guide §2.6/§5)
+      Snapshots.commitAll(
+        rates.toSeq.map(r => ord.filter(col("rate") === r).repartition(2)),
+        root, statsCols = Seq("rate", "price"))
       val res = spark.read.format("graft.streaming.SnapshotSourceProvider")
         .option("root", root).load()
         .groupBy("rate")

@@ -180,6 +180,22 @@ class SnapshotSpec extends SparkSpec {
       spark.range(0, 0).select($"id"), root, "id") === 2L)
   }
 
+  test("changesTyped: NULL keys never pair — plain insert/delete, not update") {
+    val root = tmp()
+    // v1 and v2 each hold one null-key row and one key-1 row; the overwrite
+    // puts both on both sides of the diff. Key 1 pairs (update_pre/post);
+    // the NULL key must NOT pair — the CDC contract is key-join algebra,
+    // where NULL matches nothing — so its rows stay plain delete/insert.
+    Snapshots.commit(Seq((Option.empty[Long], "a"), (Some(1L), "x")).toDF("k", "s"), root)
+    Snapshots.commit(Seq((Option.empty[Long], "b"), (Some(1L), "y")).toDF("k", "s"), root)
+    val ch = Snapshots.changesTyped(spark, root, 1, 2, "k")
+      .select($"k", $"s", $"_change").as[(Option[Long], String, String)]
+      .collect().toSet
+    assert(ch === Set(
+      (None, "a", "delete"), (None, "b", "insert"),
+      (Some(1L), "x", "update_pre"), (Some(1L), "y", "update_post")))
+  }
+
   test("schema evolution: appended columns surface as nulls on old files, everywhere") {
     val root = tmp()
     Snapshots.commit(Seq((1L, "a")).toDF("id", "s"), root, statsCols = Seq("id"))

@@ -16,9 +16,10 @@ import graft.plans.GraftExtensions
   * the old plans executed (not a hand-rolled reference), over the real
   * corpus plus adversarial vectors: null elements (a null posting product
   * vanishes under SUM — the array fold must skip, not poison), an all-null
-  * pair (SUM over an empty group is NULL), long-overflow inputs (non-ANSI
-  * SUM wraps; the fold must wrap identically), and NaN/Infinity floats
-  * (the double→decimal cast nulls them). */
+  * pair (SUM over an empty group is NULL), long-overflow inputs (the
+  * session is ANSI, so SUM throws on overflow and the fold must throw
+  * identically — Math.addExact/multiplyExact, asserted below), and
+  * NaN/Infinity floats (the double→decimal cast nulls them). */
 class VecQuantSpec extends SparkSpec {
   import spark.implicits._
 
