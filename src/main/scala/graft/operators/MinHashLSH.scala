@@ -69,6 +69,21 @@ object MinHashLSH {
         element_at(col("__hs"), i + 1).as(s"h$i")): _*)
   }
 
+  /** [[signatures]] plus the per-doc distinct-shingle count in the SAME
+    * hash-grouped pass (the count rides the ObjectHashAggregate as a plain
+    * declarative aggregate). The verify pipelines (q28/q39) need both the
+    * signature and the Jaccard denominator `n` per doc; as two separate
+    * groupBys they paid two full aggregate passes — and two exchanges —
+    * over the corpus-sized postings for per-doc values one pass yields. */
+  def signaturesWithSizes(sh: DataFrame): DataFrame = {
+    graft.plans.GraftExtensions.register(sh.sparkSession)
+    sh.groupBy("doc_id")
+      .agg(call_function("minhash_mins", col("s"), lit(numHashes)).as("__hs"),
+        count(lit(1)).as("n"))
+      .select(col("doc_id") +: (0 until numHashes).map(i =>
+        element_at(col("__hs"), i + 1).as(s"h$i")) :+ col("n"): _*)
+  }
+
   /** Band keys (doc_id, bkey) from a wide signature relation:
     * bkey_b = md5("b|" + h_{3b} + "," + h_{3b+1} + "," + h_{3b+2}). */
   def bandKeys(mh: DataFrame): DataFrame =
@@ -90,8 +105,16 @@ object MinHashLSH {
 
   /** Candidate near-dup pairs (d1 < d2) from band-bucket collisions —
     * exactly the q28 semantics, over-cap buckets excluded. */
-  def candidatePairs(sh: DataFrame, cap: Int = BandBucketCap): DataFrame = {
-    val bk = cappedBandKeys(bandKeys(signatures(sh)), cap)
+  def candidatePairs(sh: DataFrame, cap: Int = BandBucketCap): DataFrame =
+    candidatePairsFrom(signatures(sh), cap)
+
+  /** [[candidatePairs]] from an ALREADY-COMPUTED signature relation
+    * (doc_id, h0..h11[, extra...]): pipelines that also need the signatures
+    * (or the fused [[signaturesWithSizes]] row) elsewhere compute them once
+    * and band from the shared relation instead of re-aggregating the
+    * postings inside this call. */
+  def candidatePairsFrom(mh: DataFrame, cap: Int = BandBucketCap): DataFrame = {
+    val bk = cappedBandKeys(bandKeys(mh), cap)
     bk.as("a")
       .join(bk.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))

@@ -148,7 +148,10 @@ object Dedup {
          |FROM pairs JOIN sizes sa ON sa.doc_id = d1 JOIN sizes sb ON sb.doc_id = d2
          |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
          |ORDER BY d1, d2""".stripMargin) { (spark, dir) =>
-      val sh = graft.operators.MinHashLSH.dfCapped(rawPostings(spark, dir), Pipeline.DfCap)
+      // postings persisted below the df-cap (the shared [[postings]] helper):
+      // dfCapped references them twice — hot counts + anti-join left — and
+      // unpersisted that re-ran the posexplode + per-doc window pass twice
+      val sh = graft.operators.MinHashLSH.dfCapped(postings(spark, dir), Pipeline.DfCap)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val pairs = sh.as("a")
@@ -193,9 +196,13 @@ object Dedup {
       val sh = postings(spark, dir)
       // candidate generation factored into operators.MinHashLSH (single-pass
       // 12-min-agg signatures + band-bucket equi join) — shared with the q39
-      // capstone so the "100 TB path" is one implementation, tested twice
-      val cand = graft.operators.MinHashLSH.candidatePairs(sh)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // capstone so the "100 TB path" is one implementation, tested twice.
+      // Signatures and Jaccard denominators come from ONE fused aggregate
+      // pass over the postings (two groupBys before — r20, guide §2.4).
+      val mhn = graft.operators.MinHashLSH.signaturesWithSizes(sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = graft.operators.MinHashLSH.candidatePairsFrom(mhn)
+      val sizes = mhn.select(col("doc_id"), col("n"))
       val pairs = cand
         .join(sh.as("a"), col("a.doc_id") === col("d1"))
         .join(sh.as("b"), col("b.doc_id") === col("d2") && col("b.s") === col("a.s"))

@@ -2624,10 +2624,9 @@ object Lake {
       // set is the partition-key domain — O(5) here, never O(rows))
       val types = ev.select("event_type").distinct()
         .collect().map(_.getString(0)).sorted
-      types.zipWithIndex.foreach { case (t, i) =>
-        Snapshots.commit(ev.filter(col("event_type") === t).repartition(2),
-          root, append = i > 0, statsCols = Seq("event_type", "event_id"))
-      }
+      Snapshots.commitAll(
+        types.toSeq.map(t => ev.filter(col("event_type") === t).repartition(2)),
+        root, statsCols = Seq("event_type", "event_id"))
       // single-partition sort, not orderBy: range partitioning SAMPLES its
       // child first, which would execute the (tiny) agg scan twice and
       // blur the exact row-count gate below
@@ -2716,10 +2715,9 @@ object Lake {
       val docs = Tables(spark, dir, "documents").select("lang", "n_chars")
       val langs = docs.select("lang").distinct()
         .collect().map(_.getString(0)).sorted // O(langs), the key domain
-      langs.zipWithIndex.foreach { case (l, i) =>
-        Snapshots.commit(docs.filter(col("lang") === l).repartition(2),
-          root, append = i > 0, statsCols = Seq("lang", "n_chars"))
-      }
+      Snapshots.commitAll(
+        langs.toSeq.map(l => docs.filter(col("lang") === l).repartition(2)),
+        root, statsCols = Seq("lang", "n_chars"))
       val before = Snapshots.manifest(spark, root,
         Snapshots.headVersion(spark, root)).files.toSet
       val v = Snapshots.deleteWhere(spark, root, col("lang") === "de")
@@ -2816,10 +2814,9 @@ object Lake {
       val ev = Tables(spark, dir, "events").select("event_type", "event_id")
       val types = ev.select("event_type").distinct()
         .collect().map(_.getString(0)).sorted // O(key domain)
-      types.zipWithIndex.foreach { case (t, i) =>
-        Snapshots.commit(ev.filter(col("event_type") === t).repartition(2),
-          root, append = i > 0, statsCols = Seq("event_type"))
-      }
+      Snapshots.commitAll(
+        types.toSeq.map(t => ev.filter(col("event_type") === t).repartition(2)),
+        root, statsCols = Seq("event_type"))
       val before = Snapshots.manifest(spark, root,
         Snapshots.headVersion(spark, root))
       val rowsByFile = before.rows.map(r => r.file -> r.n).toMap
@@ -3262,11 +3259,9 @@ object Lake {
             .otherwise(col("o_orderpriority")).as("note"))
       val prios = ord.select("o_orderpriority").distinct()
         .collect().map(_.getString(0)).sorted // O(key domain)
-      prios.zipWithIndex.foreach { case (p, i) =>
-        Snapshots.commit(ord.filter(col("o_orderpriority") === p).coalesce(1),
-          root, append = i > 0,
-          statsCols = Seq("o_orderkey", "o_orderpriority", "note"))
-      }
+      Snapshots.commitAll(
+        prios.toSeq.map(p => ord.filter(col("o_orderpriority") === p).coalesce(1)),
+        root, statsCols = Seq("o_orderkey", "o_orderpriority", "note"))
       val nullPrios = prios.count(_.substring(0, 1) <= "2")
       val res = spark.read.format("graft.streaming.SnapshotSourceProvider")
         .option("root", root).load()

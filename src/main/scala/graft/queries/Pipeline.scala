@@ -95,20 +95,27 @@ object Pipeline {
         .withColumn("rn", row_number().over(Window.partitionBy("fp").orderBy("doc_id")))
         .filter(col("rn") === 1).drop("rn")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sh = MinHashLSH.dfCapped(
-        TextOps.shinglePostings(kept1.select("doc_id", "text"), "doc_id", "text", 3), DfCap)
+      // postings persisted BEFORE the df-cap: dfCapped references them twice
+      // (hot-shingle counts + the anti-join left side), and unpersisted that
+      // re-ran the whole posexplode + per-doc window pass — the single most
+      // expensive stage of the pipeline — a second time (r20, guide §1/§2.4)
+      val post = TextOps.shinglePostings(kept1.select("doc_id", "text"), "doc_id", "text", 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      // band-bucket candidates (the q28 scale path), then exact-Jaccard
-      // verification of candidates only
-      val cand = MinHashLSH.candidatePairs(sh)
+      val sh = MinHashLSH.dfCapped(post, DfCap)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // signatures and Jaccard denominators from ONE hash-grouped pass over
+      // the postings (two separate groupBys before — r20, guide §2.4), and
+      // band-bucket candidates from the shared signature relation
+      val mhn = MinHashLSH.signaturesWithSizes(sh)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cand = MinHashLSH.candidatePairsFrom(mhn)
       val pairs = cand
         .join(sh.as("a"), col("a.doc_id") === col("d1"))
         .join(sh.as("b"), col("b.doc_id") === col("d2") && col("b.s") === col("a.s"))
         .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
       val dupIds = pairs
-        .join(sizes.as("sa"), col("sa.doc_id") === col("d1"))
-        .join(sizes.as("sb"), col("sb.doc_id") === col("d2"))
+        .join(mhn.select(col("doc_id"), col("n")).as("sa"), col("sa.doc_id") === col("d1"))
+        .join(mhn.select(col("doc_id"), col("n")).as("sb"), col("sb.doc_id") === col("d2"))
         .filter(col("inter").cast(DoubleType) / (col("sa.n") + col("sb.n") - col("inter")) >= 0.5)
         .select(col("d2").as("dup_id")).distinct()
       val kept2 = kept1.join(dupIds, col("dup_id") === col("doc_id"), "left_anti")
