@@ -80,6 +80,24 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
   }
 
+  /** PQ codeword argmin per (vector, subspace): the smallest (d2, k) over
+    * the candidate codewords, ties to the smaller k — exactly the oracle's
+    * `row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, k) = 1`. As a
+    * window that form SORTS the full (vector × codeword) relation (the
+    * PQ-encode stage was q80/q102's single heaviest stage); as a MIN over
+    * the order-preserving encoding d2·64 + k it aggregates MAP-SIDE
+    * (HashAggregate — decimal buffers are UnsafeRow-mutable) and shuffles
+    * one row per (vec_id, m). decimal(38,0) because a valid long d2 times
+    * 64 can overflow a long (ANSI would throw); k < 64 by construction
+    * (codebook ids are the first-64 vec_ids), so the modulus decodes it
+    * exactly. */
+  private[graft] def pqArgmin(enc: DataFrame): DataFrame =
+    enc
+      .groupBy("vec_id", "m")
+      .agg(min(col("d2").cast(DecimalType(38, 0)) * 64 + col("k")).as("__dk"))
+      .select(col("vec_id"), col("m"),
+        pmod(col("__dk"), lit(64)).cast(LongType).as("k"))
+
   /** Exact integer dot of two scaled-long arrays (≡ SUM over the exploded
     * postings' products, bit-for-bit). */
   private def dotq(a: Column, b: Column): Column =
@@ -636,9 +654,7 @@ object Similarity {
         .join(broadcast(cb), col("cm") === col("m"))
         .select(col("vec_id"), col("m"), col("k"),
           call_function("l2_i64", col("sq"), col("csq")).as("d2"))
-      val byVecSub = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("k"))
-      val codes = enc.withColumn("rn", row_number().over(byVecSub))
-        .filter(col("rn") === 1).select("vec_id", "m", "k")
+      val codes = pqArgmin(enc)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // ADC lookup table: per query, exact dot with every codeword — tiny
       val qlut = sub.filter(col("vec_id") % 100 === 0)
@@ -782,9 +798,7 @@ object Similarity {
         .join(broadcast(cb), col("cm") === col("m"))
         .select(col("vec_id"), col("m"), col("k"),
           call_function("l2_i64", col("sq"), col("csq")).as("d2"))
-      val byVecSub = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("k"))
-      val codes = enc.withColumn("rn", row_number().over(byVecSub))
-        .filter(col("rn") === 1).select("vec_id", "m", "k")
+      val codes = pqArgmin(enc)
       val qlut = sub.filter(col("vec_id") % 100 === 0)
         .join(broadcast(cb), col("cm") === col("m"))
         .select(col("vec_id").as("query_id"), col("cm").as("lm"), col("k").as("lk"),

@@ -43,6 +43,37 @@ class TextOpsSpec extends SparkSpec {
     assert(counts == Map(1L -> 3L, 2L -> 2L)) // id 3 has < n tokens → absent
   }
 
+  test("keep columns: dependent keep equals the first()-aggregate form; " +
+    "non-dependent keep visibly fans out (the contract, pinned)") {
+    // the r19 rewrite made `keep` part of the dedup KEY (grouping keys stay
+    // HashAggregate; first() buffers force SortAggregate). That is only
+    // row-identical to the old groupBy(id, s).agg(first(keep)) form when
+    // keep is functionally dependent on idCol — the documented contract.
+    val dep = Seq((1L, "src_a", "a b c d"), (2L, "src_b", "a b c d"))
+      .toDF("id", "source", "text")
+    val viaKey = TextOps.shinglePostings(dep, "id", "text", 3, keep = Seq("source"))
+      .select("id", "source", "s").as[(Long, String, String)].collect().toSet
+    val viaFirst = TextOps.positionalShingles(dep, "id", "text", 3, keep = Seq("source"))
+      .groupBy("id", "s").agg(first("source").as("source"))
+      .select("id", "source", "s").as[(Long, String, String)].collect().toSet
+    assert(viaKey === viaFirst && viaKey.nonEmpty)
+
+    // a NON-dependent keep column requires duplicate idCol rows, and those
+    // are outside the operator's contract twice over: the positional window
+    // interleaves the duplicate rows' token streams (garbage shingles), and
+    // keep fans out into multiple (id, s) rows. The pin: the violation is
+    // LOUD — more rows than either doc's shingle count, both keep values
+    // surviving — never a silent first()-style collapse to one arbitrary
+    // winner, which is what the r19 dedup-key rewrite could have introduced.
+    val indep = Seq((1L, "s1", "a b c"), (1L, "s2", "a b c"))
+      .toDF("id", "source", "text")
+    val rows = TextOps.shinglePostings(indep, "id", "text", 3, keep = Seq("source"))
+      .select("id", "source", "s").as[(Long, String, String)].collect()
+    assert(rows.length > 2 && rows.map(_._2).toSet === Set("s1", "s2"),
+      "a contract violation (duplicate id, divergent keep) must surface as " +
+        "fanned-out rows, never collapse silently to one keep winner")
+  }
+
   test("array-form shingles agree with the postings form") {
     val df = Seq((1L, "the quick brown fox jumps")).toDF("id", "text")
     val viaArray = df.select(explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
