@@ -109,10 +109,37 @@ object Catalog {
       append: Boolean = true,
       statsCols: Map[String, Seq[String]] = Map.empty): Long = {
     require(batches.nonEmpty, "catalog commit needs at least one table batch")
-    val committed = batches.map { case (name, (root, df)) =>
-      name -> (root, Snapshots.commit(df, root, append,
-        statsCols.getOrElse(name, Seq.empty)))
-    }
+    // member tables are independent roots: commit them CONCURRENTLY (the
+    // snapshot layer supports concurrent same-session commits by design;
+    // guide §2.6 — overlapping independent jobs back-fills each write's
+    // tail), then publish the catalog binding once, as before
+    val committed: Map[String, (String, Long)] =
+      if (batches.sizeIs <= 1)
+        batches.map { case (name, (root, df)) =>
+          name -> (root, Snapshots.commit(df, root, append,
+            statsCols.getOrElse(name, Seq.empty)))
+        }
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.min(4, batches.size))
+        try {
+          val futs = batches.toSeq.map { case (name, (root, df)) =>
+            name -> (root, pool.submit(new java.util.concurrent.Callable[Long] {
+              override def call(): Long = Snapshots.commit(df, root, append,
+                statsCols.getOrElse(name, Seq.empty))
+            }))
+          }
+          futs.map { case (name, (root, fut)) =>
+            val v =
+              try fut.get()
+              catch {
+                case e: java.util.concurrent.ExecutionException =>
+                  throw Option(e.getCause).getOrElse(e)
+              }
+            name -> (root, v)
+          }.toMap
+        } finally pool.shutdown()
+      }
     publishCat(spark, catRoot, committed)
   }
 

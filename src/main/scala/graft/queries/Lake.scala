@@ -2112,13 +2112,14 @@ object Lake {
       val fsys = new Path(liRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
       fsys.delete(new Path(liRoot), true)
       fsys.delete(new Path(ordRoot), true)
-      Snapshots.commit(
-        Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
-        liRoot, clusterBy = Some((Seq("l_orderkey"), 32)))
-      Snapshots.commit(
-        Tables(spark, dir, "orders")
-          .select("o_orderkey", "o_orderstatus", "o_orderpriority"),
-        ordRoot, clusterBy = Some((Seq("o_orderkey"), 16)))
+      Par(
+        () => Snapshots.commit(
+          Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
+          liRoot, clusterBy = Some((Seq("l_orderkey"), 32))),
+        () => Snapshots.commit(
+          Tables(spark, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+          ordRoot, clusterBy = Some((Seq("o_orderkey"), 16))))
       spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
       val keys = Seq(
         "spark.sql.sources.v2.bucketing.enabled",
@@ -2475,13 +2476,16 @@ object Lake {
       fsys.delete(new Path(aggRoot), true)
       val li = Tables(spark, dir, "lineitem")
         .select("l_partkey", "l_suppkey", "l_quantity")
-      Snapshots.commit(li, liRoot,
-        clusterBy = Some((Seq("l_partkey", "l_suppkey"), 4)))
-      Snapshots.commit(
-        li.groupBy("l_partkey", "l_suppkey")
-          .agg(count(lit(1)).cast("bigint").as("cnt"))
-          .withColumnRenamed("l_partkey", "p2").withColumnRenamed("l_suppkey", "s2"),
-        aggRoot, clusterBy = Some((Seq("p2", "s2"), 4)))
+      // the two grid builds are independent roots: overlap them (guide
+      // §2.6 — the second build's tasks back-fill the first one's tail)
+      Par(
+        () => Snapshots.commit(li, liRoot,
+          clusterBy = Some((Seq("l_partkey", "l_suppkey"), 4))),
+        () => Snapshots.commit(
+          li.groupBy("l_partkey", "l_suppkey")
+            .agg(count(lit(1)).cast("bigint").as("cnt"))
+            .withColumnRenamed("l_partkey", "p2").withColumnRenamed("l_suppkey", "s2"),
+          aggRoot, clusterBy = Some((Seq("p2", "s2"), 4))))
       val m = Snapshots.manifest(spark, liRoot, 1L)
       require(m.clustering ==
         Some(Snapshots.Clustering(Seq("l_partkey", "l_suppkey"), 4)))
@@ -3304,13 +3308,14 @@ object Lake {
       val fsys = new Path(liRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
       fsys.delete(new Path(liRoot), true)
       fsys.delete(new Path(ordRoot), true)
-      Snapshots.commit(
-        Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
-        liRoot, clusterBy = Some((Seq("l_orderkey"), 16)))
-      Snapshots.commit(
-        Tables(spark, dir, "orders")
-          .select("o_orderkey", "o_orderstatus", "o_orderpriority"),
-        ordRoot, clusterBy = Some((Seq("o_orderkey"), 16)))
+      Par(
+        () => Snapshots.commit(
+          Tables(spark, dir, "lineitem").select("l_orderkey", "l_quantity"),
+          liRoot, clusterBy = Some((Seq("l_orderkey"), 16))),
+        () => Snapshots.commit(
+          Tables(spark, dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_orderpriority"),
+          ordRoot, clusterBy = Some((Seq("o_orderkey"), 16))))
       spark.conf.set("spark.sql.catalog.graft", "graft.streaming.SnapshotCatalog")
       val prev = Seq(
         "spark.sql.sources.v2.bucketing.enabled",
