@@ -488,10 +488,13 @@ object Lake {
       fsys.delete(new Path(root), true)
       val base = Tables(spark, dir, "orders")
         .select("o_orderkey", "o_custkey", "o_orderstatus")
-      Snapshots.commit(base.filter(col("o_orderkey") % 3 === 0), root,
-        statsCols = Seq("o_orderkey"))
-      Snapshots.commit(base.filter(col("o_orderkey") % 3 === 1), root,
-        append = true, statsCols = Seq("o_orderkey"))
+      // the two ingest slices are independent batches: stage them
+      // concurrently, publish once (same files/stats as commit+append —
+      // the lifecycle under maintenance is unchanged)
+      Snapshots.commitAll(
+        Seq(base.filter(col("o_orderkey") % 3 === 0),
+          base.filter(col("o_orderkey") % 3 === 1)),
+        root, statsCols = Seq("o_orderkey"))
       Snapshots.delete(
         base.filter(col("o_orderkey") % 30 === 0).select("o_orderkey"),
         root, key = "o_orderkey")
