@@ -86,6 +86,11 @@ object Pipeline {
         |ORDER BY lang, label""".stripMargin) { (spark, dir) =>
       val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
       val toks = TextOps.tokens(col("text"))
+      // round-robin repartition, deliberately (r20 probe): hash-by-doc_id
+      // removes the sortBeforeRepartition pass but clumps the few thousand
+      // CPU-heavy rows (Poisson) and measured SLOWER — perfect spread wins
+      // when per-row regex work dominates; the input is a deterministic
+      // parquet scan, so round-robin stays retry-safe (guide §2.5)
       val base = Tables(spark, dir, "documents").repartition(parts)
         .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
           TextOps.tokenCount(col("text")).as("n_tokens"),
