@@ -84,13 +84,18 @@ object MinHashLSH {
         element_at(col("__hs"), i + 1).as(s"h$i")) :+ col("n"): _*)
   }
 
-  /** Band keys (doc_id, bkey) from a wide signature relation:
-    * bkey_b = md5("b|" + h_{3b} + "," + h_{3b+1} + "," + h_{3b+2}). */
-  def bandKeys(mh: DataFrame): DataFrame =
-    mh.select(col("doc_id"),
+  /** Band keys (doc_id [, keep...], bkey) from a wide signature relation:
+    * bkey_b = md5("b|" + h_{3b} + "," + h_{3b+1} + "," + h_{3b+2}).
+    * `keep` carries per-doc columns (functionally dependent on doc_id —
+    * e.g. [[signaturesWithSizes]]' `n`) through the 4-row band explode, so
+    * a downstream Jaccard gate can read them off the candidate pair
+    * instead of joining a sizes relation back twice. Cheap by
+    * construction: bands rows are 4 per DOC, never corpus-posting-sized. */
+  def bandKeys(mh: DataFrame, keep: Seq[String] = Seq.empty): DataFrame =
+    mh.select(col("doc_id") +: keep.map(col) :+
       explode(array((0 until bands).map(b =>
         md5(concat(lit(s"$b|"), concat_ws(",",
-          (0 until rowsPerBand).map(r => col(s"h${rowsPerBand * b + r}")): _*)))): _*)).as("bkey"))
+          (0 until rowsPerBand).map(r => col(s"h${rowsPerBand * b + r}")): _*)))): _*)).as("bkey"): _*)
 
   /** Band keys surviving the bucket-size cap. The count window partitions
     * on `bkey` — the same key the candidate self-join shuffles on, so the

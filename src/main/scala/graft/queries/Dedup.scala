@@ -201,13 +201,25 @@ object Dedup {
       // pass over the postings (two groupBys before — r20, guide §2.4).
       val mhn = graft.operators.MinHashLSH.signaturesWithSizes(sh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = graft.operators.MinHashLSH.candidatePairsFrom(mhn)
-      val sizes = mhn.select(col("doc_id"), col("n"))
+      // the Jaccard denominators ride the band keys (4 rows per doc) into
+      // the candidate pair itself — the two sizes joins the gate used to
+      // pay are gone (r20; n is functionally dependent on doc_id, so the
+      // extra grouping keys change no group)
+      val bk = graft.operators.MinHashLSH.cappedBandKeys(
+        graft.operators.MinHashLSH.bandKeys(mhn, keep = Seq("n")))
+      val cand = bk.as("a")
+        .join(bk.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .distinct()
       val pairs = cand
         .join(sh.as("a"), col("a.doc_id") === col("d1"))
         .join(sh.as("b"), col("b.doc_id") === col("d2") && col("b.s") === col("a.s"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
-      jaccardSelect(pairs, sizes)
+        .groupBy("d1", "d2", "na", "nb").agg(count(lit(1)).as("inter"))
+      val jac = col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter"))
+      pairs.filter(jac >= 0.5)
+        .select(col("d1"), col("d2"), col("inter"), jac.as("jaccard"))
+        .orderBy("d1", "d2")
     },
 
     // ---- q75: estimated-Jaccard candidate scoring — q28's band-bucket

@@ -113,15 +113,22 @@ object Pipeline {
       // band-bucket candidates from the shared signature relation
       val mhn = MinHashLSH.signaturesWithSizes(sh)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cand = MinHashLSH.candidatePairsFrom(mhn)
+      // Jaccard denominators ride the band keys (4 rows per doc) into the
+      // candidate pair — the two sizes joins the ≥0.5 gate used to pay are
+      // gone (r20; n is functionally dependent on doc_id, so the extra
+      // grouping keys change no group)
+      val bk = MinHashLSH.cappedBandKeys(MinHashLSH.bandKeys(mhn, keep = Seq("n")))
+      val cand = bk.as("a")
+        .join(bk.as("b"), col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"),
+          col("a.n").as("na"), col("b.n").as("nb"))
+        .distinct()
       val pairs = cand
         .join(sh.as("a"), col("a.doc_id") === col("d1"))
         .join(sh.as("b"), col("b.doc_id") === col("d2") && col("b.s") === col("a.s"))
-        .groupBy("d1", "d2").agg(count(lit(1)).as("inter"))
+        .groupBy("d1", "d2", "na", "nb").agg(count(lit(1)).as("inter"))
       val dupIds = pairs
-        .join(mhn.select(col("doc_id"), col("n")).as("sa"), col("sa.doc_id") === col("d1"))
-        .join(mhn.select(col("doc_id"), col("n")).as("sb"), col("sb.doc_id") === col("d2"))
-        .filter(col("inter").cast(DoubleType) / (col("sa.n") + col("sb.n") - col("inter")) >= 0.5)
+        .filter(col("inter").cast(DoubleType) / (col("na") + col("nb") - col("inter")) >= 0.5)
         .select(col("d2").as("dup_id")).distinct()
       val kept2 = kept1.join(dupIds, col("dup_id") === col("doc_id"), "left_anti")
       val joined = kept2.join(Tables(spark, dir, "embeddings"),
